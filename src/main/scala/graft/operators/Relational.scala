@@ -1,0 +1,405 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core — the reference's full analytics/monitoring SQL
+  * surface (SURVEY.md §2.2–§2.8, mapped onto the testdata star schema
+  * per §7.2) as Spark-first queries, each with a DuckDB oracle twin.
+  *
+  * Scale notes (100 TB discipline, applies to every query here):
+  *   - dims (nation/region/customer/part at these SFs) broadcast via
+  *     Spark's auto broadcast threshold + AQE; the fact side never
+  *     shuffles for a broadcast join
+  *   - top-k is orderBy+limit ⇒ physical TakeOrderedAndProject (per
+  *     partition heap, no global sort)
+  *   - aggregates are partial (map-side) + final hash aggregates; the
+  *     only full shuffles are on the groupBy keys themselves
+  *   - double outputs are deterministic: exact integer-valued sums
+  *     (cents trick) or explicit sum/count division + round — never a
+  *     bare float accumulation whose partial-order could flip a bit
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** sum(round(expr*100) as long)/100.0 — exact, order-independent sum
+    * for 2-decimal monetary doubles. */
+  private def sumCents(c: Column): Column =
+    sum(round(c * 100, 0).cast("long")) / 100.0
+
+  val queries: Map[String, Q] = Map(
+
+    // ── Flagship: top-10 by price over a 3-way star join ──────────────
+    // Reference: "Most Popular Songs" fact⋈artist⋈album ORDER BY
+    // popularity DESC LIMIT 10 (README.md:234-244). J1+J2+T1.
+    "q01_top10_star_join" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .select(o("o_orderkey"), c("c_name"), n("n_name"), o("o_totalprice"))
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, c_name, n_name, o_totalprice
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+      "fact⋈dim⋈dim top-k; broadcast joins + TakeOrderedAndProject"),
+
+    // ── Percentage-of-total via empty-frame window ────────────────────
+    // Reference: album-type distribution, COUNT(*)*100.0/SUM(COUNT(*))
+    // OVER () (README.md:249-255). A4+W1+F10/F11.
+    "q02_pct_by_priority" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy()
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("pct", round(col("cnt") * 100.0 / sum("cnt").over(w), 2))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+             |       round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS pct
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      "grouped count + % of total; window input is post-agg (tiny), single-partition window is safe"),
+
+    // ── Labeled row counts, UNION ALL ─────────────────────────────────
+    // Reference: per-table health counts (README.md:207-212). A1+T2.
+    "q03_rowcount_health" -> Q(
+      (s, dir) => {
+        def cnt(name: String): DataFrame =
+          t(s, dir, name).agg(count(lit(1)).as("n")).select(lit(name).as("tbl"), col("n"))
+        cnt("customer").unionByName(cnt("orders")).unionByName(cnt("lineitem"))
+          .unionByName(cnt("part")).unionByName(cnt("events"))
+          .orderBy("tbl")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'customer' AS tbl, count(*) AS n FROM customer UNION ALL
+             |  SELECT 'orders', count(*) FROM orders UNION ALL
+             |  SELECT 'lineitem', count(*) FROM lineitem UNION ALL
+             |  SELECT 'part', count(*) FROM part UNION ALL
+             |  SELECT 'events', count(*) FROM events) ORDER BY tbl""".stripMargin),
+      "global counts (no grouping keys ⇒ partial+final agg, 1-row exchange each)"),
+
+    // ── Global MIN/MAX freshness ──────────────────────────────────────
+    // Reference: SELECT MAX(loaded_at) FROM tblSongs (README.md:215). A2.
+    "q04_freshness_max" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .agg(max("ts").as("max_ts"), min("ts").as("min_ts"), count(lit(1)).as("n")),
+      Some("SELECT max(ts) AS max_ts, min(ts) AS min_ts, count(*) AS n FROM events"),
+      "min/max over event time; map-side partials, single final row"),
+
+    // ── AVG latency in minutes over a literal recency window ──────────
+    // Reference: AVG(TIMESTAMPDIFF(MINUTE, extracted_at, loaded_at))
+    // with 7-day lookback (README.md:220-226). A3+P4+F8/F9. Exact
+    // integer-millis sum, one double division ⇒ deterministic.
+    "q05_latency_avg" -> Q(
+      (s, dir) => {
+        val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .filter(o("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+          .agg(
+            round((sum(unix_millis(l("l_shipdate")) - unix_millis(o("o_orderdate")))
+              / 60000.0 / count(lit(1))), 4).as("avg_minutes"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT round(sum(epoch_ms(l_shipdate) - epoch_ms(o_orderdate))
+             |             / 60000.0 / count(*), 4) AS avg_minutes,
+             |       count(*) AS n
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin),
+      "date arithmetic + literal pivot (no current_date: nondeterministic across engines)"),
+
+    // ── Deterministic dedup: latest row per key ───────────────────────
+    // Reference: transform-stage deduplication (README.md:49,51) —
+    // window row_number, not dropDuplicates (whose survivor is
+    // plan-dependent). N3/W2.
+    "q06_dedup_latest" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .orderBy("user_id")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type, value, props FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin),
+      "latest-record-wins dedup; one shuffle on the dedup key, scales by key partitioning"),
+
+    // ── Incremental load: new-batch anti-join ─────────────────────────
+    // Reference: "only new/updated tracks processed" (README.md:51). N5/J3.
+    "q07_incremental_antijoin" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "events").withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k"))
+        val cut = lit("2024-01-15").cast("timestamp")
+        val newB = e.filter(col("ts") >= cut)
+        val oldB = e.filter(col("ts") < cut).select("user_id", "k")
+        newB.join(oldB, Seq("user_id", "k"), "left_anti")
+          .select("event_id", "ts", "user_id", "event_type", "value", "k")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type, value,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events e
+             |WHERE ts >= TIMESTAMP '2024-01-15' AND NOT EXISTS (
+             |  SELECT 1 FROM events o
+             |  WHERE o.ts < TIMESTAMP '2024-01-15' AND o.user_id = e.user_id
+             |    AND CAST(json_extract_string(o.props, '$.k') AS BIGINT)
+             |        = CAST(json_extract_string(e.props, '$.k') AS BIGINT))
+             |ORDER BY event_id""".stripMargin),
+      "insert-only incremental semantics as left_anti; shuffles both sides on the key"),
+
+    // ── Referential integrity: orphan FK counts ───────────────────────
+    // Reference: transform-stage FK validation (README.md:49). N4/J3.
+    "q08_integrity_orphans" -> Q(
+      (s, dir) => {
+        val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+        val p = t(s, dir, "part"); val c = t(s, dir, "customer")
+        def orphans(fact: DataFrame, dim: DataFrame, fk: String, pk: String, label: String) =
+          fact.join(dim, fact(fk) === dim(pk), "left_anti")
+            .agg(count(lit(1)).as("orphans")).select(lit(label).as("fk"), col("orphans"))
+        orphans(l, p, "l_partkey", "p_partkey", "lineitem_part")
+          .unionByName(orphans(l, o, "l_orderkey", "o_orderkey", "lineitem_orders"))
+          .unionByName(orphans(o, c, "o_custkey", "c_custkey", "orders_customer"))
+          .orderBy("fk")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'lineitem_part' AS fk, count(*) AS orphans FROM lineitem
+             |    WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey) UNION ALL
+             |  SELECT 'lineitem_orders', count(*) FROM lineitem
+             |    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey) UNION ALL
+             |  SELECT 'orders_customer', count(*) FROM orders
+             |    WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)) ORDER BY fk""".stripMargin),
+      "FK closure checks; anti-joins broadcast the dim side when small"),
+
+    // ── Explode + token aggregation ───────────────────────────────────
+    // Reference: tracks[]/artists[] array explode (N1,
+    // lambda_function.py:149,156). Generator stays inside codegen.
+    "q09_explode_tokens" -> Q(
+      (s, dir) => t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy("token"),
+      Some("""SELECT token, count(*) AS n FROM (
+             |  SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+             |GROUP BY token ORDER BY token""".stripMargin),
+      "explode(split()) ⇒ built-in Generate; agg on exploded rows"),
+
+    // ── Scalar-function projection (F1–F15 analogs in one pass) ───────
+    "q10_scalar_funcs" -> Q(
+      (s, dir) => t(s, dir, "orders").select(
+        col("o_orderkey"),
+        format_string("order_%d_%s", col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyyMMdd_HHmmss")).as("file_name"),
+        element_at(split(col("o_orderpriority"), "-"), 1).as("prio_code"),
+        length(col("o_orderstatus")).as("st_len"),
+        col("o_orderpriority").contains("URGENT").as("is_urgent"),
+        year(col("o_orderdate")).as("o_year"),
+        round(col("o_totalprice") / 1000.0, 2).as("price_k"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  printf('order_%d_%s', o_orderkey, strftime(o_orderdate, '%Y%m%d_%H%M%S')) AS file_name,
+             |  string_split(o_orderpriority, '-')[1] AS prio_code,
+             |  length(o_orderstatus) AS st_len,
+             |  contains(o_orderpriority, 'URGENT') AS is_urgent,
+             |  year(o_orderdate) AS o_year,
+             |  round(o_totalprice / 1000.0, 2) AS price_k
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      "string/date/math scalars (split/format/length/contains/year/round) — all codegen'd builtins"),
+
+    // ── JSON field extraction + grouped sum ───────────────────────────
+    // Reference: raw-layer JSON (de)serialization (F12). from_json with
+    // declared schema, never schema_of_json at scale.
+    "q11_json_props" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |       count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "from_json(declared schema) — integer sums, exact"),
+
+    // ── Pricing-summary aggregate (TPC-H Q1 shape) ────────────────────
+    // Exercises multi-key hash agg with partial aggregation; all double
+    // outputs exact via cents trick or explicit sum/count.
+    "q12_lineitem_agg" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sumCents(col("l_extendedprice")).as("sum_price"),
+          round(sum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_price,
+             |  round(sum(l_quantity) / count(*), 4) AS avg_qty,
+             |  count(*) AS n
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      "partial+final hash agg; sums order-independent by construction"),
+
+    // ── Window functions: rank / dense_rank / lag ─────────────────────
+    "q13_window_rank" -> Q(
+      (s, dir) => {
+        val byStatus = Window.partitionBy("o_custkey").orderBy(col("o_orderstatus"))
+        val byDate = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          rank().over(byStatus).as("status_rank"),
+          dense_rank().over(byStatus).as("status_drank"),
+          lag(col("o_totalprice"), 1).over(byDate).as("prev_price"),
+          row_number().over(byDate).as("order_seq"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS status_rank,
+             |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS status_drank,
+             |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+             |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+      "ranking windows; one shuffle on the partition key serves all four functions"),
+
+    // ── Star-join revenue rollup (4-way join + grouped sum) ───────────
+    "q14_nation_revenue" -> Q(
+      (s, dir) => {
+        val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy(n("n_name"), r("r_name"))
+          .agg(
+            (sum(round(l("l_extendedprice") * (lit(1) - l("l_discount")) * 10000, 0)
+              .cast("long")) / 10000.0).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, r_name,
+             |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY n_name, r_name ORDER BY n_name""".stripMargin),
+      "deep star join: dims broadcast, fact never shuffles until the groupBy; revenue exact in 1e-4 units"),
+
+    // ── Set operation: EXCEPT (distinct) ──────────────────────────────
+    "q15_setops_except" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        e.filter(col("event_type") === "purchase" &&
+            col("ts") >= lit("2024-01-28").cast("timestamp"))
+          .select("user_id")
+          .except(e.filter(col("event_type") === "error" &&
+            col("ts") < lit("2024-01-05").cast("timestamp")).select("user_id"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT DISTINCT user_id FROM events
+             |WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-28'
+             |EXCEPT
+             |SELECT user_id FROM events
+             |WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-05'
+             |ORDER BY user_id""".stripMargin),
+      "EXCEPT = distinct + anti semantics; single shuffle on the full row"),
+
+    // ── Semi join: EXISTS ─────────────────────────────────────────────
+    "q16_semi_join" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val recent = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        c.join(recent, c("c_custkey") === recent("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+             |ORDER BY c_custkey""".stripMargin),
+      "left_semi join; filter pushed below the join on the probe side"),
+
+    // ── Recency predicate with literal pivot ──────────────────────────
+    // Reference: 7-day lookback WHERE extracted_at >= DATEADD(day,-7,
+    // CURRENT_DATE()) (README.md:225), pivot fixed for determinism.
+    "q17_recency_filter" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-23").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |  sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+             |FROM events WHERE ts >= TIMESTAMP '2024-01-23'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "timestamp range predicate — pushed to the parquet scan (min/max row-group pruning)"),
+
+    // ── URL parse + validate (reference P1/F1–F4) ─────────────────────
+    // Reference: extract_playlist_id — split on '/', strip '?', length
+    // check (lambda_function.py:80-99). URL synthesized from columns.
+    "q18_url_parse" -> Q(
+      (s, dir) => {
+        val url = concat(lit("https://open.spotify.com/playlist/"),
+          lpad(col("doc_id").cast("string"), 22, "0"), lit("?si="), col("source"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .withColumn("pid",
+            element_at(split(element_at(split(col("url"), "\\?"), 1), "/"), -1))
+          .filter(length(col("pid")) === 22 &&
+            col("url").contains("spotify.com/playlist/"))
+          .select("doc_id", "pid")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, pid FROM (
+             |  SELECT doc_id,
+             |    'https://open.spotify.com/playlist/' || lpad(CAST(doc_id AS VARCHAR), 22, '0')
+             |      || '?si=' || source AS url,
+             |    string_split(string_split(
+             |      'https://open.spotify.com/playlist/' || lpad(CAST(doc_id AS VARCHAR), 22, '0')
+             |        || '?si=' || source, '?')[1], '/')[-1] AS pid
+             |  FROM documents)
+             |WHERE length(pid) = 22 AND contains(url, 'spotify.com/playlist/')
+             |ORDER BY doc_id""".stripMargin),
+      "split/strip/length-validate pipeline, all narrow ops (no shuffle)"),
+
+    // ── Tumbling-window hourly rollup (batch twin of the stream) ──────
+    // Reference: near-real-time file-arrival ingest + freshness rollups
+    // (README.md:29,43); streaming version in graft.streaming.
+    "q19_events_hourly" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
+        .select(col("w.start").as("hour_start"), col("n"), col("sum_value"))
+        .orderBy("hour_start"),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+             |       count(*) AS n,
+             |       sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+             |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin),
+      "event-time tumbling window as groupBy(window()); same plan shape the streaming job uses")
+  )
+}
