@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over `array<float>` columns using builtin
+  * higher-order functions — codegen'd, no UDF, no MLlib dependency.
+  * All accumulation is an explicit sequential double fold so results
+  * are deterministic and reproducible in the DuckDB oracle.
+  */
+object Vectors {
+
+  /** Cast array<float> → array<double> before any arithmetic: each
+    * float widens exactly, and double accumulation keeps oracle parity.
+    */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}
