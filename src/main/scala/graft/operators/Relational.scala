@@ -135,8 +135,12 @@ object Relational {
              |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin),
       "latest-record-wins dedup; one shuffle on the dedup key, scales by key partitioning"),
 
-    // ── Incremental load: new-batch anti-join ─────────────────────────
+    // ── Incremental load: new rows with no prior sighting of the key ──
     // Reference: "only new/updated tracks processed" (README.md:51). N5/J3.
+    // Single-scan formulation: min(ts) over the key partition replaces
+    // the r1 double-scan + shuffle-both-sides anti-join (one scan, one
+    // from_json pass, one shuffle — identical insert-only semantics,
+    // assuming non-null keys, which `props` guarantees).
     "q07_incremental_antijoin" -> Q(
       (s, dir) => {
         val e = t(s, dir, "events").withColumn("k",
@@ -144,9 +148,9 @@ object Relational {
             org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
             .getField("k"))
         val cut = lit("2024-01-15").cast("timestamp")
-        val newB = e.filter(col("ts") >= cut)
-        val oldB = e.filter(col("ts") < cut).select("user_id", "k")
-        newB.join(oldB, Seq("user_id", "k"), "left_anti")
+        val w = Window.partitionBy("user_id", "k")
+        e.withColumn("min_ts", min("ts").over(w))
+          .filter(col("ts") >= cut && col("min_ts") >= cut)
           .select("event_id", "ts", "user_id", "event_type", "value", "k")
           .orderBy("event_id")
       },
@@ -308,16 +312,21 @@ object Relational {
              |GROUP BY n_name, r_name ORDER BY n_name""".stripMargin),
       "deep star join: dims broadcast, fact never shuffles until the groupBy; revenue exact in 1e-4 units"),
 
-    // ── Set operation: EXCEPT (distinct) ──────────────────────────────
+    // ── Set operation: EXCEPT via distinct keys + anti-join ───────────
+    // EXCEPT would plan a full-row distinct on BOTH sides; reducing each
+    // side to its distinct key first means only narrow key rows shuffle,
+    // and the (small) subtrahend broadcasts for the anti-join. Same
+    // result set as EXCEPT; survives a skewed user_id at 100×.
     "q15_setops_except" -> Q(
       (s, dir) => {
         val e = t(s, dir, "events")
-        e.filter(col("event_type") === "purchase" &&
+        val a = e.filter(col("event_type") === "purchase" &&
             col("ts") >= lit("2024-01-28").cast("timestamp"))
-          .select("user_id")
-          .except(e.filter(col("event_type") === "error" &&
-            col("ts") < lit("2024-01-05").cast("timestamp")).select("user_id"))
-          .orderBy("user_id")
+          .select("user_id").distinct()
+        val b = e.filter(col("event_type") === "error" &&
+            col("ts") < lit("2024-01-05").cast("timestamp"))
+          .select("user_id").distinct()
+        a.join(b, Seq("user_id"), "left_anti").orderBy("user_id")
       },
       Some("""SELECT DISTINCT user_id FROM events
              |WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-28'

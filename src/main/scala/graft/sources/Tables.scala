@@ -103,10 +103,13 @@ object Tables {
 
   /** Load one testdata table with its declared schema. `events` comes
     * back with `ts` already converted to micro-precision TimestampType.
+    *
+    * Reading `events` requires `spark.sql.legacy.parquet.nanosAsLong=
+    * true` in the session (set once by the Verify/Bench/test session
+    * builders — a loader must not mutate shared session state as a
+    * side effect of a table name).
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
     if (name == "events")
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
