@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[Map[String, Q]] = Seq(
-    operators.Relational.queries
+    operators.Relational.queries,
+    operators.LlmData.queries
   )
 
   private lazy val all: Map[String, Q] = modules.reduce(_ ++ _)

@@ -32,6 +32,15 @@ object Text {
     * `range(1, len(w)-(n-2))` semantics: docs with < n tokens yield an
     * empty set. Token vocabulary is tiny, so 1-token sets don't
     * discriminate — shingles are the dedup feature everywhere below.
+    *
+    * PERF: pass a *materialized token column attribute* (e.g. staged
+    * via `.withColumn("tk", Text.tokens(...))`), never an inline
+    * `tokens(...)` expression: `toks` is referenced inside the
+    * per-element lambda, and Spark evaluates outer expressions
+    * embedded in higher-order-function lambdas once per element — an
+    * inlined split() would re-tokenize the document for every shingle
+    * position. (A multi-referenced alias is not collapsed into the
+    * consumer, so the attribute is computed once per row.)
     */
   def shingles(toks: Column, n: Int = 3): Column = {
     val idx = sequence(lit(1), size(toks) - (n - 1))
@@ -61,52 +70,97 @@ object Text {
   def bandKeys(sig: Column, bands: Int, rows: Int): Column =
     array((0 until bands).map(b => xxhash64(slice(sig, b * rows + 1, rows))): _*)
 
-  /** MinHash signature (portable path): slot i = lexicographic min over
-    * shingles of md5(shingle || ":" || i). Engine-independent: DuckDB's
-    * `list_min(list_transform(sh, s -> md5(s||':'||i)))` produces the
-    * identical hex strings, making LSH candidate sets oracle-checkable.
-    */
-  def minhashSignatureMd5(sh: Column, numHashes: Int): Column =
-    when(size(sh) > 0,
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(sh, s => md5(concat(s, lit(":"), i.cast("string")))))))
-      .otherwise(lit(null).cast("array<string>"))
+  /** Modulus for the portable affine MinHash family: 2^31 - 1. Affine
+    * products stay under 2^62, so the math never overflows a signed
+    * 64-bit value — ANSI-mode-safe in Spark and identical in DuckDB
+    * BIGINT arithmetic. */
+  val MinhashMod: Long = 2147483647L
 
-  /** Portable band keys: md5 over the comma-joined band slice. */
+  /** Per-slot affine multipliers/offsets (Scala-side constants, shared
+    * with the oracle-SQL builder so both engines use literally the
+    * same hash family). */
+  def affineA(i: Int): Long = {
+    val a = (1103515245L * (i + 1)) % MinhashMod
+    if (a == 0L) 1L else a
+  }
+  def affineB(i: Int): Long = (12345L * i + 6789L) % MinhashMod
+
+  /** Portable per-shingle base hash: first 15 hex chars of md5 parsed
+    * as a long, reduced mod 2^31-1. One md5 per shingle — the slots
+    * below derive from this via cheap affine rehashes (the classic
+    * one-hash-k-permutations MinHash; 16× less hashing than
+    * hash-per-slot at identical statistical behavior).
+    * DuckDB twin: `CAST('0x'||substr(md5(s),1,15) AS BIGINT) % M`.
+    */
+  def tokenHashesPortable(sh: Column): Column =
+    transform(sh, s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinhashMod)
+
+  /** MinHash signature from precomputed base hashes: slot i = min over
+    * (h * A_i + B_i) mod M. Pass a *materialized* (cached) hash column
+    * so the md5 pass runs once, not once per slot. */
+  def minhashFromHashes(hs: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(hs, h =>
+        (h * affineA(i) + affineB(i)) % MinhashMod))): _*)
+
+  /** Portable band keys: md5 over the comma-joined band slice (longs
+    * render identically via concat_ws / array_to_string). */
   def bandKeysMd5(sig: Column, bands: Int, rows: Int): Column =
     array((0 until bands).map(b =>
       md5(concat_ws(",", slice(sig, b * rows + 1, rows)))): _*)
 
-  /** Bits 0..63 of a long hash as an array<long> of 0/1 (Int-indexed
+  /** Bits 0..n-1 of a long hash as an array<long> of 0/1 (Int-indexed
     * shiftright — stays on the literal overload, fully codegen'd). */
-  private def bitsOf(h: Column): Column =
-    array((0 until 64).map(j => shiftright(h, j).bitwiseAND(lit(1L))): _*)
+  private def bitsOf(h: Column, n: Int): Column =
+    array((0 until n).map(j => shiftright(h, j).bitwiseAND(lit(1L))): _*)
 
-  /** 64-bit SimHash over a feature array (shingles): per feature,
-    * xxhash64 bit votes +1/-1; the sign of each accumulated vote
-    * becomes the bit. One sequential fold producing a 64-slot vote
-    * array, then a weighted-OR fold packs the sign bits — the vote
-    * array is referenced exactly once (no expression-tree blowup).
+  /** SimHash kernel: per feature hash, bit votes +1/-1; the sign of
+    * each accumulated vote becomes the bit. One sequential fold
+    * producing an n-slot vote array, then a weighted-OR fold packs the
+    * sign bits — the vote array is referenced exactly once (no
+    * expression-tree blowup).
     */
-  def simhash64(features: Column): Column = {
-    val hashes = transform(features, t => xxhash64(t))
-    val votes = aggregate(hashes, array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, bitsOf(h),
+  private def simhashOf(hashes: Column, bits: Int): Column = {
+    val votes = aggregate(hashes, array_repeat(lit(0L), bits),
+      (acc, h) => zip_with(acc, bitsOf(h, bits),
         (a, b) => a + when(b === 1L, lit(1L)).otherwise(lit(-1L))))
-    val weights = array((0 until 64).map(j => lit(1L << j)): _*)
+    val weights = array((0 until bits).map(j => lit(1L << j)): _*)
     aggregate(
       zip_with(votes, weights, (v, w) => when(v >= 0L, w).otherwise(lit(0L))),
       lit(0L), (x, y) => x.bitwiseOR(y))
   }
 
-  /** SimHash blocking: split the 64-bit fingerprint into `chunks`
-    * 16-bit pieces; pairs within hamming distance d < chunks must share
-    * at least one chunk (pigeonhole), so an equal-chunk join finds all
-    * candidates without a quadratic comparison.
+  /** 64-bit SimHash over a feature array (fast path, xxhash64). */
+  def simhash64(features: Column): Column =
+    simhashOf(transform(features, t => xxhash64(t)), 64)
+
+  /** 60-bit SimHash (portable path): feature hash = first 15 hex chars
+    * of md5 parsed as a long (fits a signed 64-bit value, so DuckDB's
+    * `CAST('0x'||substr(md5(s),1,15) AS BIGINT)` produces the identical
+    * integer and the whole fingerprint is oracle-checkable).
     */
-  def simhashChunks(fp: Column, chunks: Int = 4): Column =
+  def simhash60(features: Column): Column =
+    simhashOf(
+      transform(features, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")),
+      60)
+
+  /** SimHash blocking: split the fingerprint into `chunks` pieces of
+    * `chunkBits` bits; pairs within hamming distance d < chunks must
+    * share at least one (position, chunk-value) pair (pigeonhole), so
+    * an equal-chunk join finds all candidates without a quadratic
+    * comparison.
+    */
+  def simhashChunks(fp: Column, chunks: Int = 4, chunkBits: Int = 16): Column =
     array((0 until chunks).map(j =>
-      shiftright(fp, j * 16).bitwiseAND(lit(65535L))): _*)
+      shiftright(fp, j * chunkBits).bitwiseAND(lit((1L << chunkBits) - 1))): _*)
+
+  /** Hamming distance between two fingerprints over the low `bits`
+    * bits. Sum of per-bit XORs — no bit_count dependency, codegen'd. */
+  def hamming(a: Column, b: Column, bits: Int): Column = {
+    val x = a.bitwiseXOR(b)
+    (0 until bits).map(j => shiftright(x, j).bitwiseAND(lit(1L))).reduce(_ + _)
+  }
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * shingle set (bag-of-shingles identity; survives token reordering
@@ -116,12 +170,13 @@ object Text {
   def contentFingerprint(sh: Column): Column =
     md5(concat_ws("|", array_sort(sh)))
 
-  /** Polynomial rolling hash over the token stream (order-sensitive
-    * document identity; base 1000003 with wrapping 64-bit Long
-    * arithmetic, i.e. mod 2^64). Deterministic and stable across runs
-    * of this library; not oracle-checked (DuckDB BIGINT overflow
-    * raises instead of wrapping).
+  /** Rotate-XOR rolling hash over the token stream (order-sensitive
+    * document identity): acc' = rotl(acc, 5) XOR xxhash64(token).
+    * Pure bitwise ops — no overflow under ANSI mode, deterministic
+    * across runs. Not oracle-checked (no portable 64-bit hash twin);
+    * unit tests assert determinism and order sensitivity.
     */
   def rollingHash(toks: Column): Column =
-    aggregate(toks, lit(0L), (acc, t) => acc * lit(1000003L) + xxhash64(t))
+    aggregate(toks, lit(0L), (acc, t) =>
+      shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(xxhash64(t)))
 }

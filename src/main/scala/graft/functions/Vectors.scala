@@ -22,4 +22,14 @@ object Vectors {
 
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-LSH bucket key: the sign bits of the first `bits` dimensions
+    * as a '0'/'1' string (random-hyperplane LSH with coordinate-axis
+    * planes). Vectors on the same side of all sampled axes share a
+    * bucket; an equality join on the key replaces the all-pairs scan.
+    * Engine-independent (string compare + float sign only).
+    */
+  def signKey(v: Column, bits: Int): Column =
+    concat((1 to bits).map(i =>
+      when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
 }

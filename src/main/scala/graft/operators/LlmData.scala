@@ -1,0 +1,391 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.{Text, Vectors}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators (SURVEY.md §2.11, driver north-star):
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+  * search (brute-force + LSH-bucketed ANN), text analysis (language-ID
+  * heuristic, quality scoring, token counting, fingerprinting), and
+  * multimodal column bundling — all over `documents` / `embeddings`.
+  *
+  * 100 TB discipline:
+  *   - every signature/fingerprint is computed map-side in the scan
+  *     stage with codegen'd builtin + higher-order functions (no UDFs,
+  *     no explode of the feature space before hashing);
+  *   - candidate generation is ALWAYS a key-equality join on a
+  *     signature (LSH band, SimHash chunk, sign-bucket) — never an
+  *     all-pairs crossJoin; the quadratic step happens only inside a
+  *     bucket, whose size LSH bounds;
+  *   - the only broadcast is the (single-row) query vector;
+  *   - oracle-checked variants use md5-based hashing (engine-portable,
+  *     DuckDB-identical); the xxhash64 fast path has the same plan
+  *     shape and is covered by unit tests instead.
+  */
+object LlmData {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ── shared DuckDB oracle fragments ──────────────────────────────────
+
+  /** DuckDB CTEs: documents → whitespace tokens → distinct 3-shingles
+    * (mirrors Text.tokens + Text.shingles; docs with < 3 tokens drop). */
+  private val duckShingles =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |shs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |        FROM toks WHERE len(w) >= 3)""".stripMargin
+
+  /** DuckDB double-fold dot product — identical accumulation order to
+    * Vectors.dot (sequential left fold, double math). */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def duckCosine(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  /** Spark-side rounded cosine between two array<float> columns. */
+  private def cosine6(a: Column, b: Column): Column =
+    round(Vectors.cosine(Vectors.toDouble(a), Vectors.toDouble(b)), 6)
+
+  /** (doc_id, sh): distinct 3-shingle sets for every document with >= 3
+    * tokens, hash-stage-partitioned across cores. Tokens are staged as
+    * their own column so the split() runs once per row, not once per
+    * shingle position inside the HOF lambda (see Text.shingles PERF
+    * note).
+    */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .repartition(col("doc_id"))
+      .withColumn("tk", Text.tokens(col("text")))
+      .withColumn("sh", Text.shingles(col("tk")))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+
+  // ── the queries ─────────────────────────────────────────────────────
+
+  val queries: Map[String, Q] = Map(
+
+    // ── X1a: exact dedup groups by content hash ───────────────────────
+    "x20_exact_dedup_groups" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+        .orderBy("fp"),
+      Some("""SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keeper
+             |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin),
+      "exact dedup: hash-groupBy on content digest; one shuffle on the digest"),
+
+    // ── X1b: dedup survivors via order-insensitive shingle digest ─────
+    // contentFingerprint = md5 over the sorted distinct shingle set, so
+    // the identity survives whole-block reordering; survivor choice is
+    // a deterministic window (never dropDuplicates).
+    "x21_exact_dedup_survivors" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("fp").orderBy("doc_id")
+        t(s, dir, "documents")
+          .withColumn("tk", Text.tokens(col("text")))
+          .withColumn("sh", Text.shingles(col("tk")))
+          .filter(size(col("sh")) > 0)
+          .withColumn("fp", Text.contentFingerprint(col("sh")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("doc_id", "fp", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckShingles,
+              |fps AS (SELECT d.doc_id,
+              |          md5(array_to_string(list_sort(s.sh), '|')) AS fp,
+              |          d.lang, d.n_chars
+              |        FROM documents d JOIN shs s USING (doc_id))
+              |SELECT doc_id, fp, lang, n_chars FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              |  FROM fps) WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+      "bag-of-shingles dedup; deterministic first-doc-wins window"),
+
+    // ── X2a: MinHash-LSH near-dup pairs (md5-portable, oracle-exact) ──
+    // One md5 per shingle + 16 affine rehashes (one-hash-k-permutation
+    // MinHash), 4 bands x 4 rows. Candidates come ONLY from the
+    // band-key equality join (shuffle on band key); exact Jaccard then
+    // confirms >= 0.8. At 100 TB the bucket join is the whole point:
+    // no all-pairs comparison ever happens.
+    "x22_minhash_lsh_pairs" -> Q(
+      (s, dir) => {
+        // Shingles + base hashes are read by multiple join sides below;
+        // persist so the md5 pass runs ONCE (the in-query analog of
+        // materializing a signature table, which is what this pipeline
+        // does at real scale).
+        val d = shingled(s, dir)
+          .withColumn("hs", Text.tokenHashesPortable(col("sh")))
+          .persist()
+        val sig = d.select(col("doc_id"), Text.minhashFromHashes(col("hs"), 16).as("sig"))
+        val bands = sig.select(col("doc_id"), explode(Text.bandKeysMd5(col("sig"), 4, 4)).as("bk"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val da = d.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+        val db = d.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+        val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+        cand.join(da, "doc_a").join(db, "doc_b")
+          .withColumn("jaccard",
+            round(inter / (size(col("sha")) + size(col("shb")) - inter), 6))
+          .filter(col("jaccard") >= 0.8)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val m = Text.MinhashMod
+        val slots = (0 until 16).map(i =>
+          s"list_min(list_transform(hs, h -> (h * ${Text.affineA(i)} + ${Text.affineB(i)}) % $m))")
+          .mkString(",\n              |            ")
+        s"""WITH $duckShingles,
+           |hsd AS (SELECT doc_id, sh, list_transform(sh,
+           |          s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $m) AS hs
+           |        FROM shs WHERE len(sh) > 0),
+           |sig AS (SELECT doc_id, [$slots] AS sig
+           |        FROM hsd),
+           |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4),
+           |            b -> md5(array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',')))) AS bk
+           |          FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+           |j AS (SELECT doc_a, doc_b,
+           |        round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+           |          (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
+           |      FROM cand
+           |      JOIN hsd x ON x.doc_id = doc_a
+           |      JOIN hsd y ON y.doc_id = doc_b)
+           |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+           |ORDER BY doc_a, doc_b""".stripMargin
+      },
+      "MinHash(16, one-hash affine family) + LSH(4x4); bucketed candidate join, exact-Jaccard confirm"),
+
+    // ── X2b: SimHash near-dup pairs (60-bit portable fingerprint) ─────
+    // 6 chunks x 10 bits: pairs within hamming <= 5 must share a
+    // (position, chunk) key (pigeonhole), so the equality join is
+    // complete for the reported distance range — and it is the only
+    // pair generator (no all-pairs).
+    "x23_simhash_neardup" -> Q(
+      (s, dir) => {
+        // Fingerprints feed both sides of the chunk self-join: persist
+        // so the 60-bit vote fold runs once per document, spread
+        // across cores by the repartition inside shingled().
+        val d = shingled(s, dir)
+        val f = d.select(col("doc_id"), Text.simhash60(col("sh")).as("fp")).persist()
+        val chunks = f.select(col("doc_id"), col("fp"),
+          posexplode(Text.simhashChunks(col("fp"), chunks = 6, chunkBits = 10)).as(Seq("pos", "chunk")))
+        val cand = chunks.as("a").join(chunks.as("b"),
+            col("a.pos") === col("b.pos") && col("a.chunk") === col("b.chunk") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.fp").as("fa"), col("b.fp").as("fb"))
+          .distinct()
+        cand.withColumn("hamming", Text.hamming(col("fa"), col("fb"), 60))
+          .filter(col("hamming") <= 5)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $duckShingles,
+              |feat AS (SELECT doc_id, unnest(sh) AS s FROM shs WHERE len(sh) > 0),
+              |h AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM feat),
+              |votes AS (SELECT doc_id, j,
+              |            sum(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              |          FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j) GROUP BY doc_id, j),
+              |fp AS (SELECT doc_id, CAST(sum(
+              |          CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END)
+              |        AS BIGINT) AS fp
+              |       FROM votes GROUP BY doc_id),
+              |chunks AS (SELECT doc_id, fp, p AS pos,
+              |             (fp >> (CAST(p AS INTEGER) * 10)) & 1023 AS chunk
+              |           FROM fp CROSS JOIN (SELECT unnest(range(0, 6)) AS p)),
+              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |           a.fp AS fa, b.fp AS fb
+              |         FROM chunks a JOIN chunks b
+              |           ON a.pos = b.pos AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+              |SELECT doc_a, doc_b, bit_count(xor(fa, fb)) AS hamming
+              |FROM cand WHERE bit_count(xor(fa, fb)) <= 5
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      "SimHash-60 + 6x10-bit chunk blocking (pigeonhole-complete for hamming<=5)"),
+
+    // ── X3a: brute-force top-k cosine (exact baseline) ────────────────
+    // Query vector = vec_id 0, broadcast as a single row; scoring is a
+    // map-side fold; orderBy+limit plans TakeOrderedAndProject (per-
+    // partition heap — the scan never globally sorts).
+    "x24_topk_cosine" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), cosine6(col("embedding"), col("qe")).as("cos"))
+          .orderBy(desc("cos"), asc("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+              |SELECT vec_id, round(${duckCosine("embedding", "qe")}, 6) AS cos
+              |FROM embeddings, q WHERE vec_id <> 0
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
+      "exact ANN baseline: broadcast query vector + TakeOrderedAndProject top-k"),
+
+    // ── X3b: LSH-bucketed ANN (sign-hyperplane buckets, scale path) ───
+    // Bucket key = sign bits of the first 6 dims; only the query's
+    // bucket is scored. Approximate by construction (recall < 1); the
+    // oracle replicates the identical pipeline, so the check is exact.
+    "x25_ann_sign_lsh" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .withColumn("bk", Vectors.signKey(col("embedding"), 6))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"), col("bk").as("qbk"))
+        e.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), col("bk") === col("qbk"))
+          .select(col("vec_id"), cosine6(col("embedding"), col("qe")).as("cos"))
+          .orderBy(desc("cos"), asc("vec_id"))
+          .limit(5)
+      },
+      Some(s"""WITH k AS (SELECT vec_id, embedding,
+              |            array_to_string(list_transform(range(1, 7),
+              |              i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bk
+              |          FROM embeddings),
+              |q AS (SELECT embedding AS qe, bk AS qbk FROM k WHERE vec_id = 0)
+              |SELECT vec_id, round(${duckCosine("embedding", "qe")}, 6) AS cos
+              |FROM k, q WHERE k.bk = q.qbk AND vec_id <> 0
+              |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin),
+      "sign-LSH bucketed ANN: equality join on bucket key, no all-pairs scan"),
+
+    // ── X4a: per-language corpus statistics ───────────────────────────
+    "x26_text_stats" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("total_tokens"),
+          sum("n_chars").as("total_chars"),
+          round(sum("n_chars").cast("double") / count(lit(1)), 4).as("avg_chars"),
+          countDistinct("source").as("n_sources"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  sum(len(string_split(text, ' '))) AS total_tokens,
+             |  sum(n_chars) AS total_chars,
+             |  round(sum(n_chars) * 1.0 / count(*), 4) AS avg_chars,
+             |  count(DISTINCT source) AS n_sources
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      "per-lang token/char stats; integer sums are order-independent, avg is one division"),
+
+    // ── X4b: per-document quality scoring ─────────────────────────────
+    // Length/stopword heuristics only — rational arithmetic written
+    // identically on both engines (no transcendentals: libm vs JDK log
+    // can differ in the last ulp).
+    "x27_quality_score" -> Q(
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val nTok = size(toks)
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+        val nStop = size(filter(toks, tk => tk.isin(stops: _*)))
+        val ratio = nStop.cast("double") / nTok
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          round(ratio, 6).as("stop_ratio"),
+          round((col("n_chars") - (nTok - 1)).cast("double") / nTok, 4).as("avg_token_len"),
+          round((lit(1.0) - ratio) * least(nTok.cast("double"), lit(50.0)) / 50.0, 6).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  round(len(list_filter(string_split(text, ' '),
+             |      tk -> list_contains(['the','a','of','and','to','in','is','on'], tk))) * 1.0
+             |    / len(string_split(text, ' ')), 6) AS stop_ratio,
+             |  round((n_chars - (len(string_split(text, ' ')) - 1)) * 1.0
+             |    / len(string_split(text, ' ')), 4) AS avg_token_len,
+             |  round((1.0 - len(list_filter(string_split(text, ' '),
+             |      tk -> list_contains(['the','a','of','and','to','in','is','on'], tk))) * 1.0
+             |    / len(string_split(text, ' ')))
+             |    * least(len(string_split(text, ' ')) * 1.0, 50.0) / 50.0, 6) AS quality
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "stopword/length quality heuristics; pure rational arithmetic for oracle parity"),
+
+    // ── X4c: language-ID heuristic (stopword-hit rate) ────────────────
+    "x28_langid_heuristic" -> Q(
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+        val ratio = size(filter(toks, tk => tk.isin(stops: _*))).cast("double") / size(toks)
+        t(s, dir, "documents")
+          .withColumn("pred_lang", when(ratio >= 0.08, "en").otherwise("other"))
+          .groupBy("lang", "pred_lang")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred_lang")
+      },
+      Some("""SELECT lang,
+             |  CASE WHEN len(list_filter(string_split(text, ' '),
+             |      tk -> list_contains(['the','a','of','and','to','in','is','on'], tk))) * 1.0
+             |    / len(string_split(text, ' ')) >= 0.08
+             |  THEN 'en' ELSE 'other' END AS pred_lang,
+             |  count(*) AS n
+             |FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin),
+      "n-gram-free language-ID heuristic; confusion counts vs the labeled lang"),
+
+    // ── X4d: token counting — whitespace + regex token classes ────────
+    "x29_token_regex" -> Q(
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_alpha"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_num"),
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).as("n_other"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_ws_tokens,
+             |  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha,
+             |  len(regexp_extract_all(text, '[0-9]+')) AS n_num,
+             |  length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_other
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "whitespace + BPE-ish regex token-class counts (ASCII classes, dialect-portable)"),
+
+    // ── X4e: order-sensitive document fingerprint (rolling hash) ──────
+    // No oracle: the wrap-around 64-bit product has no DuckDB twin
+    // (BIGINT overflow raises there). Driver records rows-only; unit
+    // tests assert determinism and order sensitivity.
+    "x30_fingerprint_rolling" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), Text.rollingHash(Text.tokens(col("text"))).as("fp"))
+        .orderBy("doc_id"),
+      None,
+      "polynomial rolling hash (wrapping mod-2^64); order-sensitive identity"),
+
+    // ── X5: multimodal bundling — text + embedding in one row ─────────
+    // Join on doc_id = vec_id, bundle typed struct columns, project
+    // scalar features back out (parquet-dump-friendly flat output).
+    "x31_multimodal_bundle" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val e = t(s, dir, "embeddings")
+        d.join(e, d("doc_id") === e("vec_id"))
+          .select(
+            struct(d("doc_id"), d("lang"), d("n_chars")).as("doc"),
+            struct(e("embedding"), e("label")).as("vec"))
+          .select(
+            col("doc.doc_id").as("doc_id"),
+            col("doc.lang").as("lang"),
+            col("doc.n_chars").as("n_chars"),
+            col("vec.label").as("label"),
+            size(col("vec.embedding")).as("dim"),
+            round(Vectors.norm(Vectors.toDouble(col("vec.embedding"))), 6).as("emb_norm"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang, n_chars, label,
+              |  len(embedding) AS dim,
+              |  round(sqrt(${duckDot("embedding", "embedding")}), 6) AS emb_norm
+              |FROM documents JOIN embeddings ON doc_id = vec_id
+              |ORDER BY doc_id""".stripMargin),
+      "doc ⋈ embedding struct bundling; scalar features projected for the oracle")
+  )
+}

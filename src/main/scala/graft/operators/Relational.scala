@@ -409,6 +409,27 @@ object Relational {
              |       count(*) AS n,
              |       sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
              |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin),
-      "event-time tumbling window as groupBy(window()); same plan shape the streaming job uses")
+      "event-time tumbling window as groupBy(window()); same plan shape the streaming job uses"),
+
+    // ── MapType access + size() (reference F13/F15) ───────────────────
+    // Reference: artist_url = external_urls['spotify']
+    // (lambda_function.py:154,156) and total_tracks = len(tracks)
+    // (lambda_function.py:189). props parsed as map<string,string> —
+    // the safe choice for unknown keys (SURVEY §7.5).
+    "q20_map_access" -> Q(
+      (s, dir) => t(s, dir, "events").select(
+        col("event_id"),
+        element_at(
+          from_json(col("props"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)),
+          "k").cast("long").as("k"),
+        size(split(col("event_type"), "_")).as("n_parts"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |  len(string_split(event_type, '_')) AS n_parts
+             |FROM events ORDER BY event_id""".stripMargin),
+      "from_json as MapType + element_at (F13) and size() (F15); narrow ops, no shuffle")
   )
 }
