@@ -1,0 +1,85 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Staged-path layout and operational sinks — the reference's S3 key
+  * router, dead-letter, and log surfaces (SURVEY.md §2.1 S5/S6/S10–S13)
+  * re-expressed over a filesystem the Spark way.
+  *
+  * Reference behaviors:
+  *   - stage router raw_data/{to_processed,already_processed,
+  *     failed_extraction}: lambda_function.py:232-243
+  *   - JSON document sink: lambda_function.py:205-230
+  *   - archive after processing: README.md:44
+  *   - dead-letter on failure: lambda_function.py:240,312-321
+  *   - error/execution logs: lambda_function.py:245-263,279-290
+  */
+object Stages {
+  val ToProcessed = "to_processed"
+  val AlreadyProcessed = "already_processed"
+  val FailedExtraction = "failed_extraction"
+
+  /** Stage → directory path (S6). Directory-per-stage keeps stage
+    * selection a *path* decision (partition-pruned listing), never a
+    * full-scan filter. */
+  def rawPath(baseDir: String, stage: String): String =
+    s"$baseDir/raw_data/$stage"
+
+  def errorLogPath(baseDir: String): String = s"$baseDir/logs/error_logs"
+  def executionLogPath(baseDir: String): String = s"$baseDir/logs/execution_logs"
+}
+
+object Sinks {
+
+  /** JSON document sink (S5). `coalesce(1)` mirrors the reference's
+    * one-document-per-extraction layout; callers at real scale pass
+    * coalesce = false and let one file per partition stand. */
+  def writeJsonDoc(df: DataFrame, path: String, coalesce: Boolean = true): Unit = {
+    val out = if (coalesce) df.coalesce(1) else df
+    out.write.mode(SaveMode.Overwrite).json(path)
+  }
+
+  /** Dead-letter sink (S11): failed payloads land under
+    * failed_extraction with the failure reason attached. */
+  def writeDeadLetter(df: DataFrame, baseDir: String, reason: String): Unit =
+    df.withColumn("error_reason", lit(reason))
+      .write.mode(SaveMode.Append)
+      .json(Stages.rawPath(baseDir, Stages.FailedExtraction))
+
+  /** Error-log sink (S12): one-row structured error record. */
+  def writeErrorLog(spark: SparkSession, baseDir: String,
+      runId: String, errorType: String, message: String): Unit = {
+    import spark.implicits._
+    Seq((runId, errorType, message)).toDF("run_id", "error_type", "error_message")
+      .write.mode(SaveMode.Append).json(Stages.errorLogPath(baseDir))
+  }
+
+  /** Execution-log sink (S13): one-row success manifest per run. */
+  def writeExecutionLog(spark: SparkSession, baseDir: String,
+      runId: String, rows: Long, location: String, status: String): Unit = {
+    import spark.implicits._
+    Seq((runId, rows, location, status)).toDF("run_id", "rows", "location", "status")
+      .write.mode(SaveMode.Append).json(Stages.executionLogPath(baseDir))
+  }
+
+  /** Archive consumed inputs (S10): move every file under `fromDir` to
+    * `toDir` (to_processed → already_processed after a successful
+    * transform). Batch-side twin of the streaming reader's
+    * `cleanSource=archive`. */
+  def archive(spark: SparkSession, fromDir: String, toDir: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val from = new Path(fromDir)
+    val fs = from.getFileSystem(conf)
+    if (!fs.exists(from)) return Seq.empty
+    val to = new Path(toDir)
+    if (!fs.exists(to)) fs.mkdirs(to)
+    val moved = fs.listStatus(from).toSeq.filter(_.isFile).map { st =>
+      val dest = new Path(to, st.getPath.getName)
+      fs.rename(st.getPath, dest)
+      st.getPath.getName
+    }
+    moved
+  }
+}

