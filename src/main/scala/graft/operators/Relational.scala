@@ -211,6 +211,7 @@ object Relational {
         length(col("o_orderstatus")).as("st_len"),
         col("o_orderpriority").contains("URGENT").as("is_urgent"),
         year(col("o_orderdate")).as("o_year"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("iso_ts"),
         round(col("o_totalprice") / 1000.0, 2).as("price_k"))
         .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey,
@@ -219,6 +220,7 @@ object Relational {
              |  length(o_orderstatus) AS st_len,
              |  contains(o_orderpriority, 'URGENT') AS is_urgent,
              |  year(o_orderdate) AS o_year,
+             |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso_ts,
              |  round(o_totalprice / 1000.0, 2) AS price_k
              |FROM orders ORDER BY o_orderkey""".stripMargin),
       "string/date/math scalars (split/format/length/contains/year/round) — all codegen'd builtins"),
@@ -411,25 +413,31 @@ object Relational {
              |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin),
       "event-time tumbling window as groupBy(window()); same plan shape the streaming job uses"),
 
-    // ── MapType access + size() (reference F13/F15) ───────────────────
-    // Reference: artist_url = external_urls['spotify']
-    // (lambda_function.py:154,156) and total_tracks = len(tracks)
-    // (lambda_function.py:189). props parsed as map<string,string> —
-    // the safe choice for unknown keys (SURVEY §7.5).
+    // ── MapType access, size(), NULL handling, to_json ────────────────
+    // Reference: artist_url = external_urls['spotify'] (F13,
+    // lambda_function.py:154,156); total_tracks = len(tracks) (F15,
+    // :189); "NULL handling" validation (P3, README.md:49); envelope
+    // re-serialization (F12, lambda_function.py:211). props parsed as
+    // map<string,string> — the safe choice for unknown keys (§7.5).
     "q20_map_access" -> Q(
-      (s, dir) => t(s, dir, "events").select(
-        col("event_id"),
-        element_at(
-          from_json(col("props"), org.apache.spark.sql.types.MapType(
-            org.apache.spark.sql.types.StringType,
-            org.apache.spark.sql.types.StringType)),
-          "k").cast("long").as("k"),
-        size(split(col("event_type"), "_")).as("n_parts"))
-        .orderBy("event_id"),
+      (s, dir) => {
+        val props = from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))
+        t(s, dir, "events").select(
+          col("event_id"),
+          element_at(props, "k").cast("long").as("k"),
+          coalesce(element_at(props, "missing").cast("long"), lit(-1L)).as("k_or_default"),
+          size(split(col("event_type"), "_")).as("n_parts"),
+          to_json(struct(col("event_id").as("id"), col("event_type").as("t"))).as("payload"))
+          .orderBy("event_id")
+      },
       Some("""SELECT event_id,
              |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-             |  len(string_split(event_type, '_')) AS n_parts
+             |  coalesce(CAST(json_extract_string(props, '$.missing') AS BIGINT), -1) AS k_or_default,
+             |  len(string_split(event_type, '_')) AS n_parts,
+             |  to_json(struct_pack(id := event_id, t := event_type)) AS payload
              |FROM events ORDER BY event_id""".stripMargin),
-      "from_json as MapType + element_at (F13) and size() (F15); narrow ops, no shuffle")
+      "MapType access (F13), size() (F15), coalesce null-handling (P3), to_json (F12)")
   )
 }
