@@ -361,6 +361,41 @@ object LlmData {
       None,
       "polynomial rolling hash (wrapping mod-2^64); order-sensitive identity"),
 
+    // ── X3c: embedding-cosine near-dup — bucketed pair ranking ────────
+    // Sign-LSH self-join (equality on the 6-bit bucket key — the pair
+    // generator is never all-pairs), exact cosine inside the bucket,
+    // top-3 most-similar pairs per bucket via a ranking window. The
+    // testdata has no true near-dup vectors (max pairwise cosine
+    // ~0.51), so the per-bucket ranking keeps the operator's output
+    // meaningful and bounded instead of empty-by-threshold.
+    "x32_embed_neardup" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .withColumn("bk", Vectors.signKey(col("embedding"), 6))
+        val a = e.select(col("bk"), col("vec_id").as("va"), col("embedding").as("ea"))
+        val b = e.select(col("bk"), col("vec_id").as("vb"), col("embedding").as("eb"))
+        val pairs = a.join(b, Seq("bk")).filter(col("va") < col("vb"))
+          .withColumn("cos", cosine6(col("ea"), col("eb")))
+        val w = Window.partitionBy("bk")
+          .orderBy(desc("cos"), asc("va"), asc("vb"))
+        pairs.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("bk"), col("rnk"), col("va"), col("vb"), col("cos"))
+          .orderBy("bk", "rnk")
+      },
+      Some(s"""WITH k AS (SELECT vec_id, embedding,
+              |            array_to_string(list_transform(range(1, 7),
+              |              i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bk
+              |          FROM embeddings),
+              |p AS (SELECT a.bk, a.vec_id AS va, b.vec_id AS vb,
+              |        round(${duckCosine("a.embedding", "b.embedding")}, 6) AS cos
+              |      FROM k a JOIN k b ON a.bk = b.bk AND a.vec_id < b.vec_id)
+              |SELECT bk, rnk, va, vb, cos FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY bk ORDER BY cos DESC, va, vb) AS rnk FROM p)
+              |WHERE rnk <= 3 ORDER BY bk, rnk""".stripMargin),
+      "embedding near-dup: sign-LSH bucketed self-join + per-bucket pair ranking"),
+
     // ── X5: multimodal bundling — text + embedding in one row ─────────
     // Join on doc_id = vec_id, bundle typed struct columns, project
     // scalar features back out (parquet-dump-friendly flat output).

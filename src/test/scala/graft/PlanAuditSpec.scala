@@ -1,0 +1,59 @@
+package graft
+
+/** Physical-plan discipline audit (the 100 TB contract, SURVEY.md §4):
+  * asserts the *shape* of the executed plans, not their outputs —
+  * broadcast joins stay broadcast, top-k never plans a global sort,
+  * predicates and projections reach the parquet scan, and the one
+  * intentionally single-partition window stays post-aggregation.
+  * A regression here is invisible to the value-level oracle but fatal
+  * at scale. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q01: star join broadcasts dims and plans TakeOrderedAndProject") {
+    val p = plan("q01_top10_star_join")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be a heap, not a global sort")
+    assert(!p.contains("SortMergeJoin"), "fact side must not shuffle for dim joins")
+  }
+
+  test("q12: timestamp predicate pushed to the parquet scan") {
+    val p = plan("q12_lineitem_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"expected pushed l_shipdate filter, got:\n${p.take(2000)}")
+  }
+
+  test("q02: scan reads only the grouping column (column pruning)") {
+    val p = plan("q02_pct_by_priority")
+    assert(p.contains("ReadSchema: struct<o_orderpriority:string>"),
+      "count-by-priority must prune every other column at the scan")
+  }
+
+  test("q14: deep star join plans partial aggregation before the shuffle") {
+    val p = plan("q14_nation_revenue")
+    // map-side partial agg halves the shuffle: two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q07: single-scan window — exactly one events scan, one from_json") {
+    val p = plan("q07_incremental_antijoin")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "the r1 double-scan regression must not return")
+    assert("from_json".r.findAllIn(p).size <= 1, "one from_json pass")
+  }
+
+  test("x24: brute-force cosine broadcasts the query vector only") {
+    val p = plan("x24_topk_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "single-row query vector must broadcast")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("x22: LSH candidates come from an equality join, not a cross product") {
+    val p = plan("x22_minhash_lsh_pairs")
+    assert(!p.contains("CartesianProduct"), "LSH must never plan all-pairs")
+  }
+}

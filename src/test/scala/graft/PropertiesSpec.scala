@@ -1,0 +1,54 @@
+package graft
+
+import graft.etl.Normalize
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.2) over generated frames:
+  * the algebraic laws that must hold for ANY input, not just the
+  * fixtures — dedup idempotence and PK uniqueness, incremental
+  * anti-join disjointness and completeness. Generators are sampled at
+  * fixed seeds (no scalatest-scalacheck bridge in the offline cache;
+  * fixed seeds also keep failures reproducible). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowGen = for {
+    pk <- Gen.choose(0, 8)
+    ts <- Gen.choose(0L, 4L)
+    payload <- Gen.choose(0, 100)
+  } yield (s"k$pk", new java.sql.Timestamp(ts * 86400000L), payload)
+
+  private val tableGen = Gen.listOfN(40, rowGen)
+
+  private def samples(n: Int): Seq[List[(String, java.sql.Timestamp, Int)]] =
+    (1 to n).map(i => tableGen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("dedupLatest: idempotent, unique PKs, survivor is max-(ts,tie) per key") {
+    for (rows <- samples(8)) {
+      val df = rows.toDF("pk", "extracted_at", "payload")
+      val once = Normalize.dedupLatest(df, "pk", tieBreak = Seq("payload"))
+      val twice = Normalize.dedupLatest(once, "pk", tieBreak = Seq("payload"))
+      val onceRows = once.collect().toSet
+      assert(once.count() == once.select("pk").distinct().count())
+      assert(twice.collect().toSet == onceRows)          // idempotent
+      assert(onceRows.subsetOf(df.collect().toSet))      // no invented rows
+      val expected = rows.groupBy(_._1).view
+        .mapValues(_.maxBy(r => (r._2.getTime, r._3))).values.toSet
+      assert(onceRows.map(r => (r.getString(0), r.getTimestamp(1), r.getInt(2))) == expected)
+    }
+  }
+
+  test("incremental: delta and existing are disjoint and cover incoming") {
+    for (Seq(newRows, oldRows) <- samples(8).grouped(2).toSeq if true) {
+      val incoming = newRows.toDF("pk", "extracted_at", "payload")
+      val existing = oldRows.toDF("pk", "extracted_at", "payload")
+      val delta = Normalize.incremental(incoming, existing, "pk")
+      val deltaKeys = delta.select("pk").collect().map(_.getString(0)).toSet
+      val oldKeys = oldRows.map(_._1).toSet
+      val newKeys = newRows.map(_._1).toSet
+      assert(deltaKeys.intersect(oldKeys).isEmpty)     // nothing re-processed
+      assert(deltaKeys == newKeys.diff(oldKeys))       // nothing missed
+    }
+  }
+}
