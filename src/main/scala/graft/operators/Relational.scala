@@ -356,9 +356,11 @@ object Relational {
     // ── Recency predicate with literal pivot ──────────────────────────
     // Reference: 7-day lookback WHERE extracted_at >= DATEADD(day,-7,
     // CURRENT_DATE()) (README.md:225), pivot fixed for determinism.
+    // Uses Tables.eventsSince so the predicate hits the RAW nanos
+    // column and pushes to the parquet scan (row-group pruning) — a
+    // filter on the derived timestamp cannot push down.
     "q17_recency_filter" -> Q(
-      (s, dir) => t(s, dir, "events")
-        .filter(col("ts") >= lit("2024-01-23").cast("timestamp"))
+      (s, dir) => Tables.eventsSince(s, dir, "2024-01-23T00:00:00Z")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))

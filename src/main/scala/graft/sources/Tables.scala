@@ -115,4 +115,19 @@ object Tables {
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
   }
+
+  /** Events at or after `isoUtc`, with the predicate applied to the RAW
+    * nanos column *before* the timestamp conversion. A filter on the
+    * derived `ts` cannot reach the scan (no pushdown through
+    * `timestamp_micros(x div 1000)`), so at 100 TB it reads every
+    * row-group; comparing the stored long directly pushes down and
+    * prunes row-groups on parquet min/max stats. The literal is
+    * converted once on the driver.
+    */
+  def eventsSince(spark: SparkSession, sfDir: String, isoUtc: String): DataFrame = {
+    val nanos = java.time.Instant.parse(isoUtc).toEpochMilli * 1000000L
+    spark.read.schema(eventsRaw).parquet(s"$sfDir/events.parquet")
+      .filter(col("ts") >= nanos)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 }

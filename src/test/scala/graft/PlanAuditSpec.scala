@@ -25,6 +25,13 @@ class PlanAuditSpec extends SparkSpec {
       s"expected pushed l_shipdate filter, got:\n${p.take(2000)}")
   }
 
+  test("q17: recency predicate pushed to the raw nanos column") {
+    val p = plan("q17_recency_filter")
+    assert(p.contains("GreaterThanOrEqual(ts"),
+      "eventsSince must push the comparison on the stored long, " +
+        "not filter the derived timestamp post-scan")
+  }
+
   test("q02: scan reads only the grouping column (column pruning)") {
     val p = plan("q02_pct_by_priority")
     assert(p.contains("ReadSchema: struct<o_orderpriority:string>"),
