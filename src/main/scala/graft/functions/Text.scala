@@ -156,10 +156,13 @@ object Text {
       shiftright(fp, j * chunkBits).bitwiseAND(lit((1L << chunkBits) - 1))): _*)
 
   /** Hamming distance between two fingerprints over the low `bits`
-    * bits. Sum of per-bit XORs — no bit_count dependency, codegen'd. */
+    * bits: popcount of the masked XOR (builtin bit_count — one codegen
+    * intrinsic instead of a `bits`-term shift/add chain). Result is a
+    * long for stable output typing across engines. */
   def hamming(a: Column, b: Column, bits: Int): Column = {
     val x = a.bitwiseXOR(b)
-    (0 until bits).map(j => shiftright(x, j).bitwiseAND(lit(1L))).reduce(_ + _)
+    val masked = if (bits >= 64) x else x.bitwiseAND(lit((1L << bits) - 1))
+    bit_count(masked).cast("long")
   }
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct

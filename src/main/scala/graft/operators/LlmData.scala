@@ -285,17 +285,21 @@ object LlmData {
     // can differ in the last ulp).
     "x27_quality_score" -> Q(
       (s, dir) => {
-        val toks = split(col("text"), " ")
-        val nTok = size(toks)
+        // tokens staged once per row: the expression is referenced by
+        // four output columns, and an inlined split would re-tokenize
+        // per reference (multi-referenced aliases don't collapse)
         val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on")
-        val nStop = size(filter(toks, tk => tk.isin(stops: _*)))
+        val nTok = size(col("tk"))
+        val nStop = size(filter(col("tk"), tk => tk.isin(stops: _*)))
         val ratio = nStop.cast("double") / nTok
-        t(s, dir, "documents").select(
-          col("doc_id"),
-          nTok.as("n_tokens"),
-          round(ratio, 6).as("stop_ratio"),
-          round((col("n_chars") - (nTok - 1)).cast("double") / nTok, 4).as("avg_token_len"),
-          round((lit(1.0) - ratio) * least(nTok.cast("double"), lit(50.0)) / 50.0, 6).as("quality"))
+        t(s, dir, "documents")
+          .withColumn("tk", Text.tokens(col("text")))
+          .select(
+            col("doc_id"),
+            nTok.as("n_tokens"),
+            round(ratio, 6).as("stop_ratio"),
+            round((col("n_chars") - (nTok - 1)).cast("double") / nTok, 4).as("avg_token_len"),
+            round((lit(1.0) - ratio) * least(nTok.cast("double"), lit(50.0)) / 50.0, 6).as("quality"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
@@ -315,10 +319,11 @@ object LlmData {
     // ── X4c: language-ID heuristic (stopword-hit rate) ────────────────
     "x28_langid_heuristic" -> Q(
       (s, dir) => {
-        val toks = split(col("text"), " ")
         val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on")
-        val ratio = size(filter(toks, tk => tk.isin(stops: _*))).cast("double") / size(toks)
+        val ratio = size(filter(col("tk"), tk => tk.isin(stops: _*)))
+          .cast("double") / size(col("tk"))
         t(s, dir, "documents")
+          .withColumn("tk", Text.tokens(col("text")))
           .withColumn("pred_lang", when(ratio >= 0.08, "en").otherwise("other"))
           .groupBy("lang", "pred_lang")
           .agg(count(lit(1)).as("n"))
@@ -338,8 +343,8 @@ object LlmData {
       (s, dir) => t(s, dir, "documents").select(
         col("doc_id"),
         size(split(col("text"), " ")).as("n_ws_tokens"),
-        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_alpha"),
-        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_num"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("n_alpha"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_num"),
         length(regexp_replace(col("text"), "[a-z0-9 ]", "")).as("n_other"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,

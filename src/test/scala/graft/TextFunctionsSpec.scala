@@ -74,6 +74,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r1(0).getLong(1) == r1(2).getLong(1)) // deterministic
   }
 
+  test("fast path (xxhash64): simhash64 + bandKeys mirror the portable family") {
+    val d = docs("a b c d e f g h", "a b c d e f g h", "q r s t u v w x")
+      .withColumn("fp64", Text.simhash64(col("sh")))
+      .withColumn("sig", Text.minhashSignature(col("sh"), 16))
+      .select(col("doc_id"), col("fp64"),
+        Text.bandKeys(col("sig"), 4, 4).as("bands"),
+        Text.simhashChunks(col("fp64"), 4, 16).as("chunks"))
+      .orderBy("doc_id").collect()
+    assert(d(0).getLong(1) == d(1).getLong(1))       // identical docs, identical simhash64
+    assert(d(0).getSeq[Long](2) == d(1).getSeq[Long](2)) // ... and identical band keys
+    assert(d(0).getSeq[Long](2).intersect(d(2).getSeq[Long](2)).isEmpty)
+    assert(d(0).getSeq[Long](3).length == 4)         // 4x16-bit chunks
+    assert(d(0).getSeq[Long](3).forall(c => c >= 0 && c < 65536))
+  }
+
   test("bandKeysMd5: equal signatures share all bands, disjoint docs none") {
     val d = docs("a b c d e f g h", "a b c d e f g h", "q r s t u v w x")
       .withColumn("hs", Text.tokenHashesPortable(col("sh")))
