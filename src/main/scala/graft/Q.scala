@@ -16,8 +16,3 @@ final case class Q(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     doc: String = "")
-
-object Registry {
-  /** Modules contribute name → Q; SparkEntry flattens them. */
-  type Queries = Map[String, Q]
-}

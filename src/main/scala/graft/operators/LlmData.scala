@@ -50,9 +50,11 @@ object LlmData {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  /** Spark-side rounded cosine between two array<float> columns. */
+  /** Spark-side rounded cosine between two array<float> columns —
+    * the fused native kernel (bit-equal to the HOF formulation and the
+    * oracle's fold; see FusedDotSpec). */
   private def cosine6(a: Column, b: Column): Column =
-    round(Vectors.cosine(Vectors.toDouble(a), Vectors.toDouble(b)), 6)
+    round(Vectors.cosineFused(a, b), 6)
 
   /** (doc_id, sh): distinct 3-shingle sets for every document with >= 3
     * tokens, hash-stage-partitioned across cores. Tokens are staged as
@@ -418,7 +420,7 @@ object LlmData {
             col("doc.n_chars").as("n_chars"),
             col("vec.label").as("label"),
             size(col("vec.embedding")).as("dim"),
-            round(Vectors.norm(Vectors.toDouble(col("vec.embedding"))), 6).as("emb_norm"))
+            round(Vectors.normFused(col("vec.embedding")), 6).as("emb_norm"))
           .orderBy("doc_id")
       },
       Some(s"""SELECT doc_id, lang, n_chars, label,

@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native fused dot product over two `array<float>` columns.
+  *
+  * The builtin HOF formulation — `aggregate(zip_with(a, b, _*_), 0.0,
+  * _+_)` (Vectors.dot) — is semantically right but materializes an
+  * intermediate products array per row before folding it. This
+  * expression is the justified custom-Catalyst case (builder-brief
+  * preference ladder: builtins first, native Expression only where the
+  * builtin genuinely can't express it efficiently): one codegen'd
+  * multiply-add loop, zero per-row allocation, identical sequential
+  * accumulation order (so results are bit-equal to the HOF path and to
+  * the DuckDB oracle's fold).
+  *
+  * Assumes non-null array elements (embedding vectors); null arrays
+  * propagate null via the BinaryExpression null contract.
+  */
+case class FusedDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot expects (array<float>, array<float>), got ($l, $r)")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FusedDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session extension registering the native function — the public,
+  * Connect-era-safe route to a custom Expression (Spark 4 `Column` no
+  * longer exposes Catalyst trees; `call_function("graft_dot", ...)`
+  * resolves through the registry instead). Wired into the Verify/
+  * Bench/test session builders via `spark.sql.extensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[FusedDotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => FusedDotProduct(children.head, children(1))))
+  }
+}
