@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation by key salting (SURVEY.md §2 scale notes: "skewed
+  * keys → salting or AQE skew-join").
+  *
+  * AQE's skew-join split covers sort-merge joins at runtime; salting is
+  * the explicit tool for the cases AQE can't re-plan — a hot key inside
+  * a shuffle that must exist (e.g. a billion-row key joined against a
+  * replicable right side). The salt spreads one hot key over `salts`
+  * reducers at the cost of replicating the (small) other side `salts`
+  * times — the classic space-for-balance trade.
+  */
+object Skew {
+
+  /** Equi-join `fact ⋈ dim` on `key`, with the fact side salted and the
+    * dim side replicated per salt. Result is row-identical to the
+    * unsalted join; the shuffle key becomes (key, salt) so a hot fact
+    * key lands on `salts` reducers instead of one.
+    *
+    * The salt must be independent of the key and need not be
+    * deterministic across runs (it never reaches the output) —
+    * a hash of the per-partition row id spreads evenly and costs one
+    * long op per row.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase salted aggregation for decomposable aggregates where a
+    * single reducer would drown in one key's partials (extreme
+    * cardinality skew in high-fan-in shuffles). Phase 1 aggregates on
+    * (key, salt); phase 2 combines per key. For plain sum/count Spark's
+    * map-side partial aggregation usually suffices — this is the
+    * explicit form for when it doesn't (e.g. partial state too wide to
+    * combine map-side).
+    */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: String,
+      salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    df.withColumn("__salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(col(key))
+      .agg(sum("__psum").as(s"sum_$valueCol"), sum("__pcnt").as("n"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery, Trigger}
 
 /** Structured-Streaming twin of the reference's ingestion surface
   * (SURVEY.md §2.9): file-arrival auto-ingest with exactly-once
@@ -71,4 +71,42 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Per-user running state carried in the state store. */
+  final case class UserState(count: Long, lastTsMicros: Long)
+  final case class UserSummary(user_id: Long, n_events: Long, last_seen_micros: Long)
+
+  /** Custom keyed state via `mapGroupsWithState` (the escape hatch when
+    * windowed aggs can't express the state machine): per-user running
+    * event count + last-seen, durable across restarts through the
+    * checkpointed state store. Update-mode foreachBatch snapshots the
+    * touched groups per trigger. NoTimeout keeps the demo state
+    * unbounded — production sessionization would use an event-time
+    * timeout against the watermark to bound it. */
+  def userRunningState(spark: SparkSession, srcDir: String, checkpointDir: String,
+      outDir: String): StreamingQuery = {
+    import spark.implicits._
+    val events = readEvents(spark, srcDir, archiveDir = None)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_micros"))
+      .as[(Long, Long)]
+    val updated = events.groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserSummary](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          var cnt = 0L
+          var maxTs = Long.MinValue
+          rows.foreach { case (_, ts) => cnt += 1; if (ts > maxTs) maxTs = ts }
+          val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue))
+          val next = UserState(prev.count + cnt, math.max(prev.lastTsMicros, maxTs))
+          state.update(next)
+          UserSummary(uid, next.count, next.lastTsMicros)
+      }
+    updated.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[UserSummary], _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

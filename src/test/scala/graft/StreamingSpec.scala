@@ -46,6 +46,27 @@ class StreamingSpec extends SparkSpec {
     assert(afterSecond.select("event_id").distinct().count() == batchDistinct * 2)
   }
 
+  test("mapGroupsWithState: per-user state accumulates across restarts") {
+    val src = tmp("state-src"); val out = tmp("state-out"); val ckpt = tmp("state-ckpt")
+    Files.copy(eventsFile, Paths.get(src, "events_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val perUserBatch = spark.read.parquet(s"$src/events_a.parquet")
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    EventStream.userRunningState(spark, src, ckpt, out).awaitTermination()
+    val afterFirst = spark.read.parquet(out)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_events")).toMap
+    assert(afterFirst == perUserBatch)
+
+    // same events re-delivered as a new file: state (not dedup) doubles
+    // every user's running count — proves the store survived the restart
+    Files.copy(eventsFile, Paths.get(src, "events_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    EventStream.userRunningState(spark, src, ckpt, out).awaitTermination()
+    val afterSecond = spark.read.parquet(out)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_events")).toMap
+    assert(afterSecond == perUserBatch.map { case (k, v) => k -> v * 2 })
+  }
+
   test("hourly rollup equals the q19 batch twin") {
     val src = tmp("rollup-src"); val out = tmp("rollup-out"); val ckpt = tmp("rollup-ckpt")
     Files.copy(eventsFile, Paths.get(src, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
