@@ -440,6 +440,21 @@ object Relational {
              |  len(string_split(event_type, '_')) AS n_parts,
              |  to_json(struct_pack(id := event_id, t := event_type)) AS payload
              |FROM events ORDER BY event_id""".stripMargin),
-      "MapType access (F13), size() (F15), coalesce null-handling (P3), to_json (F12)")
+      "MapType access (F13), size() (F15), coalesce null-handling (P3), to_json (F12)"),
+
+    // ── Multi-level aggregate: ROLLUP (bonus beyond the reference) ────
+    // Spark plans one Expand + single hash agg for all grouping sets —
+    // one shuffle for the whole hierarchy. NULLS FIRST ordering spelled
+    // out on both sides (Spark default vs DuckDB NULLS LAST).
+    "q21_rollup" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumCents(col("o_totalprice")).as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS sum_price
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+      "ROLLUP grouping sets: Expand + one hash agg, one shuffle for every level")
   )
 }
