@@ -98,11 +98,20 @@ object Text {
 
   /** MinHash signature from precomputed base hashes: slot i = min over
     * (h * A_i + B_i) mod M. Pass a *materialized* (cached) hash column
-    * so the md5 pass runs once, not once per slot. */
-  def minhashFromHashes(hs: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i =>
+    * so the md5 pass runs once, not once per slot.
+    *
+    * Loop-shaped on purpose: slots come from a `transform` over a
+    * slot-index sequence with the affine constants in array literals
+    * (constant-folded to static arrays), so codegen emits ONE loop
+    * body instead of `numHashes` unrolled min-fold subtrees — Janino
+    * compile time is the dominant cold cost of the LSH queries. */
+  def minhashFromHashes(hs: Column, numHashes: Int): Column = {
+    val as = array((0 until numHashes).map(i => lit(affineA(i))): _*)
+    val bs = array((0 until numHashes).map(i => lit(affineB(i))): _*)
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
       array_min(transform(hs, h =>
-        (h * affineA(i) + affineB(i)) % MinhashMod))): _*)
+        (h * element_at(as, i + 1) + element_at(bs, i + 1)) % MinhashMod)))
+  }
 
   /** Portable band keys: md5 over the comma-joined band slice (longs
     * render identically via concat_ws / array_to_string). */
@@ -110,22 +119,23 @@ object Text {
     array((0 until bands).map(b =>
       md5(concat_ws(",", slice(sig, b * rows + 1, rows)))): _*)
 
-  /** Bits 0..n-1 of a long hash as an array<long> of 0/1 (Int-indexed
-    * shiftright — stays on the literal overload, fully codegen'd). */
-  private def bitsOf(h: Column, n: Int): Column =
-    array((0 until n).map(j => shiftright(h, j).bitwiseAND(lit(1L))): _*)
-
   /** SimHash kernel: per feature hash, bit votes +1/-1; the sign of
     * each accumulated vote becomes the bit. One sequential fold
     * producing an n-slot vote array, then a weighted-OR fold packs the
     * sign bits — the vote array is referenced exactly once (no
     * expression-tree blowup).
+    *
+    * Loop-shaped: the bit test is `h & weight_j != 0` with the bit
+    * weights in a constant-folded array literal, zipped against the
+    * vote accumulator — one codegen loop body rather than `bits`
+    * unrolled shift terms (cold Janino time, not row throughput, is
+    * what the unrolled form costs).
     */
   private def simhashOf(hashes: Column, bits: Int): Column = {
-    val votes = aggregate(hashes, array_repeat(lit(0L), bits),
-      (acc, h) => zip_with(acc, bitsOf(h, bits),
-        (a, b) => a + when(b === 1L, lit(1L)).otherwise(lit(-1L))))
     val weights = array((0 until bits).map(j => lit(1L << j)): _*)
+    val votes = aggregate(hashes, array_repeat(lit(0L), bits),
+      (acc, h) => zip_with(acc, weights,
+        (a, w) => a + when(h.bitwiseAND(w) =!= 0L, lit(1L)).otherwise(lit(-1L))))
     aggregate(
       zip_with(votes, weights, (v, w) => when(v >= 0L, w).otherwise(lit(0L))),
       lit(0L), (x, y) => x.bitwiseOR(y))
