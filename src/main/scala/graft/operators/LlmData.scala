@@ -403,6 +403,23 @@ object LlmData {
               |WHERE rnk <= 3 ORDER BY bk, rnk""".stripMargin),
       "embedding near-dup: sign-LSH bucketed self-join + per-bucket pair ranking"),
 
+    // ── Sketch: HLL++ approximate distinct counts ─────────────────────
+    // The sketch path for cardinality at 100 TB: fixed-size HLL state
+    // merges map-side, so the shuffle carries sketches, not values.
+    // No oracle (DuckDB's approx_count_distinct uses a different HLL
+    // construction) — driver records rows-only; SketchSpec bounds the
+    // relative error against exact counts.
+    "x33_hll_distinct" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          approx_count_distinct(col("text"), rsd = 0.02).as("approx_texts"),
+          approx_count_distinct(col("source"), rsd = 0.02).as("approx_sources"),
+          count(lit(1)).as("n"))
+        .orderBy("lang"),
+      None,
+      "HLL++ sketch aggregation: constant state per group, map-side mergeable"),
+
     // ── X5: multimodal bundling — text + embedding in one row ─────────
     // Join on doc_id = vec_id, bundle typed struct columns, project
     // scalar features back out (parquet-dump-friendly flat output).
