@@ -89,10 +89,13 @@ object Normalize {
   def incremental(incoming: DataFrame, existing: DataFrame, pk: String): DataFrame =
     incoming.join(existing.select(pk), Seq(pk), "left_anti")
 
-  /** FK closure check (N4): fact rows whose `fk` resolves to no dim
-    * `pk` — must be empty for a valid star schema. */
+  /** FK closure check (N4): fact rows whose non-null `fk` resolves to
+    * no dim `pk` — must be empty for a valid star schema. NULL FKs are
+    * not orphans: a track with no artists legitimately carries a null
+    * artist_id (the reference's flat record simply has no value). */
   def orphans(fact: DataFrame, dim: DataFrame, fk: String, pk: String): DataFrame =
-    fact.join(dim, fact(fk) === dim(pk), "left_anti")
+    fact.filter(fact(fk).isNotNull)
+      .join(dim, fact(fk) === dim(pk), "left_anti")
 
   /** Normalize raw playlist envelopes into the star schema
     * (N1–N6 + P2/P3 + F13/F14/F15). `transformedAt` is a parameter so
@@ -116,7 +119,10 @@ object Normalize {
         col("item.track.duration_ms").as("duration_ms"),
         col("item.track.popularity").as("popularity"),
         col("item.track.album.id").as("album_id"),
-        element_at(col("item.track.artists"), 1).getField("id").as("artist_id"),
+        // try_element_at: an empty artists[] (real Spotify shape for
+        // local/ghost tracks) must yield a null FK, not an ANSI
+        // out-of-bounds error that kills the whole transform
+        try_element_at(col("item.track.artists"), lit(1)).getField("id").as("artist_id"),
         element_at(col("item.track.external_urls"), "spotify").as("song_url"),
         to_timestamp(col("item.added_at")).as("added_at"),
         col("extracted_at"))

@@ -75,11 +75,18 @@ object Sinks {
     if (!fs.exists(from)) return Seq.empty
     val to = new Path(toDir)
     if (!fs.exists(to)) fs.mkdirs(to)
-    val moved = fs.listStatus(from).toSeq.filter(_.isFile).map { st =>
-      val dest = new Path(to, st.getPath.getName)
-      fs.rename(st.getPath, dest)
-      st.getPath.getName
-    }
+    val (moved, failed) = fs.listStatus(from).toSeq.filter(_.isFile)
+      .partitionMap { st =>
+        val dest = new Path(to, st.getPath.getName)
+        // rename reports failure via its return value on HDFS/object
+        // stores (e.g. destination already exists) — treating it as
+        // moved would silently re-process the file next run
+        if (fs.rename(st.getPath, dest)) Left(st.getPath.getName)
+        else Right(st.getPath.getName)
+      }
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        s"archive failed for ${failed.size} file(s): ${failed.mkString(", ")}")
     moved
   }
 }

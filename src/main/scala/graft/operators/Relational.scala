@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Q
+import graft.functions.Rounding.{duckRound, pround}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -62,12 +63,12 @@ object Relational {
         t(s, dir, "orders")
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("cnt"))
-          .withColumn("pct", round(col("cnt") * 100.0 / sum("cnt").over(w), 2))
+          .withColumn("pct", pround(col("cnt") * 100.0 / sum("cnt").over(w), 2))
           .orderBy("o_orderpriority")
       },
-      Some("""SELECT o_orderpriority, count(*) AS cnt,
-             |       round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS pct
-             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      Some(s"""SELECT o_orderpriority, count(*) AS cnt,
+              |       ${duckRound("count(*) * 100.0 / sum(count(*)) OVER ()", 2)} AS pct
+              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
       "grouped count + % of total; window input is post-agg (tiny), single-partition window is safe"),
 
     // ── Labeled row counts, UNION ALL ─────────────────────────────────
@@ -106,15 +107,16 @@ object Relational {
         l.join(o, l("l_orderkey") === o("o_orderkey"))
           .filter(o("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
           .agg(
-            round((sum(unix_millis(l("l_shipdate")) - unix_millis(o("o_orderdate")))
-              / 60000.0 / count(lit(1))), 4).as("avg_minutes"),
+            pround(sum(unix_millis(l("l_shipdate")) - unix_millis(o("o_orderdate")))
+              / 60000.0 / count(lit(1)), 4).as("avg_minutes"),
             count(lit(1)).as("n"))
       },
-      Some("""SELECT round(sum(epoch_ms(l_shipdate) - epoch_ms(o_orderdate))
-             |             / 60000.0 / count(*), 4) AS avg_minutes,
-             |       count(*) AS n
-             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |WHERE o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin),
+      Some(s"""SELECT ${duckRound(
+                "sum(epoch_ms(l_shipdate) - epoch_ms(o_orderdate)) / 60000.0 / count(*)", 4)}
+              |         AS avg_minutes,
+              |       count(*) AS n
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |WHERE o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin),
       "date arithmetic + literal pivot (no current_date: nondeterministic across engines)"),
 
     // ── Deterministic dedup: latest row per key ───────────────────────
@@ -212,17 +214,17 @@ object Relational {
         col("o_orderpriority").contains("URGENT").as("is_urgent"),
         year(col("o_orderdate")).as("o_year"),
         date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("iso_ts"),
-        round(col("o_totalprice") / 1000.0, 2).as("price_k"))
+        pround(col("o_totalprice") / 1000.0, 2).as("price_k"))
         .orderBy("o_orderkey"),
-      Some("""SELECT o_orderkey,
-             |  printf('order_%d_%s', o_orderkey, strftime(o_orderdate, '%Y%m%d_%H%M%S')) AS file_name,
-             |  string_split(o_orderpriority, '-')[1] AS prio_code,
-             |  length(o_orderstatus) AS st_len,
-             |  contains(o_orderpriority, 'URGENT') AS is_urgent,
-             |  year(o_orderdate) AS o_year,
-             |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso_ts,
-             |  round(o_totalprice / 1000.0, 2) AS price_k
-             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      Some(s"""SELECT o_orderkey,
+              |  printf('order_%d_%s', o_orderkey, strftime(o_orderdate, '%Y%m%d_%H%M%S')) AS file_name,
+              |  string_split(o_orderpriority, '-')[1] AS prio_code,
+              |  length(o_orderstatus) AS st_len,
+              |  contains(o_orderpriority, 'URGENT') AS is_urgent,
+              |  year(o_orderdate) AS o_year,
+              |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso_ts,
+              |  ${duckRound("o_totalprice / 1000.0", 2)} AS price_k
+              |FROM orders ORDER BY o_orderkey""".stripMargin),
       "string/date/math scalars (split/format/length/contains/year/round) — all codegen'd builtins"),
 
     // ── JSON field extraction + grouped sum ───────────────────────────
@@ -253,16 +255,16 @@ object Relational {
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
           sumCents(col("l_extendedprice")).as("sum_price"),
-          round(sum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+          pround(sum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus"),
-      Some("""SELECT l_returnflag, l_linestatus,
-             |  sum(l_quantity) AS sum_qty,
-             |  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_price,
-             |  round(sum(l_quantity) / count(*), 4) AS avg_qty,
-             |  count(*) AS n
-             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-             |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  sum(l_quantity) AS sum_qty,
+              |  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_price,
+              |  ${duckRound("sum(l_quantity) / count(*)", 4)} AS avg_qty,
+              |  count(*) AS n
+              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+              |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin),
       "partial+final hash agg; sums order-independent by construction"),
 
     // ── Window functions: rank / dense_rank / lag ─────────────────────
@@ -328,7 +330,10 @@ object Relational {
         val b = e.filter(col("event_type") === "error" &&
             col("ts") < lit("2024-01-05").cast("timestamp"))
           .select("user_id").distinct()
-        a.join(b, Seq("user_id"), "left_anti").orderBy("user_id")
+        // null-safe equality (<=>): EXCEPT subtracts a NULL key present
+        // on both sides; a plain equality anti-join would keep it
+        a.join(b, a("user_id") <=> b("user_id"), "left_anti")
+          .orderBy("user_id")
       },
       Some("""SELECT DISTINCT user_id FROM events
              |WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-28'

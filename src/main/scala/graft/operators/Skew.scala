@@ -20,15 +20,18 @@ object Skew {
     * unsalted join; the shuffle key becomes (key, salt) so a hot fact
     * key lands on `salts` reducers instead of one.
     *
-    * The salt must be independent of the key and need not be
-    * deterministic across runs (it never reaches the output) —
-    * a hash of the per-partition row id spreads evenly and costs one
-    * long op per row.
+    * The salt is a hash of the full row content — DETERMINISTIC under
+    * task retry. A nondeterministic salt (random / row id) re-salts
+    * differently when a lost map task recomputes after a fetch
+    * failure, double-counting or dropping rows downstream. Content
+    * hashing spreads a hot key as long as its rows differ in other
+    * columns; fully identical duplicate rows co-bucket (documented
+    * trade — dedup them first if that matters).
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+      pmod(xxhash64(fact.columns.map(col): _*), lit(salts.toLong)))
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
@@ -46,7 +49,7 @@ object Skew {
       salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
     df.withColumn("__salt",
-        pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+        pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))

@@ -36,12 +36,21 @@ case class FusedDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // mismatched dimensions return null even when both inputs are
+  // non-null, so nullability can't derive from the children alone
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
+  /** Dimension mismatch yields NULL — matching the HOF formulation
+    * (`zip_with` pads the shorter side with nulls, poisoning the sum).
+    * Truncating to the shorter array would return a plausible-looking
+    * but wrong similarity for a malformed vector. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -57,12 +66,16 @@ case class FusedDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
          |""".stripMargin
     })
 

@@ -46,7 +46,9 @@ class EtlSpec extends SparkSpec {
       track(null, "ghost", 10, "A2", "album two", "1999",
         Seq("R1" -> "artist one"), "2023-12-03T00:00:00"),
       track("T04", "song four", 70, "A2", "album two", "1999",
-        Seq("R2" -> "artist two"), "2023-12-04T00:00:00")))
+        Seq("R2" -> "artist two"), "2023-12-04T00:00:00"),
+      track("T06", "ghost artist", 20, "A2", "album two", "1999",
+        Seq.empty, "2023-12-05T00:00:00"))) // empty artists[]: real Spotify shape
     val file2 = envelope("PL0000000000000000000001", "2024-01-02T00:00:00", Seq(
       track("T01", "song one", 55, "A1", "album one", "2020-03-05",
         Seq("R1" -> "artist one"), "2023-12-01T00:00:00"), // re-extracted, updated popularity
@@ -62,9 +64,14 @@ class EtlSpec extends SparkSpec {
 
   test("songs: null PK dropped, dedup latest-wins across files, PK unique") {
     val songs = star.songs.collect().map(r => r.getAs[String]("song_id") -> r).toMap
-    assert(songs.keySet == Set("T01", "T02", "T04", "T05"))
+    assert(songs.keySet == Set("T01", "T02", "T04", "T05", "T06"))
     assert(songs("T01").getAs[Long]("popularity") == 55L) // file2 survivor
     assert(star.songs.count() == star.songs.select("song_id").distinct().count())
+  }
+
+  test("empty artists[]: song survives with a null artist FK (no ANSI crash)") {
+    val t06 = star.songs.filter(col("song_id") === "T06").collect()(0)
+    assert(t06.getAs[String]("artist_id") == null)
   }
 
   test("first-artist scalar FK and map-access URLs") {
@@ -101,7 +108,8 @@ class EtlSpec extends SparkSpec {
   test("incremental load: only unseen PKs pass") {
     val first = star.songs.filter(col("song_id").isin("T01", "T02"))
     val delta = Normalize.incremental(star.songs, first, "song_id")
-    assert(delta.select("song_id").collect().map(_.getString(0)).toSet == Set("T04", "T05"))
+    assert(delta.select("song_id").collect().map(_.getString(0)).toSet ==
+      Set("T04", "T05", "T06"))
   }
 
   test("dedupLatest is idempotent") {

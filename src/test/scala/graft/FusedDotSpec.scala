@@ -29,6 +29,13 @@ class FusedDotSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("dimension mismatch yields null, matching the HOF null contract") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0f, 2.0f, 3.0f), array(1.0f)) AS d").collect()(0)
+    assert(r.isNullAt(0),
+      "truncating to the shorter vector would fake a plausible similarity")
+  }
+
   test("throughput: fused path is not slower than the HOF path") {
     // 200k-row working set (explode the 500 embeddings x 400): time a
     // full aggregation through each expression. One-time codegen noise

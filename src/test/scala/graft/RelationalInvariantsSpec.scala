@@ -23,7 +23,6 @@ class RelationalInvariantsSpec extends SparkSpec {
 
   test("q01: top-k is the prefix of the fully sorted join") {
     val topK = q("q01_top10_star_join").collect().map(_.getLong(0)).toSeq
-    val full = q("q01_top10_star_join") // same plan minus limit via re-sort
     val sorted = {
       val o = graft.sources.Tables.load(spark, sf0001, "orders")
       val c = graft.sources.Tables.load(spark, sf0001, "customer")
@@ -65,15 +64,29 @@ class RelationalInvariantsSpec extends SparkSpec {
     }
   }
 
-  test("x24: brute-force top-k contains the ANN bucket's hits") {
-    // the sign-LSH bucket result is a subset of the full ranking by
-    // construction — spot-check the invariant that ANN returns no
-    // vector the exact scorer ranks below its own k
-    val exact = SparkEntry.queries("x24_topk_cosine")(spark, sf0001)
-      .collect().map(_.getLong(0)).toSet
+  test("x25: every ANN hit scores exactly what the brute-force scorer says") {
+    import graft.functions.Vectors
     val ann = SparkEntry.queries("x25_ann_sign_lsh")(spark, sf0001)
-      .collect().map(_.getLong(0)).toSet
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(ann.nonEmpty)
+    // recompute each ANN hit's cosine independently (HOF path, not the
+    // fused kernel) and require exact agreement — a broken bucket join
+    // or ranking would surface as a score mismatch
+    val e = graft.sources.Tables.load(spark, sf0001, "embeddings")
+    val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val recomputed = e.filter(col("vec_id").isin(ann.keys.toSeq: _*))
+      .crossJoin(broadcast(q0))
+      .select(col("vec_id"),
+        graft.functions.Rounding.pround(
+          Vectors.cosine(Vectors.toDouble(col("embedding")), Vectors.toDouble(col("qe"))),
+          6).as("cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(recomputed == ann)
+    // and ANN never out-ranks the exact scorer: its best hit's score
+    // cannot exceed the exact top-1
+    val exactTop = SparkEntry.queries("x24_topk_cosine")(spark, sf0001)
+      .collect().map(_.getDouble(1)).max
+    assert(ann.values.max <= exactTop)
   }
 
   test("every oracle-bearing query's Spark columns appear in its oracle SQL") {
