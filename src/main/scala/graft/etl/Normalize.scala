@@ -75,8 +75,12 @@ object Normalize {
   final case class StarSchema(albums: DataFrame, artists: DataFrame, songs: DataFrame)
 
   /** Deterministic latest-wins dedup by `pk` (N3/W2): newest
-    * extracted_at survives; `tieBreak` columns make the survivor
-    * well-defined under equal timestamps. */
+    * extracted_at survives. The survivor is well-defined ONLY if
+    * (extracted_at, tieBreak...) is unique per pk — callers must pass
+    * enough tie-break columns to cover every way duplicate rows can
+    * differ, else ties fall back to plan-dependent row order (the
+    * nondeterminism this window exists to eliminate). The normalize()
+    * call sites below tie-break on all remaining columns. */
   def dedupLatest(df: DataFrame, pk: String, tieBreak: Seq[String]): DataFrame = {
     val order = (col("extracted_at").desc +: tieBreak.map(col(_).desc))
     val w = Window.partitionBy(pk).orderBy(order: _*)
@@ -127,7 +131,8 @@ object Normalize {
         to_timestamp(col("item.added_at")).as("added_at"),
         col("extracted_at"))
         .na.drop(cols = Seq("song_id")),
-      "song_id", tieBreak = Seq("added_at", "album_id"))
+      "song_id", tieBreak = Seq("added_at", "album_id", "popularity",
+        "duration_ms", "song_name", "artist_id"))
       .withColumn("transformed_at", transformedAt)
 
     // Album dimension: struct flatten (N2) via `.*` expansion.
@@ -138,7 +143,8 @@ object Normalize {
         .withColumn("album_url", element_at(col("external_urls"), "spotify"))
         .drop("external_urls")
         .na.drop(cols = Seq("album_id")),
-      "album_id", tieBreak = Seq("album_name"))
+      "album_id", tieBreak = Seq("album_name", "release_date", "total_tracks",
+        "album_type", "label"))
       .withColumn("transformed_at", transformedAt)
 
     // Artist dimension: full artists[] explode (N1) — every artist,
@@ -151,7 +157,7 @@ object Normalize {
           element_at(col("a.external_urls"), "spotify").as("artist_url"),
           col("extracted_at"))
         .na.drop(cols = Seq("artist_id")),
-      "artist_id", tieBreak = Seq("artist_name"))
+      "artist_id", tieBreak = Seq("artist_name", "artist_url"))
       .withColumn("transformed_at", transformedAt)
 
     StarSchema(albums = albums, artists = artists, songs = songs)

@@ -68,7 +68,13 @@ object Text {
     * a Scala-built `array(...)` of Int-sliced hashes.
     */
   def bandKeys(sig: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map(b => xxhash64(slice(sig, b * rows + 1, rows))): _*)
+    // propagate NULL signatures: hashing a null slice yields a CONSTANT
+    // (xxhash64 seed), which would band every short doc into one
+    // quadratic candidate bucket — the exact blowup the null contract
+    // exists to prevent
+    when(sig.isNotNull,
+      array((0 until bands).map(b => xxhash64(slice(sig, b * rows + 1, rows))): _*))
+      .otherwise(lit(null).cast("array<bigint>"))
 
   /** Modulus for the portable affine MinHash family: 2^31 - 1. Affine
     * products stay under 2^62, so the math never overflows a signed
@@ -114,10 +120,13 @@ object Text {
   }
 
   /** Portable band keys: md5 over the comma-joined band slice (longs
-    * render identically via concat_ws / array_to_string). */
+    * render identically via concat_ws / array_to_string). NULL
+    * signatures propagate (see bandKeys). */
   def bandKeysMd5(sig: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map(b =>
-      md5(concat_ws(",", slice(sig, b * rows + 1, rows)))): _*)
+    when(sig.isNotNull,
+      array((0 until bands).map(b =>
+        md5(concat_ws(",", slice(sig, b * rows + 1, rows)))): _*))
+      .otherwise(lit(null).cast("array<string>"))
 
   /** SimHash kernel: per feature hash, bit votes +1/-1; the sign of
     * each accumulated vote becomes the bit. One sequential fold

@@ -40,8 +40,11 @@ object Vectors {
     * planes). Vectors on the same side of all sampled axes share a
     * bucket; an equality join on the key replaces the all-pairs scan.
     * Engine-independent (string compare + float sign only).
+    * try_element_at: a truncated vector must bucket as '0' bits (the
+    * NULL comparison falls to the otherwise branch — same as DuckDB's
+    * out-of-bounds NULL through CASE), not ANSI-crash the query.
     */
   def signKey(v: Column, bits: Int): Column =
     concat((1 to bits).map(i =>
-      when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+      when(try_element_at(v, lit(i)) >= 0, lit("1")).otherwise(lit("0"))): _*)
 }

@@ -59,21 +59,39 @@ object LlmData {
     pround(Vectors.cosineFused(a, b), 6)
 
   /** Signature tables are persisted and re-read by several join sides;
-    * memoize the built DataFrame per (query, sfDir) so repeated
-    * invocations in one session reuse the same cache entry instead of
-    * stacking a new persisted copy per call. */
-  private val memo = TrieMap.empty[(String, String), DataFrame]
-  private def memoized(key: String, dir: String)(build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((key, dir), build)
+    * memoize the built DataFrame per (session, query, sfDir) so
+    * repeated invocations in one session reuse the same cache entry
+    * instead of stacking a new persisted copy per call. Keyed weakly
+    * by session: a DataFrame is bound to the session that built it, so
+    * a recreated session must rebuild (and a stopped session's entry
+    * must not pin its memory). */
+  private val memo =
+    new java.util.WeakHashMap[SparkSession, TrieMap[(String, String), DataFrame]]
+  private def memoized(s: SparkSession, key: String, dir: String)
+      (build: => DataFrame): DataFrame = {
+    val perSession = memo.synchronized {
+      val m = memo.get(s)
+      if (m != null) m
+      else { val fresh = TrieMap.empty[(String, String), DataFrame]; memo.put(s, fresh); fresh }
+    }
+    perSession.getOrElseUpdate((key, dir), build)
+  }
 
   /** (doc_id, sh): distinct 3-shingle sets for every document with >= 3
-    * tokens, hash-stage-partitioned across cores. Tokens are staged as
-    * their own column so the split() runs once per row, not once per
-    * shingle position inside the HOF lambda (see Text.shingles PERF
-    * note).
+    * tokens. Tokens are staged as their own column so the split() runs
+    * once per row, not once per shingle position inside the HOF lambda
+    * (see Text.shingles PERF note).
+    *
+    * The repartition exists for the testdata's single-file layout
+    * (one parquet file = one scan split would pin all hashing to one
+    * task) and shuffles only the (doc_id, text) projection. On a real
+    * corpus the scan is already split-parallel and the repartition
+    * should be dropped — the scale rule is that signatures shuffle,
+    * not payloads.
     */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
       .repartition(col("doc_id"))
       .withColumn("tk", Text.tokens(col("text")))
       .withColumn("sh", Text.shingles(col("tk")))
@@ -133,7 +151,7 @@ object LlmData {
         // persist so the md5 pass runs ONCE (the in-query analog of
         // materializing a signature table, which is what this pipeline
         // does at real scale).
-        val d = memoized("x22-hashes", dir) {
+        val d = memoized(s, "x22-hashes", dir) {
           shingled(s, dir)
             .withColumn("hs", Text.tokenHashesPortable(col("sh")))
             .persist()
@@ -193,7 +211,7 @@ object LlmData {
         // so the 60-bit vote fold runs once per document, spread
         // across cores by the repartition inside shingled().
         val d = shingled(s, dir)
-        val f = memoized("x23-simhash", dir) {
+        val f = memoized(s, "x23-simhash", dir) {
           d.select(col("doc_id"), Text.simhash60(col("sh")).as("fp")).persist()
         }
         val chunks = f.select(col("doc_id"), col("fp"),
@@ -380,7 +398,7 @@ object LlmData {
         .select(col("doc_id"), Text.rollingHash(Text.tokens(col("text"))).as("fp"))
         .orderBy("doc_id"),
       None,
-      "polynomial rolling hash (wrapping mod-2^64); order-sensitive identity"),
+      "rotate-XOR rolling fingerprint (rotl-5 + xxhash64); order-sensitive identity"),
 
     // ── X3c: embedding-cosine near-dup — bucketed pair ranking ────────
     // Sign-LSH self-join (equality on the 6-bit bucket key — the pair

@@ -125,7 +125,10 @@ object Tables {
     * converted once on the driver.
     */
   def eventsSince(spark: SparkSession, sfDir: String, isoUtc: String): DataFrame = {
-    val nanos = java.time.Instant.parse(isoUtc).toEpochMilli * 1000000L
+    val instant = java.time.Instant.parse(isoUtc)
+    // exact nanos: epochMilli * 1e6 would silently drop sub-millisecond
+    // fractions of the pivot, off-by-up-to-1ms on the filter boundary
+    val nanos = instant.getEpochSecond * 1000000000L + instant.getNano
     spark.read.schema(eventsRaw).parquet(s"$sfDir/events.parquet")
       .filter(col("ts") >= nanos)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
