@@ -1,7 +1,8 @@
 package graft.io
 
+import graft.etl.Normalize.StarSchema
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Staged-path layout and operational sinks — the reference's S3 key
@@ -32,6 +33,21 @@ object Stages {
 }
 
 object Sinks {
+
+  /** Normalized star-schema sinks ×3 (S8) with the load-time audit
+    * column (N6: extracted_at/transformed_at travel with the rows;
+    * loaded_at is stamped here, at the warehouse boundary — the
+    * reference's third timestamp, README.md:171). Parquet, one
+    * directory per table. `loadedAt` is a parameter so tests stay
+    * deterministic; production passes `current_timestamp()`. */
+  def writeStarSchema(star: StarSchema, baseDir: String, loadedAt: Column): Unit = {
+    def write(df: DataFrame, name: String): Unit =
+      df.withColumn("loaded_at", loadedAt)
+        .write.mode(SaveMode.Overwrite).parquet(s"$baseDir/$name")
+    write(star.albums, "album_data")
+    write(star.artists, "artist_data")
+    write(star.songs, "song_data")
+  }
 
   /** JSON document sink (S5). `coalesce(1)` mirrors the reference's
     * one-document-per-extraction layout; callers at real scale pass

@@ -117,6 +117,19 @@ class EtlSpec extends SparkSpec {
     assert(once.count() == star.songs.count())
   }
 
+  test("star-schema sink: three table dirs with the loaded_at audit column") {
+    val base = Files.createTempDirectory("graft-star").toString
+    Sinks.writeStarSchema(star, base, lit("2024-01-04T00:00:00").cast("timestamp"))
+    for ((name, expected) <- Seq("album_data" -> star.albums.count(),
+        "artist_data" -> star.artists.count(), "song_data" -> star.songs.count())) {
+      val df = spark.read.parquet(s"$base/$name")
+      assert(df.count() == expected)
+      // the full audit trio survives to the warehouse layer
+      for (c <- Seq("extracted_at", "transformed_at", "loaded_at"))
+        assert(df.filter(col(c).isNull).isEmpty, s"$name.$c")
+    }
+  }
+
   test("sinks: staged paths, dead-letter, logs, archive") {
     val base = Files.createTempDirectory("graft-io").toString
     // staged JSON doc sink (S5/S6)
