@@ -465,6 +465,33 @@ object Relational {
              |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS sum_price
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
-      "ROLLUP grouping sets: Expand + one hash agg, one shuffle for every level")
+      "ROLLUP grouping sets: Expand + one hash agg, one shuffle for every level"),
+
+    // ── As-of join: latest order at or before each event ──────────────
+    // Point-in-time semantics Spark lacks natively, composed from
+    // union + keyed window carry-forward (graft.operators.AsOf): one
+    // shuffle, linear scan — no quadratic range join. Oracle: DuckDB's
+    // native ASOF LEFT JOIN. Right side pre-reduced to one row per
+    // (custkey, date) so the match is deterministic on both engines.
+    "q22_asof_join" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val o = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+          .agg(max("o_orderkey").as("match_orderkey"))
+        AsOf.joinAsOf(e, o, key = "user_id", leftTime = "ts",
+            rightTime = "o_orderdate", payload = Seq("match_orderkey"),
+            leftId = "event_id")
+          .select("event_id", "user_id", "ts", "match_orderkey")
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+             |           FROM orders GROUP BY 1, 2)
+             |SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS match_orderkey
+             |FROM events e ASOF LEFT JOIN o
+             |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+             |ORDER BY event_id""".stripMargin),
+      "as-of join via union + window carry-forward; one shuffle, no range explode")
   )
 }

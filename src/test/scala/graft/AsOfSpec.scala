@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.AsOf
+import org.apache.spark.sql.functions._
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("joinAsOf: latest right row at or before each left time, per key") {
+    val quotes = Seq(
+      ("A", ts("2024-01-01 00:00:00"), 10L),
+      ("A", ts("2024-01-03 00:00:00"), 30L),
+      ("B", ts("2024-01-02 00:00:00"), 99L)
+    ).toDF("k", "qt", "qid")
+    val trades = Seq(
+      (1L, "A", ts("2024-01-02 00:00:00")), // after q10, before q30 -> 10
+      (2L, "A", ts("2024-01-03 00:00:00")), // equal time is inclusive -> 30
+      (3L, "A", ts("2024-01-04 00:00:00")), // after both -> 30
+      (4L, "B", ts("2024-01-01 00:00:00")), // before any B quote -> null
+      (5L, "C", ts("2024-01-05 00:00:00"))  // key with no quotes -> null
+    ).toDF("tid", "k", "tt")
+
+    val joined = AsOf.joinAsOf(trades, quotes, key = "k",
+        leftTime = "tt", rightTime = "qt", payload = Seq("qid"), leftId = "tid")
+      .select("tid", "qid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    assert(joined == Map(
+      1L -> Some(10L), 2L -> Some(30L), 3L -> Some(30L),
+      4L -> None, 5L -> None))
+  }
+
+  test("joinAsOf: single shuffle on the key, no cartesian/range explosion") {
+    val quotes = Seq(("A", ts("2024-01-01 00:00:00"), 1L)).toDF("k", "qt", "qid")
+    val trades = Seq((1L, "A", ts("2024-01-02 00:00:00"))).toDF("tid", "k", "tt")
+    val p = AsOf.joinAsOf(trades, quotes, "k", "tt", "qt", Seq("qid"), "tid")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Window"), "carry-forward must be a window, not a join")
+  }
+}
