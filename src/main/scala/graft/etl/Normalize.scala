@@ -68,9 +68,17 @@ object Normalize {
           StructField("name", StringType),
           StructField("external_urls", MapType(StringType, StringType)))))))))))))))
 
-  /** Read the raw JSON layer with the declared schema (S7). */
-  def readRaw(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(rawSchema).json(path)
+  /** Read the raw JSON layer with the declared schema (S7).
+    *
+    * `multiLine = true` parses the reference's actual file format —
+    * one pretty-printed envelope per file (`json.dumps(indent=2)`,
+    * lambda_function.py:211); the default JSON-lines mode is the
+    * Spark-idiomatic staging format (splittable, so a 100 TB raw layer
+    * parallelizes per block instead of per file). Both carry the same
+    * schema; tests cover both.
+    */
+  def readRaw(spark: SparkSession, path: String, multiLine: Boolean = false): DataFrame =
+    spark.read.option("multiLine", multiLine).schema(rawSchema).json(path)
 
   final case class StarSchema(albums: DataFrame, artists: DataFrame, songs: DataFrame)
 

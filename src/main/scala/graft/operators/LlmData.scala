@@ -304,12 +304,17 @@ object LlmData {
           sum(size(split(col("text"), " "))).as("total_tokens"),
           sum("n_chars").as("total_chars"),
           pround(sum("n_chars").cast("double") / count(lit(1)), 4).as("avg_chars"),
+          // exact interpolated median (Spark percentile == DuckDB
+          // quantile_cont: sort + linear interpolation on the same
+          // integers — deterministic, unlike the approx sketches)
+          percentile(col("n_chars"), lit(0.5)).as("median_chars"),
           countDistinct("source").as("n_sources"))
         .orderBy("lang"),
       Some(s"""SELECT lang, count(*) AS n_docs,
               |  sum(len(string_split(text, ' '))) AS total_tokens,
               |  sum(n_chars) AS total_chars,
               |  ${duckRound("sum(n_chars) * 1.0 / count(*)", 4)} AS avg_chars,
+              |  quantile_cont(n_chars, 0.5) AS median_chars,
               |  count(DISTINCT source) AS n_sources
               |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
       "per-lang token/char stats; integer sums are order-independent, avg is one division"),

@@ -117,6 +117,36 @@ class EtlSpec extends SparkSpec {
     assert(once.count() == star.songs.count())
   }
 
+  test("reference file format: pretty-printed one-envelope-per-file JSON parses with multiLine") {
+    // the reference uploads json.dumps(indent=2) documents — multiline
+    // JSON that line-oriented spark.read.json would reject
+    val dir = Files.createTempDirectory("graft-etl-pretty").toString
+    val pretty = envelope("PL0000000000000000000002", "2024-02-01T00:00:00", Seq(
+      track("T99", "pretty", 42, "A9", "album nine", "2022",
+        Seq("R9" -> "artist nine"), "2024-01-31T00:00:00")))
+      .replace("{", "{\n  ").replace(",\"", ",\n  \"")
+    Files.writeString(Paths.get(dir, "playlist_pretty.json"), pretty)
+    val star2 = Normalize.normalize(
+      Normalize.readRaw(spark, dir, multiLine = true),
+      transformedAt = lit("2024-02-02T00:00:00").cast("timestamp"))
+    assert(star2.songs.select("song_id").collect().map(_.getString(0)).toSeq == Seq("T99"))
+    assert(star2.albums.count() == 1 && star2.artists.count() == 1)
+  }
+
+  test("CSV interchange round-trip: the reference's table format preserves the star schema") {
+    // the reference's transform stage emits CSV per table; parquet is
+    // the engine-native layer, CSV the interchange twin — a write/read
+    // round-trip with explicit schema must be lossless for these types
+    val dir = Files.createTempDirectory("graft-etl-csv").toString
+    star.songs.write.option("header", "true").mode("overwrite").csv(s"$dir/song_data")
+    val back = spark.read.option("header", "true").schema(star.songs.schema)
+      .csv(s"$dir/song_data")
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select("song_id", "popularity", "album_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(key(back) == key(star.songs))
+  }
+
   test("star-schema sink: three table dirs with the loaded_at audit column") {
     val base = Files.createTempDirectory("graft-star").toString
     Sinks.writeStarSchema(star, base, lit("2024-01-04T00:00:00").cast("timestamp"))
