@@ -140,7 +140,7 @@ object Normalize {
         col("extracted_at"))
         .na.drop(cols = Seq("song_id")),
       "song_id", tieBreak = Seq("added_at", "album_id", "popularity",
-        "duration_ms", "song_name", "artist_id"))
+        "duration_ms", "song_name", "artist_id", "song_url"))
       .withColumn("transformed_at", transformedAt)
 
     // Album dimension: struct flatten (N2) via `.*` expansion.
@@ -152,7 +152,7 @@ object Normalize {
         .drop("external_urls")
         .na.drop(cols = Seq("album_id")),
       "album_id", tieBreak = Seq("album_name", "release_date", "total_tracks",
-        "album_type", "label"))
+        "album_type", "label", "album_url"))
       .withColumn("transformed_at", transformedAt)
 
     // Artist dimension: full artists[] explode (N1) — every artist,

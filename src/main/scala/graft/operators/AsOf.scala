@@ -17,11 +17,21 @@ import org.apache.spark.sql.functions._
   * the shape that survives 100 TB: state per key is a single carried
   * value, and skewed keys salt like any other window.
   *
+  * Semantics match SQL ASOF (DuckDB-verified by q22's oracle):
+  *   - right rows with NULL time can never satisfy `left >= right` and
+  *     are dropped up front (left in the window they would sort first
+  *     and fabricate matches);
+  *   - left rows with NULL time get a NULL match (they sort before all
+  *     timed rows, where nothing has carried yet);
+  *   - the payload carries as ONE struct, so a legitimately-NULL field
+  *     in the matched right row stays NULL instead of resurrecting a
+  *     stale value from an older row (per-column carry would also mix
+  *     fields from different right rows);
+  *   - ties left-time == right-time match (inclusive; right rows sort
+  *     before left rows at equal time).
+  *
   * Right rows must be unique per (key, time) — pre-aggregate to pick a
-  * deterministic winner (e.g. max id) or the match would be
-  * plan-dependent. Ties left-time == right-time match (inclusive, the
-  * standard ASOF >= semantics; right rows sort before left rows at
-  * equal time).
+  * deterministic winner (e.g. max id) or the match is plan-dependent.
   */
 object AsOf {
 
@@ -36,24 +46,32 @@ object AsOf {
   def joinAsOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, payload: Seq[String],
       leftId: String): DataFrame = {
+    val collisions = payload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"payload columns collide with left columns: ${collisions.mkString(", ")}")
+    require(rightTime != key, "rightTime must be a distinct column from the key")
+
     val leftCols = left.columns
-    val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
-    val r = right.withColumnRenamed(key, "__rk")
-      .withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
-      .withColumnRenamed("__rk", key)
-    // align schemas: each side gets the other's columns as typed nulls
-    val lAligned = payload.foldLeft(l)((df, c) =>
-      df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+    val r = right.filter(col(rightTime).isNotNull)
+      .select(col(key), col(rightTime).as("__t"),
+        struct(payload.map(col): _*).as("__match"))
+      .withColumn("__side", lit(0))
+    val matchType = r.schema("__match").dataType
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__match", lit(null).cast(matchType))
     val rAligned = leftCols.filterNot(_ == key).foldLeft(r)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val cols = (Seq(key, "__t", "__side") ++ leftCols.filterNot(_ == key) ++ payload)
-      .distinct.map(col)
-    val unioned = lAligned.select(cols: _*).unionByName(rAligned.select(cols: _*))
+    val cols = (Seq(key, "__t", "__side", "__match") ++ leftCols.filterNot(_ == key)).map(col)
+    val unioned = l.select(cols: _*).unionByName(rAligned.select(cols: _*))
     val w = Window.partitionBy(key)
-      .orderBy(col("__t").asc, col("__side").asc, col(leftId).asc_nulls_first)
+      .orderBy(col("__t").asc_nulls_first, col("__side").asc, col(leftId).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    carried.filter(col("__side") === 1).drop("__t", "__side")
+    val carried = unioned
+      .withColumn("__match", last(col("__match"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    payload.foldLeft(carried)((df, c) => df.withColumn(c, col("__match").getField(c)))
+      .drop("__t", "__side", "__match")
   }
 }

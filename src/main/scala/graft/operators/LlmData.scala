@@ -61,18 +61,17 @@ object LlmData {
   /** Signature tables are persisted and re-read by several join sides;
     * memoize the built DataFrame per (session, query, sfDir) so
     * repeated invocations in one session reuse the same cache entry
-    * instead of stacking a new persisted copy per call. Keyed weakly
-    * by session: a DataFrame is bound to the session that built it, so
-    * a recreated session must rebuild (and a stopped session's entry
-    * must not pin its memory). */
+    * instead of stacking a new persisted copy per call. Entries of
+    * STOPPED sessions are purged on every access — a cached DataFrame
+    * strongly references its session, so weak keys alone would never
+    * evict (the value pins the key). */
   private val memo =
-    new java.util.WeakHashMap[SparkSession, TrieMap[(String, String), DataFrame]]
+    new java.util.HashMap[SparkSession, TrieMap[(String, String), DataFrame]]
   private def memoized(s: SparkSession, key: String, dir: String)
       (build: => DataFrame): DataFrame = {
     val perSession = memo.synchronized {
-      val m = memo.get(s)
-      if (m != null) m
-      else { val fresh = TrieMap.empty[(String, String), DataFrame]; memo.put(s, fresh); fresh }
+      memo.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
+      memo.computeIfAbsent(s, _ => TrieMap.empty[(String, String), DataFrame])
     }
     perSession.getOrElseUpdate((key, dir), build)
   }

@@ -152,12 +152,12 @@ object Relational {
         val cut = lit("2024-01-15").cast("timestamp")
         val w = Window.partitionBy("user_id", "k")
         // NULL keys: the window groups NULLs together, but SQL equality
-        // (the oracle's NOT EXISTS o.k = e.k) never matches NULL — a
-        // null-k row has no prior sighting by definition and is kept
-        // regardless of its null-group's min_ts
+        // (the oracle's NOT EXISTS on user_id AND k) never matches a
+        // NULL in EITHER column — such a row has no prior sighting by
+        // definition and is kept regardless of its null-group's min_ts
         e.withColumn("min_ts", min("ts").over(w))
           .filter(col("ts") >= cut &&
-            (col("k").isNull || col("min_ts") >= cut))
+            (col("k").isNull || col("user_id").isNull || col("min_ts") >= cut))
           .select("event_id", "ts", "user_id", "event_type", "value", "k")
           .orderBy("event_id")
       },

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Skew mitigation by key salting (SURVEY.md §2 scale notes: "skewed
   * keys → salting or AQE skew-join").
@@ -14,6 +15,21 @@ import org.apache.spark.sql.functions._
   * times — the classic space-for-balance trade.
   */
 object Skew {
+
+  /** Columns usable as xxhash64 input: map types (at any nesting) are
+    * unhashable without a legacy flag, so they are excluded from the
+    * salt. Falls back to a constant (no spreading, still correct) in
+    * the degenerate all-map schema. */
+  private def hashableCols(df: DataFrame): Seq[Column] = {
+    def ok(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case ArrayType(et, _) => ok(et)
+      case st: StructType => st.fields.forall(f => ok(f.dataType))
+      case _ => true
+    }
+    val cs = df.schema.fields.toSeq.filter(f => ok(f.dataType)).map(f => col(f.name))
+    if (cs.isEmpty) Seq(lit(0L)) else cs
+  }
 
   /** Equi-join `fact ⋈ dim` on `key`, with the fact side salted and the
     * dim side replicated per salt. Result is row-identical to the
@@ -31,7 +47,7 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col): _*), lit(salts.toLong)))
+      pmod(xxhash64(hashableCols(fact): _*), lit(salts.toLong)))
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
@@ -49,7 +65,7 @@ object Skew {
       salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
     df.withColumn("__salt",
-        pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
+        pmod(xxhash64(hashableCols(df): _*), lit(salts.toLong)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))
