@@ -492,6 +492,52 @@ object Relational {
              |FROM events e ASOF LEFT JOIN o
              |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
              |ORDER BY event_id""".stripMargin),
-      "as-of join via union + window carry-forward; one shuffle, no range explode")
+      "as-of join via union + window carry-forward; one shuffle, no range explode"),
+
+    // ── Salted aggregation under the oracle (skew-mitigation twin) ────
+    // Same results as a direct groupBy — the salt exists purely to
+    // spread a hot key over (key, salt) reducers; the oracle is the
+    // plain aggregation. l_quantity is integer-valued, so the two-phase
+    // double sum is exact under any partial order.
+    "q23_salted_agg" -> Q(
+      (s, dir) => Skew.saltedSumCount(
+          t(s, dir, "lineitem")
+            .select(col("l_returnflag").as("key"), col("l_quantity").as("v")),
+          "key", "v", salts = 8)
+        .orderBy("key"),
+      Some("""SELECT l_returnflag AS key, sum(l_quantity) AS sum_v, count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin),
+      "two-phase salted aggregation == direct groupBy; hot keys spread over 8 reducers"),
+
+    // ── Event-time session windows (gap = 30 minutes) ─────────────────
+    // Spark's session_window closes a session when the next event's gap
+    // is >= the duration; the DuckDB twin is the classic
+    // gaps-and-islands (lag + cumulative session counter) with the
+    // matching >= boundary. Streaming-capable: the identical expression
+    // works under readStream with a watermark.
+    "q24_session_windows" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH x AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |              >= INTERVAL '30 minutes'
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events),
+             |y AS (SELECT *, sum(new_s) OVER (
+             |        PARTITION BY user_id ORDER BY ts, event_id
+             |        ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM x)
+             |SELECT user_id, min(ts) AS session_start, count(*) AS n,
+             |       sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+             |FROM y GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin),
+      "session_window event-time sessionization; oracle = gaps-and-islands")
   )
 }
