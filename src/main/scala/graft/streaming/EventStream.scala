@@ -72,6 +72,27 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming twin of q24: event-time session windows (30-min gap)
+    * per user. Same aggregation expressions as the batch query, so the
+    * oracle-checked math carries over; complete-mode foreachBatch
+    * snapshots like hourlyRollup. */
+  def sessionRollup(spark: SparkSession, srcDir: String, checkpointDir: String,
+      outDir: String): StreamingQuery =
+    readEvents(spark, srcDir, archiveDir = None)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n"), col("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Per-user running state carried in the state store. */
   final case class UserState(count: Long, lastTsMicros: Long)
   final case class UserSummary(user_id: Long, n_events: Long, last_seen_micros: Long)

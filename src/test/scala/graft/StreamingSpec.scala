@@ -67,6 +67,18 @@ class StreamingSpec extends SparkSpec {
     assert(afterSecond == perUserBatch.map { case (k, v) => k -> v * 2 })
   }
 
+  test("session rollup equals the q24 batch twin") {
+    val src = tmp("sess-src"); val out = tmp("sess-out"); val ckpt = tmp("sess-ckpt")
+    Files.copy(eventsFile, Paths.get(src, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    EventStream.sessionRollup(spark, src, ckpt, out).awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val batch = SparkEntry.queries("q24_session_windows")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("hourly rollup equals the q19 batch twin") {
     val src = tmp("rollup-src"); val out = tmp("rollup-out"); val ckpt = tmp("rollup-ckpt")
     Files.copy(eventsFile, Paths.get(src, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
