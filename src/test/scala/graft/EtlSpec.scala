@@ -160,6 +160,47 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("the reference's published SQL runs unchanged on the normalized star schema") {
+    // README.md:207-255 — the analytics/monitoring surface a reference
+    // user runs today, verbatim modulo table names, against OUR
+    // pipeline's output registered as views
+    star.songs.createOrReplaceTempView("tblSongs")
+    star.albums.createOrReplaceTempView("tblAlbum")
+    star.artists.createOrReplaceTempView("tblArtist")
+
+    // "Most Popular Songs" (README.md:234-244)
+    val top = spark.sql("""
+      SELECT s.song_name, ar.artist_name, al.album_name, s.popularity
+      FROM tblSongs s
+      JOIN tblArtist ar ON s.artist_id = ar.artist_id
+      JOIN tblAlbum al ON s.album_id = al.album_id
+      ORDER BY s.popularity DESC LIMIT 10""").collect()
+    assert(top.nonEmpty && top.head.getAs[Long]("popularity") == 80L) // T05
+    assert(top.map(_.getAs[Long]("popularity")).toSeq ==
+      top.map(_.getAs[Long]("popularity")).toSeq.sorted.reverse)
+
+    // Row-count health check (README.md:207-212)
+    val counts = spark.sql("""
+      SELECT 'Songs' AS tbl, COUNT(*) AS n FROM tblSongs UNION ALL
+      SELECT 'Albums', COUNT(*) FROM tblAlbum UNION ALL
+      SELECT 'Artists', COUNT(*) FROM tblArtist""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("Songs" -> 5L, "Albums" -> 3L, "Artists" -> 3L))
+
+    // Freshness (README.md:215)
+    val fresh = spark.sql("SELECT MAX(transformed_at) AS m FROM tblSongs").collect()(0)
+    assert(!fresh.isNullAt(0))
+
+    // Album-type distribution with % of total (README.md:249-255)
+    val dist = spark.sql("""
+      SELECT al.album_type, COUNT(*) AS n,
+             ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 2) AS percentage
+      FROM tblSongs s JOIN tblAlbum al ON s.album_id = al.album_id
+      GROUP BY al.album_type""").collect()
+    // SQL decimal literals make the percentage a DecimalType column
+    assert(math.abs(dist.map(_.getDecimal(2).doubleValue).sum - 100.0) < 0.1)
+  }
+
   test("sinks: staged paths, dead-letter, logs, archive") {
     val base = Files.createTempDirectory("graft-io").toString
     // staged JSON doc sink (S5/S6)
