@@ -29,4 +29,11 @@ object Rounding {
     val f = ("1" + "0" * digits) + ".0"
     s"floor(($sqlExpr) * $f + 0.5) / $f"
   }
+
+  /** Exact order-independent sum for 2-decimal monetary doubles:
+    * sum(round(x*100) as long) / 100.0. ONE definition shared by every
+    * batch query and its streaming twin — the batch/stream equality
+    * tests rely on the expressions being literally the same. */
+  def sumCents(c: Column): Column =
+    sum(round(c * 100, 0).cast("long")) / 100.0
 }

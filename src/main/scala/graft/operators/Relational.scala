@@ -28,10 +28,8 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** sum(round(expr*100) as long)/100.0 — exact, order-independent sum
-    * for 2-decimal monetary doubles. */
-  private def sumCents(c: Column): Column =
-    sum(round(c * 100, 0).cast("long")) / 100.0
+  /** Shared exact cents sum (graft.functions.Rounding.sumCents). */
+  private def sumCents(c: Column): Column = graft.functions.Rounding.sumCents(c)
 
   val queries: Map[String, Q] = Map(
 
@@ -373,7 +371,7 @@ object Relational {
       (s, dir) => Tables.eventsSince(s, dir, "2024-01-23T00:00:00Z")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
+          sumCents(col("value")).as("sum_value"))
         .orderBy("event_type"),
       Some("""SELECT event_type, count(*) AS n,
              |  sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
@@ -416,7 +414,7 @@ object Relational {
       (s, dir) => t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"))
         .agg(count(lit(1)).as("n"),
-          (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
+          sumCents(col("value")).as("sum_value"))
         .select(col("w.start").as("hour_start"), col("n"), col("sum_value"))
         .orderBy("hour_start"),
       Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
@@ -510,16 +508,17 @@ object Relational {
       "two-phase salted aggregation == direct groupBy; hot keys spread over 8 reducers"),
 
     // ── Event-time session windows (gap = 30 minutes) ─────────────────
-    // Spark's session_window closes a session when the next event's gap
-    // is >= the duration; the DuckDB twin is the classic
-    // gaps-and-islands (lag + cumulative session counter) with the
-    // matching >= boundary. Streaming-capable: the identical expression
-    // works under readStream with a watermark.
+    // Spark's session_window MERGES an event arriving exactly at the
+    // session end (new session only when the gap EXCEEDS the duration
+    // — verified empirically on this Spark build); the DuckDB twin is
+    // the classic gaps-and-islands (lag + cumulative session counter)
+    // with the matching strict > boundary. Streaming twin:
+    // EventStream.sessionRollup (same expressions).
     "q24_session_windows" -> Q(
       (s, dir) => t(s, dir, "events")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n"),
-          (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
+          sumCents(col("value")).as("sum_value"))
         .select(col("user_id"), col("w.start").as("session_start"),
           col("n"), col("sum_value"))
         .orderBy("user_id", "session_start"),
@@ -527,7 +526,7 @@ object Relational {
              |  SELECT user_id, event_id, ts, value,
              |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             |              >= INTERVAL '30 minutes'
+             |              > INTERVAL '30 minutes'
              |         THEN 1 ELSE 0 END AS new_s
              |  FROM events),
              |y AS (SELECT *, sum(new_s) OVER (

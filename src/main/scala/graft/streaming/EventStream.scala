@@ -52,18 +52,16 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start(outDir)
 
-  /** ST2+ST5: event-time tumbling hourly rollup — the streaming twin
-    * of q19 (identical agg expressions, so the batch oracle checks the
-    * same math). Complete-mode foreachBatch overwrite keeps the sink a
-    * consistent snapshot per trigger — idempotent under retries. */
-  def hourlyRollup(spark: SparkSession, srcDir: String, checkpointDir: String,
+  /** Complete-mode snapshot sink shared by the rollups: foreachBatch
+    * overwrite keeps the output a consistent per-trigger snapshot —
+    * idempotent under retries. Complete mode retains all aggregation
+    * state; fine for the AvailableNow drain-and-stop cadence these
+    * rollups target, UNBOUNDED under a long-running trigger (a
+    * production continuous run would switch to append mode behind a
+    * watermark). */
+  private def snapshotTo(df: DataFrame, checkpointDir: String,
       outDir: String): StreamingQuery =
-    readEvents(spark, srcDir, archiveDir = None)
-      .groupBy(window(col("ts"), "1 hour").as("w"))
-      .agg(count(lit(1)).as("n"),
-        (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
-      .select(col("w.start").as("hour_start"), col("n"), col("sum_value"))
-      .writeStream
+    df.writeStream
       .outputMode("complete")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("overwrite").parquet(outDir)
@@ -72,26 +70,32 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** ST2+ST5: event-time tumbling hourly rollup — the streaming twin
+    * of q19. The cents-sum is the ONE shared definition
+    * (Rounding.sumCents), so the batch oracle checks the same math. */
+  def hourlyRollup(spark: SparkSession, srcDir: String, checkpointDir: String,
+      outDir: String): StreamingQuery =
+    snapshotTo(
+      readEvents(spark, srcDir, archiveDir = None)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Rounding.sumCents(col("value")).as("sum_value"))
+        .select(col("w.start").as("hour_start"), col("n"), col("sum_value")),
+      checkpointDir, outDir)
+
   /** Streaming twin of q24: event-time session windows (30-min gap)
-    * per user. Same aggregation expressions as the batch query, so the
-    * oracle-checked math carries over; complete-mode foreachBatch
-    * snapshots like hourlyRollup. */
+    * per user, same shared agg expressions as the oracle-checked batch
+    * query. */
   def sessionRollup(spark: SparkSession, srcDir: String, checkpointDir: String,
       outDir: String): StreamingQuery =
-    readEvents(spark, srcDir, archiveDir = None)
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-      .agg(count(lit(1)).as("n"),
-        (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
-      .select(col("user_id"), col("w.start").as("session_start"),
-        col("n"), col("sum_value"))
-      .writeStream
-      .outputMode("complete")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(outDir)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    snapshotTo(
+      readEvents(spark, srcDir, archiveDir = None)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Rounding.sumCents(col("value")).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n"), col("sum_value")),
+      checkpointDir, outDir)
 
   /** Per-user running state carried in the state store. */
   final case class UserState(count: Long, lastTsMicros: Long)
