@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's stdout for a raw `{"metric":...}` line.
+// Without this, sbt routes forked-process output through its logger and
+// prefixes every line with "[info] " — which is exactly why BENCH_r01/r02
+// recorded parsed:null. StdoutOutput passes the child's stdout through
+// untouched.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

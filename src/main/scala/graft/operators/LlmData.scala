@@ -73,7 +73,22 @@ object LlmData {
       memo.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
       memo.computeIfAbsent(s, _ => TrieMap.empty[(String, String), DataFrame])
     }
-    perSession.getOrElseUpdate((key, dir), build)
+    // compute-if-absent under the per-session lock: TrieMap's bare
+    // getOrElseUpdate can run `build` (which persists) twice under
+    // concurrent first access, leaking one never-unpersisted copy
+    perSession.synchronized {
+      perSession.getOrElseUpdate((key, dir), build)
+    }
+  }
+
+  /** Unpersist and drop every DataFrame memoized for session `s`.
+    * Bench calls this between queries so one query's persisted
+    * signature table can't pressure the next query's measurement; any
+    * long-lived session embedding these operators can use it as the
+    * explicit cache-release hook. */
+  def clearMemo(s: SparkSession): Unit = {
+    val perSession = memo.synchronized(Option(memo.remove(s)))
+    perSession.foreach(_.values.foreach(_.unpersist(blocking = false)))
   }
 
   /** (doc_id, sh): distinct 3-shingle sets for every document with >= 3
@@ -309,9 +324,11 @@ object LlmData {
           percentile(col("n_chars"), lit(0.5)).as("median_chars"),
           countDistinct("source").as("n_sources"))
         .orderBy("lang"),
+      // CAST(sum() AS BIGINT): DuckDB widens integer sums to HUGEINT
+      // (INT128), which fails the driver's type-sensitive hash gate
       Some(s"""SELECT lang, count(*) AS n_docs,
-              |  sum(len(string_split(text, ' '))) AS total_tokens,
-              |  sum(n_chars) AS total_chars,
+              |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+              |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
               |  ${duckRound("sum(n_chars) * 1.0 / count(*)", 4)} AS avg_chars,
               |  quantile_cont(n_chars, 0.5) AS median_chars,
               |  count(DISTINCT source) AS n_sources

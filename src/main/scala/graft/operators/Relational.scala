@@ -242,8 +242,10 @@ object Relational {
         .groupBy("event_type")
         .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
         .orderBy("event_type"),
+      // outer CAST: DuckDB widens sum(BIGINT) to HUGEINT (INT128); the
+      // driver's gate hashes column *types* too, so match Spark's long
       Some("""SELECT event_type,
-             |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |       count(*) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       "from_json(declared schema) — integer sums, exact"),
