@@ -13,6 +13,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Session warmup: absorb the one-time init (executor threads, first
+    // parquet footer read, codegen bootstrap, noop-sink lookup) that
+    // otherwise lands entirely on whichever query happens to run first
+    // and makes its number non-data-proportional.
+    spark.read.schema(sources.Tables.schemas("region"))
+      .parquet(s"$sfDir/region.parquet")
+      .write.format("noop").mode("overwrite").save()
     // Write to the built-in noop sink so every column is materialized:
     // a bare count() lets Catalyst prune unreferenced projections and
     // under-measures scalar-heavy queries.

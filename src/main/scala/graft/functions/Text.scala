@@ -195,10 +195,51 @@ object Text {
   /** Rotate-XOR rolling hash over the token stream (order-sensitive
     * document identity): acc' = rotl(acc, 5) XOR xxhash64(token).
     * Pure bitwise ops — no overflow under ANSI mode, deterministic
-    * across runs. Not oracle-checked (no portable 64-bit hash twin);
-    * unit tests assert determinism and order sensitivity.
+    * across runs. Fast path (xxhash64 has no portable twin); the
+    * oracle-checked variant is rollingHashPortable.
     */
   def rollingHash(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) =>
       shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(xxhash64(t)))
+
+  /** Modulus for the portable rolling hash: 2^40. Keeps every
+    * intermediate `acc*31 + h` under 2^45 — overflow-free in Spark
+    * ANSI mode and in DuckDB BIGINT arithmetic. */
+  val RollingMod: Long = 1L << 40
+
+  /** Portable order-sensitive rolling fingerprint: the classic
+    * polynomial hash `acc' = (acc*31 + h) mod 2^40` over per-token md5
+    * hashes. A sequential left fold, so the DuckDB twin is
+    * `list_reduce(list_prepend(0, hashes), (acc,h) -> (acc*31+h) % m)`
+    * — bit-identical on both engines.
+    */
+  def rollingHashPortable(toks: Column): Column =
+    aggregate(
+      transform(toks, t =>
+        conv(substring(md5(t), 1, 15), 16, 10).cast("long") % RollingMod),
+      lit(0L), (acc, h) => (acc * 31 + h) % RollingMod)
+
+  // ── native kernel fast paths (registered by GraftExtensions) ───────
+  // Same values as the HOF formulations above (NativeKernelSpec
+  // cross-checks), but evaluated as one generated loop per row instead
+  // of interpreted lambda dispatch per element — the difference is the
+  // dominant cost of the dedup queries at bench scale.
+
+  /** Native twin of shingles(toks, n). */
+  def shinglesNative(toks: Column, n: Int = 3): Column =
+    call_function("graft_shingles", toks, lit(n))
+
+  /** Native twin of tokenHashesPortable (mod > 0) or of the raw
+    * 60-bit md5 feature hash (mod = 0, simhash60's input). */
+  def md5LongsNative(sh: Column, mod: Long): Column =
+    call_function("graft_md5_longs", sh, lit(mod))
+
+  /** Native twin of minhashFromHashes. */
+  def minhashNative(hs: Column, numHashes: Int): Column =
+    call_function("graft_minhash", hs, lit(numHashes))
+
+  /** Native twin of simhashOf over precomputed feature hashes;
+    * simhash60 == simhashNative(md5LongsNative(sh, 0), 60). */
+  def simhashNative(hs: Column, bits: Int): Column =
+    call_function("graft_simhash", hs, lit(bits))
 }

@@ -108,7 +108,7 @@ object LlmData {
       .select(col("doc_id"), col("text"))
       .repartition(col("doc_id"))
       .withColumn("tk", Text.tokens(col("text")))
-      .withColumn("sh", Text.shingles(col("tk")))
+      .withColumn("sh", Text.shinglesNative(col("tk")))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
 
@@ -135,7 +135,7 @@ object LlmData {
         val w = Window.partitionBy("fp").orderBy("doc_id")
         t(s, dir, "documents")
           .withColumn("tk", Text.tokens(col("text")))
-          .withColumn("sh", Text.shingles(col("tk")))
+          .withColumn("sh", Text.shinglesNative(col("tk")))
           .filter(size(col("sh")) > 0)
           .withColumn("fp", Text.contentFingerprint(col("sh")))
           .withColumn("rn", row_number().over(w))
@@ -167,10 +167,10 @@ object LlmData {
         // does at real scale).
         val d = memoized(s, "x22-hashes", dir) {
           shingled(s, dir)
-            .withColumn("hs", Text.tokenHashesPortable(col("sh")))
+            .withColumn("hs", Text.md5LongsNative(col("sh"), Text.MinhashMod))
             .persist()
         }
-        val sig = d.select(col("doc_id"), Text.minhashFromHashes(col("hs"), 16).as("sig"))
+        val sig = d.select(col("doc_id"), Text.minhashNative(col("hs"), 16).as("sig"))
         val bands = sig.select(col("doc_id"), explode(Text.bandKeysMd5(col("sig"), 4, 4)).as("bk"))
         val cand = bands.as("a").join(bands.as("b"),
             col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
@@ -226,7 +226,9 @@ object LlmData {
         // across cores by the repartition inside shingled().
         val d = shingled(s, dir)
         val f = memoized(s, "x23-simhash", dir) {
-          d.select(col("doc_id"), Text.simhash60(col("sh")).as("fp")).persist()
+          d.select(col("doc_id"),
+            Text.simhashNative(Text.md5LongsNative(col("sh"), 0L), 60).as("fp"))
+            .persist()
         }
         val chunks = f.select(col("doc_id"), col("fp"),
           posexplode(Text.simhashChunks(col("fp"), chunks = 6, chunkBits = 10)).as(Seq("pos", "chunk")))
@@ -411,15 +413,23 @@ object LlmData {
       "whitespace + BPE-ish regex token-class counts (ASCII classes, dialect-portable)"),
 
     // ── X4e: order-sensitive document fingerprint (rolling hash) ──────
-    // No oracle: the wrap-around 64-bit product has no DuckDB twin
-    // (BIGINT overflow raises there). Driver records rows-only; unit
-    // tests assert determinism and order sensitivity.
+    // Polynomial rolling hash mod 2^40 over per-token md5 hashes: a
+    // sequential left fold, so DuckDB's list_reduce (seeded via
+    // list_prepend) computes the identical value and the query is
+    // fully oracle-checked. The xxhash64 rotate-XOR fast path
+    // (Text.rollingHash) keeps the same shape; unit tests cover it.
     "x30_fingerprint_rolling" -> Q(
       (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"), Text.rollingHash(Text.tokens(col("text"))).as("fp"))
+        .select(col("doc_id"),
+          Text.rollingHashPortable(Text.tokens(col("text"))).as("fp"))
         .orderBy("doc_id"),
-      None,
-      "rotate-XOR rolling fingerprint (rotl-5 + xxhash64); order-sensitive identity"),
+      Some(s"""SELECT doc_id,
+              |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |    list_transform(string_split(text, ' '),
+              |      t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % ${Text.RollingMod})),
+              |    (acc, h) -> (acc * 31 + h) % ${Text.RollingMod}) AS fp
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      "order-sensitive polynomial rolling fingerprint; left fold == DuckDB list_reduce"),
 
     // ── X3c: embedding-cosine near-dup — bucketed pair ranking ────────
     // Sign-LSH self-join (equality on the 6-bit bucket key — the pair

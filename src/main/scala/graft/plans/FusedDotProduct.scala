@@ -91,20 +91,65 @@ case class FusedDotProduct(left: Expression, right: Expression)
   * Bench/test session builders via `spark.sql.extensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def requireArity(name: String, children: Seq[Expression], n: Int): Unit =
+    if (children.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> n.toString,
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  /** The width/mod arguments parameterize generated code, so they must
+    * be literals, not data-dependent columns. */
+  private def litLong(name: String, e: Expression): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case other => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map(
+        "funcName" -> s"`$name`",
+        "paramName" -> "`width`",
+        "paramType" -> "\"INT\""))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FusedDotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => {
-        if (children.length != 2)
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            messageParameters = Map(
-              "functionName" -> "graft_dot",
-              "expectedNum" -> "2",
-              "actualNum" -> children.length.toString,
-              "docroot" -> "https://spark.apache.org/docs/latest"))
+        requireArity("graft_dot", children, 2)
         FusedDotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSlots].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        requireArity("graft_minhash", children, 2)
+        MinHashSlots(children.head, litLong("graft_minhash", children(1)).toInt)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashBits].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        requireArity("graft_simhash", children, 2)
+        SimHashBits(children.head, litLong("graft_simhash", children(1)).toInt)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        requireArity("graft_shingles", children, 2)
+        ShingleArray(children.head, litLong("graft_shingles", children(1)).toInt)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_md5_longs"),
+      new ExpressionInfo(classOf[Md5Longs].getName, "graft_md5_longs"),
+      (children: Seq[Expression]) => {
+        requireArity("graft_md5_longs", children, 2)
+        Md5Longs(children.head, litLong("graft_md5_longs", children(1)))
       }))
   }
 }
