@@ -431,6 +431,59 @@ object LlmData {
               |FROM documents ORDER BY doc_id""".stripMargin),
       "order-sensitive polynomial rolling fingerprint; left fold == DuckDB list_reduce"),
 
+    // ── X3d: IVF-style ANN — coarse quantizer + single-list probe ─────
+    // The inverted-file shape: K centroid vectors (here the first 16
+    // embeddings — a fixed coarse quantizer; k-means would refine them
+    // but the plan shape is identical) are COLLECTED to the driver and
+    // baked into the plan as a literal array. Every vector's nearest-
+    // centroid assignment is then a map-side argmax over that literal —
+    // no join, no shuffle, no N×K blowup — and the probe scans only the
+    // query's list before a TakeOrderedAndProject top-k. At 100 TB the
+    // collect is bounded by K (16 rows), never by data: this is the
+    // legitimate driver-side step, same as broadcasting a dim table.
+    // Approximate by construction (single-probe recall < 1); the oracle
+    // replicates the identical pipeline, so the check is exact.
+    "x34_ann_ivf" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id").between(1, 16))
+          .select(col("vec_id"), col("embedding")).collect()
+          .sortBy(_.getLong(0))
+        val cArr = array(cents.map { r =>
+          struct(lit(r.getLong(0)).as("cid"),
+            typedlit(r.getSeq[Float](1)).as("ce"))
+        }: _*)
+        // argmax via array_max on struct(cos, cid): lexicographic max =
+        // highest cosine, ties to the largest cid — mirrored in the
+        // oracle's ORDER BY ccos DESC, cid DESC
+        val best = array_max(transform(cArr,
+          c => struct(cosine6(col("embedding"), c.getField("ce")).as("ccos"),
+            c.getField("cid").as("cid"))))
+        val assigned = e
+          .withColumn("cid", best.getField("cid"))
+        val q = assigned.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"), col("cid").as("qcid"))
+        assigned.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), col("cid") === col("qcid"))
+          .select(col("vec_id"), cosine6(col("embedding"), col("qe")).as("cos"))
+          .orderBy(desc("cos"), asc("vec_id"))
+          .limit(5)
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce
+              |          FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+              |a AS (SELECT e.vec_id, e.embedding, c.cid,
+              |        ${duckRound(duckCosine("e.embedding", "c.ce"), 6)} AS ccos
+              |      FROM embeddings e CROSS JOIN c),
+              |best AS (SELECT vec_id, embedding, cid FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY vec_id ORDER BY ccos DESC, cid DESC) AS rn
+              |    FROM a) WHERE rn = 1),
+              |q AS (SELECT embedding AS qe, cid AS qcid FROM best WHERE vec_id = 0)
+              |SELECT vec_id, ${duckRound(duckCosine("embedding", "qe"), 6)} AS cos
+              |FROM best, q WHERE cid = qcid AND vec_id <> 0
+              |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin),
+      "IVF ANN: literal coarse quantizer, map-side list assignment (zero-shuffle), single-list probe"),
+
     // ── X3c: embedding-cosine near-dup — bucketed pair ranking ────────
     // Sign-LSH self-join (equality on the 6-bit bucket key — the pair
     // generator is never all-pairs), exact cosine inside the bucket,

@@ -336,8 +336,13 @@ object Relational {
             col("ts") < lit("2024-01-05").cast("timestamp"))
           .select("user_id").distinct()
         // null-safe equality (<=>): EXCEPT subtracts a NULL key present
-        // on both sides; a plain equality anti-join would keep it
-        a.join(b, a("user_id") <=> b("user_id"), "left_anti")
+        // on both sides; a plain equality anti-join would keep it.
+        // Explicit aliases: both sides descend from the same scan, and
+        // self-join column resolution by df("col") logs a trivially-
+        // true-predicate warning even though dataframe-id tagging
+        // disambiguates it.
+        a.as("exa").join(b.as("exb"),
+            col("exa.user_id") <=> col("exb.user_id"), "left_anti")
           .orderBy("user_id")
       },
       Some("""SELECT DISTINCT user_id FROM events
