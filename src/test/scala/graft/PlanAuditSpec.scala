@@ -63,4 +63,21 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("x22_minhash_lsh_pairs")
     assert(!p.contains("CartesianProduct"), "LSH must never plan all-pairs")
   }
+
+  test("x22/x23: signature math runs on the native kernels") {
+    assert(plan("x22_minhash_lsh_pairs").contains("graft_minhash"),
+      "minhash slots must use the codegen'd kernel, not interpreted HOF lambdas")
+    assert(plan("x23_simhash_neardup").contains("graft_simhash"),
+      "simhash votes must use the codegen'd kernel")
+  }
+
+  test("x34: IVF list assignment is map-side — no exchange before the probe join") {
+    val p = plan("x34_ann_ivf")
+    // the only acceptable exchange is the single-row broadcast of the
+    // query vector; assignment over the literal quantizer must not
+    // shuffle the embeddings side
+    assert(!p.contains("SortMergeJoin"), "probe must broadcast, never sort-merge")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
