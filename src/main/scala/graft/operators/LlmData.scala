@@ -112,6 +112,29 @@ object LlmData {
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
 
+  /** SimHash near-dup pairs (doc_a < doc_b, hamming <= 5) — the x23
+    * pipeline, shared with x36's cluster resolution. Fingerprints feed
+    * both sides of the chunk self-join: memoize+persist so the 60-bit
+    * vote kernel runs once per document, spread across cores by the
+    * repartition inside shingled(). */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val f = memoized(s, "x23-simhash", dir) {
+      shingled(s, dir).select(col("doc_id"),
+        Text.simhashNative(Text.md5LongsNative(col("sh"), 0L), 60).as("fp"))
+        .persist()
+    }
+    val chunks = f.select(col("doc_id"), col("fp"),
+      posexplode(Text.simhashChunks(col("fp"), chunks = 6, chunkBits = 10)).as(Seq("pos", "chunk")))
+    val cand = chunks.as("a").join(chunks.as("b"),
+        col("a.pos") === col("b.pos") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.fp").as("fa"), col("b.fp").as("fb"))
+      .distinct()
+    cand.withColumn("hamming", Text.hamming(col("fa"), col("fb"), 60))
+      .filter(col("hamming") <= 5)
+  }
+
   // ── the queries ─────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
@@ -220,29 +243,9 @@ object LlmData {
     // complete for the reported distance range — and it is the only
     // pair generator (no all-pairs).
     "x23_simhash_neardup" -> Q(
-      (s, dir) => {
-        // Fingerprints feed both sides of the chunk self-join: persist
-        // so the 60-bit vote fold runs once per document, spread
-        // across cores by the repartition inside shingled().
-        val d = shingled(s, dir)
-        val f = memoized(s, "x23-simhash", dir) {
-          d.select(col("doc_id"),
-            Text.simhashNative(Text.md5LongsNative(col("sh"), 0L), 60).as("fp"))
-            .persist()
-        }
-        val chunks = f.select(col("doc_id"), col("fp"),
-          posexplode(Text.simhashChunks(col("fp"), chunks = 6, chunkBits = 10)).as(Seq("pos", "chunk")))
-        val cand = chunks.as("a").join(chunks.as("b"),
-            col("a.pos") === col("b.pos") && col("a.chunk") === col("b.chunk") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.fp").as("fa"), col("b.fp").as("fb"))
-          .distinct()
-        cand.withColumn("hamming", Text.hamming(col("fa"), col("fb"), 60))
-          .filter(col("hamming") <= 5)
-          .select("doc_a", "doc_b", "hamming")
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) => simhashPairs(s, dir)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b"),
       Some(s"""WITH $duckShingles,
               |feat AS (SELECT doc_id, unnest(sh) AS s FROM shs WHERE len(sh) > 0),
               |h AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM feat),
@@ -264,6 +267,47 @@ object LlmData {
               |FROM cand WHERE bit_count(xor(fa, fb)) <= 5
               |ORDER BY doc_a, doc_b""".stripMargin),
       "SimHash-60 + 6x10-bit chunk blocking (pigeonhole-complete for hamming<=5)"),
+
+    // ── X2c: near-dup cluster resolution (connected components) ──────
+    // Near-duplication is transitive in intent: A~B and B~C must land
+    // in ONE cluster or pairwise survivor-picking over-deletes.
+    // Components.connectedComponents runs distributed min-label
+    // propagation over the SimHash pair graph (x23's generator);
+    // survivor = the cluster's min doc_id. Oracle: DuckDB recursive-
+    // CTE transitive closure over the identical pair SQL.
+    "x36_neardup_components" -> Q(
+      (s, dir) => Components.connectedComponents(
+          simhashPairs(s, dir), "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component"),
+          (col("node") === col("component")).as("is_survivor"))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $duckShingles,
+              |feat AS (SELECT doc_id, unnest(sh) AS s FROM shs WHERE len(sh) > 0),
+              |h AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM feat),
+              |votes AS (SELECT doc_id, j,
+              |            sum(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              |          FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j) GROUP BY doc_id, j),
+              |fp AS (SELECT doc_id, CAST(sum(
+              |          CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END)
+              |        AS BIGINT) AS fp
+              |       FROM votes GROUP BY doc_id),
+              |chunks AS (SELECT doc_id, fp, p AS pos,
+              |             (fp >> (CAST(p AS INTEGER) * 10)) & 1023 AS chunk
+              |           FROM fp CROSS JOIN (SELECT unnest(range(0, 6)) AS p)),
+              |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |          FROM chunks a JOIN chunks b
+              |            ON a.pos = b.pos AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+              |          WHERE bit_count(xor(a.fp, b.fp)) <= 5),
+              |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              |      UNION SELECT doc_b, doc_a FROM pairs),
+              |reach(a, b) AS (
+              |  SELECT a, b FROM e
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+              |SELECT a AS doc_id, least(a, min(b)) AS component,
+              |       a = least(a, min(b)) AS is_survivor
+              |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
+      "dedup clusters: min-label-propagation components over the near-dup pair graph; min-id survivor"),
 
     // ── X3a: brute-force top-k cosine (exact baseline) ────────────────
     // Query vector = vec_id 0, broadcast as a single row; scoring is a

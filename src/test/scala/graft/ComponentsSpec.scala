@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Components
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: (Long, Long)*): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two chains and an isolated edge resolve to min-id components") {
+    val got = cc((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L, 10L -> 8L))
+  }
+
+  test("a path graph longer than one hop converges (propagation, not one-step)") {
+    val edges = (1L until 12L).map(i => (i, i + 1))
+    val got = cc(edges: _*)
+    assert(got.values.toSet == Set(1L))
+    assert(got.keySet == (1L to 12L).toSet)
+  }
+
+  test("cycles terminate and label with the cycle minimum") {
+    val got = cc((4L, 7L), (7L, 9L), (9L, 4L))
+    assert(got == Map(4L -> 4L, 7L -> 4L, 9L -> 4L))
+  }
+
+  test("duplicate and reversed edges don't change the result") {
+    val got = cc((2L, 1L), (1L, 2L), (2L, 1L), (3L, 2L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("component ids are always a member's id (the minimum)") {
+    val got = cc((10L, 20L), (30L, 20L), (40L, 50L))
+    got.foreach { case (_, comp) => assert(got.contains(comp)) }
+    assert(got(10L) == 10L && got(30L) == 10L && got(40L) == 40L)
+  }
+}
