@@ -493,7 +493,7 @@ object LlmData {
         val cents = e.filter(col("vec_id").between(1, 16))
           .select(col("vec_id"), col("embedding")).collect()
           .sortBy(_.getLong(0))
-        val cArr = array(cents.map { r =>
+        val cArr = array(cents.toIndexedSeq.map { r =>
           struct(lit(r.getLong(0)).as("cid"),
             typedlit(r.getSeq[Float](1)).as("ce"))
         }: _*)
@@ -605,6 +605,138 @@ object LlmData {
               |  ${duckRound(s"sqrt(${duckDot("embedding", "embedding")})", 6)} AS emb_norm
               |FROM documents JOIN embeddings ON doc_id = vec_id
               |ORDER BY doc_id""".stripMargin),
-      "doc ⋈ embedding struct bundling; scalar features projected for the oracle")
+      "doc ⋈ embedding struct bundling; scalar features projected for the oracle"),
+
+    // ── X6a: stratified mixture sampling (deterministic hash-mod) ─────
+    // Data-mixture reweighting: each stratum (lang) gets its own keep
+    // rate, membership decided by a content-free hash of the stable
+    // doc_id — reproducible across runs/engines, no RNG state. The
+    // sample predicate is a MAP-SIDE filter (zero shuffle of payloads);
+    // the only shuffle is the tiny per-stratum audit aggregate. Rates
+    // are a literal CASE here; at real scale they'd broadcast-join from
+    // a mixture-config dim table — same plan shape.
+    "x37_stratified_sample" -> Q(
+      (s, dir) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100
+        val rate = when(col("lang") === "en", 50).otherwise(20)
+        t(s, dir, "documents")
+          .withColumn("sampled", bucket < rate)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(when(col("sampled"), lit(1))).as("n_sampled"),
+            pround(count(when(col("sampled"), lit(1))).cast("double") / count(lit(1)), 4)
+              .as("rate_achieved"))
+          .orderBy("lang")
+      },
+      Some(s"""SELECT lang, count(*) AS n_docs,
+              |  count(*) FILTER (WHERE
+              |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+              |      < CASE WHEN lang = 'en' THEN 50 ELSE 20 END) AS n_sampled,
+              |  ${duckRound(
+                   "count(*) FILTER (WHERE " +
+                     "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 " +
+                     "< CASE WHEN lang = 'en' THEN 50 ELSE 20 END) * 1.0 / count(*)", 4)}
+              |    AS rate_achieved
+              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      "per-stratum mixture sampling: deterministic id-hash buckets, map-side keep predicate"),
+
+    // ── X6b: sequence packing into token-budget bins ──────────────────
+    // Context-window packing: within each source shard, documents are
+    // laid out in doc_id order and assigned to the bin their starting
+    // token offset falls in (budget 2048). The running sum is windowed
+    // PER SOURCE — shards pack independently and in parallel, which is
+    // exactly how a 100 TB corpus is packed (per input shard), never a
+    // global sequential scan. Output is the bounded per-bin manifest.
+    "x38_sequence_packing" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .withColumn("bin", floor((col("cum") - col("n_tokens")) / lit(2048)))
+          .groupBy("source", "bin")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("bin_tokens"),
+            min("doc_id").as("first_doc"),
+            max("doc_id").as("last_doc"))
+          .orderBy("source", "bin")
+      },
+      Some("""WITH p AS (
+             |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+             |    sum(len(string_split(text, ' '))) OVER (
+             |      PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM documents)
+             |SELECT source, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM p GROUP BY 1, 2 ORDER BY source, bin""".stripMargin),
+      "token-budget sequence packing: per-shard windowed offsets, parallel across shards"),
+
+    // ── X6c: benchmark decontamination (shingle-overlap flagging) ─────
+    // Eval-set contamination check: a corpus document is flagged when
+    // it shares ANY 3-shingle with the benchmark set (stand-in: every
+    // 50th doc). The benchmark's distinct shingle set is small by
+    // construction (eval sets are), so it BROADCASTS and the corpus
+    // side never shuffles — the flag is decided in the scan stage.
+    "x39_decontamination" -> Q(
+      (s, dir) => {
+        val sh = shingled(s, dir)
+        val bench = sh.filter(col("doc_id") % 50 === 0)
+          .select(explode(col("sh")).as("s")).distinct()
+        sh.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), explode(col("sh")).as("s"))
+          .join(broadcast(bench), "s")
+          .groupBy("doc_id")
+          .agg(countDistinct("s").as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckShingles,
+              |bench AS (SELECT DISTINCT unnest(sh) AS s FROM shs WHERE doc_id % 50 = 0),
+              |corpus AS (SELECT doc_id, unnest(sh) AS s FROM shs WHERE doc_id % 50 <> 0)
+              |SELECT c.doc_id, count(DISTINCT c.s) AS n_shared
+              |FROM corpus c JOIN bench b ON c.s = b.s
+              |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin),
+      "decontamination: broadcast benchmark shingle set, corpus flagged map-side"),
+
+    // ── X6d: TF-IDF-style salient terms per language ──────────────────
+    // Termhood score = tf / df (corpus-spread penalty) kept rational —
+    // no log(), so the oracle matches bit-for-bit. Two hash aggregates
+    // (per-doc distinct for df, per-lang counts for tf) + a broadcast-
+    // friendly join on term; ranking is a bounded per-lang window.
+    "x40_tfidf_terms" -> Q(
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), explode(Text.tokens(col("text"))).as("term"))
+        val dfreq = tok.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val tfreq = tok.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+        val w = Window.partitionBy("lang")
+          .orderBy(desc("score"), desc("tf"), asc("term"))
+        tfreq.join(dfreq, "term")
+          .withColumn("score", pround(col("tf").cast("double") / col("df"), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select("lang", "rnk", "term", "tf", "df", "score")
+          .orderBy("lang", "rnk")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+              |            FROM documents),
+              |dfreq AS (SELECT term, count(*) AS df
+              |          FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+              |tfreq AS (SELECT lang, term, count(*) AS tf FROM tok GROUP BY lang, term),
+              |sc AS (SELECT lang, term, tf, df,
+              |         ${duckRound("tf * 1.0 / df", 6)} AS score
+              |       FROM tfreq JOIN dfreq USING (term))
+              |SELECT lang, rnk, term, tf, df, score FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY lang ORDER BY score DESC, tf DESC, term) AS rnk FROM sc)
+              |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin),
+      "salient-term extraction: rational tf/df termhood, per-lang top-5 ranking window")
   )
 }
