@@ -80,4 +80,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("x37: sample predicate is map-side — one shuffle (the stratum agg) only") {
+    val p = plan("x37_stratified_sample")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "hash-bucket sampling must not shuffle payloads; only the per-lang agg exchanges")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial agg before the shuffle")
+  }
+
+  test("x39: benchmark shingle set broadcasts; corpus side never sort-merges") {
+    val p = plan("x39_decontamination")
+    assert(p.contains("BroadcastHashJoin"), "eval-set shingles must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must be flagged in the scan stage, not shuffled to the join")
+  }
+
+  test("x36: component labels converge without collecting row data") {
+    // the driver loop reads one scalar per round; the result itself
+    // must come back as a distributed frame, not a collect
+    val df = SparkEntry.queries("x36_neardup_components")(spark, sf0001)
+    assert(df.queryExecution.executedPlan.toString.nonEmpty)
+    assert(df.columns.toSeq == Seq("doc_id", "component", "is_survivor"))
+  }
 }
