@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Output invariants of the training-data-pipeline queries (x36–x40)
+  * on real testdata — the algebraic facts that must hold regardless of
+  * the corpus: conservation (packing loses no tokens), containment
+  * (samples and flags only reference real docs), and ranking shape.
+  * The value-level oracle checks equality with DuckDB; these assert
+  * the properties a refactor could silently break while still matching
+  * a stale oracle formulation. */
+class LlmInvariantsSpec extends SparkSpec {
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf0001)
+
+  test("x37: per-stratum sample counts are bounded and rates lie in [0,1]") {
+    val rows = run("x37_stratified_sample").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(k >= 0 && k <= n, s"sampled $k of $n in ${r.getString(0)}")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("x38: packing conserves every token and bins are contiguous per shard") {
+    import spark.implicits._
+    val bins = run("x38_sequence_packing").collect()
+    val packedTotal = bins.map(_.getLong(3)).sum
+    val corpusTotal = graft.sources.Tables.load(spark, sf0001, "documents")
+      .select(org.apache.spark.sql.functions.expr("size(split(text, ' '))").as("n"))
+      .as[Int].collect().map(_.toLong).sum
+    assert(packedTotal == corpusTotal, "packing must not drop or double-count tokens")
+    bins.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val ids = rs.map(_.getLong(1)).sorted
+      assert(ids.head == 0L, s"$src must start at bin 0")
+      assert(ids.zipWithIndex.forall { case (b, i) => b == i.toLong },
+        s"$src bins must be contiguous, got ${ids.mkString(",")}")
+      rs.foreach(r => assert(r.getLong(4) <= r.getLong(5), "first_doc <= last_doc"))
+    }
+  }
+
+  test("x39: flags only non-benchmark docs, each sharing at least one shingle") {
+    val rows = run("x39_decontamination").collect()
+    assert(rows.nonEmpty, "the synthetic corpus repeats templates; overlap must exist")
+    rows.foreach { r =>
+      assert(r.getLong(0) % 50 != 0, "benchmark docs must not flag themselves")
+      assert(r.getLong(1) >= 1)
+    }
+  }
+
+  test("x40: ranks are 1..k per lang with non-increasing scores") {
+    val byLang = run("x40_tfidf_terms").collect().groupBy(_.getString(0))
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rs) =>
+      val ranked = rs.sortBy(_.getInt(1))
+      assert(ranked.map(_.getInt(1)).toSeq == (1 to ranked.length),
+        s"$lang ranks must be dense from 1")
+      assert(ranked.length <= 5)
+      val scores = ranked.map(_.getDouble(5)).toSeq
+      assert(scores == scores.sorted.reverse, s"$lang scores must be non-increasing")
+    }
+  }
+
+  test("x36: exactly one survivor per component, labeled by its minimum") {
+    val rows = run("x36_neardup_components").collect()
+    assert(rows.nonEmpty)
+    val byComp = rows.groupBy(_.getLong(1))
+    byComp.foreach { case (comp, members) =>
+      assert(members.count(_.getBoolean(2)) == 1, s"component $comp needs one survivor")
+      assert(members.map(_.getLong(0)).min == comp, "label must be the member minimum")
+    }
+  }
+}
