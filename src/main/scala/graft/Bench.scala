@@ -17,9 +17,13 @@ object Bench {
     // parquet footer read, codegen bootstrap, noop-sink lookup) that
     // otherwise lands entirely on whichever query happens to run first
     // and makes its number non-data-proportional.
-    spark.read.schema(sources.Tables.schemas("region"))
-      .parquet(s"$sfDir/region.parquet")
-      .write.format("noop").mode("overwrite").save()
+    // Guarded: warmup failing (missing/corrupt table) must degrade to a
+    // cold first query, not abort before the JSON line the driver parses.
+    try {
+      spark.read.schema(sources.Tables.schemas("region"))
+        .parquet(s"$sfDir/region.parquet")
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     // Write to the built-in noop sink so every column is materialized:
     // a bare count() lets Catalyst prune unreferenced projections and
     // under-measures scalar-heavy queries.

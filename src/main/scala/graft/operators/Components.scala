@@ -54,23 +54,40 @@ object Components {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    // coalesce: sum over an EMPTY node set is NULL (no edges at all —
+    // the clean-corpus case), which must read as converged-at-zero,
+    // not an NPE
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
 
     var i = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (!converged && i < maxIter) {
       val nbr = sym.as("e").join(labels.as("lb"), col("e.dst") === col("lb.node"))
         .select(col("e.src").as("node"), col("lb.label").as("label"))
       val updated = labels.unionByName(nbr)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint()
-      val newSum = updated.agg(sum("label")).head().getLong(0)
+      val newSum = labelSum(updated)
+      // bound storage to two label tables: the superseded round's
+      // checkpoint blocks would otherwise sit in memory until GC +
+      // ContextCleaner get around to them (up to maxIter copies)
+      labels.unpersist(blocking = false)
       labels = updated
       converged = newSum == prevSum
       prevSum = newSum
       i += 1
     }
     sym.unpersist(blocking = false)
+    // labels only ever decrease, so a converged sum is a true fixpoint;
+    // hitting the round cap without one means the output would contain
+    // pseudo-components (labels that are no member's id) — refuse to
+    // return silently-wrong clusters
+    require(converged,
+      s"connected components did not converge in $maxIter rounds — " +
+        "raise maxIter (rounds scale with component diameter) or switch " +
+        "to the large-star/small-star formulation for path-shaped graphs")
     labels.select(col("node"), col("label").as("component"))
   }
 }

@@ -43,6 +43,29 @@ object LlmData {
       |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |        FROM toks WHERE len(w) >= 3)""".stripMargin
 
+  /** DuckDB CTE chain shingles → SimHash-60 fingerprints → chunk-blocked
+    * candidate pairs (`cand(doc_a, doc_b, fa, fb)`) — ONE definition
+    * shared by x23 (pair report) and x36 (cluster resolution) so the two
+    * oracles can never check different pair graphs. */
+  private val duckSimhashCand =
+    s"""$duckShingles,
+       |feat AS (SELECT doc_id, unnest(sh) AS s FROM shs WHERE len(sh) > 0),
+       |h AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM feat),
+       |votes AS (SELECT doc_id, j,
+       |            sum(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |          FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j) GROUP BY doc_id, j),
+       |fp AS (SELECT doc_id, CAST(sum(
+       |          CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END)
+       |        AS BIGINT) AS fp
+       |       FROM votes GROUP BY doc_id),
+       |chunks AS (SELECT doc_id, fp, p AS pos,
+       |             (fp >> (CAST(p AS INTEGER) * 10)) & 1023 AS chunk
+       |           FROM fp CROSS JOIN (SELECT unnest(range(0, 6)) AS p)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           a.fp AS fa, b.fp AS fb
+       |         FROM chunks a JOIN chunks b
+       |           ON a.pos = b.pos AND a.chunk = b.chunk AND a.doc_id < b.doc_id)""".stripMargin
+
   /** DuckDB double-fold dot product — identical accumulation order to
     * Vectors.dot (sequential left fold, double math). */
   private def duckDot(a: String, b: String): String =
@@ -77,6 +100,13 @@ object LlmData {
     // getOrElseUpdate can run `build` (which persists) twice under
     // concurrent first access, leaking one never-unpersisted copy
     perSession.synchronized {
+      // re-register before building: a concurrent clearMemo may have
+      // removed this map from `memo` between our fetch and this lock —
+      // without the putIfAbsent the new entry would land in an orphaned
+      // map no future clearMemo can reach. (Lock order is safe:
+      // clearMemo never waits on a map lock while holding the memo
+      // lock.)
+      memo.synchronized(memo.putIfAbsent(s, perSession))
       perSession.getOrElseUpdate((key, dir), build)
     }
   }
@@ -88,7 +118,16 @@ object LlmData {
     * explicit cache-release hook. */
   def clearMemo(s: SparkSession): Unit = {
     val perSession = memo.synchronized(Option(memo.remove(s)))
-    perSession.foreach(_.values.foreach(_.unpersist(blocking = false)))
+    // take the same per-map lock memoized() builds under: a build in
+    // flight during the remove would otherwise insert its persisted
+    // frame into this now-orphaned map after the values snapshot —
+    // leaked for the session's lifetime
+    perSession.foreach { m =>
+      m.synchronized {
+        m.values.foreach(_.unpersist(blocking = false))
+        m.clear()
+      }
+    }
   }
 
   /** (doc_id, sh): distinct 3-shingle sets for every document with >= 3
@@ -246,23 +285,7 @@ object LlmData {
       (s, dir) => simhashPairs(s, dir)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b"),
-      Some(s"""WITH $duckShingles,
-              |feat AS (SELECT doc_id, unnest(sh) AS s FROM shs WHERE len(sh) > 0),
-              |h AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM feat),
-              |votes AS (SELECT doc_id, j,
-              |            sum(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-              |          FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j) GROUP BY doc_id, j),
-              |fp AS (SELECT doc_id, CAST(sum(
-              |          CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END)
-              |        AS BIGINT) AS fp
-              |       FROM votes GROUP BY doc_id),
-              |chunks AS (SELECT doc_id, fp, p AS pos,
-              |             (fp >> (CAST(p AS INTEGER) * 10)) & 1023 AS chunk
-              |           FROM fp CROSS JOIN (SELECT unnest(range(0, 6)) AS p)),
-              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |           a.fp AS fa, b.fp AS fb
-              |         FROM chunks a JOIN chunks b
-              |           ON a.pos = b.pos AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      Some(s"""WITH $duckSimhashCand
               |SELECT doc_a, doc_b, bit_count(xor(fa, fb)) AS hamming
               |FROM cand WHERE bit_count(xor(fa, fb)) <= 5
               |ORDER BY doc_a, doc_b""".stripMargin),
@@ -281,23 +304,9 @@ object LlmData {
         .select(col("node").as("doc_id"), col("component"),
           (col("node") === col("component")).as("is_survivor"))
         .orderBy("doc_id"),
-      Some(s"""WITH RECURSIVE $duckShingles,
-              |feat AS (SELECT doc_id, unnest(sh) AS s FROM shs WHERE len(sh) > 0),
-              |h AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM feat),
-              |votes AS (SELECT doc_id, j,
-              |            sum(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-              |          FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j) GROUP BY doc_id, j),
-              |fp AS (SELECT doc_id, CAST(sum(
-              |          CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END)
-              |        AS BIGINT) AS fp
-              |       FROM votes GROUP BY doc_id),
-              |chunks AS (SELECT doc_id, fp, p AS pos,
-              |             (fp >> (CAST(p AS INTEGER) * 10)) & 1023 AS chunk
-              |           FROM fp CROSS JOIN (SELECT unnest(range(0, 6)) AS p)),
-              |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |          FROM chunks a JOIN chunks b
-              |            ON a.pos = b.pos AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-              |          WHERE bit_count(xor(a.fp, b.fp)) <= 5),
+      Some(s"""WITH RECURSIVE $duckSimhashCand,
+              |pairs AS (SELECT doc_a, doc_b FROM cand
+              |          WHERE bit_count(xor(fa, fb)) <= 5),
               |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
               |      UNION SELECT doc_b, doc_a FROM pairs),
               |reach(a, b) AS (

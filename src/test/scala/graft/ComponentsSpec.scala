@@ -38,4 +38,17 @@ class ComponentsSpec extends SparkSpec {
     got.foreach { case (_, comp) => assert(got.contains(comp)) }
     assert(got(10L) == 10L && got(30L) == 10L && got(40L) == 40L)
   }
+
+  test("an empty edge list returns an empty frame (clean corpus, no pairs)") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Components.connectedComponents(empty, "a", "b").isEmpty)
+  }
+
+  test("hitting the round cap fails loudly instead of returning pseudo-components") {
+    val path = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Components.connectedComponents(path, "a", "b", maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }

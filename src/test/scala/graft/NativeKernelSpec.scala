@@ -25,7 +25,7 @@ class NativeKernelSpec extends SparkSpec {
     val mismatch = docs.select(
       Text.shinglesNative(col("tk")).as("native"),
       Text.shingles(col("tk")).as("hof"))
-      .filter(col("native") =!= col("hof")).count()
+      .filter(!(col("native") <=> col("hof"))).count()
     assert(mismatch == 0)
     // under-n edge: empty array, not null
     val short = Seq((1L, "a b")).toDF("id", "text")
@@ -40,7 +40,7 @@ class NativeKernelSpec extends SparkSpec {
       Text.md5LongsNative(col("sh"), 0L).as("nativeRaw"),
       transform(col("sh"),
         s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("hofRaw"))
-      .filter(col("native") =!= col("hof") || col("nativeRaw") =!= col("hofRaw"))
+      .filter(!(col("native") <=> col("hof")) || !(col("nativeRaw") <=> col("hofRaw")))
       .count()
     assert(mismatch == 0)
   }
@@ -50,7 +50,7 @@ class NativeKernelSpec extends SparkSpec {
     val mismatch = hs.select(
       Text.minhashNative(col("hs"), 16).as("native"),
       Text.minhashFromHashes(col("hs"), 16).as("hof"))
-      .filter(col("native") =!= col("hof")).count()
+      .filter(!(col("native") <=> col("hof"))).count()
     assert(mismatch == 0)
   }
 
@@ -58,7 +58,7 @@ class NativeKernelSpec extends SparkSpec {
     val mismatch = sh.select(
       Text.simhashNative(Text.md5LongsNative(col("sh"), 0L), 60).as("native"),
       Text.simhash60(col("sh")).as("hof"))
-      .filter(col("native") =!= col("hof")).count()
+      .filter(!(col("native") <=> col("hof"))).count()
     assert(mismatch == 0)
   }
 
