@@ -294,12 +294,15 @@ object LlmData {
     // ── X2c: near-dup cluster resolution (connected components) ──────
     // Near-duplication is transitive in intent: A~B and B~C must land
     // in ONE cluster or pairwise survivor-picking over-deletes.
-    // Components.connectedComponents runs distributed min-label
-    // propagation over the SimHash pair graph (x23's generator);
-    // survivor = the cluster's min doc_id. Oracle: DuckDB recursive-
+    // Large-star/small-star components over the SimHash pair graph
+    // (x23's generator): O(log n) rounds regardless of cluster shape —
+    // sequentially drifted edits form CHAINS, where plain label
+    // propagation needs diameter-many shuffles (both implementations
+    // live in Components and are cross-checked in ComponentsSpec).
+    // Survivor = the cluster's min doc_id. Oracle: DuckDB recursive-
     // CTE transitive closure over the identical pair SQL.
     "x36_neardup_components" -> Q(
-      (s, dir) => Components.connectedComponents(
+      (s, dir) => Components.connectedComponentsAlternating(
           simhashPairs(s, dir), "doc_a", "doc_b")
         .select(col("node").as("doc_id"), col("component"),
           (col("node") === col("component")).as("is_survivor"))

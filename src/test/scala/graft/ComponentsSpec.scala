@@ -51,4 +51,34 @@ class ComponentsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  // ── large-star/small-star (the O(log n) scale path) ────────────────
+
+  private def ccAlt(edges: (Long, Long)*): Map[Long, Long] =
+    Components.connectedComponentsAlternating(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("alternating == min-label on random edge lists (cross-implementation)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 20 + trial * 10
+      val edges = Seq.fill(n)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (x, y) => x != y }
+      assert(ccAlt(edges: _*) == cc(edges: _*), s"trial $trial diverged")
+    }
+  }
+
+  test("alternating resolves a 100-node path within its O(log n) round budget") {
+    // min-label would need ~99 rounds here; the stars need ~log2(100)
+    val edges = (1L until 100L).map(i => (i, i + 1))
+    val got = ccAlt(edges: _*)
+    assert(got.keySet == (1L to 100L).toSet)
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("alternating handles empty input and self-loop-only nodes") {
+    assert(ccAlt() == Map.empty)
+    assert(ccAlt((7L, 7L)) == Map(7L -> 7L))
+    assert(ccAlt((7L, 7L), (1L, 2L)) == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+  }
 }
