@@ -749,6 +749,34 @@ object LlmData {
               |  SELECT *, row_number() OVER (
               |    PARTITION BY lang ORDER BY score DESC, tf DESC, term) AS rnk FROM sc)
               |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin),
-      "salient-term extraction: rational tf/df termhood, per-lang top-5 ranking window")
+      "salient-term extraction: rational tf/df termhood, per-lang top-5 ranking window"),
+
+    // ── X6e: fixed-size holdout draw per stratum ──────────────────────
+    // Eval-holdout selection: exactly k docs per lang, drawn by ranking
+    // a content-free md5(doc_id) — deterministic, seedless, and
+    // independent of corpus order. The rank-filter is planned as
+    // WindowGroupLimit (per-partition top-k BEFORE the stratum
+    // shuffle, Spark ≥3.5), so the full corpus is never sorted — the
+    // same physical shape as TakeOrderedAndProject, per group.
+    "x41_holdout_draw" -> Q(
+      (s, dir) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long")
+        val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+        t(s, dir, "documents")
+          .withColumn("h", h)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select("lang", "rn", "doc_id")
+          .orderBy("lang", "rn")
+      },
+      Some("""SELECT lang, rn, doc_id FROM (
+             |  SELECT lang, doc_id, row_number() OVER (
+             |    PARTITION BY lang
+             |    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+             |             doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin),
+      "per-stratum eval holdout: hash-ranked exact-k draw, WindowGroupLimit top-k shape")
   )
 }

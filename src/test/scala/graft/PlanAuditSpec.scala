@@ -95,6 +95,13 @@ class PlanAuditSpec extends SparkSpec {
       "the corpus must be flagged in the scan stage, not shuffled to the join")
   }
 
+  test("x41: rank filter pushes down as WindowGroupLimit (per-group top-k)") {
+    val p = plan("x41_holdout_draw")
+    assert(p.contains("WindowGroupLimit"),
+      "the holdout draw must heap-select k per stratum before the shuffle, " +
+        "never sort whole strata")
+  }
+
   test("x36: component labels converge without collecting row data") {
     // the driver loop reads one scalar per round; the result itself
     // must come back as a distributed frame, not a collect
