@@ -777,6 +777,93 @@ object LlmData {
              |             doc_id) AS rn
              |  FROM documents)
              |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin),
-      "per-stratum eval holdout: hash-ranked exact-k draw, WindowGroupLimit top-k shape")
+      "per-stratum eval holdout: hash-ranked exact-k draw, WindowGroupLimit top-k shape"),
+
+    // ── X6f: PII detection + redaction scrub ──────────────────────────
+    // The scrub stage every released corpus passes through: detect,
+    // count, and replace identifier-shaped spans, all narrow map-side
+    // ops. The synthetic corpus contains no PII, so the query SEEDS a
+    // deterministic contact string from doc_id first (explicitly — the
+    // op under test is the scrub, not the corpus); patterns stay in the
+    // POSIX-safe intersection of Java regex and RE2 so both engines
+    // match identical spans.
+    "x42_pii_scrub" -> Q(
+      (s, dir) => {
+        val seeded = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad(col("doc_id").cast("string"), 4, "0"))
+        val email = "[a-z0-9.]+@[a-z0-9.]+"
+        val phone = "\\+[0-9]+-[0-9]+-[0-9]+"
+        t(s, dir, "documents")
+          .withColumn("seeded", seeded)
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("seeded"), lit(email), lit(0))).as("n_emails"),
+            size(regexp_extract_all(col("seeded"), lit(phone), lit(0))).as("n_phones"),
+            md5(regexp_replace(regexp_replace(col("seeded"), email, "<EMAIL>"),
+              phone, "<PHONE>")).as("redacted_fp"),
+            length(col("seeded")).as("len_before"),
+            length(regexp_replace(regexp_replace(col("seeded"), email, "<EMAIL>"),
+              phone, "<PHONE>")).as("len_after"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH seeded AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |      || '@example.com or +1-555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS s
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(s, '[a-z0-9.]+@[a-z0-9.]+')) AS n_emails,
+             |  len(regexp_extract_all(s, '\+[0-9]+-[0-9]+-[0-9]+')) AS n_phones,
+             |  md5(regexp_replace(regexp_replace(s, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+             |    '\+[0-9]+-[0-9]+-[0-9]+', '<PHONE>', 'g')) AS redacted_fp,
+             |  length(s) AS len_before,
+             |  length(regexp_replace(regexp_replace(s, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+             |    '\+[0-9]+-[0-9]+-[0-9]+', '<PHONE>', 'g')) AS len_after
+             |FROM seeded ORDER BY doc_id""".stripMargin),
+      "PII scrub: span detect/count/replace, narrow map-side ops, engine-portable regex"),
+
+    // ── X6g: intra-document repetition scoring (Gopher-style) ─────────
+    // Repetition quality rule: the fraction of a doc's 3-shingle
+    // OCCURRENCES that are duplicates of an earlier one — word-salad
+    // and boilerplate score high and get filtered before training.
+    // distinct count comes from the same shingle kernel the dedup
+    // family uses; occurrence count is just len(tokens) - 2.
+    "x43_repetition_score" -> Q(
+      (s, dir) => {
+        val total3 = greatest(size(col("tk")) - 2, lit(0))
+        val distinct3 = when(size(col("tk")) >= 3,
+          size(Text.shinglesNative(col("tk")))).otherwise(lit(0))
+        t(s, dir, "documents")
+          .withColumn("tk", Text.tokens(col("text")))
+          .select(
+            col("doc_id"),
+            total3.as("n_shingles"),
+            distinct3.as("n_distinct"),
+            when(total3 > 0,
+              pround(lit(1.0) - distinct3.cast("double") / total3, 6))
+              .otherwise(lit(0.0)).as("repetition"),
+            (when(total3 > 0,
+              pround(lit(1.0) - distinct3.cast("double") / total3, 6))
+              .otherwise(lit(0.0)) > 0.2).as("flagged"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |m AS (SELECT doc_id,
+              |        greatest(len(w) - 2, 0) AS n_shingles,
+              |        CASE WHEN len(w) >= 3 THEN len(list_distinct(
+              |          list_transform(range(1, len(w) - 1),
+              |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) ELSE 0 END AS n_distinct
+              |      FROM toks)
+              |SELECT doc_id, n_shingles, n_distinct,
+              |  CASE WHEN n_shingles > 0
+              |    THEN ${duckRound("1.0 - n_distinct * 1.0 / n_shingles", 6)}
+              |    ELSE 0.0 END AS repetition,
+              |  (CASE WHEN n_shingles > 0
+              |    THEN ${duckRound("1.0 - n_distinct * 1.0 / n_shingles", 6)}
+              |    ELSE 0.0 END) > 0.2 AS flagged
+              |FROM m ORDER BY doc_id""".stripMargin),
+      "Gopher-style repetition rule: duplicate-shingle occurrence fraction, map-side only")
   )
 }
