@@ -79,6 +79,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("corpus dedup ingest: re-crawled content emits once, across restarts") {
+    val src = tmp("corpus-src"); val out = tmp("corpus-out"); val ckpt = tmp("corpus-ckpt")
+    val docsFile = Paths.get(s"$sf0001/documents.parquet")
+    Files.copy(docsFile, Paths.get(src, "crawl_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val distinctTexts = spark.read.parquet(s"$src/crawl_a.parquet")
+      .select("text").distinct().count()
+
+    EventStream.corpusDedupIngest(spark, src, ckpt, out).awaitTermination()
+    val afterFirst = spark.read.parquet(out)
+    assert(afterFirst.count() == distinctTexts)
+    assert(afterFirst.select("fp").distinct().count() == distinctTexts)
+
+    // second crawl: the whole first drop again (all dups) plus one
+    // genuinely new document — only the new one may land, proving the
+    // fingerprint store survived the restart
+    val stage = tmp("corpus-stage")
+    spark.read.parquet(s"$src/crawl_a.parquet").limit(1)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(col("text"), lit(" entirely new tail")))
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+      .map(Paths.get(_)).find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(docsFile, Paths.get(src, "crawl_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(part, Paths.get(src, "crawl_c.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    EventStream.corpusDedupIngest(spark, src, ckpt, out).awaitTermination()
+    val afterSecond = spark.read.parquet(out)
+    assert(afterSecond.count() == distinctTexts + 1)
+    assert(afterSecond.select("fp").distinct().count() == distinctTexts + 1)
+  }
+
   test("hourly rollup equals the q19 batch twin") {
     val src = tmp("rollup-src"); val out = tmp("rollup-out"); val ckpt = tmp("rollup-ckpt")
     Files.copy(eventsFile, Paths.get(src, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
