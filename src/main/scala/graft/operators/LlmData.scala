@@ -864,6 +864,51 @@ object LlmData {
               |    THEN ${duckRound("1.0 - n_distinct * 1.0 / n_shingles", 6)}
               |    ELSE 0.0 END) > 0.2 AS flagged
               |FROM m ORDER BY doc_id""".stripMargin),
-      "Gopher-style repetition rule: duplicate-shingle occurrence fraction, map-side only")
+      "Gopher-style repetition rule: duplicate-shingle occurrence fraction, map-side only"),
+
+    // ── X6h: corpus version diff (release-over-release accounting) ────
+    // Dataset-release hygiene: what changed between corpus v1 and v2 —
+    // added / deleted / modified / unchanged, decided by a FULL OUTER
+    // join on the stable doc_id with content fingerprints compared
+    // where both sides exist. v2 is derived deterministically from v1
+    // in-query (every 7th doc deleted, every 11th edited, every 13th
+    // re-added under a new id) so the oracle replays the identical
+    // diff. One shuffle on the join key; the status rollup is bounded.
+    "x44_corpus_diff" -> Q(
+      (s, dir) => {
+        val v1 = t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("fp"))
+        val d = t(s, dir, "documents")
+        val v2 = d.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("fp"))
+          .unionByName(d.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), md5(col("text")).as("fp")))
+        val status = when(col("a.doc_id").isNull, "added")
+          .when(col("b.doc_id").isNull, "deleted")
+          .when(col("a.fp") === col("b.fp"), "unchanged")
+          .otherwise("modified")
+        v1.as("a").join(v2.as("b"), col("a.doc_id") === col("b.doc_id"), "full_outer")
+          .select(status.as("status"),
+            coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("status")
+      },
+      Some("""WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+             |v2 AS (SELECT doc_id,
+             |         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS fp
+             |       FROM documents WHERE doc_id % 7 <> 0
+             |       UNION ALL
+             |       SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 13 = 0),
+             |j AS (SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+             |               WHEN b.doc_id IS NULL THEN 'deleted'
+             |               WHEN a.fp = b.fp THEN 'unchanged'
+             |               ELSE 'modified' END AS status,
+             |             coalesce(a.doc_id, b.doc_id) AS doc_id
+             |      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+             |SELECT status, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM j GROUP BY status ORDER BY status""".stripMargin),
+      "corpus release diff: full-outer join on stable ids + fingerprint compare")
   )
 }
