@@ -95,6 +95,14 @@ class PlanAuditSpec extends SparkSpec {
       "the corpus must be flagged in the scan stage, not shuffled to the join")
   }
 
+  test("x38: packing reuses one exchange — window partitioning serves the agg") {
+    val p = plan("x38_sequence_packing")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "hashpartitioning(source) must satisfy the (source, bin) aggregate — " +
+        "a second exchange means the partitioning reuse broke")
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+  }
+
   test("x41: rank filter pushes down as WindowGroupLimit (per-group top-k)") {
     val p = plan("x41_holdout_draw")
     assert(p.contains("WindowGroupLimit"),
