@@ -13,17 +13,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Session warmup: absorb the one-time init (executor threads, first
-    // parquet footer read, codegen bootstrap, noop-sink lookup) that
-    // otherwise lands entirely on whichever query happens to run first
-    // and makes its number non-data-proportional.
-    // Guarded: warmup failing (missing/corrupt table) must degrade to a
-    // cold first query, not abort before the JSON line the driver parses.
-    try {
-      spark.read.schema(sources.Tables.schemas("region"))
-        .parquet(s"$sfDir/region.parquet")
-        .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    // Session warmup: absorb the one-time init (executor threads,
+    // parquet footer reads, OS page cache, codegen bootstrap, noop-sink
+    // lookup) for EVERY table — otherwise each table's cold first read
+    // lands on whichever query the Map ordering happens to put first,
+    // making that query's number order-dependent rather than
+    // plan-proportional (x33 measured 11.6 s cold vs 1.3 s warm purely
+    // from drawing the first documents scan).
+    // Guarded per table: a missing/corrupt table must degrade to a cold
+    // first query, not abort before the JSON line the driver parses.
+    sources.Tables.schemas.keys.foreach { name =>
+      try {
+        spark.read.schema(sources.Tables.schemas(name))
+          .parquet(s"$sfDir/$name.parquet")
+          .write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
+    }
     // Write to the built-in noop sink so every column is materialized:
     // a bare count() lets Catalyst prune unreferenced projections and
     // under-measures scalar-heavy queries.
