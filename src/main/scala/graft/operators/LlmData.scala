@@ -909,6 +909,44 @@ object LlmData {
              |      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
              |SELECT status, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
              |FROM j GROUP BY status ORDER BY status""".stripMargin),
-      "corpus release diff: full-outer join on stable ids + fingerprint compare")
+      "corpus release diff: full-outer join on stable ids + fingerprint compare"),
+
+    // ── X6i: deterministic negative sampling (contrastive pairs) ──────
+    // Contrastive-training prep: each anchor doc draws k pseudo-random
+    // negatives by hashing (doc_id, j) onto the id space — seedless,
+    // reproducible, and joined back to the embedding table by key
+    // equality (never a random shuffle or sample()). The corpus size
+    // enters as a one-row broadcast (the only "global" needed); self-
+    // collisions are filtered, so a draw hitting its own anchor yields
+    // k-1 negatives for that doc — accepted and documented, not
+    // silently resampled (resampling would need data-dependent
+    // iteration). Endpoints reduced mod 1e9+7 before the multiply so
+    // the mix can't overflow under ANSI.
+    "x45_negative_sampling" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val n = e.agg(count(lit(1)).as("n_vec"))
+        val draws = t(s, dir, "documents")
+          .select(col("doc_id"), explode(sequence(lit(1), lit(3))).as("j"))
+          .crossJoin(broadcast(n))
+          .withColumn("neg_id", pmod(
+            pmod(col("doc_id"), lit(1000000007L)) * 2654435761L +
+              col("j") * 40503L, col("n_vec")))
+          .filter(col("neg_id") =!= col("doc_id"))
+        draws.join(e.select(col("vec_id"), col("label")),
+            col("neg_id") === col("vec_id"))
+          .select(col("doc_id"), col("j"), col("neg_id"), col("label").as("neg_label"))
+          .orderBy("doc_id", "j")
+      },
+      Some("""WITH n AS (SELECT count(*) AS n_vec FROM embeddings),
+             |draws AS (
+             |  SELECT doc_id, j,
+             |    ((doc_id % 1000000007) * 2654435761 + j * 40503) % n_vec AS neg_id
+             |  FROM documents CROSS JOIN (SELECT unnest(range(1, 4)) AS j) CROSS JOIN n)
+             |SELECT d.doc_id, d.j, d.neg_id, e.label AS neg_label
+             |FROM draws d JOIN embeddings e ON d.neg_id = e.vec_id
+             |WHERE d.neg_id <> d.doc_id
+             |ORDER BY d.doc_id, d.j""".stripMargin),
+      "contrastive negative sampling: seedless (doc_id, j) hash draws, key-equality join")
   )
 }
