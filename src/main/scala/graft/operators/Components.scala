@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected edge list — the cluster-
@@ -10,24 +10,44 @@ import org.apache.spark.sql.functions._
   * per PAIR over-deletes and keeping one per CLUSTER is the actual
   * semantics.
   *
-  * Algorithm: distributed min-label propagation. Every node starts
-  * labeled with itself; each round every node takes the min of its own
-  * and its neighbors' labels (one equi-join on node id + one groupBy —
-  * two shuffles per round); fixpoint when the global label sum stops
-  * changing (labels only ever decrease, so the sum is a strictly
-  * decreasing convergence witness — one cheap scalar agg per round, no
-  * full-table compare join).
-  *
-  * Scale notes: rounds = O(max component diameter). Near-dup clusters
-  * are dense and shallow (diameter ≲ 5 in practice), so this converges
-  * in a handful of data-parallel rounds at any data size. For
-  * adversarially long path-shaped graphs the same primitive upgrades
-  * to large-star/small-star (Kiveris et al., "Connected Components in
-  * MapReduce and Beyond", SoCC'14) with O(log n) rounds; the join/agg
-  * loop below is the building block either way. The driver loop only
-  * ever sees ONE scalar per round — never row data.
+  * Two implementations with the same output contract:
+  *   - [[connectedComponents]]: min-label propagation, O(diameter)
+  *     rounds — the didactic baseline, fine for dense shallow clusters;
+  *   - [[connectedComponentsAlternating]]: large-star/small-star
+  *     (Kiveris et al., "Connected Components in MapReduce and
+  *     Beyond", SoCC'14), O(log n) rounds regardless of diameter —
+  *     the scale path, robust to chain-shaped graphs.
+  * Both loops only ever move SCALARS to the driver (fixpoint
+  * signatures), never row data.
   */
 object Components {
+
+  /** Modulus for fixpoint-signature arithmetic: ids are reduced mod M
+    * before any multiply/sum so no signature term can overflow a long
+    * under ANSI mode, whatever the id range (64-bit hashed ids
+    * included). Sums of mod-M terms stay in range up to ~9e9 edges per
+    * partition-set — far past any single fixpoint check. */
+  private val SigMod = 1000000007L
+
+  /** localCheckpoint caches at the RDD level, which
+    * `Dataset.unpersist` does NOT release (it only unregisters
+    * CacheManager plans — calling it on a checkpointed frame is a
+    * silent no-op). To bound an iterative loop's storage we must
+    * unpersist the underlying RDDs, so: snapshot the persistent-RDD
+    * ids around the checkpoint call and hand back the delta for an
+    * explicit [[release]] once the round is superseded. */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val cp = df.localCheckpoint()
+    val added = sc.getPersistentRDDs.keySet.toSet -- before
+    (cp, added)
+  }
+
+  private def release(s: SparkSession, ids: Set[Int]): Unit = {
+    val persisted = s.sparkContext.getPersistentRDDs
+    ids.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+  }
 
   /** @param edges undirected edge list; both columns must be integral
     *              node ids (the component label is the component's min
@@ -39,6 +59,7 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, a: String, b: String,
       maxIter: Int = 25): DataFrame = {
+    val s = edges.sparkSession
     val sym = edges.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
       .unionByName(edges.select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
       .distinct()
@@ -51,14 +72,18 @@ object Components {
     // label table and restarts the plan from it. (On a production
     // cluster prefer reliable checkpoints — setCheckpointDir +
     // .checkpoint() — so executor loss can't kill a long run.)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
-    // coalesce: sum over an EMPTY node set is NULL (no edges at all —
-    // the clean-corpus case), which must read as converged-at-zero,
-    // not an NPE
+    var (labels, labelIds) = checkpointTracked(
+      sym.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")))
+    // mod-M sum: overflow-safe for 64-bit ids under ANSI; coalesce
+    // because the sum over an EMPTY node set is NULL (no edges at all —
+    // the clean-corpus case), which must read as converged, not NPE.
+    // Labels only ever decrease, so a stationary sum is a fixpoint up
+    // to a ~1/M-per-round collision chance — the same probabilistic
+    // footing as any hash-based convergence witness.
     def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+      df.agg(coalesce(sum(pmod(col("label"), lit(SigMod))), lit(0L)))
+        .head().getLong(0)
     var prevSum = labelSum(labels)
 
     var i = 0
@@ -66,24 +91,24 @@ object Components {
     while (!converged && i < maxIter) {
       val nbr = sym.as("e").join(labels.as("lb"), col("e.dst") === col("lb.node"))
         .select(col("e.src").as("node"), col("lb.label").as("label"))
-      val updated = labels.unionByName(nbr)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint()
+      val (updated, updatedIds) = checkpointTracked(
+        labels.unionByName(nbr)
+          .groupBy("node").agg(min("label").as("label")))
       val newSum = labelSum(updated)
-      // bound storage to two label tables: the superseded round's
-      // checkpoint blocks would otherwise sit in memory until GC +
-      // ContextCleaner get around to them (up to maxIter copies)
-      labels.unpersist(blocking = false)
+      // bound storage to two label tables: release the superseded
+      // round's checkpoint RDDs instead of waiting on GC +
+      // ContextCleaner (up to maxIter copies otherwise)
+      release(s, labelIds)
       labels = updated
+      labelIds = updatedIds
       converged = newSum == prevSum
       prevSum = newSum
       i += 1
     }
     sym.unpersist(blocking = false)
-    // labels only ever decrease, so a converged sum is a true fixpoint;
-    // hitting the round cap without one means the output would contain
-    // pseudo-components (labels that are no member's id) — refuse to
-    // return silently-wrong clusters
+    // hitting the round cap without convergence means the output would
+    // contain pseudo-components (labels that are no member's id) —
+    // refuse to return silently-wrong clusters
     require(converged,
       s"connected components did not converge in $maxIter rounds — " +
         "raise maxIter (rounds scale with component diameter) or use " +
@@ -92,11 +117,10 @@ object Components {
   }
 
   /** Large-star/small-star connected components (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC'14):
-    * converges in O(log n) rounds regardless of component DIAMETER,
-    * where min-label propagation needs O(diameter) — the difference
-    * between 5 and 50 shuffles on a chain-shaped near-dup corpus
-    * (sequentially drifted edits form exactly such chains).
+    * SoCC'14): converges in O(log n) rounds regardless of component
+    * DIAMETER, where min-label propagation needs O(diameter) — the
+    * difference between 5 and 50 shuffles on a chain-shaped near-dup
+    * corpus (sequentially drifted edits form exactly such chains).
     *
     * Each round is two data-parallel star operations over the canonical
     * (hi > lo) edge list:
@@ -105,10 +129,10 @@ object Components {
     *     one join to apply it;
     *   - small-star: every center hi gathers its smaller neighbors and
     *     re-points them (and itself) at their minimum.
-    * Both only ever REPLACE an endpoint with a smaller one, so the
-    * (count, endpoint-sum, mixed-hash) triple is stationary iff the
-    * edge multiset is — the fixpoint test is one 4-scalar aggregate per
-    * half-round, never a driver-side edge compare.
+    * Both only ever REPLACE an endpoint with a smaller one; the
+    * (count, endpoint-sums, mixed-hash) signature over the edge
+    * multiset is the fixpoint witness (4 scalars per round, never a
+    * driver-side edge compare; all terms mod-M overflow-safe).
     *
     * Output contract matches [[connectedComponents]]: one (node,
     * component) row per distinct endpoint (self-loop-only nodes
@@ -116,31 +140,34 @@ object Components {
     */
   def connectedComponentsAlternating(edges: DataFrame, a: String, b: String,
       maxIter: Int = 30): DataFrame = {
-    val nodes = edges.select(col(a).cast("long").as("node"))
-      .unionByName(edges.select(col(b).cast("long").as("node")))
-      .distinct()
-      .persist()
+    val s = edges.sparkSession
+    // eager checkpoint (not persist): the node list is consumed by the
+    // final join AFTER the loop, possibly long after — a lazy persist
+    // would recompute the whole upstream pair-generation pipeline at
+    // result materialization. Stays cached for the result's lifetime
+    // (2 small columns), released only by session-level cleanup.
+    val (nodes, _) = checkpointTracked(
+      edges.select(col(a).cast("long").as("node"))
+        .unionByName(edges.select(col(b).cast("long").as("node")))
+        .distinct())
 
     def canon(df: DataFrame): DataFrame = df
       .filter(col("hi") =!= col("lo"))
       .distinct()
 
-    var e = canon(edges.select(
-        greatest(col(a).cast("long"), col(b).cast("long")).as("hi"),
-        least(col(a).cast("long"), col(b).cast("long")).as("lo")))
-      .localCheckpoint()
+    var (e, eIds) = checkpointTracked(canon(edges.select(
+      greatest(col(a).cast("long"), col(b).cast("long")).as("hi"),
+      least(col(a).cast("long"), col(b).cast("long")).as("lo"))))
 
     def sig(df: DataFrame): (Long, Long, Long, Long) = {
       val r = df.agg(
         count(lit(1)),
-        coalesce(sum("hi"), lit(0L)),
-        coalesce(sum("lo"), lit(0L)),
-        // endpoints reduced mod M before the multiply so the mixed hash
-        // can't overflow a long (ANSI mode would throw) for any id
+        coalesce(sum(pmod(col("hi"), lit(SigMod))), lit(0L)),
+        coalesce(sum(pmod(col("lo"), lit(SigMod))), lit(0L)),
         coalesce(sum(pmod(
-          pmod(col("hi"), lit(1000000007L)) * 2654435761L +
-            pmod(col("lo"), lit(1000000007L)) * 40503L,
-          lit(1000000007L))), lit(0L))).head()
+          pmod(col("hi"), lit(SigMod)) * 2654435761L +
+            pmod(col("lo"), lit(SigMod)) * 40503L,
+          lit(SigMod))), lit(0L))).head()
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
 
@@ -153,24 +180,23 @@ object Components {
         .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
       val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val large = canon(e
+      val (large, largeIds) = checkpointTracked(canon(e
         .join(mins.withColumnRenamed("u", "lo"), "lo")
-        .select(col("hi"), col("m").as("lo")))
-        .localCheckpoint()
-      e.unpersist(blocking = false)
+        .select(col("hi"), col("m").as("lo"))))
+      release(s, eIds)
 
       // small-star: per center hi, re-point the smaller neighbors and
       // the center itself at their minimum
       val mins2 = large.groupBy("hi").agg(min("lo").as("m"))
-      val small = canon(large
+      val (small, smallIds) = checkpointTracked(canon(large
         .join(mins2, "hi")
         .select(col("lo").as("hi"), col("m").as("lo"))
-        .unionByName(mins2.select(col("hi"), col("m").as("lo"))))
-        .localCheckpoint()
-      large.unpersist(blocking = false)
+        .unionByName(mins2.select(col("hi"), col("m").as("lo")))))
+      release(s, largeIds)
 
       val cur = sig(small)
       e = small
+      eIds = smallIds
       converged = cur == prev
       prev = cur
       i += 1
@@ -178,9 +204,7 @@ object Components {
     require(converged,
       s"alternating components did not converge in $maxIter rounds")
     // fixpoint = star forest: every edge is (member, root)
-    val out = nodes.join(e.withColumnRenamed("hi", "node"), Seq("node"), "left")
+    nodes.join(e.withColumnRenamed("hi", "node"), Seq("node"), "left")
       .select(col("node"), coalesce(col("lo"), col("node")).as("component"))
-    nodes.unpersist(blocking = false)
-    out
   }
 }
