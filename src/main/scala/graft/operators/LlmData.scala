@@ -947,6 +947,94 @@ object LlmData {
              |FROM draws d JOIN embeddings e ON d.neg_id = e.vec_id
              |WHERE d.neg_id <> d.doc_id
              |ORDER BY d.doc_id, d.j""".stripMargin),
-      "contrastive negative sampling: seedless (doc_id, j) hash draws, key-equality join")
+      "contrastive negative sampling: seedless (doc_id, j) hash draws, key-equality join"),
+
+    // ── X6j: overlapping token chunking (context segmentation) ────────
+    // RAG/pretraining segmentation: each doc explodes into 50-token
+    // chunks on a 40-token stride (10-token overlap), entirely map-side
+    // — the chunk starts are a generated sequence, the slice is an
+    // array op, no shuffle until the deterministic output sort. Chunk
+    // identity is (doc_id, chunk_id); the md5 over the re-joined text
+    // gives downstream dedup a chunk-level fingerprint.
+    "x46_token_chunks" -> Q(
+      (s, dir) => {
+        val chunk = slice(col("tk"), col("start") + 1, lit(50))
+        t(s, dir, "documents")
+          .withColumn("tk", Text.tokens(col("text")))
+          .withColumn("start",
+            explode(sequence(lit(0), greatest(size(col("tk")) - 1, lit(0)), lit(40))))
+          .select(
+            col("doc_id"),
+            (col("start") / 40).cast("int").as("chunk_id"),
+            size(chunk).as("chunk_tokens"),
+            md5(concat_ws(" ", chunk)).as("chunk_fp"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |st AS (SELECT doc_id, w,
+             |         unnest(range(0, greatest(len(w), 1), 40)) AS start
+             |       FROM toks)
+             |SELECT doc_id,
+             |  CAST(start / 40 AS INTEGER) AS chunk_id,
+             |  len(list_slice(w, start + 1, start + 50)) AS chunk_tokens,
+             |  md5(array_to_string(list_slice(w, start + 1, start + 50), ' ')) AS chunk_fp
+             |FROM st ORDER BY doc_id, chunk_id""".stripMargin),
+      "overlapping token chunking: generated stride starts + array slice, map-side only"),
+
+    // ── X6k: end-to-end preprocessing capstone — filter → pack ────────
+    // The composed pipeline a pretraining run actually executes:
+    // quality-gate the corpus (x27's stopword/length score), then pack
+    // the SURVIVORS into per-source 2048-token bins (x38's layout).
+    // One declarative plan: Catalyst fuses the quality predicate into
+    // the scan stage, the window reuses the source partitioning, and
+    // the bounded manifest is the only thing that leaves the executors.
+    "x47_pipeline_manifest" -> Q(
+      (s, dir) => {
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+        val nTok = size(col("tk"))
+        val ratio = size(filter(col("tk"), tk => tk.isin(stops: _*)))
+          .cast("double") / nTok
+        val quality = (lit(1.0) - ratio) * least(nTok.cast("double"), lit(50.0)) / 50.0
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "documents")
+          .withColumn("tk", Text.tokens(col("text")))
+          .withColumn("q", pround(quality, 6))
+          .filter(col("q") >= 0.5)
+          .withColumn("n_tokens", nTok)
+          .withColumn("cum", sum("n_tokens").over(w))
+          .withColumn("bin", floor((col("cum") - col("n_tokens")) / lit(2048)))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("bin_tokens"),
+            // exact-integer mean (micro-units trick): double avg() is
+            // accumulation-order-dependent; summing the 6-dp scores as
+            // longs is exact in any order on both engines
+            pround(sum(round(col("q") * 1e6).cast("long")).cast("double") /
+              (count(lit(1)) * lit(1000000L)), 6).as("avg_quality"))
+          .orderBy("source", "bin")
+      },
+      Some {
+        val nTokSql = "len(string_split(text, ' '))"
+        val nStopSql = "len(list_filter(string_split(text, ' '), " +
+          "tk -> list_contains(['the','a','of','and','to','in','is','on'], tk)))"
+        s"""WITH scored AS (
+           |  SELECT source, doc_id, $nTokSql AS n_tokens,
+           |    ${duckRound(s"(1.0 - $nStopSql * 1.0 / $nTokSql) * least($nTokSql * 1.0, 50.0) / 50.0", 6)} AS q
+           |  FROM documents),
+           |surv AS (
+           |  SELECT *, sum(n_tokens) OVER (
+           |      PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM scored WHERE q >= 0.5)
+           |SELECT source, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
+           |  count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           |  ${duckRound(
+               "sum(CAST(round(q * 1000000, 0) AS BIGINT)) * 1.0 / (count(*) * 1000000)", 6)}
+           |    AS avg_quality
+           |FROM surv GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
+      },
+      "capstone: quality gate fused into the scan, survivors packed per shard, bounded manifest")
   )
 }
