@@ -81,4 +81,37 @@ class ComponentsSpec extends SparkSpec {
     assert(ccAlt((7L, 7L)) == Map(7L -> 7L))
     assert(ccAlt((7L, 7L), (1L, 2L)) == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
   }
+
+  test("both implementations match an independent union-find ground truth") {
+    // driver-side union-find: shares no code or algorithmic idea with
+    // either distributed implementation, so a bug correlated between
+    // the two (they share the min-id convention) can't hide here
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (x, y) =>
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      // min-id root: path-compress once more, then relabel by the
+      // component's true minimum member
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = nodes.groupBy(find)
+      byRoot.flatMap { case (_, members) =>
+        val m = members.min
+        members.map(_ -> m)
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(60 + trial * 20)(
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      val truth = unionFind(edges)
+      assert(ccAlt(edges: _*) == truth, s"alternating vs union-find, trial $trial")
+      assert(cc(edges: _*) == truth, s"min-label vs union-find, trial $trial")
+    }
+  }
 }

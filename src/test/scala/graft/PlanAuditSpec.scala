@@ -110,6 +110,20 @@ class PlanAuditSpec extends SparkSpec {
         "never sort whole strata")
   }
 
+  test("global sweep: no registered query ever plans a CartesianProduct") {
+    // the one unconditional rule of the 100 TB contract: the quadratic
+    // operator must never appear — candidate generation is always a
+    // key-equality or broadcast join. (BroadcastNestedLoopJoin over a
+    // single-row broadcast, e.g. the x24 query vector, is acceptable
+    // and distinct from CartesianProduct.)
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian plans: ${offenders.mkString(", ")}")
+  }
+
   test("x36: component labels converge without collecting row data") {
     // the driver loop reads one scalar per round; the result itself
     // must come back as a distributed frame, not a collect
