@@ -35,7 +35,14 @@ object Components {
     * silent no-op). To bound an iterative loop's storage we must
     * unpersist the underlying RDDs, so: snapshot the persistent-RDD
     * ids around the checkpoint call and hand back the delta for an
-    * explicit [[release]] once the round is superseded. */
+    * explicit [[release]] once the round is superseded.
+    *
+    * CONTRACT: the delta is a global-context snapshot, so every lazily
+    * persisted upstream input must be materialized BEFORE the first
+    * tracked call (or its cache id lands in the delta and gets released
+    * mid-loop), and no concurrent thread may be persisting on the same
+    * SparkContext during the window. Both component loops force their
+    * persisted inputs first and run on a single driver thread. */
   private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
@@ -64,6 +71,12 @@ object Components {
       .unionByName(edges.select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
       .distinct()
       .persist()
+    // force the cache NOW: a DataFrame persist only registers its RDD
+    // when first materialized — if that happened inside the first
+    // tracked checkpoint, sym's cache id would land in the round delta
+    // and round 1's release would evict it, recomputing the whole
+    // upstream pair pipeline every subsequent round
+    sym.count()
 
     // localCheckpoint, not persist: each round's plan references the
     // previous labels TWICE (join + union), so lineage doubles per
@@ -75,16 +88,24 @@ object Components {
     var (labels, labelIds) = checkpointTracked(
       sym.select(col("src").as("node")).distinct()
         .withColumn("label", col("node")))
-    // mod-M sum: overflow-safe for 64-bit ids under ANSI; coalesce
-    // because the sum over an EMPTY node set is NULL (no edges at all —
-    // the clean-corpus case), which must read as converged, not NPE.
-    // Labels only ever decrease, so a stationary sum is a fixpoint up
-    // to a ~1/M-per-round collision chance — the same probabilistic
-    // footing as any hash-based convergence witness.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(pmod(col("label"), lit(SigMod))), lit(0L)))
-        .head().getLong(0)
-    var prevSum = labelSum(labels)
+    // Two-scalar signature, not a bare sum: labels only decrease, but a
+    // mod-M sum alone can stay stationary when a label moves a→b with
+    // a ≡ b (mod M) — birthday-likely over 64-bit hashed ids — and a
+    // false fixpoint here returns silently-wrong clusters. A change
+    // must now collide in BOTH the plain sum and the node-mixed hash
+    // (~1/M² per round). All terms mod-M: overflow-safe under ANSI.
+    // coalesce: the aggregate over an EMPTY node set is NULL (the
+    // clean-corpus case), which must read as converged, not NPE.
+    def labelSig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        coalesce(sum(pmod(col("label"), lit(SigMod))), lit(0L)),
+        coalesce(sum(pmod(
+          pmod(col("node"), lit(SigMod)) * 40503L +
+            pmod(col("label"), lit(SigMod)) * 2654435761L,
+          lit(SigMod))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prevSig = labelSig(labels)
 
     var i = 0
     var converged = labels.isEmpty
@@ -94,15 +115,15 @@ object Components {
       val (updated, updatedIds) = checkpointTracked(
         labels.unionByName(nbr)
           .groupBy("node").agg(min("label").as("label")))
-      val newSum = labelSum(updated)
+      val newSig = labelSig(updated)
       // bound storage to two label tables: release the superseded
       // round's checkpoint RDDs instead of waiting on GC +
       // ContextCleaner (up to maxIter copies otherwise)
       release(s, labelIds)
       labels = updated
       labelIds = updatedIds
-      converged = newSum == prevSum
-      prevSum = newSum
+      converged = newSig == prevSig
+      prevSig = newSig
       i += 1
     }
     sym.unpersist(blocking = false)
@@ -145,7 +166,11 @@ object Components {
     // final join AFTER the loop, possibly long after — a lazy persist
     // would recompute the whole upstream pair-generation pipeline at
     // result materialization. Stays cached for the result's lifetime
-    // (2 small columns), released only by session-level cleanup.
+    // (2 small columns), released only by session-level cleanup. This
+    // call also runs FIRST and consumes `edges` completely, so any
+    // lazily persisted upstream input (e.g. a memoized signature
+    // table) registers inside this discarded delta — never in a
+    // released round delta.
     val (nodes, _) = checkpointTracked(
       edges.select(col(a).cast("long").as("node"))
         .unionByName(edges.select(col(b).cast("long").as("node")))

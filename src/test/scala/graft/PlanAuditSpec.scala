@@ -116,11 +116,8 @@ class PlanAuditSpec extends SparkSpec {
     // key-equality or broadcast join. (BroadcastNestedLoopJoin over a
     // single-row broadcast, e.g. the x24 query vector, is acceptable
     // and distinct from CartesianProduct.)
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val p = SparkEntry.queries(name)(spark, sf0001)
-        .queryExecution.executedPlan.toString
-      if (p.contains("CartesianProduct")) Some(name) else None
-    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filter(name => plan(name).contains("CartesianProduct"))
     assert(offenders.isEmpty, s"cartesian plans: ${offenders.mkString(", ")}")
   }
 
