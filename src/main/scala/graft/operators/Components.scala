@@ -22,12 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** Modulus for fixpoint-signature arithmetic: ids are reduced mod M
+  /** Moduli for fixpoint-signature arithmetic: ids are reduced mod M
     * before any multiply/sum so no signature term can overflow a long
     * under ANSI mode, whatever the id range (64-bit hashed ids
     * included). Sums of mod-M terms stay in range up to ~9e9 edges per
-    * partition-set — far past any single fixpoint check. */
+    * partition-set — far past any single fixpoint check.
+    *
+    * TWO coprime moduli, because reductions under a single modulus are
+    * perfectly correlated: a label moving a → b with a ≡ b (mod M)
+    * leaves EVERY mod-M term unchanged, however the terms are mixed.
+    * Stationarity under both primes requires the change to be a
+    * multiple of M1·M2 ≈ 1e18 — out of range for any realistic id
+    * delta, and vanishing measure even over full 64-bit hashes. */
   private val SigMod = 1000000007L
+  private val SigMod2 = 998244353L
 
   /** localCheckpoint caches at the RDD level, which
     * `Dataset.unpersist` does NOT release (it only unregisters
@@ -88,21 +96,18 @@ object Components {
     var (labels, labelIds) = checkpointTracked(
       sym.select(col("src").as("node")).distinct()
         .withColumn("label", col("node")))
-    // Two-scalar signature, not a bare sum: labels only decrease, but a
-    // mod-M sum alone can stay stationary when a label moves a→b with
-    // a ≡ b (mod M) — birthday-likely over 64-bit hashed ids — and a
-    // false fixpoint here returns silently-wrong clusters. A change
-    // must now collide in BOTH the plain sum and the node-mixed hash
-    // (~1/M² per round). All terms mod-M: overflow-safe under ANSI.
-    // coalesce: the aggregate over an EMPTY node set is NULL (the
-    // clean-corpus case), which must read as converged, not NPE.
+    // Two-scalar signature over COPRIME moduli, not a bare sum: labels
+    // only decrease, but a single mod-M sum can stay stationary when a
+    // label moves a→b with a ≡ b (mod M) — birthday-likely over 64-bit
+    // hashed ids — and a false fixpoint here returns silently-wrong
+    // clusters. Stationarity under both primes needs the change to be
+    // a multiple of M1·M2 ≈ 1e18 (see SigMod note). Overflow-safe
+    // under ANSI. coalesce: the aggregate over an EMPTY node set is
+    // NULL (the clean-corpus case) — converged, not NPE.
     def labelSig(df: DataFrame): (Long, Long) = {
       val r = df.agg(
         coalesce(sum(pmod(col("label"), lit(SigMod))), lit(0L)),
-        coalesce(sum(pmod(
-          pmod(col("node"), lit(SigMod)) * 40503L +
-            pmod(col("label"), lit(SigMod)) * 2654435761L,
-          lit(SigMod))), lit(0L))).head()
+        coalesce(sum(pmod(col("label"), lit(SigMod2))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     var prevSig = labelSig(labels)
@@ -184,7 +189,10 @@ object Components {
       greatest(col(a).cast("long"), col(b).cast("long")).as("hi"),
       least(col(a).cast("long"), col(b).cast("long")).as("lo"))))
 
-    def sig(df: DataFrame): (Long, Long, Long, Long) = {
+    // edge-multiset signature over both coprime moduli (see SigMod
+    // note: single-modulus terms are perfectly correlated under a
+    // congruent endpoint change, however they're mixed)
+    def sig(df: DataFrame): (Long, Long, Long, Long, Long) = {
       val r = df.agg(
         count(lit(1)),
         coalesce(sum(pmod(col("hi"), lit(SigMod))), lit(0L)),
@@ -192,8 +200,12 @@ object Components {
         coalesce(sum(pmod(
           pmod(col("hi"), lit(SigMod)) * 2654435761L +
             pmod(col("lo"), lit(SigMod)) * 40503L,
-          lit(SigMod))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+          lit(SigMod))), lit(0L)),
+        coalesce(sum(pmod(
+          pmod(col("hi"), lit(SigMod2)) * 1566083941L +
+            pmod(col("lo"), lit(SigMod2)) * 69069L,
+          lit(SigMod2))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
     }
 
     var prev = sig(e)
