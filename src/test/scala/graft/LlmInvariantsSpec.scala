@@ -63,6 +63,65 @@ class LlmInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("x44: status counts reconstruct exactly from the derivation rules") {
+    import spark.implicits._
+    val ids = graft.sources.Tables.load(spark, sf0001, "documents")
+      .select("doc_id").as[Long].collect()
+    val expected = Map(
+      "added" -> ids.count(_ % 13 == 0).toLong,
+      "deleted" -> ids.count(_ % 7 == 0).toLong,
+      "modified" -> ids.count(i => i % 7 != 0 && i % 11 == 0).toLong,
+      "unchanged" -> ids.count(i => i % 7 != 0 && i % 11 != 0).toLong)
+    val got = run("x44_corpus_diff").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected.filter(_._2 > 0))
+  }
+
+  test("x45: every draw is a valid non-self embedding id, at most k per anchor") {
+    val rows = run("x45_negative_sampling").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) != r.getLong(0), "negative must not be its own anchor")
+      assert(r.getLong(2) >= 0)
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (anchor, draws) =>
+      assert(draws.length <= 3, s"anchor $anchor drew ${draws.length} > k")
+      assert(draws.map(_.getInt(1)).distinct.length == draws.length, "draw ids unique")
+    }
+  }
+
+  test("x46: chunk ids are dense per doc and chunks cover every token") {
+    import spark.implicits._
+    val nTokens = graft.sources.Tables.load(spark, sf0001, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.expr("size(split(text, ' '))").as("n"))
+      .as[(Long, Int)].collect().toMap
+    run("x46_token_chunks").collect().groupBy(_.getLong(0)).foreach {
+      case (doc, chunks) =>
+        val ids = chunks.map(_.getInt(1)).sorted
+        assert(ids.toSeq == (0 until ids.length), s"doc $doc chunk ids not dense")
+        // stride 40 + chunk 50: the last chunk's start (40*(k-1)) must
+        // reach past the final token, and coverage sums to >= n
+        val n = nTokens(doc)
+        assert(40 * (ids.length - 1) < n && 40 * ids.length >= math.max(n - 9, 1),
+          s"doc $doc with $n tokens produced ${ids.length} chunks")
+        assert(chunks.map(_.getInt(2)).sum >= n, s"doc $doc chunks must cover all tokens")
+    }
+  }
+
+  test("x47: manifest only contains quality survivors with contiguous bins") {
+    run("x47_pipeline_manifest").collect().groupBy(_.getString(0)).foreach {
+      case (src, bins) =>
+        val ids = bins.map(_.getLong(1)).sorted
+        assert(ids.head == 0L && ids.zipWithIndex.forall { case (b, i) => b == i.toLong },
+          s"$src bins must be contiguous from 0")
+        bins.foreach { r =>
+          assert(r.getDouble(4) >= 0.5 && r.getDouble(4) <= 1.0,
+            s"$src avg quality must sit within the gate")
+        }
+    }
+  }
+
   test("x36: exactly one survivor per component, labeled by its minimum") {
     val rows = run("x36_neardup_components").collect()
     assert(rows.nonEmpty)
