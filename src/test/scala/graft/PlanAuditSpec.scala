@@ -52,6 +52,12 @@ class PlanAuditSpec extends SparkSpec {
     assert("from_json".r.findAllIn(p).size <= 1, "one from_json pass")
   }
 
+  test("q20: staged map parse — at most one from_json in the plan") {
+    val p = plan("q20_map_access")
+    assert("from_json".r.findAllIn(p).size <= 1,
+      "the r2/r3 double-parse regression (two JsonToStructs in one Project) must not return")
+  }
+
   test("x24: brute-force cosine broadcasts the query vector only") {
     val p = plan("x24_topk_cosine")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
