@@ -64,6 +64,26 @@ object Components {
     ids.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
   }
 
+  /** Right-size the loop's shuffle parallelism to the graph, not the
+    * session (r3 verdict #3): every round is 2-3 shuffles plus a
+    * checkpoint materialization, and at the session's default
+    * parallelism a KB-scale pair graph pays tasks-per-stage × rounds of
+    * pure scheduling overhead (36 s on the r3 driver box for a
+    * few-hundred-edge graph). One partition per ~64k edge rows, never
+    * MORE than the session default — at cluster scale with a billion
+    * pairs the cap keeps the session's sizing; at bench scale the loop
+    * collapses to single-task stages. Restores the session value on
+    * exit; loops are single-driver-thread by the checkpointTracked
+    * contract, so the temporary session-conf write cannot race another
+    * query. */
+  private def withLoopParallelism[T](s: SparkSession, rows: Long)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val orig = s.conf.get(key)
+    val sized = math.max(1L, math.min(orig.toLong, rows / 65536L + 1L))
+    s.conf.set(key, sized.toString)
+    try body finally s.conf.set(key, orig)
+  }
+
   /** @param edges undirected edge list; both columns must be integral
     *              node ids (the component label is the component's min
     *              node id)
@@ -84,7 +104,7 @@ object Components {
     // tracked checkpoint, sym's cache id would land in the round delta
     // and round 1's release would evict it, recomputing the whole
     // upstream pair pipeline every subsequent round
-    sym.count()
+    val edgeRows = sym.count()
 
     // localCheckpoint, not persist: each round's plan references the
     // previous labels TWICE (join + union), so lineage doubles per
@@ -114,32 +134,43 @@ object Components {
 
     var i = 0
     var converged = labels.isEmpty
-    while (!converged && i < maxIter) {
-      val nbr = sym.as("e").join(labels.as("lb"), col("e.dst") === col("lb.node"))
-        .select(col("e.src").as("node"), col("lb.label").as("label"))
-      val (updated, updatedIds) = checkpointTracked(
-        labels.unionByName(nbr)
-          .groupBy("node").agg(min("label").as("label")))
-      val newSig = labelSig(updated)
-      // bound storage to two label tables: release the superseded
-      // round's checkpoint RDDs instead of waiting on GC +
-      // ContextCleaner (up to maxIter copies otherwise)
-      release(s, labelIds)
-      labels = updated
-      labelIds = updatedIds
-      converged = newSig == prevSig
-      prevSig = newSig
-      i += 1
+    // the result's own checkpoint (one ~2-column table) stays cached for
+    // the result's lifetime — the one unavoidable residue; callers
+    // needing a fully clean context can sweep sparkContext
+    // .getPersistentRDDs afterwards
+    val (result, _) = withLoopParallelism(s, edgeRows) {
+      while (!converged && i < maxIter) {
+        val nbr = sym.as("e").join(labels.as("lb"), col("e.dst") === col("lb.node"))
+          .select(col("e.src").as("node"), col("lb.label").as("label"))
+        val (updated, updatedIds) = checkpointTracked(
+          labels.unionByName(nbr)
+            .groupBy("node").agg(min("label").as("label")))
+        val newSig = labelSig(updated)
+        // bound storage to two label tables: release the superseded
+        // round's checkpoint RDDs instead of waiting on GC +
+        // ContextCleaner (up to maxIter copies otherwise)
+        release(s, labelIds)
+        labels = updated
+        labelIds = updatedIds
+        converged = newSig == prevSig
+        prevSig = newSig
+        i += 1
+      }
+      // hitting the round cap without convergence means the output would
+      // contain pseudo-components (labels that are no member's id) —
+      // refuse to return silently-wrong clusters
+      require(converged,
+        s"connected components did not converge in $maxIter rounds — " +
+          "raise maxIter (rounds scale with component diameter) or use " +
+          "connectedComponentsAlternating for path-shaped graphs")
+      // copy the answer onto its OWN checkpoint so the final round's
+      // loop RDDs can be released here rather than leaking for the
+      // session lifetime (Dataset.unpersist can't reach them)
+      checkpointTracked(labels.select(col("node"), col("label").as("component")))
     }
     sym.unpersist(blocking = false)
-    // hitting the round cap without convergence means the output would
-    // contain pseudo-components (labels that are no member's id) —
-    // refuse to return silently-wrong clusters
-    require(converged,
-      s"connected components did not converge in $maxIter rounds — " +
-        "raise maxIter (rounds scale with component diameter) or use " +
-        "connectedComponentsAlternating for path-shaped graphs")
-    labels.select(col("node"), col("label").as("component"))
+    release(s, labelIds)
+    result
   }
 
   /** Large-star/small-star connected components (Kiveris et al.,
@@ -176,7 +207,7 @@ object Components {
     // lazily persisted upstream input (e.g. a memoized signature
     // table) registers inside this discarded delta — never in a
     // released round delta.
-    val (nodes, _) = checkpointTracked(
+    val (nodes, nodeIds) = checkpointTracked(
       edges.select(col(a).cast("long").as("node"))
         .unionByName(edges.select(col(b).cast("long").as("node")))
         .distinct())
@@ -211,37 +242,55 @@ object Components {
     var prev = sig(e)
     var i = 0
     var converged = prev._1 == 0L
-    while (!converged && i < maxIter) {
-      // large-star: m over ALL neighbors of each node (both roles)
-      val nbrs = e.select(col("hi").as("u"), col("lo").as("v"))
-        .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
-      val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val (large, largeIds) = checkpointTracked(canon(e
-        .join(mins.withColumnRenamed("u", "lo"), "lo")
-        .select(col("hi"), col("m").as("lo"))))
-      release(s, eIds)
+    // the result's own checkpoint stays cached for the result's
+    // lifetime — the one unavoidable residue; callers needing a fully
+    // clean context can sweep sparkContext.getPersistentRDDs afterwards
+    val (result, _) = withLoopParallelism(s, prev._1) {
+      while (!converged && i < maxIter) {
+        // large-star: m over ALL neighbors of each node (both roles)
+        val nbrs = e.select(col("hi").as("u"), col("lo").as("v"))
+          .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+        val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("m"))
+        // checkpoint (not cache) the intra-round intermediate: `small`
+        // below references `large` twice (join left + mins2 grouping);
+        // a .persist() here measured 2-3× SLOWER end-to-end than the
+        // extra checkpoint job (columnar cache encode/decode per round
+        // dominates at loop cadence), so each star keeps its own
+        // truncation point
+        val (large, largeIds) = checkpointTracked(canon(e
+          .join(mins.withColumnRenamed("u", "lo"), "lo")
+          .select(col("hi"), col("m").as("lo"))))
+        release(s, eIds)
 
-      // small-star: per center hi, re-point the smaller neighbors and
-      // the center itself at their minimum
-      val mins2 = large.groupBy("hi").agg(min("lo").as("m"))
-      val (small, smallIds) = checkpointTracked(canon(large
-        .join(mins2, "hi")
-        .select(col("lo").as("hi"), col("m").as("lo"))
-        .unionByName(mins2.select(col("hi"), col("m").as("lo")))))
-      release(s, largeIds)
+        // small-star: per center hi, re-point the smaller neighbors and
+        // the center itself at their minimum
+        val mins2 = large.groupBy("hi").agg(min("lo").as("m"))
+        val (small, smallIds) = checkpointTracked(canon(large
+          .join(mins2, "hi")
+          .select(col("lo").as("hi"), col("m").as("lo"))
+          .unionByName(mins2.select(col("hi"), col("m").as("lo")))))
+        release(s, largeIds)
 
-      val cur = sig(small)
-      e = small
-      eIds = smallIds
-      converged = cur == prev
-      prev = cur
-      i += 1
+        val cur = sig(small)
+        e = small
+        eIds = smallIds
+        converged = cur == prev
+        prev = cur
+        i += 1
+      }
+      require(converged,
+        s"alternating components did not converge in $maxIter rounds")
+      // fixpoint = star forest: every edge is (member, root). Copy the
+      // answer onto its OWN checkpoint so the final round's edge table
+      // and the node list can be released here rather than leaking for
+      // the session lifetime (Dataset.unpersist can't reach them)
+      checkpointTracked(
+        nodes.join(e.withColumnRenamed("hi", "node"), Seq("node"), "left")
+          .select(col("node"), coalesce(col("lo"), col("node")).as("component")))
     }
-    require(converged,
-      s"alternating components did not converge in $maxIter rounds")
-    // fixpoint = star forest: every edge is (member, root)
-    nodes.join(e.withColumnRenamed("hi", "node"), Seq("node"), "left")
-      .select(col("node"), coalesce(col("lo"), col("node")).as("component"))
+    release(s, eIds)
+    release(s, nodeIds)
+    result
   }
 }
