@@ -92,23 +92,35 @@ object LlmData {
     new java.util.HashMap[SparkSession, TrieMap[(String, String), DataFrame]]
   private def memoized(s: SparkSession, key: String, dir: String)
       (build: => DataFrame): DataFrame = {
-    val perSession = memo.synchronized {
-      memo.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
-      memo.computeIfAbsent(s, _ => TrieMap.empty[(String, String), DataFrame])
+    var out: DataFrame = null
+    while (out == null) {
+      val perSession = memo.synchronized {
+        memo.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
+        memo.computeIfAbsent(s, _ => TrieMap.empty[(String, String), DataFrame])
+      }
+      // compute-if-absent under the per-session lock: TrieMap's bare
+      // getOrElseUpdate can run `build` (which persists) twice under
+      // concurrent first access, leaking one never-unpersisted copy
+      perSession.synchronized {
+        // build only into the map that is CURRENTLY registered: a
+        // concurrent clearMemo may have removed this map between the
+        // fetch and this lock, and another thread may already have
+        // registered a FRESH map in its place — re-registering ours
+        // with a bare putIfAbsent would then silently lose, and our
+        // build would land in an orphaned map no future clearMemo can
+        // reach (one persisted copy leaked per race). Register-or-read
+        // the current entry and retry the fetch when it isn't ours.
+        // (Lock order is safe: clearMemo never waits on a map lock
+        // while holding the memo lock.)
+        val registered = memo.synchronized {
+          memo.putIfAbsent(s, perSession)
+          memo.get(s)
+        }
+        if (registered eq perSession)
+          out = perSession.getOrElseUpdate((key, dir), build)
+      }
     }
-    // compute-if-absent under the per-session lock: TrieMap's bare
-    // getOrElseUpdate can run `build` (which persists) twice under
-    // concurrent first access, leaking one never-unpersisted copy
-    perSession.synchronized {
-      // re-register before building: a concurrent clearMemo may have
-      // removed this map from `memo` between our fetch and this lock —
-      // without the putIfAbsent the new entry would land in an orphaned
-      // map no future clearMemo can reach. (Lock order is safe:
-      // clearMemo never waits on a map lock while holding the memo
-      // lock.)
-      memo.synchronized(memo.putIfAbsent(s, perSession))
-      perSession.getOrElseUpdate((key, dir), build)
-    }
+    out
   }
 
   /** Unpersist and drop every DataFrame memoized for session `s`.
@@ -874,6 +886,11 @@ object LlmData {
     // in-query (every 7th doc deleted, every 11th edited, every 13th
     // re-added under a new id) so the oracle replays the identical
     // diff. One shuffle on the join key; the status rollup is bounded.
+    // Re-added ids are negated (-(id+1)) rather than offset by a
+    // constant: an additive offset collides with real doc_ids once the
+    // corpus id range reaches it (1e6 at larger SF), silently fanning
+    // out the join identically in both engines; negation is disjoint
+    // from any non-negative id at every scale.
     "x44_corpus_diff" -> Q(
       (s, dir) => {
         val v1 = t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("fp"))
@@ -883,7 +900,7 @@ object LlmData {
             md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
               .otherwise(col("text"))).as("fp"))
           .unionByName(d.filter(col("doc_id") % 13 === 0)
-            .select((col("doc_id") + 1000000L).as("doc_id"), md5(col("text")).as("fp")))
+            .select((-(col("doc_id") + 1L)).as("doc_id"), md5(col("text")).as("fp")))
         val status = when(col("a.doc_id").isNull, "added")
           .when(col("b.doc_id").isNull, "deleted")
           .when(col("a.fp") === col("b.fp"), "unchanged")
@@ -900,7 +917,7 @@ object LlmData {
              |         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS fp
              |       FROM documents WHERE doc_id % 7 <> 0
              |       UNION ALL
-             |       SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 13 = 0),
+             |       SELECT -(doc_id + 1), md5(text) FROM documents WHERE doc_id % 13 = 0),
              |j AS (SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
              |               WHEN b.doc_id IS NULL THEN 'deleted'
              |               WHEN a.fp = b.fp THEN 'unchanged'

@@ -54,12 +54,26 @@ case class MinHashSlots(child: Expression, numHashes: Int) extends HashKernel {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
     if (n == 0) return null
+    // Contract check (one O(n) pre-pass, not per-slot): inputs must be
+    // pre-reduced mod M or the raw long multiply silently wraps into
+    // wrong-but-plausible signatures — the HOF/ANSI path this kernel
+    // claims bit-parity with would raise on the same misuse, so fail
+    // loudly here too.
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      if (h < 0L || h >= graft.functions.Text.MinhashMod)
+        throw new IllegalArgumentException(
+          s"graft_minhash input hash $h outside [0, ${graft.functions.Text.MinhashMod}): " +
+            "inputs must be pre-reduced mod 2^31-1 (see Text.MinhashMod)")
+      j += 1
+    }
     val out = new Array[Long](numHashes)
     var i = 0
     while (i < numHashes) {
       val a = as(i); val b = bs(i)
       var best = Long.MaxValue
-      var j = 0
+      j = 0
       while (j < n) {
         val v = (hs.getLong(j) * a + b) % graft.functions.Text.MinhashMod
         if (v < best) best = v
@@ -86,6 +100,14 @@ case class MinHashSlots(child: Expression, numHashes: Int) extends HashKernel {
          |if ($n == 0) {
          |  ${ev.isNull} = true;
          |} else {
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $v = $hs.getLong($j);
+         |    if ($v < 0L || $v >= ${graft.functions.Text.MinhashMod}L) {
+         |      throw new IllegalArgumentException("graft_minhash input hash " + $v
+         |        + " outside [0, ${graft.functions.Text.MinhashMod}): inputs must be"
+         |        + " pre-reduced mod 2^31-1 (see Text.MinhashMod)");
+         |    }
+         |  }
          |  long[] $out = new long[$numHashes];
          |  for (int $i = 0; $i < $numHashes; $i++) {
          |    long $best = Long.MAX_VALUE;

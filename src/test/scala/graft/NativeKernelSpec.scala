@@ -54,6 +54,18 @@ class NativeKernelSpec extends SparkSpec {
     assert(mismatch == 0)
   }
 
+  test("graft_minhash rejects hashes not pre-reduced mod M (fail loud, not wrap)") {
+    // raw md5 longs (up to 2^60) would silently wrap the slot multiply;
+    // the kernel must throw instead of returning plausible garbage
+    val raw = sh.withColumn("hs", Text.md5LongsNative(col("sh"), 0L))
+    val e = intercept[Exception] {
+      raw.select(Text.minhashNative(col("hs"), 16).as("mh")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("pre-reduced mod")))
+  }
+
   test("graft_simhash == simhash60 (votes + packing)") {
     val mismatch = sh.select(
       Text.simhashNative(Text.md5LongsNative(col("sh"), 0L), 60).as("native"),
