@@ -81,6 +81,159 @@ object LlmData {
   private def cosine6(a: Column, b: Column): Column =
     pround(Vectors.cosineFused(a, b), 6)
 
+  // ── shared ANN pipelines (x24 / x25 / x34 / x35) ────────────────────
+  // ONE definition per retrieval method, used both by the method's own
+  // query and by the recall audit (x35) — so the recall numbers can
+  // never drift from what the registered queries actually return.
+
+  /** Exact brute-force top-k: broadcast single-row query vector,
+    * map-side fused cosine, TakeOrderedAndProject. */
+  private def annExactTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine6(col("embedding"), col("qe")).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Sign-LSH bucketed top-k: equality join on the 6-bit sign bucket
+    * key; only the query's bucket is scored. */
+  private def annLshTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .withColumn("bk", Vectors.signKey(col("embedding"), 6))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("bk").as("qbk"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), col("bk") === col("qbk"))
+      .select(col("vec_id"), cosine6(col("embedding"), col("qe")).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF top-k with a TRAINED coarse quantizer: K=16 centroids seeded
+    * from the first K embeddings, refined by two Lloyd's iterations
+    * (map-side argmax assignment over the centroid literal; per-dim
+    * micro-unit integer sums collected at K×dim rows), then an
+    * nprobe=2 probe of the query's two best lists. See the x34 entry
+    * comment for the full scale argument. */
+  private def annIvfTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val K = 16
+    var cents: Seq[(Long, IndexedSeq[Float])] =
+      e.filter(col("vec_id").between(1, K))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toIndexedSeq)
+        .sortBy(_._1).toSeq
+    // (ccos, cid) structs per centroid; array_max = lexicographic
+    // argmax: highest cosine, ties to the largest cid — mirrored in
+    // the oracle's ORDER BY ccos DESC, cid DESC
+    def scored(v: Column): Column = transform(
+      array(cents.map { case (cid, ce) =>
+        struct(lit(cid).as("cid"), typedlit(ce).as("ce"))
+      }: _*),
+      c => struct(cosine6(v, c.getField("ce")).as("ccos"),
+        c.getField("cid").as("cid")))
+    for (_ <- 1 to 2) {
+      val sums = e
+        .withColumn("cid", array_max(scored(col("embedding"))).getField("cid"))
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(sum(floor(col("v").cast("double") * 1000000.0 + 0.5)).as("sm"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCid = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        cid -> byCid.get(cid).fold(old)(rows =>
+          rows.sortBy(_.getInt(1)).map(r =>
+            ((r.getLong(2).toDouble / r.getLong(3)) / 1000000.0).toFloat)
+            .toIndexedSeq)
+      }
+    }
+    val assigned = e.withColumn("cid",
+      array_max(scored(col("embedding"))).getField("cid"))
+    // nprobe=2: the query's two best lists, exploded to (qe, qcid)
+    // probe rows so the data side joins by key EQUALITY (broadcast
+    // hash join), never a nested-loop OR-condition
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"),
+        explode(slice(reverse(array_sort(scored(col("embedding")))), 1, 2)).as("p"))
+      .select(col("qe"), col("p.cid").as("qcid"))
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), col("cid") === col("qcid"))
+      .select(col("vec_id"), cosine6(col("embedding"), col("qe")).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[annExactTopK]] as a flat SELECT (CTE-embeddable). */
+  private def duckExactTopK(k: Int): String =
+    s"""SELECT e.vec_id, ${duckRound(duckCosine("e.embedding", "q.qe"), 6)} AS cos
+       |FROM embeddings e CROSS JOIN
+       |  (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+       |WHERE e.vec_id <> 0 ORDER BY cos DESC, e.vec_id LIMIT $k""".stripMargin
+
+  /** DuckDB 6-bit sign-bucket key over a list-of-float column. */
+  private def duckSignKey(c: String): String =
+    s"array_to_string(list_transform(range(1, 7), " +
+      s"i -> CASE WHEN $c[i] >= 0 THEN '1' ELSE '0' END), '')"
+
+  /** DuckDB twin of [[annLshTopK]] as a flat SELECT (CTE-embeddable). */
+  private def duckLshTopK(k: Int): String =
+    s"""SELECT kk.vec_id, ${duckRound(duckCosine("kk.embedding", "q.qe"), 6)} AS cos
+       |FROM (SELECT vec_id, embedding, ${duckSignKey("embedding")} AS bk FROM embeddings) kk
+       |CROSS JOIN (SELECT embedding AS qe, ${duckSignKey("embedding")} AS qbk
+       |            FROM embeddings WHERE vec_id = 0) q
+       |WHERE kk.bk = q.qbk AND kk.vec_id <> 0
+       |ORDER BY cos DESC, kk.vec_id LIMIT $k""".stripMargin
+
+  /** DuckDB twin of [[annIvfTopK]]'s training + assignment as a WITH
+    * body: defines `asg(vec_id, embedding, cid)` (final inverted-list
+    * assignment) and `qp(qe, qcid)` (the query's nprobe=2 probe rows).
+    * Shared by the x34 and x35 oracles so they can never diverge. */
+  private lazy val duckIvfChain: String = {
+    def lloyd(i: Int, cin: String, cout: String): String =
+      s"""a$i AS (SELECT e.vec_id, e.embedding, c.cid,
+         |        row_number() OVER (PARTITION BY e.vec_id
+         |          ORDER BY ${duckRound(duckCosine("e.embedding", "c.ce"), 6)} DESC,
+         |            c.cid DESC) AS rn
+         |      FROM embeddings e CROSS JOIN $cin c),
+         |s$i AS (SELECT vec_id, embedding, cid FROM a$i WHERE rn = 1),
+         |m$i AS (SELECT cid, p.pos,
+         |        CAST(sum(CAST(floor(CAST(embedding[p.pos] AS DOUBLE) * 1000000.0 + 0.5)
+         |          AS BIGINT)) AS BIGINT) AS sm,
+         |        count(*) AS n
+         |      FROM s$i CROSS JOIN pos p WHERE p.pos <= len(embedding)
+         |      GROUP BY cid, p.pos),
+         |n$i AS (SELECT cid,
+         |        list(CAST(CAST(sm AS DOUBLE) / n / 1000000.0 AS FLOAT) ORDER BY pos) AS ce
+         |      FROM m$i GROUP BY cid),
+         |$cout AS (SELECT c.cid, coalesce(n$i.ce, c.ce) AS ce
+         |      FROM $cin c LEFT JOIN n$i ON c.cid = n$i.cid)"""
+    s"""pos AS (SELECT unnest(range(1, 65)) AS pos),
+       |c0 AS (SELECT vec_id AS cid, embedding AS ce
+       |       FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+       |${lloyd(1, "c0", "c1")},
+       |${lloyd(2, "c1", "c2")},
+       |f AS (SELECT e.vec_id, e.embedding, c.cid,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |          ORDER BY ${duckRound(duckCosine("e.embedding", "c.ce"), 6)} DESC,
+       |            c.cid DESC) AS rn
+       |      FROM embeddings e CROSS JOIN c2 c),
+       |asg AS (SELECT vec_id, embedding, cid FROM f WHERE rn = 1),
+       |qp AS (SELECT embedding AS qe, cid AS qcid FROM f
+       |       WHERE vec_id = 0 AND rn <= 2)""".stripMargin
+  }
+
+  /** DuckDB twin of [[annIvfTopK]]'s probe (requires [[duckIvfChain]]
+    * in scope). */
+  private def duckIvfTopK(k: Int): String =
+    s"""SELECT asg.vec_id, ${duckRound(duckCosine("asg.embedding", "qp.qe"), 6)} AS cos
+       |FROM asg JOIN qp ON asg.cid = qp.qcid
+       |WHERE asg.vec_id <> 0
+       |ORDER BY cos DESC, asg.vec_id LIMIT $k""".stripMargin
+
   /** Signature tables are persisted and re-read by several join sides;
     * memoize the built DataFrame per (session, query, sfDir) so
     * repeated invocations in one session reuse the same cache entry
@@ -338,19 +491,8 @@ object LlmData {
     // map-side fold; orderBy+limit plans TakeOrderedAndProject (per-
     // partition heap — the scan never globally sorts).
     "x24_topk_cosine" -> Q(
-      (s, dir) => {
-        val e = t(s, dir, "embeddings")
-        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-        e.filter(col("vec_id") =!= 0)
-          .crossJoin(broadcast(q))
-          .select(col("vec_id"), cosine6(col("embedding"), col("qe")).as("cos"))
-          .orderBy(desc("cos"), asc("vec_id"))
-          .limit(10)
-      },
-      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-              |SELECT vec_id, ${duckRound(duckCosine("embedding", "qe"), 6)} AS cos
-              |FROM embeddings, q WHERE vec_id <> 0
-              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
+      (s, dir) => annExactTopK(s, dir, 10),
+      Some(duckExactTopK(10)),
       "exact ANN baseline: broadcast query vector + TakeOrderedAndProject top-k"),
 
     // ── X3b: LSH-bucketed ANN (sign-hyperplane buckets, scale path) ───
@@ -358,25 +500,8 @@ object LlmData {
     // bucket is scored. Approximate by construction (recall < 1); the
     // oracle replicates the identical pipeline, so the check is exact.
     "x25_ann_sign_lsh" -> Q(
-      (s, dir) => {
-        val e = t(s, dir, "embeddings")
-          .withColumn("bk", Vectors.signKey(col("embedding"), 6))
-        val q = e.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qe"), col("bk").as("qbk"))
-        e.filter(col("vec_id") =!= 0)
-          .join(broadcast(q), col("bk") === col("qbk"))
-          .select(col("vec_id"), cosine6(col("embedding"), col("qe")).as("cos"))
-          .orderBy(desc("cos"), asc("vec_id"))
-          .limit(5)
-      },
-      Some(s"""WITH k AS (SELECT vec_id, embedding,
-              |            array_to_string(list_transform(range(1, 7),
-              |              i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bk
-              |          FROM embeddings),
-              |q AS (SELECT embedding AS qe, bk AS qbk FROM k WHERE vec_id = 0)
-              |SELECT vec_id, ${duckRound(duckCosine("embedding", "qe"), 6)} AS cos
-              |FROM k, q WHERE k.bk = q.qbk AND vec_id <> 0
-              |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin),
+      (s, dir) => annLshTopK(s, dir, 5),
+      Some(duckLshTopK(5)),
       "sign-LSH bucketed ANN: equality join on bucket key, no all-pairs scan"),
 
     // ── X4a: per-language corpus statistics ───────────────────────────
@@ -499,58 +624,65 @@ object LlmData {
               |FROM documents ORDER BY doc_id""".stripMargin),
       "order-sensitive polynomial rolling fingerprint; left fold == DuckDB list_reduce"),
 
-    // ── X3d: IVF-style ANN — coarse quantizer + single-list probe ─────
-    // The inverted-file shape: K centroid vectors (here the first 16
-    // embeddings — a fixed coarse quantizer; k-means would refine them
-    // but the plan shape is identical) are COLLECTED to the driver and
-    // baked into the plan as a literal array. Every vector's nearest-
-    // centroid assignment is then a map-side argmax over that literal —
-    // no join, no shuffle, no N×K blowup — and the probe scans only the
-    // query's list before a TakeOrderedAndProject top-k. At 100 TB the
-    // collect is bounded by K (16 rows), never by data: this is the
-    // legitimate driver-side step, same as broadcasting a dim table.
-    // Approximate by construction (single-probe recall < 1); the oracle
-    // replicates the identical pipeline, so the check is exact.
+    // ── X3d: IVF ANN — TRAINED coarse quantizer + multi-probe ─────────
+    // The inverted-file shape (PAPERS.md: REPOSE, ICDE'21 — inverted
+    // lists from a coarse quantizer, probe a few lists): K=16 centroids
+    // seeded from the first K embeddings, then refined by two Lloyd's
+    // iterations. Each iteration is (a) a MAP-SIDE nearest-centroid
+    // argmax over the centroid literal — no join, no shuffle, no N×K
+    // blowup — and (b) one partial-aggregated groupBy(cid, dim) whose
+    // result is K×dim rows, COLLECTED to the driver and baked into the
+    // next round's literal. Every driver-side step is bounded by K×dim
+    // (16×64), never by data — the same legitimacy class as
+    // broadcasting a dim table. Means use the micro-units trick
+    // (floor(v·1e6 + 0.5) summed as integers, one division at the end)
+    // so they are accumulation-order-independent and the DuckDB oracle
+    // — which replays the identical two rounds relationally — matches
+    // exactly; empty clusters keep their previous centroid on both
+    // sides. The query probes its nprobe=2 nearest lists (exploded to
+    // probe rows, so the fan-in stays a broadcast EQUALITY join);
+    // approximate by construction, recall measured against exact top-k
+    // in x35.
     "x34_ann_ivf" -> Q(
+      (s, dir) => annIvfTopK(s, dir, 5),
+      Some(s"WITH $duckIvfChain\n${duckIvfTopK(5)}"),
+      "IVF ANN: k-means-trained literal quantizer (2 Lloyd's rounds, micro-unit means), map-side list assignment, nprobe=2 multi-probe"),
+
+    // ── X3e: ANN recall audit — approximate methods vs exact top-k ────
+    // Turns "recall < 1 by construction" into a measured number: for
+    // each approximate method (sign-LSH x25, trained IVF x34), how many
+    // of the exact top-5 (x24's pipeline at k=5) does it return?
+    // Deterministic end to end (the same shared pipelines the
+    // registered queries use — see the shared-ANN section — joined on
+    // vec_id and counted), so the oracle check is exact, not
+    // statistical. A pipeline user tunes nprobe / bucket bits against
+    // exactly this query.
+    "x35_ann_recall" -> Q(
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
-        val cents = e.filter(col("vec_id").between(1, 16))
-          .select(col("vec_id"), col("embedding")).collect()
-          .sortBy(_.getLong(0))
-        val cArr = array(cents.toIndexedSeq.map { r =>
-          struct(lit(r.getLong(0)).as("cid"),
-            typedlit(r.getSeq[Float](1)).as("ce"))
-        }: _*)
-        // argmax via array_max on struct(cos, cid): lexicographic max =
-        // highest cosine, ties to the largest cid — mirrored in the
-        // oracle's ORDER BY ccos DESC, cid DESC
-        val best = array_max(transform(cArr,
-          c => struct(cosine6(col("embedding"), c.getField("ce")).as("ccos"),
-            c.getField("cid").as("cid"))))
-        val assigned = e
-          .withColumn("cid", best.getField("cid"))
-        val q = assigned.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qe"), col("cid").as("qcid"))
-        assigned.filter(col("vec_id") =!= 0)
-          .join(broadcast(q), col("cid") === col("qcid"))
-          .select(col("vec_id"), cosine6(col("embedding"), col("qe")).as("cos"))
-          .orderBy(desc("cos"), asc("vec_id"))
-          .limit(5)
+        val exact = annExactTopK(s, dir, 5).select(col("vec_id"))
+        def recallOf(approx: DataFrame, method: String): DataFrame =
+          approx.select(col("vec_id")).join(exact, "vec_id")
+            .agg(count(lit(1)).as("hits"))
+            .select(lit(method).as("method"), lit(5).as("k"), col("hits"),
+              pround(col("hits").cast("double") / 5.0, 6).as("recall"))
+        recallOf(annLshTopK(s, dir, 5), "sign_lsh")
+          .unionByName(recallOf(annIvfTopK(s, dir, 5), "ivf"))
+          .orderBy("method")
       },
-      Some(s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce
-              |          FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
-              |a AS (SELECT e.vec_id, e.embedding, c.cid,
-              |        ${duckRound(duckCosine("e.embedding", "c.ce"), 6)} AS ccos
-              |      FROM embeddings e CROSS JOIN c),
-              |best AS (SELECT vec_id, embedding, cid FROM (
-              |    SELECT *, row_number() OVER (
-              |      PARTITION BY vec_id ORDER BY ccos DESC, cid DESC) AS rn
-              |    FROM a) WHERE rn = 1),
-              |q AS (SELECT embedding AS qe, cid AS qcid FROM best WHERE vec_id = 0)
-              |SELECT vec_id, ${duckRound(duckCosine("embedding", "qe"), 6)} AS cos
-              |FROM best, q WHERE cid = qcid AND vec_id <> 0
-              |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin),
-      "IVF ANN: literal coarse quantizer, map-side list assignment (zero-shuffle), single-list probe"),
+      Some(s"""WITH $duckIvfChain,
+              |exact5 AS (SELECT vec_id FROM (${duckExactTopK(5)})),
+              |lsh5 AS (${duckLshTopK(5)}),
+              |ivf5 AS (${duckIvfTopK(5)}),
+              |r AS (
+              |  SELECT 'sign_lsh' AS method, 5 AS k, count(*) AS hits
+              |  FROM lsh5 JOIN exact5 USING (vec_id)
+              |  UNION ALL
+              |  SELECT 'ivf' AS method, 5 AS k, count(*) AS hits
+              |  FROM ivf5 JOIN exact5 USING (vec_id))
+              |SELECT method, k, hits,
+              |  ${duckRound("hits * 1.0 / 5.0", 6)} AS recall
+              |FROM r ORDER BY method""".stripMargin),
+      "ANN recall@5 audit: shared method pipelines joined against the exact top-k; fully deterministic"),
 
     // ── X3c: embedding-cosine near-dup — bucketed pair ranking ────────
     // Sign-LSH self-join (equality on the 6-bit bucket key — the pair
