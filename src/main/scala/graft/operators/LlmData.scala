@@ -300,21 +300,25 @@ object LlmData {
     * once per row, not once per shingle position inside the HOF lambda
     * (see Text.shingles PERF note).
     *
-    * The repartition exists for the testdata's single-file layout
-    * (one parquet file = one scan split would pin all hashing to one
-    * task) and shuffles only the (doc_id, text) projection. On a real
-    * corpus the scan is already split-parallel and the repartition
-    * should be dropped — the scale rule is that signatures shuffle,
-    * not payloads.
-    */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))
+    * The spread repartition is LAYOUT-CONDITIONAL: only a single-file
+    * corpus (the testdata layout — one parquet file that bin-packs
+    * into one scan split and would pin all hashing to one task) gets
+    * repartitioned, and even then only the (doc_id, text) projection.
+    * Any multi-file corpus is already split-parallel, and the scale
+    * rule — signatures shuffle, not payloads — is mechanically
+    * enforced: PlanAuditSpec asserts the spread exists on the
+    * single-file layout AND that no payload repartition appears over a
+    * multi-file copy. */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val spread =
+      if (base.inputFiles.length <= 1) base.repartition(col("doc_id")) else base
+    spread
       .withColumn("tk", Text.tokens(col("text")))
       .withColumn("sh", Text.shinglesNative(col("tk")))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
+  }
 
   /** SimHash near-dup pairs (doc_a < doc_b, hamming <= 5) — the x23
     * pipeline, shared with x36's cluster resolution. Fingerprints feed

@@ -58,24 +58,72 @@ object EventStream {
     * identical content is emitted exactly once, first arrival wins,
     * and the fingerprint state survives restarts via the checkpoint.
     *
-    * State note: exact corpus dedup intrinsically needs the full
-    * fingerprint history (there is no event-time horizon after which a
-    * re-crawl is acceptable to re-emit), so state is UNBOUNDED by
-    * design — 16 bytes/doc of md5 key in the state store. A 100 TB
-    * deployment shards that by fingerprint prefix or compacts against
-    * the published corpus in periodic batch (the x21 path); the
-    * within-watermark variant used for events does not apply. */
+    * State is BOUNDED in two tiers (exact corpus dedup has no
+    * event-time horizon after which a re-crawl may re-emit, so a naive
+    * dropDuplicates holds every fingerprint forever — 16 bytes/doc of
+    * state store growing without bound):
+    *   - RECENT tier: an ingest-time watermark +
+    *     dropDuplicatesWithinWatermark bounds the state store to the
+    *     last `stateHorizon` of arrivals (ingest time is the batch
+    *     timestamp — deterministic on retry);
+    *   - COMPACTED tier: fingerprints older than the horizon live in a
+    *     shard-partitioned parquet table maintained by
+    *     [[compactCorpusFingerprints]] and consulted via a
+    *     stream-static LEFT ANTI join (static side on the right — the
+    *     supported shape). Columnar at rest, nothing in the state
+    *     store.
+    * CADENCE CONTRACT: compaction must run at least once per
+    * `stateHorizon` (while the AvailableNow drain is idle — the
+    * overwrite must not race a running trigger), and the ingest query
+    * restarts after compaction so the refreshed static side is picked
+    * up. A fingerprint is then always covered by at least one tier:
+    * in-horizon re-crawls hit the state store, older ones hit the
+    * compacted table.
+    *
+    * `compactedFpDir = None` (or a not-yet-created dir) degrades to
+    * state-only dedup — correct until the first horizon expiry, which
+    * is exactly the window the cadence contract closes. */
   def corpusDedupIngest(spark: SparkSession, srcDir: String, checkpointDir: String,
-      outDir: String): StreamingQuery =
-    spark.readStream.schema(Tables.schemas("documents")).parquet(srcDir)
+      outDir: String, compactedFpDir: Option[String] = None,
+      stateHorizon: String = "24 hours"): StreamingQuery = {
+    val recent = spark.readStream.schema(Tables.schemas("documents")).parquet(srcDir)
       .withColumn("fp", md5(col("text")))
-      .dropDuplicates("fp")
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", stateHorizon)
+      .dropDuplicatesWithinWatermark("fp")
+    val survivors = compactedFpDir
+      .filter(dir => java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) match {
+      case Some(dir) =>
+        // static side re-resolved at query (re)start — the compaction
+        // cadence restarts the drain, so each run sees the fresh table
+        recent.join(spark.read.parquet(dir).select("fp"), Seq("fp"), "left_anti")
+      case None => recent
+    }
+    survivors.drop("ingest_ts")
       .writeStream
       .format("parquet")
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(outDir)
+  }
+
+  /** Batch compaction for [[corpusDedupIngest]]: fold the published
+    * corpus's fingerprints into the compacted table, partitioned by a
+    * 2-hex-char shard (256 partitions) of the md5 — so a future
+    * shard-pruned consumer reads 1/256th of the table per key prefix
+    * and the overwrite parallelizes by shard. Reads the corpus through
+    * the streaming sink's _spark_metadata log, so uncommitted files
+    * from an in-flight trigger are never compacted. Idempotent
+    * (distinct over the full corpus each run); run it at least once
+    * per ingest stateHorizon, while ingest is idle. */
+  def compactCorpusFingerprints(spark: SparkSession, corpusDir: String,
+      compactedFpDir: String): Unit =
+    spark.read.parquet(corpusDir)
+      .select(col("fp"), substring(col("fp"), 1, 2).as("shard"))
+      .distinct()
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(compactedFpDir)
 
   /** Complete-mode snapshot sink shared by the rollups: foreachBatch
     * overwrite keeps the output a consistent per-trigger snapshot —

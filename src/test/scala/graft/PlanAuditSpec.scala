@@ -52,6 +52,25 @@ class PlanAuditSpec extends SparkSpec {
     assert("from_json".r.findAllIn(p).size <= 1, "one from_json pass")
   }
 
+  test("x22: signatures shuffle, not payloads — spread is layout-conditional") {
+    // single-file testdata layout: the one sanctioned payload shuffle
+    // (the spread repartition over the 2-column projection) must exist,
+    // or hashing serializes onto one task
+    assert(plan("x22_minhash_lsh_pairs").contains("REPARTITION_BY_COL"),
+      "single-file layout needs the spread repartition")
+    // multi-file layout: the (doc_id, text) payload must never shuffle —
+    // every remaining exchange carries signatures/band keys only
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    graft.sources.Tables.load(spark, sf0001, "documents").repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val p = SparkEntry.queries("x22_minhash_lsh_pairs")(spark, tmp)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("REPARTITION_BY_COL"),
+      "a multi-file corpus must not shuffle the (doc_id, text) payload")
+    // drop the tmp-layout signature tables this audit memoized
+    graft.operators.LlmData.clearMemo(spark)
+  }
+
   test("q20: staged map parse — at most one from_json in the plan") {
     val p = plan("q20_map_access")
     assert("from_json".r.findAllIn(p).size <= 1,

@@ -107,6 +107,36 @@ class StreamingSpec extends SparkSpec {
     val afterSecond = spark.read.parquet(out)
     assert(afterSecond.count() == distinctTexts + 1)
     assert(afterSecond.select("fp").distinct().count() == distinctTexts + 1)
+
+    // third crawl, AFTER compaction and with a FRESH checkpoint — the
+    // state store is empty (models fingerprints aging past the state
+    // horizon), so any cross-crawl dedup must come from the compacted
+    // fingerprint table alone. Re-deliver everything published so far
+    // plus one genuinely new doc into a new release dir: only the new
+    // doc may land.
+    val fpDir = tmp("corpus-fp") + "/fps"
+    EventStream.compactCorpusFingerprints(spark, out, fpDir)
+    assert(spark.read.parquet(fpDir).select("fp").distinct().count()
+      == distinctTexts + 1)
+
+    val src2 = tmp("corpus-src2"); val out2 = tmp("corpus-out2")
+    val ckpt2 = tmp("corpus-ckpt2")
+    Files.copy(docsFile, Paths.get(src2, "crawl_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(part, Paths.get(src2, "crawl_c.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val stage2 = tmp("corpus-stage2")
+    spark.read.parquet(s"$src/crawl_a.parquet").limit(1)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+      .withColumn("text", concat(col("text"), lit(" second new tail")))
+      .coalesce(1).write.mode("overwrite").parquet(stage2)
+    val part2 = Files.list(Paths.get(stage2)).toArray.map(_.toString)
+      .map(Paths.get(_)).find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part2, Paths.get(src2, "crawl_d.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    EventStream.corpusDedupIngest(spark, src2, ckpt2, out2, Some(fpDir))
+      .awaitTermination()
+    val release2 = spark.read.parquet(out2)
+    assert(release2.count() == 1, "compacted-tier dedup must drop every re-crawled doc")
+    assert(release2.select("text").head().getString(0).endsWith(" second new tail"))
   }
 
   test("hourly rollup equals the q19 batch twin") {
