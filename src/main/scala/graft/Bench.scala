@@ -73,7 +73,11 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val totalWarm = results.values.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(_._1)},"queries_warm":${js(_._2)},"total_warm":$totalWarm,"sf":"$sfDir"}""")
+    // a filtered run must be self-describing: a leftover SPARK_GRAFT_ONLY
+    // in a canonical invocation would otherwise read as a ~50× speedup
+    val filterTag = only.fold("")(f =>
+      s""","filter":"${f.toSeq.sorted.mkString(",")}"""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(_._1)},"queries_warm":${js(_._2)},"total_warm":$totalWarm$filterTag,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

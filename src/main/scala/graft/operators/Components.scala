@@ -138,7 +138,7 @@ object Components {
     // the result's lifetime — the one unavoidable residue; callers
     // needing a fully clean context can sweep sparkContext
     // .getPersistentRDDs afterwards
-    val (result, _) = withLoopParallelism(s, edgeRows) {
+    val (result, _) = try withLoopParallelism(s, edgeRows) {
       while (!converged && i < maxIter) {
         val nbr = sym.as("e").join(labels.as("lb"), col("e.dst") === col("lb.node"))
           .select(col("e.src").as("node"), col("lb.label").as("label"))
@@ -167,9 +167,12 @@ object Components {
       // loop RDDs can be released here rather than leaking for the
       // session lifetime (Dataset.unpersist can't reach them)
       checkpointTracked(labels.select(col("node"), col("label").as("component")))
+    } finally {
+      // also on the non-convergence throw: the caller's session keeps
+      // running and must not inherit this loop's leaked storage
+      sym.unpersist(blocking = false)
+      release(s, labelIds)
     }
-    sym.unpersist(blocking = false)
-    release(s, labelIds)
     result
   }
 
@@ -201,13 +204,16 @@ object Components {
     // eager checkpoint (not persist): the node list is consumed by the
     // final join AFTER the loop, possibly long after — a lazy persist
     // would recompute the whole upstream pair-generation pipeline at
-    // result materialization. Stays cached for the result's lifetime
-    // (2 small columns), released only by session-level cleanup. This
-    // call also runs FIRST and consumes `edges` completely, so any
-    // lazily persisted upstream input (e.g. a memoized signature
-    // table) registers inside this discarded delta — never in a
-    // released round delta.
-    val (nodes, nodeIds) = checkpointTracked(
+    // result materialization. This call also runs FIRST and consumes
+    // `edges` completely, so any lazily persisted upstream input (e.g.
+    // a memoized signature table) registers inside THIS delta — which
+    // is therefore deliberately DISCARDED, never released: releasing
+    // it would unpersist the memoized upstream table out from under
+    // its registry while still advertised as cached (recomputing the
+    // whole signature pipeline on next use). The nodes table itself
+    // (2 small columns) is the bounded residue that buys that safety,
+    // alongside the result's own checkpoint.
+    val (nodes, _) = checkpointTracked(
       edges.select(col(a).cast("long").as("node"))
         .unionByName(edges.select(col(b).cast("long").as("node")))
         .distinct())
@@ -245,7 +251,7 @@ object Components {
     // the result's own checkpoint stays cached for the result's
     // lifetime — the one unavoidable residue; callers needing a fully
     // clean context can sweep sparkContext.getPersistentRDDs afterwards
-    val (result, _) = withLoopParallelism(s, prev._1) {
+    val (result, _) = try withLoopParallelism(s, prev._1) {
       while (!converged && i < maxIter) {
         // large-star: m over ALL neighbors of each node (both roles)
         val nbrs = e.select(col("hi").as("u"), col("lo").as("v"))
@@ -283,14 +289,17 @@ object Components {
         s"alternating components did not converge in $maxIter rounds")
       // fixpoint = star forest: every edge is (member, root). Copy the
       // answer onto its OWN checkpoint so the final round's edge table
-      // and the node list can be released here rather than leaking for
-      // the session lifetime (Dataset.unpersist can't reach them)
+      // can be released rather than leaking for the session lifetime
+      // (Dataset.unpersist can't reach it)
       checkpointTracked(
         nodes.join(e.withColumnRenamed("hi", "node"), Seq("node"), "left")
           .select(col("node"), coalesce(col("lo"), col("node")).as("component")))
+    } finally {
+      // also on the non-convergence throw: Bench's NonFatal catch keeps
+      // the session alive for the remaining queries, which must not run
+      // against this loop's leaked round storage
+      release(s, eIds)
     }
-    release(s, eIds)
-    release(s, nodeIds)
     result
   }
 }

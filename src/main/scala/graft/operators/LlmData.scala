@@ -211,7 +211,8 @@ object LlmData {
          |      FROM m$i GROUP BY cid),
          |$cout AS (SELECT c.cid, coalesce(n$i.ce, c.ce) AS ce
          |      FROM $cin c LEFT JOIN n$i ON c.cid = n$i.cid)"""
-    s"""pos AS (SELECT unnest(range(1, 65)) AS pos),
+    s"""pos AS (SELECT unnest(range(1,
+       |         (SELECT max(len(embedding)) + 1 FROM embeddings))) AS pos),
        |c0 AS (SELECT vec_id AS cid, embedding AS ce
        |       FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
        |${lloyd(1, "c0", "c1")},

@@ -91,8 +91,14 @@ object EventStream {
       .withColumn("ingest_ts", current_timestamp())
       .withWatermark("ingest_ts", stateHorizon)
       .dropDuplicatesWithinWatermark("fp")
-    val survivors = compactedFpDir
-      .filter(dir => java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) match {
+    // existence probe through the Hadoop filesystem of the PATH (not
+    // java.nio): a remote compacted table (hdfs://, s3a://) must enable
+    // the tier, not silently degrade to state-only dedup
+    def tableExists(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
+    val survivors = compactedFpDir.filter(tableExists) match {
       case Some(dir) =>
         // static side re-resolved at query (re)start — the compaction
         // cadence restarts the drain, so each run sees the fresh table

@@ -33,6 +33,22 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("loop parallelism is restored on success AND on the round-cap throw") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    Components.connectedComponentsAlternating(
+      Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b")
+    assert(spark.conf.get(key) == before, "success path must restore the session value")
+    intercept[IllegalArgumentException] {
+      // maxIter=0 with a non-empty graph: the require fires before any
+      // round — the failure path must still restore the conf and
+      // release the loop's storage (finally)
+      Components.connectedComponentsAlternating(
+        Seq((1L, 2L)).toDF("a", "b"), "a", "b", maxIter = 0)
+    }
+    assert(spark.conf.get(key) == before, "failure path must restore the session value")
+  }
+
   test("component ids are always a member's id (the minimum)") {
     val got = cc((10L, 20L), (30L, 20L), (40L, 50L))
     got.foreach { case (_, comp) => assert(got.contains(comp)) }
