@@ -118,26 +118,17 @@ object LlmData {
     * micro-unit integer sums collected at K×dim rows), then an
     * nprobe=2 probe of the query's two best lists. See the x34 entry
     * comment for the full scale argument. */
-  private def annIvfTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+  private def trainedCentroids(
+      s: SparkSession, dir: String, K: Int = 16): Seq[(Long, IndexedSeq[Float])] = {
     val e = t(s, dir, "embeddings")
-    val K = 16
     var cents: Seq[(Long, IndexedSeq[Float])] =
       e.filter(col("vec_id").between(1, K))
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toIndexedSeq)
         .sortBy(_._1).toSeq
-    // (ccos, cid) structs per centroid; array_max = lexicographic
-    // argmax: highest cosine, ties to the largest cid — mirrored in
-    // the oracle's ORDER BY ccos DESC, cid DESC
-    def scored(v: Column): Column = transform(
-      array(cents.map { case (cid, ce) =>
-        struct(lit(cid).as("cid"), typedlit(ce).as("ce"))
-      }: _*),
-      c => struct(cosine6(v, c.getField("ce")).as("ccos"),
-        c.getField("cid").as("cid")))
     for (_ <- 1 to 2) {
       val sums = e
-        .withColumn("cid", array_max(scored(col("embedding"))).getField("cid"))
+        .withColumn("cid", array_max(ivfScored(cents)(col("embedding"))).getField("cid"))
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cid", "pos")
         .agg(sum(floor(col("v").cast("double") * 1000000.0 + 0.5)).as("sm"),
@@ -151,6 +142,24 @@ object LlmData {
             .toIndexedSeq)
       }
     }
+    cents
+  }
+
+  /** (ccos, cid) structs per centroid; array_max = lexicographic
+    * argmax: highest cosine, ties to the largest cid — mirrored in
+    * the oracle's ORDER BY ccos DESC, cid DESC. */
+  private def ivfScored(cents: Seq[(Long, IndexedSeq[Float])])(v: Column): Column =
+    transform(
+      array(cents.map { case (cid, ce) =>
+        struct(lit(cid).as("cid"), typedlit(ce).as("ce"))
+      }: _*),
+      c => struct(cosine6(v, c.getField("ce")).as("ccos"),
+        c.getField("cid").as("cid")))
+
+  /** IVF probe: trained quantizer, map-side assignment, nprobe=2. */
+  private def annIvfTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val scored = ivfScored(trainedCentroids(s, dir)) _
     val assigned = e.withColumn("cid",
       array_max(scored(col("embedding"))).getField("cid"))
     // nprobe=2: the query's two best lists, exploded to (qe, qcid)
@@ -724,6 +733,59 @@ object LlmData {
               |WHERE rnk <= 3 ORDER BY bk, rnk""".stripMargin),
       "embedding near-dup: sign-LSH bucketed self-join + per-bucket pair ranking"),
 
+    // ── X3f: SemDeDup — semantic dedup inside trained k-means clusters ─
+    // Abbas et al. 2023 (SemDeDup): embedding near-dup where the pair
+    // generator is the TRAINED coarse quantizer's cluster assignment
+    // (the same two-Lloyd's-iteration quantizer x34 probes), never
+    // all-pairs — at 100 TB, K grows with the corpus so the per-cluster
+    // pair count stays bounded, and the clusters partition the pairwise
+    // stage perfectly (one shuffle on cid). Per cluster: member count,
+    // the most-similar pair (the dedup frontier a threshold would cut
+    // first), and how many pairs exceed the dedup threshold 0.9 — the
+    // testdata has no true semantic dups (max pairwise cosine ~0.51,
+    // see x32), so n_dup = 0 here and the frontier pair is the
+    // operationally meaningful output. Oracle replays the identical
+    // training via the shared duckIvfChain.
+    "x48_semdedup_clusters" -> Q(
+      (s, dir) => {
+        val asg = t(s, dir, "embeddings").withColumn("cid",
+          array_max(ivfScored(trainedCentroids(s, dir))(col("embedding")))
+            .getField("cid"))
+        val sizes = asg.groupBy("cid").agg(count(lit(1)).as("n_members"))
+        val a = asg.select(col("cid"), col("vec_id").as("va"), col("embedding").as("ea"))
+        val b = asg.select(col("cid"), col("vec_id").as("vb"), col("embedding").as("eb"))
+        val pairs = a.join(b, Seq("cid")).filter(col("va") < col("vb"))
+          .withColumn("cos", cosine6(col("ea"), col("eb")))
+        val w = Window.partitionBy("cid").orderBy(desc("cos"), asc("va"), asc("vb"))
+        val top = pairs.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(col("cid"), col("va").as("top_va"), col("vb").as("top_vb"),
+            col("cos").as("top_cos"))
+        val dups = pairs.filter(col("cos") >= 0.9)
+          .groupBy("cid").agg(count(lit(1)).as("n_dup"))
+        sizes.join(top, Seq("cid"), "left").join(dups, Seq("cid"), "left")
+          .select(col("cid"), col("n_members"), col("top_va"), col("top_vb"),
+            col("top_cos"), coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+          .orderBy("cid")
+      },
+      Some(s"""WITH $duckIvfChain,
+              |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members
+              |       FROM asg GROUP BY cid),
+              |p AS (SELECT a.cid, a.vec_id AS va, b.vec_id AS vb,
+              |        ${duckRound(duckCosine("a.embedding", "b.embedding"), 6)} AS cos
+              |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+              |tp AS (SELECT cid, va AS top_va, vb AS top_vb, cos AS top_cos FROM (
+              |         SELECT *, row_number() OVER (
+              |           PARTITION BY cid ORDER BY cos DESC, va, vb) AS rn FROM p)
+              |       WHERE rn = 1),
+              |d AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_dup
+              |      FROM p WHERE cos >= 0.9 GROUP BY cid)
+              |SELECT sz.cid, sz.n_members, tp.top_va, tp.top_vb, tp.top_cos,
+              |  coalesce(d.n_dup, CAST(0 AS BIGINT)) AS n_dup
+              |FROM sz LEFT JOIN tp USING (cid) LEFT JOIN d USING (cid)
+              |ORDER BY sz.cid""".stripMargin),
+      "SemDeDup: pairwise cosine scoped to trained quantizer clusters; one shuffle on cid"),
+
     // ── Sketch: HLL++ approximate distinct counts ─────────────────────
     // The sketch path for cardinality at 100 TB: fixed-size HLL state
     // merges map-side, so the shuffle carries sketches, not values.
@@ -1189,6 +1251,81 @@ object LlmData {
            |    AS avg_quality
            |FROM surv GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
       },
-      "capstone: quality gate fused into the scan, survivors packed per shard, bounded manifest")
+      "capstone: quality gate fused into the scan, survivors packed per shard, bounded manifest"),
+
+    // ── X6l: cross-document repeated substring spans ──────────────────
+    // Substring-level dedup signal (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better"): a 10-gram occurring
+    // in >= 2 distinct documents marks every one of its occurrence
+    // positions as duplicated text. The suffix-array of the paper is a
+    // single-machine construction; the distributed equivalent is
+    // positional n-gram fingerprints — built map-side in the scan stage
+    // (one md5 per start position), ONE shuffle on the fingerprint to
+    // find cross-doc grams, and a second keyed agg back onto doc_id.
+    // Fingerprints shuffle, payloads never do. Output: per-doc
+    // duplicated-position fraction — the "remove or trim" decision
+    // input at pretraining scale.
+    "x49_substring_spans" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("tk", Text.tokens(col("text")))
+          .filter(size(col("tk")) >= 10)
+        val g = d.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("tk")) - 9),
+            i => md5(concat_ws(" ", slice(col("tk"), i, lit(10)))))).as("fp"))
+        val dup = g.groupBy("fp")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("fp")
+        val perDoc = g.join(dup, Seq("fp"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams"))
+        d.select(col("doc_id"), (size(col("tk")) - 9).cast("long").as("n_grams"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .withColumn("n_dup_grams", coalesce(col("n_dup_grams"), lit(0L)))
+          .withColumn("dup_frac",
+            pround(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |base AS (SELECT doc_id, w, len(w) - 9 AS n_grams
+              |         FROM toks WHERE len(w) >= 10),
+              |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 8),
+              |        i -> md5(array_to_string(list_slice(w, i, i + 9), ' ')))) AS fp
+              |      FROM base),
+              |dup AS (SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+              |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+              |       FROM g JOIN dup USING (fp) GROUP BY doc_id)
+              |SELECT b.doc_id, b.n_grams,
+              |  coalesce(pd.n_dup_grams, CAST(0 AS BIGINT)) AS n_dup_grams,
+              |  ${duckRound(
+                   "coalesce(pd.n_dup_grams, 0) * 1.0 / b.n_grams", 6)} AS dup_frac
+              |FROM base b LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin),
+      "substring dedup signal: positional 10-gram fingerprints, cross-doc grams in one shuffle"),
+
+    // ── X6m: bigram vocabulary induction (BPE merge candidates) ───────
+    // The counting stage of tokenizer training: adjacent-token pair
+    // frequencies over the corpus — exactly the statistic BPE's first
+    // merge step maximizes. Map-side positional-bigram explode fused
+    // into the scan, one partial-aggregated hash agg on the pair, top-k
+    // via TakeOrderedAndProject (never a global sort). Full BPE would
+    // iterate merge → re-tokenize with the same loop discipline as
+    // Components (each round is this exact plan over the re-tokenized
+    // corpus); one round is the demonstrable, oracle-checkable unit.
+    "x50_bigram_vocab" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("tk", Text.tokens(col("text")))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("pair"))
+        .limit(50),
+      Some("""WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT unnest(list_transform(range(1, len(w)),
+             |        i -> w[i] || ' ' || w[i + 1])) AS pair
+             |      FROM toks WHERE len(w) >= 2)
+             |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM g
+             |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin),
+      "BPE merge-candidate counts: map-side bigram explode, one hash agg, top-k")
   )
 }

@@ -551,6 +551,54 @@ object Relational {
              |       sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
              |FROM y GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin),
-      "session_window event-time sessionization; oracle = gaps-and-islands")
+      "session_window event-time sessionization; oracle = gaps-and-islands"),
+
+    "q25_range_join" -> q25
   )
+
+  /** q25 — pure range (interval) join, the scale-safe way.
+    *
+    * Problem shape: probe rows (lineitem shipdates) against OVERLAPPING
+    * windows with NO equi key — the case Spark would otherwise plan as
+    * BroadcastNestedLoopJoin (every probe row tests every window: fine
+    * at 15 windows, a scale-killer when the window table grows). The
+    * standard distributed fix is BINNING: explode each window into its
+    * covered day-grain bins, join by bin EQUALITY (hash join — the
+    * probe side computes its single bin map-side), then apply the exact
+    * interval predicate as a residual filter. Each probe row lands in
+    * exactly one bin, so no post-join dedup is needed; window cost is
+    * bins-per-window (bounded by interval length / grain), not probe
+    * rows. The bin grain is the tuning knob: pick it near the median
+    * interval length so each window explodes to O(1) bins.
+    *
+    * PlanAuditSpec asserts the executed plan hash-joins (no
+    * BroadcastNestedLoopJoin); the oracle is DuckDB's native
+    * inequality join over the identical windows. */
+  private def q25 = Q(
+    (s, dir) => {
+      val win = t(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(1000)) === 1)
+        .select(col("o_orderkey").as("w_id"),
+          (col("o_orderdate") - expr("INTERVAL 3 DAYS")).as("w_start"),
+          (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("w_end"))
+      val bins = win.select(col("w_id"), col("w_start"), col("w_end"),
+        explode(sequence(to_date(col("w_start")), to_date(col("w_end")))).as("day"))
+      t(s, dir, "lineitem")
+        .select(col("l_shipdate"), to_date(col("l_shipdate")).as("day"))
+        .join(broadcast(bins), Seq("day"))
+        .filter(col("l_shipdate") >= col("w_start") &&
+          col("l_shipdate") <= col("w_end"))
+        .groupBy("w_id", "w_start")
+        .agg(count(lit(1)).as("n_lines"))
+        .orderBy("w_id")
+    },
+    Some("""SELECT o.o_orderkey AS w_id,
+           |  o.o_orderdate - INTERVAL 3 DAY AS w_start,
+           |  CAST(count(*) AS BIGINT) AS n_lines
+           |FROM orders o JOIN lineitem l
+           |  ON l.l_shipdate >= o.o_orderdate - INTERVAL 3 DAY
+           | AND l.l_shipdate <= o.o_orderdate + INTERVAL 3 DAY
+           |WHERE o.o_orderkey % 1000 = 1
+           |GROUP BY 1, 2 ORDER BY w_id""".stripMargin),
+    "range join via day-grain binning: bin-equality hash join + residual interval filter")
 }

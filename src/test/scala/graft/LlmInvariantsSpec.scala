@@ -122,6 +122,47 @@ class LlmInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("x48: trained clusters partition the corpus; frontier pairs are canonical") {
+    val rows = run("x48_semdedup_clusters").collect()
+    assert(rows.nonEmpty)
+    val nVec = graft.sources.Tables.load(spark, sf0001, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == nVec,
+      "cluster sizes must sum to the corpus — the assignment is a partition")
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) {
+        assert(r.getLong(2) < r.getLong(3), "frontier pair must be va < vb")
+        assert(math.abs(r.getDouble(4)) <= 1.000001, "cosine out of range")
+      } else assert(r.getLong(1) == 1L,
+        "only a singleton cluster may lack a frontier pair")
+      assert(r.getLong(5) >= 0L)
+    }
+  }
+
+  test("x49: dup-gram counts are bounded and the template corpus overlaps") {
+    val rows = run("x49_substring_spans").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ng, nd, f) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(ng >= 1L, "only docs with >= 10 tokens may appear")
+      assert(nd >= 0L && nd <= ng, "duplicated positions cannot exceed positions")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    assert(rows.exists(_.getLong(2) > 0),
+      "the synthetic corpus repeats templates; cross-doc 10-grams must exist")
+  }
+
+  test("x50: bigram top-k is distinct, positive, and count-ordered") {
+    val rows = run("x50_bigram_vocab").collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val ns = rows.map(_.getLong(1)).toSeq
+    assert(ns == ns.sorted.reverse, "counts must be non-increasing")
+    assert(ns.forall(_ >= 1L))
+    assert(rows.map(_.getString(0)).distinct.length == rows.length,
+      "merge candidates must be distinct pairs")
+    rows.foreach(r => assert(r.getString(0).split(" ").length == 2,
+      "each candidate is exactly one adjacent token pair"))
+  }
+
   test("x36: exactly one survivor per component, labeled by its minimum") {
     val rows = run("x36_neardup_components").collect()
     assert(rows.nonEmpty)

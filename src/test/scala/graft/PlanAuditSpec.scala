@@ -135,6 +135,22 @@ class PlanAuditSpec extends SparkSpec {
         "never sort whole strata")
   }
 
+  test("q25: range join bins to a hash join, never a nested loop") {
+    val p = plan("q25_range_join")
+    assert(p.contains("BroadcastHashJoin"),
+      "bin-equality must plan a hash join (the whole point of day-binning)")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the interval predicate must be a residual filter, not the join condition")
+  }
+
+  test("x50: bigram top-k is a heap, and the pair agg is partial") {
+    val p = plan("x50_bigram_vocab")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 must never plan a global sort over the pair space")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "pair counting must partial-aggregate map-side before the shuffle")
+  }
+
   test("global sweep: no registered query ever plans a CartesianProduct") {
     // the one unconditional rule of the 100 TB contract: the quadratic
     // operator must never appear — candidate generation is always a

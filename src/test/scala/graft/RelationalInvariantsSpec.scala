@@ -89,6 +89,24 @@ class RelationalInvariantsSpec extends SparkSpec {
     assert(ann.values.max <= exactTop)
   }
 
+  test("q25: day-binning reproduces the direct interval predicate exactly") {
+    // reference = the semantically obvious (but unscalable) nested-loop
+    // interval join; the binned hash join must be value-identical
+    val got = q("q25_range_join").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val o = graft.sources.Tables.load(spark, sf0001, "orders")
+      .filter(pmod(col("o_orderkey"), lit(1000)) === 1)
+      .select(col("o_orderkey").as("w_id"),
+        (col("o_orderdate") - expr("INTERVAL 3 DAYS")).as("w_start"),
+        (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("w_end"))
+    val ref = graft.sources.Tables.load(spark, sf0001, "lineitem")
+      .select("l_shipdate").crossJoin(o)
+      .filter(col("l_shipdate") >= col("w_start") && col("l_shipdate") <= col("w_end"))
+      .groupBy("w_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref, "binning must not drop or double-count any (line, window) match")
+  }
+
   test("every oracle-bearing query's Spark columns appear in its oracle SQL") {
     // cheap schema audit: the driver sorts columns by name before
     // hashing, so an alias mismatch is an automatic FAIL — catch it
