@@ -112,6 +112,34 @@ object LlmData {
       .limit(k)
   }
 
+  /** The 1 + bits probe keys within hamming distance 1 of a sign
+    * bucket key (j = 0 keeps the original; j >= 1 flips bit j). */
+  private def flipKeys(bk: Column, bits: Int): Column =
+    transform(sequence(lit(0), lit(bits)), j =>
+      when(j === lit(0), bk).otherwise(concat(
+        bk.substr(lit(1), j - 1),
+        when(bk.substr(j, lit(1)) === "1", lit("0")).otherwise(lit("1")),
+        bk.substr(j + 1, lit(bits)))))
+
+  /** Multi-probe sign-LSH top-k: the query probes its own bucket plus
+    * every bucket one sign-flip away (7 probes at 6 bits) — the
+    * standard recall lever for LSH retrieval (Lv et al. VLDB'07):
+    * candidates grow ~7×, the join stays bucket-key EQUALITY (the
+    * probe set explodes on the single-row query side, broadcast), and
+    * the corpus side still never shuffles. Recall vs the single-probe
+    * x25 is measured by x35. */
+  private def annLshMultiProbeTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .withColumn("bk", Vectors.signKey(col("embedding"), 6))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), explode(flipKeys(col("bk"), 6)).as("pbk"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), col("bk") === col("pbk"))
+      .select(col("vec_id"), cosine6(col("embedding"), col("qe")).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** IVF top-k with a TRAINED coarse quantizer: K=16 centroids seeded
     * from the first K embeddings, refined by two Lloyd's iterations
     * (map-side argmax assignment over the centroid literal; per-dim
@@ -187,6 +215,22 @@ object LlmData {
   private def duckSignKey(c: String): String =
     s"array_to_string(list_transform(range(1, 7), " +
       s"i -> CASE WHEN $c[i] >= 0 THEN '1' ELSE '0' END), '')"
+
+  /** DuckDB twin of [[annLshMultiProbeTopK]] (CTE-embeddable). */
+  private def duckLshMultiProbeTopK(k: Int): String =
+    s"""SELECT kk.vec_id, ${duckRound(duckCosine("kk.embedding", "q.qe"), 6)} AS cos
+       |FROM (SELECT vec_id, embedding, ${duckSignKey("embedding")} AS bk FROM embeddings) kk
+       |JOIN (SELECT embedding AS qe, unnest(list_transform(range(0, 7),
+       |        j -> CASE WHEN j = 0 THEN qbk
+       |             ELSE concat(substr(qbk, 1, CAST(j - 1 AS INTEGER)),
+       |               CASE WHEN substr(qbk, CAST(j AS INTEGER), 1) = '1'
+       |                    THEN '0' ELSE '1' END,
+       |               substr(qbk, CAST(j + 1 AS INTEGER), 6)) END)) AS pbk
+       |      FROM (SELECT embedding, ${duckSignKey("embedding")} AS qbk
+       |            FROM embeddings WHERE vec_id = 0)) q
+       |  ON kk.bk = q.pbk
+       |WHERE kk.vec_id <> 0
+       |ORDER BY cos DESC, kk.vec_id LIMIT $k""".stripMargin
 
   /** DuckDB twin of [[annLshTopK]] as a flat SELECT (CTE-embeddable). */
   private def duckLshTopK(k: Int): String =
@@ -680,16 +724,21 @@ object LlmData {
             .select(lit(method).as("method"), lit(5).as("k"), col("hits"),
               pround(col("hits").cast("double") / 5.0, 6).as("recall"))
         recallOf(annLshTopK(s, dir, 5), "sign_lsh")
+          .unionByName(recallOf(annLshMultiProbeTopK(s, dir, 5), "sign_lsh_mp"))
           .unionByName(recallOf(annIvfTopK(s, dir, 5), "ivf"))
           .orderBy("method")
       },
       Some(s"""WITH $duckIvfChain,
               |exact5 AS (SELECT vec_id FROM (${duckExactTopK(5)})),
               |lsh5 AS (${duckLshTopK(5)}),
+              |mp5 AS (${duckLshMultiProbeTopK(5)}),
               |ivf5 AS (${duckIvfTopK(5)}),
               |r AS (
               |  SELECT 'sign_lsh' AS method, 5 AS k, count(*) AS hits
               |  FROM lsh5 JOIN exact5 USING (vec_id)
+              |  UNION ALL
+              |  SELECT 'sign_lsh_mp' AS method, 5 AS k, count(*) AS hits
+              |  FROM mp5 JOIN exact5 USING (vec_id)
               |  UNION ALL
               |  SELECT 'ivf' AS method, 5 AS k, count(*) AS hits
               |  FROM ivf5 JOIN exact5 USING (vec_id))
@@ -697,6 +746,16 @@ object LlmData {
               |  ${duckRound("hits * 1.0 / 5.0", 6)} AS recall
               |FROM r ORDER BY method""".stripMargin),
       "ANN recall@5 audit: shared method pipelines joined against the exact top-k; fully deterministic"),
+
+    // ── X3g: multi-probe sign-LSH ANN (the recall lever) ──────────────
+    // Same bucketed retrieval as x25 with a 7-bucket hamming-1 probe
+    // set (see annLshMultiProbeTopK); x35 quantifies the recall gain
+    // over single-probe. Probe explosion happens on the single-row
+    // query side only — corpus-side plan is unchanged.
+    "x51_ann_multiprobe" -> Q(
+      (s, dir) => annLshMultiProbeTopK(s, dir, 5),
+      Some(duckLshMultiProbeTopK(5)),
+      "multi-probe sign-LSH: hamming-1 probe set on the broadcast query side"),
 
     // ── X3c: embedding-cosine near-dup — bucketed pair ranking ────────
     // Sign-LSH self-join (equality on the 6-bit bucket key — the pair
@@ -1326,6 +1385,129 @@ object LlmData {
              |      FROM toks WHERE len(w) >= 2)
              |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM g
              |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin),
-      "BPE merge-candidate counts: map-side bigram explode, one hash agg, top-k")
+      "BPE merge-candidate counts: map-side bigram explode, one hash agg, top-k"),
+
+    // ── X6n: Gopher-style composite rule filter ───────────────────────
+    // Rahimi/Rae et al. (Gopher) document-level quality RULES, adapted
+    // to the whitespace corpus: word-count bounds, mean word length
+    // band, minimum stopword evidence, and max single-token repetition
+    // fraction — a boolean GATE (vs x27's continuous score; x43 scores
+    // shingle repetition, this rules on token mode). All rules are
+    // array expressions fused into the scan — zero shuffle before the
+    // output sort. The token-mode pass is O(distinct × len) per doc —
+    // bounded by document length, not data; pathological single-doc
+    // lengths would move it to an explode + window per doc_id.
+    // Thresholds compare the ROUNDED ratios so the two engines gate on
+    // identical values.
+    "x52_gopher_rules" -> Q(
+      (s, dir) => {
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+        val nW = size(col("tk")).cast("long")
+        val sumLen = aggregate(transform(col("tk"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x)
+        val topFreq = array_max(transform(array_distinct(col("tk")),
+          t => size(filter(col("tk"), x => x === t)))).cast("long")
+        t(s, dir, "documents")
+          .withColumn("tk", Text.tokens(col("text")))
+          .withColumn("n_words", nW)
+          .withColumn("mean_wlen", pround(sumLen.cast("double") / nW, 6))
+          .withColumn("n_stop",
+            size(filter(col("tk"), t => t.isin(stops: _*))).cast("long"))
+          .withColumn("rep_frac", pround(topFreq.cast("double") / nW, 6))
+          .withColumn("keep",
+            col("n_words").between(20, 400) &&
+              col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0 &&
+              col("n_stop") >= 2 && col("rep_frac") <= 0.2)
+          .select("doc_id", "n_words", "mean_wlen", "n_stop", "rep_frac", "keep")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |m AS (SELECT doc_id, len(w) AS n_words,
+              |    ${duckRound("list_sum(list_transform(w, t -> len(t))) * 1.0 / len(w)", 6)}
+              |      AS mean_wlen,
+              |    len(list_filter(w, t ->
+              |      list_contains(['the','a','of','and','to','in','is','on'], t))) AS n_stop,
+              |    ${duckRound(
+                     "list_max(list_transform(list_distinct(w), " +
+                       "t -> len(list_filter(w, x -> x = t)))) * 1.0 / len(w)", 6)}
+              |      AS rep_frac
+              |  FROM toks)
+              |SELECT doc_id, n_words, mean_wlen, n_stop, rep_frac,
+              |  (n_words BETWEEN 20 AND 400 AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+              |   AND n_stop >= 2 AND rep_frac <= 0.2) AS keep
+              |FROM m ORDER BY doc_id""".stripMargin),
+      "Gopher rule gate: word bounds, mean length band, stopword evidence, token-mode repetition"),
+
+    // ── X6o: training-mixture planning (per-source token budgeting) ───
+    // Given literal target mixture weights (micro-units — rational
+    // arithmetic end to end) and a total token budget, compute each
+    // language's available tokens, its planned allocation
+    // min(available, weight x budget), and the resulting sampling
+    // rate — the data-curation step that decides per-source keep rates
+    // before a x37-style stratified draw executes them. One partial-
+    // aggregated shuffle for the per-lang token counts; the weight
+    // table is a literal broadcast.
+    "x53_mixture_plan" -> Q(
+      (s, dir) => {
+        val weights = Seq(("en", 400000L), ("zh", 150000L), ("de", 150000L),
+          ("es", 150000L), ("fr", 150000L))
+        import s.implicits._
+        val w = weights.toDF("lang", "w_micro")
+        t(s, dir, "documents")
+          .groupBy("lang")
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail_tokens"))
+          .join(broadcast(w), Seq("lang"))
+          .withColumn("planned_tokens",
+            least(col("avail_tokens"), expr("(20000 * w_micro) div 1000000")))
+          .withColumn("rate",
+            pround(col("planned_tokens").cast("double") / col("avail_tokens"), 6))
+          .select("lang", "avail_tokens", "w_micro", "planned_tokens", "rate")
+          .orderBy("lang")
+      },
+      Some(s"""WITH w(lang, w_micro) AS (VALUES ('en', 400000), ('zh', 150000),
+              |  ('de', 150000), ('es', 150000), ('fr', 150000)),
+              |avail AS (SELECT lang,
+              |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+              |  FROM documents GROUP BY lang)
+              |SELECT a.lang, a.avail_tokens, CAST(w.w_micro AS BIGINT) AS w_micro,
+              |  least(a.avail_tokens, (20000 * CAST(w.w_micro AS BIGINT)) // 1000000)
+              |    AS planned_tokens,
+              |  ${duckRound(
+                   "least(a.avail_tokens, (20000 * CAST(w.w_micro AS BIGINT)) // 1000000)" +
+                     " * 1.0 / a.avail_tokens", 6)} AS rate
+              |FROM avail a JOIN w USING (lang) ORDER BY a.lang""".stripMargin),
+      "mixture planner: literal weight broadcast, one token-count shuffle, rational allocation"),
+
+    // ── X6p: exact per-group quantiles via rank selection ─────────────
+    // Corpus length profile: per-lang exact p50/p90/p99 of n_chars by
+    // row_number rank selection (value at rank ceil(q x n) — explicit,
+    // interpolation-free, so both engines pick the identical row). One
+    // shuffle (the per-lang window). At 100 TB with tight groups this
+    // exact path holds; unbounded groups would move to the mergeable-
+    // sketch path (x33's pattern, percentile_approx) once an error
+    // tolerance is agreed.
+    "x54_length_quantiles" -> Q(
+      (s, dir) => {
+        val byLang = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+        def pick(q: Double) =
+          max(when(col("rn") === ceil(col("n") * lit(q)), col("n_chars")))
+        t(s, dir, "documents")
+          .withColumn("rn", row_number().over(byLang).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+          .groupBy("lang")
+          .agg(max(col("n")).as("n_docs"), pick(0.5).as("p50"),
+            pick(0.9).as("p90"), pick(0.99).as("p99"))
+          .orderBy("lang")
+      },
+      Some("""WITH r AS (SELECT lang, n_chars,
+             |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY lang) AS n
+             |  FROM documents)
+             |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+             |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN n_chars END) AS p50,
+             |  max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN n_chars END) AS p90,
+             |  max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN n_chars END) AS p99
+             |FROM r GROUP BY lang ORDER BY lang""".stripMargin),
+      "exact group quantiles: rank selection at ceil(q*n), one window shuffle")
   )
 }

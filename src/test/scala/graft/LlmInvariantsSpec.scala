@@ -163,6 +163,66 @@ class LlmInvariantsSpec extends SparkSpec {
       "each candidate is exactly one adjacent token pair"))
   }
 
+  test("x35/x51: multi-probe recall dominates single-probe (superset candidates)") {
+    val recalls = run("x35_ann_recall").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(recalls.keySet == Set("sign_lsh", "sign_lsh_mp", "ivf"))
+    assert(recalls("sign_lsh_mp") >= recalls("sign_lsh"),
+      "the hamming-1 probe set contains the single bucket — recall cannot drop")
+    // and every multi-probe hit is scored exactly as the brute-force scorer says
+    val mp = run("x51_ann_multiprobe").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = run("x24_topk_cosine").collect().map(_.getDouble(1)).max
+    assert(mp.nonEmpty && mp.values.max <= exact)
+  }
+
+  test("x52: rule gate rows are internally consistent and both outcomes occur") {
+    val rows = run("x52_gopher_rules").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, mean, nstop, rep, keep) =
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))
+      assert(rep > 0.0 && rep <= 1.0, "token mode fraction must be a fraction")
+      assert(mean > 0.0)
+      val expected = nw >= 20 && nw <= 400 && mean >= 3.0 && mean <= 10.0 &&
+        nstop >= 2 && rep <= 0.2
+      assert(keep == expected, s"doc ${r.getLong(0)}: flag must equal its own rules")
+    }
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)),
+      "thresholds must separate the corpus, not rubber-stamp it")
+  }
+
+  test("x53: allocation never exceeds availability and rates are true fractions") {
+    val rows = run("x53_mixture_plan").collect()
+    assert(rows.length == 5, "every weighted language must plan")
+    rows.foreach { r =>
+      val (avail, w, planned, rate) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(planned <= avail, "cannot plan more tokens than exist")
+      assert(planned == math.min(avail, 20000L * w / 1000000L),
+        "allocation must be min(available, weight x budget)")
+      assert(rate > 0.0 && rate <= 1.0)
+    }
+    assert(rows.exists(_.getDouble(4) < 1.0),
+      "the budget must be binding somewhere or the planner is vacuous")
+  }
+
+  test("x54: quantiles are ordered and are real member values") {
+    import spark.implicits._
+    val byLang = graft.sources.Tables.load(spark, sf0001, "documents")
+      .select($"lang", $"n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).toSet }
+    val rows = run("x54_length_quantiles").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lang, p50, p90, p99) =
+        (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(p50 <= p90 && p90 <= p99, s"$lang quantiles must be monotone")
+      assert(Seq(p50, p90, p99).forall(byLang(lang).contains),
+        s"$lang: rank selection must return member values, never interpolations")
+    }
+  }
+
   test("x36: exactly one survivor per component, labeled by its minimum") {
     val rows = run("x36_neardup_components").collect()
     assert(rows.nonEmpty)
