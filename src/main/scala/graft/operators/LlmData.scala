@@ -112,6 +112,19 @@ object LlmData {
       .limit(k)
   }
 
+  /** Canonical (key, va, vb, cos) embedding-pair table: keyed
+    * self-join — the pair generator is never all-pairs — with va < vb
+    * canonical order and the fused cosine. Single-sources the pair
+    * idiom shared by x32 (sign-LSH buckets) and x48 (trained
+    * clusters): the tie-break and pair predicate live here once. */
+  private def cosinePairs(e: DataFrame, key: String): DataFrame = {
+    val a = e.select(col(key), col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col(key), col("vec_id").as("vb"), col("embedding").as("eb"))
+    a.join(b, Seq(key)).filter(col("va") < col("vb"))
+      .withColumn("cos", cosine6(col("ea"), col("eb")))
+      .select(col(key), col("va"), col("vb"), col("cos"))
+  }
+
   /** The 1 + bits probe keys within hamming distance 1 of a sign
     * bucket key (j = 0 keeps the original; j >= 1 flips bit j). */
   private def flipKeys(bk: Column, bits: Int): Column =
@@ -148,6 +161,24 @@ object LlmData {
     * comment for the full scale argument. */
   private def trainedCentroids(
       s: SparkSession, dir: String, K: Int = 16): Seq[(Long, IndexedSeq[Float])] = {
+    // memoized per (session, dir): x34, x35, and x48 all train the
+    // same quantizer — one set of Lloyd's collect jobs per session
+    // serves all of them. Unlike `memo` there is no persisted resource
+    // to leak: a concurrent duplicate training is wasted work with a
+    // deterministic identical result, so plain getOrElseUpdate is safe.
+    val per = centsMemo.synchronized {
+      centsMemo.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
+      centsMemo.computeIfAbsent(s,
+        _ => TrieMap.empty[(String, Int), Seq[(Long, IndexedSeq[Float])]])
+    }
+    per.getOrElseUpdate((dir, K), trainCentroids(s, dir, K))
+  }
+
+  private val centsMemo = new java.util.HashMap[
+    SparkSession, TrieMap[(String, Int), Seq[(Long, IndexedSeq[Float])]]]
+
+  private def trainCentroids(
+      s: SparkSession, dir: String, K: Int): Seq[(Long, IndexedSeq[Float])] = {
     val e = t(s, dir, "embeddings")
     var cents: Seq[(Long, IndexedSeq[Float])] =
       e.filter(col("vec_id").between(1, K))
@@ -336,6 +367,10 @@ object LlmData {
     * long-lived session embedding these operators can use it as the
     * explicit cache-release hook. */
   def clearMemo(s: SparkSession): Unit = {
+    // the centroid memo holds no cluster resources — dropping the
+    // entry is enough (Bench clears per query so cold timings keep
+    // paying for their own training)
+    centsMemo.synchronized(centsMemo.remove(s))
     val perSession = memo.synchronized(Option(memo.remove(s)))
     // take the same per-map lock memoized() builds under: a build in
     // flight during the remove would otherwise insert its persisted
@@ -768,10 +803,7 @@ object LlmData {
       (s, dir) => {
         val e = t(s, dir, "embeddings")
           .withColumn("bk", Vectors.signKey(col("embedding"), 6))
-        val a = e.select(col("bk"), col("vec_id").as("va"), col("embedding").as("ea"))
-        val b = e.select(col("bk"), col("vec_id").as("vb"), col("embedding").as("eb"))
-        val pairs = a.join(b, Seq("bk")).filter(col("va") < col("vb"))
-          .withColumn("cos", cosine6(col("ea"), col("eb")))
+        val pairs = cosinePairs(e, "bk")
         val w = Window.partitionBy("bk")
           .orderBy(desc("cos"), asc("va"), asc("vb"))
         pairs.withColumn("rnk", row_number().over(w))
@@ -807,22 +839,28 @@ object LlmData {
     // training via the shared duckIvfChain.
     "x48_semdedup_clusters" -> Q(
       (s, dir) => {
-        val asg = t(s, dir, "embeddings").withColumn("cid",
-          array_max(ivfScored(trainedCentroids(s, dir))(col("embedding")))
-            .getField("cid"))
+        // the assignment table (embedding + cid) is read by both the
+        // size count and both pair sides — persist it once, exactly
+        // what a real pipeline materializes after training
+        val asg = memoized(s, "x48-asg", dir) {
+          t(s, dir, "embeddings").withColumn("cid",
+            array_max(ivfScored(trainedCentroids(s, dir))(col("embedding")))
+              .getField("cid"))
+            .persist()
+        }
         val sizes = asg.groupBy("cid").agg(count(lit(1)).as("n_members"))
-        val a = asg.select(col("cid"), col("vec_id").as("va"), col("embedding").as("ea"))
-        val b = asg.select(col("cid"), col("vec_id").as("vb"), col("embedding").as("eb"))
-        val pairs = a.join(b, Seq("cid")).filter(col("va") < col("vb"))
-          .withColumn("cos", cosine6(col("ea"), col("eb")))
+        // frontier pair + over-threshold count in ONE pass over the
+        // pair table: both windows share the cid partitioning, so the
+        // quadratic-per-cluster cosine projection runs once
         val w = Window.partitionBy("cid").orderBy(desc("cos"), asc("va"), asc("vb"))
-        val top = pairs.withColumn("rnk", row_number().over(w))
+        val agg = cosinePairs(asg, "cid")
+          .withColumn("rnk", row_number().over(w))
+          .withColumn("n_dup", sum(when(col("cos") >= 0.9, 1L).otherwise(0L))
+            .over(Window.partitionBy("cid")))
           .filter(col("rnk") === 1)
           .select(col("cid"), col("va").as("top_va"), col("vb").as("top_vb"),
-            col("cos").as("top_cos"))
-        val dups = pairs.filter(col("cos") >= 0.9)
-          .groupBy("cid").agg(count(lit(1)).as("n_dup"))
-        sizes.join(top, Seq("cid"), "left").join(dups, Seq("cid"), "left")
+            col("cos").as("top_cos"), col("n_dup"))
+        sizes.join(agg, Seq("cid"), "left")
           .select(col("cid"), col("n_members"), col("top_va"), col("top_vb"),
             col("top_cos"), coalesce(col("n_dup"), lit(0L)).as("n_dup"))
           .orderBy("cid")
@@ -1329,9 +1367,15 @@ object LlmData {
         val d = t(s, dir, "documents")
           .withColumn("tk", Text.tokens(col("text")))
           .filter(size(col("tk")) >= 10)
-        val g = d.select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("tk")) - 9),
-            i => md5(concat_ws(" ", slice(col("tk"), i, lit(10)))))).as("fp"))
+        // the per-position md5 stage is the dominant cost and feeds
+        // BOTH the cross-doc dup set and the per-doc count — persist
+        // it once (the in-query analog of a materialized gram table)
+        val g = memoized(s, "x49-grams", dir) {
+          d.select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("tk")) - 9),
+              i => md5(concat_ws(" ", slice(col("tk"), i, lit(10)))))).as("fp"))
+            .persist()
+        }
         val dup = g.groupBy("fp")
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2).select("fp")
