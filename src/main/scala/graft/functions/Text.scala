@@ -28,6 +28,30 @@ object Text {
   /** Whitespace tokenization (documents are single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Gopher-style composite rule gate over a staged token column —
+    * the ONE definition shared by the batch query (x52) and the
+    * streaming quality monitor, so the two surfaces can never drift.
+    * Returns a struct (n_words, mean_wlen, n_stop, rep_frac, keep);
+    * thresholds compare the ROUNDED ratios so every engine replaying
+    * the rules gates on identical values. The token-mode pass is
+    * O(distinct × len) per document — bounded by document length. */
+  def gopherGate(tk: Column): Column = {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+    val nW = size(tk).cast("long")
+    val sumLen = aggregate(transform(tk, t => length(t).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val mean = Rounding.pround(sumLen.cast("double") / nW, 6)
+    val nStop = size(filter(tk, t => t.isin(stops: _*))).cast("long")
+    val rep = Rounding.pround(
+      array_max(transform(array_distinct(tk),
+        t => size(filter(tk, x => x === t)))).cast("long").cast("double") / nW, 6)
+    struct(
+      nW.as("n_words"), mean.as("mean_wlen"), nStop.as("n_stop"),
+      rep.as("rep_frac"),
+      (nW.between(20, 400) && mean >= 3.0 && mean <= 10.0 &&
+        nStop >= 2 && rep <= 0.2).as("keep"))
+  }
+
   /** Distinct n-token shingles, mirroring DuckDB
     * `range(1, len(w)-(n-2))` semantics: docs with < n tokens yield an
     * empty set. Token vocabulary is tiny, so 1-token sets don't

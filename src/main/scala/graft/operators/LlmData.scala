@@ -1444,27 +1444,15 @@ object LlmData {
     // Thresholds compare the ROUNDED ratios so the two engines gate on
     // identical values.
     "x52_gopher_rules" -> Q(
-      (s, dir) => {
-        val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on")
-        val nW = size(col("tk")).cast("long")
-        val sumLen = aggregate(transform(col("tk"), t => length(t).cast("long")),
-          lit(0L), (a, x) => a + x)
-        val topFreq = array_max(transform(array_distinct(col("tk")),
-          t => size(filter(col("tk"), x => x === t)))).cast("long")
-        t(s, dir, "documents")
-          .withColumn("tk", Text.tokens(col("text")))
-          .withColumn("n_words", nW)
-          .withColumn("mean_wlen", pround(sumLen.cast("double") / nW, 6))
-          .withColumn("n_stop",
-            size(filter(col("tk"), t => t.isin(stops: _*))).cast("long"))
-          .withColumn("rep_frac", pround(topFreq.cast("double") / nW, 6))
-          .withColumn("keep",
-            col("n_words").between(20, 400) &&
-              col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0 &&
-              col("n_stop") >= 2 && col("rep_frac") <= 0.2)
-          .select("doc_id", "n_words", "mean_wlen", "n_stop", "rep_frac", "keep")
-          .orderBy("doc_id")
-      },
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("tk", Text.tokens(col("text")))
+        // ONE rule definition (Text.gopherGate), shared with the
+        // streaming quality monitor (EventStream.qualityGateMonitor)
+        .withColumn("g", Text.gopherGate(col("tk")))
+        .select(col("doc_id"), col("g.n_words").as("n_words"),
+          col("g.mean_wlen").as("mean_wlen"), col("g.n_stop").as("n_stop"),
+          col("g.rep_frac").as("rep_frac"), col("g.keep").as("keep"))
+        .orderBy("doc_id"),
       Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
               |m AS (SELECT doc_id, len(w) AS n_words,
               |    ${duckRound("list_sum(list_transform(w, t -> len(t))) * 1.0 / len(w)", 6)}

@@ -162,6 +162,22 @@ object EventStream {
         .select(col("w.start").as("hour_start"), col("n"), col("sum_value")),
       checkpointDir, outDir)
 
+  /** Streaming quality-gate monitor — the streaming twin of x52's
+    * Gopher rule gate over arriving crawl files: per-(lang, keep)
+    * document counts, complete-mode snapshot per drain. The rules are
+    * the ONE shared definition (Text.gopherGate), so the monitor's
+    * keep decision can never drift from the oracle-checked batch
+    * query; all rule evaluation is map-side on the stream, the only
+    * state is the (lang, keep) count table (≤ 2 × |langs| rows). */
+  def qualityGateMonitor(spark: SparkSession, srcDir: String,
+      checkpointDir: String, outDir: String): StreamingQuery =
+    snapshotTo(
+      spark.readStream.schema(Tables.schemas("documents")).parquet(srcDir)
+        .withColumn("tk", graft.functions.Text.tokens(col("text")))
+        .withColumn("keep", graft.functions.Text.gopherGate(col("tk")).getField("keep"))
+        .groupBy("lang", "keep").agg(count(lit(1)).as("n")),
+      checkpointDir, outDir)
+
   /** Streaming twin of q24: event-time session windows (30-min gap)
     * per user, same shared agg expressions as the oracle-checked batch
     * query. */

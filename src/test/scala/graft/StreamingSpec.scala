@@ -139,6 +139,33 @@ class StreamingSpec extends SparkSpec {
     assert(release2.select("text").head().getString(0).endsWith(" second new tail"))
   }
 
+  test("quality-gate monitor equals the x52 batch gate and accumulates across drains") {
+    val src = tmp("qgate-src"); val out = tmp("qgate-out"); val ckpt = tmp("qgate-ckpt")
+    Files.copy(Paths.get(s"$sf0001/documents.parquet"),
+      Paths.get(src, "crawl_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    EventStream.qualityGateMonitor(spark, src, ckpt, out).awaitTermination()
+    def snapshot() = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    // the monitor's counts must be exactly the oracle-checked batch
+    // gate aggregated — same rule definition, same decisions
+    val batch = SparkEntry.queries("x52_gopher_rules")(spark, sf0001)
+      .join(graft.sources.Tables.load(spark, sf0001, "documents")
+        .select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "keep").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(snapshot() == batch)
+
+    // a second crawl drop of the same content: the MONITOR counts every
+    // arrival (it gates, it does not dedup — that's corpusDedupIngest's
+    // job), and the checkpointed state carries the first drain's counts
+    Files.copy(Paths.get(s"$sf0001/documents.parquet"),
+      Paths.get(src, "crawl_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    EventStream.qualityGateMonitor(spark, src, ckpt, out).awaitTermination()
+    assert(snapshot() == batch.map { case (k, v) => k -> v * 2 },
+      "second drain must add, not replace — aggregation state survives the restart")
+  }
+
   test("hourly rollup equals the q19 batch twin") {
     val src = tmp("rollup-src"); val out = tmp("rollup-out"); val ckpt = tmp("rollup-ckpt")
     Files.copy(eventsFile, Paths.get(src, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
