@@ -1540,6 +1540,70 @@ object LlmData {
              |  max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN n_chars END) AS p90,
              |  max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN n_chars END) AS p99
              |FROM r GROUP BY lang ORDER BY lang""".stripMargin),
-      "exact group quantiles: rank selection at ceil(q*n), one window shuffle")
+      "exact group quantiles: rank selection at ceil(q*n), one window shuffle"),
+
+    // ── X6q: KMV distinct sketch — the ORACLE-CHECKABLE sketch path ───
+    // x33's HLL is rows-only because DuckDB's HLL construction differs;
+    // KMV (k-minimum-values, Bar-Yossef et al. 2002) is deterministic
+    // given the hash: keep the k smallest distinct 60-bit md5 hash
+    // values per group, estimate distinct = (k-1) / normalized kth
+    // minimum — every intermediate is an exact integer, the one
+    // division is double-on-identical-operands, so the APPROXIMATION
+    // ITSELF hash-matches the oracle. Mergeable like HLL (union the
+    // k-smallest sets); here the rank filter plans WindowGroupLimit
+    // (per-partition k-heaps before the group shuffle — asserted), so
+    // only k hashes per (partition, group) ever move. Groups with
+    // fewer than k distinct values are exact by the KMV rule.
+    "x55_kmv_distinct" -> Q(
+      (s, dir) => {
+        val k = 32
+        val d = t(s, dir, "documents")
+        val hashed = d.select(col("lang"),
+          conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+          .distinct()
+        val w = Window.partitionBy("lang").orderBy("h")
+        // the rank filter is what bounds the sketch: it plans
+        // WindowGroupLimit (per-partition k-heaps before the group
+        // shuffle), so only k hashes per (partition, lang) ever move
+        val stats = hashed.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            max(when(col("rn") === k, col("h"))).as("kth"))
+        val exact = d.groupBy("lang").agg(countDistinct(col("text")).as("exact_distinct"))
+        val est = when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+            col("kth").cast("double"))
+        exact.join(stats, Seq("lang"))
+          .withColumn("kmv_est", pround(est, 3))
+          .withColumn("rel_err", pround(
+            abs(col("kmv_est") - col("exact_distinct").cast("double")) /
+              col("exact_distinct").cast("double"), 6))
+          .select("lang", "exact_distinct", "kmv_est", "rel_err")
+          .orderBy("lang")
+      },
+      Some(s"""WITH hashed AS (SELECT DISTINCT lang,
+              |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+              |  FROM documents),
+              |r AS (SELECT lang, h,
+              |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+              |  FROM hashed),
+              |stats AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+              |    max(CASE WHEN rn = 32 THEN h END) AS kth
+              |  FROM r WHERE rn <= 32 GROUP BY lang),
+              |ex AS (SELECT lang, count(DISTINCT text) AS exact_distinct
+              |  FROM documents GROUP BY lang),
+              |est AS (SELECT e.lang, e.exact_distinct,
+              |    ${duckRound(
+                     "CASE WHEN s.n_kept < 32 THEN CAST(s.n_kept AS DOUBLE) " +
+                       "ELSE 31.0 * 1152921504606846976.0 / CAST(s.kth AS DOUBLE) END", 3)}
+              |      AS kmv_est
+              |  FROM ex e JOIN stats s USING (lang))
+              |SELECT lang, exact_distinct, kmv_est,
+              |  ${duckRound(
+                   "abs(kmv_est - CAST(exact_distinct AS DOUBLE)) / " +
+                     "CAST(exact_distinct AS DOUBLE)", 6)} AS rel_err
+              |FROM est ORDER BY lang""".stripMargin),
+      "KMV distinct sketch: portable hash, per-group k-minima via WindowGroupLimit, exact-checkable estimate")
   )
 }

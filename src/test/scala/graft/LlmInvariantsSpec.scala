@@ -223,6 +223,19 @@ class LlmInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("x55: KMV estimate is exact below k and self-consistent above") {
+    val rows = run("x55_kmv_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est, relErr) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(est > 0.0)
+      if (exact < 32)
+        assert(est == exact.toDouble, "below k the sketch holds every value — exact")
+      assert(math.abs(relErr - math.abs(est - exact) / exact) < 1e-5,
+        "reported error must be the error of the reported estimate")
+    }
+  }
+
   test("x36: exactly one survivor per component, labeled by its minimum") {
     val rows = run("x36_neardup_components").collect()
     assert(rows.nonEmpty)

@@ -151,6 +151,13 @@ class PlanAuditSpec extends SparkSpec {
       "pair counting must partial-aggregate map-side before the shuffle")
   }
 
+  test("x55: KMV k-minima select via WindowGroupLimit, never a full group sort") {
+    val p = plan("x55_kmv_distinct")
+    assert(p.contains("WindowGroupLimit"),
+      "the rank<=k filter must become per-partition k-heaps before the shuffle — " +
+        "that bound is what makes the sketch a sketch")
+  }
+
   test("global sweep: no registered query ever plans a CartesianProduct") {
     // the one unconditional rule of the 100 TB contract: the quadratic
     // operator must never appear — candidate generation is always a
