@@ -166,16 +166,12 @@ object LlmData {
     // serves all of them. Unlike `memo` there is no persisted resource
     // to leak: a concurrent duplicate training is wasted work with a
     // deterministic identical result, so plain getOrElseUpdate is safe.
-    val per = centsMemo.synchronized {
-      centsMemo.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
-      centsMemo.computeIfAbsent(s,
-        _ => TrieMap.empty[(String, Int), Seq[(Long, IndexedSeq[Float])]])
-    }
-    per.getOrElseUpdate((dir, K), trainCentroids(s, dir, K))
+    centsMemo.acquire(s)(TrieMap.empty[(String, Int), Seq[(Long, IndexedSeq[Float])]])
+      .getOrElseUpdate((dir, K), trainCentroids(s, dir, K))
   }
 
-  private val centsMemo = new java.util.HashMap[
-    SparkSession, TrieMap[(String, Int), Seq[(Long, IndexedSeq[Float])]]]
+  private lazy val centsMemo =
+    new SessionRegistry[TrieMap[(String, Int), Seq[(Long, IndexedSeq[Float])]]]
 
   private def trainCentroids(
       s: SparkSession, dir: String, K: Int): Seq[(Long, IndexedSeq[Float])] = {
@@ -319,23 +315,36 @@ object LlmData {
        |WHERE asg.vec_id <> 0
        |ORDER BY cos DESC, asg.vec_id LIMIT $k""".stripMargin
 
+  /** Per-session registry with stopped-session purge on every access —
+    * a cached value may strongly reference its session, so weak keys
+    * alone would never evict (the value pins the key). ONE lifecycle
+    * implementation shared by `memo` (persisted DataFrames) and
+    * `centsMemo` (trained centroids): a purge-condition fix lands in
+    * both or neither. */
+  private final class SessionRegistry[V] {
+    private val reg = new java.util.HashMap[SparkSession, V]
+    def acquire(s: SparkSession)(mk: => V): V = reg.synchronized {
+      reg.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
+      reg.computeIfAbsent(s, _ => mk)
+    }
+    /** Register-or-read the CURRENT entry (see memoized's race note). */
+    def registerOrGet(s: SparkSession, v: V): V = reg.synchronized {
+      reg.putIfAbsent(s, v)
+      reg.get(s)
+    }
+    def remove(s: SparkSession): Option[V] = reg.synchronized(Option(reg.remove(s)))
+  }
+
   /** Signature tables are persisted and re-read by several join sides;
     * memoize the built DataFrame per (session, query, sfDir) so
     * repeated invocations in one session reuse the same cache entry
-    * instead of stacking a new persisted copy per call. Entries of
-    * STOPPED sessions are purged on every access — a cached DataFrame
-    * strongly references its session, so weak keys alone would never
-    * evict (the value pins the key). */
-  private val memo =
-    new java.util.HashMap[SparkSession, TrieMap[(String, String), DataFrame]]
+    * instead of stacking a new persisted copy per call. */
+  private val memo = new SessionRegistry[TrieMap[(String, String), DataFrame]]
   private def memoized(s: SparkSession, key: String, dir: String)
       (build: => DataFrame): DataFrame = {
     var out: DataFrame = null
     while (out == null) {
-      val perSession = memo.synchronized {
-        memo.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
-        memo.computeIfAbsent(s, _ => TrieMap.empty[(String, String), DataFrame])
-      }
+      val perSession = memo.acquire(s)(TrieMap.empty[(String, String), DataFrame])
       // compute-if-absent under the per-session lock: TrieMap's bare
       // getOrElseUpdate can run `build` (which persists) twice under
       // concurrent first access, leaking one never-unpersisted copy
@@ -349,12 +358,8 @@ object LlmData {
         // reach (one persisted copy leaked per race). Register-or-read
         // the current entry and retry the fetch when it isn't ours.
         // (Lock order is safe: clearMemo never waits on a map lock
-        // while holding the memo lock.)
-        val registered = memo.synchronized {
-          memo.putIfAbsent(s, perSession)
-          memo.get(s)
-        }
-        if (registered eq perSession)
+        // while holding the registry lock.)
+        if (memo.registerOrGet(s, perSession) eq perSession)
           out = perSession.getOrElseUpdate((key, dir), build)
       }
     }
@@ -370,8 +375,8 @@ object LlmData {
     // the centroid memo holds no cluster resources — dropping the
     // entry is enough (Bench clears per query so cold timings keep
     // paying for their own training)
-    centsMemo.synchronized(centsMemo.remove(s))
-    val perSession = memo.synchronized(Option(memo.remove(s)))
+    centsMemo.remove(s)
+    val perSession = memo.remove(s)
     // take the same per-map lock memoized() builds under: a build in
     // flight during the remove would otherwise insert its persisted
     // frame into this now-orphaned map after the values snapshot —

@@ -58,18 +58,23 @@ class BucketingSpec extends SparkSpec {
     // at 100 TB a day-scoped query must read one partition, not filter
     // the full table post-scan
     val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
-    Tables.load(spark, sf0001, "orders")
-      .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
-      .write.mode("overwrite").partitionBy("order_month")
-      .parquet(s"$tmp/orders_bymonth")
-    val pruned = spark.read.parquet(s"$tmp/orders_bymonth")
-      .filter(col("order_month") === "1995-03")
-    val plan = pruned.queryExecution.executedPlan.toString
-    assert("PartitionFilters: \\[[^\\]]*order_month".r.findFirstIn(plan).isDefined,
-      s"month predicate must land in PartitionFilters, got:\n${plan.take(2000)}")
-    val expected = Tables.load(spark, sf0001, "orders")
-      .filter(date_format(col("o_orderdate"), "yyyy-MM") === "1995-03").count()
-    assert(expected > 0 && pruned.count() == expected,
-      "pruned read must return exactly the partition's rows")
+    try {
+      Tables.load(spark, sf0001, "orders")
+        .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("order_month")
+        .parquet(s"$tmp/orders_bymonth")
+      val pruned = spark.read.parquet(s"$tmp/orders_bymonth")
+        .filter(col("order_month") === "1995-03")
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*order_month".r.findFirstIn(plan).isDefined,
+        s"month predicate must land in PartitionFilters, got:\n${plan.take(2000)}")
+      val expected = Tables.load(spark, sf0001, "orders")
+        .filter(date_format(col("o_orderdate"), "yyyy-MM") === "1995-03").count()
+      assert(expected > 0 && pruned.count() == expected,
+        "pruned read must return exactly the partition's rows")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
   }
 }
