@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins Bench's stdout SIZE CONTRACT: the driver captures only the last
+  * 2000 chars of stdout and parses the JSON line out of that tail, with
+  * sbt's `[success] Total time ...` line (~80 chars) landing after it.
+  * Round 4's line overflowed the tail (two 9-decimal per-query maps)
+  * and the round's bench artifact parsed as null — this spec makes that
+  * failure a compile-time-adjacent one: registering enough new queries
+  * to overflow the budget fails the build here, not in the driver.
+  *
+  * No Spark session needed: the line is assembled from the registered
+  * query NAMES plus worst-case-width fake timings.
+  */
+class BenchFormatSpec extends AnyFunSuite {
+
+  test("fmt emits minimal adaptive-precision JSON numbers") {
+    assert(Bench.fmt(1.504999) == "1.5")
+    assert(Bench.fmt(2.0) == "2")
+    assert(Bench.fmt(0.176) == "0.18")
+    assert(Bench.fmt(43.658835076) == "43.7")
+    assert(Bench.fmt(-1.0) == "-1")
+    assert(Bench.fmt(0.0) == "0")
+    assert(Bench.fmt(0.5) == "0.5")
+    assert(Bench.fmt(11.197) == "11.2")
+  }
+
+  test("worst-case JSON line fits the driver's 2000-char tail with headroom") {
+    // 99.9 is the widest realistic per-query value (4 chars; the perf
+    // bar is single-digit seconds — a suite where every query broke
+    // 100 s is a lost round regardless of whether the line parses, and
+    // one or two >100 s stragglers cost 1 extra char each, well inside
+    // the margin this budget leaves).
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val worst = names.map(_ -> (99.9, 99.9))
+    val line = Bench.jsonLine(worst, "/root/testdata/sf0.1", None)
+    assert(!line.contains("\n"), "must be ONE line")
+    val budget = 1800 // 2000-char tail minus the trailing sbt success line + slack
+    assert(line.length <= budget,
+      s"bench line worst-case ${line.length} chars exceeds $budget — " +
+        "trim query names or split the suite before registering more queries")
+  }
+
+  test("line is valid JSON shape with the driver-contract fields") {
+    val line = Bench.jsonLine(
+      Seq("q01_top10_star_join" -> (0.26, 0.25), "x20_exact_dedup_groups" -> (-1.0, 0.2)),
+      "/root/testdata/sf0.01", Some(Set("q01_top10_star_join", "x20_exact_dedup_groups")))
+    assert(line.startsWith("""{"metric":"total","value":0.26,"unit":"sec","queries":{"""))
+    // failed (-1) runs are excluded from totals but visible per-query
+    assert(line.contains(""""x20_exact_dedup_groups":-1"""))
+    assert(line.contains(""""total_warm":0.45"""))
+    assert(line.contains(""""filter":"q01_top10_star_join,x20_exact_dedup_groups""""))
+    assert(line.endsWith(""""sf":"/root/testdata/sf0.01"}"""))
+  }
+}
