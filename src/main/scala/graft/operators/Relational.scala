@@ -553,7 +553,11 @@ object Relational {
              |ORDER BY user_id, session_start""".stripMargin),
       "session_window event-time sessionization; oracle = gaps-and-islands"),
 
-    "q25_range_join" -> q25
+    "q25_range_join" -> q25,
+    "q26_gsets" -> q26,
+    "q27_gapfill" -> q27,
+    "q28_bloomjoin" -> q28,
+    "q29_scd2" -> q29
   )
 
   /** q25 — pure range (interval) join, the scale-safe way.
@@ -601,4 +605,174 @@ object Relational {
            |WHERE o.o_orderkey % 1000 = 1
            |GROUP BY 1, 2 ORDER BY w_id""".stripMargin),
     "range join via day-grain binning: bin-equality hash join + residual interval filter")
+
+  /** q26 — arbitrary GROUPING SETS (beyond q21's strictly hierarchical
+    * ROLLUP): the two single-dimension marginals plus the grand total,
+    * WITHOUT the (status, priority) cross cell a rollup/cube would
+    * force. Physical shape is unchanged — one Expand (3 replicas of
+    * each input row, one per set) feeding one partial+final hash agg,
+    * so one shuffle total regardless of how many sets are requested;
+    * at 100 TB the knob that matters is replica count (= set count),
+    * not distinct-key count. grouping() disambiguates a NULL group key
+    * from a NULL data value — both engines emit it identically. */
+  private def q26 = Q(
+    (s, dir) => t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n"),
+        sumCents(col("o_totalprice")).as("sum_price"))
+      .orderBy(asc("g_status"), asc("g_priority"),
+        asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+    Some("""SELECT o_orderstatus, o_orderpriority,
+           |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           |  count(*) AS n,
+           |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS sum_price
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY g_status, g_priority,
+           |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+    "arbitrary grouping sets: one Expand + one hash agg, one shuffle for all sets")
+
+  /** q27 — time-series densification (gap fill): daily event volume
+    * over a LITERAL calendar span, with zero rows for days that never
+    * appear in the data — the step every training-data freshness
+    * dashboard needs before a window/trend computation, and one Spark
+    * has no native operator for. The calendar side is sequence() over
+    * the literal span exploded to one row per day (bounded by span
+    * length, not data) and stays a broadcast build side; the fact side
+    * aggregates FIRST (one shuffle on day), then left-joins the
+    * calendar, so missing days cost nothing and the join is
+    * calendar-rows × 1 lookup. Guards against both classic gap-fill
+    * mistakes at scale: joining raw facts to the calendar (fanout),
+    * and generating the calendar per-partition (duplicate days). */
+  private def q27 = Q(
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("value"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), sumCents(col("value")).as("sum_value"))
+      val calendar = s.range(1)
+        .select(explode(sequence(
+          to_date(lit("2024-01-01")), to_date(lit("2024-02-15")))).as("day"))
+      calendar.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+           |         sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+           |  FROM events GROUP BY 1),
+           |calendar AS (
+           |  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-02-15',
+           |                                     INTERVAL 1 DAY)) AS DATE) AS day)
+           |SELECT c.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+           |       coalesce(d.sum_value, 0.0) AS sum_value
+           |FROM calendar c LEFT JOIN daily d ON c.day = d.day
+           |ORDER BY c.day""".stripMargin),
+    "gap fill: aggregate-then-join against an exploded literal calendar; zeros for missing days")
+
+  /** q28 — Bloom-filter semi-join reduction, the canonical 100 TB
+    * shuffle eliminator: a compact filter built from the small side's
+    * join keys is broadcast and applied to the fact scan BEFORE any
+    * join, so rows that cannot match never leave their input
+    * partition. Here the filter is hand-rolled and fully deterministic
+    * (m = 8192 bit positions, k = 3 md5-derived hash functions, the
+    * set-bit list shipped as one sorted array in a single broadcast
+    * row) so the DuckDB oracle can replay it bit-for-bit — including
+    * its FALSE POSITIVES: the output counts both bloom survivors
+    * (n_bloom) and exact matches (n_exact) per order status, making
+    * the approximation itself an oracle-checked value, not a hidden
+    * optimization. The exact inner join after the filter keeps the
+    * final semantics precise, as in a real pipeline. At production
+    * scale the same shape is Spark's own runtime-filter rewrite
+    * (BloomFilterAggregate + BloomFilterMightContain); the hand-rolled
+    * twin exists so the mechanism is testable against an oracle.
+    * PlanAuditSpec pins: dim + bits broadcast, fact side never
+    * sort-merge-joins. */
+  private def q28 = Q(
+    (s, dir) => {
+      val m = 8192
+      def bpos(key: Column, i: Int): Column = pmod(
+        conv(substring(md5(concat(lit(i.toString), key.cast("string"))), 1, 15),
+          16, 10).cast("long"), lit(m))
+      val dim = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey"))
+      val bits = dim
+        .select(explode(array((0 until 3).map(i => bpos(col("c_custkey"), i)): _*)).as("p"))
+        .distinct()
+        .agg(sort_array(collect_set(col("p"))).as("bits"))
+      val o = t(s, dir, "orders")
+      o.crossJoin(broadcast(bits)) // single-row build side: a map-side scalar ship
+        .filter((0 until 3)
+          .map(i => array_contains(col("bits"), bpos(col("o_custkey"), i)))
+          .reduce(_ && _))
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_bloom"),
+          count(col("c_custkey")).as("n_exact"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH dim AS (
+           |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+           |pos AS (
+           |  SELECT DISTINCT
+           |    CAST('0x' || substr(md5(CAST(i AS VARCHAR) || CAST(c_custkey AS VARCHAR)), 1, 15)
+           |         AS BIGINT) % 8192 AS p
+           |  FROM dim, (SELECT unnest(range(3)) AS i)),
+           |bits AS (SELECT list(p ORDER BY p) AS bits FROM pos),
+           |passed AS (
+           |  SELECT o.* FROM orders o, bits b
+           |  WHERE list_contains(b.bits, CAST('0x' || substr(md5('0' || CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 8192)
+           |    AND list_contains(b.bits, CAST('0x' || substr(md5('1' || CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 8192)
+           |    AND list_contains(b.bits, CAST('0x' || substr(md5('2' || CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 8192))
+           |SELECT p.o_orderstatus,
+           |  count(*) AS n_bloom,
+           |  CAST(count(d.c_custkey) AS BIGINT) AS n_exact
+           |FROM passed p LEFT JOIN dim d ON p.o_custkey = d.c_custkey
+           |GROUP BY p.o_orderstatus ORDER BY p.o_orderstatus""".stripMargin),
+    "deterministic bloom semi-join reduction; false positives oracle-checked via n_bloom vs n_exact")
+
+  /** q29 — SCD2 / temporal-table compression: collapse each user's
+    * event stream into state-change VALIDITY INTERVALS
+    * [valid_from, valid_to) with an is_current flag — the
+    * point-in-time lineage shape a training-data snapshot store needs
+    * (\"which state was live when this example was sampled?\" is then
+    * q22's as-of join against this table). Two window passes over the
+    * SAME partition key (change detection via lag, interval close via
+    * lead), so Catalyst plans ONE shuffle on user_id and runs both
+    * windows back to back on the sorted partitions; rows leave the
+    * operator compressed to state changes, typically orders of
+    * magnitude smaller than the input stream. */
+  private def q29 = Q(
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val changes = t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("state"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("state"), 1).over(byUser))
+        .filter(col("prev").isNull || col("prev") =!= col("state"))
+      changes
+        .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+        .select(col("user_id"), col("state"), col("ts").as("valid_from"),
+          col("valid_to"), col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "state")
+    },
+    Some("""WITH ch AS (
+           |  SELECT user_id, event_type AS state, ts, event_id,
+           |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           |  FROM events),
+           |chg AS (
+           |  SELECT user_id, state, ts, event_id FROM ch
+           |  WHERE prev IS NULL OR prev <> state)
+           |SELECT user_id, state, ts AS valid_from,
+           |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+           |FROM chg ORDER BY user_id, valid_from, state""".stripMargin),
+    "SCD2 interval compression: lag change-detect + lead interval-close, one shuffle")
 }
