@@ -29,7 +29,12 @@ object Bench {
     * trailing zeros and bare dots stripped ("1.50"→"1.5", "2.00"→"2",
     * "-1.00"→"-1"). Full precision lives in BENCH_DETAIL.json. */
   def fmt(v: Double): String = {
-    val s = if (v > -1.0 && v < 1.0) f"$v%.2f" else f"$v%.1f"
+    // Locale.ROOT explicitly: the default-locale f"" interpolator emits
+    // decimal COMMAS under e.g. de_DE, turning the line into invalid JSON
+    // — the exact artifact-parse failure this formatter exists to prevent.
+    val s =
+      if (v > -1.0 && v < 1.0) String.format(java.util.Locale.ROOT, "%.2f", v)
+      else String.format(java.util.Locale.ROOT, "%.1f", v)
     s.replaceAll("0+$", "").replaceAll("\\.$", "")
   }
 

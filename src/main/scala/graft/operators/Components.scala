@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected edge list — the cluster-
@@ -59,6 +59,30 @@ object Components {
     (cp, added)
   }
 
+  /** Unique Observation names: reusing a name while a prior observation
+    * with it is still registered on the session is an error, and the
+    * loops run under Bench twice per query (cold + warm). */
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Fixpoint signature WITHOUT its own job: the aggregate rides the
+    * round's checkpoint materialization as an observed metric
+    * (CollectMetrics is a streaming pass-through over the rows the
+    * checkpoint job writes anyway — verified to fire on
+    * `localCheckpoint`'s action on this Spark build). Each round
+    * previously paid a third job just to re-scan the ~2-column
+    * checkpointed table for 5 scalars; at loop cadence the per-job
+    * fixed cost (scheduling + task launch) was a third of the whole
+    * x36 runtime. Extraction null-guards the empty-input case (sum
+    * over zero rows observes NULL). */
+  private def observed(df: DataFrame, metrics: Seq[(String, Column)])
+      : (DataFrame, () => Map[String, Long]) = {
+    val obs = Observation(s"graft_cc_sig_${obsSeq.incrementAndGet()}")
+    val out = df.observe(obs, metrics.head._2.as(metrics.head._1),
+      metrics.tail.map { case (n, c) => c.as(n) }: _*)
+    (out, () => obs.get.map { case (k, v) =>
+      k -> (if (v == null) 0L else v.asInstanceOf[Long]) })
+  }
+
   private def release(s: SparkSession, ids: Set[Int]): Unit = {
     val persisted = s.sparkContext.getPersistentRDDs
     ids.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
@@ -113,27 +137,26 @@ object Components {
     // label table and restarts the plan from it. (On a production
     // cluster prefer reliable checkpoints — setCheckpointDir +
     // .checkpoint() — so executor loss can't kill a long run.)
-    var (labels, labelIds) = checkpointTracked(
-      sym.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node")))
     // Two-scalar signature over COPRIME moduli, not a bare sum: labels
     // only decrease, but a single mod-M sum can stay stationary when a
     // label moves a→b with a ≡ b (mod M) — birthday-likely over 64-bit
     // hashed ids — and a false fixpoint here returns silently-wrong
     // clusters. Stationarity under both primes needs the change to be
     // a multiple of M1·M2 ≈ 1e18 (see SigMod note). Overflow-safe
-    // under ANSI. coalesce: the aggregate over an EMPTY node set is
-    // NULL (the clean-corpus case) — converged, not NPE.
-    def labelSig(df: DataFrame): (Long, Long) = {
-      val r = df.agg(
-        coalesce(sum(pmod(col("label"), lit(SigMod))), lit(0L)),
-        coalesce(sum(pmod(col("label"), lit(SigMod2))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    var prevSig = labelSig(labels)
+    // under ANSI. The n metric doubles as the empty-input check
+    // (converged immediately) — no separate isEmpty job.
+    val labelMetrics: Seq[(String, Column)] = Seq(
+      "n" -> count(lit(1)),
+      "s1" -> coalesce(sum(pmod(col("label"), lit(SigMod))), lit(0L)),
+      "s2" -> coalesce(sum(pmod(col("label"), lit(SigMod2))), lit(0L)))
+    val (lab0, sig0) = observed(
+      sym.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")), labelMetrics)
+    var (labels, labelIds) = checkpointTracked(lab0)
+    var prevSig = sig0()
 
     var i = 0
-    var converged = labels.isEmpty
+    var converged = prevSig("n") == 0L
     // the result's own checkpoint (one ~2-column table) stays cached for
     // the result's lifetime — the one unavoidable residue; callers
     // needing a fully clean context can sweep sparkContext
@@ -142,10 +165,11 @@ object Components {
       while (!converged && i < maxIter) {
         val nbr = sym.as("e").join(labels.as("lb"), col("e.dst") === col("lb.node"))
           .select(col("e.src").as("node"), col("lb.label").as("label"))
-        val (updated, updatedIds) = checkpointTracked(
+        val (upd0, sigF) = observed(
           labels.unionByName(nbr)
-            .groupBy("node").agg(min("label").as("label")))
-        val newSig = labelSig(updated)
+            .groupBy("node").agg(min("label").as("label")), labelMetrics)
+        val (updated, updatedIds) = checkpointTracked(upd0)
+        val newSig = sigF()
         // bound storage to two label tables: release the superseded
         // round's checkpoint RDDs instead of waiting on GC +
         // ContextCleaner (up to maxIter copies otherwise)
@@ -222,36 +246,35 @@ object Components {
       .filter(col("hi") =!= col("lo"))
       .distinct()
 
-    var (e, eIds) = checkpointTracked(canon(edges.select(
-      greatest(col(a).cast("long"), col(b).cast("long")).as("hi"),
-      least(col(a).cast("long"), col(b).cast("long")).as("lo"))))
-
     // edge-multiset signature over both coprime moduli (see SigMod
     // note: single-modulus terms are perfectly correlated under a
-    // congruent endpoint change, however they're mixed)
-    def sig(df: DataFrame): (Long, Long, Long, Long, Long) = {
-      val r = df.agg(
-        count(lit(1)),
-        coalesce(sum(pmod(col("hi"), lit(SigMod))), lit(0L)),
-        coalesce(sum(pmod(col("lo"), lit(SigMod))), lit(0L)),
-        coalesce(sum(pmod(
-          pmod(col("hi"), lit(SigMod)) * 2654435761L +
-            pmod(col("lo"), lit(SigMod)) * 40503L,
-          lit(SigMod))), lit(0L)),
-        coalesce(sum(pmod(
-          pmod(col("hi"), lit(SigMod2)) * 1566083941L +
-            pmod(col("lo"), lit(SigMod2)) * 69069L,
-          lit(SigMod2))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
-    }
+    // congruent endpoint change, however they're mixed); rides each
+    // round's checkpoint job as observed metrics — no per-round scan
+    val edgeMetrics: Seq[(String, Column)] = Seq(
+      "n" -> count(lit(1)),
+      "sh" -> coalesce(sum(pmod(col("hi"), lit(SigMod))), lit(0L)),
+      "sl" -> coalesce(sum(pmod(col("lo"), lit(SigMod))), lit(0L)),
+      "m1" -> coalesce(sum(pmod(
+        pmod(col("hi"), lit(SigMod)) * 2654435761L +
+          pmod(col("lo"), lit(SigMod)) * 40503L,
+        lit(SigMod))), lit(0L)),
+      "m2" -> coalesce(sum(pmod(
+        pmod(col("hi"), lit(SigMod2)) * 1566083941L +
+          pmod(col("lo"), lit(SigMod2)) * 69069L,
+        lit(SigMod2))), lit(0L)))
 
-    var prev = sig(e)
+    val (e0, sig0) = observed(canon(edges.select(
+      greatest(col(a).cast("long"), col(b).cast("long")).as("hi"),
+      least(col(a).cast("long"), col(b).cast("long")).as("lo"))), edgeMetrics)
+    var (e, eIds) = checkpointTracked(e0)
+
+    var prev = sig0()
     var i = 0
-    var converged = prev._1 == 0L
+    var converged = prev("n") == 0L
     // the result's own checkpoint stays cached for the result's
     // lifetime — the one unavoidable residue; callers needing a fully
     // clean context can sweep sparkContext.getPersistentRDDs afterwards
-    val (result, _) = try withLoopParallelism(s, prev._1) {
+    val (result, _) = try withLoopParallelism(s, prev("n")) {
       while (!converged && i < maxIter) {
         // large-star: m over ALL neighbors of each node (both roles)
         val nbrs = e.select(col("hi").as("u"), col("lo").as("v"))
@@ -272,13 +295,14 @@ object Components {
         // small-star: per center hi, re-point the smaller neighbors and
         // the center itself at their minimum
         val mins2 = large.groupBy("hi").agg(min("lo").as("m"))
-        val (small, smallIds) = checkpointTracked(canon(large
+        val (small0, sigF) = observed(canon(large
           .join(mins2, "hi")
           .select(col("lo").as("hi"), col("m").as("lo"))
-          .unionByName(mins2.select(col("hi"), col("m").as("lo")))))
+          .unionByName(mins2.select(col("hi"), col("m").as("lo")))), edgeMetrics)
+        val (small, smallIds) = checkpointTracked(small0)
         release(s, largeIds)
 
-        val cur = sig(small)
+        val cur = sigF()
         e = small
         eIds = smallIds
         converged = cur == prev
