@@ -414,6 +414,52 @@ object LlmData {
       .select(col("doc_id"), col("sh"))
   }
 
+  /** Memoized (doc_id, sh, hs) minhash input table — shingle sets plus
+    * their portable md5 base hashes — shared by x22 (Jaccard pairs) and
+    * x58 (containment pairs) so both read ONE persisted signature
+    * table. */
+  private def minhashHashed(s: SparkSession, dir: String): DataFrame =
+    memoized(s, "x22-hashes", dir) {
+      shingled(s, dir)
+        .withColumn("hs", Text.md5LongsNative(col("sh"), Text.MinhashMod))
+        .persist()
+    }
+
+  /** LSH candidate pairs (doc_a < doc_b) from the 16-slot minhash
+    * banded 4×4 — the ONLY pair generator for the minhash family
+    * (band-key equality join, never all-pairs); shared by x22/x58. */
+  private def minhashCandPairs(d: DataFrame): DataFrame = {
+    val sig = d.select(col("doc_id"), Text.minhashNative(col("hs"), 16).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      explode(Text.bandKeysMd5(col("sig"), 4, 4)).as("bk"))
+    bands.as("a").join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** DuckDB CTE chain shingles → minhash signatures → banded candidate
+    * pairs: defines `hsd(doc_id, sh, hs)` and `cand(doc_a, doc_b)` —
+    * ONE definition shared by the x22 and x58 oracles (they must check
+    * the same candidate graph). */
+  private lazy val duckMinhashCand: String = {
+    val m = Text.MinhashMod
+    val slots = (0 until 16).map(i =>
+      s"list_min(list_transform(hs, h -> (h * ${Text.affineA(i)} + ${Text.affineB(i)}) % $m))")
+      .mkString(",\n            ")
+    s"""$duckShingles,
+       |hsd AS (SELECT doc_id, sh, list_transform(sh,
+       |          s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $m) AS hs
+       |        FROM shs WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id, [$slots] AS sig
+       |        FROM hsd),
+       |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4),
+       |            b -> md5(array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',')))) AS bk
+       |          FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   /** SimHash near-dup pairs (doc_a < doc_b, hamming <= 5) — the x23
     * pipeline, shared with x36's cluster resolution. Fingerprints feed
     * both sides of the chunk self-join: memoize+persist so the 60-bit
@@ -487,20 +533,11 @@ object LlmData {
     "x22_minhash_lsh_pairs" -> Q(
       (s, dir) => {
         // Shingles + base hashes are read by multiple join sides below;
-        // persist so the md5 pass runs ONCE (the in-query analog of
-        // materializing a signature table, which is what this pipeline
-        // does at real scale).
-        val d = memoized(s, "x22-hashes", dir) {
-          shingled(s, dir)
-            .withColumn("hs", Text.md5LongsNative(col("sh"), Text.MinhashMod))
-            .persist()
-        }
-        val sig = d.select(col("doc_id"), Text.minhashNative(col("hs"), 16).as("sig"))
-        val bands = sig.select(col("doc_id"), explode(Text.bandKeysMd5(col("sig"), 4, 4)).as("bk"))
-        val cand = bands.as("a").join(bands.as("b"),
-            col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
+        // the memoized persist means the md5 pass runs ONCE (the
+        // in-query analog of materializing a signature table, which is
+        // what this pipeline does at real scale).
+        val d = minhashHashed(s, dir)
+        val cand = minhashCandPairs(d)
         val da = d.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
         val db = d.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
         val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
@@ -511,32 +548,16 @@ object LlmData {
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
       },
-      Some {
-        val m = Text.MinhashMod
-        val slots = (0 until 16).map(i =>
-          s"list_min(list_transform(hs, h -> (h * ${Text.affineA(i)} + ${Text.affineB(i)}) % $m))")
-          .mkString(",\n              |            ")
-        s"""WITH $duckShingles,
-           |hsd AS (SELECT doc_id, sh, list_transform(sh,
-           |          s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $m) AS hs
-           |        FROM shs WHERE len(sh) > 0),
-           |sig AS (SELECT doc_id, [$slots] AS sig
-           |        FROM hsd),
-           |bands AS (SELECT doc_id, unnest(list_transform(range(0, 4),
-           |            b -> md5(array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',')))) AS bk
-           |          FROM sig),
-           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
-           |j AS (SELECT doc_a, doc_b,
-           |        ${duckRound(
-                      "len(list_intersect(x.sh, y.sh)) * 1.0 / " +
-                        "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))", 6)} AS jaccard
-           |      FROM cand
-           |      JOIN hsd x ON x.doc_id = doc_a
-           |      JOIN hsd y ON y.doc_id = doc_b)
-           |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
-           |ORDER BY doc_a, doc_b""".stripMargin
-      },
+      Some(s"""WITH $duckMinhashCand,
+              |j AS (SELECT doc_a, doc_b,
+              |        ${duckRound(
+                        "len(list_intersect(x.sh, y.sh)) * 1.0 / " +
+                          "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))", 6)} AS jaccard
+              |      FROM cand
+              |      JOIN hsd x ON x.doc_id = doc_a
+              |      JOIN hsd y ON y.doc_id = doc_b)
+              |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+              |ORDER BY doc_a, doc_b""".stripMargin),
       "MinHash(16, one-hash affine family) + LSH(4x4); bucketed candidate join, exact-Jaccard confirm"),
 
     // ── X2b: SimHash near-dup pairs (60-bit portable fingerprint) ─────
@@ -1609,6 +1630,144 @@ object LlmData {
                    "abs(kmv_est - CAST(exact_distinct AS DOUBLE)) / " +
                      "CAST(exact_distinct AS DOUBLE)", 6)} AS rel_err
               |FROM est ORDER BY lang""".stripMargin),
-      "KMV distinct sketch: portable hash, per-group k-minima via WindowGroupLimit, exact-checkable estimate")
+      "KMV distinct sketch: portable hash, per-group k-minima via WindowGroupLimit, exact-checkable estimate"),
+
+    // ── X5f: Count-Min sketch heavy hitters (Cormode & Muthukrishnan
+    // 2005) — the mergeable fixed-size frequency sketch: d=3 md5-derived
+    // hash rows × w=1024 buckets, built from exact token counts in one
+    // extra tiny shuffle (equivalent to adding every occurrence, since
+    // addition commutes into the bucket sums). The estimate is
+    // min over d of the probed bucket sums — an upper bound whose
+    // collision error the output makes VISIBLE next to the exact count
+    // (cms_est >= n_exact always; equality when no collision). At
+    // 100 TB the point is the sketch's size: d×w cells regardless of
+    // corpus, partial-aggregated map-side, mergeable across shards —
+    // the exact top-k here is only the audit baseline.
+    "x56_cms_heavy_hitters" -> Q(
+      (s, dir) => {
+        val w = 1024
+        def bucket(tok: Column, j: Int): Column = pmod(
+          conv(substring(md5(concat(lit(j.toString), tok)), 1, 15), 16, 10)
+            .cast("long"), lit(w))
+        val counts = memoized(s, "x56-counts", dir) {
+          t(s, dir, "documents")
+            .select(explode(Text.tokens(col("text"))).as("tok"))
+            .filter(length(col("tok")) > 0)
+            .groupBy("tok").agg(count(lit(1)).as("n"))
+            .persist()
+        }
+        val sketch = counts
+          .select(explode(array((0 until 3).map(j =>
+            struct(lit(j).as("j"), bucket(col("tok"), j).as("b"), col("n"))): _*)).as("x"))
+          .select(col("x.j").as("j"), col("x.b").as("b"), col("x.n").as("n"))
+          .groupBy("j", "b").agg(sum("n").as("bn"))
+        val probes = counts
+          .orderBy(desc("n"), asc("tok")).limit(20)
+          .select(col("tok"), col("n"),
+            explode(array((0 until 3).map(j =>
+              struct(lit(j).as("j"), bucket(col("tok"), j).as("b"))): _*)).as("p"))
+          .select(col("tok"), col("n"), col("p.j").as("j"), col("p.b").as("b"))
+        probes.join(sketch, Seq("j", "b"))
+          .groupBy("tok", "n").agg(min("bn").as("cms_est"))
+          .select(col("tok"), col("n").as("n_exact"), col("cms_est"))
+          .orderBy(desc("n_exact"), asc("tok"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+             |           FROM toks WHERE len(tok) > 0 GROUP BY tok),
+             |js AS (SELECT unnest(range(3)) AS j),
+             |sketch AS (SELECT j,
+             |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || tok), 1, 15) AS BIGINT)
+             |      % 1024 AS b,
+             |    CAST(sum(n) AS BIGINT) AS bn
+             |  FROM counts CROSS JOIN js GROUP BY 1, 2),
+             |cand AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 20),
+             |probes AS (SELECT tok, n, j,
+             |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || tok), 1, 15) AS BIGINT)
+             |      % 1024 AS b
+             |  FROM cand CROSS JOIN js)
+             |SELECT p.tok, p.n AS n_exact, CAST(min(s.bn) AS BIGINT) AS cms_est
+             |FROM probes p JOIN sketch s ON p.j = s.j AND p.b = s.b
+             |GROUP BY p.tok, p.n ORDER BY n_exact DESC, tok""".stripMargin),
+      "Count-Min sketch: d=3 × w=1024 mergeable bucket sums; estimate = min over rows, error visible vs exact"),
+
+    // ── X5g: skip-gram co-occurrence pairs (word2vec data prep) ───────
+    // (center, context) counts within a symmetric ±2 token window — the
+    // counting stage embedding training consumes. The window NEVER
+    // becomes a per-document cross join: the center side explodes to
+    // (doc_id, pos+k) probe keys map-side (bounded ×2 row growth) and
+    // the join is pure (doc_id, position) EQUALITY — one shuffle,
+    // hash-joinable, skew bounded by document length. Symmetry comes
+    // from emitting both orientations of each positive-offset pair,
+    // which halves the join size vs probing k ∈ {-2,-1,1,2}.
+    "x57_skipgram_pairs" -> Q(
+      (s, dir) => {
+        val tp = t(s, dir, "documents")
+          .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+          .filter(length(col("tok")) > 0)
+        val centers = tp
+          .select(col("doc_id"), col("tok").as("center"), col("pos"),
+            explode(array(lit(1), lit(2))).as("k"))
+          .select(col("doc_id"), col("center"), (col("pos") + col("k")).as("ppos"))
+        val pos = centers.join(
+            tp.select(col("doc_id"), col("pos").as("ppos"), col("tok").as("context")),
+            Seq("doc_id", "ppos"))
+          .select(col("center"), col("context"))
+        pos.unionByName(pos.select(col("context").as("center"), col("center").as("context")))
+          .groupBy("center", "context").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("center"), asc("context"))
+          .limit(30)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |tp0 AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, w FROM toks),
+             |tok AS (SELECT doc_id, pos, w[pos] AS tok FROM tp0 WHERE len(w[pos]) > 0),
+             |pr AS (SELECT a.tok AS center, b.tok AS context
+             |       FROM tok a JOIN tok b
+             |         ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2)),
+             |sym AS (SELECT center, context FROM pr
+             |        UNION ALL SELECT context, center FROM pr)
+             |SELECT center, context, count(*) AS n FROM sym
+             |GROUP BY center, context
+             |ORDER BY n DESC, center, context LIMIT 30""".stripMargin),
+      "skip-gram ±2 window pair counts: map-side probe-key explode + one positional equality join"),
+
+    // ── X5h: containment near-dup pairs (asymmetric subset detection) ─
+    // Jaccard under-scores SUBSET duplication: a paragraph fully copied
+    // into a 10× larger document scores J ≈ 0.1 (kept by x22) while its
+    // containment C(A→B) = |A∩B|/|A| is ≈ 1. Candidates come from the
+    // SAME banded-minhash generator as x22 (one signature table, one
+    // band-key equality join — never all-pairs); the confirm step then
+    // scores both directional containments and keeps pairs where either
+    // direction ≥ 0.7. At scale this is the dedup pass that catches
+    // boilerplate wrappers and quote-expansion chains.
+    "x58_containment_dedup" -> Q(
+      (s, dir) => {
+        val d = minhashHashed(s, dir)
+        val cand = minhashCandPairs(d)
+        val da = d.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+        val db = d.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+        val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+        cand.join(da, "doc_a").join(db, "doc_b")
+          .withColumn("cont_a", pround(inter / size(col("sha")), 6))
+          .withColumn("cont_b", pround(inter / size(col("shb")), 6))
+          .filter(greatest(col("cont_a"), col("cont_b")) >= 0.7)
+          .select("doc_a", "doc_b", "cont_a", "cont_b")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $duckMinhashCand,
+              |c AS (SELECT doc_a, doc_b,
+              |        ${duckRound(
+                        "len(list_intersect(x.sh, y.sh)) * 1.0 / len(x.sh)", 6)} AS cont_a,
+              |        ${duckRound(
+                        "len(list_intersect(x.sh, y.sh)) * 1.0 / len(y.sh)", 6)} AS cont_b
+              |      FROM cand
+              |      JOIN hsd x ON x.doc_id = doc_a
+              |      JOIN hsd y ON y.doc_id = doc_b)
+              |SELECT doc_a, doc_b, cont_a, cont_b FROM c
+              |WHERE greatest(cont_a, cont_b) >= 0.7
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      "directional containment dedup over the shared minhash candidate graph; catches subset duplication")
   )
 }

@@ -557,7 +557,9 @@ object Relational {
     "q26_gsets" -> q26,
     "q27_gapfill" -> q27,
     "q28_bloomjoin" -> q28,
-    "q29_scd2" -> q29
+    "q29_scd2" -> q29,
+    "q30_pivot" -> q30,
+    "q31_pagerank" -> q31
   )
 
   /** q25 — pure range (interval) join, the scale-safe way.
@@ -819,4 +821,106 @@ object Relational {
            |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
            |FROM chg ORDER BY user_id, valid_from, state, event_id""".stripMargin),
     "SCD2 interval compression: lag change-detect + lead interval-close, one shuffle")
+
+  /** q30 — PIVOT (long → wide reshaping): order counts and exact price
+    * sums per priority, one column pair per status. The value list is
+    * LITERAL on both sides — Spark's two-pass value-discovery pivot
+    * (`.pivot(col)` without values) runs an extra distinct job and
+    * makes the output schema data-dependent, which breaks both the
+    * oracle contract (column set must be static) and schema stability
+    * at scale. Physical shape: the pivot lowers to ONE hash aggregate
+    * with conditional (filtered) aggregate expressions — one shuffle on
+    * the groupBy key, same as a plain groupBy; the DuckDB twin is the
+    * equivalent explicit FILTER aggregate. */
+  private def q30 = Q(
+    (s, dir) => t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), sumCents(col("o_totalprice")).as("sum_price"))
+      // pivot emits NULL (not 0) for an empty cell; the FILTER-agg twin
+      // emits count 0 — normalize, and keep sums NULL-for-empty on both
+      .select(col("o_orderpriority"),
+        coalesce(col("F_n"), lit(0L)).as("f_n"), col("F_sum_price").as("f_sum_price"),
+        coalesce(col("O_n"), lit(0L)).as("o_n"), col("O_sum_price").as("o_sum_price"),
+        coalesce(col("P_n"), lit(0L)).as("p_n"), col("P_sum_price").as("p_sum_price"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+           |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+           |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+           |    FILTER (WHERE o_orderstatus = 'F') / 100.0 AS f_sum_price,
+           |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+           |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+           |    FILTER (WHERE o_orderstatus = 'O') / 100.0 AS o_sum_price,
+           |  count(*) FILTER (WHERE o_orderstatus = 'P') AS p_n,
+           |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+           |    FILTER (WHERE o_orderstatus = 'P') / 100.0 AS p_sum_price
+           |FROM orders GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin),
+    "literal-values PIVOT: one conditional-agg shuffle, static output schema")
+
+  /** q31 — PageRank over the supplier↔part co-purchase graph (3 fixed
+    * iterations, damping 0.85) — the canonical iterative-graph op a
+    * data-curation stack needs beyond connected components (x36):
+    * authority scoring over a derived entity graph.
+    *
+    * Determinism/oracle design: ranks live in integer MICRO-UNITS and
+    * every per-iteration update is integer arithmetic only
+    * (share = rank div degree; next = 150000 + (85·Σshare) div 100),
+    * so partial-aggregation order cannot perturb a single bit and the
+    * DuckDB twin (three chained CTEs) replays the loop exactly. A
+    * float PageRank would hash-mismatch on accumulation order alone.
+    *
+    * Scale shape per iteration: per-node share is one broadcast-sized
+    * projection (node, share); the contribution pass is an equality
+    * join share⋈edges on src followed by ONE partial+final hash agg
+    * shuffled on dst — the classic distributed PageRank plan. The
+    * node-id space disambiguates the bipartite sides arithmetically
+    * (supplier s → 2s, part p → 2p+1), and the graph is symmetrized so
+    * every node has degree ≥ 1 (no dangling-mass term; the loop is
+    * closed under the node set). 3 iterations ⇒ 3 shuffles, plan depth
+    * linear — no checkpoint needed at this round count. */
+  private def q31 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      val sym = li.unionByName(li.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+        .withColumnRenamed("src", "node")
+      var rank = deg.select(col("node"), lit(1000000L).as("rank"))
+      for (_ <- 1 to 3) {
+        val share = rank.join(deg, "node")
+          .select(col("node").as("src"), expr("rank div deg").as("share"))
+        rank = sym.join(share, "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum("share").as("inflow"))
+          .select(col("node"),
+            (lit(150000L) + expr("(85 * inflow) div 100")).as("rank"))
+      }
+      rank.orderBy(desc("rank"), asc("node")).limit(20)
+    },
+    Some("""WITH li AS (
+           |  SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+           |  FROM lineitem),
+           |sym AS (SELECT src, dst FROM li UNION ALL SELECT dst, src FROM li),
+           |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
+           |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+           |s1 AS (SELECT r.node AS src, r.rank // d.deg AS share
+           |       FROM r0 r JOIN deg d ON r.node = d.node),
+           |r1 AS (SELECT e.dst AS node,
+           |         CAST(150000 + (85 * sum(s.share)) // 100 AS BIGINT) AS rank
+           |       FROM sym e JOIN s1 s ON e.src = s.src GROUP BY e.dst),
+           |s2 AS (SELECT r.node AS src, r.rank // d.deg AS share
+           |       FROM r1 r JOIN deg d ON r.node = d.node),
+           |r2 AS (SELECT e.dst AS node,
+           |         CAST(150000 + (85 * sum(s.share)) // 100 AS BIGINT) AS rank
+           |       FROM sym e JOIN s2 s ON e.src = s.src GROUP BY e.dst),
+           |s3 AS (SELECT r.node AS src, r.rank // d.deg AS share
+           |       FROM r2 r JOIN deg d ON r.node = d.node),
+           |r3 AS (SELECT e.dst AS node,
+           |         CAST(150000 + (85 * sum(s.share)) // 100 AS BIGINT) AS rank
+           |       FROM sym e JOIN s3 s ON e.src = s.src GROUP BY e.dst)
+           |SELECT node, rank FROM r3
+           |ORDER BY rank DESC, node LIMIT 20""".stripMargin),
+    "integer-micro-unit PageRank, 3 iterations: broadcast share join + one agg shuffle per round")
 }

@@ -245,4 +245,44 @@ class LlmInvariantsSpec extends SparkSpec {
       assert(members.map(_.getLong(0)).min == comp, "label must be the member minimum")
     }
   }
+
+  test("x56: the CMS estimate dominates the exact count (upper-bound law)") {
+    val rows = run("x56_cms_heavy_hitters").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact,
+        s"CMS can only over-count: tok=${r.getString(0)} exact=$exact est=$est")
+    }
+  }
+
+  test("x57: pair counts are positive and mirrored pairs agree") {
+    val rows = run("x57_skipgram_pairs").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) >= 1))
+    // the full pair relation is symmetric by construction; the top-30
+    // cut can split a mirrored pair across the boundary, but any mirror
+    // that IS present must carry the identical count
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    byPair.foreach { case ((a, b), n) =>
+      byPair.get((b, a)).foreach(m => assert(m == n, s"($a,$b) $n vs ($b,$a) $m"))
+    }
+  }
+
+  test("x58: containments lie in (0,1] and every confirmed x22 pair survives") {
+    val rows = run("x58_containment_dedup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ca, cb) = (r.getDouble(2), r.getDouble(3))
+      assert(ca > 0.0 && ca <= 1.0 && cb > 0.0 && cb <= 1.0)
+      assert(math.max(ca, cb) >= 0.7, "the gate must hold on the output")
+    }
+    // containment >= Jaccard on the same pair, so x22's J >= 0.8 pairs
+    // are a subset of x58's max-containment >= 0.7 pairs
+    val x58Pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val x22Pairs = run("x22_minhash_lsh_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(x22Pairs.subsetOf(x58Pairs),
+      s"missing: ${(x22Pairs -- x58Pairs).take(5)}")
+  }
 }

@@ -107,6 +107,34 @@ class RelationalInvariantsSpec extends SparkSpec {
     assert(got == ref, "binning must not drop or double-count any (line, window) match")
   }
 
+  test("q30: pivot cells partition each priority's order count") {
+    // every order has status F, O, or P, so the three pivot counts must
+    // sum to the priority's total row count — the reshaping loses nothing
+    val totals = graft.sources.Tables.load(spark, sf0001, "orders")
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = q("q30_pivot").collect()
+    assert(rows.map(_.getString(0)).toSet == totals.keySet)
+    rows.foreach { r =>
+      val cells = r.getLong(1) + r.getLong(3) + r.getLong(5)
+      assert(cells == totals(r.getString(0)),
+        s"${r.getString(0)}: pivot cells $cells != total ${totals(r.getString(0))}")
+    }
+  }
+
+  test("q31: ranks are bounded below by the damping floor and sorted") {
+    val rows = q("q31_pagerank").collect()
+    assert(rows.length == 20)
+    val ranks = rows.map(_.getLong(1)).toSeq
+    // every node receives at least the (1-d) teleport floor; micro-unit
+    // integer ranks make this exactly 150000
+    ranks.foreach(r => assert(r >= 150000L, s"rank $r below teleport floor"))
+    assert(ranks == ranks.sorted.reverse, "top-k must be rank-descending")
+    // determinism: a second evaluation bit-matches (integer arithmetic
+    // has no accumulation-order sensitivity to hide)
+    assert(q("q31_pagerank").collect().map(_.getLong(1)).toSeq == ranks)
+  }
+
   test("every oracle-bearing query's Spark columns appear in its oracle SQL") {
     // cheap schema audit: the driver sorts columns by name before
     // hashing, so an alias mismatch is an automatic FAIL — catch it
