@@ -1768,6 +1768,51 @@ object LlmData {
               |SELECT doc_a, doc_b, cont_a, cont_b FROM c
               |WHERE greatest(cont_a, cont_b) >= 0.7
               |ORDER BY doc_a, doc_b""".stripMargin),
-      "directional containment dedup over the shared minhash candidate graph; catches subset duplication")
+      "directional containment dedup over the shared minhash candidate graph; catches subset duplication"),
+
+    // ── X5i: exponentially-weighted daily volume (recency decay) ──────
+    // The recency-weighting signal a sampling mixture uses to favor
+    // fresh data: ewma_t = Σ_{lag<20} v_{t−lag} · 2^−(lag+1), i.e.
+    // α = 1/2 truncated at 20 taps (tap 20 contributes < 1e-6 of tap
+    // 0 — the truncation IS the scale design, bounding the explode).
+    // Spark has no weighted-frame window, and a running-state formula
+    // is order-SEQUENTIAL — the distributed form is the same probe-key
+    // explode as x57: each daily row emits its 20 (target_day, weight)
+    // contributions map-side with LITERAL power-of-two weights, one
+    // groupBy target_day sums them, and an inner join back to observed
+    // days drops the phantom tail after the last day. All integer
+    // arithmetic (numerator in units of 2^−20, output in micro-units
+    // via integer division), so accumulation order is irrelevant and
+    // the DuckDB twin replays it exactly.
+    "x59_ewma" -> Q(
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val taps = array((0 until 20).map(l =>
+          struct(lit(l).as("lag"), lit(1L << (19 - l)).as("w"))): _*)
+        val contrib = daily
+          .select(col("day"), col("n"), explode(taps).as("t"))
+          .select(date_add(col("day"), col("t.lag")).as("day"),
+            (col("n") * col("t.w")).as("c"))
+          .groupBy("day").agg(sum("c").as("num"))
+        daily.join(contrib, Seq("day"))
+          .select(col("day"), col("n"),
+            expr("(num * 1000000L) div 1048576").as("ewma_micro"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, count(*) AS n
+             |  FROM events GROUP BY 1),
+             |taps AS (SELECT lag, 1::BIGINT << CAST(19 - lag AS INTEGER) AS w
+             |         FROM (SELECT unnest(range(20)) AS lag)),
+             |contrib AS (
+             |  SELECT d.day + t.lag * INTERVAL 1 DAY AS day, sum(d.n * t.w) AS num
+             |  FROM daily d CROSS JOIN taps t GROUP BY 1)
+             |SELECT d.day, d.n,
+             |  CAST((c.num * 1000000) // 1048576 AS BIGINT) AS ewma_micro
+             |FROM daily d JOIN contrib c ON d.day = c.day
+             |ORDER BY d.day""".stripMargin),
+      "α=1/2 EWMA over daily volume: literal-weight tap explode + one target-day agg; integer micro-units")
   )
 }

@@ -269,6 +269,21 @@ class LlmInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("x59: first day's EWMA is exactly half its own volume; all values bounded") {
+    val rows = run("x59_ewma").collect().sortBy(_.getDate(0).toString)
+    assert(rows.nonEmpty)
+    // day 0 has no history: only tap 0 (weight 1/2) contributes, and
+    // the integer pipeline makes that EXACTLY n·500000 micro-units
+    val first = rows.head
+    assert(first.getLong(2) == first.getLong(1) * 500000L,
+      s"first-day ewma ${first.getLong(2)} != n/2 of ${first.getLong(1)}")
+    val maxN = rows.map(_.getLong(1)).max
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= maxN * 1000000L,
+        "ewma is a sub-convex combination of window volumes")
+    }
+  }
+
   test("x58: containments lie in (0,1] and every confirmed x22 pair survives") {
     val rows = run("x58_containment_dedup").collect()
     assert(rows.nonEmpty)

@@ -169,6 +169,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian plans: ${offenders.mkString(", ")}")
   }
 
+  test("q28: bloom mask ships broadcast; the fact side never sort-merge-joins") {
+    val p = plan("q28_bloomjoin")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "mask + dim must broadcast to the fact scan")
+    assert(!p.contains("SortMergeJoin"),
+      "the whole point of the bloom reduction is that orders never shuffles to join")
+    // the probe must be the O(1) indexed form, not a list scan
+    assert(!p.contains("array_contains"), "probe must be shift-and-mask, not a linear scan")
+  }
+
+  test("q31: every PageRank iteration joins the share table by broadcast") {
+    val p = plan("q31_pagerank")
+    // 3 iterations -> 3 share⋈edges joins; a sort-merge join here means
+    // the full edge list re-sorts every round
+    assert(!p.contains("SortMergeJoin"),
+      "per-iteration share join must broadcast (share is node-sized, edges stay put)")
+    assert("HashAggregate".r.findAllIn(p).size >= 6,
+      "each iteration needs a partial+final agg pair on dst")
+  }
+
   test("x36: component labels converge without collecting row data") {
     // the driver loop reads one scalar per round; the result itself
     // must come back as a distributed frame, not a collect
