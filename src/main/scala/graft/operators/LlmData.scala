@@ -438,6 +438,19 @@ object LlmData {
       .distinct()
   }
 
+  /** Confirm-stage input shared by x22/x58: candidate pairs with both
+    * shingle sets attached plus the staged intersection size — one
+    * definition, so a change to the confirm join (null handling,
+    * column names) cannot diverge the two queries. */
+  private def minhashConfirm(s: SparkSession, dir: String): DataFrame = {
+    val d = minhashHashed(s, dir)
+    minhashCandPairs(d)
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("double"))
+  }
+
   /** DuckDB CTE chain shingles → minhash signatures → banded candidate
     * pairs: defines `hsd(doc_id, sh, hs)` and `cand(doc_a, doc_b)` —
     * ONE definition shared by the x22 and x58 oracles (they must check
@@ -532,18 +545,14 @@ object LlmData {
     // no all-pairs comparison ever happens.
     "x22_minhash_lsh_pairs" -> Q(
       (s, dir) => {
-        // Shingles + base hashes are read by multiple join sides below;
-        // the memoized persist means the md5 pass runs ONCE (the
-        // in-query analog of materializing a signature table, which is
-        // what this pipeline does at real scale).
-        val d = minhashHashed(s, dir)
-        val cand = minhashCandPairs(d)
-        val da = d.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
-        val db = d.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
-        val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
-        cand.join(da, "doc_a").join(db, "doc_b")
+        // Shingles + base hashes are read by multiple join sides inside
+        // minhashConfirm; the memoized persist means the md5 pass runs
+        // ONCE (the in-query analog of materializing a signature table,
+        // which is what this pipeline does at real scale).
+        minhashConfirm(s, dir)
           .withColumn("jaccard",
-            pround(inter / (size(col("sha")) + size(col("shb")) - inter), 6))
+            pround(col("inter") /
+              (size(col("sha")) + size(col("shb")) - col("inter")), 6))
           .filter(col("jaccard") >= 0.8)
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
@@ -1703,9 +1712,18 @@ object LlmData {
     // which halves the join size vs probing k ∈ {-2,-1,1,2}.
     "x57_skipgram_pairs" -> Q(
       (s, dir) => {
-        val tp = t(s, dir, "documents")
-          .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
-          .filter(length(col("tok")) > 0)
+        // both sides of the positional self-join read the token table;
+        // memoize+persist so the scan + tokenize + posexplode runs once
+        // (the x22 signature-table discipline — a bench-cadence cost,
+        // and at corpus scale the token table is the natural thing to
+        // materialize anyway)
+        val tp = memoized(s, "x57-tokpos", dir) {
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+            .filter(length(col("tok")) > 0)
+            .persist()
+        }
         val centers = tp
           .select(col("doc_id"), col("tok").as("center"), col("pos"),
             explode(array(lit(1), lit(2))).as("k"))
@@ -1743,19 +1761,12 @@ object LlmData {
     // direction ≥ 0.7. At scale this is the dedup pass that catches
     // boilerplate wrappers and quote-expansion chains.
     "x58_containment_dedup" -> Q(
-      (s, dir) => {
-        val d = minhashHashed(s, dir)
-        val cand = minhashCandPairs(d)
-        val da = d.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
-        val db = d.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
-        val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
-        cand.join(da, "doc_a").join(db, "doc_b")
-          .withColumn("cont_a", pround(inter / size(col("sha")), 6))
-          .withColumn("cont_b", pround(inter / size(col("shb")), 6))
-          .filter(greatest(col("cont_a"), col("cont_b")) >= 0.7)
-          .select("doc_a", "doc_b", "cont_a", "cont_b")
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) => minhashConfirm(s, dir)
+        .withColumn("cont_a", pround(col("inter") / size(col("sha")), 6))
+        .withColumn("cont_b", pround(col("inter") / size(col("shb")), 6))
+        .filter(greatest(col("cont_a"), col("cont_b")) >= 0.7)
+        .select("doc_a", "doc_b", "cont_a", "cont_b")
+        .orderBy("doc_a", "doc_b"),
       Some(s"""WITH $duckMinhashCand,
               |c AS (SELECT doc_a, doc_b,
               |        ${duckRound(
@@ -1797,8 +1808,12 @@ object LlmData {
             (col("n") * col("t.w")).as("c"))
           .groupBy("day").agg(sum("c").as("num"))
         daily.join(contrib, Seq("day"))
+          // reduced fraction: 1e6/2^20 = 15625/16384 — identical floor
+          // (numerator and denominator share the factor 64) but the
+          // pre-division product overflows Long 64× later, keeping the
+          // ANSI-checked multiply safe past 500M events/day
           .select(col("day"), col("n"),
-            expr("(num * 1000000L) div 1048576").as("ewma_micro"))
+            expr("(num * 15625L) div 16384").as("ewma_micro"))
           .orderBy("day")
       },
       Some("""WITH daily AS (
@@ -1810,7 +1825,7 @@ object LlmData {
              |  SELECT d.day + t.lag * INTERVAL 1 DAY AS day, sum(d.n * t.w) AS num
              |  FROM daily d CROSS JOIN taps t GROUP BY 1)
              |SELECT d.day, d.n,
-             |  CAST((c.num * 1000000) // 1048576 AS BIGINT) AS ewma_micro
+             |  CAST((c.num * 15625) // 16384 AS BIGINT) AS ewma_micro
              |FROM daily d JOIN contrib c ON d.day = c.day
              |ORDER BY d.day""".stripMargin),
       "α=1/2 EWMA over daily volume: literal-weight tap explode + one target-day agg; integer micro-units")

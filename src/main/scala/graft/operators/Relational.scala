@@ -717,7 +717,7 @@ object Relational {
       // the whole query's measured cost (3.1 s warm at sf0.1; the fact
       // side never got cheaper than the filter it was meant to dodge).
       // Build side stays tiny: distinct positions → per-word bit_or →
-      // one map → one 128-long array in a single broadcast row.
+      // one map → one 256-word array in a single broadcast row.
       val wordRows = dim
         .select(explode(array((0 until 3).map(i => bpos(col("c_custkey"), i)): _*)).as("p"))
         .distinct()
@@ -745,7 +745,7 @@ object Relational {
         .orderBy("o_orderstatus")
     },
     // The oracle replays the dense-mask build bit-for-bit: identical
-    // word split (p // 64), identical per-word bit_or, identical
+    // word split (p // 32), identical per-word bit_or, identical
     // (word >> b) & 1 probe — so the filter's false positives are an
     // oracle-checked VALUE on both sides, not a hidden optimization.
     Some("""WITH dim AS (
