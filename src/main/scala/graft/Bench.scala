@@ -85,6 +85,22 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       } catch { case NonFatal(_) => () }
     }
+    // Codegen warmup: the table loop above absorbs scan-side init but
+    // NOT the one-time whole-stage-codegen bootstrap (Janino compiler
+    // load + first compile of join/agg/exchange shapes), which
+    // otherwise lands on whichever query Map ordering happens to put
+    // first (~3-5 s attributed to that query's "cold" by accident of
+    // iteration order). One synthetic join+agg over range() exercises
+    // exactly that machinery without touching any registered query's
+    // own plan.
+    try {
+      val a = spark.range(1000).selectExpr("id", "id % 7 AS k")
+      val b = spark.range(100).selectExpr("id AS k2")
+      a.join(b, a("k") === b("k2")).groupBy("k")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case NonFatal(_) => () }
     // Write to the built-in noop sink so every column is materialized:
     // a bare count() lets Catalyst prune unreferenced projections and
     // under-measures scalar-heavy queries.
