@@ -1783,39 +1783,16 @@ object LlmData {
 
     // ── X5i: exponentially-weighted daily volume (recency decay) ──────
     // The recency-weighting signal a sampling mixture uses to favor
-    // fresh data: ewma_t = Σ_{lag<20} v_{t−lag} · 2^−(lag+1), i.e.
-    // α = 1/2 truncated at 20 taps (tap 20 contributes < 1e-6 of tap
-    // 0 — the truncation IS the scale design, bounding the explode).
-    // Spark has no weighted-frame window, and a running-state formula
-    // is order-SEQUENTIAL — the distributed form is the same probe-key
-    // explode as x57: each daily row emits its 20 (target_day, weight)
-    // contributions map-side with LITERAL power-of-two weights, one
-    // groupBy target_day sums them, and an inner join back to observed
-    // days drops the phantom tail after the last day. All integer
-    // arithmetic (numerator in units of 2^−20, output in micro-units
-    // via integer division), so accumulation order is irrelevant and
-    // the DuckDB twin replays it exactly.
+    // fresh data. The distributed formulation, the integer-arithmetic
+    // parity design, and the 20-tap truncation all live in
+    // functions.Decay — ONE definition shared with the streaming
+    // recency monitor (EventStream.recencyMonitor), so the batch
+    // oracle checks the same math the stream runs.
     "x59_ewma" -> Q(
-      (s, dir) => {
-        val daily = t(s, dir, "events")
+      (s, dir) => graft.functions.Decay.ewma(
+        t(s, dir, "events")
           .groupBy(to_date(col("ts")).as("day"))
-          .agg(count(lit(1)).as("n"))
-        val taps = array((0 until 20).map(l =>
-          struct(lit(l).as("lag"), lit(1L << (19 - l)).as("w"))): _*)
-        val contrib = daily
-          .select(col("day"), col("n"), explode(taps).as("t"))
-          .select(date_add(col("day"), col("t.lag")).as("day"),
-            (col("n") * col("t.w")).as("c"))
-          .groupBy("day").agg(sum("c").as("num"))
-        daily.join(contrib, Seq("day"))
-          // reduced fraction: 1e6/2^20 = 15625/16384 — identical floor
-          // (numerator and denominator share the factor 64) but the
-          // pre-division product overflows Long 64× later, keeping the
-          // ANSI-checked multiply safe past 500M events/day
-          .select(col("day"), col("n"),
-            expr("(num * 15625L) div 16384").as("ewma_micro"))
-          .orderBy("day")
-      },
+          .agg(count(lit(1)).as("n"))),
       Some("""WITH daily AS (
              |  SELECT CAST(ts AS DATE) AS day, count(*) AS n
              |  FROM events GROUP BY 1),

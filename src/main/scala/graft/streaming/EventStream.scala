@@ -178,6 +178,22 @@ object EventStream {
         .groupBy("lang", "keep").agg(count(lit(1)).as("n")),
       checkpointDir, outDir)
 
+  /** Streaming recency monitor: per-day event volume as a complete-mode
+    * snapshot per drain — the input table for the α=1/2 EWMA recency
+    * signal (x59). The DECAY MATH is deliberately not in the stream:
+    * chained streaming aggregations are unsupported, and the EWMA is a
+    * pure function of the daily snapshot — so the monitor maintains
+    * only the tiny (day, n) table and `functions.Decay.ewma` (the ONE
+    * shared definition the x59 oracle checks) is applied to each
+    * snapshot batch-side. StreamingSpec pins monitor∘Decay ≡ x59. */
+  def recencyMonitor(spark: SparkSession, srcDir: String,
+      checkpointDir: String, outDir: String): StreamingQuery =
+    snapshotTo(
+      readEvents(spark, srcDir, archiveDir = None)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")),
+      checkpointDir, outDir)
+
   /** Streaming twin of q24: event-time session windows (30-min gap)
     * per user, same shared agg expressions as the oracle-checked batch
     * query. */

@@ -166,6 +166,22 @@ class StreamingSpec extends SparkSpec {
       "second drain must add, not replace — aggregation state survives the restart")
   }
 
+  test("recency monitor composed with Decay.ewma equals the x59 batch twin") {
+    val src = tmp("rec-src"); val out = tmp("rec-out"); val ckpt = tmp("rec-ckpt")
+    Files.copy(eventsFile, Paths.get(src, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    EventStream.recencyMonitor(spark, src, ckpt, out).awaitTermination()
+
+    // the monitor keeps only the (day, n) table; the shared decay
+    // definition applied to its snapshot must reproduce the
+    // oracle-checked batch query exactly — same taps, same integer math
+    val streamed = graft.functions.Decay.ewma(spark.read.parquet(out))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    val batch = SparkEntry.queries("x59_ewma")(spark, sf0001)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("hourly rollup equals the q19 batch twin") {
     val src = tmp("rollup-src"); val out = tmp("rollup-out"); val ckpt = tmp("rollup-ckpt")
     Files.copy(eventsFile, Paths.get(src, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
