@@ -24,18 +24,22 @@ import scala.util.control.NonFatal
   */
 object Bench {
 
-  /** Minimal JSON number: 2-decimal rounding under 1 s (sub-second
-    * resolution), 1-decimal above (where 0.1 s is already noise);
-    * trailing zeros and bare dots stripped ("1.50"→"1.5", "2.00"→"2",
-    * "-1.00"→"-1"). Full precision lives in BENCH_DETAIL.json. */
+  /** Minimal JSON number: 1-decimal rounding below 10 s, whole seconds
+    * above — so every value below 1000 s is AT MOST 3 chars, the width
+    * the BenchFormatSpec budget is computed against (a uniform bound,
+    * not a typical-case guess: the r6 registry outgrew the old format's
+    * 4-char sub-second values). 0.1 s resolution is below driver-box
+    * run-to-run noise; full precision lives in BENCH_DETAIL.json.
+    * Trailing zeros and bare dots stripped ("1.50"→"1.5", "2.0"→"2",
+    * "-1.0"→"-1"). */
   def fmt(v: Double): String = {
     // Locale.ROOT explicitly: the default-locale f"" interpolator emits
     // decimal COMMAS under e.g. de_DE, turning the line into invalid JSON
     // — the exact artifact-parse failure this formatter exists to prevent.
     val s =
-      if (v > -1.0 && v < 1.0) String.format(java.util.Locale.ROOT, "%.2f", v)
-      else String.format(java.util.Locale.ROOT, "%.1f", v)
-    s.replaceAll("0+$", "").replaceAll("\\.$", "")
+      if (v > -10.0 && v < 10.0) String.format(java.util.Locale.ROOT, "%.1f", v)
+      else String.format(java.util.Locale.ROOT, "%.0f", v)
+    if (s.contains('.')) s.replaceAll("0+$", "").replaceAll("\\.$", "") else s
   }
 
   /** The driver-parsed JSON line. Kept assemblable from pure inputs so

@@ -1805,6 +1805,110 @@ object LlmData {
              |  CAST((c.num * 15625) // 16384 AS BIGINT) AS ewma_micro
              |FROM daily d JOIN contrib c ON d.day = c.day
              |ORDER BY d.day""".stripMargin),
-      "α=1/2 EWMA over daily volume: literal-weight tap explode + one target-day agg; integer micro-units")
+      "α=1/2 EWMA over daily volume: literal-weight tap explode + one target-day agg; integer micro-units"),
+
+    // ── X4f: inter-document n-gram duplication fraction ───────────────
+    // The corpus-level twin of x43 (which scores repetition WITHIN a
+    // doc): what fraction of each document's distinct 3-shingles also
+    // appears in at least one OTHER document — the per-document
+    // "how boilerplate is this" signal C4/Gopher-style corpus analyses
+    // aggregate before choosing dedup thresholds. Shingles are distinct
+    // per doc (Text.shingles array_distinct's), so the global count per
+    // shingle IS its document frequency; one shuffle builds the df
+    // table, one key-equality join annotates each (doc, shingle) pair,
+    // one per-doc agg folds to the fraction. Integer micro-units
+    // (n_dup·1e6 div n_shingles) keep both engines bit-identical. At
+    // 100 TB this is the standard two-pass df shape (same class as
+    // x40's TF-IDF): signatures shuffle, payloads never do.
+    "x60_dup_ngram_frac" -> Q(
+      (s, dir) => {
+        val shs = t(s, dir, "documents")
+          .withColumn("tk", Text.tokens(col("text")))
+          .select(col("doc_id"), explode(Text.shingles(col("tk"))).as("sh"))
+        val df = shs.groupBy("sh").agg(count(lit(1)).as("nd"))
+        shs.join(df, Seq("sh"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+            expr("(n_dup * 1000000) div n_shingles").as("dup_micro"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckShingles,
+              |feat AS (SELECT doc_id, unnest(sh) AS sh FROM shs),
+              |g AS (SELECT sh, count(*) AS nd FROM feat GROUP BY 1)
+              |SELECT f.doc_id,
+              |  CAST(count(*) AS BIGINT) AS n_shingles,
+              |  CAST(sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+              |  CAST(sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) * 1000000
+              |       // count(*) AS BIGINT) AS dup_micro
+              |FROM feat f JOIN g ON f.sh = g.sh
+              |GROUP BY 1 ORDER BY doc_id""".stripMargin),
+      "inter-doc shingle duplication fraction: one df shuffle + key-equality annotate join; micro-units"),
+
+    // ── X6p: one BPE merge round — candidate pick + APPLY ─────────────
+    // x50 stops at merge-CANDIDATE counts; this completes the BPE
+    // round: pick the globally most frequent adjacent pair
+    // (deterministic tie-break, same as x50) and APPLY it to every
+    // document with left-to-right NON-OVERLAPPING semantics — "x x x"
+    // merges once, not twice, exactly like a real BPE tokenizer's merge
+    // step. The apply is order-sequential per document, so it runs as a
+    // per-row left fold (functions.aggregate) over an encoded-state
+    // BIGINT (acc = 2·merges + lastStepMerged), the same
+    // seeded-list_reduce parity trick as x30's rolling fingerprint —
+    // map-side, codegen'd, zero shuffle. The winning pair ships as a
+    // broadcast single-row cross join (the x24 query-vector legitimacy
+    // class: one row, never data-proportional). At 100 TB the pair
+    // count is one shuffle over bigram keys; the apply pass is
+    // embarrassingly parallel.
+    "x61_bpe_merge" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("tk", Text.tokens(col("text")))
+          .filter(size(col("tk")) >= 2)
+        val top = docs
+          .select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
+            i => concat_ws(" ", element_at(col("tk"), i),
+              element_at(col("tk"), i + 1)))).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("pair"))
+          .limit(1)
+          .select(col("pair"),
+            element_at(split(col("pair"), " "), 1).as("a"),
+            element_at(split(col("pair"), " "), 2).as("b"))
+        docs.crossJoin(broadcast(top))
+          .withColumn("enc", aggregate(
+            sequence(lit(1), size(col("tk")) - 1),
+            lit(0L),
+            (acc, i) => when(acc % 2 === 0 &&
+                element_at(col("tk"), i) === col("a") &&
+                element_at(col("tk"), i + 1) === col("b"),
+              acc + 3).otherwise(acc - acc % 2)))
+          .select(col("doc_id"), col("pair"),
+            size(col("tk")).cast("long").as("n_tokens"),
+            expr("enc div 2").as("n_merges"),
+            (size(col("tk")).cast("long") - expr("enc div 2")).as("n_after"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |d AS (SELECT doc_id, w FROM toks WHERE len(w) >= 2),
+             |g AS (SELECT unnest(list_transform(range(1, len(w)),
+             |        i -> w[i] || ' ' || w[i + 1])) AS pair FROM d),
+             |top AS (SELECT pair, string_split(pair, ' ')[1] AS a,
+             |               string_split(pair, ' ')[2] AS b
+             |        FROM (SELECT pair, count(*) AS n FROM g
+             |              GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)),
+             |e AS (SELECT d.doc_id, t.pair,
+             |        CAST(len(d.w) AS BIGINT) AS n_tokens,
+             |        list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, len(d.w))),
+             |          (acc, i) -> CASE WHEN acc % 2 = 0 AND d.w[i] = t.a
+             |                            AND d.w[i + 1] = t.b
+             |                           THEN acc + 3 ELSE acc - (acc % 2) END) AS enc
+             |      FROM d CROSS JOIN top t)
+             |SELECT doc_id, pair, n_tokens,
+             |  CAST(enc // 2 AS BIGINT) AS n_merges,
+             |  n_tokens - CAST(enc // 2 AS BIGINT) AS n_after
+             |FROM e ORDER BY doc_id""".stripMargin),
+      "one full BPE merge round: global pair pick + non-overlapping fold apply (encoded-state left fold)")
   )
 }

@@ -559,7 +559,8 @@ object Relational {
     "q28_bloomjoin" -> q28,
     "q29_scd2" -> q29,
     "q30_pivot" -> q30,
-    "q31_pagerank" -> q31
+    "q31_pagerank" -> q31,
+    "q32_funnel" -> q32
   )
 
   /** q25 — pure range (interval) join, the scale-safe way.
@@ -923,4 +924,57 @@ object Relational {
            |SELECT node, rank FROM r3
            |ORDER BY rank DESC, node LIMIT 20""".stripMargin),
     "integer-micro-unit PageRank, 3 iterations: broadcast share join + one agg shuffle per round")
+
+  /** q32 — sequential-stage funnel (view → click → purchase): users
+    * reaching each stage, where a stage counts only when it happens
+    * STRICTLY AFTER the user's earliest qualifying previous-stage
+    * event — the ordering dependency that makes a funnel different
+    * from three independent counts (a purchase before the first view
+    * must NOT count).
+    *
+    * Shape: one min-ts aggregation per stage, each joined to the
+    * previous stage's per-user frontier. Every aggregation and every
+    * join keys on user_id, so all three stages reuse ONE hash
+    * partitioning (Exchange reuse; no re-shuffle between stages), and
+    * each stage's frontier is |users| rows — bounded by distinct
+    * users, never by event volume. At 100 TB the event scan happens
+    * once per stage with the stage predicate pushed to parquet; a
+    * single-scan variant (conditional min over event_type) cannot
+    * express the strictly-after chain without a per-user sort, which
+    * is the more expensive plan at scale. */
+  private def q32 = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .join(views, Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .join(clicks, Seq("user_id"))
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      views.agg(count(lit(1)).as("users"))
+        .select(lit(1).as("stage"), lit("view").as("step"), col("users"))
+        .unionAll(clicks.agg(count(lit(1)).as("users"))
+          .select(lit(2).as("stage"), lit("click").as("step"), col("users")))
+        .unionAll(purchases.agg(count(lit(1)).as("users"))
+          .select(lit(3).as("stage"), lit("purchase").as("step"), col("users")))
+        .orderBy("stage")
+    },
+    Some("""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           |           WHERE event_type = 'view' GROUP BY 1),
+           |c AS (SELECT e.user_id, min(e.ts) AS t2
+           |      FROM events e JOIN v ON e.user_id = v.user_id
+           |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+           |p AS (SELECT e.user_id, min(e.ts) AS t3
+           |      FROM events e JOIN c ON e.user_id = c.user_id
+           |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+           |SELECT 1 AS stage, 'view' AS step, count(*) AS users FROM v
+           |UNION ALL SELECT 2, 'click', count(*) FROM c
+           |UNION ALL SELECT 3, 'purchase', count(*) FROM p
+           |ORDER BY stage""".stripMargin),
+    "sequential-stage funnel: per-stage min-ts frontier, one user_id partitioning reused across stages")
 }

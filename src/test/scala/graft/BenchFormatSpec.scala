@@ -15,31 +15,37 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchFormatSpec extends AnyFunSuite {
 
-  test("fmt emits minimal adaptive-precision JSON numbers") {
+  test("fmt emits minimal adaptive-precision JSON numbers, max 3 chars under 1000") {
     assert(Bench.fmt(1.504999) == "1.5")
     assert(Bench.fmt(2.0) == "2")
-    assert(Bench.fmt(0.176) == "0.18")
-    assert(Bench.fmt(43.658835076) == "43.7")
+    assert(Bench.fmt(0.176) == "0.2")
+    assert(Bench.fmt(43.658835076) == "44")
     assert(Bench.fmt(-1.0) == "-1")
     assert(Bench.fmt(0.0) == "0")
     assert(Bench.fmt(0.5) == "0.5")
-    assert(Bench.fmt(11.197) == "11.2")
+    assert(Bench.fmt(11.197) == "11")
+    assert(Bench.fmt(9.96) == "10")
+    assert(Bench.fmt(100.4) == "100")
+    // the budget's uniform width bound: nothing below 1000 prints wider
+    for (v <- Seq(0.01, 0.99, 0.176, 5.55, 9.94, 99.9, 999.4))
+      assert(Bench.fmt(v).length <= 3, s"fmt($v) = ${Bench.fmt(v)} wider than 3")
   }
 
   test("worst-case JSON line fits the driver's 2000-char tail with headroom") {
-    // 99.9 is the widest realistic per-query value (4 chars; the perf
-    // bar is single-digit seconds — a suite where every query broke
-    // 100 s is a lost round regardless of whether the line parses, and
-    // one or two >100 s stragglers cost 1 extra char each, well inside
-    // the margin this budget leaves).
+    // fmt bounds every value below 1000 s to 3 chars (asserted above),
+    // so 999.0 IS the worst per-query width — the perf bar is
+    // single-digit seconds, so a suite where any query broke 1000 s is
+    // a lost round regardless of whether the line parses, and a
+    // straggler costs 1 extra char, well inside the margin this budget
+    // leaves.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val worst = names.map(_ -> (99.9, 99.9))
+    val worst = names.map(_ -> (999.0, 999.0))
     val line = Bench.jsonLine(worst, "/root/testdata/sf0.1", None)
     assert(!line.contains("\n"), "must be ONE line")
     // 2000-char tail − ~85 chars for sbt's trailing "[success] Total
-    // time ..." line − 35 slack. Each registered query costs ~name+8
-    // chars here (~25 for this suite's naming style), so the registry
-    // tops out around 72 names — the NEXT growth step must shrink the
+    // time ..." line − 35 slack. Each registered query costs ~name+7
+    // chars here (~24 for this suite's naming style), so the registry
+    // tops out around 75 names — the NEXT growth step must shrink the
     // line (e.g. demote per-query colds to BENCH_DETAIL.json and keep
     // only the totals), not raise this budget.
     val budget = 1880
@@ -50,12 +56,12 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("line is valid JSON shape with the driver-contract fields") {
     val line = Bench.jsonLine(
-      Seq("q01_top10_star_join" -> (0.26, 0.25), "x20_exact_dedup_groups" -> (-1.0, 0.2)),
+      Seq("q01_top10_star_join" -> (0.26, 0.21), "x20_exact_dedup_groups" -> (-1.0, 0.2)),
       "/root/testdata/sf0.01", Some(Set("q01_top10_star_join", "x20_exact_dedup_groups")))
-    assert(line.startsWith("""{"metric":"total","value":0.26,"unit":"sec","queries":{"""))
+    assert(line.startsWith("""{"metric":"total","value":0.3,"unit":"sec","queries":{"""))
     // failed (-1) runs are excluded from totals but visible per-query
     assert(line.contains(""""x20_exact_dedup_groups":-1"""))
-    assert(line.contains(""""total_warm":0.45"""))
+    assert(line.contains(""""total_warm":0.4"""))
     assert(line.contains(""""filter":"q01_top10_star_join,x20_exact_dedup_groups""""))
     assert(line.endsWith(""""sf":"/root/testdata/sf0.01"}"""))
   }
