@@ -1,0 +1,46 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-layout writer: the shuffle-amortization lever for FACT⋈FACT
+  * joins (SURVEY.md §4 — the join class `broadcast()` cannot touch
+  * because neither side fits an executor, and the class that dominates
+  * a 100 TB star-schema workload once dim joins are broadcast).
+  *
+  * Writing both sides bucketed by the join key with the SAME bucket
+  * count pays the layout shuffle ONCE at write time; every subsequent
+  * join or aggregation keyed on the bucket column then plans with ZERO
+  * Exchange nodes — the scan itself reports hashpartitioning, so
+  * Catalyst sees the co-location and deletes the shuffle (asserted by
+  * BucketingSpec). At 1000 executors that is the difference between a
+  * nightly pipeline re-shuffling the full fact table per query and one
+  * that never moves it again.
+  *
+  * Bucket metadata lives in the session catalog, so the table MUST go
+  * through `saveAsTable` — a bare `.parquet(path)` write silently drops
+  * the bucket spec and every downstream join re-shuffles (the failure
+  * is invisible at small scale: results stay correct, only the plan
+  * rots). `sortBy` additionally records per-bucket sort order, letting
+  * a sort-merge join skip its Sort when each bucket holds one file.
+  *
+  * Sizing rule: pick `buckets` so one bucket of the LARGER side fits
+  * comfortably in one task (≈ `spark.sql.files.maxPartitionBytes`);
+  * both sides must use the same count or Spark falls back to
+  * re-shuffling the mismatched side.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed (and per-bucket sorted) managed parquet
+    * table keyed on `key`. Overwrites any existing table of that name. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, sorted: Boolean = true): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, key)
+    (if (sorted) w.sortBy(key) else w).saveAsTable(table)
+  }
+
+  /** Catalog read-back; the scan carries the bucket spec (and therefore
+    * its hashpartitioning output partitioning) only via this path. */
+  def table(spark: SparkSession, name: String): DataFrame =
+    spark.table(name)
+}

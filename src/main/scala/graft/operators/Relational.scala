@@ -933,12 +933,14 @@ object Relational {
     * must NOT count).
     *
     * Shape: one min-ts aggregation per stage, each joined to the
-    * previous stage's per-user frontier. Every aggregation and every
-    * join keys on user_id, so all three stages reuse ONE hash
-    * partitioning (Exchange reuse; no re-shuffle between stages), and
-    * each stage's frontier is |users| rows — bounded by distinct
-    * users, never by event volume. At 100 TB the event scan happens
-    * once per stage with the stage predicate pushed to parquet; a
+    * previous stage's per-user frontier. Each stage's event_type
+    * predicate pushes to the parquet scan (the scan reads one stage's
+    * slice, not all events), every aggregation and join keys on
+    * user_id, and each frontier is |users| rows — bounded by distinct
+    * users, never by event volume, so the frontier side broadcasts
+    * while small and degrades to a co-partitioned hash join at scale.
+    * Catalyst additionally prunes the min(ts) out of the count-only
+    * branches (the stage counts aggregate bare distinct user_ids). A
     * single-scan variant (conditional min over event_type) cannot
     * express the strictly-after chain without a per-user sort, which
     * is the more expensive plan at scale. */

@@ -1,80 +1,64 @@
 package graft
 
+import graft.io.Bucketing
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
-/** Bucketing = the co-located-join discipline for fact-fact joins at
-  * scale: both sides written bucketed (and sorted) on the join key
-  * join WITHOUT a shuffle exchange — at 100 TB that shuffle IS the
-  * bottleneck, and broadcast is off the table when neither side is a
-  * dim. Broadcast is disabled here to force the strategy decision the
-  * big cluster would face. */
+/** Pins the bucketed-layout contract (io.Bucketing): equally-bucketed
+  * fact tables join AND aggregate with zero Exchange nodes — the plan
+  * property that makes the one-time layout shuffle worth paying at
+  * 100 TB. Runs with broadcast disabled so the assertion exercises the
+  * co-located shuffle-join path the layout exists for (at real scale
+  * neither fact side broadcasts). */
 class BucketingSpec extends SparkSpec {
 
-  test("bucketed fact-fact join plans with no shuffle exchange") {
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+  test("equally-bucketed fact tables join and aggregate with zero exchanges") {
+    Bucketing.writeBucketed(
+      Tables.load(spark, sf0001, "orders").select("o_orderkey", "o_totalprice"),
+      "b_orders", "o_orderkey", buckets = 8)
+    Bucketing.writeBucketed(
+      Tables.load(spark, sf0001, "lineitem").select("l_orderkey", "l_quantity"),
+      "b_lineitem", "l_orderkey", buckets = 8)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      Tables.load(spark, sf0001, "lineitem")
-        .write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("lineitem_bucketed")
-      Tables.load(spark, sf0001, "orders")
-        .write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("orders_bucketed")
+      val joined = Bucketing.table(spark, "b_lineitem")
+        .join(Bucketing.table(spark, "b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(sum("l_quantity").as("q"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join+agg must plan no shuffle at all, got:\n${p.take(3000)}")
 
-      val joined = spark.table("lineitem_bucketed")
-        .join(spark.table("orders_bucketed"), col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
-
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin"), "forced non-broadcast join")
-      assert(plan.contains("Bucketed: true"), "scans must use the bucket layout")
-      // no shuffle on the JOIN keys (the final groupBy exchange on
-      // o_orderpriority is a different key and is expected)
-      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
-        !plan.contains("Exchange hashpartitioning(o_orderkey"),
-        s"bucketed sides must join without a shuffle, got:\n${plan.take(3000)}")
-
-      // co-located result == shuffled result
-      val expected = Tables.load(spark, sf0001, "lineitem")
+      // correctness: identical to the un-bucketed join
+      val plain = Tables.load(spark, sf0001, "lineitem")
         .join(Tables.load(spark, sf0001, "orders"),
           col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      assert(got == expected)
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
-      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
-    }
+        .groupBy("o_orderkey")
+        .agg(sum("l_quantity").as("q"))
+      assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty,
+        "bucketed layout must not change results")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("date-partitioned layout prunes directories at the scan") {
-    // the OTHER half of the layout story: bucketing co-locates joins,
-    // partitionBy(date) makes time predicates skip whole directories —
-    // at 100 TB a day-scoped query must read one partition, not filter
-    // the full table post-scan
-    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+  test("a mismatched bucket count re-shuffles only the mismatched side") {
+    Bucketing.writeBucketed(
+      Tables.load(spark, sf0001, "orders").select("o_orderkey", "o_totalprice"),
+      "b_orders4", "o_orderkey", buckets = 4)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      Tables.load(spark, sf0001, "orders")
-        .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
-        .write.mode("overwrite").partitionBy("order_month")
-        .parquet(s"$tmp/orders_bymonth")
-      val pruned = spark.read.parquet(s"$tmp/orders_bymonth")
-        .filter(col("order_month") === "1995-03")
-      val plan = pruned.queryExecution.executedPlan.toString
-      assert("PartitionFilters: \\[[^\\]]*order_month".r.findFirstIn(plan).isDefined,
-        s"month predicate must land in PartitionFilters, got:\n${plan.take(2000)}")
-      val expected = Tables.load(spark, sf0001, "orders")
-        .filter(date_format(col("o_orderdate"), "yyyy-MM") === "1995-03").count()
-      assert(expected > 0 && pruned.count() == expected,
-        "pruned read must return exactly the partition's rows")
-    } finally {
-      val p = new org.apache.hadoop.fs.Path(tmp)
-      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-    }
+      val p = Bucketing.table(spark, "b_lineitem")
+        .join(Bucketing.table(spark, "b_orders4"),
+          col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      // exactly one exchange: the 4-bucket side re-partitions to 8; the
+      // 8-bucket fact side must stay put (that's the sizing-rule cost)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"expected exactly one exchange for the mismatched side, got:\n${p.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }

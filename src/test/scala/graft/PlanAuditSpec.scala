@@ -189,6 +189,18 @@ class PlanAuditSpec extends SparkSpec {
       "each iteration needs a partial+final agg pair on dst")
   }
 
+  test("q32: each funnel stage pushes its event_type slice to the scan") {
+    val p = plan("q32_funnel")
+    // three stages -> three sliced scans; reading all events for every
+    // stage would triple the 100 TB scan cost
+    for (stage <- Seq("view", "click", "purchase"))
+      assert(p.contains(s"EqualTo(event_type,$stage)"),
+        s"stage predicate '$stage' must reach the parquet scan")
+    // frontier tables are |users|-sized: at audit SF they must broadcast
+    assert(!p.contains("SortMergeJoin"),
+      "per-user frontiers must hash-join (broadcast at this SF), never sort events")
+  }
+
   test("x36: component labels converge without collecting row data") {
     // the driver loop reads one scalar per round; the result itself
     // must come back as a distributed frame, not a collect
