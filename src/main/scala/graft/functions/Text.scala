@@ -243,6 +243,25 @@ object Text {
         conv(substring(md5(t), 1, 15), 16, 10).cast("long") % RollingMod),
       lit(0L), (acc, h) => (acc * 31 + h) % RollingMod)
 
+  /** Non-overlapping left-to-right count of the adjacent pair (a, b) in
+    * a token array — one BPE merge application ("x x x" with pair
+    * (x, x) merges ONCE: the middle token is consumed by the first
+    * merge). Sequential by nature, so it runs as a per-row left fold
+    * over an encoded-state BIGINT `acc = 2·count + lastStepMerged`
+    * (the rollingHashPortable parity class: DuckDB's seeded list_reduce
+    * replays it bit-identically — see x61's oracle). Total on any
+    * input: arrays shorter than 2 yield 0. */
+  def pairMergeCount(tk: Column, a: Column, b: Column): Column = {
+    val enc = aggregate(
+      sequence(lit(1), size(tk) - 1),
+      lit(0L),
+      (acc, i) => when(acc % 2 === 0 &&
+          element_at(tk, i) === a && element_at(tk, i + 1) === b,
+        acc + 3).otherwise(acc - acc % 2))
+    // sequence(1, size-1) DESCENDS for size < 2 — guard, don't fold
+    when(size(tk) >= 2, shiftright(enc, 1)).otherwise(lit(0L))
+  }
+
   // ── native kernel fast paths (registered by GraftExtensions) ───────
   // Same values as the HOF formulations above (NativeKernelSpec
   // cross-checks), but evaluated as one generated loop per row instead

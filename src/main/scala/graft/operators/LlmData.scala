@@ -1877,17 +1877,14 @@ object LlmData {
             element_at(split(col("pair"), " "), 1).as("a"),
             element_at(split(col("pair"), " "), 2).as("b"))
         docs.crossJoin(broadcast(top))
-          .withColumn("enc", aggregate(
-            sequence(lit(1), size(col("tk")) - 1),
-            lit(0L),
-            (acc, i) => when(acc % 2 === 0 &&
-                element_at(col("tk"), i) === col("a") &&
-                element_at(col("tk"), i + 1) === col("b"),
-              acc + 3).otherwise(acc - acc % 2)))
+          // ONE fold definition (Text.pairMergeCount), shared with the
+          // PropertiesSpec reference-implementation property
+          .withColumn("n_merges",
+            Text.pairMergeCount(col("tk"), col("a"), col("b")))
           .select(col("doc_id"), col("pair"),
             size(col("tk")).cast("long").as("n_tokens"),
-            expr("enc div 2").as("n_merges"),
-            (size(col("tk")).cast("long") - expr("enc div 2")).as("n_after"))
+            col("n_merges"),
+            (size(col("tk")).cast("long") - col("n_merges")).as("n_after"))
           .orderBy("doc_id")
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -1,6 +1,8 @@
 package graft
 
 import graft.etl.Normalize
+import graft.functions.Text
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -36,6 +38,34 @@ class PropertiesSpec extends SparkSpec {
       val expected = rows.groupBy(_._1).view
         .mapValues(_.maxBy(r => (r._2.getTime, r._3))).values.toSet
       assert(onceRows.map(r => (r.getString(0), r.getTimestamp(1), r.getInt(2))) == expected)
+    }
+  }
+
+  test("pairMergeCount: Spark fold equals the sequential reference on any stream") {
+    // the x61 BPE-apply kernel's one subtle rule is NON-OVERLAP: after a
+    // merge at (i, i+1), position i+1 cannot open the next match. A
+    // 2-symbol alphabet forces long same-symbol runs ("x x x x"), the
+    // exact case where an off-by-one doubles the count.
+    def ref(toks: List[String], a: String, b: String): Long = {
+      var i = 0; var c = 0L
+      while (i < toks.length - 1) {
+        if (toks(i) == a && toks(i + 1) == b) { c += 1; i += 2 } else i += 1
+      }
+      c
+    }
+    val tokGen = Gen.listOfN(12, Gen.oneOf("x", "y"))
+    val cases = (1 to 40).map(i =>
+      tokGen.pureApply(Gen.Parameters.default, Seed(100L + i))) ++
+      Seq(List("x", "x", "x"), List("x", "x", "x", "x"), List("x"), Nil)
+    val df = cases.zipWithIndex.map { case (tk, i) => (i, tk) }.toDF("id", "tk")
+    for (a <- Seq("x", "y"); b <- Seq("x", "y")) {
+      val got = df.select(col("id"),
+          Text.pairMergeCount(col("tk"), lit(a), lit(b)).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      cases.zipWithIndex.foreach { case (tk, i) =>
+        assert(got(i) == ref(tk, a, b),
+          s"tokens=$tk pair=($a,$b): spark=${got(i)} ref=${ref(tk, a, b)}")
+      }
     }
   }
 
