@@ -25,10 +25,12 @@ import scala.util.control.NonFatal
 object Bench {
 
   /** Minimal JSON number: 1-decimal rounding below 10 s, whole seconds
-    * above — so every value below 1000 s is AT MOST 3 chars, the width
-    * the BenchFormatSpec budget is computed against (a uniform bound,
-    * not a typical-case guess: the r6 registry outgrew the old format's
-    * 4-char sub-second values). 0.1 s resolution is below driver-box
+    * above — so every value through 999.4 s is AT MOST 3 chars, the
+    * width the BenchFormatSpec budget is computed against (a uniform
+    * bound, not a typical-case guess: the r6 registry outgrew the old
+    * format's 4-char sub-second values; from 999.5 s up HALF_UP
+    * rounding yields "1000"+ — 1-2 extra chars per such straggler,
+    * inside the budget's slack). 0.1 s resolution is below driver-box
     * run-to-run noise; full precision lives in BENCH_DETAIL.json.
     * Trailing zeros and bare dots stripped ("1.50"→"1.5", "2.0"→"2",
     * "-1.0"→"-1"). */

@@ -23,7 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object Decay {
 
-  val Taps = 20
+  /** NOT a free tuning knob: the micro-unit conversion below is the
+    * reduced fraction of 1e6/2^Taps (= 15625/16384 only at Taps=20),
+    * and the x59 DuckDB twin plus the StreamingSpec pin both replay 20
+    * literal taps. Changing Taps alone would compile and run while
+    * silently mis-scaling every ewma_micro — hence private. */
+  private val Taps = 20
 
   /** Literal (lag, weight = 2^(Taps−1−lag)) tap matrix. */
   def taps: Column = array((0 until Taps).map(l =>

@@ -43,6 +43,27 @@ object LlmData {
       |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |        FROM toks WHERE len(w) >= 3)""".stripMargin
 
+  /** Positional-bigram counts over a token-staged corpus (`tk` column
+    * required) — ONE pipeline shared by x50 (vocabulary induction,
+    * top-50) and x61 (merge pick, top-1), so the pair encoding
+    * ("a b" concat) and the count it ranks by can never drift between
+    * the candidate list and the applied merge. */
+  private def bigramCounts(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(col("tk")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
+        i => concat_ws(" ", element_at(col("tk"), i),
+          element_at(col("tk"), i + 1)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+
+  /** DuckDB twin of [[bigramCounts]] (doc_id carried for consumers that
+    * join back to documents). */
+  private val duckBigrams =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT unnest(list_transform(range(1, len(w)),
+      |        i -> w[i] || ' ' || w[i + 1])) AS pair
+      |      FROM toks WHERE len(w) >= 2)""".stripMargin
+
   /** DuckDB CTE chain shingles → SimHash-60 fingerprints → chunk-blocked
     * candidate pairs (`cand(doc_a, doc_b, fa, fb)`) — ONE definition
     * shared by x23 (pair report) and x36 (cluster resolution) so the two
@@ -1449,21 +1470,13 @@ object LlmData {
     // Components (each round is this exact plan over the re-tokenized
     // corpus); one round is the demonstrable, oracle-checkable unit.
     "x50_bigram_vocab" -> Q(
-      (s, dir) => t(s, dir, "documents")
-        .withColumn("tk", Text.tokens(col("text")))
-        .filter(size(col("tk")) >= 2)
-        .select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
-          i => concat_ws(" ", element_at(col("tk"), i),
-            element_at(col("tk"), i + 1)))).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("n"))
+      (s, dir) => bigramCounts(
+          t(s, dir, "documents").withColumn("tk", Text.tokens(col("text"))))
         .orderBy(desc("n"), asc("pair"))
         .limit(50),
-      Some("""WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
-             |g AS (SELECT unnest(list_transform(range(1, len(w)),
-             |        i -> w[i] || ' ' || w[i + 1])) AS pair
-             |      FROM toks WHERE len(w) >= 2)
-             |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM g
-             |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin),
+      Some(s"""WITH $duckBigrams
+              |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM g
+              |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin),
       "BPE merge-candidate counts: map-side bigram explode, one hash agg, top-k"),
 
     // ── X6n: Gopher-style composite rule filter ───────────────────────
@@ -1866,11 +1879,8 @@ object LlmData {
         val docs = t(s, dir, "documents")
           .withColumn("tk", Text.tokens(col("text")))
           .filter(size(col("tk")) >= 2)
-        val top = docs
-          .select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
-            i => concat_ws(" ", element_at(col("tk"), i),
-              element_at(col("tk"), i + 1)))).as("pair"))
-          .groupBy("pair").agg(count(lit(1)).as("n"))
+        // the pick reuses x50's EXACT counting pipeline (bigramCounts)
+        val top = bigramCounts(docs)
           .orderBy(desc("n"), asc("pair"))
           .limit(1)
           .select(col("pair"),
@@ -1887,10 +1897,8 @@ object LlmData {
             (size(col("tk")).cast("long") - col("n_merges")).as("n_after"))
           .orderBy("doc_id")
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      Some(s"""WITH $duckBigrams,
              |d AS (SELECT doc_id, w FROM toks WHERE len(w) >= 2),
-             |g AS (SELECT unnest(list_transform(range(1, len(w)),
-             |        i -> w[i] || ' ' || w[i + 1])) AS pair FROM d),
              |top AS (SELECT pair, string_split(pair, ' ')[1] AS a,
              |               string_split(pair, ' ')[2] AS b
              |        FROM (SELECT pair, count(*) AS n FROM g

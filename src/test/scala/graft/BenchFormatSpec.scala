@@ -26,9 +26,12 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.fmt(11.197) == "11")
     assert(Bench.fmt(9.96) == "10")
     assert(Bench.fmt(100.4) == "100")
-    // the budget's uniform width bound: nothing below 1000 prints wider
+    // the budget's uniform width bound: nothing through 999.4 prints
+    // wider; from 999.5 HALF_UP yields "1000" (the documented 4-char
+    // boundary case the budget's slack absorbs)
     for (v <- Seq(0.01, 0.99, 0.176, 5.55, 9.94, 99.9, 999.4))
       assert(Bench.fmt(v).length <= 3, s"fmt($v) = ${Bench.fmt(v)} wider than 3")
+    assert(Bench.fmt(999.5) == "1000")
   }
 
   test("worst-case JSON line fits the driver's 2000-char tail with headroom") {

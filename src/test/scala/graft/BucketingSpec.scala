@@ -4,31 +4,39 @@ import graft.io.Bucketing
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
-/** Pins the bucketed-layout contract (io.Bucketing): equally-bucketed
-  * fact tables join AND aggregate with zero Exchange nodes — the plan
-  * property that makes the one-time layout shuffle worth paying at
-  * 100 TB. Runs with broadcast disabled so the assertion exercises the
-  * co-located shuffle-join path the layout exists for (at real scale
-  * neither fact side broadcasts). */
+/** Pins the physical-layout contracts (io.Bucketing + partitionBy):
+  * equally-bucketed fact tables join AND aggregate with zero Exchange
+  * nodes — the plan property that makes the one-time layout shuffle
+  * worth paying at 100 TB — and date-partitioned layouts prune
+  * directories at the scan. Broadcast is disabled around the join
+  * audits to force the strategy decision the big cluster would face
+  * (at real scale neither fact side broadcasts). Each test writes its
+  * own tables and drops them: the session catalog is shared JVM-wide
+  * across suites. */
 class BucketingSpec extends SparkSpec {
 
-  test("equally-bucketed fact tables join and aggregate with zero exchanges") {
-    Bucketing.writeBucketed(
-      Tables.load(spark, sf0001, "orders").select("o_orderkey", "o_totalprice"),
-      "b_orders", "o_orderkey", buckets = 8)
-    Bucketing.writeBucketed(
-      Tables.load(spark, sf0001, "lineitem").select("l_orderkey", "l_quantity"),
-      "b_lineitem", "l_orderkey", buckets = 8)
-
+  private def withoutBroadcast[A](body: => A): A = {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("equally-bucketed fact tables join and aggregate with zero exchanges") {
+    try withoutBroadcast {
+      Bucketing.writeBucketed(
+        Tables.load(spark, sf0001, "orders").select("o_orderkey", "o_totalprice"),
+        "b_orders", "o_orderkey", buckets = 8)
+      Bucketing.writeBucketed(
+        Tables.load(spark, sf0001, "lineitem").select("l_orderkey", "l_quantity"),
+        "b_lineitem", "l_orderkey", buckets = 8)
+
       val joined = Bucketing.table(spark, "b_lineitem")
         .join(Bucketing.table(spark, "b_orders"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey")
         .agg(sum("l_quantity").as("q"))
       val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"), "scans must use the bucket layout")
       assert(!p.contains("Exchange"),
         s"bucketed join+agg must plan no shuffle at all, got:\n${p.take(3000)}")
 
@@ -40,18 +48,22 @@ class BucketingSpec extends SparkSpec {
         .agg(sum("l_quantity").as("q"))
       assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty,
         "bucketed layout must not change results")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
   }
 
   test("a mismatched bucket count re-shuffles only the mismatched side") {
-    Bucketing.writeBucketed(
-      Tables.load(spark, sf0001, "orders").select("o_orderkey", "o_totalprice"),
-      "b_orders4", "o_orderkey", buckets = 4)
+    try withoutBroadcast {
+      Bucketing.writeBucketed(
+        Tables.load(spark, sf0001, "lineitem").select("l_orderkey", "l_quantity"),
+        "b_lineitem8", "l_orderkey", buckets = 8)
+      Bucketing.writeBucketed(
+        Tables.load(spark, sf0001, "orders").select("o_orderkey", "o_totalprice"),
+        "b_orders4", "o_orderkey", buckets = 4)
 
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val p = Bucketing.table(spark, "b_lineitem")
+      val p = Bucketing.table(spark, "b_lineitem8")
         .join(Bucketing.table(spark, "b_orders4"),
           col("l_orderkey") === col("o_orderkey"))
         .queryExecution.executedPlan.toString
@@ -59,6 +71,37 @@ class BucketingSpec extends SparkSpec {
       // 8-bucket fact side must stay put (that's the sizing-rule cost)
       assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
         s"expected exactly one exchange for the mismatched side, got:\n${p.take(3000)}")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+        "the larger 8-bucket side must never re-shuffle")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_lineitem8")
+      spark.sql("DROP TABLE IF EXISTS b_orders4")
+    }
+  }
+
+  test("date-partitioned layout prunes directories at the scan") {
+    // the OTHER half of the layout story: bucketing co-locates joins,
+    // partitionBy(date) makes time predicates skip whole directories —
+    // at 100 TB a day-scoped query must read one partition, not filter
+    // the full table post-scan
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    try {
+      Tables.load(spark, sf0001, "orders")
+        .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("order_month")
+        .parquet(s"$tmp/orders_bymonth")
+      val pruned = spark.read.parquet(s"$tmp/orders_bymonth")
+        .filter(col("order_month") === "1995-03")
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*order_month".r.findFirstIn(plan).isDefined,
+        s"month predicate must land in PartitionFilters, got:\n${plan.take(2000)}")
+      val expected = Tables.load(spark, sf0001, "orders")
+        .filter(date_format(col("o_orderdate"), "yyyy-MM") === "1995-03").count()
+      assert(expected > 0 && pruned.count() == expected,
+        "pruned read must return exactly the partition's rows")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
   }
 }
