@@ -1914,6 +1914,79 @@ object LlmData {
              |  CAST(enc // 2 AS BIGINT) AS n_merges,
              |  n_tokens - CAST(enc // 2 AS BIGINT) AS n_after
              |FROM e ORDER BY doc_id""".stripMargin),
-      "one full BPE merge round: global pair pick + non-overlapping fold apply (encoded-state left fold)")
+      "one full BPE merge round: global pair pick + non-overlapping fold apply (encoded-state left fold)"),
+
+    // ── X2g: triangle census of the near-dup candidate graph ──────────
+    // Cluster-cohesion diagnostic over the SAME candidate graph x22/x58
+    // band-join and x36 resolves: wedge count, triangle count, and the
+    // closure fraction — high closure says the LSH buckets are finding
+    // real clusters, low closure says band collisions are spraying
+    // chains. Scale design is the compact-forward orientation: every
+    // edge points from its lower-(deg, id) endpoint, so wedges are
+    // generated only at each triangle's LOWEST-order corner and the
+    // per-node wedge fan-out is bounded by ORIENTED out-degree —
+    // O(√edges) for any graph (arboricity bound), never raw hub degree.
+    // Each triangle is counted exactly once, as its single oriented
+    // closed wedge: two equality joins, no all-pairs anywhere (the
+    // input graph is LSH-sparse by construction).
+    "x62_dedup_triangles" -> Q(
+      (s, dir) => {
+        // the candidate list feeds FIVE plan references (degree build ×1,
+        // orientation ×1 via edges, then oriented×3: both wedge sides +
+        // the closing probe) — memoize+persist so the band self-join
+        // runs once, the same signature-table discipline as
+        // minhashHashed (pairs are signature-scale, never payloads)
+        val edges = memoized(s, "x62-cand-edges", dir) {
+          minhashCandPairs(minhashHashed(s, dir)).persist()
+        }
+        val deg = edges.select(col("doc_a").as("node"))
+          .unionAll(edges.select(col("doc_b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val lower = col("da") < col("db") ||
+          (col("da") === col("db") && col("doc_a") < col("doc_b"))
+        val oriented = edges
+          .join(deg.select(col("node").as("doc_a"), col("deg").as("da")), "doc_a")
+          .join(deg.select(col("node").as("doc_b"), col("deg").as("db")), "doc_b")
+          .select(when(lower, col("doc_a")).otherwise(col("doc_b")).as("src"),
+            when(lower, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+            when(lower, col("db")).otherwise(col("da")).as("dd"))
+        val wedges = oriented.as("e1").join(oriented.as("e2"), "src")
+          .filter(col("e1.dd") < col("e2.dd") ||
+            (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst")))
+          .select(col("e1.dst").as("v"), col("e2.dst").as("z"))
+        val closed = wedges.join(
+          oriented.select(col("src").as("v"), col("dst").as("z")), Seq("v", "z"))
+        wedges.agg(count(lit(1)).as("n_wedges"))
+          .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+          .select(col("n_wedges"), col("n_triangles"),
+            when(col("n_wedges") > 0,
+              expr("(n_triangles * 1000000) div n_wedges"))
+              .otherwise(lit(0L)).as("closure_micro"))
+      },
+      Some(s"""WITH $duckMinhashCand,
+              |deg AS (SELECT node, count(*) AS deg FROM (
+              |          SELECT doc_a AS node FROM cand
+              |          UNION ALL SELECT doc_b FROM cand) GROUP BY 1),
+              |o AS (SELECT CASE WHEN (x.deg, e.doc_a) < (y.deg, e.doc_b)
+              |               THEN e.doc_a ELSE e.doc_b END AS src,
+              |             CASE WHEN (x.deg, e.doc_a) < (y.deg, e.doc_b)
+              |               THEN e.doc_b ELSE e.doc_a END AS dst,
+              |             CASE WHEN (x.deg, e.doc_a) < (y.deg, e.doc_b)
+              |               THEN y.deg ELSE x.deg END AS dd
+              |      FROM cand e
+              |      JOIN deg x ON x.node = e.doc_a
+              |      JOIN deg y ON y.node = e.doc_b),
+              |w AS (SELECT a.dst AS v, b.dst AS z FROM o a JOIN o b
+              |      ON a.src = b.src
+              |      WHERE (a.dd, a.dst) < (b.dd, b.dst)),
+              |tri AS (SELECT w.v, w.z FROM w
+              |        JOIN o ON o.src = w.v AND o.dst = w.z)
+              |SELECT CAST(w_cnt AS BIGINT) AS n_wedges,
+              |  CAST(t_cnt AS BIGINT) AS n_triangles,
+              |  CAST(CASE WHEN w_cnt > 0 THEN (t_cnt * 1000000) // w_cnt
+              |            ELSE 0 END AS BIGINT) AS closure_micro
+              |FROM (SELECT count(*) AS w_cnt FROM w),
+              |     (SELECT count(*) AS t_cnt FROM tri)""".stripMargin),
+      "triangle census of the LSH candidate graph: compact-forward orientation, O(sqrt(E)) wedge fan-out")
   )
 }
