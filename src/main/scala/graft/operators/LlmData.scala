@@ -361,7 +361,9 @@ object LlmData {
     * repeated invocations in one session reuse the same cache entry
     * instead of stacking a new persisted copy per call. */
   private val memo = new SessionRegistry[TrieMap[(String, String), DataFrame]]
-  private def memoized(s: SparkSession, key: String, dir: String)
+  // package-private: Relational's iterative q31 shares the same
+  // persisted-frame lifecycle (built once, released by clearMemo)
+  private[operators] def memoized(s: SparkSession, key: String, dir: String)
       (build: => DataFrame): DataFrame = {
     var out: DataFrame = null
     while (out == null) {

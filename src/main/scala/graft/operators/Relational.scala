@@ -885,9 +885,22 @@ object Relational {
       val li = t(s, dir, "lineitem")
         .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
         .distinct()
-      val sym = li.unionByName(li.select(col("dst").as("src"), col("src").as("dst")))
-      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-        .withColumnRenamed("src", "node")
+      // sym feeds one agg join per iteration (×3) and deg one share
+      // join per iteration plus the rank seed (×4): unpersisted, every
+      // reference re-runs the lineitem scan + distinct shuffle.
+      // Memoize+persist both (LlmData's signature-table lifecycle,
+      // released by clearMemo) — the in-query analog of materializing
+      // the edge list once, which is how an iterative graph job holds
+      // its graph at real scale (x36's loop does the same via
+      // checkpoints).
+      val sym = LlmData.memoized(s, "q31-sym", dir) {
+        li.unionByName(li.select(col("dst").as("src"), col("src").as("dst")))
+          .persist()
+      }
+      val deg = LlmData.memoized(s, "q31-deg", dir) {
+        sym.groupBy("src").agg(count(lit(1)).as("deg"))
+          .withColumnRenamed("src", "node").persist()
+      }
       var rank = deg.select(col("node"), lit(1000000L).as("rank"))
       for (_ <- 1 to 3) {
         val share = rank.join(deg, "node")
