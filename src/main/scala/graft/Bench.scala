@@ -44,13 +44,29 @@ object Bench {
     if (s.contains('.')) s.replaceAll("0+$", "").replaceAll("\\.$", "") else s
   }
 
+  /** Key used on the driver line: the registry's numeric prefix
+    * ("q01_top10_star_join" → "q01"), matching the driver contract's own
+    * example shape ({"queries":{"q1":sec,..}}). Full names cost ~24
+    * chars each and capped the registry at ~75 queries against the
+    * 2000-char stdout tail; prefixes cost ~10. Collisions (two names
+    * sharing a prefix) fall back to the full name so the map never
+    * silently drops a query. Full-name timings live in
+    * BENCH_DETAIL.json; the prefix↔name glossary is the registry itself
+    * (prefixes are unique by naming convention, enforced by
+    * BenchFormatSpec). */
+  def lineKeys(names: Seq[String]): Seq[String] = {
+    val shorts = names.map(_.split("_", 2).head)
+    val dup = shorts.groupBy(identity).collect { case (s, g) if g.size > 1 => s }.toSet
+    names.zip(shorts).map { case (full, s) => if (dup(s)) full else s }
+  }
+
   /** The driver-parsed JSON line. Kept assemblable from pure inputs so
     * BenchFormatSpec can bound its length against the tail budget
     * without running Spark. */
   def jsonLine(results: Seq[(String, (Double, Double))], sfDir: String,
                filter: Option[Set[String]]): String = {
-    val cold = results
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v._1) }.mkString("{", ",", "}")
+    val cold = lineKeys(results.map(_._1)).zip(results)
+      .map { case (k, (_, v)) => "\"" + k + "\":" + fmt(v._1) }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalWarm = results.map(_._2._2).filter(_ >= 0).sum
     // a filtered run must be self-describing: a leftover SPARK_GRAFT_ONLY

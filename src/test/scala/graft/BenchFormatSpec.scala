@@ -46,15 +46,25 @@ class BenchFormatSpec extends AnyFunSuite {
     val line = Bench.jsonLine(worst, "/root/testdata/sf0.1", None)
     assert(!line.contains("\n"), "must be ONE line")
     // 2000-char tail − ~85 chars for sbt's trailing "[success] Total
-    // time ..." line − 35 slack. Each registered query costs ~name+7
-    // chars here (~24 for this suite's naming style), so the registry
-    // tops out around 75 names — the NEXT growth step must shrink the
-    // line (e.g. demote per-query colds to BENCH_DETAIL.json and keep
-    // only the totals), not raise this budget.
+    // time ..." line − 35 slack. Since r6 the line keys are the unique
+    // numeric prefixes ("q01", "x20") at ~10 chars per query instead of
+    // the ~24-char full names, so the registry tops out around 170
+    // names. If THAT ever fills, the next step is still shrinking the
+    // line (totals only), not raising this budget.
     val budget = 1880
     assert(line.length <= budget,
       s"bench line worst-case ${line.length} chars exceeds $budget — " +
         "shrink the line format before registering more queries")
+  }
+
+  test("registry prefixes are unique so line keys stay short") {
+    val names = SparkEntry.queries.keys.toSeq
+    val keys = Bench.lineKeys(names)
+    assert(keys.distinct.size == names.size)
+    // every key collapsed to its prefix — a full-name fallback means two
+    // queries share a number, which breaks round-over-round comparability
+    assert(keys.forall(k => !k.contains("_")),
+      s"prefix collision: ${keys.filter(_.contains("_")).mkString(",")}")
   }
 
   test("line is valid JSON shape with the driver-contract fields") {
@@ -63,7 +73,7 @@ class BenchFormatSpec extends AnyFunSuite {
       "/root/testdata/sf0.01", Some(Set("q01_top10_star_join", "x20_exact_dedup_groups")))
     assert(line.startsWith("""{"metric":"total","value":0.3,"unit":"sec","queries":{"""))
     // failed (-1) runs are excluded from totals but visible per-query
-    assert(line.contains(""""x20_exact_dedup_groups":-1"""))
+    assert(line.contains(""""x20":-1"""))
     assert(line.contains(""""total_warm":0.4"""))
     assert(line.contains(""""filter":"q01_top10_star_join,x20_exact_dedup_groups""""))
     assert(line.endsWith(""""sf":"/root/testdata/sf0.01"}"""))
