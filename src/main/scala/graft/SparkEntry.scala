@@ -12,6 +12,7 @@ object SparkEntry {
 
   private def modules: Seq[Map[String, Q]] = Seq(
     operators.Relational.queries,
+    operators.Analytics.queries,
     operators.LlmData.queries
   )
 

@@ -1,0 +1,243 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Rounding.{duckRound, pround, sumCents}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second relational module (q33+): the SQL analytics surface beyond
+  * the reference's own queries that any warehouse replacement is
+  * expected to carry — set operations, CUBE, exact percentiles,
+  * conditional/ordered-arg aggregates, correlated subqueries, running
+  * windows, ntile bucketing, ordered string aggregation.
+  *
+  * Same oracle-parity discipline as [[Relational]] (literal pivots,
+  * total deterministic ORDER BY, exact or pround'ed doubles, identical
+  * aliases both sides) and the same 100 TB framing: every query here is
+  * one or two shuffles with map-side partials, no driver-side loops, no
+  * UDFs.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** q33 — INTERSECT (set semantics): customers that placed BOTH an
+    * urgent and a low-priority order. Catalyst plans INTERSECT as
+    * distinct-aggregate + left-semi hash join — two scans of orders
+    * with the priority filters pushed to parquet, then one shuffle per
+    * side on the join key; no row explosion anywhere, so the shape is
+    * scale-safe as-is. */
+  private def q33 = Q(
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        .intersect(
+          o.filter(col("o_orderpriority") === "5-LOW").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           |INTERSECT
+           |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+           |ORDER BY o_custkey""".stripMargin),
+    "INTERSECT as distinct + semi join; filters pushed to both scans")
+
+  /** q34 — CUBE over (returnflag, linestatus): all 4 grouping
+    * combinations in ONE Expand (4 replicas per input row) feeding one
+    * partial+final hash agg — one shuffle total, same physical shape
+    * as q21's ROLLUP / q26's GROUPING SETS; the 100 TB knob is the
+    * replica count (2^dims), which is why this stays at 2 dims.
+    * grouping() ints disambiguate NULL group keys from NULL data. */
+  private def q34 = Q(
+    (s, dir) => t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc("g_flag"), asc("g_status"),
+        asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           |  count(*) AS n, sum(l_quantity) AS sum_qty
+           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+           |ORDER BY g_flag, g_status,
+           |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+    "CUBE: one Expand + one hash agg; l_quantity integer-valued so the double sum is exact")
+
+  /** q35 — exact interpolated percentiles per group. Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the textbook
+    * (1-d)*lo + d*hi interpolation; l_quantity is integer-valued and
+    * the quartile fractions are exact binary (.25/.5/.75), so both
+    * engines produce bit-identical doubles. Exact percentile sorts
+    * per group — the scale escape hatch is approx_percentile (t-digest
+    * sketch, map-side mergeable), same call shape, used when the
+    * group's value set no longer fits the agg buffer. */
+  private def q35 = Q(
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, count(*) AS n,
+           |  quantile_cont(l_quantity, 0.25) AS p25,
+           |  quantile_cont(l_quantity, 0.5) AS p50,
+           |  quantile_cont(l_quantity, 0.75) AS p75
+           |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+    "exact interpolated quartiles; approx_percentile is the same-shape sketch path at scale")
+
+  /** q36 — conditional + ordered-arg aggregates: FILTER-style counts,
+    * bool_and/bool_or, and a DETERMINISTIC max_by via a composite
+    * integer ordinal (cents * 10^7 + orderkey — ties on price resolve
+    * by key, so the arg-max is total; a bare max_by(x, price) is a
+    * parity landmine because tie-breaking is engine-internal). All
+    * partial-aggregable single-pass map-side combines. */
+  private def q36 = Q(
+    (s, dir) => {
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("o_totalprice") > 200000, lit(1))).as("n_big"),
+          pround(count(when(col("o_totalprice") > 200000, lit(1)))
+            .cast("double") / count(lit(1)), 4).as("frac_big"),
+          bool_and(col("o_totalprice") > 0).as("all_pos"),
+          bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+          max_by(col("o_orderkey"), cents * 10000000L + col("o_orderkey"))
+            .as("best_order"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus, count(*) AS n,
+            |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+            |  ${duckRound(
+               "count(*) FILTER (WHERE o_totalprice > 200000) * 1.0 / count(*)", 4)}
+            |    AS frac_big,
+            |  bool_and(o_totalprice > 0) AS all_pos,
+            |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+            |  max_by(o_orderkey,
+            |         CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000000
+            |           + o_orderkey) AS best_order
+            |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin),
+    "FILTER counts, bool_and/bool_or, total-ordered max_by; all one-pass partial aggregates")
+
+  /** q37 — correlated EXISTS / NOT EXISTS subqueries through the SQL
+    * front end: customers with at least one 300k+ order and no
+    * low-priority order. Catalyst decorrelates both predicates into a
+    * left-semi and a left-anti hash join on c_custkey (RewritePredicate
+    * Subquery) — the point of the query is that the DECLARED form is a
+    * subquery and the PHYSICAL form is the same two-join pipeline q16/
+    * q07 build by hand, i.e. nothing here is per-row re-execution. */
+  private def q37 = Q(
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q37_customer")
+      t(s, dir, "orders").createOrReplaceTempView("q37_orders")
+      s.sql("""SELECT c_custkey, c_name FROM q37_customer c
+              |WHERE EXISTS (SELECT 1 FROM q37_orders o
+              |              WHERE o.o_custkey = c.c_custkey
+              |                AND o.o_totalprice > 300000)
+              |  AND NOT EXISTS (SELECT 1 FROM q37_orders o
+              |                  WHERE o.o_custkey = c.c_custkey
+              |                    AND o.o_orderpriority = '5-LOW')
+              |ORDER BY c_custkey""".stripMargin)
+    },
+    Some("""SELECT c_custkey, c_name FROM customer c
+           |WHERE EXISTS (SELECT 1 FROM orders o
+           |              WHERE o.o_custkey = c.c_custkey
+           |                AND o.o_totalprice > 300000)
+           |  AND NOT EXISTS (SELECT 1 FROM orders o
+           |                  WHERE o.o_custkey = c.c_custkey
+           |                    AND o.o_orderpriority = '5-LOW')
+           |ORDER BY c_custkey""".stripMargin),
+    "correlated EXISTS/NOT EXISTS decorrelated to semi + anti hash joins")
+
+  /** q38 — running + sliding window frames per user: cumulative event
+    * value and a 4-row moving average, both over the cents-integer sum
+    * so frame accumulation order can't produce float drift (the frame
+    * count divides AFTER the exact integer sum). One shuffle on
+    * user_id; frames evaluate in a single sort within the partition.
+    * Window ordering carries the event_id tie-break (ts alone is not
+    * provably unique). */
+  private def q38 = Q(
+    (s, dir) => {
+      val cents = round(col("value") * 100, 0).cast("long")
+      val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val running = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sliding = ord.rowsBetween(-3, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("c", cents)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (sum("c").over(running) / 100.0).as("running_sum"),
+          pround(sum("c").over(sliding) /
+            (count(lit(1)).over(sliding) * 100.0), 4).as("mov_avg"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+    Some(s"""SELECT event_id, user_id, ts,
+            |  sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w1 / 100.0 AS running_sum,
+            |  ${duckRound(
+               "sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w2 * 1.0 / " +
+                 "(count(*) OVER w2 * 100.0)", 4)} AS mov_avg
+            |FROM events
+            |WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id
+            |              ROWS UNBOUNDED PRECEDING),
+            |       w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+            |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            |ORDER BY user_id, ts, event_id""".stripMargin),
+    "running + sliding frames on one user_id sort; cents-exact accumulation")
+
+  /** q39 — ntile quartile bucketing over a total order (price, key):
+    * the histogram-equalized binning a mixture sampler uses to stratify
+    * by a continuous column. ntile needs a global sort at this size; at
+    * 100 TB the same cut points come from approx_percentile on a sample
+    * and the bucketing becomes a map-side CASE — the output contract
+    * (bucket, n, min, max) is identical. */
+  private def q39 = Q(
+    (s, dir) => t(s, dir, "orders")
+      .withColumn("bucket",
+        ntile(4).over(Window.orderBy("o_totalprice", "o_orderkey")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+      .orderBy("bucket"),
+    Some("""SELECT bucket, count(*) AS n,
+           |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+           |FROM (SELECT o_totalprice,
+           |        ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+           |      FROM orders)
+           |GROUP BY 1 ORDER BY bucket""".stripMargin),
+    "ntile(4) quartile bins + per-bin stats; sample-derived cut points at scale")
+
+  /** q40 — ordered string aggregation: nations per region as one sorted
+    * CSV cell. collect_list is order-nondeterministic by contract, so
+    * the sort happens INSIDE the row (array_sort before array_join) —
+    * the only way a distributed engine can promise a stable string agg
+    * without a single-partition sort. Broadcast dim⋈dim join. */
+  private def q40 = Q(
+    (s, dir) => t(s, dir, "region")
+      .join(broadcast(t(s, dir, "nation")),
+        col("r_regionkey") === col("n_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list("n_name")), ",").as("nations"))
+      .orderBy("r_name"),
+    Some("""SELECT r_name, count(*) AS n_nations,
+           |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+           |FROM region JOIN nation ON r_regionkey = n_regionkey
+           |GROUP BY 1 ORDER BY r_name""".stripMargin),
+    "ordered string_agg via in-row array_sort; deterministic without a global sort")
+
+  val queries: Map[String, Q] = Map(
+    "q33_intersect" -> q33,
+    "q34_cube" -> q34,
+    "q35_percentiles" -> q35,
+    "q36_conditional_agg" -> q36,
+    "q37_exists_subquery" -> q37,
+    "q38_running_window" -> q38,
+    "q39_ntile_buckets" -> q39,
+    "q40_string_agg" -> q40)
+}

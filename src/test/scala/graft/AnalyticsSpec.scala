@@ -1,0 +1,70 @@
+package graft
+
+/** Plan-shape + semantics audits for the q33+ analytics module. The
+  * value-level contract is the DuckDB oracle (driver gate); these
+  * tests pin what the oracle can't see — the physical shapes that make
+  * the queries survive a 100× scale-up. */
+class AnalyticsSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q37: EXISTS/NOT EXISTS decorrelate to semi + anti hash joins") {
+    val p = plan("q37_exists_subquery")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as a left-semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as a left-anti join")
+    // decorrelation failed if any subquery survives to the physical plan
+    assert(!p.toLowerCase.contains("subquery"),
+      "correlated subqueries must not reach execution")
+  }
+
+  test("q34: CUBE plans ONE Expand feeding one partial+final agg") {
+    val p = plan("q34_cube")
+    assert("Expand".r.findAllIn(p).size == 1,
+      "all 4 grouping combinations must ride a single Expand")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "partial aggregation must happen before the shuffle")
+  }
+
+  test("q40: dim⋈dim join broadcasts; no sort-merge") {
+    val p = plan("q40_string_agg")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q33: INTERSECT distinct-aggregates before the join") {
+    val p = plan("q33_intersect")
+    assert(p.contains("LeftSemi"), "INTERSECT must plan as a semi join")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "set semantics need distinct aggregation on the inputs")
+  }
+
+  test("q36: conditional aggregates stay a single-pass partial agg (one scan)") {
+    val p = plan("q36_conditional_agg")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "FILTER-style counts must not fan into per-predicate scans")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q38: both window frames evaluate in one Window node over one sort") {
+    val p = plan("q38_running_window")
+    // same partitioning + ordering ⇒ Spark fuses the running and
+    // sliding frames; two Window nodes would mean a redundant sort
+    assert("Window".r.findAllIn(p).size <= 2,
+      s"expected fused window evaluation, got:\n${p.take(1500)}")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      "frames must reuse the user_id partitioning, not reshuffle per frame")
+  }
+
+  test("q39: ntile bucketing agrees with manual quartile arithmetic") {
+    val out = SparkEntry.queries("q39_ntile_buckets")(spark, sf0001).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    val ns = out.map(_.getLong(1))
+    // ntile: sizes differ by at most 1, earlier buckets take the remainder
+    assert(ns.max - ns.min <= 1)
+    assert(ns.sorted.reverse.toSeq == ns.toSeq)
+    // buckets tile the price range in order
+    val mins = out.map(_.getDouble(2)); val maxs = out.map(_.getDouble(3))
+    (0 until 3).foreach(i => assert(maxs(i) <= mins(i + 1)))
+  }
+}
