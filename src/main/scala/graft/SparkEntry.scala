@@ -13,7 +13,8 @@ object SparkEntry {
   private def modules: Seq[Map[String, Q]] = Seq(
     operators.Relational.queries,
     operators.Analytics.queries,
-    operators.LlmData.queries
+    operators.LlmData.queries,
+    operators.Curation.queries
   )
 
   private lazy val all: Map[String, Q] = modules.reduce(_ ++ _)

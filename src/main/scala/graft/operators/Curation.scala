@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.{Text, Vectors}
+import graft.functions.Rounding.{duckRound, pround}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Curation operators beyond LlmData's x20–x62: diversity scoring,
+  * weighted corpus sampling, embedding compression (product
+  * quantization), and corpus-frequency rarity scoring.
+  *
+  * Parity discipline (same as [[LlmData]]): NO transcendentals — every
+  * score is exact integer arithmetic plus at most one correctly-rounded
+  * double division, so Spark and DuckDB agree bit-for-bit without
+  * tolerance bands. Aggregation-order hazards are designed out by
+  * summing INTEGERS (order-free) before the single division.
+  */
+object Curation {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** md5-derived 60-bit uniform hash of a long id — the repo-standard
+    * engine-portable randomness source (same construction as x37/x41). */
+  private def idHash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  private def duckIdHash(expr: String): String =
+    s"CAST('0x' || substr(md5(CAST($expr AS VARCHAR)), 1, 15) AS BIGINT)"
+
+  /** x63 — Simpson diversity of the token distribution per document:
+    * 1 − Σc²/n², the collision probability complement — a
+    * repetition-concentration quality signal ORTHOGONAL to x43 (which
+    * scores ordered shingle reuse; this scores the unordered frequency
+    * profile, catching "the same 5 words shuffled forever" that shingle
+    * dedup misses). Σc² is an exact integer, so the score is one double
+    * division — no float accumulation anywhere, immune to the engines'
+    * differing distinct-list orders. Entirely map-side (scan-stage
+    * projection, no shuffle); per-doc cost is O(distinct × len), bounded
+    * by document length exactly like Text.gopherRules. */
+  private def x63 = Q(
+    (s, dir) => {
+      val counts = transform(array_distinct(col("tk")),
+        w => size(filter(col("tk"), x => x === w)).cast("long"))
+      t(s, dir, "documents")
+        .withColumn("tk", Text.tokens(col("text")))
+        .withColumn("n", size(col("tk")).cast("long"))
+        .withColumn("sumsq",
+          aggregate(counts, lit(0L), (acc, c) => acc + c * c))
+        .select(col("doc_id"),
+          col("n").as("n_tokens"),
+          size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+          (lit(1.0) - col("sumsq").cast("double") /
+            (col("n") * col("n")).cast("double")).as("simpson"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+           |        list_transform(list_distinct(w),
+           |          x -> CAST(len(list_filter(w, y -> y = x)) AS BIGINT)) AS cs
+           |      FROM toks)
+           |SELECT doc_id, n AS n_tokens,
+           |  CAST(len(cs) AS BIGINT) AS n_distinct,
+           |  1.0 - CAST(list_reduce(list_transform(cs, c -> c * c),
+           |               (a, b) -> a + b) AS DOUBLE) / CAST(n * n AS DOUBLE)
+           |    AS simpson
+           |FROM m ORDER BY doc_id""".stripMargin),
+    "Simpson token diversity: exact integer Σc², one division; map-side, no shuffle")
+
+  /** x64 — weighted sampling without replacement (exponential-race
+    * form): each doc draws a uniform 60-bit hash key and races with
+    * key/weight — higher weight ⇒ stochastically smaller race value ⇒
+    * more likely into the sample. The race value stays INTEGER (bigint
+    * division) so both engines rank identical values; the float
+    * ln(u)/w race is a one-line swap where exact cross-engine parity
+    * isn't required. Top-50 is TakeOrderedAndProject (distributed
+    * heap, no global sort); the rank window runs on 50 rows. This is
+    * the corpus-mixture primitive x37's per-stratum rates can't
+    * express: smooth weighting by a continuous column (here n_chars —
+    * longer docs proportionally more likely). */
+  private def x64 = Q(
+    (s, dir) => {
+      val race = (idHash(col("doc_id")) / greatest(col("n_chars"), lit(1L)))
+        .cast("long")
+      val top = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), race.as("race"))
+        .orderBy("race", "doc_id")
+        .limit(50)
+      top.select(
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy("race", "doc_id")).as("rank"),
+          col("doc_id"), col("n_chars"), col("race"))
+        .orderBy("rank")
+    },
+    Some(s"""SELECT row_number() OVER (ORDER BY race, doc_id) AS rank,
+            |  doc_id, n_chars, race
+            |FROM (SELECT doc_id, n_chars,
+            |        ${duckIdHash("doc_id")} // greatest(n_chars, 1) AS race
+            |      FROM documents)
+            |ORDER BY race, doc_id LIMIT 50""".stripMargin),
+    "weighted sample: integer exponential race, distributed top-k heap")
+
+  /** x65 — product-quantization code assignment: the embedding is cut
+    * into 4×16-dim subvectors, each assigned to its nearest of 8
+    * codebook entries by L2² — compressing 64 floats (256 B) to 4 bytes
+    * for the memory-resident ANN index a 100 TB embedding corpus
+    * needs (the IVF lists of x34 hold PQ codes, not raw vectors, at
+    * scale). The codebook here is seeded from vec_id 1..8 (literal,
+    * broadcast into the expression exactly like x34's quantizer — a
+    * trained codebook plugs into the same Lloyd's loop x34 uses).
+    * Distances are sequential double folds rounded at 6dp before the
+    * argmin; ties break to the smallest code on both engines
+    * (array_min struct ordering == ORDER BY d2, code). Assignment is
+    * pure map-side scan-stage compute. */
+  private def x65 = Q(
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      // 8 codebook rows × 64 dims, collected once (same pattern as
+      // x34's trainCentroids: a bounded dim-table collect, not data)
+      val codebook: Seq[(Long, IndexedSeq[Double])] = e
+        .filter(col("vec_id").between(1, 8))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
+        .sortBy(_._1).toSeq
+      def sub(v: Column, s: Int): Column =
+        slice(Vectors.toDouble(v), s * 16 + 1, 16)
+      def d2(a: Column, b: IndexedSeq[Double]): Column =
+        aggregate(zip_with(a, typedlit(b), (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _)
+      def code(s: Int): Column = array_min(
+        array(codebook.map { case (cid, ce) =>
+          struct(pround(d2(sub(col("embedding"), s), ce.slice(s * 16, s * 16 + 16)), 6)
+            .as("d2"), lit(cid).as("code"))
+        }: _*)).getField("code")
+      e.select(col("vec_id"), code(0).as("c0"), code(1).as("c1"),
+          code(2).as("c2"), code(3).as("c3"))
+        .orderBy("vec_id")
+    },
+    Some {
+      val dims = "(SELECT unnest(range(1, 17)) AS i)"
+      def diff = "(CAST(e.embedding[s.s*16 + d.i] AS DOUBLE) - " +
+        "CAST(c.embedding[s.s*16 + d.i] AS DOUBLE))"
+      s"""WITH cb AS (SELECT vec_id AS code, embedding FROM embeddings
+         |            WHERE vec_id BETWEEN 1 AND 8),
+         |d AS (SELECT e.vec_id, s.s, c.code,
+         |        ${duckRound(
+             s"(SELECT sum($diff * $diff) FROM $dims d)", 6)} AS d2
+         |      FROM embeddings e
+         |      CROSS JOIN (SELECT unnest(range(0, 4)) AS s) s
+         |      CROSS JOIN cb c),
+         |a AS (SELECT vec_id, s, code, row_number() OVER (
+         |        PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM d)
+         |SELECT vec_id,
+         |  max(CASE WHEN s = 0 THEN code END) AS c0,
+         |  max(CASE WHEN s = 1 THEN code END) AS c1,
+         |  max(CASE WHEN s = 2 THEN code END) AS c2,
+         |  max(CASE WHEN s = 3 THEN code END) AS c3
+         |FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
+    "product quantization: 4×16-dim subspaces, 8-entry codebook, map-side argmin assignment")
+
+  /** x66 — corpus-rarity score (mean inverse unigram frequency): the
+    * cheap importance signal curation pipelines use to up-weight
+    * documents carrying rare vocabulary (the rational stand-in for
+    * unigram log-prob — ratios instead of logs, same ranking power,
+    * exact parity). Per-token rarity = (N·1000) div count(token) stays
+    * INTEGER, so the per-doc sum is order-free; one division at the
+    * end. Plan: one shuffle to count the vocabulary, one hash join of
+    * tokens⋈counts (vocab side is groupBy output — small relative to
+    * the token stream), one shuffle back to doc grain. N rides a
+    * broadcast single-row cross join, not a literal. */
+  private def x66 = Q(
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(cnt, "w")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), expr("(n_total * 1000) div c").as("r"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("r").as("r_milli"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("r_milli").cast("double") /
+            (col("n_tokens") * 1000.0)).as("rarity"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           |              FROM documents),
+           |cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+           |tot AS (SELECT count(*) AS n_total FROM toks)
+           |SELECT t.doc_id, count(*) AS n_tokens,
+           |  CAST(sum((tot.n_total * 1000) // cnt.c) AS DOUBLE)
+           |    / (count(*) * 1000.0) AS rarity
+           |FROM toks t JOIN cnt ON t.w = cnt.w CROSS JOIN tot
+           |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin),
+    "mean inverse unigram frequency: integer milli-rarity sum, one division; vocab join + doc re-agg")
+
+  val queries: Map[String, Q] = Map(
+    "x63_token_diversity" -> x63,
+    "x64_weighted_sample" -> x64,
+    "x65_pq_codes" -> x65,
+    "x66_rarity_score" -> x66)
+}

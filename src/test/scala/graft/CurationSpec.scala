@@ -1,0 +1,56 @@
+package graft
+
+/** Plan-shape + invariant audits for the Curation module (x63–x66).
+  * Values are oracle-checked by the driver; these pin the physical
+  * shapes (map-side compute, no stray shuffles/joins) and the
+  * mathematical invariants the oracle can't express. */
+class CurationSpec extends SparkSpec {
+
+  private def df(name: String) = SparkEntry.queries(name)(spark, sf0001)
+  private def plan(name: String): String =
+    df(name).queryExecution.executedPlan.toString
+
+  test("x63: diversity is a map-side projection — one scan, no aggregation shuffle") {
+    val p = plan("x63_token_diversity")
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert(!p.contains("HashAggregate"), "per-doc score must not shuffle")
+  }
+
+  test("x63: simpson bounds and degenerate cases hold") {
+    val rows = df("x63_token_diversity").collect()
+    rows.foreach { r =>
+      val (n, d, s) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(d <= n)
+      assert(s >= 0.0 && s < 1.0)
+      if (d == 1) assert(s == 0.0, s"single-token doc must score 0, got $s")
+    }
+  }
+
+  test("x64: weighted top-50 plans a distributed heap, not a global sort") {
+    assert(plan("x64_weighted_sample").contains("TakeOrderedAndProject"))
+  }
+
+  test("x65: PQ assignment is map-side — no join, one embeddings scan") {
+    val p = plan("x65_pq_codes")
+    assert(!p.contains("Join"), "codebook must ride the expression, not a join")
+    // 2 scans total: one for the codebook collect is eager and gone by
+    // plan time; the returned frame scans embeddings exactly once
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+  }
+
+  test("x65: codebook vectors quantize to themselves in every subspace") {
+    val rows = df("x65_pq_codes").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    (1L to 8L).foreach { cid =>
+      assert(rows(cid) == ((cid, cid, cid, cid)),
+        s"codebook vec $cid must be its own nearest code, got ${rows(cid)}")
+    }
+  }
+
+  test("x66: rarity is bounded below by 1 and vocabulary join stays one pass") {
+    val rows = df("x66_rarity_score").collect()
+    rows.foreach(r => assert(r.getDouble(2) >= 1.0,
+      s"mean inverse frequency can't dip under 1: ${r}"))
+  }
+}
