@@ -102,64 +102,130 @@ object Curation {
             |ORDER BY race, doc_id LIMIT 50""".stripMargin),
     "weighted sample: integer exponential race, distributed top-k heap")
 
+  // ── shared PQ pipeline (x65 codes / x67 ADC search) ─────────────────
+  // ONE definition of the codebook, the subvector distance, and the
+  // assignment argmin — the code table x67 searches is definitionally
+  // the one x65 publishes.
+
+  /** 8 codebook rows × 64 dims, collected once per call (same pattern
+    * as x34's trainCentroids: a bounded dim-table collect, not data —
+    * a trained codebook plugs into the same Lloyd's loop x34 uses). */
+  private def pqCodebook(s: SparkSession, dir: String): Seq[(Long, IndexedSeq[Double])] =
+    t(s, dir, "embeddings")
+      .filter(col("vec_id").between(1, 8))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
+      .sortBy(_._1).toSeq
+
+  /** 16-dim subvector `s` (0-based) of an array<float> column, widened. */
+  private def pqSub(v: Column, s: Int): Column =
+    slice(Vectors.toDouble(v), s * 16 + 1, 16)
+
+  /** Sequential-fold L2² against a literal subvector, rounded at 6dp —
+    * the exact fold the DuckDB twin replays. */
+  private def pqD2(a: Column, b: IndexedSeq[Double]): Column =
+    pround(aggregate(zip_with(a, typedlit(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), _ + _), 6)
+
+  /** Argmin code for subspace `s`: array_min struct ordering = smallest
+    * d2, ties to the smallest code (oracle: ORDER BY d2, code). */
+  private def pqCode(codebook: Seq[(Long, IndexedSeq[Double])], s: Int): Column =
+    array_min(array(codebook.map { case (cid, ce) =>
+      struct(pqD2(pqSub(col("embedding"), s), ce.slice(s * 16, s * 16 + 16))
+        .as("d2"), lit(cid).as("code"))
+    }: _*)).getField("code")
+
+  /** DuckDB twin of the PQ chain: defines `cb(code, embedding)`,
+    * `d(vec_id, s, code, d2)` (every vec's rounded subspace distance to
+    * every codebook entry — rows with vec_id=0 double as the query's
+    * ADC distance table) and `codes(vec_id, c0..c3)`. */
+  private val duckPqChain: String = {
+    val dims = "(SELECT unnest(range(1, 17)) AS i)"
+    val diff = "(CAST(e.embedding[s.s*16 + d.i] AS DOUBLE) - " +
+      "CAST(c.embedding[s.s*16 + d.i] AS DOUBLE))"
+    s"""cb AS (SELECT vec_id AS code, embedding FROM embeddings
+       |       WHERE vec_id BETWEEN 1 AND 8),
+       |d AS (SELECT e.vec_id, s.s, c.code,
+       |        ${duckRound(s"(SELECT sum($diff * $diff) FROM $dims d)", 6)} AS d2
+       |      FROM embeddings e
+       |      CROSS JOIN (SELECT unnest(range(0, 4)) AS s) s
+       |      CROSS JOIN cb c),
+       |a AS (SELECT vec_id, s, code, d2, row_number() OVER (
+       |        PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM d),
+       |codes AS (SELECT vec_id,
+       |    max(CASE WHEN s = 0 THEN code END) AS c0,
+       |    max(CASE WHEN s = 1 THEN code END) AS c1,
+       |    max(CASE WHEN s = 2 THEN code END) AS c2,
+       |    max(CASE WHEN s = 3 THEN code END) AS c3
+       |  FROM a WHERE rn = 1 GROUP BY vec_id)""".stripMargin
+  }
+
   /** x65 — product-quantization code assignment: the embedding is cut
     * into 4×16-dim subvectors, each assigned to its nearest of 8
     * codebook entries by L2² — compressing 64 floats (256 B) to 4 bytes
-    * for the memory-resident ANN index a 100 TB embedding corpus
-    * needs (the IVF lists of x34 hold PQ codes, not raw vectors, at
-    * scale). The codebook here is seeded from vec_id 1..8 (literal,
-    * broadcast into the expression exactly like x34's quantizer — a
-    * trained codebook plugs into the same Lloyd's loop x34 uses).
+    * for the memory-resident ANN index a 100 TB embedding corpus needs
+    * (at scale the IVF lists of x34 hold PQ codes, not raw vectors).
     * Distances are sequential double folds rounded at 6dp before the
-    * argmin; ties break to the smallest code on both engines
-    * (array_min struct ordering == ORDER BY d2, code). Assignment is
-    * pure map-side scan-stage compute. */
+    * argmin; ties break to the smallest code on both engines. The
+    * assignment is pure map-side scan-stage compute. */
   private def x65 = Q(
     (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      // 8 codebook rows × 64 dims, collected once (same pattern as
-      // x34's trainCentroids: a bounded dim-table collect, not data)
-      val codebook: Seq[(Long, IndexedSeq[Double])] = e
-        .filter(col("vec_id").between(1, 8))
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
-        .sortBy(_._1).toSeq
-      def sub(v: Column, s: Int): Column =
-        slice(Vectors.toDouble(v), s * 16 + 1, 16)
-      def d2(a: Column, b: IndexedSeq[Double]): Column =
-        aggregate(zip_with(a, typedlit(b), (x, y) => (x - y) * (x - y)),
-          lit(0.0), _ + _)
-      def code(s: Int): Column = array_min(
-        array(codebook.map { case (cid, ce) =>
-          struct(pround(d2(sub(col("embedding"), s), ce.slice(s * 16, s * 16 + 16)), 6)
-            .as("d2"), lit(cid).as("code"))
-        }: _*)).getField("code")
-      e.select(col("vec_id"), code(0).as("c0"), code(1).as("c1"),
-          code(2).as("c2"), code(3).as("c3"))
+      val codebook = pqCodebook(s, dir)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), pqCode(codebook, 0).as("c0"),
+          pqCode(codebook, 1).as("c1"), pqCode(codebook, 2).as("c2"),
+          pqCode(codebook, 3).as("c3"))
         .orderBy("vec_id")
     },
-    Some {
-      val dims = "(SELECT unnest(range(1, 17)) AS i)"
-      def diff = "(CAST(e.embedding[s.s*16 + d.i] AS DOUBLE) - " +
-        "CAST(c.embedding[s.s*16 + d.i] AS DOUBLE))"
-      s"""WITH cb AS (SELECT vec_id AS code, embedding FROM embeddings
-         |            WHERE vec_id BETWEEN 1 AND 8),
-         |d AS (SELECT e.vec_id, s.s, c.code,
-         |        ${duckRound(
-             s"(SELECT sum($diff * $diff) FROM $dims d)", 6)} AS d2
-         |      FROM embeddings e
-         |      CROSS JOIN (SELECT unnest(range(0, 4)) AS s) s
-         |      CROSS JOIN cb c),
-         |a AS (SELECT vec_id, s, code, row_number() OVER (
-         |        PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM d)
-         |SELECT vec_id,
-         |  max(CASE WHEN s = 0 THEN code END) AS c0,
-         |  max(CASE WHEN s = 1 THEN code END) AS c1,
-         |  max(CASE WHEN s = 2 THEN code END) AS c2,
-         |  max(CASE WHEN s = 3 THEN code END) AS c3
-         |FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
-    },
+    Some(s"""WITH $duckPqChain
+            |SELECT vec_id, c0, c1, c2, c3 FROM codes ORDER BY vec_id""".stripMargin),
     "product quantization: 4×16-dim subspaces, 8-entry codebook, map-side argmin assignment")
+
+  /** x67 — ANN over PQ codes by asymmetric distance (ADC): the query
+    * precomputes a 4×8 distance table (its rounded L2² to every
+    * codebook entry per subspace — one bounded single-row frame,
+    * broadcast), and each corpus vector's approximate distance is four
+    * O(1) table lookups by its x65 codes summed in a FIXED left-assoc
+    * order (parity: float addition isn't associative, so the oracle
+    * adds in the same written order). This is the scan shape that makes
+    * 100 TB ANN affordable: the per-vector work is 4 byte-indexed
+    * lookups instead of a 64-dim float loop, and the raw vectors never
+    * leave storage. Top-5 is a distributed heap. */
+  private def x67 = Q(
+    (s, dir) => {
+      val codebook = pqCodebook(s, dir)
+      val e = t(s, dir, "embeddings")
+      // query-side ADC table: dt_s[code] = d2(q_sub_s, cb[code]_sub_s)
+      def dt(s0: Int): Column = array(codebook.map { case (_, ce) =>
+        pqD2(pqSub(col("embedding"), s0), ce.slice(s0 * 16, s0 * 16 + 16))
+      }: _*)
+      val q = e.filter(col("vec_id") === 0)
+        .select(dt(0).as("dt0"), dt(1).as("dt1"), dt(2).as("dt2"), dt(3).as("dt3"))
+      e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), pqCode(codebook, 0).as("c0"),
+          pqCode(codebook, 1).as("c1"), pqCode(codebook, 2).as("c2"),
+          pqCode(codebook, 3).as("c3"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          (element_at(col("dt0"), col("c0").cast("int")) +
+            element_at(col("dt1"), col("c1").cast("int")) +
+            element_at(col("dt2"), col("c2").cast("int")) +
+            element_at(col("dt3"), col("c3").cast("int"))).as("adc"))
+        .orderBy(asc("adc"), asc("vec_id"))
+        .limit(5)
+    },
+    Some(s"""WITH $duckPqChain,
+            |qd AS (SELECT s, code, d2 FROM d WHERE vec_id = 0)
+            |SELECT c.vec_id,
+            |  ((q0.d2 + q1.d2) + q2.d2) + q3.d2 AS adc
+            |FROM codes c
+            |JOIN qd q0 ON q0.s = 0 AND q0.code = c.c0
+            |JOIN qd q1 ON q1.s = 1 AND q1.code = c.c1
+            |JOIN qd q2 ON q2.s = 2 AND q2.code = c.c2
+            |JOIN qd q3 ON q3.s = 3 AND q3.code = c.c3
+            |WHERE c.vec_id <> 0
+            |ORDER BY adc, c.vec_id LIMIT 5""".stripMargin),
+    "PQ asymmetric-distance ANN: broadcast 4×8 query table, per-vector cost = 4 indexed lookups")
 
   /** x66 — corpus-rarity score (mean inverse unigram frequency): the
     * cheap importance signal curation pipelines use to up-weight
@@ -202,5 +268,6 @@ object Curation {
     "x63_token_diversity" -> x63,
     "x64_weighted_sample" -> x64,
     "x65_pq_codes" -> x65,
-    "x66_rarity_score" -> x66)
+    "x66_rarity_score" -> x66,
+    "x67_ann_adc" -> x67)
 }

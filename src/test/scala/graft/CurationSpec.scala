@@ -48,6 +48,22 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("x67: ADC search broadcasts the query table and plans a heap") {
+    val p = plan("x67_ann_adc")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 4×8 distance table must broadcast")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("x67: ADC distances are non-negative and ascending") {
+    val rows = df("x67_ann_adc").collect()
+    assert(rows.length == 5)
+    val ds = rows.map(_.getDouble(1))
+    assert(ds.forall(_ >= 0.0))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+  }
+
   test("x66: rarity is bounded below by 1 and vocabulary join stays one pass") {
     val rows = df("x66_rarity_score").collect()
     rows.foreach(r => assert(r.getDouble(2) >= 1.0,
