@@ -117,21 +117,29 @@ object Curation {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
       .sortBy(_._1).toSeq
 
-  /** 16-dim subvector `s` (0-based) of an array<float> column, widened. */
-  private def pqSub(v: Column, s: Int): Column =
-    slice(Vectors.toDouble(v), s * 16 + 1, 16)
+  /** Stage the 4 widened 16-dim subvectors as their own columns ONCE
+    * per row. The 8 per-codebook-entry folds for a subspace then read
+    * the staged attribute instead of re-evaluating
+    * slice(transform(embedding)) — higher-order functions are
+    * interpreted, so without staging the widening ran 32× per row
+    * (CollapseProject keeps the staging Project because the aliases
+    * are non-cheap and multiply referenced). */
+  private def withPqSubs(df: DataFrame): DataFrame =
+    (0 to 3).foldLeft(df)((d, s) =>
+      d.withColumn(s"sub$s", slice(Vectors.toDouble(col("embedding")), s * 16 + 1, 16)))
 
-  /** Sequential-fold L2² against a literal subvector, rounded at 6dp —
-    * the exact fold the DuckDB twin replays. */
+  /** Sequential-fold L2² of a staged subvector column against a literal
+    * subvector, rounded at 6dp — the exact fold the DuckDB twin replays. */
   private def pqD2(a: Column, b: IndexedSeq[Double]): Column =
     pround(aggregate(zip_with(a, typedlit(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), _ + _), 6)
 
-  /** Argmin code for subspace `s`: array_min struct ordering = smallest
-    * d2, ties to the smallest code (oracle: ORDER BY d2, code). */
+  /** Argmin code for subspace `s` over the staged `sub{s}` column:
+    * array_min struct ordering = smallest d2, ties to the smallest code
+    * (oracle: ORDER BY d2, code). */
   private def pqCode(codebook: Seq[(Long, IndexedSeq[Double])], s: Int): Column =
     array_min(array(codebook.map { case (cid, ce) =>
-      struct(pqD2(pqSub(col("embedding"), s), ce.slice(s * 16, s * 16 + 16))
+      struct(pqD2(col(s"sub$s"), ce.slice(s * 16, s * 16 + 16))
         .as("d2"), lit(cid).as("code"))
     }: _*)).getField("code")
 
@@ -171,7 +179,7 @@ object Curation {
   private def x65 = Q(
     (s, dir) => {
       val codebook = pqCodebook(s, dir)
-      t(s, dir, "embeddings")
+      withPqSubs(t(s, dir, "embeddings"))
         .select(col("vec_id"), pqCode(codebook, 0).as("c0"),
           pqCode(codebook, 1).as("c1"), pqCode(codebook, 2).as("c2"),
           pqCode(codebook, 3).as("c3"))
@@ -194,10 +202,10 @@ object Curation {
   private def x67 = Q(
     (s, dir) => {
       val codebook = pqCodebook(s, dir)
-      val e = t(s, dir, "embeddings")
+      val e = withPqSubs(t(s, dir, "embeddings"))
       // query-side ADC table: dt_s[code] = d2(q_sub_s, cb[code]_sub_s)
       def dt(s0: Int): Column = array(codebook.map { case (_, ce) =>
-        pqD2(pqSub(col("embedding"), s0), ce.slice(s0 * 16, s0 * 16 + 16))
+        pqD2(col(s"sub$s0"), ce.slice(s0 * 16, s0 * 16 + 16))
       }: _*)
       val q = e.filter(col("vec_id") === 0)
         .select(dt(0).as("dt0"), dt(1).as("dt1"), dt(2).as("dt2"), dt(3).as("dt3"))
