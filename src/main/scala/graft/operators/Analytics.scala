@@ -231,6 +231,47 @@ object Analytics {
            |GROUP BY 1 ORDER BY r_name""".stripMargin),
     "ordered string_agg via in-row array_sort; deterministic without a global sort")
 
+  /** q41 — NOT IN versus NOT EXISTS under NULLs, the classic ANSI
+    * three-valued-logic trap: one NULL in the NOT IN list makes the
+    * predicate UNKNOWN for every probe row (0 rows survive), while the
+    * anti-join reading keeps matching. Both variants in one output so
+    * the semantic cliff is an oracle-checked VALUE. Physically BOTH
+    * variants lower to Catalyst's null-aware anti join (the trailing
+    * `true` on the BroadcastHashJoin) because o_custkey is
+    * nullable-TYPED — NAAJ is broadcast-only by design, so at scale the
+    * fix is `WHERE x IS NOT NULL` (or a non-nullable schema) in the
+    * subquery, restoring the shuffle-able plain anti join. */
+  private def q41 = Q(
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q41_customer")
+      t(s, dir, "orders").createOrReplaceTempView("q41_orders")
+      s.sql("""SELECT 'clean_list' AS variant, count(*) AS n
+              |FROM q41_customer
+              |WHERE c_custkey NOT IN
+              |  (SELECT o_custkey FROM q41_orders WHERE o_orderpriority = '5-LOW')
+              |UNION ALL
+              |SELECT 'null_poisoned' AS variant, count(*) AS n
+              |FROM q41_customer
+              |WHERE c_custkey NOT IN
+              |  (SELECT CASE WHEN o_totalprice > 100000 THEN NULL
+              |               ELSE o_custkey END
+              |   FROM q41_orders WHERE o_orderpriority = '5-LOW')
+              |ORDER BY variant""".stripMargin)
+    },
+    Some("""SELECT 'clean_list' AS variant, count(*) AS n
+           |FROM customer
+           |WHERE c_custkey NOT IN
+           |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+           |UNION ALL
+           |SELECT 'null_poisoned' AS variant, count(*) AS n
+           |FROM customer
+           |WHERE c_custkey NOT IN
+           |  (SELECT CASE WHEN o_totalprice > 100000 THEN NULL
+           |               ELSE o_custkey END
+           |   FROM orders WHERE o_orderpriority = '5-LOW')
+           |ORDER BY variant""".stripMargin),
+    "NOT IN three-valued logic: clean list = anti hash join, NULL-poisoned list = null-aware anti join")
+
   val queries: Map[String, Q] = Map(
     "q33_intersect" -> q33,
     "q34_cube" -> q34,
@@ -239,5 +280,6 @@ object Analytics {
     "q37_exists_subquery" -> q37,
     "q38_running_window" -> q38,
     "q39_ntile_buckets" -> q39,
-    "q40_string_agg" -> q40)
+    "q40_string_agg" -> q40,
+    "q41_not_in_nulls" -> q41)
 }

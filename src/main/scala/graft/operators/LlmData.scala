@@ -1989,6 +1989,44 @@ object LlmData {
               |            ELSE 0 END AS BIGINT) AS closure_micro
               |FROM (SELECT count(*) AS w_cnt FROM w),
               |     (SELECT count(*) AS t_cnt FROM tri)""".stripMargin),
-      "triangle census of the LSH candidate graph: compact-forward orientation, O(sqrt(E)) wedge fan-out")
+      "triangle census of the LSH candidate graph: compact-forward orientation, O(sqrt(E)) wedge fan-out"),
+
+    // ── X3h: quantizer distortion audit (k-means quality) ─────────────
+    // "Measure, don't guess" for the IVF quantizer itself: per cluster,
+    // member count + mean and worst (frontier) cosine-to-centroid. The
+    // tuning dial for K and the Lloyd's round count — a distortion that
+    // stops improving says the quantizer converged; a cluster whose
+    // min_cos is far below its mean says its list straddles modes and
+    // recall will pay. Reuses the SAME trained centroids + assignment
+    // the retrieval queries use (trainedCentroids/ivfScored, duckIvfChain)
+    // so the audit can't drift from the index it audits. Cosines are
+    // summed as exact MICRO-unit integers (pround(·,6)·1e6 is integral
+    // up to ulp and both engines round it to the same integer), so the
+    // per-cluster mean is order-free + one division.
+    "x68_quantizer_distortion" -> Q(
+      (s, dir) => {
+        val scored = ivfScored(trainedCentroids(s, dir)) _
+        t(s, dir, "embeddings")
+          .withColumn("best", array_max(scored(col("embedding"))))
+          .select(col("best").getField("cid").as("cid"),
+            round(col("best").getField("ccos") * 1000000.0, 0)
+              .cast("long").as("cc_micro"))
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_members"),
+            (sum("cc_micro").cast("double") /
+              (count(lit(1)) * 1000000.0)).as("mean_cos"),
+            (min("cc_micro").cast("double") / 1000000.0).as("min_cos"))
+          .orderBy("cid")
+      },
+      Some(s"""WITH $duckIvfChain,
+              |sc AS (SELECT a.vec_id, a.cid,
+              |         CAST(round(${duckRound(duckCosine("a.embedding", "c.ce"), 6)}
+              |           * 1000000.0, 0) AS BIGINT) AS cc_micro
+              |       FROM asg a JOIN c2 c ON a.cid = c.cid)
+              |SELECT cid, count(*) AS n_members,
+              |  CAST(sum(cc_micro) AS DOUBLE) / (count(*) * 1000000.0) AS mean_cos,
+              |  CAST(min(cc_micro) AS DOUBLE) / 1000000.0 AS min_cos
+              |FROM sc GROUP BY cid ORDER BY cid""".stripMargin),
+      "IVF quantizer distortion: per-cluster mean/frontier cosine in exact micro-units; shares the trained assignment")
   )
 }

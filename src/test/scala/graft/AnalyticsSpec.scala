@@ -56,6 +56,18 @@ class AnalyticsSpec extends SparkSpec {
       "frames must reuse the user_id partitioning, not reshuffle per frame")
   }
 
+  test("q41: NOT IN lowers to null-aware anti joins; the poisoned variant returns 0") {
+    val d = SparkEntry.queries("q41_not_in_nulls")(spark, sf0001)
+    val p = d.queryExecution.executedPlan.toString
+    // NAAJ prints as the trailing `true` flag on the broadcast anti join
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"expected null-aware anti joins, got:\n${p.take(1500)}")
+    val rows = d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("null_poisoned") == 0L,
+      "one NULL in the NOT IN list must empty the result (3VL)")
+    assert(rows("clean_list") > 0L)
+  }
+
   test("q39: ntile bucketing agrees with manual quartile arithmetic") {
     val out = SparkEntry.queries("q39_ntile_buckets")(spark, sf0001).collect()
     assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))

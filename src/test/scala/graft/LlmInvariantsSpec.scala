@@ -14,6 +14,18 @@ class LlmInvariantsSpec extends SparkSpec {
   private def run(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sf0001)
 
+  test("x68: quantizer distortion partitions the corpus; frontier below mean") {
+    val rows = run("x68_quantizer_distortion").collect()
+    assert(rows.map(_.getLong(1)).sum == 500L,
+      "cluster members must partition the embedding corpus")
+    rows.foreach { r =>
+      val (n, mean, min) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(n >= 1)
+      assert(min <= mean + 1e-9, s"frontier cosine above the mean in ${r.getLong(0)}")
+      assert(mean <= 1.000001 && min >= -1.000001)
+    }
+  }
+
   test("x37: per-stratum sample counts are bounded and rates lie in [0,1]") {
     val rows = run("x37_stratified_sample").collect()
     assert(rows.nonEmpty)
