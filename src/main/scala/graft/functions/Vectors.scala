@@ -35,6 +35,18 @@ object Vectors {
   def cosineFused(a: Column, b: Column): Column =
     dotFused(a, b) / (normFused(a) * normFused(b))
 
+  /** Declarative forms over raw `array<float>` columns: widen + HOF
+    * fold — pure builtin Spark, runs correctly on ANY session. On a
+    * session with GraftExtensions, `FuseDotProductRule` rewrites each
+    * dot to the native kernel (bit-equal by construction), so query
+    * modules write THESE and the session supplies the performance;
+    * the *Fused variants remain for callers that must fail loudly
+    * when the extension is absent. */
+  def dotDecl(a: Column, b: Column): Column = dot(toDouble(a), toDouble(b))
+  def normDecl(a: Column): Column = sqrt(dotDecl(a, a))
+  def cosineDecl(a: Column, b: Column): Column =
+    dotDecl(a, b) / (normDecl(a) * normDecl(b))
+
   /** Sign-LSH bucket key: the sign bits of the first `bits` dimensions
     * as a '0'/'1' string (random-hyperplane LSH with coordinate-axis
     * planes). Vectors on the same side of all sampled axes share a

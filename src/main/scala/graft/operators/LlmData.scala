@@ -97,10 +97,12 @@ object LlmData {
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
   /** Spark-side rounded cosine between two array<float> columns —
-    * the fused native kernel (bit-equal to the HOF formulation and the
-    * oracle's fold; see FusedDotSpec), portably rounded. */
+    * written DECLARATIVELY (widen + HOF folds); on the project session
+    * FuseDotProductRule rewrites each dot to the native fused kernel,
+    * bit-equal to this formulation and to the oracle's fold (see
+    * FusedDotSpec / FuseDotRuleSpec), portably rounded. */
   private def cosine6(a: Column, b: Column): Column =
-    pround(Vectors.cosineFused(a, b), 6)
+    pround(Vectors.cosineDecl(a, b), 6)
 
   // ── shared ANN pipelines (x24 / x25 / x34 / x35) ────────────────────
   // ONE definition per retrieval method, used both by the method's own
@@ -975,7 +977,7 @@ object LlmData {
             col("doc.n_chars").as("n_chars"),
             col("vec.label").as("label"),
             size(col("vec.embedding")).as("dim"),
-            pround(Vectors.normFused(col("vec.embedding")), 6).as("emb_norm"))
+            pround(Vectors.normDecl(col("vec.embedding")), 6).as("emb_norm"))
           .orderBy("doc_id")
       },
       Some(s"""SELECT doc_id, lang, n_chars, label,

@@ -20,8 +20,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * accumulation order (so results are bit-equal to the HOF path and to
   * the DuckDB oracle's fold).
   *
-  * Assumes non-null array elements (embedding vectors); null arrays
-  * propagate null via the BinaryExpression null contract.
+  * Null contract matches the HOF chain EXACTLY: null input arrays
+  * propagate null (BinaryExpression contract), and a null ELEMENT
+  * anywhere poisons the result to null — the same way zip_with's
+  * null products turn the aggregate fold null. That exactness is what
+  * lets FuseDotProductRule rewrite the declarative form soundly (file
+  * scans force containsNull=true regardless of the declared schema, so
+  * the rule cannot rely on the type to exclude null elements).
   */
 case class FusedDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -54,6 +59,7 @@ case class FusedDotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -72,9 +78,10 @@ case class FusedDotProduct(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
          |""".stripMargin
     })
@@ -116,6 +123,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // declarative HOF dot products fuse to the native kernel — query
+    // modules write aggregate(zip_with(...)) and the session supplies
+    // the performance (see FuseDotProductRule)
+    ext.injectOptimizerRule(_ => FuseDotProductRule)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FusedDotProduct].getName, "graft_dot"),

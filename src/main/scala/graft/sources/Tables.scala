@@ -92,6 +92,9 @@ object Tables {
 
   val embeddings = StructType(Seq(
     StructField("vec_id", LongType),
+    // file scans force containsNull = true on read regardless of what
+    // is declared here — FuseDotProductRule stays sound under that by
+    // being null-element-exact, not by relying on this type
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
