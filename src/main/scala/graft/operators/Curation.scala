@@ -272,10 +272,80 @@ object Curation {
            |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin),
     "mean inverse unigram frequency: integer milli-rarity sum, one division; vocab join + doc re-agg")
 
+  /** x69 — SymSpell-style fuzzy token matching (deletion-neighborhood
+    * blocking): candidate pairs come from EQUALITY on 1-deletion
+    * variant keys — O(len) keys per word, a hash join, never an
+    * all-pairs edit-distance scan (the blocking trick that makes fuzzy
+    * entity resolution feasible at corpus scale) — then the exact
+    * levenshtein ≤ 1 confirm runs only inside the blocked candidates.
+    * The synthetic vocabulary has no natural near-misses, so the query
+    * SEEDS one deterministic typo per ≥4-char vocab word (drop the 2nd
+    * char — explicitly: the op under test is the fuzzy join, not the
+    * corpus) and recovers the best correction by support count;
+    * `recovered` reports whether the true source word won — an
+    * oracle-checked accuracy value. Ranking is total ((c, w) ties
+    * broken lexically); every step is string ops + integer counts. */
+  private def x69 = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def keysOf(w: Column): Column = array_union(
+        transform(sequence(lit(1), length(w)),
+          i => concat(w.substr(lit(1), i - 1), w.substr(i + 1, length(w)))),
+        array(w))
+      val v = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .filter(length(col("w")) >= 3)
+      val vk = v.select(col("w"), col("c"), explode(keysOf(col("w"))).as("key"))
+      val typos = v.filter(length(col("w")) >= 4)
+        .select(col("w").as("orig"),
+          concat(col("w").substr(lit(1), lit(1)),
+            col("w").substr(lit(3), length(col("w")))).as("typo"))
+      val cand = typos
+        .select(col("orig"), col("typo"), explode(keysOf(col("typo"))).as("key"))
+        .join(vk, "key")
+        .filter(col("w") =!= col("typo") &&
+          levenshtein(col("typo"), col("w")) <= 1)
+        .select("orig", "typo", "w", "c").distinct()
+      cand
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("orig", "typo").orderBy(desc("c"), asc("w"))))
+        .filter(col("rn") === 1)
+        .select(col("orig"), col("typo"), col("w").as("suggestion"),
+          col("c").as("sup_count"), (col("w") === col("orig")).as("recovered"))
+        .orderBy("orig", "typo")
+    },
+    Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+           |v AS (SELECT w, count(*) AS c FROM toks GROUP BY 1 HAVING len(w) >= 3),
+           |vk AS (SELECT w, c, unnest(list_distinct(list_append(
+           |         list_transform(range(1, len(w) + 1),
+           |           i -> substr(w, 1, CAST(i - 1 AS INTEGER))
+           |                || substr(w, CAST(i + 1 AS INTEGER))), w))) AS key
+           |       FROM v),
+           |ty AS (SELECT w AS orig,
+           |         substr(w, 1, 1) || substr(w, 3) AS typo
+           |       FROM v WHERE len(w) >= 4),
+           |tk AS (SELECT orig, typo, unnest(list_distinct(list_append(
+           |         list_transform(range(1, len(typo) + 1),
+           |           i -> substr(typo, 1, CAST(i - 1 AS INTEGER))
+           |                || substr(typo, CAST(i + 1 AS INTEGER))), typo))) AS key
+           |       FROM ty),
+           |cand AS (SELECT DISTINCT t.orig, t.typo, v.w, v.c
+           |         FROM tk t JOIN vk v ON t.key = v.key
+           |         WHERE v.w <> t.typo AND levenshtein(t.typo, v.w) <= 1),
+           |r AS (SELECT orig, typo, w, c, row_number() OVER (
+           |        PARTITION BY orig, typo ORDER BY c DESC, w) AS rn
+           |      FROM cand)
+           |SELECT orig, typo, w AS suggestion, c AS sup_count,
+           |  (w = orig) AS recovered
+           |FROM r WHERE rn = 1 ORDER BY orig, typo""".stripMargin),
+    "SymSpell fuzzy join: 1-deletion key blocking (hash join, never all-pairs), exact levenshtein confirm, support-ranked correction")
+
   val queries: Map[String, Q] = Map(
     "x63_token_diversity" -> x63,
     "x64_weighted_sample" -> x64,
     "x65_pq_codes" -> x65,
     "x66_rarity_score" -> x66,
-    "x67_ann_adc" -> x67)
+    "x67_ann_adc" -> x67,
+    "x69_symdel_fuzzy" -> x69)
 }

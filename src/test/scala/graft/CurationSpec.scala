@@ -64,6 +64,30 @@ class CurationSpec extends SparkSpec {
     assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
   }
 
+  test("x69: fuzzy matching blocks on deletion keys — no cartesian, no nested loop") {
+    val p = plan("x69_symdel_fuzzy")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be a key-equality join")
+  }
+
+  test("x69: every suggested correction is within edit distance 1") {
+    val rows = df("x69_symdel_fuzzy").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (typo, sug) = (r.getString(1), r.getString(2))
+      // the confirm filter's own guarantee, re-checked independently
+      assert(levenshtein(typo, sug) <= 1, s"$typo -> $sug")
+    }
+  }
+
+  private def levenshtein(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("x66: rarity is bounded below by 1 and vocabulary join stays one pass") {
     val rows = df("x66_rarity_score").collect()
     rows.foreach(r => assert(r.getDouble(2) >= 1.0,
