@@ -272,6 +272,76 @@ object Analytics {
            |ORDER BY variant""".stripMargin),
     "NOT IN three-valued logic: clean list = anti hash join, NULL-poisoned list = null-aware anti join")
 
+  /** q42 — time-series linear interpolation (q27's gap fill
+    * reconstructs COUNTS as zero; this reconstructs a VALUE series
+    * between knots — the resample→interpolate step that aligns sparse
+    * signals before feature extraction). The daily series is
+    * deliberately downsampled to every-3rd-day knots (a sparse sensor
+    * read), then every calendar day gets prev/next knot via
+    * ignoreNulls window frames and the interior days interpolate in
+    * pure INTEGER cents: prev + ((next−prev)·pos) div len — no float
+    * until the final single division, so both engines reconstruct
+    * bit-identically. Ends carry the nearest knot. The windows are
+    * global but POST-aggregation (30 rows, the q27/W1 discipline);
+    * the heavy work — the daily aggregation — shuffles once on day. */
+  private def q42 = Q(
+    (s, dir) => {
+      val knots = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy("day").agg(sum("cents").as("v"))
+        .filter(dayofmonth(col("day")) % 3 === 0)
+      val calendar = s.range(1)
+        .select(explode(sequence(
+          to_date(lit("2024-01-01")), to_date(lit("2024-01-30")))).as("day"))
+      val w = Window.orderBy("day")
+      val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      calendar.join(knots, Seq("day"), "left")
+        .select(col("day"), col("v"),
+          last(col("v"), ignoreNulls = true).over(back).as("pv"),
+          last(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+            .over(back).as("pd"),
+          first(col("v"), ignoreNulls = true).over(fwd).as("nv"),
+          first(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+            .over(fwd).as("nd"))
+        .select(col("day"), col("v").isNotNull.as("is_knot"),
+          (when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv") + expr(
+                "((nv - pv) * datediff(day, pd)) div datediff(nd, pd)"))
+            .when(col("pv").isNotNull, col("pv"))
+            .otherwise(col("nv")) / 100.0).as("interp_value"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(ts AS DATE) AS day,
+           |         sum(CAST(round(value * 100, 0) AS BIGINT)) AS v
+           |  FROM events GROUP BY 1),
+           |knots AS (SELECT * FROM daily WHERE extract(day FROM day) % 3 = 0),
+           |calendar AS (
+           |  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+           |                                     INTERVAL 1 DAY)) AS DATE) AS day),
+           |j AS (SELECT c.day, k.v,
+           |        last_value(k.v IGNORE NULLS) OVER
+           |          (ORDER BY c.day ROWS UNBOUNDED PRECEDING) AS pv,
+           |        last_value(CASE WHEN k.v IS NOT NULL THEN c.day END IGNORE NULLS)
+           |          OVER (ORDER BY c.day ROWS UNBOUNDED PRECEDING) AS pd,
+           |        first_value(k.v IGNORE NULLS) OVER
+           |          (ORDER BY c.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           |        first_value(CASE WHEN k.v IS NOT NULL THEN c.day END IGNORE NULLS)
+           |          OVER (ORDER BY c.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+           |      FROM calendar c LEFT JOIN knots k ON c.day = k.day)
+           |SELECT day, (v IS NOT NULL) AS is_knot,
+           |  (CASE WHEN v IS NOT NULL THEN v
+           |        WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+           |          pv + ((nv - pv) * date_diff('day', pd, day))
+           |               // date_diff('day', pd, nd)
+           |        WHEN pv IS NOT NULL THEN pv
+           |        ELSE nv END) / 100.0 AS interp_value
+           |FROM j ORDER BY day""".stripMargin),
+    "linear interpolation between every-3rd-day knots: integer cents arithmetic, ignoreNulls frames, post-agg windows")
+
   val queries: Map[String, Q] = Map(
     "q33_intersect" -> q33,
     "q34_cube" -> q34,
@@ -281,5 +351,6 @@ object Analytics {
     "q38_running_window" -> q38,
     "q39_ntile_buckets" -> q39,
     "q40_string_agg" -> q40,
-    "q41_not_in_nulls" -> q41)
+    "q41_not_in_nulls" -> q41,
+    "q42_interpolate" -> q42)
 }

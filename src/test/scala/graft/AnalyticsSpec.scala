@@ -68,6 +68,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows("clean_list") > 0L)
   }
 
+  test("q42: interpolated days lie between their knots; ends carry the nearest knot") {
+    val rows = SparkEntry.queries("q42_interpolate")(spark, sf0001).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getBoolean(1), r.getDouble(2)))
+    assert(rows.length == 30)
+    val knots = rows.filter(_._2).map(r => r._1 -> r._3)
+    assert(knots.nonEmpty)
+    rows.filterNot(_._2).foreach { case (d, _, v) =>
+      val prev = knots.filter(_._1.isBefore(d)).lastOption
+      val next = knots.find(_._1.isAfter(d))
+      (prev, next) match {
+        case (Some((_, a)), Some((_, b))) =>
+          assert(v >= math.min(a, b) - 1e-9 && v <= math.max(a, b) + 1e-9,
+            s"$d: $v outside [$a, $b]")
+        case (Some((_, a)), None) => assert(v == a, s"tail must carry last knot")
+        case (None, Some((_, b))) => assert(v == b, s"head must carry first knot")
+        case _ => fail("no knots")
+      }
+    }
+  }
+
   test("q39: ntile bucketing agrees with manual quartile arithmetic") {
     val out = SparkEntry.queries("q39_ntile_buckets")(spark, sf0001).collect()
     assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
