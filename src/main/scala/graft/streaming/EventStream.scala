@@ -208,6 +208,81 @@ object EventStream {
           col("n"), col("sum_value")),
       checkpointDir, outDir)
 
+  /** One open session per user, carried in the state store. */
+  final case class SessionState(startMicros: Long, lastMicros: Long,
+      n: Long, sumCents: Long)
+  final case class ClosedSession(user_id: Long, session_start_micros: Long,
+      n: Long, sum_value: Double)
+
+  /** Explicit stateful sessionization via `flatMapGroupsWithState` +
+    * event-time timeout — the state-machine form of q24/sessionRollup:
+    * a session row is emitted exactly once, WHEN IT CLOSES (a successor
+    * event arrives more than 30 minutes later — the same strict-gap
+    * rule as q24 — or the event-time timeout fires once the watermark
+    * passes last_event + gap). Each user's state is exactly one open
+    * session; the timeout bounds it, so state size is |active users|,
+    * never event volume. Compare sessionRollup: the windowed-agg form
+    * re-snapshots every session per drain, this form streams each
+    * session downstream once — the shape an incremental training-data
+    * feed wants. Events inside a batch are folded in (ts, cents) order,
+    * which reproduces q24's session boundaries exactly (sums are
+    * order-free cents integers). */
+  def closedSessions(spark: SparkSession, srcDir: String, checkpointDir: String,
+      outDir: String): StreamingQuery = {
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val gapMicros = 30L * 60 * 1000000
+    // the watermarked ts attribute must SURVIVE into the grouped
+    // Dataset (projecting it away detaches the watermark and the
+    // analyzer rejects the event-time timeout)
+    val events = readEvents(spark, srcDir, archiveDir = None)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsm"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+    val closed = events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid, rows, state) =>
+          def emit(s: SessionState) =
+            ClosedSession(uid, s.startMicros, s.n, s.sumCents / 100.0)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(emit)
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.map(r => (r._3, r._4)).toSeq.sorted
+            var cur = state.getOption
+            val out = Seq.newBuilder[ClosedSession]
+            sorted.foreach { case (ts, cents) =>
+              cur match {
+                case Some(s) if ts - s.lastMicros > gapMicros =>
+                  out += emit(s)
+                  cur = Some(SessionState(ts, ts, 1L, cents))
+                case Some(s) =>
+                  cur = Some(s.copy(lastMicros = ts, n = s.n + 1,
+                    sumCents = s.sumCents + cents))
+                case None =>
+                  cur = Some(SessionState(ts, ts, 1L, cents))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // fires when the watermark passes the strict-gap boundary
+              state.setTimeoutTimestamp(s.lastMicros / 1000 + gapMicros / 1000 + 1)
+            }
+            out.result().iterator
+          }
+      }
+    closed.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Per-user running state carried in the state store. */
   final case class UserState(count: Long, lastTsMicros: Long)
   final case class UserSummary(user_id: Long, n_events: Long, last_seen_micros: Long)

@@ -67,6 +67,39 @@ class StreamingSpec extends SparkSpec {
     assert(afterSecond == perUserBatch.map { case (k, v) => k -> v * 2 })
   }
 
+  test("flatMapGroupsWithState sessionizer emits exactly the q24 sessions a successor closed") {
+    val src = tmp("fsess-src"); val out = tmp("fsess-out"); val ckpt = tmp("fsess-ckpt")
+    Files.copy(eventsFile, Paths.get(src, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    EventStream.closedSessions(spark, src, ckpt, out).awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // batch truth: q24's sessions, minus the sessions STILL OPEN at the
+    // final watermark — AvailableNow runs a trailing no-data microbatch
+    // in which the event-time timeout closes every session whose gap
+    // boundary the watermark (= global max event time) has passed, so
+    // the only retained sessions are those of users whose last event
+    // lies within the gap of the stream's end
+    val gapMicros = 30L * 60 * 1000000
+    val raw = spark.read.parquet(s"$src/events.parquet")
+      .select(col("user_id"), expr("ts div 1000").as("tsm"))
+      .groupBy("user_id").agg(max("tsm").as("last"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wm = raw.values.max
+    val stillOpen = raw.filter { case (_, t) => t + gapMicros >= wm }.keySet
+    val batch = SparkEntry.queries("q24_session_windows")(spark, sf0001)
+      .collect().map(r => (r.getLong(0),
+        r.getTimestamp(1).toInstant.toEpochMilli * 1000 +
+          (r.getTimestamp(1).getNanos / 1000) % 1000,
+        r.getLong(2), r.getDouble(3)))
+    val openSessions = batch.groupBy(_._1).collect {
+      case (u, ss) if stillOpen(u) => ss.maxBy(_._2)
+    }.toSet
+    assert(streamed == batch.toSet -- openSessions,
+      s"streamed ${streamed.size} vs batch-closed ${(batch.toSet -- openSessions).size}")
+    assert(streamed.nonEmpty && openSessions.nonEmpty)
+  }
+
   test("session rollup equals the q24 batch twin") {
     val src = tmp("sess-src"); val out = tmp("sess-out"); val ckpt = tmp("sess-ckpt")
     Files.copy(eventsFile, Paths.get(src, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
