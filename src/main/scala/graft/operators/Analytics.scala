@@ -342,6 +342,66 @@ object Analytics {
            |FROM j ORDER BY day""".stripMargin),
     "linear interpolation between every-3rd-day knots: integer cents arithmetic, ignoreNulls frames, post-agg windows")
 
+  /** q43 — UNPIVOT (wide→long reshaping, q30's inverse) through the
+    * native Dataset.unpivot: the wide per-status quantity columns melt
+    * back to (flag, status, qty) rows. Physically an Expand (one
+    * replica per value column) over the already-aggregated wide table —
+    * rows × value-columns, bounded by the aggregate's cardinality, so
+    * the reshape costs nothing at any scale; absent combinations
+    * surface as NULL and are filtered to mirror the UNION-ALL oracle. */
+  private def q43 = Q(
+    (s, dir) => {
+      val wide = t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("l_linestatus") === "O", col("l_quantity"))).as("qty_O"),
+          sum(when(col("l_linestatus") === "F", col("l_quantity"))).as("qty_F"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("qty_O"), col("qty_F")),
+          "status_col", "qty")
+        .filter(col("qty").isNotNull)
+        .select(col("l_returnflag"),
+          substring(col("status_col"), 5, 1).as("l_linestatus"), col("qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""WITH wide AS (SELECT l_returnflag,
+           |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_O,
+           |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_F
+           |  FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag, 'O' AS l_linestatus, qty_O AS qty
+           |FROM wide WHERE qty_O IS NOT NULL
+           |UNION ALL
+           |SELECT l_returnflag, 'F' AS l_linestatus, qty_F AS qty
+           |FROM wide WHERE qty_F IS NOT NULL
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    "native Dataset.unpivot: post-aggregate Expand, the PIVOT inverse")
+
+  /** q44 — semi-structured JSON through Spark 4's VARIANT type:
+    * parse_json once (no declared schema — the schema-on-read path for
+    * payloads that drift), typed variant_get extraction, then ordinary
+    * relational aggregation. Versus q11's from_json(declared struct):
+    * VARIANT defers the schema decision to the extraction site and
+    * keeps unknown fields queryable — the trade is a binary-encoded
+    * column instead of a struct Catalyst can prune into. Extraction is
+    * map-side in the scan stage either way. */
+  private def q44 = Q(
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("k") >= 50, lit(1))).as("n_big"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+           |  count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50)
+           |    AS n_big,
+           |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin),
+    "VARIANT schema-on-read: parse_json + typed variant_get, aggregation over extracted fields")
+
   val queries: Map[String, Q] = Map(
     "q33_intersect" -> q33,
     "q34_cube" -> q34,
@@ -352,5 +412,7 @@ object Analytics {
     "q39_ntile_buckets" -> q39,
     "q40_string_agg" -> q40,
     "q41_not_in_nulls" -> q41,
-    "q42_interpolate" -> q42)
+    "q42_interpolate" -> q42,
+    "q43_unpivot" -> q43,
+    "q44_variant" -> q44)
 }

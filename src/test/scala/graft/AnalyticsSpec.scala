@@ -88,6 +88,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q43: unpivot expands AFTER the aggregate, not over raw rows") {
+    val q = SparkEntry.queries("q43_unpivot")(spark, sf0001)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("Expand"))
+    // the Expand must sit above the aggregate: the wide table is 3
+    // rows, so the reshape replicates aggregate output, never the scan
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(q.count() == 6)
+  }
+
+  test("q44: variant extraction stays a single scan with the aggregate on top") {
+    val p = plan("q44_variant")
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert(p.contains("variant_get") || p.contains("parse_json"),
+      s"expected variant path in plan:\n${p.take(1200)}")
+  }
+
   test("q39: ntile bucketing agrees with manual quartile arithmetic") {
     val out = SparkEntry.queries("q39_ntile_buckets")(spark, sf0001).collect()
     assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
