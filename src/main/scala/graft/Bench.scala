@@ -132,6 +132,15 @@ object Bench {
           org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("id")))
         .orderBy("rn").limit(5)
         .write.format("noop").mode("overwrite").save()
+      // Jackson/from_json bootstrap + regex-engine JIT + explode shape:
+      // the remaining one-time costs observed landing on whichever
+      // JSON-/regex-heavy query drew first slot (q20 6.2 s cold vs
+      // 0.9 s warm, x42 2.7 vs 0.9 in the 94-query run)
+      spark.range(100)
+        .selectExpr("""from_json('{"k": 1}', 'k BIGINT') AS j""",
+          "regexp_replace(CAST(id AS STRING), '[0-9]+', 'x') AS r",
+          "explode(split('a b c', ' ')) AS w")
+        .write.format("noop").mode("overwrite").save()
     } catch { case NonFatal(_) => () }
     // Write to the built-in noop sink so every column is materialized:
     // a bare count() lets Catalyst prune unreferenced projections and
