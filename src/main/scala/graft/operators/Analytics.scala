@@ -93,13 +93,19 @@ object Analytics {
 
   /** q36 — conditional + ordered-arg aggregates: FILTER-style counts,
     * bool_and/bool_or, and a DETERMINISTIC max_by via a composite
-    * integer ordinal (cents * 10^7 + orderkey — ties on price resolve
+    * integer ordinal (cents * 10^15 + orderkey — ties on price resolve
     * by key, so the arg-max is total; a bare max_by(x, price) is a
-    * parity landmine because tie-breaking is engine-internal). All
-    * partial-aggregable single-pass map-side combines. */
+    * parity landmine because tie-breaking is engine-internal). The
+    * ordinal rides DECIMAL(38,0) on Spark / HUGEINT on DuckDB — 64-bit
+    * arithmetic would either collide (narrow multiplier: injectivity
+    * needs orderkey < multiplier, broken at TPC-H SF >= 2 for 10^7) or
+    * overflow (wide multiplier), while 128-bit stays injective up to
+    * orderkey < 10^15 ≈ SF 10^8. All partial-aggregable single-pass
+    * map-side combines. */
   private def q36 = Q(
     (s, dir) => {
-      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val ord = round(col("o_totalprice") * 100, 0).cast("decimal(38,0)") *
+        lit(1000000000000000L).cast("decimal(38,0)") + col("o_orderkey")
       t(s, dir, "orders")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
@@ -108,8 +114,7 @@ object Analytics {
             .cast("double") / count(lit(1)), 4).as("frac_big"),
           bool_and(col("o_totalprice") > 0).as("all_pos"),
           bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
-          max_by(col("o_orderkey"), cents * 10000000L + col("o_orderkey"))
-            .as("best_order"))
+          max_by(col("o_orderkey"), ord).as("best_order"))
         .orderBy("o_orderstatus")
     },
     Some(s"""SELECT o_orderstatus, count(*) AS n,
@@ -120,8 +125,8 @@ object Analytics {
             |  bool_and(o_totalprice > 0) AS all_pos,
             |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
             |  max_by(o_orderkey,
-            |         CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000000
-            |           + o_orderkey) AS best_order
+            |         CAST(round(o_totalprice * 100, 0) AS HUGEINT)
+            |           * 1000000000000000 + o_orderkey) AS best_order
             |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin),
     "FILTER counts, bool_and/bool_or, total-ordered max_by; all one-pass partial aggregates")
 

@@ -82,10 +82,13 @@ object Curation {
     * longer docs proportionally more likely). */
   private def x64 = Q(
     (s, dir) => {
-      val race = (idHash(col("doc_id")) / greatest(col("n_chars"), lit(1L)))
-        .cast("long")
       val top = t(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"), race.as("race"))
+        // `div` (IntegralDivide) keeps the quotient exact bigint — `/`
+        // would detour through a 53-mantissa-bit double and disagree
+        // with the oracle's `//` on a few percent of 60-bit hashes
+        .withColumn("idh", idHash(col("doc_id")))
+        .select(col("doc_id"), col("n_chars"),
+          expr("idh div greatest(n_chars, 1L)").as("race"))
         .orderBy("race", "doc_id")
         .limit(50)
       top.select(

@@ -76,7 +76,11 @@ object FuseDotProductRule extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case agg @ ArrayAggregate(ZipWith(la, ra, mul), Literal(zero: Double, DoubleType),
           merge, finish)
-          if zero == 0.0 && isVarProduct(mul) && isAccPlusElem(merge) &&
+          // raw-bits compare: Scala's -0.0 == 0.0, but the kernel seeds
+          // +0.0 — a Literal(-0.0) fold yields -0.0 on empty arrays, so
+          // only the exactly-+0.0 seed is bit-equal to rewrite
+          if java.lang.Double.doubleToRawLongBits(zero) == 0L &&
+            isVarProduct(mul) && isAccPlusElem(merge) &&
             isIdentity(finish) =>
         (widened(la), widened(ra)) match {
           case (Some(a), Some(b)) => FusedDotProduct(a, b)
