@@ -3,9 +3,11 @@ package graft.operators
 import graft.Q
 import graft.functions.{Text, Vectors}
 import graft.functions.Rounding.{duckRound, pround}
+import graft.io.Bucketing
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
 
 /** Curation operators beyond LlmData's x20–x62: diversity scoring,
   * weighted corpus sampling, embedding compression (product
@@ -105,138 +107,321 @@ object Curation {
             |ORDER BY race, doc_id LIMIT 50""".stripMargin),
     "weighted sample: integer exponential race, distributed top-k heap")
 
-  // ── shared PQ pipeline (x65 codes / x67 ADC search) ─────────────────
-  // ONE definition of the codebook, the subvector distance, and the
-  // assignment argmin — the code table x67 searches is definitionally
-  // the one x65 publishes.
+  // ── shared PQ pipeline (x65 codes / x67 ADC / x70 distortion / x72
+  //    indexed probe / x35's pq_adc recall row) ───────────────────────
+  // ONE definition of the trained codebook, the subvector distance, and
+  // the assignment argmin — the code table x67 searches, the distortion
+  // x70 audits, and the recall x35 measures are all definitionally the
+  // ones x65 publishes.
 
-  /** 8 codebook rows × 64 dims, collected once per call (same pattern
-    * as x34's trainCentroids: a bounded dim-table collect, not data —
-    * a trained codebook plugs into the same Lloyd's loop x34 uses). */
-  private def pqCodebook(s: SparkSession, dir: String): Seq[(Long, IndexedSeq[Double])] =
-    t(s, dir, "embeddings")
-      .filter(col("vec_id").between(1, 8))
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
-      .sortBy(_._1).toSeq
+  /** Trained per-subspace codebook: [subspace 0..3] → 8 × (code,
+    * 16-dim center). Codes stay keyed 1..8 (the seed vec_ids) across
+    * training — empty clusters keep their previous center — so the
+    * native kernel's positional argmin (code = index+1) is exact. */
+  private[graft] type PqCodebook = IndexedSeq[Seq[(Long, IndexedSeq[Double])]]
+
+  private val pqMemo = new LlmData.SessionRegistry[TrieMap[String, PqCodebook]]
+  private val pqIndexMemo = new LlmData.SessionRegistry[TrieMap[String, String]]
+
+  /** Release hook (called from LlmData.clearMemo — one lifecycle for
+    * the whole operator surface). */
+  private[operators] def clearPqMemo(s: SparkSession): Unit = {
+    pqMemo.remove(s)
+    pqIndexMemo.remove(s)
+  }
+
+  /** Per-subspace Lloyd's training (the x34 playbook applied to PQ):
+    * seed each subspace's 8 centers from the first-8 embeddings'
+    * subvectors, then 2 rounds of {kernel argmin assignment → per-dim
+    * integer MICRO-UNIT means}. The collect is bounded by 4×8×16 = 512
+    * index-metadata rows per round, never data. Memoized per (session,
+    * corpus): x65/x67/x70/x72/x35 all train once. The DuckDB twin
+    * ([[duckPqChain]]) replays the identical rounds, so a trained
+    * center is reproduced bit-for-bit: micro-unit sums are exact
+    * integers (order-free), and the mean is sm/n/10⁶ in correctly-
+    * rounded IEEE double on both engines. */
+  private[graft] def trainPqCodebook(s: SparkSession, dir: String): PqCodebook =
+    pqMemo.acquire(s)(TrieMap.empty[String, PqCodebook])
+      .getOrElseUpdate(dir, {
+        val e = t(s, dir, "embeddings")
+        var cb: PqCodebook = {
+          val rows = e.filter(col("vec_id").between(1, 8))
+            .select(col("vec_id"), col("embedding")).collect()
+            .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
+            .sortBy(_._1).toIndexedSeq
+          (0 to 3).map(ss => rows.map { case (cid, v) =>
+            cid -> v.slice(ss * 16, ss * 16 + 16) }.toSeq).toIndexedSeq
+        }
+        for (_ <- 1 to 2) {
+          val sums = e
+            .select(col("embedding"),
+              posexplode(pqAssignNative(col("embedding"), cb)).as(Seq("s", "code")))
+            .select(col("s"), col("code"),
+              posexplode(slice(Vectors.toDouble(col("embedding")),
+                col("s") * 16 + 1, lit(16))).as(Seq("pos", "v")))
+            .groupBy("s", "code", "pos")
+            .agg(sum(floor(col("v") * 1000000.0 + 0.5)).as("sm"),
+              count(lit(1)).as("n"))
+            .collect()
+          val byKey = sums.groupBy(r => (r.getInt(0), r.getLong(1)))
+          cb = cb.zipWithIndex.map { case (entries, ss) =>
+            entries.map { case (cid, old) =>
+              cid -> byKey.get((ss, cid)).fold(old)(rows =>
+                rows.sortBy(_.getInt(2)).map(r =>
+                  (r.getLong(3).toDouble / r.getLong(4)) / 1000000.0).toIndexedSeq)
+            }
+          }
+        }
+        cb
+      })
+
+  /** Flattened [s][code][dim] literal for the native kernel. */
+  private def flatCb(cb: PqCodebook): Seq[Double] =
+    for { entries <- cb; (_, ce) <- entries; x <- ce } yield x
+
+  /** Native assignment: array of 4 codes (1..8), one tight codegen'd
+    * loop per row (graft.plans.PqAssign) — bit-equal to the HOF
+    * [[pqCodeHof]] path (CurationSpec asserts it), ~30× fewer
+    * interpreted dispatches. The codebook rides along as a literal
+    * (index metadata, 512 doubles). */
+  private[graft] def pqAssignNative(emb: Column, cb: PqCodebook): Column =
+    call_function("graft_pq_assign", emb, typedlit(flatCb(cb)), lit(8), lit(16))
+
+  /** Native rounded L2² to the ASSIGNED code per subspace (for the
+    * distortion audit — same loop, dists output). */
+  private[graft] def pqDistsNative(emb: Column, cb: PqCodebook): Column =
+    call_function("graft_pq_dists", emb, typedlit(flatCb(cb)), lit(8), lit(16))
 
   /** Stage the 4 widened 16-dim subvectors as their own columns ONCE
-    * per row. The 8 per-codebook-entry folds for a subspace then read
-    * the staged attribute instead of re-evaluating
+    * per row (used on the single-row query side, and by the spec's
+    * HOF-vs-kernel parity check). The 8 per-codebook-entry folds for a
+    * subspace then read the staged attribute instead of re-evaluating
     * slice(transform(embedding)) — higher-order functions are
     * interpreted, so without staging the widening ran 32× per row
     * (CollapseProject keeps the staging Project because the aliases
     * are non-cheap and multiply referenced). */
-  private def withPqSubs(df: DataFrame): DataFrame =
+  private[graft] def withPqSubs(df: DataFrame): DataFrame =
     (0 to 3).foldLeft(df)((d, s) =>
       d.withColumn(s"sub$s", slice(Vectors.toDouble(col("embedding")), s * 16 + 1, 16)))
 
   /** Sequential-fold L2² of a staged subvector column against a literal
-    * subvector, rounded at 6dp — the exact fold the DuckDB twin replays. */
-  private def pqD2(a: Column, b: IndexedSeq[Double]): Column =
+    * 16-dim subvector, rounded at 6dp — the exact fold the DuckDB twin
+    * replays and the native kernel reproduces. */
+  private[graft] def pqD2(a: Column, b: IndexedSeq[Double]): Column =
     pround(aggregate(zip_with(a, typedlit(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), _ + _), 6)
 
-  /** Argmin code for subspace `s` over the staged `sub{s}` column:
-    * array_min struct ordering = smallest d2, ties to the smallest code
-    * (oracle: ORDER BY d2, code). */
-  private def pqCode(codebook: Seq[(Long, IndexedSeq[Double])], s: Int): Column =
-    array_min(array(codebook.map { case (cid, ce) =>
-      struct(pqD2(col(s"sub$s"), ce.slice(s * 16, s * 16 + 16))
-        .as("d2"), lit(cid).as("code"))
+  /** Declarative argmin code for subspace `s` over the staged `sub{s}`
+    * column: array_min struct ordering = smallest d2, ties to the
+    * smallest code (oracle: ORDER BY d2, code). Retained as the
+    * kernel's executable specification — CurationSpec asserts
+    * kernel == HOF on the real corpus. */
+  private[graft] def pqCodeHof(entries: Seq[(Long, IndexedSeq[Double])], s: Int): Column =
+    array_min(array(entries.map { case (cid, ce) =>
+      struct(pqD2(col(s"sub$s"), ce).as("d2"), lit(cid).as("code"))
     }: _*)).getField("code")
 
-  /** DuckDB twin of the PQ chain: defines `cb(code, embedding)`,
-    * `d(vec_id, s, code, d2)` (every vec's rounded subspace distance to
-    * every codebook entry — rows with vec_id=0 double as the query's
-    * ADC distance table) and `codes(vec_id, c0..c3)`. */
-  private val duckPqChain: String = {
-    val dims = "(SELECT unnest(range(1, 17)) AS i)"
-    val diff = "(CAST(e.embedding[s.s*16 + d.i] AS DOUBLE) - " +
-      "CAST(c.embedding[s.s*16 + d.i] AS DOUBLE))"
-    s"""cb AS (SELECT vec_id AS code, embedding FROM embeddings
-       |       WHERE vec_id BETWEEN 1 AND 8),
-       |d AS (SELECT e.vec_id, s.s, c.code,
-       |        ${duckRound(s"(SELECT sum($diff * $diff) FROM $dims d)", 6)} AS d2
+  /** DuckDB twin of one PQ Lloyd's round: assignment (rounded-d2
+    * argmin, ties to smallest code) then per-dim micro-unit means;
+    * empty clusters keep their center via the LEFT JOIN coalesce. */
+  private def duckSubD2(sv: String, ce: String): String =
+    duckRound(s"(SELECT sum(($sv[d.i] - $ce[d.i]) * ($sv[d.i] - $ce[d.i])) " +
+      s"FROM pdim d)", 6)
+
+  private def duckPqLloyd(r: Int, cin: String, cout: String): String =
+    s"""pq$r AS (SELECT b.vec_id, b.s, b.sv, c.code,
+       |        ${duckSubD2("b.sv", "c.ce")} AS d2
+       |      FROM psub b JOIN $cin c ON b.s = c.s),
+       |pa$r AS (SELECT s, code, sv, row_number() OVER (
+       |        PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM pq$r),
+       |pm$r AS (SELECT a.s, a.code, d.i AS pos,
+       |        CAST(sum(CAST(floor(a.sv[d.i] * 1000000.0 + 0.5) AS BIGINT))
+       |          AS BIGINT) AS sm,
+       |        count(*) AS n
+       |      FROM pa$r a CROSS JOIN pdim d WHERE a.rn = 1
+       |      GROUP BY a.s, a.code, d.i),
+       |pn$r AS (SELECT s, code,
+       |        list(CAST(sm AS DOUBLE) / n / 1000000.0 ORDER BY pos) AS ce
+       |      FROM pm$r GROUP BY s, code),
+       |$cout AS (SELECT c.s, c.code, coalesce(n.ce, c.ce) AS ce
+       |      FROM $cin c LEFT JOIN pn$r n ON c.s = n.s AND c.code = n.code)"""
+      .stripMargin
+
+  /** DuckDB twin of the full PQ chain: subvectors (`psub`), seeded
+    * codebook (`pc0`), two training rounds (→ `pc2`), final rounded
+    * distances (`pd`), assignment ranks (`pr`), the pivoted code table
+    * (`pcodes`), and the query's ADC distance rows (`pqd`). Shared by
+    * the x65/x67/x70/x72 oracles and x35's pq_adc arm so they can
+    * never diverge. All names p-prefixed to coexist with duckIvfChain
+    * in one WITH (x35). */
+  private[operators] val duckPqChain: String =
+    s"""pdim AS (SELECT unnest(range(1, 17)) AS i),
+       |psub AS (SELECT e.vec_id, ss.s,
+       |        list_transform(range(1, 17),
+       |          i -> CAST(e.embedding[ss.s * 16 + i] AS DOUBLE)) AS sv
        |      FROM embeddings e
-       |      CROSS JOIN (SELECT unnest(range(0, 4)) AS s) s
-       |      CROSS JOIN cb c),
-       |a AS (SELECT vec_id, s, code, d2, row_number() OVER (
-       |        PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM d),
-       |codes AS (SELECT vec_id,
+       |      CROSS JOIN (SELECT unnest(range(0, 4)) AS s) ss),
+       |pc0 AS (SELECT s, vec_id AS code, sv AS ce FROM psub
+       |        WHERE vec_id BETWEEN 1 AND 8),
+       |${duckPqLloyd(1, "pc0", "pc1")},
+       |${duckPqLloyd(2, "pc1", "pc2")},
+       |pd AS (SELECT b.vec_id, b.s, c.code,
+       |        ${duckSubD2("b.sv", "c.ce")} AS d2
+       |      FROM psub b JOIN pc2 c ON b.s = c.s),
+       |pr AS (SELECT vec_id, s, code, d2, row_number() OVER (
+       |        PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM pd),
+       |pcodes AS (SELECT vec_id,
        |    max(CASE WHEN s = 0 THEN code END) AS c0,
        |    max(CASE WHEN s = 1 THEN code END) AS c1,
        |    max(CASE WHEN s = 2 THEN code END) AS c2,
        |    max(CASE WHEN s = 3 THEN code END) AS c3
-       |  FROM a WHERE rn = 1 GROUP BY vec_id)""".stripMargin
-  }
+       |  FROM pr WHERE rn = 1 GROUP BY vec_id),
+       |pqd AS (SELECT s, code, d2 FROM pd WHERE vec_id = 0)""".stripMargin
 
-  /** x65 — product-quantization code assignment: the embedding is cut
-    * into 4×16-dim subvectors, each assigned to its nearest of 8
-    * codebook entries by L2² — compressing 64 floats (256 B) to 4 bytes
-    * for the memory-resident ANN index a 100 TB embedding corpus needs
-    * (at scale the IVF lists of x34 hold PQ codes, not raw vectors).
-    * Distances are sequential double folds rounded at 6dp before the
-    * argmin; ties break to the smallest code on both engines. The
-    * assignment is pure map-side scan-stage compute. */
+  /** x65 — product-quantization code assignment with a TRAINED
+    * codebook: the embedding is cut into 4×16-dim subvectors, each
+    * assigned to its nearest of 8 per-subspace Lloyd's-trained centers
+    * by rounded L2² — compressing 64 floats (256 B) to 4 bytes for the
+    * memory-resident ANN index a 100 TB embedding corpus needs (at
+    * scale the IVF lists of x34 hold PQ codes, not raw vectors).
+    * Assignment is the native kernel (one codegen'd loop/row) — pure
+    * map-side scan-stage compute; ties break to the smallest code on
+    * both engines. */
   private def x65 = Q(
     (s, dir) => {
-      val codebook = pqCodebook(s, dir)
-      withPqSubs(t(s, dir, "embeddings"))
-        .select(col("vec_id"), pqCode(codebook, 0).as("c0"),
-          pqCode(codebook, 1).as("c1"), pqCode(codebook, 2).as("c2"),
-          pqCode(codebook, 3).as("c3"))
+      val cb = trainPqCodebook(s, dir)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), pqAssignNative(col("embedding"), cb).as("codes"))
+        .select(col("vec_id"),
+          col("codes").getItem(0).as("c0"), col("codes").getItem(1).as("c1"),
+          col("codes").getItem(2).as("c2"), col("codes").getItem(3).as("c3"))
         .orderBy("vec_id")
     },
     Some(s"""WITH $duckPqChain
-            |SELECT vec_id, c0, c1, c2, c3 FROM codes ORDER BY vec_id""".stripMargin),
-    "product quantization: 4×16-dim subspaces, 8-entry codebook, map-side argmin assignment")
+            |SELECT vec_id, c0, c1, c2, c3 FROM pcodes ORDER BY vec_id""".stripMargin),
+    "product quantization: 4×16-dim subspaces, 8-entry TRAINED codebook (2 Lloyd's rounds, micro-unit means), native argmin kernel")
+
+  /** Query-side ADC distance table: dt_s[code] = rounded d2(q_sub_s,
+    * center) — one bounded single-row frame (4×8 doubles), broadcast.
+    * 32 interpreted folds on ONE row — negligible; the corpus side
+    * never touches a fold. */
+  private def adcQueryTable(s: SparkSession, dir: String, cb: PqCodebook): DataFrame = {
+    def dt(s0: Int): Column =
+      array(cb(s0).map { case (_, ce) => pqD2(col(s"sub$s0"), ce) }: _*)
+    withPqSubs(t(s, dir, "embeddings").filter(col("vec_id") === 0))
+      .select(dt(0).as("dt0"), dt(1).as("dt1"), dt(2).as("dt2"), dt(3).as("dt3"))
+  }
+
+  private def adcDistance: Column =
+    (element_at(col("dt0"), col("codes").getItem(0).cast("int")) +
+      element_at(col("dt1"), col("codes").getItem(1).cast("int")) +
+      element_at(col("dt2"), col("codes").getItem(2).cast("int")) +
+      element_at(col("dt3"), col("codes").getItem(3).cast("int"))).as("adc")
+
+  /** Shared ADC top-k pipeline (x67 and x35's pq_adc recall arm). */
+  private[operators] def adcTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val cb = trainPqCodebook(s, dir)
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), pqAssignNative(col("embedding"), cb).as("codes"))
+      .crossJoin(broadcast(adcQueryTable(s, dir, cb)))
+      .select(col("vec_id"), adcDistance)
+      .orderBy(asc("adc"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[adcTopK]] (requires [[duckPqChain]] in scope). */
+  private[operators] def duckAdcTopK(k: Int): String =
+    s"""SELECT c.vec_id,
+       |  ((q0.d2 + q1.d2) + q2.d2) + q3.d2 AS adc
+       |FROM pcodes c
+       |JOIN pqd q0 ON q0.s = 0 AND q0.code = c.c0
+       |JOIN pqd q1 ON q1.s = 1 AND q1.code = c.c1
+       |JOIN pqd q2 ON q2.s = 2 AND q2.code = c.c2
+       |JOIN pqd q3 ON q3.s = 3 AND q3.code = c.c3
+       |WHERE c.vec_id <> 0
+       |ORDER BY adc, c.vec_id LIMIT $k""".stripMargin
 
   /** x67 — ANN over PQ codes by asymmetric distance (ADC): the query
     * precomputes a 4×8 distance table (its rounded L2² to every
-    * codebook entry per subspace — one bounded single-row frame,
+    * trained center per subspace — one bounded single-row frame,
     * broadcast), and each corpus vector's approximate distance is four
     * O(1) table lookups by its x65 codes summed in a FIXED left-assoc
     * order (parity: float addition isn't associative, so the oracle
     * adds in the same written order). This is the scan shape that makes
-    * 100 TB ANN affordable: the per-vector work is 4 byte-indexed
-    * lookups instead of a 64-dim float loop, and the raw vectors never
-    * leave storage. Top-5 is a distributed heap. */
+    * 100 TB ANN affordable: the per-vector work is one native
+    * assignment loop plus 4 byte-indexed lookups, and the raw vectors
+    * never leave storage. Top-5 is a distributed heap. Recall vs the
+    * exact top-k is measured in x35's pq_adc row. */
   private def x67 = Q(
+    (s, dir) => adcTopK(s, dir, 5),
+    Some(s"WITH $duckPqChain\n${duckAdcTopK(5)}"),
+    "PQ asymmetric-distance ANN: broadcast 4×8 query table, native code assignment, per-vector cost = 4 indexed lookups")
+
+  /** x70 — PQ distortion audit, per subspace per code ("measure, don't
+    * guess" for the trained codebook — the x68 discipline applied to
+    * PQ): member count, mean and worst rounded L2² to the assigned
+    * center. The K/subspace-count tuning dial: a subspace whose max_d2
+    * dwarfs its mean says its 8 codes under-cover that 16-dim slice.
+    * Uses the SAME kernel assignment x65 publishes. Micro-unit integer
+    * sums keep the means order-free and engine-exact. */
+  private def x70 = Q(
     (s, dir) => {
-      val codebook = pqCodebook(s, dir)
-      val e = withPqSubs(t(s, dir, "embeddings"))
-      // query-side ADC table: dt_s[code] = d2(q_sub_s, cb[code]_sub_s)
-      def dt(s0: Int): Column = array(codebook.map { case (_, ce) =>
-        pqD2(col(s"sub$s0"), ce.slice(s0 * 16, s0 * 16 + 16))
-      }: _*)
-      val q = e.filter(col("vec_id") === 0)
-        .select(dt(0).as("dt0"), dt(1).as("dt1"), dt(2).as("dt2"), dt(3).as("dt3"))
-      e.filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), pqCode(codebook, 0).as("c0"),
-          pqCode(codebook, 1).as("c1"), pqCode(codebook, 2).as("c2"),
-          pqCode(codebook, 3).as("c3"))
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          (element_at(col("dt0"), col("c0").cast("int")) +
-            element_at(col("dt1"), col("c1").cast("int")) +
-            element_at(col("dt2"), col("c2").cast("int")) +
-            element_at(col("dt3"), col("c3").cast("int"))).as("adc"))
+      val cb = trainPqCodebook(s, dir)
+      t(s, dir, "embeddings")
+        .select(pqAssignNative(col("embedding"), cb).as("cs"),
+          pqDistsNative(col("embedding"), cb).as("ds"))
+        .select(posexplode(col("cs")).as(Seq("s", "code")), col("ds"))
+        .select(col("s").cast("long").as("s"), col("code"),
+          round(element_at(col("ds"), col("s") + 1) * 1000000.0, 0)
+            .cast("long").as("d2_micro"))
+        .groupBy("s", "code")
+        .agg(count(lit(1)).as("n_members"),
+          (sum("d2_micro").cast("double") /
+            (count(lit(1)) * 1000000.0)).as("mean_d2"),
+          (max("d2_micro").cast("double") / 1000000.0).as("max_d2"))
+        .orderBy("s", "code")
+    },
+    Some(s"""WITH $duckPqChain
+            |SELECT CAST(s AS BIGINT) AS s, code, count(*) AS n_members,
+            |  CAST(sum(CAST(round(d2 * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+            |    / (count(*) * 1000000.0) AS mean_d2,
+            |  CAST(max(CAST(round(d2 * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+            |    / 1000000.0 AS max_d2
+            |FROM pr WHERE rn = 1
+            |GROUP BY s, code ORDER BY s, code""".stripMargin),
+    "PQ distortion audit: per-subspace per-code mean/worst rounded L2² in exact micro-units; shares x65's trained assignment")
+
+  /** x72 — ADC probe over a MATERIALIZED code table (the index-build/
+    * query split, PQ side): x65's codes are persisted once per
+    * (session, corpus) as a catalog table — at 100 TB the 4-byte codes
+    * are the memory-resident index while raw vectors stay in cold
+    * storage — and the registered query is the PROBE ONLY: code-table
+    * scan + broadcast 4×8 distance table + distributed heap, zero
+    * ShuffleExchange (pinned by PlanAuditSpec). Same semantics and
+    * oracle as x67; the assignment moved from the query into the table.
+    */
+  private def x72 = Q(
+    (s, dir) => {
+      val cb = trainPqCodebook(s, dir)
+      val tbl = pqIndexMemo.acquire(s)(TrieMap.empty[String, String])
+        .getOrElseUpdate(dir, {
+          val name = "graft_pq_codes_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+          Bucketing.writeBucketed(
+            t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+              .select(col("vec_id"),
+                pqAssignNative(col("embedding"), cb).as("codes")),
+            name, "vec_id", 8, sorted = false)
+          name
+        })
+      Bucketing.table(s, tbl)
+        .crossJoin(broadcast(adcQueryTable(s, dir, cb)))
+        .select(col("vec_id"), adcDistance)
         .orderBy(asc("adc"), asc("vec_id"))
         .limit(5)
     },
-    Some(s"""WITH $duckPqChain,
-            |qd AS (SELECT s, code, d2 FROM d WHERE vec_id = 0)
-            |SELECT c.vec_id,
-            |  ((q0.d2 + q1.d2) + q2.d2) + q3.d2 AS adc
-            |FROM codes c
-            |JOIN qd q0 ON q0.s = 0 AND q0.code = c.c0
-            |JOIN qd q1 ON q1.s = 1 AND q1.code = c.c1
-            |JOIN qd q2 ON q2.s = 2 AND q2.code = c.c2
-            |JOIN qd q3 ON q3.s = 3 AND q3.code = c.c3
-            |WHERE c.vec_id <> 0
-            |ORDER BY adc, c.vec_id LIMIT 5""".stripMargin),
-    "PQ asymmetric-distance ANN: broadcast 4×8 query table, per-vector cost = 4 indexed lookups")
+    Some(s"WITH $duckPqChain\n${duckAdcTopK(5)}"),
+    "ADC probe over a persisted PQ code table: zero-Exchange probe plan, codes built once per corpus")
 
   /** x66 — corpus-rarity score (mean inverse unigram frequency): the
     * cheap importance signal curation pipelines use to up-weight
@@ -350,5 +535,7 @@ object Curation {
     "x65_pq_codes" -> x65,
     "x66_rarity_score" -> x66,
     "x67_ann_adc" -> x67,
-    "x69_symdel_fuzzy" -> x69)
+    "x69_symdel_fuzzy" -> x69,
+    "x70_pq_distortion" -> x70,
+    "x72_ann_adc_indexed" -> x72)
 }

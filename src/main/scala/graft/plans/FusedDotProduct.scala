@@ -162,5 +162,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         requireArity("graft_md5_longs", children, 2)
         Md5Longs(children.head, litLong("graft_md5_longs", children(1)))
       }))
+    // graft_pq_assign(emb, cbFlat, codes, subDim) / graft_pq_dists(...):
+    // the trained codebook is a query-time constant (index metadata),
+    // so it arrives as an array<double> literal the builder unwraps
+    // into the kernel's reference object
+    def pqBuilder(name: String, dists: Boolean)(children: Seq[Expression]): Expression = {
+      requireArity(name, children, 4)
+      val cb = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+            a: org.apache.spark.sql.catalyst.util.ArrayData,
+            ArrayType(org.apache.spark.sql.types.DoubleType, _)) =>
+          a.toDoubleArray()
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "NON_FOLDABLE_ARGUMENT",
+          messageParameters = Map(
+            "funcName" -> s"`$name`",
+            "paramName" -> "`codebook`",
+            "paramType" -> "\"ARRAY<DOUBLE>\""))
+      }
+      PqAssign(children.head, cb, litLong(name, children(2)).toInt,
+        litLong(name, children(3)).toInt, dists)
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_assign"),
+      new ExpressionInfo(classOf[PqAssign].getName, "graft_pq_assign"),
+      pqBuilder("graft_pq_assign", dists = false) _))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_dists"),
+      new ExpressionInfo(classOf[PqAssign].getName, "graft_pq_dists"),
+      pqBuilder("graft_pq_dists", dists = true) _))
   }
 }

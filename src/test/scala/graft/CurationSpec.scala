@@ -93,4 +93,84 @@ class CurationSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(2) >= 1.0,
       s"mean inverse frequency can't dip under 1: ${r}"))
   }
+
+  test("pq kernel: native assignment is bit-equal to the declarative HOF argmin") {
+    import org.apache.spark.sql.functions._
+    val cb = graft.operators.Curation.trainPqCodebook(spark, sf0001)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val both = graft.operators.Curation.withPqSubs(e)
+      .select(col("vec_id"),
+        graft.operators.Curation.pqAssignNative(col("embedding"), cb).as("ks"),
+        array((0 to 3).map(s =>
+          graft.operators.Curation.pqCodeHof(cb(s), s)): _*).as("hs"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"vec ${r.getLong(0)}: kernel ${r.getSeq[Long](1)} != hof ${r.getSeq[Long](2)}")
+    }
+  }
+
+  test("pq kernel: assigned-code distances match the HOF rounded fold") {
+    import org.apache.spark.sql.functions._
+    val cb = graft.operators.Curation.trainPqCodebook(spark, sf0001)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // HOF twin of graft_pq_dists: the d2 field of the argmin struct
+    def hofD2(s: Int) = array_min(array(cb(s).map { case (cid, ce) =>
+      struct(graft.operators.Curation.pqD2(col(s"sub$s"), ce).as("d2"),
+        lit(cid).as("code"))
+    }: _*)).getField("d2")
+    val both = graft.operators.Curation.withPqSubs(e)
+      .select(col("vec_id"),
+        graft.operators.Curation.pqDistsNative(col("embedding"), cb).as("ks"),
+        array((0 to 3).map(hofD2): _*).as("hs"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Double](1) == r.getSeq[Double](2),
+        s"vec ${r.getLong(0)}: kernel ${r.getSeq[Double](1)} != hof ${r.getSeq[Double](2)}")
+    }
+  }
+
+  test("pq training: codebook keeps 1..8 keying per subspace and moves off the seeds") {
+    val cb = graft.operators.Curation.trainPqCodebook(spark, sf0001)
+    assert(cb.length == 4)
+    cb.foreach { entries =>
+      assert(entries.map(_._1) == (1L to 8L), "codes must stay 1..8 ascending")
+      entries.foreach { case (_, ce) => assert(ce.length == 16) }
+    }
+    // trained centers are means, not the raw seed subvectors (Lloyd's
+    // actually ran): at least one center differs from its seed
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id").between(1, 8))
+      .select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .sortBy(_._1)
+    val seedsUnchanged = cb(0).forall { case (cid, ce) =>
+      e.find(_._1 == cid).exists(_._2.slice(0, 16) == ce)
+    }
+    assert(!seedsUnchanged, "subspace 0 centers identical to seeds — training is a no-op")
+  }
+
+  test("x70: distortion audit partitions the corpus per subspace and bounds hold") {
+    val rows = df("x70_pq_distortion").collect()
+    // ≤ 8 codes per subspace; a code can go unused at tiny SF
+    assert(rows.length >= 4 && rows.length <= 32, s"got ${rows.length} cells")
+    val total = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    (0 to 3).foreach { s =>
+      val sub = rows.filter(_.getLong(0) == s)
+      assert(sub.map(_.getLong(2)).sum == total,
+        s"subspace $s member counts must partition the corpus")
+    }
+    rows.foreach { r =>
+      val (mean, max) = (r.getDouble(3), r.getDouble(4))
+      assert(mean >= 0.0 && max >= mean, s"0 <= mean <= max violated: $r")
+    }
+  }
+
+  test("x72: indexed ADC probe returns exactly x67's rows") {
+    val a = df("x67_ann_adc").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = df("x72_ann_adc_indexed").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq == b.toSeq,
+      "the materialized code table must reproduce the in-query assignment exactly")
+  }
 }

@@ -158,6 +158,33 @@ class PlanAuditSpec extends SparkSpec {
         "that bound is what makes the sketch a sketch")
   }
 
+  test("x71/x72: indexed ANN probes plan ZERO shuffle Exchange") {
+    // the index-build/query split's whole point: the layout shuffle was
+    // paid at write time, so the probe is scan + broadcast + heap —
+    // the plan shape that makes "query many" cheap on a static corpus.
+    // (BroadcastExchange is the query side and allowed.)
+    val shuffle = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+    for (name <- Seq("x71_ann_ivf_indexed", "x72_ann_adc_indexed")) {
+      val p = plan(name)
+      assert(shuffle.findFirstIn(p).isEmpty,
+        s"$name probe must not re-shuffle the indexed corpus:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name top-k must stay a distributed heap")
+    }
+  }
+
+  test("x71: the IVF index scan is bucketed on cid") {
+    val df = SparkEntry.queries("x71_ann_ivf_indexed")(spark, sf0001)
+    // sparkPlan, not executedPlan: AQE's AdaptiveSparkPlanExec is a
+    // leaf node and would hide the scan from collectLeaves
+    val scans = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(_.relation.bucketSpec.exists(b =>
+      b.bucketColumnNames == Seq("cid") && b.numBuckets == 16)),
+      "probe must read the cid-bucketed catalog table, not an ad-hoc scan")
+  }
+
   test("global sweep: no registered query ever plans a CartesianProduct") {
     // the one unconditional rule of the 100 TB contract: the quadratic
     // operator must never appear — candidate generation is always a
