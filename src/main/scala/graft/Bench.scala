@@ -149,17 +149,30 @@ object Bench {
     // Write to the built-in noop sink so every column is materialized:
     // a bare count() lets Catalyst prune unreferenced projections and
     // under-measures scalar-heavy queries.
-    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Cumulative JVM GC milliseconds: the per-run delta lands in
+    // BENCH_DETAIL so a warm-run-slower-than-cold inversion is
+    // attributable FROM THE ARTIFACT — high gc_warm says the JVM (heap
+    // pressure from the long suite), roughly-equal GC says the box
+    // (external contention); neither implicates the plan, whose
+    // identity across runs the plan audits pin separately. (The r6
+    // q31/q07 driver-box inversions were unexplainable without this.)
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+    }
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
+      val g0 = gcMs()
       // -1 marks a failed query: a thrown query must not masquerade as a
       // fast one in BENCH_*.json
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case NonFatal(_) => -1.0 }
+        ((System.nanoTime() - t0) / 1e9, gcMs() - g0)
+      } catch { case NonFatal(_) => (-1.0, gcMs() - g0) }
     }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    val detailed = selected.map { case (name, fn) =>
       val cold = timed(fn)
       val warm = timed(fn)
       // drop per-query persisted signature tables so one query's cache
@@ -168,11 +181,13 @@ object Bench {
       operators.LlmData.clearMemo(spark)
       name -> (cold, warm)
     }
+    val results = detailed.map { case (n, (c, w)) => n -> (c._1, w._1) }
     // Full-precision cold/warm per query goes to a file — the stdout
     // tail budget (see SIZE CONTRACT above) cannot carry two maps.
     val detailPath = "BENCH_DETAIL.json"
-    val detail = results
-      .map { case (k, (c, w)) => s"""  "$k": {"cold": $c, "warm": $w}""" }
+    val detail = detailed
+      .map { case (k, ((c, gc), (w, gw))) =>
+        s"""  "$k": {"cold": $c, "warm": $w, "gc_cold_ms": $gc, "gc_warm_ms": $gw}""" }
       .mkString("{\n", ",\n", "\n}\n")
     try
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),

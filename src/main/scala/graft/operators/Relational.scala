@@ -903,9 +903,20 @@ object Relational {
       }
       var rank = deg.select(col("node"), lit(1000000L).as("rank"))
       for (_ <- 1 to 3) {
-        val share = rank.join(deg, "node")
+        // broadcast() EXPLICITLY: the per-iteration tables are
+        // node-sized (|V|, bounded by the entity catalog — suppliers +
+        // parts — while the cached edge list is |E| >> |V|), but their
+        // inputs are InMemoryRelations, which AQE cannot re-plan
+        // through (no shuffle-stage stats), so without the hint the
+        // sf0.1 plan silently degraded to 3 SortMergeJoins that
+        // re-SORTED the cached edge list every iteration — the exact
+        // drift the scaladoc's "broadcast share join" claim forbids
+        // (now pinned at bench scale by PlanAuditSpec). At |V| beyond
+        // broadcast capacity, drop the hint and pre-partition sym by
+        // src instead: the join keys already line up.
+        val share = rank.join(broadcast(deg), "node")
           .select(col("node").as("src"), expr("rank div deg").as("share"))
-        rank = sym.join(share, "src")
+        rank = sym.join(broadcast(share), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum("share").as("inflow"))
           .select(col("node"),

@@ -209,11 +209,30 @@ class PlanAuditSpec extends SparkSpec {
   test("q31: every PageRank iteration joins the share table by broadcast") {
     val p = plan("q31_pagerank")
     // 3 iterations -> 3 share⋈edges joins; a sort-merge join here means
-    // the full edge list re-sorts every round
+    // the full edge list re-sorts every round. The broadcast is an
+    // EXPLICIT hint: the join inputs are cached InMemoryRelations AQE
+    // cannot re-plan through, so without it the plan silently kept SMJ
+    // above sf0.001 (caught at sf0.1 — r6's q31 warm-run anomaly).
     assert(!p.contains("SortMergeJoin"),
       "per-iteration share join must broadcast (share is node-sized, edges stay put)")
     assert("HashAggregate".r.findAllIn(p).size >= 6,
       "each iteration needs a partial+final agg pair on dst")
+  }
+
+  test("q31: the second invocation rides the memoized edge-list cache") {
+    // the warm-run contract the bench relies on: sym/deg persist once
+    // per (session, corpus), so iteration >= 2 and every later
+    // invocation must read InMemoryTableScan, not re-run the lineitem
+    // scan + distinct (BENCH_DETAIL's cold/warm spread is only
+    // plan-meaningful if this holds)
+    val first = plan("q31_pagerank")
+    assert(first.contains("InMemoryTableScan"),
+      "iterations past the first must already read the persisted edge list")
+    val second = plan("q31_pagerank")
+    assert(second.contains("InMemoryTableScan"),
+      "repeat invocations must hit the session memo, not rebuild the graph")
+    assert(!second.contains("SortMergeJoin"),
+      "the cached-input plan must keep the broadcast joins (no stats-blind SMJ fallback)")
   }
 
   test("q32: each funnel stage pushes its event_type slice to the scan") {
