@@ -560,7 +560,43 @@ object Relational {
     "q29_scd2" -> q29,
     "q30_pivot" -> q30,
     "q31_pagerank" -> q31,
-    "q32_funnel" -> q32
+    "q32_funnel" -> q32,
+
+    // ── Salted JOIN under a deliberately hot key (bench-scale skew) ───
+    // 90% of events collapse onto one join key — the hot-key layout
+    // that drowns a single reducer at 100 TB. The registered form is
+    // the MITIGATED one: Skew.saltedJoin spreads the hot key over
+    // (key, salt) reducers; result rows are identical to the plain
+    // join, so the oracle is the unsalted SQL. The dim side carries a
+    // shuffle_hash hint because at bench SF Spark would broadcast the
+    // 15K-row dim and no shuffle (hence no skew, no salt) would ever
+    // materialize — the hint pins the plan to the shape the operator
+    // exists for (neither side broadcastable), and PlanAuditSpec
+    // asserts the shuffle keys actually include the salt. SkewSpec
+    // measures the spread (max reducer-key row count drops ≥4× on the
+    // hot key) and demonstrates the AQE skew-split alternative
+    // engaging (SortMergeJoin(skew=true)) under production-shape
+    // thresholds.
+    "q45_skew_salted_join" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(when(pmod(col("user_id"), lit(10)) < 9, lit(1L))
+            .otherwise(col("user_id")).as("hk"), col("value"))
+        val dim = t(s, dir, "customer")
+          .select(col("c_custkey").as("hk"), col("c_mktsegment"))
+        Skew.saltedJoin(ev, dim.hint("shuffle_hash"), "hk", salts = 8)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), sumCents(col("value")).as("sum_value"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c.c_mktsegment, count(*) AS n,
+             |  sum(CAST(round(e.value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+             |FROM (SELECT CASE WHEN user_id % 10 < 9 THEN 1 ELSE user_id END AS hk,
+             |             value
+             |      FROM events) e
+             |JOIN customer c ON e.hk = c.c_custkey
+             |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin),
+      "salted fact⋈dim under a 90%-hot key == plain join; hot key spread over 8 reducers")
   )
 
   /** q25 — pure range (interval) join, the scale-safe way.

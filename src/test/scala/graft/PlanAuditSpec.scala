@@ -185,6 +185,16 @@ class PlanAuditSpec extends SparkSpec {
       "probe must read the cid-bucketed catalog table, not an ad-hoc scan")
   }
 
+  test("q45: the salted shuffle actually materializes — join keys include the salt") {
+    val p = plan("q45_skew_salted_join")
+    // without the shuffle_hash pin Spark broadcasts the 15K-row dim at
+    // this SF and the skew mitigation under test never runs
+    assert(!p.contains("BroadcastHashJoin"),
+      "q45 must exercise the shuffle path (the 100 TB shape), not a broadcast")
+    assert(p.contains("__salt"),
+      "the shuffle/join keys must carry the salt — that IS the mitigation")
+  }
+
   test("global sweep: no registered query ever plans a CartesianProduct") {
     // the one unconditional rule of the 100 TB contract: the quadratic
     // operator must never appear — candidate generation is always a
