@@ -14,7 +14,8 @@ object SparkEntry {
     operators.Relational.queries,
     operators.Analytics.queries,
     operators.LlmData.queries,
-    operators.Curation.queries
+    operators.Curation.queries,
+    operators.EtlCapstone.queries
   )
 
   private lazy val all: Map[String, Q] = modules.reduce(_ ++ _)

@@ -224,4 +224,33 @@ class EtlSpec extends SparkSpec {
     val archived = spark.read.json(Stages.rawPath(base, Stages.AlreadyProcessed))
     assert(archived.count() == star.songs.count())
   }
+
+  test("q46 capstone: loaded star schema is closed under its FKs and complete") {
+    // the lifecycle query's values are oracle-checked by the driver;
+    // this pins the STRUCTURAL warehouse contract on the loaded rows:
+    // every fact FK resolves, and the table cardinalities match the
+    // relational layer they were extracted from
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q46_etl_capstone")(spark, sf0001)
+    out.cache()
+    try {
+      val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      val nOrders = orders.count()
+      val nCust = orders.select("o_custkey").distinct().count()
+      val byTbl = out.groupBy("tbl").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byTbl("song") == nOrders, "one song per order")
+      assert(byTbl("artist") == nCust + 25, "customer artists + 25 nations")
+      assert(byTbl("album") <= 100, "albums key on a 100-ary derived clerk")
+      val songs = out.filter(col("tbl") === "song")
+        .select(split(col("attr"), "/").getItem(0).as("album_fk"),
+          split(col("attr"), "/").getItem(1).as("artist_fk"))
+      val albums = out.filter(col("tbl") === "album").select(col("id").as("album_id"))
+      val artists = out.filter(col("tbl") === "artist").select(col("id").as("artist_id"))
+      assert(songs.join(albums, songs("album_fk") === albums("album_id"), "left_anti")
+        .count() == 0, "every song's album FK must resolve")
+      assert(songs.join(artists, songs("artist_fk") === artists("artist_id"), "left_anti")
+        .count() == 0, "every song's artist FK must resolve")
+    } finally out.unpersist()
+  }
 }
