@@ -89,11 +89,11 @@ object LlmData {
 
   /** DuckDB double-fold dot product — identical accumulation order to
     * Vectors.dot (sequential left fold, double math). */
-  private def duckDot(a: String, b: String): String =
+  private[operators] def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
-  private def duckCosine(a: String, b: String): String =
+  private[operators] def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
   /** Spark-side rounded cosine between two array<float> columns —
@@ -101,7 +101,7 @@ object LlmData {
     * FuseDotProductRule rewrites each dot to the native fused kernel,
     * bit-equal to this formulation and to the oracle's fold (see
     * FusedDotSpec / FuseDotRuleSpec), portably rounded. */
-  private def cosine6(a: Column, b: Column): Column =
+  private[operators] def cosine6(a: Column, b: Column): Column =
     pround(Vectors.cosineDecl(a, b), 6)
 
   // ── shared ANN pipelines (x24 / x25 / x34 / x35) ────────────────────
@@ -868,8 +868,11 @@ object LlmData {
           // ADC is the method whose approximation error is largest by
           // construction (4-byte codes) — the one a user most needs a
           // recall number for; same shared-pipeline discipline
-          // (Curation.adcTopK IS x67's pipeline)
+          // (Curation.adcTopK IS x67's pipeline). The rerank arm
+          // measures the production two-stage form (x73) against the
+          // same baseline — the R dial's effect is THIS delta.
           .unionByName(recallOf(Curation.adcTopK(s, dir, 5), "pq_adc"))
+          .unionByName(recallOf(Curation.adcRerankTopK(s, dir, 5), "pq_adc_rerank"))
           .orderBy("method")
       },
       Some(s"""WITH $duckIvfChain,
@@ -879,6 +882,7 @@ object LlmData {
               |mp5 AS (${duckLshMultiProbeTopK(5)}),
               |ivf5 AS (${duckIvfTopK(5)}),
               |adc5 AS (${Curation.duckAdcTopK(5)}),
+              |rr5 AS (${Curation.duckAdcRerankTopK(5)}),
               |r AS (
               |  SELECT 'sign_lsh' AS method, 5 AS k, count(*) AS hits
               |  FROM lsh5 JOIN exact5 USING (vec_id)
@@ -890,7 +894,10 @@ object LlmData {
               |  FROM ivf5 JOIN exact5 USING (vec_id)
               |  UNION ALL
               |  SELECT 'pq_adc' AS method, 5 AS k, count(*) AS hits
-              |  FROM adc5 JOIN exact5 USING (vec_id))
+              |  FROM adc5 JOIN exact5 USING (vec_id)
+              |  UNION ALL
+              |  SELECT 'pq_adc_rerank' AS method, 5 AS k, count(*) AS hits
+              |  FROM rr5 JOIN exact5 USING (vec_id))
               |SELECT method, k, hits,
               |  ${duckRound("hits * 1.0 / 5.0", 6)} AS recall
               |FROM r ORDER BY method""".stripMargin),

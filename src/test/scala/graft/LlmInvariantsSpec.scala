@@ -178,7 +178,9 @@ class LlmInvariantsSpec extends SparkSpec {
   test("x35/x51: multi-probe recall dominates single-probe (superset candidates)") {
     val recalls = run("x35_ann_recall").collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
-    assert(recalls.keySet == Set("sign_lsh", "sign_lsh_mp", "ivf", "pq_adc"))
+    assert(recalls.keySet == Set("sign_lsh", "sign_lsh_mp", "ivf", "pq_adc", "pq_adc_rerank"))
+    assert(recalls("pq_adc_rerank") >= recalls("pq_adc"),
+      "exact re-rank of an ADC superset shortlist cannot lose recall")
     assert(recalls("sign_lsh_mp") >= recalls("sign_lsh"),
       "the hamming-1 probe set contains the single bucket — recall cannot drop")
     // and every multi-probe hit is scored exactly as the brute-force scorer says
