@@ -6,6 +6,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
 
 /** Relational core — the reference's full analytics/monitoring SQL
   * surface (SURVEY.md §2.2–§2.8, mapped onto the testdata star schema
@@ -596,8 +597,58 @@ object Relational {
              |      FROM events) e
              |JOIN customer c ON e.hk = c.c_custkey
              |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin),
-      "salted fact⋈dim under a 90%-hot key == plain join; hot key spread over 8 reducers")
+      "salted fact⋈dim under a 90%-hot key == plain join; hot key spread over 8 reducers"),
+
+    // ── Bucketed FACT⋈FACT co-located join (the layout lever) ─────────
+    // The join class broadcast cannot touch — neither side fits an
+    // executor at 100 TB. Both facts are written ONCE per (session,
+    // corpus) bucketed + per-bucket sorted on the join key
+    // (io.Bucketing; the layout shuffle is paid at write time), and
+    // the registered query is the consumer: scan ⋈ scan ⋈ groupBy on
+    // the bucket key with ZERO Exchange anywhere — the scans
+    // themselves report hashpartitioning, so Catalyst deletes every
+    // shuffle AND the SMJ sorts (one file per bucket). The merge hint
+    // pins the strategy the big cluster would pick (at bench SF the
+    // orders side would auto-broadcast and the layout under test
+    // would sit unused). PlanAuditSpec asserts Bucketed scans + zero
+    // Exchange on the executed plan.
+    "q47_bucketed_join" -> Q(
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        bucketMemo.acquire(s)(TrieMap.empty[String, String])
+          .getOrElseUpdate(dir, {
+            graft.io.Bucketing.writeBucketed(
+              t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+              s"graft_b_orders_$tag", "o_orderkey", buckets = 16)
+            graft.io.Bucketing.writeBucketed(
+              t(s, dir, "lineitem").select("l_orderkey", "l_quantity",
+                "l_extendedprice"),
+              s"graft_b_lineitem_$tag", "l_orderkey", buckets = 16)
+            tag
+          })
+        graft.io.Bucketing.table(s, s"graft_b_lineitem_$tag")
+          .hint("merge")
+          .join(graft.io.Bucketing.table(s, s"graft_b_orders_$tag").hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            sumCents(col("l_extendedprice")).as("sum_price"))
+          .orderBy(desc("sum_qty"), asc("o_orderkey"))
+          .limit(20)
+      },
+      Some("""SELECT o_orderkey, count(*) AS n_items,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+             |    AS sum_price
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY sum_qty DESC, o_orderkey LIMIT 20""".stripMargin),
+      "co-located fact⋈fact: bucketed layout paid once, join + keyed agg with zero Exchange")
   )
+
+  /** Bucketed-table build registry for q47 — one layout write per
+    * (session, corpus), shared lifecycle with the other index memos. */
+  private val bucketMemo = new LlmData.SessionRegistry[TrieMap[String, String]]
 
   /** q25 — pure range (interval) join, the scale-safe way.
     *

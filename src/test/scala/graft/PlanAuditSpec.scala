@@ -195,6 +195,16 @@ class PlanAuditSpec extends SparkSpec {
       "the shuffle/join keys must carry the salt — that IS the mitigation")
   }
 
+  test("q47: bucketed fact⋈fact joins and aggregates with ZERO Exchange") {
+    val p = plan("q47_bucketed_join")
+    assert(p.contains("Bucketed: true"),
+      "both fact scans must use the bucket layout")
+    assert(!p.contains("Exchange"),
+      s"co-located join + keyed agg must plan no shuffle at all:\n${p.take(2000)}")
+    assert(p.contains("SortMergeJoin"),
+      "the merge hint must pin the fact⋈fact strategy the layout serves")
+  }
+
   test("global sweep: no registered query ever plans a CartesianProduct") {
     // the one unconditional rule of the 100 TB contract: the quadratic
     // operator must never appear — candidate generation is always a
