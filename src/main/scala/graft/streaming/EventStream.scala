@@ -287,6 +287,51 @@ object EventStream {
   final case class UserState(count: Long, lastTsMicros: Long)
   final case class UserSummary(user_id: Long, n_events: Long, last_seen_micros: Long)
 
+  /** Stream-STREAM event-time interval join (ST surface previously
+    * missing: every other op here is stream-static or single-stream
+    * stateful): purchase attribution — each purchase joins the views
+    * by the SAME user within the hour BEFORE it. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * the state store holds only one hour of unmatched rows per side
+    * (Spark derives the eviction horizon from watermark + interval —
+    * unbounded-state stream-stream joins are rejected by the analyzer).
+    * Inner join ⇒ append mode; rows emit as they match. At 100 TB/day
+    * this is the shape for joining two live firehoses (impressions ⋈
+    * conversions) without landing either: state is bounded by rate ×
+    * interval, keyed on user_id so the shuffle co-locates both sides.
+    * Batch twin: the identical expressions over static frames
+    * (StreamingSpec asserts set equality). */
+  def purchaseAttribution(spark: SparkSession, srcDir: String, checkpointDir: String,
+      outDir: String): StreamingQuery = {
+    val joined = purchaseAttributionOf(
+      readEvents(spark, srcDir, archiveDir = None))
+    joined.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+  }
+
+  /** Shared join definition — ONE set of expressions for the streaming
+    * query and its batch twin, so the equality test can't drift. */
+  def purchaseAttributionOf(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(views,
+        col("user_id") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("view_id"), col("v_ts"), col("value"))
+  }
+
   /** Custom keyed state via `mapGroupsWithState` (the escape hatch when
     * windowed aggs can't express the state machine): per-user running
     * event count + last-seen, durable across restarts through the

@@ -215,6 +215,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("stream-stream interval join equals its batch twin (purchase attribution)") {
+    val src = tmp("attr-src"); val out = tmp("attr-out"); val ckpt = tmp("attr-ckpt")
+    Files.copy(eventsFile, Paths.get(src, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    EventStream.purchaseAttribution(spark, src, ckpt, out).awaitTermination()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getLong(3), r.getTimestamp(4))).toSet
+    val streamed = canon(spark.read.parquet(out))
+    // batch twin: the SAME shared expressions over the static frame
+    val batch = canon(EventStream.purchaseAttributionOf(
+      graft.sources.Tables.load(spark, sf0001, "events")))
+    assert(streamed.nonEmpty, "the 30-day event pile must produce view->purchase matches")
+    assert(streamed == batch,
+      s"stream-stream join must emit exactly the batch join rows (${streamed.size} vs ${batch.size})")
+  }
+
   test("hourly rollup equals the q19 batch twin") {
     val src = tmp("rollup-src"); val out = tmp("rollup-out"); val ckpt = tmp("rollup-ckpt")
     Files.copy(eventsFile, Paths.get(src, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
