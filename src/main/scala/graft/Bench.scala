@@ -145,6 +145,16 @@ object Bench {
           "regexp_replace(CAST(id AS STRING), '[0-9]+', 'x') AS r",
           "explode(split('a b c', ' ')) AS w")
         .write.format("noop").mode("overwrite").save()
+      // File-SINK bootstrap (json + parquet writers, output committer,
+      // codec init): every other query only READS parquet, so without
+      // this the first writer query (q46 lifecycle / q47 + x71/x72
+      // index builds) absorbs ~4 s of one-time init — the same
+      // attribution hazard the scan/codegen warmups above close.
+      val wtmp = java.nio.file.Files.createTempDirectory("graft-warm").toString
+      val wdf = spark.range(100).selectExpr("id", "CAST(id AS STRING) AS s")
+      wdf.write.mode("overwrite").json(s"$wtmp/j")
+      spark.read.schema("id BIGINT, s STRING").json(s"$wtmp/j")
+        .write.mode("overwrite").parquet(s"$wtmp/p")
     } catch { case NonFatal(_) => () }
     // Write to the built-in noop sink so every column is materialized:
     // a bare count() lets Catalyst prune unreferenced projections and

@@ -87,6 +87,11 @@ object EtlCapstone {
             urlOf("artist", concat(lit("n"), col("n_nationkey"))).as("external_urls"))
         ).as("artists")).as("track"))
     t(s, dir, "orders")
+      // the reference extracts on a DAILY schedule — each run covers a
+      // recent slice, never the full history (P4's recency predicate);
+      // the literal pivot pushes to the parquet scan, so the lifecycle
+      // cost scales with the delta, not the corpus
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
       .withColumn("clerk",
         concat(lit("clerk"), lpad(pmod(col("o_orderkey"), lit(100)).cast("string"), 3, "0")))
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
@@ -116,12 +121,18 @@ object EtlCapstone {
       // 1-2. extract + stage the raw document layer (JSON lines —
       // splittable, the Spark-idiomatic staging format)
       envelopes(s, dir).write.mode("overwrite").json(landing)
-      // 3-4. declared-schema read + normalize
-      val star = Normalize.normalize(
-        Normalize.readRaw(s, landing),
-        to_timestamp(lit(TransformedAt)))
-      // 5. warehouse load, audit-stamped
-      Sinks.writeStarSchema(star, s"$base/warehouse", to_timestamp(lit(LoadedAt)))
+      // 3-4. declared-schema read + normalize. The parsed raw layer is
+      // persisted across the THREE table writes below — each write is
+      // its own action, and without the cache every one re-parses the
+      // JSON stage (3× the transform cost; at real scale, 3× a full
+      // raw-layer scan). Released before returning: the result frame
+      // reads the warehouse parquet, not this cache.
+      val raw = Normalize.readRaw(s, landing).persist()
+      try {
+        val star = Normalize.normalize(raw, to_timestamp(lit(TransformedAt)))
+        // 5. warehouse load, audit-stamped
+        Sinks.writeStarSchema(star, s"$base/warehouse", to_timestamp(lit(LoadedAt)))
+      } finally raw.unpersist(blocking = false)
       // 6. read back the LOADED tables (not the in-flight frames):
       // the oracle-checked rows prove the sink round-trip, not just
       // the transform
@@ -151,7 +162,8 @@ object EtlCapstone {
            |    c.c_custkey, c.c_name, n.n_nationkey, n.n_name
            |  FROM orders o
            |  JOIN customer c ON o.o_custkey = c.c_custkey
-           |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+           |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+           |  WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
            |songs AS (
            |  SELECT 'song' AS tbl, 'o' || o_orderkey AS id,
            |    o_orderpriority AS name,
