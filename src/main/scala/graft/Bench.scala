@@ -88,8 +88,7 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // index-split queries (x71/x72) persist bucketed catalog tables;
       // keep the warehouse out of the repo checkout
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.sql.warehouse.dir", io.TempDirs.scratch("graft-warehouse"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -150,7 +149,7 @@ object Bench {
       // this the first writer query (q46 lifecycle / q47 + x71/x72
       // index builds) absorbs ~4 s of one-time init — the same
       // attribution hazard the scan/codegen warmups above close.
-      val wtmp = java.nio.file.Files.createTempDirectory("graft-warm").toString
+      val wtmp = io.TempDirs.scratch("graft-warm")
       val wdf = spark.range(100).selectExpr("id", "CAST(id AS STRING) AS s")
       wdf.write.mode("overwrite").json(s"$wtmp/j")
       spark.read.schema("id BIGINT, s STRING").json(s"$wtmp/j")

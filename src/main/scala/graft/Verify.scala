@@ -19,8 +19,7 @@ object Verify {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // index-split queries (x71/x72) persist bucketed catalog tables;
       // keep the warehouse out of the repo checkout
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.sql.warehouse.dir", io.TempDirs.scratch("graft-warehouse"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -120,8 +120,15 @@ object Curation {
     * native kernel's positional argmin (code = index+1) is exact. */
   private[graft] type PqCodebook = IndexedSeq[Seq[(Long, IndexedSeq[Double])]]
 
-  private val pqMemo = new LlmData.SessionRegistry[TrieMap[String, PqCodebook]]
-  private val pqIndexMemo = new LlmData.SessionRegistry[TrieMap[String, String]]
+  // lazy + def below: Curation and LlmData reference each other
+  // (LlmData's x35 oracle embeds duckPqChain; these registries are
+  // LlmData's class). Eager vals on both sides would make object
+  // initialization ORDER-dependent — whichever object initializes
+  // first re-enters the other mid-init and reads a null val, splicing
+  // the literal string "null" into an oracle. lazy vals + a pure def
+  // make the cross-references safe from either entry point.
+  private lazy val pqMemo = new LlmData.SessionRegistry[TrieMap[String, PqCodebook]]
+  private lazy val pqIndexMemo = new LlmData.SessionRegistry[TrieMap[String, String]]
 
   /** Release hook (called from LlmData.clearMemo — one lifecycle for
     * the whole operator surface). */
@@ -254,7 +261,7 @@ object Curation {
     * the x65/x67/x70/x72 oracles and x35's pq_adc arm so they can
     * never diverge. All names p-prefixed to coexist with duckIvfChain
     * in one WITH (x35). */
-  private[operators] val duckPqChain: String =
+  private[operators] def duckPqChain: String =
     s"""pdim AS (SELECT unnest(range(1, 17)) AS i),
        |psub AS (SELECT e.vec_id, ss.s,
        |        list_transform(range(1, 17),
@@ -364,7 +371,10 @@ object Curation {
     * center. The K/subspace-count tuning dial: a subspace whose max_d2
     * dwarfs its mean says its 8 codes under-cover that 16-dim slice.
     * Uses the SAME kernel assignment x65 publishes. Micro-unit integer
-    * sums keep the means order-free and engine-exact. */
+    * sums keep the means order-free and engine-exact. (The two kernel
+    * calls each run the full argmin loop — a fused codes+dists struct
+    * output would halve that, but at 512 flops × 2 per row the audit
+    * is shuffle-dominated, not worth a third kernel datatype.) */
   private def x70 = Q(
     (s, dir) => {
       val cb = trainPqCodebook(s, dir)
@@ -398,8 +408,12 @@ object Curation {
     * are the memory-resident index while raw vectors stay in cold
     * storage — and the registered query is the PROBE ONLY: code-table
     * scan + broadcast 4×8 distance table + distributed heap, zero
-    * ShuffleExchange (pinned by PlanAuditSpec). Same semantics and
-    * oracle as x67; the assignment moved from the query into the table.
+    * ShuffleExchange (pinned by PlanAuditSpec — a property of the
+    * broadcast+heap probe shape; what the split buys is reading codes
+    * instead of re-assigning them). The table buckets on vec_id so
+    * id-keyed maintenance (joining codes back to raw vectors bucketed
+    * the same way, e.g. for re-rank materialization) co-locates. Same
+    * semantics and oracle as x67.
     */
   private def x72 = Q(
     (s, dir) => {

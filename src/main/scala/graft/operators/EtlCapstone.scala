@@ -116,7 +116,7 @@ object EtlCapstone {
 
   private def q46 = Q(
     (s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft-capstone").toString
+      val base = graft.io.TempDirs.scratch("graft-capstone")
       val landing = graft.io.Stages.rawPath(base, graft.io.Stages.ToProcessed)
       // 1-2. extract + stage the raw document layer (JSON lines —
       // splittable, the Spark-idiomatic staging format)

@@ -257,13 +257,18 @@ object LlmData {
   /** Index-build/query split for IVF (the "index once, query many"
     * form a static 100 TB corpus wants): the trained assignment
     * (vec_id, embedding, cid) is persisted ONCE per (session, corpus)
-    * as a catalog table bucketed by cid — the layout shuffle is paid at
-    * write time, and every later probe plans ZERO ShuffleExchange (the
-    * bucketed scan already reports hashpartitioning(cid); the probe
-    * side is a broadcast single-row explode; top-k is a distributed
-    * heap). PlanAuditSpec pins the no-Exchange property on the
-    * executed probe plan. */
-  private[operators] val ivfIndexMemo = new SessionRegistry[TrieMap[String, String]]
+    * as a catalog table bucketed by cid. Two separable properties,
+    * audited separately (PlanAuditSpec):
+    *   - the PROBE plans zero ShuffleExchange because it is a
+    *     broadcast probe-row join + distributed heap — true over any
+    *     layout; what the split buys the probe is reading a
+    *     precomputed assignment instead of re-scoring the corpus;
+    *   - the cid-BUCKETED layout serves the index's cid-keyed
+    *     CONSUMERS — per-list maintenance stats, re-clustering,
+    *     list-wise compaction — which group/join on cid with zero
+    *     Exchange because the scan itself reports
+    *     hashpartitioning(cid). */
+  private[operators] lazy val ivfIndexMemo = new SessionRegistry[TrieMap[String, String]]
 
   private def ivfIndexTable(s: SparkSession, dir: String): String =
     ivfIndexMemo.acquire(s)(TrieMap.empty[String, String])
@@ -444,6 +449,7 @@ object LlmData {
     // Curation's PQ codebook + index-table memos share this lifecycle
     // (one release hook for the whole operator surface)
     Curation.clearPqMemo(s)
+    Relational.clearBucketMemo(s)
     ivfIndexMemo.remove(s)
     val perSession = memo.remove(s)
     // take the same per-map lock memoized() builds under: a build in
@@ -567,7 +573,11 @@ object LlmData {
 
   // ── the queries ─────────────────────────────────────────────────────
 
-  val queries: Map[String, Q] = Map(
+  // lazy: the oracle strings interpolate Curation defs (duckPqChain,
+  // duckAdcTopK) — building this map during LlmData's own class init
+  // would re-enter Curation's init from whichever side started first
+  // (see the mirror note on Curation's registries)
+  lazy val queries: Map[String, Q] = Map(
 
     // ── X1a: exact dedup groups by content hash ───────────────────────
     "x20_exact_dedup_groups" -> Q(

@@ -647,8 +647,14 @@ object Relational {
   )
 
   /** Bucketed-table build registry for q47 — one layout write per
-    * (session, corpus), shared lifecycle with the other index memos. */
-  private val bucketMemo = new LlmData.SessionRegistry[TrieMap[String, String]]
+    * (session, corpus), shared lifecycle with the other index memos
+    * (released via [[clearBucketMemo]] from LlmData.clearMemo, so a
+    * re-invocation after the release hook pays its own layout write —
+    * the same cold-attribution rule every other index memo follows). */
+  private lazy val bucketMemo = new LlmData.SessionRegistry[TrieMap[String, String]]
+
+  private[operators] def clearBucketMemo(s: SparkSession): Unit =
+    bucketMemo.remove(s)
 
   /** q25 — pure range (interval) join, the scale-safe way.
     *

@@ -44,10 +44,15 @@ object Skew {
     * columns; fully identical duplicate rows co-bucket (documented
     * trade — dedup them first if that matters).
     */
+  /** The salt derivation, exposed so measurements (SkewSpec's spread
+    * audit) exercise the SHIPPED formula instead of re-deriving it —
+    * a re-derivation keeps passing after the implementation drifts. */
+  private[graft] def saltColumn(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(hashableCols(df): _*), lit(salts.toLong))
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(hashableCols(fact): _*), lit(salts.toLong)))
+    val saltedFact = fact.withColumn("__salt", saltColumn(fact, salts))
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
@@ -64,8 +69,7 @@ object Skew {
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
       salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    df.withColumn("__salt",
-        pmod(xxhash64(hashableCols(df): _*), lit(salts.toLong)))
+    df.withColumn("__salt", saltColumn(df, salts))
       .groupBy(col(key), col("__salt"))
       .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))

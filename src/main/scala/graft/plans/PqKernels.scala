@@ -100,7 +100,7 @@ object PqAssign {
     val outDists = new Array[Double](subspaces)
     var s = 0
     while (s < subspaces) {
-      var bestD = Double.MaxValue
+      var bestD = 0.0
       var bestI = 0
       var c = 0
       while (c < codes) {
@@ -115,7 +115,16 @@ object PqAssign {
           i += 1
         }
         val r = math.floor(acc * 1000000.0 + 0.5) / 1000000.0
-        if (r < bestD) { bestD = r; bestI = c }
+        // array_min's total order sorts NaN LAST: entry 0 seeds the
+        // min; a later entry replaces it when strictly smaller, or
+        // when the current best is NaN and the candidate isn't (a
+        // NaN-distance embedding otherwise reports a garbage sentinel
+        // instead of the HOF path's NaN, breaking the parity contract)
+        if (c == 0) { bestD = r; bestI = 0 }
+        else if (r < bestD ||
+            (java.lang.Double.isNaN(bestD) && !java.lang.Double.isNaN(r))) {
+          bestD = r; bestI = c
+        }
         c += 1
       }
       outCodes(s) = bestI + 1L

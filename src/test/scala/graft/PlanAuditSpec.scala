@@ -185,6 +185,20 @@ class PlanAuditSpec extends SparkSpec {
       "probe must read the cid-bucketed catalog table, not an ad-hoc scan")
   }
 
+  test("x71: the bucketed layout itself serves cid-keyed consumers shuffle-free") {
+    // the probe's zero-Exchange comes from broadcast + heap (any
+    // layout); THIS pins what bucketing buys — an index-maintenance
+    // aggregation (per-list sizes) that groups on cid with no shuffle
+    // because the scan reports hashpartitioning(cid)
+    SparkEntry.queries("x71_ann_ivf_indexed")(spark, sf0001) // ensure index built
+    val tag = sf0001.replaceAll("[^A-Za-z0-9]", "_")
+    val listStats = spark.table(s"graft_ivf_asg_$tag")
+      .groupBy("cid").count()
+    val p = listStats.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"cid-keyed aggregation over the bucketed index must plan no shuffle:\n$p")
+  }
+
   test("q45: the salted shuffle actually materializes — join keys include the salt") {
     val p = plan("q45_skew_salted_join")
     // without the shuffle_hash pin Spark broadcasts the 15K-row dim at

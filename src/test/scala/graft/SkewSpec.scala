@@ -50,8 +50,7 @@ class SkewSpec extends SparkSpec {
         .otherwise(col("user_id")).as("hk"), col("value"))
     val unsaltedMax = ev.groupBy("hk").count()
       .agg(max("count")).collect()(0).getLong(0)
-    val saltedMax = ev.withColumn("__salt",
-        pmod(xxhash64(col("hk"), col("value")), lit(8L)))
+    val saltedMax = ev.withColumn("__salt", Skew.saltColumn(ev, 8))
       .groupBy("hk", "__salt").count()
       .agg(max("count")).collect()(0).getLong(0)
     assert(unsaltedMax >= saltedMax * 4,
