@@ -114,17 +114,15 @@ object PqAssign {
           acc += diff * diff
           i += 1
         }
-        val r = math.floor(acc * 1000000.0 + 0.5) / 1000000.0
-        // array_min's total order sorts NaN LAST: entry 0 seeds the
-        // min; a later entry replaces it when strictly smaller, or
-        // when the current best is NaN and the candidate isn't (a
-        // NaN-distance embedding otherwise reports a garbage sentinel
-        // instead of the HOF path's NaN, breaking the parity contract)
-        if (c == 0) { bestD = r; bestI = 0 }
-        else if (r < bestD ||
-            (java.lang.Double.isNaN(bestD) && !java.lang.Double.isNaN(r))) {
-          bestD = r; bestI = c
-        }
+        // .toLong replicates Rounding.pround EXACTLY: Spark's floor()
+        // returns LONG, so a NaN fold rounds to 0L/10⁶ = 0.0 (JVM
+        // NaN.toLong == 0) — a double-only floor here would keep NaN
+        // and diverge from the HOF path on malformed vectors
+        // (CurationSpec pins the NaN case)
+        val r = math.floor(acc * 1000000.0 + 0.5).toLong / 1000000.0
+        // entry 0 seeds the min; strict < keeps ties on the earlier
+        // (= smaller) code, matching array_min's struct order
+        if (c == 0 || r < bestD) { bestD = r; bestI = c }
         c += 1
       }
       outCodes(s) = bestI + 1L

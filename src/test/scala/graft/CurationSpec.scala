@@ -131,6 +131,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("pq kernel: NaN embeddings keep HOF parity (pround's floor->LONG rounds NaN to 0)") {
+    import org.apache.spark.sql.functions._
+    val cb = graft.operators.Curation.trainPqCodebook(spark, sf0001)
+    import spark.implicits._
+    // one clean vector, one with a NaN poisoning every subspace
+    val rows = Seq(
+      (1L, Array.fill(64)(0.5f)),
+      (2L, Array.fill(64)(Float.NaN))
+    ).toDF("vec_id", "embedding")
+    def hofD2(s: Int) = array_min(array(cb(s).map { case (cid, ce) =>
+      struct(graft.operators.Curation.pqD2(col(s"sub$s"), ce).as("d2"),
+        lit(cid).as("code"))
+    }: _*)).getField("d2")
+    val both = graft.operators.Curation.withPqSubs(rows)
+      .select(col("vec_id"),
+        graft.operators.Curation.pqDistsNative(col("embedding"), cb).as("ks"),
+        array((0 to 3).map(hofD2): _*).as("hs"),
+        graft.operators.Curation.pqAssignNative(col("embedding"), cb).as("kc"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Double](1), r.getSeq[Double](2), r.getSeq[Long](3))).toMap
+    val (cleanK, cleanH, _) = both(1L)
+    assert(cleanK == cleanH, "clean vector must stay bit-equal")
+    // Spark's floor() returns LONG, so pround(NaN) = 0L/1e6 = 0.0 —
+    // the kernel must reproduce that quirk, not double-floor to NaN
+    val (nanK, nanH, nanCodes) = both(2L)
+    assert(nanK == nanH,
+      s"NaN subspaces must match the HOF path exactly, got kernel=$nanK hof=$nanH")
+    assert(nanH.forall(_ == 0.0),
+      s"pround's floor->LONG must round NaN folds to 0.0, got $nanH")
+    assert(nanCodes == Seq(1L, 1L, 1L, 1L),
+      "all-equal distances must resolve to the smallest code (array_min total order)")
+  }
+
   test("pq training: codebook keeps 1..8 keying per subspace and moves off the seeds") {
     val cb = graft.operators.Curation.trainPqCodebook(spark, sf0001)
     assert(cb.length == 4)
