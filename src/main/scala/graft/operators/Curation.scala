@@ -32,6 +32,16 @@ object Curation {
   private def duckIdHash(expr: String): String =
     s"CAST('0x' || substr(md5(CAST($expr AS VARCHAR)), 1, 15) AS BIGINT)"
 
+  /** Declarative twin of graft_token_stats, retained as the kernel's
+    * executable specification (CurationSpec asserts integer equality
+    * on the real corpus): Σc² via a per-distinct-token count fold —
+    * O(distinct × len) interpreted, which is why the registered query
+    * runs the O(len) kernel instead. */
+  private[graft] def tokenSumsqHof(tk: Column): Column =
+    aggregate(
+      transform(array_distinct(tk), w => size(filter(tk, x => x === w)).cast("long")),
+      lit(0L), (acc, c) => acc + c * c)
+
   /** x63 — Simpson diversity of the token distribution per document:
     * 1 − Σc²/n², the collision probability complement — a
     * repetition-concentration quality signal ORTHOGONAL to x43 (which
@@ -40,21 +50,21 @@ object Curation {
     * dedup misses). Σc² is an exact integer, so the score is one double
     * division — no float accumulation anywhere, immune to the engines'
     * differing distinct-list orders. Entirely map-side (scan-stage
-    * projection, no shuffle); per-doc cost is O(distinct × len), bounded
-    * by document length exactly like Text.gopherRules. */
+    * projection, no shuffle); the frequency profile comes from the
+    * graft_token_stats kernel — ONE O(len) hash-map pass per document,
+    * where the declarative form pays O(distinct × len) interpreted
+    * dispatches (quadratic in document length: survivable on 100-token
+    * test docs, a scan-stage killer on real articles). */
   private def x63 = Q(
     (s, dir) => {
-      val counts = transform(array_distinct(col("tk")),
-        w => size(filter(col("tk"), x => x === w)).cast("long"))
       t(s, dir, "documents")
         .withColumn("tk", Text.tokens(col("text")))
         .withColumn("n", size(col("tk")).cast("long"))
-        .withColumn("sumsq",
-          aggregate(counts, lit(0L), (acc, c) => acc + c * c))
+        .withColumn("st", call_function("graft_token_stats", col("tk")))
         .select(col("doc_id"),
           col("n").as("n_tokens"),
-          size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
-          (lit(1.0) - col("sumsq").cast("double") /
+          col("st.n_distinct").as("n_distinct"),
+          (lit(1.0) - col("st.sumsq").cast("double") /
             (col("n") * col("n")).cast("double")).as("simpson"))
         .orderBy("doc_id")
     },

@@ -184,6 +184,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         litLong(name, children(3)).toInt, dists)
     }
     ext.injectFunction((
+      new FunctionIdentifier("graft_token_stats"),
+      new ExpressionInfo(classOf[TokenStats].getName, "graft_token_stats"),
+      (children: Seq[Expression]) => {
+        requireArity("graft_token_stats", children, 1)
+        TokenStats(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_pq_assign"),
       new ExpressionInfo(classOf[PqAssign].getName, "graft_pq_assign"),
       pqBuilder("graft_pq_assign", dists = false) _))

@@ -16,6 +16,25 @@ class CurationSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), "per-doc score must not shuffle")
   }
 
+  test("x63: token-stats kernel equals the declarative HOF counts on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val both = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("tk", graft.functions.Text.tokens(col("text")))
+      .select(col("doc_id"),
+        call_function("graft_token_stats", col("tk")).as("st"),
+        size(array_distinct(col("tk"))).cast("long").as("hof_distinct"),
+        graft.operators.Curation.tokenSumsqHof(col("tk")).as("hof_sumsq"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val st = r.getStruct(1)
+      assert(st.getLong(0) == r.getLong(2),
+        s"doc ${r.getLong(0)}: kernel distinct ${st.getLong(0)} != hof ${r.getLong(2)}")
+      assert(st.getLong(1) == r.getLong(3),
+        s"doc ${r.getLong(0)}: kernel sumsq ${st.getLong(1)} != hof ${r.getLong(3)}")
+    }
+  }
+
   test("x63: simpson bounds and degenerate cases hold") {
     val rows = df("x63_token_diversity").collect()
     rows.foreach { r =>
