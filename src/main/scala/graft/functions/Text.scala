@@ -42,9 +42,15 @@ object Text {
       lit(0L), (a, x) => a + x)
     val mean = Rounding.pround(sumLen.cast("double") / nW, 6)
     val nStop = size(filter(tk, t => t.isin(stops: _*))).cast("long")
+    // top-token count via the graft_token_stats kernel: one O(len)
+    // hash-map pass — the declarative array_distinct+filter form is
+    // O(distinct × len) interpreted PER ROW (quadratic in document
+    // length; the same hazard x63 moved off of). Exact integer either
+    // way, so batch (x52), streaming monitor, and oracle stay equal;
+    // CurationSpec pins kernel ≡ HOF on the real corpus.
     val rep = Rounding.pround(
-      array_max(transform(array_distinct(tk),
-        t => size(filter(tk, x => x === t)))).cast("long").cast("double") / nW, 6)
+      call_function("graft_token_stats", tk).getField("max_c")
+        .cast("double") / nW, 6)
     struct(
       nW.as("n_words"), mean.as("mean_wlen"), nStop.as("n_stop"),
       rep.as("rep_frac"),

@@ -49,6 +49,11 @@ object EtlCapstone {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The daily-run extraction window's start — shared by the Spark
+    * side, the DuckDB oracle, and EtlSpec's derived expectations so
+    * the boundary cannot drift across the three copies. */
+  private[graft] val DailySliceStart = "1998-01-01"
+
   private val ExtractedAt = "2024-01-01 00:00:00"
   private val TransformedAt = "2024-01-02 00:00:00"
   private val LoadedAt = "2024-01-03 00:00:00"
@@ -91,7 +96,7 @@ object EtlCapstone {
       // recent slice, never the full history (P4's recency predicate);
       // the literal pivot pushes to the parquet scan, so the lifecycle
       // cost scales with the delta, not the corpus
-      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") >= lit(DailySliceStart).cast("timestamp"))
       .withColumn("clerk",
         concat(lit("clerk"), lpad(pmod(col("o_orderkey"), lit(100)).cast("string"), 3, "0")))
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
@@ -156,14 +161,14 @@ object EtlCapstone {
             lit(null).cast("timestamp").as("ts")))
         .orderBy("tbl", "id")
     },
-    Some("""WITH base AS (
+    Some(s"""WITH base AS (
            |  SELECT o.*,
            |    'clerk' || lpad(CAST(o.o_orderkey % 100 AS VARCHAR), 3, '0') AS clerk,
            |    c.c_custkey, c.c_name, n.n_nationkey, n.n_name
            |  FROM orders o
            |  JOIN customer c ON o.o_custkey = c.c_custkey
            |  JOIN nation n ON c.c_nationkey = n.n_nationkey
-           |  WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+           |  WHERE o.o_orderdate >= TIMESTAMP '$DailySliceStart 00:00:00'),
            |songs AS (
            |  SELECT 'song' AS tbl, 'o' || o_orderkey AS id,
            |    o_orderpriority AS name,

@@ -270,10 +270,15 @@ object LlmData {
     *     hashpartitioning(cid). */
   private[operators] lazy val ivfIndexMemo = new SessionRegistry[TrieMap[String, String]]
 
+  /** Shared naming so audits exercise the shipped derivation instead
+    * of re-copying the formula (the Skew.saltColumn rule). */
+  private[graft] def ivfIndexTableName(dir: String): String =
+    "graft_ivf_asg_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
   private def ivfIndexTable(s: SparkSession, dir: String): String =
     ivfIndexMemo.acquire(s)(TrieMap.empty[String, String])
       .getOrElseUpdate(dir, {
-        val tbl = "graft_ivf_asg_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tbl = ivfIndexTableName(dir)
         val scored = ivfScored(trainedCentroids(s, dir)) _
         val asg = t(s, dir, "embeddings")
           .filter(col("vec_id") =!= 0)

@@ -23,7 +23,9 @@ class CurationSpec extends SparkSpec {
       .select(col("doc_id"),
         call_function("graft_token_stats", col("tk")).as("st"),
         size(array_distinct(col("tk"))).cast("long").as("hof_distinct"),
-        graft.operators.Curation.tokenSumsqHof(col("tk")).as("hof_sumsq"))
+        graft.operators.Curation.tokenSumsqHof(col("tk")).as("hof_sumsq"),
+        array_max(transform(array_distinct(col("tk")),
+          t => size(filter(col("tk"), x => x === t)))).cast("long").as("hof_max"))
       .collect()
     assert(both.nonEmpty)
     both.foreach { r =>
@@ -32,6 +34,8 @@ class CurationSpec extends SparkSpec {
         s"doc ${r.getLong(0)}: kernel distinct ${st.getLong(0)} != hof ${r.getLong(2)}")
       assert(st.getLong(1) == r.getLong(3),
         s"doc ${r.getLong(0)}: kernel sumsq ${st.getLong(1)} != hof ${r.getLong(3)}")
+      assert(st.getLong(2) == r.getLong(4),
+        s"doc ${r.getLong(0)}: kernel max_c ${st.getLong(2)} != hof ${r.getLong(4)}")
     }
   }
 

@@ -237,7 +237,8 @@ class EtlSpec extends SparkSpec {
       // the capstone extracts the daily-run slice (recency predicate),
       // so expectations derive from the same filtered window
       val orders = spark.read.parquet(s"$sf0001/orders.parquet")
-        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") >=
+          lit(graft.operators.EtlCapstone.DailySliceStart).cast("timestamp"))
       val nOrders = orders.count()
       val custs = orders.select("o_custkey").distinct()
       val nCust = custs.count()

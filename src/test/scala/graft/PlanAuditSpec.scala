@@ -191,8 +191,8 @@ class PlanAuditSpec extends SparkSpec {
     // aggregation (per-list sizes) that groups on cid with no shuffle
     // because the scan reports hashpartitioning(cid)
     SparkEntry.queries("x71_ann_ivf_indexed")(spark, sf0001) // ensure index built
-    val tag = sf0001.replaceAll("[^A-Za-z0-9]", "_")
-    val listStats = spark.table(s"graft_ivf_asg_$tag")
+    val listStats = spark
+      .table(graft.operators.LlmData.ivfIndexTableName(sf0001))
       .groupBy("cid").count()
     val p = listStats.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"),

@@ -223,7 +223,7 @@ class StreamingSpec extends SparkSpec {
 
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
-        r.getLong(3), r.getTimestamp(4))).toSet
+        r.getLong(3), r.getTimestamp(4), r.getDouble(5))).toSet
     val streamed = canon(spark.read.parquet(out))
     // batch twin: the SAME shared expressions over the static frame
     val batch = canon(EventStream.purchaseAttributionOf(
