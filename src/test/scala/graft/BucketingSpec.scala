@@ -84,7 +84,7 @@ class BucketingSpec extends SparkSpec {
     // partitionBy(date) makes time predicates skip whole directories —
     // at 100 TB a day-scoped query must read one partition, not filter
     // the full table post-scan
-    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val tmp = graft.io.TempDirs.scratch("graft-part")
     try {
       Tables.load(spark, sf0001, "orders")
         .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))

@@ -37,7 +37,7 @@ class EtlSpec extends SparkSpec {
        |"tracks":${tracks.mkString("[", ",", "]")}}""".stripMargin.replaceAll("\n", "")
 
   private lazy val rawDir: String = {
-    val dir = Files.createTempDirectory("graft-etl-raw").toString
+    val dir = graft.io.TempDirs.scratch("graft-etl-raw")
     val file1 = envelope("PL0000000000000000000001", "2024-01-01T00:00:00", Seq(
       track("T01", "song one", 50, "A1", "album one", "2020-03-05",
         Seq("R1" -> "artist one"), "2023-12-01T00:00:00"),
@@ -120,7 +120,7 @@ class EtlSpec extends SparkSpec {
   test("reference file format: pretty-printed one-envelope-per-file JSON parses with multiLine") {
     // the reference uploads json.dumps(indent=2) documents — multiline
     // JSON that line-oriented spark.read.json would reject
-    val dir = Files.createTempDirectory("graft-etl-pretty").toString
+    val dir = graft.io.TempDirs.scratch("graft-etl-pretty")
     val pretty = envelope("PL0000000000000000000002", "2024-02-01T00:00:00", Seq(
       track("T99", "pretty", 42, "A9", "album nine", "2022",
         Seq("R9" -> "artist nine"), "2024-01-31T00:00:00")))
@@ -137,7 +137,7 @@ class EtlSpec extends SparkSpec {
     // the reference's transform stage emits CSV per table; parquet is
     // the engine-native layer, CSV the interchange twin — a write/read
     // round-trip with explicit schema must be lossless for these types
-    val dir = Files.createTempDirectory("graft-etl-csv").toString
+    val dir = graft.io.TempDirs.scratch("graft-etl-csv")
     star.songs.write.option("header", "true").mode("overwrite").csv(s"$dir/song_data")
     val back = spark.read.option("header", "true").schema(star.songs.schema)
       .csv(s"$dir/song_data")
@@ -148,7 +148,7 @@ class EtlSpec extends SparkSpec {
   }
 
   test("star-schema sink: three table dirs with the loaded_at audit column") {
-    val base = Files.createTempDirectory("graft-star").toString
+    val base = graft.io.TempDirs.scratch("graft-star")
     Sinks.writeStarSchema(star, base, lit("2024-01-04T00:00:00").cast("timestamp"))
     for ((name, expected) <- Seq("album_data" -> star.albums.count(),
         "artist_data" -> star.artists.count(), "song_data" -> star.songs.count())) {
@@ -202,7 +202,7 @@ class EtlSpec extends SparkSpec {
   }
 
   test("sinks: staged paths, dead-letter, logs, archive") {
-    val base = Files.createTempDirectory("graft-io").toString
+    val base = graft.io.TempDirs.scratch("graft-io")
     // staged JSON doc sink (S5/S6)
     Sinks.writeJsonDoc(star.songs, Stages.rawPath(base, Stages.ToProcessed))
     val toProcessed = spark.read.json(Stages.rawPath(base, Stages.ToProcessed))

@@ -60,7 +60,7 @@ class PlanAuditSpec extends SparkSpec {
       "single-file layout needs the spread repartition")
     // multi-file layout: the (doc_id, text) payload must never shuffle —
     // every remaining exchange carries signatures/band keys only
-    val tmp = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val tmp = graft.io.TempDirs.scratch("graft-layout")
     graft.sources.Tables.load(spark, sf0001, "documents").repartition(4)
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val p = SparkEntry.queries("x22_minhash_lsh_pairs")(spark, tmp)

@@ -12,7 +12,7 @@ class StreamingSpec extends SparkSpec {
   private val eventsFile = Paths.get(s"$sf0001/events.parquet")
 
   private def tmp(name: String): String =
-    Files.createTempDirectory(s"graft-$name").toString
+    graft.io.TempDirs.scratch(s"graft-$name")
 
   test("dedup ingest: duplicate deliveries collapse, second run is incremental") {
     val src = tmp("stream-src"); val out = tmp("stream-out"); val ckpt = tmp("stream-ckpt")
