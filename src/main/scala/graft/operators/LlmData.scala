@@ -2024,12 +2024,25 @@ object LlmData {
           .groupBy("node").agg(count(lit(1)).as("deg"))
         val lower = col("da") < col("db") ||
           (col("da") === col("db") && col("doc_a") < col("doc_b"))
-        val oriented = edges
-          .join(deg.select(col("node").as("doc_a"), col("deg").as("da")), "doc_a")
-          .join(deg.select(col("node").as("doc_b"), col("deg").as("db")), "doc_b")
-          .select(when(lower, col("doc_a")).otherwise(col("doc_b")).as("src"),
-            when(lower, col("doc_b")).otherwise(col("doc_a")).as("dst"),
-            when(lower, col("db")).otherwise(col("da")).as("dd"))
+        // broadcast() EXPLICITLY — the q31 lesson (commit 1cf09f4)
+        // applied to the same shape: deg is NODE-sized (≪ edges, which
+        // are themselves LSH-sparse), but both join inputs derive from
+        // the memoized InMemoryRelation, which AQE cannot re-plan
+        // through (no shuffle-stage stats), so without the hint the
+        // warm-run plan silently fell back to SortMergeJoins that
+        // re-sorted the cached candidate list on every invocation
+        // (r7 driver artifact: warm 6.08 s > cold 5.70 s). At |V|
+        // beyond broadcast capacity, drop the hint and pre-partition
+        // the edge list by the join key instead.
+        val oriented = memoized(s, "x62-oriented", dir) {
+          edges
+            .join(broadcast(deg.select(col("node").as("doc_a"), col("deg").as("da"))), "doc_a")
+            .join(broadcast(deg.select(col("node").as("doc_b"), col("deg").as("db"))), "doc_b")
+            .select(when(lower, col("doc_a")).otherwise(col("doc_b")).as("src"),
+              when(lower, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+              when(lower, col("db")).otherwise(col("da")).as("dd"))
+            .persist()
+        }
         val wedges = oriented.as("e1").join(oriented.as("e2"), "src")
           .filter(col("e1.dd") < col("e2.dd") ||
             (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst")))
@@ -2037,7 +2050,7 @@ object LlmData {
         val closed = wedges.join(
           oriented.select(col("src").as("v"), col("dst").as("z")), Seq("v", "z"))
         wedges.agg(count(lit(1)).as("n_wedges"))
-          .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+          .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_triangles"))))
           .select(col("n_wedges"), col("n_triangles"),
             when(col("n_wedges") > 0,
               expr("(n_triangles * 1000000) div n_wedges"))

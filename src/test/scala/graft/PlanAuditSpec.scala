@@ -269,6 +269,34 @@ class PlanAuditSpec extends SparkSpec {
       "the cached-input plan must keep the broadcast joins (no stats-blind SMJ fallback)")
   }
 
+  test("x62: second invocation keeps broadcast degree joins over the cached graph (bench SF)") {
+    // The q31 lesson, applied where it recurred: x62's candidate edge
+    // list and oriented graph are memoized InMemoryRelations, which AQE
+    // cannot re-plan through — so this audit probes the EXECUTED plan of
+    // the SECOND invocation at sf0.1 (the bench SF; the r6 q31 audit at
+    // sf0.001 famously could not see the SMJ fallback) and pins both
+    // halves of the warm contract: the memo is genuinely hit, and the
+    // node-sized degree joins stay broadcast instead of re-sorting the
+    // cached candidate list on every run (r7 driver artifact: warm
+    // 6.08 s > cold 5.70 s until the hints landed).
+    val sf01 = "/root/testdata/sf0.1"
+    val run = () => {
+      val df = SparkEntry.queries("x62_dedup_triangles")(spark, sf01)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val firstPlan = run()
+    assert(firstPlan.contains("InMemoryTableScan"),
+      "downstream joins must read the persisted candidate graph, not rebuild it")
+    val secondPlan = run()
+    assert(secondPlan.contains("InMemoryTableScan"),
+      "repeat invocations must hit the session memo, not re-run the band join")
+    assert(!secondPlan.contains("SortMergeJoin"),
+      "cached-input joins must keep the broadcast hints (no stats-blind SMJ fallback)")
+    assert("BroadcastHashJoin".r.findAllIn(secondPlan).size >= 2,
+      "both degree joins must broadcast the node-sized side")
+  }
+
   test("q32: each funnel stage pushes its event_type slice to the scan") {
     val p = plan("q32_funnel")
     // three stages -> three sliced scans; reading all events for every
