@@ -428,8 +428,7 @@ object Curation {
   private def x72 = Q(
     (s, dir) => {
       val cb = trainPqCodebook(s, dir)
-      val tbl = pqIndexMemo.acquire(s)(TrieMap.empty[String, String])
-        .getOrElseUpdate(dir, {
+      val tbl = LlmData.tableOnce(pqIndexMemo, s, dir)({
           val name = "graft_pq_codes_" + dir.replaceAll("[^A-Za-z0-9]", "_")
           Bucketing.writeBucketed(
             t(s, dir, "embeddings").filter(col("vec_id") =!= 0)

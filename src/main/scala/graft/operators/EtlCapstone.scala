@@ -35,8 +35,9 @@ import org.apache.spark.sql.functions._
   * collect_list order inside an envelope is plan-dependent but
   * immaterial — normalize re-explodes the array and every dedup
   * survivor is picked by a total column ordering, never array position.
-  * Each invocation stages into a fresh temp dir, so the query is
-  * idempotent under the bench's cold+warm double run.
+  * Invocations share one per-(session, corpus) staging root and every
+  * stage write is SaveMode.Overwrite, so the query is idempotent under
+  * the bench's cold+warm double run without growing disk per call.
   *
   * Scale: the lifecycle inherits each stage's audited shape — the
   * envelope build is one groupBy per playlist key, the JSON layer is
@@ -57,6 +58,19 @@ object EtlCapstone {
   private val ExtractedAt = "2024-01-01 00:00:00"
   private val TransformedAt = "2024-01-02 00:00:00"
   private val LoadedAt = "2024-01-03 00:00:00"
+
+  /** One staging root per (session, corpus), reused across invocations:
+    * every write below is SaveMode.Overwrite, so re-running the
+    * lifecycle overwrites in place instead of staging a fresh full
+    * JSON + warehouse copy per call — a long-lived session invoking
+    * q46 repeatedly (the bench runs it twice per round) holds ONE
+    * copy, not a linearly growing pile reclaimed only at JVM exit. */
+  private lazy val stageMemo = new LlmData.SessionRegistry[
+    scala.collection.concurrent.TrieMap[String, String]]
+
+  private def stagingRoot(s: SparkSession, dir: String): String =
+    LlmData.tableOnce(stageMemo, s, dir)(
+      graft.io.TempDirs.scratch("graft-capstone"))
 
   private def urlOf(kind: String, id: Column): Column =
     map(lit("spotify"), concat(lit(s"https://open.example/$kind/"), id))
@@ -121,7 +135,7 @@ object EtlCapstone {
 
   private def q46 = Q(
     (s, dir) => {
-      val base = graft.io.TempDirs.scratch("graft-capstone")
+      val base = stagingRoot(s, dir)
       val landing = graft.io.Stages.rawPath(base, graft.io.Stages.ToProcessed)
       // 1-2. extract + stage the raw document layer (JSON lines —
       // splittable, the Spark-idiomatic staging format)

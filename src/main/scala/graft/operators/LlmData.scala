@@ -276,8 +276,7 @@ object LlmData {
     "graft_ivf_asg_" + dir.replaceAll("[^A-Za-z0-9]", "_")
 
   private def ivfIndexTable(s: SparkSession, dir: String): String =
-    ivfIndexMemo.acquire(s)(TrieMap.empty[String, String])
-      .getOrElseUpdate(dir, {
+    tableOnce(ivfIndexMemo, s, dir)({
         val tbl = ivfIndexTableName(dir)
         val scored = ivfScored(trainedCentroids(s, dir)) _
         val asg = t(s, dir, "embeddings")
@@ -436,6 +435,27 @@ object LlmData {
         // while holding the registry lock.)
         if (memo.registerOrGet(s, perSession) eq perSession)
           out = perSession.getOrElseUpdate((key, dir), build)
+      }
+    }
+    out
+  }
+
+  /** Compute-if-absent under the map's lock for the TABLE-NAME memos
+    * (bucketed-join layout, IVF assignment, PQ codes): the builders
+    * run side-effecting DDL (writeBucketed / saveAsTable Overwrite)
+    * against the non-transactional catalog, so a bare TrieMap
+    * getOrElseUpdate racing two first-users could run two concurrent
+    * Overwrites of the same table. Same register-or-read loop as
+    * [[memoized]]; losing a map to a concurrent clear costs only an
+    * idempotent re-write here (no persisted frame to leak). */
+  private[operators] def tableOnce(
+      reg: SessionRegistry[TrieMap[String, String]],
+      s: SparkSession, key: String)(build: => String): String = {
+    var out: String = null
+    while (out == null) {
+      val m = reg.acquire(s)(TrieMap.empty[String, String])
+      m.synchronized {
+        if (reg.registerOrGet(s, m) eq m) out = m.getOrElseUpdate(key, build)
       }
     }
     out

@@ -615,8 +615,7 @@ object Relational {
     "q47_bucketed_join" -> Q(
       (s, dir) => {
         val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-        bucketMemo.acquire(s)(TrieMap.empty[String, String])
-          .getOrElseUpdate(dir, {
+        LlmData.tableOnce(bucketMemo, s, dir)({
             graft.io.Bucketing.writeBucketed(
               t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
               s"graft_b_orders_$tag", "o_orderkey", buckets = 16)

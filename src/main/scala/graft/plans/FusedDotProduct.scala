@@ -172,7 +172,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case org.apache.spark.sql.catalyst.expressions.Literal(
             a: org.apache.spark.sql.catalyst.util.ArrayData,
             ArrayType(org.apache.spark.sql.types.DoubleType, _)) =>
-          a.toDoubleArray()
+          a.toDoubleArray().toIndexedSeq
         case _ => throw new org.apache.spark.sql.AnalysisException(
           errorClass = "NON_FOLDABLE_ARGUMENT",
           messageParameters = Map(

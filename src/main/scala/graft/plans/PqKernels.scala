@@ -40,8 +40,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * behavior on such rows is an engine-internal struct-null ordering
   * nobody should rely on; the corpus has neither case).
   */
-case class PqAssign(child: Expression, codebook: Array[Double],
+case class PqAssign(child: Expression, codebook: IndexedSeq[Double],
     codes: Int, subDim: Int, dists: Boolean) extends UnaryExpression {
+
+  // IndexedSeq, not Array: an Array field degrades case-class
+  // equals/hashCode to reference identity, so two semantically
+  // identical kernel calls built from separate codebook copies (x70
+  // builds assign + dists independently) could never canonicalize or
+  // share subexpressions. The tight loop still runs on a primitive
+  // array — converted once per (de)serialized instance.
+  @transient private lazy val cbArr: Array[Double] = codebook.toArray
 
   private def subspaces: Int = codebook.length / (codes * subDim)
 
@@ -64,11 +72,11 @@ case class PqAssign(child: Expression, codebook: Array[Double],
     if (dists) "graft_pq_dists" else "graft_pq_assign"
 
   override def nullSafeEval(input: Any): Any =
-    PqAssign.compute(input.asInstanceOf[ArrayData], codebook,
+    PqAssign.compute(input.asInstanceOf[ArrayData], cbArr,
       subspaces, codes, subDim, dists)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[]")
     nullSafeCodeGen(ctx, ev, arr => {
       val cls = PqAssign.getClass.getName.stripSuffix("$") + "$.MODULE$"
       val out = ctx.freshName("out")

@@ -61,4 +61,17 @@ class FuseDotRuleSpec extends SparkSpec {
     val p = emb.select(seeded.as("s")).queryExecution.executedPlan.toString
     assert(!p.contains("graft_dot"))
   }
+
+  test("negative-zero fold seed is NOT rewritten (raw-bits guard)") {
+    // Scala's -0.0 == 0.0 would let a naive guard rewrite this fold,
+    // but the kernel seeds +0.0: on an EMPTY array the fold returns its
+    // seed, so Literal(-0.0) must keep the HOF form to preserve the
+    // -0.0 result bit. The guard compares doubleToRawLongBits — pin the
+    // direction it changed.
+    val a = Vectors.toDouble(col("embedding"))
+    val seeded = aggregate(zip_with(a, a, _ * _), lit(-0.0), _ + _)
+    val p = emb.select(seeded.as("s")).queryExecution.executedPlan.toString
+    assert(!p.contains("graft_dot"),
+      "a -0.0-seeded fold is not bit-equal to the +0.0 kernel seed")
+  }
 }
