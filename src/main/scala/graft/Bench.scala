@@ -154,6 +154,22 @@ object Bench {
       wdf.write.mode("overwrite").json(s"$wtmp/j")
       spark.read.schema("id BIGINT, s STRING").json(s"$wtmp/j")
         .write.mode("overwrite").parquet(s"$wtmp/p")
+      // Iterative-loop machinery bootstrap (localCheckpoint + observe +
+      // per-round re-plan): the fixpoint queries (q31 pagerank, x36
+      // components) otherwise pay the one-time JIT of the checkpoint
+      // write path and Observation metric collection on their own cold
+      // number (q31 read 11.6 s cold on the r7 driver with warm 2.3 s —
+      // the spread is exactly this bootstrap). Two tiny rounds exercise
+      // checkpoint + observe + re-read without touching any real table.
+      var it = spark.range(1000).selectExpr("id", "id % 10 AS k")
+      for (i <- 1 to 2) {
+        val obs = org.apache.spark.sql.Observation(s"graft-warm-$i")
+        it = it.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+        obs.get // localCheckpoint is eager; ride the same metric path
+      }
+      // release the warmup's checkpoint RDDs so the suite starts with a
+      // clean block manager (nothing else is persisted yet)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     } catch { case NonFatal(_) => () }
     // Write to the built-in noop sink so every column is materialized:
     // a bare count() lets Catalyst prune unreferenced projections and
@@ -180,23 +196,46 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, gcMs() - g0)
       } catch { case NonFatal(_) => (-1.0, gcMs() - g0) }
     }
+    // 1-minute load average at query start: an in-artifact record of
+    // box contention, so a cold outlier can be adjudicated from the
+    // artifact alone (the r3/r7 q10 anomalies — 10×-local cold numbers
+    // on plan-audited, unchanged code — needed cross-round inference
+    // because the bench kept no load evidence).
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case NonFatal(_) => -1.0 }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val detailed = selected.map { case (name, fn) =>
+      val lc = load1()
       val cold = timed(fn)
       val warm = timed(fn)
       // drop per-query persisted signature tables so one query's cache
       // can't pressure the next query's measurement (after BOTH runs —
       // the warm run should reuse the memo like a steady-state session)
       operators.LlmData.clearMemo(spark)
-      name -> (cold, warm)
+      name -> (cold, warm, lc)
     }
-    val results = detailed.map { case (n, (c, w)) => n -> (c._1, w._1) }
+    // Third sample: re-time the worst cold outliers once more at suite
+    // end (memo cleared, so the run is cold-shaped minus one-time JIT /
+    // page-cache effects). A single contended scheduler slot can no
+    // longer hold the canonical artifact hostage: if retry ≈ warm, the
+    // cold sample was the box; if retry ≈ cold, the cost is real.
+    val retried = detailed.toSeq.filter(_._2._1._1 >= 0)
+      .sortBy(-_._2._1._1).take(5).map { case (name, _) =>
+        val rl = load1()
+        val r = timed(SparkEntry.queries(name))
+        operators.LlmData.clearMemo(spark)
+        name -> (r, rl)
+      }.toMap
+    val results = detailed.map { case (n, (c, w, _)) => n -> (c._1, w._1) }
     // Full-precision cold/warm per query goes to a file — the stdout
     // tail budget (see SIZE CONTRACT above) cannot carry two maps.
     val detailPath = "BENCH_DETAIL.json"
     val detail = detailed
-      .map { case (k, ((c, gc), (w, gw))) =>
-        s"""  "$k": {"cold": $c, "warm": $w, "gc_cold_ms": $gc, "gc_warm_ms": $gw}""" }
+      .map { case (k, ((c, gc), (w, gw), lc)) =>
+        val extra = retried.get(k).fold("") { case ((r, rgc), rl) =>
+          s""", "retry": $r, "retry_gc_ms": $rgc, "retry_load1": $rl""" }
+        s"""  "$k": {"cold": $c, "warm": $w, "gc_cold_ms": $gc, "gc_warm_ms": $gw, "load1": $lc$extra}""" }
       .mkString("{\n", ",\n", "\n}\n")
     try
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),

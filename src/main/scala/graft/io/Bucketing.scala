@@ -39,6 +39,22 @@ object Bucketing {
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
 
+  /** Append rows to an existing bucketed table under the SAME bucket
+    * spec — the incremental-index maintenance path (a production corpus
+    * is append-mostly; the index must grow without rewriting). New rows
+    * hash into per-bucket files ADDED next to the existing ones; base
+    * files are never touched, and the scan keeps reporting
+    * hashpartitioning, so downstream zero-Exchange plans survive the
+    * append. Spark validates the spec matches the catalog's — a
+    * mismatched bucket count fails loudly instead of silently
+    * de-bucketing the table. */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, sorted: Boolean = true): Unit = {
+    val w = df.write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(buckets, key)
+    (if (sorted) w.sortBy(key) else w).saveAsTable(table)
+  }
+
   /** Catalog read-back; the scan carries the bucket spec (and therefore
     * its hashpartitioning output partitioning) only via this path. */
   def table(spark: SparkSession, name: String): DataFrame =

@@ -197,8 +197,15 @@ object LlmData {
     new SessionRegistry[TrieMap[(String, Int), Seq[(Long, IndexedSeq[Float])]]]
 
   private def trainCentroids(
-      s: SparkSession, dir: String, K: Int): Seq[(Long, IndexedSeq[Float])] = {
-    val e = t(s, dir, "embeddings")
+      s: SparkSession, dir: String, K: Int): Seq[(Long, IndexedSeq[Float])] =
+    trainCentroidsOn(t(s, dir, "embeddings"), K)
+
+  /** The Lloyd's loop itself, over an arbitrary training frame — the
+    * x74 incremental-maintenance path trains on the HISTORICAL slice
+    * only (new batches are assigned against these frozen centroids,
+    * never retrained per append). */
+  private def trainCentroidsOn(
+      e: DataFrame, K: Int): Seq[(Long, IndexedSeq[Float])] = {
     var cents: Seq[(Long, IndexedSeq[Float])] =
       e.filter(col("vec_id").between(1, K))
         .select(col("vec_id"), col("embedding")).collect()
@@ -303,6 +310,89 @@ object LlmData {
       .limit(k)
   }
 
+  // ── Incremental IVF index maintenance (x74) ───────────────────────
+  /** The historical/new split for the append scenario: vec_id % 10 == 7
+    * models the newly-arrived batch (~10% of the corpus); everything
+    * else is the historical corpus the quantizer was trained on. The
+    * query vector (vec_id 0) stays historical on both sides. */
+  private def histVec: Column = pmod(col("vec_id"), lit(10)) =!= 7
+  private def newVec: Column = pmod(col("vec_id"), lit(10)) === 7
+
+  /** Centroids trained on the HISTORICAL slice only, then FROZEN —
+    * what incremental maintenance assigns new batches against (retrain
+    * is a deliberate, audited event — x74 measures the recall drift
+    * that decides it — never an implicit side effect of an append).
+    * Tagged key in the same registry as the full-corpus quantizer. */
+  private def trainedCentroidsHist(
+      s: SparkSession, dir: String, K: Int = 16): Seq[(Long, IndexedSeq[Float])] =
+    centsMemo.acquire(s)(
+        TrieMap.empty[(String, Int), Seq[(Long, IndexedSeq[Float])]])
+      .getOrElseUpdate((dir + "#hist", K),
+        trainCentroidsOn(t(s, dir, "embeddings").filter(histVec), K))
+
+  private[operators] lazy val incIvfMemo = new SessionRegistry[TrieMap[String, String]]
+
+  private[graft] def incIvfIndexTableName(dir: String): String =
+    "graft_ivf_inc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** The NEW batch assigned against the frozen historical centroids —
+    * map-side only (the centroids ride along as a literal), exactly one
+    * scan of the new rows and no read of the base index. Exposed so
+    * PlanAuditSpec can pin that shape: an append that re-derives the
+    * base assignment would silently turn daily maintenance into a full
+    * rebuild at 100 TB. */
+  private[graft] def ivfAppendBatch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(newVec)
+      .withColumn("cid",
+        array_max(ivfScored(trainedCentroidsHist(s, dir))(col("embedding")))
+          .getField("cid"))
+
+  /** Build-then-append lifecycle, once per (session, corpus): the base
+    * index is bucketed from the historical corpus, then the new batch
+    * is APPENDED under the same bucket spec — new per-bucket files next
+    * to the untouched base files, so the probe's zero-Exchange plan
+    * survives the append (PlanAuditSpec). */
+  private def incIvfIndexTable(s: SparkSession, dir: String): String =
+    tableOnce(incIvfMemo, s, dir) {
+      val tbl = incIvfIndexTableName(dir)
+      val scored = ivfScored(trainedCentroidsHist(s, dir)) _
+      graft.io.Bucketing.writeBucketed(
+        t(s, dir, "embeddings").filter(histVec && col("vec_id") =!= 0)
+          .withColumn("cid", array_max(scored(col("embedding"))).getField("cid")),
+        tbl, "cid", 16, sorted = false)
+      graft.io.Bucketing.appendBucketed(
+        ivfAppendBatch(s, dir), tbl, "cid", 16, sorted = false)
+      tbl
+    }
+
+  /** One recall@k row for `approx` against the exact top-k id set —
+    * x35's harness, shared with x74's drift measurement so the two can
+    * never diverge. */
+  private def recallRow(exact: DataFrame, approx: DataFrame,
+      method: String, k: Int): DataFrame =
+    approx.select(col("vec_id")).join(exact, "vec_id")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(method).as("method"), lit(k).as("k"), col("hits"),
+        pround(col("hits").cast("double") / k.toDouble, 6).as("recall"))
+
+  /** Probe over the incrementally-maintained index: same zero-Exchange
+    * broadcast+heap shape as [[annIvfIndexedTopK]], reading base AND
+    * appended rows through one bucketed scan. nprobe=2 against the
+    * frozen quantizer. */
+  private[graft] def annIvfIncTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val tbl = incIvfIndexTable(s, dir)
+    val scored = ivfScored(trainedCentroidsHist(s, dir)) _
+    val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"),
+        explode(slice(reverse(array_sort(scored(col("embedding")))), 1, 2)).as("p"))
+      .select(col("qe"), col("p.cid").as("qcid"))
+    graft.io.Bucketing.table(s, tbl)
+      .join(broadcast(q), col("cid") === col("qcid"))
+      .select(col("vec_id"), cosine6(col("embedding"), col("qe")).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** DuckDB twin of [[annExactTopK]] as a flat SELECT (CTE-embeddable). */
   private def duckExactTopK(k: Int): String =
     s"""SELECT e.vec_id, ${duckRound(duckCosine("e.embedding", "q.qe"), 6)} AS cos
@@ -341,43 +431,50 @@ object LlmData {
        |ORDER BY cos DESC, kk.vec_id LIMIT $k""".stripMargin
 
   /** DuckDB twin of [[annIvfTopK]]'s training + assignment as a WITH
-    * body: defines `asg(vec_id, embedding, cid)` (final inverted-list
-    * assignment) and `qp(qe, qcid)` (the query's nprobe=2 probe rows).
-    * Shared by the x34 and x35 oracles so they can never diverge. */
-  private lazy val duckIvfChain: String = {
+    * body: defines `{x}asg(vec_id, embedding, cid)` (final
+    * inverted-list assignment) and `{x}qp(qe, qcid)` (the query's
+    * nprobe=2 probe rows), trained over relation `src` with every CTE
+    * name prefixed by `x` so two differently-trained chains can share
+    * one WITH clause (x74 replays the historical-slice training next
+    * to the full-corpus one). Shared by the x34/x35/x48/x71/x74
+    * oracles so they can never diverge. */
+  private def duckIvfChainFor(src: String, x: String): String = {
     def lloyd(i: Int, cin: String, cout: String): String =
-      s"""a$i AS (SELECT e.vec_id, e.embedding, c.cid,
+      s"""${x}a$i AS (SELECT e.vec_id, e.embedding, c.cid,
          |        row_number() OVER (PARTITION BY e.vec_id
          |          ORDER BY ${duckRound(duckCosine("e.embedding", "c.ce"), 6)} DESC,
          |            c.cid DESC) AS rn
-         |      FROM embeddings e CROSS JOIN $cin c),
-         |s$i AS (SELECT vec_id, embedding, cid FROM a$i WHERE rn = 1),
-         |m$i AS (SELECT cid, p.pos,
+         |      FROM $src e CROSS JOIN $cin c),
+         |${x}s$i AS (SELECT vec_id, embedding, cid FROM ${x}a$i WHERE rn = 1),
+         |${x}m$i AS (SELECT cid, p.pos,
          |        CAST(sum(CAST(floor(CAST(embedding[p.pos] AS DOUBLE) * 1000000.0 + 0.5)
          |          AS BIGINT)) AS BIGINT) AS sm,
          |        count(*) AS n
-         |      FROM s$i CROSS JOIN pos p WHERE p.pos <= len(embedding)
+         |      FROM ${x}s$i CROSS JOIN ${x}pos p WHERE p.pos <= len(embedding)
          |      GROUP BY cid, p.pos),
-         |n$i AS (SELECT cid,
+         |${x}n$i AS (SELECT cid,
          |        list(CAST(CAST(sm AS DOUBLE) / n / 1000000.0 AS FLOAT) ORDER BY pos) AS ce
-         |      FROM m$i GROUP BY cid),
-         |$cout AS (SELECT c.cid, coalesce(n$i.ce, c.ce) AS ce
-         |      FROM $cin c LEFT JOIN n$i ON c.cid = n$i.cid)"""
-    s"""pos AS (SELECT unnest(range(1,
-       |         (SELECT max(len(embedding)) + 1 FROM embeddings))) AS pos),
-       |c0 AS (SELECT vec_id AS cid, embedding AS ce
-       |       FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
-       |${lloyd(1, "c0", "c1")},
-       |${lloyd(2, "c1", "c2")},
-       |f AS (SELECT e.vec_id, e.embedding, c.cid,
+         |      FROM ${x}m$i GROUP BY cid),
+         |$cout AS (SELECT c.cid, coalesce(${x}n$i.ce, c.ce) AS ce
+         |      FROM $cin c LEFT JOIN ${x}n$i ON c.cid = ${x}n$i.cid)"""
+    s"""${x}pos AS (SELECT unnest(range(1,
+       |         (SELECT max(len(embedding)) + 1 FROM $src))) AS pos),
+       |${x}c0 AS (SELECT vec_id AS cid, embedding AS ce
+       |       FROM $src WHERE vec_id BETWEEN 1 AND 16),
+       |${lloyd(1, s"${x}c0", s"${x}c1")},
+       |${lloyd(2, s"${x}c1", s"${x}c2")},
+       |${x}f AS (SELECT e.vec_id, e.embedding, c.cid,
        |        row_number() OVER (PARTITION BY e.vec_id
        |          ORDER BY ${duckRound(duckCosine("e.embedding", "c.ce"), 6)} DESC,
        |            c.cid DESC) AS rn
-       |      FROM embeddings e CROSS JOIN c2 c),
-       |asg AS (SELECT vec_id, embedding, cid FROM f WHERE rn = 1),
-       |qp AS (SELECT embedding AS qe, cid AS qcid FROM f
+       |      FROM $src e CROSS JOIN ${x}c2 c),
+       |${x}asg AS (SELECT vec_id, embedding, cid FROM ${x}f WHERE rn = 1),
+       |${x}qp AS (SELECT embedding AS qe, cid AS qcid FROM ${x}f
        |       WHERE vec_id = 0 AND rn <= 2)""".stripMargin
   }
+
+  /** The unprefixed full-corpus chain (the pre-x74 form, byte-for-byte). */
+  private lazy val duckIvfChain: String = duckIvfChainFor("embeddings", "")
 
   /** DuckDB twin of [[annIvfTopK]]'s probe (requires [[duckIvfChain]]
     * in scope). */
@@ -476,6 +573,7 @@ object LlmData {
     Curation.clearPqMemo(s)
     Relational.clearBucketMemo(s)
     ivfIndexMemo.remove(s)
+    incIvfMemo.remove(s)
     val perSession = memo.remove(s)
     // take the same per-map lock memoized() builds under: a build in
     // flight during the remove would otherwise insert its persisted
@@ -893,10 +991,7 @@ object LlmData {
       (s, dir) => {
         val exact = annExactTopK(s, dir, 5).select(col("vec_id"))
         def recallOf(approx: DataFrame, method: String): DataFrame =
-          approx.select(col("vec_id")).join(exact, "vec_id")
-            .agg(count(lit(1)).as("hits"))
-            .select(lit(method).as("method"), lit(5).as("k"), col("hits"),
-              pround(col("hits").cast("double") / 5.0, 6).as("recall"))
+          recallRow(exact, approx, method, 5)
         recallOf(annLshTopK(s, dir, 5), "sign_lsh")
           .unionByName(recallOf(annLshMultiProbeTopK(s, dir, 5), "sign_lsh_mp"))
           .unionByName(recallOf(annIvfTopK(s, dir, 5), "ivf"))
@@ -2150,6 +2245,56 @@ object LlmData {
     "x71_ann_ivf_indexed" -> Q(
       (s, dir) => annIvfIndexedTopK(s, dir, 5),
       Some(s"WITH $duckIvfChain\n${duckIvfTopK(5)}"),
-      "IVF probe over a cid-bucketed persisted index: zero-Exchange probe plan, index built once per corpus")
+      "IVF probe over a cid-bucketed persisted index: zero-Exchange probe plan, index built once per corpus"),
+
+    // ── X3j: incremental IVF index maintenance ────────────────────────
+    // The 100 TB reality the build/query split alone lacks: corpora are
+    // append-mostly, so the real daily operation is "assign the NEW
+    // batch against the FROZEN quantizer and append to the bucketed
+    // table" — never a full-index rewrite (PlanAuditSpec pins both: the
+    // append plan scans only the new rows, and the post-append probe
+    // still plans zero Exchange). The registered result is the
+    // retrain-decision metric: recall@5 of the incrementally-maintained
+    // index (trained on the historical 90%, new batch appended) vs the
+    // full-retrain index (x34's quantizer over everything), both
+    // against the exact top-k — when the drift exceeds tolerance, THAT
+    // is when a pipeline schedules retraining. Oracle replays both
+    // trainings (the prefixed chain trains on the historical slice).
+    "x74_ann_ivf_append" -> Q(
+      (s, dir) => {
+        val exact = annExactTopK(s, dir, 5).select(col("vec_id"))
+        recallRow(exact, annIvfTopK(s, dir, 5), "ivf_full_retrain", 5)
+          .unionByName(
+            recallRow(exact, annIvfIncTopK(s, dir, 5), "ivf_incremental", 5))
+          .orderBy("method")
+      },
+      Some(s"""WITH hsrc AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 7),
+              |${duckIvfChainFor("hsrc", "h")},
+              |$duckIvfChain,
+              |hnew AS (SELECT vec_id, embedding, cid FROM (
+              |    SELECT e.vec_id, e.embedding, c.cid,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY ${duckRound(duckCosine("e.embedding", "c.ce"), 6)} DESC,
+              |          c.cid DESC) AS rn
+              |    FROM embeddings e CROSS JOIN hc2 c
+              |    WHERE e.vec_id % 10 = 7) WHERE rn = 1),
+              |hidx AS (SELECT vec_id, embedding, cid FROM hasg WHERE vec_id <> 0
+              |         UNION ALL SELECT vec_id, embedding, cid FROM hnew),
+              |inc5 AS (SELECT f.vec_id,
+              |           ${duckRound(duckCosine("f.embedding", "hqp.qe"), 6)} AS cos
+              |         FROM hidx f JOIN hqp ON f.cid = hqp.qcid
+              |         ORDER BY cos DESC, f.vec_id LIMIT 5),
+              |ivf5 AS (${duckIvfTopK(5)}),
+              |exact5 AS (SELECT vec_id FROM (${duckExactTopK(5)})),
+              |r AS (
+              |  SELECT 'ivf_full_retrain' AS method, 5 AS k, count(*) AS hits
+              |  FROM ivf5 JOIN exact5 USING (vec_id)
+              |  UNION ALL
+              |  SELECT 'ivf_incremental' AS method, 5 AS k, count(*) AS hits
+              |  FROM inc5 JOIN exact5 USING (vec_id))
+              |SELECT method, k, hits,
+              |  ${duckRound("hits * 1.0 / 5.0", 6)} AS recall
+              |FROM r ORDER BY method""".stripMargin),
+      "incremental IVF maintenance: new batch assigned against the frozen quantizer and appended to the bucketed index; recall drift vs full retrain")
   )
 }

@@ -173,6 +173,41 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("x74: the append plan touches ONLY the new batch — one scan, no index read") {
+    // incremental maintenance must stay incremental: assigning the new
+    // batch is one scan of the new rows against the frozen-centroid
+    // literal; a plan that also reads the base index (or the whole
+    // corpus twice) silently turns a daily append into a full rebuild
+    // at 100 TB.
+    val df = graft.operators.LlmData.ivfAppendBatch(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"append must scan exactly the new batch once:\n$p")
+    assert(!p.contains("graft_ivf_inc"),
+      "append must not read the base index table")
+    assert(!p.contains("Join"), "assignment is map-side against the centroid literal")
+  }
+
+  test("x74: the post-append probe still plans zero shuffle Exchange on a bucketed scan") {
+    // the append wrote NEW per-bucket files next to the untouched base
+    // files; the probe contract (x71's zero-Exchange broadcast+heap
+    // shape) must survive that append, or maintenance quietly costs the
+    // layout its whole point.
+    SparkEntry.queries("x74_ann_ivf_append")(spark, sf0001).collect() // build + append
+    val probe = graft.operators.LlmData.annIvfIncTopK(spark, sf0001, 5)
+    val p = probe.queryExecution.executedPlan.toString
+    val shuffle = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+    assert(shuffle.findFirstIn(p).isEmpty,
+      s"post-append probe must not re-shuffle the indexed corpus:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must stay a distributed heap")
+    val scans = probe.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(_.relation.bucketSpec.exists(b =>
+      b.bucketColumnNames == Seq("cid") && b.numBuckets == 16)),
+      "probe must read the cid-bucketed catalog table incl. appended files")
+  }
+
   test("x71: the IVF index scan is bucketed on cid") {
     val df = SparkEntry.queries("x71_ann_ivf_indexed")(spark, sf0001)
     // sparkPlan, not executedPlan: AQE's AdaptiveSparkPlanExec is a
