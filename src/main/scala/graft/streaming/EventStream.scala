@@ -315,7 +315,28 @@ object EventStream {
 
   /** Shared join definition — ONE set of expressions for the streaming
     * query and its batch twin, so the equality test can't drift. */
-  def purchaseAttributionOf(events: DataFrame): DataFrame = {
+  def purchaseAttributionOf(events: DataFrame): DataFrame =
+    attributionJoin(events, "inner")
+
+  /** LEFT-OUTER variant — the semantically hard case a real
+    * attribution pipeline needs: a purchase with no qualifying view
+    * must still come out (null-extended), but in a stream it may only
+    * emit once the watermark PROVES no qualifying view can still
+    * arrive — i.e. when the purchase's state is evicted. Spark keeps a
+    * left row until the watermark clears its WHOLE match interval, so
+    * the null row appears with a delay of watermark delay + interval
+    * width (1 h + 1 h here), not at p_ts + delay — the documented
+    * outer-join deferral. Until then the row sits in the state store
+    * as a candidate. Consequence the spec pins:
+    * the streamed result is the batch left-outer twin RESTRICTED to
+    * purchases whose eviction horizon the final watermark passed —
+    * null rows for the un-evicted tail are not wrong, they are
+    * pending. State stays bounded by rate × 1 h per side exactly as
+    * the inner form. */
+  def purchaseAttributionOuterOf(events: DataFrame): DataFrame =
+    attributionJoin(events, "left_outer")
+
+  private def attributionJoin(events: DataFrame, joinType: String): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("view_id"))
@@ -327,9 +348,24 @@ object EventStream {
     purchases.join(views,
         col("user_id") === col("v_user") &&
           col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-          col("v_ts") <= col("p_ts"))
+          col("v_ts") <= col("p_ts"),
+        joinType)
       .select(col("purchase_id"), col("user_id"), col("p_ts"),
         col("view_id"), col("v_ts"), col("value"))
+  }
+
+  /** Left-outer attribution as a runnable stream (append mode — outer
+    * null rows are appended at eviction time, matches as they occur). */
+  def purchaseAttributionOuter(spark: SparkSession, srcDir: String,
+      checkpointDir: String, outDir: String): StreamingQuery = {
+    val joined = purchaseAttributionOuterOf(
+      readEvents(spark, srcDir, archiveDir = None))
+    joined.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
   }
 
   /** Custom keyed state via `mapGroupsWithState` (the escape hatch when

@@ -233,6 +233,49 @@ class StreamingSpec extends SparkSpec {
       s"stream-stream join must emit exactly the batch join rows (${streamed.size} vs ${batch.size})")
   }
 
+  test("left-outer stream-stream join: matches + watermark-evicted null rows only") {
+    val src = tmp("attro-src"); val out = tmp("attro-out"); val ckpt = tmp("attro-ckpt")
+    Files.copy(eventsFile, Paths.get(src, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    EventStream.purchaseAttributionOuter(spark, src, ckpt, out).awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        Option(r.getTimestamp(4)).map(_.toString).getOrElse(""),
+        r.getDouble(5))).toSet
+    val events = graft.sources.Tables.load(spark, sf0001, "events")
+    // MATCH path: identical to the inner twin — outer-ness must not
+    // add, drop, or duplicate any matched row
+    val matchedStream = key(streamed.filter(col("view_id").isNotNull))
+    val matchedBatch = key(EventStream.purchaseAttributionOf(events))
+    assert(matchedStream == matchedBatch,
+      s"outer join's matched rows must equal the inner join (${matchedStream.size} vs ${matchedBatch.size})")
+    // NULL path: exactly the batch left-outer's unmatched purchases
+    // whose state the FINAL watermark evicted. Spark generates outer
+    // null results with a delay of watermark delay PLUS the time-range
+    // width (the engine keeps a left row until the watermark clears its
+    // whole match interval, not just p_ts): eviction horizon =
+    // max event time - 1 h (delay) - 1 h (interval). The un-evicted
+    // tail is PENDING, not emitted — that deferral is the semantic
+    // under test (verified empirically: the 21:39 purchase inside the
+    // 2 h tail of the 30-day pile is withheld; everything earlier
+    // emits).
+    val wmCut = events.agg(max(col("ts")) - expr("INTERVAL 2 HOURS")).collect()(0).getTimestamp(0)
+    val nullStream = key(streamed.filter(col("view_id").isNull))
+    val outerBatch = EventStream.purchaseAttributionOuterOf(events)
+    val nullBatchEvicted = key(outerBatch
+      .filter(col("view_id").isNull && col("p_ts") < lit(wmCut)))
+    assert(nullStream.nonEmpty, "the 30-day pile must contain view-less purchases")
+    assert(nullStream == nullBatchEvicted,
+      s"null rows must be exactly the evicted unmatched purchases (${nullStream.size} vs ${nullBatchEvicted.size})")
+    // and the deferral is real: the batch twin unrestricted should
+    // carry at least as many null rows as the evicted subset
+    val nullBatchAll = key(outerBatch.filter(col("view_id").isNull))
+    assert(nullBatchEvicted.subsetOf(nullBatchAll))
+  }
+
   test("hourly rollup equals the q19 batch twin") {
     val src = tmp("rollup-src"); val out = tmp("rollup-out"); val ckpt = tmp("rollup-ckpt")
     Files.copy(eventsFile, Paths.get(src, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
