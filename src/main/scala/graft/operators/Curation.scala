@@ -159,15 +159,33 @@ object Curation {
     * rounded IEEE double on both engines. */
   private[graft] def trainPqCodebook(s: SparkSession, dir: String): PqCodebook =
     pqMemo.acquire(s)(TrieMap.empty[String, PqCodebook])
-      .getOrElseUpdate(dir, {
-        val e = t(s, dir, "embeddings")
+      .getOrElseUpdate(dir, trainPqCodebookOn(t(s, dir, "embeddings")))
+
+  /** Codebook trained on the HISTORICAL slice only, then FROZEN — the
+    * PQ twin of LlmData's trainedCentroidsHist, for x75's incremental
+    * code-table maintenance (new batches are encoded against this,
+    * never retrained per append; x75 measures the recall drift that
+    * decides a retrain). */
+  private[graft] def trainPqCodebookHist(s: SparkSession, dir: String): PqCodebook =
+    pqMemo.acquire(s)(TrieMap.empty[String, PqCodebook])
+      .getOrElseUpdate(dir + "#hist",
+        trainPqCodebookOn(t(s, dir, "embeddings").filter(LlmData.histVec)))
+
+  /** The Lloyd's loop itself, over an arbitrary training frame. */
+  private def trainPqCodebookOn(e: DataFrame): PqCodebook = {
         var cb: PqCodebook = {
           val rows = e.filter(col("vec_id").between(1, 8))
             .select(col("vec_id"), col("embedding")).collect()
             .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
             .sortBy(_._1).toIndexedSeq
-          (0 to 3).map(ss => rows.map { case (cid, v) =>
-            cid -> v.slice(ss * 16, ss * 16 + 16) }.toSeq).toIndexedSeq
+          // codes are POSITIONAL (1..n in seed vec_id order) — identical
+          // to vec_id keying on the full corpus (seeds 1..8), but the
+          // hist slice's seed set has a gap (no vec_id 7) and the
+          // kernel's argmin returns positions, so positional keying is
+          // what keeps training round 2 reading its own round-1 sums
+          // (the oracle's pc0 re-keys with row_number the same way)
+          (0 to 3).map(ss => rows.zipWithIndex.map { case ((_, v), i) =>
+            (i + 1).toLong -> v.slice(ss * 16, ss * 16 + 16) }.toSeq).toIndexedSeq
         }
         for (_ <- 1 to 2) {
           val sums = e
@@ -190,7 +208,7 @@ object Curation {
           }
         }
         cb
-      })
+  }
 
   /** Flattened [s][code][dim] literal for the native kernel. */
   private def flatCb(cb: PqCodebook): Seq[Double] =
@@ -202,12 +220,14 @@ object Curation {
     * interpreted dispatches. The codebook rides along as a literal
     * (index metadata, 512 doubles). */
   private[graft] def pqAssignNative(emb: Column, cb: PqCodebook): Column =
-    call_function("graft_pq_assign", emb, typedlit(flatCb(cb)), lit(8), lit(16))
+    call_function("graft_pq_assign", emb, typedlit(flatCb(cb)),
+      lit(cb.head.size), lit(16))
 
   /** Native rounded L2² to the ASSIGNED code per subspace (for the
     * distortion audit — same loop, dists output). */
   private[graft] def pqDistsNative(emb: Column, cb: PqCodebook): Column =
-    call_function("graft_pq_dists", emb, typedlit(flatCb(cb)), lit(8), lit(16))
+    call_function("graft_pq_dists", emb, typedlit(flatCb(cb)),
+      lit(cb.head.size), lit(16))
 
   /** Stage the 4 widened 16-dim subvectors as their own columns ONCE
     * per row (used on the single-row query side, and by the spec's
@@ -245,23 +265,24 @@ object Curation {
     duckRound(s"(SELECT sum(($sv[d.i] - $ce[d.i]) * ($sv[d.i] - $ce[d.i])) " +
       s"FROM pdim d)", 6)
 
-  private def duckPqLloyd(r: Int, cin: String, cout: String): String =
-    s"""pq$r AS (SELECT b.vec_id, b.s, b.sv, c.code,
+  private def duckPqLloyd(r: Int, cin: String, cout: String,
+      x: String = ""): String =
+    s"""${x}pq$r AS (SELECT b.vec_id, b.s, b.sv, c.code,
        |        ${duckSubD2("b.sv", "c.ce")} AS d2
-       |      FROM psub b JOIN $cin c ON b.s = c.s),
-       |pa$r AS (SELECT s, code, sv, row_number() OVER (
-       |        PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM pq$r),
-       |pm$r AS (SELECT a.s, a.code, d.i AS pos,
+       |      FROM ${x}psub b JOIN $cin c ON b.s = c.s),
+       |${x}pa$r AS (SELECT s, code, sv, row_number() OVER (
+       |        PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM ${x}pq$r),
+       |${x}pm$r AS (SELECT a.s, a.code, d.i AS pos,
        |        CAST(sum(CAST(floor(a.sv[d.i] * 1000000.0 + 0.5) AS BIGINT))
        |          AS BIGINT) AS sm,
        |        count(*) AS n
-       |      FROM pa$r a CROSS JOIN pdim d WHERE a.rn = 1
+       |      FROM ${x}pa$r a CROSS JOIN ${x}pdim d WHERE a.rn = 1
        |      GROUP BY a.s, a.code, d.i),
-       |pn$r AS (SELECT s, code,
+       |${x}pn$r AS (SELECT s, code,
        |        list(CAST(sm AS DOUBLE) / n / 1000000.0 ORDER BY pos) AS ce
-       |      FROM pm$r GROUP BY s, code),
+       |      FROM ${x}pm$r GROUP BY s, code),
        |$cout AS (SELECT c.s, c.code, coalesce(n.ce, c.ce) AS ce
-       |      FROM $cin c LEFT JOIN pn$r n ON c.s = n.s AND c.code = n.code)"""
+       |      FROM $cin c LEFT JOIN ${x}pn$r n ON c.s = n.s AND c.code = n.code)"""
       .stripMargin
 
   /** DuckDB twin of the full PQ chain: subvectors (`psub`), seeded
@@ -271,29 +292,37 @@ object Curation {
     * the x65/x67/x70/x72 oracles and x35's pq_adc arm so they can
     * never diverge. All names p-prefixed to coexist with duckIvfChain
     * in one WITH (x35). */
-  private[operators] def duckPqChain: String =
-    s"""pdim AS (SELECT unnest(range(1, 17)) AS i),
-       |psub AS (SELECT e.vec_id, ss.s,
+  private[operators] def duckPqChain: String = duckPqChainFor("embeddings", "")
+
+  /** The PQ chain over relation `src` with every CTE name prefixed by
+    * `x`, so two differently-trained chains coexist in one WITH (x75
+    * replays the historical-slice training next to the full-corpus
+    * one — the duckIvfChainFor pattern). `x = ""` is the pre-x75 form,
+    * byte-for-byte. */
+  private[operators] def duckPqChainFor(src: String, x: String): String =
+    s"""${x}pdim AS (SELECT unnest(range(1, 17)) AS i),
+       |${x}psub AS (SELECT e.vec_id, ss.s,
        |        list_transform(range(1, 17),
        |          i -> CAST(e.embedding[ss.s * 16 + i] AS DOUBLE)) AS sv
-       |      FROM embeddings e
+       |      FROM $src e
        |      CROSS JOIN (SELECT unnest(range(0, 4)) AS s) ss),
-       |pc0 AS (SELECT s, vec_id AS code, sv AS ce FROM psub
-       |        WHERE vec_id BETWEEN 1 AND 8),
-       |${duckPqLloyd(1, "pc0", "pc1")},
-       |${duckPqLloyd(2, "pc1", "pc2")},
-       |pd AS (SELECT b.vec_id, b.s, c.code,
+       |${x}pc0 AS (SELECT s, row_number() OVER (
+       |          PARTITION BY s ORDER BY vec_id) AS code, sv AS ce
+       |        FROM ${x}psub WHERE vec_id BETWEEN 1 AND 8),
+       |${duckPqLloyd(1, s"${x}pc0", s"${x}pc1", x)},
+       |${duckPqLloyd(2, s"${x}pc1", s"${x}pc2", x)},
+       |${x}pd AS (SELECT b.vec_id, b.s, c.code,
        |        ${duckSubD2("b.sv", "c.ce")} AS d2
-       |      FROM psub b JOIN pc2 c ON b.s = c.s),
-       |pr AS (SELECT vec_id, s, code, d2, row_number() OVER (
-       |        PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM pd),
-       |pcodes AS (SELECT vec_id,
+       |      FROM ${x}psub b JOIN ${x}pc2 c ON b.s = c.s),
+       |${x}pr AS (SELECT vec_id, s, code, d2, row_number() OVER (
+       |        PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM ${x}pd),
+       |${x}pcodes AS (SELECT vec_id,
        |    max(CASE WHEN s = 0 THEN code END) AS c0,
        |    max(CASE WHEN s = 1 THEN code END) AS c1,
        |    max(CASE WHEN s = 2 THEN code END) AS c2,
        |    max(CASE WHEN s = 3 THEN code END) AS c3
-       |  FROM pr WHERE rn = 1 GROUP BY vec_id),
-       |pqd AS (SELECT s, code, d2 FROM pd WHERE vec_id = 0)""".stripMargin
+       |  FROM ${x}pr WHERE rn = 1 GROUP BY vec_id),
+       |${x}pqd AS (SELECT s, code, d2 FROM ${x}pd WHERE vec_id = 0)""".stripMargin
 
   /** x65 — product-quantization code assignment with a TRAINED
     * codebook: the embedding is cut into 4×16-dim subvectors, each
@@ -591,6 +620,139 @@ object Curation {
            |FROM r WHERE rn = 1 ORDER BY orig, typo""".stripMargin),
     "SymSpell fuzzy join: 1-deletion key blocking (hash join, never all-pairs), exact levenshtein confirm, support-ranked correction")
 
+  // ── Incremental PQ code-table maintenance (x75) ────────────────────
+  /** The NEW batch encoded against the frozen historical codebook —
+    * map-side only (the codebook rides as a literal), one scan of the
+    * new rows, no read of the base code table (PlanAuditSpec pins the
+    * shape — the PQ twin of LlmData.ivfAppendBatch). */
+  private[graft] def pqAppendBatch(s: SparkSession, dir: String): DataFrame = {
+    val cb = trainPqCodebookHist(s, dir)
+    t(s, dir, "embeddings").filter(LlmData.newVec)
+      .select(col("vec_id"), pqAssignNative(col("embedding"), cb).as("codes"))
+  }
+
+  private[graft] def incPqIndexTableName(dir: String): String =
+    "graft_pq_inc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Build-then-append lifecycle for the PQ code table, once per
+    * (session, corpus): base codes from the historical corpus under
+    * the frozen hist codebook, new batch APPENDED under the same
+    * bucket spec — base files untouched. */
+  private def incPqIndexTable(s: SparkSession, dir: String): String =
+    LlmData.tableOnce(pqIndexMemo, s, dir + "#inc") {
+      val tbl = incPqIndexTableName(dir)
+      val cb = trainPqCodebookHist(s, dir)
+      Bucketing.writeBucketed(
+        t(s, dir, "embeddings").filter(LlmData.histVec && col("vec_id") =!= 0)
+          .select(col("vec_id"), pqAssignNative(col("embedding"), cb).as("codes")),
+        tbl, "vec_id", 8, sorted = false)
+      Bucketing.appendBucketed(
+        pqAppendBatch(s, dir), tbl, "vec_id", 8, sorted = false)
+      tbl
+    }
+
+  /** ADC shortlist over the incrementally-maintained code table —
+    * x72's zero-Exchange probe shape (scan + broadcast distance table
+    * + distributed heap), reading base AND appended code files. */
+  private[graft] def adcIncShortlist(s: SparkSession, dir: String,
+      r: Int): DataFrame = {
+    val cb = trainPqCodebookHist(s, dir)
+    Bucketing.table(s, incPqIndexTable(s, dir))
+      .crossJoin(broadcast(adcQueryTable(s, dir, cb)))
+      .select(col("vec_id"), adcDistance)
+      .orderBy(asc("adc"), asc("vec_id"))
+      .limit(r)
+  }
+
+  /** Two-stage retrieval over the incremental index: ADC shortlist
+    * (R=50) + exact-cosine re-rank of survivors only — x73's
+    * production shape on the appended code table. */
+  private[graft] def adcRerankIncTopK(s: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.join(broadcast(adcIncShortlist(s, dir, 50).select(col("vec_id"))), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        LlmData.cosine6(col("embedding"), col("qe")).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** x75 — incremental PQ code-table maintenance: the PQ half of the
+    * append-mostly story (x74 is the IVF half). The daily operation is
+    * "encode the new batch against the FROZEN codebook and append to
+    * the bucketed code table" — never a rebuild, never a retrain as a
+    * side effect. The registered result is the retrain-decision
+    * metric: recall@5 of two-stage retrieval (ADC shortlist R=50 +
+    * exact re-rank, the x73 production shape) over the incremental
+    * table vs the full-retrain pipeline, both against exact top-k.
+    * Oracle replays BOTH trainings (h-prefixed chain trains on the
+    * historical slice, new-batch codes assigned against its round-2
+    * codebook). */
+  private def x75 = Q(
+    (s, dir) => {
+      val exact = LlmData.annExactTopK(s, dir, 5).select(col("vec_id"))
+      LlmData.recallRow(exact, adcRerankTopK(s, dir, 5),
+          "pq_rerank_full_retrain", 5)
+        .unionByName(LlmData.recallRow(exact, adcRerankIncTopK(s, dir, 5),
+          "pq_rerank_incremental", 5))
+        .orderBy("method")
+    },
+    Some(s"""WITH hsrc AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 7),
+            |${duckPqChainFor("hsrc", "h")},
+            |$duckPqChain,
+            |hnsub AS (SELECT e.vec_id, ss.s,
+            |        list_transform(range(1, 17),
+            |          i -> CAST(e.embedding[ss.s * 16 + i] AS DOUBLE)) AS sv
+            |      FROM embeddings e
+            |      CROSS JOIN (SELECT unnest(range(0, 4)) AS s) ss
+            |      WHERE e.vec_id % 10 = 7),
+            |hnd AS (SELECT b.vec_id, b.s, c.code,
+            |        ${duckSubD2("b.sv", "c.ce")} AS d2
+            |      FROM hnsub b JOIN hpc2 c ON b.s = c.s),
+            |hnr AS (SELECT vec_id, s, code, row_number() OVER (
+            |        PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM hnd),
+            |hncodes AS (SELECT vec_id,
+            |    max(CASE WHEN s = 0 THEN code END) AS c0,
+            |    max(CASE WHEN s = 1 THEN code END) AS c1,
+            |    max(CASE WHEN s = 2 THEN code END) AS c2,
+            |    max(CASE WHEN s = 3 THEN code END) AS c3
+            |  FROM hnr WHERE rn = 1 GROUP BY vec_id),
+            |hall AS (SELECT vec_id, c0, c1, c2, c3 FROM hpcodes
+            |         WHERE vec_id <> 0
+            |         UNION ALL
+            |         SELECT vec_id, c0, c1, c2, c3 FROM hncodes),
+            |hsl AS (SELECT c.vec_id,
+            |          ((q0.d2 + q1.d2) + q2.d2) + q3.d2 AS adc
+            |        FROM hall c
+            |        JOIN hpqd q0 ON q0.s = 0 AND q0.code = c.c0
+            |        JOIN hpqd q1 ON q1.s = 1 AND q1.code = c.c1
+            |        JOIN hpqd q2 ON q2.s = 2 AND q2.code = c.c2
+            |        JOIN hpqd q3 ON q3.s = 3 AND q3.code = c.c3
+            |        ORDER BY adc, c.vec_id LIMIT 50),
+            |hrr AS (SELECT e.vec_id,
+            |          ${duckRound(LlmData.duckCosine("e.embedding", "q.qe"), 6)} AS cos
+            |        FROM embeddings e
+            |        JOIN hsl ON e.vec_id = hsl.vec_id
+            |        CROSS JOIN (SELECT embedding AS qe FROM embeddings
+            |                    WHERE vec_id = 0) q
+            |        ORDER BY cos DESC, e.vec_id LIMIT 5),
+            |rr5 AS (${duckAdcRerankTopK(5)}),
+            |exact5 AS (SELECT vec_id FROM (${LlmData.duckExactTopK(5)})),
+            |r AS (
+            |  SELECT 'pq_rerank_full_retrain' AS method, 5 AS k,
+            |         count(*) AS hits
+            |  FROM rr5 JOIN exact5 USING (vec_id)
+            |  UNION ALL
+            |  SELECT 'pq_rerank_incremental' AS method, 5 AS k,
+            |         count(*) AS hits
+            |  FROM hrr JOIN exact5 USING (vec_id))
+            |SELECT method, k, hits,
+            |  ${duckRound("hits * 1.0 / 5.0", 6)} AS recall
+            |FROM r ORDER BY method""".stripMargin),
+    "incremental PQ maintenance: new batch encoded against the frozen codebook and appended to the bucketed code table; two-stage recall drift vs full retrain")
+
   val queries: Map[String, Q] = Map(
     "x63_token_diversity" -> x63,
     "x64_weighted_sample" -> x64,
@@ -600,5 +762,6 @@ object Curation {
     "x69_symdel_fuzzy" -> x69,
     "x70_pq_distortion" -> x70,
     "x72_ann_adc_indexed" -> x72,
-    "x73_ann_adc_rerank" -> x73)
+    "x73_ann_adc_rerank" -> x73,
+    "x75_ann_adc_append" -> x75)
 }

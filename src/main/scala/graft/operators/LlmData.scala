@@ -111,7 +111,7 @@ object LlmData {
 
   /** Exact brute-force top-k: broadcast single-row query vector,
     * map-side fused cosine, TakeOrderedAndProject. */
-  private def annExactTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+  private[operators] def annExactTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     e.filter(col("vec_id") =!= 0)
@@ -315,8 +315,8 @@ object LlmData {
     * models the newly-arrived batch (~10% of the corpus); everything
     * else is the historical corpus the quantizer was trained on. The
     * query vector (vec_id 0) stays historical on both sides. */
-  private def histVec: Column = pmod(col("vec_id"), lit(10)) =!= 7
-  private def newVec: Column = pmod(col("vec_id"), lit(10)) === 7
+  private[operators] def histVec: Column = pmod(col("vec_id"), lit(10)) =!= 7
+  private[operators] def newVec: Column = pmod(col("vec_id"), lit(10)) === 7
 
   /** Centroids trained on the HISTORICAL slice only, then FROZEN —
     * what incremental maintenance assigns new batches against (retrain
@@ -368,7 +368,7 @@ object LlmData {
   /** One recall@k row for `approx` against the exact top-k id set —
     * x35's harness, shared with x74's drift measurement so the two can
     * never diverge. */
-  private def recallRow(exact: DataFrame, approx: DataFrame,
+  private[operators] def recallRow(exact: DataFrame, approx: DataFrame,
       method: String, k: Int): DataFrame =
     approx.select(col("vec_id")).join(exact, "vec_id")
       .agg(count(lit(1)).as("hits"))
@@ -394,7 +394,7 @@ object LlmData {
   }
 
   /** DuckDB twin of [[annExactTopK]] as a flat SELECT (CTE-embeddable). */
-  private def duckExactTopK(k: Int): String =
+  private[operators] def duckExactTopK(k: Int): String =
     s"""SELECT e.vec_id, ${duckRound(duckCosine("e.embedding", "q.qe"), 6)} AS cos
        |FROM embeddings e CROSS JOIN
        |  (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q

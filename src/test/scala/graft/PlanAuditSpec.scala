@@ -208,6 +208,25 @@ class PlanAuditSpec extends SparkSpec {
       "probe must read the cid-bucketed catalog table incl. appended files")
   }
 
+  test("x75: the PQ append plan touches ONLY the new batch — one scan, no code-table read") {
+    val df = graft.operators.Curation.pqAppendBatch(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"append must scan exactly the new batch once:\n$p")
+    assert(!p.contains("graft_pq_inc"), "append must not read the base code table")
+    assert(!p.contains("Join"), "encoding is map-side against the codebook literal")
+  }
+
+  test("x75: the post-append ADC shortlist probe plans zero shuffle Exchange") {
+    SparkEntry.queries("x75_ann_adc_append")(spark, sf0001).collect() // build + append
+    val probe = graft.operators.Curation.adcIncShortlist(spark, sf0001, 50)
+    val p = probe.queryExecution.executedPlan.toString
+    val shuffle = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+    assert(shuffle.findFirstIn(p).isEmpty,
+      s"post-append code scan must not re-shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "shortlist must stay a distributed heap")
+  }
+
   test("x71: the IVF index scan is bucketed on cid") {
     val df = SparkEntry.queries("x71_ann_ivf_indexed")(spark, sf0001)
     // sparkPlan, not executedPlan: AQE's AdaptiveSparkPlanExec is a
