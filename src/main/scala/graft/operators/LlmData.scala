@@ -140,7 +140,7 @@ object LlmData {
     * canonical order and the fused cosine. Single-sources the pair
     * idiom shared by x32 (sign-LSH buckets) and x48 (trained
     * clusters): the tie-break and pair predicate live here once. */
-  private def cosinePairs(e: DataFrame, key: String): DataFrame = {
+  private[operators] def cosinePairs(e: DataFrame, key: String): DataFrame = {
     val a = e.select(col(key), col("vec_id").as("va"), col("embedding").as("ea"))
     val b = e.select(col(key), col("vec_id").as("vb"), col("embedding").as("eb"))
     a.join(b, Seq(key)).filter(col("va") < col("vb"))
@@ -182,7 +182,7 @@ object LlmData {
     * micro-unit integer sums collected at K×dim rows), then an
     * nprobe=2 probe of the query's two best lists. See the x34 entry
     * comment for the full scale argument. */
-  private def trainedCentroids(
+  private[operators] def trainedCentroids(
       s: SparkSession, dir: String, K: Int = 16): Seq[(Long, IndexedSeq[Float])] = {
     // memoized per (session, dir): x34, x35, and x48 all train the
     // same quantizer — one set of Lloyd's collect jobs per session
@@ -233,7 +233,7 @@ object LlmData {
   /** (ccos, cid) structs per centroid; array_max = lexicographic
     * argmax: highest cosine, ties to the largest cid — mirrored in
     * the oracle's ORDER BY ccos DESC, cid DESC. */
-  private def ivfScored(cents: Seq[(Long, IndexedSeq[Float])])(v: Column): Column =
+  private[operators] def ivfScored(cents: Seq[(Long, IndexedSeq[Float])])(v: Column): Column =
     transform(
       array(cents.map { case (cid, ce) =>
         struct(lit(cid).as("cid"), typedlit(ce).as("ce"))
