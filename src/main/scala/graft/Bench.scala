@@ -202,8 +202,10 @@ object Bench {
     // on plan-audited, unchanged code — needed cross-round inference
     // because the bench kept no load evidence).
     def load1(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
-      catch { case NonFatal(_) => -1.0 }
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split(" ")(0).toDouble finally src.close()
+      } catch { case NonFatal(_) => -1.0 }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val detailed = selected.map { case (name, fn) =>
       val lc = load1()

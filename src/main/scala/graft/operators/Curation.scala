@@ -124,10 +124,13 @@ object Curation {
   // x70 audits, and the recall x35 measures are all definitionally the
   // ones x65 publishes.
 
-  /** Trained per-subspace codebook: [subspace 0..3] → 8 × (code,
-    * 16-dim center). Codes stay keyed 1..8 (the seed vec_ids) across
-    * training — empty clusters keep their previous center — so the
-    * native kernel's positional argmin (code = index+1) is exact. */
+  /** Trained per-subspace codebook: [subspace 0..3] → n × (code,
+    * 16-dim center). Codes are POSITIONAL — 1..n in seed vec_id order,
+    * stable across training (empty clusters keep their previous
+    * center) — so the native kernel's positional argmin (code =
+    * index+1) is exact. On the gapless full corpus (seeds 1..8)
+    * positional == seed vec_id; the hist slice (x75) has a gap, which
+    * is why keying is positional on both engines. */
   private[graft] type PqCodebook = IndexedSeq[Seq[(Long, IndexedSeq[Double])]]
 
   // lazy + def below: Curation and LlmData reference each other
@@ -297,8 +300,10 @@ object Curation {
   /** The PQ chain over relation `src` with every CTE name prefixed by
     * `x`, so two differently-trained chains coexist in one WITH (x75
     * replays the historical-slice training next to the full-corpus
-    * one — the duckIvfChainFor pattern). `x = ""` is the pre-x75 form,
-    * byte-for-byte. */
+    * one — the duckIvfChainFor pattern). For `x = ""` on the gapless
+    * full corpus the pc0 row_number re-key is the identity mapping, so
+    * every pre-x75 oracle's RESULT is unchanged (re-verified by
+    * whole-family parity). */
   private[operators] def duckPqChainFor(src: String, x: String): String =
     s"""${x}pdim AS (SELECT unnest(range(1, 17)) AS i),
        |${x}psub AS (SELECT e.vec_id, ss.s,
