@@ -55,6 +55,33 @@ object Bucketing {
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
 
+  /** Compact a bucketed table: every [[appendBucketed]] batch adds one
+    * file per written bucket, so a daily append regime grows per-bucket
+    * file counts without bound — and scan/open overhead with them.
+    * Compaction rewrites the table at exactly ONE file per bucket and
+    * swaps it in through the catalog (DROP + RENAME — readers resolve
+    * the old or the new table, never a partial directory).
+    *
+    * The rewrite repartitions by the BUCKET ID expression itself —
+    * `pmod(hash(key), buckets)`, the exact Murmur3 the bucketed writer
+    * assigns files by — so all rows of one bucket land in one task and
+    * each bucket emits exactly one file (repartitioning by the raw key
+    * is NOT enough: the writer then re-derives bucket ids per task and
+    * a task holding several buckets' rows splits into several files).
+    * The bucket spec — and every downstream zero-Exchange plan —
+    * survives the swap (BucketingSpec pins all three: file bound,
+    * result identity, plan shape). */
+  def compact(spark: SparkSession, table: String, key: String,
+      buckets: Int, sorted: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val tmp = table + "__compacting"
+    writeBucketed(
+      spark.table(table).repartition(buckets, pmod(hash(col(key)), lit(buckets))),
+      tmp, key, buckets, sorted)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
+
   /** Catalog read-back; the scan carries the bucket spec (and therefore
     * its hashpartitioning output partitioning) only via this path. */
   def table(spark: SparkSession, name: String): DataFrame =

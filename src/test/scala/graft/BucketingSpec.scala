@@ -79,6 +79,45 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("compact bounds per-bucket files after appends; results and zero-Exchange survive") {
+    // the third lifecycle op (write once / append daily / compact
+    // periodically): x74/x75's append regime adds one file per bucket
+    // per batch, so file counts grow without bound until compaction
+    // rewrites one-file-per-bucket and swaps through the catalog
+    try withoutBroadcast {
+      val src = Tables.load(spark, sf0001, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      Bucketing.writeBucketed(src.filter(col("l_orderkey") % 3 === 0),
+        "b_comp", "l_orderkey", buckets = 8, sorted = false)
+      Bucketing.appendBucketed(src.filter(col("l_orderkey") % 3 === 1),
+        "b_comp", "l_orderkey", 8, sorted = false)
+      Bucketing.appendBucketed(src.filter(col("l_orderkey") % 3 === 2),
+        "b_comp", "l_orderkey", 8, sorted = false)
+      val before = spark.table("b_comp").inputFiles.length
+      assert(before > 8, s"three batches should proliferate files (got $before)")
+      val expectRows = src.count()
+      val expectSum = src.agg(sum(col("l_quantity").cast("long"))).collect()(0).getLong(0)
+
+      Bucketing.compact(spark, "b_comp", "l_orderkey", 8, sorted = false)
+
+      assert(spark.table("b_comp").inputFiles.length == 8,
+        "compaction must leave exactly one file per bucket")
+      val after = spark.table("b_comp")
+      assert(after.count() == expectRows, "compaction must not drop or duplicate rows")
+      assert(after.agg(sum(col("l_quantity").cast("long"))).collect()(0).getLong(0)
+        == expectSum, "compaction must preserve values")
+      // the whole point of keeping the spec through the swap: key-
+      // grouped consumers still plan no shuffle over the compacted scan
+      val agg = after.groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+      val p = agg.queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true") && !p.contains("Exchange"),
+        s"compacted table must keep the zero-Exchange layout, got:\n${p.take(2000)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_comp")
+      spark.sql("DROP TABLE IF EXISTS b_comp__compacting")
+    }
+  }
+
   test("date-partitioned layout prunes directories at the scan") {
     // the OTHER half of the layout story: bucketing co-locates joins,
     // partitionBy(date) makes time predicates skip whole directories —
