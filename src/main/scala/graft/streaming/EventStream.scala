@@ -336,6 +336,31 @@ object EventStream {
   def purchaseAttributionOuterOf(events: DataFrame): DataFrame =
     attributionJoin(events, "left_outer")
 
+  /** FULL-outer variant — both deferral directions at once: unmatched
+    * purchases null-extend on the left-eviction horizon (delay +
+    * width past p_ts) and unmatched views null-extend on the right
+    * one (delay + width past v_ts); matches emit immediately. The
+    * user key is coalesced across sides so every output row carries
+    * it. At 100 TB this is the reconciliation shape — attribute what
+    * matches, surface BOTH kinds of orphans (conversions without
+    * impressions, impressions that never converted) from one pass of
+    * state, still bounded by rate × 1 h per side. */
+  def purchaseAttributionFullOf(events: DataFrame): DataFrame =
+    attributionJoin(events, "full_outer")
+
+  /** Full-outer attribution as a runnable stream (append mode). */
+  def purchaseAttributionFull(spark: SparkSession, srcDir: String,
+      checkpointDir: String, outDir: String): StreamingQuery = {
+    val joined = purchaseAttributionFullOf(
+      readEvents(spark, srcDir, archiveDir = None))
+    joined.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+  }
+
   private def attributionJoin(events: DataFrame, joinType: String): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
@@ -350,8 +375,12 @@ object EventStream {
           col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("v_ts") <= col("p_ts"),
         joinType)
-      .select(col("purchase_id"), col("user_id"), col("p_ts"),
-        col("view_id"), col("v_ts"), col("value"))
+      // user key coalesced across sides: identity for inner/left (the
+      // purchase side is always present there), and what lets the
+      // full-outer's view-orphan rows still carry their user
+      .select(col("purchase_id"),
+        coalesce(col("user_id"), col("v_user")).as("user_id"),
+        col("p_ts"), col("view_id"), col("v_ts"), col("value"))
   }
 
   /** Left-outer attribution as a runnable stream (append mode — outer

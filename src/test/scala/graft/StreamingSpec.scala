@@ -276,6 +276,40 @@ class StreamingSpec extends SparkSpec {
     assert(nullBatchEvicted.subsetOf(nullBatchAll))
   }
 
+  test("full-outer stream-stream join: matches + both orphan directions on their own horizons") {
+    val src = tmp("attrf-src"); val out = tmp("attrf-out"); val ckpt = tmp("attrf-ckpt")
+    Files.copy(eventsFile, Paths.get(src, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    EventStream.purchaseAttributionFull(spark, src, ckpt, out).awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1),
+        Option(r.getTimestamp(2)).map(_.toString).getOrElse(""),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        Option(r.getTimestamp(4)).map(_.toString).getOrElse(""),
+        if (r.isNullAt(5)) -1.0 else r.getDouble(5))).toSet
+    val events = graft.sources.Tables.load(spark, sf0001, "events")
+    val outerBatch = EventStream.purchaseAttributionFullOf(events)
+    // match rows: exactly the inner join, as in the left-outer spec
+    assert(key(streamed.filter(col("view_id").isNotNull && col("purchase_id").isNotNull))
+      == key(EventStream.purchaseAttributionOf(events)))
+    // purchase orphans: evicted on the left horizon (delay + width past
+    // p_ts) — same boundary the left-outer spec pins
+    val wmP = events.agg(max(col("ts")) - expr("INTERVAL 2 HOURS")).collect()(0).getTimestamp(0)
+    assert(key(streamed.filter(col("view_id").isNull))
+      == key(outerBatch.filter(col("view_id").isNull && col("p_ts") < lit(wmP))),
+      "purchase-orphan rows must be exactly the left-evicted set")
+    // view orphans: the symmetric horizon past v_ts (a view can match
+    // purchases up to v_ts + 1 h, so delay + width past v_ts)
+    val vNull = key(streamed.filter(col("purchase_id").isNull))
+    val vBatch = key(outerBatch.filter(col("purchase_id").isNull &&
+      col("v_ts") < lit(wmP)))
+    assert(vNull.nonEmpty, "the 30-day pile must contain purchase-less views")
+    assert(vNull == vBatch,
+      s"view-orphan rows must be exactly the right-evicted set (${vNull.size} vs ${vBatch.size})")
+  }
+
   test("hourly rollup equals the q19 batch twin") {
     val src = tmp("rollup-src"); val out = tmp("rollup-out"); val ckpt = tmp("rollup-ckpt")
     Files.copy(eventsFile, Paths.get(src, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
