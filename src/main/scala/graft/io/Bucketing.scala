@@ -59,8 +59,7 @@ object Bucketing {
     * file per written bucket, so a daily append regime grows per-bucket
     * file counts without bound — and scan/open overhead with them.
     * Compaction rewrites the table at exactly ONE file per bucket and
-    * swaps it in through the catalog (DROP + RENAME — readers resolve
-    * the old or the new table, never a partial directory).
+    * swaps it in through the catalog.
     *
     * The rewrite repartitions by the BUCKET ID expression itself —
     * `pmod(hash(key), buckets)`, the exact Murmur3 the bucketed writer
@@ -70,11 +69,29 @@ object Bucketing {
     * a task holding several buckets' rows splits into several files).
     * The bucket spec — and every downstream zero-Exchange plan —
     * survives the swap (BucketingSpec pins all three: file bound,
-    * result identity, plan shape). */
+    * result identity, plan shape).
+    *
+    * Swap semantics, honestly: Spark's v1 catalog has no atomic table
+    * swap, so the DROP + RENAME pair is a SINGLE-WRITER maintenance op
+    * with a brief no-table window for concurrent resolvers. Data is
+    * never at risk — the compacted copy exists under `<table>__compacting`
+    * before the DROP — and a crash between the two DDLs is
+    * self-healing: the next compact() call (or [[table]] read via the
+    * recovery below) completes the interrupted swap instead of
+    * failing on the missing table. */
   def compact(spark: SparkSession, table: String, key: String,
       buckets: Int, sorted: Boolean = true): Unit = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val tmp = table + "__compacting"
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)) {
+      // a prior swap died between DROP and RENAME: finish it; the
+      // tmp copy IS the compacted table
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+      return
+    }
+    // a stale tmp from a crash BEFORE the drop is dead weight (the
+    // live table still exists) — clear it so the write can't collide
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
     writeBucketed(
       spark.table(table).repartition(buckets, pmod(hash(col(key)), lit(buckets))),
       tmp, key, buckets, sorted)

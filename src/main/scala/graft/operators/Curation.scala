@@ -264,14 +264,14 @@ object Curation {
   /** DuckDB twin of one PQ Lloyd's round: assignment (rounded-d2
     * argmin, ties to smallest code) then per-dim micro-unit means;
     * empty clusters keep their center via the LEFT JOIN coalesce. */
-  private def duckSubD2(sv: String, ce: String): String =
+  private def duckSubD2(sv: String, ce: String, x: String = ""): String =
     duckRound(s"(SELECT sum(($sv[d.i] - $ce[d.i]) * ($sv[d.i] - $ce[d.i])) " +
-      s"FROM pdim d)", 6)
+      s"FROM ${x}pdim d)", 6)
 
   private def duckPqLloyd(r: Int, cin: String, cout: String,
       x: String = ""): String =
     s"""${x}pq$r AS (SELECT b.vec_id, b.s, b.sv, c.code,
-       |        ${duckSubD2("b.sv", "c.ce")} AS d2
+       |        ${duckSubD2("b.sv", "c.ce", x)} AS d2
        |      FROM ${x}psub b JOIN $cin c ON b.s = c.s),
        |${x}pa$r AS (SELECT s, code, sv, row_number() OVER (
        |        PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM ${x}pq$r),
@@ -317,7 +317,7 @@ object Curation {
        |${duckPqLloyd(1, s"${x}pc0", s"${x}pc1", x)},
        |${duckPqLloyd(2, s"${x}pc1", s"${x}pc2", x)},
        |${x}pd AS (SELECT b.vec_id, b.s, c.code,
-       |        ${duckSubD2("b.sv", "c.ce")} AS d2
+       |        ${duckSubD2("b.sv", "c.ce", x)} AS d2
        |      FROM ${x}psub b JOIN ${x}pc2 c ON b.s = c.s),
        |${x}pr AS (SELECT vec_id, s, code, d2, row_number() OVER (
        |        PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM ${x}pd),
@@ -714,7 +714,7 @@ object Curation {
             |      CROSS JOIN (SELECT unnest(range(0, 4)) AS s) ss
             |      WHERE e.vec_id % 10 = 7),
             |hnd AS (SELECT b.vec_id, b.s, c.code,
-            |        ${duckSubD2("b.sv", "c.ce")} AS d2
+            |        ${duckSubD2("b.sv", "c.ce", "h")} AS d2
             |      FROM hnsub b JOIN hpc2 c ON b.s = c.s),
             |hnr AS (SELECT vec_id, s, code, row_number() OVER (
             |        PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM hnd),

@@ -72,6 +72,19 @@ object EtlCapstone {
     LlmData.tableOnce(stageMemo, s, dir)(
       graft.io.TempDirs.scratch("graft-capstone"))
 
+  /** One lock per staging root: the shared-root reuse (disk
+    * boundedness) makes concurrent q46 invocations on the same
+    * (session, corpus) a write-write race on the landing/warehouse
+    * dirs — the stage phase is serialized instead. The returned frame
+    * reads the warehouse lazily, so the lifecycle is single-writer,
+    * consume-before-reinvoke (exactly how Verify/Bench drive it); a
+    * caller needing snapshot isolation across overlapping consumers
+    * copies the warehouse out. */
+  private val stageLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]
+
+  private def stageLock(base: String): Object =
+    stageLocks.computeIfAbsent(base, _ => new Object)
+
   private def urlOf(kind: String, id: Column): Column =
     map(lit("spotify"), concat(lit(s"https://open.example/$kind/"), id))
 
@@ -137,21 +150,26 @@ object EtlCapstone {
     (s, dir) => {
       val base = stagingRoot(s, dir)
       val landing = graft.io.Stages.rawPath(base, graft.io.Stages.ToProcessed)
-      // 1-2. extract + stage the raw document layer (JSON lines —
-      // splittable, the Spark-idiomatic staging format)
-      envelopes(s, dir).write.mode("overwrite").json(landing)
-      // 3-4. declared-schema read + normalize. The parsed raw layer is
-      // persisted across the THREE table writes below — each write is
-      // its own action, and without the cache every one re-parses the
-      // JSON stage (3× the transform cost; at real scale, 3× a full
-      // raw-layer scan). Released before returning: the result frame
-      // reads the warehouse parquet, not this cache.
-      val raw = Normalize.readRaw(s, landing).persist()
-      try {
-        val star = Normalize.normalize(raw, to_timestamp(lit(TransformedAt)))
-        // 5. warehouse load, audit-stamped
-        Sinks.writeStarSchema(star, s"$base/warehouse", to_timestamp(lit(LoadedAt)))
-      } finally raw.unpersist(blocking = false)
+      // stages 1-5 serialized per staging root (see stageLocks): two
+      // concurrent invocations must not interleave Overwrite writes
+      // into the shared landing/warehouse dirs
+      stageLock(base).synchronized {
+        // 1-2. extract + stage the raw document layer (JSON lines —
+        // splittable, the Spark-idiomatic staging format)
+        envelopes(s, dir).write.mode("overwrite").json(landing)
+        // 3-4. declared-schema read + normalize. The parsed raw layer is
+        // persisted across the THREE table writes below — each write is
+        // its own action, and without the cache every one re-parses the
+        // JSON stage (3× the transform cost; at real scale, 3× a full
+        // raw-layer scan). Released before returning: the result frame
+        // reads the warehouse parquet, not this cache.
+        val raw = Normalize.readRaw(s, landing).persist()
+        try {
+          val star = Normalize.normalize(raw, to_timestamp(lit(TransformedAt)))
+          // 5. warehouse load, audit-stamped
+          Sinks.writeStarSchema(star, s"$base/warehouse", to_timestamp(lit(LoadedAt)))
+        } finally raw.unpersist(blocking = false)
+      }
       // 6. read back the LOADED tables (not the in-flight frames):
       // the oracle-checked rows prove the sink round-trip, not just
       // the transform

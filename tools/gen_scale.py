@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Scale-factor extrapolation generator (NOT part of the library).
 
-Usage: python3 tools/gen_scale.py <srcSfDir> <outDir> [factor]
+Usage: python3 tools/gen_scale.py <srcSfDir> <outDir> [factor] [seed]
 
 Generates a larger synthetic corpus with the SAME schema and
 distribution shape as the driver's testdata (TESTDATA.md), for
@@ -31,8 +31,8 @@ Method, table by table:
   64-dim gaussians (the measured shape: component std 0.125 = 1/sqrt(64),
   unit norms), labels uniform 0..9.
 
-Deterministic under --seed (default 1842). events.ts is written as
-parquet TIMESTAMP(NANOS) — the physical type the engine's
+Deterministic under the seed argument (default 1842). events.ts is
+written as parquet TIMESTAMP(NANOS) — the physical type the engine's
 nanosAsLong contract expects.
 """
 import sys
@@ -133,4 +133,5 @@ def main(src, out, factor=10, seed=1842):
 
 if __name__ == "__main__":
     a = sys.argv
-    main(a[1], a[2], int(a[3]) if len(a) > 3 else 10)
+    main(a[1], a[2], int(a[3]) if len(a) > 3 else 10,
+         int(a[4]) if len(a) > 4 else 1842)
