@@ -208,6 +208,44 @@ class PlanAuditSpec extends SparkSpec {
       "probe must read the cid-bucketed catalog table incl. appended files")
   }
 
+  test("x74: compacting the live incremental index preserves the probe — results, layout, plan") {
+    // the full maintenance lifecycle bound together: build + append
+    // (x74), COMPACT the real index table, probe again — same top-k,
+    // per-bucket file count bounded, zero-Exchange plan intact. This
+    // is the weekly production cycle, not three isolated ops.
+    val q = SparkEntry.queries("x74_ann_ivf_append")
+    q(spark, sf0001).collect() // ensure built + appended
+    val tbl = graft.operators.LlmData.incIvfIndexTableName(sf0001)
+    val before = graft.operators.LlmData.annIvfIncTopK(spark, sf0001, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val filesBefore = spark.table(tbl).inputFiles.length
+    graft.io.Bucketing.compact(spark, tbl, "cid", 16, sorted = false)
+    assert(spark.table(tbl).inputFiles.length <= 16 &&
+      spark.table(tbl).inputFiles.length < filesBefore,
+      "compaction must bound files at one per non-empty bucket")
+    val probe = graft.operators.LlmData.annIvfIncTopK(spark, sf0001, 5)
+    assert(probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == before,
+      "compaction must not change probe results")
+    val p = probe.queryExecution.executedPlan.toString
+    assert("Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findFirstIn(p).isEmpty,
+      s"compacted index must keep the zero-Exchange probe:\n$p")
+  }
+
+  test("appendBucketed: a mismatched bucket count fails loudly, never de-buckets") {
+    // the doc claim pinned: appending under the wrong spec must be an
+    // analysis error, not a silent layout rot that every downstream
+    // zero-Exchange plan quietly loses
+    SparkEntry.queries("x74_ann_ivf_append")(spark, sf0001).collect()
+    val tbl = graft.operators.LlmData.incIvfIndexTableName(sf0001)
+    val batch = graft.operators.LlmData.ivfAppendBatch(spark, sf0001)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      graft.io.Bucketing.appendBucketed(batch, tbl, "cid", 8, sorted = false)
+    }
+    assert(e.getMessage.toLowerCase.contains("bucket"),
+      s"error should name the bucket-spec mismatch, got: ${e.getMessage.take(200)}")
+  }
+
   test("x75: the PQ append plan touches ONLY the new batch — one scan, no code-table read") {
     val df = graft.operators.Curation.pqAppendBatch(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
