@@ -694,6 +694,34 @@ object LlmData {
       .filter(col("hamming") <= 5)
   }
 
+  /** The x27 quality heuristics as ONE definition (Spark frame + the
+    * DuckDB expression fragments), shared by the registered score query
+    * and x76's survivor selection so the two can never drift. Tokens
+    * staged once per row: the expression is referenced by four output
+    * columns, and an inlined split would re-tokenize per reference
+    * (multi-referenced aliases don't collapse). */
+  private def qualityFrame(s: SparkSession, dir: String): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+    val nTok = size(col("tk"))
+    val nStop = size(filter(col("tk"), tk => tk.isin(stops: _*)))
+    val ratio = nStop.cast("double") / nTok
+    t(s, dir, "documents")
+      .withColumn("tk", Text.tokens(col("text")))
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        pround(ratio, 6).as("stop_ratio"),
+        pround((col("n_chars") - (nTok - 1)).cast("double") / nTok, 4).as("avg_token_len"),
+        pround((lit(1.0) - ratio) * least(nTok.cast("double"), lit(50.0)) / 50.0, 6).as("quality"))
+  }
+
+  private val duckNStop = "len(list_filter(string_split(text, ' '), " +
+    "tk -> list_contains(['the','a','of','and','to','in','is','on'], tk)))"
+  private val duckNTok = "len(string_split(text, ' '))"
+  private def duckQuality: String =
+    duckRound(s"(1.0 - $duckNStop * 1.0 / $duckNTok) * " +
+      s"least($duckNTok * 1.0, 50.0) / 50.0", 6)
+
   // ── the queries ─────────────────────────────────────────────────────
 
   // lazy: the oracle strings interpolate Curation defs (duckPqChain,
@@ -865,35 +893,13 @@ object LlmData {
     // identically on both engines (no transcendentals: libm vs JDK log
     // can differ in the last ulp).
     "x27_quality_score" -> Q(
-      (s, dir) => {
-        // tokens staged once per row: the expression is referenced by
-        // four output columns, and an inlined split would re-tokenize
-        // per reference (multi-referenced aliases don't collapse)
-        val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on")
-        val nTok = size(col("tk"))
-        val nStop = size(filter(col("tk"), tk => tk.isin(stops: _*)))
-        val ratio = nStop.cast("double") / nTok
-        t(s, dir, "documents")
-          .withColumn("tk", Text.tokens(col("text")))
-          .select(
-            col("doc_id"),
-            nTok.as("n_tokens"),
-            pround(ratio, 6).as("stop_ratio"),
-            pround((col("n_chars") - (nTok - 1)).cast("double") / nTok, 4).as("avg_token_len"),
-            pround((lit(1.0) - ratio) * least(nTok.cast("double"), lit(50.0)) / 50.0, 6).as("quality"))
-          .orderBy("doc_id")
-      },
-      Some {
-        val nStopSql = "len(list_filter(string_split(text, ' '), " +
-          "tk -> list_contains(['the','a','of','and','to','in','is','on'], tk)))"
-        val nTokSql = "len(string_split(text, ' '))"
-        s"""SELECT doc_id,
-           |  $nTokSql AS n_tokens,
-           |  ${duckRound(s"$nStopSql * 1.0 / $nTokSql", 6)} AS stop_ratio,
-           |  ${duckRound(s"(n_chars - ($nTokSql - 1)) * 1.0 / $nTokSql", 4)} AS avg_token_len,
-           |  ${duckRound(s"(1.0 - $nStopSql * 1.0 / $nTokSql) * least($nTokSql * 1.0, 50.0) / 50.0", 6)} AS quality
-           |FROM documents ORDER BY doc_id""".stripMargin
-      },
+      (s, dir) => qualityFrame(s, dir).orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  $duckNTok AS n_tokens,
+              |  ${duckRound(s"$duckNStop * 1.0 / $duckNTok", 6)} AS stop_ratio,
+              |  ${duckRound(s"(n_chars - ($duckNTok - 1)) * 1.0 / $duckNTok", 4)} AS avg_token_len,
+              |  $duckQuality AS quality
+              |FROM documents ORDER BY doc_id""".stripMargin),
       "stopword/length quality heuristics; pure rational arithmetic for oracle parity"),
 
     // ── X4c: language-ID heuristic (stopword-hit rate) ────────────────
@@ -2295,6 +2301,58 @@ object LlmData {
               |SELECT method, k, hits,
               |  ${duckRound("hits * 1.0 / 5.0", 6)} AS recall
               |FROM r ORDER BY method""".stripMargin),
-      "incremental IVF maintenance: new batch assigned against the frozen quantizer and appended to the bucketed index; recall drift vs full retrain")
+      "incremental IVF maintenance: new batch assigned against the frozen quantizer and appended to the bucketed index; recall drift vs full retrain"),
+
+    // ── X2h: quality-aware dedup survivor selection ───────────────────
+    // Production dedup keeps the BEST document per near-dup cluster,
+    // not the lowest id: x36 resolves the clusters (same simhash pair
+    // graph), x27's quality score ranks the members (ONE shared
+    // definition on both engines), and the survivor is the per-cluster
+    // argmax under a TOTAL ordering (quality desc, doc_id asc — the
+    // pround'ed score is bit-identical cross-engine, so the float sort
+    // key is parity-safe; the id tie-break makes it deterministic).
+    // Plan: the component resolution is x36's O(log n) machinery; the
+    // ranking is one window over cluster-sized groups — cluster-keyed
+    // shuffle, never corpus-wide.
+    "x76_dedup_survivor_quality" -> Q(
+      (s, dir) => {
+        val comp = Components.connectedComponentsAlternating(
+          simhashPairs(s, dir), "doc_a", "doc_b")
+        val q = qualityFrame(s, dir).select(col("doc_id"), col("quality"))
+        val w = Window.partitionBy("component")
+          .orderBy(desc("quality"), asc("doc_id"))
+        comp.join(q, col("node") === col("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy("component")))
+          .filter(col("rn") === 1)
+          .select(col("component"), col("n_members"),
+            col("doc_id").as("survivor_doc_id"),
+            col("quality").as("survivor_quality"))
+          .orderBy("component")
+      },
+      Some(s"""WITH RECURSIVE $duckSimhashCand,
+              |pairs AS (SELECT doc_a, doc_b FROM cand
+              |          WHERE bit_count(xor(fa, fb)) <= 5),
+              |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              |      UNION SELECT doc_b, doc_a FROM pairs),
+              |reach(a, b) AS (
+              |  SELECT a, b FROM e
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+              |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+              |         FROM reach GROUP BY a),
+              |ql AS (SELECT doc_id, $duckQuality AS quality FROM documents),
+              |j AS (SELECT c.component, c.doc_id, ql.quality
+              |      FROM comp c JOIN ql USING (doc_id)),
+              |r AS (SELECT component, doc_id, quality,
+              |        row_number() OVER (PARTITION BY component
+              |          ORDER BY quality DESC, doc_id) AS rn,
+              |        count(*) OVER (PARTITION BY component) AS n_members
+              |      FROM j)
+              |SELECT component, n_members, doc_id AS survivor_doc_id,
+              |       quality AS survivor_quality
+              |FROM r WHERE rn = 1 ORDER BY component""".stripMargin),
+      "quality-aware dedup survivor: per-cluster argmax of the shared x27 score over x36's resolved components")
   )
 }
