@@ -699,13 +699,15 @@ object LlmData {
     * and x76's survivor selection so the two can never drift. Tokens
     * staged once per row: the expression is referenced by four output
     * columns, and an inlined split would re-tokenize per reference
-    * (multi-referenced aliases don't collapse). */
-  private def qualityFrame(s: SparkSession, dir: String): DataFrame = {
+    * (multi-referenced aliases don't collapse). Takes the docs frame
+    * so a caller can pre-filter BEFORE the tokenization cost (x76
+    * scores only cluster members, never the whole corpus). */
+  private def qualityOf(docs: DataFrame): DataFrame = {
     val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on")
     val nTok = size(col("tk"))
     val nStop = size(filter(col("tk"), tk => tk.isin(stops: _*)))
     val ratio = nStop.cast("double") / nTok
-    t(s, dir, "documents")
+    docs
       .withColumn("tk", Text.tokens(col("text")))
       .select(
         col("doc_id"),
@@ -714,6 +716,26 @@ object LlmData {
         pround((col("n_chars") - (nTok - 1)).cast("double") / nTok, 4).as("avg_token_len"),
         pround((lit(1.0) - ratio) * least(nTok.cast("double"), lit(50.0)) / 50.0, 6).as("quality"))
   }
+
+  private def qualityFrame(s: SparkSession, dir: String): DataFrame =
+    qualityOf(t(s, dir, "documents"))
+
+  /** Recursive-CTE replay of the component closure over the simhash
+    * candidate graph (requires [[duckSimhashCand]] under WITH
+    * RECURSIVE): defines pairs/e/reach and `comp(doc_id, component)`.
+    * ONE definition shared by the x36 and x76 oracles so the closure
+    * can never drift. */
+  private val duckComponents: String =
+    """pairs AS (SELECT doc_a, doc_b FROM cand
+      |          WHERE bit_count(xor(fa, fb)) <= 5),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |      UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+      |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+      |         FROM reach GROUP BY a)""".stripMargin
 
   private val duckNStop = "len(list_filter(string_split(text, ' '), " +
     "tk -> list_contains(['the','a','of','and','to','in','is','on'], tk)))"
@@ -831,17 +853,9 @@ object LlmData {
           (col("node") === col("component")).as("is_survivor"))
         .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE $duckSimhashCand,
-              |pairs AS (SELECT doc_a, doc_b FROM cand
-              |          WHERE bit_count(xor(fa, fb)) <= 5),
-              |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-              |      UNION SELECT doc_b, doc_a FROM pairs),
-              |reach(a, b) AS (
-              |  SELECT a, b FROM e
-              |  UNION
-              |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
-              |SELECT a AS doc_id, least(a, min(b)) AS component,
-              |       a = least(a, min(b)) AS is_survivor
-              |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
+              |$duckComponents
+              |SELECT doc_id, component, doc_id = component AS is_survivor
+              |FROM comp ORDER BY doc_id""".stripMargin),
       "dedup clusters: min-label-propagation components over the near-dup pair graph; min-id survivor"),
 
     // ── X3a: brute-force top-k cosine (exact baseline) ────────────────
@@ -2318,7 +2332,13 @@ object LlmData {
       (s, dir) => {
         val comp = Components.connectedComponentsAlternating(
           simhashPairs(s, dir), "doc_a", "doc_b")
-        val q = qualityFrame(s, dir).select(col("doc_id"), col("quality"))
+        // score ONLY cluster members: at corpus scale the pair graph
+        // covers a tiny fraction of documents, so the tokenization
+        // cost semi-joins down to the members before it is paid —
+        // never a corpus-wide map for a cluster-sized consumer
+        val members = t(s, dir, "documents")
+          .join(comp.select(col("node").as("doc_id")), Seq("doc_id"), "left_semi")
+        val q = qualityOf(members).select(col("doc_id"), col("quality"))
         val w = Window.partitionBy("component")
           .orderBy(desc("quality"), asc("doc_id"))
         comp.join(q, col("node") === col("doc_id"))
@@ -2332,16 +2352,7 @@ object LlmData {
           .orderBy("component")
       },
       Some(s"""WITH RECURSIVE $duckSimhashCand,
-              |pairs AS (SELECT doc_a, doc_b FROM cand
-              |          WHERE bit_count(xor(fa, fb)) <= 5),
-              |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-              |      UNION SELECT doc_b, doc_a FROM pairs),
-              |reach(a, b) AS (
-              |  SELECT a, b FROM e
-              |  UNION
-              |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-              |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
-              |         FROM reach GROUP BY a),
+              |$duckComponents,
               |ql AS (SELECT doc_id, $duckQuality AS quality FROM documents),
               |j AS (SELECT c.component, c.doc_id, ql.quality
               |      FROM comp c JOIN ql USING (doc_id)),
