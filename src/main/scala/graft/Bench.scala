@@ -161,15 +161,19 @@ object Bench {
       // number (q31 read 11.6 s cold on the r7 driver with warm 2.3 s —
       // the spread is exactly this bootstrap). Two tiny rounds exercise
       // checkpoint + observe + re-read without touching any real table.
+      val preWarm = spark.sparkContext.getPersistentRDDs.keySet
       var it = spark.range(1000).selectExpr("id", "id % 10 AS k")
       for (i <- 1 to 2) {
         val obs = org.apache.spark.sql.Observation(s"graft-warm-$i")
         it = it.observe(obs, count(lit(1)).as("n")).localCheckpoint()
         obs.get // localCheckpoint is eager; ride the same metric path
       }
-      // release the warmup's checkpoint RDDs so the suite starts with a
-      // clean block manager (nothing else is persisted yet)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // release ONLY the warmup's own checkpoint RDDs (ids not persisted
+      // before the loop) — sweeping the whole block manager would drop a
+      // host session's caches if Bench is ever embedded in one
+      spark.sparkContext.getPersistentRDDs
+        .collect { case (id, rdd) if !preWarm.contains(id) => rdd }
+        .foreach(_.unpersist(false))
     } catch { case NonFatal(_) => () }
     // Write to the built-in noop sink so every column is materialized:
     // a bare count() lets Catalyst prune unreferenced projections and

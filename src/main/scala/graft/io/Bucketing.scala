@@ -100,7 +100,17 @@ object Bucketing {
   }
 
   /** Catalog read-back; the scan carries the bucket spec (and therefore
-    * its hashpartitioning output partitioning) only via this path. */
-  def table(spark: SparkSession, name: String): DataFrame =
+    * its hashpartitioning output partitioning) only via this path.
+    *
+    * Recovery: if a [[compact]] crashed between its DROP and RENAME,
+    * the live data sits under `<name>__compacting` and `<name>` is
+    * absent — finish the interrupted swap here so a reader landing in
+    * that window heals the table instead of failing on a missing one
+    * (the scaladoc contract on [[compact]]). */
+  def table(spark: SparkSession, name: String): DataFrame = {
+    val tmp = name + "__compacting"
+    if (!spark.catalog.tableExists(name) && spark.catalog.tableExists(tmp))
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$name`")
     spark.table(name)
+  }
 }

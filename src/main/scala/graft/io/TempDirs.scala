@@ -19,6 +19,11 @@ object TempDirs {
     p.toString
   }
 
+  /** Recursive delete, now: the in-session reclamation twin of the
+    * exit hook (q46's warehouse generation GC uses it to keep only the
+    * live + previous generation on disk). */
+  def deleteRecursively(p: java.nio.file.Path): Unit = delete(p.toFile)
+
   private def delete(f: java.io.File): Unit = {
     Option(f.listFiles).foreach(_.foreach(delete))
     f.delete()

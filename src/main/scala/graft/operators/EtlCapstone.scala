@@ -74,16 +74,26 @@ object EtlCapstone {
 
   /** One lock per staging root: the shared-root reuse (disk
     * boundedness) makes concurrent q46 invocations on the same
-    * (session, corpus) a write-write race on the landing/warehouse
-    * dirs — the stage phase is serialized instead. The returned frame
-    * reads the warehouse lazily, so the lifecycle is single-writer,
-    * consume-before-reinvoke (exactly how Verify/Bench drive it); a
-    * caller needing snapshot isolation across overlapping consumers
-    * copies the warehouse out. */
+    * (session, corpus) a write-write race on the landing dir — the
+    * stage phase is serialized instead. The WAREHOUSE is generation-
+    * versioned (`warehouse/g<N>`): each invocation loads a fresh
+    * generation and returns a frame pinned to it, so a re-invocation's
+    * Overwrite can never clobber files under an in-flight consumer's
+    * lazy read (snapshot isolation across one overlapping consumer).
+    * Disk stays bounded: generations older than current-1 are deleted
+    * before each load — a consumer must materialize within one
+    * subsequent re-invocation, which Verify/Bench trivially satisfy. */
   private val stageLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]
 
   private def stageLock(base: String): Object =
     stageLocks.computeIfAbsent(base, _ => new Object)
+
+  private val stageGens =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+
+  private def nextGen(base: String): Long =
+    stageGens.computeIfAbsent(base, _ => new java.util.concurrent.atomic.AtomicLong)
+      .incrementAndGet()
 
   private def urlOf(kind: String, id: Column): Column =
     map(lit("spotify"), concat(lit(s"https://open.example/$kind/"), id))
@@ -152,8 +162,18 @@ object EtlCapstone {
       val landing = graft.io.Stages.rawPath(base, graft.io.Stages.ToProcessed)
       // stages 1-5 serialized per staging root (see stageLocks): two
       // concurrent invocations must not interleave Overwrite writes
-      // into the shared landing/warehouse dirs
-      stageLock(base).synchronized {
+      // into the shared landing dir
+      val warehouse = stageLock(base).synchronized {
+        val gen = nextGen(base)
+        // reclaim generations a lazy consumer can no longer be holding
+        // (anything older than the previous invocation's)
+        val wroot = new java.io.File(s"$base/warehouse")
+        Option(wroot.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("g") &&
+            f.getName.drop(1).forall(_.isDigit) &&
+            f.getName.drop(1).toLong < gen - 1)
+          .foreach(f => graft.io.TempDirs.deleteRecursively(f.toPath))
+        val wh = s"$base/warehouse/g$gen"
         // 1-2. extract + stage the raw document layer (JSON lines —
         // splittable, the Spark-idiomatic staging format)
         envelopes(s, dir).write.mode("overwrite").json(landing)
@@ -166,14 +186,16 @@ object EtlCapstone {
         val raw = Normalize.readRaw(s, landing).persist()
         try {
           val star = Normalize.normalize(raw, to_timestamp(lit(TransformedAt)))
-          // 5. warehouse load, audit-stamped
-          Sinks.writeStarSchema(star, s"$base/warehouse", to_timestamp(lit(LoadedAt)))
+          // 5. warehouse load, audit-stamped, into THIS generation's dir
+          Sinks.writeStarSchema(star, wh, to_timestamp(lit(LoadedAt)))
         } finally raw.unpersist(blocking = false)
+        wh
       }
       // 6. read back the LOADED tables (not the in-flight frames):
       // the oracle-checked rows prove the sink round-trip, not just
-      // the transform
-      def back(name: String) = s.read.parquet(s"$base/warehouse/$name")
+      // the transform. Pinned to this invocation's generation — a later
+      // invocation writes g(N+1), never under this frame.
+      def back(name: String) = s.read.parquet(s"$warehouse/$name")
       back("song_data")
         .select(lit("song").as("tbl"), col("song_id").as("id"),
           col("song_name").as("name"),

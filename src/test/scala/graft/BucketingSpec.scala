@@ -118,6 +118,27 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("table() heals a compact() that crashed between DROP and RENAME") {
+    // simulate the crash window: the compacted copy exists only under
+    // __compacting and the live name is gone — a reader via
+    // Bucketing.table must finish the swap, not fail on a missing table
+    try {
+      val src = Tables.load(spark, sf0001, "region").select("r_regionkey", "r_name")
+      Bucketing.writeBucketed(src, "b_heal", "r_regionkey", buckets = 2, sorted = false)
+      val expect = spark.table("b_heal").count()
+      spark.sql("ALTER TABLE b_heal RENAME TO b_heal__compacting")
+      assert(!spark.catalog.tableExists("b_heal"))
+      val healed = Bucketing.table(spark, "b_heal")
+      assert(healed.count() == expect, "recovered table must carry the compacted rows")
+      assert(spark.catalog.tableExists("b_heal") &&
+        !spark.catalog.tableExists("b_heal__compacting"),
+        "recovery must complete the interrupted swap")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_heal")
+      spark.sql("DROP TABLE IF EXISTS b_heal__compacting")
+    }
+  }
+
   test("date-partitioned layout prunes directories at the scan") {
     // the OTHER half of the layout story: bucketing co-locates joins,
     // partitionBy(date) makes time predicates skip whole directories —

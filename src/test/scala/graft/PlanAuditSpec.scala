@@ -371,7 +371,7 @@ class PlanAuditSpec extends SparkSpec {
     // node-sized degree joins stay broadcast instead of re-sorting the
     // cached candidate list on every run (r7 driver artifact: warm
     // 6.08 s > cold 5.70 s until the hints landed).
-    val sf01 = "/root/testdata/sf0.1"
+    assume(sf01Exists, s"bench corpus $sf01 not present on this box")
     val run = () => {
       val df = SparkEntry.queries("x62_dedup_triangles")(spark, sf01)
       df.collect()

@@ -10,6 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   lazy val sf0001 = "/root/testdata/sf0.001"
+  /** Bench-scale corpus: present on the driver box, optional elsewhere —
+    * suites touching it must assume() on [[sf01Exists]] (cancel, not fail). */
+  lazy val sf01 = "/root/testdata/sf0.1"
+  lazy val sf01Exists: Boolean = new java.io.File(sf01).exists()
 }
 
 object SparkSpec {
