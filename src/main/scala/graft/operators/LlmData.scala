@@ -182,6 +182,27 @@ object LlmData {
     * micro-unit integer sums collected at K×dim rows), then an
     * nprobe=2 probe of the query's two best lists. See the x34 entry
     * comment for the full scale argument. */
+  /** The K ∝ N rule for quantizer width: `K = max(16, N / 125)`.
+    *
+    * SemDeDup's per-cluster pairwise stage costs ~(N/K)² pairs per
+    * cluster × K clusters = N²/K total — quadratic in the corpus at
+    * any FIXED K (measured: 18.3× at 10× data, BASELINE.md r8). Tying
+    * K to N makes expected cluster size a CONSTANT (~125 members), so
+    * total pair cost is N × 125 — linear. ScaleDialSpec measures the
+    * collapse (sf1: K=16 31.1 s → K=160 2.55 s at local[4]); this def
+    * is that dial wired into the registered queries. The floor of 16
+    * keeps every spec-SF corpus (N ≤ 2000) on the historical K=16
+    * quantizer, so all existing oracle hashes are unchanged there.
+    * The count is one metadata-cheap job, memoized per (session, dir).
+    * Oracle twin: `greatest(16, count(*) // 125)` (see
+    * [[duckIvfChainKN]]). */
+  private[operators] def corpusK(s: SparkSession, dir: String): Int =
+    corpusKMemo.acquire(s)(TrieMap.empty[String, Int])
+      .getOrElseUpdate(dir,
+        math.max(16L, t(s, dir, "embeddings").count() / 125L).toInt)
+
+  private lazy val corpusKMemo = new SessionRegistry[TrieMap[String, Int]]
+
   private[operators] def trainedCentroids(
       s: SparkSession, dir: String, K: Int = 16): Seq[(Long, IndexedSeq[Float])] = {
     // memoized per (session, dir): x34, x35, and x48 all train the
@@ -438,7 +459,11 @@ object LlmData {
     * one WITH clause (x74 replays the historical-slice training next
     * to the full-corpus one). Shared by the x34/x35/x48/x71/x74
     * oracles so they can never diverge. */
-  private def duckIvfChainFor(src: String, x: String): String = {
+  /** `kExpr` is the quantizer width as a SQL expression: the literal
+    * "16" (default — byte-for-byte the historical chain) or the
+    * K ∝ N subquery (see [[corpusK]]); it bounds the seed CTE only,
+    * everything downstream scales with however many seeds it emits. */
+  private def duckIvfChainFor(src: String, x: String, kExpr: String = "16"): String = {
     def lloyd(i: Int, cin: String, cout: String): String =
       s"""${x}a$i AS (SELECT e.vec_id, e.embedding, c.cid,
          |        row_number() OVER (PARTITION BY e.vec_id
@@ -460,7 +485,7 @@ object LlmData {
     s"""${x}pos AS (SELECT unnest(range(1,
        |         (SELECT max(len(embedding)) + 1 FROM $src))) AS pos),
        |${x}c0 AS (SELECT vec_id AS cid, embedding AS ce
-       |       FROM $src WHERE vec_id BETWEEN 1 AND 16),
+       |       FROM $src WHERE vec_id BETWEEN 1 AND $kExpr),
        |${lloyd(1, s"${x}c0", s"${x}c1")},
        |${lloyd(2, s"${x}c1", s"${x}c2")},
        |${x}f AS (SELECT e.vec_id, e.embedding, c.cid,
@@ -475,6 +500,13 @@ object LlmData {
 
   /** The unprefixed full-corpus chain (the pre-x74 form, byte-for-byte). */
   private lazy val duckIvfChain: String = duckIvfChainFor("embeddings", "")
+
+  /** The K ∝ N variant of [[duckIvfChain]] — identical CTE names, seed
+    * width derived from the corpus count exactly as [[corpusK]] does.
+    * Evaluates to 16 at every spec SF (N ≤ 2000), so queries switching
+    * to it keep their sf0.01 oracle hashes. */
+  private lazy val duckIvfChainKN: String = duckIvfChainFor("embeddings", "",
+    kExpr = "(SELECT greatest(16, count(*) // 125) FROM embeddings)")
 
   /** DuckDB twin of [[annIvfTopK]]'s probe (requires [[duckIvfChain]]
     * in scope). */
@@ -1099,15 +1131,21 @@ object LlmData {
     // Abbas et al. 2023 (SemDeDup): embedding near-dup where the pair
     // generator is the TRAINED coarse quantizer's cluster assignment
     // (the same two-Lloyd's-iteration quantizer x34 probes), never
-    // all-pairs — at 100 TB, K grows with the corpus so the per-cluster
-    // pair count stays bounded, and the clusters partition the pairwise
-    // stage perfectly (one shuffle on cid). Per cluster: member count,
+    // all-pairs — and K GROWS WITH THE CORPUS (corpusK: K =
+    // max(16, N/125)), so expected cluster size — and with it the
+    // per-cluster pair cost — stays constant as N scales: total pairs
+    // ~N×125, linear, where any fixed K is N²/K (the r8 slope table's
+    // one super-linear row, 18.3× at 10× data, now dialed away). The
+    // clusters partition the pairwise stage perfectly (one shuffle on
+    // cid). Per cluster: member count,
     // the most-similar pair (the dedup frontier a threshold would cut
     // first), and how many pairs exceed the dedup threshold 0.9 — the
     // testdata has no true semantic dups (max pairwise cosine ~0.51,
     // see x32), so n_dup = 0 here and the frontier pair is the
     // operationally meaningful output. Oracle replays the identical
-    // training via the shared duckIvfChain.
+    // training via duckIvfChainKN — same CTEs, seed width from the
+    // same greatest(16, N/125) rule, so the dial is oracle-checked,
+    // not just asserted.
     "x48_semdedup_clusters" -> Q(
       (s, dir) => {
         // the assignment table (embedding + cid) is read by both the
@@ -1115,8 +1153,8 @@ object LlmData {
         // what a real pipeline materializes after training
         val asg = memoized(s, "x48-asg", dir) {
           t(s, dir, "embeddings").withColumn("cid",
-            array_max(ivfScored(trainedCentroids(s, dir))(col("embedding")))
-              .getField("cid"))
+            array_max(ivfScored(trainedCentroids(s, dir, corpusK(s, dir)))(
+              col("embedding"))).getField("cid"))
             .persist()
         }
         val sizes = asg.groupBy("cid").agg(count(lit(1)).as("n_members"))
@@ -1136,7 +1174,7 @@ object LlmData {
             col("top_cos"), coalesce(col("n_dup"), lit(0L)).as("n_dup"))
           .orderBy("cid")
       },
-      Some(s"""WITH $duckIvfChain,
+      Some(s"""WITH $duckIvfChainKN,
               |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members
               |       FROM asg GROUP BY cid),
               |p AS (SELECT a.cid, a.vec_id AS va, b.vec_id AS vb,
