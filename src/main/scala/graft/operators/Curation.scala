@@ -154,7 +154,12 @@ object Curation {
     * seed each subspace's 8 centers from the first-8 embeddings'
     * subvectors, then 2 rounds of {kernel argmin assignment → per-dim
     * integer MICRO-UNIT means}. The collect is bounded by 4×8×16 = 512
-    * index-metadata rows per round, never data. Memoized per (session,
+    * index-metadata rows per round, never data — and unlike the IVF
+    * coarse quantizer (whose width now tracks the corpus via
+    * LlmData.corpusK, forcing a distributed path above LiteralKMax),
+    * this bound never erodes: PQ's per-subspace code count is fixed by
+    * the code WIDTH (3 bits ⇒ 8 entries), a compression-rate choice
+    * independent of corpus size. Memoized per (session,
     * corpus): x65/x67/x70/x72/x35 all train once. The DuckDB twin
     * ([[duckPqChain]]) replays the identical rounds, so a trained
     * center is reproduced bit-for-bit: micro-unit sums are exact

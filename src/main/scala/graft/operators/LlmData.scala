@@ -262,6 +262,95 @@ object LlmData {
       c => struct(cosine6(v, c.getField("ce")).as("ccos"),
         c.getField("cid").as("cid")))
 
+  /** Literal-path ceiling. Below this width the quantizer rides the
+    * collected-literal forms ([[trainedCentroids]] + [[ivfScored]]):
+    * the Lloyd's collect is K×dim index-metadata rows and the argmax
+    * is one codegen'd expression — the right plan when K is small.
+    * Above it both erode — the collect grows with K (and [[corpusK]]
+    * ties K to the corpus, so at 100 TB it WOULD grow without bound)
+    * and the K-literal expression tree outgrows codegen — so the
+    * [[assignedByTrainedQuantizer]] dispatcher switches to the
+    * DataFrame path: centroids never leave the cluster, assignment is
+    * a broadcast join, updates are aggregations. 256 × 64 floats is
+    * comfortably inside both driver and codegen budgets; the two
+    * paths are bit-equal (DistributedTrainSpec), so the cut is a
+    * plan choice, not a semantics choice. */
+  private[operators] val LiteralKMax = 256
+
+  /** Distributed Lloyd's: the same seeds, same two rounds, same
+    * micro-unit integer means as [[trainCentroidsOn]] — but centroids
+    * live in a (cid, ce) DataFrame end to end. Assignment scores the
+    * corpus against the BROADCAST centroid frame (executor-side, no
+    * literal), and the update is groupBy(cid, pos) integer sums
+    * re-assembled into arrays by a pos-sorted collect_list — no
+    * driver collect anywhere, so K can track the corpus (corpusK)
+    * without the K×dim driver bound. Micro-unit sums are exact
+    * integers and the mean replays the identical double-divide /
+    * float-cast sequence, so the result is bit-equal to the literal
+    * path (pinned by DistributedTrainSpec at K=16). */
+  private[operators] def trainCentroidsDf(e: DataFrame, K: Int): DataFrame = {
+    def step(cents: DataFrame): DataFrame = {
+      val means = assignDf(e, cents)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(sum(floor(col("v").cast("double") * 1000000.0 + 0.5)).as("sm"),
+          count(lit(1)).as("n"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("sm"), col("n")))),
+          r => ((r.getField("sm").cast("double") / r.getField("n")) / lit(1000000.0))
+            .cast("float")).as("nce"))
+      // a cluster that captured no rows keeps its centroid — the
+      // literal path's byCid.get(cid).fold(old) contract
+      cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("nce"), col("ce")).as("ce"))
+    }
+    var cents = e.filter(col("vec_id").between(1, K))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    var prev: DataFrame = null
+    for (_ <- 1 to 2) {
+      val next = step(cents).persist()
+      next.count() // materialize the round before releasing its input
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = next
+      cents = next
+    }
+    cents
+  }
+
+  /** Join-based assignment of every row of `e` to its best centroid in
+    * the (cid, ce) frame: broadcast cross join (each row scores K
+    * centroids executor-side), lexicographic max(struct(ccos, cid)) —
+    * the exact [[ivfScored]]+array_max ordering (highest cosine, ties
+    * to the largest cid) — then a join back on vec_id to re-attach the
+    * full row. Keeps all of `e`'s columns plus `cid`, the same shape
+    * the literal assignment produces. */
+  private[operators] def assignDf(e: DataFrame, cents: DataFrame): DataFrame = {
+    val best = e.crossJoin(broadcast(cents))
+      .groupBy("vec_id")
+      .agg(max(struct(cosine6(col("embedding"), col("ce")).as("ccos"),
+        col("cid").as("cid"))).as("b"))
+      .select(col("vec_id"), col("b").getField("cid").as("cid"))
+    e.join(best, Seq("vec_id"))
+  }
+
+  /** The corpus assignment table (all of `embeddings`' columns + cid)
+    * for a quantizer of width K, literal path below `literalMax`,
+    * DataFrame path above — the single entry point queries deriving K
+    * from the corpus ([[corpusK]]) should use, so growing K switches
+    * plans instead of breaking them. `literalMax` is a parameter only
+    * so the spec can force the distributed path at small K for the
+    * bit-parity check. */
+  private[operators] def assignedByTrainedQuantizer(
+      s: SparkSession, dir: String, K: Int,
+      literalMax: Int = LiteralKMax): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    if (K <= literalMax)
+      e.withColumn("cid",
+        array_max(ivfScored(trainedCentroids(s, dir, K))(col("embedding")))
+          .getField("cid"))
+    else assignDf(e, trainCentroidsDf(e, K))
+  }
+
   /** IVF probe: trained quantizer, map-side assignment, nprobe=2. */
   private def annIvfTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -1151,11 +1240,13 @@ object LlmData {
         // the assignment table (embedding + cid) is read by both the
         // size count and both pair sides — persist it once, exactly
         // what a real pipeline materializes after training
+        // the dispatcher keeps small-K corpora on the codegen'd literal
+        // argmax and routes corpusK > LiteralKMax to the distributed
+        // Lloyd's (join-based, no driver collect) — the two are
+        // bit-equal, so K growing with the corpus switches plans, not
+        // answers
         val asg = memoized(s, "x48-asg", dir) {
-          t(s, dir, "embeddings").withColumn("cid",
-            array_max(ivfScored(trainedCentroids(s, dir, corpusK(s, dir)))(
-              col("embedding"))).getField("cid"))
-            .persist()
+          assignedByTrainedQuantizer(s, dir, corpusK(s, dir)).persist()
         }
         val sizes = asg.groupBy("cid").agg(count(lit(1)).as("n_members"))
         // frontier pair + over-threshold count in ONE pass over the
