@@ -182,6 +182,15 @@ object LlmData {
     * micro-unit integer sums collected at K×dim rows), then an
     * nprobe=2 probe of the query's two best lists. See the x34 entry
     * comment for the full scale argument. */
+  /** Document-frequency ceiling for x49's cross-doc gram signal: a
+    * 10-gram in more than this many distinct documents is treated as
+    * template boilerplate and excluded from the duplicated-span set
+    * (see the x49 entry comment for the full Zipf scale argument).
+    * 128 is far above any organic copied-span df (testdata max: 4;
+    * genuine cross-doc copying produces df in the single digits) and
+    * far below the corpus-proportional df of boilerplate headers. */
+  private[operators] val HotGramDfCap = 128L
+
   /** The K ∝ N rule for quantizer width: `K = max(16, N / 125)`.
     *
     * SemDeDup's per-cluster pairwise stage costs ~(N/K)² pairs per
@@ -1762,6 +1771,21 @@ object LlmData {
     // Fingerprints shuffle, payloads never do. Output: per-doc
     // duplicated-position fraction — the "remove or trim" decision
     // input at pretraining scale.
+    //
+    // HOT-GRAM DF-CAP (the Zipf lever, r8 prose → code): a gram in
+    // more than HotGramDfCap distinct documents is template
+    // boilerplate (headers, license banners, navigation chrome), not
+    // copied content — it carries no span signal, and on a Zipf
+    // corpus its occurrence mass DOMINATES the fp join: the join
+    // output is Σ df(fp)·occ(fp), and the head of the distribution
+    // contributes df ≈ corpus-sized fan-outs per gram. Capping df at
+    // the dup filter (2 ≤ df ≤ cap) excludes exactly that head, so
+    // the per-doc stage scales with the copied-span tail regardless
+    // of how boilerplate-heavy the corpus is. The cap is part of the
+    // query's SEMANTICS, expressed identically in the oracle CTE
+    // (BETWEEN 2 AND cap); testdata's max df is 4, so spec-SF results
+    // are byte-identical with or without it (the invariant spec
+    // builds a corpus where it bites).
     "x49_substring_spans" -> Q(
       (s, dir) => {
         val d = t(s, dir, "documents")
@@ -1778,7 +1802,7 @@ object LlmData {
         }
         val dup = g.groupBy("fp")
           .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2).select("fp")
+          .filter(col("nd") >= 2 && col("nd") <= HotGramDfCap).select("fp")
         val perDoc = g.join(dup, Seq("fp"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams"))
         d.select(col("doc_id"), (size(col("tk")) - 9).cast("long").as("n_grams"))
@@ -1794,7 +1818,8 @@ object LlmData {
               |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 8),
               |        i -> md5(array_to_string(list_slice(w, i, i + 9), ' ')))) AS fp
               |      FROM base),
-              |dup AS (SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+              |dup AS (SELECT fp FROM g GROUP BY fp
+              |        HAVING count(DISTINCT doc_id) BETWEEN 2 AND $HotGramDfCap),
               |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
               |       FROM g JOIN dup USING (fp) GROUP BY doc_id)
               |SELECT b.doc_id, b.n_grams,

@@ -163,6 +163,46 @@ class LlmInvariantsSpec extends SparkSpec {
       "the synthetic corpus repeats templates; cross-doc 10-grams must exist")
   }
 
+  test("x49: the df-cap excludes boilerplate grams but keeps genuine copied spans") {
+    // A Zipf-shaped hazard corpus the registered query must handle:
+    // every doc opens with the SAME 10-token boilerplate header (df =
+    // n_docs >> HotGramDfCap), and exactly two docs additionally share
+    // a genuine 10-token copied span (df = 2). Without the cap every
+    // doc would score dup_frac > 0 from the header alone; with it,
+    // only the two copying docs carry signal.
+    import spark.implicits._
+    val header = (1 to 10).map(i => s"hdr$i").mkString(" ")
+    val span = (1 to 10).map(i => s"copied$i").mkString(" ")
+    val nDocs = 200 // > HotGramDfCap = 128, so the header df-caps out
+    val docs = (1L to nDocs.toLong).map { id =>
+      val body =
+        if (id <= 2) span // the genuine cross-doc duplication
+        else (1 to 10).map(i => s"u${id}w$i").mkString(" ") // unique filler
+      (id, s"$header $body", "en", "synthetic", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dirF = java.nio.file.Files.createTempDirectory("graft-x49cap")
+    try {
+      docs.write.mode("overwrite").parquet(s"$dirF/documents.parquet")
+      val rows = SparkEntry.queries("x49_substring_spans")(spark, dirF.toString)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows.size == nDocs)
+      // 20 tokens -> 11 gram positions per doc
+      assert(rows.values.forall(_._1 == 11L))
+      // docs 1-2 are identical, so all 11 grams are cross-doc dups —
+      // but position 1 is the PURE header gram (df = 200 > cap), which
+      // the cap excludes, leaving the 10 positions that mix header and
+      // copied-span tokens (df = 2, genuine signal). 10-not-11 is the
+      // cap working at the boundary.
+      assert(rows(1L)._2 == 10L && rows(2L)._2 == 10L,
+        "identical docs keep every sub-cap gram; the pure-header gram df-caps out")
+      // every other doc's grams are either unique filler or contain the
+      // df-capped header -> zero dup signal
+      (3L to nDocs.toLong).foreach(id =>
+        assert(rows(id)._2 == 0L,
+          s"doc $id carries only boilerplate; the df-cap must zero it"))
+    } finally graft.io.TempDirs.deleteRecursively(dirF)
+  }
+
   test("x50: bigram top-k is distinct, positive, and count-ordered") {
     val rows = run("x50_bigram_vocab").collect()
     assert(rows.nonEmpty && rows.length <= 50)
