@@ -746,21 +746,33 @@ object LlmData {
     * their portable md5 base hashes — shared by x22 (Jaccard pairs) and
     * x58 (containment pairs) so both read ONE persisted signature
     * table. */
-  private def minhashHashed(s: SparkSession, dir: String): DataFrame =
+  private[operators] def minhashHashed(s: SparkSession, dir: String): DataFrame =
     memoized(s, "x22-hashes", dir) {
       shingled(s, dir)
         .withColumn("hs", Text.md5LongsNative(col("sh"), Text.MinhashMod))
         .persist()
     }
 
-  /** LSH candidate pairs (doc_a < doc_b) from the 16-slot minhash
-    * banded 4×4 — the ONLY pair generator for the minhash family
-    * (band-key equality join, never all-pairs); shared by x22/x58. */
-  private def minhashCandPairs(d: DataFrame): DataFrame = {
-    val sig = d.select(col("doc_id"), Text.minhashNative(col("hs"), 16).as("sig"))
-    val bands = sig.select(col("doc_id"),
-      explode(Text.bandKeysMd5(col("sig"), 4, 4)).as("bk"))
-    bands.as("a").join(bands.as("b"),
+  /** LSH candidate pairs (doc_a < doc_b) from the 16-slot minhash,
+    * banded `bands`דrows` — the ONLY pair generator for the minhash
+    * family (band-key equality join, never all-pairs); shared by
+    * x22/x58 at the registered 4×4.
+    *
+    * (bands, rows) is the SCALE DIAL: collision probability at
+    * Jaccard s is 1−(1−s^rows)^bands, so fewer/wider bands (e.g. 2×8,
+    * threshold s* = (1/b)^(1/r) ≈ 0.92 vs 4×4's ≈ 0.71) admit far
+    * fewer sub-threshold false-positive candidates — the term that
+    * grows with bucket occupancy as N grows. BandDialSpec measures
+    * exactly that growth at sf0.1 vs sf1 for both settings
+    * (BASELINE.md r9 dial table); the registered queries stay 4×4,
+    * which the oracle chain mirrors. */
+  private[operators] def minhashCandPairs(
+      d: DataFrame, bands: Int = 4, rows: Int = 4): DataFrame = {
+    val sig = d.select(col("doc_id"),
+      Text.minhashNative(col("hs"), bands * rows).as("sig"))
+    val bnd = sig.select(col("doc_id"),
+      explode(Text.bandKeysMd5(col("sig"), bands, rows)).as("bk"))
+    bnd.as("a").join(bnd.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
