@@ -196,19 +196,64 @@ object Analytics {
 
   /** q39 — ntile quartile bucketing over a total order (price, key):
     * the histogram-equalized binning a mixture sampler uses to stratify
-    * by a continuous column. ntile needs a global sort at this size; at
-    * 100 TB the same cut points come from approx_percentile on a sample
-    * and the bucketing becomes a map-side CASE — the output contract
-    * (bucket, n, min, max) is identical. */
+    * by a continuous column — EXACT, with no unpartitioned window.
+    *
+    * `ntile(4) OVER (ORDER BY ...)` plans a SinglePartition sort of
+    * the fact table — the one window shape that cannot scale (every
+    * row through one task). This form keeps ntile's exact output
+    * contract while sorting only WITHIN range bins:
+    *
+    *   1. approx_percentile-style sample cuts (31 doubles of index
+    *      metadata) split the price domain into ~32 range bins. The
+    *      cuts set PARALLELISM ONLY — any cut set, however skewed the
+    *      sample, yields the same final answer.
+    *   2. Each row's bin is a map-side indicator sum (order-consistent
+    *      with the total order: price ties always share a bin).
+    *   3. Per-bin counts (≤32 metadata rows, the Lloyd's-collect
+    *      precedent) give exact global rank offsets; the global rank
+    *      of a row is its bin offset + its row_number within the bin
+    *      (window PARTITIONED by bin — parallel, spill-safe).
+    *   4. ntile's bucket is pure arithmetic on (rank, N): the first
+    *      N%4 buckets take N/4+1 rows, the rest N/4 — integer `div`
+    *      (not `/`, which detours through double).
+    *
+    * Identical results to the ntile form (the oracle still runs real
+    * ntile), shuffles the fact table once on bin, never on one task.
+    * Degenerate distributions (all prices equal) collapse to one bin —
+    * exactly the single-sorted-run ntile itself would need. */
   private def q39 = Q(
-    (s, dir) => t(s, dir, "orders")
-      .withColumn("bucket",
-        ntile(4).over(Window.orderBy("o_totalprice", "o_orderkey")))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n"),
-        min("o_totalprice").as("min_price"),
-        max("o_totalprice").as("max_price"))
-      .orderBy("bucket"),
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val cuts = o.stat.approxQuantile("o_totalprice",
+        (1 until 32).map(_ / 32.0).toArray, 0.01).distinct.sorted
+      val binExpr = cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + when(col("o_totalprice") >= lit(c), 1).otherwise(0) }
+      val binned = o.select(col("o_totalprice"), col("o_orderkey"))
+        .withColumn("bin", binExpr)
+      val counts = binned.groupBy("bin").agg(count(lit(1)).as("bn"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val n = counts.map(_._2).sum
+      val offsets = counts.scanLeft(0 -> 0L) {
+        case ((_, acc), (b, c)) => b -> (acc + c) }
+      val offExpr = counts.zip(offsets).foldLeft(lit(0L)) {
+        case (acc, ((b, _), (_, off))) =>
+          when(col("bin") === b, off).otherwise(acc) }
+      val (base, rem) = (n / 4, n % 4)
+      binned
+        .withColumn("rank",
+          offExpr + row_number().over(
+            Window.partitionBy("bin").orderBy("o_totalprice", "o_orderkey")))
+        .withColumn("bucket", expr(
+          s"CAST(CASE WHEN rank <= ${(base + 1) * rem} " +
+            s"THEN (rank - 1) div ${base + 1} + 1 " +
+            s"ELSE $rem + (rank - ${(base + 1) * rem} - 1) div ${math.max(base, 1L)} + 1 " +
+            "END AS INT)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+        .orderBy("bucket")
+    },
     Some("""SELECT bucket, count(*) AS n,
            |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
            |FROM (SELECT o_totalprice,

@@ -322,6 +322,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian plans: ${offenders.mkString(", ")}")
   }
 
+  test("global sweep: no unpartitioned Window over pre-aggregation (fact-sized) input") {
+    // an empty-partition window collapses to a SinglePartition sort —
+    // every row through one task, the window shape that cannot scale.
+    // It is legitimate ONLY over post-aggregation inputs (bounded by
+    // group cardinality, e.g. q02's 5-row pct-of-total); over a scan-
+    // sized input it is a defect (the r9 q39 rewrite removed the one
+    // instance: exact ntile via bin-partitioned ranks + offsets).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Window => LWindow}
+    // bounded input = an Aggregate (group cardinality) or a Limit
+    // (top-k heap, e.g. x64's rank-of-50) somewhere below the window
+    def boundedBelow(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case a: Aggregate => a: LogicalPlan
+        case l: GlobalLimit => l
+        case l: LocalLimit => l
+      }.isDefined
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val bad = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty && !boundedBelow(w.child) => w
+        }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned window over unaggregated input: ${offenders.mkString(", ")}")
+  }
+
+  test("q39: exact ntile rides bin-partitioned ranks — no single-partition fact sort") {
+    val p = plan("q39_ntile_buckets")
+    // the window must carry a partition spec (the range bin), so the
+    // sort below it is per-bin, never a global Exchange SinglePartition
+    // feeding a Window
+    assert(!p.matches("(?s).*Exchange SinglePartition[^\\n]*\\n[^\\n]*Window.*"),
+      s"q39 must not plan a single-partition window sort, got:\n${p.take(2000)}")
+    assert(p.contains("Window") && p.contains("hashpartitioning(bin"),
+      s"per-bin window expected, got:\n${p.take(2000)}")
+  }
+
   test("q28: bloom mask ships broadcast; the fact side never sort-merge-joins") {
     val p = plan("q28_bloomjoin")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
