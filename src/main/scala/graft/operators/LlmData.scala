@@ -361,17 +361,22 @@ object LlmData {
   }
 
   /** IVF probe: trained quantizer, map-side assignment, nprobe=2. */
-  private def annIvfTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+  /** `nprobe` is IVF's recall/cost dial (registered queries and the
+    * oracle chain stay at 2; NprobeDialSpec measures the 2→4→8 curve
+    * at the bench SF — more probed lists ⇒ linearly more candidates
+    * scanned, monotonically higher recall). */
+  private[operators] def annIvfTopK(
+      s: SparkSession, dir: String, k: Int, nprobe: Int = 2): DataFrame = {
     val e = t(s, dir, "embeddings")
     val scored = ivfScored(trainedCentroids(s, dir)) _
     val assigned = e.withColumn("cid",
       array_max(scored(col("embedding"))).getField("cid"))
-    // nprobe=2: the query's two best lists, exploded to (qe, qcid)
-    // probe rows so the data side joins by key EQUALITY (broadcast
-    // hash join), never a nested-loop OR-condition
+    // the query's nprobe best lists, exploded to (qe, qcid) probe rows
+    // so the data side joins by key EQUALITY (broadcast hash join),
+    // never a nested-loop OR-condition
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"),
-        explode(slice(reverse(array_sort(scored(col("embedding")))), 1, 2)).as("p"))
+        explode(slice(reverse(array_sort(scored(col("embedding")))), 1, nprobe)).as("p"))
       .select(col("qe"), col("p.cid").as("qcid"))
     assigned.filter(col("vec_id") =!= 0)
       .join(broadcast(q), col("cid") === col("qcid"))
