@@ -447,7 +447,7 @@ object LlmData {
     * is a deliberate, audited event — x74 measures the recall drift
     * that decides it — never an implicit side effect of an append).
     * Tagged key in the same registry as the full-corpus quantizer. */
-  private def trainedCentroidsHist(
+  private[graft] def trainedCentroidsHist(
       s: SparkSession, dir: String, K: Int = 16): Seq[(Long, IndexedSeq[Float])] =
     centsMemo.acquire(s)(
         TrieMap.empty[(String, Int), Seq[(Long, IndexedSeq[Float])]])
@@ -470,6 +470,30 @@ object LlmData {
       .withColumn("cid",
         array_max(ivfScored(trainedCentroidsHist(s, dir))(col("embedding")))
           .getField("cid"))
+
+  /** Map-side assignment closure against the frozen historical
+    * quantizer — the `assign` a caller hands to
+    * [[graft.streaming.EventStream.ivfStreamingAppend]]. Training
+    * happens ONCE here (memoized); the returned function only scores,
+    * so every micro-batch pays one scan of its own rows and nothing
+    * else — the same single-scan shape PlanAuditSpec pins for the
+    * batch append. */
+  private[graft] def ivfFrozenAssign(s: SparkSession, dir: String): DataFrame => DataFrame = {
+    val cents = trainedCentroidsHist(s, dir)
+    df => df.withColumn("cid",
+      array_max(ivfScored(cents)(col("embedding"))).getField("cid"))
+  }
+
+  /** The historical-slice base index build (shared shape with
+    * [[incIvfIndexTable]]'s first phase), exposed so the streaming
+    * spec can build an identical base to append onto. */
+  private[graft] def ivfWriteBaseIndex(s: SparkSession, dir: String, tbl: String): Unit = {
+    val scored = ivfScored(trainedCentroidsHist(s, dir)) _
+    graft.io.Bucketing.writeBucketed(
+      t(s, dir, "embeddings").filter(histVec && col("vec_id") =!= 0)
+        .withColumn("cid", array_max(scored(col("embedding"))).getField("cid")),
+      tbl, "cid", 16, sorted = false)
+  }
 
   /** Build-then-append lifecycle, once per (session, corpus): the base
     * index is bucketed from the historical corpus, then the new batch

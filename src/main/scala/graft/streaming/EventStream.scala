@@ -114,6 +114,58 @@ object EventStream {
       .start(outDir)
   }
 
+  /** Streaming twin of the x74/x75 incremental index append — the
+    * production loop those queries imply: new embeddings arrive as
+    * files, each micro-batch is assigned map-side via the caller's
+    * `assign` (scoring against the FROZEN quantizer — index metadata
+    * riding the closure; retrain stays a deliberate batch event), and
+    * the assigned rows are appended to the bucketed index table under
+    * its existing spec ([[graft.io.Bucketing.appendBucketed]]): new
+    * per-bucket files, base untouched, downstream zero-Exchange probes
+    * undisturbed.
+    *
+    * Delivery contract, honestly: the file source checkpoints offsets,
+    * so a completed batch is never RE-READ across restarts; within a
+    * batch, a per-batchId marker (committed after the append) makes a
+    * replayed foreachBatch a no-op. The one remaining gap is a crash
+    * BETWEEN append and marker — parquet + a v1 catalog have no
+    * multi-operation transaction to close it — in which case the
+    * replay double-appends and the heal is per-bucket compaction with
+    * dedup-by-key ([[graft.io.Bucketing.compact]] is where that
+    * belongs operationally). A table format with transactional commit
+    * (the marker and the files in ONE atomic swap) is the production
+    * upgrade path; the Spark-side shape — map-side assign, bucketed
+    * append, offset checkpoint, idempotence marker — is identical.
+    * StreamingSpec pins: two streamed micro-batches equal the batch
+    * x74 append, and a restart with the same checkpoint appends
+    * nothing. */
+  def ivfStreamingAppend(spark: SparkSession, srcDir: String,
+      checkpointDir: String, table: String, assign: DataFrame => DataFrame,
+      buckets: Int = 16, maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val batches = spark.readStream
+      .schema(Tables.schemas("embeddings"))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+    batches.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val marker = new java.io.File(s"$checkpointDir/graft-applied/$id")
+        if (!marker.exists()) {
+          graft.io.Bucketing.appendBucketed(
+            assign(batch), table, "cid", buckets, sorted = false)
+          marker.getParentFile.mkdirs()
+          marker.createNewFile()
+          // the append ran in the micro-batch's CLONED session; drop
+          // the caller session's cached file listing so its next read
+          // sees the new per-bucket files (other sessions refresh on
+          // their own cadence — standard catalog-cache semantics)
+          spark.catalog.refreshTable(table)
+        }
+      }
+      .start()
+  }
+
   /** Batch compaction for [[corpusDedupIngest]]: fold the published
     * corpus's fingerprints into the compacted table, partitioned by a
     * 2-hex-char shard (256 partitions) of the md5 — so a future

@@ -310,6 +310,59 @@ class StreamingSpec extends SparkSpec {
       s"view-orphan rows must be exactly the right-evicted set (${vNull.size} vs ${vBatch.size})")
   }
 
+  test("streamed IVF append equals the batch x74 index and is restart-durable") {
+    import graft.operators.LlmData
+    val src = tmp("ivfapp-src"); val ckpt = tmp("ivfapp-ckpt")
+    val streamTbl = "graft_ivf_stream_append"
+    val refTbl = "graft_ivf_stream_ref"
+    try {
+      // the new-batch slice (vec_id % 10 == 7) delivered as TWO files =
+      // two micro-batches under maxFilesPerTrigger=1
+      val e = graft.sources.Tables.load(spark, sf0001, "embeddings")
+      val newRows = e.filter(pmod(col("vec_id"), lit(10)) === 7)
+      newRows.repartition(2).write.mode("overwrite").parquet(src)
+      val nNew = newRows.count()
+
+      // identical base index for both sides (frozen hist quantizer)
+      LlmData.ivfWriteBaseIndex(spark, sf0001, streamTbl)
+      LlmData.ivfWriteBaseIndex(spark, sf0001, refTbl)
+      val baseCount = spark.table(streamTbl).count()
+
+      // batch reference: the exact x74 append
+      graft.io.Bucketing.appendBucketed(
+        LlmData.ivfAppendBatch(spark, sf0001), refTbl, "cid", 16, sorted = false)
+
+      // streamed twin: two checkpointed micro-batches through the
+      // same frozen-quantizer assignment
+      EventStream.ivfStreamingAppend(spark, src, ckpt, streamTbl,
+        LlmData.ivfFrozenAssign(spark, sf0001)).awaitTermination()
+
+      def asSet(tbl: String) = spark.table(tbl).select("vec_id", "cid")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(spark.table(streamTbl).count() == baseCount + nNew,
+        "both micro-batches must land exactly once")
+      assert(asSet(streamTbl) == asSet(refTbl),
+        "streamed append must produce the identical (vec_id, cid) index as batch x74")
+
+      // restart with the SAME checkpoint: committed offsets mean no
+      // batch is re-read, so nothing is appended again
+      EventStream.ivfStreamingAppend(spark, src, ckpt, streamTbl,
+        LlmData.ivfFrozenAssign(spark, sf0001)).awaitTermination()
+      assert(spark.table(streamTbl).count() == baseCount + nNew,
+        "a restarted drain must not re-append committed batches")
+
+      // the append preserved the bucketed layout: a cid-keyed consumer
+      // still plans zero Exchange over the streamed-into table
+      val p = graft.io.Bucketing.table(spark, streamTbl)
+        .groupBy("cid").agg(count(lit(1))).queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true") && !p.contains("Exchange"),
+        s"streamed appends must keep the zero-Exchange layout, got:\n${p.take(1500)}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $streamTbl")
+      spark.sql(s"DROP TABLE IF EXISTS $refTbl")
+    }
+  }
+
   test("hourly rollup equals the q19 batch twin") {
     val src = tmp("rollup-src"); val out = tmp("rollup-out"); val ckpt = tmp("rollup-ckpt")
     Files.copy(eventsFile, Paths.get(src, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
