@@ -641,6 +641,28 @@ object Curation {
       .select(col("vec_id"), pqAssignNative(col("embedding"), cb).as("codes"))
   }
 
+  /** Map-side encode closure against the frozen historical codebook —
+    * the PQ `assign` for
+    * [[graft.streaming.EventStream.ivfStreamingAppend]] (key =
+    * "vec_id", buckets = 8, matching [[incPqIndexTable]]'s spec).
+    * Training happens once here (memoized); every micro-batch then
+    * pays one native-kernel scan of its own rows. */
+  private[graft] def pqFrozenEncode(s: SparkSession, dir: String): DataFrame => DataFrame = {
+    val cb = trainPqCodebookHist(s, dir)
+    df => df.select(col("vec_id"), pqAssignNative(col("embedding"), cb).as("codes"))
+  }
+
+  /** The historical-slice base code table (shared shape with
+    * [[incPqIndexTable]]'s first phase), exposed for the streaming
+    * spec's identical-base comparison. */
+  private[graft] def pqWriteBaseIndex(s: SparkSession, dir: String, tbl: String): Unit = {
+    val cb = trainPqCodebookHist(s, dir)
+    Bucketing.writeBucketed(
+      t(s, dir, "embeddings").filter(LlmData.histVec && col("vec_id") =!= 0)
+        .select(col("vec_id"), pqAssignNative(col("embedding"), cb).as("codes")),
+      tbl, "vec_id", 8, sorted = false)
+  }
+
   private[graft] def incPqIndexTableName(dir: String): String =
     "graft_pq_inc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
 

@@ -138,10 +138,17 @@ object EventStream {
     * append, offset checkpoint, idempotence marker — is identical.
     * StreamingSpec pins: two streamed micro-batches equal the batch
     * x74 append, and a restart with the same checkpoint appends
-    * nothing. */
+    * nothing.
+    *
+    * Generic over the index kind via (`assign`, `key`, `buckets`):
+    * the IVF defaults append (…, cid) rows bucketed by cid; the PQ
+    * twin (x75's loop) passes the frozen-codebook encode
+    * (Curation.pqFrozenEncode) with key = vec_id, buckets = 8 —
+    * identical delivery contract, different payload. */
   def ivfStreamingAppend(spark: SparkSession, srcDir: String,
       checkpointDir: String, table: String, assign: DataFrame => DataFrame,
-      buckets: Int = 16, maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      key: String = "cid", buckets: Int = 16,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
     val batches = spark.readStream
       .schema(Tables.schemas("embeddings"))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -153,7 +160,7 @@ object EventStream {
         val marker = new java.io.File(s"$checkpointDir/graft-applied/$id")
         if (!marker.exists()) {
           graft.io.Bucketing.appendBucketed(
-            assign(batch), table, "cid", buckets, sorted = false)
+            assign(batch), table, key, buckets, sorted = false)
           marker.getParentFile.mkdirs()
           marker.createNewFile()
           // the append ran in the micro-batch's CLONED session; drop

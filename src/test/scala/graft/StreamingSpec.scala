@@ -363,6 +363,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamed PQ code append equals the batch x75 table and is restart-durable") {
+    // the PQ half of the streamed maintenance loop: same delivery
+    // contract as the IVF test above, different payload (frozen-
+    // codebook ENCODE, vec_id-bucketed code table)
+    import graft.operators.{Curation, LlmData}
+    val src = tmp("pqapp-src"); val ckpt = tmp("pqapp-ckpt")
+    val streamTbl = "graft_pq_stream_append"
+    val refTbl = "graft_pq_stream_ref"
+    try {
+      val e = graft.sources.Tables.load(spark, sf0001, "embeddings")
+      val newRows = e.filter(pmod(col("vec_id"), lit(10)) === 7)
+      newRows.repartition(2).write.mode("overwrite").parquet(src)
+      val nNew = newRows.count()
+
+      Curation.pqWriteBaseIndex(spark, sf0001, streamTbl)
+      Curation.pqWriteBaseIndex(spark, sf0001, refTbl)
+      val baseCount = spark.table(streamTbl).count()
+
+      graft.io.Bucketing.appendBucketed(
+        Curation.pqAppendBatch(spark, sf0001), refTbl, "vec_id", 8, sorted = false)
+
+      EventStream.ivfStreamingAppend(spark, src, ckpt, streamTbl,
+        Curation.pqFrozenEncode(spark, sf0001),
+        key = "vec_id", buckets = 8).awaitTermination()
+
+      def asMap(tbl: String) = spark.table(tbl)
+        .select(col("vec_id"), col("codes"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(spark.table(streamTbl).count() == baseCount + nNew,
+        "both micro-batches must land exactly once")
+      assert(asMap(streamTbl) == asMap(refTbl),
+        "streamed encode must produce the identical code table as batch x75")
+
+      EventStream.ivfStreamingAppend(spark, src, ckpt, streamTbl,
+        Curation.pqFrozenEncode(spark, sf0001),
+        key = "vec_id", buckets = 8).awaitTermination()
+      assert(spark.table(streamTbl).count() == baseCount + nNew,
+        "a restarted drain must not re-append committed batches")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $streamTbl")
+      spark.sql(s"DROP TABLE IF EXISTS $refTbl")
+    }
+  }
+
   test("hourly rollup equals the q19 batch twin") {
     val src = tmp("rollup-src"); val out = tmp("rollup-out"); val ckpt = tmp("rollup-ckpt")
     Files.copy(eventsFile, Paths.get(src, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
