@@ -43,6 +43,31 @@ class DistributedTrainSpec extends graft.SparkSpec {
       "every vector must land in the same cluster under both paths")
   }
 
+  test("sf1/K=160: the distributed path reproduces the literal assignment at corpusK scale") {
+    // the width corpusK actually derives at sf1 — the parity claim is
+    // only as strong as the largest K it is checked at, and K=160 is
+    // where the dial lives today (LiteralKMax=256 keeps sf1 on the
+    // literal path in production; this forces both paths and compares)
+    assume(new java.io.File("/tmp/graft-sf1/embeddings.parquet").exists(),
+      "sf1 corpus not generated (tools/gen_scale.py) — skipping")
+    val dir = "/tmp/graft-sf1"
+    def timeIt[A](f: => A): (A, Long) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1000000)
+    }
+    val (litMap, msLit) = timeIt {
+      LlmData.assignedByTrainedQuantizer(spark, dir, 160)
+        .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val (distMap, msDist) = timeIt {
+      LlmData.assignedByTrainedQuantizer(spark, dir, 160, literalMax = 0)
+        .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    info(s"K=160 at sf1: literal ${msLit}ms, distributed ${msDist}ms (${litMap.size} vectors)")
+    assert(distMap.size == litMap.size)
+    assert(distMap == litMap,
+      "distributed Lloyd's + join assignment must equal the literal path at K=160")
+  }
+
   test("above the threshold the plan is join-based: broadcast scoring, no literal argmax") {
     val dist = LlmData.assignedByTrainedQuantizer(spark, sf0001, 16, literalMax = 0)
     val plan = dist.queryExecution.sparkPlan.toString
