@@ -86,7 +86,7 @@ object Bucketing {
     if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)) {
       // a prior swap died between DROP and RENAME: finish it; the
       // tmp copy IS the compacted table
-      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+      finishSwap(spark, tmp, table)
       return
     }
     // a stale tmp from a crash BEFORE the drop is dead weight (the
@@ -96,8 +96,21 @@ object Bucketing {
       spark.table(table).repartition(buckets, pmod(hash(col(key)), lit(buckets))),
       tmp, key, buckets, sorted)
     spark.sql(s"DROP TABLE `$table`")
-    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    finishSwap(spark, tmp, table)
   }
+
+  /** The RENAME half of the swap, tolerant of LOSING a race to a
+    * concurrent healer: the check-then-rename in [[table]] (and a
+    * second reader, or compact itself) can both observe the crash
+    * window — whichever ALTER lands second throws on the now-missing
+    * tmp. Losing is success iff the destination exists afterwards;
+    * anything else is a real failure and rethrows. */
+  private def finishSwap(spark: SparkSession, tmp: String, table: String): Unit =
+    try spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    catch {
+      case e: Throwable =>
+        if (!spark.catalog.tableExists(table)) throw e
+    }
 
   /** Catalog read-back; the scan carries the bucket spec (and therefore
     * its hashpartitioning output partitioning) only via this path.
@@ -110,7 +123,7 @@ object Bucketing {
   def table(spark: SparkSession, name: String): DataFrame = {
     val tmp = name + "__compacting"
     if (!spark.catalog.tableExists(name) && spark.catalog.tableExists(tmp))
-      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$name`")
+      finishSwap(spark, tmp, name)
     spark.table(name)
   }
 }

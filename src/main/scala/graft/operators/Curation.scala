@@ -635,11 +635,8 @@ object Curation {
     * map-side only (the codebook rides as a literal), one scan of the
     * new rows, no read of the base code table (PlanAuditSpec pins the
     * shape — the PQ twin of LlmData.ivfAppendBatch). */
-  private[graft] def pqAppendBatch(s: SparkSession, dir: String): DataFrame = {
-    val cb = trainPqCodebookHist(s, dir)
-    t(s, dir, "embeddings").filter(LlmData.newVec)
-      .select(col("vec_id"), pqAssignNative(col("embedding"), cb).as("codes"))
-  }
+  private[graft] def pqAppendBatch(s: SparkSession, dir: String): DataFrame =
+    pqFrozenEncode(s, dir)(t(s, dir, "embeddings").filter(LlmData.newVec))
 
   /** Map-side encode closure against the frozen historical codebook —
     * the PQ `assign` for
@@ -652,16 +649,16 @@ object Curation {
     df => df.select(col("vec_id"), pqAssignNative(col("embedding"), cb).as("codes"))
   }
 
-  /** The historical-slice base code table (shared shape with
-    * [[incPqIndexTable]]'s first phase), exposed for the streaming
-    * spec's identical-base comparison. */
-  private[graft] def pqWriteBaseIndex(s: SparkSession, dir: String, tbl: String): Unit = {
-    val cb = trainPqCodebookHist(s, dir)
+  /** The historical-slice base code table — THE single definition of
+    * the base shape (hist filter, no query vector, vec_id-bucketed
+    * ×8): [[incPqIndexTable]]'s first phase and the streaming spec's
+    * identical-base comparison both call it, so the two can never
+    * drift. */
+  private[graft] def pqWriteBaseIndex(s: SparkSession, dir: String, tbl: String): Unit =
     Bucketing.writeBucketed(
-      t(s, dir, "embeddings").filter(LlmData.histVec && col("vec_id") =!= 0)
-        .select(col("vec_id"), pqAssignNative(col("embedding"), cb).as("codes")),
+      pqFrozenEncode(s, dir)(
+        t(s, dir, "embeddings").filter(LlmData.histVec && col("vec_id") =!= 0)),
       tbl, "vec_id", 8, sorted = false)
-  }
 
   private[graft] def incPqIndexTableName(dir: String): String =
     "graft_pq_inc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -673,11 +670,7 @@ object Curation {
   private def incPqIndexTable(s: SparkSession, dir: String): String =
     LlmData.tableOnce(pqIndexMemo, s, dir + "#inc") {
       val tbl = incPqIndexTableName(dir)
-      val cb = trainPqCodebookHist(s, dir)
-      Bucketing.writeBucketed(
-        t(s, dir, "embeddings").filter(LlmData.histVec && col("vec_id") =!= 0)
-          .select(col("vec_id"), pqAssignNative(col("embedding"), cb).as("codes")),
-        tbl, "vec_id", 8, sorted = false)
+      pqWriteBaseIndex(s, dir, tbl)
       Bucketing.appendBucketed(
         pqAppendBatch(s, dir), tbl, "vec_id", 8, sorted = false)
       tbl

@@ -169,7 +169,7 @@ object EtlCapstone {
         // (anything older than the previous invocation's)
         val wroot = new java.io.File(s"$base/warehouse")
         Option(wroot.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith("g") &&
+          .filter(f => f.getName.length > 1 && f.getName.startsWith("g") &&
             f.getName.drop(1).forall(_.isDigit) &&
             f.getName.drop(1).toLong < gen - 1)
           .foreach(f => graft.io.TempDirs.deleteRecursively(f.toPath))

@@ -357,7 +357,12 @@ object LlmData {
       e.withColumn("cid",
         array_max(ivfScored(trainedCentroids(s, dir, K))(col("embedding")))
           .getField("cid"))
-    else assignDf(e, trainCentroidsDf(e, K))
+    else
+      // memoized like the literal path's trainedCentroids: one
+      // two-round Lloyd's per (session, corpus, K), and the persisted
+      // centroid frame has a release path (clearMemo) instead of
+      // pinning a new copy per call
+      assignDf(e, memoized(s, s"ivf-centsdf-$K", dir)(trainCentroidsDf(e, K)))
   }
 
   /** IVF probe: trained quantizer, map-side assignment, nprobe=2. */
@@ -466,10 +471,7 @@ object LlmData {
     * base assignment would silently turn daily maintenance into a full
     * rebuild at 100 TB. */
   private[graft] def ivfAppendBatch(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings").filter(newVec)
-      .withColumn("cid",
-        array_max(ivfScored(trainedCentroidsHist(s, dir))(col("embedding")))
-          .getField("cid"))
+    ivfFrozenAssign(s, dir)(t(s, dir, "embeddings").filter(newVec))
 
   /** Map-side assignment closure against the frozen historical
     * quantizer — the `assign` a caller hands to
@@ -484,16 +486,16 @@ object LlmData {
       array_max(ivfScored(cents)(col("embedding"))).getField("cid"))
   }
 
-  /** The historical-slice base index build (shared shape with
-    * [[incIvfIndexTable]]'s first phase), exposed so the streaming
-    * spec can build an identical base to append onto. */
-  private[graft] def ivfWriteBaseIndex(s: SparkSession, dir: String, tbl: String): Unit = {
-    val scored = ivfScored(trainedCentroidsHist(s, dir)) _
+  /** The historical-slice base index build — THE single definition of
+    * the base shape (hist filter, no query vector, cid-bucketed ×16):
+    * [[incIvfIndexTable]]'s first phase and the streaming spec's
+    * identical-base comparison both call it, so the two can never
+    * drift. */
+  private[graft] def ivfWriteBaseIndex(s: SparkSession, dir: String, tbl: String): Unit =
     graft.io.Bucketing.writeBucketed(
-      t(s, dir, "embeddings").filter(histVec && col("vec_id") =!= 0)
-        .withColumn("cid", array_max(scored(col("embedding"))).getField("cid")),
+      ivfFrozenAssign(s, dir)(
+        t(s, dir, "embeddings").filter(histVec && col("vec_id") =!= 0)),
       tbl, "cid", 16, sorted = false)
-  }
 
   /** Build-then-append lifecycle, once per (session, corpus): the base
     * index is bucketed from the historical corpus, then the new batch
@@ -503,11 +505,7 @@ object LlmData {
   private def incIvfIndexTable(s: SparkSession, dir: String): String =
     tableOnce(incIvfMemo, s, dir) {
       val tbl = incIvfIndexTableName(dir)
-      val scored = ivfScored(trainedCentroidsHist(s, dir)) _
-      graft.io.Bucketing.writeBucketed(
-        t(s, dir, "embeddings").filter(histVec && col("vec_id") =!= 0)
-          .withColumn("cid", array_max(scored(col("embedding"))).getField("cid")),
-        tbl, "cid", 16, sorted = false)
+      ivfWriteBaseIndex(s, dir, tbl)
       graft.io.Bucketing.appendBucketed(
         ivfAppendBatch(s, dir), tbl, "cid", 16, sorted = false)
       tbl
@@ -725,8 +723,10 @@ object LlmData {
   def clearMemo(s: SparkSession): Unit = {
     // the centroid memo holds no cluster resources — dropping the
     // entry is enough (Bench clears per query so cold timings keep
-    // paying for their own training)
+    // paying for their own training); the corpus-count memo rides the
+    // same discipline (corpusK is training metadata like centroids)
     centsMemo.remove(s)
+    corpusKMemo.remove(s)
     // Curation's PQ codebook + index-table memos share this lifecycle
     // (one release hook for the whole operator surface)
     Curation.clearPqMemo(s)

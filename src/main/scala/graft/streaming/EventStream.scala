@@ -157,12 +157,19 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val marker = new java.io.File(s"$checkpointDir/graft-applied/$id")
-        if (!marker.exists()) {
+        // the marker must live WITH the checkpoint (same filesystem —
+        // hdfs://, s3a://, or local), or a driver failover keeps the
+        // offsets but loses the idempotence record and a replayed
+        // batch double-appends; java.io.File would silently resolve a
+        // remote checkpoint path onto the driver's local disk
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$checkpointDir/graft-applied/$id")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
           graft.io.Bucketing.appendBucketed(
             assign(batch), table, key, buckets, sorted = false)
-          marker.getParentFile.mkdirs()
-          marker.createNewFile()
+          fs.create(marker, false).close()
           // the append ran in the micro-batch's CLONED session; drop
           // the caller session's cached file listing so its next read
           // sees the new per-bucket files (other sessions refresh on
