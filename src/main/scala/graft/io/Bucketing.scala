@@ -106,10 +106,18 @@ object Bucketing {
     * tmp. Losing is success iff the destination exists afterwards;
     * anything else is a real failure and rethrows. */
   private def finishSwap(spark: SparkSession, tmp: String, table: String): Unit =
-    try spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
-    catch {
-      case e: Throwable =>
-        if (!spark.catalog.tableExists(table)) throw e
+    try {
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+      ()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // fatal errors and interrupts propagate; and a metastore that
+        // is DOWN must surface the rename failure, not a secondary
+        // exists-check exception in its place
+        val healed =
+          try spark.catalog.tableExists(table)
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (!healed) throw e
     }
 
   /** Catalog read-back; the scan carries the bucket spec (and therefore

@@ -168,10 +168,13 @@ object EtlCapstone {
         // reclaim generations a lazy consumer can no longer be holding
         // (anything older than the previous invocation's)
         val wroot = new java.io.File(s"$base/warehouse")
+        // foreign dirnames must be SKIPPED, never crash the stage: the
+        // Try covers both the bare-"g" empty suffix and an all-digit
+        // suffix overflowing Long
         Option(wroot.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.length > 1 && f.getName.startsWith("g") &&
+          .filter(f => f.getName.startsWith("g") &&
             f.getName.drop(1).forall(_.isDigit) &&
-            f.getName.drop(1).toLong < gen - 1)
+            scala.util.Try(f.getName.drop(1).toLong).toOption.exists(_ < gen - 1))
           .foreach(f => graft.io.TempDirs.deleteRecursively(f.toPath))
         val wh = s"$base/warehouse/g$gen"
         // 1-2. extract + stage the raw document layer (JSON lines —

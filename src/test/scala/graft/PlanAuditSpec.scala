@@ -329,23 +329,31 @@ class PlanAuditSpec extends SparkSpec {
     // group cardinality, e.g. q02's 5-row pct-of-total); over a scan-
     // sized input it is a defect (the r9 q39 rewrite removed the one
     // instance: exact ntile via bin-partitioned ranks + offsets).
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, OneRowRelation, Range => LRange, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, OneRowRelation, Range => LRange, Window => LWindow}
     import org.apache.spark.sql.catalyst.plans.{LeftOuter, RightOuter}
-    // bounded input = the window's direct input SPINE reaches an
-    // Aggregate (group cardinality), a Limit (top-k heap, x64's
-    // rank-of-50), or a driver-declared relation (Range/LocalRelation —
-    // q42's 30-day generated calendar), descending unary nodes and the
-    // STREAM-PRESERVING side of outer joins (a left join's output is
-    // its left side's cardinality times match multiplicity — the
-    // right branch proves nothing and is not followed). collectFirst
-    // over the whole subtree would exempt a fact-sized window whose
-    // plan merely joins an aggregated dim side somewhere below.
-    @scala.annotation.tailrec
+    // bounded input = the window's direct input SPINE proves bounded
+    // cardinality: an Aggregate (group cardinality), a Limit (top-k
+    // heap, x64's rank-of-50), or a driver-declared relation
+    // (Range/LocalRelation). Multiplicity-introducing nodes need BOTH
+    // factors bounded: an outer join is bounded only if both sides
+    // are (left-rows × match-multiplicity — q42's 30-day calendar
+    // left-joining aggregated knots passes; the same calendar joining
+    // RAW events would not), and a Generate (explode) is bounded only
+    // over a driver-declared row set (literal fanout — q42's
+    // sequence(); explode over data keeps data cardinality even when
+    // an Aggregate sits below, e.g. explode(collect_list)).
+    def driverDeclared(p: LogicalPlan): Boolean = p match {
+      case _: LRange | _: LocalRelation | _: OneRowRelation => true
+      case _: Generate => false
+      case u if u.children.size == 1 => driverDeclared(u.children.head)
+      case _ => false
+    }
     def boundedBelow(p: LogicalPlan): Boolean = p match {
       case _: Aggregate | _: GlobalLimit | _: LocalLimit => true
       case _: LRange | _: LocalRelation | _: OneRowRelation => true
-      case j: Join if j.joinType == LeftOuter => boundedBelow(j.left)
-      case j: Join if j.joinType == RightOuter => boundedBelow(j.right)
+      case g: Generate => driverDeclared(g.child)
+      case j: Join if j.joinType == LeftOuter || j.joinType == RightOuter =>
+        boundedBelow(j.left) && boundedBelow(j.right)
       case u if u.children.size == 1 => boundedBelow(u.children.head)
       case _ => false
     }
