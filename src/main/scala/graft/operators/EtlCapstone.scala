@@ -169,11 +169,13 @@ object EtlCapstone {
         // (anything older than the previous invocation's)
         val wroot = new java.io.File(s"$base/warehouse")
         // foreign dirnames must be SKIPPED, never crash the stage: the
-        // Try covers both the bare-"g" empty suffix and an all-digit
-        // suffix overflowing Long
+        // digit class is ASCII-only (isDigit/parseLong accept Unicode
+        // decimal digits, which would parse a foreign dirname like
+        // g٣ as a generation and DELETE it), and the Try covers both
+        // the bare-"g" empty suffix and a suffix overflowing Long
         Option(wroot.listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.startsWith("g") &&
-            f.getName.drop(1).forall(_.isDigit) &&
+            f.getName.drop(1).forall(c => c >= '0' && c <= '9') &&
             scala.util.Try(f.getName.drop(1).toLong).toOption.exists(_ < gen - 1))
           .foreach(f => graft.io.TempDirs.deleteRecursively(f.toPath))
         val wh = s"$base/warehouse/g$gen"

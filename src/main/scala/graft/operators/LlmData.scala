@@ -361,8 +361,10 @@ object LlmData {
       // memoized like the literal path's trainedCentroids: one
       // two-round Lloyd's per (session, corpus, K), and the persisted
       // centroid frame has a release path (clearMemo) instead of
-      // pinning a new copy per call
-      assignDf(e, memoized(s, s"ivf-centsdf-$K", dir)(trainCentroidsDf(e, K)))
+      // pinning a new copy per call. The EAGER variant: training runs
+      // persist+count jobs, which must not execute while holding the
+      // session-wide memo lock (see memoizedEager)
+      assignDf(e, memoizedEager(s, s"ivf-centsdf-$K", dir)(trainCentroidsDf(e, K)))
   }
 
   /** IVF probe: trained quantizer, map-side assignment, nprobe=2. */
@@ -691,6 +693,45 @@ object LlmData {
           out = perSession.getOrElseUpdate((key, dir), build)
       }
     }
+    out
+  }
+
+  /** [[memoized]] for builds that run EAGER Spark jobs (the
+    * distributed Lloyd's trains with persist+count rounds): the other
+    * builds only CONSTRUCT a lazy frame under the per-map lock —
+    * milliseconds — but holding that session-wide lock across
+    * multi-job training would head-of-line-block every concurrent
+    * memoized user for the full training duration. So: peek under the
+    * lock, build OUTSIDE any lock, insert via the same
+    * register-or-read loop, and unpersist our speculative copy if a
+    * concurrent builder won the insert. Costs at most one redundant
+    * training per concurrent first access — never a leak, never a
+    * stall. */
+  private[operators] def memoizedEager(s: SparkSession, key: String, dir: String)
+      (build: => DataFrame): DataFrame = {
+    var out: DataFrame = null
+    var built: DataFrame = null
+    while (out == null) {
+      val perSession = memo.acquire(s)(TrieMap.empty[(String, String), DataFrame])
+      val peeked = perSession.synchronized {
+        if (memo.registerOrGet(s, perSession) eq perSession)
+          Some(perSession.get((key, dir)))
+        else None // lost the map to a concurrent clear — refetch
+      }
+      peeked match {
+        case Some(Some(df)) => out = df
+        case Some(None) =>
+          if (built == null) built = build // eager work, no lock held
+          perSession.synchronized {
+            // same currently-registered check as memoized: never
+            // insert into an orphaned map a clearMemo can't reach
+            if (memo.registerOrGet(s, perSession) eq perSession)
+              out = perSession.getOrElseUpdate((key, dir), built)
+          }
+        case None => ()
+      }
+    }
+    if ((built != null) && !(out eq built)) built.unpersist(blocking = false)
     out
   }
 

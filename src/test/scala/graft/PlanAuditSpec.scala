@@ -342,15 +342,23 @@ class PlanAuditSpec extends SparkSpec {
     // over a driver-declared row set (literal fanout — q42's
     // sequence(); explode over data keeps data cardinality even when
     // an Aggregate sits below, e.g. explode(collect_list)).
+    // Range is driver-declared but its cardinality is a free
+    // parameter — spark.range(10e9) under an unpartitioned window is
+    // exactly the scale-fatal shape this sweep exists to catch, so a
+    // Range only counts as bounded when its DECLARED row count is
+    // calendar-scale (q42's 30-day spine), not merely literal-typed.
+    def smallRange(r: LRange): Boolean = r.numElements <= BigInt(100000)
     def driverDeclared(p: LogicalPlan): Boolean = p match {
-      case _: LRange | _: LocalRelation | _: OneRowRelation => true
+      case r: LRange => smallRange(r)
+      case _: LocalRelation | _: OneRowRelation => true
       case _: Generate => false
       case u if u.children.size == 1 => driverDeclared(u.children.head)
       case _ => false
     }
     def boundedBelow(p: LogicalPlan): Boolean = p match {
       case _: Aggregate | _: GlobalLimit | _: LocalLimit => true
-      case _: LRange | _: LocalRelation | _: OneRowRelation => true
+      case r: LRange => smallRange(r)
+      case _: LocalRelation | _: OneRowRelation => true
       case g: Generate => driverDeclared(g.child)
       case j: Join if j.joinType == LeftOuter || j.joinType == RightOuter =>
         boundedBelow(j.left) && boundedBelow(j.right)
