@@ -2600,6 +2600,67 @@ object LlmData {
               |SELECT component, n_members, doc_id AS survivor_doc_id,
               |       quality AS survivor_quality
               |FROM r WHERE rn = 1 ORDER BY component""".stripMargin),
-      "quality-aware dedup survivor: per-cluster argmax of the shared x27 score over x36's resolved components")
+      "quality-aware dedup survivor: per-cluster argmax of the shared x27 score over x36's resolved components"),
+
+    // ── X6k: deterministic epoch shuffle + shard export plan ──────────
+    // Training-loader export: an epoch's global order must be a SEEDED
+    // permutation, and on Spark that means a HASH order, not rand() —
+    // rand() draws per task ATTEMPT, so a retried/speculated task
+    // re-draws and two attempts of one shard disagree (silent
+    // non-determinism under the exact failure model a 1000-executor
+    // job lives in). okey = md5(seed:doc_id) is a pure function of the
+    // row, retry-stable and engine-portable; a new epoch is a new seed
+    // literal — nothing retrains, nothing re-buckets.
+    //
+    // Shard assignment is a SECOND independent hash mod nShards —
+    // map-side, uniform in expectation, so the 100 TB export is
+    // partitionBy(shard) + sortWithinPartitions(okey): the only
+    // shuffle is the hash-partition by shard and the per-shard order
+    // is a partition-local (spillable) sort. The registered result is
+    // the bounded per-shard manifest; order itself is pinned by a
+    // DISTRIBUTIVE checksum — rn from the same shard-local sort the
+    // writer performs (Window.partitionBy(shard), never global), each
+    // term rn × (id-hash mod 1e6) bounded well inside BIGINT, the sum
+    // carried in DECIMAL(38,0)/HUGEINT (the portable 128-bit ordinal)
+    // and folded mod 1e18 — a permutation change anywhere in the
+    // shard moves the checksum, yet every operator is a map-side
+    // expression or a plain distributive aggregate.
+    "x77_epoch_shards" -> Q(
+      (s, dir) => {
+        val okey = md5(concat(lit("ep1:"), col("doc_id").cast("string")))
+        val shard = conv(substring(md5(concat(lit("shard:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 8
+        val h6 = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 1000000L
+        val w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            okey.as("okey"), shard.as("shard"), h6.as("h6"))
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .groupBy("shard")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("shard_tokens"),
+            max(when(col("rn") === 1, col("doc_id"))).as("head_doc"),
+            expr("cast(sum(cast(rn * h6 as decimal(38,0))) % 1000000000000000000 as bigint)")
+              .as("order_chk"))
+          .orderBy("shard")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    md5('ep1:' || CAST(doc_id AS VARCHAR)) AS okey,
+             |    CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS shard,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS h6,
+             |    len(string_split(text, ' ')) AS n_tokens
+             |  FROM documents),
+             |r AS (SELECT *, row_number() OVER (
+             |        PARTITION BY shard ORDER BY okey, doc_id) AS rn FROM p)
+             |SELECT shard, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+             |  max(CASE WHEN rn = 1 THEN doc_id END) AS head_doc,
+             |  CAST(sum(rn * h6) % 1000000000000000000 AS BIGINT) AS order_chk
+             |FROM r GROUP BY shard ORDER BY shard""".stripMargin),
+      "seeded epoch shuffle + shard manifest: retry-stable hash order, map-side shard assignment, shard-local sort, distributive order checksum")
   )
 }

@@ -354,4 +354,45 @@ class LlmInvariantsSpec extends SparkSpec {
     assert(x22Pairs.subsetOf(x58Pairs),
       s"missing: ${(x22Pairs -- x58Pairs).take(5)}")
   }
+
+  test("x77: shards partition the corpus; a seed change permutes order but not membership") {
+    import org.apache.spark.sql.functions._
+    val rows = run("x77_epoch_shards").collect()
+    val total = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "shard doc counts must partition the corpus exactly")
+    assert(rows.map(_.getLong(0)).toSet == (0L until 8L).toSet,
+      "all 8 shards must be non-empty at this corpus size")
+    // uniformity sanity (hash-mod balance): no shard more than 2x the mean
+    val mean = total.toDouble / 8
+    rows.foreach(r => assert(r.getLong(1) < 2 * mean,
+      s"shard ${r.getLong(0)} badly unbalanced: ${r.getLong(1)} vs mean $mean"))
+    // a NEW EPOCH (different okey seed, same shard hash) must keep
+    // every membership column fixed and move the order checksum —
+    // the checksum really pins the permutation, not the membership
+    val ep2 = {
+      val okey = md5(concat(lit("ep2:"), col("doc_id").cast("string")))
+      val shard = conv(substring(md5(concat(lit("shard:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 8
+      val h6 = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 1000000L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("okey", "doc_id")
+      spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"), okey.as("okey"), shard.as("shard"), h6.as("h6"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("cast(sum(cast(rn * h6 as decimal(38,0))) % 1000000000000000000 as bigint)")
+            .as("order_chk"))
+        .collect()
+    }
+    val chk1 = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val n1 = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n2 = ep2.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n1 == n2, "epoch seed must not move documents between shards")
+    val moved = ep2.count(r => chk1(r.getLong(0)) != r.getLong(2))
+    assert(moved >= 7,
+      s"a new epoch must re-permute (checksum moved in only $moved/8 shards)")
+  }
 }
