@@ -703,10 +703,18 @@ object LlmData {
     * multi-job training would head-of-line-block every concurrent
     * memoized user for the full training duration. So: peek under the
     * lock, build OUTSIDE any lock, insert via the same
-    * register-or-read loop, and unpersist our speculative copy if a
+    * register-or-read loop, and release our speculative copy if a
     * concurrent builder won the insert. Costs at most one redundant
-    * training per concurrent first access — never a leak, never a
-    * stall. */
+    * training per concurrent first access — never a stall.
+    *
+    * The lost-race release is NOT a blind unpersist: Spark's cache is
+    * keyed by CANONICALIZED plan, and two speculative builds of the
+    * same deterministic training produce the same canonical plan — so
+    * the loser's persist() was a no-op against the winner's entry and
+    * an unconditional unpersist would silently EVICT the one shared
+    * entry the memo now hands out. Unpersist only a semantically
+    * DIFFERENT loser (can't happen for deterministic builds, guarded
+    * anyway); a same-plan loser holds no cache resource of its own. */
   private[operators] def memoizedEager(s: SparkSession, key: String, dir: String)
       (build: => DataFrame): DataFrame = {
     var out: DataFrame = null
@@ -731,7 +739,8 @@ object LlmData {
         case None => ()
       }
     }
-    if ((built != null) && !(out eq built)) built.unpersist(blocking = false)
+    if ((built != null) && !(out eq built) && !out.sameSemantics(built))
+      built.unpersist(blocking = false)
     out
   }
 
@@ -955,6 +964,35 @@ object LlmData {
   private def duckQuality: String =
     duckRound(s"(1.0 - $duckNStop * 1.0 / $duckNTok) * " +
       s"least($duckNTok * 1.0, 50.0) / 50.0", 6)
+
+  /** x77's epoch-shard manifest, parameterized over the epoch seed —
+    * ONE definition for the registered query ("ep1") and the
+    * invariant spec's second epoch ("ep2"), so the membership/checksum
+    * comparison can never drift against a stale re-derivation.
+    * Columns: (shard, n_docs, shard_tokens, head_doc, order_chk).
+    * See the x77 registry comment for the full design argument. */
+  private[graft] def epochShardManifest(
+      s: SparkSession, dir: String, seed: String): DataFrame = {
+    val okey = md5(concat(lit(s"$seed:"), col("doc_id").cast("string")))
+    val shard = conv(substring(md5(concat(lit("shard:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 8
+    val h6 = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+    val w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        okey.as("okey"), shard.as("shard"), h6.as("h6"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("shard_tokens"),
+        max(when(col("rn") === 1, col("doc_id"))).as("head_doc"),
+        expr("cast(sum(cast(rn * h6 as decimal(38,0))) % 1000000000000000000 as bigint)")
+          .as("order_chk"))
+      .orderBy("shard")
+  }
 
   // ── the queries ─────────────────────────────────────────────────────
 
@@ -2602,7 +2640,7 @@ object LlmData {
               |FROM r WHERE rn = 1 ORDER BY component""".stripMargin),
       "quality-aware dedup survivor: per-cluster argmax of the shared x27 score over x36's resolved components"),
 
-    // ── X6k: deterministic epoch shuffle + shard export plan ──────────
+    // ── X6r: deterministic epoch shuffle + shard export plan ──────────
     // Training-loader export: an epoch's global order must be a SEEDED
     // permutation, and on Spark that means a HASH order, not rand() —
     // rand() draws per task ATTEMPT, so a retried/speculated task
@@ -2616,37 +2654,24 @@ object LlmData {
     // map-side, uniform in expectation, so the 100 TB export is
     // partitionBy(shard) + sortWithinPartitions(okey): the only
     // shuffle is the hash-partition by shard and the per-shard order
-    // is a partition-local (spillable) sort. The registered result is
-    // the bounded per-shard manifest; order itself is pinned by a
+    // is a partition-local (spillable) sort. The shard COUNT is the
+    // parallelism dial: 8 suits the spec corpus, a 100 TB export uses
+    // O(10^4) shards so each shard-local sort fits one task's spill
+    // budget — nothing else in the plan changes. The registered
+    // result is the bounded per-shard manifest; order is pinned by a
     // DISTRIBUTIVE checksum — rn from the same shard-local sort the
     // writer performs (Window.partitionBy(shard), never global), each
     // term rn × (id-hash mod 1e6) bounded well inside BIGINT, the sum
     // carried in DECIMAL(38,0)/HUGEINT (the portable 128-bit ordinal)
-    // and folded mod 1e18 — a permutation change anywhere in the
-    // shard moves the checksum, yet every operator is a map-side
-    // expression or a plain distributive aggregate.
+    // and folded mod 1e18. Like any checksum this is a PROBABILISTIC
+    // guard, and its blind spot is exact: swapping two docs with
+    // EQUAL h6 (mod-1e6 collisions, ~1-in-1e6 per pair) leaves
+    // sum(rn·h6) unchanged — fine for a manifest regression check,
+    // not an order proof; widen h6's modulus (or fold okey into the
+    // per-row term) if a stronger pin is ever needed. Every operator
+    // is a map-side expression or a plain distributive aggregate.
     "x77_epoch_shards" -> Q(
-      (s, dir) => {
-        val okey = md5(concat(lit("ep1:"), col("doc_id").cast("string")))
-        val shard = conv(substring(md5(concat(lit("shard:"),
-          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 8
-        val h6 = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("long") % 1000000L
-        val w = Window.partitionBy("shard").orderBy("okey", "doc_id")
-        t(s, dir, "documents")
-          .select(col("doc_id"), col("text"),
-            okey.as("okey"), shard.as("shard"), h6.as("h6"))
-          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .groupBy("shard")
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum("n_tokens").as("shard_tokens"),
-            max(when(col("rn") === 1, col("doc_id"))).as("head_doc"),
-            expr("cast(sum(cast(rn * h6 as decimal(38,0))) % 1000000000000000000 as bigint)")
-              .as("order_chk"))
-          .orderBy("shard")
-      },
+      (s, dir) => epochShardManifest(s, dir, "ep1"),
       Some("""WITH p AS (
              |  SELECT doc_id,
              |    md5('ep1:' || CAST(doc_id AS VARCHAR)) AS okey,

@@ -356,7 +356,6 @@ class LlmInvariantsSpec extends SparkSpec {
   }
 
   test("x77: shards partition the corpus; a seed change permutes order but not membership") {
-    import org.apache.spark.sql.functions._
     val rows = run("x77_epoch_shards").collect()
     val total = spark.read.parquet(s"$sf0001/documents.parquet").count()
     assert(rows.map(_.getLong(1)).sum == total,
@@ -369,29 +368,20 @@ class LlmInvariantsSpec extends SparkSpec {
       s"shard ${r.getLong(0)} badly unbalanced: ${r.getLong(1)} vs mean $mean"))
     // a NEW EPOCH (different okey seed, same shard hash) must keep
     // every membership column fixed and move the order checksum —
-    // the checksum really pins the permutation, not the membership
-    val ep2 = {
-      val okey = md5(concat(lit("ep2:"), col("doc_id").cast("string")))
-      val shard = conv(substring(md5(concat(lit("shard:"),
-        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 8
-      val h6 = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 1000000L
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("shard").orderBy("okey", "doc_id")
-      spark.read.parquet(s"$sf0001/documents.parquet")
-        .select(col("doc_id"), okey.as("okey"), shard.as("shard"), h6.as("h6"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .groupBy("shard")
-        .agg(count(lit(1)).as("n_docs"),
-          expr("cast(sum(cast(rn * h6 as decimal(38,0))) % 1000000000000000000 as bigint)")
-            .as("order_chk"))
-        .collect()
-    }
-    val chk1 = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
-    val n1 = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val n2 = ep2.map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(n1 == n2, "epoch seed must not move documents between shards")
-    val moved = ep2.count(r => chk1(r.getLong(0)) != r.getLong(2))
+    // the checksum really pins the permutation, not the membership.
+    // SAME definition as the registered query (seed is the only
+    // variable), so this comparison cannot drift against a stale
+    // re-derivation of the expressions.
+    val ep2 = operators.LlmData.epochShardManifest(spark, sf0001, "ep2").collect()
+    def by(rs: Array[org.apache.spark.sql.Row], c: String) =
+      rs.map(r => r.getAs[Long]("shard") -> r.getAs[Long](c)).toMap
+    assert(by(rows, "n_docs") == by(ep2, "n_docs") &&
+      by(rows, "shard_tokens") == by(ep2, "shard_tokens") &&
+      by(rows, "head_doc").keySet == by(ep2, "head_doc").keySet,
+      "epoch seed must not move documents between shards")
+    val chk1 = by(rows, "order_chk")
+    val moved = ep2.count(r =>
+      chk1(r.getAs[Long]("shard")) != r.getAs[Long]("order_chk"))
     assert(moved >= 7,
       s"a new epoch must re-permute (checksum moved in only $moved/8 shards)")
   }
