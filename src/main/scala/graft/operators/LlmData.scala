@@ -971,17 +971,29 @@ object LlmData {
     * comparison can never drift against a stale re-derivation.
     * Columns: (shard, n_docs, shard_tokens, head_doc, order_chk).
     * See the x77 registry comment for the full design argument. */
-  private[graft] def epochShardManifest(
+  /** The row-level epoch layout (doc_id, text, okey, shard, h6) —
+    * the frame the physical export writes via
+    * `repartition(shard).sortWithinPartitions(shard, okey, doc_id)
+    * .write.partitionBy(shard)`; [[epochShardManifest]] aggregates
+    * the same rows into the manifest, so the spec's written-files
+    * checksum and the registered manifest derive from ONE layout
+    * definition. */
+  private[graft] def epochShardRows(
       s: SparkSession, dir: String, seed: String): DataFrame = {
     val okey = md5(concat(lit(s"$seed:"), col("doc_id").cast("string")))
     val shard = conv(substring(md5(concat(lit("shard:"),
       col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 8
     val h6 = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
       .cast("long") % 1000000L
-    val w = Window.partitionBy("shard").orderBy("okey", "doc_id")
     t(s, dir, "documents")
       .select(col("doc_id"), col("text"),
         okey.as("okey"), shard.as("shard"), h6.as("h6"))
+  }
+
+  private[graft] def epochShardManifest(
+      s: SparkSession, dir: String, seed: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    epochShardRows(s, dir, seed)
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .groupBy("shard")

@@ -385,4 +385,37 @@ class LlmInvariantsSpec extends SparkSpec {
     assert(moved >= 7,
       s"a new epoch must re-permute (checksum moved in only $moved/8 shards)")
   }
+
+  test("x77: the physical export realizes the manifest order — written files replay the checksum") {
+    // the manifest's claim is that its plan IS the 100 TB export plan
+    // (partitionBy(shard) + shard-local sort) with an aggregate in
+    // place of the file writer. Prove it: WRITE the export, read each
+    // shard's file back in FILE order, recompute sum(rn*h6) mod 1e18
+    // locally, and match the registered manifest's order_chk. The
+    // sort key includes `shard` so a task holding several shards
+    // keeps each one contiguous and ordered (the Bucketing.compact
+    // lesson: repartition-by-key alone does NOT align rows to files).
+    val out = graft.io.TempDirs.scratch("graft-epoch-export")
+    operators.LlmData.epochShardRows(spark, sf0001, "ep1")
+      .repartition(org.apache.spark.sql.functions.col("shard"))
+      .sortWithinPartitions("shard", "okey", "doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    val manifest = run("x77_epoch_shards").collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("order_chk")).toMap
+    (0L until 8L).foreach { sh =>
+      val files = new java.io.File(s"$out/shard=$sh")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"shard $sh: hash partitioning must land one shard in one task/file, got ${files.length}")
+      // single small file = one read partition, so collect preserves
+      // the writer's row order
+      val h6s = spark.read.parquet(files.head.getPath)
+        .select("h6").collect().map(_.getLong(0))
+      val chk = h6s.zipWithIndex
+        .map { case (h, i) => BigInt(i + 1) * BigInt(h) }
+        .sum % BigInt(1000000000000000000L)
+      assert(chk == BigInt(manifest(sh)),
+        s"shard $sh: file-order checksum $chk != manifest ${manifest(sh)}")
+    }
+  }
 }
