@@ -965,12 +965,6 @@ object LlmData {
     duckRound(s"(1.0 - $duckNStop * 1.0 / $duckNTok) * " +
       s"least($duckNTok * 1.0, 50.0) / 50.0", 6)
 
-  /** x77's epoch-shard manifest, parameterized over the epoch seed —
-    * ONE definition for the registered query ("ep1") and the
-    * invariant spec's second epoch ("ep2"), so the membership/checksum
-    * comparison can never drift against a stale re-derivation.
-    * Columns: (shard, n_docs, shard_tokens, head_doc, order_chk).
-    * See the x77 registry comment for the full design argument. */
   /** The row-level epoch layout (doc_id, text, okey, shard, h6) —
     * the frame the physical export writes via
     * `repartition(shard).sortWithinPartitions(shard, okey, doc_id)
@@ -990,6 +984,12 @@ object LlmData {
         okey.as("okey"), shard.as("shard"), h6.as("h6"))
   }
 
+  /** x77's epoch-shard manifest, parameterized over the epoch seed —
+    * ONE definition for the registered query ("ep1") and the
+    * invariant spec's second epoch ("ep2"), so the membership/checksum
+    * comparison can never drift against a stale re-derivation.
+    * Columns: (shard, n_docs, shard_tokens, head_doc, order_chk).
+    * See the x77 registry comment for the full design argument. */
   private[graft] def epochShardManifest(
       s: SparkSession, dir: String, seed: String): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("okey", "doc_id")

@@ -376,9 +376,15 @@ class LlmInvariantsSpec extends SparkSpec {
     def by(rs: Array[org.apache.spark.sql.Row], c: String) =
       rs.map(r => r.getAs[Long]("shard") -> r.getAs[Long](c)).toMap
     assert(by(rows, "n_docs") == by(ep2, "n_docs") &&
-      by(rows, "shard_tokens") == by(ep2, "shard_tokens") &&
-      by(rows, "head_doc").keySet == by(ep2, "head_doc").keySet,
+      by(rows, "shard_tokens") == by(ep2, "shard_tokens"),
       "epoch seed must not move documents between shards")
+    // head_doc legitimately CHANGES with the seed (it is the first doc
+    // in the new order) — what must hold is that both epochs' heads
+    // are real corpus members
+    val ids = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    (rows ++ ep2).foreach(r => assert(ids(r.getAs[Long]("head_doc")),
+      s"head_doc ${r.getAs[Long]("head_doc")} is not a corpus doc"))
     val chk1 = by(rows, "order_chk")
     val moved = ep2.count(r =>
       chk1(r.getAs[Long]("shard")) != r.getAs[Long]("order_chk"))
@@ -403,8 +409,8 @@ class LlmInvariantsSpec extends SparkSpec {
     val manifest = run("x77_epoch_shards").collect()
       .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("order_chk")).toMap
     (0L until 8L).foreach { sh =>
-      val files = new java.io.File(s"$out/shard=$sh")
-        .listFiles().filter(_.getName.endsWith(".parquet"))
+      val files = Option(new java.io.File(s"$out/shard=$sh").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
       assert(files.length == 1,
         s"shard $sh: hash partitioning must land one shard in one task/file, got ${files.length}")
       // single small file = one read partition, so collect preserves
