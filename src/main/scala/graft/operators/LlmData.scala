@@ -965,6 +965,18 @@ object LlmData {
     duckRound(s"(1.0 - $duckNStop * 1.0 / $duckNTok) * " +
       s"least($duckNTok * 1.0, 50.0) / 50.0", 6)
 
+  /** The training-mixture weights (lang → micro-unit share), ONE
+    * definition for x53's budget planner and x78's interleave — the
+    * two views of the same mixture config. Micro-units keep every
+    * derived quantity in exact integer arithmetic on both engines. */
+  private val mixtureWeights = Seq(("en", 400000L), ("zh", 150000L),
+    ("de", 150000L), ("es", 150000L), ("fr", 150000L))
+
+  /** The oracle twin of [[mixtureWeights]] as a CTE fragment. */
+  private def duckMixtureWeights: String =
+    "w(lang, w_micro) AS (VALUES " + mixtureWeights
+      .map { case (l, m) => s"('$l', $m)" }.mkString(", ") + ")"
+
   /** The row-level epoch layout (doc_id, text, okey, shard, h6) —
     * the frame the physical export writes via
     * `repartition(shard).sortWithinPartitions(shard, okey, doc_id)
@@ -2030,10 +2042,8 @@ object LlmData {
     // table is a literal broadcast.
     "x53_mixture_plan" -> Q(
       (s, dir) => {
-        val weights = Seq(("en", 400000L), ("zh", 150000L), ("de", 150000L),
-          ("es", 150000L), ("fr", 150000L))
         import s.implicits._
-        val w = weights.toDF("lang", "w_micro")
+        val w = mixtureWeights.toDF("lang", "w_micro")
         t(s, dir, "documents")
           .groupBy("lang")
           .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail_tokens"))
@@ -2045,8 +2055,7 @@ object LlmData {
           .select("lang", "avail_tokens", "w_micro", "planned_tokens", "rate")
           .orderBy("lang")
       },
-      Some(s"""WITH w(lang, w_micro) AS (VALUES ('en', 400000), ('zh', 150000),
-              |  ('de', 150000), ('es', 150000), ('fr', 150000)),
+      Some(s"""WITH $duckMixtureWeights,
               |avail AS (SELECT lang,
               |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
               |  FROM documents GROUP BY lang)
@@ -2698,6 +2707,60 @@ object LlmData {
              |  max(CASE WHEN rn = 1 THEN doc_id END) AS head_doc,
              |  CAST(sum(rn * h6) % 1000000000000000000 AS BIGINT) AS order_chk
              |FROM r GROUP BY shard ORDER BY shard""".stripMargin),
-      "seeded epoch shuffle + shard manifest: retry-stable hash order, map-side shard assignment, shard-local sort, distributive order checksum")
+      "seeded epoch shuffle + shard manifest: retry-stable hash order, map-side shard assignment, shard-local sort, distributive order checksum"),
+
+    // ── X6s: deterministic weighted source interleave (stride sched) ──
+    // The dataloader-side twin of x53's budget planner: x53 says HOW
+    // MUCH of each source the mixture takes; this says IN WHAT ORDER
+    // the loader draws so every prefix of the stream already carries
+    // the target mixture (training sees the mix from step one, not
+    // after a full pass). Stride scheduling (Waldspurger & Weihl,
+    // OSDI '94): each lang's docs are ranked by a seeded hash WITHIN
+    // the lang (partition-local window, never global), and doc #rn of
+    // a lang with weight w is placed at virtual time rn/w — so langs
+    // are drawn proportionally to weight at every horizon. All exact
+    // integer arithmetic: vt = (rn × 1e12) div w_micro, BIGINT on
+    // both engines (the 1e12 numerator overflows Long only past ~9M
+    // docs per lang; the 100 TB form carries vt in DECIMAL(38,0) —
+    // same plan). The prefix inspection is ORDER BY vt LIMIT 300 — a
+    // TakeOrderedAndProject heap, never a global sort — and the
+    // registered result is the achieved-vs-target mixture of that
+    // prefix. Reproducible across runs/retries/engines for the same
+    // reason as x77: the order is a pure function of (seed, doc_id).
+    "x78_mixture_interleave" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = mixtureWeights.toDF("lang", "w_micro")
+        val byLang = Window.partitionBy("lang")
+          .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))), col("doc_id"))
+        val sel = t(s, dir, "documents")
+          .join(broadcast(w), Seq("lang"))
+          .withColumn("rn", row_number().over(byLang).cast("long"))
+          .withColumn("vt", expr("(rn * 1000000000000) div w_micro"))
+          .orderBy(col("vt"), col("lang"), col("doc_id"))
+          .limit(300)
+        sel.groupBy("lang")
+          .agg(count(lit(1)).as("n_drawn"),
+            max("rn").as("deepest_rank"),
+            pround(count(lit(1)).cast("double") / 300.0, 6).as("share_achieved"))
+          .join(broadcast(w), Seq("lang"))
+          .withColumn("share_target", pround(col("w_micro").cast("double") / 1000000.0, 6))
+          .select("lang", "n_drawn", "deepest_rank", "share_achieved", "share_target")
+          .orderBy("lang")
+      },
+      Some(s"""WITH $duckMixtureWeights,
+              |r AS (SELECT d.lang, d.doc_id, w.w_micro,
+              |        row_number() OVER (PARTITION BY d.lang
+              |          ORDER BY md5('mix:' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+              |      FROM documents d JOIN w USING (lang)),
+              |sel AS (SELECT lang, w_micro, rn,
+              |          (rn * 1000000000000) // w_micro AS vt
+              |        FROM r ORDER BY vt, lang, doc_id LIMIT 300)
+              |SELECT lang, count(*) AS n_drawn,
+              |  CAST(max(rn) AS BIGINT) AS deepest_rank,
+              |  ${duckRound("count(*) * 1.0 / 300.0", 6)} AS share_achieved,
+              |  ${duckRound("any_value(w_micro) * 1.0 / 1000000.0", 6)} AS share_target
+              |FROM sel GROUP BY lang ORDER BY lang""".stripMargin),
+      "stride-scheduled mixture interleave: per-lang seeded ranks, integer virtual time, heap-prefix inspection — every stream prefix carries the target mix")
   )
 }

@@ -392,6 +392,27 @@ class LlmInvariantsSpec extends SparkSpec {
       s"a new epoch must re-permute (checksum moved in only $moved/8 shards)")
   }
 
+  test("x78: stride interleave is prefix-closed per lang and fair to within 2 draws") {
+    val rows = run("x78_mixture_interleave").collect()
+    assert(rows.map(_.getAs[Long]("n_drawn")).sum == 300L,
+      "the prefix inspection must draw exactly 300 docs")
+    val targets = Map("en" -> 0.40, "zh" -> 0.15, "de" -> 0.15,
+      "es" -> 0.15, "fr" -> 0.15)
+    rows.foreach { r =>
+      val (lang, n, deepest) = (r.getAs[String]("lang"),
+        r.getAs[Long]("n_drawn"), r.getAs[Long]("deepest_rank"))
+      // vt is strictly increasing in rn for a fixed lang, so the
+      // drawn set is exactly each lang's first n ranks — if this
+      // breaks, the interleave is skipping docs within a source
+      assert(deepest == n, s"$lang: drawn ranks not prefix-closed ($deepest != $n)")
+      // the stride-scheduling fairness bound: every prefix tracks the
+      // target mixture to within ~one draw per competing source
+      val expected = 300.0 * targets(lang)
+      assert(math.abs(n - expected) <= 2.0,
+        s"$lang: drew $n of 300, target ${expected.toInt} — stride fairness violated")
+    }
+  }
+
   test("x77: the physical export realizes the manifest order — written files replay the checksum") {
     // the manifest's claim is that its plan IS the 100 TB export plan
     // (partitionBy(shard) + shard-local sort) with an aggregate in
