@@ -2719,10 +2719,14 @@ object LlmData {
     // the lang (partition-local window, never global), and doc #rn of
     // a lang with weight w is placed at virtual time rn/w — so langs
     // are drawn proportionally to weight at every horizon. All exact
-    // integer arithmetic: vt = (rn × 1e12) div w_micro, BIGINT on
-    // both engines (the 1e12 numerator overflows Long only past ~9M
-    // docs per lang; the 100 TB form carries vt in DECIMAL(38,0) —
-    // same plan). The prefix inspection is ORDER BY vt LIMIT 300 — a
+    // integer arithmetic: vt = floor(rn × 1e12 / w_micro), computed
+    // in the OVERFLOW-SAFE split form
+    //   (rn div w)·1e12 + ((rn mod w)·1e12) div w
+    // (exact identity: rn·S/w = q·S + r·S/w with q·S integral; the
+    // residual numerator is < w·1e12 ≤ 4e17, inside BIGINT at ANY
+    // corpus size — the naive rn·1e12 wraps past ~9M docs/lang on
+    // Spark while DuckDB throws, the worst parity failure mode).
+    // The prefix inspection is ORDER BY vt LIMIT 300 — a
     // TakeOrderedAndProject heap, never a global sort — and the
     // registered result is the achieved-vs-target mixture of that
     // prefix. Reproducible across runs/retries/engines for the same
@@ -2736,15 +2740,17 @@ object LlmData {
         val sel = t(s, dir, "documents")
           .join(broadcast(w), Seq("lang"))
           .withColumn("rn", row_number().over(byLang).cast("long"))
-          .withColumn("vt", expr("(rn * 1000000000000) div w_micro"))
+          .withColumn("vt", expr(
+            "(rn div w_micro) * 1000000000000 + ((rn % w_micro) * 1000000000000) div w_micro"))
           .orderBy(col("vt"), col("lang"), col("doc_id"))
           .limit(300)
         sel.groupBy("lang")
           .agg(count(lit(1)).as("n_drawn"),
             max("rn").as("deepest_rank"),
-            pround(count(lit(1)).cast("double") / 300.0, 6).as("share_achieved"))
-          .join(broadcast(w), Seq("lang"))
-          .withColumn("share_target", pround(col("w_micro").cast("double") / 1000000.0, 6))
+            pround(count(lit(1)).cast("double") / 300.0, 6).as("share_achieved"),
+            // w_micro is constant per lang group — carry it through
+            // the agg (the oracle's any_value) instead of re-joining
+            pround(max("w_micro").cast("double") / 1000000.0, 6).as("share_target"))
           .select("lang", "n_drawn", "deepest_rank", "share_achieved", "share_target")
           .orderBy("lang")
       },
@@ -2754,7 +2760,8 @@ object LlmData {
               |          ORDER BY md5('mix:' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
               |      FROM documents d JOIN w USING (lang)),
               |sel AS (SELECT lang, w_micro, rn,
-              |          (rn * 1000000000000) // w_micro AS vt
+              |          (rn // w_micro) * 1000000000000
+              |            + ((rn % w_micro) * 1000000000000) // w_micro AS vt
               |        FROM r ORDER BY vt, lang, doc_id LIMIT 300)
               |SELECT lang, count(*) AS n_drawn,
               |  CAST(max(rn) AS BIGINT) AS deepest_rank,

@@ -396,8 +396,10 @@ class LlmInvariantsSpec extends SparkSpec {
     val rows = run("x78_mixture_interleave").collect()
     assert(rows.map(_.getAs[Long]("n_drawn")).sum == 300L,
       "the prefix inspection must draw exactly 300 docs")
-    val targets = Map("en" -> 0.40, "zh" -> 0.15, "de" -> 0.15,
-      "es" -> 0.15, "fr" -> 0.15)
+    // targets come from the query's own share_target column (the ONE
+    // mixtureWeights definition) — no third copy of the mixture here
+    assert(math.abs(rows.map(_.getAs[Double]("share_target")).sum - 1.0) < 1e-9,
+      "mixture weights must sum to 1")
     rows.foreach { r =>
       val (lang, n, deepest) = (r.getAs[String]("lang"),
         r.getAs[Long]("n_drawn"), r.getAs[Long]("deepest_rank"))
@@ -407,7 +409,7 @@ class LlmInvariantsSpec extends SparkSpec {
       assert(deepest == n, s"$lang: drawn ranks not prefix-closed ($deepest != $n)")
       // the stride-scheduling fairness bound: every prefix tracks the
       // target mixture to within ~one draw per competing source
-      val expected = 300.0 * targets(lang)
+      val expected = 300.0 * r.getAs[Double]("share_target")
       assert(math.abs(n - expected) <= 2.0,
         s"$lang: drew $n of 300, target ${expected.toInt} — stride fairness violated")
     }
