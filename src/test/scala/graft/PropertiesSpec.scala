@@ -69,6 +69,28 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("x78 vt split-division identity: (q·S + r·S div w) == floor(rn·S/w) for any rank/weight") {
+    // the overflow-safe virtual-time form x78 registers on BOTH
+    // engines rests on one algebraic identity; pin it over the full
+    // Long-safe domain, including ranks far past the ~9M/lang point
+    // where the naive rn·S numerator wraps (BigInt is the referee)
+    val S = BigInt(1000000000000L)
+    val caseGen = for {
+      rn <- Gen.oneOf(Gen.choose(1L, 1000L), Gen.choose(1L, Long.MaxValue / 2))
+      w <- Gen.choose(1L, 1000000L)
+    } yield (rn, w)
+    val cases = Gen.listOfN(2000, caseGen)
+      .pureApply(Gen.Parameters.default, Seed(78L))
+    for ((rn, w) <- cases) {
+      val split = BigInt(rn / w) * S + BigInt(((rn % w) * 1000000000000L) / w)
+      val reference = BigInt(rn) * S / BigInt(w) // floor: both operands positive
+      assert(split == reference, s"identity broke at rn=$rn w=$w")
+      // the split form's intermediates stay inside Long for any rn —
+      // the residual numerator bound the x78 comment claims
+      assert((rn % w) <= 1000000L && (rn % w) * 1000000000000L >= 0)
+    }
+  }
+
   test("incremental: delta and existing are disjoint and cover incoming") {
     for (Seq(newRows, oldRows) <- samples(8).grouped(2).toSeq if true) {
       val incoming = newRows.toDF("pk", "extracted_at", "payload")
