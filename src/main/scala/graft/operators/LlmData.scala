@@ -821,6 +821,49 @@ object LlmData {
       .select(col("doc_id"), col("sh"))
   }
 
+  /** (benchmark shingle set, corpus doc→shingle pairs) for the
+    * decontamination family — ONE definition shared by x39 (exact
+    * broadcast join) and x79 (bloom-prefiltered) so the two queries
+    * can never check different corpus/benchmark splits. Stand-in eval
+    * set: every 50th doc. */
+  private def decontamSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sh = shingled(s, dir)
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+    val corpus = sh.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    (bench, corpus)
+  }
+
+  /** Shared tail of the decontamination family: exact confirm join +
+    * per-doc shared-shingle count. */
+  private def decontamReport(bench: DataFrame, corpus: DataFrame): DataFrame =
+    corpus.join(broadcast(bench), "s")
+      .groupBy("doc_id")
+      .agg(countDistinct("s").as("n_shared"))
+      .orderBy("doc_id")
+
+  /** DuckDB decontamination twin — shared VERBATIM by x39 and x79: the
+    * bloom prefilter is a pure pass-through (no false negatives by
+    * construction, and the exact confirm join removes false
+    * positives), so both queries have the same exact answer. */
+  private val duckDecontam =
+    s"""WITH $duckShingles,
+       |bench AS (SELECT DISTINCT unnest(sh) AS s FROM shs WHERE doc_id % 50 = 0),
+       |corpus AS (SELECT doc_id, unnest(sh) AS s FROM shs WHERE doc_id % 50 <> 0)
+       |SELECT c.doc_id, count(DISTINCT c.s) AS n_shared
+       |FROM corpus c JOIN bench b ON c.s = b.s
+       |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
+
+  /** x79 bloom sizing at spec SF: 2^20 bits (128 KiB) over an estimated
+    * 2^16 items — far below BloomFilterAggregate's conf caps. At
+    * production scale size by the standard identity
+    * `bits ≈ 1.44 · n · log2(1/fpp)` (≈1.2 GiB for 10^9 eval shingles
+    * at 1% fpp — still broadcastable bytes where a 10^9-row hash
+    * relation is not). */
+  private val BloomItems = 1L << 16
+  private val BloomBits = 1L << 20
+
   /** Memoized (doc_id, sh, hs) minhash input table — shingle sets plus
     * their portable md5 base hashes — shared by x22 (Jaccard pairs) and
     * x58 (containment pairs) so both read ONE persisted signature
@@ -1559,23 +1602,44 @@ object LlmData {
     // side never shuffles — the flag is decided in the scan stage.
     "x39_decontamination" -> Q(
       (s, dir) => {
-        val sh = shingled(s, dir)
-        val bench = sh.filter(col("doc_id") % 50 === 0)
-          .select(explode(col("sh")).as("s")).distinct()
-        sh.filter(col("doc_id") % 50 =!= 0)
-          .select(col("doc_id"), explode(col("sh")).as("s"))
-          .join(broadcast(bench), "s")
-          .groupBy("doc_id")
-          .agg(countDistinct("s").as("n_shared"))
-          .orderBy("doc_id")
+        val (bench, corpus) = decontamSides(s, dir)
+        decontamReport(bench, corpus)
       },
-      Some(s"""WITH $duckShingles,
-              |bench AS (SELECT DISTINCT unnest(sh) AS s FROM shs WHERE doc_id % 50 = 0),
-              |corpus AS (SELECT doc_id, unnest(sh) AS s FROM shs WHERE doc_id % 50 <> 0)
-              |SELECT c.doc_id, count(DISTINCT c.s) AS n_shared
-              |FROM corpus c JOIN bench b ON c.s = b.s
-              |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin),
+      Some(duckDecontam),
       "decontamination: broadcast benchmark shingle set, corpus flagged map-side"),
+
+    // ── X6c': bloom-prefiltered decontamination (x39's 100 TB form) ───
+    // x39 broadcasts the benchmark shingle set as a hash relation —
+    // right while eval sets stay small. At corpus scale the benchmark
+    // union grows to ~10^9 shingles: tens of GiB as a hash relation
+    // (unbroadcastable → the corpus side must SHUFFLE trillions of
+    // (doc_id, shingle) pairs into a sort-merge join). This form keeps
+    // the big join but plants the benchmark's BLOOM (bytes, always
+    // broadcastable) as a map-side prefilter in the corpus scan stage,
+    // so the shuffle carries only true matches + the fpp share —
+    // exactly the dataflow Spark's own InjectRuntimeFilter plants for
+    // shuffle joins, made explicit and sized by the eval set. The
+    // answer is EXACT: blooms have no false negatives, and the confirm
+    // join removes false positives — so x79 shares x39's oracle
+    // verbatim, and LlmInvariantsSpec pins row equality plus the
+    // false-positive path with a deliberately undersized filter.
+    // Driver state is the filter's bytes (bounded by eval-set sizing,
+    // the same bound class as the trained-quantizer collects).
+    "x79_decontam_bloom" -> Q(
+      (s, dir) => {
+        val (bench, corpus) = decontamSides(s, dir)
+        val bf = bench
+          .agg(call_function("graft_bloom_agg", xxhash64(col("s")),
+            lit(BloomItems), lit(BloomBits)).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        val pre =
+          if (bf == null) corpus // empty benchmark: confirm join is empty anyway
+          else corpus.filter(call_function("graft_might_contain",
+            lit(bf), xxhash64(col("s"))))
+        decontamReport(bench, pre)
+      },
+      Some(duckDecontam),
+      "bloom-prefiltered decontamination: map-side might_contain cuts the join input; exact confirm join — same answer as x39"),
 
     // ── X6d: TF-IDF-style salient terms per language ──────────────────
     // Termhood score = tf / df (corpus-spread penalty) kept rational —

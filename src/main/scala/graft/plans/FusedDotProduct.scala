@@ -198,5 +198,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_pq_dists"),
       new ExpressionInfo(classOf[PqAssign].getName, "graft_pq_dists"),
       pqBuilder("graft_pq_dists", dists = true) _))
+    // graft_bloom_agg(xxhash64(v), items, bits) / graft_might_contain(bf, xxhash64(v)):
+    // Spark's OWN bloom pair (the expressions InjectRuntimeFilter
+    // plants for shuffle-join row prefilters), surfaced here because
+    // they are not in the public FunctionRegistry. No custom kernel —
+    // the engine's battle-tested BloomFilterImpl does the work; the
+    // membership test is codegen'd. Used by x79's decontamination
+    // prefilter, where the benchmark set is too large to broadcast as
+    // a hash relation at corpus scale but its bloom is just bytes.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        requireArity("graft_bloom_agg", children, 3)
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        requireArity("graft_might_contain", children, 2)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
   }
 }

@@ -447,4 +447,41 @@ class LlmInvariantsSpec extends SparkSpec {
         s"shard $sh: file-order checksum $chk != manifest ${manifest(sh)}")
     }
   }
+
+  test("x79: bloom prefilter is invisible in the answer — row-equal to x39") {
+    val exact = run("x39_decontamination").collect().map(_.toSeq).toSeq
+    val bloom = run("x79_decontam_bloom").collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty, "the synthetic corpus must produce contamination flags")
+    assert(bloom == exact,
+      "the bloom path must return byte-identical rows (no false negatives; " +
+        "confirm join erases false positives)")
+  }
+
+  test("x79: the confirm join erases real false positives from an undersized bloom") {
+    // the registered query's 2^20-bit filter has ~zero fpp at spec SF,
+    // so the exactness claim would go untested there — force the
+    // false-positive path with a 64-bit filter over 200 candidates
+    import org.apache.spark.sql.functions.{call_function, col, lit, xxhash64}
+    import spark.implicits._
+    val members = (0 until 10).map(i => s"m$i").toDF("s")
+    val cands =
+      ((0 until 200).map(i => s"c$i") ++ (0 until 10).map(i => s"m$i")).toDF("s")
+    val bf = members
+      .agg(call_function("graft_bloom_agg", xxhash64(col("s")),
+        lit(16L), lit(64L)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val pre = cands
+      .filter(call_function("graft_might_contain", lit(bf), xxhash64(col("s"))))
+      .as[String].collect().toSet
+    val memberSet = (0 until 10).map(i => s"m$i").toSet
+    assert(memberSet.subsetOf(pre), "a bloom must never produce a false negative")
+    assert(pre.exists(_.startsWith("c")),
+      "a 64-bit filter over 200 candidates must collide somewhere — " +
+        "otherwise this test exercises nothing")
+    val confirmed = cands
+      .filter(call_function("graft_might_contain", lit(bf), xxhash64(col("s"))))
+      .join(members.withColumnRenamed("s", "m"), col("s") === col("m"))
+      .select("s").as[String].collect().toSet
+    assert(confirmed == memberSet, "the confirm join must erase every false positive")
+  }
 }

@@ -120,6 +120,20 @@ class PlanAuditSpec extends SparkSpec {
       "the corpus must be flagged in the scan stage, not shuffled to the join")
   }
 
+  test("x79: the bloom membership test runs BEFORE the confirm join") {
+    // the scale claim: the corpus side is prefiltered map-side by the
+    // bloom literal, so only matches + the fpp share reach the join.
+    // might_contain must appear as a Filter below the join, not above.
+    val df = SparkEntry.queries("x79_decontam_bloom")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), "the bloom prefilter must be in the plan")
+    assert(p.contains("BroadcastHashJoin"), "the confirm join stays broadcast at spec SF")
+    val joinAt = p.indexOf("BroadcastHashJoin")
+    assert(p.indexOf("might_contain", joinAt) >= 0,
+      "might_contain must sit below the join in the operator tree " +
+        "(executedPlan prints children after parents)")
+  }
+
   test("x38: packing reuses one exchange — window partitioning serves the agg") {
     val p = plan("x38_sequence_packing")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
