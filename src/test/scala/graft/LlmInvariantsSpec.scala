@@ -484,4 +484,37 @@ class LlmInvariantsSpec extends SparkSpec {
       .select("s").as[String].collect().toSet
     assert(confirmed == memberSet, "the confirm join must erase every false positive")
   }
+
+  test("x80/x81: RP retrieval is well-formed; re-rank recovers what direct ranking loses") {
+    val exact = run("x24_topk_cosine").collect()
+    val exactIds = exact.map(_.getLong(0)).toSet
+    val exactCos = exact.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val direct = run("x80_rp_topk").collect()
+    val rerank = run("x81_rp_rerank").collect()
+    for ((rows, cosCol) <- Seq((direct, "cos_rp"), (rerank, "cos"))) {
+      assert(rows.length == 10)
+      val ids = rows.map(_.getLong(0))
+      assert(ids.distinct.length == 10 && !ids.contains(0L))
+      val cs = rows.map(_.getAs[Double](cosCol))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"$cosCol must be descending")
+      cs.foreach(c => assert(math.abs(c) <= 1.0 + 1e-6))
+    }
+    val directRecall = direct.map(_.getLong(0)).count(exactIds) / 10.0
+    val rerankRecall = rerank.map(_.getLong(0)).count(exactIds) / 10.0
+    // the isotropic synthetic corpus is JL's adversarial case (x80
+    // scaladoc): direct compressed ranking is chance-level, and the
+    // whole point of the two-stage form is recovering from that
+    assert(rerankRecall >= directRecall,
+      s"re-rank ($rerankRecall) must dominate direct compressed ranking ($directRecall)")
+    assert(rerankRecall >= 0.5,
+      s"shortlist-100 re-rank must recover most of the exact top-10, got $rerankRecall")
+    // stage 2 computes TRUE cosines: wherever x81 and x24 agree on an
+    // id, they must agree on the score to the last rounded digit
+    rerank.foreach { r =>
+      exactCos.get(r.getLong(0)).foreach { c =>
+        assert(r.getAs[Double]("cos") == c,
+          s"x81 re-ranked cos for ${r.getLong(0)} must equal x24's full-space cosine")
+      }
+    }
+  }
 }

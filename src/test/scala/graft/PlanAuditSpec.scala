@@ -84,6 +84,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("x80/x81: RP projection runs on the fused kernel; both stages are heaps") {
+    val p80 = plan("x80_rp_topk")
+    assert(p80.contains("graft_dot"),
+      "the 16 projection dots must hit the codegen'd kernel (literal sign rows " +
+        "pin it directly — the declarative form would be constant-folded away)")
+    assert(p80.contains("TakeOrderedAndProject"))
+    val p81 = plan("x81_rp_rerank")
+    assert(p81.contains("graft_dot"))
+    assert("TakeOrderedAndProject".r.findAllIn(p81).length >= 2,
+      "shortlist AND final cut must both be heaps, never global sorts")
+    assert(!p81.contains("SortMergeJoin") && !p81.contains("Exchange hashpartitioning"),
+      "two-stage RP retrieval must not shuffle — the heap carries the full vector")
+  }
+
   test("x22: LSH candidates come from an equality join, not a cross product") {
     val p = plan("x22_minhash_lsh_pairs")
     assert(!p.contains("CartesianProduct"), "LSH must never plan all-pairs")
