@@ -2955,6 +2955,59 @@ object LlmData {
               |FROM short s CROSS JOIN
               |  (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
               |ORDER BY cos DESC, s.vec_id LIMIT 10""".stripMargin),
-      "RP two-stage retrieval: compressed shortlist heap (no join-back — the heap carries the vector), exact re-rank of 100 rows")
+      "RP two-stage retrieval: compressed shortlist heap (no join-back — the heap carries the vector), exact re-rank of 100 rows"),
+
+    // ── X6u: temperature-balanced corpus sampling (x82) ───────────────
+    // The third leg of the mixture family: x53 allocates against
+    // EXTERNALLY-given weights, x78 orders an externally-weighted
+    // stream — x82 DERIVES the weights from the corpus itself with
+    // α = 0.5 temperature smoothing (w ∝ n^α, the exponentiated
+    // rebalance of multilingual pretraining: XLM-R, Conneau et al.
+    // 2020), boosting low-resource languages' share above proportional
+    // without fully flattening the mix. Kept exactly portable by the
+    // integer-weight trick: w_int = floor(sqrt(n)·1e6) — IEEE sqrt and
+    // floor are correctly rounded on both engines, and from there
+    // every step is integer (sum, 300·w div Σw, least(n, ·)), so no
+    // double accumulation ever crosses the oracle. The draw itself is
+    // the x41 idiom: content-free seeded-hash rank per lang, rn ≤
+    // target. Plan: two metadata-cheap aggs (lang counts ≈ dozens of
+    // rows), a broadcast target join, ONE narrow-column shuffle for
+    // the per-lang rank window — no global sort. The per-group limit
+    // is data-derived, so WindowGroupLimit can't pre-prune here; at
+    // 100 TB the shuffle carries (lang, doc_id) pairs only, and a
+    // constant upper-bound rank filter (rn ≤ max-possible-target)
+    // composed BEFORE the join would restore the group-limit prune.
+    "x82_temperature_sample" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val n = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        val w = n.withColumn("w_int",
+          floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+        val tw = w.agg(sum("w_int").as("tw"))
+        val tgt = w.crossJoin(broadcast(tw))
+          .withColumn("target", least(col("n_docs"), expr("(300 * w_int) div tw")))
+          .select("lang", "target")
+        val byLang = Window.partitionBy("lang")
+          .orderBy(md5(concat(lit("temp:"), col("doc_id").cast("string"))), col("doc_id"))
+        docs.select("lang", "doc_id")
+          .withColumn("rn", row_number().over(byLang))
+          .join(broadcast(tgt), "lang")
+          .filter(col("rn") <= col("target"))
+          .select("lang", "doc_id", "rn")
+          .orderBy("lang", "rn")
+      },
+      Some("""WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+             |w AS (SELECT lang, n_docs,
+             |        CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS w_int FROM n),
+             |tot AS (SELECT CAST(sum(w_int) AS BIGINT) AS tw FROM w),
+             |tgt AS (SELECT lang, least(n_docs, (300 * w_int) // tw) AS target
+             |        FROM w CROSS JOIN tot),
+             |r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+             |        ORDER BY md5('temp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |      FROM documents)
+             |SELECT r.lang, r.doc_id, r.rn
+             |FROM r JOIN tgt USING (lang) WHERE r.rn <= tgt.target
+             |ORDER BY r.lang, r.rn""".stripMargin),
+      "temperature-balanced sampling: corpus-derived n^0.5 weights via the integer-sqrt trick, per-lang seeded-hash rank draw")
   )
 }

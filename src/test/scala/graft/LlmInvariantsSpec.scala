@@ -517,4 +517,39 @@ class LlmInvariantsSpec extends SparkSpec {
       }
     }
   }
+
+  test("x82: temperature rebalance hits its targets and actually rebalances") {
+    import org.apache.spark.sql.functions.{count, lit}
+    val drawn = run("x82_temperature_sample").collect()
+    val counts = graft.sources.Tables.load(spark, sf0001, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val drawnBy = drawn.groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    // independent re-derivation of the integer allocation (the same
+    // IEEE sqrt/floor the engines use, then pure integer arithmetic)
+    val w = counts.map { case (l, n) => l -> math.floor(math.sqrt(n.toDouble) * 1e6).toLong }
+    val tw = w.values.sum
+    counts.foreach { case (l, n) =>
+      val target = math.min(n, 300L * w(l) / tw)
+      assert(drawnBy.getOrElse(l, 0L) == target,
+        s"$l must draw exactly its temperature target $target, got ${drawnBy.getOrElse(l, 0L)}")
+    }
+    // ranks are dense 1..target per lang (the draw is the hash-rank prefix)
+    drawn.groupBy(_.getString(0)).foreach { case (l, rs) =>
+      val rns = rs.map(_.getInt(2)).sorted
+      assert(rns.head == 1 && rns.last == rns.length && rns.distinct.length == rns.length,
+        s"$l: ranks must be exactly 1..${rns.length}")
+    }
+    // the POINT of α = 0.5: the dominant lang's drawn share shrinks
+    // vs its corpus share, the scarcest lang's grows
+    val total = drawn.length.toDouble
+    val corpus = counts.values.sum.toDouble
+    val maxL = counts.maxBy(_._2)._1
+    val minL = counts.minBy(_._2)._1
+    assert(counts(maxL) > counts(minL), "testdata must be lang-skewed for this test to bite")
+    assert(drawnBy(maxL) / total < counts(maxL) / corpus,
+      s"dominant $maxL must be downweighted by temperature smoothing")
+    assert(drawnBy(minL) / total > counts(minL) / corpus,
+      s"scarce $minL must be upweighted by temperature smoothing")
+  }
 }
