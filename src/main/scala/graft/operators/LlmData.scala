@@ -869,7 +869,7 @@ object LlmData {
     * broadcast join) and x79 (bloom-prefiltered) so the two queries
     * can never check different corpus/benchmark splits. Stand-in eval
     * set: every 50th doc. */
-  private def decontamSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def decontamSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val sh = shingled(s, dir)
     val bench = sh.filter(col("doc_id") % 50 === 0)
       .select(explode(col("sh")).as("s")).distinct()
@@ -906,6 +906,16 @@ object LlmData {
     * relation is not). */
   private val BloomItems = 1L << 16
   private val BloomBits = 1L << 20
+
+  /** Benchmark bloom bytes for the decontamination family — ONE
+    * builder for x79 and the streaming gate (EventStream.decontamGate
+    * freezes these bytes into a stateless stream filter). Null when
+    * the benchmark is empty. */
+  private[graft] def decontamBloom(bench: DataFrame): Array[Byte] =
+    bench
+      .agg(call_function("graft_bloom_agg", xxhash64(col("s")),
+        lit(BloomItems), lit(BloomBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
 
   /** Memoized (doc_id, sh, hs) minhash input table — shingle sets plus
     * their portable md5 base hashes — shared by x22 (Jaccard pairs) and
@@ -1671,10 +1681,7 @@ object LlmData {
     "x79_decontam_bloom" -> Q(
       (s, dir) => {
         val (bench, corpus) = decontamSides(s, dir)
-        val bf = bench
-          .agg(call_function("graft_bloom_agg", xxhash64(col("s")),
-            lit(BloomItems), lit(BloomBits)).as("bf"))
-          .head().getAs[Array[Byte]](0)
+        val bf = decontamBloom(bench)
         val pre =
           if (bf == null) corpus // empty benchmark: confirm join is empty anyway
           else corpus.filter(call_function("graft_might_contain",

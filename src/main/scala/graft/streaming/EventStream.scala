@@ -180,6 +180,40 @@ object EventStream {
       .start()
   }
 
+  /** Streaming decontamination gate — x79's stream-side twin, the
+    * frozen-state pattern of [[ivfStreamingAppend]] applied to the
+    * eval-set bloom: newly crawled documents are flagged MAP-SIDE
+    * against FROZEN benchmark bloom bytes (built once in batch by
+    * `LlmData.decontamBloom`, closed over as a literal). The gate is
+    * STATELESS — no state store, no watermark — so restarts replay
+    * committed offsets only and any trigger cadence works. It emits
+    * SUSPECTS: docs sharing ≥1 bloom-positive shingle. No false
+    * negatives ever (a contaminated doc always surfaces); the
+    * fpp-bounded overcount is settled downstream by x79's exact
+    * confirm join over the tiny suspect slice. At 100 TB this is the
+    * shape that keeps decontamination OFF the ingest critical path:
+    * bytes broadcast to every task, no join, no shuffle in-stream. */
+  def decontamGate(spark: SparkSession, srcDir: String, checkpointDir: String,
+      bloom: Array[Byte], outDir: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val docs = spark.readStream
+      .schema(Tables.schemas("documents"))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+    docs
+      .withColumn("tk", graft.functions.Text.tokens(col("text")))
+      .withColumn("sh", graft.functions.Text.shinglesNative(col("tk")))
+      .filter(exists(col("sh"), sh =>
+        call_function("graft_might_contain", lit(bloom), xxhash64(sh))))
+      .select("doc_id", "lang", "source")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** Batch compaction for [[corpusDedupIngest]]: fold the published
     * corpus's fingerprints into the compacted table, partitioned by a
     * 2-hex-char shard (256 partitions) of the md5 — so a future

@@ -363,6 +363,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming decontamination gate equals the batch bloom prefilter, across restarts") {
+    import graft.operators.LlmData
+    val src = tmp("decontam-src"); val ckpt = tmp("decontam-ckpt")
+    val out = tmp("decontam-out")
+    // arrivals: the corpus delivered as TWO files = two micro-batches
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+    // frozen eval-set bloom, built in batch by the ONE shared builder
+    val (bench, _) = LlmData.decontamSides(spark, sf0001)
+    val bloom = LlmData.decontamBloom(bench)
+    EventStream.decontamGate(spark, src, ckpt, bloom, out).awaitTermination()
+    val streamed = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // batch twin of the gate: the same frozen-bloom suspect expression
+    val batch = docs
+      .withColumn("tk", graft.functions.Text.tokens(col("text")))
+      .withColumn("sh", graft.functions.Text.shinglesNative(col("tk")))
+      .filter(exists(col("sh"), sh =>
+        call_function("graft_might_contain", lit(bloom), xxhash64(sh))))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(spark.read.parquet(out).count() == batch.size.toLong,
+      "both micro-batches must land exactly once, without duplicate suspects")
+    assert(streamed == batch, "the gate must equal its batch twin exactly")
+    // no false negatives: every doc x39 flags must surface as a suspect
+    val flagged = SparkEntry.queries("x39_decontamination")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty && flagged.subsetOf(streamed),
+      "every truly contaminated doc must pass the gate")
+    // restart with the SAME checkpoint: committed offsets, no re-emit
+    EventStream.decontamGate(spark, src, ckpt, bloom, out).awaitTermination()
+    assert(spark.read.parquet(out).count() == batch.size.toLong,
+      "a restarted drain must not re-emit committed batches")
+  }
+
   test("streamed PQ code append equals the batch x75 table and is restart-durable") {
     // the PQ half of the streamed maintenance loop: same delivery
     // contract as the IVF test above, different payload (frozen-
