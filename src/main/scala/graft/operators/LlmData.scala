@@ -3015,6 +3015,46 @@ object LlmData {
              |SELECT r.lang, r.doc_id, r.rn
              |FROM r JOIN tgt USING (lang) WHERE r.rn <= tgt.target
              |ORDER BY r.lang, r.rn""".stripMargin),
-      "temperature-balanced sampling: corpus-derived n^0.5 weights via the integer-sqrt trick, per-lang seeded-hash rank draw")
+      "temperature-balanced sampling: corpus-derived n^0.5 weights via the integer-sqrt trick, per-lang seeded-hash rank draw"),
+
+    // ── X3i: kNN-graph construction (x83) ─────────────────────────────
+    // The dataset-cartography primitive (nearest-neighbor graphs feed
+    // SemDeDup-style clustering, hubness audits, and coreset picks):
+    // EVERY vector's top-3 neighbors, not one query's top-k. Candidates
+    // come from the x25 sign-LSH bucket EQUALITY self-join — never
+    // all-pairs (the global no-cartesian sweep covers this plan too);
+    // per-anchor ranking is a constant-k window, so WindowGroupLimit
+    // prunes each partition to its local top-3 BEFORE the anchor
+    // shuffle. Two shuffles total (bucket join, anchor window), both
+    // on narrow keys. Honest LSH gap: a vector alone in its bucket
+    // gets no edges — x51's hamming-1 multiprobe is the recall dial,
+    // and the same widening applies here unchanged. Bucket fanout at
+    // 100 TB is the x22 banding argument: 2^bits tracks corpus size
+    // so per-bucket candidate lists stay bounded.
+    "x83_knn_graph" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .withColumn("bk", Vectors.signKey(col("embedding"), 6))
+        val a = e.select(col("vec_id").as("src"), col("embedding").as("ea"), col("bk"))
+        val b = e.select(col("vec_id").as("nbr"), col("embedding").as("eb"), col("bk"))
+        val w = Window.partitionBy("src").orderBy(desc("cos"), asc("nbr"))
+        a.join(b, Seq("bk"))
+          .filter(col("src") =!= col("nbr"))
+          .withColumn("cos", cosine6(col("ea"), col("eb")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("src", "rnk", "nbr", "cos")
+          .orderBy("src", "rnk")
+      },
+      Some(s"""WITH kk AS (SELECT vec_id, embedding,
+              |             ${duckSignKey("embedding")} AS bk FROM embeddings),
+              |cand AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
+              |           ${duckRound(duckCosine("a.embedding", "b.embedding"), 6)} AS cos
+              |         FROM kk a JOIN kk b ON a.bk = b.bk AND a.vec_id <> b.vec_id)
+              |SELECT src, rnk, nbr, cos FROM (
+              |  SELECT src, nbr, cos, row_number() OVER (
+              |    PARTITION BY src ORDER BY cos DESC, nbr) AS rnk FROM cand)
+              |WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin),
+      "kNN-graph: LSH-bucketed equality self-join (never all-pairs), per-anchor WindowGroupLimit top-3")
   )
 }

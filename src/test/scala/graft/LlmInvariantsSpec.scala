@@ -552,4 +552,23 @@ class LlmInvariantsSpec extends SparkSpec {
     assert(drawnBy(minL) / total > counts(minL) / corpus,
       s"scarce $minL must be upweighted by temperature smoothing")
   }
+
+  test("x83: kNN graph is a valid ranked neighbor list per anchor") {
+    val rows = run("x83_knn_graph").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) != r.getLong(2), "no self edges")
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-6)
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (src, rs) =>
+      assert(rs.length <= 3, s"$src: at most 3 neighbors")
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to rs.length), s"$src: ranks must be dense")
+      val cs = byRank.map(_.getDouble(3)).toSeq
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"$src: cosine must be non-increasing in rank")
+      assert(byRank.map(_.getLong(2)).distinct.length == rs.length,
+        s"$src: neighbors must be distinct")
+    }
+  }
 }

@@ -103,6 +103,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "LSH must never plan all-pairs")
   }
 
+  test("x83: neighbor candidates come from the bucket join; rank prunes as a group limit") {
+    val p = plan("x83_knn_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the kNN self-join must be an equality join on the bucket key")
+    assert(p.contains("WindowGroupLimit"),
+      "the constant k=3 rank filter must prune per-partition before the anchor shuffle")
+  }
+
   test("x22/x23: signature math runs on the native kernels") {
     assert(plan("x22_minhash_lsh_pairs").contains("graft_minhash"),
       "minhash slots must use the codegen'd kernel, not interpreted HOF lambdas")
