@@ -857,9 +857,7 @@ object LlmData {
     val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val spread =
       if (base.inputFiles.length <= 1) base.repartition(col("doc_id")) else base
-    spread
-      .withColumn("tk", Text.tokens(col("text")))
-      .withColumn("sh", Text.shinglesNative(col("tk")))
+    withShingles(spread)
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
   }
@@ -871,12 +869,37 @@ object LlmData {
     * set: every 50th doc. */
   private[graft] def decontamSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val sh = shingled(s, dir)
-    val bench = sh.filter(col("doc_id") % 50 === 0)
-      .select(explode(col("sh")).as("s")).distinct()
+    // the benchmark shingle set is read THREE times per x79 run (bloom
+    // aggregate action, confirm-join build side, and again on any
+    // reconstruction — the plan-audit sweeps build every registered
+    // query) — memoize the persisted set like the other small derived
+    // artifacts (minhashHashed / trained-quantizer pattern)
+    val bench = memoized(s, "x79-bench", dir) {
+      sh.filter(col("doc_id") % 50 === 0)
+        .select(explode(col("sh")).as("s")).distinct()
+        .persist()
+    }
     val corpus = sh.filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"), explode(col("sh")).as("s"))
     (bench, corpus)
   }
+
+  /** doc → (…, tk, sh) shingle staging — the ONE tokenize+shingle
+    * definition shared by [[shingled]] (batch) and the streaming
+    * decontamination gate, so the bloom's input shingles and the
+    * gate's probe shingles can never drift apart (a drift would turn
+    * the gate's no-false-negative contract into silent drops). */
+  private[graft] def withShingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tk", Text.tokens(col("text")))
+      .withColumn("sh", Text.shinglesNative(col("tk")))
+
+  /** Suspect predicate over a staged `sh` column: ≥1 shingle hits the
+    * frozen benchmark bloom. Shared by EventStream.decontamGate and
+    * its batch twin in StreamingSpec. */
+  private[graft] def bloomSuspect(bloom: Array[Byte]): Column =
+    exists(col("sh"), sh =>
+      call_function("graft_might_contain", lit(bloom), xxhash64(sh)))
 
   /** Shared tail of the decontamination family: exact confirm join +
     * per-doc shared-shingle count. */

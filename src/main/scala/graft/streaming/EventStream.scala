@@ -200,11 +200,8 @@ object EventStream {
       .schema(Tables.schemas("documents"))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
-    docs
-      .withColumn("tk", graft.functions.Text.tokens(col("text")))
-      .withColumn("sh", graft.functions.Text.shinglesNative(col("tk")))
-      .filter(exists(col("sh"), sh =>
-        call_function("graft_might_contain", lit(bloom), xxhash64(sh))))
+    graft.operators.LlmData.withShingles(docs)
+      .filter(graft.operators.LlmData.bloomSuspect(bloom))
       .select("doc_id", "lang", "source")
       .writeStream
       .option("checkpointLocation", checkpointDir)

@@ -146,8 +146,7 @@ class PlanAuditSpec extends SparkSpec {
     // the scale claim: the corpus side is prefiltered map-side by the
     // bloom literal, so only matches + the fpp share reach the join.
     // might_contain must appear as a Filter below the join, not above.
-    val df = SparkEntry.queries("x79_decontam_bloom")(spark, sf0001)
-    val p = df.queryExecution.executedPlan.toString
+    val p = plan("x79_decontam_bloom")
     assert(p.contains("might_contain"), "the bloom prefilter must be in the plan")
     assert(p.contains("BroadcastHashJoin"), "the confirm join stays broadcast at spec SF")
     val joinAt = p.indexOf("BroadcastHashJoin")

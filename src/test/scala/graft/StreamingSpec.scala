@@ -376,12 +376,9 @@ class StreamingSpec extends SparkSpec {
     EventStream.decontamGate(spark, src, ckpt, bloom, out).awaitTermination()
     val streamed = spark.read.parquet(out).select("doc_id")
       .collect().map(_.getLong(0)).toSet
-    // batch twin of the gate: the same frozen-bloom suspect expression
-    val batch = docs
-      .withColumn("tk", graft.functions.Text.tokens(col("text")))
-      .withColumn("sh", graft.functions.Text.shinglesNative(col("tk")))
-      .filter(exists(col("sh"), sh =>
-        call_function("graft_might_contain", lit(bloom), xxhash64(sh))))
+    // batch twin of the gate: the same shared staging + suspect predicate
+    val batch = LlmData.withShingles(docs)
+      .filter(LlmData.bloomSuspect(bloom))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(spark.read.parquet(out).count() == batch.size.toLong,
       "both micro-batches must land exactly once, without duplicate suspects")
