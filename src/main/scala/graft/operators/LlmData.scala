@@ -105,7 +105,7 @@ object LlmData {
     pround(Vectors.cosineDecl(a, b), 6)
 
   /** Achlioptas ±1 sign rows for the x80 16×64 random projection: row
-    * j, bit i = parity of the portable 60-bit md5("j:i") hash — the
+    * j, bit i = low bit of the portable 60-bit md5("j:i") prefix — the
     * repo's standard deterministic draw, reproducible from any
     * engine's md5. ONE definition feeds both the Spark literal and the
     * DuckDB twin's interpolated matrix, so the two can never drift.
@@ -820,6 +820,7 @@ object LlmData {
     // same discipline (corpusK is training metadata like centroids)
     centsMemo.remove(s)
     corpusKMemo.remove(s)
+    bloomMemo.remove(s)
     // Curation's PQ codebook + index-table memos share this lifecycle
     // (one release hook for the whole operator surface)
     Curation.clearPqMemo(s)
@@ -902,9 +903,16 @@ object LlmData {
       call_function("graft_might_contain", lit(bloom), xxhash64(sh)))
 
   /** Shared tail of the decontamination family: exact confirm join +
-    * per-doc shared-shingle count. */
-  private def decontamReport(bench: DataFrame, corpus: DataFrame): DataFrame =
-    corpus.join(broadcast(bench), "s")
+    * per-doc shared-shingle count. The caller chooses the join shape
+    * for the benchmark side: x39 passes `broadcast(bench)` (its whole
+    * premise is that eval sets are broadcastable), x79 passes the bare
+    * frame — its premise is the OPPOSITE (the benchmark union has
+    * outgrown a hash relation, so the confirm join must be allowed to
+    * shuffle and the bloom prefilter is what keeps that shuffle
+    * small). A hint hardwired here would force x39's shape onto x79's
+    * scale story. */
+  private def decontamReport(benchSide: DataFrame, corpus: DataFrame): DataFrame =
+    corpus.join(benchSide, "s")
       .groupBy("doc_id")
       .agg(countDistinct("s").as("n_shared"))
       .orderBy("doc_id")
@@ -939,6 +947,23 @@ object LlmData {
       .agg(call_function("graft_bloom_agg", xxhash64(col("s")),
         lit(BloomItems), lit(BloomBits)).as("bf"))
       .head().getAs[Array[Byte]](0)
+
+  /** [[decontamBloom]] over the testdata benchmark slice, memoized per
+    * (session, dir) like the other collected artifacts (centsMemo /
+    * corpusK): the bloom aggregate is an eager job, and x79 is
+    * reconstructed by every registry-wide sweep (PlanAuditSpec's
+    * no-cartesian / no-unpartitioned-window passes, Verify, the plan
+    * test) — without the memo each sweep re-runs the job. Duplicate
+    * concurrent builds waste work but return identical bytes, so plain
+    * getOrElseUpdate is safe (no persisted resource to leak); Option
+    * wraps the empty-benchmark null. */
+  private[operators] def decontamBloomFor(s: SparkSession, dir: String): Array[Byte] =
+    bloomMemo.acquire(s)(TrieMap.empty[String, Option[Array[Byte]]])
+      .getOrElseUpdate(dir, Option(decontamBloom(decontamSides(s, dir)._1)))
+      .orNull
+
+  private lazy val bloomMemo =
+    new SessionRegistry[TrieMap[String, Option[Array[Byte]]]]
 
   /** Memoized (doc_id, sh, hs) minhash input table — shingle sets plus
     * their portable md5 base hashes — shared by x22 (Jaccard pairs) and
@@ -1679,7 +1704,7 @@ object LlmData {
     "x39_decontamination" -> Q(
       (s, dir) => {
         val (bench, corpus) = decontamSides(s, dir)
-        decontamReport(bench, corpus)
+        decontamReport(broadcast(bench), corpus)
       },
       Some(duckDecontam),
       "decontamination: broadcast benchmark shingle set, corpus flagged map-side"),
@@ -1704,7 +1729,7 @@ object LlmData {
     "x79_decontam_bloom" -> Q(
       (s, dir) => {
         val (bench, corpus) = decontamSides(s, dir)
-        val bf = decontamBloom(bench)
+        val bf = decontamBloomFor(s, dir)
         val pre =
           if (bf == null) corpus // empty benchmark: confirm join is empty anyway
           else corpus.filter(call_function("graft_might_contain",

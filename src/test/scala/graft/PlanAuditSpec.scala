@@ -146,10 +146,15 @@ class PlanAuditSpec extends SparkSpec {
     // the scale claim: the corpus side is prefiltered map-side by the
     // bloom literal, so only matches + the fpp share reach the join.
     // might_contain must appear as a Filter below the join, not above.
+    // Unlike x39, x79 plants NO broadcast hint — its premise is a
+    // benchmark too big for a hash relation, so the planner is free to
+    // shuffle the confirm join (the registered 100 TB shape); whichever
+    // join the planner picks, the prefilter must sit below it.
     val p = plan("x79_decontam_bloom")
     assert(p.contains("might_contain"), "the bloom prefilter must be in the plan")
-    assert(p.contains("BroadcastHashJoin"), "the confirm join stays broadcast at spec SF")
-    val joinAt = p.indexOf("BroadcastHashJoin")
+    val joinAt = ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+      .findFirstMatchIn(p).map(_.start)
+      .getOrElse(fail("no equi-join in the x79 plan")))
     assert(p.indexOf("might_contain", joinAt) >= 0,
       "might_contain must sit below the join in the operator tree " +
         "(executedPlan prints children after parents)")
