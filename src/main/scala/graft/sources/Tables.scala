@@ -68,12 +68,19 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS) which Spark's
-    * parquet reader rejects natively; with the legacy conf it surfaces
-    * as nanos-since-epoch Long and we truncate to micros — exactly what
-    * DuckDB's micro-precision TIMESTAMP does on the same file, keeping
-    * oracle parity. Division must be integral (`div`): a Long→Double
-    * round-trip at 1.7e18 ns loses precision.
+  /** The NANOS-generation events schema: `ts` as INT64 TIMESTAMP(NANOS),
+    * which Spark's parquet reader rejects natively; with the legacy conf
+    * it surfaces as nanos-since-epoch Long and we truncate to micros —
+    * exactly what DuckDB's micro-precision TIMESTAMP does on the same
+    * file, keeping oracle parity. Division must be integral (`div`): a
+    * Long→Double round-trip at 1.7e18 ns loses precision.
+    *
+    * The physical type of `ts` is a DRIVER choice that has already
+    * changed once (TIMESTAMP(NANOS) → TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false)), so readers must not bake one generation
+    * in: [[eventsTsType]] detects the stored type from one footer and
+    * [[normalizeEventTs]] maps any generation to the single engine
+    * contract — micro-precision TimestampType under the UTC session.
     */
   val eventsRaw = StructType(Seq(
     StructField("event_id", LongType),
@@ -104,36 +111,82 @@ object Tables {
     "lineitem" -> lineitem, "events" -> eventsRaw,
     "documents" -> documents, "embeddings" -> embeddings)
 
-  /** Load one testdata table with its declared schema. `events` comes
-    * back with `ts` already converted to micro-precision TimestampType.
-    *
-    * Reading `events` requires `spark.sql.legacy.parquet.nanosAsLong=
-    * true` in the session (set once by the Verify/Bench/test session
-    * builders — a loader must not mutate shared session state as a
-    * side effect of a table name).
+  /** The stored logical type of `ts` in the event files under `path`
+    * (a file or a directory of files): one driver-side footer read,
+    * memoized per path — metadata-cheap even at 100 TB, where inferring
+    * the WHOLE schema per query would not be. Generations seen so far:
+    * INT64 TIMESTAMP(NANOS) surfaces as LongType (under the session's
+    * `nanosAsLong`), TIMESTAMP(MICROS, isAdjustedToUTC=false) as
+    * TimestampNTZType, UTC micros (our own sinks) as TimestampType.
     */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
-  }
+  private val tsTypeMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataType]
+  private[graft] def eventsTsType(spark: SparkSession, path: String): DataType =
+    tsTypeMemo.getOrElseUpdate(path,
+      spark.read.parquet(path).schema("ts").dataType)
 
-  /** Events at or after `isoUtc`, with the predicate applied to the RAW
-    * nanos column *before* the timestamp conversion. A filter on the
-    * derived `ts` cannot reach the scan (no pushdown through
-    * `timestamp_micros(x div 1000)`), so at 100 TB it reads every
-    * row-group; comparing the stored long directly pushes down and
-    * prunes row-groups on parquet min/max stats. The literal is
-    * converted once on the driver.
+  /** [[eventsRaw]] with `ts` declared as the detected stored type, so
+    * the scan never relies on runtime coercion between parquet logical
+    * types (declared-Long over a MICROS column silently yields micros
+    * reinterpreted as nanos — a 1000× error, not a crash). */
+  private[graft] def eventsSchemaFor(dt: DataType): StructType =
+    StructType(eventsRaw.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = dt) else f))
+
+  /** Normalize a detected-generation `ts` to the engine contract:
+    * micro-precision TimestampType. The NTZ→LTZ cast is wall-clock
+    * exact because every graft session pins spark.sql.session.timeZone
+    * to UTC (Verify/Bench/test builders). */
+  private[graft] def normalizeEventTs(df: DataFrame, dt: DataType): DataFrame =
+    dt match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+
+  /** Load one testdata table with its declared schema. `events` comes
+    * back with `ts` already converted to micro-precision TimestampType
+    * whatever generation the driver wrote (see [[eventsTsType]]).
+    *
+    * Reading NANOS-generation `events` requires `spark.sql.legacy
+    * .parquet.nanosAsLong=true` in the session (set once by the
+    * Verify/Bench/test session builders — a loader must not mutate
+    * shared session state as a side effect of a table name).
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      val path = s"$sfDir/events.parquet"
+      val dt = eventsTsType(spark, path)
+      normalizeEventTs(spark.read.schema(eventsSchemaFor(dt)).parquet(path), dt)
+    } else
+      spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+
+  /** Events at or after `isoUtc`, with the predicate applied to the
+    * STORED `ts` representation *before* the timestamp conversion. A
+    * filter on the derived column cannot reach the scan (no pushdown
+    * through `timestamp_micros(x div 1000)` or a type cast), so at
+    * 100 TB it reads every row-group; comparing the stored value
+    * directly pushes down and prunes row-groups on parquet min/max
+    * stats. The literal is converted once on the driver, typed to the
+    * stored generation.
     */
   def eventsSince(spark: SparkSession, sfDir: String, isoUtc: String): DataFrame = {
     val instant = java.time.Instant.parse(isoUtc)
-    // exact nanos: epochMilli * 1e6 would silently drop sub-millisecond
-    // fractions of the pivot, off-by-up-to-1ms on the filter boundary
-    val nanos = instant.getEpochSecond * 1000000000L + instant.getNano
-    spark.read.schema(eventsRaw).parquet(s"$sfDir/events.parquet")
-      .filter(col("ts") >= nanos)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val path = s"$sfDir/events.parquet"
+    val dt = eventsTsType(spark, path)
+    val pivot = dt match {
+      // exact nanos: epochMilli * 1e6 would silently drop
+      // sub-millisecond fractions of the pivot, off-by-up-to-1ms on
+      // the filter boundary
+      case LongType =>
+        lit(instant.getEpochSecond * 1000000000L + instant.getNano)
+      case TimestampNTZType =>
+        lit(java.time.LocalDateTime.ofInstant(instant, java.time.ZoneOffset.UTC))
+      case _ => lit(java.sql.Timestamp.from(instant))
+    }
+    normalizeEventTs(
+      spark.read.schema(eventsSchemaFor(dt)).parquet(path)
+        .filter(col("ts") >= pivot),
+      dt)
   }
 }

@@ -20,11 +20,20 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery, Trigge
 object EventStream {
 
   /** Events file stream with `ts` normalized to micro-precision
-    * timestamps (same nanos handling as the batch reader — the session
-    * must set spark.sql.legacy.parquet.nanosAsLong=true). */
+    * timestamps — the same generation detection as the batch reader
+    * (Tables.eventsTsType: one footer read against whatever has
+    * arrived in `srcDir`), because a file stream must declare its schema up
+    * front and the driver's stored `ts` type has already changed once
+    * (NANOS → MICROS-NTZ). An empty source dir falls back to the
+    * current driver convention (MICROS-NTZ); NANOS-generation sources
+    * additionally need the session's nanosAsLong conf, as in batch. */
   private def readEvents(spark: SparkSession, srcDir: String,
       archiveDir: Option[String]): DataFrame = {
-    val base = spark.readStream.schema(Tables.eventsRaw)
+    val dt =
+      try Tables.eventsTsType(spark, srcDir)
+      catch { case scala.util.control.NonFatal(_) =>
+        org.apache.spark.sql.types.TimestampNTZType }
+    val base = spark.readStream.schema(Tables.eventsSchemaFor(dt))
     val withArchive = archiveDir match {
       // ST3: consumed files move aside once processed — the streaming
       // twin of the batch to_processed -> already_processed rename.
@@ -32,8 +41,7 @@ object EventStream {
         .option("sourceArchiveDir", dir)
       case None => base
     }
-    withArchive.parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeEventTs(withArchive.parquet(srcDir), dt)
   }
 
   /** ST2+ST3+ST4: checkpointed ingest with watermark-bounded dedup on

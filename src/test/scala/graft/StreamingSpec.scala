@@ -35,7 +35,10 @@ class StreamingSpec extends SparkSpec {
     val stage = tmp("stream-stage")
     spark.read.parquet(s"$src/events_a.parquet")
       .withColumn("event_id", col("event_id") + 1000000L)
-      .withColumn("ts", col("ts") + lit(60L * 86400L * 1000000000L)) // +60 days in nanos
+      // interval arithmetic works on every stored ts generation
+      // (nanos-Long would need a raw-long shift; the current MICROS-NTZ
+      // and any future LTZ generation both take intervals directly)
+      .withColumn("ts", col("ts") + expr("INTERVAL 60 DAYS"))
       .coalesce(1).write.mode("overwrite").parquet(stage)
     val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
       .map(Paths.get(_)).find(_.getFileName.toString.endsWith(".parquet")).get
@@ -82,7 +85,9 @@ class StreamingSpec extends SparkSpec {
     // lies within the gap of the stream's end
     val gapMicros = 30L * 60 * 1000000
     val raw = spark.read.parquet(s"$src/events.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("tsm"))
+      // epoch micros regardless of stored generation (UTC session)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("tsm"))
       .groupBy("user_id").agg(max("tsm").as("last"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val wm = raw.values.max
