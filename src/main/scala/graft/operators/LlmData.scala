@@ -1036,6 +1036,60 @@ object LlmData {
        |         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** Per-(source, shingle-hash) staging shared by the source-audit
+    * family (x85 exact overlap matrix, x86 sketch twin): the memoized
+    * x22 signature table joined to each doc's source, exploded to one
+    * row per shingle hash. ONE definition so the exact and sketch
+    * audits can never read different fingerprint spaces. Hash-space
+    * collisions (md5 mod 2^31-1) are the standard fingerprint
+    * tradeoff; both engines replay the identical draw. */
+  private[operators] def sourceHashRows(s: SparkSession, dir: String): DataFrame =
+    minhashHashed(s, dir)
+      .join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
+      .select(col("source"), explode(col("hs")).as("h"))
+
+  /** DuckDB twin of [[sourceHashRows]]: extends the x22 oracle chain
+    * (same `hsd`) with `hh(source, h)`. Unreferenced CTEs from the
+    * base chain (sig/bands/cand) are never materialized by DuckDB, so
+    * reusing the x22 chain costs nothing and pins hsd identity. */
+  private lazy val duckSourceHashRows: String =
+    s"""$duckMinhashCand,
+       |hh AS (SELECT d.source, unnest(h.hs) AS h
+       |       FROM hsd h JOIN documents d USING (doc_id))""".stripMargin
+
+  /** kNN edge set shared by the graph family (x83 edge report, x84
+    * hubness audit): sign-LSH bucketed candidate EQUALITY self-join
+    * (never all-pairs), per-anchor top-3 via a constant-k window that
+    * WindowGroupLimit prunes partition-locally before the anchor
+    * shuffle. Returns (src, rnk, nbr, cos). */
+  private[operators] def knnEdges(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .withColumn("bk", Vectors.signKey(col("embedding"), 6))
+    val a = e.select(col("vec_id").as("src"), col("embedding").as("ea"), col("bk"))
+    val b = e.select(col("vec_id").as("nbr"), col("embedding").as("eb"), col("bk"))
+    val w = Window.partitionBy("src").orderBy(desc("cos"), asc("nbr"))
+    a.join(b, Seq("bk"))
+      .filter(col("src") =!= col("nbr"))
+      .withColumn("cos", cosine6(col("ea"), col("eb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("src", "rnk", "nbr", "cos")
+  }
+
+  /** DuckDB twin of [[knnEdges]]: defines `knn(src, rnk, nbr, cos)` —
+    * ONE definition shared by the x83 and x84 oracles so both audit
+    * the same graph. */
+  private lazy val duckKnnEdges: String =
+    s"""kk AS (SELECT vec_id, embedding,
+       |         ${duckSignKey("embedding")} AS bk FROM embeddings),
+       |kcand AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
+       |            ${duckRound(duckCosine("a.embedding", "b.embedding"), 6)} AS cos
+       |          FROM kk a JOIN kk b ON a.bk = b.bk AND a.vec_id <> b.vec_id),
+       |knn AS (SELECT src, rnk, nbr, cos FROM (
+       |          SELECT src, nbr, cos, row_number() OVER (
+       |            PARTITION BY src ORDER BY cos DESC, nbr) AS rnk FROM kcand)
+       |        WHERE rnk <= 3)""".stripMargin
+
   /** SimHash near-dup pairs (doc_a < doc_b, hamming <= 5) — the x23
     * pipeline, shared with x36's cluster resolution. Fingerprints feed
     * both sides of the chunk self-join: memoize+persist so the 60-bit
@@ -1067,19 +1121,23 @@ object LlmData {
     * (multi-referenced aliases don't collapse). Takes the docs frame
     * so a caller can pre-filter BEFORE the tokenization cost (x76
     * scores only cluster members, never the whole corpus). */
-  private def qualityOf(docs: DataFrame): DataFrame = {
+  /** Per-doc quality frame. `extra` appends pass-through columns (x88
+    * carries `source` through the SAME single scan instead of joining
+    * back); the no-arg form is x27's frame, column set unchanged. */
+  private def qualityOf(docs: DataFrame, extra: Column*): DataFrame = {
     val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on")
     val nTok = size(col("tk"))
     val nStop = size(filter(col("tk"), tk => tk.isin(stops: _*)))
     val ratio = nStop.cast("double") / nTok
     docs
       .withColumn("tk", Text.tokens(col("text")))
-      .select(
+      .select(Seq(
         col("doc_id"),
         nTok.as("n_tokens"),
         pround(ratio, 6).as("stop_ratio"),
         pround((col("n_chars") - (nTok - 1)).cast("double") / nTok, 4).as("avg_token_len"),
         pround((lit(1.0) - ratio) * least(nTok.cast("double"), lit(50.0)) / 50.0, 6).as("quality"))
+        ++ extra: _*)
   }
 
   private def qualityFrame(s: SparkSession, dir: String): DataFrame =
@@ -3080,29 +3138,199 @@ object LlmData {
     // 100 TB is the x22 banding argument: 2^bits tracks corpus size
     // so per-bucket candidate lists stay bounded.
     "x83_knn_graph" -> Q(
+      (s, dir) => knnEdges(s, dir).orderBy("src", "rnk"),
+      Some(s"""WITH $duckKnnEdges
+              |SELECT src, rnk, nbr, cos FROM knn ORDER BY src, rnk""".stripMargin),
+      "kNN-graph: LSH-bucketed equality self-join (never all-pairs), per-anchor WindowGroupLimit top-3"),
+
+    // ── X3j: hubness audit over the kNN graph (x84) ───────────────────
+    // The embedding-QA companion to x83 (Radovanović et al., JMLR '10:
+    // high-dimensional spaces concentrate nearest-neighbor lists onto
+    // a few "hub" points, a known failure signal for embedding-based
+    // dedup/retrieval): in-degree of each vector in the top-3 graph,
+    // plus the incoming-cosine mass as an exact micro-unit integer sum
+    // (each edge's cos is already rounded to 1e-6, so cos·1e6 rounds
+    // to an exact long on both engines — no double accumulation
+    // crosses the oracle). Plan: the shared edge build, then ONE
+    // narrow-key groupBy with map-side partial aggregation and a
+    // TakeOrderedAndProject top-20 heap — edges are ≤ 3N rows, so the
+    // audit is linear and the shuffle carries (nbr, partial) only.
+    "x84_hub_audit" -> Q(
+      (s, dir) => knnEdges(s, dir)
+        .groupBy("nbr")
+        .agg(count(lit(1)).as("indeg"),
+          sum(round(col("cos") * 1e6).cast("long")).as("cos_micro_sum"))
+        .select(col("nbr").as("vec_id"), col("indeg"), col("cos_micro_sum"))
+        .orderBy(desc("indeg"), asc("vec_id"))
+        .limit(20),
+      Some(s"""WITH $duckKnnEdges
+              |SELECT nbr AS vec_id, count(*) AS indeg,
+              |  CAST(sum(CAST(round(cos * 1000000, 0) AS BIGINT)) AS BIGINT)
+              |    AS cos_micro_sum
+              |FROM knn GROUP BY nbr
+              |ORDER BY indeg DESC, vec_id LIMIT 20""".stripMargin),
+      "hubness audit: per-vector in-degree over the shared kNN graph + exact micro-unit cosine mass, top-20 hubs"),
+
+    // ── X6v: source-overlap contamination matrix (x85) ────────────────
+    // The dataset-composition audit (Dodge et al. 2021 documented C4's
+    // cross-source duplication this way): how many distinct content
+    // fingerprints each pair of sources SHARES. Exact form: distinct
+    // (source, fp) pairs, then an fp-EQUALITY self-join — the per-fp
+    // fanout is bounded by #sources² (a dimension, ~20, that does NOT
+    // grow with corpus size), so the join is linear in distinct
+    // fingerprints at any N. The distinct is the one wide shuffle;
+    // counts and the tiny per-source totals broadcast. x86 is the
+    // sketch twin that removes even that shuffle.
+    "x85_source_overlap" -> Q(
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
-          .withColumn("bk", Vectors.signKey(col("embedding"), 6))
-        val a = e.select(col("vec_id").as("src"), col("embedding").as("ea"), col("bk"))
-        val b = e.select(col("vec_id").as("nbr"), col("embedding").as("eb"), col("bk"))
-        val w = Window.partitionBy("src").orderBy(desc("cos"), asc("nbr"))
-        a.join(b, Seq("bk"))
-          .filter(col("src") =!= col("nbr"))
-          .withColumn("cos", cosine6(col("ea"), col("eb")))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 3)
-          .select("src", "rnk", "nbr", "cos")
-          .orderBy("src", "rnk")
+        val fps = sourceHashRows(s, dir).distinct()
+        val n = fps.groupBy("source").agg(count(lit(1)).as("nfp"))
+        fps.as("a").join(fps.as("b"),
+            col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("shared"))
+          .join(broadcast(n.select(col("source").as("src_a"), col("nfp").as("n_a"))), "src_a")
+          .join(broadcast(n.select(col("source").as("src_b"), col("nfp").as("n_b"))), "src_b")
+          .select("src_a", "src_b", "shared", "n_a", "n_b")
+          .orderBy(desc("shared"), asc("src_a"), asc("src_b"))
       },
-      Some(s"""WITH kk AS (SELECT vec_id, embedding,
-              |             ${duckSignKey("embedding")} AS bk FROM embeddings),
-              |cand AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
-              |           ${duckRound(duckCosine("a.embedding", "b.embedding"), 6)} AS cos
-              |         FROM kk a JOIN kk b ON a.bk = b.bk AND a.vec_id <> b.vec_id)
-              |SELECT src, rnk, nbr, cos FROM (
-              |  SELECT src, nbr, cos, row_number() OVER (
-              |    PARTITION BY src ORDER BY cos DESC, nbr) AS rnk FROM cand)
-              |WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin),
-      "kNN-graph: LSH-bucketed equality self-join (never all-pairs), per-anchor WindowGroupLimit top-3")
+      Some(s"""WITH $duckSourceHashRows,
+              |fps AS (SELECT DISTINCT source, h FROM hh),
+              |n AS (SELECT source, count(*) AS nfp FROM fps GROUP BY source),
+              |ov AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+              |       FROM fps a JOIN fps b ON a.h = b.h AND a.source < b.source
+              |       GROUP BY 1, 2)
+              |SELECT o.src_a, o.src_b, o.shared, na.nfp AS n_a, nb.nfp AS n_b
+              |FROM ov o JOIN n na ON o.src_a = na.source
+              |          JOIN n nb ON o.src_b = nb.source
+              |ORDER BY shared DESC, src_a, src_b""".stripMargin),
+      "exact source-overlap matrix: shared distinct fingerprints per source pair via fp-equality join (fanout bounded by the source dimension)"),
+
+    // ── X6w: per-source MinHash sketch similarity (x86) ───────────────
+    // The sketch twin of x85: each source's shingle UNION compressed to
+    // a 16-slot one-hash-k-permutation MinHash (the x22 affine family —
+    // min distributes over union, so the per-source slot min over all
+    // member docs' shingle hashes IS the union's MinHash). matches/16
+    // estimates pairwise Jaccard. At 100 TB this is the form that
+    // wins: per-source state is 16 longs (mergeable, map-side partial
+    // min — a sketch, like x33/x55/x56), no distinct-pair shuffle at
+    // all; pairs emerge from a (slot, value)-EQUALITY self-join over
+    // #sources×16 rows, so only pairs with ≥1 colliding slot (est.
+    // Jaccard > 0) appear — exactly the candidate semantics LSH gives
+    // docs, lifted to sources.
+    "x86_source_minhash_sim" -> Q(
+      (s, dir) => {
+        val mins = (0 until 16).map(i =>
+          min((col("h") * lit(Text.affineA(i)) + lit(Text.affineB(i)))
+            % lit(Text.MinhashMod)).as(s"s$i"))
+        val sig = sourceHashRows(s, dir)
+          .groupBy("source").agg(mins.head, mins.tail: _*)
+        val sl = sig.select(col("source"),
+          posexplode(array((0 until 16).map(i => col(s"s$i")): _*))
+            .as(Seq("slot", "v")))
+        sl.as("a").join(sl.as("b"),
+            col("a.slot") === col("b.slot") && col("a.v") === col("b.v") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("matches"))
+          .orderBy(desc("matches"), asc("src_a"), asc("src_b"))
+      },
+      Some {
+        val slots = (0 until 16).map(i =>
+          s"min((h * ${Text.affineA(i)} + ${Text.affineB(i)}) % ${Text.MinhashMod})")
+          .mkString(",\n            ")
+        s"""WITH $duckSourceHashRows,
+           |ssig AS (SELECT source, [$slots] AS sg
+           |         FROM hh GROUP BY source),
+           |ssl AS (SELECT source, p.i - 1 AS slot, sg[p.i] AS v
+           |        FROM ssig CROSS JOIN (SELECT unnest(range(1, 17)) AS i) p)
+           |SELECT a.source AS src_a, b.source AS src_b, count(*) AS matches
+           |FROM ssl a JOIN ssl b ON a.slot = b.slot AND a.v = b.v
+           |  AND a.source < b.source
+           |GROUP BY 1, 2 ORDER BY matches DESC, src_a, src_b""".stripMargin
+      },
+      "per-source MinHash union sketch (16 mergeable slot-mins); slot-equality join estimates pairwise source Jaccard with no distinct-pair shuffle"),
+
+    // ── X3k: IVF-cell medoid coreset (x87) ────────────────────────────
+    // Cluster-representative selection (the k-center-style coreset pick
+    // that diversity-aware data selection builds on): for every trained
+    // IVF cell, the member closest to its centroid. The assignment's
+    // best-cosine is the SAME struct the argmax already computes, so
+    // the medoid pick costs one map-side expression + a per-cid top-1
+    // window (WindowGroupLimit prunes partition-locally; the shuffle
+    // carries K groups of one row). Registered at the literal K=16
+    // like x34/x71; a corpus-derived K rides the same
+    // assignedByTrainedQuantizer dispatcher (x48's K ∝ N form).
+    "x87_coreset_medoids" -> Q(
+      (s, dir) => {
+        val scored = ivfScored(trainedCentroids(s, dir)) _
+        val w = Window.partitionBy("cid").orderBy(desc("cos"), asc("vec_id"))
+        t(s, dir, "embeddings")
+          .withColumn("b", array_max(scored(col("embedding"))))
+          .select(col("vec_id"), col("b.cid").as("cid"), col("b.ccos").as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("cid", "vec_id", "cos")
+          .orderBy("cid")
+      },
+      Some(s"""WITH $duckIvfChain,
+              |md AS (SELECT asg.cid, asg.vec_id,
+              |         ${duckRound(duckCosine("asg.embedding", "c.ce"), 6)} AS cos
+              |       FROM asg JOIN c2 c USING (cid))
+              |SELECT cid, vec_id, cos FROM (
+              |  SELECT cid, vec_id, cos, row_number() OVER (
+              |    PARTITION BY cid ORDER BY cos DESC, vec_id) AS rn FROM md)
+              |WHERE rn = 1 ORDER BY cid""".stripMargin),
+      "per-IVF-cell medoid: map-side best-cosine reuse + per-cid top-1 window — the cluster-representative coreset pick"),
+
+    // ── X4m: per-source quality-distribution drift (x88) ──────────────
+    // The composition monitor a curation funnel runs per ingest: does
+    // any source's quality HISTOGRAM diverge from the corpus-wide one
+    // (a source gone bad skews low; a scraped duplicate farm skews
+    // narrow)? Statistic: scaled L1 distance Σ_b |c_sb·T − C_b·n_s| in
+    // EXACT integer arithmetic (the x82 trick: both engines bin the
+    // identical rounded quality, then every product/sum is integral —
+    // decimal/HUGEINT intermediates so the products survive any corpus
+    // size, final drift cast back to BIGINT). Unobserved bins
+    // contribute C_b·n_s without a source×bin grid join:
+    // Σ_unobs C_b = T − Σ_obs C_b. Plan: quality computed WITH source
+    // in the one scan (no join-back), a (source, bin) micro-agg, then
+    // broadcast joins of dimension-sized aggregates.
+    "x88_source_quality_drift" -> Q(
+      (s, dir) => {
+        val q = qualityOf(t(s, dir, "documents"), col("source"))
+          .select(col("source"), floor(col("quality") * 10).cast("long").as("bin"))
+        val cs = q.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+        val cb = cs.groupBy("bin").agg(sum("c").as("cb"))
+        val ns = cs.groupBy("source").agg(sum("c").as("ns"))
+        val tot = ns.agg(sum("ns").as("t"))
+        cs.join(broadcast(cb), "bin")
+          .join(broadcast(ns), "source")
+          .crossJoin(broadcast(tot))
+          .withColumn("term", abs(col("c").cast("decimal(38,0)") * col("t")
+            - col("cb").cast("decimal(38,0)") * col("ns")))
+          .groupBy("source")
+          .agg(max("ns").as("n_docs"),
+            (sum(col("term")) + (max(col("t")) - sum(col("cb")))
+              .cast("decimal(38,0)") * max(col("ns")))
+              .cast("long").as("drift"))
+          .orderBy(desc("drift"), asc("source"))
+      },
+      Some(s"""WITH ql AS (SELECT source,
+              |         CAST(floor(($duckQuality) * 10) AS BIGINT) AS bin
+              |       FROM documents),
+              |cs AS (SELECT source, bin, count(*) AS c FROM ql GROUP BY 1, 2),
+              |cb AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cb FROM cs GROUP BY 1),
+              |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cs GROUP BY 1),
+              |tot AS (SELECT CAST(sum(ns) AS BIGINT) AS t FROM ns)
+              |SELECT s.source, max(n.ns) AS n_docs,
+              |  CAST(sum(abs(CAST(s.c AS HUGEINT) * tot.t
+              |        - CAST(b.cb AS HUGEINT) * n.ns))
+              |     + (max(tot.t) - sum(b.cb)) * CAST(max(n.ns) AS HUGEINT)
+              |    AS BIGINT) AS drift
+              |FROM cs s JOIN cb b USING (bin) JOIN ns n USING (source)
+              |  CROSS JOIN tot
+              |GROUP BY s.source ORDER BY drift DESC, source""".stripMargin),
+      "per-source quality-histogram drift vs the corpus: exact-integer scaled L1, dimension-sized broadcast aggregates only")
   )
 }

@@ -571,4 +571,95 @@ class LlmInvariantsSpec extends SparkSpec {
         s"$src: neighbors must be distinct")
     }
   }
+
+  test("x84: hub audit equals an independent in-degree fold of the x83 graph") {
+    // the two queries share ONE edge builder (knnEdges); this folds the
+    // published x83 edges by hand and demands the audit's top-20 — a
+    // drift between the queries' edge sets or the micro-unit sum breaks
+    // here even if both still match stale oracles
+    val edges = run("x83_knn_graph").collect()
+    val expected = edges.groupBy(_.getLong(2)).map { case (nbr, rs) =>
+      (nbr, rs.length.toLong, rs.map(r => math.round(r.getDouble(3) * 1e6)).sum)
+    }.toSeq.sortBy { case (v, d, _) => (-d, v) }.take(20)
+    val got = run("x84_hub_audit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    assert(got == expected)
+  }
+
+  test("x85: overlap matrix is bounded, ordered, and pairwise-unique") {
+    val rows = run("x85_source_overlap").collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length, "one row per source pair")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "canonical pair order")
+      val (sh, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sh >= 1 && sh <= math.min(na, nb),
+        s"shared fingerprints must be bounded by the smaller set: $r")
+    }
+  }
+
+  test("x86: a colliding sketch slot implies a truly shared fingerprint (affine injectivity)") {
+    // the affine rehash (a·h + b mod p, p prime, a ≠ 0) is a bijection
+    // on the hash space, so equal per-source slot MINIMA can only come
+    // from the same preimage — every sketch pair must therefore appear
+    // in the exact overlap matrix. This is the soundness half of
+    // one-hash-k-permutation MinHash, checked on real data.
+    val exact = run("x85_source_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val sk = run("x86_source_minhash_sim").collect()
+    assert(sk.nonEmpty)
+    sk.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      val m = r.getLong(2)
+      assert(m >= 1 && m <= 16, s"slot matches out of range: $r")
+      assert(exact.contains((r.getString(0), r.getString(1))),
+        s"sketch pair ${r.getString(0)}/${r.getString(1)} not in the exact matrix")
+    }
+  }
+
+  test("x87: one medoid per trained cell, dominating the cell's mean cohesion") {
+    val med = run("x87_coreset_medoids").collect()
+    // x68 shares the identical trained assignment (same ivfScored
+    // argmax), so its per-cell mean is a lower bound for the argmax
+    val meanByCid = run("x68_quantizer_distortion").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(med.length == meanByCid.size, "exactly one medoid per cell")
+    assert(med.map(_.getLong(0)).distinct.length == med.length)
+    assert(med.map(_.getLong(1)).distinct.length == med.length,
+      "a vector can represent at most one cell")
+    med.foreach { r =>
+      val (cid, cos) = (r.getLong(0), r.getDouble(2))
+      assert(cos <= 1.000001 && cos >= -1.000001)
+      assert(cos >= meanByCid(cid) - 1e-9,
+        s"medoid of cell $cid scores below the cell mean")
+    }
+  }
+
+  test("x88: drift equals an independent fold over x27's per-doc qualities") {
+    // full recomputation in plain Scala from the published x27 frame:
+    // bins from the SAME doubles Spark binned, every |c·T − C_b·n_s|
+    // term summed over ALL bins (the query's Σ-trick covers unobserved
+    // bins via T − Σ_obs C_b — this fold proves that identity on data)
+    val srcOf = graft.sources.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bins = run("x27_quality_score").collect()
+      .map(r => (srcOf(r.getLong(0)), math.floor(r.getDouble(4) * 10).toLong))
+    val total = bins.length.toLong
+    val corpusBins = bins.groupBy(_._2).map { case (b, xs) => b -> xs.length.toLong }
+    val expected = bins.groupBy(_._1).map { case (s0, xs) =>
+      val ns = xs.length.toLong
+      val cs = xs.groupBy(_._2).map { case (b, ys) => b -> ys.length.toLong }
+      val drift = corpusBins.map { case (b, cbv) =>
+        math.abs(cs.getOrElse(b, 0L) * total - cbv * ns)
+      }.sum
+      (s0, ns, drift)
+    }.toSet
+    val got = run("x88_source_quality_drift").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    assert(got == expected)
+  }
 }
