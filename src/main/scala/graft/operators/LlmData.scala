@@ -1121,6 +1121,38 @@ object LlmData {
     * (multi-referenced aliases don't collapse). Takes the docs frame
     * so a caller can pre-filter BEFORE the tokenization cost (x76
     * scores only cluster members, never the whole corpus). */
+  /** Per-(source, quality-bin) counts — the micro-aggregate the
+    * registered x88 and its streaming twin (EventStream
+    * .qualityDriftGate) both fold; quality is binned in the SAME scan
+    * that carries `source`. */
+  private[graft] def sourceBinCounts(docs: DataFrame): DataFrame =
+    qualityOf(docs, col("source"))
+      .select(col("source"), floor(col("quality") * 10).cast("long").as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("c"))
+
+  /** x88's exact-integer scaled-L1 drift of per-(source,bin) counts
+    * `cs` against a reference histogram `cb(bin, cb)` with total
+    * `tot(t)` — ONE definition for the self-referenced batch query and
+    * the frozen-reference streaming gate. Left join + fill(0): a
+    * batch bin the reference never saw still contributes its c·T term
+    * (impossible when the reference is derived from `cs` itself, the
+    * registered x88 case — there the left join degenerates to the
+    * inner join). Unobserved reference bins fold in without a
+    * source×bin grid: Σ_unobs C_b·n_s = (T − Σ_obs C_b)·n_s. */
+  private[graft] def sourceDriftAgainst(
+      cs: DataFrame, cb: DataFrame, tot: DataFrame): DataFrame =
+    cs.join(broadcast(cb), Seq("bin"), "left").na.fill(0L, Seq("cb"))
+      .join(broadcast(cs.groupBy("source").agg(sum("c").as("ns"))), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("term", abs(col("c").cast("decimal(38,0)") * col("t")
+        - col("cb").cast("decimal(38,0)") * col("ns")))
+      .groupBy("source")
+      .agg(max("ns").as("n_docs"),
+        (sum(col("term")) + (max(col("t")) - sum(col("cb")))
+          .cast("decimal(38,0)") * max(col("ns")))
+          .cast("long").as("drift"))
+      .orderBy(desc("drift"), asc("source"))
+
   /** Per-doc quality frame. `extra` appends pass-through columns (x88
     * carries `source` through the SAME single scan instead of joining
     * back); the no-arg form is x27's frame, column set unchanged. */
@@ -3298,23 +3330,10 @@ object LlmData {
     // broadcast joins of dimension-sized aggregates.
     "x88_source_quality_drift" -> Q(
       (s, dir) => {
-        val q = qualityOf(t(s, dir, "documents"), col("source"))
-          .select(col("source"), floor(col("quality") * 10).cast("long").as("bin"))
-        val cs = q.groupBy("source", "bin").agg(count(lit(1)).as("c"))
-        val cb = cs.groupBy("bin").agg(sum("c").as("cb"))
-        val ns = cs.groupBy("source").agg(sum("c").as("ns"))
-        val tot = ns.agg(sum("ns").as("t"))
-        cs.join(broadcast(cb), "bin")
-          .join(broadcast(ns), "source")
-          .crossJoin(broadcast(tot))
-          .withColumn("term", abs(col("c").cast("decimal(38,0)") * col("t")
-            - col("cb").cast("decimal(38,0)") * col("ns")))
-          .groupBy("source")
-          .agg(max("ns").as("n_docs"),
-            (sum(col("term")) + (max(col("t")) - sum(col("cb")))
-              .cast("decimal(38,0)") * max(col("ns")))
-              .cast("long").as("drift"))
-          .orderBy(desc("drift"), asc("source"))
+        val cs = sourceBinCounts(t(s, dir, "documents"))
+        sourceDriftAgainst(cs,
+          cs.groupBy("bin").agg(sum("c").as("cb")),
+          cs.agg(sum("c").as("t")))
       },
       Some(s"""WITH ql AS (SELECT source,
               |         CAST(floor(($duckQuality) * 10) AS BIGINT) AS bin

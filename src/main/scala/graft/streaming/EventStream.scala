@@ -219,6 +219,52 @@ object EventStream {
       .start()
   }
 
+  /** x88's stream-side twin — the frozen-state pattern of
+    * [[decontamGate]] applied to the corpus quality histogram: every
+    * micro-batch of newly crawled documents is binned MAP-SIDE (the
+    * same `sourceBinCounts` scan as the batch query) and its
+    * per-source histogram is scored against a FROZEN reference
+    * (bin → count, total) closed over as literals — index-metadata
+    * scale (≤ 11 bins), the same driver-bound argument as the trained
+    * centroids. Emits one (source, n_docs, drift, batch_id) row set
+    * per micro-batch, appended with a [[ivfStreamingAppend]]-style
+    * idempotence marker so a replayed batch never double-writes.
+    * Nothing is stateful in-stream (no state store, no watermark):
+    * the composition monitor a 100 TB ingest runs per drop, off the
+    * critical path, with only dimension-sized aggregates ever
+    * shuffled. Drift math is ONE definition with the oracle-checked
+    * x88 (`LlmData.sourceDriftAgainst`). */
+  def qualityDriftGate(spark: SparkSession, srcDir: String,
+      checkpointDir: String, outDir: String,
+      refBins: Seq[(Long, Long)], refTotal: Long,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val docs = spark.readStream
+      .schema(Tables.schemas("documents"))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$checkpointDir/graft-applied/$id")
+        val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          import s.implicits._
+          val cb = refBins.toDF("bin", "cb")
+          val tot = Seq(refTotal).toDF("t")
+          graft.operators.LlmData
+            .sourceDriftAgainst(
+              graft.operators.LlmData.sourceBinCounts(batch), cb, tot)
+            .withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(outDir)
+          fs.create(marker, false).close()
+        }
+      }
+      .start()
+  }
+
   /** Batch compaction for [[corpusDedupIngest]]: fold the published
     * corpus's fingerprints into the compacted table, partitioned by a
     * 2-hex-char shard (256 partitions) of the md5 — so a future

@@ -399,6 +399,61 @@ class StreamingSpec extends SparkSpec {
       "a restarted drain must not re-emit committed batches")
   }
 
+  test("quality-drift gate scores each batch like the batch twin, across restarts") {
+    import graft.operators.LlmData
+    val src = tmp("qdrift-src"); val out = tmp("qdrift-out"); val ckpt = tmp("qdrift-ckpt")
+    val docsFile = Paths.get(s"$sf0001/documents.parquet")
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+
+    // the frozen corpus reference — dimension-sized (≤ 11 bins), the
+    // same driver-bound collect class as the trained centroids
+    val cs = LlmData.sourceBinCounts(docs)
+    val refBins = cs.groupBy("bin").agg(sum("c").as("cb")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val refTotal = cs.agg(sum("c")).collect()(0).getLong(0)
+
+    def triple(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    // batch 0 = the whole corpus: reference derives from the same
+    // docs, so the gate's scores must equal the registered x88 exactly
+    Files.copy(docsFile, Paths.get(src, "drop_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    EventStream.qualityDriftGate(spark, src, ckpt, out, refBins, refTotal)
+      .awaitTermination()
+    val first = spark.read.parquet(out)
+    assert(first.select("batch_id").distinct().count() == 1)
+    assert(triple(first.select("source", "n_docs", "drift"))
+      == triple(SparkEntry.queries("x88_source_quality_drift")(spark, sf0001)))
+
+    // batch 1 = a single-source slice: scored against the SAME frozen
+    // reference — must match the shared helper applied batch-side
+    // (this pins the foreachBatch wiring; the drift math itself is
+    // pinned by x88's oracle + the independent-fold invariant)
+    val oneSource = docs.select("source").orderBy("source").head().getString(0)
+    val slice = docs.filter(col("source") === oneSource)
+    val stage = tmp("qdrift-stage")
+    slice.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+      .map(Paths.get(_)).find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, Paths.get(src, "drop_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    EventStream.qualityDriftGate(spark, src, ckpt, out, refBins, refTotal)
+      .awaitTermination()
+    val second = spark.read.parquet(out).filter(col("batch_id") === 1)
+    import spark.implicits._
+    val expected = LlmData.sourceDriftAgainst(
+      LlmData.sourceBinCounts(slice),
+      refBins.toDF("bin", "cb"), Seq(refTotal).toDF("t"))
+    assert(triple(second.select("source", "n_docs", "drift")) == triple(expected))
+    assert(second.count() == 1, "a single-source batch scores one source")
+
+    // restart with nothing new: committed offsets + the idempotence
+    // marker mean no additional rows
+    val before = spark.read.parquet(out).count()
+    EventStream.qualityDriftGate(spark, src, ckpt, out, refBins, refTotal)
+      .awaitTermination()
+    assert(spark.read.parquet(out).count() == before)
+  }
+
   test("streamed PQ code append equals the batch x75 table and is restart-durable") {
     // the PQ half of the streamed maintenance loop: same delivery
     // contract as the IVF test above, different payload (frozen-
