@@ -1043,7 +1043,7 @@ object LlmData {
     * audits can never read different fingerprint spaces. Hash-space
     * collisions (md5 mod 2^31-1) are the standard fingerprint
     * tradeoff; both engines replay the identical draw. */
-  private[operators] def sourceHashRows(s: SparkSession, dir: String): DataFrame =
+  private[graft] def sourceHashRows(s: SparkSession, dir: String): DataFrame =
     minhashHashed(s, dir)
       .join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
       .select(col("source"), explode(col("hs")).as("h"))
@@ -3350,6 +3350,91 @@ object LlmData {
               |FROM cs s JOIN cb b USING (bin) JOIN ns n USING (source)
               |  CROSS JOIN tot
               |GROUP BY s.source ORDER BY drift DESC, source""".stripMargin),
-      "per-source quality-histogram drift vs the corpus: exact-integer scaled L1, dimension-sized broadcast aggregates only")
+      "per-source quality-histogram drift vs the corpus: exact-integer scaled L1, dimension-sized broadcast aggregates only"),
+
+    // ── X6x: source coverage curve (x89) ──────────────────────────────
+    // The acquisition-ordering audit: if sources are ingested
+    // largest-fingerprint-set first, how much NEW content does each
+    // one add? Greedy set-cover's FIRST PASS — the order is fixed by
+    // set size up front, not re-derived per step (full lazy-greedy
+    // re-ranks marginals each iteration: K sequential rounds at
+    // 100 TB; this one-pass form is the standard screening
+    // approximation and needs ONE attribution pass). Every fingerprint
+    // is attributed to its best-ranked containing source via a min
+    // over a broadcast rank join; marginals and the running cumulative
+    // then live on dimension-sized frames (the unpartitioned windows
+    // sit over ≤ #sources post-aggregation rows — the bounded-spine
+    // shape the plan sweep admits). Conservation: the curve's last
+    // cumulative = |distinct fps| = Σ x90 novel counts (pinned in
+    // spec).
+    "x89_coverage_curve" -> Q(
+      (s, dir) => {
+        val fps = sourceHashRows(s, dir).distinct()
+        val n = fps.groupBy("source").agg(count(lit(1)).as("nfp"))
+        val rk = n.withColumn("rk",
+          row_number().over(Window.orderBy(desc("nfp"), asc("source"))))
+        val contrib = fps.join(broadcast(rk.select("source", "rk")), "source")
+          .groupBy("h").agg(min("rk").as("crk"))
+          .groupBy("crk").agg(count(lit(1)).as("marginal"))
+        val wcum = Window.orderBy("rk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rk.join(contrib, col("rk") === col("crk"), "left")
+          .na.fill(0L, Seq("marginal"))
+          .withColumn("cumulative", sum("marginal").over(wcum))
+          .select("rk", "source", "nfp", "marginal", "cumulative")
+          .orderBy("rk")
+      },
+      Some(s"""WITH $duckSourceHashRows,
+              |fps AS (SELECT DISTINCT source, h FROM hh),
+              |n AS (SELECT source, count(*) AS nfp FROM fps GROUP BY source),
+              |rk AS (SELECT source, nfp, row_number() OVER (
+              |         ORDER BY nfp DESC, source) AS rk FROM n),
+              |attr AS (SELECT f.h, min(r.rk) AS crk
+              |         FROM fps f JOIN rk r USING (source) GROUP BY f.h),
+              |marg AS (SELECT crk, count(*) AS marginal FROM attr GROUP BY crk)
+              |SELECT r.rk, r.source, r.nfp,
+              |  coalesce(m.marginal, 0) AS marginal,
+              |  CAST(sum(coalesce(m.marginal, 0)) OVER (
+              |    ORDER BY r.rk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative
+              |FROM rk r LEFT JOIN marg m ON r.rk = m.crk
+              |ORDER BY r.rk""".stripMargin),
+      "size-ordered coverage curve: per-source marginal new fingerprints + running cumulative (greedy set-cover first pass, one attribution pass)"),
+
+    // ── X6y: crawl-order novelty profile (x90) ────────────────────────
+    // The per-document novelty signal curriculum schedulers and
+    // incremental-crawl audits read: in arrival order (doc_id), what
+    // fraction of a doc's fingerprints has never been seen before?
+    // First-seen attribution is min(doc_id) per fingerprint — one
+    // narrow groupBy — then a fingerprint-keyed join back and a
+    // per-doc fold; novelty is exact integer micro-units (no double
+    // division crosses the oracle). Every fingerprint is novel exactly
+    // once, so Σ n_novel = |distinct fps| = x89's final cumulative —
+    // the cross-family conservation the spec pins. Linear: two
+    // narrow-key shuffles, fanout 1:1 on the join.
+    "x90_novelty_profile" -> Q(
+      (s, dir) => {
+        val pairs = minhashHashed(s, dir)
+          .select(col("doc_id"), explode(col("hs")).as("h"))
+          .distinct()
+        val first = pairs.groupBy("h").agg(min("doc_id").as("fd"))
+        pairs.join(first, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fp"),
+            sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty_micro", expr("(n_novel * 1000000) div n_fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckMinhashCand,
+              |pairs AS (SELECT DISTINCT doc_id, h FROM
+              |            (SELECT doc_id, unnest(hs) AS h FROM hsd)),
+              |f AS (SELECT h, min(doc_id) AS fd FROM pairs GROUP BY h)
+              |SELECT p.doc_id, count(*) AS n_fp,
+              |  CAST(sum(CASE WHEN f.fd = p.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_novel,
+              |  (CAST(sum(CASE WHEN f.fd = p.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+              |    * 1000000) // count(*) AS novelty_micro
+              |FROM pairs p JOIN f USING (h)
+              |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin),
+      "crawl-order novelty: per-doc first-seen fingerprint fraction in exact micro-units; conservation with x89 pinned in spec")
   )
 }

@@ -662,4 +662,46 @@ class LlmInvariantsSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got == expected)
   }
+
+  test("x89: coverage curve folds independently; x90 conserves its total") {
+    // independent greedy-first-pass fold over the raw (source, fp)
+    // pairs — attribution to the best-ranked containing source is the
+    // same as the running set-union marginal, which is what this fold
+    // computes directly
+    val pairs = graft.operators.LlmData.sourceHashRows(spark, sf0001)
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = pairs.groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._2).toSet }
+    val order = bySrc.toSeq.sortBy { case (s0, st) => (-st.size, s0) }
+    val expected = scala.collection.mutable.ListBuffer.empty[(Int, String, Long, Long, Long)]
+    val seen = scala.collection.mutable.Set.empty[Long]
+    order.zipWithIndex.foreach { case ((s0, st), i) =>
+      val marginal = (st -- seen).size.toLong
+      seen ++= st
+      expected += ((i + 1, s0, st.size.toLong, marginal, seen.size.toLong))
+    }
+    val got = run("x89_coverage_curve").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected.toList)
+
+    // conservation across families: every fingerprint is "new" exactly
+    // once in x90's crawl-order walk, and covered exactly once in
+    // x89's attribution — both totals are |distinct fingerprints|
+    val novelSum = run("x90_novelty_profile").collect().map(_.getLong(2)).sum
+    assert(got.last._5 == novelSum,
+      "x89 final cumulative and x90 novel total must both equal |distinct fps|")
+    assert(novelSum == pairs.map(_._2).distinct.length.toLong)
+  }
+
+  test("x90: novelty profile is well-formed; the earliest doc is fully novel") {
+    val rows = run("x90_novelty_profile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per doc")
+    rows.foreach { case (d, nfp, nn, nm) =>
+      assert(nfp >= 1 && nn >= 0 && nn <= nfp, s"doc $d: counts out of range")
+      assert(nm == nn * 1000000L / nfp, s"doc $d: micro-units must replay exactly")
+    }
+    val firstDoc = rows.minBy(_._1)
+    assert(firstDoc._2 == firstDoc._3, "the earliest doc's fingerprints are all first-seen")
+  }
 }
