@@ -1057,14 +1057,56 @@ object LlmData {
        |hh AS (SELECT d.source, unnest(h.hs) AS h
        |       FROM hsd h JOIN documents d USING (doc_id))""".stripMargin
 
+  /** Sign-LSH bucket width tied to the corpus — the x48 corpusK lesson
+    * applied to the SELF-JOIN bucket dial. At a FIXED width the
+    * in-bucket candidate count is quadratic in N (measured: x83 15.7×
+    * and x84 12.0× warm per 10× data at 6 bits, BASELINE.md r9);
+    * 2^bits ∝ N pins expected occupancy at ≤ ~31 vectors, so the
+    * self-join total is N × 31 — linear. Smallest b in [6, 62] with
+    * 2^b · 125 ≥ 4N; the floor keeps every spec-SF corpus (N ≤ 2000)
+    * on the historical 6-bit key (existing oracle hashes unchanged),
+    * and b is bounded by dim = 64 raw-component signs anyway (past
+    * that the x80 rp family supplies arbitrary extra hyperplanes).
+    * Only the SELF-JOIN family (x32/x83/x84) takes the dial: the
+    * broadcast probe queries (x25/x51) scan one bucket per probe —
+    * already linear at fixed width, and their published recall story
+    * depends on it. Oracle twin: the `sb` CTE below, same integer
+    * search. */
+  private[graft] def signBitsFor(n: Long): Int =
+    // 2^b·125 ≥ 4N, written as 2^b ≥ ceil(4N/125) so no term can
+    // overflow a 64-bit integer even at b = 62 — DuckDB evaluates the
+    // predicate for EVERY candidate b, not just until the first hit
+    (6 to 62).find(b => (1L << b) >= (4L * n + 124L) / 125L).getOrElse(62)
+
+  private[operators] def corpusSignBits(s: SparkSession, dir: String): Int =
+    signBitsMemo.acquire(s)(TrieMap.empty[String, Int])
+      .getOrElseUpdate(dir, signBitsFor(t(s, dir, "embeddings").count()))
+
+  private lazy val signBitsMemo = new SessionRegistry[TrieMap[String, Int]]
+
+  /** DuckDB twin of [[signBitsFor]] over the embeddings count: defines
+    * `sb(bits)`. */
+  private val duckSignBitsCte: String =
+    """sb AS (SELECT CAST(coalesce(min(b), 62) AS INTEGER) AS bits FROM
+      |         (SELECT CAST(r.range AS INTEGER) AS b FROM range(6, 63) r)
+      |       WHERE (CAST(1 AS BIGINT) << b)
+      |         >= (4 * (SELECT count(*) FROM embeddings) + 124) // 125)""".stripMargin
+
+  /** Corpus-width sign-bucket key for a DuckDB `list<float>` column —
+    * requires [[duckSignBitsCte]] in scope and `sb` cross-joined. */
+  private def duckSignKeyN(c: String): String =
+    s"array_to_string(list_transform(range(1, sb.bits + 1), " +
+      s"i -> CASE WHEN $c[i] >= 0 THEN '1' ELSE '0' END), '')"
+
   /** kNN edge set shared by the graph family (x83 edge report, x84
     * hubness audit): sign-LSH bucketed candidate EQUALITY self-join
-    * (never all-pairs), per-anchor top-3 via a constant-k window that
-    * WindowGroupLimit prunes partition-locally before the anchor
-    * shuffle. Returns (src, rnk, nbr, cos). */
+    * (never all-pairs) on the corpus-width bucket key, per-anchor
+    * top-3 via a constant-k window that WindowGroupLimit prunes
+    * partition-locally before the anchor shuffle. Returns
+    * (src, rnk, nbr, cos). */
   private[operators] def knnEdges(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-      .withColumn("bk", Vectors.signKey(col("embedding"), 6))
+      .withColumn("bk", Vectors.signKey(col("embedding"), corpusSignBits(s, dir)))
     val a = e.select(col("vec_id").as("src"), col("embedding").as("ea"), col("bk"))
     val b = e.select(col("vec_id").as("nbr"), col("embedding").as("eb"), col("bk"))
     val w = Window.partitionBy("src").orderBy(desc("cos"), asc("nbr"))
@@ -1078,10 +1120,12 @@ object LlmData {
 
   /** DuckDB twin of [[knnEdges]]: defines `knn(src, rnk, nbr, cos)` —
     * ONE definition shared by the x83 and x84 oracles so both audit
-    * the same graph. */
+    * the same graph, over the same corpus-width bucket key. */
   private lazy val duckKnnEdges: String =
-    s"""kk AS (SELECT vec_id, embedding,
-       |         ${duckSignKey("embedding")} AS bk FROM embeddings),
+    s"""$duckSignBitsCte,
+       |kk AS (SELECT vec_id, embedding,
+       |         ${duckSignKeyN("embedding")} AS bk
+       |       FROM embeddings CROSS JOIN sb),
        |kcand AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
        |            ${duckRound(duckCosine("a.embedding", "b.embedding"), 6)} AS cos
        |          FROM kk a JOIN kk b ON a.bk = b.bk AND a.vec_id <> b.vec_id),
@@ -1580,8 +1624,13 @@ object LlmData {
     // meaningful and bounded instead of empty-by-threshold.
     "x32_embed_neardup" -> Q(
       (s, dir) => {
+        // corpus-width bucket key (signBitsFor): the self-join's
+        // in-bucket pair count stays constant per bucket as N grows —
+        // the same dial knnEdges rides; at every spec SF it evaluates
+        // to the historical 6 bits, oracle hashes unchanged
         val e = t(s, dir, "embeddings")
-          .withColumn("bk", Vectors.signKey(col("embedding"), 6))
+          .withColumn("bk",
+            Vectors.signKey(col("embedding"), corpusSignBits(s, dir)))
         val pairs = cosinePairs(e, "bk")
         val w = Window.partitionBy("bk")
           .orderBy(desc("cos"), asc("va"), asc("vb"))
@@ -1590,10 +1639,9 @@ object LlmData {
           .select(col("bk"), col("rnk"), col("va"), col("vb"), col("cos"))
           .orderBy("bk", "rnk")
       },
-      Some(s"""WITH k AS (SELECT vec_id, embedding,
-              |            array_to_string(list_transform(range(1, 7),
-              |              i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bk
-              |          FROM embeddings),
+      Some(s"""WITH $duckSignBitsCte,
+              |k AS (SELECT vec_id, embedding, ${duckSignKeyN("embedding")} AS bk
+              |      FROM embeddings CROSS JOIN sb),
               |p AS (SELECT a.bk, a.vec_id AS va, b.vec_id AS vb,
               |        ${duckRound(duckCosine("a.embedding", "b.embedding"), 6)} AS cos
               |      FROM k a JOIN k b ON a.bk = b.bk AND a.vec_id < b.vec_id)
@@ -1601,7 +1649,7 @@ object LlmData {
               |  SELECT *, row_number() OVER (
               |    PARTITION BY bk ORDER BY cos DESC, va, vb) AS rnk FROM p)
               |WHERE rnk <= 3 ORDER BY bk, rnk""".stripMargin),
-      "embedding near-dup: sign-LSH bucketed self-join + per-bucket pair ranking"),
+      "embedding near-dup: sign-LSH bucketed self-join on the corpus-width key + per-bucket pair ranking"),
 
     // ── X3f: SemDeDup — semantic dedup inside trained k-means clusters ─
     // Abbas et al. 2023 (SemDeDup): embedding near-dup where the pair
@@ -3166,9 +3214,11 @@ object LlmData {
     // shuffle. Two shuffles total (bucket join, anchor window), both
     // on narrow keys. Honest LSH gap: a vector alone in its bucket
     // gets no edges — x51's hamming-1 multiprobe is the recall dial,
-    // and the same widening applies here unchanged. Bucket fanout at
-    // 100 TB is the x22 banding argument: 2^bits tracks corpus size
-    // so per-bucket candidate lists stay bounded.
+    // and the same widening applies here unchanged. Bucket fanout is
+    // NOT fixed: the key width rides signBitsFor (2^bits ∝ N, derived
+    // from the memoized corpus count, replayed by the oracle's sb
+    // CTE), measured to collapse the fixed-width 15.7× slope into the
+    // linear band (BASELINE.md r9).
     "x83_knn_graph" -> Q(
       (s, dir) => knnEdges(s, dir).orderBy("src", "rnk"),
       Some(s"""WITH $duckKnnEdges

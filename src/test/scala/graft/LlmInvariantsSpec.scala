@@ -663,6 +663,22 @@ class LlmInvariantsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("signBitsFor: occupancy-bounded width, floor at the historical 6 bits") {
+    import graft.operators.LlmData.signBitsFor
+    // floor: every spec-SF corpus stays on 6 bits (oracle hashes fixed)
+    assert(signBitsFor(500) == 6 && signBitsFor(2000) == 6)
+    // boundary: 2^6·125/4 = 2000 is the last 6-bit corpus
+    assert(signBitsFor(2001) == 7)
+    // bench-scale sf1 corpus (20k vectors) needs 10 bits: 2^10·125 ≥ 4N
+    assert(signBitsFor(20000) == 10)
+    // the invariant the dial exists for: expected occupancy ≤ 31.25
+    for (n <- Seq(100L, 3000L, 50000L, 1000000L, 100000000L)) {
+      val b = signBitsFor(n)
+      assert(n.toDouble / (1L << b) <= 31.25, s"occupancy unbounded at $n")
+      assert(b >= 6 && b <= 62)
+    }
+  }
+
   test("x89: coverage curve folds independently; x90 conserves its total") {
     // independent greedy-first-pass fold over the raw (source, fp)
     // pairs — attribution to the best-ranked containing source is the
