@@ -103,10 +103,13 @@ object Bench {
     // first query, not abort before the JSON line the driver parses.
     // NonFatal only — an OutOfMemoryError here means every later number
     // would come from a corrupted JVM; let it kill the run instead.
+    // Tables.load, not a raw fixed-schema read: events' stored ts type
+    // is generation-detected there — declaring the wrong generation
+    // here would error under the guard and silently SKIP warming
+    // events, handing the cold scan back to the first event query.
     sources.Tables.schemas.keys.foreach { name =>
       try {
-        spark.read.schema(sources.Tables.schemas(name))
-          .parquet(s"$sfDir/$name.parquet")
+        sources.Tables.load(spark, sfDir, name)
           .write.format("noop").mode("overwrite").save()
       } catch { case NonFatal(_) => () }
     }

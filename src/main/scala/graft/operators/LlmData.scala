@@ -3372,8 +3372,12 @@ object LlmData {
     // narrow)? Statistic: scaled L1 distance Σ_b |c_sb·T − C_b·n_s| in
     // EXACT integer arithmetic (the x82 trick: both engines bin the
     // identical rounded quality, then every product/sum is integral —
-    // decimal/HUGEINT intermediates so the products survive any corpus
-    // size, final drift cast back to BIGINT). Unobserved bins
+    // decimal/HUGEINT INTERMEDIATES never overflow; the FINAL drift is
+    // cast to BIGINT, which is bounded by 2·T·n_s and therefore exact
+    // through n_s·T ≤ 4.6e18 — a 1e9-doc source in a 4e9-doc corpus.
+    // Past that the cast itself is the limit: emit the decimal
+    // undivided, or normalize to drift/(2·T·n_s) micro-units, before
+    // widening the registered contract). Unobserved bins
     // contribute C_b·n_s without a source×bin grid join:
     // Σ_unobs C_b = T − Σ_obs C_b. Plan: quality computed WITH source
     // in the one scan (no join-back), a (source, bin) micro-agg, then

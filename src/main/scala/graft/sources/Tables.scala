@@ -113,17 +113,27 @@ object Tables {
 
   /** The stored logical type of `ts` in the event files under `path`
     * (a file or a directory of files): one driver-side footer read,
-    * memoized per path — metadata-cheap even at 100 TB, where inferring
-    * the WHOLE schema per query would not be. Generations seen so far:
+    * memoized per (path, mtime) — metadata-cheap even at 100 TB, where
+    * inferring the WHOLE schema per query would not be. The mtime in
+    * the key is the invalidation: the driver has regenerated the
+    * testdata with a DIFFERENT stored type once already, and a
+    * path-only cache would keep declaring the stale generation's
+    * schema over the new file — the silent 1000× misread this
+    * detection exists to prevent. One FS stat per call is cheaper
+    * than the footer read the memo avoids. Generations seen so far:
     * INT64 TIMESTAMP(NANOS) surfaces as LongType (under the session's
     * `nanosAsLong`), TIMESTAMP(MICROS, isAdjustedToUTC=false) as
     * TimestampNTZType, UTC micros (our own sinks) as TimestampType.
     */
   private val tsTypeMemo =
     scala.collection.concurrent.TrieMap.empty[String, DataType]
-  private[graft] def eventsTsType(spark: SparkSession, path: String): DataType =
-    tsTypeMemo.getOrElseUpdate(path,
+  private[graft] def eventsTsType(spark: SparkSession, path: String): DataType = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val key = s"$path@${fs.getFileStatus(p).getModificationTime}"
+    tsTypeMemo.getOrElseUpdate(key,
       spark.read.parquet(path).schema("ts").dataType)
+  }
 
   /** [[eventsRaw]] with `ts` declared as the detected stored type, so
     * the scan never relies on runtime coercion between parquet logical

@@ -29,9 +29,16 @@ object EventStream {
     * additionally need the session's nanosAsLong conf, as in batch. */
   private def readEvents(spark: SparkSession, srcDir: String,
       archiveDir: Option[String]): DataFrame = {
+    // Only schema-inference failure (empty source dir) falls back to
+    // the current driver convention — I/O and permission errors must
+    // propagate, and a NANOS-generation producer writing into a dir
+    // that was empty at start() would be misread under the fallback
+    // (declare the stream against a populated dir, or in the worst
+    // case restart it once files exist; the batch reader always
+    // detects per-file)
     val dt =
       try Tables.eventsTsType(spark, srcDir)
-      catch { case scala.util.control.NonFatal(_) =>
+      catch { case _: org.apache.spark.sql.AnalysisException =>
         org.apache.spark.sql.types.TimestampNTZType }
     val base = spark.readStream.schema(Tables.eventsSchemaFor(dt))
     val withArchive = archiveDir match {
@@ -226,10 +233,14 @@ object EventStream {
     * per-source histogram is scored against a FROZEN reference
     * (bin → count, total) closed over as literals — index-metadata
     * scale (≤ 11 bins), the same driver-bound argument as the trained
-    * centroids. Emits one (source, n_docs, drift, batch_id) row set
-    * per micro-batch, appended with a [[ivfStreamingAppend]]-style
-    * idempotence marker so a replayed batch never double-writes.
-    * Nothing is stateful in-stream (no state store, no watermark):
+    * centroids. Emits one (source, n_docs, drift) row set per
+    * micro-batch into its own `batch_id=<id>` partition directory
+    * with OVERWRITE semantics — a replayed batch (crash after the
+    * write committed, before the skip-marker landed) rewrites the
+    * same deterministic rows into the same directory instead of
+    * double-appending, so idempotence holds without a transactional
+    * table format; the marker only skips recomputation on the happy
+    * path. Nothing is stateful in-stream (no state store, no watermark):
     * the composition monitor a 100 TB ingest runs per drop, off the
     * critical path, with only dimension-sized aggregates ever
     * shuffled. Drift math is ONE definition with the oracle-checked
@@ -257,8 +268,7 @@ object EventStream {
           graft.operators.LlmData
             .sourceDriftAgainst(
               graft.operators.LlmData.sourceBinCounts(batch), cb, tot)
-            .withColumn("batch_id", lit(id))
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
           fs.create(marker, false).close()
         }
       }

@@ -84,10 +84,13 @@ class StreamingSpec extends SparkSpec {
     // the only retained sessions are those of users whose last event
     // lies within the gap of the stream's end
     val gapMicros = 30L * 60 * 1000000
-    val raw = spark.read.parquet(s"$src/events.parquet")
-      // epoch micros regardless of stored generation (UTC session)
-      .select(col("user_id"),
-        expr("unix_micros(cast(ts as timestamp))").as("tsm"))
+    // the generation-detecting loader, not a raw read: ts arrives as
+    // TimestampType micros whatever the stored type (the raw
+    // cast-to-timestamp form would silently misread the retired
+    // nanos-Long generation as SECONDS); the copied stream file is
+    // this same table
+    val raw = graft.sources.Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"))
       .groupBy("user_id").agg(max("tsm").as("last"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val wm = raw.values.max
