@@ -3489,6 +3489,85 @@ object LlmData {
               |    * 1000000) // count(*) AS novelty_micro
               |FROM pairs p JOIN f USING (h)
               |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin),
-      "crawl-order novelty: per-doc first-seen fingerprint fraction in exact micro-units; conservation with x89 pinned in spec")
+      "crawl-order novelty: per-doc first-seen fingerprint fraction in exact micro-units; conservation with x89 pinned in spec"),
+
+    // ── X6z: span-level decontamination scrub (x91) ───────────────────
+    // x39/x79 FLAG contaminated docs; x91 completes the arc (the way
+    // x42 completes PII detection) by REMOVING the overlap instead of
+    // dropping whole documents — the salvage path for long documents
+    // that merely quote an eval item. A corpus token is contaminated
+    // iff SOME positional 3-gram covering it appears in the benchmark
+    // shingle set (same shingle space as x39 — flagged-doc sets are
+    // provably EQUAL, pinned in spec); covered positions are the
+    // 3-token windows of matched gram starts, and the cleaned text is
+    // the kept tokens rejoined in position order. Only changed docs
+    // are emitted. Honest single-pass caveat: removing a span makes
+    // its neighbors adjacent, which can mint a NEW benchmark 3-gram —
+    // production iterates scrub∘flag to a fixpoint (2-3 rounds in
+    // practice); the fixpoint loop is q31's iterate-with-checkpoint
+    // pattern. Plan: positional grams map-side from the one token
+    // scan, benchmark set broadcast (x79's bloom stands in front at
+    // 100 TB), hit positions exploded 3× then distinct — all joins
+    // key-equality on (doc_id, pos).
+    "x91_decontam_scrub" -> Q(
+      (s, dir) => {
+        val (bench, _) = decontamSides(s, dir)
+        val docs = t(s, dir, "documents")
+          .filter(col("doc_id") % 50 =!= 0)
+          .withColumn("tk", Text.tokens(col("text")))
+          .filter(size(col("tk")) >= 3)
+        val grams = docs.select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(col("tk")) - 2),
+            i => concat_ws(" ", element_at(col("tk"), i),
+              element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))
+            .as(Seq("off", "g")))
+        val hits = grams
+          .join(broadcast(bench.withColumnRenamed("s", "g")), "g")
+          .select(col("doc_id"),
+            explode(sequence(col("off") + 1, col("off") + 3)).as("pos"))
+          .distinct()
+        val toks = docs.select(col("doc_id"),
+            posexplode(col("tk")).as(Seq("p0", "tok")))
+          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+        toks
+          .join(hits.select("doc_id").distinct(), "doc_id")
+          .join(hits.withColumn("hit", lit(1)), Seq("doc_id", "pos"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+            array_join(transform(
+              array_sort(collect_list(
+                when(col("hit").isNull, struct(col("pos"), col("tok"))))),
+              x => x.getField("tok")), " ").as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckShingles,
+              |bench AS (SELECT DISTINCT unnest(sh) AS s FROM shs WHERE doc_id % 50 = 0),
+              |pp AS (SELECT unnest(range(1,
+              |         (SELECT max(len(w)) + 1 FROM toks))) AS i),
+              |grams AS (SELECT doc_id, pp.i AS start,
+              |            w[pp.i] || ' ' || w[pp.i+1] || ' ' || w[pp.i+2] AS g
+              |          FROM toks CROSS JOIN pp
+              |          WHERE doc_id % 50 <> 0 AND len(w) >= 3
+              |            AND pp.i <= len(w) - 2),
+              |hits AS (SELECT DISTINCT g.doc_id, g.start + d.d AS pos
+              |         FROM grams g JOIN bench b ON g.g = b.s
+              |         CROSS JOIN (SELECT unnest(range(0, 3)) AS d) d),
+              |tokpos AS (SELECT doc_id, pp.i AS pos, w[pp.i] AS tok
+              |           FROM toks CROSS JOIN pp
+              |           WHERE doc_id % 50 <> 0 AND len(w) >= 3
+              |             AND pp.i <= len(w)),
+              |flag AS (SELECT t.doc_id, t.pos, t.tok,
+              |           h.pos IS NOT NULL AS hit
+              |         FROM tokpos t LEFT JOIN hits h
+              |           ON t.doc_id = h.doc_id AND t.pos = h.pos)
+              |SELECT doc_id, count(*) AS n_tokens,
+              |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+              |  coalesce(string_agg(CASE WHEN NOT hit THEN tok END, ' '
+              |    ORDER BY pos), '') AS clean_text
+              |FROM flag
+              |WHERE doc_id IN (SELECT doc_id FROM hits)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "span-level decontamination scrub: benchmark 3-gram windows removed, kept tokens rejoined in order — the salvage path after x39/x79 flagging")
   )
 }

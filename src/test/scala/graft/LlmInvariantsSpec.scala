@@ -708,6 +708,23 @@ class LlmInvariantsSpec extends SparkSpec {
     assert(novelSum == pairs.map(_._2).distinct.length.toLong)
   }
 
+  test("x91: scrub emits exactly x39's flagged docs; counts and text reconcile") {
+    // same shingle space ⇒ a doc has a removable span iff it is
+    // flagged; token conservation: clean_text carries exactly the
+    // kept tokens in order
+    val flagged = run("x39_decontamination").collect().map(_.getLong(0)).toSet
+    val rows = run("x91_decontam_scrub").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSet == flagged,
+      "scrubbed docs must be exactly the x39-flagged set")
+    rows.foreach { case (d, nt, nr, txt) =>
+      assert(nr >= 3 && nr <= nt, s"doc $d: one hit covers a 3-token window")
+      val kept = if (txt.isEmpty) 0 else txt.split(" ").length
+      assert(kept == nt - nr, s"doc $d: clean text must carry exactly the kept tokens")
+    }
+  }
+
   test("x90: novelty profile is well-formed; the earliest doc is fully novel") {
     val rows = run("x90_novelty_profile").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
