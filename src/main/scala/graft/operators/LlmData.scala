@@ -3491,6 +3491,9 @@ object LlmData {
               |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin),
       "crawl-order novelty: per-doc first-seen fingerprint fraction in exact micro-units; conservation with x89 pinned in spec"),
 
+    // ── shared scrub core (x91 decontamination / x92 dup-span) ────────
+    // see [[scrubWindows]] / [[positionalGrams]] below the map
+
     // ── X6z: span-level decontamination scrub (x91) ───────────────────
     // x39/x79 FLAG contaminated docs; x91 completes the arc (the way
     // x42 completes PII detection) by REMOVING the overlap instead of
@@ -3512,34 +3515,12 @@ object LlmData {
     "x91_decontam_scrub" -> Q(
       (s, dir) => {
         val (bench, _) = decontamSides(s, dir)
-        val docs = t(s, dir, "documents")
+        val docs = tokenizedDocs(s, dir, minTokens = 3)
           .filter(col("doc_id") % 50 =!= 0)
-          .withColumn("tk", Text.tokens(col("text")))
-          .filter(size(col("tk")) >= 3)
-        val grams = docs.select(col("doc_id"),
-          posexplode(transform(sequence(lit(1), size(col("tk")) - 2),
-            i => concat_ws(" ", element_at(col("tk"), i),
-              element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))
-            .as(Seq("off", "g")))
-        val hits = grams
+        val badStarts = positionalGrams(docs, 3)
           .join(broadcast(bench.withColumnRenamed("s", "g")), "g")
-          .select(col("doc_id"),
-            explode(sequence(col("off") + 1, col("off") + 3)).as("pos"))
-          .distinct()
-        val toks = docs.select(col("doc_id"),
-            posexplode(col("tk")).as(Seq("p0", "tok")))
-          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
-        toks
-          .join(hits.select("doc_id").distinct(), "doc_id")
-          .join(hits.withColumn("hit", lit(1)), Seq("doc_id", "pos"), "left")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"),
-            sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_removed"),
-            array_join(transform(
-              array_sort(collect_list(
-                when(col("hit").isNull, struct(col("pos"), col("tok"))))),
-              x => x.getField("tok")), " ").as("clean_text"))
-          .orderBy("doc_id")
+          .select("doc_id", "off")
+        scrubWindows(docs, badStarts, 3)
       },
       Some(s"""WITH $duckShingles,
               |bench AS (SELECT DISTINCT unnest(sh) AS s FROM shs WHERE doc_id % 50 = 0),
@@ -3568,6 +3549,103 @@ object LlmData {
               |FROM flag
               |WHERE doc_id IN (SELECT doc_id FROM hits)
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      "span-level decontamination scrub: benchmark 3-gram windows removed, kept tokens rejoined in order — the salvage path after x39/x79 flagging")
+      "span-level decontamination scrub: benchmark 3-gram windows removed, kept tokens rejoined in order — the salvage path after x39/x79 flagging"),
+
+    // ── X6aa: cross-doc duplicate-span scrub (x92) ────────────────────
+    // Exact-substring dedup with KEEP-FIRST semantics (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better"): a
+    // positional 10-gram is removed from every doc EXCEPT the one
+    // where it first occurred (min doc_id — the same first-seen
+    // attribution as x90), so one copy of every span survives where a
+    // symmetric rule would delete both. x49 SCORES this duplication;
+    // x92 is the transform. Same scrub core as x91 — one window
+    // semantics for both scrubbers. Intra-doc repeats are untouched by
+    // design (the first doc IS the keeper for its own repeats; x43
+    // scores those). Plan: the first-occurrence agg and the back-join
+    // are both gram-keyed narrow shuffles, 1:1 per occurrence — no
+    // pair join, so no hot-gram fanout and no df-cap needed (the x49
+    // cap exists for its PAIR join, not this shape).
+    "x92_dupspan_scrub" -> Q(
+      (s, dir) => {
+        val docs = tokenizedDocs(s, dir, minTokens = 10)
+        val grams = positionalGrams(docs, 10)
+        val first = grams.groupBy("g").agg(min("doc_id").as("fd"))
+        val badStarts = grams.join(first, "g")
+          .filter(col("doc_id") > col("fd"))
+          .select("doc_id", "off")
+        scrubWindows(docs, badStarts, 10)
+      },
+      Some {
+        val gram10 = (0 until 10).map(d => s"w[pp.i+$d]").mkString(" || ' ' || ")
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |pp AS (SELECT unnest(range(1,
+           |         (SELECT max(len(w)) + 1 FROM toks))) AS i),
+           |grams AS (SELECT doc_id, pp.i AS start, $gram10 AS g
+           |          FROM toks CROSS JOIN pp
+           |          WHERE len(w) >= 10 AND pp.i <= len(w) - 9),
+           |f AS (SELECT g, min(doc_id) AS fd FROM grams GROUP BY g),
+           |hits AS (SELECT DISTINCT gr.doc_id, gr.start + d.d AS pos
+           |         FROM grams gr JOIN f ON gr.g = f.g AND gr.doc_id > f.fd
+           |         CROSS JOIN (SELECT unnest(range(0, 10)) AS d) d),
+           |tokpos AS (SELECT doc_id, pp.i AS pos, w[pp.i] AS tok
+           |           FROM toks CROSS JOIN pp
+           |           WHERE len(w) >= 10 AND pp.i <= len(w)),
+           |flag AS (SELECT t.doc_id, t.pos, t.tok,
+           |           h.pos IS NOT NULL AS hit
+           |         FROM tokpos t LEFT JOIN hits h
+           |           ON t.doc_id = h.doc_id AND t.pos = h.pos)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           |  coalesce(string_agg(CASE WHEN NOT hit THEN tok END, ' '
+           |    ORDER BY pos), '') AS clean_text
+           |FROM flag
+           |WHERE doc_id IN (SELECT doc_id FROM hits)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+      "cross-doc duplicate-span scrub, keep-first: 10-gram windows removed from every doc but their first occurrence — x49's score turned into the transform")
   )
+
+  /** docs with `tk`, at least `minTokens` tokens — the scrub family's
+    * shared corpus staging. */
+  private def tokenizedDocs(s: SparkSession, dir: String, minTokens: Int): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("tk", Text.tokens(col("text")))
+      .filter(size(col("tk")) >= minTokens)
+
+  /** Positional `w`-grams (doc_id, off, g), off 0-based from
+    * posexplode so start = off + 1 in 1-based token positions —
+    * shared by x91 (benchmark membership decides badness) and x92
+    * (first-occurrence attribution decides). */
+  private def positionalGrams(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(1), size(col("tk")) - (w - 1)),
+        i => concat_ws(" ", (0 until w).map(d =>
+          element_at(col("tk"), i + d)): _*)))
+        .as(Seq("off", "g")))
+
+  /** Window-scrub core shared by x91/x92: explode each bad start's
+    * `w`-token window to covered positions, anti-mark tokens, rebuild
+    * the kept text in position order, emit CHANGED docs only. One
+    * definition, so the two scrubbers can never disagree on window
+    * coverage or reconstruction. */
+  private def scrubWindows(docs: DataFrame, badStarts: DataFrame, w: Int): DataFrame = {
+    val hits = badStarts
+      .select(col("doc_id"),
+        explode(sequence(col("off") + 1, col("off") + lit(w))).as("pos"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+        posexplode(col("tk")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    toks
+      .join(hits.select("doc_id").distinct(), "doc_id")
+      .join(hits.withColumn("hit", lit(1)), Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("hit").isNull, struct(col("pos"), col("tok"))))),
+          x => x.getField("tok")), " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

@@ -725,6 +725,25 @@ class LlmInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("x92: keep-first dup-span scrub — the earliest long doc survives untouched") {
+    val rows = run("x92_dupspan_scrub").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty, "the corpus plants near-dup copies; spans must be found")
+    // the earliest >=10-token doc is first for every gram it contains,
+    // so keep-first can never emit it
+    import org.apache.spark.sql.functions.{col, size, split, min}
+    val earliestLong = graft.sources.Tables.load(spark, sf0001, "documents")
+      .filter(size(split(col("text"), " ")) >= 10)
+      .agg(min("doc_id")).collect()(0).getLong(0)
+    assert(!rows.map(_._1).contains(earliestLong),
+      "keep-first must leave the first occurrence intact")
+    rows.foreach { case (d, nt, nr, txt) =>
+      assert(nr >= 10 && nr <= nt, s"doc $d: one bad start covers a 10-token window")
+      val kept = if (txt.isEmpty) 0 else txt.split(" ").length
+      assert(kept == nt - nr, s"doc $d: clean text must carry exactly the kept tokens")
+    }
+  }
+
   test("x90: novelty profile is well-formed; the earliest doc is fully novel") {
     val rows = run("x90_novelty_profile").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
