@@ -250,8 +250,19 @@ object LlmData {
     * [[duckIvfChainKN]]). */
   private[operators] def corpusK(s: SparkSession, dir: String): Int =
     corpusKMemo.acquire(s)(TrieMap.empty[String, Int])
-      .getOrElseUpdate(dir,
+      .getOrElseUpdate(countStamp(s, dir),
         math.max(16L, t(s, dir, "embeddings").count() / 125L).toInt)
+
+  /** Memo key for corpus-count-derived dials (corpusK, corpusSignBits):
+    * the embeddings file's mtime+length stamp, so a regenerated corpus
+    * re-derives instead of serving a stale width while the oracle's
+    * live count(*) CTE sees the new file — the Spark-vs-oracle drift
+    * class the tsTypeMemo stamp exists to prevent. Falls back to the
+    * bare dir if the file is not statable (the count itself will then
+    * fail with the real error). */
+  private def countStamp(s: SparkSession, dir: String): String =
+    try graft.sources.Tables.fileStamp(s, s"$dir/embeddings.parquet")
+    catch { case scala.util.control.NonFatal(_) => dir }
 
   private lazy val corpusKMemo = new SessionRegistry[TrieMap[String, Int]]
 
@@ -1080,7 +1091,8 @@ object LlmData {
 
   private[operators] def corpusSignBits(s: SparkSession, dir: String): Int =
     signBitsMemo.acquire(s)(TrieMap.empty[String, Int])
-      .getOrElseUpdate(dir, signBitsFor(t(s, dir, "embeddings").count()))
+      .getOrElseUpdate(countStamp(s, dir),
+        signBitsFor(t(s, dir, "embeddings").count()))
 
   private lazy val signBitsMemo = new SessionRegistry[TrieMap[String, Int]]
 
@@ -3568,9 +3580,13 @@ object LlmData {
     "x92_dupspan_scrub" -> Q(
       (s, dir) => {
         val docs = tokenizedDocs(s, dir, minTokens = 10)
-        val grams = positionalGrams(docs, 10)
-        val first = grams.groupBy("g").agg(min("doc_id").as("fd"))
-        val badStarts = grams.join(first, "g")
+        // first-occurrence via a gram-partitioned window, not
+        // agg+join-back: the 10-way concat over the exploded token
+        // stream is the dominant cost and a self-join would evaluate
+        // it twice (the two sides' exchanges don't unify)
+        val wf = Window.partitionBy("g")
+        val badStarts = positionalGrams(docs, 10)
+          .withColumn("fd", min("doc_id").over(wf))
           .filter(col("doc_id") > col("fd"))
           .select("doc_id", "off")
         scrubWindows(docs, badStarts, 10)

@@ -125,15 +125,24 @@ object Tables {
     * `nanosAsLong`), TIMESTAMP(MICROS, isAdjustedToUTC=false) as
     * TimestampNTZType, UTC micros (our own sinks) as TimestampType.
     */
+  /** Invalidation stamp for a detected-file memo: mtime + length.
+    * Honest residual hole: replacing a part-file IN PLACE inside a
+    * directory (same name, same total dir mtime) or regenerating
+    * within one mtime tick defeats it — none of our producers do
+    * either (testdata lands as whole-file renames; sinks append new
+    * files, which touches the dir) — and the stamp costs one metadata
+    * stat where the memoized work costs a footer read or a count job. */
+  private[graft] def fileStamp(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val st = p.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(p)
+    s"$path@${st.getModificationTime}:${st.getLen}"
+  }
+
   private val tsTypeMemo =
     scala.collection.concurrent.TrieMap.empty[String, DataType]
-  private[graft] def eventsTsType(spark: SparkSession, path: String): DataType = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val key = s"$path@${fs.getFileStatus(p).getModificationTime}"
-    tsTypeMemo.getOrElseUpdate(key,
+  private[graft] def eventsTsType(spark: SparkSession, path: String): DataType =
+    tsTypeMemo.getOrElseUpdate(fileStamp(spark, path),
       spark.read.parquet(path).schema("ts").dataType)
-  }
 
   /** [[eventsRaw]] with `ts` declared as the detected stored type, so
     * the scan never relies on runtime coercion between parquet logical

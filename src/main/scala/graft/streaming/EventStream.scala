@@ -36,10 +36,17 @@ object EventStream {
     // (declare the stream against a populated dir, or in the worst
     // case restart it once files exist; the batch reader always
     // detects per-file)
+    // missing dir surfaces as FileNotFoundException (from the stat
+    // inside eventsTsType), empty dir as AnalysisException (schema
+    // inference) — both are the documented fallback; everything else
+    // (permissions, I/O) propagates
     val dt =
       try Tables.eventsTsType(spark, srcDir)
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        org.apache.spark.sql.types.TimestampNTZType }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException |
+            _: java.io.FileNotFoundException =>
+          org.apache.spark.sql.types.TimestampNTZType
+      }
     val base = spark.readStream.schema(Tables.eventsSchemaFor(dt))
     val withArchive = archiveDir match {
       // ST3: consumed files move aside once processed — the streaming
@@ -268,6 +275,11 @@ object EventStream {
           graft.operators.LlmData
             .sourceDriftAgainst(
               graft.operators.LlmData.sourceBinCounts(batch), cb, tot)
+            // batch_id kept as a PHYSICAL LongType column (file values
+            // take precedence over the partition-inferred IntegerType
+            // on read), so consumers see a stable type whether they
+            // read the root or one batch directory
+            .withColumn("batch_id", lit(id))
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
           fs.create(marker, false).close()
         }
