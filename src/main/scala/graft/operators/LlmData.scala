@@ -1059,6 +1059,16 @@ object LlmData {
       .join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
       .select(col("source"), explode(col("hs")).as("h"))
 
+  /** Memoized persisted distinct (source, fp) set — x85 reads it three
+    * times in one plan (per-source totals + both self-join sides) and
+    * x89 twice more (rank sizes + attribution); without the persist
+    * each consumer re-runs the md5+explode+distinct pipeline. Same
+    * lifecycle as [[minhashHashed]] (released by clearMemo). */
+  private[operators] def sourceFps(s: SparkSession, dir: String): DataFrame =
+    memoized(s, "x85-fps", dir) {
+      sourceHashRows(s, dir).distinct().persist()
+    }
+
   /** DuckDB twin of [[sourceHashRows]]: extends the x22 oracle chain
     * (same `hsd`) with `hh(source, h)`. Unreferenced CTEs from the
     * base chain (sig/bands/cand) are never materialized by DuckDB, so
@@ -3277,7 +3287,7 @@ object LlmData {
     // sketch twin that removes even that shuffle.
     "x85_source_overlap" -> Q(
       (s, dir) => {
-        val fps = sourceHashRows(s, dir).distinct()
+        val fps = sourceFps(s, dir)
         val n = fps.groupBy("source").agg(count(lit(1)).as("nfp"))
         fps.as("a").join(fps.as("b"),
             col("a.h") === col("b.h") && col("a.source") < col("b.source"))
@@ -3435,7 +3445,7 @@ object LlmData {
     // spec).
     "x89_coverage_curve" -> Q(
       (s, dir) => {
-        val fps = sourceHashRows(s, dir).distinct()
+        val fps = sourceFps(s, dir)
         val n = fps.groupBy("source").agg(count(lit(1)).as("nfp"))
         val rk = n.withColumn("rk",
           row_number().over(Window.orderBy(desc("nfp"), asc("source"))))
@@ -3479,11 +3489,14 @@ object LlmData {
     // narrow-key shuffles, fanout 1:1 on the join.
     "x90_novelty_profile" -> Q(
       (s, dir) => {
+        // first-seen via a fingerprint-partitioned window (the x92
+        // trick): one scan of the pair pipeline instead of an
+        // agg + join-back that evaluates it twice
         val pairs = minhashHashed(s, dir)
           .select(col("doc_id"), explode(col("hs")).as("h"))
           .distinct()
-        val first = pairs.groupBy("h").agg(min("doc_id").as("fd"))
-        pairs.join(first, "h")
+        pairs
+          .withColumn("fd", min("doc_id").over(Window.partitionBy("h")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_fp"),
             sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
