@@ -3631,8 +3631,50 @@ object LlmData {
            |WHERE doc_id IN (SELECT doc_id FROM hits)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
-      "cross-doc duplicate-span scrub, keep-first: 10-gram windows removed from every doc but their first occurrence — x49's score turned into the transform")
+      "cross-doc duplicate-span scrub, keep-first: 10-gram windows removed from every doc but their first occurrence — x49's score turned into the transform"),
+
+    // ── X6ab: mixture-composition drift (x93) ─────────────────────────
+    // The mixture family's monitoring leg: x53 plans the budget, x78
+    // orders the stream, x82 derives weights — x93 watches the
+    // REALIZED composition: each language's share of the corpus in
+    // exact integer micro-units against the frozen training-mixture
+    // targets (ONE weight definition: mixtureWeights /
+    // duckMixtureWeights). Langs outside the mixture carry target 0,
+    // so scope creep surfaces as drift instead of vanishing in a join.
+    // Plan: one metadata-cheap lang agg, broadcast weights, single-row
+    // total — dimension-sized everything. EventStream.mixtureDriftGate
+    // runs the same scorer per ingest micro-batch.
+    "x93_mixture_drift" -> Q(
+      (s, dir) => mixtureShareDrift(t(s, dir, "documents")),
+      Some(s"""WITH $duckMixtureWeights,
+              |n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+              |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM n)
+              |SELECT n.lang, n.n_docs,
+              |  (n.n_docs * 1000000) // tot.t AS share_micro,
+              |  coalesce(w.w_micro, 0) AS w_micro,
+              |  abs((n.n_docs * 1000000) // tot.t - coalesce(w.w_micro, 0))
+              |    AS drift_micro
+              |FROM n LEFT JOIN w USING (lang) CROSS JOIN tot
+              |ORDER BY drift_micro DESC, lang""".stripMargin),
+      "realized-vs-target mixture composition in exact micro-units; the batch twin of the streaming mixture-drift gate")
   )
+
+  /** x93's scorer — also the per-batch function of
+    * EventStream.mixtureDriftGate, so the registered query and the
+    * stream score with ONE definition. */
+  private[graft] def mixtureShareDrift(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val n = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val tot = n.agg(sum("n_docs").as("t"))
+    n.join(broadcast(mixtureWeights.toDF("lang", "w_micro")), Seq("lang"), "left")
+      .na.fill(0L, Seq("w_micro"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_micro", expr("(n_docs * 1000000) div t"))
+      .withColumn("drift_micro", abs(col("share_micro") - col("w_micro")))
+      .select("lang", "n_docs", "share_micro", "w_micro", "drift_micro")
+      .orderBy(desc("drift_micro"), asc("lang"))
+  }
 
   /** docs with `tk`, at least `minTokens` tokens — the scrub family's
     * shared corpus staging. */

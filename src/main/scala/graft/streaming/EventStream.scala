@@ -255,7 +255,44 @@ object EventStream {
   def qualityDriftGate(spark: SparkSession, srcDir: String,
       checkpointDir: String, outDir: String,
       refBins: Seq[(Long, Long)], refTotal: Long,
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1): StreamingQuery =
+    perBatchGate(spark, srcDir, checkpointDir, outDir,
+      maxFilesPerTrigger) { batch =>
+      val s = batch.sparkSession
+      import s.implicits._
+      graft.operators.LlmData.sourceDriftAgainst(
+        graft.operators.LlmData.sourceBinCounts(batch),
+        refBins.toDF("bin", "cb"), Seq(refTotal).toDF("t"))
+    }
+
+  /** Streaming twin of x93 — mixture-composition drift of each
+    * micro-batch against the frozen training-mixture targets (ONE
+    * weight definition with x53/x78/x93: `LlmData.mixtureShareDrift`).
+    * Completes the mixture family's monitoring leg: x53 plans the
+    * budget, x78 orders the stream, x82 derives weights, x93/this
+    * gate watch the realized composition per ingest drop. */
+  def mixtureDriftGate(spark: SparkSession, srcDir: String,
+      checkpointDir: String, outDir: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery =
+    perBatchGate(spark, srcDir, checkpointDir, outDir,
+      maxFilesPerTrigger)(graft.operators.LlmData.mixtureShareDrift)
+
+  /** The per-batch monitor delivery contract shared by
+    * [[qualityDriftGate]] and [[mixtureDriftGate]]: documents arrive
+    * as files, each micro-batch is scored by a pure
+    * DataFrame→DataFrame function (dimension-sized output), and the
+    * result lands in its own `batch_id=<id>` directory with OVERWRITE
+    * semantics — a replayed batch (crash after the write committed,
+    * before the skip-marker) rewrites identical rows instead of
+    * double-appending, so idempotence holds on plain parquet; the
+    * marker only skips recomputation. Stateless in-stream (no state
+    * store, no watermark). batch_id is kept as a PHYSICAL LongType
+    * column (file values take precedence over the partition-inferred
+    * IntegerType on read), so consumers see a stable type whether
+    * they read the root or one batch directory. */
+  private def perBatchGate(spark: SparkSession, srcDir: String,
+      checkpointDir: String, outDir: String, maxFilesPerTrigger: Int)(
+      score: DataFrame => DataFrame): StreamingQuery = {
     val docs = spark.readStream
       .schema(Tables.schemas("documents"))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -269,16 +306,7 @@ object EventStream {
           s"$checkpointDir/graft-applied/$id")
         val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
         if (!fs.exists(marker)) {
-          import s.implicits._
-          val cb = refBins.toDF("bin", "cb")
-          val tot = Seq(refTotal).toDF("t")
-          graft.operators.LlmData
-            .sourceDriftAgainst(
-              graft.operators.LlmData.sourceBinCounts(batch), cb, tot)
-            // batch_id kept as a PHYSICAL LongType column (file values
-            // take precedence over the partition-inferred IntegerType
-            // on read), so consumers see a stable type whether they
-            // read the root or one batch directory
+          score(batch)
             .withColumn("batch_id", lit(id))
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
           fs.create(marker, false).close()

@@ -457,6 +457,46 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == before)
   }
 
+  test("mixture-drift gate scores each batch like x93, across restarts") {
+    import graft.operators.LlmData
+    val src = tmp("mdrift-src"); val out = tmp("mdrift-out"); val ckpt = tmp("mdrift-ckpt")
+    val docsFile = Paths.get(s"$sf0001/documents.parquet")
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+
+    def row5(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+    // batch 0 = the whole corpus: gate output ≡ the registered x93
+    Files.copy(docsFile, Paths.get(src, "drop_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    EventStream.mixtureDriftGate(spark, src, ckpt, out).awaitTermination()
+    val cols = Seq("lang", "n_docs", "share_micro", "w_micro", "drift_micro")
+    assert(row5(spark.read.parquet(out).select(cols.map(col): _*))
+      == row5(SparkEntry.queries("x93_mixture_drift")(spark, sf0001)))
+
+    // batch 1 = a single-lang slice: 100% share of its batch, scored
+    // by the same shared scorer
+    val oneLang = docs.select("lang").orderBy("lang").head().getString(0)
+    val slice = docs.filter(col("lang") === oneLang)
+    val stage = tmp("mdrift-stage")
+    slice.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+      .map(Paths.get(_)).find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, Paths.get(src, "drop_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    EventStream.mixtureDriftGate(spark, src, ckpt, out).awaitTermination()
+    val second = spark.read.parquet(out).filter(col("batch_id") === 1)
+    assert(row5(second.select(cols.map(col): _*))
+      == row5(LlmData.mixtureShareDrift(slice)))
+    assert(second.count() == 1 &&
+      second.head().getAs[Long]("share_micro") == 1000000L,
+      "a single-lang batch is 100% that lang")
+
+    // restart with nothing new appends nothing
+    val before = spark.read.parquet(out).count()
+    EventStream.mixtureDriftGate(spark, src, ckpt, out).awaitTermination()
+    assert(spark.read.parquet(out).count() == before)
+  }
+
   test("streamed PQ code append equals the batch x75 table and is restart-durable") {
     // the PQ half of the streamed maintenance loop: same delivery
     // contract as the IVF test above, different payload (frozen-
