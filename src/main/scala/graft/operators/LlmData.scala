@@ -3480,13 +3480,14 @@ object LlmData {
     // The per-document novelty signal curriculum schedulers and
     // incremental-crawl audits read: in arrival order (doc_id), what
     // fraction of a doc's fingerprints has never been seen before?
-    // First-seen attribution is min(doc_id) per fingerprint — one
-    // narrow groupBy — then a fingerprint-keyed join back and a
-    // per-doc fold; novelty is exact integer micro-units (no double
-    // division crosses the oracle). Every fingerprint is novel exactly
-    // once, so Σ n_novel = |distinct fps| = x89's final cumulative —
-    // the cross-family conservation the spec pins. Linear: two
-    // narrow-key shuffles, fanout 1:1 on the join.
+    // First-seen attribution is min(doc_id) over a
+    // fingerprint-partitioned window (no join-back — the oracle's
+    // agg+join formulation is the same relation), then a per-doc
+    // fold; novelty is exact integer micro-units (no double division
+    // crosses the oracle). Every fingerprint is novel exactly once,
+    // so Σ n_novel = |distinct fps| = x89's final cumulative — the
+    // cross-family conservation the spec pins. Linear: one
+    // fingerprint shuffle for the window, one doc-keyed fold.
     "x90_novelty_profile" -> Q(
       (s, dir) => {
         // first-seen via a fingerprint-partitioned window (the x92
@@ -3648,14 +3649,15 @@ object LlmData {
       (s, dir) => mixtureShareDrift(t(s, dir, "documents")),
       Some(s"""WITH $duckMixtureWeights,
               |n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
-              |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM n)
-              |SELECT n.lang, n.n_docs,
-              |  (n.n_docs * 1000000) // tot.t AS share_micro,
-              |  coalesce(w.w_micro, 0) AS w_micro,
-              |  abs((n.n_docs * 1000000) // tot.t - coalesce(w.w_micro, 0))
-              |    AS drift_micro
-              |FROM n LEFT JOIN w USING (lang) CROSS JOIN tot
-              |ORDER BY drift_micro DESC, lang""".stripMargin),
+              |j AS (SELECT lang, CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+              |        coalesce(w_micro, 0) AS w_micro
+              |      FROM n FULL JOIN w USING (lang)),
+              |sj AS (SELECT lang, n_docs, w_micro,
+              |         CAST(sum(n_docs) OVER () AS BIGINT) AS t FROM j)
+              |SELECT lang, n_docs,
+              |  (n_docs * 1000000) // greatest(t, 1) AS share_micro, w_micro,
+              |  abs((n_docs * 1000000) // greatest(t, 1) - w_micro) AS drift_micro
+              |FROM sj ORDER BY drift_micro DESC, lang""".stripMargin),
       "realized-vs-target mixture composition in exact micro-units; the batch twin of the streaming mixture-drift gate")
   )
 
@@ -3666,11 +3668,24 @@ object LlmData {
     val s = docs.sparkSession
     import s.implicits._
     val n = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-    val tot = n.agg(sum("n_docs").as("t"))
-    n.join(broadcast(mixtureWeights.toDF("lang", "w_micro")), Seq("lang"), "left")
+    val w = mixtureWeights.toDF("lang", "w_micro")
+    // SEEDED from the weight table: a target language that produced
+    // ZERO documents must still emit a row (n_docs 0, drift = its
+    // whole target) — a planned language vanishing is the single most
+    // severe composition failure, and an observed-langs-only join
+    // would silently drop it. The anti-join arm adds exactly the
+    // missing targets; both arms broadcast the dimension-sized side.
+    val seeded = n.join(broadcast(w), Seq("lang"), "left")
       .na.fill(0L, Seq("w_micro"))
-      .crossJoin(broadcast(tot))
-      .withColumn("share_micro", expr("(n_docs * 1000000) div t"))
+      .unionByName(w.join(n.select("lang"), Seq("lang"), "left_anti")
+        .withColumn("n_docs", lit(0L)))
+    // grand total as a window over the seeded rows (≤ langs + targets,
+    // post-aggregation — the bounded-spine shape the plan sweep
+    // admits): one scan of the corpus instead of a separate total
+    // aggregate re-running the lang groupBy
+    seeded
+      .withColumn("t", sum("n_docs").over(Window.partitionBy()))
+      .withColumn("share_micro", expr("(n_docs * 1000000) div greatest(t, 1)"))
       .withColumn("drift_micro", abs(col("share_micro") - col("w_micro")))
       .select("lang", "n_docs", "share_micro", "w_micro", "drift_micro")
       .orderBy(desc("drift_micro"), asc("lang"))

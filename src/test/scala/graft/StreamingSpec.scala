@@ -14,6 +14,16 @@ class StreamingSpec extends SparkSpec {
   private def tmp(name: String): String =
     graft.io.TempDirs.scratch(s"graft-$name")
 
+  /** The single part-file of a one-partition staged write, with the
+    * directory stream CLOSED (Files.list leaks the handle if only
+    * consumed via toArray). */
+  private def firstParquet(stage: String): java.nio.file.Path = {
+    val s = Files.list(Paths.get(stage))
+    try s.toArray.map(_.toString).map(Paths.get(_))
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    finally s.close()
+  }
+
   test("dedup ingest: duplicate deliveries collapse, second run is incremental") {
     val src = tmp("stream-src"); val out = tmp("stream-out"); val ckpt = tmp("stream-ckpt")
     // the same file delivered twice = every event duplicated
@@ -40,8 +50,7 @@ class StreamingSpec extends SparkSpec {
       // and any future LTZ generation both take intervals directly)
       .withColumn("ts", col("ts") + expr("INTERVAL 60 DAYS"))
       .coalesce(1).write.mode("overwrite").parquet(stage)
-    val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
-      .map(Paths.get(_)).find(_.getFileName.toString.endsWith(".parquet")).get
+    val part = firstParquet(stage)
     Files.copy(part, Paths.get(src, "events_c.parquet"), StandardCopyOption.REPLACE_EXISTING)
     EventStream.dedupIngest(spark, src, ckpt, out).awaitTermination()
     val afterSecond = spark.read.parquet(out)
@@ -140,8 +149,7 @@ class StreamingSpec extends SparkSpec {
       .withColumn("doc_id", col("doc_id") + 1000000L)
       .withColumn("text", concat(col("text"), lit(" entirely new tail")))
       .coalesce(1).write.mode("overwrite").parquet(stage)
-    val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
-      .map(Paths.get(_)).find(_.getFileName.toString.endsWith(".parquet")).get
+    val part = firstParquet(stage)
     Files.copy(docsFile, Paths.get(src, "crawl_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
     Files.copy(part, Paths.get(src, "crawl_c.parquet"), StandardCopyOption.REPLACE_EXISTING)
     EventStream.corpusDedupIngest(spark, src, ckpt, out).awaitTermination()
@@ -169,8 +177,7 @@ class StreamingSpec extends SparkSpec {
       .withColumn("doc_id", col("doc_id") + 2000000L)
       .withColumn("text", concat(col("text"), lit(" second new tail")))
       .coalesce(1).write.mode("overwrite").parquet(stage2)
-    val part2 = Files.list(Paths.get(stage2)).toArray.map(_.toString)
-      .map(Paths.get(_)).find(_.getFileName.toString.endsWith(".parquet")).get
+    val part2 = firstParquet(stage2)
     Files.copy(part2, Paths.get(src2, "crawl_d.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
     EventStream.corpusDedupIngest(spark, src2, ckpt2, out2, Some(fpDir))
@@ -436,8 +443,7 @@ class StreamingSpec extends SparkSpec {
     val slice = docs.filter(col("source") === oneSource)
     val stage = tmp("qdrift-stage")
     slice.coalesce(1).write.mode("overwrite").parquet(stage)
-    val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
-      .map(Paths.get(_)).find(_.getFileName.toString.endsWith(".parquet")).get
+    val part = firstParquet(stage)
     Files.copy(part, Paths.get(src, "drop_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
     EventStream.qualityDriftGate(spark, src, ckpt, out, refBins, refTotal)
       .awaitTermination()
@@ -474,22 +480,29 @@ class StreamingSpec extends SparkSpec {
     assert(row5(spark.read.parquet(out).select(cols.map(col): _*))
       == row5(SparkEntry.queries("x93_mixture_drift")(spark, sf0001)))
 
-    // batch 1 = a single-lang slice: 100% share of its batch, scored
-    // by the same shared scorer
+    // batch 1 = a single-lang slice: 100% share for it, and every
+    // OTHER target language must still surface with its whole target
+    // as drift — a planned language vanishing is the failure the
+    // seeded scorer exists to report
     val oneLang = docs.select("lang").orderBy("lang").head().getString(0)
     val slice = docs.filter(col("lang") === oneLang)
     val stage = tmp("mdrift-stage")
     slice.coalesce(1).write.mode("overwrite").parquet(stage)
-    val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
-      .map(Paths.get(_)).find(_.getFileName.toString.endsWith(".parquet")).get
-    Files.copy(part, Paths.get(src, "drop_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(firstParquet(stage), Paths.get(src, "drop_b.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
     EventStream.mixtureDriftGate(spark, src, ckpt, out).awaitTermination()
     val second = spark.read.parquet(out).filter(col("batch_id") === 1)
     assert(row5(second.select(cols.map(col): _*))
       == row5(LlmData.mixtureShareDrift(slice)))
-    assert(second.count() == 1 &&
-      second.head().getAs[Long]("share_micro") == 1000000L,
+    assert(second.filter(col("lang") === oneLang)
+      .head().getAs[Long]("share_micro") == 1000000L,
       "a single-lang batch is 100% that lang")
+    val vanished = second.filter(col("lang") =!= oneLang).collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("w_micro"),
+        r.getAs[Long]("drift_micro")))
+    assert(vanished.nonEmpty, "the other mixture targets must still report")
+    assert(vanished.forall { case (nd, w, d) => nd == 0L && d == w },
+      "a vanished target's drift is its entire target share")
 
     // restart with nothing new appends nothing
     val before = spark.read.parquet(out).count()
