@@ -369,8 +369,8 @@ class PlanAuditSpec extends SparkSpec {
     // group cardinality, e.g. q02's 5-row pct-of-total); over a scan-
     // sized input it is a defect (the r9 q39 rewrite removed the one
     // instance: exact ntile via bin-partitioned ranks + offsets).
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, OneRowRelation, Range => LRange, Window => LWindow}
-    import org.apache.spark.sql.catalyst.plans.{LeftOuter, RightOuter}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, OneRowRelation, Union, Range => LRange, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
     // bounded input = the window's direct input SPINE proves bounded
     // cardinality: an Aggregate (group cardinality), a Limit (top-k
     // heap, x64's rank-of-50), or a driver-declared relation
@@ -400,8 +400,16 @@ class PlanAuditSpec extends SparkSpec {
       case r: LRange => smallRange(r)
       case _: LocalRelation | _: OneRowRelation => true
       case g: Generate => driverDeclared(g.child)
-      case j: Join if j.joinType == LeftOuter || j.joinType == RightOuter =>
+      // multiplicity-sound join rules: inner/outer output ≤ product
+      // (bounded × bounded = bounded); semi/anti output ≤ left rows
+      case j: Join if j.joinType == Inner || j.joinType == LeftOuter ||
+          j.joinType == RightOuter || j.joinType == FullOuter =>
         boundedBelow(j.left) && boundedBelow(j.right)
+      case j: Join if j.joinType == LeftSemi || j.joinType == LeftAnti =>
+        boundedBelow(j.left)
+      // a union of bounded arms is bounded (x93's seeded frame:
+      // observed-langs aggregate unioned with the anti-joined targets)
+      case un: Union => un.children.forall(boundedBelow)
       case u if u.children.size == 1 => boundedBelow(u.children.head)
       case _ => false
     }
