@@ -963,10 +963,12 @@ object Relational {
     * DuckDB twin (three chained CTEs) replays the loop exactly. A
     * float PageRank would hash-mismatch on accumulation order alone.
     *
-    * Scale shape per iteration: per-node share is one broadcast-sized
-    * projection (node, share); the contribution pass is an equality
-    * join share⋈edges on src followed by ONE partial+final hash agg
-    * shuffled on dst — the classic distributed PageRank plan. The
+    * Scale shape per iteration: the degree is PRE-JOINED into the
+    * memoized edge list (src, dst, deg-of-src), so each round is ONE
+    * broadcast join of the node-sized rank table into the edges plus
+    * one partial+final hash agg shuffled on dst — the classic
+    * distributed PageRank plan with the share projection fused into
+    * the aggregate (Σ rank div deg ≡ Σ share, integer-exact). The
     * node-id space disambiguates the bipartite sides arithmetically
     * (supplier s → 2s, part p → 2p+1), and the graph is symmetrized so
     * every node has degree ≥ 1 (no dangling-mass term; the loop is
@@ -977,41 +979,55 @@ object Relational {
       val li = t(s, dir, "lineitem")
         .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
         .distinct()
-      // sym feeds one agg join per iteration (×3) and deg one share
-      // join per iteration plus the rank seed (×4): unpersisted, every
-      // reference re-runs the lineitem scan + distinct shuffle.
-      // Memoize+persist both (LlmData's signature-table lifecycle,
-      // released by clearMemo) — the in-query analog of materializing
-      // the edge list once, which is how an iterative graph job holds
-      // its graph at real scale (x36's loop does the same via
-      // checkpoints).
-      val sym = LlmData.memoized(s, "q31-sym", dir) {
-        li.unionByName(li.select(col("dst").as("src"), col("src").as("dst")))
-          .persist()
-      }
+      // Memoized+persisted staging (LlmData's signature-table
+      // lifecycle, released by clearMemo) — the in-query analog of
+      // materializing the graph once, which is how an iterative job
+      // holds its graph at real scale (x36 does the same via
+      // checkpoints). Two frames:
+      //   deg   (node, deg)       — |V|, seeds the rank table;
+      //   edges (src, dst, deg)   — |E|, degree pre-joined so the loop
+      //                             never touches deg again.
+      // edges is REPARTITIONED by src into a partition count sized
+      // from the MEASURED edge count (the x36 r4 treatment, one
+      // partition per ~64k edge rows, capped at the session default):
+      // the union of two 32-partition shuffles otherwise caches in 64
+      // slivers, and every one of the loop's 3 scans pays
+      // tasks-per-stage × rounds of pure scheduling overhead on a
+      // KB-scale graph — while at cluster scale the cap keeps the
+      // session's sizing and the src co-location is exactly the
+      // pre-partitioning the no-broadcast fallback below needs.
       val deg = LlmData.memoized(s, "q31-deg", dir) {
+        val sym = li.unionByName(li.select(col("dst").as("src"), col("src").as("dst")))
         sym.groupBy("src").agg(count(lit(1)).as("deg"))
           .withColumnRenamed("src", "node").persist()
       }
+      val edges = LlmData.memoized(s, "q31-edges", dir) {
+        // both staging scalars ride the deg build (|V| rows + one agg)
+        val edgeRows = deg.agg(sum("deg")).head().getLong(0)
+        val sized = math.max(1L, math.min(
+          s.conf.get("spark.sql.shuffle.partitions").toLong, edgeRows / 65536L + 1L)).toInt
+        val sym = li.unionByName(li.select(col("dst").as("src"), col("src").as("dst")))
+        sym.join(broadcast(deg), col("src") === col("node"))
+          .select(col("src"), col("dst"), col("deg"))
+          .repartition(sized, col("src")).persist()
+      }
       var rank = deg.select(col("node"), lit(1000000L).as("rank"))
       for (_ <- 1 to 3) {
-        // broadcast() EXPLICITLY: the per-iteration tables are
-        // node-sized (|V|, bounded by the entity catalog — suppliers +
-        // parts — while the cached edge list is |E| >> |V|), but their
-        // inputs are InMemoryRelations, which AQE cannot re-plan
-        // through (no shuffle-stage stats), so without the hint the
-        // sf0.1 plan silently degraded to 3 SortMergeJoins that
-        // re-SORTED the cached edge list every iteration — the exact
-        // drift the scaladoc's "broadcast share join" claim forbids
-        // (now pinned at bench scale by PlanAuditSpec). At |V| beyond
-        // broadcast capacity, drop the hint and pre-partition sym by
-        // src instead: the join keys already line up.
-        val share = rank.join(broadcast(deg), "node")
-          .select(col("node").as("src"), expr("rank div deg").as("share"))
-        rank = sym.join(broadcast(share), "src")
-          .groupBy(col("dst").as("node"))
-          .agg(sum("share").as("inflow"))
-          .select(col("node"),
+        // broadcast() EXPLICITLY: the rank table is node-sized (|V|,
+        // bounded by the entity catalog — suppliers + parts — while
+        // the cached edge list is |E| >> |V|), but the join inputs are
+        // InMemoryRelations, which AQE cannot re-plan through (no
+        // shuffle-stage stats), so without the hint the sf0.1 plan
+        // silently degraded to SortMergeJoins that re-SORTED the
+        // cached edge list every iteration — the exact drift the
+        // scaladoc's "broadcast join" claim forbids (pinned at bench
+        // scale by PlanAuditSpec). At |V| beyond broadcast capacity,
+        // drop the hint: edges is already partitioned by src, so only
+        // the node-sized rank table shuffles to meet it.
+        rank = edges.join(broadcast(rank), col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("rank div deg")).as("inflow"))
+          .select(col("dst").as("node"),
             (lit(150000L) + expr("(85 * inflow) div 100")).as("rank"))
       }
       rank.orderBy(desc("rank"), asc("node")).limit(20)
