@@ -78,9 +78,22 @@ object Bucketing {
     * before the DROP — and a crash between the two DDLs is
     * self-healing: the next compact() call (or [[table]] read via the
     * recovery below) completes the interrupted swap instead of
-    * failing on the missing table. */
+    * failing on the missing table.
+    *
+    * `dedupBy` is the DOUBLE-APPEND HEAL for the streaming append's
+    * one non-transactional window (EventStream.ivfStreamingAppend: a
+    * crash between the bucketed append and its idempotence marker
+    * makes the replayed batch append its rows a second time — parquet
+    * + a v1 catalog have no multi-operation transaction to close
+    * that). Pass the payload's logical key (vec_id for the IVF/PQ
+    * index tables) and the rewrite drops duplicate key rows while it
+    * compacts; replayed rows are byte-identical re-assignments of the
+    * same batch under a frozen quantizer, so keeping any one row per
+    * key restores exactly the once-delivered table (StreamingSpec pins
+    * this against the batch-x74 index). Empty = plain compaction. */
   def compact(spark: SparkSession, table: String, key: String,
-      buckets: Int, sorted: Boolean = true): Unit = {
+      buckets: Int, sorted: Boolean = true,
+      dedupBy: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val tmp = table + "__compacting"
     if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)) {
@@ -92,8 +105,11 @@ object Bucketing {
     // a stale tmp from a crash BEFORE the drop is dead weight (the
     // live table still exists) — clear it so the write can't collide
     spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    val src =
+      if (dedupBy.isEmpty) spark.table(table)
+      else spark.table(table).dropDuplicates(dedupBy)
     writeBucketed(
-      spark.table(table).repartition(buckets, pmod(hash(col(key)), lit(buckets))),
+      src.repartition(buckets, pmod(hash(col(key)), lit(buckets))),
       tmp, key, buckets, sorted)
     spark.sql(s"DROP TABLE `$table`")
     finishSwap(spark, tmp, table)

@@ -3535,15 +3535,25 @@ object LlmData {
     // production iterates scrub∘flag to a fixpoint (2-3 rounds in
     // practice); the fixpoint loop is q31's iterate-with-checkpoint
     // pattern. Plan: positional grams map-side from the one token
-    // scan, benchmark set broadcast (x79's bloom stands in front at
-    // 100 TB), hit positions exploded 3× then distinct — all joins
-    // key-equality on (doc_id, pos).
+    // scan, x79's benchmark BLOOM planted map-side in front of the
+    // confirm join (no false negatives + exact confirm ⇒ answer
+    // identical with or without the filter, the x79 proof), so the
+    // gram stream that reaches the join — and every operator after
+    // it — carries only true matches + the fpp share; hit positions
+    // exploded 3× then distinct — all joins key-equality on
+    // (doc_id, pos).
     "x91_decontam_scrub" -> Q(
       (s, dir) => {
         val (bench, _) = decontamSides(s, dir)
         val docs = tokenizedDocs(s, dir, minTokens = 3)
           .filter(col("doc_id") % 50 =!= 0)
-        val badStarts = positionalGrams(docs, 3)
+        val bf = decontamBloomFor(s, dir)
+        val grams = positionalGrams(docs, 3)
+        val pre =
+          if (bf == null) grams // empty benchmark: confirm join is empty anyway
+          else grams.filter(call_function("graft_might_contain",
+            lit(bf), xxhash64(col("g"))))
+        val badStarts = pre
           .join(broadcast(bench.withColumnRenamed("s", "g")), "g")
           .select("doc_id", "off")
         scrubWindows(docs, badStarts, 3)
@@ -3658,8 +3668,113 @@ object LlmData {
               |  (n_docs * 1000000) // greatest(t, 1) AS share_micro, w_micro,
               |  abs((n_docs * 1000000) // greatest(t, 1) - w_micro) AS drift_micro
               |FROM sj ORDER BY drift_micro DESC, lang""".stripMargin),
-      "realized-vs-target mixture composition in exact micro-units; the batch twin of the streaming mixture-drift gate")
+      "realized-vs-target mixture composition in exact micro-units; the batch twin of the streaming mixture-drift gate"),
+
+    // ── X6y: iterative BPE (3 full merge rounds) ──────────────────────
+    // The loop x50/x61 demonstrate one unit of: pick the most frequent
+    // adjacent pair, MERGE it throughout the corpus, re-count over the
+    // REWRITTEN corpus, repeat. The corpus rides a sentinel-framed
+    // string (every token framed by U+001F sentinels, written S here),
+    // so one merge application is a plain non-overlapping left-to-right
+    // string replace of `S a SS b S` → `S a b S` — the exact greedy
+    // semantics of
+    // Text.pairMergeCount, and bit-identical in DuckDB's replace (both
+    // engines scan the ORIGINAL left to right and never re-match over
+    // replaced output).
+    //
+    // Loop discipline (Components-style): each round's pick moves ONE
+    // row to the driver (the argmax — a scalar-agg fixpoint message,
+    // never data), the rewrite is a map-side expression fused into the
+    // next round's scan, and each round's corpus is a memoized+
+    // persisted frame (released by clearMemo; reliable checkpoints at
+    // production scale) so round r+1 counts over round r's cache, not
+    // a replay of the whole replace chain. K rounds = K pair-count
+    // shuffles (partial-aggregated) — the canonical distributed BPE
+    // shape. Ties break on (count desc, a asc, b asc); merged tokens
+    // keep an interior space, so round-2 pairs can span a merge
+    // ("a b", "c") — real BPE composition, replayed by the oracle's
+    // chained CTEs.
+    "x94_bpe_iterative" -> Q(
+      (s, dir) => {
+        val SEP = "\u001f"
+        val sep2 = SEP + SEP
+        val sepQ = java.util.regex.Pattern.quote(sep2)
+        // each staged frame CARRIES its token array: element_at inside
+        // the pair lambda would otherwise re-run the split per element
+        // (the Text.shingles O(len²) trap), and the picks — recomputed
+        // every invocation — then read cached arrays instead of
+        // re-splitting the whole corpus per round
+        def staged(df: DataFrame): DataFrame =
+          df.withColumn("tk", split(trim(col("st"), SEP), sepQ))
+        val base = memoized(s, "x94-st0", dir) {
+          staged(t(s, dir, "documents")
+            .select(col("doc_id"),
+              concat(lit(SEP), array_join(split(col("text"), " "), sep2), lit(SEP))
+                .as("st")))
+            .persist()
+        }
+        var st = base
+        val rows = (1 to 3).map { r =>
+          val pick = st
+            .filter(size(col("tk")) >= 2)
+            .select(explode(transform(
+              sequence(lit(1), size(col("tk")) - 1),
+              i => struct(element_at(col("tk"), i).as("a"),
+                element_at(col("tk"), i + 1).as("b")))).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(count(lit(1)).as("n"))
+            .orderBy(desc("n"), asc("a"), asc("b"))
+            .limit(1).head()
+          val (a, b, n) = (pick.getString(0), pick.getString(1), pick.getLong(2))
+          val prev = st
+          st = memoized(s, s"x94-st$r", dir) {
+            staged(prev.select(col("doc_id"),
+              expr(s"replace(st, ${sqlStr(SEP + a + sep2 + b + SEP)}, " +
+                s"${sqlStr(SEP + a + " " + b + SEP)})").as("st")))
+              .persist()
+          }
+          st.agg(sum(size(col("tk"))).as("tokens_after"))
+            .select(lit(r.toLong).as("merge_round"), lit(a).as("a"), lit(b).as("b"),
+              lit(n).as("n_pair"), col("tokens_after"))
+        }
+        rows.reduce(_ unionByName _).orderBy("merge_round")
+      },
+      Some {
+        def round(r: Int, prev: String) =
+          s"""c$r AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS a,
+             |          unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS b
+             |        FROM (SELECT string_split(trim(st, chr(31)), chr(31) || chr(31)) AS w
+             |              FROM $prev) WHERE len(w) >= 2),
+             |p$r AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM c$r
+             |        GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1),
+             |r$r AS (SELECT doc_id, replace(st,
+             |          chr(31) || a || chr(31) || chr(31) || b || chr(31),
+             |          chr(31) || a || ' ' || b || chr(31)) AS st
+             |        FROM $prev CROSS JOIN p$r),
+             |t$r AS (SELECT CAST(sum(len(string_split(trim(st, chr(31)),
+             |          chr(31) || chr(31)))) AS BIGINT) AS tokens_after FROM r$r)""".stripMargin
+        s"""WITH r0 AS (SELECT doc_id,
+           |    chr(31) || array_to_string(string_split(text, ' '), chr(31) || chr(31))
+           |      || chr(31) AS st FROM documents),
+           |${round(1, "r0")},
+           |${round(2, "r1")},
+           |${round(3, "r2")}
+           |SELECT CAST(1 AS BIGINT) AS merge_round, a, b, n AS n_pair, tokens_after
+           |  FROM p1 CROSS JOIN t1
+           |UNION ALL SELECT CAST(2 AS BIGINT), a, b, n, tokens_after
+           |  FROM p2 CROSS JOIN t2
+           |UNION ALL SELECT CAST(3 AS BIGINT), a, b, n, tokens_after
+           |  FROM p3 CROSS JOIN t3
+           |ORDER BY merge_round""".stripMargin
+      },
+      "iterative BPE, 3 full rounds: per-round argmax pick (one driver row), sentinel-framed map-side merge apply, re-count over the rewritten corpus")
   )
+
+  /** SQL single-quoted string literal (for splicing merge-pair tokens
+    * into the x94 replace expression — tokens come from the corpus, so
+    * quotes must be escaped, and the U+001F sentinels ride as literal
+    * characters). */
+  private def sqlStr(v: String): String = "'" + v.replace("'", "''") + "'"
 
   /** x93's scorer — also the per-batch function of
     * EventStream.mixtureDriftGate, so the registered query and the
@@ -3709,29 +3824,38 @@ object LlmData {
           element_at(col("tk"), i + d)): _*)))
         .as(Seq("off", "g")))
 
-  /** Window-scrub core shared by x91/x92: explode each bad start's
-    * `w`-token window to covered positions, anti-mark tokens, rebuild
-    * the kept text in position order, emit CHANGED docs only. One
-    * definition, so the two scrubbers can never disagree on window
-    * coverage or reconstruction. */
+  /** Window-scrub core shared by x91/x92: expand each bad start's
+    * `w`-token window to covered positions, drop covered tokens,
+    * rebuild the kept text in position order, emit CHANGED docs only.
+    * One definition, so the two scrubbers can never disagree on window
+    * coverage or reconstruction.
+    *
+    * The rebuild is ARRAY-AT-A-TIME, not position-at-a-time: bad
+    * starts aggregate into ONE per-doc covered-position array (a
+    * single doc-keyed shuffle whose payload is hit positions, not
+    * tokens), the join back to the corpus keys on doc_id alone (inner
+    * ⇒ changed docs only), and the clean text is an indexed HOF filter
+    * over the doc's own token array — entirely map-side. The previous
+    * shape exploded EVERY corpus token into (doc_id, pos) rows, joined
+    * them against an exploded+distinct'd hit-position stream, and
+    * re-assembled docs with a collect_list/array_sort aggregate —
+    * three fact-sized stages the array form deletes. Per-doc cost of
+    * the membership probe is O(len · |covered|) — bounded by document
+    * length squared, the same per-row envelope as x52's token-mode
+    * pass, and microseconds at real document sizes. Covered positions
+    * are guaranteed in [1, len] (gram starts stop w-1 short of the
+    * end), so n_removed = size of the covered set. */
   private def scrubWindows(docs: DataFrame, badStarts: DataFrame, w: Int): DataFrame = {
-    val hits = badStarts
-      .select(col("doc_id"),
-        explode(sequence(col("off") + 1, col("off") + lit(w))).as("pos"))
-      .distinct()
-    val toks = docs.select(col("doc_id"),
-        posexplode(col("tk")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
-    toks
-      .join(hits.select("doc_id").distinct(), "doc_id")
-      .join(hits.withColumn("hit", lit(1)), Seq("doc_id", "pos"), "left")
+    val hitPos = badStarts
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_removed"),
-        array_join(transform(
-          array_sort(collect_list(
-            when(col("hit").isNull, struct(col("pos"), col("tok"))))),
-          x => x.getField("tok")), " ").as("clean_text"))
+      .agg(array_distinct(flatten(collect_list(
+        sequence(col("off") + 1, col("off") + lit(w))))).as("hp"))
+    docs.join(hitPos, "doc_id")
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(col("hp")).cast("long").as("n_removed"),
+        array_join(filter(col("tk"),
+          (tok, i) => !array_contains(col("hp"), i + 1)), " ").as("clean_text"))
       .orderBy("doc_id")
   }
 }

@@ -152,15 +152,19 @@ object EventStream {
     * replayed foreachBatch a no-op. The one remaining gap is a crash
     * BETWEEN append and marker — parquet + a v1 catalog have no
     * multi-operation transaction to close it — in which case the
-    * replay double-appends and the heal is per-bucket compaction with
-    * dedup-by-key ([[graft.io.Bucketing.compact]] is where that
-    * belongs operationally). A table format with transactional commit
-    * (the marker and the files in ONE atomic swap) is the production
-    * upgrade path; the Spark-side shape — map-side assign, bucketed
-    * append, offset checkpoint, idempotence marker — is identical.
-    * StreamingSpec pins: two streamed micro-batches equal the batch
-    * x74 append, and a restart with the same checkpoint appends
-    * nothing.
+    * replay double-appends. The heal is per-bucket compaction with
+    * dedup-by-key: [[graft.io.Bucketing.compact]] with
+    * `dedupBy = Seq(rowKey)` rewrites the table dropping the replayed
+    * copies (byte-identical re-assignments under the frozen
+    * quantizer), restoring exactly the once-delivered index. A table
+    * format with transactional commit (the marker and the files in ONE
+    * atomic swap) is the production upgrade path; the Spark-side
+    * shape — map-side assign, bucketed append, offset checkpoint,
+    * idempotence marker, compaction heal — is identical.
+    * StreamingSpec pins all three: two streamed micro-batches equal
+    * the batch x74 append, a restart with the same checkpoint appends
+    * nothing, and a crash-window double-append healed by
+    * compact(dedupBy) restores exactly the batch-x74 index.
     *
     * Generic over the index kind via (`assign`, `key`, `buckets`):
     * the IVF defaults append (…, cid) rows bucketed by cid; the PQ

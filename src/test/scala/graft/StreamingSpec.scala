@@ -378,6 +378,69 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("compact(dedupBy) heals a crash-window double-append back to the batch x74 index") {
+    import graft.operators.LlmData
+    // The ONE non-transactional window the append scaladoc documents:
+    // a crash AFTER appendBucketed but BEFORE the marker commit means
+    // the restarted stream re-delivers the batch and the replayed
+    // foreachBatch — finding no marker — appends the same assigned
+    // rows a second time. The window is injected by replaying that
+    // exact append call directly (the marker/offset machinery around
+    // it is pinned by the restart test above); the heal must restore
+    // the once-delivered index without losing the bucketed layout.
+    val src = tmp("ivfheal-src"); val ckpt = tmp("ivfheal-ckpt")
+    val healTbl = "graft_ivf_heal"
+    val refTbl = "graft_ivf_heal_ref"
+    try {
+      val e = graft.sources.Tables.load(spark, sf0001, "embeddings")
+      val newRows = e.filter(pmod(col("vec_id"), lit(10)) === 7)
+      newRows.repartition(2).write.mode("overwrite").parquet(src)
+      val nNew = newRows.count()
+
+      LlmData.ivfWriteBaseIndex(spark, sf0001, healTbl)
+      LlmData.ivfWriteBaseIndex(spark, sf0001, refTbl)
+      val baseCount = spark.table(healTbl).count()
+      graft.io.Bucketing.appendBucketed(
+        LlmData.ivfAppendBatch(spark, sf0001), refTbl, "cid", 16, sorted = false)
+
+      // clean streamed delivery, then the injected crash-window replay:
+      // the whole new-rows slice appended once more, marker-less
+      EventStream.ivfStreamingAppend(spark, src, ckpt, healTbl,
+        LlmData.ivfFrozenAssign(spark, sf0001)).awaitTermination()
+      graft.io.Bucketing.appendBucketed(
+        LlmData.ivfFrozenAssign(spark, sf0001)(newRows), healTbl, "cid", 16,
+        sorted = false)
+      spark.catalog.refreshTable(healTbl)
+      assert(spark.table(healTbl).count() == baseCount + 2 * nNew,
+        "the injected replay must double-append the batch (the failure being healed)")
+
+      graft.io.Bucketing.compact(spark, healTbl, "cid", 16, sorted = false,
+        dedupBy = Seq("vec_id"))
+
+      def asSet(tbl: String) = spark.table(tbl).select("vec_id", "cid")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(spark.table(healTbl).count() == baseCount + nNew,
+        "the heal must drop exactly the replayed copies")
+      assert(asSet(healTbl) == asSet(refTbl),
+        "the healed index must equal the batch x74 append exactly")
+      // heal keeps the maintenance contract: one file per OCCUPIED
+      // bucket (bucket id = pmod(hash(cid), 16), the writer's own
+      // assignment) and zero-Exchange cid-keyed consumers
+      val occupied = spark.table(healTbl)
+        .select(pmod(hash(col("cid")), lit(16)).as("b")).distinct().count()
+      assert(spark.table(healTbl).inputFiles.length == occupied,
+        "the healing rewrite must also compact to one file per occupied bucket")
+      val p = graft.io.Bucketing.table(spark, healTbl)
+        .groupBy("cid").agg(count(lit(1))).queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true") && !p.contains("Exchange"),
+        s"the healed table must keep the zero-Exchange layout, got:\n${p.take(1500)}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $healTbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${healTbl}__compacting")
+      spark.sql(s"DROP TABLE IF EXISTS $refTbl")
+    }
+  }
+
   test("streaming decontamination gate equals the batch bloom prefilter, across restarts") {
     import graft.operators.LlmData
     val src = tmp("decontam-src"); val ckpt = tmp("decontam-ckpt")
