@@ -214,15 +214,21 @@ object Bench {
         try src.mkString.split(" ")(0).toDouble finally src.close()
       } catch { case NonFatal(_) => -1.0 }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // load1 BEFORE and AFTER each query (r9 verdict #7): a cold
+    // outlier whose bracket reads high-before/high-after was measured
+    // on a contended box and the artifact self-adjudicates — no
+    // cross-commit rerun needed; high-after alone says the query's own
+    // 32 threads are the load, which is normal.
     val detailed = selected.map { case (name, fn) =>
       val lc = load1()
       val cold = timed(fn)
       val warm = timed(fn)
+      val la = load1()
       // drop per-query persisted signature tables so one query's cache
       // can't pressure the next query's measurement (after BOTH runs —
       // the warm run should reuse the memo like a steady-state session)
       operators.LlmData.clearMemo(spark)
-      name -> (cold, warm, lc)
+      name -> (cold, warm, lc, la)
     }
     // Third sample: re-time the worst cold outliers once more at suite
     // end (memo cleared, so the run is cold-shaped minus one-time JIT /
@@ -236,15 +242,15 @@ object Bench {
         operators.LlmData.clearMemo(spark)
         name -> (r, rl)
       }.toMap
-    val results = detailed.map { case (n, (c, w, _)) => n -> (c._1, w._1) }
+    val results = detailed.map { case (n, (c, w, _, _)) => n -> (c._1, w._1) }
     // Full-precision cold/warm per query goes to a file — the stdout
     // tail budget (see SIZE CONTRACT above) cannot carry two maps.
     val detailPath = "BENCH_DETAIL.json"
     val detail = detailed
-      .map { case (k, ((c, gc), (w, gw), lc)) =>
+      .map { case (k, ((c, gc), (w, gw), lc, la)) =>
         val extra = retried.get(k).fold("") { case ((r, rgc), rl) =>
           s""", "retry": $r, "retry_gc_ms": $rgc, "retry_load1": $rl""" }
-        s"""  "$k": {"cold": $c, "warm": $w, "gc_cold_ms": $gc, "gc_warm_ms": $gw, "load1": $lc$extra}""" }
+        s"""  "$k": {"cold": $c, "warm": $w, "gc_cold_ms": $gc, "gc_warm_ms": $gw, "load1": $lc, "load1_after": $la$extra}""" }
       .mkString("{\n", ",\n", "\n}\n")
     try
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),

@@ -486,11 +486,16 @@ object Curation {
     "ADC probe over a persisted PQ code table: zero-Exchange probe plan, codes built once per corpus")
 
   /** Two-stage ADC retrieval (x73 and x35's pq_adc_rerank arm): ADC
-    * shortlist of 50, exact cosine re-rank of the survivors. */
-  private[graft] def adcRerankTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    * shortlist of `depth` (default R=50, the registered/oracle'd
+    * configuration), exact cosine re-rank of the survivors. `depth` is
+    * the recall dial AdcDialSpec measures at the bench SF — recall is
+    * monotone in it (anything that displaces a true top-k member from
+    * a grown shortlist's re-rank must itself be a true top-k member). */
+  private[graft] def adcRerankTopK(s: SparkSession, dir: String, k: Int,
+      depth: Int = 50): DataFrame = {
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-    e.join(broadcast(adcTopK(s, dir, 50).select(col("vec_id"))), "vec_id")
+    e.join(broadcast(adcTopK(s, dir, depth).select(col("vec_id"))), "vec_id")
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         LlmData.cosine6(col("embedding"), col("qe")).as("cos"))

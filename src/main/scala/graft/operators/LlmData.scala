@@ -249,9 +249,24 @@ object LlmData {
     * Oracle twin: `greatest(16, count(*) // 125)` (see
     * [[duckIvfChainKN]]). */
   private[operators] def corpusK(s: SparkSession, dir: String): Int =
-    corpusKMemo.acquire(s)(TrieMap.empty[String, Int])
-      .getOrElseUpdate(countStamp(s, dir),
-        math.max(16L, t(s, dir, "embeddings").count() / 125L).toInt)
+    stampedDial(corpusKMemo, s, dir)(
+      math.max(16L, t(s, dir, "embeddings").count() / 125L).toInt)
+
+  /** Dir-keyed dial memo with the stamp INSIDE the value: a new corpus
+    * generation replaces the entry instead of accumulating one dead
+    * entry per observed stamp over a long session (ADVICE r9). */
+  private def stampedDial(reg: SessionRegistry[TrieMap[String, (String, Int)]],
+      s: SparkSession, dir: String)(derive: => Int): Int = {
+    val m = reg.acquire(s)(TrieMap.empty[String, (String, Int)])
+    val stamp = countStamp(s, dir)
+    m.get(dir) match {
+      case Some((st, v)) if st == stamp => v
+      case _ =>
+        val v = derive
+        m.put(dir, (stamp, v))
+        v
+    }
+  }
 
   /** Memo key for corpus-count-derived dials (corpusK, corpusSignBits):
     * the embeddings file's mtime+length stamp, so a regenerated corpus
@@ -264,7 +279,7 @@ object LlmData {
     try graft.sources.Tables.fileStamp(s, s"$dir/embeddings.parquet")
     catch { case scala.util.control.NonFatal(_) => dir }
 
-  private lazy val corpusKMemo = new SessionRegistry[TrieMap[String, Int]]
+  private lazy val corpusKMemo = new SessionRegistry[TrieMap[String, (String, Int)]]
 
   private[operators] def trainedCentroids(
       s: SparkSession, dir: String, K: Int = 16): Seq[(Long, IndexedSeq[Float])] = {
@@ -720,15 +735,41 @@ object LlmData {
   /** Signature tables are persisted and re-read by several join sides;
     * memoize the built DataFrame per (session, query, sfDir) so
     * repeated invocations in one session reuse the same cache entry
-    * instead of stacking a new persisted copy per call. */
-  private val memo = new SessionRegistry[TrieMap[(String, String), DataFrame]]
+    * instead of stacking a new persisted copy per call.
+    *
+    * Every entry carries the corpus GENERATION STAMP of its sfDir
+    * (mtime+length of the three corpus files a frame memo can derive
+    * from — the countStamp discipline applied to frames, ADVICE r9):
+    * an in-session testdata regeneration re-derives the frame instead
+    * of serving the stale persisted corpus while the oracle reads the
+    * new file, and replacing evicts+unpersists the old generation, so
+    * the map stays bounded at one entry per (key, dir) however many
+    * regenerations a session spans. */
+  private val memo =
+    new SessionRegistry[TrieMap[(String, String), (String, DataFrame)]]
+
+  /** One combined stamp for the corpus files a memoized frame can
+    * derive from. Statting all three over-invalidates a single-table
+    * regeneration slightly — but regenerations rewrite the whole dir
+    * in practice, and three metadata stats are noise against the
+    * persisted build they guard. Per-file fallback to the table name
+    * keeps a missing file (different SF layouts) from failing the
+    * stamp itself. */
+  private def dirStamp(s: SparkSession, dir: String): String =
+    Seq("documents", "embeddings", "lineitem").map { tbl =>
+      try graft.sources.Tables.fileStamp(s, s"$dir/$tbl.parquet")
+      catch { case scala.util.control.NonFatal(_) => tbl }
+    }.mkString("|")
+
   // package-private: Relational's iterative q31 shares the same
   // persisted-frame lifecycle (built once, released by clearMemo)
   private[operators] def memoized(s: SparkSession, key: String, dir: String)
       (build: => DataFrame): DataFrame = {
+    val stamp = dirStamp(s, dir)
     var out: DataFrame = null
     while (out == null) {
-      val perSession = memo.acquire(s)(TrieMap.empty[(String, String), DataFrame])
+      val perSession = memo.acquire(s)(
+        TrieMap.empty[(String, String), (String, DataFrame)])
       // compute-if-absent under the per-session lock: TrieMap's bare
       // getOrElseUpdate can run `build` (which persists) twice under
       // concurrent first access, leaking one never-unpersisted copy
@@ -744,7 +785,14 @@ object LlmData {
         // (Lock order is safe: clearMemo never waits on a map lock
         // while holding the registry lock.)
         if (memo.registerOrGet(s, perSession) eq perSession)
-          out = perSession.getOrElseUpdate((key, dir), build)
+          perSession.get((key, dir)) match {
+            case Some((st, df)) if st == stamp => out = df
+            case stale =>
+              stale.foreach(_._2.unpersist(blocking = false))
+              val df = build
+              perSession.put((key, dir), (stamp, df))
+              out = df
+          }
       }
     }
     out
@@ -771,24 +819,32 @@ object LlmData {
     * anyway); a same-plan loser holds no cache resource of its own. */
   private[operators] def memoizedEager(s: SparkSession, key: String, dir: String)
       (build: => DataFrame): DataFrame = {
+    val stamp = dirStamp(s, dir)
     var out: DataFrame = null
     var built: DataFrame = null
     while (out == null) {
-      val perSession = memo.acquire(s)(TrieMap.empty[(String, String), DataFrame])
+      val perSession = memo.acquire(s)(
+        TrieMap.empty[(String, String), (String, DataFrame)])
       val peeked = perSession.synchronized {
         if (memo.registerOrGet(s, perSession) eq perSession)
           Some(perSession.get((key, dir)))
         else None // lost the map to a concurrent clear — refetch
       }
       peeked match {
-        case Some(Some(df)) => out = df
-        case Some(None) =>
+        case Some(Some((st, df))) if st == stamp => out = df
+        case Some(_) => // absent, or a stale generation to replace
           if (built == null) built = build // eager work, no lock held
           perSession.synchronized {
             // same currently-registered check as memoized: never
             // insert into an orphaned map a clearMemo can't reach
             if (memo.registerOrGet(s, perSession) eq perSession)
-              out = perSession.getOrElseUpdate((key, dir), built)
+              perSession.get((key, dir)) match {
+                case Some((st, df)) if st == stamp => out = df // lost the insert race
+                case stale =>
+                  stale.foreach(_._2.unpersist(blocking = false))
+                  perSession.put((key, dir), (stamp, built))
+                  out = built
+              }
           }
         case None => ()
       }
@@ -845,7 +901,7 @@ object LlmData {
     // leaked for the session's lifetime
     perSession.foreach { m =>
       m.synchronized {
-        m.values.foreach(_.unpersist(blocking = false))
+        m.values.foreach(_._2.unpersist(blocking = false))
         m.clear()
       }
     }
@@ -1100,11 +1156,10 @@ object LlmData {
     (6 to 62).find(b => (1L << b) >= (4L * n + 124L) / 125L).getOrElse(62)
 
   private[operators] def corpusSignBits(s: SparkSession, dir: String): Int =
-    signBitsMemo.acquire(s)(TrieMap.empty[String, Int])
-      .getOrElseUpdate(countStamp(s, dir),
-        signBitsFor(t(s, dir, "embeddings").count()))
+    stampedDial(signBitsMemo, s, dir)(
+      signBitsFor(t(s, dir, "embeddings").count()))
 
-  private lazy val signBitsMemo = new SessionRegistry[TrieMap[String, Int]]
+  private lazy val signBitsMemo = new SessionRegistry[TrieMap[String, (String, Int)]]
 
   /** DuckDB twin of [[signBitsFor]] over the embeddings count: defines
     * `sb(bits)`. */

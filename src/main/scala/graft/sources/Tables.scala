@@ -111,11 +111,38 @@ object Tables {
     "lineitem" -> lineitem, "events" -> eventsRaw,
     "documents" -> documents, "embeddings" -> embeddings)
 
+  /** Invalidation stamp for a detected-file memo: mtime + length. For
+    * a DIRECTORY the stamp folds per-child status in (max child mtime
+    * + total child length + child count, one listStatus round-trip):
+    * a dir's own mtime only moves on entry create/delete, so an
+    * in-place part-file rewrite inside it would otherwise slip under
+    * the stamp — the exact staleness window the stamp exists to close
+    * (ADVICE r9). Honest residual hole, now reduced to: regenerating a
+    * file with identical length within one mtime tick — no producer
+    * here does that, and the stamp stays one metadata round-trip where
+    * the memoized work costs a footer read or a count job. */
+  private[graft] def fileStamp(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory) {
+      val kids = fs.listStatus(p)
+      val maxM = (st.getModificationTime +: kids.map(_.getModificationTime).toSeq).max
+      s"$path@$maxM:${kids.map(_.getLen).sum}:${kids.length}"
+    } else s"$path@${st.getModificationTime}:${st.getLen}"
+  }
+
+  // keyed by PATH with the stamp INSIDE the value: inserting a new
+  // generation replaces the old entry instead of accumulating one dead
+  // entry per observed stamp over a long session (ADVICE r9)
+  private val tsTypeMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (String, DataType)]
+
   /** The stored logical type of `ts` in the event files under `path`
     * (a file or a directory of files): one driver-side footer read,
-    * memoized per (path, mtime) — metadata-cheap even at 100 TB, where
-    * inferring the WHOLE schema per query would not be. The mtime in
-    * the key is the invalidation: the driver has regenerated the
+    * memoized per (path, stamp) — metadata-cheap even at 100 TB, where
+    * inferring the WHOLE schema per query would not be. The stamp in
+    * the value is the invalidation: the driver has regenerated the
     * testdata with a DIFFERENT stored type once already, and a
     * path-only cache would keep declaring the stale generation's
     * schema over the new file — the silent 1000× misread this
@@ -125,24 +152,16 @@ object Tables {
     * `nanosAsLong`), TIMESTAMP(MICROS, isAdjustedToUTC=false) as
     * TimestampNTZType, UTC micros (our own sinks) as TimestampType.
     */
-  /** Invalidation stamp for a detected-file memo: mtime + length.
-    * Honest residual hole: replacing a part-file IN PLACE inside a
-    * directory (same name, same total dir mtime) or regenerating
-    * within one mtime tick defeats it — none of our producers do
-    * either (testdata lands as whole-file renames; sinks append new
-    * files, which touches the dir) — and the stamp costs one metadata
-    * stat where the memoized work costs a footer read or a count job. */
-  private[graft] def fileStamp(spark: SparkSession, path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val st = p.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(p)
-    s"$path@${st.getModificationTime}:${st.getLen}"
+  private[graft] def eventsTsType(spark: SparkSession, path: String): DataType = {
+    val stamp = fileStamp(spark, path)
+    tsTypeMemo.get(path) match {
+      case Some((s, dt)) if s == stamp => dt
+      case _ =>
+        val dt = spark.read.parquet(path).schema("ts").dataType
+        tsTypeMemo.put(path, (stamp, dt))
+        dt
+    }
   }
-
-  private val tsTypeMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataType]
-  private[graft] def eventsTsType(spark: SparkSession, path: String): DataType =
-    tsTypeMemo.getOrElseUpdate(fileStamp(spark, path),
-      spark.read.parquet(path).schema("ts").dataType)
 
   /** [[eventsRaw]] with `ts` declared as the detected stored type, so
     * the scan never relies on runtime coercion between parquet logical

@@ -31,22 +31,23 @@ object EventStream {
       archiveDir: Option[String]): DataFrame = {
     // Only schema-inference failure (empty source dir) falls back to
     // the current driver convention — I/O and permission errors must
-    // propagate, and a NANOS-generation producer writing into a dir
-    // that was empty at start() would be misread under the fallback
-    // (declare the stream against a populated dir, or in the worst
-    // case restart it once files exist; the batch reader always
-    // detects per-file)
+    // propagate. A NANOS-generation producer writing into a dir that
+    // was empty at start() would be READ under the fallback schema for
+    // the stream's whole lifetime; [[guardFallbackTs]] turns that from
+    // a silent misread into a first-batch failure with an explicit
+    // generation-mismatch error (the batch reader always detects
+    // per-file, so only the fallback path needs the guard).
     // missing dir surfaces as FileNotFoundException (from the stat
     // inside eventsTsType), empty dir as AnalysisException (schema
     // inference) — both are the documented fallback; everything else
     // (permissions, I/O) propagates
-    val dt =
-      try Tables.eventsTsType(spark, srcDir)
+    val detected =
+      try Some(Tables.eventsTsType(spark, srcDir))
       catch {
         case _: org.apache.spark.sql.AnalysisException |
-            _: java.io.FileNotFoundException =>
-          org.apache.spark.sql.types.TimestampNTZType
+            _: java.io.FileNotFoundException => None
       }
+    val dt = detected.getOrElse(org.apache.spark.sql.types.TimestampNTZType)
     val base = spark.readStream.schema(Tables.eventsSchemaFor(dt))
     val withArchive = archiveDir match {
       // ST3: consumed files move aside once processed — the streaming
@@ -55,8 +56,34 @@ object EventStream {
         .option("sourceArchiveDir", dir)
       case None => base
     }
-    Tables.normalizeEventTs(withArchive.parquet(srcDir), dt)
+    val normalized = Tables.normalizeEventTs(withArchive.parquet(srcDir), dt)
+    if (detected.isEmpty) guardFallbackTs(normalized) else normalized
   }
+
+  /** Fail-fast for the empty-dir fallback (ADVICE r9): the stream's
+    * schema is frozen at start(), so a NANOS-generation producer that
+    * begins writing AFTER start() has its int64 nanos decoded as
+    * micros — timestamps ~1000× in the future (year ≳ 56,000). Rather
+    * than relying on the operator reading the scaladoc, the first
+    * micro-batch that decodes such a value fails the query with an
+    * explicit generation-mismatch error naming the fix (restart, so
+    * the stored type is re-detected). The year-3000 pivot cannot
+    * misfire on a genuine micros producer, and a mis-declared NANOS
+    * source cannot slip under it: any post-1971 nanos value decodes
+    * past year 3000. Applied ONLY on the fallback path — detected
+    * streams carry no extra expression. */
+  private[graft] def guardFallbackTs(df: DataFrame): DataFrame =
+    df.withColumn("ts",
+      when(col("ts") >= lit("3000-01-01 00:00:00").cast("timestamp"),
+        raise_error(concat(
+          lit("graft: events ts generation mismatch — the source dir was " +
+            "empty at stream start so the schema fell back to MICROS-NTZ, " +
+            "but a read value decodes to "),
+          col("ts").cast("string"),
+          lit(" (a NANOS-generation producer began writing after start). " +
+            "Restart the stream so the stored type is re-detected.")))
+          .cast("timestamp"))
+        .otherwise(col("ts")))
 
   /** ST2+ST3+ST4: checkpointed ingest with watermark-bounded dedup on
     * event_id, appending parquet to `outDir`. Re-delivered events

@@ -571,6 +571,29 @@ class StreamingSpec extends SparkSpec {
     val before = spark.read.parquet(out).count()
     EventStream.mixtureDriftGate(spark, src, ckpt, out).awaitTermination()
     assert(spark.read.parquet(out).count() == before)
+
+    // twin-equality across the restart (the corpusDedupIngest pin,
+    // applied to the gate): the two micro-batches were delivered
+    // across a stop/restart pair, and the per-batch outputs must be
+    // SUFFICIENT STATISTICS for the batch twin on the union — folding
+    // per-lang n_docs over all batches and replaying x93's integer
+    // share/drift arithmetic must reproduce mixtureShareDrift on the
+    // union corpus exactly. (A gate whose restart lost or re-scored a
+    // batch would fold to the wrong counts; a gate whose per-batch
+    // rows weren't the full seeded scorer would lose vanished-target
+    // rows from the fold.)
+    val folded = spark.read.parquet(out)
+      .groupBy("lang")
+      .agg(sum("n_docs").as("n_docs"), max("w_micro").as("w_micro"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val foldedTotal = folded.map(_._2).sum
+    val reconstructed = folded.map { case (lang, n, w) =>
+      val share = n * 1000000L / math.max(foldedTotal, 1L)
+      (lang, n, share, w, math.abs(share - w))
+    }.toSet
+    val unionTwin = LlmData.mixtureShareDrift(docs.unionByName(slice))
+    assert(row5(unionTwin) == reconstructed,
+      "per-batch gate outputs must fold to the batch x93 on the union delivery")
   }
 
   test("streamed PQ code append equals the batch x75 table and is restart-durable") {
