@@ -141,7 +141,7 @@ object Curation {
   // the literal string "null" into an oracle. lazy vals + a pure def
   // make the cross-references safe from either entry point.
   private lazy val pqMemo = new LlmData.SessionRegistry[TrieMap[String, PqCodebook]]
-  private lazy val pqIndexMemo = new LlmData.SessionRegistry[TrieMap[String, String]]
+  private lazy val pqIndexMemo = new LlmData.SessionRegistry[TrieMap[String, (String, String)]]
 
   /** Release hook (called from LlmData.clearMemo — one lifecycle for
     * the whole operator surface). */

@@ -66,7 +66,7 @@ object EtlCapstone {
     * q46 repeatedly (the bench runs it twice per round) holds ONE
     * copy, not a linearly growing pile reclaimed only at JVM exit. */
   private lazy val stageMemo = new LlmData.SessionRegistry[
-    scala.collection.concurrent.TrieMap[String, String]]
+    scala.collection.concurrent.TrieMap[String, (String, String)]]
 
   private def stagingRoot(s: SparkSession, dir: String): String =
     LlmData.tableOnce(stageMemo, s, dir)(

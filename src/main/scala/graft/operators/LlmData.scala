@@ -475,7 +475,7 @@ object LlmData {
     *     list-wise compaction — which group/join on cid with zero
     *     Exchange because the scan itself reports
     *     hashpartitioning(cid). */
-  private[operators] lazy val ivfIndexMemo = new SessionRegistry[TrieMap[String, String]]
+  private[operators] lazy val ivfIndexMemo = new SessionRegistry[TrieMap[String, (String, String)]]
 
   /** Shared naming so audits exercise the shipped derivation instead
     * of re-copying the formula (the Skew.saltColumn rule). */
@@ -530,7 +530,7 @@ object LlmData {
       .getOrElseUpdate((dir + "#hist", K),
         trainCentroidsOn(t(s, dir, "embeddings").filter(histVec), K))
 
-  private[operators] lazy val incIvfMemo = new SessionRegistry[TrieMap[String, String]]
+  private[operators] lazy val incIvfMemo = new SessionRegistry[TrieMap[String, (String, String)]]
 
   private[graft] def incIvfIndexTableName(dir: String): String =
     "graft_ivf_inc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -756,7 +756,7 @@ object LlmData {
     * keeps a missing file (different SF layouts) from failing the
     * stamp itself. */
   private def dirStamp(s: SparkSession, dir: String): String =
-    Seq("documents", "embeddings", "lineitem").map { tbl =>
+    Seq("documents", "embeddings", "lineitem", "events").map { tbl =>
       try graft.sources.Tables.fileStamp(s, s"$dir/$tbl.parquet")
       catch { case scala.util.control.NonFatal(_) => tbl }
     }.mkString("|")
@@ -855,21 +855,37 @@ object LlmData {
   }
 
   /** Compute-if-absent under the map's lock for the TABLE-NAME memos
-    * (bucketed-join layout, IVF assignment, PQ codes): the builders
-    * run side-effecting DDL (writeBucketed / saveAsTable Overwrite)
-    * against the non-transactional catalog, so a bare TrieMap
-    * getOrElseUpdate racing two first-users could run two concurrent
-    * Overwrites of the same table. Same register-or-read loop as
-    * [[memoized]]; losing a map to a concurrent clear costs only an
-    * idempotent re-write here (no persisted frame to leak). */
+    * (bucketed-join layout, IVF assignment, PQ codes, the capstone's
+    * staging root): the builders run side-effecting DDL
+    * (writeBucketed / saveAsTable Overwrite) against the
+    * non-transactional catalog, so a bare TrieMap getOrElseUpdate
+    * racing two first-users could run two concurrent Overwrites of
+    * the same table. Same register-or-read loop as [[memoized]];
+    * losing a map to a concurrent clear costs only an idempotent
+    * re-write here (no persisted frame to leak).
+    *
+    * Entries carry the same corpus generation stamp as the frame
+    * memos (every key here IS an sfDir, optionally suffixed `#inc`):
+    * an in-session testdata regeneration re-runs the builder — an
+    * idempotent Overwrite of the same table name (or a fresh staging
+    * root) — instead of serving an index built over the retired
+    * corpus. */
   private[operators] def tableOnce(
-      reg: SessionRegistry[TrieMap[String, String]],
+      reg: SessionRegistry[TrieMap[String, (String, String)]],
       s: SparkSession, key: String)(build: => String): String = {
+    val stamp = dirStamp(s, key.takeWhile(_ != '#'))
     var out: String = null
     while (out == null) {
-      val m = reg.acquire(s)(TrieMap.empty[String, String])
+      val m = reg.acquire(s)(TrieMap.empty[String, (String, String)])
       m.synchronized {
-        if (reg.registerOrGet(s, m) eq m) out = m.getOrElseUpdate(key, build)
+        if (reg.registerOrGet(s, m) eq m)
+          m.get(key) match {
+            case Some((st, t)) if st == stamp => out = t
+            case _ =>
+              val t = build
+              m.put(key, (stamp, t))
+              out = t
+          }
       }
     }
     out
@@ -3783,9 +3799,12 @@ object LlmData {
           val (a, b, n) = (pick.getString(0), pick.getString(1), pick.getLong(2))
           val prev = st
           st = memoized(s, s"x94-st$r", dir) {
+            // column-form replace, not an expr() splice: the merge pair
+            // comes from the corpus, and a token containing a quote or
+            // backslash must ride as DATA, never through the SQL parser
             staged(prev.select(col("doc_id"),
-              expr(s"replace(st, ${sqlStr(SEP + a + sep2 + b + SEP)}, " +
-                s"${sqlStr(SEP + a + " " + b + SEP)})").as("st")))
+              replace(col("st"), lit(SEP + a + sep2 + b + SEP),
+                lit(SEP + a + " " + b + SEP)).as("st")))
               .persist()
           }
           st.agg(sum(size(col("tk"))).as("tokens_after"))
@@ -3822,14 +3841,98 @@ object LlmData {
            |  FROM p3 CROSS JOIN t3
            |ORDER BY merge_round""".stripMargin
       },
-      "iterative BPE, 3 full rounds: per-round argmax pick (one driver row), sentinel-framed map-side merge apply, re-count over the rewritten corpus")
+      "iterative BPE, 3 full rounds: per-round argmax pick (one driver row), sentinel-framed map-side merge apply, re-count over the rewritten corpus"),
+
+    // ── X6zz: decontamination scrub to FIXPOINT (x95) ─────────────────
+    // x91's honest single-pass caveat, demonstrated instead of
+    // documented: removing a span makes its neighbors adjacent, which
+    // can mint a NEW benchmark 3-gram — so production iterates
+    // scrub∘flag until no round flags anything. Three fixed rounds
+    // (the oracle replays them as chained CTEs — the q31/x94
+    // fixed-round discipline; in practice the corpus is clean by
+    // round 2-3 and later rounds are no-ops, which the output SHOWS).
+    // The benchmark shingle set stays FROZEN from the original corpus
+    // (an eval set is external — it does not shrink because the
+    // corpus was scrubbed). Per round: one gram-count shuffle into
+    // the broadcast benchmark join, one doc-keyed coverage agg, and a
+    // map-side array rebuild (keptTokens — the ONE keep-semantics
+    // definition shared with x91/x92); the corpus rides token ARRAYS
+    // between rounds (no string round-trip, so an all-tokens-removed
+    // doc is an empty array in both engines, not a [""] artifact).
+    // Each round's corpus is a memoized+persisted frame (reliable
+    // checkpoints at production scale). Output: per-round flagged-doc
+    // and removed-token counts plus the surviving corpus token total —
+    // the conservation identity tokens_left(r) = tokens_left(r-1) −
+    // n_removed(r) is pinned in spec.
+    "x95_scrub_fixpoint" -> Q(
+      (s, dir) => {
+        val (bench, _) = decontamSides(s, dir)
+        var corpus = memoized(s, "x95-c0", dir) {
+          t(s, dir, "documents")
+            .filter(col("doc_id") % 50 =!= 0)
+            .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+            .persist()
+        }
+        val rows = (1 to 3).map { r =>
+          val badStarts = positionalGrams(corpus.filter(size(col("tk")) >= 3), 3)
+            .join(broadcast(bench.withColumnRenamed("s", "g")), "g")
+            .select("doc_id", "off")
+          val hitPos = coveredPositions(badStarts, 3)
+          val prev = corpus
+          corpus = memoized(s, s"x95-c$r", dir) {
+            prev.join(hitPos, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                when(col("hp").isNull, col("tk"))
+                  .otherwise(keptTokens(col("tk"), col("hp"))).as("tk"))
+              .persist()
+          }
+          hitPos
+            .agg(count(lit(1)).as("n_flagged"),
+              coalesce(sum(size(col("hp")).cast("long")), lit(0L)).as("n_removed"))
+            .crossJoin(corpus.agg(sum(size(col("tk")).cast("long")).as("tokens_left")))
+            .select(lit(r.toLong).as("scrub_round"), col("n_flagged"),
+              col("n_removed"), col("tokens_left"))
+        }
+        rows.reduce(_ unionByName _).orderBy("scrub_round")
+      },
+      Some {
+        def round(r: Int, prev: String) =
+          s"""g$r AS (SELECT doc_id,
+             |          unnest(list_transform(range(1, len(w) - 1), i -> i)) AS start,
+             |          unnest(list_transform(range(1, len(w) - 1),
+             |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+             |        FROM $prev WHERE len(w) >= 3),
+             |h$r AS (SELECT DISTINCT g.doc_id, g.start + d.d AS pos
+             |        FROM g$r g JOIN bench b ON g.g = b.s
+             |        CROSS JOIN (SELECT unnest(range(0, 3)) AS d) d),
+             |s$r AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_flagged,
+             |          CAST(count(*) AS BIGINT) AS n_removed FROM h$r),
+             |c$r AS (SELECT c.doc_id,
+             |          CASE WHEN f.doc_id IS NULL THEN c.w
+             |               ELSE list_filter(c.w, (x, i) -> NOT list_contains(f.ps, i))
+             |          END AS w
+             |        FROM $prev c LEFT JOIN
+             |          (SELECT doc_id, list(pos) AS ps FROM h$r GROUP BY doc_id) f
+             |          USING (doc_id)),
+             |t$r AS (SELECT CAST(sum(len(w)) AS BIGINT) AS tokens_left FROM c$r)""".stripMargin
+        s"""WITH $duckShingles,
+           |bench AS (SELECT DISTINCT unnest(sh) AS s FROM shs WHERE doc_id % 50 = 0),
+           |c0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |       WHERE doc_id % 50 <> 0),
+           |${round(1, "c0")},
+           |${round(2, "c1")},
+           |${round(3, "c2")}
+           |SELECT CAST(1 AS BIGINT) AS scrub_round, n_flagged, n_removed, tokens_left
+           |  FROM s1 CROSS JOIN t1
+           |UNION ALL SELECT CAST(2 AS BIGINT), n_flagged, n_removed, tokens_left
+           |  FROM s2 CROSS JOIN t2
+           |UNION ALL SELECT CAST(3 AS BIGINT), n_flagged, n_removed, tokens_left
+           |  FROM s3 CROSS JOIN t3
+           |ORDER BY scrub_round""".stripMargin
+      },
+      "scrub->flag iterated to fixpoint, 3 fixed rounds: frozen benchmark set, per-round coverage agg + map-side array rebuild; later rounds provably no-ops")
   )
 
-  /** SQL single-quoted string literal (for splicing merge-pair tokens
-    * into the x94 replace expression — tokens come from the corpus, so
-    * quotes must be escaped, and the U+001F sentinels ride as literal
-    * characters). */
-  private def sqlStr(v: String): String = "'" + v.replace("'", "''") + "'"
 
   /** x93's scorer — also the per-batch function of
     * EventStream.mixtureDriftGate, so the registered query and the
@@ -3901,16 +4004,27 @@ object LlmData {
     * are guaranteed in [1, len] (gram starts stop w-1 short of the
     * end), so n_removed = size of the covered set. */
   private def scrubWindows(docs: DataFrame, badStarts: DataFrame, w: Int): DataFrame = {
-    val hitPos = badStarts
-      .groupBy("doc_id")
-      .agg(array_distinct(flatten(collect_list(
-        sequence(col("off") + 1, col("off") + lit(w))))).as("hp"))
+    val hitPos = coveredPositions(badStarts, w)
     docs.join(hitPos, "doc_id")
       .select(col("doc_id"),
         size(col("tk")).cast("long").as("n_tokens"),
         size(col("hp")).cast("long").as("n_removed"),
-        array_join(filter(col("tk"),
-          (tok, i) => !array_contains(col("hp"), i + 1)), " ").as("clean_text"))
+        array_join(keptTokens(col("tk"), col("hp")), " ").as("clean_text"))
       .orderBy("doc_id")
   }
+
+  /** (doc_id, hp): the DISTINCT 1-based token positions covered by any
+    * bad start's `w`-token window, one array per flagged doc — the ONE
+    * window-coverage definition for the scrub family (x91, x92, x95). */
+  private def coveredPositions(badStarts: DataFrame, w: Int): DataFrame =
+    badStarts
+      .groupBy("doc_id")
+      .agg(array_distinct(flatten(collect_list(
+        sequence(col("off") + 1, col("off") + lit(w))))).as("hp"))
+
+  /** Tokens surviving a covered-position array (1-based positions, the
+    * [[coveredPositions]] convention) — the ONE keep-semantics
+    * definition for the scrub family. */
+  private def keptTokens(tk: Column, hp: Column): Column =
+    filter(tk, (_, i) => !array_contains(hp, i + 1))
 }

@@ -650,7 +650,7 @@ object Relational {
     * (released via [[clearBucketMemo]] from LlmData.clearMemo, so a
     * re-invocation after the release hook pays its own layout write —
     * the same cold-attribution rule every other index memo follows). */
-  private lazy val bucketMemo = new LlmData.SessionRegistry[TrieMap[String, String]]
+  private lazy val bucketMemo = new LlmData.SessionRegistry[TrieMap[String, (String, String)]]
 
   private[operators] def clearBucketMemo(s: SparkSession): Unit =
     bucketMemo.remove(s)

@@ -725,6 +725,38 @@ class LlmInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("x95: fixpoint rounds conserve tokens; round 1 is exactly the x91 pass") {
+    val rows = run("x95_scrub_fixpoint").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1) sameElements Array(1L, 2L, 3L), "three fixed rounds")
+    // conservation: each round removes exactly what it flags
+    import org.apache.spark.sql.functions.{col, size, split, sum}
+    val total = graft.sources.Tables.load(spark, sf0001, "documents")
+      .filter(col("doc_id") % 50 =!= 0)
+      .agg(sum(size(split(col("text"), " ")).cast("long")))
+      .collect()(0).getLong(0)
+    rows.foldLeft(total) { case (before, (r, _, removed, left)) =>
+      assert(left == before - removed,
+        s"round $r: tokens_left must be the previous total minus this round's removals")
+      left
+    }
+    // round 1 IS the x91 pass (same flag semantics, same coverage):
+    // flagged-doc and removed-token counts must reconcile exactly
+    val x91 = run("x91_decontam_scrub").collect()
+    assert(rows(0)._2 == x91.length.toLong,
+      "round-1 flagged docs must equal x91's changed-doc count")
+    assert(rows(0)._3 == x91.map(_.getLong(2)).sum,
+      "round-1 removed tokens must equal x91's total")
+    // a flagged round must remove something; a clean round must not
+    rows.foreach { case (r, flagged, removed, _) =>
+      assert((flagged == 0) == (removed == 0),
+        s"round $r: flags and removals must vanish together")
+      if (flagged > 0) assert(removed >= 3 * 1,
+        s"round $r: one hit covers a 3-token window")
+    }
+  }
+
   test("x92: keep-first dup-span scrub — the earliest long doc survives untouched") {
     val rows = run("x92_dupspan_scrub").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
