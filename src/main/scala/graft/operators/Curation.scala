@@ -140,7 +140,8 @@ object Curation {
   // first re-enters the other mid-init and reads a null val, splicing
   // the literal string "null" into an oracle. lazy vals + a pure def
   // make the cross-references safe from either entry point.
-  private lazy val pqMemo = new LlmData.SessionRegistry[TrieMap[String, PqCodebook]]
+  private lazy val pqMemo =
+    new LlmData.SessionRegistry[TrieMap[String, (String, PqCodebook)]]
   private lazy val pqIndexMemo = new LlmData.SessionRegistry[TrieMap[String, (String, String)]]
 
   /** Release hook (called from LlmData.clearMemo — one lifecycle for
@@ -166,8 +167,8 @@ object Curation {
     * integers (order-free), and the mean is sm/n/10⁶ in correctly-
     * rounded IEEE double on both engines. */
   private[graft] def trainPqCodebook(s: SparkSession, dir: String): PqCodebook =
-    pqMemo.acquire(s)(TrieMap.empty[String, PqCodebook])
-      .getOrElseUpdate(dir, trainPqCodebookOn(t(s, dir, "embeddings")))
+    LlmData.stampedValue(pqMemo, s, dir, dir)(
+      trainPqCodebookOn(t(s, dir, "embeddings")))
 
   /** Codebook trained on the HISTORICAL slice only, then FROZEN — the
     * PQ twin of LlmData's trainedCentroidsHist, for x75's incremental
@@ -175,9 +176,8 @@ object Curation {
     * never retrained per append; x75 measures the recall drift that
     * decides a retrain). */
   private[graft] def trainPqCodebookHist(s: SparkSession, dir: String): PqCodebook =
-    pqMemo.acquire(s)(TrieMap.empty[String, PqCodebook])
-      .getOrElseUpdate(dir + "#hist",
-        trainPqCodebookOn(t(s, dir, "embeddings").filter(LlmData.histVec)))
+    LlmData.stampedValue(pqMemo, s, dir + "#hist", dir)(
+      trainPqCodebookOn(t(s, dir, "embeddings").filter(LlmData.histVec)))
 
   /** The Lloyd's loop itself, over an arbitrary training frame. */
   private def trainPqCodebookOn(e: DataFrame): PqCodebook = {

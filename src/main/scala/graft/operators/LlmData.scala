@@ -249,51 +249,48 @@ object LlmData {
     * Oracle twin: `greatest(16, count(*) // 125)` (see
     * [[duckIvfChainKN]]). */
   private[operators] def corpusK(s: SparkSession, dir: String): Int =
-    stampedDial(corpusKMemo, s, dir)(
+    stampedValue(corpusKMemo, s, dir, dir)(
       math.max(16L, t(s, dir, "embeddings").count() / 125L).toInt)
 
-  /** Dir-keyed dial memo with the stamp INSIDE the value: a new corpus
-    * generation replaces the entry instead of accumulating one dead
-    * entry per observed stamp over a long session (ADVICE r9). */
-  private def stampedDial(reg: SessionRegistry[TrieMap[String, (String, Int)]],
-      s: SparkSession, dir: String)(derive: => Int): Int = {
-    val m = reg.acquire(s)(TrieMap.empty[String, (String, Int)])
-    val stamp = countStamp(s, dir)
-    m.get(dir) match {
+  /** Keyed DRIVER-VALUE memo with the corpus generation stamp INSIDE
+    * the value (ADVICE r9, generalized): serves the dials (corpusK /
+    * corpusSignBits), the trained quantizers (centroids, PQ codebooks)
+    * and the decontamination bloom — every collected artifact whose
+    * oracle twin replays its derivation against the LIVE file, so a
+    * stale value after an in-session regeneration would be an ANSWER
+    * change, not a performance bug. A new generation replaces the
+    * entry (no per-stamp accumulation); a concurrent duplicate
+    * derivation is wasted-but-identical work, same as the plain
+    * getOrElseUpdate these memos used before. */
+  private[operators] def stampedValue[K, V](
+      reg: SessionRegistry[TrieMap[K, (String, V)]],
+      s: SparkSession, key: K, dir: String)(derive: => V): V = {
+    val m = reg.acquire(s)(TrieMap.empty[K, (String, V)])
+    val stamp = dirStamp(s, dir)
+    m.get(key) match {
       case Some((st, v)) if st == stamp => v
       case _ =>
         val v = derive
-        m.put(dir, (stamp, v))
+        m.put(key, (stamp, v))
         v
     }
   }
 
-  /** Memo key for corpus-count-derived dials (corpusK, corpusSignBits):
-    * the embeddings file's mtime+length stamp, so a regenerated corpus
-    * re-derives instead of serving a stale width while the oracle's
-    * live count(*) CTE sees the new file — the Spark-vs-oracle drift
-    * class the tsTypeMemo stamp exists to prevent. Falls back to the
-    * bare dir if the file is not statable (the count itself will then
-    * fail with the real error). */
-  private def countStamp(s: SparkSession, dir: String): String =
-    try graft.sources.Tables.fileStamp(s, s"$dir/embeddings.parquet")
-    catch { case scala.util.control.NonFatal(_) => dir }
-
   private lazy val corpusKMemo = new SessionRegistry[TrieMap[String, (String, Int)]]
 
   private[operators] def trainedCentroids(
-      s: SparkSession, dir: String, K: Int = 16): Seq[(Long, IndexedSeq[Float])] = {
-    // memoized per (session, dir): x34, x35, and x48 all train the
-    // same quantizer — one set of Lloyd's collect jobs per session
-    // serves all of them. Unlike `memo` there is no persisted resource
-    // to leak: a concurrent duplicate training is wasted work with a
-    // deterministic identical result, so plain getOrElseUpdate is safe.
-    centsMemo.acquire(s)(TrieMap.empty[(String, Int), Seq[(Long, IndexedSeq[Float])]])
-      .getOrElseUpdate((dir, K), trainCentroids(s, dir, K))
-  }
+      s: SparkSession, dir: String, K: Int = 16): Seq[(Long, IndexedSeq[Float])] =
+    // memoized per (session, dir, K, corpus generation): x34, x35, and
+    // x48 all train the same quantizer — one set of Lloyd's collect
+    // jobs per session serves all of them, and the generation stamp
+    // re-trains after an in-session regeneration (the oracle replays
+    // training from the live file — a stale quantizer would be an
+    // answer change). No persisted resource to leak: a concurrent
+    // duplicate training is wasted-but-identical work.
+    stampedValue(centsMemo, s, (dir, K), dir)(trainCentroids(s, dir, K))
 
-  private lazy val centsMemo =
-    new SessionRegistry[TrieMap[(String, Int), Seq[(Long, IndexedSeq[Float])]]]
+  private lazy val centsMemo = new SessionRegistry[
+    TrieMap[(String, Int), (String, Seq[(Long, IndexedSeq[Float])])]]
 
   private def trainCentroids(
       s: SparkSession, dir: String, K: Int): Seq[(Long, IndexedSeq[Float])] =
@@ -525,10 +522,8 @@ object LlmData {
     * Tagged key in the same registry as the full-corpus quantizer. */
   private[graft] def trainedCentroidsHist(
       s: SparkSession, dir: String, K: Int = 16): Seq[(Long, IndexedSeq[Float])] =
-    centsMemo.acquire(s)(
-        TrieMap.empty[(String, Int), Seq[(Long, IndexedSeq[Float])]])
-      .getOrElseUpdate((dir + "#hist", K),
-        trainCentroidsOn(t(s, dir, "embeddings").filter(histVec), K))
+    stampedValue(centsMemo, s, (dir + "#hist", K), dir)(
+      trainCentroidsOn(t(s, dir, "embeddings").filter(histVec), K))
 
   private[operators] lazy val incIvfMemo = new SessionRegistry[TrieMap[String, (String, String)]]
 
@@ -739,7 +734,8 @@ object LlmData {
     *
     * Every entry carries the corpus GENERATION STAMP of its sfDir
     * (mtime+length of the three corpus files a frame memo can derive
-    * from — the countStamp discipline applied to frames, ADVICE r9):
+    * from — so a regenerated corpus re-derives instead of drifting
+    * against the oracle's live reads, ADVICE r9):
     * an in-session testdata regeneration re-derives the frame instead
     * of serving the stale persisted corpus while the oracle reads the
     * new file, and replacing evicts+unpersists the old generation, so
@@ -1041,12 +1037,11 @@ object LlmData {
     * getOrElseUpdate is safe (no persisted resource to leak); Option
     * wraps the empty-benchmark null. */
   private[operators] def decontamBloomFor(s: SparkSession, dir: String): Array[Byte] =
-    bloomMemo.acquire(s)(TrieMap.empty[String, Option[Array[Byte]]])
-      .getOrElseUpdate(dir, Option(decontamBloom(decontamSides(s, dir)._1)))
-      .orNull
+    stampedValue(bloomMemo, s, dir, dir)(
+      Option(decontamBloom(decontamSides(s, dir)._1))).orNull
 
   private lazy val bloomMemo =
-    new SessionRegistry[TrieMap[String, Option[Array[Byte]]]]
+    new SessionRegistry[TrieMap[String, (String, Option[Array[Byte]])]]
 
   /** Memoized (doc_id, sh, hs) minhash input table — shingle sets plus
     * their portable md5 base hashes — shared by x22 (Jaccard pairs) and
@@ -1172,7 +1167,7 @@ object LlmData {
     (6 to 62).find(b => (1L << b) >= (4L * n + 124L) / 125L).getOrElse(62)
 
   private[operators] def corpusSignBits(s: SparkSession, dir: String): Int =
-    stampedDial(signBitsMemo, s, dir)(
+    stampedValue(signBitsMemo, s, dir, dir)(
       signBitsFor(t(s, dir, "embeddings").count()))
 
   private lazy val signBitsMemo = new SessionRegistry[TrieMap[String, (String, Int)]]

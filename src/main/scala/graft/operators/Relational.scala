@@ -1001,7 +1001,12 @@ object Relational {
         sym.groupBy("src").agg(count(lit(1)).as("deg"))
           .withColumnRenamed("src", "node").persist()
       }
-      val edges = LlmData.memoized(s, "q31-edges", dir) {
+      // memoizedEager, not memoized: this build runs an EAGER job (the
+      // edge-count agg that sizes the repartition) — the plain memo
+      // constructs lazy frames under a session-wide lock, and an eager
+      // job there head-of-line-blocks every concurrent memoized user
+      // (the documented lock discipline memoizedEager exists for)
+      val edges = LlmData.memoizedEager(s, "q31-edges", dir) {
         // both staging scalars ride the deg build (|V| rows + one agg)
         val edgeRows = deg.agg(sum("deg")).head().getLong(0)
         val sized = math.max(1L, math.min(

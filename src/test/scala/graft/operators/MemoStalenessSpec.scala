@@ -79,6 +79,36 @@ class MemoStalenessSpec extends graft.SparkSpec {
       "the dial must re-derive from the regenerated corpus, not the stale stamp entry")
   }
 
+  test("the decontamination bloom re-derives when documents regenerate in-session") {
+    // ANSWER-grade staleness: a bloom built over the retired benchmark
+    // set has no no-false-negative contract against the NEW set — a
+    // stale filter could drop true matches before the confirm join
+    val dir = tmp("stale-bloom")
+    Seq("documents", "embeddings", "lineitem").foreach { t =>
+      Files.copy(Paths.get(s"$sf0001/$t.parquet"),
+        Paths.get(dir, s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val before = LlmData.decontamBloomFor(spark, dir)
+    assert(before != null)
+
+    // regenerate with a DISJOINT benchmark residue: keep only docs
+    // whose ids are NOT multiples of 50 shifted onto multiples of 50 —
+    // i.e. re-id half the corpus so the %50 benchmark slice changes
+    val stage = tmp("stale-bloom-stage")
+    graft.sources.Tables.load(spark, sf0001, "documents")
+      .filter(col("doc_id") % 2 === 1)
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+      .filter(f => f.endsWith(".parquet") && !f.contains("_SUCCESS")).head
+    Files.copy(Paths.get(part), Paths.get(dir, "documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    spark.catalog.refreshByPath(dir)
+
+    val after = LlmData.decontamBloomFor(spark, dir)
+    assert(!java.util.Arrays.equals(before, after),
+      "a regenerated corpus must rebuild the benchmark bloom, not serve the stale bytes")
+  }
+
   test("fallback-schema ts guard fails loudly on a NANOS-decoded value, passes sane ones") {
     import spark.implicits._
     val sane = Seq(java.sql.Timestamp.from(java.time.Instant.parse("2026-08-14T00:00:00Z")))
