@@ -3925,7 +3925,52 @@ object LlmData {
            |  FROM s3 CROSS JOIN t3
            |ORDER BY scrub_round""".stripMargin
       },
-      "scrub->flag iterated to fixpoint, 3 fixed rounds: frozen benchmark set, per-round coverage agg + map-side array rebuild; later rounds provably no-ops")
+      "scrub->flag iterated to fixpoint, 3 fixed rounds: frozen benchmark set, per-round coverage agg + map-side array rebuild; later rounds provably no-ops"),
+
+    // ── X6ab: leakage-free train/holdout split (x96) ──────────────────
+    // The eval-split operation a dedup pipeline exists to enable: a
+    // doc-level random split leaks — near-duplicate pairs straddle the
+    // boundary and the holdout scores memorization, not generalization
+    // (the contamination x39/x91 scrub AGAINST external benchmarks,
+    // applied to the corpus's own eval split). The unit of assignment
+    // must be the near-dup CLUSTER: x36's components over the x23
+    // candidate graph, with every pair-graph-absent doc its own
+    // singleton cluster, drawn by a seedless content-free hash of the
+    // CLUSTER id (the x41/x64 draw discipline — deterministic,
+    // order-independent, engine-portable). ~10% holdout at cluster
+    // grain. Scale shape: the components loop is the already-O(log n)
+    // alternating algorithm (checkpointed, scalar fixpoints); the
+    // cluster map joins back doc_id-keyed (narrow, pair-graph-sized
+    // side ≪ corpus); the draw is map-side arithmetic. The no-straddle
+    // property is definitional — every member inherits its cluster's
+    // single draw — and LlmInvariantsSpec pins it pairwise on the
+    // actual candidate graph.
+    "x96_leakage_split" -> Q(
+      (s, dir) => {
+        val comp = Components.connectedComponentsAlternating(
+            simhashPairs(s, dir), "doc_a", "doc_b")
+          .select(col("node").as("doc_id"), col("component"))
+        t(s, dir, "documents").select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+          .withColumn("h",
+            conv(substring(md5(col("cluster").cast("string")), 1, 15), 16, 10)
+              .cast("long"))
+          .select(col("doc_id"), col("cluster"),
+            when(pmod(col("h"), lit(10)) === 0, lit("holdout"))
+              .otherwise(lit("train")).as("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $duckSimhashCand,
+              |$duckComponents,
+              |cl AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+              |       FROM documents d LEFT JOIN comp c USING (doc_id))
+              |SELECT doc_id, cluster,
+              |  CASE WHEN CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15)
+              |              AS BIGINT) % 10 = 0
+              |       THEN 'holdout' ELSE 'train' END AS split
+              |FROM cl ORDER BY doc_id""".stripMargin),
+      "leakage-free split: near-dup clusters drawn whole into train/holdout by a cluster-id hash — no candidate pair ever straddles the boundary")
   )
 
 

@@ -757,6 +757,33 @@ class LlmInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("x96: no near-dup candidate pair straddles the split; clusters draw whole") {
+    val rows = run("x96_leakage_split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 500, "every corpus doc must receive a split")
+    val split = rows.map(t => t._1 -> t._3).toMap
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, ms) =>
+      assert(ms.map(_._3).distinct.length == 1,
+        s"cluster $c must land entirely in one split")
+    }
+    assert(rows.count(_._3 == "holdout") > 0 && rows.count(_._3 == "train") > 0,
+      "both splits must be non-empty at spec SF")
+    // the DIRECT leakage check, on the actual candidate graph: every
+    // near-dup pair x23/x36 would report shares its split assignment
+    val pairs = run("x23_simhash_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "the corpus plants near-dups; the graph must be non-trivial")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b),
+        s"near-dup pair ($a, $b) must not straddle the train/holdout boundary")
+    }
+    // multi-member clusters exist (else the operator is vacuously a
+    // doc-level draw on this corpus)
+    assert(byCluster.values.exists(_.length > 1),
+      "at least one near-dup cluster must have >1 member")
+  }
+
   test("x92: keep-first dup-span scrub — the earliest long doc survives untouched") {
     val rows = run("x92_dupspan_scrub").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
