@@ -2461,9 +2461,9 @@ object LlmData {
     // row_number rank selection (value at rank ceil(q x n) — explicit,
     // interpolation-free, so both engines pick the identical row). One
     // shuffle (the per-lang window). At 100 TB with tight groups this
-    // exact path holds; unbounded groups would move to the mergeable-
-    // sketch path (x33's pattern, percentile_approx) once an error
-    // tolerance is agreed.
+    // exact path holds; unbounded groups move to the mergeable-sketch
+    // path, REGISTERED as x97 (fixed-grid histogram, error bound = the
+    // declared bin width).
     "x54_length_quantiles" -> Q(
       (s, dir) => {
         val byLang = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
@@ -3970,7 +3970,58 @@ object LlmData {
               |              AS BIGINT) % 10 = 0
               |       THEN 'holdout' ELSE 'train' END AS split
               |FROM cl ORDER BY doc_id""".stripMargin),
-      "leakage-free split: near-dup clusters drawn whole into train/holdout by a cluster-id hash — no candidate pair ever straddles the boundary")
+      "leakage-free split: near-dup clusters drawn whole into train/holdout by a cluster-id hash — no candidate pair ever straddles the boundary"),
+
+    // ── X6ac: mergeable histogram-sketch quantiles (x97) ──────────────
+    // x54's scale path, registered with its error tolerance DECLARED:
+    // exact rank-selection quantiles need a per-group sort; a fixed-
+    // GRID histogram (bin = n_chars div 32 — width fixed globally, not
+    // derived from the data, so bins are ADDITIVE) is the mergeable
+    // form — per-shard sketches union by summing bin counts, which is
+    // exactly what the map-side partial aggregation already does; no
+    // sort, no per-group window over the corpus. The quantile estimate
+    // is the exclusive upper edge of the first bin whose cumulative
+    // count reaches rank ceil(q·n) (the SAME rank convention as x54),
+    // so the true rank-q value lies inside that bin and
+    // |estimate − exact| ≤ bin width — an a-priori bound carried as an
+    // output column, pinned against exact x54 in spec. Everything is
+    // integer arithmetic (cum·100 ≥ n·q avoids fractional ranks), so
+    // the approximation ITSELF hash-matches the oracle — the
+    // KMV-over-HLL lesson (x55 vs x33) applied to quantiles. The CDF
+    // window runs over ≤ (max_len/32) bins per lang — dimension-sized,
+    // the bounded-spine shape the plan sweep admits.
+    "x97_hist_quantiles" -> Q(
+      (s, dir) => {
+        val byLang = Window.partitionBy("lang").orderBy("bin")
+        def est(qint: Int) =
+          min(when(col("cum") * 100 >= col("n") * qint, (col("bin") + 1) * 32))
+        t(s, dir, "documents")
+          .groupBy(col("lang"), expr("n_chars div 32").as("bin"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(byLang))
+          .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+          .groupBy("lang")
+          .agg(max(col("n")).as("n_docs"),
+            est(50).as("p50_est"), est(90).as("p90_est"), est(99).as("p99_est"))
+          .withColumn("err_bound", lit(32L))
+          .orderBy("lang")
+      },
+      Some("""WITH b AS (SELECT lang, n_chars // 32 AS bin, count(*) AS c
+             |           FROM documents GROUP BY 1, 2),
+             |cw AS (SELECT lang, bin, c,
+             |         sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+             |         sum(c) OVER (PARTITION BY lang) AS n
+             |       FROM b)
+             |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+             |  CAST(min(CASE WHEN cum * 100 >= n * 50 THEN (bin + 1) * 32 END)
+             |    AS BIGINT) AS p50_est,
+             |  CAST(min(CASE WHEN cum * 100 >= n * 90 THEN (bin + 1) * 32 END)
+             |    AS BIGINT) AS p90_est,
+             |  CAST(min(CASE WHEN cum * 100 >= n * 99 THEN (bin + 1) * 32 END)
+             |    AS BIGINT) AS p99_est,
+             |  CAST(32 AS BIGINT) AS err_bound
+             |FROM cw GROUP BY lang ORDER BY lang""".stripMargin),
+      "mergeable fixed-grid histogram quantiles: additive bins (map-side merge IS the sketch union), integer CDF selection, declared +/-32 error vs exact x54")
   )
 
 

@@ -784,6 +784,28 @@ class LlmInvariantsSpec extends SparkSpec {
       "at least one near-dup cluster must have >1 member")
   }
 
+  test("x97: sketch quantiles honor the declared error bound against exact x54") {
+    val exact = run("x54_length_quantiles").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val sk = run("x97_hist_quantiles").collect()
+    assert(sk.length == exact.size, "one sketch row per lang")
+    sk.foreach { r =>
+      val lang = r.getString(0)
+      val (n, p50, p90, p99) = exact(lang)
+      assert(r.getLong(1) == n, s"$lang: sketch must see every doc")
+      val bound = r.getLong(5)
+      assert(bound == 32L, "the declared tolerance is part of the contract")
+      Seq(r.getLong(2) -> p50, r.getLong(3) -> p90, r.getLong(4) -> p99)
+        .foreach { case (est, ex) =>
+          // the true rank-q value lies INSIDE the selected bin, whose
+          // exclusive upper edge is the estimate: 0 < est - exact <= 32
+          assert(est > ex && est - ex <= bound,
+            s"$lang: estimate $est must upper-bound exact $ex within $bound")
+        }
+    }
+  }
+
   test("x92: keep-first dup-span scrub — the earliest long doc survives untouched") {
     val rows = run("x92_dupspan_scrub").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
