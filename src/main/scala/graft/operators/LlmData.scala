@@ -4021,7 +4021,235 @@ object LlmData {
              |    AS BIGINT) AS p99_est,
              |  CAST(32 AS BIGINT) AS err_bound
              |FROM cw GROUP BY lang ORDER BY lang""".stripMargin),
-      "mergeable fixed-grid histogram quantiles: additive bins (map-side merge IS the sketch union), integer CDF selection, declared +/-32 error vs exact x54")
+      "mergeable fixed-grid histogram quantiles: additive bins (map-side merge IS the sketch union), integer CDF selection, declared +/-32 error vs exact x54"),
+
+    // ── X6ad: DSIR-style hashed n-gram importance weights (x98) ───────
+    // Data Selection via Importance Resampling (Xie et al. 2023)
+    // adapted rational: score each document by how much its hashed
+    // unigram distribution looks like a curated TARGET corpus (here
+    // lang='en') versus the RAW corpus. Tokens hash into 256 buckets
+    // (the feature space is FIXED-size, so the bucket count tables are
+    // dimension-sized no matter how large the corpus); per-bucket
+    // add-one-smoothed likelihood ratio is computed in exact integer
+    // milli-units — the x40 lesson (rational tf/df, no transcendental
+    // in any hashed column) applied to importance weighting: the
+    // paper's log-ratio sum is replaced by the centered linear-ratio
+    // sum Σ (ratio_milli − 1000), which is order-equivalent for
+    // near-uniform ratios and exactly replayable on both engines (ln()
+    // rounds differently across libm implementations). Arithmetic
+    // rides DECIMAL(38,0)/HUGEINT so the smoothed-product numerator
+    // cannot overflow at any corpus size (FIXTURES §C 128-bit idiom);
+    // `div` lands the milli-ratio back in BIGINT. Plan: two map-side
+    // token passes (one for the 256-row count tables, one for
+    // scoring), ratio table broadcast, ONE doc-keyed shuffle; the
+    // totals window runs over the 256-row aggregate (bounded spine).
+    "x98_dsir_weights" -> Q(
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(Text.tokens(col("text"))).as("term"))
+          .withColumn("b",
+            pmod(conv(substring(md5(col("term")), 1, 15), 16, 10)
+              .cast("long"), lit(256)))
+        val raw = tok.groupBy("b").agg(count(lit(1)).as("cr"))
+        val tgt = tok.filter(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("ct"))
+        // target tokens are corpus tokens, so tgt's buckets ⊆ raw's:
+        // the left join is seeded from the complete bucket set and the
+        // totals windows see every token
+        val ratio = raw.join(tgt, Seq("b"), "left")
+          .na.fill(0L, Seq("ct"))
+          .withColumn("nr", sum("cr").over(Window.partitionBy()))
+          .withColumn("nt", sum("ct").over(Window.partitionBy()))
+          .withColumn("r_milli", expr(
+            "CAST((CAST(ct + 1 AS DECIMAL(38,0)) * (nr + 256) * 1000) div " +
+              "(CAST(cr + 1 AS DECIMAL(38,0)) * (nt + 256)) AS BIGINT)"))
+          .select("b", "r_milli")
+        tok.join(broadcast(ratio), "b")
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("r_milli") - 1000).as("score_milli"))
+          .select("doc_id", "lang", "n_tokens", "score_milli")
+          .orderBy(desc("score_milli"), asc("doc_id"))
+          .limit(100)
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang,
+             |         CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % 256 AS b
+             |       FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+             |             FROM documents)),
+             |raw AS (SELECT b, count(*) AS cr FROM tok GROUP BY b),
+             |tgt AS (SELECT b, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY b),
+             |ratio AS (SELECT r.b,
+             |    CAST((CAST(coalesce(g.ct, 0) + 1 AS HUGEINT)
+             |            * (sum(r.cr) OVER () + 256) * 1000)
+             |      // (CAST(r.cr + 1 AS HUGEINT)
+             |            * (sum(coalesce(g.ct, 0)) OVER () + 256)) AS BIGINT) AS r_milli
+             |  FROM raw r LEFT JOIN tgt g USING (b))
+             |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(x.r_milli - 1000) AS BIGINT) AS score_milli
+             |FROM tok t JOIN ratio x USING (b)
+             |GROUP BY doc_id, lang
+             |ORDER BY score_milli DESC, doc_id LIMIT 100""".stripMargin),
+      "DSIR-style importance weights: 256-bucket hashed unigrams, exact integer likelihood ratios, broadcast ratio join, one doc-keyed shuffle"),
+
+    // ── X6ae: quality-rule attribution waterfall (x99) ────────────────
+    // Curation observability over the x52 gate: for each Gopher rule,
+    // how many documents fail it AT ALL, fail ONLY it, and are NEWLY
+    // removed when rules apply in the fixed order word-count →
+    // mean-word-length → stopword-min → repetition-max (the waterfall
+    // tables Dolma/RefinedWeb-style curation reports publish — single
+    // per-rule fail counts hide overlap, so they cannot tell you what
+    // relaxing one rule would recover; n_sole is exactly that number).
+    // ONE definition of the rules (Text.gopherGate, shared with x52
+    // and the streaming quality monitor) evaluated in ONE corpus scan;
+    // the 12 sums partial-aggregate map-side into a single row, and
+    // stack() unpivots it driver-free into the 4-row report. Σ
+    // n_marginal = n_docs − n_kept by construction (spec-pinned
+    // against x52's keep column).
+    "x99_rule_waterfall" -> Q(
+      (s, dir) => {
+        val g = t(s, dir, "documents")
+          .withColumn("tk", Text.tokens(col("text")))
+          .withColumn("g", Text.gopherGate(col("tk")))
+          .select(
+            (!col("g.n_words").between(20, 400)).as("f1"),
+            (col("g.mean_wlen") < 3.0 || col("g.mean_wlen") > 10.0).as("f2"),
+            (col("g.n_stop") < 2).as("f3"),
+            (col("g.rep_frac") > 0.2).as("f4"))
+        def n(c: Column) = sum(c.cast("long"))
+        g.agg(
+            n(col("f1")).as("n1"), n(col("f2")).as("n2"),
+            n(col("f3")).as("n3"), n(col("f4")).as("n4"),
+            n(col("f1") && !col("f2") && !col("f3") && !col("f4")).as("s1"),
+            n(!col("f1") && col("f2") && !col("f3") && !col("f4")).as("s2"),
+            n(!col("f1") && !col("f2") && col("f3") && !col("f4")).as("s3"),
+            n(!col("f1") && !col("f2") && !col("f3") && col("f4")).as("s4"),
+            n(!col("f1") && col("f2")).as("m2"),
+            n(!col("f1") && !col("f2") && col("f3")).as("m3"),
+            n(!col("f1") && !col("f2") && !col("f3") && col("f4")).as("m4"))
+          .selectExpr(
+            "stack(4, " +
+              "1, 'word_count', n1, s1, n1, " +
+              "2, 'mean_word_len', n2, s2, m2, " +
+              "3, 'stopword_min', n3, s3, m3, " +
+              "4, 'repetition_max', n4, s4, m4) " +
+              "AS (ord, rule, n_fail, n_sole, n_marginal)")
+          .orderBy("ord")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |m AS (SELECT doc_id, len(w) AS n_words,
+              |    ${duckRound("list_sum(list_transform(w, t -> len(t))) * 1.0 / len(w)", 6)}
+              |      AS mean_wlen,
+              |    len(list_filter(w, t ->
+              |      list_contains(['the','a','of','and','to','in','is','on'], t))) AS n_stop,
+              |    ${duckRound(
+                     "list_max(list_transform(list_distinct(w), " +
+                       "t -> len(list_filter(w, x -> x = t)))) * 1.0 / len(w)", 6)}
+              |      AS rep_frac
+              |  FROM toks),
+              |fl AS (SELECT NOT (n_words BETWEEN 20 AND 400) AS f1,
+              |         (mean_wlen < 3.0 OR mean_wlen > 10.0) AS f2,
+              |         n_stop < 2 AS f3, rep_frac > 0.2 AS f4
+              |       FROM m),
+              |ag AS (SELECT
+              |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              |    CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+              |    CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+              |    CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+              |    CAST(sum(CASE WHEN f1 AND NOT f2 AND NOT f3 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+              |    CAST(sum(CASE WHEN NOT f1 AND f2 AND NOT f3 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+              |    CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND f3 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+              |    CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+              |    CAST(sum(CASE WHEN NOT f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+              |    CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+              |    CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS m4
+              |  FROM fl)
+              |SELECT 1 AS ord, 'word_count' AS rule, n1 AS n_fail, s1 AS n_sole, n1 AS n_marginal FROM ag
+              |UNION ALL SELECT 2, 'mean_word_len', n2, s2, m2 FROM ag
+              |UNION ALL SELECT 3, 'stopword_min', n3, s3, m3 FROM ag
+              |UNION ALL SELECT 4, 'repetition_max', n4, s4, m4 FROM ag
+              |ORDER BY ord""".stripMargin),
+      "rule-attribution waterfall: per-rule fail / sole-fail / ordered marginal removal from one scan of the x52 gate definitions"),
+
+    // ── X6af: incremental batch-vs-corpus dedup (x100) ────────────────
+    // The continuous-crawl ingestion shape: dedup a NEW batch (10% of
+    // docs drawn by the seedless md5(doc_id) hash) against the
+    // EXISTING corpus (the other 90%) without ever comparing corpus
+    // docs to each other — re-running x20/x22 over corpus ∪ batch
+    // re-pays the whole corpus every ingest, which at 100 TB is the
+    // difference between an hourly ingest and an impossible one. Exact
+    // tier: semi join of batch content digests against the corpus
+    // digest set (shuffle keyed on the digest, corpus side is what a
+    // real deployment persists as the fingerprint index). Near tier:
+    // the x22 candidate generator + confirm (ONE definition —
+    // minhashConfirm — so batch-vs-corpus candidacy can never drift
+    // from the registered pair query), restricted to CROSS-split pairs
+    // after candidacy: corpus-internal pairs never confirm. Verdict
+    // precedence exact_dup > near_dup > new. x101 registers the
+    // persisted bucketed band-key index + zero-shuffle probe this
+    // query's corpus side stands for.
+    "x100_incremental_dedup" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("is_batch",
+            pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+              .cast("long"), lit(10)) === 0)
+        val corpusFp = docs.filter(!col("is_batch"))
+          .select(md5(col("text")).as("fp")).distinct()
+        val batch = docs.filter(col("is_batch"))
+        val exact = batch
+          .join(corpusFp, md5(col("text")) === col("fp"), "left_semi")
+          .select(col("doc_id")).withColumn("is_exact", lit(true))
+        val flags = docs.select(col("doc_id"), col("is_batch"))
+        val near = minhashConfirm(s, dir)
+          .withColumn("jaccard",
+            pround(col("inter") /
+              (size(col("sha")) + size(col("shb")) - col("inter")), 6))
+          .filter(col("jaccard") >= 0.8)
+          .join(flags.toDF("doc_a", "ba"), "doc_a")
+          .join(flags.toDF("doc_b", "bb"), "doc_b")
+          .filter(col("ba") =!= col("bb"))
+          .select(when(col("ba"), col("doc_a")).otherwise(col("doc_b")).as("doc_id"))
+          .distinct()
+          .withColumn("is_near", lit(true))
+        batch.select("doc_id")
+          .join(exact, Seq("doc_id"), "left")
+          .join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(coalesce(col("is_exact"), lit(false)), lit("exact_dup"))
+              .when(coalesce(col("is_near"), lit(false)), lit("near_dup"))
+              .otherwise(lit("new")).as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckMinhashCand,
+              |fl AS (SELECT doc_id,
+              |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              |           AS BIGINT) % 10 = 0 AS is_batch
+              |       FROM documents),
+              |cfp AS (SELECT DISTINCT md5(d.text) AS fp
+              |        FROM documents d JOIN fl USING (doc_id) WHERE NOT is_batch),
+              |j AS (SELECT doc_a, doc_b,
+              |        ${duckRound(
+                        "len(list_intersect(x.sh, y.sh)) * 1.0 / " +
+                          "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))", 6)} AS jaccard
+              |      FROM cand
+              |      JOIN hsd x ON x.doc_id = doc_a
+              |      JOIN hsd y ON y.doc_id = doc_b),
+              |np AS (SELECT DISTINCT
+              |         CASE WHEN fa.is_batch THEN j.doc_a ELSE j.doc_b END AS doc_id
+              |       FROM j
+              |       JOIN fl fa ON fa.doc_id = j.doc_a
+              |       JOIN fl fb ON fb.doc_id = j.doc_b
+              |       WHERE j.jaccard >= 0.8 AND fa.is_batch <> fb.is_batch)
+              |SELECT d.doc_id,
+              |  CASE WHEN EXISTS (SELECT 1 FROM cfp WHERE cfp.fp = md5(d.text))
+              |         THEN 'exact_dup'
+              |       WHEN EXISTS (SELECT 1 FROM np WHERE np.doc_id = d.doc_id)
+              |         THEN 'near_dup'
+              |       ELSE 'new' END AS verdict
+              |FROM documents d JOIN fl USING (doc_id) WHERE is_batch
+              |ORDER BY d.doc_id""".stripMargin),
+      "incremental ingest dedup: batch probes the corpus digest set (exact) and the x22 band graph cross-split only (near) — corpus never re-compared to itself")
   )
 
 

@@ -837,4 +837,84 @@ class LlmInvariantsSpec extends SparkSpec {
     val firstDoc = rows.minBy(_._1)
     assert(firstDoc._2 == firstDoc._3, "the earliest doc's fingerprints are all first-seen")
   }
+
+  test("x98: importance weights separate the target language; scores are exact integers") {
+    val rows = run("x98_dsir_weights").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 100, "top-100 selection at spec SF (corpus has 500 docs)")
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per doc")
+    // ordering contract: descending score, doc_id tie-break
+    rows.sliding(2).foreach { case Array((da, _, _, sa), (db, _, _, sb)) =>
+      assert(sa > sb || (sa == sb && da < db), "rank order must be total")
+    }
+    // the operator's reason to exist: target-language docs score higher
+    // on average than the rest — and dominate the selected top slice
+    val enShare = rows.count(_._2 == "en").toDouble / rows.length
+    val corpusEnShare = graft.sources.Tables.load(spark, sf0001, "documents")
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .count().toDouble / 500
+    assert(enShare > corpusEnShare,
+      f"selected en share $enShare%.2f must exceed corpus share $corpusEnShare%.2f " +
+        "or the ratio table is not discriminating")
+    rows.foreach { case (d, _, nt, _) =>
+      assert(nt >= 1, s"doc $d: every document tokenizes to at least one bucket draw")
+    }
+  }
+
+  test("x99: waterfall attribution is consistent with the x52 gate") {
+    val wf = run("x99_rule_waterfall").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(wf.map(_._1).toSeq == Seq(1, 2, 3, 4), "fixed rule order")
+    wf.foreach { case (o, rule, nFail, nSole, nMarg) =>
+      assert(nSole <= nFail, s"$rule: sole-fails are fails")
+      assert(nMarg <= nFail, s"$rule: marginal removals are fails")
+      assert(nSole <= nMarg || o == 1,
+        s"$rule: a sole-fail survives every earlier rule, so it counts as marginal")
+    }
+    assert(wf.head._3 == wf.head._5, "rule 1's marginal removal IS its fail count")
+    // conservation against the registered gate: the waterfall removes
+    // exactly the docs x52 rejects, partitioned without overlap
+    val x52 = run("x52_gopher_rules").collect()
+    val nRejected = x52.count(!_.getBoolean(5))
+    assert(wf.map(_._5).sum == nRejected.toLong,
+      "sum of marginal removals must equal the x52 reject count")
+    assert(wf.map(_._3).max > 0, "the synthetic corpus must trip at least one rule")
+  }
+
+  test("x100: verdicts partition the batch and agree with x20/x22 ground truth") {
+    import org.apache.spark.sql.functions.{col, conv, md5, pmod, substring, lit}
+    val verdicts = run("x100_incremental_dedup").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+      .withColumn("is_batch",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(10)) === 0)
+      .select("doc_id", "text", "is_batch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val batch = docs.filter(_._3)
+    assert(verdicts.size == batch.length, "one verdict per batch doc, none extra")
+    // exact tier ground truth: recompute digests driver-side
+    val corpusTexts = docs.filterNot(_._3).map(_._2).toSet
+    batch.foreach { case (d, text, _) =>
+      val exactDup = corpusTexts.contains(text)
+      if (exactDup) assert(verdicts(d) == "exact_dup",
+        s"doc $d: identical corpus text must rank as exact_dup (highest precedence)")
+      else assert(verdicts(d) != "exact_dup",
+        s"doc $d: exact_dup claimed without an identical corpus text")
+    }
+    // near tier ground truth: x22's registered pair list, cross-split only
+    val isBatch = docs.map(t => t._1 -> t._3).toMap
+    val nearFromPairs = run("x22_minhash_lsh_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => isBatch(a) != isBatch(b) }
+      .map { case (a, b) => if (isBatch(a)) a else b }.toSet
+    verdicts.foreach { case (d, v) =>
+      if (v == "near_dup") assert(nearFromPairs.contains(d),
+        s"doc $d: near_dup must be witnessed by a cross-split x22 pair")
+      if (v == "new") assert(!nearFromPairs.contains(d),
+        s"doc $d: a cross-split x22 pair exists, verdict cannot be new")
+    }
+    assert(verdicts.values.toSet.contains("new"),
+      "a 10% batch draw must contain genuinely new docs at spec SF")
+  }
 }
