@@ -905,6 +905,7 @@ object LlmData {
     Curation.clearPqMemo(s)
     Relational.clearBucketMemo(s)
     ivfIndexMemo.remove(s)
+    dedupIdxMemo.remove(s)
     incIvfMemo.remove(s)
     val perSession = memo.remove(s)
     // take the same per-map lock memoized() builds under: a build in
@@ -1069,15 +1070,24 @@ object LlmData {
     * which the oracle chain mirrors. */
   private[operators] def minhashCandPairs(
       d: DataFrame, bands: Int = 4, rows: Int = 4): DataFrame = {
-    val sig = d.select(col("doc_id"),
-      Text.minhashNative(col("hs"), bands * rows).as("sig"))
-    val bnd = sig.select(col("doc_id"),
-      explode(Text.bandKeysMd5(col("sig"), bands, rows)).as("bk"))
+    val bnd = bandRows(d, bands, rows)
     bnd.as("a").join(bnd.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** (doc_id, bk) band-key rows from a hashed signature table — the
+    * ONE band-key definition shared by the pair generator above and
+    * the x101 persisted band index (an index keyed on anything else
+    * would silently miss candidates the registered pair queries
+    * report). */
+  private[operators] def bandRows(
+      d: DataFrame, bands: Int = 4, rows: Int = 4): DataFrame =
+    d.select(col("doc_id"),
+        Text.minhashNative(col("hs"), bands * rows).as("sig"))
+      .select(col("doc_id"),
+        explode(Text.bandKeysMd5(col("sig"), bands, rows)).as("bk"))
 
   /** Confirm-stage input shared by x22/x58: candidate pairs with both
     * shingle sets attached plus the staged intersection size — one
@@ -4191,9 +4201,7 @@ object LlmData {
     "x100_incremental_dedup" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-          .withColumn("is_batch",
-            pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-              .cast("long"), lit(10)) === 0)
+          .withColumn("is_batch", ingestIsBatch)
         val corpusFp = docs.filter(!col("is_batch"))
           .select(md5(col("text")).as("fp")).distinct()
         val batch = docs.filter(col("is_batch"))
@@ -4221,36 +4229,140 @@ object LlmData {
               .otherwise(lit("new")).as("verdict"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH $duckMinhashCand,
-              |fl AS (SELECT doc_id,
-              |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-              |           AS BIGINT) % 10 = 0 AS is_batch
-              |       FROM documents),
-              |cfp AS (SELECT DISTINCT md5(d.text) AS fp
-              |        FROM documents d JOIN fl USING (doc_id) WHERE NOT is_batch),
-              |j AS (SELECT doc_a, doc_b,
-              |        ${duckRound(
-                        "len(list_intersect(x.sh, y.sh)) * 1.0 / " +
-                          "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))", 6)} AS jaccard
-              |      FROM cand
-              |      JOIN hsd x ON x.doc_id = doc_a
-              |      JOIN hsd y ON y.doc_id = doc_b),
-              |np AS (SELECT DISTINCT
-              |         CASE WHEN fa.is_batch THEN j.doc_a ELSE j.doc_b END AS doc_id
-              |       FROM j
-              |       JOIN fl fa ON fa.doc_id = j.doc_a
-              |       JOIN fl fb ON fb.doc_id = j.doc_b
-              |       WHERE j.jaccard >= 0.8 AND fa.is_batch <> fb.is_batch)
-              |SELECT d.doc_id,
-              |  CASE WHEN EXISTS (SELECT 1 FROM cfp WHERE cfp.fp = md5(d.text))
-              |         THEN 'exact_dup'
-              |       WHEN EXISTS (SELECT 1 FROM np WHERE np.doc_id = d.doc_id)
-              |         THEN 'near_dup'
-              |       ELSE 'new' END AS verdict
-              |FROM documents d JOIN fl USING (doc_id) WHERE is_batch
-              |ORDER BY d.doc_id""".stripMargin),
-      "incremental ingest dedup: batch probes the corpus digest set (exact) and the x22 band graph cross-split only (near) — corpus never re-compared to itself")
+      Some(duckIncrementalDedup),
+      "incremental ingest dedup: batch probes the corpus digest set (exact) and the x22 band graph cross-split only (near) — corpus never re-compared to itself"),
+
+    // ── X6ag: persisted dedup-index probe (x101) ──────────────────────
+    // The index-build/query split x100's corpus side stands for, made
+    // literal — the same move x72/x71 register for ANN. The corpus's
+    // dedup state persists as three bucketed catalog tables, built
+    // ONCE per (session × corpus generation): content digests
+    // (bucketed on fp), band keys (bucketed on bk, from bandRows — the
+    // SAME key definition as the pair generator), and shingle sets
+    // (bucketed on doc_id, for the confirm stage). The registered
+    // query is the PROBE ONLY: the batch hashes map-side, its bands
+    // and digests shuffle INTO the index's bucket layout, and the
+    // corpus-side scans plan with ZERO Exchange above them — at 100 TB
+    // the index tables are the only corpus-derived bytes an ingest
+    // ever reads, and nothing re-shuffles them per batch
+    // (PlanAuditSpec pins that: no hashpartitioning Exchange contains
+    // an index scan). Growth rides graft.io.Bucketing.appendBucketed +
+    // compact, the same maintenance story as the x74 index. Verdicts
+    // are definitionally x100's (same draw, same band keys, same
+    // confirm threshold); the oracle is the shared twin.
+    "x101_dedup_index_probe" -> Q(
+      (s, dir) => {
+        val (fpT, bandT, sigT) = dedupIndexTables(s, dir)
+        val batch = t(s, dir, "documents").filter(ingestIsBatch)
+        val exact = batch.select(col("doc_id"), md5(col("text")).as("fp"))
+          .join(graft.io.Bucketing.table(s, fpT), Seq("fp"), "left_semi")
+          .select("doc_id").withColumn("is_exact", lit(true))
+        val batchHashed = minhashHashed(s, dir).filter(ingestIsBatch)
+        val cand = bandRows(batchHashed)
+          .select(col("doc_id").as("batch_id"), col("bk"))
+          .join(graft.io.Bucketing.table(s, bandT)
+            .withColumnRenamed("doc_id", "corpus_id"), "bk")
+          .select("batch_id", "corpus_id").distinct()
+        val near = cand
+          .join(graft.io.Bucketing.table(s, sigT)
+            .select(col("doc_id").as("corpus_id"), col("sh").as("shc")), "corpus_id")
+          .join(batchHashed
+            .select(col("doc_id").as("batch_id"), col("sh").as("shb")), "batch_id")
+          .withColumn("inter",
+            size(array_intersect(col("shb"), col("shc"))).cast("double"))
+          .withColumn("jaccard",
+            pround(col("inter") /
+              (size(col("shb")) + size(col("shc")) - col("inter")), 6))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("batch_id").as("doc_id")).distinct()
+          .withColumn("is_near", lit(true))
+        batch.select("doc_id")
+          .join(exact, Seq("doc_id"), "left")
+          .join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(coalesce(col("is_exact"), lit(false)), lit("exact_dup"))
+              .when(coalesce(col("is_near"), lit(false)), lit("near_dup"))
+              .otherwise(lit("new")).as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some(duckIncrementalDedup),
+      "persisted dedup index: bucketed digest/band/shingle catalog tables built once; the ingest probe never re-shuffles a corpus byte")
   )
+
+  /** The ingest-split draw shared by x100 and x101: a document is
+    * BATCH (the newly arrived 10%) iff its seedless md5(doc_id) hash
+    * lands in residue 0 of 10 — the FIXTURES §C deterministic-draw
+    * idiom, replayed by the oracle's `fl` CTE. */
+  private def ingestIsBatch: Column =
+    pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(10)) === 0
+
+  /** Shared oracle twin of x100 AND x101 (the indexed probe is
+    * definitionally the same function — same draw, same band keys,
+    * same confirm — so both registrations must hash against ONE
+    * SQL). */
+  private lazy val duckIncrementalDedup: String =
+    s"""WITH $duckMinhashCand,
+       |fl AS (SELECT doc_id,
+       |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |           AS BIGINT) % 10 = 0 AS is_batch
+       |       FROM documents),
+       |cfp AS (SELECT DISTINCT md5(d.text) AS fp
+       |        FROM documents d JOIN fl USING (doc_id) WHERE NOT is_batch),
+       |j AS (SELECT doc_a, doc_b,
+       |        ${duckRound(
+                 "len(list_intersect(x.sh, y.sh)) * 1.0 / " +
+                   "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))", 6)} AS jaccard
+       |      FROM cand
+       |      JOIN hsd x ON x.doc_id = doc_a
+       |      JOIN hsd y ON y.doc_id = doc_b),
+       |np AS (SELECT DISTINCT
+       |         CASE WHEN fa.is_batch THEN j.doc_a ELSE j.doc_b END AS doc_id
+       |       FROM j
+       |       JOIN fl fa ON fa.doc_id = j.doc_a
+       |       JOIN fl fb ON fb.doc_id = j.doc_b
+       |       WHERE j.jaccard >= 0.8 AND fa.is_batch <> fb.is_batch)
+       |SELECT d.doc_id,
+       |  CASE WHEN EXISTS (SELECT 1 FROM cfp WHERE cfp.fp = md5(d.text))
+       |         THEN 'exact_dup'
+       |       WHEN EXISTS (SELECT 1 FROM np WHERE np.doc_id = d.doc_id)
+       |         THEN 'near_dup'
+       |       ELSE 'new' END AS verdict
+       |FROM documents d JOIN fl USING (doc_id) WHERE is_batch
+       |ORDER BY d.doc_id""".stripMargin
+
+  private lazy val dedupIdxMemo =
+    new SessionRegistry[TrieMap[String, (String, String)]]
+
+  /** Build-once (session × corpus generation, via tableOnce's
+    * dir-stamp) persisted dedup index — see the x101 scaladoc for the
+    * three tables' roles. 8 buckets matches the other index tables at
+    * spec SF; production sizes buckets so one bucket's band rows fit a
+    * task. */
+  private def dedupIndexTables(
+      s: SparkSession, dir: String): (String, String, String) = {
+    val base = "graft_dedup_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fpT = tableOnce(dedupIdxMemo, s, dir + "#fp")({
+      graft.io.Bucketing.writeBucketed(
+        t(s, dir, "documents").filter(!ingestIsBatch)
+          .select(md5(col("text")).as("fp")).distinct(),
+        base + "_fp", "fp", 8, sorted = false)
+      base + "_fp"
+    })
+    val corpusHashed = minhashHashed(s, dir).filter(!ingestIsBatch)
+    val bandT = tableOnce(dedupIdxMemo, s, dir + "#band")({
+      graft.io.Bucketing.writeBucketed(
+        bandRows(corpusHashed), base + "_band", "bk", 8, sorted = false)
+      base + "_band"
+    })
+    val sigT = tableOnce(dedupIdxMemo, s, dir + "#sig")({
+      graft.io.Bucketing.writeBucketed(
+        corpusHashed.select("doc_id", "sh"), base + "_sig", "doc_id", 8,
+        sorted = false)
+      base + "_sig"
+    })
+    (fpT, bandT, sigT)
+  }
 
 
   /** x93's scorer — also the per-batch function of

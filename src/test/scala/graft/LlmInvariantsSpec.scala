@@ -917,4 +917,19 @@ class LlmInvariantsSpec extends SparkSpec {
     assert(verdicts.values.toSet.contains("new"),
       "a 10% batch draw must contain genuinely new docs at spec SF")
   }
+
+  test("x101: the indexed probe returns exactly x100's verdicts") {
+    // same draw, same band keys, same confirm threshold — the index is
+    // a LAYOUT change; any verdict delta means the persisted tables
+    // drifted from the inline definitions they materialize
+    val inline = run("x100_incremental_dedup").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val indexed = run("x101_dedup_index_probe").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(indexed.sameElements(inline),
+      "indexed probe verdicts must be byte-identical to the inline query")
+    assert(inline.map(_._2).distinct.sorted.sameElements(
+      Array("exact_dup", "near_dup", "new").filter(inline.map(_._2).contains)),
+      "sanity: verdict vocabulary is closed")
+  }
 }

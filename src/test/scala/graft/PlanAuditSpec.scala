@@ -286,6 +286,38 @@ class PlanAuditSpec extends SparkSpec {
       s"error should name the bucket-spec mismatch, got: ${e.getMessage.take(200)}")
   }
 
+  test("x101: index scans keep their bucket layout and are never re-shuffled") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val q = SparkEntry.queries("x101_dedup_index_probe")(spark, sf0001)
+    q.collect() // force the build-once tables to exist
+    val p = SparkEntry.queries("x101_dedup_index_probe")(spark, sf0001)
+      .queryExecution.sparkPlan
+    def isIdx(f: FileSourceScanExec) =
+      f.tableIdentifier.exists(_.table.startsWith("graft_dedup_"))
+    val idxScans = p.collect { case f: FileSourceScanExec if isIdx(f) => f }
+    assert(idxScans.size >= 3, s"probe must read all three index tables:\n$p")
+    idxScans.foreach(f =>
+      assert(f.outputPartitioning.isInstanceOf[HashPartitioning],
+        s"index scan must report its bucket hashpartitioning " +
+          s"(layout lost?): ${f.tableIdentifier}"))
+    // a shuffle whose input is (unary ops over) an index scan means the
+    // persisted layout failed to serve its join — exactly the silent
+    // rot writeBucketed's scaladoc warns about; downstream shuffles of
+    // DERIVED rows (candidate dedup, the final sort) are expected
+    def reshufflesIndex(n: SparkPlan): Boolean = n match {
+      case f: FileSourceScanExec => isIdx(f)
+      case u if u.children.length == 1 => reshufflesIndex(u.children.head)
+      case _ => false
+    }
+    val offenders = p.collect {
+      case e: ShuffleExchangeExec if reshufflesIndex(e.child) => e
+    }
+    assert(offenders.isEmpty,
+      s"corpus index rows must never re-shuffle in the probe:\n$p")
+  }
+
   test("x75: the PQ append plan touches ONLY the new batch — one scan, no code-table read") {
     val df = graft.operators.Curation.pqAppendBatch(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
