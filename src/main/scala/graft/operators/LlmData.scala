@@ -4055,20 +4055,22 @@ object LlmData {
     // totals window runs over the 256-row aggregate (bounded spine).
     "x98_dsir_weights" -> Q(
       (s, dir) => {
+        // bucket per token via the codegen'd md5 kernel (one array
+        // pass per doc — the interpreted per-token conv/md5 column was
+        // the hot cost of both passes; kernel ≡ the oracle's
+        // CAST('0x'||substr(md5(s),1,15) AS BIGINT) % 256 bit-for-bit,
+        // NativeKernelSpec)
         val tok = t(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
-            explode(Text.tokens(col("text"))).as("term"))
-          .withColumn("b",
-            pmod(conv(substring(md5(col("term")), 1, 15), 16, 10)
-              .cast("long"), lit(256)))
-        val raw = tok.groupBy("b").agg(count(lit(1)).as("cr"))
-        val tgt = tok.filter(col("lang") === "en")
-          .groupBy("b").agg(count(lit(1)).as("ct"))
-        // target tokens are corpus tokens, so tgt's buckets ⊆ raw's:
-        // the left join is seeded from the complete bucket set and the
-        // totals windows see every token
-        val ratio = raw.join(tgt, Seq("b"), "left")
-          .na.fill(0L, Seq("ct"))
+            explode(Text.md5LongsNative(Text.tokens(col("text")), 256)).as("b"))
+        // ONE counting pass carries both distributions: the raw count
+        // and the target-restricted conditional count per bucket
+        // (target tokens are corpus tokens, so the conditional count
+        // is exactly the left-join-and-fill the oracle's tgt CTE
+        // replays — with one fewer corpus pass)
+        val ratio = tok.groupBy("b")
+          .agg(count(lit(1)).as("cr"),
+            count(when(col("lang") === "en", lit(1))).as("ct"))
           .withColumn("nr", sum("cr").over(Window.partitionBy()))
           .withColumn("nt", sum("ct").over(Window.partitionBy()))
           .withColumn("r_milli", expr(
