@@ -4255,41 +4255,69 @@ object LlmData {
     "x101_dedup_index_probe" -> Q(
       (s, dir) => {
         val (fpT, bandT, sigT) = dedupIndexTables(s, dir)
-        val batch = t(s, dir, "documents").filter(ingestIsBatch)
-        val exact = batch.select(col("doc_id"), md5(col("text")).as("fp"))
-          .join(graft.io.Bucketing.table(s, fpT), Seq("fp"), "left_semi")
-          .select("doc_id").withColumn("is_exact", lit(true))
-        val batchHashed = minhashHashed(s, dir).filter(ingestIsBatch)
-        val cand = bandRows(batchHashed)
-          .select(col("doc_id").as("batch_id"), col("bk"))
-          .join(graft.io.Bucketing.table(s, bandT)
-            .withColumnRenamed("doc_id", "corpus_id"), "bk")
-          .select("batch_id", "corpus_id").distinct()
-        val near = cand
-          .join(graft.io.Bucketing.table(s, sigT)
-            .select(col("doc_id").as("corpus_id"), col("sh").as("shc")), "corpus_id")
-          .join(batchHashed
-            .select(col("doc_id").as("batch_id"), col("sh").as("shb")), "batch_id")
-          .withColumn("inter",
-            size(array_intersect(col("shb"), col("shc"))).cast("double"))
-          .withColumn("jaccard",
-            pround(col("inter") /
-              (size(col("shb")) + size(col("shc")) - col("inter")), 6))
-          .filter(col("jaccard") >= 0.8)
-          .select(col("batch_id").as("doc_id")).distinct()
-          .withColumn("is_near", lit(true))
-        batch.select("doc_id")
-          .join(exact, Seq("doc_id"), "left")
-          .join(near, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            when(coalesce(col("is_exact"), lit(false)), lit("exact_dup"))
-              .when(coalesce(col("is_near"), lit(false)), lit("near_dup"))
-              .otherwise(lit("new")).as("verdict"))
-          .orderBy("doc_id")
+        indexProbeVerdicts(s,
+          t(s, dir, "documents").filter(ingestIsBatch),
+          minhashHashed(s, dir).filter(ingestIsBatch),
+          fpT, bandT, sigT)
       },
       Some(duckIncrementalDedup),
       "persisted dedup index: bucketed digest/band/shingle catalog tables built once; the ingest probe never re-shuffles a corpus byte")
   )
+
+  /** The x101 probe core — verdicts for `docs` (doc_id, text, …) with
+    * signature staging `hashed` (doc_id, sh, hs) against a persisted
+    * index triple. ONE definition shared by the registered x101 query
+    * and the streaming ingest gate
+    * (EventStream.nearDupIngestGate), so batch and stream can never
+    * verdict differently. Candidate pairs are deliberately NOT
+    * deduplicated before the confirm join: a batch doc sharing b band
+    * keys with one corpus doc confirms ≤ b times (b ≤ 4) and the
+    * final per-doc distinct absorbs it — cheaper than a dedicated
+    * candidate shuffle. */
+  private[graft] def indexProbeVerdicts(s: SparkSession, docs: DataFrame,
+      hashed: DataFrame, fpT: String, bandT: String, sigT: String): DataFrame = {
+    val exact = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(graft.io.Bucketing.table(s, fpT), Seq("fp"), "left_semi")
+      .select("doc_id").withColumn("is_exact", lit(true))
+    val cand = bandRows(hashed)
+      .select(col("doc_id").as("batch_id"), col("bk"))
+      .join(graft.io.Bucketing.table(s, bandT)
+        .withColumnRenamed("doc_id", "corpus_id"), "bk")
+      .select("batch_id", "corpus_id")
+    val near = cand
+      .join(graft.io.Bucketing.table(s, sigT)
+        .select(col("doc_id").as("corpus_id"), col("sh").as("shc")), "corpus_id")
+      .join(hashed
+        .select(col("doc_id").as("batch_id"), col("sh").as("shb")), "batch_id")
+      .withColumn("inter",
+        size(array_intersect(col("shb"), col("shc"))).cast("double"))
+      .withColumn("jaccard",
+        pround(col("inter") /
+          (size(col("shb")) + size(col("shc")) - col("inter")), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("batch_id").as("doc_id")).distinct()
+      .withColumn("is_near", lit(true))
+    docs.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(coalesce(col("is_exact"), lit(false)), lit("exact_dup"))
+          .when(coalesce(col("is_near"), lit(false)), lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** md5 signature staging for an ARBITRARY documents frame (doc_id,
+    * text, …) — the streaming gate's per-micro-batch analog of the
+    * memoized [[minhashHashed]]: same shingle definition
+    * ([[withShingles]]), same portable base hashes, so a doc hashes
+    * identically whether it arrives in a batch table or a stream
+    * file. */
+  private[graft] def hashedSignatures(docs: DataFrame): DataFrame =
+    withShingles(docs)
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", Text.md5LongsNative(col("sh"), Text.MinhashMod))
+      .select(col("doc_id"), col("sh"), col("hs"))
 
   /** The ingest-split draw shared by x100 and x101: a document is
     * BATCH (the newly arrived 10%) iff its seedless md5(doc_id) hash
@@ -4342,22 +4370,36 @@ object LlmData {
     * spec SF; production sizes buckets so one bucket's band rows fit a
     * task. */
   private def dedupIndexTables(
-      s: SparkSession, dir: String): (String, String, String) = {
-    val base = "graft_dedup_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-    val fpT = tableOnce(dedupIdxMemo, s, dir + "#fp")({
+      s: SparkSession, dir: String): (String, String, String) =
+    buildDedupIndex(s, dir, "", !ingestIsBatch)
+
+  /** The index over the WHOLE corpus dir (no ingest-split carve-out) —
+    * what a deployment actually maintains, and what the streaming
+    * ingest gate probes arriving files against: every known doc is
+    * "the corpus"; the arriving stream is the batch. Separate catalog
+    * tables (suffix `_all`) so the registered x101 query's
+    * split-based index keeps its oracle-replayable shape. */
+  private[graft] def fullDedupIndexTables(
+      s: SparkSession, dir: String): (String, String, String) =
+    buildDedupIndex(s, dir, "_all", lit(true))
+
+  private def buildDedupIndex(s: SparkSession, dir: String, suffix: String,
+      corpusPred: Column): (String, String, String) = {
+    val base = "graft_dedup_" + dir.replaceAll("[^A-Za-z0-9]", "_") + suffix
+    val fpT = tableOnce(dedupIdxMemo, s, dir + "#fp" + suffix)({
       graft.io.Bucketing.writeBucketed(
-        t(s, dir, "documents").filter(!ingestIsBatch)
+        t(s, dir, "documents").filter(corpusPred)
           .select(md5(col("text")).as("fp")).distinct(),
         base + "_fp", "fp", 8, sorted = false)
       base + "_fp"
     })
-    val corpusHashed = minhashHashed(s, dir).filter(!ingestIsBatch)
-    val bandT = tableOnce(dedupIdxMemo, s, dir + "#band")({
+    val corpusHashed = minhashHashed(s, dir).filter(corpusPred)
+    val bandT = tableOnce(dedupIdxMemo, s, dir + "#band" + suffix)({
       graft.io.Bucketing.writeBucketed(
         bandRows(corpusHashed), base + "_band", "bk", 8, sorted = false)
       base + "_band"
     })
-    val sigT = tableOnce(dedupIdxMemo, s, dir + "#sig")({
+    val sigT = tableOnce(dedupIdxMemo, s, dir + "#sig" + suffix)({
       graft.io.Bucketing.writeBucketed(
         corpusHashed.select("doc_id", "sh"), base + "_sig", "doc_id", 8,
         sorted = false)

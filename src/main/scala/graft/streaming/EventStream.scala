@@ -308,6 +308,36 @@ object EventStream {
     perBatchGate(spark, srcDir, checkpointDir, outDir,
       maxFilesPerTrigger)(graft.operators.LlmData.mixtureShareDrift)
 
+  /** Streaming near-dup ingest gate: every arriving micro-batch is
+    * verdicted (exact_dup / near_dup / new) against the FROZEN corpus
+    * dedup index — x101's three bucketed catalog tables built once
+    * over `corpusDir` — through the ONE probe definition the batch
+    * query registers (LlmData.indexProbeVerdicts), so batch and
+    * stream can never verdict a document differently. This is the
+    * near-dup tier [[corpusDedupIngest]] lacks: that gate dedups by
+    * exact content digest (state store + compacted table); this one
+    * additionally catches band-key neighbors at Jaccard ≥ 0.8.
+    * Per-batch output (doc_id, verdict, batch_id) lands under the
+    * idempotent overwrite-per-batch contract of [[perBatchGate]]
+    * (batch-SIZED rather than dimension-sized — the contract only
+    * needs the per-batch directory to be rewrite-stable, which a
+    * deterministic verdict list is); downstream keeps verdict='new'.
+    * Index GROWTH is maintenance, not gate work: append accepted docs
+    * via Bucketing.appendBucketed + compact on the x74 cadence and
+    * restart the drain, exactly the corpusDedupIngest compaction
+    * story. */
+  def nearDupIngestGate(spark: SparkSession, srcDir: String,
+      checkpointDir: String, outDir: String, corpusDir: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery =
+    perBatchGate(spark, srcDir, checkpointDir, outDir, maxFilesPerTrigger) {
+      batch =>
+        val s = batch.sparkSession
+        val (fpT, bandT, sigT) =
+          graft.operators.LlmData.fullDedupIndexTables(s, corpusDir)
+        graft.operators.LlmData.indexProbeVerdicts(s, batch,
+          graft.operators.LlmData.hashedSignatures(batch), fpT, bandT, sigT)
+    }
+
   /** The per-batch monitor delivery contract shared by
     * [[qualityDriftGate]] and [[mixtureDriftGate]]: documents arrive
     * as files, each micro-batch is scored by a pure

@@ -596,6 +596,61 @@ class StreamingSpec extends SparkSpec {
       "per-batch gate outputs must fold to the batch x93 on the union delivery")
   }
 
+  test("near-dup ingest gate verdicts each batch via the x101 probe, across restarts") {
+    import graft.operators.LlmData
+    import spark.implicits._
+    val src = tmp("ndgate-src"); val out = tmp("ndgate-out"); val ckpt = tmp("ndgate-ckpt")
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+    // a corpus doc long enough that appending one novel token keeps
+    // the distinct-3-shingle Jaccard (m/(m+1)) above the 0.8 confirm bar
+    val donor = docs.filter(size(split(col("text"), " ")) >= 30)
+      .orderBy("doc_id").select("text").head().getString(0)
+    val exactCopy = (900001L, donor, "en", "src_stream", donor.length.toLong)
+    val nearCopy = (900002L, donor + " zzzqx", "en", "src_stream",
+      (donor.length + 6).toLong)
+    val fresh = (900003L, "qq1 ww2 ee3 rr4 tt5 yy6 uu7 ii8 oo9 pp0 aa1 ss2",
+      "en", "src_stream", 47L)
+    def drop(name: String, rows: Seq[(Long, String, String, String, Long)]): Unit = {
+      val stage = tmp(s"ndgate-stage-$name")
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      Files.copy(firstParquet(stage), Paths.get(src, s"drop_$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    drop("a", Seq(exactCopy, nearCopy, fresh))
+    EventStream.nearDupIngestGate(spark, src, ckpt, out, sf0001).awaitTermination()
+    def verdicts(batchId: Long) = spark.read.parquet(out)
+      .filter(col("batch_id") === batchId)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(verdicts(0) == Map(900001L -> "exact_dup", 900002L -> "near_dup",
+      900003L -> "new"),
+      "exact corpus copy, one-token edit, and novel doc must verdict apart")
+    // restart with a second file: a new fresh doc plus a COPY of batch
+    // A's fresh doc — the index is FROZEN (growth is the documented
+    // append+compact maintenance path), so the copy verdicts 'new'
+    val fresh2 = (900004L, "mm1 nn2 bb3 vv4 cc5 xx6 zz7 ll8 kk9 jj0 hh1 gg2",
+      "en", "src_stream", 47L)
+    val freshCopy = (900005L, fresh._2, "en", "src_stream", fresh._5)
+    drop("b", Seq(fresh2, freshCopy))
+    EventStream.nearDupIngestGate(spark, src, ckpt, out, sf0001).awaitTermination()
+    assert(verdicts(1) == Map(900004L -> "new", 900005L -> "new"),
+      "frozen-index semantics: intra-stream dups are maintenance's job, not the gate's")
+    // idle restart appends nothing
+    val before = spark.read.parquet(out).count()
+    EventStream.nearDupIngestGate(spark, src, ckpt, out, sf0001).awaitTermination()
+    assert(spark.read.parquet(out).count() == before)
+    // one-definition equality: folding the per-batch verdict logs must
+    // equal the batch probe over the union delivery
+    val union = Seq(exactCopy, nearCopy, fresh, fresh2, freshCopy)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (fpT, bandT, sigT) = LlmData.fullDedupIndexTables(spark, sf0001)
+    val twin = LlmData.indexProbeVerdicts(spark, union,
+      LlmData.hashedSignatures(union), fpT, bandT, sigT)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((verdicts(0) ++ verdicts(1)) == twin,
+      "gate verdicts must equal the batch probe on the union")
+  }
+
   test("streamed PQ code append equals the batch x75 table and is restart-durable") {
     // the PQ half of the streamed maintenance loop: same delivery
     // contract as the IVF test above, different payload (frozen-
