@@ -4261,7 +4261,116 @@ object LlmData {
           fpT, bandT, sigT)
       },
       Some(duckIncrementalDedup),
-      "persisted dedup index: bucketed digest/band/shingle catalog tables built once; the ingest probe never re-shuffles a corpus byte")
+      "persisted dedup index: bucketed digest/band/shingle catalog tables built once; the ingest probe never re-shuffles a corpus byte"),
+
+    // ── X6ah: corpus-shrinkage pipeline funnel (x102) ─────────────────
+    // The corpus-LEVEL waterfall every curation report publishes
+    // (x99's doc-grain attribution lifted to the pipeline): stages
+    // applied in the canonical order exact dedup → near-dup clusters →
+    // decontamination → quality gate, each row reporting the stage's
+    // MARGINAL doc/token removals and the running corpus size after
+    // it. Every stage predicate is the registered operator's own rule,
+    // not a re-derivation: f1 = not x20's min-doc_id keeper (window
+    // over the content digest), f2 = x36's cluster non-survivor (the
+    // same components over the same simhash pair graph), f3 = x39's
+    // decontamination flag (same benchmark/corpus split and shingle
+    // join), f4 = not x52's Gopher keep (Text.gopherGate) — so the
+    // funnel can never disagree with the operators it summarizes
+    // (spec-pinned against all four). One flags frame, one global
+    // aggregate, stack() unpivot; the heavy inputs (components loop,
+    // contamination join) are the stages' own costs, shared
+    // definitions and all.
+    "x102_pipeline_funnel" -> Q(
+      (s, dir) => {
+        val wFp = Window.partitionBy(md5(col("text")))
+        val comp = Components.connectedComponentsAlternating(
+            simhashPairs(s, dir), "doc_a", "doc_b")
+          .select(col("node").as("doc_id"), col("component"))
+        val (bench, corpus) = decontamSides(s, dir)
+        val contam = corpus.join(broadcast(bench), "s")
+          .select("doc_id").distinct().withColumn("hit", lit(true))
+        val flags = t(s, dir, "documents")
+          .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+          .withColumn("f1", col("doc_id") =!= min("doc_id").over(wFp))
+          .join(comp, Seq("doc_id"), "left")
+          .join(contam, Seq("doc_id"), "left")
+          .withColumn("tk", Text.tokens(col("text")))
+          .withColumn("f2",
+            col("component").isNotNull && col("component") =!= col("doc_id"))
+          .withColumn("f3", coalesce(col("hit"), lit(false)))
+          .withColumn("f4", !Text.gopherGate(col("tk")).getField("keep"))
+          .select("doc_id", "n_tok", "f1", "f2", "f3", "f4")
+        val m1 = col("f1")
+        val m2 = !col("f1") && col("f2")
+        val m3 = !col("f1") && !col("f2") && col("f3")
+        val m4 = !col("f1") && !col("f2") && !col("f3") && col("f4")
+        def dsum(c: Column) = sum(when(c, 1L).otherwise(0L))
+        def tsum(c: Column) = sum(when(c, col("n_tok")).otherwise(0L))
+        flags.agg(
+            count(lit(1)).as("n"), sum("n_tok").as("tt"),
+            dsum(m1).as("d1"), tsum(m1).as("t1"),
+            dsum(m2).as("d2"), tsum(m2).as("t2"),
+            dsum(m3).as("d3"), tsum(m3).as("t3"),
+            dsum(m4).as("d4"), tsum(m4).as("t4"))
+          .selectExpr(
+            "stack(4, " +
+              "1, 'exact_dup', d1, t1, n - d1, tt - t1, " +
+              "2, 'near_dup', d2, t2, n - d1 - d2, tt - t1 - t2, " +
+              "3, 'decontam', d3, t3, n - d1 - d2 - d3, tt - t1 - t2 - t3, " +
+              "4, 'quality', d4, t4, n - d1 - d2 - d3 - d4, " +
+              "tt - t1 - t2 - t3 - t4) " +
+              "AS (ord, stage, docs_removed, tokens_removed, docs_left, tokens_left)")
+          .orderBy("ord")
+      },
+      Some(s"""WITH RECURSIVE $duckSimhashCand,
+              |$duckComponents,
+              |kp AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+              |         doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS f1
+              |       FROM documents),
+              |cont AS (SELECT DISTINCT c.doc_id
+              |         FROM (SELECT doc_id, unnest(sh) AS s FROM shs
+              |               WHERE doc_id % 50 <> 0) c
+              |         JOIN (SELECT DISTINCT unnest(sh) AS s FROM shs
+              |               WHERE doc_id % 50 = 0) b USING (s)),
+              |gm AS (SELECT doc_id, len(w) AS n_words,
+              |    ${duckRound("list_sum(list_transform(w, t -> len(t))) * 1.0 / len(w)", 6)}
+              |      AS mean_wlen,
+              |    len(list_filter(w, t ->
+              |      list_contains(['the','a','of','and','to','in','is','on'], t))) AS n_stop,
+              |    ${duckRound(
+                     "list_max(list_transform(list_distinct(w), " +
+                       "t -> len(list_filter(w, x -> x = t)))) * 1.0 / len(w)", 6)}
+              |      AS rep_frac
+              |  FROM toks),
+              |fla AS (SELECT k.doc_id, k.n_tok, k.f1,
+              |         c.component IS NOT NULL AND c.component <> k.doc_id AS f2,
+              |         ct.doc_id IS NOT NULL AS f3,
+              |         NOT (g.n_words BETWEEN 20 AND 400
+              |              AND g.mean_wlen >= 3.0 AND g.mean_wlen <= 10.0
+              |              AND g.n_stop >= 2 AND g.rep_frac <= 0.2) AS f4
+              |       FROM kp k
+              |       LEFT JOIN comp c ON c.doc_id = k.doc_id
+              |       LEFT JOIN cont ct ON ct.doc_id = k.doc_id
+              |       JOIN gm g ON g.doc_id = k.doc_id),
+              |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              |         CAST(sum(n_tok) AS BIGINT) AS tt,
+              |         CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+              |         CAST(sum(CASE WHEN f1 THEN n_tok ELSE 0 END) AS BIGINT) AS t1,
+              |         CAST(sum(CASE WHEN NOT f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+              |         CAST(sum(CASE WHEN NOT f1 AND f2 THEN n_tok ELSE 0 END) AS BIGINT) AS t2,
+              |         CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+              |         CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND f3 THEN n_tok ELSE 0 END) AS BIGINT) AS t3,
+              |         CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+              |         CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND f4 THEN n_tok ELSE 0 END) AS BIGINT) AS t4
+              |       FROM fla)
+              |SELECT 1 AS ord, 'exact_dup' AS stage, d1 AS docs_removed,
+              |       t1 AS tokens_removed, n - d1 AS docs_left, tt - t1 AS tokens_left FROM ag
+              |UNION ALL SELECT 2, 'near_dup', d2, t2, n - d1 - d2, tt - t1 - t2 FROM ag
+              |UNION ALL SELECT 3, 'decontam', d3, t3, n - d1 - d2 - d3, tt - t1 - t2 - t3 FROM ag
+              |UNION ALL SELECT 4, 'quality', d4, t4, n - d1 - d2 - d3 - d4,
+              |       tt - t1 - t2 - t3 - t4 FROM ag
+              |ORDER BY ord""".stripMargin),
+      "corpus-shrinkage funnel: stage-ordered marginal doc/token removals and running corpus size, every stage its registered operator's own rule")
   )
 
   /** The x101 probe core — verdicts for `docs` (doc_id, text, …) with

@@ -918,6 +918,49 @@ class LlmInvariantsSpec extends SparkSpec {
       "a 10% batch draw must contain genuinely new docs at spec SF")
   }
 
+  test("x102: the funnel replays exactly the four registered stage rules") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val funnel = run("x102_pipeline_funnel").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(funnel.map(_._2).toSeq ==
+      Seq("exact_dup", "near_dup", "decontam", "quality"), "canonical stage order")
+    // reconstruct every stage flag from the operators the funnel
+    // claims to summarize, then replay the waterfall driver-side
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nTok = docs.toMap
+    val keepers = run("x20_exact_dedup_groups").collect()
+      .map(_.getLong(2)).toSet // min doc_id per digest group
+    val nonSurvivors = run("x36_neardup_components").collect()
+      .filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+    val contaminated = run("x39_decontamination").collect()
+      .map(_.getLong(0)).toSet
+    val rejected = run("x52_gopher_rules").collect()
+      .filter(!_.getBoolean(5)).map(_.getLong(0)).toSet
+    val stages: Seq[Long => Boolean] = Seq(
+      d => !keepers.contains(d), d => nonSurvivors.contains(d),
+      d => contaminated.contains(d), d => rejected.contains(d))
+    var remaining = docs.map(_._1).toSet
+    var tokensLeft = docs.map(_._2).sum
+    funnel.zip(stages).foreach { case ((o, st, dRem, tRem, dLeft, tLeft), pred) =>
+      val removed = remaining.filter(pred)
+      val tRemoved = removed.toSeq.map(nTok).sum
+      assert(dRem == removed.size.toLong && tRem == tRemoved,
+        s"stage $st: marginal removals must replay the registered rule")
+      remaining --= removed; tokensLeft -= tRemoved
+      assert(dLeft == remaining.size.toLong && tLeft == tokensLeft,
+        s"stage $st: running corpus size must be conserved")
+    }
+    // the spec corpus plants near-dups (planted "… dup" copies — not
+    // byte-identical, so the EXACT stage may legitimately read 0) and
+    // trips quality rules; those two stages must bite or the funnel
+    // is summarizing nothing
+    assert(funnel(1)._3 > 0 && funnel(3)._3 > 0,
+      "near-dup and quality stages must remove documents on the spec corpus")
+  }
+
   test("x101: the indexed probe returns exactly x100's verdicts") {
     // same draw, same band keys, same confirm threshold — the index is
     // a LAYOUT change; any verdict delta means the persisted tables
