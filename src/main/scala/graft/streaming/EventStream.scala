@@ -338,6 +338,29 @@ object EventStream {
           graft.operators.LlmData.hashedSignatures(batch), fpT, bandT, sigT)
     }
 
+  /** Streaming importance scorer: every arriving micro-batch is
+    * weighted by the FROZEN x98 ratio table trained once over
+    * `corpusDir` (the memoized 256-row model — the decontamGate
+    * frozen-bloom pattern applied to DSIR), through the ONE scoring
+    * definition the batch query registers (LlmData.dsirScore). The
+    * production selection loop this enables: train the ratio table on
+    * the curated corpus, score every crawl batch as it lands, keep
+    * what clears the bar — without re-reading the corpus per batch
+    * (per-batch work is batch tokens × a broadcast 256-row join).
+    * Retraining on a grown corpus is maintenance: clearMemo (or a
+    * corpus regeneration, which the memo stamp detects) and restart
+    * the drain. */
+  def dsirScoreGate(spark: SparkSession, srcDir: String,
+      checkpointDir: String, outDir: String, corpusDir: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery =
+    perBatchGate(spark, srcDir, checkpointDir, outDir, maxFilesPerTrigger) {
+      batch =>
+        val s = batch.sparkSession
+        graft.operators.LlmData.dsirScore(batch,
+            graft.operators.LlmData.dsirRatioTable(s, corpusDir))
+          .orderBy("doc_id")
+    }
+
   /** The per-batch monitor delivery contract shared by
     * [[qualityDriftGate]] and [[mixtureDriftGate]]: documents arrive
     * as files, each micro-batch is scored by a pure

@@ -651,6 +651,59 @@ class StreamingSpec extends SparkSpec {
       "gate verdicts must equal the batch probe on the union")
   }
 
+  test("DSIR score gate weights each batch with the frozen corpus ratio table") {
+    import graft.operators.LlmData
+    import spark.implicits._
+    val src = tmp("dsir-src"); val out = tmp("dsir-out"); val ckpt = tmp("dsir-ckpt")
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+    // batch A: real corpus rows (their stream scores must equal their
+    // batch x98-pipeline scores — same model, same arithmetic)
+    val sampleFile = tmp("dsir-stage-a")
+    val sample = docs.orderBy("doc_id").limit(20)
+    sample.coalesce(1).write.mode("overwrite").parquet(sampleFile)
+    Files.copy(firstParquet(sampleFile), Paths.get(src, "drop_a.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    EventStream.dsirScoreGate(spark, src, ckpt, out, sf0001).awaitTermination()
+    def scores(batchId: Long) = spark.read.parquet(out)
+      .filter(col("batch_id") === batchId)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[String]("lang"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("score_milli")))).toMap
+    val ratio = LlmData.dsirRatioTable(spark, sf0001)
+    val twinA = LlmData.dsirScore(sample, ratio)
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(scores(0) == twinA,
+      "stream scores must equal the batch scorer under the same frozen model")
+    // batch B after a restart: NOVEL tokens mostly hash into buckets
+    // the frozen model never observed — the out-of-vocabulary case the
+    // registered query can't produce. Every token must still be
+    // COUNTED (n_tokens = 8; the inner-join formulation silently
+    // dropped OOV tokens — this batch found that), unseen buckets
+    // contribute neutral 0, and the stream must equal the batch
+    // scorer on this doc too
+    val novelDf = Seq((910001L, "zq1x zq2x zq3x zq4x zq5x zq6x zq7x zq8x",
+      "zz", "src_stream", 39L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val stage = tmp("dsir-stage-b")
+    novelDf.coalesce(1).write.mode("overwrite").parquet(stage)
+    Files.copy(firstParquet(stage), Paths.get(src, "drop_b.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    EventStream.dsirScoreGate(spark, src, ckpt, out, sf0001).awaitTermination()
+    val b = scores(1)(910001L)
+    assert(b._2 == 8L,
+      "all eight novel tokens must be counted — OOV buckets score neutral, not dropped")
+    val twinB = LlmData.dsirScore(novelDf, ratio)
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(scores(1) == twinB,
+      "stream and batch scorer must agree on the OOV doc")
+    // idle restart appends nothing
+    val before = spark.read.parquet(out).count()
+    EventStream.dsirScoreGate(spark, src, ckpt, out, sf0001).awaitTermination()
+    assert(spark.read.parquet(out).count() == before)
+  }
+
   test("streamed PQ code append equals the batch x75 table and is restart-durable") {
     // the PQ half of the streamed maintenance loop: same delivery
     // contract as the IVF test above, different payload (frozen-
