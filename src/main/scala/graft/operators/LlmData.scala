@@ -4342,7 +4342,54 @@ object LlmData {
               |UNION ALL SELECT 4, 'quality', d4, t4, n - d1 - d2 - d3 - d4,
               |       tt - t1 - t2 - t3 - t4 FROM ag
               |ORDER BY ord""".stripMargin),
-      "corpus-shrinkage funnel: stage-ordered marginal doc/token removals and running corpus size, every stage its registered operator's own rule")
+      "corpus-shrinkage funnel: stage-ordered marginal doc/token removals and running corpus size, every stage its registered operator's own rule"),
+
+    // ── X6ai: batched ANN — the multi-query serving shape (x103) ──────
+    // x24 retrieves for ONE broadcast query vector; a serving or
+    // hard-negative-mining pass retrieves for a whole query SET in one
+    // corpus scan. The query set (every 100th vector) broadcasts as a
+    // K-row frame — the sanctioned crossJoin class — scoring is
+    // map-side (fused-dot cosine per (corpus, query) pair), and the
+    // per-query top-5 rides the rank-filter that plans as
+    // WindowGroupLimit (per-partition per-group heaps BEFORE the
+    // q_id shuffle, the x41 shape): one corpus scan serves all K
+    // queries, and nothing global ever sorts. At 100 TB this is the
+    // batch-retrieval contract: scan cost amortizes over the query
+    // batch, K rides the broadcast threshold, and a larger K moves to
+    // the x71-style bucketed index probes this query's brute-force
+    // tier calibrates. The query batch is FIXED-size (vec_id < 2000,
+    // ≤ 20 queries) — the corpus-dial lesson INVERTED: x48/x83 tie
+    // their dials to N because their work is corpus-internal, but a
+    // serving batch is external demand, and letting it scale with the
+    // corpus made the scan × batch product quadratic (measured 15×
+    // warm at 10× data before the cap; ~linear after).
+    "x103_batch_ann" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val isQuery = col("vec_id") % 100 === 0 && col("vec_id") < 2000
+        val qs = e.filter(isQuery)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+        e.filter(!isQuery)
+          .crossJoin(broadcast(qs))
+          .select(col("q_id"), col("vec_id"),
+            cosine6(col("embedding"), col("qe")).as("cos"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select("q_id", "rnk", "vec_id", "cos")
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS qe
+              |           FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000),
+              |sc AS (SELECT q.q_id, e.vec_id,
+              |         ${duckRound(duckCosine("e.embedding", "q.qe"), 6)} AS cos
+              |       FROM embeddings e CROSS JOIN qs q
+              |       WHERE NOT (e.vec_id % 100 = 0 AND e.vec_id < 2000))
+              |SELECT q_id, rnk, vec_id, cos FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM sc)
+              |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin),
+      "batched ANN: K-row query set broadcast over one corpus scan, map-side fused-dot scoring, per-query WindowGroupLimit heaps")
   )
 
   /** The x101 probe core — verdicts for `docs` (doc_id, text, …) with

@@ -961,6 +961,33 @@ class LlmInvariantsSpec extends SparkSpec {
       "near-dup and quality stages must remove documents on the spec corpus")
   }
 
+  test("x103: every query gets a full ranked slate; query 0 agrees with exact x24") {
+    val rows = run("x103_batch_ann").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.nonEmpty && byQ.keys.forall(_ % 100 == 0), "queries are every 100th vector")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(Array(1, 2, 3, 4, 5)),
+        s"query $q must get exactly ranks 1..5")
+      assert(rs.sortBy(_._2).map(_._4).sliding(2).forall(p => p(0) >= p(1)),
+        s"query $q: cosine must be non-increasing in rank")
+      rs.foreach { case (_, _, v, c) =>
+        assert(v % 100 != 0, "query vectors are not corpus")
+        assert(c >= -1.000001 && c <= 1.000001)
+      }
+    }
+    // the single-query baseline is the same computation: x24's exact
+    // top-10 for vector 0, minus vectors the batch query excludes as
+    // queries, must prefix-match batch query 0's slate
+    val exact = run("x24_topk_cosine").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(_._1 % 100 != 0)
+    val batch0 = byQ(0L).sortBy(_._2).map(r => (r._3, r._4))
+    val n = math.min(5, exact.length)
+    assert(batch0.take(n).sameElements(exact.take(n)),
+      "batched retrieval must reproduce the exact single-query ranking")
+  }
+
   test("x101: the indexed probe returns exactly x100's verdicts") {
     // same draw, same band keys, same confirm threshold — the index is
     // a LAYOUT change; any verdict delta means the persisted tables

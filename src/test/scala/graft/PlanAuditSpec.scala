@@ -318,6 +318,16 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus index rows must never re-shuffle in the probe:\n$p")
   }
 
+  test("x103: batched ANN broadcasts the query set and heaps per query") {
+    val p = plan("x103_batch_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the K-row query set must broadcast:\n${p.take(2000)}")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-5 must plan per-group heaps, not a full window sort")
+    assert(!p.contains("CartesianProduct"),
+      "the scan × query-set product must ride the broadcast, never a cartesian shuffle")
+  }
+
   test("x75: the PQ append plan touches ONLY the new batch — one scan, no code-table read") {
     val df = graft.operators.Curation.pqAppendBatch(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
