@@ -452,6 +452,91 @@ object Analytics {
            |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin),
     "VARIANT schema-on-read: parse_json + typed variant_get, aggregation over extracted fields")
 
+  /** q48 — Z-order data-layout pruning audit: the multi-dimensional
+    * clustering a 100 TB warehouse uses to make file-level min/max
+    * statistics prune on MORE THAN ONE predicate column (the layout
+    * trick behind Delta/Iceberg `ZORDER BY` — public technique, Morton
+    * 1966 interleave). Both dimensions are quantized to 8 bits against
+    * their measured corpus range (scalar min/max aggregate broadcast —
+    * exact integer `div`, engine-portable), the Morton code interleaves
+    * the bits map-side (8 shift/mask terms, codegen'd — no UDF), and
+    * rows land in 64 "files" two ways: by z-value range (the z-order
+    * layout) and by the first dimension alone (the linear-sort layout a
+    * naive pipeline gets). The query then plays query planner: for a
+    * fixed 2-D predicate (both quantized dims in [112,143] — the middle
+    * eighth of each axis) it computes, from per-file min/max stats
+    * alone, how many files each layout scans and how many ROWS those
+    * files hold. The z-order layout's files are 32×32 blocks of the
+    * quantized plane, so both predicates prune (4/64 files survive);
+    * the linear layout prunes only on dim 1 (8/64 files, each spanning
+    * the full dim-2 range — ~2× the rows read). Shape: one scan, a
+    * 2-row explode per input row (both layouts in one pass), one
+    * 128-group aggregate with map-side partials, one 2-group rollup —
+    * no global sort anywhere (file assignment is arithmetic on the
+    * z-value, NOT a rank). At 100 TB the identical plan writes the
+    * layout instead of auditing it: the z-value is the range-partition
+    * key of a write, and the audit columns are the skipping stats the
+    * writer records per file. */
+  private def q48 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      val st = li.agg(
+        min("pk").as("pk0"), max("pk").as("pk1"),
+        min("sk").as("sk0"), max("sk").as("sk1"))
+      val qd = li.crossJoin(broadcast(st))
+        .withColumn("q1", expr(
+          "CAST(((pk - pk0) * 256) div (pk1 - pk0 + 1) AS BIGINT)"))
+        .withColumn("q2", expr(
+          "CAST(((sk - sk0) * 256) div (sk1 - sk0 + 1) AS BIGINT)"))
+      val zv = (0 until 8).map { i =>
+        shiftright(col("q1"), i).bitwiseAND(1) * lit(1L << (2 * i)) +
+          shiftright(col("q2"), i).bitwiseAND(1) * lit(1L << (2 * i + 1))
+      }.reduce(_ + _)
+      val files = qd
+        .withColumn("zv", zv)
+        .select(explode(array(
+          struct(lit("zorder").as("layout"),
+            expr("CAST(zv div 1024 AS BIGINT)").as("f")),
+          struct(lit("linear").as("layout"),
+            expr("CAST(q1 div 4 AS BIGINT)").as("f")))).as("lf"),
+          col("q1"), col("q2"))
+        .select(col("lf.layout").as("layout"), col("lf.f").as("f"),
+          col("q1"), col("q2"))
+        .groupBy("layout", "f")
+        .agg(min("q1").as("n1"), max("q1").as("x1"),
+          min("q2").as("n2"), max("q2").as("x2"),
+          count(lit(1)).as("cnt"))
+      val scan = col("n1") <= 143 && col("x1") >= 112 &&
+        col("n2") <= 143 && col("x2") >= 112
+      files.groupBy("layout")
+        .agg(count(lit(1)).as("files_total"),
+          count(when(scan, lit(1))).as("files_scanned"),
+          coalesce(sum(when(scan, col("cnt"))), lit(0L)).as("rows_scanned"))
+        .orderBy("layout")
+    },
+    Some("""WITH st AS (SELECT min(l_partkey) AS pk0, max(l_partkey) AS pk1,
+           |              min(l_suppkey) AS sk0, max(l_suppkey) AS sk1 FROM lineitem),
+           |q AS (SELECT ((l_partkey - pk0) * 256) // (pk1 - pk0 + 1) AS q1,
+           |        ((l_suppkey - sk0) * 256) // (sk1 - sk0 + 1) AS q2
+           |      FROM lineitem CROSS JOIN st),
+           |z AS (SELECT q1, q2, CAST(list_sum(list_transform(range(0, 8), i ->
+           |        ((q1 >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i)) +
+           |        ((q2 >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1)))) AS BIGINT) AS zv
+           |      FROM q),
+           |f AS (SELECT 'zorder' AS layout, zv // 1024 AS f, q1, q2 FROM z
+           |      UNION ALL SELECT 'linear', q1 // 4, q1, q2 FROM z),
+           |fs AS (SELECT layout, f, min(q1) AS n1, max(q1) AS x1,
+           |         min(q2) AS n2, max(q2) AS x2, count(*) AS cnt
+           |       FROM f GROUP BY layout, f)
+           |SELECT layout, CAST(count(*) AS BIGINT) AS files_total,
+           |  CAST(count(*) FILTER (WHERE n1 <= 143 AND x1 >= 112
+           |    AND n2 <= 143 AND x2 >= 112) AS BIGINT) AS files_scanned,
+           |  CAST(coalesce(sum(cnt) FILTER (WHERE n1 <= 143 AND x1 >= 112
+           |    AND n2 <= 143 AND x2 >= 112), 0) AS BIGINT) AS rows_scanned
+           |FROM fs GROUP BY layout ORDER BY layout""".stripMargin),
+    "z-order layout audit: Morton-interleaved 2-D file assignment vs linear sort, file-stat pruning compared under a 2-D predicate")
+
   val queries: Map[String, Q] = Map(
     "q33_intersect" -> q33,
     "q34_cube" -> q34,
@@ -464,5 +549,6 @@ object Analytics {
     "q41_not_in_nulls" -> q41,
     "q42_interpolate" -> q42,
     "q43_unpivot" -> q43,
-    "q44_variant" -> q44)
+    "q44_variant" -> q44,
+    "q48_zorder_prune" -> q48)
 }

@@ -612,6 +612,98 @@ object LlmData {
        |  (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
        |WHERE e.vec_id <> 0 ORDER BY cos DESC, e.vec_id LIMIT $k""".stripMargin
 
+  /** Fixed query-term set for the lexical retrieval family (x104/
+    * x105): mid-frequency corpus vocabulary, chosen once. A serving
+    * query is EXTERNAL DEMAND and must not scale with the corpus —
+    * the x103 lesson applies to terms exactly as to query vectors. */
+  private val bm25Terms =
+    Seq("spark", "join", "window", "stream", "vector", "customer")
+
+  /** BM25 top-k core shared by x104 and x105's lexical arm.
+    *
+    * Exact-integer BM25: for k1 = 1.2, b = 0.75 the per-term score
+    *   idf · tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
+    * multiplied through by 10·Σdl (avgdl = Σdl/N) becomes
+    *   idf · 22·Σdl·tf / (10·Σdl·tf + 3·Σdl + 9·N·dl)
+    * — all integers — and the rational IDF (N−df+1)/(df+1) replaces
+    * ln((N−df+0.5)/(df+0.5)) (same monotonicity, no libm). Floor
+    * division in micro-units on DECIMAL(38,0) keeps every intermediate
+    * below 1e38 at any plausible corpus size (N·Σdl·tf·1e6·22 at
+    * N=1e12, Σdl=1e14 is ~1e35).
+    *
+    * Shape: the 6-term tf staging is ONE scan (tokens → literal-array
+    * explode → HOF count per term, all map-side) memoized+persisted so
+    * its two consumers — the 6-row df aggregate and the scorer — don't
+    * re-scan; scalars ride a broadcast single-row frame; the per-doc
+    * sum is the query's one doc-keyed shuffle (map-side partials over
+    * ≤ 6 rows/doc); the cut is a TakeOrderedAndProject heap. */
+  private[operators] def bm25TopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val tf = memoized(s, "x104-tf", dir) {
+      val terms = array(bm25Terms.map(lit): _*)
+      t(s, dir, "documents").filter(col("doc_id") =!= 0)
+        .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+          explode(terms).as("term"), col("tk"))
+        .withColumn("tf",
+          size(filter(col("tk"), x => x === col("term"))).cast("long"))
+        .filter(col("tf") > 0)
+        .drop("tk")
+        .persist()
+    }
+    val stats = tf.groupBy("doc_id").agg(first("dl").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_micro", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * (n_docs - df + 1) * 22 * sum_dl * tf) div " +
+          "((CAST(df AS DECIMAL(38,0)) + 1) * (10 * sum_dl * tf + 3 * sum_dl + 9 * n_docs * dl)) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum("score_micro").as("bm25_micro"))
+      .orderBy(desc("bm25_micro"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[bm25TopK]] (CTE-embeddable). N and Σdl count
+    * only docs that match ≥ 1 query term — mirroring the Spark side,
+    * where the scalars aggregate the persisted tf staging (zero-tf
+    * docs already dropped) instead of re-scanning the corpus. A
+    * constant doc-set shift in N/avgdl rescales scores monotonically;
+    * rankers only need the order, and the twin replays the choice
+    * exactly. */
+  private def duckBm25TopK(k: Int): String = {
+    val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+       |  CAST(sum(score_micro) AS BIGINT) AS bm25_micro
+       |FROM (
+       |  SELECT doc_id, CAST((CAST(1000000 AS HUGEINT) * (n_docs - df + 1) * 22 * sum_dl * tf) //
+       |      ((CAST(df AS HUGEINT) + 1) * (10 * sum_dl * tf + 3 * sum_dl + 9 * n_docs * dl))
+       |    AS BIGINT) AS score_micro
+       |  FROM (SELECT doc_id, dl, term,
+       |          CAST(len(list_filter(tk, x -> x = term)) AS BIGINT) AS tf
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS tk,
+       |                CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |              FROM documents WHERE doc_id <> 0)
+       |        CROSS JOIN (SELECT unnest([$termList]) AS term)
+       |        WHERE len(list_filter(tk, x -> x = term)) > 0) tfx
+       |  JOIN (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |        FROM (SELECT doc_id, term
+       |              FROM (SELECT doc_id, string_split(text, ' ') AS tk
+       |                    FROM documents WHERE doc_id <> 0)
+       |              CROSS JOIN (SELECT unnest([$termList]) AS term)
+       |              WHERE len(list_filter(tk, x -> x = term)) > 0)
+       |        GROUP BY term) dfx USING (term)
+       |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                CAST(sum(dl) AS BIGINT) AS sum_dl
+       |              FROM (SELECT doc_id, max(CAST(len(string_split(text, ' ')) AS BIGINT)) AS dl
+       |                    FROM documents,
+       |                      (SELECT unnest([$termList]) AS term)
+       |                    WHERE doc_id <> 0
+       |                      AND len(list_filter(string_split(text, ' '), x -> x = term)) > 0
+       |                    GROUP BY doc_id)) stx)
+       |GROUP BY doc_id ORDER BY bm25_micro DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** DuckDB 6-bit sign-bucket key over a list-of-float column. */
   private def duckSignKey(c: String): String =
     s"array_to_string(list_transform(range(1, 7), " +
@@ -4389,7 +4481,77 @@ object LlmData {
               |  SELECT *, row_number() OVER (
               |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM sc)
               |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin),
-      "batched ANN: K-row query set broadcast over one corpus scan, map-side fused-dot scoring, per-query WindowGroupLimit heaps")
+      "batched ANN: K-row query set broadcast over one corpus scan, map-side fused-dot scoring, per-query WindowGroupLimit heaps"),
+
+    // ── X6aj: BM25 lexical retrieval (x104) ───────────────────────────
+    // The OTHER retrieval modality a data pipeline serves: keyword
+    // relevance (Robertson-Spärck Jones BM25, public since 1994),
+    // complementing the x24/x103 dense-cosine family. Scoring is the
+    // standard BM25 with k1=1.2, b=0.75, made ENGINE-EXACT the x98
+    // way: both rationals clear to integers when numerator and
+    // denominator are multiplied by 10·Σdl (0.3→3·Σdl, 0.9·dl/avgdl→
+    // 9·N·dl with avgdl=Σdl/N), and the paper's ln-IDF — libm rounding
+    // is not cross-engine stable — becomes the rational (N−df+1)/(df+1)
+    // (the x40/x98 no-transcendentals precedent; monotone in df, which
+    // is all a ranker needs). Per-term score lands in integer
+    // micro-units via DECIMAL(38,0)/HUGEINT floor division, so the
+    // per-doc SUM and the final ranking hash-match the oracle exactly.
+    "x104_bm25_topk" -> Q(
+      (s, dir) => bm25TopK(s, dir, 20),
+      Some(duckBm25TopK(20)),
+      "BM25 lexical retrieval: rational integer-exact scoring (micro-units), corpus scalars broadcast, one doc-keyed shuffle, top-k heap"),
+
+    // ── X6ak: RRF hybrid retrieval fusion (x105) ──────────────────────
+    // Fuses the two retrieval modalities the registry now carries —
+    // x104's lexical BM25 list and x24's dense cosine list — by
+    // Reciprocal Rank Fusion (Cormack/Clarke/Büttcher 2009):
+    // score(d) = Σ 1/(60+rank_i(d)), integer-exact as floor
+    // (1e6/(60+rank)) so the fused ordering hash-matches. RRF operates
+    // on the RETRIEVED lists (two 50-row heaps), never the corpus: the
+    // rank windows ride GlobalLimit inputs (bounded, sweep-clean) and
+    // the fusion is a full-outer join of two dimension-sized frames —
+    // a doc found by one modality only keeps its one contribution
+    // (absent rank prints 0 and contributes nothing). doc_id/vec_id
+    // align by construction of the corpus (TESTDATA.md: row i of
+    // embeddings encodes document i; id 0 is the query anchor in both
+    // modalities and is excluded by both retrievers). */
+    "x105_rrf_fusion" -> Q(
+      (s, dir) => {
+        val wl = Window.orderBy(desc("bm25_micro"), asc("doc_id"))
+        val lex = bm25TopK(s, dir, 50)
+          .withColumn("lex_rank", row_number().over(wl))
+          .select(col("doc_id").as("id"), col("lex_rank"))
+        val wd = Window.orderBy(desc("cos"), asc("vec_id"))
+        val dense = annExactTopK(s, dir, 50)
+          .withColumn("dense_rank", row_number().over(wd))
+          .select(col("vec_id").as("id"), col("dense_rank"))
+        lex.join(dense, Seq("id"), "full_outer")
+          .na.fill(0, Seq("lex_rank", "dense_rank"))
+          .withColumn("rrf_micro", expr(
+            "CAST((CASE WHEN lex_rank > 0 THEN 1000000 div (60 + lex_rank) ELSE 0 END) + " +
+              "(CASE WHEN dense_rank > 0 THEN 1000000 div (60 + dense_rank) ELSE 0 END) AS BIGINT)"))
+          .orderBy(desc("rrf_micro"), asc("id"))
+          .limit(10)
+          .select("id", "lex_rank", "dense_rank", "rrf_micro")
+      },
+      Some(s"""WITH lexk AS (${duckBm25TopK(50)}),
+              |lexr AS (SELECT doc_id AS id, CAST(row_number() OVER (
+              |           ORDER BY bm25_micro DESC, doc_id) AS INTEGER) AS lex_rank
+              |         FROM lexk),
+              |denk AS (${duckExactTopK(50)}),
+              |denr AS (SELECT vec_id AS id, CAST(row_number() OVER (
+              |           ORDER BY cos DESC, vec_id) AS INTEGER) AS dense_rank
+              |         FROM denk),
+              |fu AS (SELECT coalesce(l.id, d.id) AS id,
+              |         coalesce(l.lex_rank, 0) AS lex_rank,
+              |         coalesce(d.dense_rank, 0) AS dense_rank
+              |       FROM lexr l FULL OUTER JOIN denr d ON l.id = d.id)
+              |SELECT id, lex_rank, dense_rank,
+              |  CAST((CASE WHEN lex_rank > 0 THEN 1000000 // (60 + lex_rank) ELSE 0 END) +
+              |       (CASE WHEN dense_rank > 0 THEN 1000000 // (60 + dense_rank) ELSE 0 END)
+              |    AS BIGINT) AS rrf_micro
+              |FROM fu ORDER BY rrf_micro DESC, id LIMIT 10""".stripMargin),
+      "RRF hybrid fusion: BM25 + dense-cosine top-50 heaps full-outer joined, integer reciprocal-rank scores, dimension-sized throughout")
   )
 
   /** The x101 probe core — verdicts for `docs` (doc_id, text, …) with

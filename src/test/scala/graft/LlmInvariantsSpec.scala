@@ -1002,4 +1002,71 @@ class LlmInvariantsSpec extends SparkSpec {
       Array("exact_dup", "near_dup", "new").filter(inline.map(_._2).contains)),
       "sanity: verdict vocabulary is closed")
   }
+
+  test("x104: BM25 slate is ordered, positive, and term-containment honest") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val terms = Seq("spark", "join", "window", "stream", "vector", "customer")
+    val rows = run("x104_bm25_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.sliding(2).forall { case Array((ia, _, sa), (ib, _, sb)) =>
+      sa > sb || (sa == sb && ia < ib)
+    }, "slate must descend in score with doc_id tie-break")
+    rows.foreach { case (_, nHit, score) =>
+      assert(nHit >= 1 && nHit <= terms.length.toLong)
+      assert(score > 0L, "a matching doc scores strictly positive micro-units")
+    }
+    // containment + n_hit honesty: recount the distinct query terms each
+    // returned doc actually contains, straight off the corpus
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+      .filter(col("doc_id").isin(rows.map(_._1): _*))
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        terms.count(r.getSeq[String](1).toSet.contains).toLong)
+      .toMap
+    rows.foreach { case (id, nHit, _) =>
+      assert(docs.contains(id), s"doc $id must exist in the corpus")
+      assert(docs(id) == nHit, s"doc $id: n_hit must equal the recount")
+    }
+  }
+
+  test("x105: RRF scores recompute from the printed ranks; lexical ranks agree with x104") {
+    val fused = run("x105_rrf_fusion").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(fused.nonEmpty && fused.length <= 10)
+    fused.foreach { case (id, lex, dense, rrf) =>
+      assert(id != 0L, "id 0 is the query anchor in both modalities")
+      assert(lex >= 0 && lex <= 50 && dense >= 0 && dense <= 50)
+      assert(lex > 0 || dense > 0, "a fused doc was retrieved by some modality")
+      val expect = (if (lex > 0) 1000000L / (60 + lex) else 0L) +
+        (if (dense > 0) 1000000L / (60 + dense) else 0L)
+      assert(rrf == expect, s"doc $id: rrf_micro must fold from the ranks")
+    }
+    assert(fused.sliding(2).forall { case Array((ia, _, _, sa), (ib, _, _, sb)) =>
+      sa > sb || (sa == sb && ia < ib)
+    }, "fusion must descend in rrf with id tie-break")
+    // the lexical list underneath is the registered x104 ranking: a fused
+    // row carrying lex_rank r <= 20 must name exactly x104's r-th doc
+    val lex20 = run("x104_bm25_topk").collect().map(_.getLong(0))
+    fused.filter(r => r._2 >= 1 && r._2 <= lex20.length).foreach {
+      case (id, lex, _, _) =>
+        assert(lex20(lex - 1) == id,
+          s"lex_rank $lex must point at x104's doc ${lex20(lex - 1)}, got $id")
+    }
+  }
+
+  test("q48: z-order layout dominates linear under the 2-D predicate") {
+    val rows = SparkEntry.queries("q48_zorder_prune")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet == Set("zorder", "linear"))
+    val (zt, zs, zr) = rows("zorder")
+    val (lt, ls, lr) = rows("linear")
+    assert(zt == 64L && lt == 64L, "both layouts bin into 64 files")
+    assert(zs >= 1L && ls >= 1L, "the predicate region is populated")
+    assert(zs <= ls, "z-order must scan no more files than the linear sort")
+    assert(zr <= lr, "z-order must scan no more rows than the linear sort")
+    assert(zr >= 1L, "scanned z-order files hold the predicate's rows")
+  }
 }
