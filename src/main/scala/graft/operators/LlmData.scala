@@ -644,20 +644,40 @@ object LlmData {
     * broadcast single-row frame; the per-doc sum is the query's one
     * further doc-keyed shuffle; the cut is a TakeOrderedAndProject
     * heap. */
-  private[operators] def bm25TopK(s: SparkSession, dir: String, k: Int): DataFrame = {
-    val tf = memoized(s, "x104-tf", dir) {
-      t(s, dir, "documents").filter(col("doc_id") =!= 0)
-        .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
-        .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
-          explode(col("tk")).as("term"))
-        .filter(col("term").isin(bm25Terms: _*))
-        .groupBy("doc_id", "dl", "term")
-        .agg(count(lit(1)).as("tf"))
-        .persist()
+  /** (doc_id, dl, term, tf) rows for `docs` — the staging scan shape
+    * described above, shared by the registered queries (via the
+    * memoized corpus staging) and the streaming serve gate (inline per
+    * micro-batch, cost = batch tokens). Docs containing no query term
+    * yield no rows — they score 0 by definition. */
+  private[graft] def bm25Tf(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") =!= 0)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .filter(col("term").isin(bm25Terms: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  private[graft] def bm25Staged(s: SparkSession, dir: String): DataFrame =
+    memoized(s, "x104-tf", dir) {
+      bm25Tf(t(s, dir, "documents")).persist()
     }
-    val stats = tf.groupBy("doc_id").agg(first("dl").as("dl"))
+
+  /** The frozen retrieval model derived from a corpus tf staging: the
+    * 6-row document-frequency table and the single-row corpus scalars
+    * (N, Σdl over matching docs). Both broadcast at the consumer. */
+  private[graft] def bm25Dfreq(tf: DataFrame): DataFrame =
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+  private[graft] def bm25Stats(tf: DataFrame): DataFrame =
+    tf.groupBy("doc_id").agg(first("dl").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** Score tf rows against a frozen (dfreq, stats) model: ONE
+    * definition shared by the registered x104/x105 queries and the
+    * streaming serve gate, so batch and stream weight a document
+    * identically. */
+  private[graft] def bm25Score(tf: DataFrame, dfreq: DataFrame,
+      stats: DataFrame): DataFrame =
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("score_micro", expr(
@@ -665,8 +685,30 @@ object LlmData {
           "((CAST(df AS DECIMAL(38,0)) + 1) * (10 * sum_dl * tf + 3 * sum_dl + 9 * n_docs * dl)) AS BIGINT)"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit"), sum("score_micro").as("bm25_micro"))
+
+  private[operators] def bm25TopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val tf = bm25Staged(s, dir)
+    bm25Score(tf, bm25Dfreq(tf), bm25Stats(tf))
       .orderBy(desc("bm25_micro"), asc("doc_id"))
       .limit(k)
+  }
+
+  /** The serve-gate scorer: batch docs tf'd inline, scored under the
+    * FROZEN corpus model, and triaged against the frozen top-k
+    * admission floor (the k-th corpus score, single-row broadcast) —
+    * `enters_topk` says whether an index refresh would surface the
+    * arriving doc. The model is train-once/score-many (the x98/dsir
+    * discipline): df, scalars, and floor all derive from the corpus
+    * staging, never from the batch. */
+  private[graft] def bm25ServeScore(s: SparkSession, batch: DataFrame,
+      corpusDir: String, k: Int = 20): DataFrame = {
+    val tfC = bm25Staged(s, corpusDir)
+    val floor = bm25TopK(s, corpusDir, k)
+      .agg(min("bm25_micro").as("floor_micro"))
+    bm25Score(bm25Tf(batch), bm25Dfreq(tfC), bm25Stats(tfC))
+      .crossJoin(broadcast(floor))
+      .withColumn("enters_topk", col("bm25_micro") >= col("floor_micro"))
+      .select("doc_id", "n_hit", "bm25_micro", "enters_topk")
   }
 
   /** DuckDB twin of [[bm25TopK]] (CTE-embeddable). N and Σdl count
@@ -4556,7 +4598,37 @@ object LlmData {
               |       (CASE WHEN dense_rank > 0 THEN 1000000 // (60 + dense_rank) ELSE 0 END)
               |    AS BIGINT) AS rrf_micro
               |FROM fu ORDER BY rrf_micro DESC, id LIMIT 10""".stripMargin),
-      "RRF hybrid fusion: BM25 + dense-cosine top-50 heaps full-outer joined, integer reciprocal-rank scores, dimension-sized throughout")
+      "RRF hybrid fusion: BM25 + dense-cosine top-50 heaps full-outer joined, integer reciprocal-rank scores, dimension-sized throughout"),
+
+    // ── X6al: metadata-filtered ANN (x106) ────────────────────────────
+    // Filtered vector search — the serving shape where a label/tenant/
+    // language predicate restricts the candidate set. The ORDER here is
+    // the whole operator: PRE-filter then score (the predicate reaches
+    // the parquet scan as a pushed filter, so a 100 TB corpus prunes
+    // row groups before a single dot product runs, and the heap always
+    // returns k true results), never score-then-post-filter (which
+    // under-fills k whenever fewer than k of the global top survive
+    // the predicate — a recall bug, not a perf choice). Same broadcast
+    // query vector + fused-dot + TakeOrderedAndProject spine as x24;
+    // PlanAuditSpec pins the pushed label filter.
+    "x106_filtered_ann" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        e.filter(col("vec_id") =!= 0 && col("label").isin(2, 5))
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"),
+            cosine6(col("embedding"), col("qe")).as("cos"))
+          .orderBy(desc("cos"), asc("vec_id"))
+          .limit(10)
+      },
+      Some(s"""SELECT e.vec_id, e.label,
+              |  ${duckRound(duckCosine("e.embedding", "q.qe"), 6)} AS cos
+              |FROM embeddings e CROSS JOIN
+              |  (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+              |WHERE e.vec_id <> 0 AND e.label IN (2, 5)
+              |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin),
+      "metadata-filtered ANN: predicate pushed to the scan BEFORE scoring (full-k recall), broadcast query vector, top-k heap")
   )
 
   /** The x101 probe core — verdicts for `docs` (doc_id, text, …) with

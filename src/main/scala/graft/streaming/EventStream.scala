@@ -361,6 +361,28 @@ object EventStream {
           .orderBy("doc_id")
     }
 
+  /** Streaming BM25 serve/triage gate — the retrieval twin of
+    * [[dsirScoreGate]]'s train-once/score-many shape: each arriving
+    * micro-batch of documents is scored under the FROZEN corpus
+    * retrieval model (x104's 6-row df table + corpus scalars, both
+    * broadcast) and triaged against the frozen top-k admission floor,
+    * so the gate answers "would an index refresh surface this doc for
+    * the standing query?" at per-batch cost = batch tokens — zero
+    * corpus re-reads after the memoized staging builds once. A doc
+    * containing no query term scores 0 by definition and is not
+    * emitted (its tf staging is empty — the scorer's documented
+    * contract, unlike dsir where every token carries evidence).
+    * Same idempotent per-batch overwrite delivery as every gate here. */
+  def bm25ServeGate(spark: SparkSession, srcDir: String,
+      checkpointDir: String, outDir: String, corpusDir: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery =
+    perBatchGate(spark, srcDir, checkpointDir, outDir, maxFilesPerTrigger) {
+      batch =>
+        graft.operators.LlmData.bm25ServeScore(
+            batch.sparkSession, batch, corpusDir)
+          .orderBy("doc_id")
+    }
+
   /** The per-batch monitor delivery contract shared by
     * [[qualityDriftGate]] and [[mixtureDriftGate]]: documents arrive
     * as files, each micro-batch is scored by a pure

@@ -393,6 +393,18 @@ class PlanAuditSpec extends SparkSpec {
       "the merge hint must pin the fact⋈fact strategy the layout serves")
   }
 
+  test("x106: label predicate is pushed to the scan and the cut is a heap") {
+    // filtered ANN's whole contract: pre-filter reaches the parquet
+    // scan (row-group pruning before any dot product at 100 TB) and
+    // the cut never plans a global sort
+    val p = plan("x106_filtered_ann")
+    assert(p.contains("In(label, [2,5])"),
+      s"expected pushed label IN-filter, got:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "filtered top-k must be a heap, not a global sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("global sweep: no registered query ever plans a CartesianProduct") {
     // the one unconditional rule of the 100 TB contract: the quadratic
     // operator must never appear — candidate generation is always a

@@ -704,6 +704,65 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == before)
   }
 
+  test("BM25 serve gate scores batches under the frozen corpus model and floor") {
+    import graft.operators.LlmData
+    import spark.implicits._
+    val src = tmp("bm25-src"); val out = tmp("bm25-out"); val ckpt = tmp("bm25-ckpt")
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+    // batch A: real corpus rows — stream scores must equal the batch
+    // scorer under the same frozen model (x104's df table + scalars)
+    val sample = docs.orderBy("doc_id").limit(20)
+    val stageA = tmp("bm25-stage-a")
+    sample.coalesce(1).write.mode("overwrite").parquet(stageA)
+    Files.copy(firstParquet(stageA), Paths.get(src, "drop_a.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    EventStream.bm25ServeGate(spark, src, ckpt, out, sf0001).awaitTermination()
+    def rows(batchId: Long) = spark.read.parquet(out)
+      .filter(col("batch_id") === batchId)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_hit"), r.getAs[Long]("bm25_micro"),
+          r.getAs[Boolean]("enters_topk")))).toMap
+    val twinA = LlmData.bm25ServeScore(spark, sample, sf0001)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows(0) == twinA,
+      "stream rows must equal the batch serve scorer on the same docs")
+    // the triage verdict folds from the registered x104 slate: a doc
+    // scores in iff it meets the frozen top-20's minimum
+    val floor = SparkEntry.queries("x104_bm25_topk")(spark, sf0001)
+      .collect().map(_.getLong(2)).min
+    rows(0).foreach { case (id, (_, score, enters)) =>
+      assert(enters == (score >= floor),
+        s"doc $id: enters_topk must triage against the frozen floor")
+    }
+    // batch B after a restart: a short doc saturated with query terms
+    // must beat the floor (BM25 length normalization), and a doc with
+    // no query term is scored 0 by definition and NOT emitted
+    val planted = (920001L,
+      "spark join window stream vector customer spark join window stream vector customer",
+      "en", "src_stream", 82L)
+    val noHit = (920002L, "pebble quartz granite shale", "en", "src_stream", 27L)
+    val bDf = Seq(planted, noHit)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val stageB = tmp("bm25-stage-b")
+    bDf.coalesce(1).write.mode("overwrite").parquet(stageB)
+    Files.copy(firstParquet(stageB), Paths.get(src, "drop_b.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    EventStream.bm25ServeGate(spark, src, ckpt, out, sf0001).awaitTermination()
+    val b = rows(1)
+    assert(b.keySet == Set(920001L), "no-hit docs are not emitted")
+    assert(b(920001L)._1 == 6L, "all six query terms hit the planted doc")
+    assert(b(920001L)._3, "the saturated short doc must enter the frozen top-k")
+    val twinB = LlmData.bm25ServeScore(spark, bDf, sf0001)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(b == twinB, "stream and batch scorer must agree on batch B")
+    // idle restart appends nothing
+    val before = spark.read.parquet(out).count()
+    EventStream.bm25ServeGate(spark, src, ckpt, out, sf0001).awaitTermination()
+    assert(spark.read.parquet(out).count() == before)
+  }
+
   test("streamed PQ code append equals the batch x75 table and is restart-durable") {
     // the PQ half of the streamed maintenance loop: same delivery
     // contract as the IVF test above, different payload (frozen-
