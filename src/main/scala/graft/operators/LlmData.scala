@@ -4628,7 +4628,117 @@ object LlmData {
               |  (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
               |WHERE e.vec_id <> 0 AND e.label IN (2, 5)
               |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin),
-      "metadata-filtered ANN: predicate pushed to the scan BEFORE scoring (full-k recall), broadcast query vector, top-k heap")
+      "metadata-filtered ANN: predicate pushed to the scan BEFORE scoring (full-k recall), broadcast query vector, top-k heap"),
+
+    // ── X6am: token-budget selection under importance weights (x107) ──
+    // The decision x98 exists to feed: "spend a 10%-of-corpus token
+    // budget on the highest-importance documents" — greedy best-first
+    // by (score_milli DESC, doc_id), a doc is selected iff the running
+    // token total through it fits the budget. The running total is an
+    // EXACT GLOBAL cumulative sum computed without a global sort (the
+    // q39 treatment): sample-cut score bins partition the corpus
+    // map-side, per-bin token totals come back as ≤ 33 bounded values,
+    // their descending-bin prefix sums become a literal offset
+    // expression, and the intra-bin cumsum is a bin-PARTITIONED window.
+    // Equal scores can never straddle a bin (cuts compare >=), so
+    // bin-desc-then-intra order IS the global order, and the result is
+    // cut-invariant — approxQuantile only balances partitions. Budget
+    // = Σtokens div 10, one broadcast scalar row.
+    "x107_token_budget_select" -> Q(
+      (s, dir) => {
+        val scp = memoized(s, "x107-score", dir) {
+          dsirScore(t(s, dir, "documents"), dsirRatioTable(s, dir))
+            .select("doc_id", "lang", "n_tokens", "score_milli")
+            .persist()
+        }
+        val tot = scp.agg(expr(
+          "CAST(sum(n_tokens) div 10 AS BIGINT)").as("budget"))
+        val cuts = scp.stat.approxQuantile("score_milli",
+          (1 until 32).map(_ / 32.0).toArray, 0.01).distinct.sorted
+        val binExpr = cuts.foldLeft(lit(0)) { (acc, c) =>
+          acc + when(col("score_milli") >= lit(c), 1).otherwise(0) }
+        val binned = scp.withColumn("bin", binExpr)
+        val binTok = binned.groupBy("bin").agg(sum("n_tokens").as("bt"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
+        val offsets = binTok.scanLeft(0 -> 0L) {
+          case ((_, acc), (b, bt)) => b -> (acc + bt) }
+        val offExpr = binTok.zip(offsets).foldLeft(lit(0L)) {
+          case (acc, ((b, _), (_, off))) =>
+            when(col("bin") === b, off).otherwise(acc) }
+        val w = Window.partitionBy("bin")
+          .orderBy(desc("score_milli"), asc("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        binned
+          .withColumn("cum", offExpr + sum("n_tokens").over(w))
+          .crossJoin(broadcast(tot))
+          .filter(col("cum") <= col("budget"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sel"), sum("n_tokens").as("tok_sel"))
+          .orderBy("lang")
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang,
+             |         CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % 256 AS b
+             |       FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+             |             FROM documents)),
+             |raw AS (SELECT b, count(*) AS cr FROM tok GROUP BY b),
+             |tgt AS (SELECT b, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY b),
+             |ratio AS (SELECT r.b,
+             |    CAST((CAST(coalesce(g.ct, 0) + 1 AS HUGEINT)
+             |            * (sum(r.cr) OVER () + 256) * 1000)
+             |      // (CAST(r.cr + 1 AS HUGEINT)
+             |            * (sum(coalesce(g.ct, 0)) OVER () + 256)) AS BIGINT) AS r_milli
+             |  FROM raw r LEFT JOIN tgt g USING (b)),
+             |sc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+             |         CAST(sum(x.r_milli - 1000) AS BIGINT) AS score_milli
+             |       FROM tok t JOIN ratio x USING (b) GROUP BY doc_id, lang),
+             |bud AS (SELECT CAST(sum(n_tokens) // 10 AS BIGINT) AS budget FROM sc),
+             |r AS (SELECT *, sum(n_tokens) OVER (ORDER BY score_milli DESC, doc_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |      FROM sc)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_sel,
+             |  CAST(sum(n_tokens) AS BIGINT) AS tok_sel
+             |FROM r CROSS JOIN bud WHERE cum <= budget
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+      "token-budget selection: greedy best-first under x98 weights, exact global cumsum via sample-cut bins + literal offsets (no global sort)"),
+
+    // ── X6an: hard-negative mining (x108) ─────────────────────────────
+    // Contrastive-training data: for each anchor of the x103 serving
+    // batch, the 3 most-similar embeddings with a DIFFERENT label —
+    // similarity-ranked ("hard") negatives, versus x45's random
+    // negatives. The label-inequality predicate is map-side against
+    // the broadcast anchor batch (never a shuffle key), so the spine
+    // stays x103's: fixed-size anchor frame broadcast over ONE corpus
+    // scan, fused-dot cosines, per-anchor WindowGroupLimit heaps.
+    "x108_hard_negatives" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val isAnchor = col("vec_id") % 100 === 0 && col("vec_id") < 2000
+        val anchors = e.filter(isAnchor)
+          .select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+            col("label").as("a_label"))
+        val w = Window.partitionBy("a_id").orderBy(desc("cos"), asc("vec_id"))
+        e.filter(!isAnchor)
+          .crossJoin(broadcast(anchors))
+          .filter(col("label") =!= col("a_label"))
+          .select(col("a_id"), col("vec_id"), col("label"),
+            cosine6(col("embedding"), col("ae")).as("cos"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("a_id", "rnk", "vec_id", "label", "cos")
+          .orderBy("a_id", "rnk")
+      },
+      Some(s"""WITH an AS (SELECT vec_id AS a_id, embedding AS ae, label AS a_label
+              |           FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000),
+              |sc AS (SELECT a.a_id, e.vec_id, e.label,
+              |         ${duckRound(duckCosine("e.embedding", "a.ae"), 6)} AS cos
+              |       FROM embeddings e CROSS JOIN an a
+              |       WHERE NOT (e.vec_id % 100 = 0 AND e.vec_id < 2000)
+              |         AND e.label <> a.a_label)
+              |SELECT a_id, rnk, vec_id, label, cos FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY a_id ORDER BY cos DESC, vec_id) AS rnk FROM sc)
+              |WHERE rnk <= 3 ORDER BY a_id, rnk""".stripMargin),
+      "hard-negative mining: anchor batch broadcast, label-mismatch filter map-side, per-anchor top-3 similarity heaps over one corpus scan")
   )
 
   /** The x101 probe core — verdicts for `docs` (doc_id, text, …) with

@@ -1056,6 +1056,49 @@ class LlmInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("x107: selection replays the driver-side greedy fill exactly") {
+    import graft.operators.LlmData
+    // independent twin: score via the registered model, sort best-first
+    // on the driver (the corpus is spec-sized), fill the 10% budget
+    // greedily, and the per-lang aggregates must match bit-for-bit
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+    val scored = LlmData.dsirScore(docs, LlmData.dsirRatioTable(spark, sf0001))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val budget = scored.map(_._3).sum / 10
+    var cum = 0L
+    val picked = scored.sortBy(r => (-r._4, r._1)).takeWhile { r =>
+      cum += r._3; cum <= budget
+    }
+    assert(picked.nonEmpty, "a 10% budget must admit at least one doc")
+    val expect = picked.groupBy(_._2).map { case (lang, rs) =>
+      lang -> (rs.length.toLong, rs.map(_._3).sum) }
+    val got = run("x107_token_budget_select").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect,
+      "bin-partitioned cumsum must equal the driver-side greedy fill")
+    assert(got.values.map(_._2).sum <= budget, "selection must fit the budget")
+  }
+
+  test("x108: negatives are cross-label, ranked, and genuinely hard") {
+    val e = graft.sources.Tables.load(spark, sf0001, "embeddings")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val rows = run("x108_hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val byA = rows.groupBy(_._1)
+    byA.foreach { case (a, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(Array(1, 2, 3)),
+        s"anchor $a must get exactly ranks 1..3")
+      assert(rs.sortBy(_._2).map(_._5).sliding(2).forall(p => p(0) >= p(1)),
+        s"anchor $a: cosine must be non-increasing in rank")
+      rs.foreach { case (_, _, v, lbl, _) =>
+        assert(e(v) == lbl, s"printed label must be vector $v's label")
+        assert(lbl != e(a), s"anchor $a: a negative must carry a different label")
+        assert(v % 100 != 0 || v >= 2000, "anchors are not negatives")
+      }
+    }
+  }
+
   test("q48: z-order layout dominates linear under the 2-D predicate") {
     val rows = SparkEntry.queries("q48_zorder_prune")(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
