@@ -642,7 +642,48 @@ object Relational {
              |    AS sum_price
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY 1 ORDER BY sum_qty DESC, o_orderkey LIMIT 20""".stripMargin),
-      "co-located fact⋈fact: bucketed layout paid once, join + keyed agg with zero Exchange")
+      "co-located fact⋈fact: bucketed layout paid once, join + keyed agg with zero Exchange"),
+
+    // ── Partition-pruned scan over a date-partitioned layout (q49) ────
+    // The third leg of the physical-layout family (q47 buckets keys,
+    // q48 z-orders files, q49 PARTITIONS directories): events land in a
+    // catalog table partitioned by event_date — the layout every
+    // warehouse gives an append-only fact — and a one-day query prunes
+    // at the METADATA level: the date predicate resolves against the
+    // catalog's partition listing (PartitionFilters in the scan, zero
+    // data-filter residue), so a 100 TB table reads 1/30th of its files
+    // before a single row decodes. At scale the identical plan is the
+    // daily-report query; the partition column is derived once at
+    // write (to_date(ts) under the UTC session), never re-derived at
+    // read — deriving it in the query (CAST(ts AS DATE) = …) would
+    // filter post-scan and read every partition. PlanAuditSpec pins
+    // the PartitionFilters + the absence of any pushed/post data
+    // filter on the date.
+    "q49_partition_prune" -> Q(
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tbl = s"graft_p_events_$tag"
+        LlmData.tableOnce(bucketMemo, s, dir + "#part")({
+          t(s, dir, "events")
+            .withColumn("event_date", to_date(col("ts")))
+            .write.mode("overwrite").format("parquet")
+            .partitionBy("event_date").saveAsTable(tbl)
+          tbl
+        })
+        s.table(tbl)
+          .filter(col("event_date") === lit("2024-01-15").cast("date"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct("user_id").as("n_users"),
+            sumCents(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+             |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+             |GROUP BY 1 ORDER BY event_type""".stripMargin),
+      "date-partitioned layout + metadata-level partition pruning: one-day scan reads 1/30th of the files, keyed agg after")
   )
 
   /** Bucketed-table build registry for q47 — one layout write per

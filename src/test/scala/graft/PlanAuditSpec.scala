@@ -405,6 +405,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q49: date predicate prunes at the partition listing, not the data") {
+    val p = plan("q49_partition_prune")
+    assert(p.contains("PartitionFilters: [isnotnull(event_date") &&
+      p.contains(" = 2024-01-15)"),
+      s"expected partition-level date pruning, got:\n${p.take(3000)}")
+    assert(p.contains("InMemoryFileIndex(1 paths)"),
+      "exactly ONE partition directory may survive the listing")
+    // the partition column must never degrade to a data filter: a
+    // derived-at-read date (CAST(ts AS DATE) = ...) reads EVERY file
+    assert(p.contains("DataFilters: []") && p.contains("PushedFilters: []"),
+      "the one-day query needs zero row-level filtering after the prune")
+  }
+
   test("global sweep: no registered query ever plans a CartesianProduct") {
     // the one unconditional rule of the 100 TB contract: the quadratic
     // operator must never appear — candidate generation is always a
