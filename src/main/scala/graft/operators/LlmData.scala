@@ -4738,7 +4738,56 @@ object LlmData {
               |  SELECT *, row_number() OVER (
               |    PARTITION BY a_id ORDER BY cos DESC, vec_id) AS rnk FROM sc)
               |WHERE rnk <= 3 ORDER BY a_id, rnk""".stripMargin),
-      "hard-negative mining: anchor batch broadcast, label-mismatch filter map-side, per-anchor top-3 similarity heaps over one corpus scan")
+      "hard-negative mining: anchor batch broadcast, label-mismatch filter map-side, per-anchor top-3 similarity heaps over one corpus scan"),
+
+    // ── X6ao: embedding-space centroid audit (x109) ───────────────────
+    // Class-separation diagnostics for an embedding table: the pairwise
+    // cosine matrix of per-label centroids (x88 audits TEXT-quality
+    // drift across sources; this audits the VECTOR space across
+    // labels). The float-accumulation-order trap is dodged at the
+    // root: components land in integer micro-units map-side
+    // (round(v·1e6), the sumCents idiom), the per-(label, dim) SUM is
+    // exact, and cos(mean_a, mean_b) ≡ cos(sum_a, sum_b) — the 1/n
+    // factors cancel — so no division ever touches an accumulator.
+    // The only float ops run on exact integers in an identical
+    // expression (IEEE-deterministic both engines). Shape: one scan,
+    // posexplode map-side, a labels×64-row aggregate, pairwise join on
+    // dim over the dimension-sized sums; products on DECIMAL(38,0)/
+    // HUGEINT (Σ sa·sb at corpus scale exceeds int64).
+    "x109_centroid_drift" -> Q(
+      (s, dir) => {
+        val sums = t(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")))
+          .groupBy(col("label"), col("pos").as("dim"))
+          .agg(sum(round(col("col").cast("double") * 1000000, 0)
+            .cast("long")).as("sm"))
+        val a = sums.select(col("label").as("la"), col("dim"), col("sm").as("sa"))
+        val b = sums.select(col("label").as("lb"), col("dim"), col("sm").as("sb"))
+        a.join(b, "dim").filter(col("la") < col("lb"))
+          .groupBy("la", "lb")
+          .agg(
+            expr("CAST(sum(CAST(sa AS DECIMAL(38,0)) * sb) AS DOUBLE)").as("dot"),
+            expr("CAST(sum(CAST(sa AS DECIMAL(38,0)) * sa) AS DOUBLE)").as("na"),
+            expr("CAST(sum(CAST(sb AS DECIMAL(38,0)) * sb) AS DOUBLE)").as("nb"))
+          .select(col("la"), col("lb"),
+            pround(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6).as("cos"))
+          .orderBy("la", "lb")
+      },
+      Some(s"""WITH ex AS (SELECT label, i AS dim,
+              |         CAST(round(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+              |           * 1000000, 0) AS BIGINT) AS m
+              |       FROM embeddings, range(64) t(i)),
+              |s AS (SELECT label, dim, CAST(sum(m) AS BIGINT) AS sm
+              |      FROM ex GROUP BY label, dim),
+              |p AS (SELECT a.label AS la, b.label AS lb,
+              |        CAST(sum(CAST(a.sm AS HUGEINT) * b.sm) AS DOUBLE) AS dot,
+              |        CAST(sum(CAST(a.sm AS HUGEINT) * a.sm) AS DOUBLE) AS na,
+              |        CAST(sum(CAST(b.sm AS HUGEINT) * b.sm) AS DOUBLE) AS nb
+              |      FROM s a JOIN s b USING (dim) WHERE a.label < b.label
+              |      GROUP BY a.label, b.label)
+              |SELECT la, lb, ${duckRound("dot / (sqrt(na) * sqrt(nb))", 6)} AS cos
+              |FROM p ORDER BY la, lb""".stripMargin),
+      "embedding-space class audit: integer micro-unit centroid sums (1/n cancels in cosine), dimension-sized pairwise matrix, one scan")
   )
 
   /** The x101 probe core — verdicts for `docs` (doc_id, text, …) with

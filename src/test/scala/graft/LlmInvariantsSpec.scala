@@ -1099,6 +1099,33 @@ class LlmInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("x109: full pair matrix, bounded cosines, one pair recomputed from raw floats") {
+    val rows = run("x109_centroid_drift").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+    assert(rows.length == 45, "10 labels yield exactly C(10,2) = 45 pairs")
+    assert(rows.forall { case ((a, b), _) => a < b }, "canonical upper triangle")
+    assert(rows.forall { case (_, c) => c >= -1.000001 && c <= 1.000001 })
+    // independent recompute of pair (0, 1) straight off the raw table,
+    // through the same integer micro-unit route
+    val vecs = graft.sources.Tables.load(spark, sf0001, "embeddings")
+      .collect().map(r => r.getInt(2) -> r.getSeq[Float](1))
+    def sums(lbl: Int): Array[Long] = {
+      val vs = vecs.filter(_._1 == lbl).map(_._2)
+      Array.tabulate(64)(i =>
+        vs.map(v => math.round(v(i).toDouble * 1000000)).sum)
+    }
+    val (s0, s1) = (sums(0), sums(1))
+    val dot = s0.zip(s1).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+    val n0 = s0.map(x => BigInt(x) * BigInt(x)).sum
+    val n1 = s1.map(x => BigInt(x) * BigInt(x)).sum
+    val expect = BigDecimal(dot.toDouble /
+      (math.sqrt(n0.toDouble) * math.sqrt(n1.toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = rows.toMap.apply((0, 1))
+    assert(math.abs(got - expect) < 1e-9,
+      s"pair (0,1): engine $got vs raw-float recompute $expect")
+  }
+
   test("q48: z-order layout dominates linear under the 2-D predicate") {
     val rows = SparkEntry.queries("q48_zorder_prune")(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
