@@ -25,11 +25,15 @@ object Curation {
     Tables.load(s, dir, name)
 
   /** md5-derived 60-bit uniform hash of a long id — the repo-standard
-    * engine-portable randomness source (same construction as x37/x41). */
-  private def idHash(c: Column): Column =
+    * engine-portable randomness source (same construction as x37/x41).
+    * Promoted to the operators package so new draw sites (x96's
+    * cluster draw, the x100/x101 ingest split) call the ONE named
+    * helper instead of re-inlining the construction — the FIXTURES
+    * "use these, don't re-derive" rule. */
+  private[operators] def idHash(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
-  private def duckIdHash(expr: String): String =
+  private[operators] def duckIdHash(expr: String): String =
     s"CAST('0x' || substr(md5(CAST($expr AS VARCHAR)), 1, 15) AS BIGINT)"
 
   /** Declarative twin of graft_token_stats, retained as the kernel's

@@ -629,7 +629,12 @@ object LlmData {
     * ln((N−df+0.5)/(df+0.5)) (same monotonicity, no libm). Floor
     * division in micro-units on DECIMAL(38,0) keeps every intermediate
     * below 1e38 at any plausible corpus size (N·Σdl·tf·1e6·22 at
-    * N=1e12, Σdl=1e14 is ~1e35).
+    * N=1e12, Σdl=1e14 is ~1e35). BOTH polynomial chains — numerator
+    * AND denominator — start from a DECIMAL(38,0) (Duck: HUGEINT)
+    * factor: a bare-BIGINT denominator would wrap past 2^63 at
+    * exactly those corpus sizes (10·Σdl·tf at Σdl=1e14 overflows for
+    * tf ≥ 9224) and wrap silently under non-ANSI Spark while DuckDB
+    * raised — the engines would diverge instead of hash-matching.
     *
     * Shape: the tf staging is ONE scan — tokens explode, the 6-term
     * IN-list filter drops non-query tokens MAP-SIDE (the shuffle
@@ -682,7 +687,8 @@ object LlmData {
       .crossJoin(broadcast(stats))
       .withColumn("score_micro", expr(
         "CAST((CAST(1000000 AS DECIMAL(38,0)) * (n_docs - df + 1) * 22 * sum_dl * tf) div " +
-          "((CAST(df AS DECIMAL(38,0)) + 1) * (10 * sum_dl * tf + 3 * sum_dl + 9 * n_docs * dl)) AS BIGINT)"))
+          "((CAST(df AS DECIMAL(38,0)) + 1) * (CAST(10 AS DECIMAL(38,0)) * sum_dl * tf " +
+          "+ CAST(3 AS DECIMAL(38,0)) * sum_dl + CAST(9 AS DECIMAL(38,0)) * n_docs * dl)) AS BIGINT)"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit"), sum("score_micro").as("bm25_micro"))
 
@@ -701,14 +707,30 @@ object LlmData {
     * discipline): df, scalars, and floor all derive from the corpus
     * staging, never from the batch. */
   private[graft] def bm25ServeScore(s: SparkSession, batch: DataFrame,
-      corpusDir: String, k: Int = 20): DataFrame = {
+      corpusDir: String, k: Int = 20): DataFrame =
+    bm25FrozenServe(s, corpusDir, k)(batch)
+
+  /** The frozen half of [[bm25ServeScore]] factored out so the
+    * streaming gate can build it ONCE with the long-lived outer
+    * session before the stream starts (foreachBatch hands a per-run
+    * cloned session the identity-keyed memo would miss on) and close
+    * over the returned scorer. */
+  private[graft] def bm25FrozenServe(s: SparkSession, corpusDir: String,
+      k: Int = 20): DataFrame => DataFrame = {
     val tfC = bm25Staged(s, corpusDir)
+    val dfq = bm25Dfreq(tfC)
+    val st = bm25Stats(tfC)
+    // coalesce: a corpus with zero query-term hits yields an empty
+    // slate → min() is NULL; an arriving doc trivially enters that
+    // top-k, so the floor defaults to Long.MinValue, never null-3VL
+    // (a null enters_topk would NPE a Boolean reader downstream).
     val floor = bm25TopK(s, corpusDir, k)
-      .agg(min("bm25_micro").as("floor_micro"))
-    bm25Score(bm25Tf(batch), bm25Dfreq(tfC), bm25Stats(tfC))
-      .crossJoin(broadcast(floor))
-      .withColumn("enters_topk", col("bm25_micro") >= col("floor_micro"))
-      .select("doc_id", "n_hit", "bm25_micro", "enters_topk")
+      .agg(coalesce(min("bm25_micro"), lit(Long.MinValue)).as("floor_micro"))
+    (batch: DataFrame) =>
+      bm25Score(bm25Tf(batch), dfq, st)
+        .crossJoin(broadcast(floor))
+        .withColumn("enters_topk", col("bm25_micro") >= col("floor_micro"))
+        .select("doc_id", "n_hit", "bm25_micro", "enters_topk")
   }
 
   /** DuckDB twin of [[bm25TopK]] (CTE-embeddable). N and Σdl count
@@ -720,34 +742,33 @@ object LlmData {
     * exactly. */
   private def duckBm25TopK(k: Int): String = {
     val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
-    s"""SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+    // ONE tokenization pass, mirroring the Spark side's single staged
+    // tf frame: df and the corpus scalars derive from the same
+    // MATERIALIZED btf CTE instead of three independent
+    // string_split/list_filter scans of `documents` — same rows, one
+    // definition to keep in sync with bm25Tf. (Nested WITH keeps the
+    // whole thing a parenthesizable SELECT for x105's embedding.)
+    s"""WITH btf AS MATERIALIZED (
+       |  SELECT doc_id, dl, term,
+       |    CAST(len(list_filter(tk, x -> x = term)) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk,
+       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |        FROM documents WHERE doc_id <> 0)
+       |  CROSS JOIN (SELECT unnest([$termList]) AS term)
+       |  WHERE len(list_filter(tk, x -> x = term)) > 0),
+       |bdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |        FROM btf GROUP BY term),
+       |bst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |          CAST(sum(dl) AS BIGINT) AS sum_dl
+       |        FROM (SELECT doc_id, max(dl) AS dl FROM btf GROUP BY doc_id))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
        |  CAST(sum(score_micro) AS BIGINT) AS bm25_micro
        |FROM (
        |  SELECT doc_id, CAST((CAST(1000000 AS HUGEINT) * (n_docs - df + 1) * 22 * sum_dl * tf) //
-       |      ((CAST(df AS HUGEINT) + 1) * (10 * sum_dl * tf + 3 * sum_dl + 9 * n_docs * dl))
+       |      ((CAST(df AS HUGEINT) + 1) * (CAST(10 AS HUGEINT) * sum_dl * tf
+       |        + CAST(3 AS HUGEINT) * sum_dl + CAST(9 AS HUGEINT) * n_docs * dl))
        |    AS BIGINT) AS score_micro
-       |  FROM (SELECT doc_id, dl, term,
-       |          CAST(len(list_filter(tk, x -> x = term)) AS BIGINT) AS tf
-       |        FROM (SELECT doc_id, string_split(text, ' ') AS tk,
-       |                CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-       |              FROM documents WHERE doc_id <> 0)
-       |        CROSS JOIN (SELECT unnest([$termList]) AS term)
-       |        WHERE len(list_filter(tk, x -> x = term)) > 0) tfx
-       |  JOIN (SELECT term, CAST(count(*) AS BIGINT) AS df
-       |        FROM (SELECT doc_id, term
-       |              FROM (SELECT doc_id, string_split(text, ' ') AS tk
-       |                    FROM documents WHERE doc_id <> 0)
-       |              CROSS JOIN (SELECT unnest([$termList]) AS term)
-       |              WHERE len(list_filter(tk, x -> x = term)) > 0)
-       |        GROUP BY term) dfx USING (term)
-       |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       |                CAST(sum(dl) AS BIGINT) AS sum_dl
-       |              FROM (SELECT doc_id, max(CAST(len(string_split(text, ' ')) AS BIGINT)) AS dl
-       |                    FROM documents,
-       |                      (SELECT unnest([$termList]) AS term)
-       |                    WHERE doc_id <> 0
-       |                      AND len(list_filter(string_split(text, ' '), x -> x = term)) > 0
-       |                    GROUP BY doc_id)) stx)
+       |  FROM btf JOIN bdf USING (term) CROSS JOIN bst)
        |GROUP BY doc_id ORDER BY bm25_micro DESC, doc_id LIMIT $k""".stripMargin
   }
 
@@ -4102,9 +4123,7 @@ object LlmData {
         t(s, dir, "documents").select(col("doc_id"))
           .join(comp, Seq("doc_id"), "left")
           .withColumn("cluster", coalesce(col("component"), col("doc_id")))
-          .withColumn("h",
-            conv(substring(md5(col("cluster").cast("string")), 1, 15), 16, 10)
-              .cast("long"))
+          .withColumn("h", Curation.idHash(col("cluster")))
           .select(col("doc_id"), col("cluster"),
             when(pmod(col("h"), lit(10)) === 0, lit("holdout"))
               .otherwise(lit("train")).as("split"))
@@ -4559,9 +4578,9 @@ object LlmData {
     // the fusion is a full-outer join of two dimension-sized frames —
     // a doc found by one modality only keeps its one contribution
     // (absent rank prints 0 and contributes nothing). doc_id/vec_id
-    // align by construction of the corpus (TESTDATA.md: row i of
-    // embeddings encodes document i; id 0 is the query anchor in both
-    // modalities and is excluded by both retrievers). */
+    // align by construction of the corpus (FIXTURES.md §A: both
+    // tables share one dense 0..N−1 id space; id 0 is the query
+    // anchor in both modalities and is excluded by both retrievers). */
     "x105_rrf_fusion" -> Q(
       (s, dir) => {
         val wl = Window.orderBy(desc("bm25_micro"), asc("doc_id"))
@@ -4909,8 +4928,7 @@ object LlmData {
     * lands in residue 0 of 10 — the FIXTURES §C deterministic-draw
     * idiom, replayed by the oracle's `fl` CTE. */
   private def ingestIsBatch: Column =
-    pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long"), lit(10)) === 0
+    pmod(Curation.idHash(col("doc_id")), lit(10)) === 0
 
   /** Shared oracle twin of x100 AND x101 (the indexed probe is
     * definitionally the same function — same draw, same band keys,

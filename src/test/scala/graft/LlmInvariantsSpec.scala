@@ -965,14 +965,17 @@ class LlmInvariantsSpec extends SparkSpec {
     val rows = run("x103_batch_ann").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     val byQ = rows.groupBy(_._1)
-    assert(byQ.nonEmpty && byQ.keys.forall(_ % 100 == 0), "queries are every 100th vector")
+    assert(byQ.nonEmpty && byQ.keys.forall(q => q % 100 == 0 && q < 2000),
+      "queries are every 100th vector below the 2000 cap")
     byQ.foreach { case (q, rs) =>
       assert(rs.map(_._2).sorted.sameElements(Array(1, 2, 3, 4, 5)),
         s"query $q must get exactly ranks 1..5")
       assert(rs.sortBy(_._2).map(_._4).sliding(2).forall(p => p(0) >= p(1)),
         s"query $q: cosine must be non-increasing in rank")
       rs.foreach { case (_, _, v, c) =>
-        assert(v % 100 != 0, "query vectors are not corpus")
+        // the query set is vec_id % 100 == 0 AND vec_id < 2000; a
+        // vector like 2000 on a bigger corpus is legitimately corpus
+        assert(v % 100 != 0 || v >= 2000, "query vectors are not corpus")
         assert(c >= -1.000001 && c <= 1.000001)
       }
     }
@@ -981,7 +984,7 @@ class LlmInvariantsSpec extends SparkSpec {
     // queries, must prefix-match batch query 0's slate
     val exact = run("x24_topk_cosine").collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
-      .filter(_._1 % 100 != 0)
+      .filter(r => r._1 % 100 != 0 || r._1 >= 2000)
     val batch0 = byQ(0L).sortBy(_._2).map(r => (r._3, r._4))
     val n = math.min(5, exact.length)
     assert(batch0.take(n).sameElements(exact.take(n)),
