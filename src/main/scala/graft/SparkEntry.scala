@@ -15,6 +15,7 @@ object SparkEntry {
     operators.Analytics.queries,
     operators.LlmData.queries,
     operators.Curation.queries,
+    operators.Shaping.queries,
     operators.EtlCapstone.queries
   )
 

@@ -1,0 +1,240 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Text
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators: the admission/allocation stage a training
+  * corpus passes through AFTER per-document scoring (x26–x30, x52, x98)
+  * and BEFORE mixture planning (x53) — "which documents, from which
+  * domains, under which model of quality, make the cut".
+  *
+  *   - x110: reference-LM scoring (CCNet-style, Wenzek et al. 2020) —
+  *     train an n-gram LM on a curated slice, score every document by
+  *     how predictable its text is under that model, gate on the score.
+  *   - x111: per-domain token cap (the head-domain cap every web-scale
+  *     corpus applies so no single site dominates an epoch).
+  *
+  * Parity discipline (same as [[LlmData]]/[[Curation]]): NO
+  * transcendentals — the paper's log-space perplexity is replaced by an
+  * exact-rational per-token likelihood mean in integer micro-units
+  * (the x98 lesson: ln() rounds differently across libm builds; a
+  * monotone rational surrogate hash-matches by construction), and all
+  * polynomial chains ride DECIMAL(38,0)/HUGEINT (FIXTURES §C).
+  */
+object Shaping {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ── x110 staging ────────────────────────────────────────────────────
+
+  /** Map-side bigram explode: (doc_id, lang, prev, cur) — adjacency
+    * comes from zipping the token array with its own 1-shifted tail, so
+    * the staging is a scan-stage projection + explode with NO window
+    * and NO positional self-join (x57 needs the join because its
+    * context offsets are k ∈ {1,2}; adjacency-only bigrams do not).
+    * One-token documents produce zero rows — both engines drop them
+    * identically (range(1,1) is empty / slice length 0 is empty). */
+  private[operators] def bigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"),
+        slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("b"))
+      .select(col("doc_id"), col("lang"),
+        explode(arrays_zip(col("a"), col("b"))).as("p"))
+      .select(col("doc_id"), col("lang"),
+        col("p.a").as("prev"), col("p.b").as("cur"))
+
+  /** Admission bar for x110's keep flag, in micro-units of the smoothed
+    * per-bigram likelihood mean. A configuration constant in a real
+    * deployment (CCNet cuts at fixed perplexity thresholds computed
+    * once on a sample); a literal here so the oracle replays it. */
+  private val LmKeepMicro = 33000L
+
+  /** Shared DuckDB fragment: the bigram staging CTEs. */
+  private val duckBigrams =
+    """toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      |bp AS (SELECT doc_id, lang, unnest(range(1, len(w))) AS pos, w FROM toks),
+      |bg AS (SELECT doc_id, lang, w[pos] AS prev, w[pos + 1] AS cur FROM bp)""".stripMargin
+
+  // ── x111 configuration ──────────────────────────────────────────────
+
+  /** Cap each source at this percent of total corpus tokens. */
+  private val CapPct = 5
+  /** Hash-bucket granularity for the two-level cap scan. At real scale
+    * this dials up with domain size the way corpusK/signBitsFor do —
+    * the boundary window below shrinks by exactly this factor. */
+  private val CapBuckets = 64
+
+  // ── queries ─────────────────────────────────────────────────────────
+
+  /** x110 — reference-LM quality filter (CCNet-style).
+    *
+    * Train a bigram LM on the curated slice (lang='en', the same
+    * target x98 uses), then score EVERY document by its mean smoothed
+    * bigram likelihood under that model and gate on a fixed admission
+    * bar. The paper scores perplexity = exp(−mean log p); ln() is not
+    * engine-portable (x98 scaladoc), so the score here is the exact-
+    * rational mean of per-bigram micro-probabilities
+    * (1e6·(c(prev,cur)+1)) div (c(prev)+V) — add-one smoothing, floor
+    * division, order-free integer sums — which ranks "predictable
+    * under the reference model" the same direction and hash-matches
+    * bit-for-bit.
+    *
+    * Plan shape: bigram staging is map-side (see [[bigrams]] — no
+    * window, no join); the LM tables are built ONCE from the reference
+    * slice (memoized+persisted, the x22/x57 signature-table
+    * discipline), and scoring is two broadcast joins + ONE doc-keyed
+    * aggregate. The broadcast is right while the reference LM fits —
+    * the reference slice is the SMALL curated side by design (x39's
+    * benchmark-set asymmetry), and production n-gram LMs prune
+    * singleton bigrams precisely to stay bounded (KenLM practice);
+    * past that, drop the explicit broadcast() and the join degrades
+    * gracefully to shuffle under AQE. Unseen context rows score as
+    * the uniform 1e6 div V floor — no NULL leaks into the sum. */
+  private def x110 = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cb = LlmData.memoized(s, "x110-lm", dir) {
+        bigrams(docs.filter(col("lang") === "en"))
+          .groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+          .persist()
+      }
+      val cp = cb.groupBy("prev").agg(sum("cb").as("cp"))
+      val vv = cb.select("cur").distinct().agg(count(lit(1)).as("v"))
+      bigrams(docs)
+        .join(broadcast(cb), Seq("prev", "cur"), "left")
+        .join(broadcast(cp), Seq("prev"), "left")
+        .na.fill(0L, Seq("cb", "cp"))
+        .crossJoin(broadcast(vv))
+        .withColumn("p_micro", expr(
+          "CAST((CAST(cb + 1 AS DECIMAL(38,0)) * 1000000) div " +
+            "(CAST(cp AS DECIMAL(38,0)) + v) AS BIGINT)"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("CAST(CAST(sum(p_micro) AS DECIMAL(38,0)) div count(1) AS BIGINT)")
+            .as("lm_micro"))
+        .withColumn("keep", col("lm_micro") >= lit(LmKeepMicro))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $duckBigrams,
+            |cb AS (SELECT prev, cur, count(*) AS cb FROM bg
+            |       WHERE lang = 'en' GROUP BY 1, 2),
+            |cp AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cp FROM cb GROUP BY 1),
+            |vv AS (SELECT count(DISTINCT cur) AS v FROM cb),
+            |sc AS (SELECT g.doc_id, g.lang,
+            |         CAST((CAST(coalesce(c.cb, 0) + 1 AS HUGEINT) * 1000000)
+            |           // (CAST(coalesce(p.cp, 0) AS HUGEINT) + v.v) AS BIGINT) AS p_micro
+            |       FROM bg g
+            |       LEFT JOIN cb c ON g.prev = c.prev AND g.cur = c.cur
+            |       LEFT JOIN cp p ON g.prev = p.prev
+            |       CROSS JOIN vv v),
+            |agg AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+            |          CAST(CAST(sum(p_micro) AS HUGEINT) // count(*) AS BIGINT) AS lm_micro
+            |        FROM sc GROUP BY doc_id, lang)
+            |SELECT doc_id, lang, n_bigrams, lm_micro,
+            |  lm_micro >= $LmKeepMicro AS keep
+            |FROM agg ORDER BY doc_id""".stripMargin),
+    "reference-LM quality filter: bigram LM trained on the curated slice, exact-rational likelihood mean in micro-units, broadcast LM joins + one doc-keyed aggregate")
+
+  /** x111 — per-domain token cap (head-domain cap).
+    *
+    * No source may contribute more than [[CapPct]]% of total corpus
+    * tokens. The kept set is a deterministic hash-ordered prefix of
+    * each over-cap source (the x37/x41 seedless-draw idiom — a uniform
+    * sample, not a quality-ordered one; compose with x110/x98 scores
+    * upstream when the cap should keep the BEST of a domain).
+    *
+    * Scale shape — the reason this is TWO windows, not one: a naive
+    * per-source running sum over documents puts an entire mega-domain
+    * in one window partition (the q39 scale-killer). Instead documents
+    * hash into [[CapBuckets]] buckets; a per-source running sum over
+    * the BUCKET aggregate (a bounded, domains×64-row frame) classifies
+    * every bucket as fully-kept / boundary / dropped, and only the ONE
+    * boundary bucket per source pays a document-level window — 1/64th
+    * of the domain, and the factor dials with domain size the way
+    * corpusK does. Kept tokens stay ≤ cap by construction: the
+    * boundary prefix starts from the bucket-level prior. Audit output
+    * is domain-sized (source, totals, cap, kept). */
+  private def x111 = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("nt"),
+          Curation.idHash(col("doc_id")).as("h"))
+        .withColumn("b", pmod(col("h"), lit(CapBuckets.toLong)))
+      val cap = d.agg(expr(
+        s"CAST(sum(nt) * $CapPct div 100 AS BIGINT)").as("cap"))
+      val wb = Window.partitionBy("source").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rb = d.groupBy("source", "b")
+        .agg(sum("nt").as("bt"), count(lit(1)).as("bd"))
+        .withColumn("run", sum("bt").over(wb))
+        .withColumn("prior", col("run") - col("bt"))
+        .crossJoin(broadcast(cap))
+      val fullKeep = rb.filter(col("run") <= col("cap"))
+        .groupBy("source").agg(sum("bd").as("kd0"), sum("bt").as("kt0"))
+      val bnd = rb.filter(col("prior") < col("cap") && col("run") > col("cap"))
+        .select(col("source"), col("b"), col("prior"), col("cap"))
+      val wd = Window.partitionBy("source").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bndKeep = d.join(bnd, Seq("source", "b"))
+        .withColumn("drun", sum("nt").over(wd))
+        .filter(col("prior") + col("drun") <= col("cap"))
+        .groupBy("source").agg(count(lit(1)).as("kd1"), sum("nt").as("kt1"))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("src_tokens"))
+        .join(fullKeep, Seq("source"), "left")
+        .join(bndKeep, Seq("source"), "left")
+        .na.fill(0L, Seq("kd0", "kt0", "kd1", "kt1"))
+        .crossJoin(broadcast(cap))
+        .select(col("source"), col("n_docs"), col("src_tokens"), col("cap"),
+          (col("kd0") + col("kd1")).as("kept_docs"),
+          (col("kt0") + col("kt1")).as("kept_tokens"))
+        .orderBy("source")
+    },
+    Some(s"""WITH d AS (SELECT source, doc_id,
+            |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+            |         ${Curation.duckIdHash("doc_id")} AS h,
+            |         ${Curation.duckIdHash("doc_id")} % $CapBuckets AS b
+            |       FROM documents),
+            |cap AS (SELECT CAST(sum(nt) * $CapPct // 100 AS BIGINT) AS cap FROM d),
+            |rb AS (SELECT source, b, bt, bd,
+            |         sum(bt) OVER (PARTITION BY source ORDER BY b
+            |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+            |       FROM (SELECT source, b, CAST(sum(nt) AS BIGINT) AS bt,
+            |               count(*) AS bd FROM d GROUP BY 1, 2)),
+            |fk AS (SELECT source, CAST(sum(bd) AS BIGINT) AS kd0,
+            |         CAST(sum(bt) AS BIGINT) AS kt0
+            |       FROM rb CROSS JOIN cap WHERE run <= cap GROUP BY source),
+            |bnd AS (SELECT source, b, run - bt AS prior FROM rb CROSS JOIN cap
+            |        WHERE run - bt < cap AND run > cap),
+            |bdk AS (SELECT source, CAST(count(*) AS BIGINT) AS kd1,
+            |          CAST(sum(nt) AS BIGINT) AS kt1
+            |        FROM (SELECT d.source, d.nt, n.prior, c.cap,
+            |                sum(d.nt) OVER (PARTITION BY d.source
+            |                  ORDER BY d.h, d.doc_id
+            |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS drun
+            |              FROM d JOIN bnd n ON d.source = n.source AND d.b = n.b
+            |              CROSS JOIN cap c)
+            |        WHERE prior + drun <= cap GROUP BY source)
+            |SELECT t.source, t.n_docs, t.src_tokens, c.cap,
+            |  coalesce(kd0, 0) + coalesce(kd1, 0) AS kept_docs,
+            |  coalesce(kt0, 0) + coalesce(kt1, 0) AS kept_tokens
+            |FROM (SELECT source, count(*) AS n_docs,
+            |        CAST(sum(nt) AS BIGINT) AS src_tokens
+            |      FROM d GROUP BY source) t
+            |LEFT JOIN fk USING (source)
+            |LEFT JOIN bdk USING (source)
+            |CROSS JOIN cap c ORDER BY t.source""".stripMargin),
+    "per-domain token cap: bucket-level running sums classify whole buckets, only the one boundary bucket per source pays a document window")
+
+  val queries: Map[String, Q] = Map(
+    "x110_ngram_lm_filter" -> x110,
+    "x111_domain_cap" -> x111)
+}

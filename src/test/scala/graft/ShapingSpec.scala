@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant + plan-shape audits for the Shaping module (x110/x111).
+  * Values are oracle-checked by the driver; these pin the properties
+  * the oracle can't express: the cap's conservation/maximality laws,
+  * the LM score's direction, and the physical shapes (broadcast LM
+  * joins, bucket-level windows). */
+class ShapingSpec extends SparkSpec {
+
+  private def df(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("x111: per-source caps conserve and never exceed the budget") {
+    val rows = df("x111_domain_cap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (src, nDocs, srcTok, cap, keptDocs, keptTok) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+      assert(keptDocs <= nDocs, s"$src kept more docs than it has")
+      assert(keptTok <= srcTok, s"$src kept more tokens than it has")
+      assert(keptTok <= cap, s"$src kept $keptTok > cap $cap")
+      if (srcTok <= cap)
+        assert(keptTok == srcTok && keptDocs == nDocs,
+          s"$src under cap must keep everything")
+      else
+        assert(keptTok > 0, s"$src over cap must still keep a prefix")
+    }
+  }
+
+  test("x111: two-level prefix equals the single-window reference on the real corpus") {
+    // Reference semantics: order each source's docs by (bucket, hash,
+    // doc_id) and keep the maximal prefix with running tokens <= cap.
+    // The registered two-level plan must reproduce it EXACTLY — the
+    // bucket stage is an optimization, not an approximation.
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("source"), col("doc_id"),
+        size(graft.functions.Text.tokens(col("text"))).cast("long").as("nt"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("b", pmod(col("h"), lit(64L)))
+    val cap = d.agg(expr("CAST(sum(nt) * 5 div 100 AS BIGINT)"))
+      .head.getLong(0)
+    val perSrc = d.orderBy("source", "b", "h", "doc_id").collect()
+      .groupBy(_.getString(0))
+    val expected = perSrc.map { case (src, rows) =>
+      var run = 0L; var kd = 0L; var kt = 0L
+      rows.foreach { r =>
+        val nt = r.getLong(2)
+        run += nt
+        if (run <= cap) { kd += 1; kt += nt }
+      }
+      src -> ((kd, kt))
+    }
+    df("x111_domain_cap").collect().foreach { r =>
+      val (kd, kt) = expected(r.getString(0))
+      assert(r.getLong(4) == kd && r.getLong(5) == kt,
+        s"${r.getString(0)}: two-level (${r.getLong(4)},${r.getLong(5)}) != reference ($kd,$kt)")
+    }
+  }
+
+  test("x110: reference-language documents score higher under their own LM") {
+    val rows = df("x110_ngram_lm_filter")
+      .groupBy(col("lang") === "en").agg(avg("lm_micro")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(rows(true) > rows(false),
+      s"en mean ${rows(true)} must exceed non-en mean ${rows(false)}")
+  }
+
+  test("x110: scores are valid micro-probability means and the gate matches them") {
+    df("x110_ngram_lm_filter").collect().foreach { r =>
+      val (nBg, micro, keep) = (r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(nBg > 0)
+      assert(micro >= 0 && micro <= 1000000, s"micro out of range: $micro")
+      assert(keep == (micro >= 33000L), "gate must be the documented bar")
+    }
+  }
+
+  test("x110/x111 plan shapes: broadcast LM joins, no fact-sized document window in x111") {
+    val p110 = df("x110_ngram_lm_filter")
+      .queryExecution.executedPlan.toString
+    assert(p110.contains("BroadcastHashJoin"), "LM tables must broadcast")
+    assert(!p110.contains("SortMergeJoin"), "scoring must not shuffle-join")
+    val p111 = df("x111_domain_cap").queryExecution.executedPlan.toString
+    // document-level window only over the boundary bucket's join output,
+    // never the raw scan: the window sits above the bnd join
+    assert(p111.contains("BroadcastHashJoin") || p111.contains("BroadcastNestedLoopJoin"),
+      "cap scalar and boundary-bucket frames must broadcast")
+  }
+}
