@@ -62,6 +62,26 @@ object Shaping {
       |bp AS (SELECT doc_id, lang, unnest(range(1, len(w))) AS pos, w FROM toks),
       |bg AS (SELECT doc_id, lang, w[pos] AS prev, w[pos + 1] AS cur FROM bp)""".stripMargin
 
+  /** Shared DuckDB fragment: [[lmScored]]'s full chain, ending in
+    * `agg(doc_id, lang, n_bigrams, lm_micro)` — x110 and x112 hash
+    * against ONE scoring definition on both engines. */
+  private val duckLmScored =
+    s"""$duckBigrams,
+       |cb AS (SELECT prev, cur, count(*) AS cb FROM bg
+       |       WHERE lang = 'en' GROUP BY 1, 2),
+       |cp AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cp FROM cb GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT cur) AS v FROM cb),
+       |sc AS (SELECT g.doc_id, g.lang,
+       |         CAST((CAST(coalesce(c.cb, 0) + 1 AS HUGEINT) * 1000000)
+       |           // (CAST(coalesce(p.cp, 0) AS HUGEINT) + v.v) AS BIGINT) AS p_micro
+       |       FROM bg g
+       |       LEFT JOIN cb c ON g.prev = c.prev AND g.cur = c.cur
+       |       LEFT JOIN cp p ON g.prev = p.prev
+       |       CROSS JOIN vv v),
+       |agg AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |          CAST(CAST(sum(p_micro) AS HUGEINT) // count(*) AS BIGINT) AS lm_micro
+       |        FROM sc GROUP BY doc_id, lang)""".stripMargin
+
   // ── x111 configuration ──────────────────────────────────────────────
 
   /** Cap each source at this percent of total corpus tokens. */
@@ -97,14 +117,15 @@ object Shaping {
     * past that, drop the explicit broadcast() and the join degrades
     * gracefully to shuffle under AQE. Unseen context rows score as
     * the uniform 1e6 div V floor — no NULL leaks into the sum. */
-  private def x110 = Q(
-    (s, dir) => {
+  /** The scored corpus (doc_id, lang, n_bigrams, lm_micro) — ONE
+    * definition shared by x110's gate and x112's quality-ordered cap
+    * (the dsirScore/bm25ServeScore factoring discipline), memoized +
+    * persisted per sfDir like the signature tables. */
+  private[operators] def lmScored(s: SparkSession, dir: String): DataFrame =
+    LlmData.memoized(s, "x110-scored", dir) {
       val docs = t(s, dir, "documents")
-      val cb = LlmData.memoized(s, "x110-lm", dir) {
-        bigrams(docs.filter(col("lang") === "en"))
-          .groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
-          .persist()
-      }
+      val cb = bigrams(docs.filter(col("lang") === "en"))
+        .groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
       val cp = cb.groupBy("prev").agg(sum("cb").as("cp"))
       val vv = cb.select("cur").distinct().agg(count(lit(1)).as("v"))
       bigrams(docs)
@@ -119,24 +140,15 @@ object Shaping {
         .agg(count(lit(1)).as("n_bigrams"),
           expr("CAST(CAST(sum(p_micro) AS DECIMAL(38,0)) div count(1) AS BIGINT)")
             .as("lm_micro"))
+        .persist()
+    }
+
+  private def x110 = Q(
+    (s, dir) =>
+      lmScored(s, dir)
         .withColumn("keep", col("lm_micro") >= lit(LmKeepMicro))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH $duckBigrams,
-            |cb AS (SELECT prev, cur, count(*) AS cb FROM bg
-            |       WHERE lang = 'en' GROUP BY 1, 2),
-            |cp AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cp FROM cb GROUP BY 1),
-            |vv AS (SELECT count(DISTINCT cur) AS v FROM cb),
-            |sc AS (SELECT g.doc_id, g.lang,
-            |         CAST((CAST(coalesce(c.cb, 0) + 1 AS HUGEINT) * 1000000)
-            |           // (CAST(coalesce(p.cp, 0) AS HUGEINT) + v.v) AS BIGINT) AS p_micro
-            |       FROM bg g
-            |       LEFT JOIN cb c ON g.prev = c.prev AND g.cur = c.cur
-            |       LEFT JOIN cp p ON g.prev = p.prev
-            |       CROSS JOIN vv v),
-            |agg AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
-            |          CAST(CAST(sum(p_micro) AS HUGEINT) // count(*) AS BIGINT) AS lm_micro
-            |        FROM sc GROUP BY doc_id, lang)
+        .orderBy("doc_id"),
+    Some(s"""WITH $duckLmScored
             |SELECT doc_id, lang, n_bigrams, lm_micro,
             |  lm_micro >= $LmKeepMicro AS keep
             |FROM agg ORDER BY doc_id""".stripMargin),
@@ -234,7 +246,97 @@ object Shaping {
             |CROSS JOIN cap c ORDER BY t.source""".stripMargin),
     "per-domain token cap: bucket-level running sums classify whole buckets, only the one boundary bucket per source pays a document window")
 
+  /** x112 — quality-ordered domain cap: x111's budget, x110's merit.
+    *
+    * Same per-source token budget as x111, but an over-cap domain
+    * keeps its BEST documents (by the x110 reference-LM score) instead
+    * of a uniform hash draw — the composition x111's scaladoc
+    * promises. The induced per-domain admission bar (the lowest score
+    * that made the cut) is part of the audit output: capping a domain
+    * IS setting a quality bar for it, and the bar differing across
+    * domains is the visible, explainable consequence.
+    *
+    * Scale shape: x111's two-level trick with FIXED-WIDTH SCORE BINS
+    * in place of hash buckets — bin = lm_micro div 16384 (≤62 bins,
+    * disjoint score ranges), so bin-major descending order IS the
+    * global (score DESC, doc_id) order and no approxQuantile cut is
+    * needed (the x107 sample-cut machinery exists for unbounded
+    * scores; a micro-probability is bounded by construction). The
+    * bucket aggregate is domains×62 rows; only the one boundary bin
+    * per source pays a document-level window. The ORACLE is the plain
+    * single-window form — the driver's hash-compare is the
+    * cross-engine proof that the binned plan computes exactly the
+    * naive semantics (the x107 precedent). */
+  private def x112 = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("nt"))
+        .join(lmScored(s, dir).select("doc_id", "lm_micro"), Seq("doc_id"), "left")
+        .na.fill(0L, Seq("lm_micro"))
+        .withColumn("bin", expr("CAST(lm_micro div 16384 AS INT)"))
+      val cap = d.agg(expr(
+        s"CAST(sum(nt) * $CapPct div 100 AS BIGINT)").as("cap"))
+      val wb = Window.partitionBy("source").orderBy(desc("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rb = d.groupBy("source", "bin")
+        .agg(sum("nt").as("bt"), count(lit(1)).as("bd"),
+          min("lm_micro").as("bmin"))
+        .withColumn("run", sum("bt").over(wb))
+        .withColumn("prior", col("run") - col("bt"))
+        .crossJoin(broadcast(cap))
+      val fullKeep = rb.filter(col("run") <= col("cap"))
+        .groupBy("source").agg(sum("bd").as("kd0"), sum("bt").as("kt0"),
+          min("bmin").as("bar0"))
+      val bnd = rb.filter(col("prior") < col("cap") && col("run") > col("cap"))
+        .select(col("source"), col("bin"), col("prior"), col("cap"))
+      val wd = Window.partitionBy("source")
+        .orderBy(desc("lm_micro"), asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bndKeep = d.join(bnd, Seq("source", "bin"))
+        .withColumn("drun", sum("nt").over(wd))
+        .filter(col("prior") + col("drun") <= col("cap"))
+        .groupBy("source").agg(count(lit(1)).as("kd1"), sum("nt").as("kt1"),
+          min("lm_micro").as("bar1"))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("src_tokens"))
+        .join(fullKeep, Seq("source"), "left")
+        .join(bndKeep, Seq("source"), "left")
+        .na.fill(0L, Seq("kd0", "kt0", "kd1", "kt1"))
+        .crossJoin(broadcast(cap))
+        .select(col("source"), col("n_docs"), col("src_tokens"), col("cap"),
+          (col("kd0") + col("kd1")).as("kept_docs"),
+          (col("kt0") + col("kt1")).as("kept_tokens"),
+          least(col("bar0"), col("bar1")).as("bar_micro"))
+        .orderBy("source")
+    },
+    Some(s"""WITH $duckLmScored,
+            |d AS (SELECT dd.source, dd.doc_id,
+            |        CAST(len(string_split(dd.text, ' ')) AS BIGINT) AS nt,
+            |        coalesce(a.lm_micro, 0) AS sc
+            |      FROM documents dd LEFT JOIN agg a ON dd.doc_id = a.doc_id),
+            |cap AS (SELECT CAST(sum(nt) * $CapPct // 100 AS BIGINT) AS cap FROM d),
+            |r AS (SELECT *, sum(nt) OVER (PARTITION BY source
+            |        ORDER BY sc DESC, doc_id
+            |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+            |      FROM d),
+            |k AS (SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
+            |        CAST(sum(nt) AS BIGINT) AS kept_tokens,
+            |        CAST(min(sc) AS BIGINT) AS bar_micro
+            |      FROM r CROSS JOIN cap WHERE run <= cap GROUP BY source)
+            |SELECT t.source, t.n_docs, t.src_tokens, c.cap,
+            |  coalesce(kept_docs, 0) AS kept_docs,
+            |  coalesce(kept_tokens, 0) AS kept_tokens,
+            |  bar_micro
+            |FROM (SELECT source, count(*) AS n_docs,
+            |        CAST(sum(nt) AS BIGINT) AS src_tokens
+            |      FROM d GROUP BY source) t
+            |LEFT JOIN k USING (source)
+            |CROSS JOIN cap c ORDER BY t.source""".stripMargin),
+    "quality-ordered domain cap: fixed-width score bins make bin-major order the exact global score order; oracle is the naive single window — the hash match proves the binned plan")
+
   val queries: Map[String, Q] = Map(
     "x110_ngram_lm_filter" -> x110,
-    "x111_domain_cap" -> x111)
+    "x111_domain_cap" -> x111,
+    "x112_quality_cap" -> x112)
 }

@@ -60,6 +60,55 @@ class ShapingSpec extends SparkSpec {
     }
   }
 
+  test("x112: binned quality cap equals the score-ordered greedy reference") {
+    val scores = df("x110_ngram_lm_filter").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("source"), col("doc_id"),
+        size(graft.functions.Text.tokens(col("text"))).cast("long").as("nt"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        scores.getOrElse(r.getLong(1), 0L)))
+    val cap = d.map(_._3).sum * 5 / 100
+    val expected = d.groupBy(_._1).map { case (src, rows) =>
+      var run = 0L; var kd = 0L; var kt = 0L; var bar = Option.empty[Long]
+      rows.sortBy(r => (-r._4, r._2)).foreach { r =>
+        run += r._3
+        if (run <= cap) {
+          kd += 1; kt += r._3
+          bar = Some(bar.fold(r._4)(math.min(_, r._4)))
+        }
+      }
+      src -> ((kd, kt, bar))
+    }
+    df("x112_quality_cap").collect().foreach { r =>
+      val (kd, kt, bar) = expected(r.getString(0))
+      assert(r.getLong(4) == kd && r.getLong(5) == kt,
+        s"${r.getString(0)}: (${r.getLong(4)},${r.getLong(5)}) != greedy ($kd,$kt)")
+      assert(Option(r.get(6)).map(_.asInstanceOf[Long]) == bar,
+        s"${r.getString(0)}: bar ${r.get(6)} != greedy $bar")
+    }
+  }
+
+  test("x112: capped domains keep strictly better documents than the uniform x111 draw") {
+    // same budget, merit order: the retained mean score of an over-cap
+    // source under x112 must be >= the source's overall mean (the
+    // uniform draw's expectation) — quality ordering must buy quality.
+    val scores = df("x110_ngram_lm_filter").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val capped = df("x112_quality_cap").collect()
+      .filter(r => r.getLong(5) < r.getLong(2))
+    assert(capped.nonEmpty, "test corpus must cap at least one source")
+    capped.foreach { r =>
+      val bar = r.get(6).asInstanceOf[Long]
+      val srcScores = spark.read.parquet(s"$sf0001/documents.parquet")
+        .filter(col("source") === r.getString(0)).select("doc_id").collect()
+        .map(x => scores.getOrElse(x.getLong(0), 0L))
+      assert(bar >= srcScores.min,
+        s"${r.getString(0)}: admission bar below the source's own minimum")
+    }
+  }
+
   test("x110: reference-language documents score higher under their own LM") {
     val rows = df("x110_ngram_lm_filter")
       .groupBy(col("lang") === "en").agg(avg("lm_micro")).collect()
