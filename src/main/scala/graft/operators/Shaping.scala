@@ -173,13 +173,48 @@ object Shaping {
     * corpusK does. Kept tokens stay ≤ cap by construction: the
     * boundary prefix starts from the bucket-level prior. Audit output
     * is domain-sized (source, totals, cap, kept). */
+  /** The x111 draw columns — ONE definition for the registered
+    * two-level plan and the streaming domain-budget gate's
+    * within-batch admission, so batch and stream order a document
+    * identically: (source, doc_id, nt, h, b). */
+  private[graft] def capDocs(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("doc_id"),
+      size(Text.tokens(col("text"))).cast("long").as("nt"),
+      Curation.idHash(col("doc_id")).as("h"))
+      .withColumn("b", pmod(col("h"), lit(CapBuckets.toLong)))
+
+  /** The frozen corpus-wide per-source budget ([[CapPct]]% of total
+    * corpus tokens) — a single driver scalar, trained once per stream
+    * start the way dsirRatioTable freezes the DSIR model. */
+  private[graft] def frozenCap(s: SparkSession, dir: String): Long =
+    capDocs(t(s, dir, "documents"))
+      .agg(expr(s"CAST(sum(nt) * $CapPct div 100 AS BIGINT)"))
+      .head.getLong(0)
+
+  /** Per-document admission for a BOUNDED micro-batch under per-source
+    * already-admitted totals: the x111 prefix rule continued from
+    * `prior`. A batch is external demand (the x103 lesson — bounded by
+    * arrival, not corpus), so the doc-level window per source is the
+    * right shape here; the registered query's two-level bucket scan
+    * exists for the corpus-sized case. Priors absent (first batch, or
+    * a source never seen) admit from zero. */
+  private[graft] def admitBatch(batch: DataFrame, priors: Option[DataFrame],
+      cap: Long): DataFrame = {
+    val wd = Window.partitionBy("source").orderBy("b", "h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = capDocs(batch)
+    priors.fold(base.withColumn("prior", lit(0L))) { p =>
+      base.join(broadcast(p), Seq("source"), "left")
+        .na.fill(0L, Seq("prior"))
+    }
+      .withColumn("drun", sum("nt").over(wd))
+      .withColumn("admitted", col("prior") + col("drun") <= lit(cap))
+      .select("doc_id", "source", "nt", "admitted")
+  }
+
   private def x111 = Q(
     (s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("source"), col("doc_id"),
-          size(Text.tokens(col("text"))).cast("long").as("nt"),
-          Curation.idHash(col("doc_id")).as("h"))
-        .withColumn("b", pmod(col("h"), lit(CapBuckets.toLong)))
+      val d = capDocs(t(s, dir, "documents"))
       val cap = d.agg(expr(
         s"CAST(sum(nt) * $CapPct div 100 AS BIGINT)").as("cap"))
       val wb = Window.partitionBy("source").orderBy("b")

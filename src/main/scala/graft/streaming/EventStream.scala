@@ -396,6 +396,72 @@ object EventStream {
     }
   }
 
+  /** Streaming domain-budget admission gate — the stateful member of
+    * the gate family: unlike [[dsirScoreGate]]/[[bm25ServeGate]]
+    * (frozen model, stateless batches), admission here depends on how
+    * much of each source's budget EARLIER batches already spent. The
+    * budget (x111's cap: 5% of frozen-corpus tokens per source) is
+    * trained once at start; each micro-batch admits its documents in
+    * the x111 bucket-major order continued from the per-source PRIOR
+    * totals, so a single-batch delivery of the whole corpus admits
+    * exactly the registered x111 kept set (one-definition equality,
+    * pinned in StreamingSpec) and a multi-batch stream is the honest
+    * arrival-order greedy under the same caps.
+    *
+    * State is NOT in the state store: priors fold from DIMENSION-SIZED
+    * per-batch summaries (`<outDir>-sums/batch_id=<id>`: source,
+    * adm_docs, adm_tokens) — per-batch cost = batches × domains rows,
+    * never ∝ corpus, and the fold is the recovery path too. Both the
+    * verdict rows and the summary land behind ONE applied-marker with
+    * overwrite delivery: a replayed batch recomputes priors from
+    * summaries with batch_id < id only (its own stale partial is
+    * excluded and overwritten), so the pair is idempotent exactly like
+    * [[perBatchGate]]'s single write. */
+  def domainBudgetGate(spark: SparkSession, srcDir: String,
+      checkpointDir: String, outDir: String, corpusDir: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    // frozen with the OUTER session before start() — the clone-session
+    // note on nearDupIngestGate
+    val cap = graft.operators.Shaping.frozenCap(spark, corpusDir)
+    val sumDir = s"$outDir-sums"
+    val docs = spark.readStream
+      .schema(Tables.schemas("documents"))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val conf = s.sessionState.newHadoopConf()
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$checkpointDir/graft-applied/$id")
+        val fs = marker.getFileSystem(conf)
+        if (!fs.exists(marker)) {
+          val priors =
+            if (fs.exists(new org.apache.hadoop.fs.Path(sumDir)))
+              Some(s.read.parquet(sumDir)
+                .filter(col("batch_id") < lit(id))
+                .groupBy("source").agg(sum("adm_tokens").as("prior")))
+            else None
+          val verdicts = graft.operators.Shaping
+            .admitBatch(batch, priors, cap)
+            .orderBy("doc_id")
+            .withColumn("batch_id", lit(id))
+            .persist() // two writes below fold the same admission once
+          verdicts.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+          verdicts.filter(col("admitted"))
+            .groupBy("source")
+            .agg(count(lit(1)).as("adm_docs"), sum("nt").as("adm_tokens"))
+            .withColumn("batch_id", lit(id))
+            .write.mode("overwrite").parquet(s"$sumDir/batch_id=$id")
+          verdicts.unpersist()
+          fs.create(marker, false).close()
+        }
+      }
+      .start()
+  }
+
   /** The per-batch monitor delivery contract shared by
     * [[qualityDriftGate]] and [[mixtureDriftGate]]: documents arrive
     * as files, each micro-batch is scored by a pure

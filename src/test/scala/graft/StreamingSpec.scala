@@ -651,6 +651,60 @@ class StreamingSpec extends SparkSpec {
       "gate verdicts must equal the batch probe on the union")
   }
 
+  test("domain-budget gate: x111 equality on one batch, stateful caps across batches") {
+    import spark.implicits._
+    val src = tmp("dbg-src"); val out = tmp("dbg-out"); val ckpt = tmp("dbg-ckpt")
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+    // batch A: the whole corpus in ONE file — the gate's admitted set
+    // must equal the registered x111 kept set exactly (one definition
+    // of the draw order, continued from empty priors)
+    val stageA = tmp("dbg-stage-a")
+    docs.coalesce(1).write.mode("overwrite").parquet(stageA)
+    Files.copy(firstParquet(stageA), Paths.get(src, "drop_a.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    EventStream.domainBudgetGate(spark, src, ckpt, out, sf0001).awaitTermination()
+    val x111 = SparkEntry.queries("x111_domain_cap")(spark, sf0001).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    val cap = x111.head._2._3
+    val admA = spark.read.parquet(out)
+      .filter(col("batch_id") === 0 && col("admitted"))
+      .groupBy("source").agg(count(lit(1)).as("kd"), sum("nt").as("kt"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    x111.foreach { case (s2, (_, _, _, kd, kt)) =>
+      assert(admA.getOrElse(s2, (0L, 0L)) == ((kd, kt)),
+        s"$s2: gate one-batch admission must equal registered x111")
+    }
+    // batch B after a restart: a doc that fits an uncapped source's
+    // remaining budget is admitted; a 300-token doc to a capped source
+    // cannot fit (kept is within one document of cap) and is rejected
+    val srcOpen = x111.find { case (_, (_, st, _, _, kt)) =>
+      kt == st && cap - st >= 5 }.get._1
+    val srcFull = x111.find { case (_, (_, st, _, _, kt)) => kt < st }.get._1
+    val dAdmit = (920001L, Seq.fill(5)("tok").mkString(" "), "en", srcOpen, 24L)
+    val dRej = (920002L, Seq.fill(300)("tok").mkString(" "), "en", srcFull, 1200L)
+    val stageB = tmp("dbg-stage-b")
+    Seq(dAdmit, dRej).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(stageB)
+    Files.copy(firstParquet(stageB), Paths.get(src, "drop_b.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    EventStream.domainBudgetGate(spark, src, ckpt, out, sf0001).awaitTermination()
+    val vB = spark.read.parquet(out).filter(col("batch_id") === 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("admitted")).toMap
+    assert(vB == Map(920001L -> true, 920002L -> false),
+      s"remaining-budget admission and over-budget rejection must verdict apart: $vB")
+    // the caps hold across the whole stream, per source
+    spark.read.parquet(out).filter(col("admitted"))
+      .groupBy("source").agg(sum("nt").as("t")).collect().foreach { r =>
+      assert(r.getLong(1) <= cap,
+        s"${r.getString(0)}: cross-batch admitted ${r.getLong(1)} > cap $cap")
+    }
+    // idle restart appends nothing
+    val before = spark.read.parquet(out).count()
+    EventStream.domainBudgetGate(spark, src, ckpt, out, sf0001).awaitTermination()
+    assert(spark.read.parquet(out).count() == before)
+  }
+
   test("DSIR score gate weights each batch with the frozen corpus ratio table") {
     import graft.operators.LlmData
     import spark.implicits._
