@@ -370,8 +370,58 @@ object Shaping {
             |CROSS JOIN cap c ORDER BY t.source""".stripMargin),
     "quality-ordered domain cap: fixed-width score bins make bin-major order the exact global score order; oracle is the naive single window — the hash match proves the binned plan")
 
+  /** x113 — quality-banded curriculum schedule (Bengio et al. 2009
+    * curriculum learning, the data-ordering recipe: train toward the
+    * best data last). Documents are banded into 8 curriculum phases by
+    * their x110 reference-LM score, normalized against broadcast
+    * corpus min/max the q48 quantization way — exact integer
+    * arithmetic, no quantile estimation, and phases are disjoint score
+    * ranges so per-phase mean scores are STRICTLY ordered by
+    * construction (pinned in spec). The schedule is the phase order.
+    *
+    * Scale shape: phase assignment is one map-side expression against
+    * two broadcast scalars; the audit is an 8-row aggregate. The point
+    * of banding at PHASE granularity (vs a global quality sort) is the
+    * q39 lesson: a curriculum needs documents grouped by level, not
+    * totally ordered — each phase then shuffles internally via x77's
+    * hash shards, so the dataloader keeps shard-sequential I/O and no
+    * global sort ever runs. */
+  private def x113 = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("nt"))
+        .join(lmScored(s, dir).select("doc_id", "lm_micro"), Seq("doc_id"), "left")
+        .na.fill(0L, Seq("lm_micro"))
+      val mm = d.agg(min("lm_micro").as("mn"), max("lm_micro").as("mx"))
+      d.crossJoin(broadcast(mm))
+        .withColumn("phase", expr(
+          "CAST((CAST(lm_micro - mn AS DECIMAL(38,0)) * 8) div (mx - mn + 1) AS INT)"))
+        .groupBy("phase")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("phase_tokens"),
+          min("lm_micro").as("lo_micro"), max("lm_micro").as("hi_micro"),
+          expr("CAST(CAST(sum(lm_micro) AS DECIMAL(38,0)) div count(1) AS BIGINT)")
+            .as("mean_micro"))
+        .orderBy("phase")
+    },
+    Some(s"""WITH $duckLmScored,
+            |d AS (SELECT dd.doc_id,
+            |        CAST(len(string_split(dd.text, ' ')) AS BIGINT) AS nt,
+            |        coalesce(a.lm_micro, 0) AS sc
+            |      FROM documents dd LEFT JOIN agg a ON dd.doc_id = a.doc_id),
+            |mm AS (SELECT min(sc) AS mn, max(sc) AS mx FROM d)
+            |SELECT CAST((CAST(sc - mn AS HUGEINT) * 8) // (mx - mn + 1) AS INT) AS phase,
+            |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS phase_tokens,
+            |  CAST(min(sc) AS BIGINT) AS lo_micro,
+            |  CAST(max(sc) AS BIGINT) AS hi_micro,
+            |  CAST(CAST(sum(sc) AS HUGEINT) // count(*) AS BIGINT) AS mean_micro
+            |FROM d CROSS JOIN mm
+            |GROUP BY 1 ORDER BY phase""".stripMargin),
+    "quality-banded curriculum: q48-style min/max normalization into 8 disjoint score phases, map-side assignment against broadcast scalars, 8-row audit")
+
   val queries: Map[String, Q] = Map(
     "x110_ngram_lm_filter" -> x110,
     "x111_domain_cap" -> x111,
-    "x112_quality_cap" -> x112)
+    "x112_quality_cap" -> x112,
+    "x113_curriculum_phases" -> x113)
 }

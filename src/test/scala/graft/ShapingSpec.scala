@@ -109,6 +109,24 @@ class ShapingSpec extends SparkSpec {
     }
   }
 
+  test("x113: curriculum phases partition the corpus into strictly ordered bands") {
+    val rows = df("x113_curriculum_phases").collect()
+    assert(rows.length >= 2, "banding must be non-degenerate on the test corpus")
+    // conservation: every document lands in exactly one phase
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    // disjoint, strictly ordered score ranges ⇒ strictly ordered means
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(4) < hi.getLong(3),
+        s"phase ${lo.getInt(0)} hi ${lo.getLong(4)} must sit below phase ${hi.getInt(0)} lo ${hi.getLong(3)}")
+      assert(lo.getLong(5) < hi.getLong(5), "mean_micro must ascend with phase")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(5) && r.getLong(5) <= r.getLong(4),
+        "phase mean must sit inside its own band")
+    }
+  }
+
   test("x110: reference-language documents score higher under their own LM") {
     val rows = df("x110_ngram_lm_filter")
       .groupBy(col("lang") === "en").agg(avg("lm_micro")).collect()
