@@ -1554,6 +1554,91 @@ object LlmData {
       .orderBy("shard")
   }
 
+  /** x94's 3-round BPE chain — ONE definition for the registered merge
+    * log (x94) and the tokenizer-coverage audit (x114): returns the
+    * per-round picks (a, b, pair count) and each round's staged corpus
+    * (doc_id, lang, st, tk), every round memoized+persisted so the two
+    * queries and repeated invocations share the cached rewrites
+    * instead of replaying the replace chain. Loop discipline and the
+    * sentinel-framing argument live on the x94 registry comment. */
+  private[operators] def bpeChain(s: SparkSession, dir: String)
+      : (Vector[(String, String, Long)], Vector[DataFrame]) = {
+    val SEP = "\u001f"
+    val sep2 = SEP + SEP
+    val sepQ = java.util.regex.Pattern.quote(sep2)
+    // each staged frame CARRIES its token array: element_at inside
+    // the pair lambda would otherwise re-run the split per element
+    // (the Text.shingles O(len²) trap), and the picks — recomputed
+    // every invocation — then read cached arrays instead of
+    // re-splitting the whole corpus per round
+    def staged(df: DataFrame): DataFrame =
+      df.withColumn("tk", split(trim(col("st"), SEP), sepQ))
+    val base = memoized(s, "x94-st0", dir) {
+      staged(t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          concat(lit(SEP), array_join(split(col("text"), " "), sep2), lit(SEP))
+            .as("st")))
+        .persist()
+    }
+    var st = base
+    var picks = Vector.empty[(String, String, Long)]
+    var frames = Vector.empty[DataFrame]
+    (1 to 3).foreach { r =>
+      val pick = st
+        .filter(size(col("tk")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("tk")) - 1),
+          i => struct(element_at(col("tk"), i).as("a"),
+            element_at(col("tk"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("a"), asc("b"))
+        .limit(1).head()
+      val (a, b, n) = (pick.getString(0), pick.getString(1), pick.getLong(2))
+      val prev = st
+      st = memoized(s, s"x94-st$r", dir) {
+        // column-form replace, not an expr() splice: the merge pair
+        // comes from the corpus, and a token containing a quote or
+        // backslash must ride as DATA, never through the SQL parser
+        staged(prev.select(col("doc_id"), col("lang"),
+          replace(col("st"), lit(SEP + a + sep2 + b + SEP),
+            lit(SEP + a + " " + b + SEP)).as("st")))
+          .persist()
+      }
+      picks :+= ((a, b, n))
+      frames :+= st
+    }
+    (picks, frames)
+  }
+
+  /** Shared DuckDB twin of [[bpeChain]]: CTEs `r0..r3` (staged corpus
+    * per round, carrying lang), `p1..p3` (picks), `t1..t3` (post-round
+    * token totals). x94 and x114 both compose over this one chain. */
+  private lazy val duckBpeChain: String = {
+    def round(r: Int, prev: String) =
+      s"""c$r AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS a,
+         |          unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS b
+         |        FROM (SELECT string_split(trim(st, chr(31)), chr(31) || chr(31)) AS w
+         |              FROM $prev) WHERE len(w) >= 2),
+         |p$r AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM c$r
+         |        GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1),
+         |r$r AS (SELECT doc_id, lang, replace(st,
+         |          chr(31) || a || chr(31) || chr(31) || b || chr(31),
+         |          chr(31) || a || ' ' || b || chr(31)) AS st
+         |        FROM $prev CROSS JOIN p$r),
+         |t$r AS (SELECT CAST(sum(len(string_split(trim(st, chr(31)),
+         |          chr(31) || chr(31)))) AS BIGINT) AS tokens_after FROM r$r)""".stripMargin
+    // no continuation line may BEGIN with "||": the composed oracles
+    // re-run stripMargin over the interpolated chain, and a leading
+    // "||" would lose its first pipe to the second margin strip
+    s"""r0 AS (SELECT doc_id, lang,
+       |    chr(31) || array_to_string(string_split(text, ' '), chr(31) || chr(31)) ||
+       |      chr(31) AS st FROM documents),
+       |${round(1, "r0")},
+       |${round(2, "r1")},
+       |${round(3, "r2")}""".stripMargin
+  }
+
   // ── the queries ─────────────────────────────────────────────────────
 
   // lazy: the oracle strings interpolate Curation defs (duckPqChain,
@@ -3932,81 +4017,76 @@ object LlmData {
     // chained CTEs.
     "x94_bpe_iterative" -> Q(
       (s, dir) => {
-        val SEP = "\u001f"
-        val sep2 = SEP + SEP
-        val sepQ = java.util.regex.Pattern.quote(sep2)
-        // each staged frame CARRIES its token array: element_at inside
-        // the pair lambda would otherwise re-run the split per element
-        // (the Text.shingles O(len²) trap), and the picks — recomputed
-        // every invocation — then read cached arrays instead of
-        // re-splitting the whole corpus per round
-        def staged(df: DataFrame): DataFrame =
-          df.withColumn("tk", split(trim(col("st"), SEP), sepQ))
-        val base = memoized(s, "x94-st0", dir) {
-          staged(t(s, dir, "documents")
-            .select(col("doc_id"),
-              concat(lit(SEP), array_join(split(col("text"), " "), sep2), lit(SEP))
-                .as("st")))
-            .persist()
-        }
-        var st = base
-        val rows = (1 to 3).map { r =>
-          val pick = st
-            .filter(size(col("tk")) >= 2)
-            .select(explode(transform(
-              sequence(lit(1), size(col("tk")) - 1),
-              i => struct(element_at(col("tk"), i).as("a"),
-                element_at(col("tk"), i + 1).as("b")))).as("p"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(count(lit(1)).as("n"))
-            .orderBy(desc("n"), asc("a"), asc("b"))
-            .limit(1).head()
-          val (a, b, n) = (pick.getString(0), pick.getString(1), pick.getLong(2))
-          val prev = st
-          st = memoized(s, s"x94-st$r", dir) {
-            // column-form replace, not an expr() splice: the merge pair
-            // comes from the corpus, and a token containing a quote or
-            // backslash must ride as DATA, never through the SQL parser
-            staged(prev.select(col("doc_id"),
-              replace(col("st"), lit(SEP + a + sep2 + b + SEP),
-                lit(SEP + a + " " + b + SEP)).as("st")))
-              .persist()
-          }
-          st.agg(sum(size(col("tk"))).as("tokens_after"))
+        val (picks, frames) = bpeChain(s, dir)
+        (1 to 3).map { r =>
+          val (a, b, n) = picks(r - 1)
+          frames(r - 1).agg(sum(size(col("tk"))).as("tokens_after"))
             .select(lit(r.toLong).as("merge_round"), lit(a).as("a"), lit(b).as("b"),
               lit(n).as("n_pair"), col("tokens_after"))
-        }
-        rows.reduce(_ unionByName _).orderBy("merge_round")
+        }.reduce(_ unionByName _).orderBy("merge_round")
       },
-      Some {
-        def round(r: Int, prev: String) =
-          s"""c$r AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS a,
-             |          unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS b
-             |        FROM (SELECT string_split(trim(st, chr(31)), chr(31) || chr(31)) AS w
-             |              FROM $prev) WHERE len(w) >= 2),
-             |p$r AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM c$r
-             |        GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1),
-             |r$r AS (SELECT doc_id, replace(st,
-             |          chr(31) || a || chr(31) || chr(31) || b || chr(31),
-             |          chr(31) || a || ' ' || b || chr(31)) AS st
-             |        FROM $prev CROSS JOIN p$r),
-             |t$r AS (SELECT CAST(sum(len(string_split(trim(st, chr(31)),
-             |          chr(31) || chr(31)))) AS BIGINT) AS tokens_after FROM r$r)""".stripMargin
-        s"""WITH r0 AS (SELECT doc_id,
-           |    chr(31) || array_to_string(string_split(text, ' '), chr(31) || chr(31))
-           |      || chr(31) AS st FROM documents),
-           |${round(1, "r0")},
-           |${round(2, "r1")},
-           |${round(3, "r2")}
-           |SELECT CAST(1 AS BIGINT) AS merge_round, a, b, n AS n_pair, tokens_after
-           |  FROM p1 CROSS JOIN t1
-           |UNION ALL SELECT CAST(2 AS BIGINT), a, b, n, tokens_after
-           |  FROM p2 CROSS JOIN t2
-           |UNION ALL SELECT CAST(3 AS BIGINT), a, b, n, tokens_after
-           |  FROM p3 CROSS JOIN t3
-           |ORDER BY merge_round""".stripMargin
-      },
+      Some(s"""WITH $duckBpeChain
+              |SELECT CAST(1 AS BIGINT) AS merge_round, a, b, n AS n_pair, tokens_after
+              |  FROM p1 CROSS JOIN t1
+              |UNION ALL SELECT CAST(2 AS BIGINT), a, b, n, tokens_after
+              |  FROM p2 CROSS JOIN t2
+              |UNION ALL SELECT CAST(3 AS BIGINT), a, b, n, tokens_after
+              |  FROM p3 CROSS JOIN t3
+              |ORDER BY merge_round""".stripMargin),
       "iterative BPE, 3 full rounds: per-round argmax pick (one driver row), sentinel-framed map-side merge apply, re-count over the rewritten corpus"),
+
+    // ── X6z2: tokenizer coverage audit over the learned BPE (x114) ────
+    // The audit that closes the induction→apply loop: after x94's 3
+    // merge rounds, freeze a VOCAB BUDGET (top-24 tokens by corpus
+    // frequency, ties broken lexicographically) and measure, per
+    // language, the out-of-vocabulary token rate and post-merge
+    // fertility (tokens per document) — the per-language cost signal
+    // real tokenizers are audited on (a lang with high OOV pays
+    // byte-fallback at training time). All exact integers: rates in
+    // floor-divided micro-units. Plan: the staged round-3 corpus is
+    // x94's memoized frame (shared via bpeChain, never recomputed);
+    // one token explode feeds both the vocab top-k
+    // (TakeOrderedAndProject, bounded) and the per-lang counts;
+    // membership is a broadcast left join against the 24-row vocab.
+    "x114_tokenizer_coverage" -> Q(
+      (s, dir) => {
+        val (_, frames) = bpeChain(s, dir)
+        val tok = frames.last.select(col("lang"), explode(col("tk")).as("tok"))
+        val vocab = tok.groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("tok")).limit(24)
+          .select(col("tok"), lit(1).as("in_v"))
+        tok.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+          .join(frames.last.groupBy("lang").agg(count(lit(1)).as("n_docs")),
+            Seq("lang"))
+          .select(col("lang"), col("n_docs"), col("n_tokens"), col("oov_tokens"),
+            expr("CAST(CAST(oov_tokens AS DECIMAL(38,0)) * 1000000 div n_tokens AS BIGINT)")
+              .as("oov_micro"),
+            expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div n_docs AS BIGINT)")
+              .as("tpd_micro"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $duckBpeChain,
+              |tk4 AS (SELECT lang, unnest(string_split(trim(st, chr(31)),
+              |          chr(31) || chr(31))) AS tok FROM r3),
+              |voc AS (SELECT tok FROM (
+              |          SELECT tok, count(*) AS n FROM tk4
+              |          GROUP BY tok ORDER BY n DESC, tok LIMIT 24)),
+              |ag AS (SELECT t.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+              |         CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              |           AS oov_tokens
+              |       FROM tk4 t LEFT JOIN voc v ON t.tok = v.tok
+              |       GROUP BY t.lang),
+              |dc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM r3 GROUP BY lang)
+              |SELECT a.lang, d.n_docs, a.n_tokens, a.oov_tokens,
+              |  CAST(CAST(a.oov_tokens AS HUGEINT) * 1000000 // a.n_tokens AS BIGINT)
+              |    AS oov_micro,
+              |  CAST(CAST(a.n_tokens AS HUGEINT) * 1000000 // d.n_docs AS BIGINT)
+              |    AS tpd_micro
+              |FROM ag a JOIN dc d USING (lang) ORDER BY a.lang""".stripMargin),
+      "per-language OOV rate + fertility under the learned BPE and a frozen top-24 vocab budget: shared x94 staged corpus, one explode, broadcast vocab membership"),
 
     // ── X6zz: decontamination scrub to FIXPOINT (x95) ─────────────────
     // x91's honest single-pass caveat, demonstrated instead of

@@ -14,6 +14,24 @@ class LlmInvariantsSpec extends SparkSpec {
   private def run(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sf0001)
 
+  test("x114: coverage audit conserves against x94's round-3 corpus") {
+    val cov = run("x114_tokenizer_coverage").collect()
+    assert(cov.nonEmpty)
+    cov.foreach { r =>
+      val (nTok, oov, oovMicro) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(oov <= nTok)
+      assert(oovMicro == oov * 1000000L / nTok, "rate must be the floor micro-div")
+      assert(oov > 0 && oov < nTok,
+        s"${r.getString(0)}: 24-token budget must be non-degenerate on the test corpus")
+    }
+    // cross-query identity: the audit's token total IS x94's post-merge
+    // corpus size (same staged frame, by construction via bpeChain)
+    val after3 = run("x94_bpe_iterative").collect()
+      .find(_.getLong(0) == 3L).get.getLong(4)
+    assert(cov.map(_.getLong(2)).sum == after3,
+      "per-lang token totals must refold to x94's round-3 tokens_after")
+  }
+
   test("x68: quantizer distortion partitions the corpus; frontier below mean") {
     val rows = run("x68_quantizer_distortion").collect()
     assert(rows.map(_.getLong(1)).sum == 500L,
