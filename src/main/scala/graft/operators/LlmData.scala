@@ -3965,6 +3965,61 @@ object LlmData {
       },
       "cross-doc duplicate-span scrub, keep-first: 10-gram windows removed from every doc but their first occurrence — x49's score turned into the transform"),
 
+    // ── X6ac2: intra-document repeated-span scrub (x115) ──────────────
+    // The scrub family's fourth member, closing its coverage matrix:
+    // x91 removes BENCHMARK spans, x92 removes CROSS-DOC duplicate
+    // spans (keep-first by doc), x95 iterates to fixpoint — and x115
+    // removes WITHIN-DOC repeats (keep-first by position), the
+    // boilerplate/loop artifact x43 scores but nothing yet transformed
+    // (x92 leaves intra-doc repeats untouched BY DESIGN — its keeper
+    // doc keeps all its own copies). A 3-gram that recurs inside one
+    // document keeps its first occurrence; every later occurrence's
+    // window is scrubbed through the family's ONE window-coverage and
+    // keep-semantics core (scrubWindows), so all four scrubbers agree
+    // on reconstruction. Scale shape: the first-occurrence window is
+    // partitioned by (doc_id, g) — DOC-LOCAL, so unlike x92's global
+    // gram key there is no hot-gram skew at all; the shuffle payload
+    // is (doc, gram, off) triples and partitions are bounded by
+    // document length.
+    "x115_intradoc_scrub" -> Q(
+      (s, dir) => {
+        val docs = tokenizedDocs(s, dir, minTokens = 3)
+        val wf = Window.partitionBy("doc_id", "g")
+        val badStarts = positionalGrams(docs, 3)
+          .withColumn("fo", min("off").over(wf))
+          .filter(col("off") > col("fo"))
+          .select("doc_id", "off")
+        scrubWindows(docs, badStarts, 3)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |pp AS (SELECT unnest(range(1,
+             |         (SELECT max(len(w)) + 1 FROM toks))) AS i),
+             |grams AS (SELECT doc_id, pp.i AS start,
+             |            w[pp.i] || ' ' || w[pp.i+1] || ' ' || w[pp.i+2] AS g
+             |          FROM toks CROSS JOIN pp
+             |          WHERE len(w) >= 3 AND pp.i <= len(w) - 2),
+             |f AS (SELECT doc_id, g, min(start) AS fs FROM grams GROUP BY doc_id, g),
+             |hits AS (SELECT DISTINCT gr.doc_id, gr.start + d.d AS pos
+             |         FROM grams gr
+             |         JOIN f ON gr.doc_id = f.doc_id AND gr.g = f.g
+             |           AND gr.start > f.fs
+             |         CROSS JOIN (SELECT unnest(range(0, 3)) AS d) d),
+             |tokpos AS (SELECT doc_id, pp.i AS pos, w[pp.i] AS tok
+             |           FROM toks CROSS JOIN pp
+             |           WHERE len(w) >= 3 AND pp.i <= len(w)),
+             |flag AS (SELECT t.doc_id, t.pos, t.tok,
+             |           h.pos IS NOT NULL AS hit
+             |         FROM tokpos t LEFT JOIN hits h
+             |           ON t.doc_id = h.doc_id AND t.pos = h.pos)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             |  coalesce(string_agg(CASE WHEN NOT hit THEN tok END, ' '
+             |    ORDER BY pos), '') AS clean_text
+             |FROM flag
+             |WHERE doc_id IN (SELECT doc_id FROM hits)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "intra-document repeated-span scrub, keep-first-by-position: doc-local 3-gram window (no global gram key, no hot-gram skew), shared scrub-family reconstruction core"),
+
     // ── X6ab: mixture-composition drift (x93) ─────────────────────────
     // The mixture family's monitoring leg: x53 plans the budget, x78
     // orders the stream, x82 derives weights — x93 watches the

@@ -32,6 +32,35 @@ class LlmInvariantsSpec extends SparkSpec {
       "per-lang token totals must refold to x94's round-3 tokens_after")
   }
 
+  test("x115: intra-doc scrub replays exactly — keep-first windows, changed docs only") {
+    val rows = run("x115_intradoc_scrub").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows.nonEmpty, "test corpus must contain intra-doc repeated 3-grams")
+    // exact rule replay per document: first occurrence of each 3-gram
+    // survives, every later occurrence's 3-token window is covered
+    val expected = spark.read.parquet(s"$sf0001/documents.parquet")
+      .collect().map { d =>
+        val tk = d.getAs[String]("text").split(" ")
+        val first = scala.collection.mutable.Map.empty[String, Int]
+        val covered = scala.collection.mutable.Set.empty[Int]
+        for (i <- 0 to tk.length - 3) {
+          val g = tk.slice(i, i + 3).mkString(" ")
+          if (first.contains(g)) covered ++= (i until i + 3)
+          else first(g) = i
+        }
+        (d.getAs[Long]("doc_id"), tk, covered)
+      }
+    val expectedChanged = expected.filter(_._3.nonEmpty)
+    assert(rows.keySet == expectedChanged.map(_._1).toSet,
+      "emitted docs must be exactly those with an intra-doc repeat")
+    expectedChanged.foreach { case (id, tk, covered) =>
+      val (n, rm, clean) = rows(id)
+      assert(n == tk.length && rm == covered.size, s"doc $id counts diverge")
+      val keptReplay = tk.indices.filterNot(covered).map(tk).mkString(" ")
+      assert(clean == keptReplay, s"doc $id reconstruction diverges")
+    }
+  }
+
   test("x68: quantizer distortion partitions the corpus; frontier below mean") {
     val rows = run("x68_quantizer_distortion").collect()
     assert(rows.map(_.getLong(1)).sum == 500L,
