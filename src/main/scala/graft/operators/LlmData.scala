@@ -4910,11 +4910,9 @@ object LlmData {
     // HUGEINT (Σ sa·sb at corpus scale exceeds int64).
     "x109_centroid_drift" -> Q(
       (s, dir) => {
-        val sums = t(s, dir, "embeddings")
-          .select(col("label"), posexplode(col("embedding")))
-          .groupBy(col("label"), col("pos").as("dim"))
-          .agg(sum(round(col("col").cast("double") * 1000000, 0)
-            .cast("long")).as("sm"))
+        val sums = embMicro(t(s, dir, "embeddings"))
+          .groupBy(col("label"), col("dim"))
+          .agg(sum(col("vm")).as("sm"))
         val a = sums.select(col("label").as("la"), col("dim"), col("sm").as("sa"))
         val b = sums.select(col("label").as("lb"), col("dim"), col("sm").as("sb"))
         a.join(b, "dim").filter(col("la") < col("lb"))
@@ -4941,8 +4939,80 @@ object LlmData {
               |      GROUP BY a.label, b.label)
               |SELECT la, lb, ${duckRound("dot / (sqrt(na) * sqrt(nb))", 6)} AS cos
               |FROM p ORDER BY la, lb""".stripMargin),
-      "embedding-space class audit: integer micro-unit centroid sums (1/n cancels in cosine), dimension-sized pairwise matrix, one scan")
+      "embedding-space class audit: integer micro-unit centroid sums (1/n cancels in cosine), dimension-sized pairwise matrix, one scan"),
+
+    // ── X6ap: nearest-centroid assignment confusion (x116) ────────────
+    // The purity leg of the embedding-space audit family: x109 asks
+    // "how far apart are the label centroids"; x116 asks "do the
+    // vectors actually BELONG to their label's centroid" — every
+    // embedding is assigned to its nearest label centroid by cosine
+    // and the label×assigned confusion matrix is the output (the
+    // class-separation diagnostic a curation pipeline gates embedding
+    // models on). Exactness: components and centroid sums ride the
+    // shared integer micro-unit staging (embMicro), so every dot
+    // product is an EXACT integer; the only floats are the final
+    // cosine expressions over those integers — identical IEEE ops both
+    // engines — and the argmax compares the 6-decimal pround with a
+    // label tie-break (the x24 ordering discipline). Shape: one scan,
+    // map-side explode, labels×64 centroid table broadcast, one
+    // (vec, label)-keyed aggregate over a ×|labels| fan-out (constant
+    // 640 per vector), 10-row argmax windows, ≤|labels|² output.
+    "x116_centroid_confusion" -> Q(
+      (s, dir) => {
+        val ex = embMicro(t(s, dir, "embeddings"))
+        val sums = ex.groupBy(col("label").as("clabel"), col("dim"))
+          .agg(sum(col("vm")).as("sm"))
+        val nc = sums.groupBy("clabel")
+          .agg(expr("CAST(sum(CAST(sm AS DECIMAL(38,0)) * sm) AS DOUBLE)").as("nc"))
+        val dots = ex.join(broadcast(sums), "dim")
+          .groupBy("vec_id", "label", "clabel")
+          .agg(expr("CAST(sum(CAST(vm AS DECIMAL(38,0)) * sm) AS DOUBLE)").as("dot"),
+            expr("CAST(sum(CAST(vm AS DECIMAL(38,0)) * vm) AS DOUBLE)").as("nv"))
+        val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("clabel"))
+        dots.join(broadcast(nc), "clabel")
+          .withColumn("cos",
+            pround(col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("label"), col("clabel").as("assigned"))
+          .agg(count(lit(1)).as("n_vecs"))
+          .orderBy("label", "assigned")
+      },
+      Some(s"""WITH ex AS (SELECT vec_id, label, i AS dim,
+              |         CAST(round(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+              |           * 1000000, 0) AS BIGINT) AS vm
+              |       FROM embeddings, range(64) t(i)),
+              |s AS (SELECT label AS clabel, dim, CAST(sum(vm) AS BIGINT) AS sm
+              |      FROM ex GROUP BY 1, 2),
+              |nc AS (SELECT clabel, CAST(sum(CAST(sm AS HUGEINT) * sm) AS DOUBLE) AS nc
+              |       FROM s GROUP BY 1),
+              |d AS (SELECT e.vec_id, e.label, s.clabel,
+              |        CAST(sum(CAST(e.vm AS HUGEINT) * s.sm) AS DOUBLE) AS dot,
+              |        CAST(sum(CAST(e.vm AS HUGEINT) * e.vm) AS DOUBLE) AS nv
+              |      FROM ex e JOIN s USING (dim) GROUP BY 1, 2, 3),
+              |c AS (SELECT vec_id, label, clabel,
+              |        ${duckRound("dot / (sqrt(nv) * sqrt(nc))", 6)} AS cos
+              |      FROM d JOIN nc USING (clabel)),
+              |a AS (SELECT vec_id, label, clabel FROM (
+              |        SELECT *, row_number() OVER (
+              |          PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn FROM c)
+              |      WHERE rn = 1)
+              |SELECT label, clabel AS assigned, CAST(count(*) AS BIGINT) AS n_vecs
+              |FROM a GROUP BY 1, 2 ORDER BY label, assigned""".stripMargin),
+      "nearest-centroid confusion matrix: shared integer micro-unit staging, broadcast centroid table, exact-integer dots, 6-decimal argmax with label tie-break")
   )
+
+  /** Exploded integer micro-unit embedding components (vec_id, label,
+    * dim, vm = round(v·1e6)) — the ONE exactness staging for the
+    * embedding-space audit family (x109 centroid matrix, x116
+    * nearest-centroid confusion): all downstream sums and dot products
+    * are exact integers, so the audits hash-match without tolerance
+    * bands (the sumCents idiom lifted to vectors). */
+  private def embMicro(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("vm", round(col("v").cast("double") * 1000000, 0).cast("long"))
+      .drop("v")
 
   /** The x101 probe core — verdicts for `docs` (doc_id, text, …) with
     * signature staging `hashed` (doc_id, sh, hs) against a persisted

@@ -61,6 +61,17 @@ class LlmInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("x116: confusion matrix partitions the corpus and beats chance purity") {
+    val rows = run("x116_centroid_confusion").collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == 500L, "every embedding must be assigned exactly once")
+    val labels = rows.map(_.getInt(0)).distinct.length
+    val diag = rows.filter(r => r.getInt(0) == r.getInt(1)).map(_.getLong(2)).sum
+    assert(diag * labels > total,
+      s"nearest-centroid purity $diag/$total must beat the 1/$labels chance floor")
+    rows.foreach(r => assert(r.getLong(2) >= 1))
+  }
+
   test("x68: quantizer distortion partitions the corpus; frontier below mean") {
     val rows = run("x68_quantizer_distortion").collect()
     assert(rows.map(_.getLong(1)).sum == 500L,
