@@ -2105,6 +2105,54 @@ object LlmData {
               |ORDER BY doc_id""".stripMargin),
       "doc ⋈ embedding struct bundling; scalar features projected for the oracle"),
 
+    // ── X5b: media payload two-tier dedup manifest (x117) ─────────────
+    // The multimodal family's dedup leg: binary assets dedup by
+    // content hash in two tiers — a cheap HEADER fingerprint (md5 of
+    // the first 64 chars of payload) prescreens candidates, the full
+    // payload hash confirms — the same band-then-confirm shape as
+    // x101's index probe, applied to opaque media bytes (real
+    // pipelines prescreen on headers/thumbnails before full-byte
+    // compare; content-addressable stores dedup on the confirm tier).
+    // The synthetic media table is Multimodal.synthesize's
+    // deterministic derivation (payload = utf-8 of text, modality =
+    // doc_id mod 3) so the oracle replays it exactly; the corpus's
+    // planted near-dup prefixes make the prescreen tier non-degenerate
+    // while the confirm tier honestly reports zero full-payload dups.
+    // Map-side hashing, one modality-keyed aggregate.
+    "x117_media_header_dedup" -> Q(
+      (s, dir) => {
+        val media = Multimodal.synthesize(t(s, dir, "documents"))
+        media.select(col("media_type"),
+            md5(substring(col("content").cast("string"), 1, 64)).as("hfp"),
+            md5(col("content")).as("pfp"),
+            length(col("content")).cast("long").as("nb"))
+          .groupBy("media_type")
+          .agg(count(lit(1)).as("n_assets"),
+            countDistinct("hfp").as("n_headers"),
+            countDistinct("pfp").as("n_payloads"),
+            sum("nb").as("total_bytes"),
+            max("nb").as("max_bytes"))
+          .select(col("media_type"), col("n_assets"),
+            (col("n_assets") - col("n_headers")).as("header_dup_assets"),
+            (col("n_assets") - col("n_payloads")).as("payload_dup_assets"),
+            col("total_bytes"), col("max_bytes"))
+          .orderBy("media_type")
+      },
+      Some("""WITH m AS (SELECT
+             |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+             |      WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             |    md5(substr(text, 1, 64)) AS hfp,
+             |    md5(text) AS pfp,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+             |  FROM documents)
+             |SELECT media_type, count(*) AS n_assets,
+             |  count(*) - count(DISTINCT hfp) AS header_dup_assets,
+             |  count(*) - count(DISTINCT pfp) AS payload_dup_assets,
+             |  CAST(sum(nb) AS BIGINT) AS total_bytes,
+             |  CAST(max(nb) AS BIGINT) AS max_bytes
+             |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin),
+      "binary-asset two-tier dedup manifest: header-fingerprint prescreen + full-payload confirm (the x101 band-then-confirm shape on media bytes), map-side hashing, modality-keyed aggregate"),
+
     // ── X6a: stratified mixture sampling (deterministic hash-mod) ─────
     // Data-mixture reweighting: each stratum (lang) gets its own keep
     // rate, membership decided by a content-free hash of the stable

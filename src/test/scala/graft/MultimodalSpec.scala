@@ -41,6 +41,22 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.groupBy("doc_id").count().filter(col("count") =!= 3).isEmpty)
   }
 
+  test("x117: two-tier dedup manifest — prescreen dominates confirm, assets conserve") {
+    val rows = SparkEntry.queries("x117_media_header_dedup")(spark, sf0001).collect()
+    assert(rows.map(_.getAs[String]("media_type")).sorted.toSeq ==
+      Seq("audio", "image", "video"))
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_assets")).sum == corpus)
+    assert(rows.map(_.getAs[Long]("header_dup_assets")).sum > 0,
+      "planted near-dup prefixes must collide at the header tier")
+    rows.foreach { r =>
+      // identical payloads share headers: the prescreen can only
+      // over-flag, never miss a confirm-tier duplicate
+      assert(r.getAs[Long]("header_dup_assets") >= r.getAs[Long]("payload_dup_assets"))
+      assert(r.getAs[Long]("max_bytes") <= r.getAs[Long]("total_bytes"))
+    }
+  }
+
   test("decodePartitioned: typed mapPartitions seam with pluggable decoder") {
     val feats = Multimodal.decodePartitioned(spark, media, Multimodal.stubDecoder)
       .collect().sortBy(_.doc_id)
