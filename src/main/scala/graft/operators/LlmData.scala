@@ -2238,6 +2238,45 @@ object LlmData {
       Some(duckDecontam),
       "decontamination: broadcast benchmark shingle set, corpus flagged map-side"),
 
+    // ── X6c'': contamination attribution by source (x118) ─────────────
+    // The procurement-facing view of x39: WHICH providers ship
+    // contaminated data. Same flag definition (the shared decontam
+    // sides + confirm join — x118 cannot disagree with x39 about what
+    // is contaminated), rolled up per source with the flagged share in
+    // exact micro-units — the audit that decides whether a source gets
+    // a stricter intake gate (the x99 waterfall attributes REMOVALS to
+    // rules; this attributes CONTAMINATION to suppliers). One extra
+    // doc-keyed left join + a domain-sized aggregate over x39's plan.
+    "x118_contam_by_source" -> Q(
+      (s, dir) => {
+        val (bench, corpus) = decontamSides(s, dir)
+        val flagged = decontamReport(broadcast(bench), corpus)
+        t(s, dir, "documents").filter(col("doc_id") % 50 =!= 0)
+          .select("doc_id", "source")
+          .join(flagged, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("n_shared")).as("flagged_docs"),
+            sum(coalesce(col("n_shared"), lit(0L))).as("shared_shingles"))
+          .withColumn("flagged_micro", expr(
+            "CAST(CAST(flagged_docs AS DECIMAL(38,0)) * 1000000 div n_docs AS BIGINT)"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $duckShingles,
+              |bench AS (SELECT DISTINCT unnest(sh) AS s FROM shs WHERE doc_id % 50 = 0),
+              |corpus AS (SELECT doc_id, unnest(sh) AS s FROM shs WHERE doc_id % 50 <> 0),
+              |fl AS (SELECT c.doc_id, count(DISTINCT c.s) AS n_shared
+              |       FROM corpus c JOIN bench b ON c.s = b.s GROUP BY 1),
+              |d AS (SELECT doc_id, source FROM documents WHERE doc_id % 50 <> 0)
+              |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(count(fl.n_shared) AS BIGINT) AS flagged_docs,
+              |  CAST(coalesce(sum(fl.n_shared), 0) AS BIGINT) AS shared_shingles,
+              |  CAST(CAST(count(fl.n_shared) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+              |    AS flagged_micro
+              |FROM d LEFT JOIN fl USING (doc_id)
+              |GROUP BY d.source ORDER BY d.source""".stripMargin),
+      "contamination attribution by supplier: x39's exact flag definition rolled up per source with micro-unit flagged shares — one extra doc-keyed join, domain-sized output"),
+
     // ── X6c': bloom-prefiltered decontamination (x39's 100 TB form) ───
     // x39 broadcasts the benchmark shingle set as a hash relation —
     // right while eval sets stay small. At corpus scale the benchmark

@@ -72,6 +72,19 @@ class LlmInvariantsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) >= 1))
   }
 
+  test("x118: source attribution refolds exactly to x39's flag set") {
+    val att = run("x118_contam_by_source").collect()
+    val x39 = run("x39_decontamination").collect()
+    assert(att.map(_.getLong(2)).sum == x39.length,
+      "per-source flagged docs must sum to x39's flagged-doc count")
+    assert(att.map(_.getLong(3)).sum == x39.map(_.getLong(1)).sum,
+      "per-source shared shingles must sum to x39's total")
+    att.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(4) == r.getLong(2) * 1000000L / r.getLong(1))
+    }
+  }
+
   test("x68: quantizer distortion partitions the corpus; frontier below mean") {
     val rows = run("x68_quantizer_distortion").collect()
     assert(rows.map(_.getLong(1)).sum == 500L,
