@@ -277,6 +277,8 @@ object LlmData {
   }
 
   private lazy val corpusKMemo = new SessionRegistry[TrieMap[String, (String, Int)]]
+  private lazy val bpePicksMemo =
+    new SessionRegistry[TrieMap[String, (String, Vector[(String, String, Long)])]]
 
   private[operators] def trainedCentroids(
       s: SparkSession, dir: String, K: Int = 16): Seq[(Long, IndexedSeq[Float])] =
@@ -1059,6 +1061,7 @@ object LlmData {
     // same discipline (corpusK is training metadata like centroids)
     centsMemo.remove(s)
     corpusKMemo.remove(s)
+    bpePicksMemo.remove(s)
     bloomMemo.remove(s)
     // Curation's PQ codebook + index-table memos share this lifecycle
     // (one release hook for the whole operator surface)
@@ -1161,10 +1164,19 @@ object LlmData {
     * bloom prefilter is a pure pass-through (no false negatives by
     * construction, and the exact confirm join removes false
     * positives), so both queries have the same exact answer. */
+  /** The ONE benchmark/corpus split CTE pair (every-50th-doc eval-set
+      stand-in) — shared by the whole decontamination family's oracles
+      (x39/x79 via duckDecontam, x91, x95, x118) so the flag-definition
+      SQL cannot desynchronize across the five twins. */
+  private[operators] val duckBenchSet =
+    "bench AS (SELECT DISTINCT unnest(sh) AS s FROM shs WHERE doc_id % 50 = 0)"
+  private[operators] val duckDecontamSides =
+    s"""$duckBenchSet,
+       |corpus AS (SELECT doc_id, unnest(sh) AS s FROM shs WHERE doc_id % 50 <> 0)""".stripMargin
+
   private val duckDecontam =
     s"""WITH $duckShingles,
-       |bench AS (SELECT DISTINCT unnest(sh) AS s FROM shs WHERE doc_id % 50 = 0),
-       |corpus AS (SELECT doc_id, unnest(sh) AS s FROM shs WHERE doc_id % 50 <> 0)
+       |$duckDecontamSides
        |SELECT c.doc_id, count(DISTINCT c.s) AS n_shared
        |FROM corpus c JOIN bench b ON c.s = b.s
        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
@@ -1580,23 +1592,8 @@ object LlmData {
             .as("st")))
         .persist()
     }
-    var st = base
-    var picks = Vector.empty[(String, String, Long)]
-    var frames = Vector.empty[DataFrame]
-    (1 to 3).foreach { r =>
-      val pick = st
-        .filter(size(col("tk")) >= 2)
-        .select(explode(transform(
-          sequence(lit(1), size(col("tk")) - 1),
-          i => struct(element_at(col("tk"), i).as("a"),
-            element_at(col("tk"), i + 1).as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(desc("n"), asc("a"), asc("b"))
-        .limit(1).head()
-      val (a, b, n) = (pick.getString(0), pick.getString(1), pick.getLong(2))
-      val prev = st
-      st = memoized(s, s"x94-st$r", dir) {
+    def mergeRound(prev: DataFrame, r: Int, a: String, b: String): DataFrame =
+      memoized(s, s"x94-st$r", dir) {
         // column-form replace, not an expr() splice: the merge pair
         // comes from the corpus, and a token containing a quote or
         // backslash must ride as DATA, never through the SQL parser
@@ -1605,9 +1602,38 @@ object LlmData {
             lit(SEP + a + " " + b + SEP)).as("st")))
           .persist()
       }
-      picks :+= ((a, b, n))
-      frames :+= st
+    // the picks are stamped DRIVER VALUES (the corpusK discipline):
+    // recomputing the three argmaxes costs a full-corpus pair
+    // aggregation each, and every x94/x114 construction was replaying
+    // them even on frame-memo hits — now only the first derivation per
+    // corpus generation pays them, and the frame rebuild below is
+    // all memo hits (or cheap map-side replace chains after a clear)
+    val picks = stampedValue(bpePicksMemo, s, dir, dir) {
+      var st = base
+      var ps = Vector.empty[(String, String, Long)]
+      (1 to 3).foreach { r =>
+        val pick = st
+          .filter(size(col("tk")) >= 2)
+          .select(explode(transform(
+            sequence(lit(1), size(col("tk")) - 1),
+            i => struct(element_at(col("tk"), i).as("a"),
+              element_at(col("tk"), i + 1).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("a"), asc("b"))
+          .limit(1).head()
+        val (a, b, n) = (pick.getString(0), pick.getString(1), pick.getLong(2))
+        st = mergeRound(st, r, a, b)
+        ps :+= ((a, b, n))
+      }
+      ps
     }
+    var st = base
+    val frames = (1 to 3).map { r =>
+      val (a, b, _) = picks(r - 1)
+      st = mergeRound(st, r, a, b)
+      st
+    }.toVector
     (picks, frames)
   }
 
@@ -2263,8 +2289,7 @@ object LlmData {
           .orderBy("source")
       },
       Some(s"""WITH $duckShingles,
-              |bench AS (SELECT DISTINCT unnest(sh) AS s FROM shs WHERE doc_id % 50 = 0),
-              |corpus AS (SELECT doc_id, unnest(sh) AS s FROM shs WHERE doc_id % 50 <> 0),
+              |$duckDecontamSides,
               |fl AS (SELECT c.doc_id, count(DISTINCT c.s) AS n_shared
               |       FROM corpus c JOIN bench b ON c.s = b.s GROUP BY 1),
               |d AS (SELECT doc_id, source FROM documents WHERE doc_id % 50 <> 0)
@@ -3967,7 +3992,7 @@ object LlmData {
         scrubWindows(docs, badStarts, 3)
       },
       Some(s"""WITH $duckShingles,
-              |bench AS (SELECT DISTINCT unnest(sh) AS s FROM shs WHERE doc_id % 50 = 0),
+              |$duckBenchSet,
               |pp AS (SELECT unnest(range(1,
               |         (SELECT max(len(w)) + 1 FROM toks))) AS i),
               |grams AS (SELECT doc_id, pp.i AS start,
@@ -4303,7 +4328,7 @@ object LlmData {
              |          USING (doc_id)),
              |t$r AS (SELECT CAST(sum(len(w)) AS BIGINT) AS tokens_left FROM c$r)""".stripMargin
         s"""WITH $duckShingles,
-           |bench AS (SELECT DISTINCT unnest(sh) AS s FROM shs WHERE doc_id % 50 = 0),
+           |$duckBenchSet,
            |c0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
            |       WHERE doc_id % 50 <> 0),
            |${round(1, "c0")},

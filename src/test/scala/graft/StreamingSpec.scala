@@ -680,9 +680,14 @@ class StreamingSpec extends SparkSpec {
     // cannot fit (kept is within one document of cap) and is rejected
     val srcOpen = x111.find { case (_, (_, st, _, _, kt)) =>
       kt == st && cap - st >= 5 }.get._1
-    val srcFull = x111.find { case (_, (_, st, _, _, kt)) => kt < st }.get._1
+    val (srcFull, fullKept) = x111.collectFirst {
+      case (s2, (_, st, _, _, kt)) if kt < st => (s2, kt) }.get
     val dAdmit = (920001L, Seq.fill(5)("tok").mkString(" "), "en", srcOpen, 24L)
-    val dRej = (920002L, Seq.fill(300)("tok").mkString(" "), "en", srcFull, 1200L)
+    // sized off the MEASURED remaining budget, not a fixture-dependent
+    // constant: any doc bigger than cap - kept must be rejected
+    val rejTokens = (cap - fullKept + 10).toInt
+    val dRej = (920002L, Seq.fill(rejTokens)("tok").mkString(" "), "en", srcFull,
+      (rejTokens * 4).toLong)
     val stageB = tmp("dbg-stage-b")
     Seq(dAdmit, dRej).toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(stageB)
