@@ -5066,9 +5066,15 @@ object LlmData {
     // cosine expressions over those integers — identical IEEE ops both
     // engines — and the argmax compares the 6-decimal pround with a
     // label tie-break (the x24 ordering discipline). Shape: one scan,
-    // map-side explode, labels×64 centroid table broadcast, one
-    // (vec, label)-keyed aggregate over a ×|labels| fan-out (constant
-    // 640 per vector), 10-row argmax windows, ≤|labels|² output.
+    // map-side explode, then the centroid table pivots WIDE (64 rows ×
+    // |labels| sum columns, broadcast; the label list is a bounded
+    // driver collect, the x107 bin-count class) so each (vec, dim) row
+    // meets ONE broadcast row and the vec-keyed aggregate carries
+    // |labels| dot COLUMNS — no ×|labels| row fan-out (the first cut
+    // multiplied rows by |labels| before aggregating and read 13 s
+    // warm at sf1; this shape reads ~3 s, same exact-integer answer).
+    // A bounded stack() unpivot feeds the 10-row argmax windows;
+    // ≤|labels|² output.
     "x116_centroid_confusion" -> Q(
       (s, dir) => {
         val ex = embMicro(t(s, dir, "embeddings"))
@@ -5076,12 +5082,22 @@ object LlmData {
           .agg(sum(col("vm")).as("sm"))
         val nc = sums.groupBy("clabel")
           .agg(expr("CAST(sum(CAST(sm AS DECIMAL(38,0)) * sm) AS DOUBLE)").as("nc"))
-        val dots = ex.join(broadcast(sums), "dim")
-          .groupBy("vec_id", "label", "clabel")
-          .agg(expr("CAST(sum(CAST(vm AS DECIMAL(38,0)) * sm) AS DOUBLE)").as("dot"),
-            expr("CAST(sum(CAST(vm AS DECIMAL(38,0)) * vm) AS DOUBLE)").as("nv"))
+        val labels = sums.select("clabel").distinct()
+          .collect().map(_.getInt(0)).sorted
+        val wcols = labels.map(l =>
+          sum(when(col("clabel") === l, col("sm"))).as(s"sm_$l"))
+        val wide = sums.groupBy("dim").agg(wcols.head, wcols.tail: _*)
+        val dcols = labels.map(l => expr(
+          s"CAST(sum(CAST(vm AS DECIMAL(38,0)) * sm_$l) AS DOUBLE)").as(s"dot_$l"))
+        val perVec = ex.join(broadcast(wide), "dim")
+          .groupBy("vec_id", "label")
+          .agg(expr("CAST(sum(CAST(vm AS DECIMAL(38,0)) * vm) AS DOUBLE)").as("nv"),
+            dcols: _*)
+        val stackExpr = s"stack(${labels.length}, " +
+          labels.map(l => s"$l, dot_$l").mkString(", ") + ") AS (clabel, dot)"
         val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("clabel"))
-        dots.join(broadcast(nc), "clabel")
+        perVec.selectExpr("vec_id", "label", "nv", stackExpr)
+          .join(broadcast(nc), "clabel")
           .withColumn("cos",
             pround(col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))), 6))
           .withColumn("rn", row_number().over(w))
