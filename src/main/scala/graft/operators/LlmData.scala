@@ -1665,6 +1665,23 @@ object LlmData {
        |${round(3, "r2")}""".stripMargin
   }
 
+  /** x46's chunk segmentation (50-token chunks, 40-token stride) —
+    * ONE definition for the registered chunker and x119's
+    * duplicated-chunk audit: (doc_id, chunk_id, chunk_tokens,
+    * chunk_fp), entirely map-side. */
+  private def tokenChunks(docs: DataFrame): DataFrame = {
+    val chunk = slice(col("tk"), col("start") + 1, lit(50))
+    docs
+      .withColumn("tk", Text.tokens(col("text")))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest(size(col("tk")) - 1, lit(0)), lit(40))))
+      .select(
+        col("doc_id"),
+        (col("start") / 40).cast("int").as("chunk_id"),
+        size(chunk).as("chunk_tokens"),
+        md5(concat_ws(" ", chunk)).as("chunk_fp"))
+  }
+
   // ── the queries ─────────────────────────────────────────────────────
 
   // lazy: the oracle strings interpolate Curation defs (duckPqChain,
@@ -2578,19 +2595,8 @@ object LlmData {
     // identity is (doc_id, chunk_id); the md5 over the re-joined text
     // gives downstream dedup a chunk-level fingerprint.
     "x46_token_chunks" -> Q(
-      (s, dir) => {
-        val chunk = slice(col("tk"), col("start") + 1, lit(50))
-        t(s, dir, "documents")
-          .withColumn("tk", Text.tokens(col("text")))
-          .withColumn("start",
-            explode(sequence(lit(0), greatest(size(col("tk")) - 1, lit(0)), lit(40))))
-          .select(
-            col("doc_id"),
-            (col("start") / 40).cast("int").as("chunk_id"),
-            size(chunk).as("chunk_tokens"),
-            md5(concat_ws(" ", chunk)).as("chunk_fp"))
-          .orderBy("doc_id", "chunk_id")
-      },
+      (s, dir) => tokenChunks(t(s, dir, "documents"))
+        .orderBy("doc_id", "chunk_id"),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |st AS (SELECT doc_id, w,
              |         unnest(range(0, greatest(len(w), 1), 40)) AS start
@@ -2601,6 +2607,49 @@ object LlmData {
              |  md5(array_to_string(list_slice(w, start + 1, start + 50), ' ')) AS chunk_fp
              |FROM st ORDER BY doc_id, chunk_id""".stripMargin),
       "overlapping token chunking: generated stride starts + array slice, map-side only"),
+
+    // ── X6j': cross-document duplicated-chunk audit (x119) ────────────
+    // Chunk-granular boilerplate detection over x46's segmentation
+    // (ONE chunk definition — tokenChunks — so the audit cannot
+    // disagree with the chunker): a chunk is duplicated when its
+    // fingerprint appears in MORE THAN ONE document (min ≠ max doc
+    // over the fp key — exact for the ≥2-distinct-docs predicate with
+    // no distinct-count shuffle), and each affected document reports
+    // its duplicated-chunk share in micro-units — the retrieval-store
+    // hygiene signal (a RAG index full of boilerplate chunks serves
+    // boilerplate). One fp-keyed window over the chunk table, one
+    // doc-keyed aggregate; affected docs only.
+    "x119_dup_chunk_audit" -> Q(
+      (s, dir) => {
+        val wf = Window.partitionBy("chunk_fp")
+        tokenChunks(t(s, dir, "documents"))
+          .withColumn("dup",
+            min("doc_id").over(wf) =!= max("doc_id").over(wf))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("dup"), 1L).otherwise(0L)).as("dup_chunks"))
+          .filter(col("dup_chunks") > 0)
+          .withColumn("dup_micro", expr(
+            "CAST(CAST(dup_chunks AS DECIMAL(38,0)) * 1000000 div n_chunks AS BIGINT)"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |st AS (SELECT doc_id, w,
+             |         unnest(range(0, greatest(len(w), 1), 40)) AS start
+             |       FROM toks),
+             |ch AS (SELECT doc_id,
+             |         md5(array_to_string(list_slice(w, start + 1, start + 50), ' ')) AS fp
+             |       FROM st),
+             |f AS (SELECT fp, min(doc_id) AS mn, max(doc_id) AS mx FROM ch GROUP BY fp),
+             |j AS (SELECT c.doc_id, (f.mn <> f.mx) AS dup
+             |      FROM ch c JOIN f ON c.fp = f.fp),
+             |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             |        CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
+             |      FROM j GROUP BY doc_id)
+             |SELECT doc_id, n_chunks, dup_chunks,
+             |  CAST(CAST(dup_chunks AS HUGEINT) * 1000000 // n_chunks AS BIGINT) AS dup_micro
+             |FROM g WHERE dup_chunks > 0 ORDER BY doc_id""".stripMargin),
+      "cross-document duplicated-chunk shares over x46's segmentation: min/max-over-fp duplication predicate (no distinct-count shuffle), affected docs only"),
 
     // ── X6k: end-to-end preprocessing capstone — filter → pack ────────
     // The composed pipeline a pretraining run actually executes:

@@ -85,6 +85,24 @@ class LlmInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("x119: duplicated-chunk audit refolds against x46's chunk table") {
+    val audit = run("x119_dup_chunk_audit").collect()
+    assert(audit.nonEmpty, "planted near-dup prefixes must share chunks")
+    val chunks = run("x46_token_chunks").collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    val perDoc = chunks.groupBy(_._1).view.mapValues(_.length).toMap
+    val docsPerFp = chunks.groupBy(_._2).view
+      .mapValues(_.map(_._1).distinct.length).toMap
+    val expected = chunks.groupBy(_._1).map { case (d, cs) =>
+      d -> cs.count(c => docsPerFp(c._2) > 1) }.filter(_._2 > 0)
+    assert(audit.map(r => r.getLong(0) -> r.getLong(2)).toMap == expected,
+      "audit must equal the x46-table replay")
+    audit.foreach { r =>
+      assert(r.getLong(1) == perDoc(r.getLong(0)))
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1))
+    }
+  }
+
   test("x68: quantizer distortion partitions the corpus; frontier below mean") {
     val rows = run("x68_quantizer_distortion").collect()
     assert(rows.map(_.getLong(1)).sum == 500L,
