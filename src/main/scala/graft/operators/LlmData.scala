@@ -657,7 +657,7 @@ object LlmData {
     * micro-batch, cost = batch tokens). Docs containing no query term
     * yield no rows — they score 0 by definition. */
   private[graft] def bm25Tf(docs: DataFrame): DataFrame =
-    docs.filter(col("doc_id") =!= 0)
+    docs
       .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
         explode(col("tk")).as("term"))
@@ -667,7 +667,11 @@ object LlmData {
 
   private[graft] def bm25Staged(s: SparkSession, dir: String): DataFrame =
     memoized(s, "x104-tf", dir) {
-      bm25Tf(t(s, dir, "documents")).persist()
+      // doc_id 0 is the query-anchor row of the CORPUS table; excluding
+      // it is a corpus-staging concern, so the filter lives here, not in
+      // bm25Tf — serve-gate batches score every arriving doc, id 0
+      // included.
+      bm25Tf(t(s, dir, "documents").filter(col("doc_id") =!= 0)).persist()
     }
 
   /** The frozen retrieval model derived from a corpus tf staging: the
@@ -694,7 +698,7 @@ object LlmData {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit"), sum("score_micro").as("bm25_micro"))
 
-  private[operators] def bm25TopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+  private[graft] def bm25TopK(s: SparkSession, dir: String, k: Int): DataFrame = {
     val tf = bm25Staged(s, dir)
     bm25Score(tf, bm25Dfreq(tf), bm25Stats(tf))
       .orderBy(desc("bm25_micro"), asc("doc_id"))
@@ -722,12 +726,18 @@ object LlmData {
     val tfC = bm25Staged(s, corpusDir)
     val dfq = bm25Dfreq(tfC)
     val st = bm25Stats(tfC)
-    // coalesce: a corpus with zero query-term hits yields an empty
-    // slate → min() is NULL; an arriving doc trivially enters that
-    // top-k, so the floor defaults to Long.MinValue, never null-3VL
-    // (a null enters_topk would NPE a Boolean reader downstream).
+    // The admission floor is the k-th corpus score ONLY when the slate
+    // is full: an under-filled slate (fewer than k matching docs —
+    // empty corpus included) admits every arriving doc, because an
+    // index refresh would surface it regardless of score. min() alone
+    // would wrongly raise the floor to the weakest existing doc (and
+    // NULL on an empty slate → null-3VL enters_topk), so the floor
+    // collapses to Long.MinValue whenever count < k.
     val floor = bm25TopK(s, corpusDir, k)
-      .agg(coalesce(min("bm25_micro"), lit(Long.MinValue)).as("floor_micro"))
+      .agg(count(lit(1)).as("n_slate"),
+        min("bm25_micro").as("min_micro"))
+      .select(when(col("n_slate") < k, lit(Long.MinValue))
+        .otherwise(col("min_micro")).as("floor_micro"))
     (batch: DataFrame) =>
       bm25Score(bm25Tf(batch), dfq, st)
         .crossJoin(broadcast(floor))
@@ -905,6 +915,14 @@ object LlmData {
     * regenerations a session spans. */
   private val memo =
     new SessionRegistry[TrieMap[(String, String), (String, DataFrame)]]
+
+  /** Test hook: this session's frame-memo key set. Pins the
+    * bounded-growth contract (one entry per (key, dir); a new
+    * generation REPLACES — and unpersists — the old, never
+    * accumulates). */
+  private[operators] def frameMemoKeys(s: SparkSession): Set[(String, String)] =
+    memo.acquire(s)(TrieMap.empty[(String, String), (String, DataFrame)])
+      .keySet.toSet
 
   /** One combined stamp for the corpus files a memoized frame can
     * derive from. Statting all three over-invalidates a single-table
@@ -4876,7 +4894,7 @@ object LlmData {
     // (absent rank prints 0 and contributes nothing). doc_id/vec_id
     // align by construction of the corpus (FIXTURES.md §A: both
     // tables share one dense 0..N−1 id space; id 0 is the query
-    // anchor in both modalities and is excluded by both retrievers). */
+    // anchor in both modalities and is excluded by both retrievers).
     "x105_rrf_fusion" -> Q(
       (s, dir) => {
         val wl = Window.orderBy(desc("bm25_micro"), asc("doc_id"))

@@ -138,6 +138,12 @@ object Tables {
   private val tsTypeMemo =
     scala.collection.concurrent.TrieMap.empty[String, (String, DataType)]
 
+  /** Test hook: the memo's current key set. Pins the bounded-growth
+    * contract (one entry per PATH, stamps replace in place) — a
+    * refactor back to stamp-keyed entries grows this per regeneration
+    * and fails MemoStalenessSpec. */
+  private[graft] def tsTypeMemoKeys: Set[String] = tsTypeMemo.keySet.toSet
+
   /** The stored logical type of `ts` in the event files under `path`
     * (a file or a directory of files): one driver-side footer read,
     * memoized per (path, stamp) — metadata-cheap even at 100 TB, where

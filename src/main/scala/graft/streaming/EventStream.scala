@@ -444,16 +444,20 @@ object EventStream {
                 .filter(col("batch_id") < lit(id))
                 .groupBy("source").agg(sum("adm_tokens").as("prior")))
             else None
+          // batch_id lives ONLY in the partition directory name — a
+          // physical batch_id column under a batch_id=<id> path would
+          // collide with the partition-inferred column on read (the
+          // inferred one shadows the data one), so the column exists
+          // exactly once and root-readers' batch_id filters prune
+          // partitions.
           val verdicts = graft.operators.Shaping
             .admitBatch(batch, priors, cap)
             .orderBy("doc_id")
-            .withColumn("batch_id", lit(id))
             .persist() // two writes below fold the same admission once
           verdicts.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
           verdicts.filter(col("admitted"))
             .groupBy("source")
             .agg(count(lit(1)).as("adm_docs"), sum("nt").as("adm_tokens"))
-            .withColumn("batch_id", lit(id))
             .write.mode("overwrite").parquet(s"$sumDir/batch_id=$id")
           verdicts.unpersist()
           fs.create(marker, false).close()
@@ -471,10 +475,11 @@ object EventStream {
     * before the skip-marker) rewrites identical rows instead of
     * double-appending, so idempotence holds on plain parquet; the
     * marker only skips recomputation. Stateless in-stream (no state
-    * store, no watermark). batch_id is kept as a PHYSICAL LongType
-    * column (file values take precedence over the partition-inferred
-    * IntegerType on read), so consumers see a stable type whether
-    * they read the root or one batch directory. */
+    * store, no watermark). batch_id exists exactly ONCE, as the
+    * partition-inferred column from the directory name — writing it
+    * as a data column too would be shadowed by the inferred one on
+    * root reads (a silent schema overlap); root-readers' batch_id
+    * filters prune partitions instead. */
   private def perBatchGate(spark: SparkSession, srcDir: String,
       checkpointDir: String, outDir: String, maxFilesPerTrigger: Int)(
       score: DataFrame => DataFrame): StreamingQuery = {
@@ -492,7 +497,6 @@ object EventStream {
         val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
         if (!fs.exists(marker)) {
           score(batch)
-            .withColumn("batch_id", lit(id))
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
           fs.create(marker, false).close()
         }

@@ -1123,6 +1123,40 @@ class LlmInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("bm25 serve: under-filled slate admits every arrival; doc_id 0 batches are scored") {
+    import spark.implicits._
+    import graft.operators.LlmData
+    // ADVICE r10: with k beyond the matching population the slate is
+    // under-filled — an index refresh would surface ANY arriving match,
+    // so the admission floor must collapse to Long.MinValue, not sit at
+    // the weakest existing doc's score.
+    val staged = LlmData.bm25Staged(spark, sf0001)
+    val nMatch = staged.select("doc_id").distinct().count().toInt
+    val serve = LlmData.bm25FrozenServe(spark, sf0001, k = nMatch + 5)
+    // one query-term hit diluted across ~200 filler tokens → scores far
+    // below the corpus minimum (guarded below), the exact doc the old
+    // min()-floor wrongly rejected
+    val filler = Seq.fill(200)("pebble").mkString(" ")
+    val weak = Seq((930001L, s"spark $filler", "en", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w = serve(weak).collect()
+    assert(w.length == 1)
+    val corpusMin = LlmData.bm25TopK(spark, sf0001, nMatch + 5)
+      .collect().map(_.getLong(2)).min
+    assert(w.head.getAs[Long]("bm25_micro") < corpusMin,
+      "guard: the planted doc must score below the weakest corpus doc for this pin to bite")
+    assert(w.head.getAs[Boolean]("enters_topk"),
+      "an under-filled slate admits every arriving match — floor must be MinValue, not min(score)")
+    // ADVICE r10: the corpus query-anchor exclusion (doc_id 0) is a
+    // corpus-staging concern; a serve batch carrying doc_id 0 must be
+    // scored, not silently dropped.
+    val anchor = Seq((0L, "spark join window", "en", "s", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = LlmData.bm25ServeScore(spark, anchor, sf0001).collect()
+    assert(a.map(_.getLong(0)).toSeq == Seq(0L),
+      "a batch doc with id 0 must be scored by the serve gate")
+  }
+
   test("x105: RRF scores recompute from the printed ranks; lexical ranks agree with x104") {
     val fused = run("x105_rrf_fusion").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))

@@ -128,4 +128,73 @@ class MemoStalenessSpec extends graft.SparkSpec {
     assert(messages(e).contains("generation mismatch"),
       s"expected the explicit generation-mismatch error, got: ${messages(e)}")
   }
+
+  test("stamped memo maps hold constant size across an in-session regeneration loop") {
+    // ADVICE r10 / VERDICT r10 #6: the memos are keyed by PATH with the
+    // stamp inside the value, so N regenerations leave exactly the
+    // entries the first touch created — and each replacement UNPERSISTS
+    // the retired frame. A refactor back to stamp-keyed entries (or a
+    // dropped unpersist) fails here.
+    val dir = tmp("bounded-memo")
+    Seq("documents", "embeddings", "lineitem").foreach { t =>
+      Files.copy(Paths.get(s"$sf0001/$t.parquet"),
+        Paths.get(dir, s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val evDir = tmp("bounded-memo-events")
+
+    def regen(i: Int): Unit = {
+      val stage = tmp(s"bounded-memo-stage$i")
+      graft.sources.Tables.load(spark, sf0001, "documents")
+        .filter(col("doc_id") % 7 =!= lit(i % 7))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+        .filter(f => f.endsWith(".parquet") && !f.contains("_SUCCESS")).head
+      Files.copy(Paths.get(part), Paths.get(dir, "documents.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      spark.catalog.refreshByPath(dir)
+      // regenerate the events table with a different row count too, so
+      // the ts-type memo sees a moving stamp on a constant path
+      spark.range(10L + i).selectExpr("timestamp_micros(id * 1000000) AS ts")
+        .coalesce(1).write.mode("overwrite").parquet(evDir)
+      spark.catalog.refreshByPath(evDir)
+    }
+
+    // the build's plan is made generation-DISTINCT (production builds
+    // re-read a stable path, so old and new generations share one
+    // canonical-plan cache key and the replace-then-repersist nets to
+    // the same entry; a distinct plan lets the unpersist show up in
+    // storageLevel)
+    var gen = 0
+    def touchFrame(): org.apache.spark.sql.DataFrame =
+      LlmData.memoized(spark, "spec-bounded", dir) {
+        spark.range(100L + gen).toDF("v").persist()
+      }
+
+    regen(0)
+    val first = touchFrame()
+    graft.sources.Tables.eventsTsType(spark, evDir)
+    val frameKeys0 = LlmData.frameMemoKeys(spark)
+    val tsKeys0 = graft.sources.Tables.tsTypeMemoKeys
+
+    (1 to 3).foreach { i =>
+      regen(i)
+      gen = i
+      touchFrame()
+      graft.sources.Tables.eventsTsType(spark, evDir)
+    }
+
+    // only OUR keys are compared: the session (and its memos) is
+    // JVM-shared with concurrently running suites
+    def ours[A](ks: Set[A])(f: A => Boolean): Int = ks.count(f)
+    assert(ours(LlmData.frameMemoKeys(spark))(_._2 == dir) == 1
+      && ours(frameKeys0)(_._2 == dir) == 1,
+      "frame memo must hold exactly one entry per (key, dir) across regenerations")
+    assert(ours(graft.sources.Tables.tsTypeMemoKeys)(_ == evDir) == 1
+      && ours(tsKeys0)(_ == evDir) == 1,
+      "ts-type memo must hold exactly one entry per path across regenerations")
+
+    // the retired generation's persisted frame is gone from the cache
+    assert(first.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "replacing a stale generation must unpersist the retired frame, not strand it in storage")
+  }
 }
