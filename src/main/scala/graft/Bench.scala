@@ -92,6 +92,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Several registered queries run bounded post-aggregate windows
+    // (dimension-sized inputs under a GlobalLimit/aggregate — the shape
+    // the r9 global partition-window sweep in PlanAuditSpec explicitly
+    // permits). WindowExec logs a scary "No Partition Defined" WARN per
+    // such plan; silence exactly that logger so the driver artifact
+    // stops carrying a warning the plan audit already proves benign.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case NonFatal(_) => () } // logging backend is not the contract
     // Session warmup: absorb the one-time init (executor threads,
     // parquet footer reads, OS page cache, codegen bootstrap, noop-sink
     // lookup) for EVERY table — otherwise each table's cold first read
@@ -214,6 +224,18 @@ object Bench {
         try src.mkString.split(" ")(0).toDouble finally src.close()
       } catch { case NonFatal(_) => -1.0 }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // Storage snapshot (memory-cached MB, disk-spilled MB, and RDDs
+    // with DROPPED partitions) taken right after each warm run: a warm
+    // number that reads like a recompute (warm ≈ cold on a memoized
+    // query — the r10 x85 14.6 s mystery) is adjudicable FROM THE
+    // ARTIFACT: evicted > 0 says storage pressure dropped the memoized
+    // staging and the warm run re-derived it (a persist-policy problem);
+    // evicted = 0 with normal cache_mb says the box, not the cache.
+    def storageSnap(): (Long, Long, Int) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.map(_.memSize).sum >> 20, infos.map(_.diskSize).sum >> 20,
+        infos.count(i => i.numCachedPartitions < i.numPartitions))
+    }
     // load1 BEFORE and AFTER each query (r9 verdict #7): a cold
     // outlier whose bracket reads high-before/high-after was measured
     // on a contended box and the artifact self-adjudicates — no
@@ -224,13 +246,14 @@ object Bench {
       val cold = timed(fn)
       val warm = timed(fn)
       val la = load1()
+      val snap = storageSnap()
       // drop per-query persisted signature tables so one query's cache
       // can't pressure the next query's measurement (after BOTH runs —
       // the warm run should reuse the memo like a steady-state session)
       operators.LlmData.clearMemo(spark)
-      name -> (cold, warm, lc, la)
+      name -> (cold, warm, lc, la, snap)
     }
-    // Third sample: re-time the worst cold outliers once more at suite
+    // Third sample: re-time the worst COLD outliers once more at suite
     // end (memo cleared, so the run is cold-shaped minus one-time JIT /
     // page-cache effects). A single contended scheduler slot can no
     // longer hold the canonical artifact hostage: if retry ≈ warm, the
@@ -242,15 +265,40 @@ object Bench {
         operators.LlmData.clearMemo(spark)
         name -> (r, rl)
       }.toMap
-    val results = detailed.map { case (n, (c, w, _, _)) => n -> (c._1, w._1) }
+    // Fourth sample, WARM-shaped (r10 verdict #1: the retry instrument
+    // covered cold outliers only, so a warm outlier — x85's 14.6 s, the
+    // four warm-over-cold inversions — could not be arbitrated from the
+    // artifact). Re-run the worst warm values plus every inversion: one
+    // priming pass rebuilds the memo, the second pass is the warm
+    // retry; a storage snapshot after it records whether the memo
+    // survived in cache. retry ≈ original warm → cost is real;
+    // retry ≈ clean-session warm → the original sample was box load or
+    // suite-order cache pressure (the snapshot separates those two).
+    val warmOutliers = {
+      val ok = detailed.toSeq.filter { case (_, (c, w, _, _, _)) => c._1 >= 0 && w._1 >= 0 }
+      val topWarm = ok.sortBy(-_._2._2._1).take(5).map(_._1)
+      val inversions = ok.filter { case (_, (c, w, _, _, _)) => w._1 > c._1 + 0.3 }.map(_._1)
+      (topWarm ++ inversions).distinct.take(8)
+    }
+    val warmRetried = warmOutliers.map { name =>
+      val rl = load1()
+      timed(SparkEntry.queries(name)) // priming pass: rebuild memo/caches
+      val r = timed(SparkEntry.queries(name))
+      val snap = storageSnap()
+      operators.LlmData.clearMemo(spark)
+      name -> (r, rl, snap)
+    }.toMap
+    val results = detailed.map { case (n, (c, w, _, _, _)) => n -> (c._1, w._1) }
     // Full-precision cold/warm per query goes to a file — the stdout
     // tail budget (see SIZE CONTRACT above) cannot carry two maps.
     val detailPath = "BENCH_DETAIL.json"
     val detail = detailed
-      .map { case (k, ((c, gc), (w, gw), lc, la)) =>
+      .map { case (k, ((c, gc), (w, gw), lc, la, (sm, sd, sev))) =>
         val extra = retried.get(k).fold("") { case ((r, rgc), rl) =>
           s""", "retry": $r, "retry_gc_ms": $rgc, "retry_load1": $rl""" }
-        s"""  "$k": {"cold": $c, "warm": $w, "gc_cold_ms": $gc, "gc_warm_ms": $gw, "load1": $lc, "load1_after": $la$extra}""" }
+        val wextra = warmRetried.get(k).fold("") { case ((r, rgc), rl, (wm, wd, wev)) =>
+          s""", "warm_retry": $r, "warm_retry_gc_ms": $rgc, "warm_retry_load1": $rl, "warm_retry_cache_mb": $wm, "warm_retry_evicted": $wev""" }
+        s"""  "$k": {"cold": $c, "warm": $w, "gc_cold_ms": $gc, "gc_warm_ms": $gw, "load1": $lc, "load1_after": $la, "cache_mb": $sm, "cache_disk_mb": $sd, "evicted_rdds": $sev$extra$wextra}""" }
       .mkString("{\n", ",\n", "\n}\n")
     try
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
