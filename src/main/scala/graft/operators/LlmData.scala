@@ -1115,14 +1115,40 @@ object LlmData {
     * enforced: PlanAuditSpec asserts the spread exists on the
     * single-file layout AND that no payload repartition appears over a
     * multi-file copy. */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val spread =
-      if (base.inputFiles.length <= 1) base.repartition(col("doc_id")) else base
-    withShingles(spread)
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    tokStaged(s, dir)
+      .withColumn("sh", Text.shinglesNative(col("tk")))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
-  }
+
+  /** Memoized persisted token-array corpus staging — the ONE
+    * scan+tokenize for everything downstream of a token array: the
+    * scrub family (x91/x92/x95/x115 via [[tokenizedDocs]]) and the
+    * shingle family ([[shingled]] → decontam x39/x79/x118/x91/x95,
+    * minhash x22/x58, source audits x85/x86/x89). r10 measured the
+    * map-side tokenize+gram floor at ~4-7× warm slope per 10× data
+    * for each family member SEPARATELY; x94's picks memo proved the
+    * fix is persisting the token arrays once (13.3 → 1.1 s combined).
+    * Downstream derivations (shingles, positional grams) stay map-side
+    * HOFs over the cached arrays. At cluster scale this is the staged
+    * corpus table a real pipeline writes once per ingest generation
+    * (the x74/x101 bucketed-catalog lifecycle); in-session the persist
+    * plays that role and clearMemo is the generation release.
+    *
+    * The single-file spread lives HERE (layout-conditional, same rule
+    * as before: only a one-split corpus repartitions, and only the
+    * 4-column projection) so the cached partitioning carries the
+    * parallelism to every consumer. */
+  private[operators] def tokStaged(s: SparkSession, dir: String): DataFrame =
+    memoized(s, "tok-corpus", dir) {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val spread =
+        if (base.inputFiles.length <= 1) base.repartition(col("doc_id")) else base
+      spread.select(col("doc_id"), col("lang"), col("source"),
+          Text.tokens(col("text")).as("tk"))
+        .persist()
+    }
 
   /** (benchmark shingle set, corpus doc→shingle pairs) for the
     * decontamination family — ONE definition shared by x39 (exact
@@ -4346,10 +4372,13 @@ object LlmData {
     "x95_scrub_fixpoint" -> Q(
       (s, dir) => {
         val (bench, _) = decontamSides(s, dir)
+        // round 0 rides the family's ONE token staging (tokStaged); the
+        // %50 corpus cut is a filter over the cached arrays, and later
+        // rounds persist their own rewritten generation
         var corpus = memoized(s, "x95-c0", dir) {
-          t(s, dir, "documents")
+          tokStaged(s, dir)
             .filter(col("doc_id") % 50 =!= 0)
-            .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+            .select(col("doc_id"), col("tk"))
             .persist()
         }
         val rows = (1 to 3).map { r =>
@@ -5443,10 +5472,10 @@ object LlmData {
   }
 
   /** docs with `tk`, at least `minTokens` tokens — the scrub family's
-    * shared corpus staging. */
+    * view over the ONE memoized token staging ([[tokStaged]]); the
+    * length predicate is a cheap filter over the cached arrays. */
   private def tokenizedDocs(s: SparkSession, dir: String, minTokens: Int): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("tk", Text.tokens(col("text")))
+    tokStaged(s, dir)
       .filter(size(col("tk")) >= minTokens)
 
   /** Positional `w`-grams (doc_id, off, g), off 0-based from
