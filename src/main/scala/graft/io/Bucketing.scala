@@ -55,6 +55,113 @@ object Bucketing {
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
 
+  /** Partition column of the transactional ingest layout. */
+  val IngestCol = "ingest_batch"
+
+  private def ingestLayout(spark: SparkSession, table: String): Boolean =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .partitionColumnNames == Seq(IngestCol)
+
+  /** One-time migration of a plain bucketed table into the
+    * TRANSACTIONAL ingest layout: the same bucket spec, additionally
+    * partitioned by [[IngestCol]], with the existing rows rewritten as
+    * the base generation (`ingest_batch=-1`). Bucketed plans are
+    * unaffected — the scan still reports hashpartitioning on `key`
+    * across partition directories (zero-Exchange probes survive,
+    * pinned in spec) — and every payload read gains one inert
+    * partition column. Idempotent; a crash mid-swap reuses
+    * [[compact]]'s `__compacting` recovery convention, so an
+    * interrupted migration heals on the next call or read. */
+  def ensureIngestLayout(spark: SparkSession, table: String, key: String,
+      buckets: Int, sorted: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val tmp = table + "__compacting"
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)) {
+      finishSwap(spark, tmp, table)
+    }
+    if (ingestLayout(spark, table)) return
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    val w = spark.table(table).withColumn(IngestCol, lit(-1L))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .partitionBy(IngestCol).bucketBy(buckets, key)
+    (if (sorted) w.sortBy(key) else w).saveAsTable(tmp)
+    spark.sql(s"DROP TABLE `$table`")
+    finishSwap(spark, tmp, table)
+    recoverIfIngest(spark, table)
+  }
+
+  /** WRITE-AUDIT-PUBLISH delivery of one ingest batch into an
+    * ingest-layout table (r10 verdict #4 — the q46 generation-dir
+    * pattern applied to streaming appends, so the crash window the
+    * marker+append path could only HEAL is prevented outright):
+    *
+    *  1. WRITE — the batch is staged as proper bucket files under a
+    *     dot-prefixed scratch dir INSIDE the table location
+    *     (`.stage-<id>`, via a scratch external bucketed table so the
+    *     file names carry bucket ids). Dot-dirs are invisible to every
+    *     reader; a crash here strands hidden files the next attempt
+    *     deletes.
+    *  2. AUDIT — the staged copy is read back and its row count
+    *     checked against the batch before anything becomes visible; a
+    *     torn stage write fails here, not in a consumer.
+    *  3. PUBLISH — one atomic `rename(.stage-<id>,
+    *     ingest_batch=<id>)`, then the idempotent `ADD IF NOT EXISTS
+    *     PARTITION` registration. Partitions are catalog-managed, so
+    *     REGISTRATION is the single visibility atom: before it the
+    *     batch does not exist to readers (even renamed), after it the
+    *     whole batch exists exactly once.
+    *
+    * Replay safety needs no marker: a redelivered batch finds its
+    * partition directory already present, skips stage+rename, and
+    * re-runs only the idempotent registration — which is also the
+    * heal for a crash between rename and register. No interleaving of
+    * crash and restart can expose a partial or doubled batch
+    * (StreamingSpec kills the writer between stage and publish to pin
+    * exactly that). Returns true iff this call published the batch.
+    *
+    * `failpoint` is a TEST SEAM: invoked with "staged" after the
+    * audited stage write and "renamed" after the atomic rename, so the
+    * crash-window spec can kill the real code path at exactly those
+    * boundaries instead of simulating the on-disk states by hand. */
+  def publishBucketedBatch(spark: SparkSession, df: DataFrame, table: String,
+      key: String, buckets: Int, batchId: Long,
+      sorted: Boolean = false,
+      failpoint: String => Unit = _ => ()): Boolean = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val part = new org.apache.hadoop.fs.Path(loc, s"$IngestCol=$batchId")
+    val fresh = !fs.exists(part)
+    if (fresh) {
+      val stagePath = new org.apache.hadoop.fs.Path(loc, s".stage-$batchId")
+      val stageTbl = s"${table}__stage$batchId"
+      spark.sql(s"DROP TABLE IF EXISTS `$stageTbl`")
+      if (fs.exists(stagePath)) fs.delete(stagePath, true)
+      val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+        .option("path", stagePath.toString).bucketBy(buckets, key)
+      (if (sorted) w.sortBy(key) else w).saveAsTable(stageTbl)
+      val staged = spark.table(stageTbl).count()
+      val expected = df.count()
+      // external table: the drop releases the catalog name, files stay
+      spark.sql(s"DROP TABLE IF EXISTS `$stageTbl`")
+      if (staged != expected) {
+        fs.delete(stagePath, true)
+        throw new IllegalStateException(
+          s"stage audit failed for $table batch $batchId: read back $staged of $expected rows")
+      }
+      failpoint("staged")
+      if (!fs.rename(stagePath, part))
+        throw new IllegalStateException(
+          s"publish rename failed for $table batch $batchId")
+      failpoint("renamed")
+    }
+    spark.sql(s"ALTER TABLE `$table` ADD IF NOT EXISTS PARTITION ($IngestCol=$batchId)")
+    spark.catalog.refreshTable(table)
+    fresh
+  }
+
   /** Compact a bucketed table: every [[appendBucketed]] batch adds one
     * file per written bucket, so a daily append regime grows per-bucket
     * file counts without bound — and scan/open overhead with them.
@@ -108,12 +215,35 @@ object Bucketing {
     val src =
       if (dedupBy.isEmpty) spark.table(table)
       else spark.table(table).dropDuplicates(dedupBy)
-    writeBucketed(
-      src.repartition(buckets, pmod(hash(col(key)), lit(buckets))),
-      tmp, key, buckets, sorted)
+    if (ingestLayout(spark, table)) {
+      // ingest-layout compaction folds every published generation into
+      // a fresh base (`ingest_batch=-1`), keeping the transactional
+      // layout so future publishBucketedBatch deliveries keep working
+      val w = src.drop(IngestCol)
+        .repartition(buckets, pmod(hash(col(key)), lit(buckets)))
+        .withColumn(IngestCol, lit(-1L))
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .partitionBy(IngestCol).bucketBy(buckets, key)
+      (if (sorted) w.sortBy(key) else w).saveAsTable(tmp)
+    } else
+      writeBucketed(
+        src.repartition(buckets, pmod(hash(col(key)), lit(buckets))),
+        tmp, key, buckets, sorted)
     spark.sql(s"DROP TABLE `$table`")
     finishSwap(spark, tmp, table)
+    recoverIfIngest(spark, table)
   }
+
+  /** Post-swap partition-metadata rebuild: a catalog RENAME moves the
+    * table directory but keeps partition entries at the old location,
+    * so any swapped-in ingest-layout table must recover its partitions
+    * from the filesystem before it is readable. No-op for plain
+    * bucketed tables. */
+  private def recoverIfIngest(spark: SparkSession, table: String): Unit =
+    if (ingestLayout(spark, table)) {
+      spark.catalog.recoverPartitions(table)
+      spark.catalog.refreshTable(table)
+    }
 
   /** The RENAME half of the swap, tolerant of LOSING a race to a
     * concurrent healer: the check-then-rename in [[table]] (and a
@@ -146,8 +276,10 @@ object Bucketing {
     * (the scaladoc contract on [[compact]]). */
   def table(spark: SparkSession, name: String): DataFrame = {
     val tmp = name + "__compacting"
-    if (!spark.catalog.tableExists(name) && spark.catalog.tableExists(tmp))
+    if (!spark.catalog.tableExists(name) && spark.catalog.tableExists(tmp)) {
       finishSwap(spark, tmp, name)
+      recoverIfIngest(spark, name)
+    }
     spark.table(name)
   }
 }

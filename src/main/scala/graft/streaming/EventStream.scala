@@ -173,25 +173,26 @@ object EventStream {
     * per-bucket files, base untouched, downstream zero-Exchange probes
     * undisturbed.
     *
-    * Delivery contract, honestly: the file source checkpoints offsets,
-    * so a completed batch is never RE-READ across restarts; within a
-    * batch, a per-batchId marker (committed after the append) makes a
-    * replayed foreachBatch a no-op. The one remaining gap is a crash
-    * BETWEEN append and marker — parquet + a v1 catalog have no
-    * multi-operation transaction to close it — in which case the
-    * replay double-appends. The heal is per-bucket compaction with
-    * dedup-by-key: [[graft.io.Bucketing.compact]] with
-    * `dedupBy = Seq(rowKey)` rewrites the table dropping the replayed
-    * copies (byte-identical re-assignments under the frozen
-    * quantizer), restoring exactly the once-delivered index. A table
-    * format with transactional commit (the marker and the files in ONE
-    * atomic swap) is the production upgrade path; the Spark-side
-    * shape — map-side assign, bucketed append, offset checkpoint,
-    * idempotence marker, compaction heal — is identical.
-    * StreamingSpec pins all three: two streamed micro-batches equal
-    * the batch x74 append, a restart with the same checkpoint appends
-    * nothing, and a crash-window double-append healed by
-    * compact(dedupBy) restores exactly the batch-x74 index.
+    * Delivery contract: EXACTLY-ONCE, with no heal required (r10
+    * verdict #4). The file source checkpoints offsets, so a completed
+    * batch is never RE-READ across restarts; within a batch, delivery
+    * is [[graft.io.Bucketing.publishBucketedBatch]]'s
+    * write-audit-publish — the batch stages as hidden bucket files
+    * inside the table location, is audited by read-back count, lands
+    * via one atomic rename into its `ingest_batch=<id>` generation
+    * directory, and becomes VISIBLE only at the idempotent partition
+    * registration. A crash at ANY point (mid-stage, post-stage,
+    * post-rename) leaves either an invisible dot-dir the replay
+    * re-stages or an unregistered generation the replay registers —
+    * never a partial batch, never a doubled one, with no marker file
+    * and no compaction heal in the contract (compact(dedupBy) remains
+    * for the plain-append BATCH maintenance path). The table is
+    * migrated into the ingest layout once, before the stream starts
+    * (existing rows become the `ingest_batch=-1` base generation —
+    * same bucket spec, so downstream zero-Exchange probes are
+    * undisturbed; StreamingSpec pins the plan). StreamingSpec also
+    * kills the writer between stage and publish and shows the index
+    * never exposes a partial or doubled batch.
     *
     * Generic over the index kind via (`assign`, `key`, `buckets`):
     * the IVF defaults append (…, cid) rows bucketed by cid; the PQ
@@ -202,6 +203,10 @@ object EventStream {
       checkpointDir: String, table: String, assign: DataFrame => DataFrame,
       key: String = "cid", buckets: Int = 16,
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    // one-time layout migration, BEFORE the stream starts (driver-side
+    // maintenance, crash-healed via the __compacting convention)
+    graft.io.Bucketing.ensureIngestLayout(spark, table, key, buckets,
+      sorted = false)
     val batches = spark.readStream
       .schema(Tables.schemas("embeddings"))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -210,25 +215,13 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        // the marker must live WITH the checkpoint (same filesystem —
-        // hdfs://, s3a://, or local), or a driver failover keeps the
-        // offsets but loses the idempotence record and a replayed
-        // batch double-appends; java.io.File would silently resolve a
-        // remote checkpoint path onto the driver's local disk
-        val marker = new org.apache.hadoop.fs.Path(
-          s"$checkpointDir/graft-applied/$id")
-        val fs = marker.getFileSystem(
-          batch.sparkSession.sessionState.newHadoopConf())
-        if (!fs.exists(marker)) {
-          graft.io.Bucketing.appendBucketed(
-            assign(batch), table, key, buckets, sorted = false)
-          fs.create(marker, false).close()
-          // the append ran in the micro-batch's CLONED session; drop
-          // the caller session's cached file listing so its next read
-          // sees the new per-bucket files (other sessions refresh on
-          // their own cadence — standard catalog-cache semantics)
-          spark.catalog.refreshTable(table)
-        }
+        graft.io.Bucketing.publishBucketedBatch(
+          batch.sparkSession, assign(batch), table, key, buckets, id)
+        // the publish ran in the micro-batch's CLONED session; drop
+        // the caller session's cached file listing so its next read
+        // sees the new generation (other sessions refresh on their
+        // own cadence — standard catalog-cache semantics)
+        spark.catalog.refreshTable(table)
       }
       .start()
   }

@@ -378,23 +378,19 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("compact(dedupBy) heals a crash-window double-append back to the batch x74 index") {
+  test("compact(dedupBy) heals a double-append on the plain batch-maintenance path") {
     import graft.operators.LlmData
-    // The ONE non-transactional window the append scaladoc documents:
-    // a crash AFTER appendBucketed but BEFORE the marker commit means
-    // the restarted stream re-delivers the batch and the replayed
-    // foreachBatch — finding no marker — appends the same assigned
-    // rows a second time. The window is injected by replaying that
-    // exact append call directly (the marker/offset machinery around
-    // it is pinned by the restart test above); the heal must restore
-    // the once-delivered index without losing the bucketed layout.
-    val src = tmp("ivfheal-src"); val ckpt = tmp("ivfheal-ckpt")
+    // The plain appendBucketed path (the BATCH maintenance story —
+    // incIvf/incPq builds) has no per-batch transaction; an operator
+    // re-running an append doubles the rows. compact(dedupBy) remains
+    // the heal for that path (the STREAMING path no longer needs it:
+    // publishBucketedBatch is exactly-once by construction, pinned in
+    // the crash-window test below).
     val healTbl = "graft_ivf_heal"
     val refTbl = "graft_ivf_heal_ref"
     try {
       val e = graft.sources.Tables.load(spark, sf0001, "embeddings")
       val newRows = e.filter(pmod(col("vec_id"), lit(10)) === 7)
-      newRows.repartition(2).write.mode("overwrite").parquet(src)
       val nNew = newRows.count()
 
       LlmData.ivfWriteBaseIndex(spark, sf0001, healTbl)
@@ -403,10 +399,10 @@ class StreamingSpec extends SparkSpec {
       graft.io.Bucketing.appendBucketed(
         LlmData.ivfAppendBatch(spark, sf0001), refTbl, "cid", 16, sorted = false)
 
-      // clean streamed delivery, then the injected crash-window replay:
-      // the whole new-rows slice appended once more, marker-less
-      EventStream.ivfStreamingAppend(spark, src, ckpt, healTbl,
-        LlmData.ivfFrozenAssign(spark, sf0001)).awaitTermination()
+      // clean append, then the injected duplicate append
+      graft.io.Bucketing.appendBucketed(
+        LlmData.ivfFrozenAssign(spark, sf0001)(newRows), healTbl, "cid", 16,
+        sorted = false)
       graft.io.Bucketing.appendBucketed(
         LlmData.ivfFrozenAssign(spark, sf0001)(newRows), healTbl, "cid", 16,
         sorted = false)
@@ -437,6 +433,88 @@ class StreamingSpec extends SparkSpec {
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $healTbl")
       spark.sql(s"DROP TABLE IF EXISTS ${healTbl}__compacting")
+      spark.sql(s"DROP TABLE IF EXISTS $refTbl")
+    }
+  }
+
+  test("write-audit-publish: a writer killed between stage and publish never exposes a partial or doubled batch") {
+    import graft.operators.LlmData
+    // r10 verdict #4: the streaming append's crash window is PREVENTED,
+    // not healed. The failpoint seam kills the real delivery code at
+    // the two crash boundaries — after the audited stage write
+    // ("staged") and after the atomic rename ("renamed") — and the
+    // index must expose nothing until the replay completes the
+    // publish, then exactly the batch, never twice.
+    val tbl = "graft_ivf_txn"
+    val refTbl = "graft_ivf_txn_ref"
+    try {
+      val e = graft.sources.Tables.load(spark, sf0001, "embeddings")
+      val newRows = e.filter(pmod(col("vec_id"), lit(10)) === 7)
+      val nNew = newRows.count()
+      LlmData.ivfWriteBaseIndex(spark, sf0001, tbl)
+      LlmData.ivfWriteBaseIndex(spark, sf0001, refTbl)
+      graft.io.Bucketing.appendBucketed(
+        LlmData.ivfAppendBatch(spark, sf0001), refTbl, "cid", 16, sorted = false)
+      val preMigration = spark.table(tbl).count()
+      graft.io.Bucketing.ensureIngestLayout(spark, tbl, "cid", 16)
+      graft.io.Bucketing.ensureIngestLayout(spark, tbl, "cid", 16) // idempotent
+      val baseCount = spark.table(tbl).count()
+      assert(baseCount == preMigration,
+        "ingest-layout migration must preserve every base row")
+      val assigned = LlmData.ivfFrozenAssign(spark, sf0001)(newRows)
+
+      def killAt(point: String, batchId: Long, df: org.apache.spark.sql.DataFrame,
+          visible: Long): Unit = {
+        val ex = intercept[RuntimeException] {
+          graft.io.Bucketing.publishBucketedBatch(spark, df, tbl, "cid", 16,
+            batchId, failpoint = p => if (p == point) sys.error(s"killed at $p"))
+        }
+        assert(ex.getMessage.contains("killed"))
+        spark.catalog.refreshTable(tbl)
+        assert(spark.table(tbl).count() == visible,
+          s"a writer killed at '$point' must expose nothing of batch $batchId")
+      }
+
+      // crash BEFORE the rename: the staged files are invisible, and a
+      // second crash over the stale stage is the same clean state
+      killAt("staged", 0L, assigned, baseCount)
+      killAt("staged", 0L, assigned, baseCount)
+      // the replayed delivery completes exactly once…
+      assert(graft.io.Bucketing.publishBucketedBatch(spark, assigned, tbl, "cid", 16, 0L))
+      spark.catalog.refreshTable(tbl)
+      assert(spark.table(tbl).count() == baseCount + nNew)
+      // …and a redelivery of the same batch id is a no-op
+      assert(!graft.io.Bucketing.publishBucketedBatch(spark, assigned, tbl, "cid", 16, 0L))
+      spark.catalog.refreshTable(tbl)
+      assert(spark.table(tbl).count() == baseCount + nNew,
+        "a replayed batch must never double-append")
+
+      // the delivered index equals the batch x74 append payload-exactly
+      def asSet(t: String) = spark.table(t).select("vec_id", "cid")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(asSet(tbl) == asSet(refTbl),
+        "transactional delivery must produce the identical index as the batch append")
+
+      // crash AFTER the atomic rename, BEFORE registration: the fully
+      // renamed generation is still invisible (registration is the
+      // visibility atom); the replay only registers — exactly once
+      val slice2 = e.filter(pmod(col("vec_id"), lit(10)) === 3)
+      val assigned2 = LlmData.ivfFrozenAssign(spark, sf0001)(slice2)
+      val n2 = slice2.count()
+      killAt("renamed", 1L, assigned2, baseCount + nNew)
+      assert(!graft.io.Bucketing.publishBucketedBatch(spark, assigned2, tbl, "cid", 16, 1L))
+      spark.catalog.refreshTable(tbl)
+      assert(spark.table(tbl).count() == baseCount + nNew + n2,
+        "the replay must surface the renamed-but-unregistered generation exactly once")
+
+      // zero-Exchange cid-keyed consumers survive the ingest layout
+      val p = graft.io.Bucketing.table(spark, tbl)
+        .groupBy("cid").agg(count(lit(1))).queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true") && !p.contains("Exchange"),
+        s"ingest layout must keep the zero-Exchange bucketed plan, got:\n${p.take(1500)}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}__compacting")
       spark.sql(s"DROP TABLE IF EXISTS $refTbl")
     }
   }
