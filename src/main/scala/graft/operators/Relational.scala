@@ -683,7 +683,43 @@ object Relational {
              |  sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
              |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
              |GROUP BY 1 ORDER BY event_type""".stripMargin),
-      "date-partitioned layout + metadata-level partition pruning: one-day scan reads 1/30th of the files, keyed agg after")
+      "date-partitioned layout + metadata-level partition pruning: one-day scan reads 1/30th of the files, keyed agg after"),
+
+    // ── DSv2 paged connector read (q50) ──────────────────────────────
+    // The S1 pagination surface at its production shape: the staged
+    // page directory (one `page=<n>/` subdir ≙ one HTTP GET of a paged
+    // API) is read through the `graft-pages` DataSource V2 connector
+    // (sources/PageSource.scala) — each page is an InputPartition, so
+    // EXECUTORS fetch pages in parallel and the driver only plans page
+    // ids; Paginated.fetchAll (the reference-faithful driver drain)
+    // remains the small-corpus/live-API twin. Column pruning reaches
+    // the connector (SupportsPushDownRequiredColumns): this agg needs
+    // text/source/n_chars, so doc_id and lang are never decoded —
+    // PageSourceSpec pins the executed scan's readSchema to exactly
+    // those three fields and the partition count to the page count.
+    // Staging is memoized per (session, corpus) like q47/q49's
+    // layouts; the oracle reads the SAME documents the staging framed,
+    // so the hash match proves the frame→decode round trip is
+    // byte-faithful (sum_text_len covers the text payload itself).
+    "q50_pages_source" -> Q(
+      (s, dir) => {
+        val staged = LlmData.tableOnce(bucketMemo, s, dir + "#pages")(
+          graft.sources.PageSource.stageDocuments(s, dir))
+        s.read.format("graft-pages")
+          .option("path", staged)
+          .option("schema", graft.sources.PageSource.DDL)
+          .load()
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            sum(length(col("text")).cast("long")).as("sum_text_len"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+             |FROM documents GROUP BY 1 ORDER BY source""".stripMargin),
+      "paged REST twin read through the graft-pages DSv2 connector: page = input partition, pruned decode, keyed agg")
   )
 
   /** Bucketed-table build registry for q47 — one layout write per

@@ -1,0 +1,87 @@
+package graft
+
+import graft.sources.{PageSource, Tables}
+import org.apache.spark.sql.functions._
+
+/** The `graft-pages` DSv2 connector (sources/PageSource.scala): the
+  * paged-API twin read where each staged page is one InputPartition.
+  * Pins the four contracts the q50 registration leans on — byte-faithful
+  * round trip, page≙partition planning, column pruning reaching the
+  * reader, and the write-time framing guard failing loudly instead of
+  * corrupting arity. */
+class PageSourceSpec extends SparkSpec {
+
+  private def readPages(dir: String) =
+    spark.read.format("graft-pages")
+      .option("path", dir)
+      .option("schema", PageSource.DDL)
+      .load()
+
+  private lazy val staged = PageSource.stageDocuments(spark, sf0001, pageSize = 8L)
+
+  test("round trip: connector read == parquet read, full schema") {
+    val viaPages = readPages(staged).orderBy("doc_id").collect()
+    val direct = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id").collect()
+    assert(viaPages.length == direct.length && viaPages.length > 0)
+    assert(viaPages.sameElements(direct))
+  }
+
+  test("page = input partition: partition count equals staged page count") {
+    val pageDirs = new java.io.File(staged).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("page="))
+    assert(pageDirs > 1, "fixture must span multiple pages to prove the split")
+    assert(readPages(staged).rdd.getNumPartitions == pageDirs)
+  }
+
+  test("column pruning reaches the reader (q50's projection)") {
+    val df = readPages(staged)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"))
+    // sparkPlan, not executedPlan: AQE's AdaptiveSparkPlanExec hides
+    // its children from collectLeaves (same dodge as PlanAuditSpec)
+    val scans = df.queryExecution.sparkPlan.collectLeaves()
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    assert(scans.length == 1)
+    assert(scans.head.scan.readSchema().fieldNames.toSet ==
+      Set("text", "source", "n_chars"),
+      s"pruned read must decode exactly the referenced fields, got ${scans.head.scan.readSchema()}")
+  }
+
+  test("declared schema is required — a paged API has no footer to infer from") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-pages").option("path", staged).load()
+    }
+    assert(e.getMessage.contains("DECLARED schema"))
+  }
+
+  test("framing guard: control chars in a framed field fail the stage write loudly") {
+    import spark.implicits._
+    val dir = graft.io.TempDirs.scratch("graft_pages_bad_")
+    Seq((1L, "fine", "en", "web", 4L), (2L, "has\nnewline", "en", "web", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      PageSource.stageDocuments(spark, dir, pageSize = 8L)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("framing violation")),
+      s"expected the raise_error guard, got $e")
+  }
+
+  test("empty-string fields keep arity through the frame (limit -1 split)") {
+    import spark.implicits._
+    val dir = graft.io.TempDirs.scratch("graft_pages_empty_")
+    Seq((1L, "", "en", "", 0L), (2L, "text", "de", "books", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = readPages(PageSource.stageDocuments(spark, dir, pageSize = 8L))
+      .orderBy("doc_id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getLong(4))).toSeq ==
+      Seq((1L, "", "en", "", 0L), (2L, "text", "de", "books", 4L)))
+  }
+}
