@@ -73,11 +73,49 @@ final class PageTable(declared: StructType, path: String) extends Table with Sup
 }
 
 final class PageScanBuilder(full: StructType, path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = full
+  private var lo = Long.MinValue
+  private var hi = Long.MaxValue
+  private var accepted: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new PageScan(full, required, path)
+
+  /** doc_id range predicates prune whole PAGES at plan time — the
+    * paged-API analog of partition pruning: a page whose key interval
+    * (`[page·pageSize, (page+1)·pageSize)`, keyset pagination) cannot
+    * intersect the predicate range is never fetched, so a keyed lookup
+    * against a 10^6-page corpus plans O(matching pages) GETs, not
+    * 10^6. Pruning is page-GRAIN (lossy), so every filter is returned
+    * as residual and Spark re-applies the exact predicate post-scan —
+    * the same honor-but-recheck contract parquet row-group stats use. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def num(v: Any): Option[Long] = v match {
+      case n: Number => Some(n.longValue)
+      case _ => None
+    }
+    filters.foreach {
+      case EqualTo("doc_id", v) => num(v).foreach { n =>
+        lo = math.max(lo, n); hi = math.min(hi, n)
+        accepted :+= EqualTo("doc_id", v) }
+      case GreaterThan("doc_id", v) => num(v).foreach { n =>
+        lo = math.max(lo, n + 1); accepted :+= GreaterThan("doc_id", v) }
+      case GreaterThanOrEqual("doc_id", v) => num(v).foreach { n =>
+        lo = math.max(lo, n); accepted :+= GreaterThanOrEqual("doc_id", v) }
+      case LessThan("doc_id", v) => num(v).foreach { n =>
+        hi = math.min(hi, n - 1); accepted :+= LessThan("doc_id", v) }
+      case LessThanOrEqual("doc_id", v) => num(v).foreach { n =>
+        hi = math.min(hi, n); accepted :+= LessThanOrEqual("doc_id", v) }
+      case _ => ()
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new PageScan(full, required, path, lo, hi)
 }
 
 /** One staged page ≙ one input partition: the driver's planning cost
@@ -85,18 +123,36 @@ final class PageScanBuilder(full: StructType, path: String)
   * analog of a paged API's `total`/`next` bookkeeping), never payload.
   * 10^6 pages → 10^6 independently fetchable partitions; Spark's
   * scheduler is the rate limiter, which is the point. */
-final class PageScan(full: StructType, required: StructType, path: String)
+final class PageScan(full: StructType, required: StructType, path: String,
+    lo: Long = Long.MinValue, hi: Long = Long.MaxValue)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"GraftPages path=$path pruned=${required.fieldNames.mkString(",")}"
+  override def description(): String =
+    s"GraftPages path=$path pruned=${required.fieldNames.mkString(",")}" +
+      (if (lo != Long.MinValue || hi != Long.MaxValue) s" keyrange=[$lo,$hi]" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
       .sessionState.newHadoopConf())
+    // page id → key interval needs the endpoint's page size — API
+    // contract metadata the stager records once; absent (foreign
+    // layout) ⇒ no page pruning, every page planned
+    val pageSize: Option[Long] = {
+      val m = new org.apache.hadoop.fs.Path(path, PageSource.MetaFile)
+      if (fs.exists(m)) {
+        val in = fs.open(m)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+        finally in.close()
+      } else None
+    }
     fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("page="))
+      .filter { s =>
+        val page = s.getPath.getName.stripPrefix("page=").toLong
+        pageSize.forall(ps => page * ps <= hi && page * ps + ps - 1 >= lo)
+      }
       .sortBy(s => s.getPath.getName.stripPrefix("page=").toLong)
       .map(s => PagePartition(s.getPath.toString): InputPartition)
       .toArray
@@ -132,6 +188,11 @@ final case class PagePartition(pageDir: String) extends InputPartition
 object PageSource {
   val US = "\u001F"
   val DDL = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+  /** Page-size metadata at the staged root — the part of a paged API's
+    * contract (its page size) the connector needs to map page id →
+    * doc_id interval for plan-time page pruning. Underscore-prefixed
+    * so the data reader skips it like _SUCCESS. */
+  val MetaFile = "_graft_page_size"
 
   /** Stage `documents` under a fresh scratch dir as `page=<n>/` text
     * files; returns the staged directory. One write per (session,
@@ -152,6 +213,10 @@ object PageSource {
           .otherwise(concat_ws(US, framed.map(col): _*)).as("value"),
         expr(s"doc_id div $pageSize").as("page"))
       .write.mode("overwrite").partitionBy("page").text(out)
+    val meta = new org.apache.hadoop.fs.Path(out, MetaFile)
+    val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
+    val os = fs.create(meta, true)
+    try os.write(pageSize.toString.getBytes("UTF-8")) finally os.close()
     out
   }
 }

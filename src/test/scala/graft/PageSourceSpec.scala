@@ -50,6 +50,31 @@ class PageSourceSpec extends SparkSpec {
       s"pruned read must decode exactly the referenced fields, got ${scans.head.scan.readSchema()}")
   }
 
+  test("doc_id range predicate prunes pages at plan time, answers stay exact") {
+    val filtered = readPages(staged)
+      .filter(col("doc_id") >= 17L && col("doc_id") < 25L)
+    // pageSize=8 ⇒ the range [17,24] spans exactly pages 2 ([16,23])
+    // and 3 ([24,31]); every other page must never be planned
+    assert(filtered.rdd.getNumPartitions == 2,
+      "page-grain pruning must plan only key-range-intersecting pages")
+    val expect = Tables.load(spark, sf0001, "documents")
+      .filter(col("doc_id") >= 17L && col("doc_id") < 25L)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id").collect()
+    assert(expect.nonEmpty)
+    // residual re-check: rows OUTSIDE the range but INSIDE surviving
+    // pages (16, 25..31) are filtered exactly, not just page-pruned
+    assert(filtered.orderBy("doc_id").collect().sameElements(expect))
+    val scans = filtered.queryExecution.sparkPlan.collectLeaves()
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    assert(scans.head.scan.description().contains("keyrange=[17,24]"))
+  }
+
+  test("disjoint doc_id range plans zero pages") {
+    val none = readPages(staged).filter(col("doc_id") > 1000000L)
+    assert(none.rdd.getNumPartitions == 0 && none.count() == 0L)
+  }
+
   test("declared schema is required — a paged API has no footer to infer from") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("graft-pages").option("path", staged).load()
