@@ -278,6 +278,13 @@ object Text {
   def shinglesNative(toks: Column, n: Int = 3): Column =
     call_function("graft_shingles", toks, lit(n))
 
+  /** 0-based gram-start offsets whose w-gram already occurred earlier
+    * in the same token array (plans.IntraDupStarts) — the array-local
+    * twin of the positionalGrams + (doc_id, g) first-occurrence
+    * window, pinned equivalent by ScrubKernelSpec. */
+  def intraDupStartsNative(toks: Column, w: Int): Column =
+    call_function("graft_intradup_starts", toks, lit(w))
+
   /** Native twin of tokenHashesPortable (mod > 0) or of the raw
     * 60-bit md5 feature hash (mod = 0, simhash60's input). */
   def md5LongsNative(sh: Column, mod: Long): Column =

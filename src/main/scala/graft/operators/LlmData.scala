@@ -4181,19 +4181,21 @@ object LlmData {
     // document keeps its first occurrence; every later occurrence's
     // window is scrubbed through the family's ONE window-coverage and
     // keep-semantics core (scrubWindows), so all four scrubbers agree
-    // on reconstruction. Scale shape: the first-occurrence window is
-    // partitioned by (doc_id, g) — DOC-LOCAL, so unlike x92's global
-    // gram key there is no hot-gram skew at all; the shuffle payload
-    // is (doc, gram, off) triples and partitions are bounded by
-    // document length.
+    // on reconstruction. Scale shape: the whole repeated-gram scan is
+    // ARRAY-LOCAL — the question never leaves one document, so the
+    // r10 formulation's positionalGrams fanout (one row per gram
+    // position, then a (doc_id, g) first-occurrence window — measured
+    // as x115's entire ~4 s sf1 residual after tokStaged absorbed the
+    // tokenize) is replaced by the graft_intradup_starts kernel: one
+    // O(n) hash-set pass per row, zero fanout, zero shuffle before
+    // the family core; ScrubKernelSpec pins kernel ≡ window on data
+    // and edge cases, and the oracle (unchanged) hash-proves the
+    // registered query.
     "x115_intradoc_scrub" -> Q(
       (s, dir) => {
         val docs = tokenizedDocs(s, dir, minTokens = 3)
-        val wf = Window.partitionBy("doc_id", "g")
-        val badStarts = positionalGrams(docs, 3)
-          .withColumn("fo", min("off").over(wf))
-          .filter(col("off") > col("fo"))
-          .select("doc_id", "off")
+        val badStarts = docs.select(col("doc_id"),
+          explode(Text.intraDupStartsNative(col("tk"), 3)).as("off"))
         scrubWindows(docs, badStarts, 3)
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -156,6 +156,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleArray(children.head, litLong("graft_shingles", children(1)).toInt)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_intradup_starts"),
+      new ExpressionInfo(classOf[IntraDupStarts].getName, "graft_intradup_starts"),
+      (children: Seq[Expression]) => {
+        requireArity("graft_intradup_starts", children, 2)
+        IntraDupStarts(children.head,
+          litLong("graft_intradup_starts", children(1)).toInt)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_md5_longs"),
       new ExpressionInfo(classOf[Md5Longs].getName, "graft_md5_longs"),
       (children: Seq[Expression]) => {
