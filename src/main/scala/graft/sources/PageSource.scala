@@ -68,11 +68,21 @@ final class PageTable(declared: StructType, path: String) extends Table with Sup
   override def schema(): StructType = declared
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
+  // Hadoop conf captured HERE (analysis time, on the driver, from the
+  // session actually resolving the query) and carried through scan →
+  // partitions → readers: plan-time listing and executor-side reads
+  // must see the SAME filesystem config (credentials, fs.defaultFS,
+  // spark.hadoop.* tuning) — re-deriving it later from a thread-local
+  // or a bare `new Configuration()` binds to whatever session happens
+  // to be active (or none) instead of the query's own.
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PageScanBuilder(declared, path)
+    new PageScanBuilder(declared, path,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 }
 
-final class PageScanBuilder(full: StructType, path: String)
+final class PageScanBuilder(full: StructType, path: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
@@ -91,7 +101,9 @@ final class PageScanBuilder(full: StructType, path: String)
     * against a 10^6-page corpus plans O(matching pages) GETs, not
     * 10^6. Pruning is page-GRAIN (lossy), so every filter is returned
     * as residual and Spark re-applies the exact predicate post-scan —
-    * the same honor-but-recheck contract parquet row-group stats use. */
+    * the same honor-but-recheck contract parquet row-group stats use.
+    * The interval model assumes NONNEGATIVE keys (truncate-toward-zero
+    * `div` paging); the stager enforces doc_id >= 0 at write time. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def num(v: Any): Option[Long] = v match {
       case n: Number => Some(n.longValue)
@@ -115,7 +127,7 @@ final class PageScanBuilder(full: StructType, path: String)
   }
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new PageScan(full, required, path, lo, hi)
+  override def build(): Scan = new PageScan(full, required, path, conf, lo, hi)
 }
 
 /** One staged page ≙ one input partition: the driver's planning cost
@@ -124,6 +136,7 @@ final class PageScanBuilder(full: StructType, path: String)
   * 10^6 pages → 10^6 independently fetchable partitions; Spark's
   * scheduler is the rate limiter, which is the point. */
 final class PageScan(full: StructType, required: StructType, path: String,
+    conf: org.apache.spark.util.SerializableConfiguration,
     lo: Long = Long.MinValue, hi: Long = Long.MaxValue)
     extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -134,8 +147,7 @@ final class PageScan(full: StructType, required: StructType, path: String,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
-      .sessionState.newHadoopConf())
+    val fs = p.getFileSystem(conf.value)
     // page id → key interval needs the endpoint's page size — API
     // contract metadata the stager records once; absent (foreign
     // layout) ⇒ no page pruning, every page planned
@@ -159,7 +171,7 @@ final class PageScan(full: StructType, required: StructType, path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PageReaderFactory(full, required)
+    new PageReaderFactory(full, required, conf)
 }
 
 final case class PagePartition(pageDir: String) extends InputPartition
@@ -203,9 +215,17 @@ object PageSource {
     val out = graft.io.TempDirs.scratch("graft_pages_") + "/pages"
     val docs = Tables.load(spark, sfDir, "documents")
     val framed = Seq("doc_id", "text", "lang", "source", "n_chars")
-    val bad = framed.map(c => col(c).isNull ||
+    // doc_id >= 0 is part of the layout contract, not a data nicety:
+    // the reader's page pruning models page p as [p·pageSize,
+    // p·pageSize + pageSize - 1], which only matches `div`'s
+    // truncate-toward-zero paging for NONNEGATIVE keys — a negative
+    // doc_id would land in a page whose modeled interval excludes it
+    // and pruning would silently drop matching rows. Enforce at stage
+    // time, loudly, like the framing guard below.
+    val negKey = col("doc_id") < 0
+    val bad = (negKey +: framed.map(c => col(c).isNull ||
         col(c).cast("string").contains(US) || col(c).cast("string").contains("\u001E") ||
-        col(c).cast("string").contains("\n") || col(c).cast("string").contains("\r"))
+        col(c).cast("string").contains("\n") || col(c).cast("string").contains("\r")))
       .reduce(_ || _)
     docs.select(
         when(bad, raise_error(concat(lit("graft-pages framing violation at doc_id="),
@@ -229,10 +249,11 @@ object PageSource {
   }
 }
 
-final class PageReaderFactory(full: StructType, required: StructType)
+final class PageReaderFactory(full: StructType, required: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PageReader(partition.asInstanceOf[PagePartition].pageDir, full, required)
+    new PageReader(partition.asInstanceOf[PagePartition].pageDir, full, required, conf)
 }
 
 /** Executor-side page fetch + decode: reads every record file of ONE
@@ -240,13 +261,23 @@ final class PageReaderFactory(full: StructType, required: StructType)
   * US-framed line, and emits only the PRUNED columns — a projection a
   * paged REST body could never push down, done here before rows ever
   * materialize. Decode is index-addressed (no regex, no JSON). */
-final class PageReader(pageDir: String, full: StructType, required: StructType)
+final class PageReader(pageDir: String, full: StructType, required: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
-  private val idx = required.fields.map(f => (full.fieldIndex(f.name), f.dataType))
-  private val fs = {
-    val p = new org.apache.hadoop.fs.Path(pageDir)
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-  }
+  // decode plan hoisted out of the line loop: parallel primitive
+  // arrays (field index + a long/string flag), no per-row tuple or
+  // Seq traffic — the loop allocates exactly the output row's backing
+  // array and its UTF8Strings, nothing else
+  private val srcIdx: Array[Int] = required.fields.map(f => full.fieldIndex(f.name))
+  private val isLong: Array[Boolean] = required.fields.map(_.dataType match {
+    case LongType => true
+    case StringType => false
+    case other => throw new IllegalArgumentException(
+      s"graft-pages supports BIGINT and STRING fields, got $other")
+  })
+  private val nOut = srcIdx.length
+  private val nFull = full.length
+  private val fs = new org.apache.hadoop.fs.Path(pageDir).getFileSystem(conf.value)
   private val files = fs.listStatus(new org.apache.hadoop.fs.Path(pageDir))
     .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
       && !s.getPath.getName.startsWith("."))
@@ -269,15 +300,23 @@ final class PageReader(pageDir: String, full: StructType, required: StructType)
       // limit -1 keeps trailing empty fields (a record whose LAST
       // field is empty must not shift its arity)
       val parts = line.split("\u001F", -1)
-      current = InternalRow.fromSeq(idx.toSeq.map { case (i, dt) =>
-        val v = if (i < parts.length) parts(i) else ""
-        dt match {
-          case LongType => v.toLong
-          case StringType => UTF8String.fromString(v)
-          case other => throw new IllegalArgumentException(
-            s"graft-pages supports BIGINT and STRING fields, got $other")
-        }
-      })
+      // arity mismatch = frame corruption: fail with enough context to
+      // find the record — the write side raise_errors on violations
+      // and the read side must not paper over the same class (an
+      // invented "" would flow into answers as silent data corruption)
+      if (parts.length != nFull)
+        throw new IllegalStateException(
+          s"graft-pages frame corruption in $pageDir: record has " +
+            s"${parts.length} fields, schema declares $nFull " +
+            s"(record head: ${line.take(80)})")
+      val out = new Array[Any](nOut)
+      var i = 0
+      while (i < nOut) {
+        val v = parts(srcIdx(i))
+        out(i) = if (isLong(i)) v.toLong else UTF8String.fromString(v)
+        i += 1
+      }
+      current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
       true
     case None => false
   }

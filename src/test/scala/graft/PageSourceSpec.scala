@@ -97,6 +97,41 @@ class PageSourceSpec extends SparkSpec {
       s"expected the raise_error guard, got $e")
   }
 
+  test("negative doc_id is rejected at stage time (page-pruning key contract)") {
+    import spark.implicits._
+    val dir = graft.io.TempDirs.scratch("graft_pages_neg_")
+    Seq((-3L, "txt", "en", "web", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] { PageSource.stageDocuments(spark, dir, 8L) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("framing violation")))
+  }
+
+  test("arity-short record fails the read loudly, not as silent empty fields") {
+    import spark.implicits._
+    val dir = graft.io.TempDirs.scratch("graft_pages_corrupt_")
+    Seq((1L, "txt", "en", "web", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val staged = PageSource.stageDocuments(spark, dir, 8L)
+    // corrupt one record in place: drop its last field
+    val page = new java.io.File(staged).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("page=")).head
+    val part = page.listFiles().filter(f => f.isFile && !f.getName.startsWith("_")
+      && !f.getName.startsWith(".")).head
+    java.nio.file.Files.writeString(part.toPath, "9\u001Fonly\u001Ftwo\n")
+    // drop the checksum sidecar or RawLocalFileSystem reports the
+    // corruption as a ChecksumException before the reader sees the line
+    new java.io.File(page, s".${part.getName}.crc").delete()
+    val e = intercept[Exception] { readPages(staged).collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("frame corruption")),
+      s"expected the arity guard, got $e")
+  }
+
   test("empty-string fields keep arity through the frame (limit -1 split)") {
     import spark.implicits._
     val dir = graft.io.TempDirs.scratch("graft_pages_empty_")
