@@ -40,8 +40,16 @@ object Shaping {
     * One-token documents produce zero rows — both engines drop them
     * identically (range(1,1) is empty / slice length 0 is empty). */
   private[operators] def bigrams(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("w"))
+    bigramsFromTokens(
+      docs.select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("tk")))
+
+  /** [[bigrams]] over a frame that already carries the token arrays —
+    * the corpus path rides the family's ONE memoized token staging
+    * (LlmData.tokStaged) instead of re-tokenizing per query; the
+    * text-input wrapper above remains for bounded streaming batches. */
+  private[operators] def bigramsFromTokens(toks: DataFrame): DataFrame =
+    toks
+      .select(col("doc_id"), col("lang"), col("tk").as("w"))
       .select(col("doc_id"), col("lang"),
         slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
         slice(col("w"), lit(2), size(col("w")) - 1).as("b"))
@@ -123,12 +131,15 @@ object Shaping {
     * persisted per sfDir like the signature tables. */
   private[operators] def lmScored(s: SparkSession, dir: String): DataFrame =
     LlmData.memoized(s, "x110-scored", dir) {
-      val docs = t(s, dir, "documents")
-      val cb = bigrams(docs.filter(col("lang") === "en"))
+      // rides the family's one memoized token staging: the LM build's
+      // two corpus passes reuse the cached arrays instead of paying
+      // tokenize twice more
+      val toks = LlmData.tokStaged(s, dir)
+      val cb = bigramsFromTokens(toks.filter(col("lang") === "en"))
         .groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
       val cp = cb.groupBy("prev").agg(sum("cb").as("cp"))
       val vv = cb.select("cur").distinct().agg(count(lit(1)).as("v"))
-      bigrams(docs)
+      bigramsFromTokens(toks)
         .join(broadcast(cb), Seq("prev", "cur"), "left")
         .join(broadcast(cp), Seq("prev"), "left")
         .na.fill(0L, Seq("cb", "cp"))
@@ -178,8 +189,16 @@ object Shaping {
     * within-batch admission, so batch and stream order a document
     * identically: (source, doc_id, nt, h, b). */
   private[graft] def capDocs(docs: DataFrame): DataFrame =
-    docs.select(col("source"), col("doc_id"),
-      size(Text.tokens(col("text"))).cast("long").as("nt"),
+    capDocsFromTokens(docs.select(col("source"), col("doc_id"),
+      Text.tokens(col("text")).as("tk")))
+
+  /** [[capDocs]] over a frame already carrying token arrays — the
+    * corpus paths (x111, frozenCap) ride LlmData.tokStaged; the
+    * text-input wrapper stays for the streaming gate's bounded
+    * micro-batches, and both produce identical draw columns. */
+  private[graft] def capDocsFromTokens(toks: DataFrame): DataFrame =
+    toks.select(col("source"), col("doc_id"),
+      size(col("tk")).cast("long").as("nt"),
       Curation.idHash(col("doc_id")).as("h"))
       .withColumn("b", pmod(col("h"), lit(CapBuckets.toLong)))
 
@@ -187,7 +206,7 @@ object Shaping {
     * corpus tokens) — a single driver scalar, trained once per stream
     * start the way dsirRatioTable freezes the DSIR model. */
   private[graft] def frozenCap(s: SparkSession, dir: String): Long =
-    capDocs(t(s, dir, "documents"))
+    capDocsFromTokens(LlmData.tokStaged(s, dir))
       .agg(expr(s"CAST(sum(nt) * $CapPct div 100 AS BIGINT)"))
       .head.getLong(0)
 
@@ -214,7 +233,7 @@ object Shaping {
 
   private def x111 = Q(
     (s, dir) => {
-      val d = capDocs(t(s, dir, "documents"))
+      val d = capDocsFromTokens(LlmData.tokStaged(s, dir))
       val cap = d.agg(expr(
         s"CAST(sum(nt) * $CapPct div 100 AS BIGINT)").as("cap"))
       val wb = Window.partitionBy("source").orderBy("b")
@@ -304,9 +323,9 @@ object Shaping {
     * naive semantics (the x107 precedent). */
   private def x112 = Q(
     (s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = LlmData.tokStaged(s, dir)
         .select(col("source"), col("doc_id"),
-          size(Text.tokens(col("text"))).cast("long").as("nt"))
+          size(col("tk")).cast("long").as("nt"))
         .join(lmScored(s, dir).select("doc_id", "lm_micro"), Seq("doc_id"), "left")
         .na.fill(0L, Seq("lm_micro"))
         .withColumn("bin", expr("CAST(lm_micro div 16384 AS INT)"))
@@ -388,9 +407,9 @@ object Shaping {
     * global sort ever runs. */
   private def x113 = Q(
     (s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = LlmData.tokStaged(s, dir)
         .select(col("doc_id"),
-          size(Text.tokens(col("text"))).cast("long").as("nt"))
+          size(col("tk")).cast("long").as("nt"))
         .join(lmScored(s, dir).select("doc_id", "lm_micro"), Seq("doc_id"), "left")
         .na.fill(0L, Seq("lm_micro"))
       val mm = d.agg(min("lm_micro").as("mn"), max("lm_micro").as("mx"))
