@@ -1123,9 +1123,12 @@ object LlmData {
 
   /** Memoized persisted token-array corpus staging — the ONE
     * scan+tokenize for everything downstream of a token array: the
-    * scrub family (x91/x92/x95/x115 via [[tokenizedDocs]]) and the
+    * scrub family (x91/x92/x95/x115 via [[tokenizedDocs]]), the
     * shingle family ([[shingled]] → decontam x39/x79/x118/x91/x95,
-    * minhash x22/x58, source audits x85/x86/x89). r10 measured the
+    * minhash x22/x58, source audits x85/x86/x89, dup-fraction x60),
+    * the token-consumer analytics (x30/x43/x49/x50/x57/x61 — converted
+    * r11 after the whole-registry sf1 pass measured their per-query
+    * re-tokenize at 6-9× warm slopes), and Shaping (x110-x113). r10 measured the
     * map-side tokenize+gram floor at ~4-7× warm slope per 10× data
     * for each family member SEPARATELY; x94's picks memo proved the
     * fix is persisting the token arrays once (13.3 → 1.1 s combined).
@@ -1943,10 +1946,13 @@ object LlmData {
     // list_prepend) computes the identical value and the query is
     // fully oracle-checked. The xxhash64 rotate-XOR fast path
     // (Text.rollingHash) keeps the same shape; unit tests cover it.
+    // Rides the family's one token staging (tokStaged): the whole-
+    // registry sf1 pass measured this query's 9.4× warm slope as
+    // almost entirely the per-query re-tokenize.
     "x30_fingerprint_rolling" -> Q(
-      (s, dir) => t(s, dir, "documents")
+      (s, dir) => tokStaged(s, dir)
         .select(col("doc_id"),
-          Text.rollingHashPortable(Text.tokens(col("text"))).as("fp"))
+          Text.rollingHashPortable(col("tk")).as("fp"))
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id,
               |  list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -2512,8 +2518,7 @@ object LlmData {
         val total3 = greatest(size(col("tk")) - 2, lit(0))
         val distinct3 = when(size(col("tk")) >= 3,
           size(Text.shinglesNative(col("tk")))).otherwise(lit(0))
-        t(s, dir, "documents")
-          .withColumn("tk", Text.tokens(col("text")))
+        tokStaged(s, dir)
           .select(
             col("doc_id"),
             total3.as("n_shingles"),
@@ -2780,9 +2785,7 @@ object LlmData {
     // builds a corpus where it bites).
     "x49_substring_spans" -> Q(
       (s, dir) => {
-        val d = t(s, dir, "documents")
-          .withColumn("tk", Text.tokens(col("text")))
-          .filter(size(col("tk")) >= 10)
+        val d = tokStaged(s, dir).filter(size(col("tk")) >= 10)
         // the per-position md5 stage is the dominant cost and feeds
         // BOTH the cross-doc dup set and the per-doc count — persist
         // it once (the in-query analog of a materialized gram table)
@@ -2831,8 +2834,7 @@ object LlmData {
     // Components (each round is this exact plan over the re-tokenized
     // corpus); one round is the demonstrable, oracle-checkable unit.
     "x50_bigram_vocab" -> Q(
-      (s, dir) => bigramCounts(
-          t(s, dir, "documents").withColumn("tk", Text.tokens(col("text"))))
+      (s, dir) => bigramCounts(tokStaged(s, dir))
         .orderBy(desc("n"), asc("pair"))
         .limit(50),
       Some(s"""WITH $duckBigrams
@@ -3089,9 +3091,9 @@ object LlmData {
         // and at corpus scale the token table is the natural thing to
         // materialize anyway)
         val tp = memoized(s, "x57-tokpos", dir) {
-          t(s, dir, "documents")
+          tokStaged(s, dir)
             .select(col("doc_id"),
-              posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+              posexplode(col("tk")).as(Seq("pos", "tok")))
             .filter(length(col("tok")) > 0)
             .persist()
         }
@@ -3191,16 +3193,27 @@ object LlmData {
     // (n_dup·1e6 div n_shingles) keep both engines bit-identical. At
     // 100 TB this is the standard two-pass df shape (same class as
     // x40's TF-IDF): signatures shuffle, payloads never do.
+    // Shape, r11: rides the family's one shingle staging ([[shingled]]
+    // — the whole-registry sf1 pass measured the per-query
+    // tokenize+shingle at most of this query's 8× warm slope), the
+    // per-doc total is map-side size(sh) (shingles are distinct per
+    // doc, so the old post-join count(*) = the array length), and only
+    // the nd ≥ 2 shingle KEYS flow through the annotate step — a
+    // left-semi probe against the duplicated minority instead of an
+    // inner join carrying every (doc, shingle) pair back out of the
+    // shuffle. Zero-shingle docs (< 3 tokens) stay excluded, matching
+    // the inner-join formulation the oracle replays.
     "x60_dup_ngram_frac" -> Q(
       (s, dir) => {
-        val shs = t(s, dir, "documents")
-          .withColumn("tk", Text.tokens(col("text")))
-          .select(col("doc_id"), explode(Text.shingles(col("tk"))).as("sh"))
-        val df = shs.groupBy("sh").agg(count(lit(1)).as("nd"))
-        shs.join(df, Seq("sh"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_shingles"),
-            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        val base = shingled(s, dir).filter(size(col("sh")) > 0)
+        val shs = base.select(col("doc_id"), explode(col("sh")).as("sh"))
+        val dup = shs.groupBy("sh").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2).select("sh")
+        val perDoc = shs.join(dup, Seq("sh"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+        base.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_dup"))
           .select(col("doc_id"), col("n_shingles"), col("n_dup"),
             expr("(n_dup * 1000000) div n_shingles").as("dup_micro"))
           .orderBy("doc_id")
@@ -3234,9 +3247,7 @@ object LlmData {
     // embarrassingly parallel.
     "x61_bpe_merge" -> Q(
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-          .withColumn("tk", Text.tokens(col("text")))
-          .filter(size(col("tk")) >= 2)
+        val docs = tokStaged(s, dir).filter(size(col("tk")) >= 2)
         // the pick reuses x50's EXACT counting pipeline (bigramCounts)
         val top = bigramCounts(docs)
           .orderBy(desc("n"), asc("pair"))
