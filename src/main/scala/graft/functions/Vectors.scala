@@ -31,6 +31,13 @@ object Vectors {
     * above and to the DuckDB oracle folds.
     */
   def dotFused(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Exact integer dot over two `array<bigint>` columns → DECIMAL(38,0)
+    * (graft.plans.DotDecimal): the array-local form of the exploded
+    * `sum(CAST(a AS DECIMAL(38,0)) * b)` aggregate the embedding-audit
+    * family scores with — long fast path, exact BigInteger fallback on
+    * overflow, null on mismatch/null-element/38-digit overflow. */
+  def dotDec(a: Column, b: Column): Column = call_function("graft_dot_dec", a, b)
   def normFused(a: Column): Column = sqrt(dotFused(a, a))
   def cosineFused(a: Column, b: Column): Column =
     dotFused(a, b) / (normFused(a) * normFused(b))

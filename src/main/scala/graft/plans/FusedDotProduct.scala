@@ -128,6 +128,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the performance (see FuseDotProductRule)
     ext.injectOptimizerRule(_ => FuseDotProductRule)
     ext.injectFunction((
+      new FunctionIdentifier("graft_dot_dec"),
+      new ExpressionInfo(classOf[DotDecimal].getName, "graft_dot_dec"),
+      (children: Seq[Expression]) => {
+        requireArity("graft_dot_dec", children, 2)
+        DotDecimal(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FusedDotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => {
