@@ -3080,34 +3080,30 @@ object LlmData {
     // ── X5g: skip-gram co-occurrence pairs (word2vec data prep) ───────
     // (center, context) counts within a symmetric ±2 token window — the
     // counting stage embedding training consumes. The window NEVER
-    // becomes a per-document cross join: the center side explodes to
-    // (doc_id, pos+k) probe keys map-side (bounded ×2 row growth) and
-    // the join is pure (doc_id, position) EQUALITY — one shuffle,
-    // hash-joinable, skew bounded by document length. Symmetry comes
-    // from emitting both orientations of each positive-offset pair,
-    // which halves the join size vs probing k ∈ {-2,-1,1,2}.
+    // becomes a per-document cross join — and (r11) never a JOIN at
+    // all: a skip-gram pair lives entirely inside one token array, so
+    // both offsets generate ARRAY-LOCALLY as zip_with over shifted
+    // slices (the bigramsFromTokens slice pattern, offset 2 added) and
+    // the only shuffle left is the pair-count aggregate itself. The
+    // r10 shape — posexplode staging + ×2 probe-key explode +
+    // (doc_id, position) equality join — produced exactly this pair
+    // multiset with one extra shuffle and a persisted position table;
+    // measured 3.9 s warm at sf1, all join overhead. Symmetry still
+    // comes from emitting both orientations of each positive-offset
+    // pair; the empty-token rule (a pair survives iff BOTH tokens are
+    // non-empty) is the positional formulation's filter applied
+    // pairwise — same semantics, the oracle replays the join form.
     "x57_skipgram_pairs" -> Q(
       (s, dir) => {
-        // both sides of the positional self-join read the token table;
-        // memoize+persist so the scan + tokenize + posexplode runs once
-        // (the x22 signature-table discipline — a bench-cadence cost,
-        // and at corpus scale the token table is the natural thing to
-        // materialize anyway)
-        val tp = memoized(s, "x57-tokpos", dir) {
-          tokStaged(s, dir)
-            .select(col("doc_id"),
-              posexplode(col("tk")).as(Seq("pos", "tok")))
-            .filter(length(col("tok")) > 0)
-            .persist()
-        }
-        val centers = tp
-          .select(col("doc_id"), col("tok").as("center"), col("pos"),
-            explode(array(lit(1), lit(2))).as("k"))
-          .select(col("doc_id"), col("center"), (col("pos") + col("k")).as("ppos"))
-        val pos = centers.join(
-            tp.select(col("doc_id"), col("pos").as("ppos"), col("tok").as("context")),
-            Seq("doc_id", "ppos"))
-          .select(col("center"), col("context"))
+        val n = size(col("tk"))
+        def shifted(off: Int) = zip_with(
+          slice(col("tk"), lit(1), greatest(n - off, lit(0))),
+          slice(col("tk"), lit(1 + off), greatest(n - off, lit(0))),
+          (a, b) => struct(a.as("center"), b.as("context")))
+        val pos = tokStaged(s, dir)
+          .select(explode(concat(shifted(1), shifted(2))).as("p"))
+          .select(col("p.center").as("center"), col("p.context").as("context"))
+          .filter(length(col("center")) > 0 && length(col("context")) > 0)
         pos.unionByName(pos.select(col("context").as("center"), col("center").as("context")))
           .groupBy("center", "context").agg(count(lit(1)).as("n"))
           .orderBy(desc("n"), asc("center"), asc("context"))
