@@ -3204,7 +3204,7 @@ object LlmData {
     // the inner-join formulation the oracle replays.
     "x60_dup_ngram_frac" -> Q(
       (s, dir) => {
-        val base = shingled(s, dir).filter(size(col("sh")) > 0)
+        val base = shingled(s, dir)
         val shs = base.select(col("doc_id"), explode(col("sh")).as("sh"))
         val dup = shs.groupBy("sh").agg(count(lit(1)).as("nd"))
           .filter(col("nd") >= 2).select("sh")
@@ -5187,7 +5187,15 @@ object LlmData {
     // sub-second warm at sf1 across the three shapes, same
     // exact-integer answer; DotDecimalSpec pins kernel ≡ decimal-agg).
     // A bounded stack() unpivot feeds the 10-row argmax windows;
-    // ≤|labels|² output.
+    // ≤|labels|² output. Null contract (r11 change of behavior, noted
+    // per ADVICE): graft_dot_dec poisons a row to NULL on ANY null
+    // embedding element, where the old decimal aggregate silently
+    // summed the non-null dims — a vector with a null element now gets
+    // NULL nv/cos and sorts LAST in the argmax (excluded, in effect)
+    // rather than being scored on a partial dot. Corpus embeddings are
+    // dense 64-dim with no nulls, so no registered fixture reaches it;
+    // if real data could carry null elements, filter or impute them
+    // BEFORE this query — partial-dim scoring is not what it computes.
     "x116_centroid_confusion" -> Q(
       (s, dir) => {
         // the label-centroid "model" (sums, norms, label list) is a

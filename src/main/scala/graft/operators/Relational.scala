@@ -661,16 +661,7 @@ object Relational {
     // filter on the date.
     "q49_partition_prune" -> Q(
       (s, dir) => {
-        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-        val tbl = s"graft_p_events_$tag"
-        LlmData.tableOnce(bucketMemo, s, dir + "#part")({
-          t(s, dir, "events")
-            .withColumn("event_date", to_date(col("ts")))
-            .write.mode("overwrite").format("parquet")
-            .partitionBy("event_date").saveAsTable(tbl)
-          tbl
-        })
-        s.table(tbl)
+        s.table(partitionedEvents(s, dir))
           .filter(col("event_date") === lit("2024-01-15").cast("date"))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),
@@ -719,8 +710,99 @@ object Relational {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
              |FROM documents GROUP BY 1 ORDER BY source""".stripMargin),
-      "paged REST twin read through the graft-pages DSv2 connector: page = input partition, pruned decode, keyed agg")
+      "paged REST twin read through the graft-pages DSv2 connector: page = input partition, pruned decode, keyed agg"),
+
+    // ── Dynamic partition pruning over the q49 layout (q51) ──────────
+    // The runtime leg of the pruning family, and the classic 100 TB
+    // star-join lever: q49 proves STATIC pruning (a literal date
+    // resolves against the partition listing at plan time); q51 joins
+    // the same date-partitioned fact against a calendar DIMENSION
+    // whose filter (`day_kind = 'focus'`) only yields its matching
+    // dates at RUNTIME — no literal date appears anywhere in the
+    // query, so static pruning is impossible by construction. Spark's
+    // PartitionPruning rule plants a DynamicPruningSubquery on the
+    // fact scan's partition column: the dim-side broadcast that the
+    // join needs anyway is REUSED as the pruning subquery (free — the
+    // reuseBroadcastOnly default), its result becomes an IN filter
+    // against the partition LISTING, and only the matching day
+    // directories are ever opened. At 100 TB this is the
+    // daily-fact ⋈ filtered-dim report shape: without DPP the fact
+    // side reads every partition and throws 90% of it away post-join;
+    // with DPP the scan opens 3 of 30 day directories before a single
+    // non-matching row decodes. PlanAuditSpec pins
+    // `dynamicpruningexpression` inside the fact scan's
+    // PartitionFilters AND measures the executed files/partitions
+    // delta against a DPP-disabled run of the identical query.
+    // The dim derives once at staging from the events table itself
+    // (distinct event_date + a day_kind attribute written INTO the
+    // table — the predicate's matching dates live in table data, not
+    // in any expression Catalyst could constant-fold).
+    "q51_dynamic_partition_prune" -> Q(
+      (s, dir) => {
+        val fact = s.table(partitionedEvents(s, dir))
+        val dim = s.table(calendarDim(s, dir))
+          .filter(col("day_kind") === lit("focus"))
+        fact.join(broadcast(dim), Seq("event_date"))
+          .groupBy("event_date", "event_type")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct("user_id").as("n_users"),
+            sumCents(col("value")).as("sum_value"))
+          .orderBy("event_date", "event_type")
+      },
+      Some("""WITH dim AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS event_date,
+             |    CASE WHEN day(CAST(ts AS DATE)) % 10 = 5
+             |         THEN 'focus' ELSE 'regular' END AS day_kind
+             |  FROM events)
+             |SELECT e.event_date, e.event_type,
+             |  count(*) AS n_events,
+             |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+             |  sum(CAST(round(e.value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+             |FROM (SELECT CAST(ts AS DATE) AS event_date, event_type, user_id,
+             |        value FROM events) e
+             |JOIN dim ON e.event_date = dim.event_date
+             |WHERE dim.day_kind = 'focus'
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "dynamic partition pruning: runtime dim filter becomes a DynamicPruningSubquery on the fact's partition listing — 3/30 day directories opened, broadcast reused as the pruning subquery")
   )
+
+  /** q49/q51 shared physical layout: events as a catalog table
+    * partitioned by `event_date` — derived ONCE at write under the UTC
+    * session (deriving at read would filter post-scan and open every
+    * partition). One layout write per (session, corpus) via the same
+    * stamped registry as the bucketed tables. */
+  private def partitionedEvents(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_p_events_$tag"
+    LlmData.tableOnce(bucketMemo, s, dir + "#part")({
+      t(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("event_date").saveAsTable(tbl)
+      tbl
+    })
+  }
+
+  /** q51's calendar dimension: one row per distinct event day with a
+    * `day_kind` attribute materialized INTO the table (day-of-month
+    * ≡ 5 mod 10 → 'focus'), so the focus dates are facts in table
+    * data that only a runtime subquery can surface — the shape
+    * dynamic partition pruning exists for. Dimension-sized (≤ one row
+    * per day) at any corpus scale. */
+  private def calendarDim(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_p_caldim_$tag"
+    LlmData.tableOnce(bucketMemo, s, dir + "#caldim")({
+      t(s, dir, "events")
+        .select(to_date(col("ts")).as("event_date")).distinct()
+        .withColumn("day_kind",
+          when(dayofmonth(col("event_date")) % 10 === 5, lit("focus"))
+            .otherwise(lit("regular")))
+        .coalesce(1)
+        .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+      tbl
+    })
+  }
 
   /** Bucketed-table build registry for q47 — one layout write per
     * (session, corpus), shared lifecycle with the other index memos

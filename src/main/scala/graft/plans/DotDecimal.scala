@@ -33,6 +33,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, Decimal, DecimalType, Lo
   * Null contract matches [[FusedDotProduct]] (and the HOF chain): null
   * arrays propagate null, a null ELEMENT poisons the row to null, and
   * a length mismatch is null rather than a truncated plausible value.
+  *
+  * One divergence from the exploded aggregate: two EMPTY arrays yield
+  * Decimal(0) here, where posexplode+sum produces no row at all (a
+  * grouped NULL sum). No registered caller can reach it (x116's
+  * embeddings are fixed 64-dim) and DotDecimalSpec pins the 0, but a
+  * caller relying on "same as the agg" over possibly-empty vectors
+  * must handle that edge itself.
   */
 case class DotDecimal(left: Expression, right: Expression)
     extends BinaryExpression {
