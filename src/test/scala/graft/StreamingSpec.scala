@@ -900,6 +900,77 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == before)
   }
 
+  test("BM25 serve floor: an under-filled corpus slate admits every scoring arrival") {
+    import graft.operators.LlmData
+    import spark.implicits._
+    // Corpus with only 3 docs matching any query term: the frozen
+    // top-20 slate cannot fill, so the admission floor must collapse to
+    // MinValue — an index refresh would surface ANY scoring arrival.
+    // This is the guard for the r11 under-filled-slate fix
+    // (bm25FrozenServe's n_slate < k branch): a plain min() floor
+    // regression would reject the weak arrival below (and NULL-3VL the
+    // verdict on an empty slate).
+    val dir = tmp("bm25-tiny-corpus")
+    Seq(
+      (0L, "spark join window stream vector customer", "en", "anchor", 40L),
+      (1L, "spark spark join analytics", "en", "src_a", 26L),
+      (2L, "window stream pipeline", "en", "src_a", 22L),
+      (3L, "customer vector report", "en", "src_b", 22L),
+      (4L, "granite pebble shale quartz", "en", "src_b", 27L),
+      (5L, "alpha beta gamma delta epsilon", "en", "src_b", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val slate = LlmData.bm25TopK(spark, dir, 20).collect()
+    assert(slate.length == 3, s"fixture: slate must under-fill, got ${slate.length}")
+    val minCorpus = slate.map(_.getLong(2)).min
+    // the weak arrival: ONE query-term hit diluted across a long
+    // document — BM25 length normalization puts it strictly below
+    // every corpus doc, so only the collapsed floor admits it
+    val weak = Seq((900001L,
+      "spark " + Seq.tabulate(60)(i => s"w$i").mkString(" "),
+      "en", "src_stream", 300L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val served = LlmData.bm25FrozenServe(spark, dir)(weak).collect()
+    assert(served.length == 1)
+    assert(served.head.getAs[Long]("bm25_micro") < minCorpus,
+      "fixture: the arrival must score below the weakest corpus doc or this test proves nothing")
+    assert(served.head.getAs[Boolean]("enters_topk"),
+      "under-filled slate: every scoring arrival must admit — a min() floor rejects this doc")
+  }
+
+  test("BM25 serve gate scores a doc_id-0 arrival (corpus staging filter must not leak into serve)") {
+    import graft.operators.LlmData
+    import spark.implicits._
+    // The corpus staging excludes ITS OWN id-0 query-anchor row — a
+    // corpus concern. The serve path must score every arriving doc,
+    // id 0 included: the r11 fix moved the filter from bm25Tf (shared
+    // by serve batches) up into bm25Staged (corpus-only); this pins
+    // the placement end-to-end through the streaming gate.
+    val src = tmp("bm25-zero-src"); val out = tmp("bm25-zero-out")
+    val ckpt = tmp("bm25-zero-ckpt")
+    val batch = Seq(
+      (0L, "spark join window customer", "en", "src_stream", 26L),
+      (7L, "stream vector", "en", "src_stream", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val stage = tmp("bm25-zero-stage")
+    batch.coalesce(1).write.mode("overwrite").parquet(stage)
+    Files.copy(firstParquet(stage), Paths.get(src, "drop_a.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    EventStream.bm25ServeGate(spark, src, ckpt, out, sf0001).awaitTermination()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hit"), r.getAs[Long]("bm25_micro"),
+          r.getAs[Boolean]("enters_topk"))).toMap
+    assert(rows.contains(0L), "doc_id 0 must score on the serve path")
+    assert(rows(0L)._1 == 4L, "all four query terms must hit the id-0 arrival")
+    assert(rows.contains(7L))
+    // and the gate agrees with the batch serve twin on every row
+    val twin = LlmData.bm25ServeScore(spark, batch, sf0001)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows == twin, "stream and batch scorer must agree, id-0 row included")
+  }
+
   test("streamed PQ code append equals the batch x75 table and is restart-durable") {
     // the PQ half of the streamed maintenance loop: same delivery
     // contract as the IVF test above, different payload (frozen-
