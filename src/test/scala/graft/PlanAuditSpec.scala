@@ -75,6 +75,15 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q20_map_access")
     assert("from_json".r.findAllIn(p).size <= 1,
       "the r2/r3 double-parse regression (two JsonToStructs in one Project) must not return")
+    // r12: the parse must sit ABOVE the global sort (project-after-sort).
+    // With the parse below the sort, the range-partitioner's sampling
+    // pass executes the Jackson parse a second time over every row —
+    // measured 4× the whole query at sf1. Top-down plan text ⇒ the
+    // parse's Project must print before the Sort node it follows.
+    val iJson = p.indexOf("from_json")
+    val iSort = p.indexOf("Sort [event_id")
+    assert(iJson >= 0 && iSort >= 0 && iJson < iSort,
+      s"from_json must evaluate after the sort (found json@$iJson sort@$iSort)")
   }
 
   test("x24: brute-force cosine broadcasts the query vector only") {
