@@ -102,6 +102,18 @@ object Bench {
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
     catch { case NonFatal(_) => () } // logging backend is not the contract
+    // Same treatment for the iterative-loop unpersist WARN (r11 verdict
+    // #7): the fixpoint queries (q31 pagerank, x36 components) release
+    // their OWN localCheckpoint'ed round RDDs once the next round is
+    // checkpointed — "lineage truncated, cannot be recomputed after
+    // unpersisting" is the INTENDED lifecycle (those RDDs are never
+    // recomputed), but it printed 67 scary-benign WARNs into the r11
+    // driver artifact tail. ComponentsSpec pins the release discipline;
+    // the logger adds nothing the spec doesn't already prove.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case NonFatal(_) => () }
     // Session warmup: absorb the one-time init (executor threads,
     // parquet footer reads, OS page cache, codegen bootstrap, noop-sink
     // lookup) for EVERY table — otherwise each table's cold first read
@@ -241,7 +253,22 @@ object Bench {
     // on a contended box and the artifact self-adjudicates — no
     // cross-commit rerun needed; high-after alone says the query's own
     // 32 threads are the load, which is normal.
+    // Cold-phase quiescence (r11 verdict #6): the retry phases got the
+    // GC+drain treatment in r11, but cold samples still landed on the
+    // PREVIOUS query's async cleanup backlog (ContextCleaner broadcast/
+    // shuffle removals after clearMemo, finalizers) — the r11 driver
+    // artifact read x100 at 20.3 s cold with a 3.2 s retry purely from
+    // suite backlog + box load. A short drain before each cold sample
+    // removes the suite's own half of that confound; the full 2 s
+    // quiesce stays for the retry phases where one stale reading would
+    // decide arbitration. Budget: ~0.3 s × registry ≈ 45 s of wall the
+    // measurements don't count (drain runs OUTSIDE the timed window).
+    def drain(): Unit = {
+      System.gc()
+      Thread.sleep(300)
+    }
     val detailed = selected.map { case (name, fn) =>
+      drain()
       val lc = load1()
       val cold = timed(fn)
       val warm = timed(fn)
