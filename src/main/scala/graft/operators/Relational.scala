@@ -773,7 +773,64 @@ object Relational {
              |JOIN dim ON e.event_date = dim.event_date
              |WHERE dim.day_kind = 'focus'
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      "dynamic partition pruning: runtime dim filter becomes a DynamicPruningSubquery on the fact's partition listing — 3/30 day directories opened, broadcast reused as the pruning subquery")
+      "dynamic partition pruning: runtime dim filter becomes a DynamicPruningSubquery on the fact's partition listing — 3/30 day directories opened, broadcast reused as the pruning subquery"),
+
+    // ── DSv2 limit pushdown into the paged reader (q52) ──────────────
+    // Completes the graft-pages pushdown triad (columns q50, page-grain
+    // filters q50, now LIMIT): the pushed cap reaches PageReader, so a
+    // `LIMIT 42` against 100-row pages decodes 42 rows of the one page
+    // Spark's incremental limit execution launches — at a 10^6-page
+    // endpoint that is O(1) GETs and O(k) decoded rows, vs draining
+    // pages whole and discarding. PARTIAL pushdown by contract (pages
+    // are independent partitions; Spark keeps the global limit on
+    // top), which is why the count-of-limited-rows is the one
+    // deterministic observable: WHICH rows survive an unordered LIMIT
+    // is planner-dependent in Spark and DuckDB alike, but the COUNT is
+    // exact on both. PageSourceSpec pins the reader-level truncation
+    // (executed scan rows == k, not page size) and the description
+    // marker; the registered query pins end-to-end semantics.
+    "q52_pages_limit_pushdown" -> Q(
+      (s, dir) => {
+        val staged = LlmData.tableOnce(bucketMemo, s, dir + "#pages")(
+          graft.sources.PageSource.stageDocuments(s, dir))
+        s.read.format("graft-pages")
+          .option("path", staged)
+          .option("schema", graft.sources.PageSource.DDL)
+          .load()
+          .select("doc_id")
+          .limit(42)
+          .agg(count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT count(*) AS n_rows
+             |FROM (SELECT doc_id FROM documents LIMIT 42) t""".stripMargin),
+      "pushed LIMIT reaches the paged reader: one page launched, 42 rows decoded, global limit re-applied by Spark"),
+
+    // ── DSv2 count(*) aggregate pushdown (q53) ───────────────────────
+    // The metadata-count lever parquet answers from row-group stats,
+    // expressed for the paged layout: a bare COUNT(*) swaps the row
+    // scan for PageCountScan — each page partition emits ONE partial
+    // count, counted at the LINE level (record ≙ line by the framing
+    // contract) with zero field decode, zero UTF8String allocation —
+    // and Spark's final aggregate merges the partials. At a 10^6-page
+    // corpus the count costs a byte-stream pass with no per-field
+    // work, and the plan carries no row-shaped exchange at all.
+    // Partial pushdown (multi-partition source); refused the moment a
+    // filter or grouping appears, because page-grain filter pruning is
+    // LOSSY (residual re-check) and a count over a lossy scan would
+    // count rows the residual was meant to drop — PageSourceSpec pins
+    // both the fast path and the refusal.
+    "q53_pages_count_pushdown" -> Q(
+      (s, dir) => {
+        val staged = LlmData.tableOnce(bucketMemo, s, dir + "#pages")(
+          graft.sources.PageSource.stageDocuments(s, dir))
+        s.read.format("graft-pages")
+          .option("path", staged)
+          .option("schema", graft.sources.PageSource.DDL)
+          .load()
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some("SELECT count(*) AS n_docs FROM documents"),
+      "count(*) pushed to the connector: line-count partials per page, zero field decode, final merge in Spark")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table

@@ -25,10 +25,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * (metadata), it never touches payload. That is the same
   * control/data-plane split every production REST connector makes,
   * expressed through the public DSv2 API so Catalyst sees a real
-  * table: column pruning reaches the reader
-  * (SupportsPushDownRequiredColumns — `ReadSchema` in explain shows
-  * exactly the pruned columns, plan-audited in PageSourceSpec), and
-  * everything downstream is ordinary Spark.
+  * table with the full pushdown surface: column pruning reaches the
+  * reader (SupportsPushDownRequiredColumns — `ReadSchema` in explain
+  * shows exactly the pruned columns), doc_id ranges prune whole pages
+  * (SupportsPushDownFilters, lossy page grain + residual), LIMIT caps
+  * the per-page decode (SupportsPushDownLimit, partial), and a bare
+  * COUNT(*) swaps to a line-count scan with zero field decode
+  * (SupportsPushDownAggregates) — each leg plan-audited in
+  * PageSourceSpec; everything downstream is ordinary Spark.
   *
   * The "endpoint" here is a staged page DIRECTORY (one subdir per
   * page, `page=<n>/`, US-delimited records — the x94 sentinel-framing
@@ -84,12 +88,16 @@ final class PageTable(declared: StructType, path: String) extends Table with Sup
 final class PageScanBuilder(full: StructType, path: String,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
   private var required: StructType = full
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
   private var accepted: Array[Filter] = Array.empty
+  private var limit: Int = -1
+  private var countOnly = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -127,7 +135,44 @@ final class PageScanBuilder(full: StructType, path: String,
   }
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new PageScan(full, required, path, conf, lo, hi)
+  /** LIMIT reaches the reader: a paged endpoint serving 100-row pages
+    * should decode 7 rows for a `LIMIT 7`, not the whole page — the
+    * reader stops emitting at the pushed cap. PARTIALLY pushed by
+    * contract: pages are independent partitions, so the cap is
+    * per-page (a global limit needs cross-partition coordination the
+    * source cannot do) and Spark keeps its own global limit on top.
+    * The global win is Spark's own incremental limit execution: with
+    * each launched reader capped, a `LIMIT k` over a 10^6-page corpus
+    * runs O(1) GETs and decodes O(k) rows total. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** COUNT(*) answers from the frame layout, not the data: one record
+    * ≙ one line by the staging contract, so a count-only scan COUNTS
+    * LINES — zero field decode, zero UTF8String allocation — and emits
+    * one partial count per page for Spark's final merge (partial
+    * pushdown; page space is the parallelism, same as row scans).
+    * Refused for anything beyond a bare global COUNT(*): grouped
+    * aggregates would need in-reader grouping, and any pushed filter
+    * is page-GRAIN (lossy, residual re-check) — a count over a lossy
+    * scan would count rows the residual filter was meant to drop.
+    * Spark's pushdown rule already blocks the residual-Filter case
+    * structurally (aggregates only push when no Filter remains above
+    * the scan); the guard here keeps the invariant local and loud. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      accepted.isEmpty && lo == Long.MinValue && hi == Long.MaxValue && limit < 0
+    if (ok) countOnly = true
+    ok
+  }
+
+  override def build(): Scan =
+    if (countOnly) new PageCountScan(path, conf)
+    else new PageScan(full, required, path, conf, lo, hi, limit)
 }
 
 /** One staged page ≙ one input partition: the driver's planning cost
@@ -137,41 +182,40 @@ final class PageScanBuilder(full: StructType, path: String,
   * scheduler is the rate limiter, which is the point. */
 final class PageScan(full: StructType, required: StructType, path: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    lo: Long = Long.MinValue, hi: Long = Long.MaxValue)
+    lo: Long = Long.MinValue, hi: Long = Long.MaxValue, limit: Int = -1)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftPages path=$path pruned=${required.fieldNames.mkString(",")}" +
-      (if (lo != Long.MinValue || hi != Long.MaxValue) s" keyrange=[$lo,$hi]" else "")
+      (if (lo != Long.MinValue || hi != Long.MaxValue) s" keyrange=[$lo,$hi]" else "") +
+      (if (limit >= 0) s" limit=$limit" else "")
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf.value)
-    // page id → key interval needs the endpoint's page size — API
-    // contract metadata the stager records once; absent (foreign
-    // layout) ⇒ no page pruning, every page planned
-    val pageSize: Option[Long] = {
-      val m = new org.apache.hadoop.fs.Path(path, PageSource.MetaFile)
-      if (fs.exists(m)) {
-        val in = fs.open(m)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-        finally in.close()
-      } else None
-    }
-    fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("page="))
-      .filter { s =>
-        val page = s.getPath.getName.stripPrefix("page=").toLong
-        pageSize.forall(ps => page * ps <= hi && page * ps + ps - 1 >= lo)
-      }
-      .sortBy(s => s.getPath.getName.stripPrefix("page=").toLong)
-      .map(s => PagePartition(s.getPath.toString): InputPartition)
-      .toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    PageSource.planPages(path, conf, lo, hi)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PageReaderFactory(full, required, conf)
+    new PageReaderFactory(full, required, conf, limit)
+}
+
+/** COUNT(*)-only scan: the pushed-aggregate twin of [[PageScan]]. Each
+  * page partition emits ONE row — its line count (record ≙ line by the
+  * framing contract) — and Spark's final aggregate merges the partials;
+  * no field is ever split, decoded, or allocated. The paged-API analog
+  * of answering `count(*)` from parquet row-group metadata. */
+final class PageCountScan(path: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(org.apache.spark.sql.types.StructField(
+      "count_star", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftPages path=$path agg=count(*) (line count per page, zero field decode)"
+  override def planInputPartitions(): Array[InputPartition] =
+    PageSource.planPages(path, conf, Long.MinValue, Long.MaxValue)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PageCountReaderFactory(conf)
 }
 
 final case class PagePartition(pageDir: String) extends InputPartition
@@ -205,6 +249,37 @@ object PageSource {
     * doc_id interval for plan-time page pruning. Underscore-prefixed
     * so the data reader skips it like _SUCCESS. */
   val MetaFile = "_graft_page_size"
+
+  /** Shared partition planning for row and count scans: one directory
+    * listing (page COUNT metadata, never payload), key-interval page
+    * pruning when a doc_id range was pushed and the layout records its
+    * page size. */
+  private[sources] def planPages(path: String,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      lo: Long, hi: Long): Array[InputPartition] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf.value)
+    // page id → key interval needs the endpoint's page size — API
+    // contract metadata the stager records once; absent (foreign
+    // layout) ⇒ no page pruning, every page planned
+    val pageSize: Option[Long] = {
+      val m = new org.apache.hadoop.fs.Path(path, MetaFile)
+      if (fs.exists(m)) {
+        val in = fs.open(m)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+        finally in.close()
+      } else None
+    }
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("page="))
+      .filter { s =>
+        val page = s.getPath.getName.stripPrefix("page=").toLong
+        pageSize.forall(ps => page * ps <= hi && page * ps + ps - 1 >= lo)
+      }
+      .sortBy(s => s.getPath.getName.stripPrefix("page=").toLong)
+      .map(s => PagePartition(s.getPath.toString): InputPartition)
+      .toArray
+  }
 
   /** Stage `documents` under a fresh scratch dir as `page=<n>/` text
     * files; returns the staged directory. One write per (session,
@@ -250,10 +325,49 @@ object PageSource {
 }
 
 final class PageReaderFactory(full: StructType, required: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration, limit: Int = -1)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PageReader(partition.asInstanceOf[PagePartition].pageDir, full, required,
+      conf, limit)
+}
+
+final class PageCountReaderFactory(
     conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PageReader(partition.asInstanceOf[PagePartition].pageDir, full, required, conf)
+    new PageCountReader(partition.asInstanceOf[PagePartition].pageDir, conf)
+}
+
+/** Pushed-COUNT(*) reader: one partial count per page, counted at the
+  * LINE level (the framing contract: one record ≙ one line) with no
+  * field split or decode on any row. */
+final class PageCountReader(pageDir: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
+  private var done = false
+  private var count = 0L
+
+  override def next(): Boolean = {
+    if (done) return false
+    val fs = new org.apache.hadoop.fs.Path(pageDir).getFileSystem(conf.value)
+    fs.listStatus(new org.apache.hadoop.fs.Path(pageDir))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .foreach { s =>
+        val in = fs.open(s.getPath)
+        try {
+          val it = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          while (it.hasNext) { it.next(); count += 1 }
+        } finally in.close()
+      }
+    done = true
+    true
+  }
+  override def get(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](count))
+  override def close(): Unit = ()
 }
 
 /** Executor-side page fetch + decode: reads every record file of ONE
@@ -262,7 +376,7 @@ final class PageReaderFactory(full: StructType, required: StructType,
   * paged REST body could never push down, done here before rows ever
   * materialize. Decode is index-addressed (no regex, no JSON). */
 final class PageReader(pageDir: String, full: StructType, required: StructType,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration, limit: Int = -1)
     extends PartitionReader[InternalRow] {
   // decode plan hoisted out of the line loop: parallel primitive
   // arrays (field index + a long/string flag), no per-row tuple or
@@ -285,6 +399,10 @@ final class PageReader(pageDir: String, full: StructType, required: StructType,
   private var open: java.io.InputStream = _
   private var lines: Iterator[String] = Iterator.empty
   private var current: InternalRow = _
+  // pushed-limit cap (per page — PARTIAL pushdown; Spark applies the
+  // global limit): a LIMIT k over 100-row pages decodes k rows, not
+  // the whole page, and stops mid-stream like an aborted HTTP body
+  private var emitted = 0
 
   private def nextLine(): Option[String] = {
     while (!lines.hasNext && files.hasNext) {
@@ -295,7 +413,8 @@ final class PageReader(pageDir: String, full: StructType, required: StructType,
     if (lines.hasNext) Some(lines.next()) else None
   }
 
-  override def next(): Boolean = nextLine() match {
+  override def next(): Boolean = if (limit >= 0 && emitted >= limit) false
+  else nextLine() match {
     case Some(line) =>
       // limit -1 keeps trailing empty fields (a record whose LAST
       // field is empty must not shift its arity)
@@ -317,6 +436,7 @@ final class PageReader(pageDir: String, full: StructType, required: StructType,
         i += 1
       }
       current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+      emitted += 1
       true
     case None => false
   }

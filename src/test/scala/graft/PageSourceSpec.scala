@@ -132,6 +132,63 @@ class PageSourceSpec extends SparkSpec {
       s"expected the arity guard, got $e")
   }
 
+  test("pushed LIMIT truncates inside the reader, not after the decode") {
+    val df = readPages(staged).select("doc_id").limit(3)
+    // plan: the pushed cap reaches the scan (optimizer-time rewrite)
+    val scans = df.queryExecution.sparkPlan.collectLeaves()
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    assert(scans.length == 1 && scans.head.scan.description().contains("limit=3"),
+      s"expected the pushed limit in the scan description, got ${scans.map(_.scan.description())}")
+    // end-to-end: Spark's global limit still applies (partial pushdown)
+    assert(df.collect().length == 3)
+    // reader contract, pinned directly: a page holds pageSize=8 rows,
+    // a reader capped at 3 must emit exactly 3 — the per-GET early
+    // stop that makes LIMIT k O(k) decoded rows at a 10^6-page corpus
+    val pageDir = new java.io.File(staged).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("page=")).head.toString
+    val full = org.apache.spark.sql.types.StructType.fromDDL(PageSource.DDL)
+    val factory = new graft.sources.PageReaderFactory(full, full,
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()), limit = 3)
+    val reader = factory.createReader(graft.sources.PagePartition(pageDir))
+    var n = 0
+    while (reader.next()) n += 1
+    reader.close()
+    assert(n == 3, s"capped reader must stop at the pushed limit, emitted $n")
+  }
+
+  test("bare count(*) swaps to the line-count scan — zero field decode") {
+    val df = readPages(staged).agg(count(lit(1)).as("n_docs"))
+    val scans = df.queryExecution.sparkPlan.collectLeaves()
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    assert(scans.length == 1 && scans.head.scan.description().contains("agg=count(*)"),
+      s"expected PageCountScan, got ${scans.map(_.scan.description())}")
+    assert(scans.head.scan.readSchema().length == 1,
+      "count scan must read the single partial-count column, no data fields")
+    val expect = Tables.load(spark, sf0001, "documents").count()
+    assert(df.collect().head.getLong(0) == expect && expect > 0)
+  }
+
+  test("count(*) pushdown refused when a filter or grouping is present (lossy page grain)") {
+    // filtered count: page pruning is lossy (residual re-check), so the
+    // count MUST ride the row scan — a pushed count would tally rows
+    // the residual filter drops
+    val filtered = readPages(staged)
+      .filter(col("doc_id") >= 17L && col("doc_id") < 25L)
+      .agg(count(lit(1)).as("n"))
+    val fScans = filtered.queryExecution.sparkPlan.collectLeaves()
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    assert(fScans.forall(!_.scan.description().contains("agg=count(*)")))
+    val expect = Tables.load(spark, sf0001, "documents")
+      .filter(col("doc_id") >= 17L && col("doc_id") < 25L).count()
+    assert(filtered.collect().head.getLong(0) == expect && expect > 0)
+    // grouped count: in-reader grouping is not offered; row scan again
+    val grouped = readPages(staged).groupBy("source").agg(count(lit(1)).as("n"))
+    val gScans = grouped.queryExecution.sparkPlan.collectLeaves()
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    assert(gScans.forall(!_.scan.description().contains("agg=count(*)")))
+  }
+
   test("empty-string fields keep arity through the frame (limit -1 split)") {
     import spark.implicits._
     val dir = graft.io.TempDirs.scratch("graft_pages_empty_")
