@@ -96,6 +96,14 @@ final class PageScanBuilder(full: StructType, path: String,
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
   private var accepted: Array[Filter] = Array.empty
+  // set whenever pushFilters saw ANY filter, accepted or not: a filter
+  // the builder ignores (e.g. lang = 'en') leaves lo/hi/accepted
+  // untouched, so without this flag pushAggregation's guard could not
+  // tell "no filters" from "only filters we didn't understand" — the
+  // count fast path must refuse BOTH (any surviving filter is page-
+  // grain/lossy territory; a count over a lossy scan would count rows
+  // the residual filter drops)
+  private var sawFilters = false
   private var limit: Int = -1
   private var countOnly = false
 
@@ -113,6 +121,7 @@ final class PageScanBuilder(full: StructType, path: String,
     * The interval model assumes NONNEGATIVE keys (truncate-toward-zero
     * `div` paging); the stager enforces doc_id >= 0 at write time. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (filters.nonEmpty) sawFilters = true
     def num(v: Any): Option[Long] = v match {
       case n: Number => Some(n.longValue)
       case _ => None
@@ -158,14 +167,18 @@ final class PageScanBuilder(full: StructType, path: String,
     * scan would count rows the residual filter was meant to drop.
     * Spark's pushdown rule already blocks the residual-Filter case
     * structurally (aggregates only push when no Filter remains above
-    * the scan); the guard here keeps the invariant local and loud. */
+    * the scan); the guard here keeps the invariant local and loud —
+    * `!sawFilters` (not just `accepted.isEmpty`) so a filter the
+    * builder didn't even recognize (which leaves accepted/lo/hi
+    * untouched) still refuses the fast path without leaning on
+    * Spark's structural rule. */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     val ok = agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions.head
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
-      accepted.isEmpty && lo == Long.MinValue && hi == Long.MaxValue && limit < 0
+      !sawFilters && limit < 0
     if (ok) countOnly = true
     ok
   }
@@ -212,8 +225,16 @@ final class PageCountScan(path: String,
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftPages path=$path agg=count(*) (line count per page, zero field decode)"
-  override def planInputPartitions(): Array[InputPartition] =
-    PageSource.planPages(path, conf, Long.MinValue, Long.MaxValue)
+  // An EMPTY layout (zero page= subdirs) must still emit ONE partial:
+  // Spark rewrites the final count as sum(partials), and sum over zero
+  // rows is NULL — the row-scan path would have answered 0. One
+  // sentinel partition (empty pageDir; the reader emits count 0
+  // without listing) keeps the two scan paths convergent on layouts
+  // the registered stager never produces but a foreign layout could.
+  override def planInputPartitions(): Array[InputPartition] = {
+    val pages = PageSource.planPages(path, conf, Long.MinValue, Long.MaxValue)
+    if (pages.isEmpty) Array(PagePartition("")) else pages
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new PageCountReaderFactory(conf)
 }
@@ -341,7 +362,17 @@ final class PageCountReaderFactory(
 
 /** Pushed-COUNT(*) reader: one partial count per page, counted at the
   * LINE level (the framing contract: one record ≙ one line) with no
-  * field split or decode on any row. */
+  * field split or decode on any row.
+  *
+  * CONTRACT DIVERGENCE, deliberate: this path TRUSTS the line-framing
+  * contract and performs no per-record arity check — on a corrupt
+  * layout it returns a line count the row scan ([[PageReader]]) would
+  * refuse with IllegalStateException. Corruption detection belongs to
+  * the write-time raise_error guard and to row scans; adding a field
+  * split here would reintroduce exactly the per-row decode the count
+  * fast path exists to skip. An empty pageDir ("") is the empty-layout
+  * sentinel from [[PageCountScan.planInputPartitions]]: emit 0 so the
+  * final sum(partials) is 0, not NULL. */
 final class PageCountReader(pageDir: String,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
@@ -350,6 +381,7 @@ final class PageCountReader(pageDir: String,
 
   override def next(): Boolean = {
     if (done) return false
+    if (pageDir.isEmpty) { done = true; return true } // sentinel: count stays 0
     val fs = new org.apache.hadoop.fs.Path(pageDir).getFileSystem(conf.value)
     fs.listStatus(new org.apache.hadoop.fs.Path(pageDir))
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_")

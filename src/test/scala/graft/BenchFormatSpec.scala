@@ -67,6 +67,25 @@ class BenchFormatSpec extends AnyFunSuite {
       s"prefix collision: ${keys.filter(_.contains("_")).mkString(",")}")
   }
 
+  test("env_contended calibration separates the r12 canonical/contaminated runs") {
+    // Threshold 0.375×cores = 12 on the 32-core box, pinned against the
+    // r12 run pair (the instrument's calibration data): the canonical
+    // run (load1 median 5.76, floor max 10.8) must flag NOTHING; the
+    // contaminated 03:41 run (median 13.88, floors to 25.9) must flag.
+    assert(Bench.floorThreshold(32) == 12.0)
+    // canonical run, worst row: floor 10.8 under a quiet-run median
+    assert(!Bench.envContended(32, runLoad1Median = 5.76, 10.8, 10.8))
+    // contaminated run, typical row: floor above threshold
+    assert(Bench.envContended(32, runLoad1Median = 13.88, 20.2, 13.4))
+    // the r12 x48 shape: 737.9 s cold with a LOW own-bracket (4.8/3.6)
+    // inside a contended run — the run-median leg must still flag it
+    assert(Bench.envContended(32, runLoad1Median = 13.88, 4.8, 3.6))
+    // high-AFTER alone is the query's own 32 threads, not contention
+    assert(!Bench.envContended(32, runLoad1Median = 5.0, 1.2, 31.0))
+    // failed load1 reads (-1) must not satisfy the floor leg
+    assert(!Bench.envContended(32, runLoad1Median = 5.0, -1.0, 31.0))
+  }
+
   test("line is valid JSON shape with the driver-contract fields") {
     val line = Bench.jsonLine(
       Seq("q01_top10_star_join" -> (0.26, 0.21), "x20_exact_dedup_groups" -> (-1.0, 0.2)),

@@ -201,4 +201,54 @@ class PageSourceSpec extends SparkSpec {
       r.getString(3), r.getLong(4))).toSeq ==
       Seq((1L, "", "en", "", 0L), (2L, "text", "de", "books", 4L)))
   }
+
+  test("count(*) refused at the BUILDER under an unrecognized filter (sawFilters leg)") {
+    // A filter the builder doesn't understand (lang = 'en') leaves
+    // accepted/lo/hi untouched — before r13 the builder-level guard
+    // would have accepted the count pushdown and safety rested solely
+    // on Spark's structural residual-Filter rule. Drive the builder
+    // directly to pin the refusal at OUR layer, not Spark's.
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+    val full = org.apache.spark.sql.types.StructType.fromDDL(PageSource.DDL)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val b = new graft.sources.PageScanBuilder(full, staged, conf)
+    val residual = b.pushFilters(Array(
+      org.apache.spark.sql.sources.EqualTo("lang", "en")))
+    assert(residual.length == 1 && b.pushedFilters().isEmpty,
+      "lang filter must be fully residual — nothing accepted")
+    val bare = new Aggregation(Array(new CountStar), Array.empty)
+    assert(!b.pushAggregation(bare),
+      "count(*) must be refused once ANY filter was seen, accepted or not")
+    // control: a fresh builder with no filters accepts the same aggregation
+    val clean = new graft.sources.PageScanBuilder(full, staged, conf)
+    assert(clean.pushAggregation(bare))
+    // end-to-end: the planned query rides the row scan
+    val df = readPages(staged).filter(col("lang") === "en")
+      .agg(count(lit(1)).as("n"))
+    val scans = df.queryExecution.sparkPlan.collectLeaves()
+      .collect { case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s }
+    assert(scans.forall(!_.scan.description().contains("agg=count(*)")))
+    val expect = Tables.load(spark, sf0001, "documents")
+      .filter(col("lang") === "en").count()
+    assert(df.collect().head.getLong(0) == expect && expect > 0)
+  }
+
+  test("count(*) over an EMPTY layout answers 0, not NULL (sentinel partial)") {
+    // Zero page= subdirs ⇒ zero partial rows ⇒ Spark's sum-of-partials
+    // rewrite would yield NULL where the row scan answers 0; the
+    // sentinel partition keeps the two scan paths convergent.
+    val dir = graft.io.TempDirs.scratch("graft_pages_none_") + "/pages"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(p)
+    val df = readPages(dir).agg(count(lit(1)).as("n"))
+    val scans = df.queryExecution.sparkPlan.collectLeaves()
+      .collect { case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s }
+    assert(scans.length == 1 && scans.head.scan.description().contains("agg=count(*)"),
+      "the pushdown itself still happens — the sentinel is a planning concern")
+    val row = df.collect().head
+    assert(!row.isNullAt(0) && row.getLong(0) == 0L,
+      s"empty-layout pushed count must be 0, got $row")
+  }
 }
