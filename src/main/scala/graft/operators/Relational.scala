@@ -830,7 +830,60 @@ object Relational {
           .agg(count(lit(1)).as("n_docs"))
       },
       Some("SELECT count(*) AS n_docs FROM documents"),
-      "count(*) pushed to the connector: line-count partials per page, zero field decode, final merge in Spark")
+      "count(*) pushed to the connector: line-count partials per page, zero field decode, final merge in Spark"),
+
+    // ── Storage-partitioned join through the DSv2 layer (q54) ────────
+    // The SPJ successor of q47: there the zero-Exchange fact⋈fact join
+    // rode Spark's own catalog bucketing (only tables Spark itself
+    // wrote can play); here the CONNECTOR reports its storage
+    // partitioning — `graft-keyed` scans return KeyGroupedPartitioning
+    // over identity(kb) with one HasPartitionKey partition per stored
+    // `k=<v>/` directory — and Catalyst aligns the two sides by
+    // partition VALUE, deleting both join shuffles AND the downstream
+    // keyed aggregate's. This is the Iceberg/Delta production shape: a
+    // doc-grain enrichment join (documents ⋈ per-doc token stats, both
+    // laid out by the materialized bucket surrogate kb = doc_id % 16)
+    // where neither side fits an executor at 100 TB, broadcast is
+    // off the table, and the only shuffle was paid once at
+    // layout-write time. Join keys (kb, doc_id) are a SUPERSET of the
+    // partition key, the bucketed-join norm — Spark accepts subset
+    // co-partitioning only under
+    // requireAllClusterKeysForCoPartition=false (set here; it relaxes
+    // a skew heuristic, never correctness: equal kb still implies the
+    // same partition on both sides). v2.bucketing.enabled turns the
+    // connector's report on; both confs are session-sticky and benign
+    // for every other registered plan (plan-audited globally).
+    // PlanAuditSpec pins zero Exchange across join AND aggregate;
+    // KeyedSourceSpec pins the report, the alignment, and the
+    // conf-off degradation. The orderBy+limit rides
+    // TakeOrderedAndProject like q47 (kb is exactly 16 buckets).
+    "q54_storage_partitioned_join" -> Q(
+      (s, dir) => {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        val base = keyedLayouts(s, dir)
+        val docs = s.read.format("graft-keyed")
+          .option("path", s"$base/docs")
+          .option("schema", "kb BIGINT, doc_id BIGINT, source STRING, n_chars BIGINT")
+          .option("key", "kb").load()
+        val tok = s.read.format("graft-keyed")
+          .option("path", s"$base/tok")
+          .option("schema", "kb BIGINT, doc_id BIGINT, n_tokens BIGINT")
+          .option("key", "kb").load()
+        docs.hint("merge").join(tok.hint("merge"), Seq("kb", "doc_id"))
+          .groupBy("kb")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            sum("n_tokens").as("sum_tokens"))
+          .orderBy("kb")
+          .limit(16)
+      },
+      Some("""SELECT doc_id % 16 AS kb, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+             |    AS BIGINT) AS sum_tokens
+             |FROM documents GROUP BY 1 ORDER BY kb LIMIT 16""".stripMargin),
+      "storage-partitioned join: DSv2 scans report KeyGroupedPartitioning, doc-grain enrichment join + keyed agg with zero Exchange")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table
@@ -870,6 +923,29 @@ object Relational {
       tbl
     })
   }
+
+  /** q54's co-keyed layout pair: documents and their per-doc token
+    * stats staged as `graft-keyed` layouts under ONE scratch root,
+    * both keyed by the materialized bucket surrogate kb = doc_id % 16
+    * (identity-transform SPJ keys a BOUNDED surrogate, the same move
+    * q47's bucket count makes). n_tokens is derived AT STAGE TIME with
+    * the whitespace-token formula the oracle can replay
+    * (length − length(sans-spaces) + 1), so the enrichment side is a
+    * genuinely distinct table, not a re-projection at read. One write
+    * per (session, corpus) via the shared stamped registry. */
+  private def keyedLayouts(s: SparkSession, dir: String): String =
+    LlmData.tableOnce(bucketMemo, s, dir + "#keyed")({
+      val out = graft.io.TempDirs.scratch("graft_keyed_")
+      val docs = t(s, dir, "documents")
+      graft.sources.KeyedSource.stageKeyed(s,
+        docs.selectExpr("doc_id % 16 AS kb", "doc_id", "source", "n_chars"),
+        s"$out/docs", "kb")
+      graft.sources.KeyedSource.stageKeyed(s,
+        docs.selectExpr("doc_id % 16 AS kb", "doc_id",
+          "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens"),
+        s"$out/tok", "kb")
+      out
+    })
 
   /** Bucketed-table build registry for q47 — one layout write per
     * (session, corpus), shared lifecycle with the other index memos

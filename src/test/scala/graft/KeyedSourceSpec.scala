@@ -1,0 +1,144 @@
+package graft
+
+import graft.sources.{KeyedSource, Tables}
+import org.apache.spark.sql.functions._
+
+/** The `graft-keyed` DSv2 source (sources/KeyedSource.scala) — the
+  * storage-partitioned-join layer q54 rides. Pins the contracts the
+  * registration leans on: byte-faithful round trip, the scan's
+  * KeyGroupedPartitioning report (one HasPartitionKey partition per
+  * stored key), shuffle-free alignment of two co-keyed scans, honest
+  * degradation when the v2-bucketing conf is off, column pruning, and
+  * the stage-time framing guard. */
+class KeyedSourceSpec extends SparkSpec {
+
+  private val DocsDDL = "kb BIGINT, doc_id BIGINT, source STRING, n_chars BIGINT"
+  private val TokDDL = "kb BIGINT, doc_id BIGINT, n_tokens BIGINT"
+
+  private lazy val base: String = {
+    val out = graft.io.TempDirs.scratch("graft_keyed_spec_")
+    val docs = Tables.load(spark, sf0001, "documents")
+    KeyedSource.stageKeyed(spark,
+      docs.selectExpr("doc_id % 16 AS kb", "doc_id", "source", "n_chars"),
+      s"$out/docs", "kb")
+    KeyedSource.stageKeyed(spark,
+      docs.selectExpr("doc_id % 16 AS kb", "doc_id",
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens"),
+      s"$out/tok", "kb")
+    out
+  }
+
+  private def readKeyed(dir: String, ddl: String) =
+    spark.read.format("graft-keyed")
+      .option("path", dir).option("schema", ddl).option("key", "kb").load()
+
+  private def withSpjConfs[T](bucketing: String)(body: => T): T = {
+    val kB = "spark.sql.sources.v2.bucketing.enabled"
+    val kC = "spark.sql.requireAllClusterKeysForCoPartition"
+    val oB = spark.conf.getOption(kB)
+    val oC = spark.conf.getOption(kC)
+    spark.conf.set(kB, bucketing)
+    spark.conf.set(kC, "false")
+    try body finally {
+      oB.fold(spark.conf.unset(kB))(spark.conf.set(kB, _))
+      oC.fold(spark.conf.unset(kC))(spark.conf.set(kC, _))
+    }
+  }
+
+  test("round trip: keyed read == parquet-derived source, full schema") {
+    val viaKeyed = readKeyed(s"$base/docs", DocsDDL).orderBy("doc_id").collect()
+    val direct = Tables.load(spark, sf0001, "documents")
+      .selectExpr("doc_id % 16 AS kb", "doc_id", "source", "n_chars")
+      .orderBy("doc_id").collect()
+    assert(viaKeyed.length == direct.length && viaKeyed.length > 0)
+    assert(viaKeyed.sameElements(direct))
+  }
+
+  test("scan reports KeyGroupedPartitioning with one HasPartitionKey partition per key") {
+    import org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning
+    val df = readKeyed(s"$base/docs", DocsDDL)
+    val scans = df.queryExecution.sparkPlan.collectLeaves()
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    assert(scans.length == 1)
+    val scan = scans.head.scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportPartitioning]
+    val part = scan.outputPartitioning()
+    assert(part.isInstanceOf[KeyGroupedPartitioning],
+      s"expected KeyGroupedPartitioning, got $part")
+    assert(part.asInstanceOf[KeyGroupedPartitioning].numPartitions() == 16,
+      "kb = doc_id % 16 stages exactly 16 key directories")
+    val keys = scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions()
+      .map(_.asInstanceOf[org.apache.spark.sql.connector.read.HasPartitionKey]
+        .partitionKey().getLong(0)).toSeq
+    assert(keys.sorted == (0L until 16L), s"one partition per key value, got $keys")
+  }
+
+  test("co-keyed join + keyed agg plan ZERO Exchange and stay value-correct") {
+    withSpjConfs(bucketing = "true") {
+      val j = readKeyed(s"$base/docs", DocsDDL).hint("merge")
+        .join(readKeyed(s"$base/tok", TokDDL).hint("merge"), Seq("kb", "doc_id"))
+        .groupBy("kb").agg(count(lit(1)).as("n"), sum("n_tokens").as("st"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"storage alignment must delete join AND agg shuffles:\n${p.take(2000)}")
+      val expect = Tables.load(spark, sf0001, "documents")
+        .selectExpr("doc_id % 16 AS kb",
+          "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens")
+        .groupBy("kb").agg(count(lit(1)).as("n"), sum("n_tokens").as("st"))
+      assert(j.orderBy("kb").collect().sameElements(expect.orderBy("kb").collect()))
+    }
+  }
+
+  test("conf-off degradation: report ignored, plan shuffles, values identical") {
+    withSpjConfs(bucketing = "false") {
+      val j = readKeyed(s"$base/docs", DocsDDL).hint("merge")
+        .join(readKeyed(s"$base/tok", TokDDL).hint("merge"), Seq("kb", "doc_id"))
+        .groupBy("kb").agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("Exchange"),
+        "with v2 bucketing off the ordinary shuffled plan must come back")
+      assert(j.agg(sum("n")).collect().head.getLong(0) ==
+        Tables.load(spark, sf0001, "documents").count())
+    }
+  }
+
+  test("column pruning reaches the keyed reader") {
+    val df = readKeyed(s"$base/docs", DocsDDL)
+      .groupBy("source").agg(sum("n_chars").as("sc"))
+    val scans = df.queryExecution.sparkPlan.collectLeaves()
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    assert(scans.head.scan.readSchema().fieldNames.toSet == Set("source", "n_chars"),
+      s"pruned read must decode exactly the referenced fields, got ${scans.head.scan.readSchema()}")
+  }
+
+  test("framing guard: NULL field fails the stage write loudly") {
+    import spark.implicits._
+    val bad = Seq((1L, Some("ok"), 2L), (2L, None: Option[String], 3L))
+      .toDF("kb", "s", "v")
+    val e = intercept[Exception] {
+      KeyedSource.stageKeyed(spark, bad,
+        graft.io.TempDirs.scratch("graft_keyed_bad_") + "/t", "kb")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("framing violation")))
+  }
+
+  test("key contract: key must be declared, and a non-dirname STRING key is refused") {
+    val e1 = intercept[Exception] {
+      spark.read.format("graft-keyed").option("path", s"$base/docs")
+        .option("schema", DocsDDL).load().collect()
+    }
+    assert(e1.getMessage.contains("key"))
+    import spark.implicits._
+    val e2 = intercept[Exception] {
+      KeyedSource.stageKeyed(spark,
+        Seq(("has space", 1L)).toDF("k", "v"),
+        graft.io.TempDirs.scratch("graft_keyed_badkey_") + "/t", "k")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e2).exists(m => m != null && m.contains("framing violation")))
+  }
+}

@@ -402,6 +402,17 @@ class PlanAuditSpec extends SparkSpec {
       "the merge hint must pin the fact⋈fact strategy the layout serves")
   }
 
+  test("q54: storage-partitioned join plans ZERO Exchange off the connector's report") {
+    val p = plan("q54_storage_partitioned_join")
+    assert("GraftKeyed".r.findAllIn(p).size == 2,
+      "both join sides must read the keyed DSv2 layout")
+    assert(!p.contains("Exchange"),
+      s"connector-reported KeyGroupedPartitioning must delete every shuffle " +
+        s"(join AND keyed agg):\n${p.take(2000)}")
+    assert(p.contains("SortMergeJoin"),
+      "the merge hint must pin the fact⋈fact strategy the layout serves")
+  }
+
   test("x106: label predicate is pushed to the scan and the cut is a heap") {
     // filtered ANN's whole contract: pre-filter reaches the parquet
     // scan (row-group pruning before any dot product at 100 TB) and
