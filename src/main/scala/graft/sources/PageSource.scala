@@ -71,7 +71,7 @@ final class PageTable(declared: StructType, path: String) extends Table with Sup
   override def name(): String = s"graft-pages:$path"
   override def schema(): StructType = declared
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   // Hadoop conf captured HERE (analysis time, on the driver, from the
   // session actually resolving the query) and carried through scan →
   // partitions → readers: plan-time listing and executor-side reads
@@ -209,6 +209,117 @@ final class PageScan(full: StructType, required: StructType, path: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PageReaderFactory(full, required, conf, limit)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new PageMicroBatchStream(path, full, required, conf)
+}
+
+/** Streaming leg of the paged connector — the INCREMENTAL ingest shape
+  * of a paged endpoint (the reference's auto-ingest-on-arrival S9, at
+  * page grain): new pages keep arriving at the endpoint and the stream
+  * OFFSET IS THE PAGE ID — exactly the `next`-cursor bookkeeping a
+  * paged API hands its pollers. Each micro-batch covers the page-id
+  * interval [start, end): one planned partition per page directory
+  * that exists in the interval, read by the same [[PageReader]] decode
+  * the batch scan uses, so batch read ≡ streamed union over the same
+  * delivered pages (StreamingSpec pins the equivalence across a
+  * restart — the committed offset survives in the checkpoint and no
+  * page is re-delivered).
+  *
+  * ARRIVAL CONTRACT (the keyset-pagination append discipline): page
+  * ids grow monotonically — a page with id below the committed offset
+  * arrived LATE and is never delivered (same contract as a paged API's
+  * cursor: you cannot re-read behind the cursor without a reset).
+  * Gaps are fine: a missing id inside the interval plans no partition
+  * now and, per the monotone contract, never will. */
+final class PageMicroBatchStream(path: String, full: StructType,
+    required: StructType, conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def pageId(name: String): Long = name.stripPrefix("page=").toLong
+
+  /** page dirs currently at the endpoint, name → id */
+  private def listPages(): Seq[(Long, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf.value)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("page="))
+      .map(s => pageId(s.getPath.getName) -> s.getPath.toString)
+  }
+
+  private def latestCursor(): Long = {
+    val ids = listPages().map(_._1)
+    if (ids.isEmpty) 0L else ids.max + 1
+  }
+
+  // Trigger.AvailableNow contract: the cursor ceiling is FROZEN at
+  // query start (prepareForTriggerAvailableNow) so the drain has a
+  // fixed finish line — pages arriving mid-drain wait for the next
+  // run, exactly like a poller that read its cursor target up front.
+  // Without this, MicroBatchExecution falls back to one unbounded
+  // batch and logs that redelivery is possible above an uncommitted
+  // batch.
+  private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(latestCursor())
+
+  override def initialOffset(): Offset = PageStreamOffset(0L)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    PageStreamOffset(availableNowCap.getOrElse(latestCursor()))
+
+  override def reportLatestOffset(): Offset = PageStreamOffset(latestCursor())
+
+  /** Admission-control sources get the two-arg form; MicroBatchExecution
+    * never calls this one, and a silent answer here could bypass the
+    * frozen AvailableNow ceiling — fail loudly instead. */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft-pages is an admission-control stream: use latestOffset(start, limit)")
+
+  override def deserializeOffset(json: String): Offset =
+    PageStreamOffset(PageStreamOffset.parse(json))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[PageStreamOffset].next
+    val hi = end.asInstanceOf[PageStreamOffset].next
+    listPages()
+      .filter { case (id, _) => id >= lo && id < hi }
+      .sortBy(_._1)
+      .map { case (_, dir) => PagePartition(dir): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PageReaderFactory(full, required, conf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** `next` = the first UNDELIVERED page id (a paged API's cursor). */
+final case class PageStreamOffset(next: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"next":$next}"""
+}
+
+object PageStreamOffset {
+  /** Single-field parse kept dependency-free (the checkpoint wrote the
+    * exact json() form above; anything else is checkpoint corruption
+    * and must fail loudly). */
+  def parse(json: String): Long = {
+    val m = """\{"next":(\d+)\}""".r
+    json.trim match {
+      case m(n) => n.toLong
+      case other => throw new IllegalStateException(
+        s"graft-pages stream offset corrupted: '$other' (expected {\"next\":N})")
+    }
+  }
 }
 
 /** COUNT(*)-only scan: the pushed-aggregate twin of [[PageScan]]. Each

@@ -101,6 +101,30 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start(outDir)
 
+  /** Incremental paged-endpoint ingest — the streaming leg of the
+    * `graft-pages` connector (sources/PageSource.scala), completing
+    * its lifecycle (batch read / pushdown / streaming ingest). The
+    * endpoint keeps appending pages; the stream's OFFSET IS THE PAGE
+    * ID (a paged API's `next` cursor), each AvailableNow drain
+    * delivers exactly the pages that arrived since the committed
+    * cursor, and the cursor survives restarts in the checkpoint — so
+    * the union of deliveries ≡ the batch connector read of the same
+    * pages, with no page ever re-delivered (StreamingSpec pins both
+    * across a restart). Arrival contract is keyset-append: page ids
+    * grow monotonically; see [[graft.sources.PageMicroBatchStream]]. */
+  def pagesIngest(spark: SparkSession, pagesDir: String, checkpointDir: String,
+      outDir: String): StreamingQuery =
+    spark.readStream.format("graft-pages")
+      .option("path", pagesDir)
+      .option("schema", graft.sources.PageSource.DDL)
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+
   /** Streaming corpus ingest with cross-batch EXACT dedup by content
     * fingerprint — the streaming twin of the batch x20/x21 dedup
     * family: documents arrive as files (crawl drops), re-crawled
