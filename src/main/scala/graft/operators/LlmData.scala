@@ -396,20 +396,45 @@ object LlmData {
     cents
   }
 
-  /** Join-based assignment of every row of `e` to its best centroid in
-    * the (cid, ce) frame: broadcast cross join (each row scores K
-    * centroids executor-side), lexicographic max(struct(ccos, cid)) —
-    * the exact [[ivfScored]]+array_max ordering (highest cosine, ties
-    * to the largest cid) — then a join back on vec_id to re-attach the
-    * full row. Keeps all of `e`'s columns plus `cid`, the same shape
-    * the literal assignment produces. */
+  /** Assignment of every row of `e` to its best centroid in the
+    * (cid, ce) frame: the centroids are packed into ONE array-of-
+    * structs row (a K×dim data value, not a K-literal expression —
+    * this is what lets K outgrow [[LiteralKMax]]), broadcast, and the
+    * argmax runs WITHIN each row as array_max(transform(...)) — the
+    * exact [[ivfScored]] ordering (highest cosine, ties to the largest
+    * cid), so the two paths share semantics by construction. Keeps all
+    * of `e`'s columns plus `cid`, the same shape the literal
+    * assignment produces.
+    *
+    * Why per-row and not pair-rows: the earlier crossJoin + groupBy
+    * (vec_id) + max(struct) form materialized N×K pair ROWS each
+    * carrying both float arrays, and a struct-typed max buffer cannot
+    * use HashAggregate, so Spark fell back to SortAggregate — at sf3
+    * (60k×480) that sorted ~16 GB of pair rows per training pass,
+    * 178 s/pass measured vs ~2 s for this form. Per-row argmax does
+    * the identical N×K fused-dot work with zero shuffle, zero sort,
+    * and no join-back; the one broadcast value is K×dim floats, the
+    * same payload the old broadcast side carried.
+    *
+    * The argmax itself is the native `graft_best_cid` kernel
+    * ([[graft.plans.BestCentroidCid]]) rather than the declarative
+    * array_max(transform(...)): the HOF lambda is interpreted, and at
+    * N×K lambda evaluations per training pass that measured ~35 s at
+    * sf3 (60k×480) where the kernel's compiled loop is sub-second.
+    * Centroid norms are hoisted INTO the broadcast payload (cn =
+    * sqrt(dot(ce,ce)) computed once per centroid at packing time) and
+    * the vector's own norm once per row inside the kernel — the same
+    * double values the per-pair formulation produced, so the result
+    * is bit-equal (DistributedTrainSpec literal-parity + the
+    * BestCentroidSpec element-wise null contract). */
   private[operators] def assignDf(e: DataFrame, cents: DataFrame): DataFrame = {
-    val best = e.crossJoin(broadcast(cents))
-      .groupBy("vec_id")
-      .agg(max(struct(cosine6(col("embedding"), col("ce")).as("ccos"),
-        col("cid").as("cid"))).as("b"))
-      .select(col("vec_id"), col("b").getField("cid").as("cid"))
-    e.join(best, Seq("vec_id"))
+    val packed = cents
+      .select(col("cid"), col("ce"),
+        sqrt(Vectors.dotDecl(col("ce"), col("ce"))).as("cn"))
+      .agg(collect_list(struct(col("cid"), col("ce"), col("cn"))).as("carr"))
+    e.crossJoin(broadcast(packed))
+      .withColumn("cid", call_function("graft_best_cid", col("embedding"), col("carr")))
+      .drop("carr")
   }
 
   /** The corpus assignment table (all of `embeddings`' columns + cid)

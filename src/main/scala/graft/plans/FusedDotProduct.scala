@@ -142,6 +142,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FusedDotProduct(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_best_cid"),
+      new ExpressionInfo(classOf[BestCentroidCid].getName, "graft_best_cid"),
+      (children: Seq[Expression]) => {
+        requireArity("graft_best_cid", children, 2)
+        BestCentroidCid(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSlots].getName, "graft_minhash"),
       (children: Seq[Expression]) => {

@@ -68,16 +68,26 @@ class DistributedTrainSpec extends graft.SparkSpec {
       "distributed Lloyd's + join assignment must equal the literal path at K=160")
   }
 
-  test("above the threshold the plan is join-based: broadcast scoring, no literal argmax") {
+  test("above the threshold the plan broadcasts the packed centroids; corpus side never shuffles") {
     val dist = LlmData.assignedByTrainedQuantizer(spark, sf0001, 16, literalMax = 0)
     val plan = dist.queryExecution.sparkPlan.toString
-    // scoring rides a broadcast of the centroid FRAME (nested-loop over
-    // the K-row broadcast side — the sanctioned Lloyd's shape, K-bounded
-    // per row), and the assignment rejoins the corpus by vec_id; the
-    // K-literal transform/array_max expression must be absent
+    // the centroids are packed into ONE array row (collect_list) and
+    // broadcast; the argmax runs WITHIN each corpus row, so the corpus
+    // side must carry no shuffle, no sort-based aggregate, and no join
+    // back — the failure mode this pins out is the pair-row form whose
+    // struct-max buffer forced SortAggregate over N×K materialized rows
     assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"centroid scoring must broadcast the centroid frame, got:\n${plan.take(1500)}")
-    assert(!plan.contains("array_max"),
-      "the distributed path must not fall back to the literal argmax")
+      s"centroid scoring must broadcast the packed centroid row, got:\n${plan.take(1500)}")
+    assert(plan.contains("collect_list"),
+      "the broadcast side must pack the centroid frame into one array row")
+    // scope the shuffle asserts to the ASSIGNMENT plan: the broadcast
+    // side scans the persisted trained-centroid frame, and the plan
+    // string inlines that cache's own training plan (whose groupBy
+    // shuffles are legitimate) below the InMemoryRelation line
+    val assignPlan = plan.split("InMemoryRelation")(0)
+    assert(!assignPlan.contains("SortAggregate"),
+      "per-row argmax must not reintroduce the sort-based struct-max aggregate")
+    assert(!assignPlan.contains("SortMergeJoin") && !assignPlan.contains("hashpartitioning"),
+      "the corpus side must not shuffle or join back for assignment")
   }
 }
