@@ -60,8 +60,12 @@ object Curation {
     * dispatches (quadratic in document length: survivable on 100-token
     * test docs, a scan-stage killer on real articles). */
   private def x63 = Q(
+    // sort first, count after (the q20 lesson, applied family-wide in
+    // r13 — see x27's note in LlmData)
     (s, dir) => {
       t(s, dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
         .withColumn("tk", Text.tokens(col("text")))
         .withColumn("n", size(col("tk")).cast("long"))
         .withColumn("st", call_function("graft_token_stats", col("tk")))
@@ -70,7 +74,6 @@ object Curation {
           col("st.n_distinct").as("n_distinct"),
           (lit(1.0) - col("st.sumsq").cast("double") /
             (col("n") * col("n")).cast("double")).as("simpson"))
-        .orderBy("doc_id")
     },
     Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
            |m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n,

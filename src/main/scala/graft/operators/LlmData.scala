@@ -1920,7 +1920,13 @@ object LlmData {
     // identically on both engines (no transcendentals: libm vs JDK log
     // can differ in the last ulp).
     "x27_quality_score" -> Q(
-      (s, dir) => qualityFrame(s, dir).orderBy("doc_id"),
+      // sort FIRST, score AFTER (the q20 lesson, applied family-wide in
+      // r13): a global sort above a map-side projection executes the
+      // projection twice (range-sampling pass + real pass) at scan-stage
+      // parallelism; sorting the RAW rows keeps the tokenize+ratio
+      // projection single-pass above the exchange. Output multiset and
+      // ordering identical (plan-audited with x42/q10 in PlanAuditSpec).
+      (s, dir) => qualityOf(t(s, dir, "documents").orderBy("doc_id")),
       Some(s"""SELECT doc_id,
               |  $duckNTok AS n_tokens,
               |  ${duckRound(s"$duckNStop * 1.0 / $duckNTok", 6)} AS stop_ratio,
@@ -1953,13 +1959,16 @@ object LlmData {
 
     // ── X4d: token counting — whitespace + regex token classes ────────
     "x29_token_regex" -> Q(
-      (s, dir) => t(s, dir, "documents").select(
-        col("doc_id"),
-        size(split(col("text"), " ")).as("n_ws_tokens"),
-        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("n_alpha"),
-        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_num"),
-        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).as("n_other"))
-        .orderBy("doc_id"),
+      // sort first, regex after (q20 lesson — see x27)
+      (s, dir) => t(s, dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("n_alpha"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_num"),
+          length(regexp_replace(col("text"), "[a-z0-9 ]", "")).as("n_other")),
       Some("""SELECT doc_id,
              |  len(string_split(text, ' ')) AS n_ws_tokens,
              |  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha,
@@ -1978,10 +1987,12 @@ object LlmData {
     // registry sf1 pass measured this query's 9.4× warm slope as
     // almost entirely the per-query re-tokenize.
     "x30_fingerprint_rolling" -> Q(
+      // sort first, fold after (q20 lesson — see x27)
       (s, dir) => tokStaged(s, dir)
+        .select("doc_id", "tk")
+        .orderBy("doc_id")
         .select(col("doc_id"),
-          Text.rollingHashPortable(col("tk")).as("fp"))
-        .orderBy("doc_id"),
+          Text.rollingHashPortable(col("tk")).as("fp")),
       Some(s"""SELECT doc_id,
               |  list_reduce(list_prepend(CAST(0 AS BIGINT),
               |    list_transform(string_split(text, ' '),
@@ -2499,6 +2510,11 @@ object LlmData {
     // POSIX-safe intersection of Java regex and RE2 so both engines
     // match identical spans.
     "x42_pii_scrub" -> Q(
+      // sort first, scrub after (q20 lesson — see x27). Measured at
+      // sf3: registered project-then-sort 22.7 s warm, projection alone
+      // 7.4 s (the 2× sampling re-execution at scan-stage parallelism),
+      // sort-then-project 1.6 s — the regex runs ONCE, 32-way, above
+      // the exchange.
       (s, dir) => {
         val seeded = concat(col("text"),
           lit(" contact user"), col("doc_id").cast("string"),
@@ -2507,6 +2523,8 @@ object LlmData {
         val email = "[a-z0-9.]+@[a-z0-9.]+"
         val phone = "\\+[0-9]+-[0-9]+-[0-9]+"
         t(s, dir, "documents")
+          .select("doc_id", "text")
+          .orderBy("doc_id")
           .withColumn("seeded", seeded)
           .select(
             col("doc_id"),
@@ -2517,7 +2535,6 @@ object LlmData {
             length(col("seeded")).as("len_before"),
             length(regexp_replace(regexp_replace(col("seeded"), email, "<EMAIL>"),
               phone, "<PHONE>")).as("len_after"))
-          .orderBy("doc_id")
       },
       Some("""WITH seeded AS (
              |  SELECT doc_id,
@@ -2546,7 +2563,10 @@ object LlmData {
         val total3 = greatest(size(col("tk")) - 2, lit(0))
         val distinct3 = when(size(col("tk")) >= 3,
           size(Text.shinglesNative(col("tk")))).otherwise(lit(0))
+        // sort first, shingle after (q20 lesson — see x27)
         tokStaged(s, dir)
+          .select("doc_id", "tk")
+          .orderBy("doc_id")
           .select(
             col("doc_id"),
             total3.as("n_shingles"),
@@ -2557,7 +2577,6 @@ object LlmData {
             (when(total3 > 0,
               pround(lit(1.0) - distinct3.cast("double") / total3, 6))
               .otherwise(lit(0.0)) > 0.2).as("flagged"))
-          .orderBy("doc_id")
       },
       Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
               |m AS (SELECT doc_id,
@@ -2883,15 +2902,17 @@ object LlmData {
     // Thresholds compare the ROUNDED ratios so the two engines gate on
     // identical values.
     "x52_gopher_rules" -> Q(
+      // sort first, gate after (q20 lesson — see x27)
       (s, dir) => t(s, dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
         .withColumn("tk", Text.tokens(col("text")))
         // ONE rule definition (Text.gopherGate), shared with the
         // streaming quality monitor (EventStream.qualityGateMonitor)
         .withColumn("g", Text.gopherGate(col("tk")))
         .select(col("doc_id"), col("g.n_words").as("n_words"),
           col("g.mean_wlen").as("mean_wlen"), col("g.n_stop").as("n_stop"),
-          col("g.rep_frac").as("rep_frac"), col("g.keep").as("keep"))
-        .orderBy("doc_id"),
+          col("g.rep_frac").as("rep_frac"), col("g.keep").as("keep")),
       Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
               |m AS (SELECT doc_id, len(w) AS n_words,
               |    ${duckRound("list_sum(list_transform(w, t -> len(t))) * 1.0 / len(w)", 6)}

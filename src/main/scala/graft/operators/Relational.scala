@@ -209,17 +209,26 @@ object Relational {
 
     // ── Scalar-function projection (F1–F15 analogs in one pass) ───────
     "q10_scalar_funcs" -> Q(
-      (s, dir) => t(s, dir, "orders").select(
-        col("o_orderkey"),
-        format_string("order_%d_%s", col("o_orderkey"),
-          date_format(col("o_orderdate"), "yyyyMMdd_HHmmss")).as("file_name"),
-        element_at(split(col("o_orderpriority"), "-"), 1).as("prio_code"),
-        length(col("o_orderstatus")).as("st_len"),
-        col("o_orderpriority").contains("URGENT").as("is_urgent"),
-        year(col("o_orderdate")).as("o_year"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("iso_ts"),
-        pround(col("o_totalprice") / 1000.0, 2).as("price_k"))
-        .orderBy("o_orderkey"),
+      // sort first, format after (the q20 lesson, applied family-wide
+      // in r13): a global sort above a map-side projection runs the
+      // projection twice (range-sampling + real pass) at scan-stage
+      // parallelism; sorting the raw rows keeps the scalar battery
+      // single-pass above the exchange. Output multiset and ordering
+      // identical (plan-audited in PlanAuditSpec).
+      (s, dir) => t(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority",
+          "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .select(
+          col("o_orderkey"),
+          format_string("order_%d_%s", col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyyMMdd_HHmmss")).as("file_name"),
+          element_at(split(col("o_orderpriority"), "-"), 1).as("prio_code"),
+          length(col("o_orderstatus")).as("st_len"),
+          col("o_orderpriority").contains("URGENT").as("is_urgent"),
+          year(col("o_orderdate")).as("o_year"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("iso_ts"),
+          pround(col("o_totalprice") / 1000.0, 2).as("price_k")),
       Some(s"""SELECT o_orderkey,
               |  printf('order_%d_%s', o_orderkey, strftime(o_orderdate, '%Y%m%d_%H%M%S')) AS file_name,
               |  string_split(o_orderpriority, '-')[1] AS prio_code,
@@ -394,14 +403,17 @@ object Relational {
       (s, dir) => {
         val url = concat(lit("https://open.spotify.com/playlist/"),
           lpad(col("doc_id").cast("string"), 22, "0"), lit("?si="), col("source"))
+        // sort first, parse after (q20 lesson — see q10); the validate
+        // filter above the sort preserves ordering
         t(s, dir, "documents")
+          .select("doc_id", "source")
+          .orderBy("doc_id")
           .select(col("doc_id"), url.as("url"))
           .withColumn("pid",
             element_at(split(element_at(split(col("url"), "\\?"), 1), "/"), -1))
           .filter(length(col("pid")) === 22 &&
             col("url").contains("spotify.com/playlist/"))
           .select("doc_id", "pid")
-          .orderBy("doc_id")
       },
       Some("""SELECT doc_id, pid FROM (
              |  SELECT doc_id,

@@ -86,6 +86,32 @@ class PlanAuditSpec extends SparkSpec {
       s"from_json must evaluate after the sort (found json@$iJson sort@$iSort)")
   }
 
+  test("sort-first family: the expensive projection evaluates above the global sort") {
+    // r13: the q20 lesson applied family-wide. A map-side expensive
+    // projection directly below a final orderBy is executed twice (the
+    // range-partitioner's sampling pass + the real pass) at scan-stage
+    // parallelism; these queries sort the raw rows first, so the
+    // projection must print ABOVE (before, in top-down plan text) the
+    // Sort node. x42 measured at sf3: 22.7 s project-then-sort vs
+    // 1.6 s sort-then-project.
+    val cases = Seq(
+      ("x42_pii_scrub", "regexp_extract_all", "Sort [doc_id"),
+      ("x29_token_regex", "regexp_extract_all", "Sort [doc_id"),
+      ("x27_quality_score", "stop_ratio", "Sort [doc_id"),
+      ("x52_gopher_rules", "mean_wlen", "Sort [doc_id"),
+      ("x43_repetition_score", "graft_shingles", "Sort [doc_id"),
+      ("x63_token_diversity", "graft_token_stats", "Sort [doc_id"),
+      ("q10_scalar_funcs", "format_string", "Sort [o_orderkey"),
+      ("q18_url_parse", "lpad", "Sort [doc_id"))
+    cases.foreach { case (q, marker, sortPrefix) =>
+      val p = plan(q)
+      val iM = p.indexOf(marker)
+      val iS = p.indexOf(sortPrefix)
+      assert(iM >= 0 && iS >= 0 && iM < iS,
+        s"$q: '$marker' must evaluate above the sort (marker@$iM sort@$iS)")
+    }
+  }
+
   test("x24: brute-force cosine broadcasts the query vector only") {
     val p = plan("x24_topk_cosine")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
