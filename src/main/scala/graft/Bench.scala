@@ -66,22 +66,45 @@ object Bench {
     * 0.42×cores). Pure so BenchFormatSpec pins the calibration. */
   def floorThreshold(cores: Int): Double = cores * 0.375
 
+  /** Busy-fraction gate for [[envContended]]: below this instantaneous
+    * CPU-busy fraction, a high load1 is the suite's OWN lagging decay,
+    * not external contention. Calibrated r13: an idle box between
+    * queries samples 0.00–0.05; genuinely contended runs sample the
+    * contender's sustained share. */
+  def busyThreshold: Double = 0.25
+
   /** Whether a bench row was measured under external box contention —
-    * the r12 verdict-#3 instrument. True when (a) the row's load1
-    * FLOOR min(before, after) exceeds the threshold (high on both
-    * sides = external load; high-after ALONE is the query's own
-    * threads, normal), or (b) the whole RUN's median load1-before
-    * does (catches rows whose own 1-minute bracket read low inside a
-    * contended run — r12's x48: 737.9 s cold, bracket 4.8/3.6, run
-    * median 13.9). A true row (and any retry that "confirms" it — the
-    * arbitration's confirm direction assumes contention cleared by
-    * retry time, which a contended RUN violates) is not plan
-    * evidence. Pure for BenchFormatSpec. */
+    * the r12 verdict-#3 instrument, refined in r13 with an
+    * instantaneous signal. The load1 test: the row's load1 FLOOR
+    * min(before, after) exceeds the threshold (high on both sides =
+    * sustained load; high-after ALONE is the query's own threads,
+    * normal), or the whole RUN's median load1-before does (catches
+    * rows whose own bracket read low inside a contended run — r12's
+    * x48: 737.9 s cold, bracket 4.8/3.6, run median 13.9).
+    *
+    * Why load1 alone over-marks: it is a 1-minute LAGGING average, so
+    * back-to-back 32-thread queries keep it above the floor from
+    * self-load long after the previous query finished — the first r13
+    * sf3 whole-registry pass flagged 69/154 rows on a box running
+    * nothing else. `busyBefore` — the /proc/stat busy fraction over a
+    * ~120 ms window sampled in the inter-query gap (after the drain,
+    * before our query starts) — is ~0 under self-load decay and stays
+    * high only while another process is actually consuming CPU, so
+    * the flag now requires BOTH: the lagging signal says "loaded" and
+    * the instantaneous one confirms someone else is running. A
+    * missing busy sample (-1, /proc/stat unreadable) falls back to
+    * the load-only test — the conservative, over-marking direction.
+    * A true row (and any retry that "confirms" it — the arbitration's
+    * confirm direction assumes contention cleared by retry time,
+    * which a contended RUN violates) is not plan evidence. Pure for
+    * BenchFormatSpec. */
   def envContended(cores: Int, runLoad1Median: Double,
-      load1Before: Double, load1After: Double): Boolean = {
+      load1Before: Double, load1After: Double,
+      busyBefore: Double = -1.0): Boolean = {
     val t = floorThreshold(cores)
-    runLoad1Median > t ||
+    val loadSaysContended = runLoad1Median > t ||
       (load1Before >= 0 && load1After >= 0 && math.min(load1Before, load1After) > t)
+    loadSaysContended && (busyBefore < 0 || busyBefore > busyThreshold)
   }
 
   /** The driver-parsed JSON line. Kept assemblable from pure inputs so
@@ -274,6 +297,25 @@ object Bench {
         val src = scala.io.Source.fromFile("/proc/loadavg")
         try src.mkString.split(" ")(0).toDouble finally src.close()
       } catch { case NonFatal(_) => -1.0 }
+    // Instantaneous CPU-busy fraction over a short window: the
+    // non-lagging half of the contention flag (see envContended).
+    // Reads the aggregate /proc/stat cpu line twice; busy =
+    // 1 − Δ(idle+iowait)/Δtotal.
+    def cpuBusy(windowMs: Int = 120): Double =
+      try {
+        def ticks(): (Long, Long) = {
+          val src = scala.io.Source.fromFile("/proc/stat")
+          val f = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+          finally src.close()
+          (f.sum, f(3) + (if (f.length > 4) f(4) else 0L))
+        }
+        val (t0, i0) = ticks()
+        Thread.sleep(windowMs.toLong)
+        val (t1, i1) = ticks()
+        val dt = t1 - t0
+        if (dt <= 0) -1.0
+        else math.max(0.0, 1.0 - (i1 - i0).toDouble / dt)
+      } catch { case NonFatal(_) => -1.0 }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     // Storage snapshot (memory-cached MB, disk-spilled MB, and RDDs
     // with DROPPED partitions) taken right after each warm run: a warm
@@ -309,6 +351,9 @@ object Bench {
     val detailed = selected.map { case (name, fn) =>
       drain()
       val lc = load1()
+      // busy window doubles as extra settle time after the drain; it
+      // runs OUTSIDE the timed window like the drain itself
+      val bb = cpuBusy()
       val cold = timed(fn)
       val warm = timed(fn)
       val la = load1()
@@ -317,7 +362,7 @@ object Bench {
       // can't pressure the next query's measurement (after BOTH runs —
       // the warm run should reuse the memo like a steady-state session)
       operators.LlmData.clearMemo(spark)
-      name -> (cold, warm, lc, la, snap)
+      name -> (cold, warm, lc, la, snap, bb)
     }
     // Retry-phase quiescence: the suite leaves an ASYNC cleanup backlog
     // (ContextCleaner broadcast/shuffle removals, finalizers) that
@@ -356,9 +401,9 @@ object Bench {
     // retry ≈ clean-session warm → the original sample was box load or
     // suite-order cache pressure (the snapshot separates those two).
     val warmOutliers = {
-      val ok = detailed.toSeq.filter { case (_, (c, w, _, _, _)) => c._1 >= 0 && w._1 >= 0 }
+      val ok = detailed.toSeq.filter { case (_, (c, w, _, _, _, _)) => c._1 >= 0 && w._1 >= 0 }
       val topWarm = ok.sortBy(-_._2._2._1).take(5).map(_._1)
-      val inversions = ok.filter { case (_, (c, w, _, _, _)) => w._1 > c._1 + 0.3 }.map(_._1)
+      val inversions = ok.filter { case (_, (c, w, _, _, _, _)) => w._1 > c._1 + 0.3 }.map(_._1)
       (topWarm ++ inversions).distinct.take(8)
     }
     quiesce()
@@ -370,7 +415,7 @@ object Bench {
       operators.LlmData.clearMemo(spark)
       name -> (r, rl, snap)
     }.toMap
-    val results = detailed.map { case (n, (c, w, _, _, _)) => n -> (c._1, w._1) }
+    val results = detailed.map { case (n, (c, w, _, _, _, _)) => n -> (c._1, w._1) }
     // Contention self-identification (r12 verdict #3): semantics,
     // calibration, and the confirm-direction caveat live on the pure
     // envContended/floorThreshold above (BenchFormatSpec pins them).
@@ -390,15 +435,19 @@ object Bench {
     // canonical with a contended reading, which then got committed)
     // can no longer clobber the canonical artifact. Canonical-run
     // recipe: SPARK_GRAFT_PROMOTE=1, no SPARK_GRAFT_ONLY.
-    val envRow = s"""  "_env": {"cores": $cpus, "run_load1_median": $runLoadMedian, "floor_threshold": $floorThresh, "run_contended": $runContended}"""
+    val runBusyMedian = {
+      val bs = detailed.toSeq.map(_._2._6).filter(_ >= 0).sorted
+      if (bs.isEmpty) -1.0 else bs(bs.size / 2)
+    }
+    val envRow = s"""  "_env": {"cores": $cpus, "run_load1_median": $runLoadMedian, "floor_threshold": $floorThresh, "run_contended": $runContended, "run_busy_median": $runBusyMedian, "busy_threshold": $busyThreshold}"""
     val detail = (envRow +: detailed.toSeq
-      .map { case (k, ((c, gc), (w, gw), lc, la, (sm, sd, sev))) =>
-        val contended = envContended(cores, runLoadMedian, lc, la)
+      .map { case (k, ((c, gc), (w, gw), lc, la, (sm, sd, sev), bb)) =>
+        val contended = envContended(cores, runLoadMedian, lc, la, bb)
         val extra = retried.get(k).fold("") { case ((r, rgc), rl) =>
           s""", "retry": $r, "retry_gc_ms": $rgc, "retry_load1": $rl""" }
         val wextra = warmRetried.get(k).fold("") { case ((r, rgc), rl, (wm, wd, wev)) =>
           s""", "warm_retry": $r, "warm_retry_gc_ms": $rgc, "warm_retry_load1": $rl, "warm_retry_cache_mb": $wm, "warm_retry_evicted": $wev""" }
-        s"""  "$k": {"cold": $c, "warm": $w, "gc_cold_ms": $gc, "gc_warm_ms": $gw, "load1": $lc, "load1_after": $la, "cache_mb": $sm, "cache_disk_mb": $sd, "evicted_rdds": $sev, "env_contended": $contended$extra$wextra}""" })
+        s"""  "$k": {"cold": $c, "warm": $w, "gc_cold_ms": $gc, "gc_warm_ms": $gw, "load1": $lc, "load1_after": $la, "busy_before": $bb, "cache_mb": $sm, "cache_disk_mb": $sd, "evicted_rdds": $sev, "env_contended": $contended$extra$wextra}""" })
       .mkString("{\n", ",\n", "\n}\n")
     try {
       val dir = java.nio.file.Paths.get("target", "bench")

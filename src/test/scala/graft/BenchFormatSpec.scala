@@ -86,6 +86,25 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!Bench.envContended(32, runLoad1Median = 5.0, -1.0, 31.0))
   }
 
+  test("busy-fraction gate separates self-load decay from external contention (r13)") {
+    // The r13 sf3 self-load shape: high lagging load1 (back-to-back
+    // 32-thread queries) but the box is INSTANTANEOUSLY idle between
+    // queries — must NOT flag (the first sf3 pass marked 69/154 rows
+    // this way on a box running nothing else)
+    assert(!Bench.envContended(32, runLoad1Median = 11.6, 14.9, 21.0, busyBefore = 0.03))
+    // genuinely contended: load high AND someone is consuming CPU now
+    assert(Bench.envContended(32, runLoad1Median = 13.88, 20.2, 13.4, busyBefore = 0.8))
+    // missing busy sample (-1) falls back to the load-only test — the
+    // conservative over-marking direction, and the pre-r13 behavior
+    assert(Bench.envContended(32, runLoad1Median = 13.88, 20.2, 13.4, busyBefore = -1.0))
+    // an idle busy reading alone never flags a quiet run
+    assert(!Bench.envContended(32, runLoad1Median = 5.0, 1.2, 1.4, busyBefore = 0.9) ==
+      !Bench.envContended(32, runLoad1Median = 5.0, 1.2, 1.4))
+    // busy high but load quiet: a short burst on an otherwise quiet box
+    // is not sustained contention — the load leg still gates
+    assert(!Bench.envContended(32, runLoad1Median = 5.0, 1.2, 1.4, busyBefore = 0.9))
+  }
+
   test("line is valid JSON shape with the driver-contract fields") {
     val line = Bench.jsonLine(
       Seq("q01_top10_star_join" -> (0.26, 0.21), "x20_exact_dedup_groups" -> (-1.0, 0.2)),
