@@ -73,6 +73,22 @@ object Bench {
     * contender's sustained share. */
   def busyThreshold: Double = 0.25
 
+  /** During-query contention gate (r13 verdict #3: busy_before samples
+    * the inter-query GAP, so a contender arriving DURING the query was
+    * invisible — the r13 driver artifact's x118 10.5 s cold / x95
+    * 53.7 s retry both carried env_contended:false). `busyDuring` is
+    * the OTHER-process CPU share over the timed window itself
+    * (own-process jiffies subtracted via /proc/self/stat, so the
+    * suite's 32 threads can't self-flag); above this sustained share
+    * the row was measured against a live contender regardless of what
+    * the gap samples read. Calibrated on the r14 idle-box
+    * full-registry run (312 samples): median 0.002, p99 0.065, max
+    * 0.106 — short queries amplify kernel/sbt-parent jitter (a
+    * kworker flush inside a 0.3 s window reads ~0.1), so 0.15 clears
+    * the idle tail; a deliberate 8-thread contender on 32 cores
+    * sustains ~0.25 (loaded-rerun demo, BASELINE.md r14). */
+  def busyDuringThreshold: Double = 0.15
+
   /** Whether a bench row was measured under external box contention —
     * the r12 verdict-#3 instrument, refined in r13 with an
     * instantaneous signal. The load1 test: the row's load1 FLOOR
@@ -100,11 +116,16 @@ object Bench {
     * BenchFormatSpec. */
   def envContended(cores: Int, runLoad1Median: Double,
       load1Before: Double, load1After: Double,
-      busyBefore: Double = -1.0): Boolean = {
+      busyBefore: Double = -1.0, busyDuring: Double = -1.0): Boolean = {
     val t = floorThreshold(cores)
     val loadSaysContended = runLoad1Median > t ||
       (load1Before >= 0 && load1After >= 0 && math.min(load1Before, load1After) > t)
-    loadSaysContended && (busyBefore < 0 || busyBefore > busyThreshold)
+    // two independent detectors, OR'd: the gap pair (lagging load1
+    // confirmed by an instantaneous busy sample) catches sustained box
+    // load; busyDuring catches a contender active only INSIDE the
+    // timed window, which the gap samples are blind to by construction
+    (loadSaysContended && (busyBefore < 0 || busyBefore > busyThreshold)) ||
+      busyDuring > busyDuringThreshold
   }
 
   /** The driver-parsed JSON line. Kept assemblable from pure inputs so
@@ -136,6 +157,13 @@ object Bench {
       // index-split queries (x71/x72) persist bucketed catalog tables;
       // keep the warehouse out of the repo checkout
       .config("spark.sql.warehouse.dir", io.TempDirs.scratch("graft-warehouse"))
+      // q54/q55's SPJ prerequisites at SESSION CONSTRUCTION (see
+      // Verify.scala for the full rationale): every query now plans
+      // under the same conf state regardless of Map ordering — the r13
+      // ADVICE ordering-sensitivity is gone because there is no longer
+      // a "before q54 ran" state to be sensitive to.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -277,16 +305,6 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
     }
-    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val g0 = gcMs()
-      // -1 marks a failed query: a thrown query must not masquerade as a
-      // fast one in BENCH_*.json
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        ((System.nanoTime() - t0) / 1e9, gcMs() - g0)
-      } catch { case NonFatal(_) => (-1.0, gcMs() - g0) }
-    }
     // 1-minute load average at query start: an in-artifact record of
     // box contention, so a cold outlier can be adjudicated from the
     // artifact alone (the r3/r7 q10 anomalies — 10×-local cold numbers
@@ -297,25 +315,81 @@ object Bench {
         val src = scala.io.Source.fromFile("/proc/loadavg")
         try src.mkString.split(" ")(0).toDouble finally src.close()
       } catch { case NonFatal(_) => -1.0 }
-    // Instantaneous CPU-busy fraction over a short window: the
+    // Aggregate /proc/stat cpu line → (totalTicks, idleTicks). Idle is
+    // field 3 ALONE — iowait counts as BUSY (r13 ADVICE: load1 counts
+    // D-state tasks, so a disk-thrashing contender reads high load1
+    // with near-zero user+sys; treating its iowait as idle would
+    // unflag exactly that contender).
+    def statTicks(): (Long, Long) = {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val f = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+      finally src.close()
+      (f.sum, f(3))
+    }
+    // Own-process CPU ticks (utime+stime, /proc/self/stat fields 14/15
+    // — parsed after the last ')' because comm may contain spaces).
+    // Same USER_HZ unit as /proc/stat, so deltas subtract directly.
+    def selfTicks(): Long = {
+      val src = scala.io.Source.fromFile("/proc/self/stat")
+      val line = try src.mkString finally src.close()
+      val rest = line.substring(line.lastIndexOf(')') + 2).split(" ")
+      rest(11).toLong + rest(12).toLong
+    }
+    // Instantaneous CPU-busy fraction in the inter-query GAP: the
     // non-lagging half of the contention flag (see envContended).
-    // Reads the aggregate /proc/stat cpu line twice; busy =
-    // 1 − Δ(idle+iowait)/Δtotal.
-    def cpuBusy(windowMs: Int = 120): Double =
+    // MAX of several short windows, not one long one (r13 ADVICE: a
+    // single ~120 ms sample misses a bursty contender; the max of
+    // three 40 ms windows keeps the same wall budget and catches any
+    // burst that overlaps one of them).
+    def cpuBusy(samples: Int = 3, windowMs: Int = 40): Double =
       try {
-        def ticks(): (Long, Long) = {
-          val src = scala.io.Source.fromFile("/proc/stat")
-          val f = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-          finally src.close()
-          (f.sum, f(3) + (if (f.length > 4) f(4) else 0L))
+        var best = -1.0
+        var s = 0
+        while (s < samples) {
+          val (t0, i0) = statTicks()
+          Thread.sleep(windowMs.toLong)
+          val (t1, i1) = statTicks()
+          val dt = t1 - t0
+          if (dt > 0) best = math.max(best,
+            math.max(0.0, 1.0 - (i1 - i0).toDouble / dt))
+          s += 1
         }
-        val (t0, i0) = ticks()
-        Thread.sleep(windowMs.toLong)
-        val (t1, i1) = ticks()
-        val dt = t1 - t0
-        if (dt <= 0) -1.0
-        else math.max(0.0, 1.0 - (i1 - i0).toDouble / dt)
+        best
       } catch { case NonFatal(_) => -1.0 }
+    // OTHER-process CPU share over a timed query window (r13 verdict
+    // #3: contention arriving DURING a query is invisible to the gap
+    // samples): busy ticks minus our own utime+stime, over total
+    // capacity. Self-subtraction means the suite's own 32 threads read
+    // ~0 here; only a live external consumer moves it. Kernel-side
+    // work done on our behalf outside our process (kworker flushes,
+    // the forked sbt parent's wait loop) leaks into "other" — the
+    // calibration headroom in busyDuringThreshold covers it.
+    def otherBusyOver(t0: (Long, Long), s0: Long): Double =
+      try {
+        val (t1, i1) = statTicks()
+        val dt = t1 - t0._1
+        if (dt <= 0) -1.0
+        else {
+          val busyOther = (dt - (i1 - t0._2)) - (selfTicks() - s0)
+          math.max(0.0, busyOther.toDouble / dt)
+        }
+      } catch { case NonFatal(_) => -1.0 }
+    // Per-run timing: wall seconds, GC-ms delta, and the during-window
+    // other-process busy share (busy_during — the r13 verdict-#3
+    // blind-spot instrument). -1 wall marks a FAILED query: a thrown
+    // query must not masquerade as a fast one in BENCH_*.json.
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long, Double) = {
+      val st = try statTicks() catch { case NonFatal(_) => (-1L, -1L) }
+      val ss = try selfTicks() catch { case NonFatal(_) => -1L }
+      val t0 = System.nanoTime()
+      val g0 = gcMs()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val bd = if (st._1 < 0 || ss < 0) -1.0 else otherBusyOver(st, ss)
+        (sec, gcMs() - g0, bd)
+      } catch { case NonFatal(_) => (-1.0, gcMs() - g0, -1.0) }
+    }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     // Storage snapshot (memory-cached MB, disk-spilled MB, and RDDs
     // with DROPPED partitions) taken right after each warm run: a warm
@@ -439,15 +513,19 @@ object Bench {
       val bs = detailed.toSeq.map(_._2._6).filter(_ >= 0).sorted
       if (bs.isEmpty) -1.0 else bs(bs.size / 2)
     }
-    val envRow = s"""  "_env": {"cores": $cpus, "run_load1_median": $runLoadMedian, "floor_threshold": $floorThresh, "run_contended": $runContended, "run_busy_median": $runBusyMedian, "busy_threshold": $busyThreshold}"""
+    val envRow = s"""  "_env": {"cores": $cpus, "run_load1_median": $runLoadMedian, "floor_threshold": $floorThresh, "run_contended": $runContended, "run_busy_median": $runBusyMedian, "busy_threshold": $busyThreshold, "busy_during_threshold": $busyDuringThreshold}"""
     val detail = (envRow +: detailed.toSeq
-      .map { case (k, ((c, gc), (w, gw), lc, la, (sm, sd, sev), bb)) =>
-        val contended = envContended(cores, runLoadMedian, lc, la, bb)
-        val extra = retried.get(k).fold("") { case ((r, rgc), rl) =>
-          s""", "retry": $r, "retry_gc_ms": $rgc, "retry_load1": $rl""" }
-        val wextra = warmRetried.get(k).fold("") { case ((r, rgc), rl, (wm, wd, wev)) =>
-          s""", "warm_retry": $r, "warm_retry_gc_ms": $rgc, "warm_retry_load1": $rl, "warm_retry_cache_mb": $wm, "warm_retry_evicted": $wev""" }
-        s"""  "$k": {"cold": $c, "warm": $w, "gc_cold_ms": $gc, "gc_warm_ms": $gw, "load1": $lc, "load1_after": $la, "busy_before": $bb, "cache_mb": $sm, "cache_disk_mb": $sd, "evicted_rdds": $sev, "env_contended": $contended$extra$wextra}""" })
+      .map { case (k, ((c, gc, bdc), (w, gw, bdw), lc, la, (sm, sd, sev), bb)) =>
+        // a row is contended if EITHER sample window saw a live
+        // contender — the cold and warm runs are adjudicated as one
+        // row, so the worse window decides
+        val contended = envContended(cores, runLoadMedian, lc, la, bb,
+          math.max(bdc, bdw))
+        val extra = retried.get(k).fold("") { case ((r, rgc, rbd), rl) =>
+          s""", "retry": $r, "retry_gc_ms": $rgc, "retry_load1": $rl, "retry_busy_during": $rbd""" }
+        val wextra = warmRetried.get(k).fold("") { case ((r, rgc, rbd), rl, (wm, wd, wev)) =>
+          s""", "warm_retry": $r, "warm_retry_gc_ms": $rgc, "warm_retry_load1": $rl, "warm_retry_busy_during": $rbd, "warm_retry_cache_mb": $wm, "warm_retry_evicted": $wev""" }
+        s"""  "$k": {"cold": $c, "warm": $w, "gc_cold_ms": $gc, "gc_warm_ms": $gw, "load1": $lc, "load1_after": $la, "busy_before": $bb, "busy_during_cold": $bdc, "busy_during_warm": $bdw, "cache_mb": $sm, "cache_disk_mb": $sd, "evicted_rdds": $sev, "env_contended": $contended$extra$wextra}""" })
       .mkString("{\n", ",\n", "\n}\n")
     try {
       val dir = java.nio.file.Paths.get("target", "bench")

@@ -20,6 +20,17 @@ object Verify {
       // index-split queries (x71/x72) persist bucketed catalog tables;
       // keep the warehouse out of the repo checkout
       .config("spark.sql.warehouse.dir", io.TempDirs.scratch("graft-warehouse"))
+      // q54/q55's SPJ prerequisites, set at SESSION CONSTRUCTION so no
+      // registered plan depends on whether q54 ran first (r13 ADVICE:
+      // the in-query sets are session-sticky, and restoring them inside
+      // the query function is impossible — physical planning, where
+      // these confs are read, happens at action time, after the
+      // function returns). Both are benign for every other plan:
+      // v2.bucketing only activates on DSv2 scans that REPORT
+      // partitioning (only graft-keyed does), and the co-partition
+      // relaxation is a skew heuristic, never correctness.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -428,10 +428,22 @@ object LlmData {
     * is bit-equal (DistributedTrainSpec literal-parity + the
     * BestCentroidSpec element-wise null contract). */
   private[operators] def assignDf(e: DataFrame, cents: DataFrame): DataFrame = {
+    // agg(collect_list) ALWAYS yields one row — for an empty centroid
+    // frame that row carries an empty array, graft_best_cid maps it to
+    // NULL, and every corpus row would come back cid=NULL where the
+    // old crossJoin+inner-join form returned an EMPTY frame. No caller
+    // reaches K=0 today (corpusK floors at 1, trainCentroidsDf seeds
+    // from vec_id 1..K), so the guard rides IN the plan (raise_error
+    // on the packed row, zero extra jobs — an eager .isEmpty here
+    // would re-execute the training lineage once per Lloyd's step)
+    // and fails loudly instead of silently shifting shape.
     val packed = cents
       .select(col("cid"), col("ce"),
         sqrt(Vectors.dotDecl(col("ce"), col("ce"))).as("cn"))
       .agg(collect_list(struct(col("cid"), col("ce"), col("cn"))).as("carr"))
+      .select(when(size(col("carr")) === 0, raise_error(lit(
+          "assignDf: empty centroid frame (K=0) has no assignment semantics")))
+        .otherwise(col("carr")).as("carr"))
     e.crossJoin(broadcast(packed))
       .withColumn("cid", call_function("graft_best_cid", col("embedding"), col("carr")))
       .drop("carr")

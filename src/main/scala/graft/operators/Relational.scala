@@ -860,11 +860,19 @@ object Relational {
     // layout-write time. Join keys (kb, doc_id) are a SUPERSET of the
     // partition key, the bucketed-join norm — Spark accepts subset
     // co-partitioning only under
-    // requireAllClusterKeysForCoPartition=false (set here; it relaxes
-    // a skew heuristic, never correctness: equal kb still implies the
-    // same partition on both sides). v2.bucketing.enabled turns the
-    // connector's report on; both confs are session-sticky and benign
-    // for every other registered plan (plan-audited globally).
+    // requireAllClusterKeysForCoPartition=false (it relaxes a skew
+    // heuristic, never correctness: equal kb still implies the same
+    // partition on both sides). v2.bucketing.enabled turns the
+    // connector's report on. Both confs are benign for every other
+    // registered plan (plan-audited globally) and are set at SESSION
+    // CONSTRUCTION by Bench/Verify (r13 ADVICE: the sets below are
+    // session-sticky, so without the builder-level pin the first q54
+    // run changed later plans' conf state by Map ordering; restoring
+    // them inside this function is impossible — physical planning,
+    // where Spark reads them, happens at action time, after this
+    // function returns). The sets below stay for FOREIGN sessions
+    // (a user session that never pinned them): idempotent under the
+    // harnesses, required for q54's zero-Exchange contract elsewhere.
     // PlanAuditSpec pins zero Exchange across join AND aggregate;
     // KeyedSourceSpec pins the report, the alignment, and the
     // conf-off degradation. The orderBy+limit rides
@@ -895,7 +903,80 @@ object Relational {
              |  CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
              |    AS BIGINT) AS sum_tokens
              |FROM documents GROUP BY 1 ORDER BY kb LIMIT 16""".stripMargin),
-      "storage-partitioned join: DSv2 scans report KeyGroupedPartitioning, doc-grain enrichment join + keyed agg with zero Exchange")
+      "storage-partitioned join: DSv2 scans report KeyGroupedPartitioning, doc-grain enrichment join + keyed agg with zero Exchange"),
+
+    // ── Keyed point lookup through pushed key filters (q55) ──────────
+    // The r13 gap on q54's connector: a key predicate read all 16
+    // `k=<v>/` directories and filtered post-scan — a 16× overscan
+    // that at 100 TB turns a point read into a full-table scan. Now
+    // the equality pushes down (KeyedScanBuilder.pushFilters) and the
+    // scan PLANS one partition: the directory listing is the
+    // predicate index, exact at directory grain (the layout's
+    // partitionBy(key) placement — the same contract the SPJ report
+    // already trusts), so the filter is fully consumed and the plan
+    // carries no residual Filter. Column pruning composes: this scan
+    // reads 1 of 16 directories AND only the 3 referenced fields.
+    // KeyedSourceSpec pins partition counts (1 of 16; IN → 2;
+    // contradiction → 0) and the refusal leg (non-key predicates stay
+    // post-scan, all 16 planned).
+    "q55_keyed_point_lookup" -> Q(
+      (s, dir) => {
+        val base = keyedLayouts(s, dir)
+        s.read.format("graft-keyed")
+          .option("path", s"$base/docs")
+          .option("schema", "kb BIGINT, doc_id BIGINT, source STRING, n_chars BIGINT")
+          .option("key", "kb").load()
+          .filter(col("kb") === 3)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents WHERE doc_id % 16 = 3
+             |GROUP BY source ORDER BY source""".stripMargin),
+      "keyed point lookup: pushed key equality prunes k=<v>/ directories at plan time — 1 of 16 partitions, no residual Filter"),
+
+    // ── Statistics-driven join reordering, CBO (q56) ──────────────────
+    // The last classical 100 TB planning lever with zero coverage
+    // (r13 verdict #2): when hand-hints are absent, a warehouse leans
+    // on ANALYZE TABLE statistics + spark.sql.cbo.enabled to pick the
+    // join ORDER. The query is written in the deliberately bad
+    // syntactic order — (orders ⋈ customer) ⋈ σ(nation) — whose
+    // stats-blind plan materializes the full 10-orders-per-customer
+    // intermediate before the 25×-selective nation filter touches it;
+    // with row+column statistics on all three catalog tables and the
+    // CBO flags on, CostBasedJoinReorder flips to
+    // (σ(nation) ⋈ customer) ⋈ orders, shrinking the first join's
+    // output ~25×. The flags live on a CHILD SESSION (newSession:
+    // own SQLConf, shared SparkContext + catalog + cache), so CBO
+    // estimation never leaks into any other registered plan — the
+    // q54 session-stickiness lesson applied preemptively.
+    // CboSpec pins the two-plan audit (join order WITH stats+cbo vs
+    // WITHOUT differs, filtered-dim-first under CBO) and BASELINE.md
+    // records the honest wall-time verdict at local scale.
+    "q56_cbo_join_reorder" -> Q(
+      (s, dir) => {
+        val c = cboSession(s)
+        val tag = cboTables(c, dir)
+        val o = c.table(s"graft_cbo_orders_$tag")
+        val cu = c.table(s"graft_cbo_customer_$tag")
+        val n = c.table(s"graft_cbo_nation_$tag")
+        o.join(cu, o("o_custkey") === cu("c_custkey"))
+          .join(n, cu("c_nationkey") === n("n_nationkey"))
+          .filter(n("n_name") === "NATION_7")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sumCents(col("o_totalprice")).as("sum_price"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS sum_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE n_name = 'NATION_7'
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      "stats-driven planning: ANALYZE'd catalog tables + CBO join reorder flip a bad syntactic join order to filtered-dim-first")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table
@@ -945,6 +1026,46 @@ object Relational {
     * (length − length(sans-spaces) + 1), so the enrichment side is a
     * genuinely distinct table, not a re-projection at read. One write
     * per (session, corpus) via the shared stamped registry. */
+  /** q56's CBO child session, one per parent session: same
+    * SparkContext, shared external catalog and block-manager cache,
+    * but an ISOLATED SQLConf — the cbo/joinReorder flags change
+    * optimizer ESTIMATION globally, so unlike q54's layout flags they
+    * must never become ambient state for other registered plans.
+    * Execution confs every query depends on are copied from the
+    * parent explicitly (newSession starts from the context's initial
+    * conf, which loses anything the parent set dynamically). */
+  private lazy val cboSessionReg = new LlmData.SessionRegistry[SparkSession]
+  private[graft] def cboSession(s: SparkSession): SparkSession =
+    cboSessionReg.acquire(s) {
+      val c = s.newSession()
+      Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone",
+          "spark.sql.legacy.parquet.nanosAsLong")
+        .foreach(k => s.conf.getOption(k).foreach(v => c.conf.set(k, v)))
+      c.conf.set("spark.sql.cbo.enabled", "true")
+      c.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      c
+    }
+
+  /** q56's ANALYZE'd catalog tables (customer/orders/nation), staged
+    * once per (session, corpus generation) via the same stamped
+    * registry as every other layout; returns the table-name tag.
+    * `FOR ALL COLUMNS` computes row count + size AND per-column
+    * NDV/min/max/null stats — what join-reorder's cardinality
+    * estimation feeds on. Stats live in the shared catalog entry, so
+    * a corpus regeneration re-stages AND re-analyzes (a stale row
+    * count would silently skew every estimate). */
+  private[graft] def cboTables(c: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    LlmData.tableOnce(bucketMemo, c, dir + "#cbo")({
+      Seq("customer", "orders", "nation").foreach { tn =>
+        val tbl = s"graft_cbo_${tn}_$tag"
+        t(c, dir, tn).write.mode("overwrite").format("parquet").saveAsTable(tbl)
+        c.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+      tag
+    })
+  }
+
   private def keyedLayouts(s: SparkSession, dir: String): String =
     LlmData.tableOnce(bucketMemo, s, dir + "#keyed")({
       val out = graft.io.TempDirs.scratch("graft_keyed_")

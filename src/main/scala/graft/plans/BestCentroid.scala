@@ -154,16 +154,7 @@ case class BestCentroidCid(left: Expression, right: Expression)
             if (!cosNull) {
               val den = vnorm * cn
               if (den == 0.0 && failOnError)
-                // Spark's QueryExecutionErrors.divideByZeroError and the
-                // SparkArithmeticException it builds are private[sql]/
-                // private[spark] at the Scala level; raise the same JVM
-                // supertype (SparkArithmeticException extends
-                // ArithmeticException) with the same message text
-                throw new ArithmeticException(
-                  "[DIVIDE_BY_ZERO] Division by zero. Use `try_divide` to " +
-                  "tolerate divisor being 0 and return NULL instead. If " +
-                  "necessary set \"spark.sql.ansi.enabled\" to \"false\" to " +
-                  "bypass this error. SQLSTATE: 22012")
+                throw BestCentroidCid.divideByZeroError()
               val raw = dot / den
               cos = ((Math.floor(raw * 1000000.0 + 0.5)).toLong).toDouble / 1000000.0
             }
@@ -191,4 +182,26 @@ case class BestCentroidCid(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BestCentroidCid =
     copy(left = newLeft, right = newRight)
+}
+
+object BestCentroidCid {
+  /** The SAME exception Spark's own Divide raises (type
+    * SparkArithmeticException, error class DIVIDE_BY_ZERO, message
+    * template owned by Spark) — callers matching on
+    * SparkThrowable.getCondition, or a future Spark rewording the
+    * message, see no divergence from the declarative form this kernel
+    * replaces. QueryExecutionErrors and the exception class are
+    * private[sql]/private[spark] at the SCALA level only (public
+    * bytecode), hence the cached reflective call; null context is the
+    * factory's own context-free path (empty QueryContext array, empty
+    * summary — this expression is constructed programmatically, there
+    * is no SQL fragment to point at). */
+  private lazy val divideByZeroMethod: java.lang.reflect.Method = {
+    val cls = Class.forName("org.apache.spark.sql.errors.QueryExecutionErrors$")
+    cls.getMethod("divideByZeroError", Class.forName("org.apache.spark.QueryContext"))
+  }
+  private[plans] def divideByZeroError(): ArithmeticException =
+    divideByZeroMethod.invoke(
+      divideByZeroMethod.getDeclaringClass.getField("MODULE$").get(null),
+      null).asInstanceOf[ArithmeticException]
 }

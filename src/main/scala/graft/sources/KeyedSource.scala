@@ -38,6 +38,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * SPJ tables key their layouts when the native bucket-transform
   * function catalog is not in play.
   *
+  * The directory structure is also the PREDICATE index: key
+  * equality/IN filters push down ([[KeyedScanBuilder.pushFilters]])
+  * and prune `k=<v>/` directories at plan time — exact at directory
+  * grain, fully consumed, no residual Filter — so a point lookup
+  * plans O(matching keys) partitions, not the full key space (q55,
+  * plan-audited). Non-key and range predicates are refused and stay
+  * post-scan.
+  *
   * Session prerequisite: `spark.sql.sources.v2.bucketing.enabled=true`
   * (off ⇒ the report is ignored and plans fall back to ordinary
   * shuffled joins — correctness unchanged, the layout lever unused).
@@ -68,6 +76,37 @@ class KeyedSourceProvider extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 }
 
+/** BATCH_READ only — NO streaming leg, by analysis (r13 verdict #4;
+  * the q51-DPP honesty rule: record the negative instead of shipping
+  * machinery the layout cannot back).
+  *
+  * An incremental source needs offsets that (a) totally order
+  * deliveries and (b) pin immutable content per committed interval.
+  * The pages connector has both: page ids grow monotonically and a
+  * delivered page is never rewritten, so `offset = next page id` is a
+  * complete cursor ([[PageMicroBatchStream]]). The keyed layout has
+  * NEITHER. Its key space is a fixed, unordered partition domain
+  * (kb = hash buckets; arbitrary strings) — there is no monotone "next
+  * key" — and its write contract is OVERWRITE-BY-KEY: stageKeyed lays
+  * each key down as exactly one file (that one-file-per-key shape IS
+  * the batch-read contract, one directory ≙ one aligned partition),
+  * so an append to key v arrives as a REWRITE of `k=v/`'s file. A
+  * committed offset cannot pin content that mutates in place: replay
+  * of an uncommitted batch after restart would read the NEW bytes
+  * (exactly-once broken), and a mid-batch rewrite can tear a read.
+  * File-grain seen-set tracking (Spark's own FileStreamSource) doesn't
+  * rescue it — it assumes immutable files, which overwrite-by-key
+  * violates by design.
+  *
+  * The composition that DOES stream keyed data is already in the
+  * repo: ingest increments through the pages connector (the monotone
+  * ledger) and re-stage the keyed layout from the drained batch —
+  * ledger for deliveries, keyed layout for join geometry; Iceberg
+  * draws the same line (its streaming reader walks the append
+  * SNAPSHOT log, never the live partition directories).
+  * KeyedSourceSpec pins the refusal: `readStream` against this table
+  * fails at analysis with Spark's unsupported-streaming error, not
+  * deep in an executor. */
 final class KeyedTable(declared: StructType, path: String, key: String)
     extends Table with SupportsRead {
   require(path != null, "graft-keyed requires option 'path' (the staged key directory)")
@@ -86,11 +125,85 @@ final class KeyedTable(declared: StructType, path: String, key: String)
 
 final class KeyedScanBuilder(full: StructType, path: String, key: String,
     conf: org.apache.spark.util.SerializableConfiguration)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = full
+  // None = no key predicate pushed (all directories); Some(s) = only
+  // directories whose key value ∈ s are planned. Distinct from
+  // Some(empty): conflicting equalities (kb=3 AND kb=5) intersect to
+  // an EMPTY set — zero partitions, not a fallback to all 16.
+  private var keyValues: Option[Set[Any]] = None
+  private var accepted: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new KeyedScan(full, required, path, key, conf)
+
+  /** Key literal → the exact runtime type partition planning derives
+    * from the `k=<v>` directory name, so set membership is comparable.
+    * None = a literal the layout cannot answer (wrong type) — refuse
+    * the whole filter rather than guess. */
+  private def normalize(v: Any): Option[Any] =
+    full(full.fieldIndex(key)).dataType match {
+      case LongType => v match {
+        case n: Number => Some(n.longValue); case _ => None }
+      case StringType => v match {
+        case s: String => Some(s)
+        case u: UTF8String => Some(u.toString)
+        case _ => None }
+      case _ => None
+    }
+
+  /** Key equality/IN predicates prune `k=<v>/` directories at plan
+    * time — the connector family's pushdown standard (the PageSource
+    * page-grain pattern, `PageSource.pushFilters`) applied at
+    * directory grain, where it is EXACT rather than lossy: the layout
+    * contract (stageKeyed's `partitionBy(key)` — the SAME placement
+    * the SPJ report's [[HasPartitionKey]] already trusts) guarantees
+    * directory `k=v` holds exactly the key=v rows, so an accepted
+    * filter is FULLY CONSUMED (not returned as residual) and the plan
+    * carries no post-scan Filter. A keyed point-lookup against the
+    * 16-directory layout plans 1 partition, not 16 — at 100 TB this
+    * is the difference between a point read and a full-table scan.
+    * Everything else — range predicates, non-key columns, literals of
+    * the wrong type — is REFUSED (returned untouched for Spark to
+    * evaluate post-scan) and planning stays at all directories. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filter {
+      // Catalyst pairs every key equality with IsNotNull(key); the
+      // stager REJECTS null keys (framing guard), so isnotnull is a
+      // tautology over the layout — consume it (prunes nothing)
+      // rather than leave a residual Filter that also blocks the key
+      // column from pruning out of the read schema
+      case f @ IsNotNull(a) if a == key =>
+        accepted :+= f
+        false
+      case f @ EqualTo(a, v) if a == key =>
+        normalize(v) match {
+          case Some(n) =>
+            keyValues = Some(keyValues.fold(Set(n))(_ intersect Set(n)))
+            accepted :+= f
+            false
+          case None => true
+        }
+      case f @ In(a, vs) if a == key && vs != null =>
+        // a null element in the IN list matches no stored row (the
+        // stager rejects null keys), so the non-null values alone
+        // decide the directory set — still exact
+        val nonNull = vs.filter(_ != null)
+        val ns = nonNull.map(normalize)
+        if (ns.forall(_.isDefined)) {
+          val s = ns.flatten.toSet
+          keyValues = Some(keyValues.fold(s)(_ intersect s))
+          accepted :+= f
+          false
+        } else true
+      case _ => true
+    }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    new KeyedScan(full, required, path, key, conf, keyValues)
 }
 
 /** One `k=<v>/` directory ≙ one input partition carrying its key value
@@ -103,12 +216,15 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
   * own — a co-keyed JOIN always projects the key, so the fallback
   * only fires for plans that never needed the alignment. */
 final class KeyedScan(full: StructType, required: StructType, path: String,
-    key: String, conf: org.apache.spark.util.SerializableConfiguration)
+    key: String, conf: org.apache.spark.util.SerializableConfiguration,
+    keyValues: Option[Set[Any]] = None)
     extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftKeyed path=$path key=$key pruned=${required.fieldNames.mkString(",")}"
+    s"GraftKeyed path=$path key=$key pruned=${required.fieldNames.mkString(",")}" +
+      keyValues.fold("")(s =>
+        s" keys=[${s.toSeq.map(_.toString).sorted.mkString(",")}]")
 
   private lazy val partitions: Array[InputPartition] = {
     val keyField = full(full.fieldIndex(key))
@@ -116,6 +232,18 @@ final class KeyedScan(full: StructType, required: StructType, path: String,
     val fs = p.getFileSystem(conf.value)
     fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("k="))
+      // pushed-key pruning happens HERE, on the raw directory name
+      // (the same string the stager wrote), BEFORE the UTF8String
+      // conversion — the directory listing is the predicate index
+      .filter { s =>
+        keyValues.forall { set =>
+          val raw = s.getPath.getName.stripPrefix("k=")
+          keyField.dataType match {
+            case LongType => set.contains(raw.toLong)
+            case _ => set.contains(raw)
+          }
+        }
+      }
       .map { s =>
         val raw = s.getPath.getName.stripPrefix("k=")
         val v: Any = keyField.dataType match {

@@ -232,7 +232,25 @@ final class PageScan(full: StructType, required: StructType, path: String,
   * arrived LATE and is never delivered (same contract as a paged API's
   * cursor: you cannot re-read behind the cursor without a reset).
   * Gaps are fine: a missing id inside the interval plans no partition
-  * now and, per the monotone contract, never will. */
+  * now and, per the monotone contract, never will.
+  *
+  * CONTRACT ENFORCEMENT (r13 ADVICE — silent loss must surface): the
+  * stream remembers which ids it has SEEN below its cursor (ids
+  * already behind the start offset at stream (re)start are presumed
+  * delivered by the run that committed that offset; ids this instance
+  * planned join the set as batches plan) and FAILS LOUDLY when a NEW
+  * id materializes behind the cursor — the signature of a producer
+  * publishing page directories out of order (e.g. parallel task
+  * completion in a concurrent stage write), which would otherwise
+  * manifest as silent row loss. The set is cursor METADATA (one long
+  * per page, same order as FileStreamSource's seen-files log — at
+  * 10^6 pages, ~8 MB of driver bookkeeping, never payload). One
+  * undetectable window is inherent to cursor semantics and documented
+  * here: a late page that arrives while the stream is DOWN is
+  * indistinguishable at restart from a delivered one (the checkpoint
+  * stores the cursor, not the id set); remediation for a violating
+  * producer is a cursor reset (new checkpoint) after the layout is
+  * quiesced, same as any paged-API re-read. */
 final class PageMicroBatchStream(path: String, full: StructType,
     required: StructType, conf: org.apache.spark.util.SerializableConfiguration)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
@@ -266,12 +284,33 @@ final class PageMicroBatchStream(path: String, full: StructType,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(latestCursor())
 
+  // ids known legitimately behind the cursor: seeded ONCE from the
+  // first listing against a start offset (presumed delivered by the
+  // run that committed it), grown with every id this instance plans —
+  // anything else behind the cursor is a monotone-contract violation
+  // (see the class scaladoc's CONTRACT ENFORCEMENT block)
+  private var seenBelow: scala.collection.mutable.Set[Long] = null
+  private def enforceMonotone(pages: Seq[(Long, String)], cursor: Long): Unit = {
+    val below = pages.iterator.map(_._1).filter(_ < cursor)
+    if (seenBelow == null) seenBelow = scala.collection.mutable.Set(below.toSeq: _*)
+    else {
+      val late = below.filterNot(seenBelow).toSeq.sorted
+      if (late.nonEmpty) throw new IllegalStateException(
+        s"graft-pages monotone-arrival contract violated at $path: page id(s) " +
+          s"${late.mkString(", ")} appeared BEHIND the committed cursor $cursor " +
+          "and would be silently lost (producer published pages out of order). " +
+          "Quiesce the producer and reset the cursor (new checkpoint) to re-read.")
+    }
+  }
+
   override def initialOffset(): Offset = PageStreamOffset(0L)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    enforceMonotone(listPages(), start.asInstanceOf[PageStreamOffset].next)
     PageStreamOffset(availableNowCap.getOrElse(latestCursor()))
+  }
 
   override def reportLatestOffset(): Offset = PageStreamOffset(latestCursor())
 
@@ -288,8 +327,12 @@ final class PageMicroBatchStream(path: String, full: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[PageStreamOffset].next
     val hi = end.asInstanceOf[PageStreamOffset].next
-    listPages()
-      .filter { case (id, _) => id >= lo && id < hi }
+    val pages = listPages()
+    enforceMonotone(pages, lo)
+    val batch = pages.filter { case (id, _) => id >= lo && id < hi }
+    // planned ids are legitimately behind every LATER cursor
+    seenBelow ++= batch.map(_._1)
+    batch
       .sortBy(_._1)
       .map { case (_, dir) => PagePartition(dir): InputPartition }
       .toArray

@@ -105,6 +105,25 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!Bench.envContended(32, runLoad1Median = 5.0, 1.2, 1.4, busyBefore = 0.9))
   }
 
+  test("during-query gate catches contention the gap samples are blind to (r14)") {
+    assert(Bench.busyDuringThreshold == 0.15)
+    // the r13 driver-artifact x118 shape: clean gap brackets (load1
+    // decayed by sample time, busy_before idle) but a contender was
+    // live DURING the timed window — busy_during alone must flag
+    assert(Bench.envContended(32, runLoad1Median = 5.0, 1.2, 9.8,
+      busyBefore = 0.02, busyDuring = 0.31))
+    // idle-box rows: self-subtraction keeps the suite's own 32 threads
+    // out of the numerator (calibrated ~0.00-0.02 on this box)
+    assert(!Bench.envContended(32, runLoad1Median = 5.0, 1.2, 9.8,
+      busyBefore = 0.02, busyDuring = 0.02))
+    // missing during sample (-1) leaves the gap-pair verdict unchanged
+    // in both directions
+    assert(Bench.envContended(32, runLoad1Median = 13.88, 20.2, 13.4,
+      busyBefore = 0.8, busyDuring = -1.0))
+    assert(!Bench.envContended(32, runLoad1Median = 11.6, 14.9, 21.0,
+      busyBefore = 0.03, busyDuring = -1.0))
+  }
+
   test("line is valid JSON shape with the driver-contract fields") {
     val line = Bench.jsonLine(
       Seq("q01_top10_star_join" -> (0.26, 0.21), "x20_exact_dedup_groups" -> (-1.0, 0.2)),

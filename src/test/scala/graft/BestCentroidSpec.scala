@@ -108,6 +108,21 @@ class BestCentroidSpec extends SparkSpec {
     }
     assert(viaKernel.getMessage.contains("DIVIDE_BY_ZERO"), viaKernel.getMessage)
     assert(viaDecl.getMessage.contains("DIVIDE_BY_ZERO"), viaDecl.getMessage)
+    // r13 ADVICE: not just the message — the TYPE and error class must
+    // match the declarative Divide's, so callers matching on
+    // SparkThrowable.getCondition see no divergence. Both errors
+    // surface wrapped in Spark's execution-failure envelope; compare
+    // the root SparkThrowable on each chain.
+    def rootSparkThrowable(t: Throwable): org.apache.spark.SparkThrowable = {
+      val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+      chain.reverse.collectFirst { case s: org.apache.spark.SparkThrowable => s }.get
+    }
+    val k = rootSparkThrowable(viaKernel)
+    val d = rootSparkThrowable(viaDecl)
+    assert(k.getCondition == "DIVIDE_BY_ZERO", s"kernel condition: ${k.getCondition}")
+    assert(k.getCondition == d.getCondition)
+    assert(k.getClass == d.getClass,
+      s"exception type must match the Divide's: ${k.getClass} vs ${d.getClass}")
   }
 
   test("kernel equals the declarative argmax over real embeddings (sf0.001, K=16 packed)") {

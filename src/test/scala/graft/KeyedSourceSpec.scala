@@ -112,6 +112,101 @@ class KeyedSourceSpec extends SparkSpec {
       s"pruned read must decode exactly the referenced fields, got ${scans.head.scan.readSchema()}")
   }
 
+  // ── r14: key-directory filter pushdown (q55) ──────────────────────
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.sparkPlan.collectLeaves()
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+      .head.scan
+
+  private def plannedParts(df: org.apache.spark.sql.DataFrame): Int =
+    scanOf(df).asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions().length
+
+  private def hasPostScanFilter(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.FilterExec])
+
+  test("pushed key equality prunes to ONE directory, fully consumed (no residual Filter)") {
+    val df = readKeyed(s"$base/docs", DocsDDL).filter(col("kb") === 3)
+    assert(plannedParts(df) == 1, "kb=3 must plan exactly the k=3 directory")
+    assert(scanOf(df).description().contains("keys=[3]"),
+      s"pushed keys must be visible in the scan: ${scanOf(df).description()}")
+    // EXACT at directory grain ⇒ fully consumed: no Filter node survives
+    assert(!hasPostScanFilter(df),
+      s"exact pushdown must leave no residual Filter:\n${df.queryExecution.executedPlan}")
+    val expect = Tables.load(spark, sf0001, "documents")
+      .filter(expr("doc_id % 16 = 3")).count()
+    assert(df.count() == expect && expect > 0)
+  }
+
+  test("pushed IN prunes to the matching directories; contradictions prune to zero") {
+    val in = readKeyed(s"$base/docs", DocsDDL).filter(col("kb").isin(3, 5))
+    assert(plannedParts(in) == 2, "kb IN (3,5) must plan exactly two directories")
+    assert(in.count() == Tables.load(spark, sf0001, "documents")
+      .filter(expr("doc_id % 16 IN (3, 5)")).count())
+    // conflicting equalities never reach the connector: Catalyst
+    // constant-folds kb=3 AND kb=5 to an empty relation and the scan
+    // leaf disappears from the plan entirely (the builder's
+    // Some(empty-set) intersection is the belt under that suspender)
+    val none = readKeyed(s"$base/docs", DocsDDL)
+      .filter(col("kb") === 3 && col("kb") === 5)
+    assert(none.queryExecution.sparkPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.isEmpty, "contradiction should fold the scan away before planning")
+    assert(none.count() == 0)
+    // a key value with no stored directory plans nothing and returns
+    // nothing (the point-lookup miss path)
+    val miss = readKeyed(s"$base/docs", DocsDDL).filter(col("kb") === 99)
+    assert(plannedParts(miss) == 0)
+    assert(miss.count() == 0)
+  }
+
+  test("refusal leg: non-key and range predicates stay post-scan, all directories planned") {
+    // non-key column: the directory structure cannot answer it
+    val nonKey = readKeyed(s"$base/docs", DocsDDL).filter(col("n_chars") > 50)
+    assert(plannedParts(nonKey) == 16,
+      "a non-key predicate must not prune directories")
+    assert(!scanOf(nonKey).description().contains("keys="))
+    assert(hasPostScanFilter(nonKey),
+      "the refused predicate must survive as a post-scan Filter")
+    // range on the KEY: refused too (only equality/IN are exact
+    // directory lookups in this builder), evaluated post-scan
+    val range = readKeyed(s"$base/docs", DocsDDL).filter(col("kb") > 13)
+    assert(plannedParts(range) == 16)
+    assert(hasPostScanFilter(range))
+    assert(range.count() == Tables.load(spark, sf0001, "documents")
+      .filter(expr("doc_id % 16 > 13")).count())
+    // composition: pushed key equality + refused non-key residual
+    val both = readKeyed(s"$base/docs", DocsDDL)
+      .filter(col("kb") === 3 && col("n_chars") > 50)
+    assert(plannedParts(both) == 1)
+    assert(hasPostScanFilter(both))
+    assert(both.count() == Tables.load(spark, sf0001, "documents")
+      .filter(expr("doc_id % 16 = 3 AND n_chars > 50")).count())
+  }
+
+  test("pushdown composes with column pruning: 1 of 16 directories AND only referenced fields") {
+    val df = readKeyed(s"$base/docs", DocsDDL).filter(col("kb") === 3)
+      .groupBy("source").agg(sum("n_chars").as("sc"))
+    assert(plannedParts(df) == 1)
+    assert(scanOf(df).readSchema().fieldNames.toSet == Set("source", "n_chars"))
+  }
+
+  test("no streaming leg, by analysis: readStream refuses at plan time (r14 negative)") {
+    // the overwrite-by-key layout cannot back incremental offsets (see
+    // KeyedTable scaladoc); the table declares BATCH_READ only, so the
+    // refusal is Spark's analysis-time unsupported-streaming error,
+    // not an executor-deep surprise
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-keyed")
+        .option("path", s"$base/docs").option("schema", DocsDDL)
+        .option("key", "kb").load()
+    }
+    assert(e.getMessage.toLowerCase.contains("stream"),
+      s"expected the unsupported-streaming analysis error, got: ${e.getMessage}")
+  }
+
   test("framing guard: NULL field fails the stage write loudly") {
     import spark.implicits._
     val bad = Seq((1L, Some("ok"), 2L), (2L, None: Option[String], 3L))

@@ -1061,6 +1061,52 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == batch.count())
   }
 
+  test("late page BEHIND the cursor fails loudly; the restart window stays documented") {
+    // r13 ADVICE: a producer publishing page directories out of order
+    // (id below the committed cursor) used to lose the page SILENTLY —
+    // the monotone-arrival contract now fails the stream instead. Unit
+    // test drives the MicroBatchStream object directly: the violation
+    // needs a LIVE stream instance (arrival mid-run), which a
+    // drain-restart harness cannot orchestrate deterministically.
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val fullStage = graft.sources.PageSource.stageDocuments(spark, sf0001, pageSize = 8L)
+    val endpoint = tmp("pages-late")
+    val pages = {
+      val s = Files.list(Paths.get(fullStage))
+      try s.toArray.map(_.toString).map(Paths.get(_))
+        .filter(_.getFileName.toString.startsWith("page="))
+        .sortBy(p => p.getFileName.toString.stripPrefix("page=").toLong)
+      finally s.close()
+    }
+    assert(pages.length > 3, "fixture must span several pages")
+    val held = pages(1) // a MIDDLE page: its id stays below the final cursor
+    pages.filterNot(_ == held).foreach(p =>
+      Files.move(p, Paths.get(endpoint, p.getFileName.toString)))
+    val ddl = org.apache.spark.sql.types.StructType.fromDDL(graft.sources.PageSource.DDL)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val stream = new graft.sources.PageMicroBatchStream(endpoint, ddl, ddl, conf)
+    val start = stream.initialOffset()
+    val end = stream.latestOffset(start, ReadLimit.allAvailable())
+    assert(stream.planInputPartitions(start, end).nonEmpty,
+      "the gapped delivery itself is legal (gaps never fill, says the contract)")
+    // ...and now the gap id arrives BEHIND the cursor: the live stream
+    // must fail loudly, not silently never deliver it
+    Files.move(held, Paths.get(endpoint, held.getFileName.toString))
+    val e = intercept[IllegalStateException] {
+      stream.latestOffset(end, ReadLimit.allAvailable())
+    }
+    assert(e.getMessage.contains("monotone-arrival"),
+      s"expected the contract violation, got: ${e.getMessage}")
+    // the documented undetectable window (PageMicroBatchStream
+    // scaladoc): a FRESH instance at restart presumes ids behind the
+    // committed cursor were delivered by the run that committed it —
+    // same listing, no throw, by design (the checkpoint stores the
+    // cursor, not the id set)
+    val restarted = new graft.sources.PageMicroBatchStream(endpoint, ddl, ddl, conf)
+    restarted.latestOffset(end, ReadLimit.allAvailable())
+  }
+
   test("page stream offset: checkpoint json round-trips, corruption fails loudly") {
     assert(graft.sources.PageStreamOffset.parse(
       graft.sources.PageStreamOffset(42L).json()) == 42L)
