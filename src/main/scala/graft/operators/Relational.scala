@@ -976,7 +976,49 @@ object Relational {
              |JOIN nation ON c_nationkey = n_nationkey
              |WHERE n_name = 'NATION_7'
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
-      "stats-driven planning: ANALYZE'd catalog tables + CBO join reorder flip a bad syntactic join order to filtered-dim-first")
+      "stats-driven planning: ANALYZE'd catalog tables + CBO join reorder flip a bad syntactic join order to filtered-dim-first"),
+
+    // ── Runtime key pruning on the DSv2 connector (q57) ───────────────
+    // Completes the connector pruning triad: q55 prunes on a LITERAL
+    // key (plan time), q54 aligns co-keyed layouts (no pruning), q57
+    // prunes on keys that exist only in DIMENSION DATA — dim.kind =
+    // 'focus' names no kb anywhere in the query text, so plan-time
+    // pushdown has nothing to push. Spark executes the broadcast dim
+    // side first, turns the surviving join keys into an IN filter,
+    // and hands it to the scan at EXECUTION time
+    // (SupportsRuntimeFiltering.filter); the connector intersects it
+    // into the same directory-grain prune the static path uses and
+    // re-plans 3 of 16 partitions. This is q51's DPP lever
+    // generalized from Spark's own file source to a DSv2 source —
+    // what Iceberg does for the fact⋈dim class at 100 TB, where the
+    // 13 pruned directories are the difference between a dim-driven
+    // point read and a full fact scan. KeyedSourceSpec pins the
+    // execution-time partition count, the plan's dynamicpruning
+    // subquery on the scan, and the ignored-filter safety leg.
+    "q57_keyed_runtime_prune" -> Q(
+      (s, dir) => {
+        val base = keyedLayouts(s, dir)
+        val docs = s.read.format("graft-keyed")
+          .option("path", s"$base/docs")
+          .option("schema", "kb BIGINT, doc_id BIGINT, source STRING, n_chars BIGINT")
+          .option("key", "kb").load()
+        val dim = s.read.schema("kb BIGINT, kind STRING").parquet(s"$base/dim")
+        docs.join(broadcast(dim), "kb")
+          .filter(col("kind") === "focus")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH dim AS (
+             |  SELECT DISTINCT doc_id % 16 AS kb,
+             |    CASE WHEN (doc_id % 16) % 5 = 2 THEN 'focus' ELSE 'regular' END AS kind
+             |  FROM documents)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents JOIN dim ON doc_id % 16 = dim.kb
+             |WHERE dim.kind = 'focus'
+             |GROUP BY source ORDER BY source""".stripMargin),
+      "runtime key pruning: dim-data-only predicate becomes an execution-time IN filter on the keyed scan — 3 of 16 directories read, DPP at the connector layer")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table
@@ -1077,6 +1119,16 @@ object Relational {
         docs.selectExpr("doc_id % 16 AS kb", "doc_id",
           "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens"),
         s"$out/tok", "kb")
+      // q57's bucket dimension: one row per stored key with a kind
+      // attribute materialized INTO table data ((kb % 5) = 2 →
+      // 'focus', 3 of 16), so the focus keys are facts only a runtime
+      // subquery can surface — the shape connector-side DPP exists
+      // for (the q51 calendarDim pattern at key grain)
+      docs.selectExpr("doc_id % 16 AS kb").distinct()
+        .selectExpr("kb",
+          "CASE WHEN kb % 5 = 2 THEN 'focus' ELSE 'regular' END AS kind")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/dim")
       out
     })
 

@@ -214,11 +214,25 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
   * column, the clustering expression could not resolve against the
   * output and Spark would fall back to unknown partitioning on its
   * own — a co-keyed JOIN always projects the key, so the fallback
-  * only fires for plans that never needed the alignment. */
+  * only fires for plans that never needed the alignment.
+  *
+  * RUNTIME filtering ([[SupportsRuntimeFiltering]], q57): when the
+  * pruning predicate exists only in DIMENSION DATA (dim.kind =
+  * 'focus' — no literal key in the query text), Spark executes the
+  * dim side first, converts the matched join keys into an IN filter,
+  * and hands it here at EXECUTION time; `filter()` intersects it
+  * into the same directory-grain prune the static path uses, and
+  * BatchScanExec re-plans partitions. This is the connector-side
+  * dynamic partition pruning — q51's lever generalized from Spark's
+  * own file source to a DSv2 source, the Iceberg production shape.
+  * Pruning here is an OPTIMIZATION, never correctness: a partition
+  * the filter fails to prune only feeds rows the join itself drops,
+  * so unrecognized runtime filters are ignored rather than refused. */
 final class KeyedScan(full: StructType, required: StructType, path: String,
     key: String, conf: org.apache.spark.util.SerializableConfiguration,
     keyValues: Option[Set[Any]] = None)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -226,17 +240,61 @@ final class KeyedScan(full: StructType, required: StructType, path: String,
       keyValues.fold("")(s =>
         s" keys=[${s.toSeq.map(_.toString).sorted.mkString(",")}]")
 
-  private lazy val partitions: Array[InputPartition] = {
+  // runtime key set (EXECUTION-time DPP), intersected with the static
+  // pushed set; @volatile — filter() runs on the driver before the
+  // scheduler plans partitions, but not necessarily the same thread
+  @volatile private var runtimeKeys: Option[Set[Any]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(key))
+
+  override def filter(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
     val keyField = full(full.fieldIndex(key))
+    def normalize(v: Any): Option[Any] = keyField.dataType match {
+      case LongType => v match { case n: Number => Some(n.longValue); case _ => None }
+      case StringType => v match {
+        case s: String => Some(s)
+        case u: UTF8String => Some(u.toString)
+        case _ => None }
+      case _ => None
+    }
+    filters.foreach {
+      case In(a, vs) if a == key && vs != null =>
+        val ns = vs.filter(_ != null).map(normalize)
+        if (ns.forall(_.isDefined)) {
+          val s = ns.flatten.toSet
+          runtimeKeys = Some(runtimeKeys.fold(s)(_ intersect s))
+        }
+      case EqualTo(a, v) if a == key =>
+        normalize(v).foreach(n =>
+          runtimeKeys = Some(runtimeKeys.fold(Set(n))(_ intersect Set(n))))
+      case _ => () // unpruned partitions are dropped by the join itself
+    }
+  }
+
+  private def effectiveKeys: Option[Set[Any]] = (keyValues, runtimeKeys) match {
+    case (Some(a), Some(b)) => Some(a intersect b)
+    case (a, b) => a.orElse(b)
+  }
+
+  // a DEF, not a lazy val: BatchScanExec re-plans partitions after
+  // runtime filter() mutates the scan — a cached listing would serve
+  // the pre-filter set and silently undo the prune
+  private def partitions: Array[InputPartition] = {
+    val keyField = full(full.fieldIndex(key))
+    val pruned = effectiveKeys
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf.value)
     fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("k="))
-      // pushed-key pruning happens HERE, on the raw directory name
-      // (the same string the stager wrote), BEFORE the UTF8String
-      // conversion — the directory listing is the predicate index
+      // key pruning happens HERE, on the raw directory name (the same
+      // string the stager wrote), BEFORE the UTF8String conversion —
+      // the directory listing is the predicate index, for static
+      // pushed keys and runtime keys alike
       .filter { s =>
-        keyValues.forall { set =>
+        pruned.forall { set =>
           val raw = s.getPath.getName.stripPrefix("k=")
           keyField.dataType match {
             case LongType => set.contains(raw.toLong)

@@ -193,6 +193,77 @@ class KeyedSourceSpec extends SparkSpec {
     assert(scanOf(df).readSchema().fieldNames.toSet == Set("source", "n_chars"))
   }
 
+  // ── r14: runtime key pruning (q57 — connector-side DPP) ───────────
+
+  test("runtime filter() prunes directories at execution time; unknown filters are safely ignored") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, In}
+    def freshScan() = {
+      val df = readKeyed(s"$base/docs", DocsDDL)
+      scanOf(df).asInstanceOf[graft.sources.KeyedScan]
+    }
+    // IN on the key: 16 → 2 planned partitions, post-filter
+    val s1 = freshScan()
+    assert(s1.planInputPartitions().length == 16)
+    s1.filter(Array[org.apache.spark.sql.sources.Filter](In("kb", Array(2L, 7L))))
+    assert(s1.planInputPartitions().length == 2,
+      "runtime IN must re-prune the directory listing")
+    // runtime ∩ runtime: a second filter intersects, never widens
+    s1.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("kb", 7L)))
+    assert(s1.planInputPartitions().length == 1)
+    // an unrecognized runtime filter is IGNORED (pruning is an
+    // optimization — the join drops unmatched rows), never a refusal
+    // and never a wrong prune
+    val s2 = freshScan()
+    s2.filter(Array[org.apache.spark.sql.sources.Filter](GreaterThan("n_chars", 50L)))
+    assert(s2.planInputPartitions().length == 16)
+  }
+
+  test("dim-data-only predicate prunes the keyed scan at runtime (q57 e2e): 3 of 16 read") {
+    val dimDf = Tables.load(spark, sf0001, "documents")
+      .selectExpr("doc_id % 16 AS kb").distinct()
+      .selectExpr("kb", "CASE WHEN kb % 5 = 2 THEN 'focus' ELSE 'regular' END AS kind")
+    val dimPath = graft.io.TempDirs.scratch("graft_keyed_dim_") + "/dim"
+    dimDf.coalesce(1).write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.schema("kb BIGINT, kind STRING").parquet(dimPath)
+    val q = readKeyed(s"$base/docs", DocsDDL)
+      .join(broadcast(dim), "kb")
+      .filter(col("kind") === "focus")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    // the optimizer injected a dynamic-pruning subquery ON THE SCAN —
+    // no kb literal exists anywhere in the query text
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"),
+      s"expected a runtime filter on the keyed scan:\n${planStr.take(1500)}")
+    val expect = Tables.load(spark, sf0001, "documents")
+      .filter(expr("(doc_id % 16) % 5 = 2"))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    // execute q ITSELF (an orderBy variant would build a fresh query
+    // execution with its own scan instance, and the probe below would
+    // read an un-executed scan — the first version of this test did
+    // exactly that and saw 16)
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val want = expect.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(got.sameElements(want) && got.nonEmpty)
+    // execution mutated the scan through filter(): the planned set is
+    // now the 3 focus directories, not 16 — the I/O-volume lever.
+    // (AQE's final plan nests scans inside QueryStageExec LEAVES;
+    // descend into stage plans explicitly.)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scans(p: SparkPlan): Seq[BatchScanExec] = p.collect {
+      case b: BatchScanExec => Seq(b)
+      case s: QueryStageExec => scans(s.plan)
+    }.flatten
+    val fp = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = scans(fp).head.scan.asInstanceOf[graft.sources.KeyedScan]
+    assert(scan.planInputPartitions().length == 3,
+      "runtime pruning must have narrowed the scan to the focus keys")
+  }
+
   test("no streaming leg, by analysis: readStream refuses at plan time (r14 negative)") {
     // the overwrite-by-key layout cannot back incremental offsets (see
     // KeyedTable scaladoc); the table declares BATCH_READ only, so the
