@@ -315,16 +315,22 @@ object Bench {
         val src = scala.io.Source.fromFile("/proc/loadavg")
         try src.mkString.split(" ")(0).toDouble finally src.close()
       } catch { case NonFatal(_) => -1.0 }
-    // Aggregate /proc/stat cpu line → (totalTicks, idleTicks). Idle is
-    // field 3 ALONE — iowait counts as BUSY (r13 ADVICE: load1 counts
-    // D-state tasks, so a disk-thrashing contender reads high load1
-    // with near-zero user+sys; treating its iowait as idle would
-    // unflag exactly that contender).
-    def statTicks(): (Long, Long) = {
+    // Aggregate /proc/stat cpu line → (totalTicks, idleTicks,
+    // iowaitTicks). The two probes treat iowait OPPOSITELY, each for
+    // its own reason: the GAP probe counts iowait as BUSY (r13
+    // ADVICE: our process is idle in the gap, so any iowait there is
+    // a disk-thrashing contender that load1 sees but user+sys
+    // doesn't); the DURING probe counts it as idle, because inside
+    // the timed window iowait is overwhelmingly OUR OWN I/O — iowait
+    // ticks belong to no process's utime/stime, so self-subtraction
+    // cannot remove them, and the first r14 sf1 pass false-flagged
+    // its two most I/O-bound queries (x23, q53 — the pure line-count
+    // scan) on their own disk waits.
+    def statTicks(): (Long, Long, Long) = {
       val src = scala.io.Source.fromFile("/proc/stat")
       val f = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
       finally src.close()
-      (f.sum, f(3))
+      (f.sum, f(3), if (f.length > 4) f(4) else 0L)
     }
     // Own-process CPU ticks (utime+stime, /proc/self/stat fields 14/15
     // — parsed after the last ')' because comm may contain spaces).
@@ -346,9 +352,9 @@ object Bench {
         var best = -1.0
         var s = 0
         while (s < samples) {
-          val (t0, i0) = statTicks()
+          val (t0, i0, _) = statTicks()
           Thread.sleep(windowMs.toLong)
-          val (t1, i1) = statTicks()
+          val (t1, i1, _) = statTicks()
           val dt = t1 - t0
           if (dt > 0) best = math.max(best,
             math.max(0.0, 1.0 - (i1 - i0).toDouble / dt))
@@ -364,13 +370,16 @@ object Bench {
     // work done on our behalf outside our process (kworker flushes,
     // the forked sbt parent's wait loop) leaks into "other" — the
     // calibration headroom in busyDuringThreshold covers it.
-    def otherBusyOver(t0: (Long, Long), s0: Long): Double =
+    def otherBusyOver(t0: (Long, Long, Long), s0: Long): Double =
       try {
-        val (t1, i1) = statTicks()
+        val (t1, i1, w1) = statTicks()
         val dt = t1 - t0._1
         if (dt <= 0) -1.0
         else {
-          val busyOther = (dt - (i1 - t0._2)) - (selfTicks() - s0)
+          // iowait excluded from "other busy" here (counted as idle):
+          // inside the timed window it is overwhelmingly our own I/O,
+          // invisible to utime/stime self-subtraction (see statTicks)
+          val busyOther = (dt - (i1 - t0._2) - (w1 - t0._3)) - (selfTicks() - s0)
           math.max(0.0, busyOther.toDouble / dt)
         }
       } catch { case NonFatal(_) => -1.0 }
@@ -379,7 +388,7 @@ object Bench {
     // blind-spot instrument). -1 wall marks a FAILED query: a thrown
     // query must not masquerade as a fast one in BENCH_*.json.
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long, Double) = {
-      val st = try statTicks() catch { case NonFatal(_) => (-1L, -1L) }
+      val st = try statTicks() catch { case NonFatal(_) => (-1L, -1L, -1L) }
       val ss = try selfTicks() catch { case NonFatal(_) => -1L }
       val t0 = System.nanoTime()
       val g0 = gcMs()
