@@ -264,6 +264,57 @@ class KeyedSourceSpec extends SparkSpec {
       "runtime pruning must have narrowed the scan to the focus keys")
   }
 
+  test("SPJ × runtime filtering interaction: values always correct; structure recorded") {
+    // the two r13/r14 levers can meet in one plan: a zero-Exchange
+    // co-keyed fact⋈fact join whose key set is then narrowed by a
+    // dim-data-only predicate. Runtime pruning one side of an aligned
+    // join is exactly the shape where a connector could corrupt
+    // results (partition-value alignment against a pruned subset), so
+    // this pins CORRECTNESS unconditionally and records the structure
+    // the planner actually chose (SPJ kept or degraded, scans pruned
+    // or not) — the contract is "never wrong, prune when the planner
+    // lets us", not a specific plan shape across Spark versions.
+    withSpjConfs(bucketing = "true") {
+      val dimDf = Tables.load(spark, sf0001, "documents")
+        .selectExpr("doc_id % 16 AS kb").distinct()
+        .selectExpr("kb", "CASE WHEN kb % 5 = 2 THEN 'focus' ELSE 'regular' END AS kind")
+      val dimPath = graft.io.TempDirs.scratch("graft_keyed_dim2_") + "/dim"
+      dimDf.coalesce(1).write.mode("overwrite").parquet(dimPath)
+      val dim = spark.read.schema("kb BIGINT, kind STRING").parquet(dimPath)
+      val q = readKeyed(s"$base/docs", DocsDDL).hint("merge")
+        .join(readKeyed(s"$base/tok", TokDDL).hint("merge"), Seq("kb", "doc_id"))
+        .join(broadcast(dim), "kb")
+        .filter(col("kind") === "focus")
+        .groupBy("kb").agg(count(lit(1)).as("n"), sum("n_tokens").as("st"))
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val want = Tables.load(spark, sf0001, "documents")
+        .selectExpr("doc_id % 16 AS kb",
+          "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens")
+        .filter(expr("kb % 5 = 2"))
+        .groupBy("kb").agg(count(lit(1)).as("n"), sum("n_tokens").as("st"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(got.sameElements(want) && got.length == 3,
+        s"SPJ + runtime pruning must never change values: got ${got.mkString(",")}")
+      // record the structure for the round log: exchanges in the final
+      // plan and the executed scans' post-filter partition counts
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      def scans(p: SparkPlan): Seq[BatchScanExec] = p.collect {
+        case b: BatchScanExec => Seq(b)
+        case s: QueryStageExec => scans(s.plan)
+      }.flatten
+      val fp = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val counts = scans(fp).filter(_.scan.isInstanceOf[graft.sources.KeyedScan])
+        .map(_.scan.asInstanceOf[graft.sources.KeyedScan].planInputPartitions().length)
+      val nEx = fp.toString.split("Exchange").length - 1
+      info(s"keyed scans post-execution partitions: ${counts.mkString(",")}; exchanges: $nEx")
+    }
+  }
+
   test("no streaming leg, by analysis: readStream refuses at plan time (r14 negative)") {
     // the overwrite-by-key layout cannot back incremental offsets (see
     // KeyedTable scaladoc); the table declares BATCH_READ only, so the
