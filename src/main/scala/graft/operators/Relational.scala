@@ -1018,7 +1018,49 @@ object Relational {
              |FROM documents JOIN dim ON doc_id % 16 = dim.kb
              |WHERE dim.kind = 'focus'
              |GROUP BY source ORDER BY source""".stripMargin),
-      "runtime key pruning: dim-data-only predicate becomes an execution-time IN filter on the keyed scan — 3 of 16 directories read, DPP at the connector layer")
+      "runtime key pruning: dim-data-only predicate becomes an execution-time IN filter on the keyed scan — 3 of 16 directories read, DPP at the connector layer"),
+
+    // ── Metadata-answered aggregates on the keyed layout (q58) ────────
+    // The Iceberg manifest-stats shape: stageKeyed finishes every
+    // layout write by deriving per-key count/min/max/sum FROM THE
+    // COMMITTED LAYOUT into a `_graft_keyed_stats` sidecar, and
+    // COUNT/MIN/MAX/SUM — bare or grouped by the key — then answer
+    // from the sidecar with ZERO data files opened
+    // (SupportsPushDownAggregates, partial: one row per surviving
+    // key, Spark's final aggregate merges ≤16 rows). The pushed key
+    // filter COMPOSES: directory grain is exact, so kb IN (2,3,7)
+    // prunes the sidecar to 3 entries — the page connector's count
+    // fast path must refuse under ANY filter (lossy page grain), the
+    // keyed one keeps it, which is the whole point of an exact
+    // layout grain. At 100 TB this query is a metadata lookup; the
+    // refused twin is a full-corpus scan. Refusal legs (residual
+    // filters, non-key grouping, DISTINCT/AVG, missing or mismatched
+    // sidecar) and data-scan parity on every leg are pinned in
+    // KeyedStatsSpec.
+    "q58_keyed_stats_agg" -> Q(
+      (s, dir) => {
+        val base = keyedLayouts(s, dir)
+        s.read.format("graft-keyed")
+          .option("path", s"$base/docs")
+          .option("schema", "kb BIGINT, doc_id BIGINT, source STRING, n_chars BIGINT")
+          .option("key", "kb").load()
+          .filter(col("kb").isin(2L, 3L, 7L))
+          .groupBy("kb")
+          .agg(count(lit(1)).as("n_docs"),
+            min("n_chars").as("min_chars"),
+            max("n_chars").as("max_chars"),
+            sum("n_chars").as("sum_chars"),
+            min("doc_id").as("first_doc"),
+            max("doc_id").as("last_doc"))
+          .orderBy("kb")
+      },
+      Some("""SELECT doc_id % 16 AS kb, count(*) AS n_docs,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM documents WHERE doc_id % 16 IN (2, 3, 7)
+             |GROUP BY 1 ORDER BY kb""".stripMargin),
+      "metadata-answered aggregate: grouped count/min/max/sum served from the keyed layout's stats sidecar — zero data files opened, pushed key filter prunes sidecar entries")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table

@@ -120,13 +120,18 @@ final class KeyedTable(declared: StructType, path: String, key: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KeyedScanBuilder(declared, path, key,
       new org.apache.spark.util.SerializableConfiguration(
-        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()),
+      // columnar byte-level decode (VectorizedFrame) by default —
+      // the same flag, default, and escape hatch as graft-pages
+      options.getBoolean("vectorize", true))
 }
 
 final class KeyedScanBuilder(full: StructType, path: String, key: String,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    vectorize: Boolean = true)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
   private var required: StructType = full
   // None = no key predicate pushed (all directories); Some(s) = only
@@ -135,6 +140,14 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
   // an EMPTY set — zero partitions, not a fallback to all 16.
   private var keyValues: Option[Set[Any]] = None
   private var accepted: Array[Filter] = Array.empty
+  // any filter NOT fully consumed by the exact directory grain — the
+  // stats pushdown must refuse (a metadata answer cannot honor a
+  // residual predicate); CONSUMED key filters compose instead, unlike
+  // the page connector's lossy grain where any filter refuses
+  private var sawUnconsumed = false
+  // set by pushAggregation when the sidecar answers the whole plan
+  private var statsPlan: Option[(Boolean, Array[KeyedStats.Stat],
+    StructType, Seq[KeyedStats.Entry])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -168,8 +181,8 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
     * Everything else — range predicates, non-key columns, literals of
     * the wrong type — is REFUSED (returned untouched for Spark to
     * evaluate post-scan) and planning stays at all directories. */
-  override def pushFilters(filters: Array[Filter]): Array[Filter] =
-    filters.filter {
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val residual = filters.filter {
       // Catalyst pairs every key equality with IsNotNull(key); the
       // stager REJECTS null keys (framing guard), so isnotnull is a
       // tautology over the layout — consume it (prunes nothing)
@@ -200,10 +213,58 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
         } else true
       case _ => true
     }
+    if (residual.nonEmpty) sawUnconsumed = true
+    residual
+  }
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan =
-    new KeyedScan(full, required, path, key, conf, keyValues)
+  /** Metadata-answered aggregates (KeyedStats scaladoc, the Iceberg
+    * manifest-stats shape): COUNT/MIN/MAX/SUM — bare or grouped by
+    * the layout key — answer from the `_graft_keyed_stats` sidecar
+    * with zero data files opened, composing with CONSUMED key
+    * filters (exact directory grain prunes sidecar entries exactly
+    * like it prunes directories). PARTIAL pushdown: one row per
+    * surviving key, Spark's final aggregate merges — which also makes
+    * AVG metadata-answerable, since Spark decomposes it to sum/count
+    * before pushing). Refused whenever
+    * a residual filter survives (a metadata answer cannot honor it),
+    * the aggregate set is not fully stats-answerable (DISTINCT,
+    * SUM of STRING, non-key grouping), or the sidecar is absent or
+    * disagrees with the declared schema + key (foreign or
+    * foreign-mutated layout — metadata trust is part of stageKeyed's
+    * write contract). */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (sawUnconsumed) return false
+    KeyedStatsScan.translate(agg, full, key) match {
+      case Some((groupByKey, stats, schema)) =>
+        KeyedStats.read(path, conf, full, key) match {
+          case Some(entries) =>
+            statsPlan = Some((groupByKey, stats, schema, entries))
+            true
+          case None => false
+        }
+      case None => false
+    }
+  }
+
+  override def build(): Scan = statsPlan match {
+    case Some((groupByKey, stats, schema, entries)) =>
+      // CONSUMED key filters prune sidecar entries with the same
+      // normalize-to-directory-name comparison partition planning
+      // uses — the sidecar is the directory listing's metadata twin
+      val keyField = full(full.fieldIndex(key))
+      val surviving = keyValues.fold(entries) { set =>
+        entries.filter(e => keyField.dataType match {
+          case LongType => set.contains(e.rawKey.toLong)
+          case _ => set.contains(e.rawKey)
+        })
+      }
+      new KeyedStatsScan(schema, path, key, keyField.dataType,
+        groupByKey, stats, surviving)
+    case None =>
+      new KeyedScan(full, required, path, key, conf, keyValues, vectorize)
+  }
 }
 
 /** One `k=<v>/` directory ≙ one input partition carrying its key value
@@ -230,7 +291,7 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
   * so unrecognized runtime filters are ignored rather than refused. */
 final class KeyedScan(full: StructType, required: StructType, path: String,
     key: String, conf: org.apache.spark.util.SerializableConfiguration,
-    keyValues: Option[Set[Any]] = None)
+    keyValues: Option[Set[Any]] = None, vectorize: Boolean = true)
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -238,7 +299,8 @@ final class KeyedScan(full: StructType, required: StructType, path: String,
   override def description(): String =
     s"GraftKeyed path=$path key=$key pruned=${required.fieldNames.mkString(",")}" +
       keyValues.fold("")(s =>
-        s" keys=[${s.toSeq.map(_.toString).sorted.mkString(",")}]")
+        s" keys=[${s.toSeq.map(_.toString).sorted.mkString(",")}]") +
+      (if (vectorize) "" else " rowdecode")
 
   // runtime key set (EXECUTION-time DPP), intersected with the static
   // pushed set; @volatile — filter() runs on the driver before the
@@ -323,7 +385,7 @@ final class KeyedScan(full: StructType, required: StructType, path: String,
       Array(Expressions.identity(key)), partitions.length)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KeyedReaderFactory(full, required, conf)
+    new KeyedReaderFactory(full, required, conf, vectorize)
 }
 
 /** Serializable key-directory partition; `partitionKey` is the stored
@@ -336,12 +398,19 @@ final case class KeyedPartition(pageDir: String, keyValue: Any)
 }
 
 final class KeyedReaderFactory(full: StructType, required: StructType,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    vectorize: Boolean = true)
     extends PartitionReaderFactory {
-  // row decode IS PageReader — the connectors share the US-framed
-  // line format and the index-addressed split
+  // decode IS the page decode — the connectors share the US-framed
+  // line format on both paths: PageReader (row) and PageColumnarReader
+  // (byte-level batch decode, the default — VectorizedFrame scaladoc)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PageReader(partition.asInstanceOf[KeyedPartition].pageDir, full, required, conf)
+  override def supportColumnarReads(partition: InputPartition): Boolean = vectorize
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new PageColumnarReader(partition.asInstanceOf[KeyedPartition].pageDir,
+      full, required, conf)
 }
 
 object KeyedSource {
@@ -378,6 +447,55 @@ object KeyedSource {
       // file (same rationale as PageSource.stageDocuments)
       .repartition(col("k"))
       .write.mode("overwrite").partitionBy("k").text(out)
+    writeStatsSidecar(spark, out, df.schema, key)
     out
+  }
+
+  /** Finish the layout write with its manifest statistics
+    * ([[KeyedStats]] scaladoc): read the COMMITTED layout back (never
+    * the input lineage — a non-deterministic `df` must not be able to
+    * desynchronize data and stats) and record per-key count, min/max
+    * per column, and sum per BIGINT column. One extra linear pass at
+    * stage time buys every later COUNT/MIN/MAX/SUM a zero-data-file
+    * metadata answer. Any stale sidecar is deleted BEFORE the
+    * read-back so the stats scan cannot answer its own derivation.
+    * SUM rides Spark's LongType sum, so an overflowing corpus fails
+    * (ANSI) or wraps (legacy) at STAGE time with exactly the
+    * semantics the fallback data scan would have at read time. */
+  private def writeStatsSidecar(spark: SparkSession, out: String,
+      schema: StructType, key: String): Unit = {
+    val sidecar = new org.apache.hadoop.fs.Path(out, KeyedStats.SidecarFile)
+    val fs = sidecar.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(sidecar)) fs.delete(sidecar, false)
+    val committed = spark.read.format("graft-keyed")
+      .option("path", out).option("schema", schema.toDDL).option("key", key)
+      .load()
+    val cols = schema.fields.toSeq
+    val aggs = count(lit(1)).as("_n") +: cols.flatMap { f =>
+      val base = Seq(min(col(f.name)).cast("string").as(s"_min_${f.name}"),
+        max(col(f.name)).cast("string").as(s"_max_${f.name}"))
+      if (f.dataType == LongType) base :+ sum(col(f.name)).as(s"_sum_${f.name}")
+      else base
+    }
+    // grouped by the key's DIRECTORY-NAME form (cast to string —
+    // identical to the partition naming the data write used); driver
+    // collect bounded by the key domain, the layout's own contract
+    val rows = committed.groupBy(col(key).cast("string").as("_k"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val entries = rows.toSeq.map { r =>
+      val mins = new Array[String](cols.length)
+      val maxs = new Array[String](cols.length)
+      val sums = new Array[Long](cols.length)
+      var pos = 2
+      cols.zipWithIndex.foreach { case (f, i) =>
+        mins(i) = r.getString(pos); maxs(i) = r.getString(pos + 1); pos += 2
+        if (f.dataType == LongType) { sums(i) = r.getLong(pos); pos += 1 }
+      }
+      KeyedStats.Entry(r.getString(0), r.getLong(1), mins, maxs, sums)
+    }
+    val os = fs.create(sidecar, true)
+    try os.write(KeyedStats.render(schema, key, entries)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
   }
 }

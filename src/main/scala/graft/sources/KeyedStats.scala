@@ -1,0 +1,274 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Metadata-answered aggregates for the `graft-keyed` layout — the
+  * connector's MANIFEST STATISTICS (what Iceberg answers `count(*)`
+  * and min/max range queries from without opening a data file).
+  *
+  * [[KeyedSource.stageKeyed]] finishes every layout write by reading
+  * the COMMITTED layout back and writing one `_graft_keyed_stats`
+  * sidecar line per key directory: row count plus per-column min/max
+  * (and sum for BIGINT columns), in declared-schema order, US-framed
+  * like everything else in the layout. Deriving from the committed
+  * bytes rather than the input lineage is deliberate (the Iceberg
+  * write-metrics discipline): a non-deterministic input DataFrame
+  * cannot desynchronize data and stats, because the stats never see
+  * the input — only what the layout actually stores.
+  *
+  * [[KeyedScanBuilder.pushAggregation]] then answers
+  * COUNT(*)/COUNT(col)/MIN/MAX/SUM — bare or grouped by the layout
+  * key — straight from the sidecar: the planned scan
+  * ([[KeyedStatsScan]]) carries ≤ |key domain| pre-projected rows and
+  * opens ZERO data files. PARTIAL pushdown by contract (Spark's final
+  * aggregate re-merges the per-key rows — sum of counts, min of mins;
+  * ≤16 rows, free), which keeps the executed plan shape ordinary and
+  * the values exactly those of the refused path — and it makes AVG
+  * metadata-answerable for free (Spark decomposes it to sum/count
+  * before pushing, both of which the sidecar holds). Pushed KEY filters
+  * compose: directory grain is EXACT (unlike the page connector's
+  * lossy page grain, where any filter must refuse the count fast
+  * path), so `WHERE kb IN (2,3,7) GROUP BY kb` prunes the sidecar to
+  * the three matching entries — at 100 TB the difference between a
+  * metadata lookup and a full-corpus scan. Refusals (the scan falls
+  * back to the ordinary data read, values identical): any
+  * non-consumed filter, DISTINCT, any aggregate outside the
+  * count/min/max/sum closure, a
+  * group-by that is not exactly the layout key, SUM of a STRING
+  * column, a missing sidecar (foreign layout), or a sidecar whose
+  * header does not match the declared schema + key (stale or
+  * foreign-written layout — the sidecar is part of stageKeyed's write
+  * contract, and a layout some other writer mutated must not be
+  * trusted for metadata answers).
+  *
+  * Nulls never arise in stored stats (the framing guard rejects null
+  * fields and a `k=<v>/` directory exists only if it holds rows);
+  * the one null-bearing row is the ZERO-SURVIVOR sentinel — a bare
+  * (ungrouped) aggregate whose pushed key filter pruned every entry
+  * emits one `count=0, min/max/sum=NULL` row, exactly what the data
+  * scan would aggregate to (the PageCountScan empty-layout sentinel,
+  * at key grain).
+  */
+object KeyedStats {
+  val SidecarFile = "_graft_keyed_stats"
+  val Version = "graft-keyed-stats v1"
+
+  /** One sidecar line ≙ one key directory's stats. `mins`/`maxs` hold
+    * the RAW framed strings per declared column (typed on demand);
+    * `sums` is meaningful only at BIGINT columns. */
+  final case class Entry(rawKey: String, count: Long,
+      mins: Array[String], maxs: Array[String], sums: Array[Long])
+
+  /** The stat one pushed aggregate expression reads from an entry.
+    * `sentinel` is the zero-survivor value (bare aggregates only). */
+  sealed trait Stat {
+    def name: String
+    def dataType: DataType
+    def of(e: Entry): Any
+    def sentinel: Any
+  }
+  final case class CountStat(label: String) extends Stat {
+    def name = label; def dataType: DataType = LongType
+    def of(e: Entry): Any = e.count
+    def sentinel: Any = 0L
+  }
+  final case class MinStat(i: Int, col: String, dataType: DataType) extends Stat {
+    def name = s"min($col)"
+    def of(e: Entry): Any = typed(e.mins(i), dataType)
+    def sentinel: Any = null
+  }
+  final case class MaxStat(i: Int, col: String, dataType: DataType) extends Stat {
+    def name = s"max($col)"
+    def of(e: Entry): Any = typed(e.maxs(i), dataType)
+    def sentinel: Any = null
+  }
+  final case class SumStat(i: Int, col: String) extends Stat {
+    def name = s"sum($col)"; def dataType: DataType = LongType
+    def of(e: Entry): Any = e.sums(i)
+    def sentinel: Any = null
+  }
+
+  private def typed(raw: String, dt: DataType): Any = dt match {
+    case LongType => raw.toLong
+    case StringType => UTF8String.fromString(raw)
+    case other => throw new IllegalArgumentException(s"unsupported stat type $other")
+  }
+
+  /** Fields per entry line: key + count + (3 per BIGINT col, 2 per
+    * STRING col). */
+  private def lineArity(schema: StructType): Int =
+    2 + schema.fields.map(f => if (f.dataType == LongType) 3 else 2).sum
+
+  /** Schema identity for the header: name + type, nullability ignored
+    * (fromDDL-declared schemas are all-nullable while staged lineage
+    * schemas usually are not — the layout stores no nulls either way,
+    * the framing guard saw to that). */
+  private def schemaTag(schema: StructType): String =
+    schema.fields.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+
+  /** Render the sidecar: header line pins version + schema + key, one
+    * line per key in directory-name order. */
+  private[sources] def render(schema: StructType, key: String,
+      entries: Seq[Entry]): String = {
+    val sb = new StringBuilder
+    sb.append(Version).append(PageSource.US).append(schemaTag(schema))
+      .append(PageSource.US).append(key).append('\n')
+    entries.sortBy(_.rawKey).foreach { e =>
+      sb.append(e.rawKey).append(PageSource.US).append(e.count)
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        sb.append(PageSource.US).append(e.mins(i))
+          .append(PageSource.US).append(e.maxs(i))
+        if (f.dataType == LongType) sb.append(PageSource.US).append(e.sums(i))
+      }
+      sb.append('\n')
+    }
+    sb.toString
+  }
+
+  /** Parse the sidecar against the DECLARED schema + key. None ⇒ no
+    * sidecar, or one whose header doesn't match — the caller refuses
+    * the pushdown and the ordinary data scan answers instead. A
+    * PRESENT matching sidecar with a malformed body fails loudly:
+    * that is corruption of a file this connector owns, not a foreign
+    * layout. */
+  private[graft] def read(path: String,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      declared: StructType, key: String): Option[Seq[Entry]] = {
+    val p = new org.apache.hadoop.fs.Path(path, SidecarFile)
+    val fs = p.getFileSystem(conf.value)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = text.split("\n", -1).filter(_.nonEmpty)
+    if (lines.isEmpty) return None
+    val header = lines.head.split("", -1)
+    if (header.length != 3 || header(0) != Version ||
+        header(1) != schemaTag(declared) || header(2) != key) return None
+    val arity = lineArity(declared)
+    val n = declared.length
+    Some(lines.tail.toSeq.map { line =>
+      val f = line.split("", -1)
+      if (f.length != arity) throw new IllegalStateException(
+        s"graft-keyed stats sidecar corrupted at $path: line has ${f.length} " +
+          s"fields, schema implies $arity (head: ${line.take(80)})")
+      val mins = new Array[String](n)
+      val maxs = new Array[String](n)
+      val sums = new Array[Long](n)
+      var i = 0
+      var pos = 2
+      while (i < n) {
+        mins(i) = f(pos); maxs(i) = f(pos + 1); pos += 2
+        if (declared(i).dataType == LongType) { sums(i) = f(pos).toLong; pos += 1 }
+        i += 1
+      }
+      Entry(f(0), f(1).toLong, mins, maxs, sums)
+    })
+  }
+}
+
+/** The pushed-aggregate scan: ≤ |key domain| pre-projected metadata
+  * rows, zero data files opened. `groupByKey` prepends the key value
+  * to each output row; bare aggregates emit one partial row per
+  * surviving key (Spark's final aggregate merges them) or the
+  * zero-survivor sentinel. */
+final class KeyedStatsScan(schema: StructType, path: String, key: String,
+    keyType: DataType, groupByKey: Boolean,
+    stats: Array[KeyedStats.Stat], entries: Seq[KeyedStats.Entry])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftKeyedStats path=$path agg=[${stats.map(_.name).mkString(",")}]" +
+      (if (groupByKey) s" groupBy=$key" else "") +
+      s" entries=${entries.length} (sidecar only, zero data files)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rows: Array[Array[Any]] =
+      if (entries.isEmpty && !groupByKey)
+        Array(stats.map(_.sentinel))
+      else entries.toArray.map { e =>
+        val base = stats.map(_.of(e))
+        if (groupByKey) {
+          val k: Any = keyType match {
+            case LongType => e.rawKey.toLong
+            case _ => UTF8String.fromString(e.rawKey)
+          }
+          k +: base
+        } else base
+      }
+    Array(KeyedStatsPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KeyedStatsReaderFactory
+}
+
+/** Pre-projected metadata rows; values are already the Catalyst
+  * runtime representations (Long / UTF8String / null). Bounded by the
+  * key domain — the same driver-side bound the directory listing
+  * itself implies. */
+final case class KeyedStatsPartition(rows: Array[Array[Any]]) extends InputPartition
+
+final class KeyedStatsReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val rows = partition.asInstanceOf[KeyedStatsPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rows(i))
+      override def close(): Unit = ()
+    }
+}
+
+object KeyedStatsScan {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  /** Translate a pushed [[Aggregation]] into sidecar stats, or None
+    * when any part is not metadata-answerable (the refusal legs in
+    * the object scaladoc). `(groupByKey, stats, output schema)`. */
+  def translate(agg: Aggregation, full: StructType, key: String)
+      : Option[(Boolean, Array[KeyedStats.Stat], StructType)] = {
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 &&
+            full.fieldNames.contains(r.fieldNames()(0)) =>
+          Some(full.fieldIndex(r.fieldNames()(0)))
+        case _ => None
+      }
+    val groupByKey = agg.groupByExpressions.toSeq match {
+      case Seq() => Some(false)
+      case Seq(r: NamedReference) if r.fieldNames.toSeq == Seq(key) => Some(true)
+      case _ => None
+    }
+    val stats: Array[Option[KeyedStats.Stat]] = agg.aggregateExpressions.map {
+      case _: CountStar => Some(KeyedStats.CountStat("count(*)"))
+      case c: Count if !c.isDistinct =>
+        // framed layouts store no nulls, so count(col) ≡ count(*)
+        colOf(c.column).map(i => KeyedStats.CountStat(s"count(${full(i).name})"))
+      case m: Min => colOf(m.column).map(i =>
+        KeyedStats.MinStat(i, full(i).name, full(i).dataType))
+      case m: Max => colOf(m.column).map(i =>
+        KeyedStats.MaxStat(i, full(i).name, full(i).dataType))
+      case s: Sum if !s.isDistinct => colOf(s.column).collect {
+        case i if full(i).dataType == LongType => KeyedStats.SumStat(i, full(i).name)
+      }
+      case _ => None
+    }
+    for {
+      g <- groupByKey
+      if stats.forall(_.isDefined)
+    } yield {
+      val ss = stats.map(_.get)
+      val fields =
+        (if (g) Seq(StructField(key, full(full.fieldIndex(key)).dataType,
+          nullable = false)) else Seq.empty) ++
+          ss.map(s => StructField(s.name, s.dataType, nullable = true))
+      (g, ss, StructType(fields))
+    }
+  }
+}

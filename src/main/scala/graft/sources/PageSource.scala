@@ -82,11 +82,16 @@ final class PageTable(declared: StructType, path: String) extends Table with Sup
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PageScanBuilder(declared, path,
       new org.apache.spark.util.SerializableConfiguration(
-        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()),
+      // columnar byte-level decode (VectorizedFrame) is the default
+      // read path; `vectorize=false` is the measured row-path escape
+      // hatch and the A/B lever the parity/throughput specs use
+      options.getBoolean("vectorize", true))
 }
 
 final class PageScanBuilder(full: StructType, path: String,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    vectorize: Boolean = true)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -185,7 +190,7 @@ final class PageScanBuilder(full: StructType, path: String,
 
   override def build(): Scan =
     if (countOnly) new PageCountScan(path, conf)
-    else new PageScan(full, required, path, conf, lo, hi, limit)
+    else new PageScan(full, required, path, conf, lo, hi, limit, vectorize)
 }
 
 /** One staged page ≙ one input partition: the driver's planning cost
@@ -195,24 +200,26 @@ final class PageScanBuilder(full: StructType, path: String,
   * scheduler is the rate limiter, which is the point. */
 final class PageScan(full: StructType, required: StructType, path: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    lo: Long = Long.MinValue, hi: Long = Long.MaxValue, limit: Int = -1)
+    lo: Long = Long.MinValue, hi: Long = Long.MaxValue, limit: Int = -1,
+    vectorize: Boolean = true)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftPages path=$path pruned=${required.fieldNames.mkString(",")}" +
       (if (lo != Long.MinValue || hi != Long.MaxValue) s" keyrange=[$lo,$hi]" else "") +
-      (if (limit >= 0) s" limit=$limit" else "")
+      (if (limit >= 0) s" limit=$limit" else "") +
+      (if (vectorize) "" else " rowdecode")
 
   override def planInputPartitions(): Array[InputPartition] =
     PageSource.planPages(path, conf, lo, hi)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PageReaderFactory(full, required, conf, limit)
+    new PageReaderFactory(full, required, conf, limit, vectorize)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new PageMicroBatchStream(path, full, required, conf)
+    new PageMicroBatchStream(path, full, required, conf, vectorize)
 }
 
 /** Streaming leg of the paged connector — the INCREMENTAL ingest shape
@@ -252,7 +259,8 @@ final class PageScan(full: StructType, required: StructType, path: String,
   * producer is a cursor reset (new checkpoint) after the layout is
   * quiesced, same as any paged-API re-read. */
 final class PageMicroBatchStream(path: String, full: StructType,
-    required: StructType, conf: org.apache.spark.util.SerializableConfiguration)
+    required: StructType, conf: org.apache.spark.util.SerializableConfiguration,
+    vectorize: Boolean = true)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -339,7 +347,7 @@ final class PageMicroBatchStream(path: String, full: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PageReaderFactory(full, required, conf)
+    new PageReaderFactory(full, required, conf, vectorize = vectorize)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -500,11 +508,20 @@ object PageSource {
 }
 
 final class PageReaderFactory(full: StructType, required: StructType,
-    conf: org.apache.spark.util.SerializableConfiguration, limit: Int = -1)
+    conf: org.apache.spark.util.SerializableConfiguration, limit: Int = -1,
+    vectorize: Boolean = true)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PageReader(partition.asInstanceOf[PagePartition].pageDir, full, required,
       conf, limit)
+  // columnar decode is the default scan bottom (VectorizedFrame
+  // scaladoc has the full why); BatchScanExec requires the answer to
+  // be uniform across partitions, which a constant trivially is
+  override def supportColumnarReads(partition: InputPartition): Boolean = vectorize
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new PageColumnarReader(partition.asInstanceOf[PagePartition].pageDir,
+      full, required, conf, limit)
 }
 
 final class PageCountReaderFactory(

@@ -1,0 +1,218 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+/** Vectorized decode for the US-framed page/keyed layouts — the
+  * connector family's COLUMNAR read path ([[PageColumnarReader]]),
+  * shared by `graft-pages` and `graft-keyed` exactly like the row
+  * decode ([[PageReader]]) already is.
+  *
+  * WHY, at 100 TB: the row reader hands Spark one `InternalRow` per
+  * `next()` — a virtual call per record — and its decode runs through
+  * `scala.io.Source.getLines` (per-char UTF-8 → char decoding in a
+  * BufferedReader) plus `String.split` (one `java.lang.String` + one
+  * backing `char[]` allocated PER FIELD, immediately re-encoded to
+  * UTF-8 bytes for `UTF8String.fromString`). Every byte of a text
+  * corpus is therefore decoded to UTF-16 and re-encoded to UTF-8 just
+  * to cross the scan boundary. The columnar reader deletes the entire
+  * round trip: it scans the RAW BYTES of one page payload (both frame
+  * delimiters — US 0x1F and LF 0x0A — are below 0x80, and no UTF-8
+  * continuation byte is, so byte scanning can never split a multi-byte
+  * code point), copies string fields byte-for-byte into an
+  * [[OnHeapColumnVector]] (`putByteArray` — the vector's backing store
+  * IS UTF-8, so `getUTF8String` later is a zero-copy slice), parses
+  * BIGINT fields digit-by-digit off the same buffer, and hands Spark
+  * 4096 rows per `next()` as one [[ColumnarBatch]]. Spark's
+  * `ColumnarToRowExec` then consumes the batch inside whole-stage
+  * codegen — the same scan shape its own vectorized parquet reader
+  * plans, now available to the connector layer (`BatchScanExec
+  * .supportsColumnar` flips on [[PageReaderFactory.supportColumnarReads]]).
+  *
+  * Measured honestly (VectorizedDecodeBenchSpec, BASELINE.md r14): at
+  * the locally stageable corpus shapes the page scan is task-launch-
+  * and checksum-I/O-bound, so end-to-end wall time is flat (sf0.1
+  * ×1.06, sf1 ×1.01) and the decode advantage shows at the reader
+  * level (×1.20 per-record through the batch's own row iterator —
+  * itself an understatement, since planned consumption is the codegen
+  * columnar loop, not per-row iteration). The adoption claim is
+  * therefore structural: never slower locally, strictly less work per
+  * byte (no UTF-16 round trip, no per-field allocation, one virtual
+  * call per 4096 rows), and the decode-bound regime it targets is the
+  * 100 TB shape (MB-scale GET bodies per partition). The row reader
+  * stays: it serves `vectorize=false` (the measured escape hatch) and
+  * remains the reference semantics the parity specs compare against
+  * (`VectorizedReadSpec`).
+  *
+  * CONTRACT PARITY with [[PageReader]], pinned by spec: same arity
+  * check (frame corruption fails loudly with the same message shape,
+  * never silent field shifting), same trailing-empty-field handling
+  * (a record ending in US has a final empty field; a final line
+  * without a trailing LF is still a record), same pushed-LIMIT
+  * semantics (per-page cap, the reader stops decoding mid-payload),
+  * same BIGINT range semantics (`Long.MinValue`/`MaxValue` exact,
+  * overflow throws `NumberFormatException` like `String.toLong`).
+  */
+object VectorizedFrame {
+  /** Rows per [[ColumnarBatch]] — Spark's own vectorized-reader batch
+    * size default; bounded batch memory regardless of page size. */
+  val BatchRows = 4096
+
+  /** `Long.parseLong` over a UTF-8 byte slice — no intermediate
+    * String. Same accepted grammar as the row path's `.toLong`
+    * (optional +/- sign, decimal digits, exact at Long.MinValue) and
+    * the same failure class (NumberFormatException) so the two read
+    * paths refuse a corrupt layout identically. Negative accumulation
+    * (the JDK's own trick) keeps Long.MinValue parseable. */
+  def parseLong(buf: Array[Byte], start: Int, end: Int): Long = {
+    def fail(): Nothing = throw new NumberFormatException(
+      s"graft frame BIGINT field unparseable: '${new String(buf, start,
+        math.min(end - start, 40), java.nio.charset.StandardCharsets.UTF_8)}'")
+    if (start >= end) fail()
+    var i = start
+    val neg = buf(i) == '-'
+    if (neg || buf(i) == '+') { i += 1; if (i >= end) fail() }
+    val bound = if (neg) Long.MinValue else -Long.MaxValue
+    val cutoff = bound / 10
+    var acc = 0L
+    while (i < end) {
+      val c = buf(i)
+      if (c < '0' || c > '9') fail()
+      val d = c - '0'
+      if (acc < cutoff) fail() // next *10 would overflow
+      acc *= 10
+      if (acc < bound + d) fail()
+      acc -= d
+      i += 1
+    }
+    if (neg) acc else -acc
+  }
+}
+
+/** Columnar twin of [[PageReader]]: one page directory (one staged
+  * "GET") decoded straight from bytes into reused column vectors,
+  * [[VectorizedFrame.BatchRows]] records per batch. Selected by
+  * [[PageReaderFactory]]/[[KeyedReaderFactory]] when the scan's
+  * `vectorize` flag is on (connector option `vectorize`, default
+  * true); partition planning, pruning, and pushdown are untouched —
+  * this is purely the decode at the bottom of the scan. */
+final class PageColumnarReader(pageDir: String, full: StructType,
+    required: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration, limit: Int = -1)
+    extends PartitionReader[ColumnarBatch] {
+  // decode plan hoisted out of the loop — same parallel-array shape as
+  // the row reader's (field index + long/string flag per OUTPUT column)
+  private val srcIdx: Array[Int] = required.fields.map(f => full.fieldIndex(f.name))
+  private val isLong: Array[Boolean] = required.fields.map(_.dataType match {
+    case LongType => true
+    case StringType => false
+    case other => throw new IllegalArgumentException(
+      s"graft frame layouts support BIGINT and STRING fields, got $other")
+  })
+  private val nOut = srcIdx.length
+  private val nFull = full.length
+
+  private val vectors: Array[OnHeapColumnVector] =
+    required.fields.map(f => new OnHeapColumnVector(VectorizedFrame.BatchRows, f.dataType))
+  private val batch = new ColumnarBatch(vectors.toArray[ColumnVector])
+
+  private val fs = new org.apache.hadoop.fs.Path(pageDir).getFileSystem(conf.value)
+  private val files = fs.listStatus(new org.apache.hadoop.fs.Path(pageDir))
+    .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+      && !s.getPath.getName.startsWith("."))
+    .sortBy(_.getPath.getName).iterator
+
+  // the current page payload, read WHOLE — the staged twin of one HTTP
+  // GET body (the read grain the layout contract defines: one file per
+  // page / per key, PageSource.stageDocuments / KeyedSource.stageKeyed)
+  private var buf: Array[Byte] = null
+  private var pos = 0
+  private var emitted = 0
+  // field-start offsets of the current record, reused across rows;
+  // slot i = first byte of field i (end of field i = start of i+1
+  // minus the US byte; end of the last field = the record end)
+  private val starts = new Array[Int](nFull)
+
+  private def nextBuffer(): Boolean = {
+    buf = null
+    while (buf == null && files.hasNext) {
+      val st = files.next()
+      val len = st.getLen
+      // one file ≙ one page payload by the write contract; a payload
+      // beyond Int.MaxValue bytes cannot be a staged page (the stager
+      // writes bounded pages) — fail loudly rather than truncate
+      if (len > Int.MaxValue) throw new IllegalStateException(
+        s"graft frame payload too large to be a staged page: ${st.getPath} ($len bytes)")
+      if (len > 0L) {
+        val b = new Array[Byte](len.toInt)
+        val in = fs.open(st.getPath)
+        try in.readFully(0, b) finally in.close()
+        buf = b
+        pos = 0
+      }
+    }
+    buf != null
+  }
+
+  override def next(): Boolean = {
+    var n = 0
+    var i = 0
+    while (i < nOut) { vectors(i).reset(); i += 1 }
+    var exhausted = false
+    while (n < VectorizedFrame.BatchRows && !exhausted &&
+        (limit < 0 || emitted < limit)) {
+      if (buf == null || pos >= buf.length) exhausted = !nextBuffer()
+      if (!exhausted) {
+        decodeRecord(n)
+        n += 1
+        emitted += 1
+      }
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  /** Decode the record at `pos` into batch row `row`; advances `pos`
+    * past the record's LF. Single pass: field boundaries and the
+    * record end found in one byte scan (both delimiters are < 0x80 —
+    * see the object scaladoc for why that is UTF-8-safe). */
+  private def decodeRecord(row: Int): Unit = {
+    val recStart = pos
+    var fields = 1
+    starts(0) = recStart
+    var p = recStart
+    var end = -1
+    while (end < 0 && p < buf.length) {
+      val b = buf(p)
+      if (b == 0x1F) {
+        if (fields < nFull) starts(fields) = p + 1
+        fields += 1 // past-nFull separators only counted (arity error below)
+      } else if (b == '\n') end = p
+      p += 1
+    }
+    if (end < 0) end = buf.length // final record without trailing LF
+    // arity mismatch = frame corruption — identical contract (and
+    // message shape) to the row reader: never invent or drop fields
+    if (fields != nFull)
+      throw new IllegalStateException(
+        s"graft-pages frame corruption in $pageDir: record has " +
+          s"$fields fields, schema declares $nFull " +
+          s"(record head: ${new String(buf, recStart,
+            math.min(end - recStart, 80), java.nio.charset.StandardCharsets.UTF_8)})")
+    var i = 0
+    while (i < nOut) {
+      val f = srcIdx(i)
+      val s = starts(f)
+      val e = if (f == nFull - 1) end else starts(f + 1) - 1
+      if (isLong(i)) vectors(i).putLong(row, VectorizedFrame.parseLong(buf, s, e))
+      else vectors(i).putByteArray(row, buf, s, e - s)
+      i += 1
+    }
+    pos = end + 1
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = batch.close()
+}
