@@ -1060,7 +1060,53 @@ object Relational {
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
              |FROM documents WHERE doc_id % 16 IN (2, 3, 7)
              |GROUP BY 1 ORDER BY kb""".stripMargin),
-      "metadata-answered aggregate: grouped count/min/max/sum served from the keyed layout's stats sidecar — zero data files opened, pushed key filter prunes sidecar entries")
+      "metadata-answered aggregate: grouped count/min/max/sum served from the keyed layout's stats sidecar — zero data files opened, pushed key filter prunes sidecar entries"),
+
+    // ── Connector-reported statistics drive the build side (q59) ──────
+    // The planner-side payoff of the connector's metadata: a DSv2 read
+    // without SupportsReportStatistics costs defaultSizeInBytes
+    // (effectively infinite), so Catalyst can never auto-broadcast a
+    // keyed table however small its pruned read is. KeyedScan now
+    // reports PRUNING-AWARE size (file bytes of surviving directories
+    // — the pushed kb = 3 shrinks the estimate 16×) and sidecar row
+    // counts, so this hint-free join picks its broadcast build side
+    // from connector statistics alone. At 100 TB the full layout is
+    // far above any broadcast threshold and the POINT-PRUNED read is
+    // far below it — the estimate must shrink with the prune or the
+    // lever never fires (Iceberg's post-pruning stats, same shape).
+    // A plan-time broadcast also beats AQE's runtime conversion: AQE
+    // can only rewrite after the first stage's map-side shuffle files
+    // are written; the static estimate never stages them.
+    // ReportStatisticsSpec pins the exact estimates (full vs pruned),
+    // the build-side flip against a reportStats=false twin under a
+    // controlled threshold, and value parity both ways. At the bench
+    // SF both sides sit under the default 10 MB threshold, so the
+    // registered query broadcasts either way — the SIZE of the
+    // broadcast build (130 KB pruned vs the full corpus) is what the
+    // stats decide here; the spec's controlled threshold shows the
+    // join-shape flip itself.
+    "q59_stats_driven_broadcast" -> Q(
+      (s, dir) => {
+        val base = keyedLayouts(s, dir)
+        val focus = s.read.format("graft-keyed")
+          .option("path", s"$base/docs")
+          .option("schema", "kb BIGINT, doc_id BIGINT, source STRING, n_chars BIGINT")
+          .option("key", "kb").load()
+          .filter(col("kb") === 3L)
+          .select("doc_id", "n_chars")
+        // NO broadcast hint anywhere: the connector's reported
+        // statistics are what make `focus` the build side
+        t(s, dir, "documents").select(col("doc_id"), col("lang"))
+          .join(focus, "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents WHERE doc_id % 16 = 3
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+      "connector-reported statistics: pruning-aware size + sidecar row counts let a hint-free join broadcast the point-pruned keyed read")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table

@@ -123,12 +123,15 @@ final class KeyedTable(declared: StructType, path: String, key: String)
         org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()),
       // columnar byte-level decode (VectorizedFrame) by default —
       // the same flag, default, and escape hatch as graft-pages
-      options.getBoolean("vectorize", true))
+      options.getBoolean("vectorize", true),
+      // pruning-aware size/row statistics reported to the planner
+      // (KeyedScan.estimateStatistics); false = the A/B escape hatch
+      options.getBoolean("reportStats", true))
 }
 
 final class KeyedScanBuilder(full: StructType, path: String, key: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    vectorize: Boolean = true)
+    vectorize: Boolean = true, reportStats: Boolean = true)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -263,7 +266,8 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
       new KeyedStatsScan(schema, path, key, keyField.dataType,
         groupByKey, stats, surviving)
     case None =>
-      new KeyedScan(full, required, path, key, conf, keyValues, vectorize)
+      new KeyedScan(full, required, path, key, conf, keyValues, vectorize,
+        reportStats)
   }
 }
 
@@ -291,9 +295,55 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
   * so unrecognized runtime filters are ignored rather than refused. */
 final class KeyedScan(full: StructType, required: StructType, path: String,
     key: String, conf: org.apache.spark.util.SerializableConfiguration,
-    keyValues: Option[Set[Any]] = None, vectorize: Boolean = true)
+    keyValues: Option[Set[Any]] = None, vectorize: Boolean = true,
+    reportStats: Boolean = true)
     extends Scan with Batch with SupportsReportPartitioning
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Connector-reported, PRUNING-AWARE statistics — the planner-side
+    * payoff of the layout: without this a DSv2 read costs
+    * `spark.sql.defaultSizeInBytes` (effectively infinite) and
+    * Catalyst can never auto-broadcast a keyed table, however small
+    * its pruned read actually is. `sizeInBytes` sums the file bytes
+    * of the SURVIVING directories (the same listing partition
+    * planning uses, so a pushed `kb = 3` shrinks the estimate 16×
+    * — a point-pruned read drops under the broadcast threshold even
+    * when the full layout is far above it, which is exactly how an
+    * Iceberg scan's stats behave after partition pruning) and
+    * `numRows` answers from the stats sidecar when one matches (the
+    * KeyedStats trust rule; absent or mismatched ⇒ empty, size-only).
+    * The static estimate also beats AQE's runtime rescue for this
+    * class: AQE can only convert the join AFTER the map-side shuffle
+    * files of the first stage are written, a plan-time broadcast
+    * never stages them. `reportStats=false` is the A/B escape hatch
+    * (ReportStatisticsSpec pins both plans, values identical). */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val (bytes, rows): (java.util.OptionalLong, java.util.OptionalLong) =
+        if (!reportStats)
+          (java.util.OptionalLong.empty(), java.util.OptionalLong.empty())
+        else {
+          val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
+          val size = partitions.map(p => fs.getContentSummary(
+            new org.apache.hadoop.fs.Path(
+              p.asInstanceOf[KeyedPartition].pageDir)).getLength).sum
+          val keyField = full(full.fieldIndex(key))
+          val n = KeyedStats.read(path, conf, full, key).map { entries =>
+            val surviving = effectiveKeys.fold(entries) { set =>
+              entries.filter(e => keyField.dataType match {
+                case LongType => set.contains(e.rawKey.toLong)
+                case _ => set.contains(e.rawKey)
+              })
+            }
+            surviving.map(_.count).sum
+          }
+          (java.util.OptionalLong.of(size),
+            n.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of))
+        }
+      override def sizeInBytes(): java.util.OptionalLong = bytes
+      override def numRows(): java.util.OptionalLong = rows
+    }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -307,8 +357,18 @@ final class KeyedScan(full: StructType, required: StructType, path: String,
   // scheduler plans partitions, but not necessarily the same thread
   @volatile private var runtimeKeys: Option[Set[Any]] = None
 
+  // advertise runtime filtering ONLY while the key column survives in
+  // the read schema: Spark resolves filterAttributes against the scan
+  // OUTPUT (PartitionPruning.getFilterableTableScan), so a pruned-out
+  // key would fail analysis outright — found by ReportStatisticsSpec's
+  // hint-free join, where the probe side projects the key away and
+  // the planner still probes the scan for filterability. Degrading to
+  // "not runtime-filterable" is exact: an execution-time IN on a
+  // column the scan does not even emit has nothing to attach to, and
+  // the join itself drops unmatched rows either way.
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(Expressions.column(key))
+    if (required.fieldNames.contains(key)) Array(Expressions.column(key))
+    else Array.empty
 
   override def filter(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {

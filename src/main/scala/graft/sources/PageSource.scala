@@ -86,12 +86,14 @@ final class PageTable(declared: StructType, path: String) extends Table with Sup
       // columnar byte-level decode (VectorizedFrame) is the default
       // read path; `vectorize=false` is the measured row-path escape
       // hatch and the A/B lever the parity/throughput specs use
-      options.getBoolean("vectorize", true))
+      options.getBoolean("vectorize", true),
+      // pruning-aware size statistics reported to the planner
+      options.getBoolean("reportStats", true))
 }
 
 final class PageScanBuilder(full: StructType, path: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    vectorize: Boolean = true)
+    vectorize: Boolean = true, reportStats: Boolean = true)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -190,7 +192,8 @@ final class PageScanBuilder(full: StructType, path: String,
 
   override def build(): Scan =
     if (countOnly) new PageCountScan(path, conf)
-    else new PageScan(full, required, path, conf, lo, hi, limit, vectorize)
+    else new PageScan(full, required, path, conf, lo, hi, limit, vectorize,
+      reportStats)
 }
 
 /** One staged page ≙ one input partition: the driver's planning cost
@@ -201,8 +204,30 @@ final class PageScanBuilder(full: StructType, path: String,
 final class PageScan(full: StructType, required: StructType, path: String,
     conf: org.apache.spark.util.SerializableConfiguration,
     lo: Long = Long.MinValue, hi: Long = Long.MaxValue, limit: Int = -1,
-    vectorize: Boolean = true)
-    extends Scan with Batch {
+    vectorize: Boolean = true, reportStats: Boolean = true)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Pruning-aware size estimate — file bytes of the SURVIVING pages
+    * (the key-range prune shrinks it), so a page-pruned read can
+    * auto-broadcast where the full endpoint cannot. Row count is
+    * honestly absent: the pages layout keeps no row-level manifest
+    * (the keyed layout's sidecar does — KeyedScan reports both).
+    * `reportStats=false` restores Spark's defaultSizeInBytes. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes: java.util.OptionalLong =
+        if (!reportStats) java.util.OptionalLong.empty()
+        else {
+          val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
+          java.util.OptionalLong.of(
+            PageSource.planPages(path, conf, lo, hi).map(p =>
+              fs.getContentSummary(new org.apache.hadoop.fs.Path(
+                p.asInstanceOf[PagePartition].pageDir)).getLength).sum)
+        }
+      override def sizeInBytes(): java.util.OptionalLong = bytes
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
