@@ -1200,13 +1200,17 @@ object Relational {
     LlmData.tableOnce(bucketMemo, s, dir + "#keyed")({
       val out = graft.io.TempDirs.scratch("graft_keyed_")
       val docs = t(s, dir, "documents")
+      // sortBy = doc_id: each key file is written ordered, the order
+      // marker licenses the scan's outputOrdering report, and q54's
+      // SMJ plans zero Exchange AND zero Sort (ReportOrderingSpec) —
+      // both halves of the join paid once, at layout-write time
       graft.sources.KeyedSource.stageKeyed(s,
         docs.selectExpr("doc_id % 16 AS kb", "doc_id", "source", "n_chars"),
-        s"$out/docs", "kb")
+        s"$out/docs", "kb", sortBy = Seq("doc_id"))
       graft.sources.KeyedSource.stageKeyed(s,
         docs.selectExpr("doc_id % 16 AS kb", "doc_id",
           "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens"),
-        s"$out/tok", "kb")
+        s"$out/tok", "kb", sortBy = Seq("doc_id"))
       // q57's bucket dimension: one row per stored key with a kind
       // attribute materialized INTO table data ((kb % 5) = 2 →
       // 'focus', 3 of 16), so the focus keys are facts only a runtime

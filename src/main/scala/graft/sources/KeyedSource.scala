@@ -299,7 +299,33 @@ final class KeyedScan(full: StructType, required: StructType, path: String,
     reportStats: Boolean = true)
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+
+  /** Report the WRITE-TIME sort order ([[KeyedSource.stageKeyed]]'s
+    * `sortBy`, recorded in the `_graft_keyed_order` marker) so a
+    * co-keyed SMJ plans with zero Sort on top of the SPJ report's
+    * zero Exchange — the layout paid both, once, at write time. The
+    * claim is per input partition (one key directory, one file, read
+    * sequentially by both decode paths), and it is only made where
+    * it is provably TRUE and RESOLVABLE: no marker / foreign layout ⇒
+    * empty; the key leads only while it survives column pruning
+    * (Spark resolves these expressions against the scan OUTPUT — the
+    * filterAttributes lesson); a sort column pruned mid-prefix
+    * truncates the claim there (a lexicographic suffix is only
+    * ordered under the prefix that precedes it). Dropping the key is
+    * exact: the key is CONSTANT within a partition, so the stored
+    * (key, sortBy…) order and the reported (sortBy…) order coincide
+    * per partition. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    KeyedSource.readOrderMarker(path, conf, full, key).fold(
+      Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]) { sortBy =>
+      val surviving = required.fieldNames.toSet
+      val lead = if (surviving.contains(key)) Seq(key) else Seq.empty
+      val prefix = sortBy.takeWhile(surviving.contains)
+      (lead ++ prefix).map(c => Expressions.sort(Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+    }
 
   /** Connector-reported, PRUNING-AWARE statistics — the planner-side
     * payoff of the layout: without this a DSv2 read costs
@@ -481,11 +507,26 @@ object KeyedSource {
     * one file per key — the write-once shuffle that every later
     * co-keyed join amortizes). The key column must be BIGINT or a
     * STRING over [A-Za-z0-9_.-] (it becomes a directory name); the
-    * framing guard matches [[PageSource.stageDocuments]]. */
+    * framing guard matches [[PageSource.stageDocuments]].
+    *
+    * `sortBy` is the SECOND half of paying at write time: with it,
+    * each key's file is written sorted ascending by those columns
+    * (key first, constant per file, then `sortBy` lexicographically)
+    * and the layout records the order in a `_graft_keyed_order`
+    * marker. [[KeyedScan.outputOrdering]] then reports the stored
+    * order to the planner and a co-keyed sort-merge join plans with
+    * ZERO Exchange AND ZERO Sort — at 100 TB the per-partition sort
+    * is the dominant CPU of an SMJ after the shuffle is already
+    * amortized, and like the shuffle it only needs paying once, at
+    * layout-write time. Empty `sortBy` (the default) writes an
+    * unordered layout and deletes any stale marker, so a re-stage
+    * can never leave a false ordering claim behind. */
   def stageKeyed(spark: SparkSession, df: DataFrame, out: String,
-      key: String): String = {
+      key: String, sortBy: Seq[String] = Nil): String = {
     val cols = df.schema.fieldNames.toSeq
     require(cols.contains(key), s"key '$key' not in ${cols.mkString(",")}")
+    require(sortBy.forall(c => cols.contains(c) && c != key),
+      s"sortBy must name non-key layout columns, got ${sortBy.mkString(",")}")
     val badKey = df.schema(key).dataType match {
       case LongType => lit(false)
       case StringType => !col(key).rlike("^[A-Za-z0-9_.-]+$")
@@ -497,18 +538,69 @@ object KeyedSource {
         col(c).cast("string").contains("\u001E") ||
         col(c).cast("string").contains("\n") || col(c).cast("string").contains("\r")))
       .reduce(_ || _)
-    df.select(
-        when(bad, raise_error(concat(lit("graft-keyed framing violation at key="),
+    val framed = df.select(
+        (when(bad, raise_error(concat(lit("graft-keyed framing violation at key="),
             col(key).cast("string"))))
-          .otherwise(concat_ws(PageSource.US, cols.map(col): _*)).as("value"),
-        col(key).cast("string").as("k"))
+          .otherwise(concat_ws(PageSource.US, cols.map(col): _*)).as("value") +:
+          col(key).cast("string").as("k") +:
+          sortBy.map(col)): _*)
       // shuffle by key BEFORE the dynamic-partition write — the key
       // space is the write parallelism and each key gets exactly one
       // file (same rationale as PageSource.stageDocuments)
       .repartition(col("k"))
+    val ordered =
+      if (sortBy.isEmpty) framed
+      // sort INSIDE each write task (k first — satisfies the writer's
+      // own partition-column ordering requirement, so no second sort —
+      // then the declared order); the projection below preserves row
+      // order, and one task writes each key's single file sequentially,
+      // so the file stores exactly this order
+      else framed.sortWithinPartitions(col("k") +: sortBy.map(col): _*)
+    ordered.select("value", "k")
       .write.mode("overwrite").partitionBy("k").text(out)
+    writeOrderMarker(spark, out, key, sortBy)
     writeStatsSidecar(spark, out, df.schema, key)
     out
+  }
+
+  /** Order-marker file name: presence + content is the scan's license
+    * to report [[KeyedScan.outputOrdering]]. Deleted on every restage
+    * before (possibly) rewriting, so a claim can never outlive the
+    * layout that made it true. */
+  val OrderFile = "_graft_keyed_order"
+  private val OrderVersion = "graft-keyed-order v1"
+
+  private def writeOrderMarker(spark: SparkSession, out: String,
+      key: String, sortBy: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(out, OrderFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, false)
+    if (sortBy.nonEmpty) {
+      val os = fs.create(p, true)
+      try os.write((OrderVersion + PageSource.US + key + PageSource.US +
+        sortBy.mkString(",")).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+    }
+  }
+
+  /** Parse the order marker against the declared key; None = no
+    * marker, wrong version, or a key/column set the declared schema
+    * cannot back — the scan then claims nothing (the stats-sidecar
+    * trust rule, applied to ordering). */
+  private[graft] def readOrderMarker(path: String,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      declared: StructType, key: String): Option[Seq[String]] = {
+    val p = new org.apache.hadoop.fs.Path(path, OrderFile)
+    val fs = p.getFileSystem(conf.value)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    text.split(PageSource.US, -1) match {
+      case Array(OrderVersion, k, colsCsv) if k == key =>
+        val cs = colsCsv.split(",", -1).toSeq
+        if (cs.nonEmpty && cs.forall(declared.fieldNames.contains)) Some(cs) else None
+      case _ => None
+    }
   }
 
   /** Finish the layout write with its manifest statistics

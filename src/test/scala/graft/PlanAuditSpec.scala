@@ -437,6 +437,12 @@ class PlanAuditSpec extends SparkSpec {
         s"(join AND keyed agg):\n${p.take(2000)}")
     assert(p.contains("SortMergeJoin"),
       "the merge hint must pin the fact⋈fact strategy the layout serves")
+    // r14 ordering report: the layouts are staged sortBy=doc_id and the
+    // scans report the stored order, so the SMJ also plans ZERO Sort —
+    // shuffle AND sort both paid once at write time ("- Sort [" cannot
+    // match the SortMergeJoin node name)
+    assert(!p.contains("- Sort ["),
+      s"write-time order must delete the SMJ's per-partition sorts:\n${p.take(2000)}")
   }
 
   test("x106: label predicate is pushed to the scan and the cut is a heap") {
