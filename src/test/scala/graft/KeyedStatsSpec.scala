@@ -171,6 +171,32 @@ class KeyedStatsSpec extends SparkSpec {
     assert(second.getLong(0) == 52L && second.getLong(1) == 51L)
   }
 
+  test("string-keyed layouts: grouped stats answer with UTF8String group keys") {
+    val dir = graft.io.TempDirs.scratch("graft_kstats_str_") + "/docs"
+    val df = (0L until 48L).map(i => (s"key_${i % 4L}", i, (i * 5L) % 53L))
+      .toDF("kc", "doc_id", "n_chars")
+    KeyedSource.stageKeyed(spark, df, dir, "kc")
+    def read() = spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", "kc STRING, doc_id BIGINT, n_chars BIGINT")
+      .option("key", "kc").load()
+    val q = read().filter(col("kc").isin("key_1", "key_3"))
+      .groupBy("kc").agg(count(lit(1)).as("n"), min("doc_id").as("lo"),
+        max("n_chars").as("hi"), sum("n_chars").as("s"),
+        max("kc").as("kmax")) // string min/max through the sidecar too
+      .orderBy("kc")
+    val scans = statsScans(q)
+    assert(scans.length == 1 && scans.head.scan.description().contains("entries=2"),
+      s"string-key pushdown + pruning must ride the sidecar, got ${scans.map(_.scan.description())}")
+    val got = q.collect()
+    val f = new java.io.File(dir, KeyedStats.SidecarFile)
+    f.delete(); new java.io.File(dir, s".${KeyedStats.SidecarFile}.crc").delete()
+    assert(got.sameElements(read().filter(col("kc").isin("key_1", "key_3"))
+      .groupBy("kc").agg(count(lit(1)).as("n"), min("doc_id").as("lo"),
+        max("n_chars").as("hi"), sum("n_chars").as("s"), max("kc").as("kmax"))
+      .orderBy("kc").collect()))
+    assert(got.length == 2 && got.head.getString(0) == "key_1")
+  }
+
   /** Copy of a staged layout minus its sidecar — the fallback twin. */
   private def stripSidecar(dir: String): String = {
     val f = new java.io.File(dir, KeyedStats.SidecarFile)
