@@ -60,6 +60,16 @@ object VectorizedFrame {
     * size default; bounded batch memory regardless of page size. */
   val BatchRows = 4096
 
+  /** Refill grain of the streaming decode buffer. The reader's memory
+    * is bounded by max(ChunkBytes, largest single record) — NEVER the
+    * file size: a `graft-keyed` layout stores ONE file per key, which
+    * at corpus scale is corpus/buckets bytes, so buffering a whole
+    * payload (the obvious implementation) is an OOM by construction
+    * on exactly the layout the reader serves. Records are carried
+    * across chunk boundaries by compaction; the buffer grows only
+    * when one RECORD outgrows it. */
+  val ChunkBytes: Int = 4 << 20
+
   /** `Long.parseLong` over a UTF-8 byte slice — no intermediate
     * String. Same accepted grammar as the row path's `.toLong`
     * (optional +/- sign, decimal digits, exact at Long.MinValue) and
@@ -100,7 +110,8 @@ object VectorizedFrame {
   * this is purely the decode at the bottom of the scan. */
 final class PageColumnarReader(pageDir: String, full: StructType,
     required: StructType,
-    conf: org.apache.spark.util.SerializableConfiguration, limit: Int = -1)
+    conf: org.apache.spark.util.SerializableConfiguration, limit: Int = -1,
+    chunkBytes: Int = VectorizedFrame.ChunkBytes)
     extends PartitionReader[ColumnarBatch] {
   // decode plan hoisted out of the loop — same parallel-array shape as
   // the row reader's (field index + long/string flag per OUTPUT column)
@@ -124,36 +135,54 @@ final class PageColumnarReader(pageDir: String, full: StructType,
       && !s.getPath.getName.startsWith("."))
     .sortBy(_.getPath.getName).iterator
 
-  // the current page payload, read WHOLE — the staged twin of one HTTP
-  // GET body (the read grain the layout contract defines: one file per
-  // page / per key, PageSource.stageDocuments / KeyedSource.stageKeyed)
-  private var buf: Array[Byte] = null
+  // STREAMING decode buffer (VectorizedFrame.ChunkBytes scaladoc):
+  // buf[pos, dataLen) is the undecoded window of the CURRENT file;
+  // ensureRecord() refills it from the open stream, compacting the
+  // partial trailing record to the front and growing the buffer only
+  // if a single record outgrows it — memory is bounded by the record
+  // size, never the file size (one keyed file = corpus/buckets bytes)
+  private var buf = new Array[Byte](math.max(chunkBytes, 16))
+  private var dataLen = 0
   private var pos = 0
+  private var in: java.io.InputStream = null
   private var emitted = 0
   // field-start offsets of the current record, reused across rows;
   // slot i = first byte of field i (end of field i = start of i+1
   // minus the US byte; end of the last field = the record end)
   private val starts = new Array[Int](nFull)
 
-  private def nextBuffer(): Boolean = {
-    buf = null
-    while (buf == null && files.hasNext) {
-      val st = files.next()
-      val len = st.getLen
-      // one file ≙ one page payload by the write contract; a payload
-      // beyond Int.MaxValue bytes cannot be a staged page (the stager
-      // writes bounded pages) — fail loudly rather than truncate
-      if (len > Int.MaxValue) throw new IllegalStateException(
-        s"graft frame payload too large to be a staged page: ${st.getPath} ($len bytes)")
-      if (len > 0L) {
-        val b = new Array[Byte](len.toInt)
-        val in = fs.open(st.getPath)
-        try in.readFully(0, b) finally in.close()
-        buf = b
-        pos = 0
+  /** Ensure the window starts with one COMPLETE record — terminated
+    * by LF in the window, or by the current file's EOF (a final
+    * record without a trailing LF) — refilling/compacting/growing as
+    * needed and advancing to the next file when one drains. False =
+    * every file is fully decoded. Records never span files. */
+  private def ensureRecord(): Boolean = {
+    while (true) {
+      var p = pos
+      while (p < dataLen && buf(p) != '\n') p += 1
+      if (p < dataLen) return true // complete record buffered
+      if (in != null) {
+        // carry the partial record to the front, then read more
+        if (pos > 0) {
+          System.arraycopy(buf, pos, buf, 0, dataLen - pos)
+          dataLen -= pos; pos = 0
+        }
+        if (dataLen == buf.length) // one record larger than the buffer
+          buf = java.util.Arrays.copyOf(buf, buf.length << 1)
+        val n = in.read(buf, dataLen, buf.length - dataLen)
+        if (n >= 0) dataLen += n
+        else {
+          in.close(); in = null
+          if (dataLen > pos) return true // file's final record, no LF
+        }
+      } else {
+        if (dataLen > pos) return true // final record of the previous file
+        if (!files.hasNext) return false
+        in = fs.open(files.next().getPath)
+        pos = 0; dataLen = 0
       }
     }
-    buf != null
+    false
   }
 
   override def next(): Boolean = {
@@ -163,7 +192,7 @@ final class PageColumnarReader(pageDir: String, full: StructType,
     var exhausted = false
     while (n < VectorizedFrame.BatchRows && !exhausted &&
         (limit < 0 || emitted < limit)) {
-      if (buf == null || pos >= buf.length) exhausted = !nextBuffer()
+      exhausted = !ensureRecord()
       if (!exhausted) {
         decodeRecord(n)
         n += 1
@@ -177,14 +206,17 @@ final class PageColumnarReader(pageDir: String, full: StructType,
   /** Decode the record at `pos` into batch row `row`; advances `pos`
     * past the record's LF. Single pass: field boundaries and the
     * record end found in one byte scan (both delimiters are < 0x80 —
-    * see the object scaladoc for why that is UTF-8-safe). */
+    * see the object scaladoc for why that is UTF-8-safe). The caller
+    * (ensureRecord) guarantees the record is complete in the window:
+    * an LF before `dataLen`, or the window end IS the file's final
+    * unterminated record. */
   private def decodeRecord(row: Int): Unit = {
     val recStart = pos
     var fields = 1
     starts(0) = recStart
     var p = recStart
     var end = -1
-    while (end < 0 && p < buf.length) {
+    while (end < 0 && p < dataLen) {
       val b = buf(p)
       if (b == 0x1F) {
         if (fields < nFull) starts(fields) = p + 1
@@ -192,7 +224,7 @@ final class PageColumnarReader(pageDir: String, full: StructType,
       } else if (b == '\n') end = p
       p += 1
     }
-    if (end < 0) end = buf.length // final record without trailing LF
+    if (end < 0) end = dataLen // final record without trailing LF
     // arity mismatch = frame corruption — identical contract (and
     // message shape) to the row reader: never invent or drop fields
     if (fields != nFull)
@@ -214,5 +246,8 @@ final class PageColumnarReader(pageDir: String, full: StructType,
   }
 
   override def get(): ColumnarBatch = batch
-  override def close(): Unit = batch.close()
+  override def close(): Unit = {
+    if (in != null) { in.close(); in = null }
+    batch.close()
+  }
 }

@@ -216,6 +216,37 @@ class VectorizedReadSpec extends SparkSpec {
     }
   }
 
+  test("streaming decode: records spanning chunk boundaries round-trip exactly (tiny chunk)") {
+    import spark.implicits._
+    val dir = graft.io.TempDirs.scratch("graft_vec_chunk_")
+    // records longer than the 64-byte refill grain (forces buffer
+    // growth) AND multi-byte UTF-8 everywhere (boundary must never
+    // split a code point's BYTES into separate records)
+    val mk = (i: Long) => (i, s"doc-$i " + ("日本語テキスト" * 3) + s" naïve-$i",
+      "ja", s"src_$i", i * 3L)
+    Seq(0L, 1L, 2L, 3L, 4L).map(mk)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val st = PageSource.stageDocuments(spark, dir, pageSize = 8L)
+    val pageDir = new java.io.File(st).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("page=")).head.toString
+    val full = org.apache.spark.sql.types.StructType.fromDDL(PageSource.DDL)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val tiny = new graft.sources.PageColumnarReader(pageDir, full, full, conf,
+      chunkBytes = 64)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    while (tiny.next()) {
+      val it = tiny.get().rowIterator()
+      while (it.hasNext) {
+        val r = it.next(); got += ((r.getLong(0), r.getUTF8String(1).toString))
+      }
+    }
+    tiny.close()
+    assert(got.sortBy(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L).map(i => (i, mk(i)._2)),
+      s"chunked decode must carry records across refills byte-exactly, got ${got.take(2)}")
+  }
+
   test("zero-column batches: a read pruned to NO fields still delivers row counts") {
     // pushed LIMIT blocks the count fast path, so the row count rides
     // the ordinary scan with EVERY column pruned away — the columnar
