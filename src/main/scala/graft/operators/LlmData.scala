@@ -279,8 +279,8 @@ object LlmData {
   private lazy val corpusKMemo = new SessionRegistry[TrieMap[String, (String, Int)]]
   private lazy val centroidSumsMemo = new SessionRegistry[TrieMap[String,
     (String, (Vector[Int], Map[Int, Array[Long]], Map[Int, Double]))]]
-  private lazy val bpePicksMemo =
-    new SessionRegistry[TrieMap[String, (String, Vector[(String, String, Long)])]]
+  private lazy val bpePicksMemo = new SessionRegistry[TrieMap[String,
+    (String, (Vector[(String, String, Long)], Vector[Long]))]]
 
   private[operators] def trainedCentroids(
       s: SparkSession, dir: String, K: Int = 16): Seq[(Long, IndexedSeq[Float])] =
@@ -1655,13 +1655,25 @@ object LlmData {
 
   /** x94's 3-round BPE chain — ONE definition for the registered merge
     * log (x94) and the tokenizer-coverage audit (x114): returns the
-    * per-round picks (a, b, pair count) and each round's staged corpus
-    * (doc_id, lang, st, tk), every round memoized+persisted so the two
-    * queries and repeated invocations share the cached rewrites
-    * instead of replaying the replace chain. Loop discipline and the
-    * sentinel-framing argument live on the x94 registry comment. */
+    * per-round picks (a, b, pair count), the per-round post-merge
+    * token totals, and the FINAL staged corpus (doc_id, lang, st, tk).
+    *
+    * PERSIST LIFECYCLE (r14 verdict #1): the prior form memoized all
+    * four round frames (st0–st3) simultaneously — on top of x95's own
+    * four generations this was the suite-wide storage pressure the r14
+    * driver artifact read as eviction+recompute. Now the chain is
+    * derived EAGERLY inside the stamped-picks derivation: each round's
+    * argmax and token total are collected as soon as that generation
+    * materializes, and generation r−1 is unpersisted the moment
+    * generation r is live — at most TWO corpus generations persisted
+    * at any instant. Only the ROUND-3 frame stays in the frame memo
+    * (it is the one frame a consumer reads as data — x114's coverage
+    * audit; x94 now composes entirely over the stamped driver values),
+    * so the steady-state footprint is one frame, not four. Loop
+    * discipline and the sentinel-framing argument live on the x94
+    * registry comment. */
   private[operators] def bpeChain(s: SparkSession, dir: String)
-      : (Vector[(String, String, Long)], Vector[DataFrame]) = {
+      : (Vector[(String, String, Long)], Vector[Long], DataFrame) = {
     val SEP = "\u001f"
     val sep2 = SEP + SEP
     val sepQ = java.util.regex.Pattern.quote(sep2)
@@ -1672,32 +1684,28 @@ object LlmData {
     // re-splitting the whole corpus per round
     def staged(df: DataFrame): DataFrame =
       df.withColumn("tk", split(trim(col("st"), SEP), sepQ))
-    val base = memoized(s, "x94-st0", dir) {
+    def base: DataFrame =
       staged(t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           concat(lit(SEP), array_join(split(col("text"), " "), sep2), lit(SEP))
             .as("st")))
-        .persist()
-    }
-    def mergeRound(prev: DataFrame, r: Int, a: String, b: String): DataFrame =
-      memoized(s, s"x94-st$r", dir) {
-        // column-form replace, not an expr() splice: the merge pair
-        // comes from the corpus, and a token containing a quote or
-        // backslash must ride as DATA, never through the SQL parser
-        staged(prev.select(col("doc_id"), col("lang"),
-          replace(col("st"), lit(SEP + a + sep2 + b + SEP),
-            lit(SEP + a + " " + b + SEP)).as("st")))
-          .persist()
-      }
-    // the picks are stamped DRIVER VALUES (the corpusK discipline):
-    // recomputing the three argmaxes costs a full-corpus pair
-    // aggregation each, and every x94/x114 construction was replaying
-    // them even on frame-memo hits — now only the first derivation per
-    // corpus generation pays them, and the frame rebuild below is
-    // all memo hits (or cheap map-side replace chains after a clear)
-    val picks = stampedValue(bpePicksMemo, s, dir, dir) {
-      var st = base
+    // column-form replace, not an expr() splice: the merge pair
+    // comes from the corpus, and a token containing a quote or
+    // backslash must ride as DATA, never through the SQL parser
+    def mergeRound(prev: DataFrame, a: String, b: String): DataFrame =
+      staged(prev.select(col("doc_id"), col("lang"),
+        replace(col("st"), lit(SEP + a + sep2 + b + SEP),
+          lit(SEP + a + " " + b + SEP)).as("st")))
+    // picks AND totals are stamped DRIVER VALUES (the corpusK
+    // discipline): recomputing the three argmaxes costs a full-corpus
+    // pair aggregation each, so only the first derivation per corpus
+    // generation pays them — and deriving the totals in the same
+    // eager walk is what lets each spent generation release before
+    // the next one builds
+    val (picks, totals) = stampedValue(bpePicksMemo, s, dir, dir) {
+      var st = base.persist()
       var ps = Vector.empty[(String, String, Long)]
+      var ts = Vector.empty[Long]
       (1 to 3).foreach { r =>
         val pick = st
           .filter(size(col("tk")) >= 2)
@@ -1710,18 +1718,30 @@ object LlmData {
           .orderBy(desc("n"), asc("a"), asc("b"))
           .limit(1).head()
         val (a, b, n) = (pick.getString(0), pick.getString(1), pick.getLong(2))
-        st = mergeRound(st, r, a, b)
+        val prev = st
+        // round 3's frame goes through the frame memo (x114 reads it
+        // as data); intermediates persist locally and release below
+        st = if (r == 3) memoized(s, "x94-st3", dir)(mergeRound(prev, a, b).persist())
+             else mergeRound(prev, a, b).persist()
+        // one action materializes generation r while r−1 is still
+        // cached, then r−1 releases — never more than 2 live
+        val tokensAfter =
+          st.agg(sum(size(col("tk")).cast("long"))).head.getLong(0)
+        prev.unpersist(blocking = false)
         ps :+= ((a, b, n))
+        ts :+= tokensAfter
       }
-      ps
+      (ps, ts)
     }
-    var st = base
-    val frames = (1 to 3).map { r =>
-      val (a, b, _) = picks(r - 1)
-      st = mergeRound(st, r, a, b)
-      st
-    }.toVector
-    (picks, frames)
+    // frame-memo hit on the derivation path above; after a clearMemo
+    // that outlived the stamped picks (impossible today — clearMemo
+    // drops both — but cheap to stay correct about), the rebuild is a
+    // pure map-side replace chain from the stamped picks
+    val last = memoized(s, "x94-st3", dir) {
+      picks.foldLeft(base) { case (st, (a, b, _)) => mergeRound(st, a, b) }
+        .persist()
+    }
+    (picks, totals, last)
   }
 
   /** Shared DuckDB twin of [[bpeChain]]: CTEs `r0..r3` (staged corpus
@@ -4347,13 +4367,17 @@ object LlmData {
     // chained CTEs.
     "x94_bpe_iterative" -> Q(
       (s, dir) => {
-        val (picks, frames) = bpeChain(s, dir)
+        // composes over stamped driver values only (picks + per-round
+        // totals collected while each generation was live) — the merge
+        // log needs NO round frame at execution time, which is what
+        // lets bpeChain release generations as it walks
+        val (picks, totals, _) = bpeChain(s, dir)
+        import s.implicits._
         (1 to 3).map { r =>
           val (a, b, n) = picks(r - 1)
-          frames(r - 1).agg(sum(size(col("tk"))).as("tokens_after"))
-            .select(lit(r.toLong).as("merge_round"), lit(a).as("a"), lit(b).as("b"),
-              lit(n).as("n_pair"), col("tokens_after"))
-        }.reduce(_ unionByName _).orderBy("merge_round")
+          (r.toLong, a, b, n, totals(r - 1))
+        }.toDF("merge_round", "a", "b", "n_pair", "tokens_after")
+          .orderBy("merge_round")
       },
       Some(s"""WITH $duckBpeChain
               |SELECT CAST(1 AS BIGINT) AS merge_round, a, b, n AS n_pair, tokens_after
@@ -4380,8 +4404,8 @@ object LlmData {
     // membership is a broadcast left join against the 24-row vocab.
     "x114_tokenizer_coverage" -> Q(
       (s, dir) => {
-        val (_, frames) = bpeChain(s, dir)
-        val tok = frames.last.select(col("lang"), explode(col("tk")).as("tok"))
+        val (_, _, r3) = bpeChain(s, dir)
+        val tok = r3.select(col("lang"), explode(col("tk")).as("tok"))
         val vocab = tok.groupBy("tok").agg(count(lit(1)).as("n"))
           .orderBy(desc("n"), asc("tok")).limit(24)
           .select(col("tok"), lit(1).as("in_v"))
@@ -4389,7 +4413,7 @@ object LlmData {
           .groupBy("lang")
           .agg(count(lit(1)).as("n_tokens"),
             sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("oov_tokens"))
-          .join(frames.last.groupBy("lang").agg(count(lit(1)).as("n_docs")),
+          .join(r3.groupBy("lang").agg(count(lit(1)).as("n_docs")),
             Seq("lang"))
           .select(col("lang"), col("n_docs"), col("n_tokens"), col("oov_tokens"),
             expr("CAST(CAST(oov_tokens AS DECIMAL(38,0)) * 1000000 div n_tokens AS BIGINT)")
@@ -4434,44 +4458,61 @@ object LlmData {
     // definition shared with x91/x92); the corpus rides token ARRAYS
     // between rounds (no string round-trip, so an all-tokens-removed
     // doc is an empty array in both engines, not a [""] artifact).
-    // Each round's corpus is a memoized+persisted frame (reliable
-    // checkpoints at production scale). Output: per-round flagged-doc
-    // and removed-token counts plus the surviving corpus token total —
-    // the conservation identity tokens_left(r) = tokens_left(r-1) −
-    // n_removed(r) is pinned in spec.
+    // PERSIST LIFECYCLE (r14 verdict #1): the prior form memoized all
+    // FOUR corpus generations (c0–c3) simultaneously, and at 159
+    // queries the suite-wide storage pool plausibly evicted and
+    // re-derived exactly this family on the driver box (the
+    // `Block rdd_* already exists` recompute signature in the r14
+    // tail). Now the build is EAGER — each round's per-round scalars
+    // (flagged/removed/tokens_left) are collected as soon as that
+    // generation materializes, and generation r−1 is unpersisted the
+    // moment generation r is live — so at most TWO corpus generations
+    // are persisted at any instant, and what the memo retains across
+    // invocations is only the 3-row RESULT frame (warm reruns are a
+    // metadata read, not a chain replay). Output: per-round
+    // flagged-doc and removed-token counts plus the surviving corpus
+    // token total — the conservation identity
+    // tokens_left(r) = tokens_left(r-1) − n_removed(r) is pinned in
+    // spec.
     "x95_scrub_fixpoint" -> Q(
       (s, dir) => {
-        val (bench, _) = decontamSides(s, dir)
-        // round 0 rides the family's ONE token staging (tokStaged); the
-        // %50 corpus cut is a filter over the cached arrays, and later
-        // rounds persist their own rewritten generation
-        var corpus = memoized(s, "x95-c0", dir) {
-          tokStaged(s, dir)
+        memoized(s, "x95-rows", dir) {
+          val (bench, _) = decontamSides(s, dir)
+          // round 0 rides the family's ONE token staging (tokStaged);
+          // the %50 corpus cut is a filter over the cached arrays
+          var corpus = tokStaged(s, dir)
             .filter(col("doc_id") % 50 =!= 0)
             .select(col("doc_id"), col("tk"))
             .persist()
-        }
-        val rows = (1 to 3).map { r =>
-          val badStarts = positionalGrams(corpus.filter(size(col("tk")) >= 3), 3)
-            .join(broadcast(bench.withColumnRenamed("s", "g")), "g")
-            .select("doc_id", "off")
-          val hitPos = coveredPositions(badStarts, 3)
-          val prev = corpus
-          corpus = memoized(s, s"x95-c$r", dir) {
-            prev.join(hitPos, Seq("doc_id"), "left")
+          val rows = (1 to 3).map { r =>
+            val badStarts = positionalGrams(corpus.filter(size(col("tk")) >= 3), 3)
+              .join(broadcast(bench.withColumnRenamed("s", "g")), "g")
+              .select("doc_id", "off")
+            // persisted so releasing generation r−1 below can never
+            // force the flag join to recompute through a dead cache
+            val hitPos = coveredPositions(badStarts, 3).persist()
+            val prev = corpus
+            corpus = prev.join(hitPos, Seq("doc_id"), "left")
               .select(col("doc_id"),
                 when(col("hp").isNull, col("tk"))
                   .otherwise(keptTokens(col("tk"), col("hp"))).as("tk"))
               .persist()
+            // one action materializes generation r (and hitPos through
+            // its build) while r−1 is still cached; the round's scalars
+            // then read caches only
+            val tokensLeft = corpus
+              .agg(coalesce(sum(size(col("tk")).cast("long")), lit(0L))).head.getLong(0)
+            val fl = hitPos.agg(count(lit(1)),
+              coalesce(sum(size(col("hp")).cast("long")), lit(0L))).head
+            hitPos.unpersist(blocking = false)
+            prev.unpersist(blocking = false)
+            (r.toLong, fl.getLong(0), fl.getLong(1), tokensLeft)
           }
-          hitPos
-            .agg(count(lit(1)).as("n_flagged"),
-              coalesce(sum(size(col("hp")).cast("long")), lit(0L)).as("n_removed"))
-            .crossJoin(corpus.agg(sum(size(col("tk")).cast("long")).as("tokens_left")))
-            .select(lit(r.toLong).as("scrub_round"), col("n_flagged"),
-              col("n_removed"), col("tokens_left"))
-        }
-        rows.reduce(_ unionByName _).orderBy("scrub_round")
+          corpus.unpersist(blocking = false)
+          import s.implicits._
+          rows.toDF("scrub_round", "n_flagged", "n_removed", "tokens_left")
+            .persist()
+        }.orderBy("scrub_round")
       },
       Some {
         def round(r: Int, prev: String) =
