@@ -399,6 +399,15 @@ object Bench {
         (sec, gcMs() - g0, bd)
       } catch { case NonFatal(_) => (-1.0, gcMs() - g0, -1.0) }
     }
+    // Storage-lifecycle probe (r14 verdict #1): per-query high-water /
+    // eviction / block-re-add columns so a hot family reading can be
+    // adjudicated eviction-vs-contention from the artifact alone. The
+    // listener bus is async — drain before reading a window or one
+    // query's tail events land in the next query's columns.
+    val probe = new StorageProbe
+    spark.sparkContext.addSparkListener(probe)
+    def drainBus(): Unit =
+      org.apache.spark.graft.Internals.drainListenerBus(spark.sparkContext)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     // Storage snapshot (memory-cached MB, disk-spilled MB, and RDDs
     // with DROPPED partitions) taken right after each warm run: a warm
@@ -433,6 +442,8 @@ object Bench {
     }
     val detailed = selected.map { case (name, fn) =>
       drain()
+      drainBus()
+      val sb = probe.begin()
       val lc = load1()
       // busy window doubles as extra settle time after the drain; it
       // runs OUTSIDE the timed window like the drain itself
@@ -441,11 +452,17 @@ object Bench {
       val warm = timed(fn)
       val la = load1()
       val snap = storageSnap()
+      // read the storage window BEFORE clearMemo: the release hook's
+      // own unpersists are lifecycle, not pressure, and the probe
+      // ignores them anyway — but the window should close on the
+      // query's last measured event, not on cleanup
+      drainBus()
+      val sw = probe.read(sb)
       // drop per-query persisted signature tables so one query's cache
       // can't pressure the next query's measurement (after BOTH runs —
       // the warm run should reuse the memo like a steady-state session)
       operators.LlmData.clearMemo(spark)
-      name -> (cold, warm, lc, la, snap, bb)
+      name -> (cold, warm, lc, la, snap, bb, sw)
     }
     // Retry-phase quiescence: the suite leaves an ASYNC cleanup backlog
     // (ContextCleaner broadcast/shuffle removals, finalizers) that
@@ -484,9 +501,9 @@ object Bench {
     // retry ≈ clean-session warm → the original sample was box load or
     // suite-order cache pressure (the snapshot separates those two).
     val warmOutliers = {
-      val ok = detailed.toSeq.filter { case (_, (c, w, _, _, _, _)) => c._1 >= 0 && w._1 >= 0 }
+      val ok = detailed.toSeq.filter { case (_, (c, w, _, _, _, _, _)) => c._1 >= 0 && w._1 >= 0 }
       val topWarm = ok.sortBy(-_._2._2._1).take(5).map(_._1)
-      val inversions = ok.filter { case (_, (c, w, _, _, _, _)) => w._1 > c._1 + 0.3 }.map(_._1)
+      val inversions = ok.filter { case (_, (c, w, _, _, _, _, _)) => w._1 > c._1 + 0.3 }.map(_._1)
       (topWarm ++ inversions).distinct.take(8)
     }
     quiesce()
@@ -498,7 +515,7 @@ object Bench {
       operators.LlmData.clearMemo(spark)
       name -> (r, rl, snap)
     }.toMap
-    val results = detailed.map { case (n, (c, w, _, _, _, _)) => n -> (c._1, w._1) }
+    val results = detailed.map { case (n, (c, w, _, _, _, _, _)) => n -> (c._1, w._1) }
     // Contention self-identification (r12 verdict #3): semantics,
     // calibration, and the confirm-direction caveat live on the pure
     // envContended/floorThreshold above (BenchFormatSpec pins them).
@@ -524,7 +541,7 @@ object Bench {
     }
     val envRow = s"""  "_env": {"cores": $cpus, "run_load1_median": $runLoadMedian, "floor_threshold": $floorThresh, "run_contended": $runContended, "run_busy_median": $runBusyMedian, "busy_threshold": $busyThreshold, "busy_during_threshold": $busyDuringThreshold}"""
     val detail = (envRow +: detailed.toSeq
-      .map { case (k, ((c, gc, bdc), (w, gw, bdw), lc, la, (sm, sd, sev), bb)) =>
+      .map { case (k, ((c, gc, bdc), (w, gw, bdw), lc, la, (sm, sd, sev), bb, (shw, sevb, srd))) =>
         // a row is contended if EITHER sample window saw a live
         // contender — the cold and warm runs are adjudicated as one
         // row, so the worse window decides
@@ -534,7 +551,7 @@ object Bench {
           s""", "retry": $r, "retry_gc_ms": $rgc, "retry_load1": $rl, "retry_busy_during": $rbd""" }
         val wextra = warmRetried.get(k).fold("") { case ((r, rgc, rbd), rl, (wm, wd, wev)) =>
           s""", "warm_retry": $r, "warm_retry_gc_ms": $rgc, "warm_retry_load1": $rl, "warm_retry_busy_during": $rbd, "warm_retry_cache_mb": $wm, "warm_retry_evicted": $wev""" }
-        s"""  "$k": {"cold": $c, "warm": $w, "gc_cold_ms": $gc, "gc_warm_ms": $gw, "load1": $lc, "load1_after": $la, "busy_before": $bb, "busy_during_cold": $bdc, "busy_during_warm": $bdw, "cache_mb": $sm, "cache_disk_mb": $sd, "evicted_rdds": $sev, "env_contended": $contended$extra$wextra}""" })
+        s"""  "$k": {"cold": $c, "warm": $w, "gc_cold_ms": $gc, "gc_warm_ms": $gw, "load1": $lc, "load1_after": $la, "busy_before": $bb, "busy_during_cold": $bdc, "busy_during_warm": $bdw, "cache_mb": $sm, "cache_disk_mb": $sd, "evicted_rdds": $sev, "storage_hw_mb": $shw, "evicted_blocks": $sevb, "block_readds": $srd, "env_contended": $contended$extra$wextra}""" })
       .mkString("{\n", ",\n", "\n}\n")
     try {
       val dir = java.nio.file.Paths.get("target", "bench")
