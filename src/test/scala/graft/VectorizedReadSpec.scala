@@ -268,4 +268,30 @@ class VectorizedReadSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(pruned.orderBy("doc_id").collect().sameElements(expect))
   }
+
+  test("per-thread pool engages: sequential same-schema readers reuse one vector set") {
+    // The r15 fix for the r14 in-suite regression: vectors and the
+    // 4 MB chunk buffer are per-THREAD, not per-READER (a scan opens
+    // one reader per page directory — 500 allocations per sf0.1 scan
+    // was the G1 old-gen churn). Sequential borrow/return on one
+    // thread must hand back the SAME instances; a nested borrow (never
+    // the task model) must degrade to a fresh allocation, not share.
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(PageSource.DDL)
+    val a = VectorizedFrame.borrowVectors(schema)
+    VectorizedFrame.returnVectors(schema, a)
+    val b = VectorizedFrame.borrowVectors(schema)
+    assert(a._2 eq b._2, "sequential same-schema readers must reuse the pooled batch")
+    val nested = VectorizedFrame.borrowVectors(schema) // slot empty: fresh
+    assert(!(nested._2 eq b._2), "an overlapping borrow must never share live vectors")
+    VectorizedFrame.returnVectors(schema, b)
+    VectorizedFrame.returnVectors(schema, nested)
+    // chunk buffer: default size pools, spec-sized buffers bypass
+    val buf = VectorizedFrame.borrowBuf(VectorizedFrame.ChunkBytes)
+    VectorizedFrame.returnBuf(VectorizedFrame.ChunkBytes, buf)
+    assert(VectorizedFrame.borrowBuf(VectorizedFrame.ChunkBytes) eq buf)
+    val tiny = VectorizedFrame.borrowBuf(16)
+    VectorizedFrame.returnBuf(16, tiny)
+    assert(!(VectorizedFrame.borrowBuf(VectorizedFrame.ChunkBytes) eq tiny),
+      "a spec-sized buffer must never be served where the default was asked")
+  }
 }
