@@ -46,15 +46,43 @@ class BenchFormatSpec extends AnyFunSuite {
     val line = Bench.jsonLine(worst, "/root/testdata/sf0.1", None)
     assert(!line.contains("\n"), "must be ONE line")
     // 2000-char tail − ~85 chars for sbt's trailing "[success] Total
-    // time ..." line − 35 slack. Since r6 the line keys are the unique
-    // numeric prefixes ("q01", "x20") at ~10 chars per query instead of
-    // the ~24-char full names, so the registry tops out around 170
-    // names. If THAT ever fills, the next step is still shrinking the
-    // line (totals only), not raising this budget.
-    val budget = 1880
-    assert(line.length <= budget,
-      s"bench line worst-case ${line.length} chars exceeds $budget — " +
-        "shrink the line format before registering more queries")
+    // time ..." line − 35 slack (Bench.LineBudget). jsonLine self-caps
+    // past ~170 names, but TODAY's registry should still fit the full
+    // per-query map — an omission on the real registry means the
+    // format regressed, not just grew.
+    assert(Bench.LineBudget == 1880)
+    assert(line.length <= Bench.LineBudget,
+      s"bench line worst-case ${line.length} chars exceeds ${Bench.LineBudget}")
+    assert(!line.contains("queries_omitted"),
+      "today's registry must carry the FULL per-query map on the line")
+  }
+
+  test("self-cap at a simulated 200-query registry: slowest rows stay, line fits (r14 #5)") {
+    // the shape two more rounds of growth produces: 200 queries, mixed
+    // magnitudes, one failed row buried among the fast ones
+    val names = (1 to 100).map(i => f"q$i%02d_simulated_query_name") ++
+      (101 to 200).map(i => f"x$i%03d_simulated_query_name")
+    val sims = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i == 150) (-1.0, -1.0) else ((i % 37) * 3.3 + 0.1, 0.5))
+    }
+    val line = Bench.jsonLine(sims, "/root/testdata/sf0.1", None)
+    assert(line.length <= Bench.LineBudget,
+      s"self-capped line still ${line.length} chars at 200 queries")
+    assert(line.contains("\"queries_omitted\":"), "the omission must be declared")
+    assert(line.contains("\"detail\":\"BENCH_DETAIL.json\""))
+    // the slowest rows survive on the line; the fastest are the omitted
+    val slowest = sims.filter(_._2._1 >= 0).maxBy(_._2._1)._1.split("_")(0)
+    assert(line.contains("\"" + slowest + "\":"),
+      "the slowest query must keep its per-query entry")
+    // a FAILED query stays visible however many healthy rows outrank it
+    assert(line.contains(":-1"), "failed rows must never be omitted from the line")
+    // totals cover ALL queries, not just the retained map
+    val total = sims.map(_._2._1).filter(_ >= 0).sum
+    assert(line.contains(s""""value":${Bench.fmt(total)}"""))
+    // and a registry at today's size is untouched by the cap machinery
+    val small = sims.take(100)
+    assert(!Bench.jsonLine(small, "/root/testdata/sf0.1", None)
+      .contains("queries_omitted"))
   }
 
   test("registry prefixes are unique so line keys stay short") {
