@@ -1106,7 +1106,51 @@ object Relational {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM documents WHERE doc_id % 16 = 3
              |GROUP BY lang ORDER BY lang""".stripMargin),
-      "connector-reported statistics: pruning-aware size + sidecar row counts let a hint-free join broadcast the point-pruned keyed read")
+      "connector-reported statistics: pruning-aware size + sidecar row counts let a hint-free join broadcast the point-pruned keyed read"),
+
+    // ── Transactional connector write → read-back (q60) ───────────────
+    // The r14 verdict-#3 surface: stageKeyed is now the connector's
+    // own DSv2 write (SupportsWrite, write-audit-publish — data files,
+    // stats sidecar, and order marker land in an uncommitted
+    // generation, then one atomic pointer swap publishes all of them;
+    // a crash before the swap leaves the previous generation live,
+    // KeyedWriteSpec). This query drives the full write→read loop
+    // through the connector: stage a lang-keyed layout (STRING key,
+    // doc_id-sorted files), read it back, and aggregate under a
+    // RESIDUAL (non-key) filter — deliberately refusing the sidecar
+    // fast path so the oracle checks the COMMITTED BYTES, not the
+    // writer's own metadata. The write pays its shuffle once
+    // (clustered-by-key + key-first sort is the connector's declared
+    // write distribution — the same layout geometry every co-keyed
+    // join then amortizes); at 100 TB this is the ingest commit:
+    // either a generation is fully visible or not at all, exactly the
+    // reference's load-then-archive contract.
+    "q60_keyed_write_roundtrip" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#keyedw")({
+          val out = graft.io.TempDirs.scratch("graft_keyedw_") + "/bylang"
+          graft.sources.KeyedSource.stageKeyed(s,
+            t(s, dir, "documents").selectExpr("lang", "doc_id", "n_chars"),
+            out, "lang", sortBy = Seq("doc_id"))
+          out
+        })
+        s.read.format("graft-keyed")
+          .option("path", path)
+          .option("schema", "lang STRING, doc_id BIGINT, n_chars BIGINT")
+          .option("key", "lang").load()
+          .filter(col("n_chars") >= 200L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            min("doc_id").as("first_doc"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  min(doc_id) AS first_doc
+             |FROM documents WHERE n_chars >= 200
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+      "transactional connector write: stage through the DSv2 SupportsWrite commit (write-audit-publish), read the committed bytes back under a residual filter")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table

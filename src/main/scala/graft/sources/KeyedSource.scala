@@ -71,7 +71,9 @@ class KeyedSourceProvider extends TableProvider with DataSourceRegister {
       properties: java.util.Map[String, String]): Table =
     new KeyedTable(schema, properties.get("path"),
       Option(properties.get("key")).getOrElse(throw new IllegalArgumentException(
-        "graft-keyed requires option 'key' (the layout's key column)")))
+        "graft-keyed requires option 'key' (the layout's key column)")),
+      Option(properties.get("sortBy")).toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -107,15 +109,21 @@ class KeyedSourceProvider extends TableProvider with DataSourceRegister {
   * KeyedSourceSpec pins the refusal: `readStream` against this table
   * fails at analysis with Spark's unsupported-streaming error, not
   * deep in an executor. */
-final class KeyedTable(declared: StructType, path: String, key: String)
-    extends Table with SupportsRead {
+final class KeyedTable(declared: StructType, path: String, key: String,
+    sortBy: Seq[String] = Nil)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "graft-keyed requires option 'path' (the staged key directory)")
   require(declared.fieldNames.contains(key),
     s"key column '$key' must be part of the declared schema ${declared.simpleString}")
   override def name(): String = s"graft-keyed:$path"
   override def schema(): StructType = declared
+  // TRUNCATE alongside BATCH_WRITE: the write contract IS
+  // overwrite-by-generation (KeyedWriteBuilder scaladoc) — Spark maps
+  // mode("overwrite") to it; bare appends are refused at plan time
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   // analysis-time Hadoop conf capture — same contract as PageTable
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KeyedScanBuilder(declared, path, key,
@@ -127,6 +135,10 @@ final class KeyedTable(declared: StructType, path: String, key: String)
       // pruning-aware size/row statistics reported to the planner
       // (KeyedScan.estimateStatistics); false = the A/B escape hatch
       options.getBoolean("reportStats", true))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new KeyedWriteBuilder(declared, path, key, sortBy, info)
 }
 
 final class KeyedScanBuilder(full: StructType, path: String, key: String,
@@ -136,6 +148,12 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
+  // SNAPSHOT RESOLUTION: the committed-generation pointer is read ONCE
+  // per scan build — every downstream surface (partition listing,
+  // sidecar, order marker, statistics) then binds to that generation,
+  // so a commit racing this query swaps the pointer without tearing
+  // the plan (readers of the next query resolve the new generation)
+  private val root = KeyedSource.effectiveRoot(path, conf.value)
   private var required: StructType = full
   // None = no key predicate pushed (all directories); Some(s) = only
   // directories whose key value ∈ s are planned. Distinct from
@@ -241,9 +259,9 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
     if (sawUnconsumed) return false
     KeyedStatsScan.translate(agg, full, key) match {
       case Some((groupByKey, stats, schema)) =>
-        KeyedStats.read(path, conf, full, key) match {
-          case Some(entries) =>
-            statsPlan = Some((groupByKey, stats, schema, entries))
+        KeyedStats.read(root, conf, full, key) match {
+          case Some(sc) =>
+            statsPlan = Some((groupByKey, stats, schema, sc.entries))
             true
           case None => false
         }
@@ -263,10 +281,10 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
           case _ => set.contains(e.rawKey)
         })
       }
-      new KeyedStatsScan(schema, path, key, keyField.dataType,
+      new KeyedStatsScan(schema, root, key, keyField.dataType,
         groupByKey, stats, surviving)
     case None =>
-      new KeyedScan(full, required, path, key, conf, keyValues, vectorize,
+      new KeyedScan(full, required, root, key, conf, keyValues, vectorize,
         reportStats)
   }
 }
@@ -344,32 +362,88 @@ final class KeyedScan(full: StructType, required: StructType, path: String,
     * files of the first stage are written, a plan-time broadcast
     * never stages them. `reportStats=false` is the A/B escape hatch
     * (ReportStatisticsSpec pins both plans, values identical). */
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+  /** Memoized per effective key set (r14 ADVICE: Catalyst may request
+    * statistics several times per plan, and the listing + one
+    * getContentSummary RPC per surviving directory + sidecar parse are
+    * driver-side metadata I/O worth paying once). The cache key is the
+    * pruned set because runtime filtering legitimately changes the
+    * answer mid-plan; the scan is per-query, so the map stays tiny. */
+  private val statsCache = scala.collection.concurrent.TrieMap
+    .empty[Option[Set[Any]], (java.util.OptionalLong, java.util.OptionalLong,
+      java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics])]
+
+  /** Pruning-aware (bytes, rows, per-column stats) — see the
+    * [[estimateStatistics]] scaladoc for the planner contract. Column
+    * statistics come from the v2 sidecar's table line: per-column KMV
+    * distinct counts (capped by surviving rows under pruning; the KEY
+    * column's NDV is the surviving directory count, exact), min/max
+    * for BIGINT columns from the surviving entries, zero null counts
+    * (the framing guard's invariant) — the inputs CBO's join-reorder
+    * cardinality estimation needs from a pure-connector leaf (q61). */
+  private def computeStats(pruned: Option[Set[Any]]): (java.util.OptionalLong,
+      java.util.OptionalLong,
+      java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]) = {
+    val empty = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (!reportStats)
+      return (java.util.OptionalLong.empty(), java.util.OptionalLong.empty(), empty)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
+    val size = partitions.map(p => fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(
+        p.asInstanceOf[KeyedPartition].pageDir)).getLength).sum
+    val keyField = full(full.fieldIndex(key))
+    val sidecar = KeyedStats.read(path, conf, full, key)
+    val surviving = sidecar.map { sc =>
+      pruned.fold(sc.entries) { set =>
+        sc.entries.filter(e => keyField.dataType match {
+          case LongType => set.contains(e.rawKey.toLong)
+          case _ => set.contains(e.rawKey)
+        })
+      }
+    }
+    val rows = surviving.map(_.map(_.count).sum)
+    val colStats = empty
+    for (sc <- sidecar; t <- sc.table; entries <- surviving) {
+      val rowCount = rows.getOrElse(0L)
+      full.fields.zipWithIndex.foreach { case (f, i) =>
+        val ndv =
+          if (f.name == key) entries.length.toLong // exact under pruning
+          else math.min(t.ndvs(i), math.max(rowCount, 1L))
+        val (mn, mx): (java.util.Optional[Object], java.util.Optional[Object]) =
+          if (f.dataType == LongType && entries.nonEmpty)
+            (java.util.Optional.of(Long.box(entries.map(_.mins(i).toLong).min)),
+              java.util.Optional.of(Long.box(entries.map(_.maxs(i).toLong).max)))
+          else (java.util.Optional.empty(), java.util.Optional.empty())
+        colStats.put(Expressions.column(f.name),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(ndv)
+            override def min(): java.util.Optional[Object] = mn
+            override def max(): java.util.Optional[Object] = mx
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(0L)
+          })
+      }
+    }
+    (java.util.OptionalLong.of(size),
+      rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of),
+      colStats)
+  }
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val (bytes, rows, cols) =
+      statsCache.getOrElseUpdate(effectiveKeys, computeStats(effectiveKeys))
     new org.apache.spark.sql.connector.read.Statistics {
-      private val (bytes, rows): (java.util.OptionalLong, java.util.OptionalLong) =
-        if (!reportStats)
-          (java.util.OptionalLong.empty(), java.util.OptionalLong.empty())
-        else {
-          val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
-          val size = partitions.map(p => fs.getContentSummary(
-            new org.apache.hadoop.fs.Path(
-              p.asInstanceOf[KeyedPartition].pageDir)).getLength).sum
-          val keyField = full(full.fieldIndex(key))
-          val n = KeyedStats.read(path, conf, full, key).map { entries =>
-            val surviving = effectiveKeys.fold(entries) { set =>
-              entries.filter(e => keyField.dataType match {
-                case LongType => set.contains(e.rawKey.toLong)
-                case _ => set.contains(e.rawKey)
-              })
-            }
-            surviving.map(_.count).sum
-          }
-          (java.util.OptionalLong.of(size),
-            n.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of))
-        }
       override def sizeInBytes(): java.util.OptionalLong = bytes
       override def numRows(): java.util.OptionalLong = rows
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = cols
     }
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -501,7 +575,6 @@ final class KeyedReaderFactory(full: StructType, required: StructType,
 
 object KeyedSource {
   import org.apache.spark.sql.{DataFrame, SparkSession}
-  import org.apache.spark.sql.functions._
 
   /** Stage `df` under `out` as a `k=<v>/` keyed layout (US-framed,
     * one file per key — the write-once shuffle that every later
@@ -509,145 +582,158 @@ object KeyedSource {
     * STRING over [A-Za-z0-9_.-] (it becomes a directory name); the
     * framing guard matches [[PageSource.stageDocuments]].
     *
+    * Since r15 this IS the connector's own transactional write path
+    * ([[KeyedWriteBuilder]] — write-audit-publish; the r14 verdict-#3
+    * promotion of the side utility to a DSv2 `SupportsWrite`): rows
+    * stage into an uncommitted generation directory, the stats sidecar
+    * and order marker are derived in the writers from exactly the rows
+    * written and land inside the SAME commit, and the
+    * `_graft_keyed_commit` pointer swaps atomically — a crash anywhere
+    * before the swap leaves the previous generation fully live.
+    *
     * `sortBy` is the SECOND half of paying at write time: with it,
     * each key's file is written sorted ascending by those columns
     * (key first, constant per file, then `sortBy` lexicographically)
-    * and the layout records the order in a `_graft_keyed_order`
+    * and the layout records the order — WITH column types, the stats
+    * sidecar's schemaTag discipline — in a `_graft_keyed_order`
     * marker. [[KeyedScan.outputOrdering]] then reports the stored
     * order to the planner and a co-keyed sort-merge join plans with
     * ZERO Exchange AND ZERO Sort — at 100 TB the per-partition sort
     * is the dominant CPU of an SMJ after the shuffle is already
     * amortized, and like the shuffle it only needs paying once, at
-    * layout-write time. Empty `sortBy` (the default) writes an
-    * unordered layout and deletes any stale marker, so a re-stage
-    * can never leave a false ordering claim behind. */
+    * layout-write time. Empty `sortBy` (the default) commits a
+    * generation with no marker, so a re-stage can never leave a stale
+    * ordering claim behind. */
   def stageKeyed(spark: SparkSession, df: DataFrame, out: String,
       key: String, sortBy: Seq[String] = Nil): String = {
     val cols = df.schema.fieldNames.toSeq
     require(cols.contains(key), s"key '$key' not in ${cols.mkString(",")}")
     require(sortBy.forall(c => cols.contains(c) && c != key),
       s"sortBy must name non-key layout columns, got ${sortBy.mkString(",")}")
-    val badKey = df.schema(key).dataType match {
-      case LongType => lit(false)
-      case StringType => !col(key).rlike("^[A-Za-z0-9_.-]+$")
-      case other => throw new IllegalArgumentException(
-        s"graft-keyed supports BIGINT and STRING keys, got $other")
-    }
-    val bad = (badKey +: cols.map(c => col(c).isNull ||
-        col(c).cast("string").contains(PageSource.US) ||
-        col(c).cast("string").contains("\u001E") ||
-        col(c).cast("string").contains("\n") || col(c).cast("string").contains("\r")))
-      .reduce(_ || _)
-    val framed = df.select(
-        (when(bad, raise_error(concat(lit("graft-keyed framing violation at key="),
-            col(key).cast("string"))))
-          .otherwise(concat_ws(PageSource.US, cols.map(col): _*)).as("value") +:
-          col(key).cast("string").as("k") +:
-          sortBy.map(col)): _*)
-      // shuffle by key BEFORE the dynamic-partition write — the key
-      // space is the write parallelism and each key gets exactly one
-      // file (same rationale as PageSource.stageDocuments)
-      .repartition(col("k"))
-    val ordered =
-      if (sortBy.isEmpty) framed
-      // sort INSIDE each write task (k first — satisfies the writer's
-      // own partition-column ordering requirement, so no second sort —
-      // then the declared order); the projection below preserves row
-      // order, and one task writes each key's single file sequentially,
-      // so the file stores exactly this order
-      else framed.sortWithinPartitions(col("k") +: sortBy.map(col): _*)
-    ordered.select("value", "k")
-      .write.mode("overwrite").partitionBy("k").text(out)
-    writeOrderMarker(spark, out, key, sortBy)
-    writeStatsSidecar(spark, out, df.schema, key)
+    df.write.format("graft-keyed")
+      .option("schema", df.schema.toDDL) // the provider infers nothing
+      .option("key", key)
+      .option("sortBy", sortBy.mkString(","))
+      .mode("overwrite")
+      .save(out)
     out
   }
 
-  /** Order-marker file name: presence + content is the scan's license
-    * to report [[KeyedScan.outputOrdering]]. Deleted on every restage
-    * before (possibly) rewriting, so a claim can never outlive the
-    * layout that made it true. */
-  val OrderFile = "_graft_keyed_order"
-  private val OrderVersion = "graft-keyed-order v1"
+  // ── Committed-generation pointer (the publish half of WAP) ─────────
 
-  private def writeOrderMarker(spark: SparkSession, out: String,
-      key: String, sortBy: Seq[String]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(out, OrderFile)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) fs.delete(p, false)
-    if (sortBy.nonEmpty) {
-      val os = fs.create(p, true)
-      try os.write((OrderVersion + PageSource.US + key + PageSource.US +
-        sortBy.mkString(",")).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally os.close()
+  /** Pointer file naming the live generation directory. Present ⇒ the
+    * layout is generation-committed and readers resolve through it;
+    * absent ⇒ legacy flat layout (pre-r15 stages), read as-is. */
+  val CommitFile = "_graft_keyed_commit"
+  private val CommitVersion = "graft-keyed-commit v1"
+
+  /** Crash-window test hook (KeyedWriteSpec): when set, a commit does
+    * every write EXCEPT the pointer swap, then throws — simulating a
+    * failure between audit and publish. */
+  @volatile private[graft] var failBeforePublish = false
+
+  /** Resolve the root readers should list: the committed generation
+    * when a pointer exists, the path itself otherwise. A present but
+    * unparseable pointer fails loudly — that is corruption of a file
+    * this connector owns, not a foreign layout. */
+  private[graft] def effectiveRoot(path: String,
+      hconf: org.apache.hadoop.conf.Configuration): String =
+    readCommitPointer(path, hconf) match {
+      case Some(gen) =>
+        new org.apache.hadoop.fs.Path(path, gen).toString
+      case None => path
+    }
+
+  /** Spec-facing twin of [[effectiveRoot]] (the specs that doctor
+    * layout internals — delete a sidecar, inspect k= directories —
+    * must aim at the COMMITTED generation, not the pointer root). */
+  private[graft] def committedRoot(spark: SparkSession, path: String): String =
+    effectiveRoot(path, spark.sessionState.newHadoopConf())
+
+  private[sources] def readCommitPointer(path: String,
+      hconf: org.apache.hadoop.conf.Configuration): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path, CommitFile)
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    text.split(PageSource.US, -1) match {
+      case Array(CommitVersion, gen) if gen.nonEmpty => Some(gen)
+      case _ => throw new IllegalStateException(
+        s"graft-keyed commit pointer corrupted at $path: '$${text.take(80)}'")
     }
   }
 
-  /** Parse the order marker against the declared key; None = no
-    * marker, wrong version, or a key/column set the declared schema
+  /** Atomic publish: write the pointer to a temp name, then
+    * rename-with-overwrite onto [[CommitFile]] (FileContext.rename
+    * with OVERWRITE — atomic on HDFS and the local FS; the one-file
+    * swap is the entire visibility transition). */
+  private[sources] def publishPointer(path: String, gen: String,
+      hconf: org.apache.hadoop.conf.Configuration): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(root, s"$CommitFile.tmp-$gen")
+    val dst = new org.apache.hadoop.fs.Path(root, CommitFile)
+    val fs = root.getFileSystem(hconf)
+    writeFile(fs, tmp, CommitVersion + PageSource.US + gen)
+    // the .crc twin must not survive the rename with a stale checksum
+    val crc = new org.apache.hadoop.fs.Path(root, s".$CommitFile.crc")
+    if (fs.exists(crc)) fs.delete(crc, false)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, hconf)
+    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private[sources] def writeFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val os = fs.create(p, true)
+    try os.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+  }
+
+  // ── Order marker ───────────────────────────────────────────────────
+
+  /** Order-marker file name: presence + content is the scan's license
+    * to report [[KeyedScan.outputOrdering]]. Written inside the same
+    * commit as the data (never left behind by a sortBy-less restage —
+    * the new generation simply has no marker). */
+  val OrderFile = "_graft_keyed_order"
+  private val OrderVersion = "graft-keyed-order v2"
+
+  /** v2 records NAME:TYPE for the key and every sortBy column (the
+    * stats sidecar's schemaTag discipline, r14 ADVICE): the layout is
+    * schema-on-read text, so a layout staged with doc_id as BIGINT
+    * (numerically ordered, 2 < 10) must refuse to claim ordering for a
+    * read that declares doc_id STRING ('10' < '2') — an SMJ trusting
+    * the stale claim would silently return wrong rows. */
+  private[sources] def renderOrderMarker(schema: StructType, key: String,
+      sortBy: Seq[String]): String = {
+    def tag(c: String) = c + ":" + schema(c).dataType.sql
+    OrderVersion + PageSource.US + tag(key) + PageSource.US +
+      sortBy.map(tag).mkString(",")
+  }
+
+  /** Parse the order marker against the declared key AND types; None =
+    * no marker, wrong version, or any name/type the declared schema
     * cannot back — the scan then claims nothing (the stats-sidecar
     * trust rule, applied to ordering). */
   private[graft] def readOrderMarker(path: String,
       conf: org.apache.spark.util.SerializableConfiguration,
       declared: StructType, key: String): Option[Seq[String]] = {
-    val p = new org.apache.hadoop.fs.Path(path, OrderFile)
+    val root = effectiveRoot(path, conf.value)
+    val p = new org.apache.hadoop.fs.Path(root, OrderFile)
     val fs = p.getFileSystem(conf.value)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    text.split(PageSource.US, -1) match {
-      case Array(OrderVersion, k, colsCsv) if k == key =>
-        val cs = colsCsv.split(",", -1).toSeq
-        if (cs.nonEmpty && cs.forall(declared.fieldNames.contains)) Some(cs) else None
+    def matches(tagged: String): Option[String] = tagged.split(":", 2) match {
+      case Array(name, tpe) if declared.fieldNames.contains(name) &&
+          declared(name).dataType.sql == tpe => Some(name)
       case _ => None
     }
-  }
-
-  /** Finish the layout write with its manifest statistics
-    * ([[KeyedStats]] scaladoc): read the COMMITTED layout back (never
-    * the input lineage — a non-deterministic `df` must not be able to
-    * desynchronize data and stats) and record per-key count, min/max
-    * per column, and sum per BIGINT column. One extra linear pass at
-    * stage time buys every later COUNT/MIN/MAX/SUM a zero-data-file
-    * metadata answer. Any stale sidecar is deleted BEFORE the
-    * read-back so the stats scan cannot answer its own derivation.
-    * SUM rides Spark's LongType sum, so an overflowing corpus fails
-    * (ANSI) or wraps (legacy) at STAGE time with exactly the
-    * semantics the fallback data scan would have at read time. */
-  private def writeStatsSidecar(spark: SparkSession, out: String,
-      schema: StructType, key: String): Unit = {
-    val sidecar = new org.apache.hadoop.fs.Path(out, KeyedStats.SidecarFile)
-    val fs = sidecar.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(sidecar)) fs.delete(sidecar, false)
-    val committed = spark.read.format("graft-keyed")
-      .option("path", out).option("schema", schema.toDDL).option("key", key)
-      .load()
-    val cols = schema.fields.toSeq
-    val aggs = count(lit(1)).as("_n") +: cols.flatMap { f =>
-      val base = Seq(min(col(f.name)).cast("string").as(s"_min_${f.name}"),
-        max(col(f.name)).cast("string").as(s"_max_${f.name}"))
-      if (f.dataType == LongType) base :+ sum(col(f.name)).as(s"_sum_${f.name}")
-      else base
+    text.split(PageSource.US, -1) match {
+      case Array(OrderVersion, k, colsCsv) if matches(k).contains(key) =>
+        val cs = colsCsv.split(",", -1).toSeq.map(matches)
+        if (cs.nonEmpty && cs.forall(_.isDefined)) Some(cs.flatten) else None
+      case _ => None
     }
-    // grouped by the key's DIRECTORY-NAME form (cast to string —
-    // identical to the partition naming the data write used); driver
-    // collect bounded by the key domain, the layout's own contract
-    val rows = committed.groupBy(col(key).cast("string").as("_k"))
-      .agg(aggs.head, aggs.tail: _*).collect()
-    val entries = rows.toSeq.map { r =>
-      val mins = new Array[String](cols.length)
-      val maxs = new Array[String](cols.length)
-      val sums = new Array[Long](cols.length)
-      var pos = 2
-      cols.zipWithIndex.foreach { case (f, i) =>
-        mins(i) = r.getString(pos); maxs(i) = r.getString(pos + 1); pos += 2
-        if (f.dataType == LongType) { sums(i) = r.getLong(pos); pos += 1 }
-      }
-      KeyedStats.Entry(r.getString(0), r.getLong(1), mins, maxs, sums)
-    }
-    val os = fs.create(sidecar, true)
-    try os.write(KeyedStats.render(schema, key, entries)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally os.close()
   }
 }

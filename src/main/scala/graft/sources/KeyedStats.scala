@@ -9,15 +9,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * connector's MANIFEST STATISTICS (what Iceberg answers `count(*)`
   * and min/max range queries from without opening a data file).
   *
-  * [[KeyedSource.stageKeyed]] finishes every layout write by reading
-  * the COMMITTED layout back and writing one `_graft_keyed_stats`
-  * sidecar line per key directory: row count plus per-column min/max
-  * (and sum for BIGINT columns), in declared-schema order, US-framed
-  * like everything else in the layout. Deriving from the committed
-  * bytes rather than the input lineage is deliberate (the Iceberg
-  * write-metrics discipline): a non-deterministic input DataFrame
-  * cannot desynchronize data and stats, because the stats never see
-  * the input — only what the layout actually stores.
+  * Since r15 the sidecar is derived IN THE WRITERS
+  * ([[KeyedDataWriter]] — the write-audit-publish commit): one line
+  * per key directory with row count plus per-column min/max (and sum
+  * for BIGINT columns) in declared-schema order, US-framed like
+  * everything else in the layout, plus one TABLE line (total count +
+  * per-column KMV distinct estimates) feeding the planner's column
+  * statistics. Accumulating from exactly the rows written keeps the
+  * Iceberg write-metrics guarantee the old read-back pass bought — a
+  * non-deterministic input cannot desynchronize data and stats,
+  * because both are the same pass over the same rows — without paying
+  * a second scan per stage, and the sidecar commits ATOMICALLY with
+  * the data (same generation, same pointer swap).
   *
   * [[KeyedScanBuilder.pushAggregation]] then answers
   * COUNT(*)/COUNT(col)/MIN/MAX/SUM — bare or grouped by the layout
@@ -54,13 +57,28 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object KeyedStats {
   val SidecarFile = "_graft_keyed_stats"
-  val Version = "graft-keyed-stats v1"
+  // v2 (r15): stats derive in the WRITERS (write-audit-publish — from
+  // exactly the rows committed, no read-back pass) and the sidecar
+  // gains one TABLE line: total row count + per-column KMV distinct
+  // estimates, the number CBO's join-cardinality estimation reads off
+  // a connector scan (KeyedScan.estimateStatistics columnStats)
+  val Version = "graft-keyed-stats v2"
 
   /** One sidecar line ≙ one key directory's stats. `mins`/`maxs` hold
     * the RAW framed strings per declared column (typed on demand);
     * `sums` is meaningful only at BIGINT columns. */
   final case class Entry(rawKey: String, count: Long,
       mins: Array[String], maxs: Array[String], sums: Array[Long])
+
+  /** Table-level line: total rows + per-column distinct estimates
+    * (KMV, exact below the sketch size) in declared-schema order. */
+  final case class TableNdv(count: Long, ndvs: Array[Long])
+
+  /** Parsed sidecar: per-key entries plus the table line (absent only
+    * in a zero-entry layout's degenerate case — the writer always
+    * emits it, but the reader treats it as optional so the per-key
+    * surfaces never depend on it). */
+  final case class Sidecar(entries: Seq[Entry], table: Option[TableNdv])
 
   /** The stat one pushed aggregate expression reads from an entry.
     * `sentinel` is the zero-survivor value (bare aggregates only). */
@@ -109,13 +127,19 @@ object KeyedStats {
   private def schemaTag(schema: StructType): String =
     schema.fields.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
 
-  /** Render the sidecar: header line pins version + schema + key, one
-    * line per key in directory-name order. */
+  /** Render the sidecar: header line pins version + schema + key, then
+    * the table line (total count + per-column NDV), then one line per
+    * key in directory-name order. */
   private[sources] def render(schema: StructType, key: String,
-      entries: Seq[Entry]): String = {
+      entries: Seq[Entry], table: Option[TableNdv] = None): String = {
     val sb = new StringBuilder
     sb.append(Version).append(PageSource.US).append(schemaTag(schema))
       .append(PageSource.US).append(key).append('\n')
+    table.foreach { t =>
+      sb.append(t.count)
+      t.ndvs.foreach(v => sb.append(PageSource.US).append(v))
+      sb.append('\n')
+    }
     entries.sortBy(_.rawKey).foreach { e =>
       sb.append(e.rawKey).append(PageSource.US).append(e.count)
       schema.fields.zipWithIndex.foreach { case (f, i) =>
@@ -136,8 +160,11 @@ object KeyedStats {
     * layout. */
   private[graft] def read(path: String,
       conf: org.apache.spark.util.SerializableConfiguration,
-      declared: StructType, key: String): Option[Seq[Entry]] = {
-    val p = new org.apache.hadoop.fs.Path(path, SidecarFile)
+      declared: StructType, key: String): Option[Sidecar] = {
+    // resolve the committed generation (idempotent when handed a
+    // generation dir or a legacy flat layout directly)
+    val root = KeyedSource.effectiveRoot(path, conf.value)
+    val p = new org.apache.hadoop.fs.Path(root, SidecarFile)
     val fs = p.getFileSystem(conf.value)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
@@ -149,10 +176,18 @@ object KeyedStats {
         header(1) != schemaTag(declared) || header(2) != key) return None
     val arity = lineArity(declared)
     val n = declared.length
-    Some(lines.tail.toSeq.map { line =>
+    // the table line is structurally distinct from every entry line
+    // (1+n fields vs 2+2n or more — never equal for a non-empty schema)
+    val (table, entryLines) = lines.tail.toSeq match {
+      case first +: rest if first.split("", -1).length == 1 + n =>
+        val f = first.split("", -1)
+        (Some(TableNdv(f(0).toLong, f.tail.map(_.toLong))), rest)
+      case all => (None, all)
+    }
+    Some(Sidecar(entryLines.map { line =>
       val f = line.split("", -1)
       if (f.length != arity) throw new IllegalStateException(
-        s"graft-keyed stats sidecar corrupted at $path: line has ${f.length} " +
+        s"graft-keyed stats sidecar corrupted at $root: line has ${f.length} " +
           s"fields, schema implies $arity (head: ${line.take(80)})")
       val mins = new Array[String](n)
       val maxs = new Array[String](n)
@@ -165,7 +200,7 @@ object KeyedStats {
         i += 1
       }
       Entry(f(0), f(1).toLong, mins, maxs, sums)
-    })
+    }, table))
   }
 }
 

@@ -1,0 +1,371 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Transactional DSv2 write path for `graft-keyed` (r14 verdict #3) —
+  * write-audit-publish, the Snowpipe/Iceberg commit discipline the
+  * reference's ingest-then-archive contract models
+  * (`/root/reference/README.md:43-44`: auto-ingest on arrival, files
+  * visible to queries only once loaded, originals archived):
+  *
+  *  1. WRITE: every task writes its keys' files into an UNCOMMITTED
+  *     generation directory `_gen-<queryId>/k=<v>/…` — never into the
+  *     live layout. Spark clusters rows by the layout key and sorts
+  *     (key, sortBy…) inside each task ([[RequiresDistributionAndOrdering]]
+  *     — the write-once shuffle the read side amortizes), so each key
+  *     lands wholly in one task as one contiguous run → exactly ONE
+  *     file per key, the read contract, enforced (a key reopening
+  *     fails the task rather than splitting a directory).
+  *  2. AUDIT: the framing guard (no NULLs, no US/RS/LF/CR in any
+  *     field, dirname-safe keys) runs in the writer, per row — the
+  *     same violations the old projection-based stager raised, same
+  *     message shape. Task commit messages carry each key's
+  *     count/min/max/sum and per-column KMV distinct sketches,
+  *     accumulated from EXACTLY the rows written — the stats can no
+  *     longer diverge from the committed bytes even for a
+  *     non-deterministic input (the read-back pass the old stager
+  *     needed for that guarantee is gone, one full scan saved per
+  *     stage).
+  *  3. PUBLISH: the driver writes the stats sidecar and order marker
+  *     INSIDE the generation directory, then atomically swaps the
+  *     `_graft_keyed_commit` pointer onto it (rename-with-overwrite —
+  *     atomic on HDFS and local). Readers resolve the pointer at plan
+  *     time: a crash anywhere before the swap leaves the previous
+  *     generation fully live (KeyedWriteSpec pins the crash window),
+  *     and an aborted job deletes only its own `_gen-*` staging.
+  *     The superseded generation is deleted after the swap — at
+  *     production scale this would be deferred by a snapshot-GC grace
+  *     period (Iceberg's expire-snapshots); in-session reads resolve
+  *     the pointer per query, so immediate deletion is safe here and
+  *     the simplification is recorded rather than hidden.
+  *
+  * Append mode is REFUSED at plan time: the layout's write contract is
+  * overwrite-by-generation (one file per key); an in-place append
+  * would rewrite live files under readers — the exact torn-read the
+  * generation pointer exists to prevent. Incremental ingest composes
+  * the other way (pages ledger → re-stage), see KeyedTable's
+  * streaming-refusal scaladoc. */
+final class KeyedWriteBuilder(declared: StructType, path: String, key: String,
+    sortBy: Seq[String], info: LogicalWriteInfo) extends WriteBuilder
+    with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = {
+    if (!overwrite) throw new UnsupportedOperationException(
+      "graft-keyed is overwrite-only (write-audit-publish replaces the whole " +
+        "layout generation atomically); append would rewrite one-file-per-key " +
+        "directories in place under live readers. For incremental ingest, land " +
+        "increments through the graft-pages ledger and re-stage.")
+    val schema = info.schema()
+    require(schema.fieldNames.contains(key),
+      s"key column '$key' must be part of the written schema ${schema.simpleString}")
+    require(sortBy.forall(c => schema.fieldNames.contains(c) && c != key),
+      s"sortBy must name non-key layout columns, got ${sortBy.mkString(",")}")
+    schema.fields.foreach(f => require(
+      f.dataType == LongType || f.dataType == StringType,
+      s"graft-keyed supports BIGINT and STRING fields, got ${f.name}: ${f.dataType}"))
+    schema(key).dataType match {
+      case LongType | StringType => ()
+      case other => throw new IllegalArgumentException(
+        s"graft-keyed supports BIGINT and STRING keys, got $other")
+    }
+    new KeyedWrite(schema, path, key, sortBy, info.queryId(),
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+  }
+}
+
+final class KeyedWrite(schema: StructType, path: String, key: String,
+    sortBy: Seq[String], queryId: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends Write with RequiresDistributionAndOrdering {
+  override def description(): String =
+    s"GraftKeyedWrite path=$path key=$key" +
+      (if (sortBy.nonEmpty) s" sortBy=${sortBy.mkString(",")}" else "")
+  // cluster by the layout key (each key wholly in one task — the
+  // one-file-per-key contract) and sort key-first inside each task
+  // (keys arrive contiguous; the stored per-key order is the declared
+  // sortBy — what the order marker then truthfully claims)
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.column(key)))
+  override def requiredOrdering(): Array[SortOrder] =
+    (key +: sortBy).map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+  override def toBatch: BatchWrite =
+    new KeyedBatchWrite(schema, path, key, sortBy, queryId, conf)
+}
+
+/** One key's audited write stats, accumulated in the task from exactly
+  * the rows written; shapes match [[KeyedStats.Entry]] (min/max as the
+  * framed string forms, sum only meaningful at BIGINT columns). */
+final case class KeyedKeyStats(rawKey: String, count: Long,
+    mins: Array[String], maxs: Array[String], sums: Array[Long])
+
+final case class KeyedCommitMessage(keys: Seq[KeyedKeyStats],
+    sketches: Array[Array[Long]]) extends WriterCommitMessage
+
+final class KeyedBatchWrite(schema: StructType, path: String, key: String,
+    sortBy: Seq[String], queryId: String,
+    conf: org.apache.spark.util.SerializableConfiguration) extends BatchWrite {
+
+  private def genName = s"_gen-$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KeyedWriterFactory(schema, key, s"$path/$genName", conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.toSeq.collect { case m: KeyedCommitMessage => m }
+    val entries = msgs.flatMap(_.keys)
+    // the clustered distribution guarantees one task per key; two
+    // tasks reporting the same key means the one-file contract broke —
+    // refuse to publish a layout the read side would misread
+    val dup = entries.groupBy(_.rawKey).collect { case (k, g) if g.size > 1 => k }
+    if (dup.nonEmpty) throw new IllegalStateException(
+      s"graft-keyed write produced ${dup.size} keys in multiple tasks " +
+        s"(${dup.take(3).mkString(",")}…): clustering contract violated, not publishing")
+    val table = {
+      val merged = Array.fill(schema.length)(new KmvSketch)
+      msgs.foreach(_.sketches.zipWithIndex.foreach { case (hs, i) =>
+        merged(i).addHashes(hs) })
+      KeyedStats.TableNdv(entries.map(_.count).sum, merged.map(_.estimate))
+    }
+    val hconf = conf.value
+    val root = new org.apache.hadoop.fs.Path(path)
+    val gen = new org.apache.hadoop.fs.Path(root, genName)
+    val fs = root.getFileSystem(hconf)
+    // AUDIT artifacts land INSIDE the uncommitted generation
+    val sidecarEntries = entries.map(e =>
+      KeyedStats.Entry(e.rawKey, e.count, e.mins, e.maxs, e.sums))
+    KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedStats.SidecarFile),
+      KeyedStats.render(schema, key, sidecarEntries, Some(table)))
+    if (sortBy.nonEmpty)
+      KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedSource.OrderFile),
+        KeyedSource.renderOrderMarker(schema, key, sortBy))
+    // ensure the generation directory exists even for an EMPTY write
+    // (zero tasks produced zero files): the pointer must never name a
+    // missing directory
+    if (!fs.exists(gen)) fs.mkdirs(gen)
+    if (KeyedSource.failBeforePublish) throw new IllegalStateException(
+      "graft-keyed test hook: crash before publish")
+    // PUBLISH: what the pointer named before the swap (for cleanup)
+    val previous = KeyedSource.readCommitPointer(path, hconf)
+    KeyedSource.publishPointer(path, genName, hconf)
+    // cleanup AFTER the swap: the superseded generation, and — when
+    // the previous layout was a legacy FLAT stage — its root-level
+    // k=* directories and metadata files (readers resolve the pointer
+    // first, so these are dead weight either way; a crash here leaves
+    // orphans the next commit removes, never a broken layout)
+    previous match {
+      case Some(old) if old != genName =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, old), true)
+      case None =>
+        fs.listStatus(root).foreach { s =>
+          val n = s.getPath.getName
+          if ((s.isDirectory && n.startsWith("k=")) ||
+              n == KeyedStats.SidecarFile || n == KeyedSource.OrderFile ||
+              n == s".${KeyedStats.SidecarFile}.crc" || n == s".${KeyedSource.OrderFile}.crc")
+            fs.delete(s.getPath, true)
+        }
+      case _ => ()
+    }
+    // stale staging from crashed/aborted writes that never reached
+    // their own cleanup: anything _gen-* the pointer doesn't name
+    fs.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && n.startsWith("_gen-") && n != genName)
+        fs.delete(s.getPath, true)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // the crash hook models PROCESS DEATH, where no abort ever runs —
+    // leave the orphaned staging on disk so the spec can verify the
+    // next successful commit heals it (a graceful failure still cleans)
+    if (KeyedSource.failBeforePublish) return
+    val gen = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(path), genName)
+    val fs = gen.getFileSystem(conf.value)
+    fs.delete(gen, true) // only our own staging — the live layout is untouched
+  }
+}
+
+final class KeyedWriterFactory(schema: StructType, key: String, genDir: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KeyedDataWriter(schema, key, genDir, taskId, conf)
+}
+
+/** Per-task writer: frames rows into the current key's single file,
+  * auditing every field inline (framing guard) and accumulating the
+  * stats the commit publishes. Keys arrive contiguously (required
+  * ordering is key-first) — a key seen twice means the sort contract
+  * broke and the task fails loudly. */
+final class KeyedDataWriter(schema: StructType, key: String, genDir: String,
+    taskId: Long, conf: org.apache.spark.util.SerializableConfiguration)
+    extends DataWriter[InternalRow] {
+
+  private val keyIdx = schema.fieldIndex(key)
+  private val isLong: Array[Boolean] = schema.fields.map(_.dataType == LongType)
+  private val n = schema.length
+  private val dirnameOk = java.util.regex.Pattern.compile("[A-Za-z0-9_.-]+")
+  private val fs = new org.apache.hadoop.fs.Path(genDir).getFileSystem(conf.value)
+
+  private var out: java.io.OutputStream = null
+  private var currentRaw: String = null
+  private val seen = scala.collection.mutable.HashSet.empty[String]
+
+  // per-key audit accumulation (Entry shapes) + table-level sketches
+  private var count = 0L
+  private val minL = new Array[Long](n)
+  private val maxL = new Array[Long](n)
+  private val sums = new Array[Long](n)
+  private val minS = new Array[UTF8String](n)
+  private val maxS = new Array[UTF8String](n)
+  private val sketches = Array.fill(n)(new KmvSketch)
+  private val done = scala.collection.mutable.ArrayBuffer.empty[KeyedKeyStats]
+
+  private def violation(raw: String, what: String): Nothing =
+    throw new IllegalStateException(
+      s"graft-keyed framing violation at key=$raw: $what")
+
+  private def flushKey(): Unit = if (currentRaw != null) {
+    out.close(); out = null
+    val mins = new Array[String](n)
+    val maxs = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      if (isLong(i)) { mins(i) = minL(i).toString; maxs(i) = maxL(i).toString }
+      else { mins(i) = minS(i).toString; maxs(i) = maxS(i).toString }
+      i += 1
+    }
+    done += KeyedKeyStats(currentRaw, count, mins, maxs, sums.clone())
+    currentRaw = null
+  }
+
+  private def openKey(raw: String): Unit = {
+    if (seen.contains(raw)) throw new IllegalStateException(
+      s"graft-keyed write saw key=$raw twice non-contiguously: the " +
+        "key-first sort contract broke; refusing to split a one-file directory")
+    seen += raw
+    currentRaw = raw
+    count = 0L
+    java.util.Arrays.fill(minL, Long.MaxValue)
+    java.util.Arrays.fill(maxL, Long.MinValue)
+    java.util.Arrays.fill(sums, 0L)
+    java.util.Arrays.fill(minS.asInstanceOf[Array[AnyRef]], null)
+    java.util.Arrays.fill(maxS.asInstanceOf[Array[AnyRef]], null)
+    out = new java.io.BufferedOutputStream(fs.create(
+      new org.apache.hadoop.fs.Path(genDir, s"k=$raw/part-$taskId.txt"), true),
+      1 << 16)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    // key first: its raw form names the directory and every violation
+    if (row.isNullAt(keyIdx)) violation("NULL", s"NULL key column '$key'")
+    val raw =
+      if (isLong(keyIdx)) row.getLong(keyIdx).toString
+      else {
+        val u = row.getUTF8String(keyIdx).toString
+        if (!dirnameOk.matcher(u).matches())
+          violation(u, s"STRING key must be a directory name over [A-Za-z0-9_.-], got '$u'")
+        u
+      }
+    if (raw != currentRaw) { flushKey(); openKey(raw) }
+    count += 1
+    var i = 0
+    while (i < n) {
+      if (row.isNullAt(i)) violation(raw, s"NULL field '${schema(i).name}'")
+      if (isLong(i)) {
+        val v = row.getLong(i)
+        if (v < minL(i)) minL(i) = v
+        if (v > maxL(i)) maxL(i) = v
+        // ANSI semantics at stage time, like the old stager's Spark sum
+        sums(i) = Math.addExact(sums(i), v)
+        sketches(i).addLong(v)
+        out.write(java.lang.Long.toString(v)
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      } else {
+        val u = row.getUTF8String(i)
+        val bytes = u.getBytes
+        var b = 0
+        while (b < bytes.length) {
+          val c = bytes(b)
+          if (c == 0x1F || c == 0x1E || c == '\n' || c == '\r')
+            violation(raw, s"frame delimiter byte in field '${schema(i).name}'")
+          b += 1
+        }
+        // UTF8String.clone(): the row's backing buffer is reused by the
+        // iterator — a held reference must own its bytes
+        val owned = u.clone()
+        if (minS(i) == null || owned.compareTo(minS(i)) < 0) minS(i) = owned
+        if (maxS(i) == null || owned.compareTo(maxS(i)) > 0) maxS(i) = owned
+        sketches(i).addBytes(bytes)
+        out.write(bytes)
+      }
+      if (i < n - 1) out.write(0x1F)
+      i += 1
+    }
+    out.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flushKey()
+    KeyedCommitMessage(done.toSeq, sketches.map(_.hashes))
+  }
+
+  override def abort(): Unit = close() // job-level abort deletes the staging dir
+
+  override def close(): Unit = if (out != null) { out.close(); out = null }
+}
+
+/** K-minimum-values distinct sketch (seedless, deterministic — the
+  * repo's x55 estimator, here as a plain accumulator): keep the K
+  * smallest 63-bit hashes; |distinct| ≈ (K−1)/R where R is the Kth
+  * smallest as a fraction of the hash space. Exact below K (the set IS
+  * the distinct hashes). Feeds the sidecar's table-level NDV line —
+  * what CBO's join-cardinality estimation reads off a connector scan. */
+final class KmvSketch {
+  import KmvSketch.K
+  private val set = new java.util.TreeSet[java.lang.Long]()
+
+  private def add(h63: Long): Unit = {
+    set.add(h63)
+    if (set.size > K) set.remove(set.last)
+  }
+  def addLong(v: Long): Unit = add(KmvSketch.mix(v) >>> 1)
+  def addBytes(b: Array[Byte]): Unit = {
+    var h = -3750763034362895579L // FNV-1a 64 offset basis
+    var i = 0
+    while (i < b.length) { h ^= b(i); h *= 1099511628211L; i += 1 }
+    add(KmvSketch.mix(h) >>> 1)
+  }
+  def addHashes(hs: Array[Long]): Unit = hs.foreach(add)
+  def hashes: Array[Long] = {
+    val a = new Array[Long](set.size)
+    val it = set.iterator(); var i = 0
+    while (it.hasNext) { a(i) = it.next(); i += 1 }
+    a
+  }
+  def estimate: Long =
+    if (set.size < K) set.size.toLong
+    else {
+      val kth = set.last.toDouble // 63-bit space
+      math.max(set.size.toLong, ((K - 1).toDouble * 9.223372036854776e18 / kth).toLong)
+    }
+}
+
+object KmvSketch {
+  val K = 256
+  /** splitmix64 finalizer — the standard public-domain bit mixer. */
+  def mix(x0: Long): Long = {
+    var x = x0 + -7046029254386353131L
+    x = (x ^ (x >>> 30)) * -4658895280553007687L
+    x = (x ^ (x >>> 27)) * -7723592293110705685L
+    x ^ (x >>> 31)
+  }
+}

@@ -42,10 +42,11 @@ class KeyedStatsSpec extends SparkSpec {
       .orderBy("kb")
 
   test("stageKeyed writes the sidecar; parsed entries equal a direct computation") {
-    val entries = KeyedStats.read(staged,
+    val sidecar = KeyedStats.read(staged,
       new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf()),
       org.apache.spark.sql.types.StructType.fromDDL(ddl), "kb").get
+    val entries = sidecar.entries
     assert(entries.length == 8)
     val direct = readKeyed().filter(col("kb") === 3L)
       .agg(count(lit(1)), min("n_chars").cast("string"),
@@ -54,6 +55,13 @@ class KeyedStatsSpec extends SparkSpec {
     assert(e3.count == direct.getLong(0))
     assert(e3.mins(3) == direct.getString(1) && e3.maxs(3) == direct.getString(2))
     assert(e3.sums(3) == direct.getLong(3))
+    // the v2 table line: total count exact, per-column NDV exact below
+    // the sketch size (96 rows, 8/96/5/? distincts — all < K)
+    val t = sidecar.table.get
+    assert(t.count == 96L)
+    assert(t.ndvs(0) == 8L, s"kb NDV: ${t.ndvs(0)}")
+    assert(t.ndvs(1) == 96L, s"doc_id NDV: ${t.ndvs(1)}")
+    assert(t.ndvs(2) == 5L, s"source NDV: ${t.ndvs(2)}")
   }
 
   test("grouped count/min/max/sum plans the stats scan: zero data files opened") {
@@ -128,13 +136,17 @@ class KeyedStatsSpec extends SparkSpec {
     val noSidecar = stripSidecar(stage())
     assert(statsScans(grouped(readKeyed(noSidecar))).isEmpty,
       "no sidecar ⇒ no metadata answer, data scan plans")
-    // doctored header (schema drift): refuse, don't guess
+    // doctored header (schema drift): refuse, don't guess — the
+    // doctoring aims at the COMMITTED generation (committedRoot), the
+    // only place the connector's metadata lives since the r15 WAP write
     val doctored = stage()
-    val p = java.nio.file.Path.of(doctored, KeyedStats.SidecarFile)
+    val p = java.nio.file.Path.of(
+      KeyedSource.committedRoot(spark, doctored), KeyedStats.SidecarFile)
     val body = java.nio.file.Files.readString(p)
     java.nio.file.Files.writeString(p,
       body.replaceFirst("kb BIGINT", "kb STRING"))
-    val crc = new java.io.File(doctored, s".${KeyedStats.SidecarFile}.crc")
+    val crc = new java.io.File(KeyedSource.committedRoot(spark, doctored),
+      s".${KeyedStats.SidecarFile}.crc")
     if (crc.exists()) crc.delete()
     assert(statsScans(grouped(readKeyed(doctored))).isEmpty,
       "header/schema mismatch ⇒ sidecar untrusted, data scan plans")
@@ -144,11 +156,13 @@ class KeyedStatsSpec extends SparkSpec {
 
   test("sidecar body corruption fails loudly — this file belongs to the connector") {
     val dir = stage()
-    val p = java.nio.file.Path.of(dir, KeyedStats.SidecarFile)
+    val p = java.nio.file.Path.of(
+      KeyedSource.committedRoot(spark, dir), KeyedStats.SidecarFile)
     val lines = java.nio.file.Files.readString(p).split("\n")
     java.nio.file.Files.writeString(p,
       (lines.head +: lines.tail.map(_.takeWhile(_ != '\u001F'))).mkString("\n"))
-    val crc = new java.io.File(dir, s".${KeyedStats.SidecarFile}.crc")
+    val crc = new java.io.File(KeyedSource.committedRoot(spark, dir),
+      s".${KeyedStats.SidecarFile}.crc")
     if (crc.exists()) crc.delete()
     val e = intercept[Exception] { grouped(readKeyed(dir)).collect() }
     def messages(t: Throwable): Seq[String] =
@@ -188,8 +202,9 @@ class KeyedStatsSpec extends SparkSpec {
     assert(scans.length == 1 && scans.head.scan.description().contains("entries=2"),
       s"string-key pushdown + pruning must ride the sidecar, got ${scans.map(_.scan.description())}")
     val got = q.collect()
-    val f = new java.io.File(dir, KeyedStats.SidecarFile)
-    f.delete(); new java.io.File(dir, s".${KeyedStats.SidecarFile}.crc").delete()
+    val root = KeyedSource.committedRoot(spark, dir)
+    val f = new java.io.File(root, KeyedStats.SidecarFile)
+    f.delete(); new java.io.File(root, s".${KeyedStats.SidecarFile}.crc").delete()
     assert(got.sameElements(read().filter(col("kc").isin("key_1", "key_3"))
       .groupBy("kc").agg(count(lit(1)).as("n"), min("doc_id").as("lo"),
         max("n_chars").as("hi"), sum("n_chars").as("s"), max("kc").as("kmax"))
@@ -197,12 +212,14 @@ class KeyedStatsSpec extends SparkSpec {
     assert(got.length == 2 && got.head.getString(0) == "key_1")
   }
 
-  /** Copy of a staged layout minus its sidecar — the fallback twin. */
+  /** Copy of a staged layout minus its sidecar — the fallback twin.
+    * The sidecar lives in the COMMITTED generation (r15 WAP write). */
   private def stripSidecar(dir: String): String = {
-    val f = new java.io.File(dir, KeyedStats.SidecarFile)
+    val root = KeyedSource.committedRoot(spark, dir)
+    val f = new java.io.File(root, KeyedStats.SidecarFile)
     assert(f.exists(), "fixture must have been staged with a sidecar")
     f.delete()
-    val crc = new java.io.File(dir, s".${KeyedStats.SidecarFile}.crc")
+    val crc = new java.io.File(root, s".${KeyedStats.SidecarFile}.crc")
     if (crc.exists()) crc.delete()
     dir
   }

@@ -37,7 +37,7 @@ class ReportOrderingSpec extends SparkSpec {
     val dir = stage(Seq("doc_id"))
     // file-level truth, no Spark ordering involved: each key file's
     // doc_ids must already be ascending on disk
-    for (kDir <- new java.io.File(dir).listFiles()
+    for (kDir <- new java.io.File(KeyedSource.committedRoot(spark, dir)).listFiles()
         if kDir.isDirectory && kDir.getName.startsWith("k=")) {
       val f = kDir.listFiles().filter(x => x.isFile && !x.getName.startsWith("_")
         && !x.getName.startsWith(".")).head
@@ -69,13 +69,16 @@ class ReportOrderingSpec extends SparkSpec {
 
   test("unordered layouts and restages claim nothing; values never depend on the claim") {
     val plain = stage(Nil)
-    assert(!new java.io.File(plain, KeyedSource.OrderFile).exists())
+    assert(!new java.io.File(KeyedSource.committedRoot(spark, plain),
+      KeyedSource.OrderFile).exists())
     assert(ordering(readKeyed(plain).select("kb", "doc_id")).isEmpty)
     // restage the SAME dir without sortBy: the stale marker must go
     val dir = stage(Seq("doc_id"))
-    assert(new java.io.File(dir, KeyedSource.OrderFile).exists())
+    assert(new java.io.File(KeyedSource.committedRoot(spark, dir),
+      KeyedSource.OrderFile).exists())
     KeyedSource.stageKeyed(spark, df, dir, "kb")
-    assert(!new java.io.File(dir, KeyedSource.OrderFile).exists(),
+    assert(!new java.io.File(KeyedSource.committedRoot(spark, dir),
+      KeyedSource.OrderFile).exists(),
       "a re-stage without sortBy must not leave a false ordering claim")
     assert(ordering(readKeyed(dir).select("kb", "doc_id")).isEmpty)
     // and the data round-trips identically either way

@@ -49,8 +49,8 @@ class ReportStatisticsSpec extends SparkSpec {
     val full = scanOf(readKeyed().select("doc_id", "n_chars"))
       .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
       .estimateStatistics()
-    val kDirs = new java.io.File(keyedDir).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("k="))
+    val kDirs = new java.io.File(KeyedSource.committedRoot(spark, keyedDir))
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("k="))
     assert(full.sizeInBytes.getAsLong == kDirs.map(dirBytes).sum,
       "unpruned size must be the layout's data bytes, sidecar excluded")
     assert(full.numRows.getAsLong == 4096L, "row count comes from the sidecar")
@@ -69,8 +69,9 @@ class ReportStatisticsSpec extends SparkSpec {
     val dir = KeyedSource.stageKeyed(spark,
       rows.take(64).toDF("kb", "doc_id", "source", "n_chars"),
       graft.io.TempDirs.scratch("graft_rstats_nosc_") + "/docs", "kb")
-    new java.io.File(dir, KeyedStats.SidecarFile).delete()
-    new java.io.File(dir, s".${KeyedStats.SidecarFile}.crc").delete()
+    val root = KeyedSource.committedRoot(spark, dir)
+    new java.io.File(root, KeyedStats.SidecarFile).delete()
+    new java.io.File(root, s".${KeyedStats.SidecarFile}.crc").delete()
     val st = scanOf(spark.read.format("graft-keyed").option("path", dir)
         .option("schema", ddl).option("key", "kb").load().select("doc_id"))
       .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
@@ -103,8 +104,8 @@ class ReportStatisticsSpec extends SparkSpec {
     // controlled threshold: above ONE keyed directory (~20 KB), below
     // the parquet side — so the flip is decided by the connector's
     // reported estimate alone
-    val oneDir = dirBytes(new java.io.File(keyedDir).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("k=")).minBy(_.getName))
+    val oneDir = dirBytes(new java.io.File(KeyedSource.committedRoot(spark, keyedDir))
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("k=")).minBy(_.getName))
     val pqBytes = new java.io.File(parquetDir).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.length).sum
     assert(oneDir * 2 < pqBytes,
