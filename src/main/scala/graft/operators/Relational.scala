@@ -1150,7 +1150,58 @@ object Relational {
              |  min(doc_id) AS first_doc
              |FROM documents WHERE n_chars >= 200
              |GROUP BY lang ORDER BY lang""".stripMargin),
-      "transactional connector write: stage through the DSv2 SupportsWrite commit (write-audit-publish), read the committed bytes back under a residual filter")
+      "transactional connector write: stage through the DSv2 SupportsWrite commit (write-audit-publish), read the committed bytes back under a residual filter"),
+
+    // ── CBO join reorder on PURE-CONNECTOR inputs (q61) ───────────────
+    // q56 proves the reorder lever on ANALYZE'd catalog tables; at
+    // 100 TB the tables are CONNECTOR reads and there is no ANALYZE —
+    // the statistics must come from the connector itself (r14 verdict
+    // #4). The v2 stats sidecar now carries total row count and
+    // per-column KMV distinct estimates, and KeyedScan.estimateStatistics
+    // surfaces them as DSv2 column statistics, so
+    // CostBasedJoinReorder's cardinality estimation works on keyed
+    // reads with ZERO catalog involvement. Same deliberately bad
+    // syntactic order as q56 — (docs ⋈ tok) ⋈ σ(dim) materializes the
+    // full fact⋈fact intermediate before the selective dimension
+    // filter touches it; with the connector stats the optimizer joins
+    // σ(kind='focus')(dim) ⋈ docs first (0.25× the intermediate) and
+    // tok last. CboSpec pins the leaf-order flip on pure-connector
+    // leaves; the flags ride the same isolated child session as q56.
+    "q61_cbo_connector_reorder" -> Q(
+      (s, dir) => {
+        val c = cboSession(s)
+        val root = cboKeyedLayouts(c, dir)
+        def rd(sub: String, schema: String, key: String) =
+          c.read.format("graft-keyed").option("path", s"$root/$sub")
+            .option("schema", schema).option("key", key).load()
+        val docs = rd("docs", "source STRING, doc_id BIGINT, n_chars BIGINT", "source")
+        val tok = rd("tok", "kb BIGINT, doc_id BIGINT, n_tokens BIGINT", "kb")
+          .select("doc_id", "n_tokens")
+        val dim = rd("dim", "source STRING, kind STRING", "source")
+        docs.join(tok, "doc_id")
+          .join(dim, "source")
+          .filter(col("kind") === "focus")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("sum_tokens"),
+            sum("n_chars").as("sum_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |dim AS (SELECT DISTINCT source,
+             |  CASE WHEN CAST(substr(source, 4, 10) AS INT) % 7 = 2
+             |       THEN 'focus' ELSE 'regular' END AS kind
+             |  FROM documents)
+             |SELECT d.source, count(*) AS n_docs,
+             |  CAST(sum(t.n_tokens) AS BIGINT) AS sum_tokens,
+             |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+             |FROM documents d JOIN tok t USING (doc_id)
+             |JOIN dim ON d.source = dim.source
+             |WHERE dim.kind = 'focus'
+             |GROUP BY d.source ORDER BY d.source""".stripMargin),
+      "CBO join reorder fed by connector statistics alone: sidecar row counts + KMV column NDVs flip a bad syntactic order on pure DSv2 keyed reads — no ANALYZE, no catalog")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table
@@ -1265,6 +1316,33 @@ object Relational {
           "CASE WHEN kb % 5 = 2 THEN 'focus' ELSE 'regular' END AS kind")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$out/dim")
+      out
+    })
+
+  /** q61's pure-connector layout triple, staged on the CBO child
+    * session (same registry lifecycle as every other layout): the two
+    * fact-sized keyed layouts plus a source dimension whose `kind`
+    * attribute lives only in table data — the selective predicate the
+    * reorder must discover through the connector's reported column
+    * statistics (ndv(kind)=2 → 0.5 selectivity; join on source
+    * ndv=20), never through a literal in the query text. */
+  private[graft] def cboKeyedLayouts(c: SparkSession, dir: String): String =
+    LlmData.tableOnce(bucketMemo, c, dir + "#cbok")({
+      val out = graft.io.TempDirs.scratch("graft_cbok_")
+      val docs = t(c, dir, "documents")
+      graft.sources.KeyedSource.stageKeyed(c,
+        docs.selectExpr("source", "doc_id", "n_chars"),
+        s"$out/docs", "source", sortBy = Seq("doc_id"))
+      graft.sources.KeyedSource.stageKeyed(c,
+        docs.selectExpr("doc_id % 16 AS kb", "doc_id",
+          "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens"),
+        s"$out/tok", "kb", sortBy = Seq("doc_id"))
+      graft.sources.KeyedSource.stageKeyed(c,
+        docs.selectExpr("source").distinct()
+          .selectExpr("source",
+            "CASE WHEN CAST(substr(source, 4, 10) AS INT) % 7 = 2 " +
+              "THEN 'focus' ELSE 'regular' END AS kind"),
+        s"$out/dim", "source")
       out
     })
 

@@ -83,6 +83,74 @@ class CboSpec extends SparkSpec {
     }
   }
 
+  test("q61: connector statistics alone flip the join order on pure DSv2 leaves (r14 #4)") {
+    val cbo = Relational.cboSession(spark)
+    val root = Relational.cboKeyedLayouts(cbo, sf0001)
+    def rd(c: SparkSession, sub: String, schema: String, key: String) =
+      c.read.format("graft-keyed").option("path", s"$root/$sub")
+        .option("schema", schema).option("key", key).load()
+    def joined(c: SparkSession): DataFrame = {
+      val docs = rd(c, "docs", "source STRING, doc_id BIGINT, n_chars BIGINT", "source")
+      val tok = rd(c, "tok", "kb BIGINT, doc_id BIGINT, n_tokens BIGINT", "kb")
+        .select("doc_id", "n_tokens")
+      val dim = rd(c, "dim", "source STRING, kind STRING", "source")
+      docs.join(tok, "doc_id").join(dim, "source")
+        .filter(col("kind") === "focus")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    }
+    // leaf identity by path suffix — all three are connector scans, no
+    // catalog tables anywhere in the plan
+    def order(df: DataFrame): Seq[String] = {
+      val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.forall(_.isInstanceOf[
+        org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation]),
+        s"q61 must plan pure connector leaves, got\n${leaves.mkString("\n")}")
+      leaves.map { l =>
+        val s = l.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation]
+          .scan.description()
+        Seq("docs", "tok", "dim").find(t => s.contains(s"/$t ")
+          || s.contains(s"/$t") && s.contains(s"path=$root/$t")).getOrElse("?")
+      }
+    }
+    // stats-blind (fresh child session, flags off): syntactic order —
+    // the fact⋈fact pair leads, the filtered dim joins last
+    val plain = spark.newSession()
+    plain.conf.set("spark.sql.session.timeZone", "UTC")
+    val off = order(joined(plain))
+    assert(off.take(2).toSet == Set("docs", "tok"),
+      s"stats-blind plan should keep the written fact-first order, got $off")
+    // CBO + connector stats: the selective dim chain joins BEFORE the
+    // second fact — the big tok read is last
+    val on = order(joined(cbo))
+    assert(on.last == "tok",
+      s"connector-stats CBO should join the second fact last, got $on")
+    assert(on != off, s"join order must actually flip: $on vs $off")
+    // values identical either way
+    assert(joined(plain).orderBy("source").collect()
+      .sameElements(joined(cbo).orderBy("source").collect()))
+  }
+
+  test("the connector reports the column statistics the q61 reorder fed on") {
+    val cbo = Relational.cboSession(spark)
+    val root = Relational.cboKeyedLayouts(cbo, sf0001)
+    val dim = cbo.read.format("graft-keyed").option("path", s"$root/dim")
+      .option("schema", "source STRING, kind STRING").option("key", "source").load()
+    val scan = dim.queryExecution.sparkPlan.collectLeaves()
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+      .head.scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+    val st = scan.estimateStatistics()
+    assert(st.numRows.getAsLong == 20L)
+    val cols = st.columnStats()
+    assert(!cols.isEmpty, "v2 sidecar table line must surface as column statistics")
+    import scala.jdk.CollectionConverters._
+    val byName = cols.asScala.map { case (k, v) => k.fieldNames()(0) -> v }.toMap
+    assert(byName("source").distinctCount.getAsLong == 20L, "key NDV is exact")
+    assert(byName("kind").distinctCount.getAsLong == 2L,
+      "kind NDV feeds the focus-filter selectivity")
+    assert(byName("kind").nullCount.getAsLong == 0L)
+  }
+
   test("cbo flags live on the child session only — the parent planner state is untouched") {
     val cbo = Relational.cboSession(spark)
     assert(cbo.conf.get("spark.sql.cbo.enabled") == "true")
