@@ -1201,7 +1201,40 @@ object Relational {
              |JOIN dim ON d.source = dim.source
              |WHERE dim.kind = 'focus'
              |GROUP BY d.source ORDER BY d.source""".stripMargin),
-      "CBO join reorder fed by connector statistics alone: sidecar row counts + KMV column NDVs flip a bad syntactic order on pure DSv2 keyed reads — no ANALYZE, no catalog")
+      "CBO join reorder fed by connector statistics alone: sidecar row counts + KMV column NDVs flip a bad syntactic order on pure DSv2 keyed reads — no ANALYZE, no catalog"),
+
+    // ── Pushed TopN on the keyed layout (q62) ─────────────────────────
+    // The last read-side lever the write-time sort buys
+    // (SupportsPushDownTopN, r14 verdict #6): `ORDER BY kb, doc_id
+    // LIMIT 20` used to plan TakeOrderedAndProject over the FULL scan
+    // — every directory decoded, heaped, merged — even though each
+    // key's file is already stored in exactly that order. Now the
+    // Sort is deleted from the plan entirely: partitions are planned
+    // in key order, each carries the remaining row budget after the
+    // sidecar-counted rows of every earlier directory (directories
+    // past the budget are not planned, let alone read), and the
+    // readers stop decoding mid-payload at their cap — the union of
+    // their outputs IS the top-20. At 100 TB a point-slate query
+    // ("first k rows of the ledger") becomes one partial directory
+    // read instead of a corpus-wide heap. Refusals (DESC, non-prefix
+    // orders, residual filters, unordered or sidecar-less layouts)
+    // keep Spark's own Sort+Limit — KeyedTopNSpec pins every leg and
+    // the exact plan shape.
+    "q62_keyed_topn_pushdown" -> Q(
+      (s, dir) => {
+        val base = keyedLayouts(s, dir)
+        s.read.format("graft-keyed")
+          .option("path", s"$base/docs")
+          .option("schema", "kb BIGINT, doc_id BIGINT, source STRING, n_chars BIGINT")
+          .option("key", "kb").load()
+          .orderBy("kb", "doc_id")
+          .limit(20)
+          .select("kb", "doc_id", "source", "n_chars")
+      },
+      Some("""SELECT doc_id % 16 AS kb, doc_id, source, n_chars
+             |FROM documents
+             |ORDER BY kb, doc_id LIMIT 20""".stripMargin),
+      "pushed TopN: ORDER BY stored-order prefix LIMIT k serves from the sorted per-key files — Sort deleted, budgeted partial read, no TakeOrderedAndProject")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table

@@ -146,7 +146,8 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
     vectorize: Boolean = true, reportStats: Boolean = true)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   import org.apache.spark.sql.sources._
   // SNAPSHOT RESOLUTION: the committed-generation pointer is read ONCE
   // per scan build — every downstream surface (partition listing,
@@ -169,9 +170,61 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
   // set by pushAggregation when the sidecar answers the whole plan
   private var statsPlan: Option[(Boolean, Array[KeyedStats.Stat],
     StructType, Seq[KeyedStats.Entry])] = None
+  // set by pushTopN when the layout's stored order can serve the
+  // requested one (FULL pushdown — the scan returns at most N rows
+  // whose union IS the global top-N, so Spark deletes the Sort)
+  private var topN: Int = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** TopN pushdown (r14 verdict #6): `ORDER BY <stored prefix> LIMIT k`
+    * used to heap the FULL scan through TakeOrderedAndProject; the
+    * write-time sort (order marker) makes the files already the
+    * answer. Accepted — fully, so the Sort disappears from the plan —
+    * when EVERY condition holds:
+    *
+    *  - all orders are ASCENDING single-column references forming a
+    *    PREFIX of the stored order (key, sortBy…) — or of sortBy alone
+    *    when the pushed key filters pruned to a SINGLE directory (the
+    *    key is constant there). Null ordering is irrelevant: the
+    *    framing guard admits no NULLs into a layout.
+    *  - no residual filter survives (it would have to apply BEFORE the
+    *    top-N; the scan cannot) and no aggregate was pushed.
+    *  - the stats sidecar is present: its per-key counts are what turn
+    *    the per-partition caps into a ≤N TOTAL — partitions are
+    *    planned in key order and each gets the REMAINING budget after
+    *    the counted rows of every earlier directory, so the union of
+    *    reader outputs is exactly the global top-N however Spark's
+    *    final Limit collects it. No sidecar ⇒ refuse (a per-partition
+    *    cap alone could hand Spark 16·N candidates with the Sort
+    *    already deleted — wrong rows, not just wasted work).
+    *
+    * Everything else refuses and Spark keeps its own Sort+Limit. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (sawUnconsumed || statsPlan.isDefined || orders.isEmpty) return false
+    if (KeyedStats.read(root, conf, full, key).isEmpty) return false
+    val marker = KeyedSource.readOrderMarker(root, conf, full, key)
+    if (marker.isEmpty) return false
+    val names = orders.toSeq.map { o =>
+      o.expression() match {
+        case r: NamedReference if r.fieldNames.length == 1 &&
+            o.direction() == SortDirection.ASCENDING => Some(r.fieldNames()(0))
+        case _ => None
+      }
+    }
+    if (names.exists(_.isEmpty)) return false
+    val asked = names.flatten
+    val stored = key +: marker.get
+    val okGlobal = asked == stored.take(asked.length)
+    val okSingleDir = keyValues.exists(_.size == 1) &&
+      asked == marker.get.take(asked.length)
+    if (okGlobal || okSingleDir) { topN = limit; true } else false
+  }
+  override def isPartiallyPushed(): Boolean = false
 
   /** Key literal → the exact runtime type partition planning derives
     * from the `k=<v>` directory name, so set membership is comparable.
@@ -285,7 +338,7 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
         groupByKey, stats, surviving)
     case None =>
       new KeyedScan(full, required, root, key, conf, keyValues, vectorize,
-        reportStats)
+        reportStats, topN)
   }
 }
 
@@ -314,7 +367,7 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
 final class KeyedScan(full: StructType, required: StructType, path: String,
     key: String, conf: org.apache.spark.util.SerializableConfiguration,
     keyValues: Option[Set[Any]] = None, vectorize: Boolean = true,
-    reportStats: Boolean = true)
+    reportStats: Boolean = true, topN: Int = -1)
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -450,6 +503,7 @@ final class KeyedScan(full: StructType, required: StructType, path: String,
     s"GraftKeyed path=$path key=$key pruned=${required.fieldNames.mkString(",")}" +
       keyValues.fold("")(s =>
         s" keys=[${s.toSeq.map(_.toString).sorted.mkString(",")}]") +
+      (if (topN >= 0) s" topN=$topN" else "") +
       (if (vectorize) "" else " rowdecode")
 
   // runtime key set (EXECUTION-time DPP), intersected with the static
@@ -538,19 +592,61 @@ final class KeyedScan(full: StructType, required: StructType, path: String,
       .toArray[InputPartition]
   }
 
-  override def planInputPartitions(): Array[InputPartition] = partitions
+  /** Pushed-TopN planning: surviving directories in TYPED key order
+    * (numeric for BIGINT — "k=10" sorts after "k=2" — byte order for
+    * the ASCII dirname charset), each carrying the REMAINING row
+    * budget after the sidecar-counted rows of every earlier directory;
+    * directories past the budget aren't planned at all. The union of
+    * the readers' outputs is then EXACTLY the global top-N — at most N
+    * rows total — which is what licenses the full pushdown
+    * (KeyedScanBuilder.pushTopN scaladoc). The sidecar was verified
+    * present at push time; an entry missing for a LISTED directory is
+    * corruption of connector-owned metadata and fails loudly. */
+  private def topNPartitions(base: Array[InputPartition]): Array[InputPartition] = {
+    val counts = KeyedStats.read(path, conf, full, key)
+      .fold(Map.empty[String, Long])(_.entries.map(e => e.rawKey -> e.count).toMap)
+    val keyField = full(full.fieldIndex(key))
+    val sorted = base.map(_.asInstanceOf[KeyedPartition]).sortBy { kp =>
+      kp.keyValue match {
+        case l: java.lang.Long => (l.longValue, "")
+        case u: UTF8String => (0L, u.toString)
+        case other => (0L, other.toString)
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var remaining = topN.toLong
+    sorted.foreach { kp =>
+      if (remaining > 0) {
+        val raw = keyField.dataType match {
+          case LongType => kp.keyValue.asInstanceOf[java.lang.Long].toString
+          case _ => kp.keyValue.toString
+        }
+        val n = counts.getOrElse(raw, throw new IllegalStateException(
+          s"graft-keyed stats sidecar at $path has no entry for key=$raw " +
+            "but the directory exists — layout/metadata desync, refusing the TopN plan"))
+        out += kp.copy(limit = math.min(remaining, Int.MaxValue.toLong).toInt)
+        remaining -= n
+      }
+    }
+    out.toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (topN >= 0) topNPartitions(partitions) else partitions
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
-      Array(Expressions.identity(key)), partitions.length)
+      Array(Expressions.identity(key)), planInputPartitions().length)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new KeyedReaderFactory(full, required, conf, vectorize)
 }
 
 /** Serializable key-directory partition; `partitionKey` is the stored
-  * key VALUE — what Spark aligns the two join sides by. */
-final case class KeyedPartition(pageDir: String, keyValue: Any)
+  * key VALUE — what Spark aligns the two join sides by. `limit` caps
+  * the reader's decode (pushed TopN budget; -1 = unlimited). */
+final case class KeyedPartition(pageDir: String, keyValue: Any,
+    limit: Int = -1)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -563,14 +659,19 @@ final class KeyedReaderFactory(full: StructType, required: StructType,
     extends PartitionReaderFactory {
   // decode IS the page decode — the connectors share the US-framed
   // line format on both paths: PageReader (row) and PageColumnarReader
-  // (byte-level batch decode, the default — VectorizedFrame scaladoc)
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PageReader(partition.asInstanceOf[KeyedPartition].pageDir, full, required, conf)
+  // (byte-level batch decode, the default — VectorizedFrame scaladoc);
+  // the partition's limit (pushed TopN budget) stops the decode
+  // mid-payload exactly like the pages connector's pushed LIMIT
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val kp = partition.asInstanceOf[KeyedPartition]
+    new PageReader(kp.pageDir, full, required, conf, kp.limit)
+  }
   override def supportColumnarReads(partition: InputPartition): Boolean = vectorize
   override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new PageColumnarReader(partition.asInstanceOf[KeyedPartition].pageDir,
-      full, required, conf)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val kp = partition.asInstanceOf[KeyedPartition]
+    new PageColumnarReader(kp.pageDir, full, required, conf, kp.limit)
+  }
 }
 
 object KeyedSource {
