@@ -213,19 +213,25 @@ final class PageScan(full: StructType, required: StructType, path: String,
     * auto-broadcast where the full endpoint cannot. Row count is
     * honestly absent: the pages layout keeps no row-level manifest
     * (the keyed layout's sidecar does — KeyedScan reports both).
-    * `reportStats=false` restores Spark's defaultSizeInBytes. */
+    * `reportStats=false` restores Spark's defaultSizeInBytes.
+    * Computed ONCE per scan (lazy val — r14 ADVICE: Catalyst may
+    * request statistics several times per plan, and the listing plus
+    * one getContentSummary RPC per surviving page is driver-side
+    * metadata I/O; the page range is fixed at build time, so unlike
+    * the keyed scan there is no runtime-filter key to memoize on). */
+  private lazy val estimatedBytes: java.util.OptionalLong =
+    if (!reportStats) java.util.OptionalLong.empty()
+    else {
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
+      java.util.OptionalLong.of(
+        PageSource.planPages(path, conf, lo, hi).map(p =>
+          fs.getContentSummary(new org.apache.hadoop.fs.Path(
+            p.asInstanceOf[PagePartition].pageDir)).getLength).sum)
+    }
+
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private val bytes: java.util.OptionalLong =
-        if (!reportStats) java.util.OptionalLong.empty()
-        else {
-          val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
-          java.util.OptionalLong.of(
-            PageSource.planPages(path, conf, lo, hi).map(p =>
-              fs.getContentSummary(new org.apache.hadoop.fs.Path(
-                p.asInstanceOf[PagePartition].pageDir)).getLength).sum)
-        }
-      override def sizeInBytes(): java.util.OptionalLong = bytes
+      override def sizeInBytes(): java.util.OptionalLong = estimatedBytes
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
     }
   override def readSchema(): StructType = required
