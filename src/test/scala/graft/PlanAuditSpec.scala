@@ -445,6 +445,35 @@ class PlanAuditSpec extends SparkSpec {
       s"write-time order must delete the SMJ's per-partition sorts:\n${p.take(2000)}")
   }
 
+  test("q62: TopN is fully pushed in the REGISTERED plan — Sort deleted, budget in the scan") {
+    // KeyedTopNSpec pins the mechanism on its own layouts; this leg
+    // pins the registered query's exact shape (the Project sits ABOVE
+    // the Limit there — the pushdown must still fire through it)
+    val p = plan("q62_keyed_topn_pushdown")
+    assert(p.contains("topN=20"),
+      s"the scan must carry the pushed TopN:\n${p.take(2000)}")
+    assert(!p.contains("TakeOrderedAndProject") && !p.contains("- Sort ["),
+      s"ORDER BY stored-prefix LIMIT k must delete every sort operator:\n${p.take(2000)}")
+    // budget planning: directories are planned in key order only until
+    // the sidecar-counted rows cover the limit — derive the expected
+    // count from the corpus itself so the leg holds at any SF
+    val perKey = graft.sources.Tables.load(spark, sf0001, "documents")
+      .selectExpr("doc_id % 16 AS kb").groupBy("kb").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = {
+      var remaining = 20L
+      var n = 0
+      (0L until 16L).foreach { k =>
+        if (remaining > 0 && perKey.contains(k)) { n += 1; remaining -= perKey(k) }
+      }
+      n
+    }
+    val parts = SparkEntry.queries("q62_keyed_topn_pushdown")(spark, sf0001)
+      .rdd.getNumPartitions
+    assert(parts == expected && expected < 16,
+      s"the sidecar budget must plan $expected of 16 directories, got $parts")
+  }
+
   test("x106: label predicate is pushed to the scan and the cut is a heap") {
     // filtered ANN's whole contract: pre-filter reaches the parquet
     // scan (row-group pruning before any dot product at 100 TB) and
