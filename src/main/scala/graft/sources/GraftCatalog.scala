@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Minimal [[TableCatalog]] for `graft-keyed` layouts — the SIXTH
+  * Catalyst extension surface in the repo (after native expressions,
+  * the optimizer rule, registered kernels, the DSv2 connectors, and
+  * SparkSessionExtensions wiring) and the one that opens the SQL DDL /
+  * DML door Spark reserves for catalog tables:
+  *
+  *  - `CREATE TABLE cat.t (…) USING graft-keyed LOCATION '<path>'
+  *    TBLPROPERTIES('key'='kb' [, 'sortBy'='doc_id', 'retain'='2'])`
+  *    registers an EXTERNAL table over a staged layout (or a path the
+  *    first `INSERT OVERWRITE` will commit). `DROP TABLE` forgets the
+  *    mapping and leaves the layout bytes untouched — external-table
+  *    semantics, like dropping an Iceberg table without purge.
+  *  - `SELECT … FROM cat.t` plans the ordinary [[KeyedScan]] with
+  *    every pushdown surface intact;
+  *    `SELECT … FROM cat.t VERSION AS OF <seq>` pins a retained
+  *    snapshot ([[loadTable(ident, version)]] — the time-travel door
+  *    `spark.read.option("asOf", …)` opens on the path-based route).
+  *  - `INSERT OVERWRITE cat.t SELECT …` runs the write-audit-publish
+  *    commit ([[KeyedWriteBuilder]]); a bare `INSERT INTO` is refused
+  *    at plan time (overwrite-by-generation is the write contract).
+  *  - `DELETE FROM cat.t WHERE kb IN (…)` is the metadata-grain
+  *    tombstone delete ([[KeyedTable.deleteWhere]]) — Spark routes it
+  *    here because DSv2 DELETE exists only for catalog tables.
+  *
+  * Table METADATA lives in a per-catalog-instance map (one instance
+  * per session's CatalogManager): registrations are session-scoped,
+  * deliberately — the durable truth about a layout is the layout
+  * itself (commit log, sidecar, order marker, all under its path); a
+  * metastore-backed implementation would persist exactly the `Spec`
+  * quadruple and nothing else. Schema/key validation happens at
+  * registration ([[KeyedTable]]'s own requires), so a bad CREATE fails
+  * at DDL time, not first read.
+  *
+  * Register per session:
+  * `spark.conf.set("spark.sql.catalog.<name>", classOf[GraftCatalog].getName)`.
+  */
+final class GraftCatalog extends TableCatalog {
+
+  private case class Spec(schema: StructType, path: String, key: String,
+      sortBy: Seq[String], retain: Int)
+
+  private val tables =
+    scala.collection.concurrent.TrieMap.empty[Identifier, Spec]
+
+  private var catalogName: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    tables.keys.filter(_.namespace.sameElements(namespace)).toArray
+
+  private def nameParts(ident: Identifier): Seq[String] =
+    (catalogName +: ident.namespace.toSeq) :+ ident.name
+
+  private def spec(ident: Identifier): Spec =
+    tables.getOrElse(ident, throw new NoSuchTableException(nameParts(ident)))
+
+  override def loadTable(ident: Identifier): Table = {
+    val s = spec(ident)
+    new KeyedTable(s.schema, s.path, s.key, s.sortBy, s.retain)
+  }
+
+  /** `VERSION AS OF <seq>` — the catalog door to snapshot time travel.
+    * Versions are the commit log's monotone sequence numbers
+    * ([[KeyedSource.Snapshot.seq]]); an expired or unknown seq fails
+    * at scan build with the retained window in the message. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val s = spec(ident)
+    val seq = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft-keyed versions are snapshot sequence numbers, got '$version'")
+    }
+    new KeyedTable(s.schema, s.path, s.key, s.sortBy, s.retain, asOf = Some(seq))
+  }
+
+  /** `TIMESTAMP AS OF` has no meaning here: snapshots carry sequence
+    * numbers, not wall-clock stamps (deterministic replay is the whole
+    * point of the log). Refuse with the remediation. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft-keyed snapshots are sequence-numbered; use VERSION AS OF <seq>")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    // OPTIONS(...) arrive "option."-prefixed, TBLPROPERTIES plain —
+    // accept either spelling for the layout triple
+    def prop(k: String): Option[String] =
+      Option(properties.get(k))
+        .orElse(Option(properties.get(TableCatalog.OPTION_PREFIX + k)))
+    require(partitions.isEmpty,
+      "graft-keyed layouts are keyed by the 'key' table property, not " +
+        "PARTITIONED BY transforms")
+    val path = prop(TableCatalog.PROP_LOCATION).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-keyed catalog tables require LOCATION '<layout path>'"))
+    val key = prop("key").getOrElse(throw new IllegalArgumentException(
+      "graft-keyed catalog tables require TBLPROPERTIES('key'='<column>')"))
+    val sortBy = prop("sortBy").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val retain = prop("retain").map(_.toInt).getOrElse(1)
+    schema.fields.foreach(f => require(
+      f.dataType == LongType || f.dataType == StringType,
+      s"graft-keyed supports BIGINT and STRING fields, got ${f.name}: ${f.dataType}"))
+    val s = Spec(schema, path, key, sortBy, retain)
+    // KeyedTable's constructor requires validate key∈schema etc. — a
+    // bad CREATE fails HERE, at DDL time
+    val t = new KeyedTable(schema, path, key, sortBy, retain)
+    if (tables.putIfAbsent(ident, s).isDefined)
+      throw new TableAlreadyExistsException(nameParts(ident))
+    t
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-keyed catalog tables are immutable specs; DROP and re-CREATE")
+
+  /** External-table semantics: forget the mapping, leave the layout
+    * bytes (commit log included) untouched. */
+  override def dropTable(ident: Identifier): Boolean =
+    tables.remove(ident).isDefined
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft-keyed catalog tables cannot be renamed; DROP and re-CREATE")
+}

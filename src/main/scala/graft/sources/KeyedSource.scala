@@ -73,7 +73,9 @@ class KeyedSourceProvider extends TableProvider with DataSourceRegister {
       Option(properties.get("key")).getOrElse(throw new IllegalArgumentException(
         "graft-keyed requires option 'key' (the layout's key column)")),
       Option(properties.get("sortBy")).toSeq
-        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+      retain = Option(properties.get("retain")).map(_.toInt).getOrElse(1),
+      asOf = Option(properties.get("asOf")).map(_.toLong))
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -110,13 +112,16 @@ class KeyedSourceProvider extends TableProvider with DataSourceRegister {
   * fails at analysis with Spark's unsupported-streaming error, not
   * deep in an executor. */
 final class KeyedTable(declared: StructType, path: String, key: String,
-    sortBy: Seq[String] = Nil)
+    sortBy: Seq[String] = Nil, retain: Int = 1, asOf: Option[Long] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(path != null, "graft-keyed requires option 'path' (the staged key directory)")
   require(declared.fieldNames.contains(key),
     s"key column '$key' must be part of the declared schema ${declared.simpleString}")
-  override def name(): String = s"graft-keyed:$path"
+  require(retain >= 1, s"graft-keyed retain must be >= 1, got $retain")
+  override def name(): String =
+    s"graft-keyed:$path" + asOf.fold("")(s => s"@$s")
   override def schema(): StructType = declared
   // TRUNCATE alongside BATCH_WRITE: the write contract IS
   // overwrite-by-generation (KeyedWriteBuilder scaladoc) — Spark maps
@@ -134,27 +139,135 @@ final class KeyedTable(declared: StructType, path: String, key: String,
       options.getBoolean("vectorize", true),
       // pruning-aware size/row statistics reported to the planner
       // (KeyedScan.estimateStatistics); false = the A/B escape hatch
-      options.getBoolean("reportStats", true))
+      options.getBoolean("reportStats", true),
+      // snapshot pin: scan option first (DataFrameReader path), table
+      // pin second (catalog VERSION AS OF — GraftCatalog.loadTable)
+      asOf = Option(options.get("asOf")).map(_.toLong).orElse(asOf))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
-    new KeyedWriteBuilder(declared, path, key, sortBy, info)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (asOf.isDefined) throw new UnsupportedOperationException(
+      s"graft-keyed cannot write through a snapshot pin (asOf=${asOf.get}): " +
+        "historical snapshots are immutable; write to the table head")
+    new KeyedWriteBuilder(declared, path, key, sortBy, retain, info)
+  }
+
+  // ── Metadata-grain DELETE (snapshot-log tombstones) ────────────────
+  //
+  // `DELETE FROM t WHERE key IN (…)` at the layout's exact directory
+  // grain: ONE new snapshot naming the SAME generation with the doomed
+  // keys added to its tombstone set — zero data bytes moved, zero
+  // files rewritten, one atomic log swap (the Iceberg/Delta
+  // partition-grain metadata delete; at 100 TB a source retraction or
+  // opt-out purge is a metadata write, not a corpus rewrite). Readers
+  // prune tombstoned directories exactly like pushed key filters, so
+  // every read surface — row scan, SPJ, metadata aggregates,
+  // statistics, TopN budgets — sees the deletion consistently
+  // (KeyedScanBuilder's snapshot resolution). Retained older snapshots
+  // still SEE the deleted keys until they expire — deletion is a new
+  // version, not history rewrite — which is what keeps time travel
+  // reproducible and makes the purge auditable.
+  //
+  // Only key-grain predicates are accepted (EqualTo/In on the key,
+  // plus the tautological IsNotNull — the framing guard admits no
+  // NULL keys — and AlwaysTrue = delete-all/truncate). Anything else
+  // (non-key columns, ranges) is refused via canDeleteWhere and Spark
+  // raises its own cannot-delete analysis error: a row-grain delete
+  // would need a data rewrite this connector deliberately does not do.
+
+  import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, Filter, In, IsNotNull}
+
+  private def rawKeyOf(v: Any): Option[String] = declared(key).dataType match {
+    case LongType => v match {
+      case n: Number => Some(n.longValue.toString); case _ => None }
+    case StringType => v match {
+      case s: String => Some(s)
+      case u: UTF8String => Some(u.toString)
+      case _ => None }
+    case _ => None
+  }
+
+  /** None = not consumable at key grain; Some(None) = consumable,
+    * unconstrained (delete every key); Some(Some(s)) = the ANDed raw
+    * key set. */
+  private def tombstoneSet(filters: Array[Filter]): Option[Option[Set[String]]] = {
+    var acc: Option[Set[String]] = None
+    val ok = filters.forall {
+      case _: AlwaysTrue => true
+      case IsNotNull(a) if a == key => true
+      case EqualTo(a, v) if a == key => rawKeyOf(v) match {
+        case Some(r) => acc = Some(acc.fold(Set(r))(_ intersect Set(r))); true
+        case None => false
+      }
+      case In(a, vs) if a == key && vs != null =>
+        val rs = vs.filter(_ != null).map(rawKeyOf)
+        if (rs.forall(_.isDefined)) {
+          val s = rs.flatten.toSet
+          acc = Some(acc.fold(s)(_ intersect s)); true
+        } else false
+      case _ => false
+    }
+    if (ok) Some(acc) else None
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOf.isEmpty && tombstoneSet(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    if (asOf.isDefined) throw new UnsupportedOperationException(
+      s"graft-keyed cannot delete through a snapshot pin (asOf=${asOf.get})")
+    val hconf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    val log = KeyedSource.readCommitLog(path, hconf).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft-keyed DELETE is metadata-grain (snapshot-log tombstones) and " +
+          s"requires a generation-committed layout, but $path has no commit " +
+          "log (legacy flat stage) — restage through the connector writer first"))
+    val head = log.head
+    val doomed: Set[String] = tombstoneSet(filters)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-keyed can only delete at key grain, got " +
+          filters.mkString(" AND ")))
+      .getOrElse {
+        // unconstrained (DELETE FROM t / TRUNCATE): every key the head
+        // generation stores — still metadata-only
+        val gen = new org.apache.hadoop.fs.Path(path, head.gen)
+        val fs = gen.getFileSystem(hconf)
+        fs.listStatus(gen).toSeq.collect {
+          case s if s.isDirectory && s.getPath.getName.startsWith("k=") =>
+            s.getPath.getName.stripPrefix("k=")
+        }.toSet
+      }
+    val fresh = doomed -- head.tombstones
+    // idempotent no-op: re-deleting already-dead keys burns no
+    // snapshot (and cannot expire live history out of the window)
+    if (fresh.isEmpty) return
+    val snap = KeyedSource.Snapshot(head.seq + 1, head.gen,
+      head.tombstones ++ fresh)
+    val snapshots = (log.snapshots :+ snap).takeRight(math.max(log.retain, 1))
+    KeyedSource.publishLog(path, KeyedSource.CommitLog(log.retain, snapshots), hconf)
+    KeyedSource.expireGenerations(path, snapshots.map(_.gen).toSet, hconf)
+  }
 }
 
 final class KeyedScanBuilder(full: StructType, path: String, key: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    vectorize: Boolean = true, reportStats: Boolean = true)
+    vectorize: Boolean = true, reportStats: Boolean = true,
+    asOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   import org.apache.spark.sql.sources._
-  // SNAPSHOT RESOLUTION: the committed-generation pointer is read ONCE
-  // per scan build — every downstream surface (partition listing,
-  // sidecar, order marker, statistics) then binds to that generation,
-  // so a commit racing this query swaps the pointer without tearing
-  // the plan (readers of the next query resolve the new generation)
-  private val root = KeyedSource.effectiveRoot(path, conf.value)
+  // SNAPSHOT RESOLUTION: the commit log is read ONCE per scan build —
+  // every downstream surface (partition listing, sidecar, order
+  // marker, statistics) then binds to that snapshot's generation AND
+  // tombstone set, so a commit racing this query swaps the log without
+  // tearing the plan (readers of the next query resolve the new head).
+  // `asOf` pins a retained historical snapshot instead of the head
+  // (time travel); an expired seq fails loudly here, at plan time.
+  private val (root, tombstones) =
+    KeyedSource.resolveSnapshot(path, conf.value, asOf)
   private var required: StructType = full
   // None = no key predicate pushed (all directories); Some(s) = only
   // directories whose key value ∈ s are planned. Distinct from
@@ -326,10 +439,13 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
     case Some((groupByKey, stats, schema, entries)) =>
       // CONSUMED key filters prune sidecar entries with the same
       // normalize-to-directory-name comparison partition planning
-      // uses — the sidecar is the directory listing's metadata twin
+      // uses — the sidecar is the directory listing's metadata twin.
+      // Tombstoned keys (snapshot-log deletes) prune FIRST: a deleted
+      // directory must not answer from metadata any more than from data
       val keyField = full(full.fieldIndex(key))
-      val surviving = keyValues.fold(entries) { set =>
-        entries.filter(e => keyField.dataType match {
+      val visible = entries.filterNot(e => tombstones.contains(e.rawKey))
+      val surviving = keyValues.fold(visible) { set =>
+        visible.filter(e => keyField.dataType match {
           case LongType => set.contains(e.rawKey.toLong)
           case _ => set.contains(e.rawKey)
         })
@@ -338,7 +454,7 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
         groupByKey, stats, surviving)
     case None =>
       new KeyedScan(full, required, root, key, conf, keyValues, vectorize,
-        reportStats, topN)
+        reportStats, topN, tombstones)
   }
 }
 
@@ -367,7 +483,8 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
 final class KeyedScan(full: StructType, required: StructType, path: String,
     key: String, conf: org.apache.spark.util.SerializableConfiguration,
     keyValues: Option[Set[Any]] = None, vectorize: Boolean = true,
-    reportStats: Boolean = true, topN: Int = -1)
+    reportStats: Boolean = true, topN: Int = -1,
+    tombstones: Set[String] = Set.empty)
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -450,8 +567,9 @@ final class KeyedScan(full: StructType, required: StructType, path: String,
     val keyField = full(full.fieldIndex(key))
     val sidecar = KeyedStats.read(path, conf, full, key)
     val surviving = sidecar.map { sc =>
-      pruned.fold(sc.entries) { set =>
-        sc.entries.filter(e => keyField.dataType match {
+      val visible = sc.entries.filterNot(e => tombstones.contains(e.rawKey))
+      pruned.fold(visible) { set =>
+        visible.filter(e => keyField.dataType match {
           case LongType => set.contains(e.rawKey.toLong)
           case _ => set.contains(e.rawKey)
         })
@@ -504,6 +622,7 @@ final class KeyedScan(full: StructType, required: StructType, path: String,
       keyValues.fold("")(s =>
         s" keys=[${s.toSeq.map(_.toString).sorted.mkString(",")}]") +
       (if (topN >= 0) s" topN=$topN" else "") +
+      (if (tombstones.nonEmpty) s" tombstones=${tombstones.size}" else "") +
       (if (vectorize) "" else " rowdecode")
 
   // runtime key set (EXECUTION-time DPP), intersected with the static
@@ -565,6 +684,9 @@ final class KeyedScan(full: StructType, required: StructType, path: String,
     val fs = p.getFileSystem(conf.value)
     fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("k="))
+      // snapshot tombstones prune first (metadata-grain deletes are
+      // invisible at this snapshot, whatever filters the query pushed)
+      .filterNot(s => tombstones.contains(s.getPath.getName.stripPrefix("k=")))
       // key pruning happens HERE, on the raw directory name (the same
       // string the stager wrote), BEFORE the UTF8String conversion —
       // the directory listing is the predicate index, for static
@@ -704,45 +826,128 @@ object KeyedSource {
     * amortized, and like the shuffle it only needs paying once, at
     * layout-write time. Empty `sortBy` (the default) commits a
     * generation with no marker, so a re-stage can never leave a stale
-    * ordering claim behind. */
+    * ordering claim behind.
+    *
+    * `retain` sizes the snapshot window (commit-log scaladoc): 1 — the
+    * default — deletes the superseded generation inside the commit
+    * (the pre-snapshot-log behavior, no extra storage); N keeps the
+    * last N snapshots readable via `asOf`/`VERSION AS OF` until they
+    * expire out of the window. */
   def stageKeyed(spark: SparkSession, df: DataFrame, out: String,
-      key: String, sortBy: Seq[String] = Nil): String = {
+      key: String, sortBy: Seq[String] = Nil, retain: Int = 1): String = {
     val cols = df.schema.fieldNames.toSeq
     require(cols.contains(key), s"key '$key' not in ${cols.mkString(",")}")
     require(sortBy.forall(c => cols.contains(c) && c != key),
       s"sortBy must name non-key layout columns, got ${sortBy.mkString(",")}")
+    require(retain >= 1, s"retain must be >= 1, got $retain")
     df.write.format("graft-keyed")
       .option("schema", df.schema.toDDL) // the provider infers nothing
       .option("key", key)
       .option("sortBy", sortBy.mkString(","))
+      .option("retain", retain.toString)
       .mode("overwrite")
       .save(out)
     out
   }
 
-  // ── Committed-generation pointer (the publish half of WAP) ─────────
+  // ── Committed-snapshot log (the publish half of WAP) ───────────────
+  //
+  // r15.2: the single committed-generation pointer grew into a SNAPSHOT
+  // LOG — still ONE file, still published by ONE atomic rename (the
+  // whole visibility transition; there is no multi-file ordering to
+  // tear) — so the connector gains the three snapshot surfaces the
+  // immediate-delete simplification used to forgo (the Iceberg snapshot
+  // model: a table is a log of immutable snapshots, readers pin one):
+  //
+  //  * TIME TRAVEL: read option `asOf = <seq>` (or catalog
+  //    `VERSION AS OF <seq>`, [[GraftCatalog.loadTable]]) resolves a
+  //    RETAINED snapshot instead of the head — a reproducible training
+  //    run pins the exact corpus generation it consumed, and an audit
+  //    reads yesterday's layout while today's is already live.
+  //  * METADATA-GRAIN DELETE: `DELETE FROM t WHERE key IN (…)` commits
+  //    a new snapshot naming the SAME generation plus TOMBSTONES — at
+  //    100 TB a retraction (opted-out source, contaminated shard) is
+  //    one metadata write, zero data bytes moved; readers prune
+  //    tombstoned directories exactly like pushed key filters
+  //    ([[KeyedTable.deleteWhere]]).
+  //  * RETENTION/EXPIRY: write option `retain = N` keeps the last N
+  //    snapshots; a commit trims the window and deletes generation
+  //    directories no retained snapshot references (Iceberg's
+  //    expire-snapshots, folded into the commit). retain=1 — the
+  //    default — IS the old immediate-delete behavior, so layouts that
+  //    never asked for history pay no extra storage.
+  //
+  // Each snapshot line is `seq<US>gen<US>tombCsv`: seq a monotone
+  // commit number (the time-travel handle), gen the generation
+  // directory holding the data + its sidecar/order marker, tombstones
+  // the raw key dirnames deleted from view. Delete commits share the
+  // generation directory — history of a 10-key purge costs bytes of
+  // metadata, not a second copy of the corpus.
 
-  /** Pointer file naming the live generation directory. Present ⇒ the
-    * layout is generation-committed and readers resolve through it;
-    * absent ⇒ legacy flat layout (pre-r15 stages), read as-is. */
+  /** Commit-log file: retained snapshots, oldest→newest, head last.
+    * Present ⇒ the layout is generation-committed and readers resolve
+    * through it; absent ⇒ legacy flat layout, read as-is. */
   val CommitFile = "_graft_keyed_commit"
-  private val CommitVersion = "graft-keyed-commit v1"
+  private val CommitVersionV1 = "graft-keyed-commit v1"
+  private val CommitVersion = "graft-keyed-commit v2"
+
+  /** One committed snapshot: monotone sequence number, the generation
+    * directory it reads from, and the keys tombstoned out of view
+    * (raw `k=<v>` dirnames — the same strings the listing prunes by). */
+  final case class Snapshot(seq: Long, gen: String, tombstones: Set[String])
+
+  /** The retained snapshot window plus the retention width that
+    * produced it (delete commits inherit `retain` from here — they
+    * carry no write options of their own). */
+  final case class CommitLog(retain: Int, snapshots: Seq[Snapshot]) {
+    require(snapshots.nonEmpty, "commit log must retain at least one snapshot")
+    def head: Snapshot = snapshots.last
+  }
 
   /** Crash-window test hook (KeyedWriteSpec): when set, a commit does
     * every write EXCEPT the pointer swap, then throws — simulating a
     * failure between audit and publish. */
   @volatile private[graft] var failBeforePublish = false
 
-  /** Resolve the root readers should list: the committed generation
-    * when a pointer exists, the path itself otherwise. A present but
-    * unparseable pointer fails loudly — that is corruption of a file
-    * this connector owns, not a foreign layout. */
+  /** Resolve the root readers should list (head snapshot): the
+    * committed generation when a log exists, the path itself otherwise.
+    * Sidecar/order-marker reads resolve through this, so handing them
+    * an already-resolved generation directory is idempotent. */
   private[graft] def effectiveRoot(path: String,
       hconf: org.apache.hadoop.conf.Configuration): String =
-    readCommitPointer(path, hconf) match {
-      case Some(gen) =>
-        new org.apache.hadoop.fs.Path(path, gen).toString
+    readCommitLog(path, hconf) match {
+      case Some(log) =>
+        new org.apache.hadoop.fs.Path(path, log.head.gen).toString
       case None => path
+    }
+
+  /** Resolve one snapshot for a scan: `(generation root, tombstones)`.
+    * `asOf = None` reads the head; `asOf = Some(seq)` reads a RETAINED
+    * snapshot and fails loudly when the seq expired out of the
+    * retention window (or never existed) — a silently-substituted
+    * newer snapshot would break exactly the reproducibility time
+    * travel exists for. */
+  private[graft] def resolveSnapshot(path: String,
+      hconf: org.apache.hadoop.conf.Configuration,
+      asOf: Option[Long]): (String, Set[String]) =
+    readCommitLog(path, hconf) match {
+      case Some(log) =>
+        val snap = asOf.fold(log.head) { seq =>
+          log.snapshots.find(_.seq == seq).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-keyed snapshot $seq is not retained at $path " +
+                s"(retained seqs: ${log.snapshots.map(_.seq).mkString(",")}, " +
+                s"retain=${log.retain}) — expired or never committed; " +
+                "stage with a larger 'retain' to keep history"))
+        }
+        (new org.apache.hadoop.fs.Path(path, snap.gen).toString, snap.tombstones)
+      case None =>
+        asOf.fold((path, Set.empty[String])) { seq =>
+          throw new IllegalArgumentException(
+            s"graft-keyed asOf=$seq requires a generation-committed layout " +
+              s"but $path has no snapshot log (legacy flat stage); " +
+              "restage through the connector writer first")
+        }
     }
 
   /** Spec-facing twin of [[effectiveRoot]] (the specs that doctor
@@ -751,36 +956,85 @@ object KeyedSource {
   private[graft] def committedRoot(spark: SparkSession, path: String): String =
     effectiveRoot(path, spark.sessionState.newHadoopConf())
 
-  private[sources] def readCommitPointer(path: String,
-      hconf: org.apache.hadoop.conf.Configuration): Option[String] = {
+  /** Parse the commit log. v1 single-pointer content (pre-snapshot-log
+    * commits) reads as a one-snapshot window — seq 1, no tombstones,
+    * retain 1 — so a layout committed by older code keeps resolving.
+    * A present but unparseable file fails loudly: corruption of a file
+    * this connector owns, not a foreign layout. */
+  private[graft] def readCommitLog(path: String,
+      hconf: org.apache.hadoop.conf.Configuration): Option[CommitLog] = {
     val p = new org.apache.hadoop.fs.Path(path, CommitFile)
     val fs = p.getFileSystem(hconf)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    text.split(PageSource.US, -1) match {
-      case Array(CommitVersion, gen) if gen.nonEmpty => Some(gen)
-      case _ => throw new IllegalStateException(
-        s"graft-keyed commit pointer corrupted at $path: '$${text.take(80)}'")
+    def corrupt(): Nothing = throw new IllegalStateException(
+      s"graft-keyed commit log corrupted at $path: '${text.take(80)}'")
+    val lines = text.split("\n", -1).filter(_.nonEmpty)
+    if (lines.isEmpty) corrupt()
+    lines.head.split(PageSource.US, -1) match {
+      case Array(CommitVersionV1, gen) if gen.nonEmpty && lines.length == 1 =>
+        Some(CommitLog(1, Seq(Snapshot(1L, gen, Set.empty))))
+      case Array(CommitVersion, retain) if lines.length >= 2 =>
+        val snaps = lines.tail.toSeq.map { line =>
+          line.split(PageSource.US, -1) match {
+            case Array(seq, gen, tombCsv) if gen.nonEmpty =>
+              Snapshot(seq.toLong, gen,
+                tombCsv.split(",", -1).filter(_.nonEmpty).toSet)
+            case _ => corrupt()
+          }
+        }
+        if (snaps.map(_.seq) != snaps.map(_.seq).sorted) corrupt()
+        Some(CommitLog(retain.toInt, snaps))
+      case _ => corrupt()
     }
   }
 
-  /** Atomic publish: write the pointer to a temp name, then
+  private[sources] def renderCommitLog(log: CommitLog): String = {
+    val sb = new StringBuilder
+    sb.append(CommitVersion).append(PageSource.US).append(log.retain).append('\n')
+    log.snapshots.foreach { s =>
+      sb.append(s.seq).append(PageSource.US).append(s.gen)
+        .append(PageSource.US).append(s.tombstones.toSeq.sorted.mkString(","))
+        .append('\n')
+    }
+    sb.toString
+  }
+
+  /** Atomic publish: write the log to a temp name, then
     * rename-with-overwrite onto [[CommitFile]] (FileContext.rename
     * with OVERWRITE — atomic on HDFS and the local FS; the one-file
-    * swap is the entire visibility transition). */
-  private[sources] def publishPointer(path: String, gen: String,
+    * swap is the entire visibility transition, for overwrite and
+    * delete commits alike). */
+  private[sources] def publishLog(path: String, log: CommitLog,
       hconf: org.apache.hadoop.conf.Configuration): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(root, s"$CommitFile.tmp-$gen")
+    val tmp = new org.apache.hadoop.fs.Path(root, s"$CommitFile.tmp-${log.head.gen}-${log.head.seq}")
     val dst = new org.apache.hadoop.fs.Path(root, CommitFile)
     val fs = root.getFileSystem(hconf)
-    writeFile(fs, tmp, CommitVersion + PageSource.US + gen)
+    writeFile(fs, tmp, renderCommitLog(log))
     // the .crc twin must not survive the rename with a stale checksum
     val crc = new org.apache.hadoop.fs.Path(root, s".$CommitFile.crc")
     if (fs.exists(crc)) fs.delete(crc, false)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, hconf)
     fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Delete every `_gen-*` directory under `path` that no retained
+    * snapshot references — superseded generations past the retention
+    * window and stale staging from crashed writes alike (single-writer
+    * contract, same as the pre-log sweep). Runs AFTER the log swap, so
+    * a crash mid-sweep leaves orphans the next commit removes, never a
+    * broken layout. */
+  private[sources] def expireGenerations(path: String, live: Set[String],
+      hconf: org.apache.hadoop.conf.Configuration): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    fs.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && n.startsWith("_gen-") && !live.contains(n))
+        fs.delete(s.getPath, true)
+    }
   }
 
   private[sources] def writeFile(fs: org.apache.hadoop.fs.FileSystem,

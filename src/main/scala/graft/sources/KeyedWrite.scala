@@ -33,16 +33,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *     stage).
   *  3. PUBLISH: the driver writes the stats sidecar and order marker
   *     INSIDE the generation directory, then atomically swaps the
-  *     `_graft_keyed_commit` pointer onto it (rename-with-overwrite —
-  *     atomic on HDFS and local). Readers resolve the pointer at plan
-  *     time: a crash anywhere before the swap leaves the previous
-  *     generation fully live (KeyedWriteSpec pins the crash window),
-  *     and an aborted job deletes only its own `_gen-*` staging.
-  *     The superseded generation is deleted after the swap — at
-  *     production scale this would be deferred by a snapshot-GC grace
-  *     period (Iceberg's expire-snapshots); in-session reads resolve
-  *     the pointer per query, so immediate deletion is safe here and
-  *     the simplification is recorded rather than hidden.
+  *     `_graft_keyed_commit` snapshot log onto a window ending in the
+  *     new generation (rename-with-overwrite — atomic on HDFS and
+  *     local). Readers resolve the log at plan time: a crash anywhere
+  *     before the swap leaves the previous snapshot fully live
+  *     (KeyedWriteSpec pins the crash window), and an aborted job
+  *     deletes only its own `_gen-*` staging. Retention (`retain`
+  *     write option, default 1) decides what the swap supersedes:
+  *     generations no retained snapshot references are deleted inside
+  *     the commit — Iceberg's expire-snapshots folded into publish —
+  *     while retained ones stay readable via `asOf`/`VERSION AS OF`
+  *     (time travel) until they age out of the window. retain=1 is
+  *     byte-for-byte the old immediate-delete behavior.
   *
   * Append mode is REFUSED at plan time: the layout's write contract is
   * overwrite-by-generation (one file per key); an in-place append
@@ -51,7 +53,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * the other way (pages ledger → re-stage), see KeyedTable's
   * streaming-refusal scaladoc. */
 final class KeyedWriteBuilder(declared: StructType, path: String, key: String,
-    sortBy: Seq[String], info: LogicalWriteInfo) extends WriteBuilder
+    sortBy: Seq[String], retain: Int, info: LogicalWriteInfo) extends WriteBuilder
     with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -74,14 +76,14 @@ final class KeyedWriteBuilder(declared: StructType, path: String, key: String,
       case other => throw new IllegalArgumentException(
         s"graft-keyed supports BIGINT and STRING keys, got $other")
     }
-    new KeyedWrite(schema, path, key, sortBy, info.queryId(),
+    new KeyedWrite(schema, path, key, sortBy, retain, info.queryId(),
       new org.apache.spark.util.SerializableConfiguration(
         org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
   }
 }
 
 final class KeyedWrite(schema: StructType, path: String, key: String,
-    sortBy: Seq[String], queryId: String,
+    sortBy: Seq[String], retain: Int, queryId: String,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends Write with RequiresDistributionAndOrdering {
   override def description(): String =
@@ -97,7 +99,7 @@ final class KeyedWrite(schema: StructType, path: String, key: String,
     (key +: sortBy).map(c =>
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
   override def toBatch: BatchWrite =
-    new KeyedBatchWrite(schema, path, key, sortBy, queryId, conf)
+    new KeyedBatchWrite(schema, path, key, sortBy, retain, queryId, conf)
 }
 
 /** One key's audited write stats, accumulated in the task from exactly
@@ -110,7 +112,7 @@ final case class KeyedCommitMessage(keys: Seq[KeyedKeyStats],
     sketches: Array[Array[Long]]) extends WriterCommitMessage
 
 final class KeyedBatchWrite(schema: StructType, path: String, key: String,
-    sortBy: Seq[String], queryId: String,
+    sortBy: Seq[String], retain: Int, queryId: String,
     conf: org.apache.spark.util.SerializableConfiguration) extends BatchWrite {
 
   private def genName = s"_gen-$queryId"
@@ -152,34 +154,33 @@ final class KeyedBatchWrite(schema: StructType, path: String, key: String,
     if (!fs.exists(gen)) fs.mkdirs(gen)
     if (KeyedSource.failBeforePublish) throw new IllegalStateException(
       "graft-keyed test hook: crash before publish")
-    // PUBLISH: what the pointer named before the swap (for cleanup)
-    val previous = KeyedSource.readCommitPointer(path, hconf)
-    KeyedSource.publishPointer(path, genName, hconf)
-    // cleanup AFTER the swap: the superseded generation, and — when
-    // the previous layout was a legacy FLAT stage — its root-level
-    // k=* directories and metadata files (readers resolve the pointer
-    // first, so these are dead weight either way; a crash here leaves
-    // orphans the next commit removes, never a broken layout)
-    previous match {
-      case Some(old) if old != genName =>
-        fs.delete(new org.apache.hadoop.fs.Path(root, old), true)
-      case None =>
-        fs.listStatus(root).foreach { s =>
-          val n = s.getPath.getName
-          if ((s.isDirectory && n.startsWith("k=")) ||
-              n == KeyedStats.SidecarFile || n == KeyedSource.OrderFile ||
-              n == s".${KeyedStats.SidecarFile}.crc" || n == s".${KeyedSource.OrderFile}.crc")
-            fs.delete(s.getPath, true)
-        }
-      case _ => ()
+    // PUBLISH: append the new snapshot to the retained window and swap
+    // the log in one atomic rename. An overwrite commit starts with an
+    // empty tombstone set (the new generation IS the new truth).
+    val prior = KeyedSource.readCommitLog(path, hconf)
+    val newSeq = prior.map(_.head.seq + 1).getOrElse(1L)
+    val keep = math.max(retain, 1)
+    val snapshots = (prior.map(_.snapshots).getOrElse(Seq.empty) :+
+      KeyedSource.Snapshot(newSeq, genName, Set.empty)).takeRight(keep)
+    KeyedSource.publishLog(path, KeyedSource.CommitLog(keep, snapshots), hconf)
+    // cleanup AFTER the swap — readers resolve the log first, so
+    // everything below is dead weight; a crash here leaves orphans the
+    // next commit removes, never a broken layout. When the previous
+    // layout was a legacy FLAT stage, its root-level k=* directories
+    // and metadata files go too.
+    if (prior.isEmpty) {
+      fs.listStatus(root).foreach { s =>
+        val n = s.getPath.getName
+        if ((s.isDirectory && n.startsWith("k=")) ||
+            n == KeyedStats.SidecarFile || n == KeyedSource.OrderFile ||
+            n == s".${KeyedStats.SidecarFile}.crc" || n == s".${KeyedSource.OrderFile}.crc")
+          fs.delete(s.getPath, true)
+      }
     }
-    // stale staging from crashed/aborted writes that never reached
-    // their own cleanup: anything _gen-* the pointer doesn't name
-    fs.listStatus(root).foreach { s =>
-      val n = s.getPath.getName
-      if (s.isDirectory && n.startsWith("_gen-") && n != genName)
-        fs.delete(s.getPath, true)
-    }
+    // expire: superseded generations past the retention window AND
+    // stale staging from crashed/aborted writes, in one sweep —
+    // anything _gen-* no retained snapshot references
+    KeyedSource.expireGenerations(path, snapshots.map(_.gen).toSet, hconf)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
