@@ -1234,7 +1234,94 @@ object Relational {
       Some("""SELECT doc_id % 16 AS kb, doc_id, source, n_chars
              |FROM documents
              |ORDER BY kb, doc_id LIMIT 20""".stripMargin),
-      "pushed TopN: ORDER BY stored-order prefix LIMIT k serves from the sorted per-key files — Sort deleted, budgeted partial read, no TakeOrderedAndProject")
+      "pushed TopN: ORDER BY stored-order prefix LIMIT k serves from the sorted per-key files — Sort deleted, budgeted partial read, no TakeOrderedAndProject"),
+
+    // ── Snapshot time travel on the keyed connector (q63) ─────────────
+    // The WAP commit pointer grown into a SNAPSHOT LOG (the Iceberg
+    // snapshot model): `retain=2` keeps the superseded generation
+    // readable, and `asOf=<seq>` pins it — here the layout is staged
+    // twice (raw corpus, then a quality-filtered overwrite) and ONE
+    // query reads BOTH snapshots: the audit shape every corpus
+    // curation pipeline needs ("what did the filter remove, per
+    // language?") and the reproducibility shape training runs need (a
+    // run pins the exact snapshot it consumed — at 100 TB you cannot
+    // diff corpora by keeping two copies; you keep one layout and two
+    // metadata pointers). Both reads answer from their own
+    // generation's stats sidecar (zero data files); an expired seq
+    // fails loudly at plan time (KeyedSnapshotSpec).
+    "q63_time_travel" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#ttravel")({
+          val out = graft.io.TempDirs.scratch("graft_tt_") + "/bylang"
+          val docs = t(s, dir, "documents").selectExpr("lang", "doc_id", "n_chars")
+          graft.sources.KeyedSource.stageKeyed(s, docs, out, "lang",
+            sortBy = Seq("doc_id"), retain = 2)
+          graft.sources.KeyedSource.stageKeyed(s, docs.where("n_chars >= 300"),
+            out, "lang", sortBy = Seq("doc_id"), retain = 2)
+          out
+        })
+        def rd(asOf: Option[Long]) = {
+          val r = s.read.format("graft-keyed").option("path", path)
+            .option("schema", "lang STRING, doc_id BIGINT, n_chars BIGINT")
+            .option("key", "lang")
+          asOf.fold(r)(v => r.option("asOf", v.toString)).load()
+        }
+        def snap(df: DataFrame, tag: String) =
+          df.groupBy("lang")
+            .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+            .withColumn("snapshot", lit(tag))
+            .select("snapshot", "lang", "n_docs", "sum_chars")
+        snap(rd(Some(1L)), "v1").unionAll(snap(rd(None), "head"))
+          .orderBy("snapshot", "lang")
+      },
+      Some("""SELECT 'head' AS snapshot, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents WHERE n_chars >= 300 GROUP BY lang
+             |UNION ALL
+             |SELECT 'v1' AS snapshot, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY lang
+             |ORDER BY snapshot, lang""".stripMargin),
+      "snapshot time travel: one layout, two committed generations — asOf pins the retained pre-filter snapshot and the query audits both, each from its own metadata sidecar"),
+
+    // ── Metadata-grain DELETE through the catalog (q64) ───────────────
+    // `DELETE FROM cat.t WHERE kb IN (…)` — the GDPR/retraction shape
+    // at 100 TB: a new snapshot tombstones the doomed key directories
+    // in ONE atomic metadata swap, zero data bytes rewritten
+    // (KeyedSnapshotSpec pins file-list identity), and every read
+    // surface prunes them like pushed key filters. The post-purge
+    // audit below is itself a pure metadata read (grouped
+    // count/sum/max from the stats sidecar, tombstoned entries
+    // pruned, zero data files opened). Runs through GraftCatalog —
+    // Spark routes DSv2 DELETE only through catalog tables — so the
+    // whole lifecycle is SQL: CREATE TABLE … USING graft-keyed,
+    // DELETE FROM, SELECT.
+    "q64_metadata_delete" -> Q(
+      (s, dir) => {
+        val tbl = LlmData.tableOnce(bucketMemo, s, dir + "#keydel")({
+          val out = graft.io.TempDirs.scratch("graft_del_") + "/bykb"
+          graft.sources.KeyedSource.stageKeyed(s,
+            t(s, dir, "documents").selectExpr("doc_id % 16 AS kb", "doc_id", "n_chars"),
+            out, "kb", sortBy = Seq("doc_id"), retain = 2)
+          s.conf.set("spark.sql.catalog.graftcat",
+            classOf[graft.sources.GraftCatalog].getName)
+          val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+          val name = s"graftcat.corpus_$tag"
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          s.sql(s"CREATE TABLE $name (kb BIGINT, doc_id BIGINT, n_chars BIGINT) " +
+            s"USING `graft-keyed` LOCATION '$out' " +
+            "TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='2')")
+          s.sql(s"DELETE FROM $name WHERE kb IN (3, 5, 11)")
+          name
+        })
+        s.sql(s"SELECT kb, count(*) AS n_docs, sum(n_chars) AS sum_chars, " +
+          s"max(doc_id) AS last_doc FROM $tbl GROUP BY kb ORDER BY kb")
+      },
+      Some("""SELECT doc_id % 16 AS kb, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(doc_id) AS last_doc
+             |FROM documents WHERE doc_id % 16 NOT IN (3, 5, 11)
+             |GROUP BY kb ORDER BY kb""".stripMargin),
+      "metadata-grain DELETE via catalog SQL: tombstone snapshot in one atomic swap, zero data bytes moved; the post-purge audit answers from pruned sidecar metadata")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table

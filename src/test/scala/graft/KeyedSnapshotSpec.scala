@@ -1,0 +1,239 @@
+package graft
+
+import graft.sources.{GraftCatalog, KeyedSource}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The snapshot log on `graft-keyed` (r15.2 — the Iceberg snapshot
+  * model folded into the WAP commit): time travel (`asOf` /
+  * `VERSION AS OF`), metadata-grain DELETE (tombstones — zero data
+  * bytes moved), retention/expiry (`retain`), and the GraftCatalog
+  * SQL door (CREATE/SELECT/INSERT OVERWRITE/DELETE FROM/DROP). */
+class KeyedSnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ddl = "kb BIGINT, doc_id BIGINT, source STRING, n_chars BIGINT"
+  private val cat = "gsnap"
+  spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+
+  private def df(n: Long, srcTag: String = "s") =
+    (0L until n).map(i => (i % 4L, i, s"$srcTag${i % 3L}", (i * 7L) % 101L))
+      .toDF("kb", "doc_id", "source", "n_chars")
+
+  private def readKeyed(dir: String, asOf: Option[Long] = None) = {
+    val r = spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", ddl).option("key", "kb")
+    asOf.fold(r)(v => r.option("asOf", v.toString)).load()
+  }
+
+  private def scanOf(q: DataFrame) =
+    q.queryExecution.sparkPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+
+  private def plannedPartitions(q: DataFrame): Int =
+    scanOf(q).scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions().length
+
+  private def genDirs(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_gen-"))
+
+  private def registerTable(name: String, dir: String, retain: Int = 1): String = {
+    spark.sql(s"DROP TABLE IF EXISTS $cat.$name")
+    spark.sql(
+      s"""CREATE TABLE $cat.$name (kb BIGINT, doc_id BIGINT, source STRING,
+         |n_chars BIGINT) USING `graft-keyed` LOCATION '$dir'
+         |TBLPROPERTIES('key'='kb', 'sortBy'='doc_id', 'retain'='$retain')"""
+        .stripMargin)
+    s"$cat.$name"
+  }
+
+  test("time travel: retain=2 keeps the superseded snapshot readable (asOf + VERSION AS OF)") {
+    val dir = graft.io.TempDirs.scratch("graft_snap_tt_") + "/t"
+    KeyedSource.stageKeyed(spark, df(40L, "old"), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 2)
+    val v1 = readKeyed(dir).orderBy("doc_id").collect()
+    KeyedSource.stageKeyed(spark, df(24L, "new"), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 2)
+    // both generations on disk; head reads the new one
+    assert(genDirs(dir).length == 2, "retain=2 must keep the superseded generation")
+    assert(readKeyed(dir).count() == 24L)
+    // asOf pins the retained snapshot, bit-for-bit
+    assert(readKeyed(dir, asOf = Some(1L)).orderBy("doc_id").collect()
+      .sameElements(v1))
+    // the catalog door: VERSION AS OF resolves the same snapshot
+    val t = registerTable("tt", dir, retain = 2)
+    assert(spark.sql(s"SELECT * FROM $t").count() == 24L)
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 1").count() == 40L)
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 1").orderBy("doc_id")
+      .collect().sameElements(v1))
+    // snapshots are sequence-numbered, not wall-clock stamped
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t TIMESTAMP AS OF '2026-01-01'").collect()
+    }
+    assert(e.getMessage.contains("VERSION AS OF"), e.getMessage)
+    // a snapshot pin is read-only: writes and deletes refuse
+    val w = intercept[Exception] {
+      df(8L).write.format("graft-keyed").option("schema", ddl)
+        .option("key", "kb").option("asOf", "1").mode("overwrite").save(dir)
+    }
+    assert(w.getMessage.contains("snapshot pin"), w.getMessage)
+  }
+
+  test("retention: default retain=1 expires the superseded snapshot; expired asOf fails loudly") {
+    val dir = graft.io.TempDirs.scratch("graft_snap_ret_") + "/t"
+    KeyedSource.stageKeyed(spark, df(40L, "old"), dir, "kb")
+    KeyedSource.stageKeyed(spark, df(24L, "new"), dir, "kb")
+    assert(genDirs(dir).length == 1,
+      "retain=1 must delete the superseded generation inside the commit")
+    val e = intercept[Exception] { readKeyed(dir, asOf = Some(1L)).collect() }
+    assert(e.getMessage.contains("not retained") &&
+      e.getMessage.contains("retained seqs: 2"), e.getMessage)
+    assert(readKeyed(dir, asOf = Some(2L)).count() == 24L,
+      "the head seq stays addressable explicitly")
+  }
+
+  test("metadata-grain DELETE: tombstones hide keys on every read surface, zero data bytes moved") {
+    val dir = graft.io.TempDirs.scratch("graft_snap_del_") + "/t"
+    KeyedSource.stageKeyed(spark, df(64L), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 2)
+    val gen = new java.io.File(KeyedSource.committedRoot(spark, dir))
+    def dataFiles() = gen.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("k="))
+      .flatMap(_.listFiles()).filter(_.isFile)
+      .map(f => (f.getPath, f.length)).sortBy(_._1).toSeq
+    val before = dataFiles()
+
+    val t = registerTable("del", dir, retain = 2)
+    spark.sql(s"DELETE FROM $t WHERE kb IN (1, 3)")
+
+    // zero data movement: same generation, same files, same bytes
+    assert(KeyedSource.committedRoot(spark, dir) == gen.getPath,
+      "a metadata delete must not produce a new generation")
+    assert(dataFiles() == before, "a metadata delete must not touch data files")
+
+    // row scan: values, planned partitions, plan description
+    val expect = df(64L).filter(col("kb") === 0L || col("kb") === 2L)
+    val q = readKeyed(dir)
+    assert(q.orderBy("doc_id").collect()
+      .sameElements(expect.orderBy("doc_id").collect()))
+    assert(plannedPartitions(q) == 2, "tombstoned directories must not plan")
+    assert(scanOf(q).scan.description().contains("tombstones=2"))
+
+    // metadata aggregates: the sidecar answer prunes tombstoned entries
+    val agg = spark.sql(s"SELECT kb, count(*) AS n FROM $t GROUP BY kb ORDER BY kb")
+    assert(agg.queryExecution.executedPlan.toString.contains("GraftKeyedStats"),
+      "the stats fast path must survive tombstones")
+    assert(agg.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 16L), (2L, 16L)))
+
+    // reported statistics: surviving rows only
+    val stats = scanOf(q).scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.numRows().getAsLong == 32L)
+
+    // pushed TopN: budget walks only surviving directories
+    val top = readKeyed(dir).orderBy("kb", "doc_id").limit(5)
+    assert(top.queryExecution.executedPlan.toString.contains("topN=5"))
+    assert(top.collect().toSeq ==
+      expect.orderBy("kb", "doc_id").limit(5).collect().toSeq)
+
+    // idempotent re-delete: no snapshot burned
+    val hconf = spark.sessionState.newHadoopConf()
+    val seqBefore = KeyedSource.readCommitLog(dir, hconf).get.head.seq
+    spark.sql(s"DELETE FROM $t WHERE kb = 3")
+    assert(KeyedSource.readCommitLog(dir, hconf).get.head.seq == seqBefore,
+      "re-deleting dead keys must not commit a new snapshot")
+
+    // the purge is auditable: the pre-delete snapshot still sees the keys
+    assert(readKeyed(dir, asOf = Some(1L)).count() == 64L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 1")
+      .head().getLong(0) == 64L)
+  }
+
+  test("unconstrained DELETE empties the table; non-key predicates refuse") {
+    val dir = graft.io.TempDirs.scratch("graft_snap_trunc_") + "/t"
+    KeyedSource.stageKeyed(spark, df(32L), dir, "kb", retain = 2)
+    val t = registerTable("trunc", dir, retain = 2)
+    // a row-grain predicate would need a data rewrite: refuse at analysis
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"DELETE FROM $t WHERE n_chars > 10")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    assert(readKeyed(dir).count() == 32L, "a refused delete must change nothing")
+    // unconstrained delete: every key tombstoned, still metadata-only
+    spark.sql(s"DELETE FROM $t")
+    assert(readKeyed(dir).count() == 0L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 0L,
+      "the zero-survivor sentinel rides the same sidecar path")
+    assert(readKeyed(dir, asOf = Some(1L)).count() == 32L,
+      "the pre-truncate snapshot survives")
+  }
+
+  test("legacy flat layouts refuse DELETE with the restage remediation") {
+    val dir = graft.io.TempDirs.scratch("graft_snap_flat_") + "/t"
+    KeyedSource.stageKeyed(spark, df(16L), dir, "kb")
+    // flatten: move the generation's contents to the root, drop the log
+    val gen = new java.io.File(KeyedSource.committedRoot(spark, dir))
+    gen.listFiles().foreach { f =>
+      java.nio.file.Files.move(f.toPath, java.nio.file.Path.of(dir, f.getName))
+    }
+    java.nio.file.Files.delete(gen.toPath)
+    java.nio.file.Files.delete(java.nio.file.Path.of(dir, KeyedSource.CommitFile))
+    new java.io.File(dir, s".${KeyedSource.CommitFile}.crc").delete()
+    val t = registerTable("flat", dir)
+    assert(spark.sql(s"SELECT * FROM $t").count() == 16L)
+    val e = intercept[Exception] { spark.sql(s"DELETE FROM $t WHERE kb = 1") }
+    assert(e.getMessage.contains("restage"), e.getMessage)
+  }
+
+  test("catalog DDL/DML: INSERT OVERWRITE commits, INSERT INTO refuses, DROP leaves bytes") {
+    val dir = graft.io.TempDirs.scratch("graft_snap_cat_") + "/t"
+    new java.io.File(dir).mkdirs()
+    val t = registerTable("w", dir)
+    // first commit THROUGH SQL: the WAP writer behind INSERT OVERWRITE
+    spark.sql(
+      s"""INSERT OVERWRITE $t
+         |SELECT id % 4 AS kb, id AS doc_id,
+         |  concat('s', CAST(id % 3 AS STRING)) AS source,
+         |  (id * 7) % 101 AS n_chars FROM range(48)""".stripMargin)
+    assert(spark.sql(s"SELECT * FROM $t").count() == 48L)
+    assert(new java.io.File(dir, KeyedSource.CommitFile).exists())
+    // bare appends refuse at plan time (overwrite-by-generation)
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $t SELECT 1L, 99L, 'x', 7L")
+    }
+    assert(e.getMessage.contains("overwrite-only"), e.getMessage)
+    // DROP is external-table semantics: the mapping goes, the bytes stay
+    spark.sql(s"DROP TABLE $t")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM $t").collect()
+    }
+    assert(new java.io.File(dir, KeyedSource.CommitFile).exists(),
+      "DROP must leave the layout bytes untouched")
+    assert(readKeyed(dir).count() == 48L, "the path-based read still works")
+  }
+
+  test("expiry composes with shared-generation delete commits") {
+    val dir = graft.io.TempDirs.scratch("graft_snap_exp_") + "/t"
+    KeyedSource.stageKeyed(spark, df(40L, "a"), dir, "kb", retain = 2) // seq 1, genA
+    val genA = new java.io.File(KeyedSource.committedRoot(spark, dir)).getName
+    KeyedSource.stageKeyed(spark, df(24L, "b"), dir, "kb", retain = 2) // seq 2, genB
+    assert(genDirs(dir).length == 2)
+    val t = registerTable("exp", dir, retain = 2)
+    spark.sql(s"DELETE FROM $t WHERE kb = 0") // seq 3, genB + tombstones
+    // retained window is now {2, 3}: both name genB, genA expired
+    assert(genDirs(dir).map(_.getName).toSet == Set(
+      new java.io.File(KeyedSource.committedRoot(spark, dir)).getName))
+    assert(!genDirs(dir).map(_.getName).contains(genA), "genA must be expired")
+    val e = intercept[Exception] { readKeyed(dir, asOf = Some(1L)).collect() }
+    assert(e.getMessage.contains("retained seqs: 2,3"), e.getMessage)
+    // seq 2: genB before the delete — all 24 rows
+    assert(readKeyed(dir, asOf = Some(2L)).count() == 24L)
+    // seq 3 (head): the delete applied — kb=0 gone
+    assert(readKeyed(dir).count() ==
+      df(24L).filter(col("kb") =!= 0L).count())
+  }
+}
