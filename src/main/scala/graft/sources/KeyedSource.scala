@@ -187,26 +187,39 @@ final class KeyedTable(declared: StructType, path: String, key: String,
     case _ => None
   }
 
-  /** None = not consumable at key grain; Some(None) = consumable,
-    * unconstrained (delete every key); Some(Some(s)) = the ANDed raw
-    * key set. */
+  /** The key set one filter subtree pins. None = not consumable at key
+    * grain; Some(None) = consumable, unconstrained; Some(Some(s)) = the
+    * raw key set. And intersects, Or unions (`kb = 3 OR kb = 5` arrives
+    * as Or, not In — consumable all the same); an Or with an
+    * unconstrained side is unconstrained. */
+  private def keySetOf(f: Filter): Option[Option[Set[String]]] = f match {
+    case _: AlwaysTrue => Some(None)
+    case IsNotNull(a) if a == key => Some(None)
+    case EqualTo(a, v) if a == key => rawKeyOf(v).map(r => Some(Set(r)))
+    case In(a, vs) if a == key && vs != null =>
+      val rs = vs.filter(_ != null).map(rawKeyOf)
+      if (rs.forall(_.isDefined)) Some(Some(rs.flatten.toSet)) else None
+    case org.apache.spark.sql.sources.And(l, r) =>
+      for (a <- keySetOf(l); b <- keySetOf(r)) yield (a, b) match {
+        case (Some(x), Some(y)) => Some(x intersect y)
+        case (x, y) => x.orElse(y)
+      }
+    case org.apache.spark.sql.sources.Or(l, r) =>
+      for (a <- keySetOf(l); b <- keySetOf(r)) yield (a, b) match {
+        case (Some(x), Some(y)) => Some(x union y)
+        case _ => None // either side unconstrained ⇒ the Or is too
+      }
+    case _ => None
+  }
+
+  /** ANDed key set across the pushed filter array (see [[keySetOf]]). */
   private def tombstoneSet(filters: Array[Filter]): Option[Option[Set[String]]] = {
     var acc: Option[Set[String]] = None
-    val ok = filters.forall {
-      case _: AlwaysTrue => true
-      case IsNotNull(a) if a == key => true
-      case EqualTo(a, v) if a == key => rawKeyOf(v) match {
-        case Some(r) => acc = Some(acc.fold(Set(r))(_ intersect Set(r))); true
-        case None => false
-      }
-      case In(a, vs) if a == key && vs != null =>
-        val rs = vs.filter(_ != null).map(rawKeyOf)
-        if (rs.forall(_.isDefined)) {
-          val s = rs.flatten.toSet
-          acc = Some(acc.fold(s)(_ intersect s)); true
-        } else false
-      case _ => false
-    }
+    val ok = filters.forall(f => keySetOf(f) match {
+      case Some(Some(s)) => acc = Some(acc.fold(s)(_ intersect s)); true
+      case Some(None) => true
+      case None => false
+    })
     if (ok) Some(acc) else None
   }
 

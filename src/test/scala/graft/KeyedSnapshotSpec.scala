@@ -140,10 +140,11 @@ class KeyedSnapshotSpec extends SparkSpec {
     assert(top.collect().toSeq ==
       expect.orderBy("kb", "doc_id").limit(5).collect().toSeq)
 
-    // idempotent re-delete: no snapshot burned
+    // idempotent re-delete: no snapshot burned — and OR-of-equalities
+    // is consumable (arrives as Or, not In)
     val hconf = spark.sessionState.newHadoopConf()
     val seqBefore = KeyedSource.readCommitLog(dir, hconf).get.head.seq
-    spark.sql(s"DELETE FROM $t WHERE kb = 3")
+    spark.sql(s"DELETE FROM $t WHERE kb = 3 OR kb = 1")
     assert(KeyedSource.readCommitLog(dir, hconf).get.head.seq == seqBefore,
       "re-deleting dead keys must not commit a new snapshot")
 
