@@ -367,51 +367,68 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
       case _ => None
     }
 
-  /** Key equality/IN predicates prune `k=<v>/` directories at plan
-    * time — the connector family's pushdown standard (the PageSource
-    * page-grain pattern, `PageSource.pushFilters`) applied at
-    * directory grain, where it is EXACT rather than lossy: the layout
-    * contract (stageKeyed's `partitionBy(key)` — the SAME placement
-    * the SPJ report's [[HasPartitionKey]] already trusts) guarantees
-    * directory `k=v` holds exactly the key=v rows, so an accepted
-    * filter is FULLY CONSUMED (not returned as residual) and the plan
-    * carries no post-scan Filter. A keyed point-lookup against the
-    * 16-directory layout plans 1 partition, not 16 — at 100 TB this
-    * is the difference between a point read and a full-table scan.
+  /** Typed key set one filter subtree pins — None = not consumable at
+    * the exact directory grain; Some(None) = consumable tautology
+    * (prunes nothing); Some(Some(s)) = the key set. Or UNIONS
+    * (`kb = 3 OR kb = 5` reaches DSv2 as Or, never In — refusing it
+    * used to scan all 16 directories for the most natural SQL
+    * spelling of a two-key slate), And intersects, an Or with a
+    * tautological side is itself a tautology. Anything touching a
+    * non-key column or a wrong-typed literal poisons its whole
+    * subtree to None — partial consumption of an Or would return
+    * rows the predicate rejects. */
+  private def subtreeKeys(f: Filter): Option[Option[Set[Any]]] = f match {
+    // Catalyst pairs every key equality with IsNotNull(key); the
+    // stager REJECTS null keys (framing guard), so isnotnull is a
+    // tautology over the layout — consume it (prunes nothing)
+    // rather than leave a residual Filter that also blocks the key
+    // column from pruning out of the read schema
+    case IsNotNull(a) if a == key => Some(None)
+    case EqualTo(a, v) if a == key => normalize(v).map(n => Some(Set(n)))
+    case In(a, vs) if a == key && vs != null =>
+      // a null element in the IN list matches no stored row (the
+      // stager rejects null keys), so the non-null values alone
+      // decide the directory set — still exact
+      val ns = vs.filter(_ != null).map(normalize)
+      if (ns.forall(_.isDefined)) Some(Some(ns.flatten.toSet)) else None
+    case And(l, r) =>
+      for (a <- subtreeKeys(l); b <- subtreeKeys(r)) yield (a, b) match {
+        case (Some(x), Some(y)) => Some(x intersect y)
+        case (x, y) => x.orElse(y)
+      }
+    case Or(l, r) =>
+      for (a <- subtreeKeys(l); b <- subtreeKeys(r)) yield (a, b) match {
+        case (Some(x), Some(y)) => Some(x union y)
+        case _ => None // a tautological side makes the Or tautological
+      }
+    case _ => None
+  }
+
+  /** Key equality/IN/OR-of-equality predicates prune `k=<v>/`
+    * directories at plan time — the connector family's pushdown
+    * standard (the PageSource page-grain pattern,
+    * `PageSource.pushFilters`) applied at directory grain, where it
+    * is EXACT rather than lossy: the layout contract (stageKeyed's
+    * `partitionBy(key)` — the SAME placement the SPJ report's
+    * [[HasPartitionKey]] already trusts) guarantees directory `k=v`
+    * holds exactly the key=v rows, so an accepted filter is FULLY
+    * CONSUMED (not returned as residual) and the plan carries no
+    * post-scan Filter. A keyed point-lookup against the 16-directory
+    * layout plans 1 partition, not 16 — at 100 TB this is the
+    * difference between a point read and a full-table scan.
     * Everything else — range predicates, non-key columns, literals of
     * the wrong type — is REFUSED (returned untouched for Spark to
     * evaluate post-scan) and planning stays at all directories. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val residual = filters.filter {
-      // Catalyst pairs every key equality with IsNotNull(key); the
-      // stager REJECTS null keys (framing guard), so isnotnull is a
-      // tautology over the layout — consume it (prunes nothing)
-      // rather than leave a residual Filter that also blocks the key
-      // column from pruning out of the read schema
-      case f @ IsNotNull(a) if a == key =>
-        accepted :+= f
-        false
-      case f @ EqualTo(a, v) if a == key =>
-        normalize(v) match {
-          case Some(n) =>
-            keyValues = Some(keyValues.fold(Set(n))(_ intersect Set(n)))
-            accepted :+= f
-            false
-          case None => true
-        }
-      case f @ In(a, vs) if a == key && vs != null =>
-        // a null element in the IN list matches no stored row (the
-        // stager rejects null keys), so the non-null values alone
-        // decide the directory set — still exact
-        val nonNull = vs.filter(_ != null)
-        val ns = nonNull.map(normalize)
-        if (ns.forall(_.isDefined)) {
-          val s = ns.flatten.toSet
-          keyValues = Some(keyValues.fold(s)(_ intersect s))
+    val residual = filters.filter { f =>
+      subtreeKeys(f) match {
+        case Some(constraint) =>
+          constraint.foreach(s =>
+            keyValues = Some(keyValues.fold(s)(_ intersect s)))
           accepted :+= f
           false
-        } else true
-      case _ => true
+        case None => true
+      }
     }
     if (residual.nonEmpty) sawUnconsumed = true
     residual

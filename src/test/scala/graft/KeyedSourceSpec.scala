@@ -162,6 +162,27 @@ class KeyedSourceSpec extends SparkSpec {
     assert(miss.count() == 0)
   }
 
+  test("OR of key equalities pushes: union prune, fully consumed; mixed OR refuses whole") {
+    // kb = 3 OR kb = 5 reaches DSv2 as Or, never In — the most natural
+    // SQL spelling of a two-key slate must prune like the IN twin
+    val or = readKeyed(s"$base/docs", DocsDDL)
+      .filter(col("kb") === 3 || col("kb") === 5)
+    assert(plannedParts(or) == 2, "kb=3 OR kb=5 must plan exactly two directories")
+    assert(!hasPostScanFilter(or),
+      s"exact pushdown must leave no residual Filter:\n${or.queryExecution.executedPlan}")
+    assert(or.count() == Tables.load(spark, sf0001, "documents")
+      .filter(expr("doc_id % 16 IN (3, 5)")).count())
+    // an OR arm the directory grain cannot answer poisons the WHOLE
+    // predicate (partial consumption would return rows the filter
+    // rejects): refuse, post-scan Filter, all directories planned
+    val mixed = readKeyed(s"$base/docs", DocsDDL)
+      .filter(col("kb") === 3 || col("n_chars") > 50)
+    assert(plannedParts(mixed) == 16, "a non-key OR arm must refuse the prune")
+    assert(hasPostScanFilter(mixed), "the refused OR must stay post-scan")
+    assert(mixed.count() == Tables.load(spark, sf0001, "documents")
+      .filter(expr("doc_id % 16 = 3 OR n_chars > 50")).count())
+  }
+
   test("refusal leg: non-key and range predicates stay post-scan, all directories planned") {
     // non-key column: the directory structure cannot answer it
     val nonKey = readKeyed(s"$base/docs", DocsDDL).filter(col("n_chars") > 50)
