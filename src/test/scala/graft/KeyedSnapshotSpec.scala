@@ -217,6 +217,26 @@ class KeyedSnapshotSpec extends SparkSpec {
     assert(readKeyed(dir).count() == 48L, "the path-based read still works")
   }
 
+  test("retention is the in-flight-reader grace period: a racing commit cannot tear a resolved plan") {
+    val dir = graft.io.TempDirs.scratch("graft_snap_race_") + "/t"
+    KeyedSource.stageKeyed(spark, df(40L, "old"), dir, "kb", retain = 2)
+    // resolve the plan against the current head (snapshot resolution
+    // happens at scan BUILD; files are opened at execution) — a
+    // Dataset's queryExecution is per-Dataset, so the SAME Dataset
+    // must carry through the race (deriving a new one re-resolves)
+    val resolved = readKeyed(dir).orderBy("doc_id")
+    resolved.queryExecution.executedPlan // force planning now
+    val expected = df(40L, "old").orderBy("doc_id").collect()
+    // a commit races in between planning and execution
+    KeyedSource.stageKeyed(spark, df(24L, "new"), dir, "kb", retain = 2)
+    // the resolved plan still reads its snapshot's generation — alive
+    // because the retention window kept it (retain=1 would have
+    // deleted the directory under the reader; the window IS the
+    // snapshot-GC grace period, which is why it exists)
+    assert(resolved.collect().sameElements(expected))
+    assert(readKeyed(dir).count() == 24L, "new readers resolve the new head")
+  }
+
   test("expiry composes with shared-generation delete commits") {
     val dir = graft.io.TempDirs.scratch("graft_snap_exp_") + "/t"
     KeyedSource.stageKeyed(spark, df(40L, "a"), dir, "kb", retain = 2) // seq 1, genA
