@@ -102,6 +102,12 @@ final class GraftCatalog extends TableCatalog {
     require(partitions.isEmpty,
       "graft-keyed layouts are keyed by the 'key' table property, not " +
         "PARTITIONED BY transforms")
+    // a bad CREATE must fail at DDL time, not first read: USING any
+    // other provider would silently register a graft-keyed reader over
+    // a foreign directory
+    prop(TableCatalog.PROP_PROVIDER).foreach(p => require(
+      p.equalsIgnoreCase("graft-keyed"),
+      s"GraftCatalog tables must be USING graft-keyed, got '$p'"))
     val path = prop(TableCatalog.PROP_LOCATION).getOrElse(
       throw new IllegalArgumentException(
         "graft-keyed catalog tables require LOCATION '<layout path>'"))
@@ -109,7 +115,10 @@ final class GraftCatalog extends TableCatalog {
       "graft-keyed catalog tables require TBLPROPERTIES('key'='<column>')"))
     val sortBy = prop("sortBy").toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-    val retain = prop("retain").map(_.toInt).getOrElse(1)
+    val retain = prop("retain").map(v => try v.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft-keyed 'retain' must be an integer, got '$v'")
+    }).getOrElse(1)
     schema.fields.foreach(f => require(
       f.dataType == LongType || f.dataType == StringType,
       s"graft-keyed supports BIGINT and STRING fields, got ${f.name}: ${f.dataType}"))

@@ -187,39 +187,20 @@ final class KeyedTable(declared: StructType, path: String, key: String,
     case _ => None
   }
 
-  /** The key set one filter subtree pins. None = not consumable at key
-    * grain; Some(None) = consumable, unconstrained; Some(Some(s)) = the
-    * raw key set. And intersects, Or unions (`kb = 3 OR kb = 5` arrives
-    * as Or, not In — consumable all the same); an Or with an
-    * unconstrained side is unconstrained. */
-  private def keySetOf(f: Filter): Option[Option[Set[String]]] = f match {
-    case _: AlwaysTrue => Some(None)
-    case IsNotNull(a) if a == key => Some(None)
-    case EqualTo(a, v) if a == key => rawKeyOf(v).map(r => Some(Set(r)))
-    case In(a, vs) if a == key && vs != null =>
-      val rs = vs.filter(_ != null).map(rawKeyOf)
-      if (rs.forall(_.isDefined)) Some(Some(rs.flatten.toSet)) else None
-    case org.apache.spark.sql.sources.And(l, r) =>
-      for (a <- keySetOf(l); b <- keySetOf(r)) yield (a, b) match {
-        case (Some(x), Some(y)) => Some(x intersect y)
-        case (x, y) => x.orElse(y)
-      }
-    case org.apache.spark.sql.sources.Or(l, r) =>
-      for (a <- keySetOf(l); b <- keySetOf(r)) yield (a, b) match {
-        case (Some(x), Some(y)) => Some(x union y)
-        case _ => None // either side unconstrained ⇒ the Or is too
-      }
-    case _ => None
-  }
-
-  /** ANDed key set across the pushed filter array (see [[keySetOf]]). */
+  /** ANDed raw-key set across the filter array — the SAME consumption
+    * algebra as scan pushdown ([[KeyedSource.keyGrainSet]]; one walker
+    * for both call sites, so DELETE and partition pruning can never
+    * disagree about what is key-exact), normalized to raw dirname
+    * strings. None = not consumable; Some(None) = consumable,
+    * unconstrained (delete every key); Some(Some(s)) = the key set. */
   private def tombstoneSet(filters: Array[Filter]): Option[Option[Set[String]]] = {
     var acc: Option[Set[String]] = None
-    val ok = filters.forall(f => keySetOf(f) match {
-      case Some(Some(s)) => acc = Some(acc.fold(s)(_ intersect s)); true
-      case Some(None) => true
-      case None => false
-    })
+    val ok = filters.forall(f =>
+      KeyedSource.keyGrainSet(f, key, rawKeyOf) match {
+        case Some(Some(s)) => acc = Some(acc.fold(s)(_ intersect s)); true
+        case Some(None) => true
+        case None => false
+      })
     if (ok) Some(acc) else None
   }
 
@@ -237,29 +218,54 @@ final class KeyedTable(declared: StructType, path: String, key: String,
           s"requires a generation-committed layout, but $path has no commit " +
           "log (legacy flat stage) — restage through the connector writer first"))
     val head = log.head
+    // every key the head generation actually STORES: the tombstone
+    // universe. Asked-for values outside it match no stored row by
+    // construction (absent directory, or a string the writer's dirname
+    // alphabet refused at stage time), so dropping them is exact — and
+    // they must never reach the log, whose comma/US/newline framing an
+    // unvalidated string like "a,b" or "x\ny" would silently corrupt
+    // (r15 review: that could tombstone unrelated live keys, or brick
+    // the table's metadata outright)
+    val stored: Set[String] = {
+      val gen = new org.apache.hadoop.fs.Path(path, head.gen)
+      val fs = gen.getFileSystem(hconf)
+      fs.listStatus(gen).toSeq.collect {
+        case s if s.isDirectory && s.getPath.getName.startsWith("k=") =>
+          s.getPath.getName.stripPrefix("k=")
+      }.toSet
+    }
     val doomed: Set[String] = tombstoneSet(filters)
       .getOrElse(throw new IllegalArgumentException(
         s"graft-keyed can only delete at key grain, got " +
           filters.mkString(" AND ")))
-      .getOrElse {
-        // unconstrained (DELETE FROM t / TRUNCATE): every key the head
-        // generation stores — still metadata-only
-        val gen = new org.apache.hadoop.fs.Path(path, head.gen)
-        val fs = gen.getFileSystem(hconf)
-        fs.listStatus(gen).toSeq.collect {
-          case s if s.isDirectory && s.getPath.getName.startsWith("k=") =>
-            s.getPath.getName.stripPrefix("k=")
-        }.toSet
-      }
+      // unconstrained (DELETE FROM t / TRUNCATE) deletes every stored
+      // key — still metadata-only
+      .fold(stored)(_ intersect stored)
     val fresh = doomed -- head.tombstones
-    // idempotent no-op: re-deleting already-dead keys burns no
-    // snapshot (and cannot expire live history out of the window)
+    // idempotent no-op: a delete that changes nothing visible (dead
+    // keys, never-stored keys) burns no snapshot and cannot expire
+    // live history out of the window
     if (fresh.isEmpty) return
+    // a DELETE carries no write options, so it must never SHRINK the
+    // window as a side effect: honor the wider of the log's persisted
+    // retain and this table handle's declared one (a catalog table
+    // registered with retain=2 over a retain=1 layout widens it here)
+    val keep = math.max(math.max(log.retain, retain), 1)
     val snap = KeyedSource.Snapshot(head.seq + 1, head.gen,
       head.tombstones ++ fresh)
-    val snapshots = (log.snapshots :+ snap).takeRight(math.max(log.retain, 1))
-    KeyedSource.publishLog(path, KeyedSource.CommitLog(log.retain, snapshots), hconf)
-    KeyedSource.expireGenerations(path, snapshots.map(_.gen).toSet, hconf)
+    val snapshots = (log.snapshots :+ snap).takeRight(keep)
+    KeyedSource.publishLog(path, KeyedSource.CommitLog(keep, snapshots), hconf)
+    // targeted expiry: only generations this commit's window-trim
+    // dropped — never the blanket _gen-* sweep (which belongs to WRITE
+    // commits; from a "metadata-only" delete it could reap an
+    // in-flight writer's staging directory)
+    val droppedGens = log.snapshots.map(_.gen).toSet -- snapshots.map(_.gen).toSet
+    if (droppedGens.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(hconf)
+      droppedGens.foreach(g =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, g), true))
+    }
   }
 }
 
@@ -367,42 +373,15 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
       case _ => None
     }
 
-  /** Typed key set one filter subtree pins — None = not consumable at
-    * the exact directory grain; Some(None) = consumable tautology
-    * (prunes nothing); Some(Some(s)) = the key set. Or UNIONS
-    * (`kb = 3 OR kb = 5` reaches DSv2 as Or, never In — refusing it
-    * used to scan all 16 directories for the most natural SQL
-    * spelling of a two-key slate), And intersects, an Or with a
-    * tautological side is itself a tautology. Anything touching a
-    * non-key column or a wrong-typed literal poisons its whole
-    * subtree to None — partial consumption of an Or would return
-    * rows the predicate rejects. */
-  private def subtreeKeys(f: Filter): Option[Option[Set[Any]]] = f match {
-    // Catalyst pairs every key equality with IsNotNull(key); the
-    // stager REJECTS null keys (framing guard), so isnotnull is a
-    // tautology over the layout — consume it (prunes nothing)
-    // rather than leave a residual Filter that also blocks the key
-    // column from pruning out of the read schema
-    case IsNotNull(a) if a == key => Some(None)
-    case EqualTo(a, v) if a == key => normalize(v).map(n => Some(Set(n)))
-    case In(a, vs) if a == key && vs != null =>
-      // a null element in the IN list matches no stored row (the
-      // stager rejects null keys), so the non-null values alone
-      // decide the directory set — still exact
-      val ns = vs.filter(_ != null).map(normalize)
-      if (ns.forall(_.isDefined)) Some(Some(ns.flatten.toSet)) else None
-    case And(l, r) =>
-      for (a <- subtreeKeys(l); b <- subtreeKeys(r)) yield (a, b) match {
-        case (Some(x), Some(y)) => Some(x intersect y)
-        case (x, y) => x.orElse(y)
-      }
-    case Or(l, r) =>
-      for (a <- subtreeKeys(l); b <- subtreeKeys(r)) yield (a, b) match {
-        case (Some(x), Some(y)) => Some(x union y)
-        case _ => None // a tautological side makes the Or tautological
-      }
-    case _ => None
-  }
+  /** The shared key-grain consumption algebra ([[KeyedSource.keyGrainSet]])
+    * with TYPED normalization — `kb = 3 OR kb = 5` reaches DSv2 as Or,
+    * never In; refusing it used to scan all 16 directories for the
+    * most natural SQL spelling of a two-key slate. IsNotNull(key) is a
+    * tautology over the no-null layout: consumed (prunes nothing)
+    * rather than left as a residual Filter that would also block the
+    * key column from pruning out of the read schema. */
+  private def subtreeKeys(f: Filter): Option[Option[Set[Any]]] =
+    KeyedSource.keyGrainSet(f, key, normalize)
 
   /** Key equality/IN/OR-of-equality predicates prune `k=<v>/`
     * directories at plan time — the connector family's pushdown
@@ -1006,16 +985,21 @@ object KeyedSource {
       case Array(CommitVersionV1, gen) if gen.nonEmpty && lines.length == 1 =>
         Some(CommitLog(1, Seq(Snapshot(1L, gen, Set.empty))))
       case Array(CommitVersion, retain) if lines.length >= 2 =>
+        // numeric corruption must route through corrupt() (path + head
+        // of the file in the message), not leak a bare
+        // NumberFormatException with no context
+        def long(s: String): Long =
+          try s.toLong catch { case _: NumberFormatException => corrupt() }
         val snaps = lines.tail.toSeq.map { line =>
           line.split(PageSource.US, -1) match {
             case Array(seq, gen, tombCsv) if gen.nonEmpty =>
-              Snapshot(seq.toLong, gen,
+              Snapshot(long(seq), gen,
                 tombCsv.split(",", -1).filter(_.nonEmpty).toSet)
             case _ => corrupt()
           }
         }
         if (snaps.map(_.seq) != snaps.map(_.seq).sorted) corrupt()
-        Some(CommitLog(retain.toInt, snaps))
+        Some(CommitLog(long(retain).toInt, snaps))
       case _ => corrupt()
     }
   }
@@ -1055,7 +1039,10 @@ object KeyedSource {
     * window and stale staging from crashed writes alike (single-writer
     * contract, same as the pre-log sweep). Runs AFTER the log swap, so
     * a crash mid-sweep leaves orphans the next commit removes, never a
-    * broken layout. */
+    * broken layout. Called only from WRITE commits: a DELETE expires
+    * the generations its own window-trim dropped and nothing else (a
+    * blanket sweep from a "metadata-only" operation could reap an
+    * in-flight writer's staging — r15 review). */
   private[sources] def expireGenerations(path: String, live: Set[String],
       hconf: org.apache.hadoop.conf.Configuration): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
@@ -1064,6 +1051,47 @@ object KeyedSource {
       val n = s.getPath.getName
       if (s.isDirectory && n.startsWith("_gen-") && !live.contains(n))
         fs.delete(s.getPath, true)
+    }
+  }
+
+  /** Key set one v1 Filter subtree pins over the EXACT directory grain
+    * — the ONE consumption algebra for scan pushdown and DELETE alike
+    * (two diverging copies would let the scan prune predicates a
+    * DELETE refuses, or vice versa). None = not consumable; Some(None)
+    * = consumable tautology (IsNotNull over a no-null layout,
+    * AlwaysTrue — prunes nothing); Some(Some(s)) = the key set. Or
+    * UNIONS (`k = 3 OR k = 5` reaches DSv2 as Or, never In), And
+    * intersects, an Or with a tautological side is itself a tautology,
+    * and any subtree touching a non-key column or a wrong-typed
+    * literal poisons its whole tree to None — partial consumption of
+    * an Or would return rows the predicate rejects. `normalize` maps
+    * literals to the caller's key representation (typed values for
+    * partition pruning, raw dirname strings for tombstones). */
+  private[sources] def keyGrainSet[T](f: org.apache.spark.sql.sources.Filter,
+      key: String, normalize: Any => Option[T]): Option[Option[Set[T]]] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case _: AlwaysTrue => Some(None)
+      case IsNotNull(a) if a == key => Some(None)
+      case EqualTo(a, v) if a == key => normalize(v).map(n => Some(Set(n)))
+      case In(a, vs) if a == key && vs != null =>
+        // a null element matches no stored row (the framing guard
+        // rejects null keys), so the non-null values alone decide
+        val ns = vs.toSeq.filter(_ != null).map(normalize)
+        if (ns.forall(_.isDefined)) Some(Some(ns.flatten.toSet)) else None
+      case And(l, r) =>
+        for (a <- keyGrainSet(l, key, normalize);
+             b <- keyGrainSet(r, key, normalize)) yield (a, b) match {
+          case (Some(x), Some(y)) => Some(x intersect y)
+          case (x, y) => x.orElse(y)
+        }
+      case Or(l, r) =>
+        for (a <- keyGrainSet(l, key, normalize);
+             b <- keyGrainSet(r, key, normalize)) yield (a, b) match {
+          case (Some(x), Some(y)) => Some(x union y)
+          case _ => None // a tautological side makes the Or tautological
+        }
+      case _ => None
     }
   }
 

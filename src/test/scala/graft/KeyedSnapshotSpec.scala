@@ -217,6 +217,65 @@ class KeyedSnapshotSpec extends SparkSpec {
     assert(readKeyed(dir).count() == 48L, "the path-based read still works")
   }
 
+  test("a delete that changes nothing visible burns no snapshot; log-framing strings never reach the log") {
+    // never-stored keys: a no-op that must not consume a retention slot
+    // (burning one would expire the very history the window keeps)
+    val dir = graft.io.TempDirs.scratch("graft_snap_noop_") + "/t"
+    KeyedSource.stageKeyed(spark, df(32L), dir, "kb", retain = 2)
+    val t = registerTable("noop", dir, retain = 2)
+    val hconf = spark.sessionState.newHadoopConf()
+    val seq0 = KeyedSource.readCommitLog(dir, hconf).get.head.seq
+    spark.sql(s"DELETE FROM $t WHERE kb = 99")
+    assert(KeyedSource.readCommitLog(dir, hconf).get.head.seq == seq0,
+      "deleting a never-stored key must not commit a snapshot")
+    assert(readKeyed(dir).count() == 32L)
+    // string-keyed layout: values containing the log's own framing
+    // bytes (',' joins tombstones, US/newline frame the file) match no
+    // stored row — the writer's dirname alphabet refused them at stage
+    // time — so they are dropped EXACTLY, never written into metadata
+    val sdir = graft.io.TempDirs.scratch("graft_snap_str_") + "/t"
+    val sddl = "lang STRING, doc_id BIGINT"
+    KeyedSource.stageKeyed(spark,
+      (0L until 20L).map(i => (s"l${i % 3}", i)).toDF("lang", "doc_id"),
+      sdir, "lang", retain = 2)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.strdel")
+    spark.sql(s"CREATE TABLE $cat.strdel (lang STRING, doc_id BIGINT) " +
+      s"USING `graft-keyed` LOCATION '$sdir' TBLPROPERTIES('key'='lang')")
+    spark.sql(s"DELETE FROM $cat.strdel WHERE lang = 'l0,l1'")
+    spark.sql(s"DELETE FROM $cat.strdel WHERE lang = 'x\ny'")
+    // the log still parses and nothing was deleted (neither value can
+    // name a stored directory)
+    val sr = spark.read.format("graft-keyed").option("path", sdir)
+      .option("schema", sddl).option("key", "lang").load()
+    assert(sr.count() == 20L)
+    assert(KeyedSource.readCommitLog(sdir, hconf).get.head.tombstones.isEmpty)
+    // a real string delete still works
+    spark.sql(s"DELETE FROM $cat.strdel WHERE lang = 'l1'")
+    assert(spark.read.format("graft-keyed").option("path", sdir)
+      .option("schema", sddl).option("key", "lang").load().count() == 13L)
+  }
+
+  test("a catalog table with retain=2 over a retain=1 layout: DELETE widens, never shrinks") {
+    val dir = graft.io.TempDirs.scratch("graft_snap_widen_") + "/t"
+    KeyedSource.stageKeyed(spark, df(32L), dir, "kb") // log retain = 1
+    val t = registerTable("widen", dir, retain = 2)
+    spark.sql(s"DELETE FROM $t WHERE kb = 1")
+    // the pre-delete snapshot survives: the catalog's declared window
+    // governs the delete commit (max of log retain and table retain)
+    assert(readKeyed(dir, asOf = Some(1L)).count() == 32L)
+    assert(readKeyed(dir).count() == 24L)
+  }
+
+  test("CREATE TABLE refuses a foreign provider at DDL time") {
+    val dir = graft.io.TempDirs.scratch("graft_snap_prov_") + "/t"
+    spark.sql(s"DROP TABLE IF EXISTS $cat.foreign")
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.foreign (kb BIGINT) USING parquet " +
+        s"LOCATION '$dir' TBLPROPERTIES('key'='kb')")
+    }
+    assert(e.getMessage.contains("USING graft-keyed"), e.getMessage)
+  }
+
   test("retention is the in-flight-reader grace period: a racing commit cannot tear a resolved plan") {
     val dir = graft.io.TempDirs.scratch("graft_snap_race_") + "/t"
     KeyedSource.stageKeyed(spark, df(40L, "old"), dir, "kb", retain = 2)
