@@ -51,7 +51,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * would rewrite live files under readers — the exact torn-read the
   * generation pointer exists to prevent. Incremental ingest composes
   * the other way (pages ledger → re-stage), see KeyedTable's
-  * streaming-refusal scaladoc. */
+  * streaming-refusal scaladoc.
+  *
+  * COMMITS SERIALIZE UNDER A SINGLE-WRITER CONTRACT (write and delete
+  * alike): publish is read-log → append-snapshot → atomic rename, so
+  * two concurrent committers cannot corrupt the log (the rename is
+  * atomic and each candidate file is self-consistent) but the loser's
+  * snapshot is silently superseded — last rename wins. A production
+  * port would close that window with a conditional rename / CAS
+  * (HDFS createFile(overwrite=false) on a lock, or a metastore
+  * compare-and-swap, Iceberg's commit path); recorded rather than
+  * hidden, like the pre-log immediate-delete was. */
 final class KeyedWriteBuilder(declared: StructType, path: String, key: String,
     sortBy: Seq[String], retain: Int, info: LogicalWriteInfo) extends WriteBuilder
     with SupportsTruncate {
