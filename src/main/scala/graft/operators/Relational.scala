@@ -1321,7 +1321,54 @@ object Relational {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(doc_id) AS last_doc
              |FROM documents WHERE doc_id % 16 NOT IN (3, 5, 11)
              |GROUP BY kb ORDER BY kb""".stripMargin),
-      "metadata-grain DELETE via catalog SQL: tombstone snapshot in one atomic swap, zero data bytes moved; the post-purge audit answers from pruned sidecar metadata")
+      "metadata-grain DELETE via catalog SQL: tombstone snapshot in one atomic swap, zero data bytes moved; the post-purge audit answers from pruned sidecar metadata"),
+
+    // ── Snapshots metadata table (q65 — Iceberg's t.snapshots shape) ──
+    // Retention and purge state as a QUERYABLE TABLE: one row per
+    // retained snapshot with the keys/rows a reader of that snapshot
+    // sees (its generation's sidecar minus its tombstones) and the
+    // tombstone count. The layout here is staged retain=2 then purged
+    // of three buckets through the Table API's deleteWhere — the same
+    // tombstone commit DELETE FROM makes — so the table shows the
+    // before/after pair every audited purge needs: seq 1 full, seq 2
+    // minus three buckets with tombstoned_keys=3. Driver-computed from
+    // retain × |key domain| sidecar lines, zero data files opened — at
+    // 100 TB the audit costs what the metadata costs, like the
+    // snapshot operations themselves.
+    "q65_snapshot_audit" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#snapaudit")({
+          val out = graft.io.TempDirs.scratch("graft_snapaud_") + "/bykb"
+          graft.sources.KeyedSource.stageKeyed(s,
+            t(s, dir, "documents").selectExpr("doc_id % 16 AS kb", "doc_id", "n_chars"),
+            out, "kb", sortBy = Seq("doc_id"), retain = 2)
+          new graft.sources.KeyedTable(
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "kb BIGINT, doc_id BIGINT, n_chars BIGINT"), out, "kb")
+            .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+              org.apache.spark.sql.sources.In("kb", Array(3L, 5L, 11L))))
+          out
+        })
+        s.read.format("graft-keyed").option("path", path)
+          .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+          .option("key", "kb")
+          .option("metadata", "snapshots").load()
+          .orderBy("seq")
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS seq,
+             |  CAST(count(DISTINCT doc_id % 16) AS BIGINT) AS live_keys,
+             |  CAST(0 AS BIGINT) AS tombstoned_keys,
+             |  count(*) AS live_rows
+             |FROM documents
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT),
+             |  CAST(count(DISTINCT CASE WHEN doc_id % 16 NOT IN (3, 5, 11)
+             |    THEN doc_id % 16 END) AS BIGINT),
+             |  CAST(3 AS BIGINT),
+             |  count(CASE WHEN doc_id % 16 NOT IN (3, 5, 11) THEN 1 END)
+             |FROM documents
+             |ORDER BY seq""".stripMargin),
+      "snapshots metadata table: retention and purge state queryable from SQL — per retained snapshot, the visible keys/rows and tombstone count, zero data files opened")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table

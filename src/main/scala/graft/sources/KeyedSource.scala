@@ -62,22 +62,68 @@ import org.apache.spark.unsafe.types.UTF8String
 class KeyedSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-keyed"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+  // a metadata table has its OWN schema (Spark binds the relation to
+  // Table.schema(), so this must be decided before getTable — the
+  // Iceberg t.snapshots shape, routed by a read option here because
+  // the path-based provider has no multi-part identifiers)
+  private def metadataTable(options: java.util.Map[String, String]): Option[String] =
+    Option(options.get("metadata")).map {
+      case ok @ "snapshots" => ok
+      case other => throw new IllegalArgumentException(
+        s"graft-keyed has no metadata table '$other' (supported: snapshots)")
+    }
+
+  private def declaredSchema(options: java.util.Map[String, String]): StructType =
     StructType.fromDDL(Option(options.get("schema")).getOrElse(
       throw new IllegalArgumentException(
         "graft-keyed requires a DECLARED schema (option 'schema', DDL form)")))
 
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    metadataTable(options) match {
+      case Some(_) =>
+        declaredSchema(options) // the LAYOUT schema must still parse (the sidecar reads need it)
+        KeyedSnapshotsScan.Schema
+      case None => declaredSchema(options)
+    }
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new KeyedTable(schema, properties.get("path"),
-      Option(properties.get("key")).getOrElse(throw new IllegalArgumentException(
-        "graft-keyed requires option 'key' (the layout's key column)")),
-      Option(properties.get("sortBy")).toSeq
-        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
-      retain = Option(properties.get("retain")).map(_.toInt).getOrElse(1),
-      asOf = Option(properties.get("asOf")).map(_.toLong))
+      properties: java.util.Map[String, String]): Table = {
+    val key = Option(properties.get("key")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-keyed requires option 'key' (the layout's key column)"))
+    metadataTable(properties) match {
+      case Some(_) =>
+        new KeyedSnapshotsTable(declaredSchema(properties),
+          properties.get("path"), key)
+      case None =>
+        new KeyedTable(schema, properties.get("path"), key,
+          Option(properties.get("sortBy")).toSeq
+            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+          retain = Option(properties.get("retain")).map(_.toInt).getOrElse(1),
+          asOf = Option(properties.get("asOf")).map(_.toLong))
+    }
+  }
 
   override def supportsExternalMetadata(): Boolean = true
+}
+
+/** The `snapshots` metadata table (read option `metadata=snapshots`):
+  * its relation schema is [[KeyedSnapshotsScan.Schema]], not the
+  * layout's — which is why it is a separate [[Table]], not a scan
+  * branch inside [[KeyedTable]]. */
+final class KeyedSnapshotsTable(declared: StructType, path: String, key: String)
+    extends Table with SupportsRead {
+  require(path != null, "graft-keyed requires option 'path' (the staged key directory)")
+  require(declared.fieldNames.contains(key),
+    s"key column '$key' must be part of the declared schema ${declared.simpleString}")
+  override def name(): String = s"graft-keyed-snapshots:$path"
+  override def schema(): StructType = KeyedSnapshotsScan.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KeyedSnapshotsScanBuilder(declared, path, key,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 }
 
 /** BATCH_READ only — NO streaming leg, by analysis (r13 verdict #4;

@@ -259,6 +259,63 @@ final class KeyedStatsReaderFactory extends PartitionReaderFactory {
     }
 }
 
+/** The `snapshots` METADATA TABLE (read option `metadata=snapshots` —
+  * Iceberg's `t.snapshots` shape): one row per RETAINED snapshot with
+  * `seq`, `live_keys`/`live_rows` (that generation's sidecar entries
+  * minus its tombstones — what a reader of the snapshot would see),
+  * and `tombstoned_keys`. Makes retention and purge state queryable
+  * from SQL — the audit q64's workflow needs ("what did the purge
+  * remove, and which snapshots still see it?") without shelling into
+  * layout internals. Driver-computed like [[KeyedStatsScan]] (bounded
+  * by retain × |key domain| sidecar lines, zero data files) and
+  * reusing its partition/reader. A layout with no commit log (legacy
+  * flat stage) reports ZERO snapshots — nothing was committed, so
+  * nothing is claimed; a committed generation whose sidecar is missing
+  * (foreign mutation) reports NULL keys/rows rather than guessing. */
+final class KeyedSnapshotsScanBuilder(declared: StructType, path: String,
+    key: String, conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.read.ScanBuilder {
+  override def build(): Scan = new KeyedSnapshotsScan(declared, path, key, conf)
+}
+
+object KeyedSnapshotsScan {
+  import org.apache.spark.sql.types.StructField
+  val Schema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("live_keys", LongType, nullable = true),
+    StructField("tombstoned_keys", LongType, nullable = false),
+    StructField("live_rows", LongType, nullable = true)))
+}
+
+final class KeyedSnapshotsScan(declared: StructType, path: String, key: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends Scan with Batch {
+  override def readSchema(): StructType = KeyedSnapshotsScan.Schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftKeyedSnapshots path=$path (metadata table, zero data files)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rows: Array[Array[Any]] =
+      KeyedSource.readCommitLog(path, conf.value) match {
+        case None => Array.empty
+        case Some(log) => log.snapshots.toArray.map { snap =>
+          val genRoot = new org.apache.hadoop.fs.Path(path, snap.gen).toString
+          val visible = KeyedStats.read(genRoot, conf, declared, key)
+            .map(_.entries.filterNot(e => snap.tombstones.contains(e.rawKey)))
+          Array[Any](snap.seq,
+            visible.fold(null: Any)(v => v.length.toLong),
+            snap.tombstones.size.toLong,
+            visible.fold(null: Any)(_.map(_.count).sum))
+        }
+      }
+    Array(KeyedStatsPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KeyedStatsReaderFactory
+}
+
 object KeyedStatsScan {
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate._

@@ -152,6 +152,26 @@ class KeyedSnapshotSpec extends SparkSpec {
     assert(readKeyed(dir, asOf = Some(1L)).count() == 64L)
     assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 1")
       .head().getLong(0) == 64L)
+
+    // … and the snapshots METADATA TABLE reports the before/after pair
+    val meta = spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", ddl).option("key", "kb")
+      .option("metadata", "snapshots").load().orderBy("seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(meta.toSeq == Seq((1L, 4L, 0L, 64L), (2L, 2L, 2L, 32L)), meta.toSeq)
+    // zero data files: the executed plan is the metadata scan
+    val mplan = spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", ddl).option("key", "kb")
+      .option("metadata", "snapshots").load()
+      .queryExecution.executedPlan.toString
+    assert(mplan.contains("GraftKeyedSnapshots"), mplan)
+    // unknown metadata tables refuse with the supported list
+    val um = intercept[Exception] {
+      spark.read.format("graft-keyed").option("path", dir)
+        .option("schema", ddl).option("key", "kb")
+        .option("metadata", "files").load()
+    }
+    assert(um.getMessage.contains("snapshots"), um.getMessage)
   }
 
   test("unconstrained DELETE empties the table; non-key predicates refuse") {
@@ -188,6 +208,10 @@ class KeyedSnapshotSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM $t").count() == 16L)
     val e = intercept[Exception] { spark.sql(s"DELETE FROM $t WHERE kb = 1") }
     assert(e.getMessage.contains("restage"), e.getMessage)
+    // nothing committed ⇒ the snapshots metadata table claims nothing
+    assert(spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", ddl).option("key", "kb")
+      .option("metadata", "snapshots").load().count() == 0L)
   }
 
   test("catalog DDL/DML: INSERT OVERWRITE commits, INSERT INTO refuses, DROP leaves bytes") {
