@@ -100,8 +100,7 @@ final class PageScanBuilder(full: StructType, path: String,
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
   private var required: StructType = full
-  private var lo = Long.MinValue
-  private var hi = Long.MaxValue
+  private var ranges: Seq[(Long, Long)] = PageSource.FullRange
   private var accepted: Array[Filter] = Array.empty
   // set whenever pushFilters saw ANY filter, accepted or not: a filter
   // the builder ignores (e.g. lang = 'en') leaves lo/hi/accepted
@@ -126,28 +125,62 @@ final class PageScanBuilder(full: StructType, path: String,
     * as residual and Spark re-applies the exact predicate post-scan —
     * the same honor-but-recheck contract parquet row-group stats use.
     * The interval model assumes NONNEGATIVE keys (truncate-toward-zero
-    * `div` paging); the stager enforces doc_id >= 0 at write time. */
+    * `div` paging); the stager enforces doc_id >= 0 at write time.
+    *
+    * The constraint is an interval SET, not one envelope, so
+    * disjunctions prune too: `doc_id = 5 OR doc_id = 900005` (two
+    * point ranges, two pages), `IN (…)`, and OR-of-BETWEENs all plan
+    * O(matching pages). [[rangesOf]] computes a SUPERSET cover by
+    * construction — an arm the model cannot answer (non-key column,
+    * wrong-typed literal) widens ITS disjunct to the full line —
+    * which is all a lossy grain needs: over-wide only reads extra
+    * pages, never wrong rows. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     if (filters.nonEmpty) sawFilters = true
-    def num(v: Any): Option[Long] = v match {
-      case n: Number => Some(n.longValue)
-      case _ => None
-    }
-    filters.foreach {
-      case EqualTo("doc_id", v) => num(v).foreach { n =>
-        lo = math.max(lo, n); hi = math.min(hi, n)
-        accepted :+= EqualTo("doc_id", v) }
-      case GreaterThan("doc_id", v) => num(v).foreach { n =>
-        lo = math.max(lo, n + 1); accepted :+= GreaterThan("doc_id", v) }
-      case GreaterThanOrEqual("doc_id", v) => num(v).foreach { n =>
-        lo = math.max(lo, n); accepted :+= GreaterThanOrEqual("doc_id", v) }
-      case LessThan("doc_id", v) => num(v).foreach { n =>
-        hi = math.min(hi, n - 1); accepted :+= LessThan("doc_id", v) }
-      case LessThanOrEqual("doc_id", v) => num(v).foreach { n =>
-        hi = math.min(hi, n); accepted :+= LessThanOrEqual("doc_id", v) }
-      case _ => ()
+    filters.foreach { f =>
+      val rs = rangesOf(f)
+      if (rs != PageSource.FullRange) {
+        ranges = PageSource.intersectRanges(ranges, rs)
+        accepted :+= f
+      }
     }
     filters
+  }
+
+  private def num(v: Any): Option[Long] = v match {
+    case n: Number => Some(n.longValue)
+    case _ => None
+  }
+
+  /** Interval set COVERING one filter subtree's doc_id constraint —
+    * Or unions, And intersects, unknown leaves widen to the full line
+    * (superset cover; see pushFilters). Sets are capped
+    * ([[PageSource.capRanges]]) so an adversarial predicate cannot
+    * blow up planning. */
+  private def rangesOf(f: Filter): Seq[(Long, Long)] = {
+    val Full = PageSource.FullRange
+    f match {
+      case EqualTo("doc_id", v) => num(v).fold(Full)(n => Seq((n, n)))
+      case GreaterThan("doc_id", v) =>
+        // n+1 with an overflow guard (doc_id > Long.MaxValue is empty)
+        num(v).fold(Full)(n =>
+          if (n == Long.MaxValue) Seq.empty else Seq((n + 1, Long.MaxValue)))
+      case GreaterThanOrEqual("doc_id", v) =>
+        num(v).fold(Full)(n => Seq((n, Long.MaxValue)))
+      case LessThan("doc_id", v) =>
+        num(v).fold(Full)(n =>
+          if (n == Long.MinValue) Seq.empty else Seq((Long.MinValue, n - 1)))
+      case LessThanOrEqual("doc_id", v) =>
+        num(v).fold(Full)(n => Seq((Long.MinValue, n)))
+      case In("doc_id", vs) if vs != null =>
+        val ns = vs.toSeq.filter(_ != null).map(num)
+        if (ns.nonEmpty && ns.forall(_.isDefined))
+          PageSource.capRanges(ns.flatten.map(n => (n, n)))
+        else Full
+      case And(l, r) => PageSource.intersectRanges(rangesOf(l), rangesOf(r))
+      case Or(l, r) => PageSource.capRanges(rangesOf(l) ++ rangesOf(r))
+      case _ => Full
+    }
   }
   override def pushedFilters(): Array[Filter] = accepted
 
@@ -192,7 +225,7 @@ final class PageScanBuilder(full: StructType, path: String,
 
   override def build(): Scan =
     if (countOnly) new PageCountScan(path, conf)
-    else new PageScan(full, required, path, conf, lo, hi, limit, vectorize,
+    else new PageScan(full, required, path, conf, ranges, limit, vectorize,
       reportStats)
 }
 
@@ -203,7 +236,7 @@ final class PageScanBuilder(full: StructType, path: String,
   * scheduler is the rate limiter, which is the point. */
 final class PageScan(full: StructType, required: StructType, path: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    lo: Long = Long.MinValue, hi: Long = Long.MaxValue, limit: Int = -1,
+    ranges: Seq[(Long, Long)] = PageSource.FullRange, limit: Int = -1,
     vectorize: Boolean = true, reportStats: Boolean = true)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -224,7 +257,7 @@ final class PageScan(full: StructType, required: StructType, path: String,
     else {
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
       java.util.OptionalLong.of(
-        PageSource.planPages(path, conf, lo, hi).map(p =>
+        PageSource.planPages(path, conf, ranges).map(p =>
           fs.getContentSummary(new org.apache.hadoop.fs.Path(
             p.asInstanceOf[PagePartition].pageDir)).getLength).sum)
     }
@@ -238,12 +271,17 @@ final class PageScan(full: StructType, required: StructType, path: String,
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftPages path=$path pruned=${required.fieldNames.mkString(",")}" +
-      (if (lo != Long.MinValue || hi != Long.MaxValue) s" keyrange=[$lo,$hi]" else "") +
+      (ranges match {
+        case PageSource.FullRange => ""
+        case Seq((lo, hi)) => s" keyrange=[$lo,$hi]"
+        case rs => s" keyranges=${rs.take(4).map { case (l, h) => s"[$l,$h]" }
+          .mkString(",")}${if (rs.length > 4) s"+${rs.length - 4}" else ""}"
+      }) +
       (if (limit >= 0) s" limit=$limit" else "") +
       (if (vectorize) "" else " rowdecode")
 
   override def planInputPartitions(): Array[InputPartition] =
-    PageSource.planPages(path, conf, lo, hi)
+    PageSource.planPages(path, conf, ranges)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PageReaderFactory(full, required, conf, limit, vectorize)
@@ -425,7 +463,7 @@ final class PageCountScan(path: String,
   // without listing) keeps the two scan paths convergent on layouts
   // the registered stager never produces but a foreign layout could.
   override def planInputPartitions(): Array[InputPartition] = {
-    val pages = PageSource.planPages(path, conf, Long.MinValue, Long.MaxValue)
+    val pages = PageSource.planPages(path, conf, PageSource.FullRange)
     if (pages.isEmpty) Array(PagePartition("")) else pages
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -464,13 +502,55 @@ object PageSource {
     * so the data reader skips it like _SUCCESS. */
   val MetaFile = "_graft_page_size"
 
+  /** The unconstrained interval set: one interval covering the line.
+    * Identity for [[intersectRanges]]; [[capRanges]] normalizes any
+    * set containing the full line back to this, so "prunes nothing"
+    * has ONE representation (what pushFilters' accepted test needs). */
+  private[sources] val FullRange: Seq[(Long, Long)] =
+    Seq((Long.MinValue, Long.MaxValue))
+
+  /** Normalize an interval set: sort, merge overlapping/adjacent,
+    * collapse a full-line member to [[FullRange]], and cap at 64
+    * intervals (collapse to the envelope — still a superset cover, so
+    * pruning stays exact-or-wider) so an adversarial predicate cannot
+    * blow up planning. */
+  private[sources] def capRanges(rs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    if (rs.isEmpty) return rs
+    if (rs.contains((Long.MinValue, Long.MaxValue))) return FullRange
+    val sorted = rs.sortBy(_._1)
+    val merged = scala.collection.mutable.ArrayBuffer(sorted.head)
+    sorted.tail.foreach { case (l, h) =>
+      val (ml, mh) = merged.last
+      if (mh != Long.MaxValue && l <= mh + 1) // overlapping or adjacent
+        merged(merged.length - 1) = (ml, math.max(mh, h))
+      else if (mh == Long.MaxValue) () // last already covers the tail
+      else merged += ((l, h))
+    }
+    val out = merged.toSeq
+    if (out == FullRange) FullRange
+    else if (out.length <= 64) out
+    else Seq((out.map(_._1).min, out.map(_._2).max))
+  }
+
+  /** Pairwise interval-set intersection (the AND of two covers). */
+  private[sources] def intersectRanges(a: Seq[(Long, Long)],
+      b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    capRanges(for {
+      (al, ah) <- a
+      (bl, bh) <- b
+      l = math.max(al, bl)
+      h = math.min(ah, bh)
+      if l <= h
+    } yield (l, h))
+
   /** Shared partition planning for row and count scans: one directory
     * listing (page COUNT metadata, never payload), key-interval page
-    * pruning when a doc_id range was pushed and the layout records its
-    * page size. */
+    * pruning when a doc_id constraint was pushed and the layout
+    * records its page size. A page survives when its key interval
+    * intersects ANY pushed interval. */
   private[sources] def planPages(path: String,
       conf: org.apache.spark.util.SerializableConfiguration,
-      lo: Long, hi: Long): Array[InputPartition] = {
+      ranges: Seq[(Long, Long)]): Array[InputPartition] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf.value)
     // page id → key interval needs the endpoint's page size — API
@@ -488,7 +568,8 @@ object PageSource {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("page="))
       .filter { s =>
         val page = s.getPath.getName.stripPrefix("page=").toLong
-        pageSize.forall(ps => page * ps <= hi && page * ps + ps - 1 >= lo)
+        pageSize.forall(ps => ranges.exists { case (lo, hi) =>
+          page * ps <= hi && page * ps + ps - 1 >= lo })
       }
       .sortBy(s => s.getPath.getName.stripPrefix("page=").toLong)
       .map(s => PagePartition(s.getPath.toString): InputPartition)

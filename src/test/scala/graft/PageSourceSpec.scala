@@ -75,6 +75,46 @@ class PageSourceSpec extends SparkSpec {
     assert(none.rdd.getNumPartitions == 0 && none.count() == 0L)
   }
 
+  test("disjunctions prune pages: OR of points/ranges plans the union, unknown arms widen") {
+    // pageSize=8: doc_id 5 lives in page 0 ([0,7]), 100 in page 12
+    // ([96,103]) — two pages, not all of them
+    val or = readPages(staged)
+      .filter(col("doc_id") === 5L || col("doc_id") === 100L)
+    assert(or.rdd.getNumPartitions == 2,
+      "OR of two points must plan exactly their two pages")
+    assert(or.orderBy("doc_id").collect().map(_.getLong(0)).toSeq == Seq(5L, 100L))
+    val scans = or.queryExecution.sparkPlan.collectLeaves()
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    assert(scans.head.scan.description().contains("keyranges="),
+      scans.head.scan.description())
+    // IN lists prune the same way
+    val in = readPages(staged).filter(col("doc_id").isin(5L, 100L))
+    assert(in.rdd.getNumPartitions == 2)
+    assert(in.count() == 2L)
+    // OR of two BETWEENs: [17,24] spans pages 2-3, [80,83] page 10
+    val betw = readPages(staged).filter(
+      (col("doc_id") >= 17L && col("doc_id") <= 24L) ||
+        (col("doc_id") >= 80L && col("doc_id") <= 83L))
+    assert(betw.rdd.getNumPartitions == 3)
+    assert(betw.count() == Tables.load(spark, sf0001, "documents")
+      .filter("(doc_id BETWEEN 17 AND 24) OR (doc_id BETWEEN 80 AND 83)").count())
+    // an arm the interval model cannot answer widens ITS disjunct to
+    // the full line: all pages planned, residual recheck exact
+    val full = readPages(staged).rdd.getNumPartitions
+    val mixed = readPages(staged)
+      .filter(col("doc_id") === 5L || col("lang") === "en")
+    assert(mixed.rdd.getNumPartitions == full,
+      "an unknown OR arm must not prune any page")
+    assert(mixed.count() == Tables.load(spark, sf0001, "documents")
+      .filter("doc_id = 5 OR lang = 'en'").count())
+    // contradictions now prune to zero pages (the interval set goes
+    // empty; the old single-envelope model read pages the residual
+    // then emptied)
+    val contra = readPages(staged)
+      .filter(col("doc_id") === 5L && col("doc_id") === 100L)
+    assert(contra.rdd.getNumPartitions == 0 && contra.count() == 0L)
+  }
+
   test("declared schema is required — a paged API has no footer to infer from") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("graft-pages").option("path", staged).load()
