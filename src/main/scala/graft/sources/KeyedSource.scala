@@ -99,8 +99,10 @@ class KeyedSourceProvider extends TableProvider with DataSourceRegister {
         new KeyedTable(schema, properties.get("path"), key,
           Option(properties.get("sortBy")).toSeq
             .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
-          retain = Option(properties.get("retain")).map(_.toInt).getOrElse(1),
-          asOf = Option(properties.get("asOf")).map(_.toLong))
+          retain = KeyedSource.numericOption(properties.get("retain"),
+            "retain", "a snapshot count like retain=2")(_.toInt).getOrElse(1),
+          asOf = KeyedSource.numericOption(properties.get("asOf"),
+            "asOf", "a snapshot sequence number like asOf=3")(_.toLong))
     }
   }
 
@@ -188,7 +190,9 @@ final class KeyedTable(declared: StructType, path: String, key: String,
       options.getBoolean("reportStats", true),
       // snapshot pin: scan option first (DataFrameReader path), table
       // pin second (catalog VERSION AS OF — GraftCatalog.loadTable)
-      asOf = Option(options.get("asOf")).map(_.toLong).orElse(asOf))
+      asOf = KeyedSource.numericOption(options.get("asOf"),
+        "asOf", "a snapshot sequence number like asOf=3")(_.toLong)
+        .orElse(asOf))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -258,58 +262,72 @@ final class KeyedTable(declared: StructType, path: String, key: String,
       s"graft-keyed cannot delete through a snapshot pin (asOf=${asOf.get})")
     val hconf = org.apache.spark.sql.SparkSession.active
       .sessionState.newHadoopConf()
-    val log = KeyedSource.readCommitLog(path, hconf).getOrElse(
-      throw new UnsupportedOperationException(
-        s"graft-keyed DELETE is metadata-grain (snapshot-log tombstones) and " +
-          s"requires a generation-committed layout, but $path has no commit " +
-          "log (legacy flat stage) — restage through the connector writer first"))
-    val head = log.head
-    // every key the head generation actually STORES: the tombstone
-    // universe. Asked-for values outside it match no stored row by
-    // construction (absent directory, or a string the writer's dirname
-    // alphabet refused at stage time), so dropping them is exact — and
-    // they must never reach the log, whose comma/US/newline framing an
-    // unvalidated string like "a,b" or "x\ny" would silently corrupt
-    // (r15 review: that could tombstone unrelated live keys, or brick
-    // the table's metadata outright)
-    val stored: Set[String] = {
-      val gen = new org.apache.hadoop.fs.Path(path, head.gen)
-      val fs = gen.getFileSystem(hconf)
-      fs.listStatus(gen).toSeq.collect {
-        case s if s.isDirectory && s.getPath.getName.startsWith("k=") =>
-          s.getPath.getName.stripPrefix("k=")
-      }.toSet
+    // the whole read-compute-publish runs inside the CAS retry loop: a
+    // racing commit (overwrite, another delete, a row-level rewrite)
+    // swapping the head between our read and our claim makes the loop
+    // RECOMPUTE against the fresh head — the stored-key universe and
+    // the tombstone base both move with it, so the delete serializes
+    // after the winner instead of silently superseding it
+    var dropped = Set.empty[String]
+    val published = KeyedSource.commitLoop(path, hconf, "DELETE commit") { prior =>
+      val log = prior.getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft-keyed DELETE is metadata-grain (snapshot-log tombstones) and " +
+            s"requires a generation-committed layout, but $path has no commit " +
+            "log (legacy flat stage) — restage through the connector writer first"))
+      val head = log.head
+      // every key the head snapshot actually STORES (base generation
+      // directories minus tombstones, plus row-level edit keys): the
+      // tombstone universe. Asked-for values outside it match no stored
+      // row by construction (absent directory, or a string the writer's
+      // dirname alphabet refused at stage time), so dropping them is
+      // exact — and they must never reach the log, whose
+      // comma/US/newline framing an unvalidated string like "a,b" or
+      // "x\ny" would silently corrupt (r15 review: that could tombstone
+      // unrelated live keys, or brick the table's metadata outright)
+      val stored: Set[String] = {
+        val gen = new org.apache.hadoop.fs.Path(path, head.gen)
+        val fs = gen.getFileSystem(hconf)
+        val base = if (fs.exists(gen)) fs.listStatus(gen).toSeq.collect {
+          case s if s.isDirectory && s.getPath.getName.startsWith("k=") =>
+            s.getPath.getName.stripPrefix("k=")
+        }.toSet else Set.empty[String]
+        (base -- head.tombstones) ++ head.edits.keySet
+      }
+      val doomed: Set[String] = tombstoneSet(filters)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-keyed can only delete at key grain, got " +
+            filters.mkString(" AND ")))
+        // unconstrained (DELETE FROM t / TRUNCATE) deletes every stored
+        // key — still metadata-only
+        .fold(stored)(_ intersect stored)
+      // idempotent no-op: a delete that changes nothing visible (dead
+      // keys, never-stored keys) burns no snapshot and cannot expire
+      // live history out of the window
+      if (doomed.isEmpty) None else {
+        // a DELETE carries no write options, so it must never SHRINK
+        // the window as a side effect: honor the wider of the log's
+        // persisted retain and this table handle's declared one (a
+        // catalog table registered with retain=2 over a retain=1
+        // layout widens it here)
+        val keep = math.max(math.max(log.retain, retain), 1)
+        val snap = KeyedSource.Snapshot(head.seq + 1, head.gen,
+          head.tombstones ++ doomed, head.edits -- doomed)
+        val snapshots = (log.snapshots :+ snap).takeRight(keep)
+        def gensOf(ss: Seq[KeyedSource.Snapshot]) =
+          ss.flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet
+        dropped = gensOf(log.snapshots) -- gensOf(snapshots)
+        Some(KeyedSource.CommitLog(keep, snapshots))
+      }
     }
-    val doomed: Set[String] = tombstoneSet(filters)
-      .getOrElse(throw new IllegalArgumentException(
-        s"graft-keyed can only delete at key grain, got " +
-          filters.mkString(" AND ")))
-      // unconstrained (DELETE FROM t / TRUNCATE) deletes every stored
-      // key — still metadata-only
-      .fold(stored)(_ intersect stored)
-    val fresh = doomed -- head.tombstones
-    // idempotent no-op: a delete that changes nothing visible (dead
-    // keys, never-stored keys) burns no snapshot and cannot expire
-    // live history out of the window
-    if (fresh.isEmpty) return
-    // a DELETE carries no write options, so it must never SHRINK the
-    // window as a side effect: honor the wider of the log's persisted
-    // retain and this table handle's declared one (a catalog table
-    // registered with retain=2 over a retain=1 layout widens it here)
-    val keep = math.max(math.max(log.retain, retain), 1)
-    val snap = KeyedSource.Snapshot(head.seq + 1, head.gen,
-      head.tombstones ++ fresh)
-    val snapshots = (log.snapshots :+ snap).takeRight(keep)
-    KeyedSource.publishLog(path, KeyedSource.CommitLog(keep, snapshots), hconf)
     // targeted expiry: only generations this commit's window-trim
     // dropped — never the blanket _gen-* sweep (which belongs to WRITE
     // commits; from a "metadata-only" delete it could reap an
     // in-flight writer's staging directory)
-    val droppedGens = log.snapshots.map(_.gen).toSet -- snapshots.map(_.gen).toSet
-    if (droppedGens.nonEmpty) {
+    if (published.isDefined && dropped.nonEmpty) {
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(hconf)
-      droppedGens.foreach(g =>
+      dropped.foreach(g =>
         fs.delete(new org.apache.hadoop.fs.Path(root, g), true))
     }
   }
@@ -939,17 +957,35 @@ object KeyedSource {
   // generation directory — history of a 10-key purge costs bytes of
   // metadata, not a second copy of the corpus.
 
-  /** Commit-log file: retained snapshots, oldest→newest, head last.
-    * Present ⇒ the layout is generation-committed and readers resolve
-    * through it; absent ⇒ legacy flat layout, read as-is. */
+  /** Commit-log base name. Since r16 the log is published as VERSIONED
+    * files `_graft_keyed_commit.v<seq>` (each holding the full retained
+    * window whose head is <seq>), claimed by an ATOMIC EXCLUSIVE create
+    * — the CAS that closes the r15 last-rename-wins lost-update window:
+    * two committers racing for the same next seq cannot both win, the
+    * loser re-reads the fresh log (which now contains the winner's
+    * snapshot) and retries, so the log NEVER loses a commit. Readers
+    * resolve the highest seq on disk. The bare `_graft_keyed_commit`
+    * single file is the legacy (pre-r16) form, still readable; the
+    * first CAS commit over it sweeps it. Absent ⇒ legacy flat layout,
+    * read as-is. */
   val CommitFile = "_graft_keyed_commit"
   private val CommitVersionV1 = "graft-keyed-commit v1"
-  private val CommitVersion = "graft-keyed-commit v2"
+  private val CommitVersionV2 = "graft-keyed-commit v2"
+  private val CommitVersion = "graft-keyed-commit v3"
+  private val VersionedName = s"""\\Q$CommitFile\\E\\.v(\\d+)""".r
 
-  /** One committed snapshot: monotone sequence number, the generation
-    * directory it reads from, and the keys tombstoned out of view
-    * (raw `k=<v>` dirnames — the same strings the listing prunes by). */
-  final case class Snapshot(seq: Long, gen: String, tombstones: Set[String])
+  /** One committed snapshot: monotone sequence number, the BASE
+    * generation directory it reads from, the keys tombstoned out of
+    * view (raw `k=<v>` dirnames — the same strings the listing prunes
+    * by), and per-key EDITS — keys whose live content is served by
+    * OTHER generations' `k=<v>/` directories instead of (or, for
+    * multi-entry lists, appended after) the base generation's
+    * (row-level copy-on-write commits reference unchanged keys from
+    * the base generation and rewritten/inserted keys from their own;
+    * files are referenced, never copied). `edits` and `tombstones`
+    * are disjoint by construction. */
+  final case class Snapshot(seq: Long, gen: String, tombstones: Set[String],
+      edits: Map[String, Seq[String]] = Map.empty)
 
   /** The retained snapshot window plus the retention width that
     * produced it (delete commits inherit `retain` from here — they
@@ -963,6 +999,14 @@ object KeyedSource {
     * every write EXCEPT the pointer swap, then throws — simulating a
     * failure between audit and publish. */
   @volatile private[graft] var failBeforePublish = false
+
+  /** Race test seam (KeyedCasSpec): a ONE-SHOT callback fired between a
+    * commit's read-build and its CAS claim — lets a spec interleave a
+    * racing commit deterministically in the exact window the CAS
+    * protects. One-shot (getAndSet null) so the racing commit's own
+    * loop cannot re-fire it. */
+  private[graft] val raceHook =
+    new java.util.concurrent.atomic.AtomicReference[Runnable]()
 
   /** Resolve the root readers should list (head snapshot): the
     * committed generation when a log exists, the path itself otherwise.
@@ -1011,41 +1055,88 @@ object KeyedSource {
   private[graft] def committedRoot(spark: SparkSession, path: String): String =
     effectiveRoot(path, spark.sessionState.newHadoopConf())
 
-  /** Parse the commit log. v1 single-pointer content (pre-snapshot-log
-    * commits) reads as a one-snapshot window — seq 1, no tombstones,
-    * retain 1 — so a layout committed by older code keeps resolving.
+  /** Versioned log files under `path`, as (seq, fileName), unsorted. */
+  private def versionedLogs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(Long, String)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.flatMap(s => s.getPath.getName match {
+      case VersionedName(seq) if s.isFile => Some((seq.toLong, s.getPath.getName))
+      case _ => None
+    })
+
+  /** Parse the commit log: the HIGHEST versioned file, or the legacy
+    * single file when none exists. v1 single-pointer content
+    * (pre-snapshot-log commits) reads as a one-snapshot window — seq 1,
+    * no tombstones, retain 1 — and v2 (pre-CAS) single-file content
+    * still parses, so layouts committed by older code keep resolving.
     * A present but unparseable file fails loudly: corruption of a file
-    * this connector owns, not a foreign layout. */
+    * this connector owns, not a foreign layout. A versioned file
+    * vanishing between list and read is a RACING COMMIT's cleanup of a
+    * superseded log, not corruption — re-list and resolve the newer
+    * head. */
   private[graft] def readCommitLog(path: String,
       hconf: org.apache.hadoop.conf.Configuration): Option[CommitLog] = {
-    val p = new org.apache.hadoop.fs.Path(path, CommitFile)
-    val fs = p.getFileSystem(hconf)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val versioned = versionedLogs(fs, root)
+      val p =
+        if (versioned.nonEmpty)
+          new org.apache.hadoop.fs.Path(root, versioned.maxBy(_._1)._2)
+        else new org.apache.hadoop.fs.Path(root, CommitFile)
+      if (versioned.isEmpty && !fs.exists(p)) return None
+      try {
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        return Some(parseCommitLog(path, text))
+      } catch {
+        case _: java.io.FileNotFoundException if attempt < 8 => () // re-list
+      }
+    }
+    None // unreachable
+  }
+
+  private def parseCommitLog(path: String, text: String): CommitLog = {
     def corrupt(): Nothing = throw new IllegalStateException(
       s"graft-keyed commit log corrupted at $path: '${text.take(80)}'")
+    def long(s: String): Long =
+      // numeric corruption must route through corrupt() (path + head
+      // of the file in the message), not leak a bare
+      // NumberFormatException with no context
+      try s.toLong catch { case _: NumberFormatException => corrupt() }
+    def parseEdits(csv: String): Map[String, Seq[String]] =
+      csv.split(",", -1).filter(_.nonEmpty).map { pair =>
+        pair.split(":", -1) match {
+          case Array(k, gens) if k.nonEmpty && gens.nonEmpty =>
+            k -> gens.split("\\|", -1).filter(_.nonEmpty).toSeq
+          case _ => corrupt()
+        }
+      }.toMap
     val lines = text.split("\n", -1).filter(_.nonEmpty)
     if (lines.isEmpty) corrupt()
     lines.head.split(PageSource.US, -1) match {
       case Array(CommitVersionV1, gen) if gen.nonEmpty && lines.length == 1 =>
-        Some(CommitLog(1, Seq(Snapshot(1L, gen, Set.empty))))
-      case Array(CommitVersion, retain) if lines.length >= 2 =>
-        // numeric corruption must route through corrupt() (path + head
-        // of the file in the message), not leak a bare
-        // NumberFormatException with no context
-        def long(s: String): Long =
-          try s.toLong catch { case _: NumberFormatException => corrupt() }
+        CommitLog(1, Seq(Snapshot(1L, gen, Set.empty)))
+      case Array(v, retain) if (v == CommitVersion || v == CommitVersionV2) &&
+          lines.length >= 2 =>
         val snaps = lines.tail.toSeq.map { line =>
           line.split(PageSource.US, -1) match {
             case Array(seq, gen, tombCsv) if gen.nonEmpty =>
               Snapshot(long(seq), gen,
                 tombCsv.split(",", -1).filter(_.nonEmpty).toSet)
+            case Array(seq, gen, tombCsv, editsCsv) if gen.nonEmpty &&
+                v == CommitVersion =>
+              Snapshot(long(seq), gen,
+                tombCsv.split(",", -1).filter(_.nonEmpty).toSet,
+                parseEdits(editsCsv))
             case _ => corrupt()
           }
         }
         if (snaps.map(_.seq) != snaps.map(_.seq).sorted) corrupt()
-        Some(CommitLog(long(retain).toInt, snaps))
+        CommitLog(long(retain).toInt, snaps)
       case _ => corrupt()
     }
   }
@@ -1056,46 +1147,154 @@ object KeyedSource {
     log.snapshots.foreach { s =>
       sb.append(s.seq).append(PageSource.US).append(s.gen)
         .append(PageSource.US).append(s.tombstones.toSeq.sorted.mkString(","))
+        .append(PageSource.US).append(s.edits.toSeq.sortBy(_._1)
+          .map { case (k, gs) => s"$k:${gs.mkString("|")}" }.mkString(","))
         .append('\n')
     }
     sb.toString
   }
 
-  /** Atomic publish: write the log to a temp name, then
-    * rename-with-overwrite onto [[CommitFile]] (FileContext.rename
-    * with OVERWRITE — atomic on HDFS and the local FS; the one-file
-    * swap is the entire visibility transition, for overwrite and
-    * delete commits alike). */
-  private[sources] def publishLog(path: String, log: CommitLog,
-      hconf: org.apache.hadoop.conf.Configuration): Unit = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(root, s"$CommitFile.tmp-${log.head.gen}-${log.head.seq}")
-    val dst = new org.apache.hadoop.fs.Path(root, CommitFile)
-    val fs = root.getFileSystem(hconf)
-    writeFile(fs, tmp, renderCommitLog(log))
-    // the .crc twin must not survive the rename with a stale checksum
-    val crc = new org.apache.hadoop.fs.Path(root, s".$CommitFile.crc")
-    if (fs.exists(crc)) fs.delete(crc, false)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, hconf)
-    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  /** ATOMIC EXCLUSIVE create of `dst` from fully-written `tmp`: true =
+    * this caller owns `dst`; false = `dst` already exists (a concurrent
+    * committer won the seq). On the local FS a HARD LINK carries the
+    * claim (POSIX link(2) is atomic and fails on an existing target —
+    * java.io rename silently overwrites, which is exactly the lost
+    * update this exists to prevent); elsewhere a no-overwrite
+    * FileContext rename (atomic on HDFS). Either way `dst` appears
+    * complete or not at all — content was finished in `tmp` first. */
+  private def claimExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Boolean = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri,
+          fs.getConf).rename(tmp, dst) // no OVERWRITE: fails if dst exists
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException
+            if e.getMessage != null && e.getMessage.contains("already exists") =>
+          false
+      }
+    }
   }
+
+  /** CAS publish: claim `_graft_keyed_commit.v<head.seq>` exclusively.
+    * TRUE = the commit is visible (and superseded log files, the legacy
+    * single file, and stale `.tmp-*` leftovers from crashed publishes
+    * were swept); FALSE = a concurrent committer claimed this seq first
+    * — the caller re-reads the fresh log (now containing the winner's
+    * snapshot) and rebuilds, so no commit is ever silently lost. */
+  private[graft] def publishLog(path: String, log: CommitLog,
+      hconf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val nonce = java.util.UUID.randomUUID().toString
+    val tmpName = s"$CommitFile.tmp-$nonce"
+    val tmp = new org.apache.hadoop.fs.Path(root, tmpName)
+    val dst = new org.apache.hadoop.fs.Path(root, s"$CommitFile.v${log.head.seq}")
+    writeFile(fs, tmp, renderCommitLog(log))
+    val won = claimExclusive(fs, tmp, dst)
+    // own tmp (and its checksum twin) goes either way — the claim
+    // copied/renamed it; a leftover would only accumulate (r15 ADVICE)
+    fs.delete(tmp, false)
+    val tmpCrc = new org.apache.hadoop.fs.Path(root, s".$tmpName.crc")
+    if (fs.exists(tmpCrc)) fs.delete(tmpCrc, false)
+    if (won) {
+      // sweep superseded artifacts: older versioned logs, the legacy
+      // single file, their checksum twins, and stale tmp files from
+      // crashed publishes. All best-effort AFTER the claim — readers
+      // resolve the max seq, so leftovers are dead weight, never a
+      // torn log; a racing reader that listed an older file re-lists
+      // on FileNotFound (readCommitLog).
+      versionedLogs(fs, root).filter(_._1 < log.head.seq).foreach { case (_, n) =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, n), false)
+        val c = new org.apache.hadoop.fs.Path(root, s".$n.crc")
+        if (fs.exists(c)) fs.delete(c, false)
+      }
+      val legacy = new org.apache.hadoop.fs.Path(root, CommitFile)
+      if (fs.exists(legacy)) fs.delete(legacy, false)
+      val legacyCrc = new org.apache.hadoop.fs.Path(root, s".$CommitFile.crc")
+      if (fs.exists(legacyCrc)) fs.delete(legacyCrc, false)
+      fs.listStatus(root).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith(s"$CommitFile.tmp-") && n != tmpName)
+          fs.delete(s.getPath, false)
+      }
+    }
+    won
+  }
+
+  /** Read-build-publish retry loop shared by every commit kind (write,
+    * delete, row-level). `build` sees the FRESH log each attempt (None
+    * = no log yet) and returns the candidate (None = nothing to commit,
+    * a visible no-op). A CAS loss re-runs `build` against the fresh log
+    * — the loser's snapshot lands AFTER the winner's in seq order;
+    * after `maxAttempts` losses it fails loudly rather than spin. */
+  private[sources] def commitLoop(path: String,
+      hconf: org.apache.hadoop.conf.Configuration, what: String,
+      maxAttempts: Int = 8)(
+      build: Option[CommitLog] => Option[CommitLog]): Option[CommitLog] = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val prior = readCommitLog(path, hconf)
+      build(prior) match {
+        case None => return None
+        case Some(candidate) =>
+          val h = raceHook.getAndSet(null)
+          if (h != null) h.run()
+          if (publishLog(path, candidate, hconf)) return Some(candidate)
+      }
+    }
+    throw new IllegalStateException(
+      s"graft-keyed $what at $path lost the commit race $maxAttempts times " +
+        "(another committer keeps claiming the next snapshot seq); giving up " +
+        "rather than spin — retry the operation")
+  }
+
+  /** Stale-staging grace: an unreferenced `_gen-*` directory younger
+    * than this is treated as an IN-FLIGHT writer's staging (commits
+    * CAS-serialize since r16, so concurrent writers are supported —
+    * a blanket sweep would reap a neighbor's uncommitted staging mid
+    * write) and left alone; older ones are crashed-writer orphans and
+    * are swept. Spec-tunable (the crash-heal spec sets 0 to model
+    * "sometime later"). */
+  @volatile private[graft] var stagingGraceMs: Long = 15L * 60L * 1000L
 
   /** Delete every `_gen-*` directory under `path` that no retained
     * snapshot references — superseded generations past the retention
-    * window and stale staging from crashed writes alike (single-writer
-    * contract, same as the pre-log sweep). Runs AFTER the log swap, so
-    * a crash mid-sweep leaves orphans the next commit removes, never a
-    * broken layout. Called only from WRITE commits: a DELETE expires
-    * the generations its own window-trim dropped and nothing else (a
-    * blanket sweep from a "metadata-only" operation could reap an
-    * in-flight writer's staging — r15 review). */
+    * window and stale staging from crashed writes alike. Runs AFTER
+    * the log swap, so a crash mid-sweep leaves orphans a later commit
+    * removes, never a broken layout. `known` names generations this
+    * commit POSITIVELY superseded (prior-window gens its trim dropped)
+    * — swept regardless of age; every other unreferenced `_gen-*` is
+    * swept only past [[stagingGraceMs]], protecting concurrent
+    * writers' in-flight staging (commits serialize through the CAS,
+    * but staging is concurrent by design). Called only from WRITE
+    * commits: a DELETE expires the generations its own window-trim
+    * dropped and nothing else (a blanket sweep from a "metadata-only"
+    * operation could reap an in-flight writer's staging — r15
+    * review). */
   private[sources] def expireGenerations(path: String, live: Set[String],
-      hconf: org.apache.hadoop.conf.Configuration): Unit = {
+      hconf: org.apache.hadoop.conf.Configuration,
+      known: Set[String] = Set.empty): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
+    val cutoff = System.currentTimeMillis() - stagingGraceMs
     fs.listStatus(root).foreach { s =>
       val n = s.getPath.getName
-      if (s.isDirectory && n.startsWith("_gen-") && !live.contains(n))
+      if (s.isDirectory && n.startsWith("_gen-") && !live.contains(n) &&
+          (known.contains(n) || s.getModificationTime <= cutoff))
         fs.delete(s.getPath, true)
     }
   }
@@ -1140,6 +1339,35 @@ object KeyedSource {
       case _ => None
     }
   }
+
+  /** Spec-facing: remove every commit-log artifact (versioned files,
+    * the legacy single file, checksum twins) so a layout can be
+    * doctored into the pre-connector FLAT form. */
+  private[graft] def dropCommitLog(path: String,
+      hconf: org.apache.hadoop.conf.Configuration): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    (versionedLogs(fs, root).map(_._2) :+ CommitFile).foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(root, n)
+      if (fs.exists(p)) fs.delete(p, false)
+      val c = new org.apache.hadoop.fs.Path(root, s".$n.crc")
+      if (fs.exists(c)) fs.delete(c, false)
+    }
+  }
+
+  /** Parse a numeric read/write option with a remediating error: a
+    * malformed value (option("asOf", "v1")) must name the option and
+    * the expected form, not surface as a context-free
+    * NumberFormatException (r15 ADVICE — GraftCatalog already wrapped
+    * its own parses this way). */
+  private[sources] def numericOption[T](raw: String, name: String,
+      expected: String)(parse: String => T): Option[T] =
+    Option(raw).map { v =>
+      try parse(v) catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-keyed option '$name' must be $expected, got '$v'")
+      }
+    }
 
   private[sources] def writeFile(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, content: String): Unit = {

@@ -164,21 +164,35 @@ final class KeyedBatchWrite(schema: StructType, path: String, key: String,
     if (!fs.exists(gen)) fs.mkdirs(gen)
     if (KeyedSource.failBeforePublish) throw new IllegalStateException(
       "graft-keyed test hook: crash before publish")
-    // PUBLISH: append the new snapshot to the retained window and swap
-    // the log in one atomic rename. An overwrite commit starts with an
-    // empty tombstone set (the new generation IS the new truth).
-    val prior = KeyedSource.readCommitLog(path, hconf)
-    val newSeq = prior.map(_.head.seq + 1).getOrElse(1L)
-    val keep = math.max(retain, 1)
-    val snapshots = (prior.map(_.snapshots).getOrElse(Seq.empty) :+
-      KeyedSource.Snapshot(newSeq, genName, Set.empty)).takeRight(keep)
-    KeyedSource.publishLog(path, KeyedSource.CommitLog(keep, snapshots), hconf)
-    // cleanup AFTER the swap — readers resolve the log first, so
-    // everything below is dead weight; a crash here leaves orphans the
-    // next commit removes, never a broken layout. When the previous
+    // PUBLISH: append the new snapshot to the retained window and claim
+    // the next seq through the CAS (KeyedSource.publishLog) — a
+    // concurrent committer winning the seq makes the loop rebuild
+    // against the FRESH log (the winner's snapshot included), so no
+    // commit is ever silently superseded pre-publish. An overwrite
+    // commit starts with an empty tombstone/edit set (the new
+    // generation IS the new truth). The retention window never SHRINKS
+    // as a side effect of a default-options overwrite: honor the wider
+    // of the log's persisted retain and this write's declared one
+    // (r15 ADVICE — deleteWhere already took the max for the same
+    // reason).
+    var wasLegacyFlat = false
+    var priorGens = Set.empty[String]
+    val published = KeyedSource.commitLoop(path, hconf, "write commit") { prior =>
+      wasLegacyFlat = prior.isEmpty
+      priorGens = prior.fold(Set.empty[String])(_.snapshots
+        .flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet)
+      val newSeq = prior.map(_.head.seq + 1).getOrElse(1L)
+      val keep = math.max(math.max(prior.fold(1)(_.retain), retain), 1)
+      Some(KeyedSource.CommitLog(keep,
+        (prior.map(_.snapshots).getOrElse(Seq.empty) :+
+          KeyedSource.Snapshot(newSeq, genName, Set.empty)).takeRight(keep)))
+    }.get
+    // cleanup AFTER the claim — readers resolve the log first, so
+    // everything below is dead weight; a crash here leaves orphans a
+    // later commit removes, never a broken layout. When the previous
     // layout was a legacy FLAT stage, its root-level k=* directories
     // and metadata files go too.
-    if (prior.isEmpty) {
+    if (wasLegacyFlat) {
       fs.listStatus(root).foreach { s =>
         val n = s.getPath.getName
         if ((s.isDirectory && n.startsWith("k=")) ||
@@ -188,9 +202,14 @@ final class KeyedBatchWrite(schema: StructType, path: String, key: String,
       }
     }
     // expire: superseded generations past the retention window AND
-    // stale staging from crashed/aborted writes, in one sweep —
-    // anything _gen-* no retained snapshot references
-    KeyedSource.expireGenerations(path, snapshots.map(_.gen).toSet, hconf)
+    // stale staging from crashed/aborted writes. Generations the prior
+    // window referenced but the new one dropped are POSITIVELY dead
+    // (swept now); any other unreferenced `_gen-*` may be a concurrent
+    // writer's in-flight staging and is swept only past the staleness
+    // grace (expireGenerations scaladoc).
+    val live = published.snapshots
+      .flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet
+    KeyedSource.expireGenerations(path, live, hconf, known = priorGens -- live)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

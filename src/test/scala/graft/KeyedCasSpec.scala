@@ -1,0 +1,144 @@
+package graft
+
+import graft.sources.KeyedSource
+import org.apache.spark.sql.functions._
+
+/** The CAS commit protocol on `graft-keyed` (r16 — the r15 verdict's
+  * #1: close the last-rename-wins lost-update window). Publish claims
+  * `_graft_keyed_commit.v<seq>` by an ATOMIC EXCLUSIVE create, so two
+  * committers racing for the same next seq cannot both win: the loser
+  * re-reads the fresh log — which now CONTAINS the winner's snapshot —
+  * and retries after it in seq order. The log never loses a commit.
+  * Pins (1) the claim primitive (same-seq double publish: exactly one
+  * winner), (2) a deterministic write-vs-write race through the
+  * one-shot race seam (both snapshots survive, seq-ordered), (3) a
+  * write-vs-DELETE race (the delete recomputes against the winner's
+  * fresh generation — no stale tombstone universe), (4) a concurrent
+  * end-to-end two-writer race (invariants hold under real thread
+  * interleaving), and (5) publish hygiene: stale `.tmp-*` leftovers
+  * from crashed publishes are swept by the next commit (r15 ADVICE). */
+class KeyedCasSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ddl = "kb BIGINT, doc_id BIGINT, source STRING, n_chars BIGINT"
+  private val hconf = spark.sessionState.newHadoopConf()
+
+  private def df(n: Long, srcTag: String = "s") =
+    (0L until n).map(i => (i % 4L, i, s"$srcTag${i % 3L}", (i * 7L) % 101L))
+      .toDF("kb", "doc_id", "source", "n_chars")
+
+  private def readKeyed(dir: String, asOf: Option[Long] = None) = {
+    val r = spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", ddl).option("key", "kb")
+    asOf.fold(r)(v => r.option("asOf", v.toString)).load()
+  }
+
+  test("claim primitive: two publishes built from the same prior log — exactly one wins") {
+    val dir = graft.io.TempDirs.scratch("graft_cas_prim_") + "/t"
+    KeyedSource.stageKeyed(spark, df(16L), dir, "kb", retain = 3)
+    val log = KeyedSource.readCommitLog(dir, hconf).get
+    def candidate(gen: String) = KeyedSource.CommitLog(3,
+      (log.snapshots :+ KeyedSource.Snapshot(log.head.seq + 1, gen, Set.empty))
+        .takeRight(3))
+    // both candidates target the SAME next seq — the lost-update shape
+    val winA = KeyedSource.publishLog(dir, candidate(log.head.gen), hconf)
+    val winB = KeyedSource.publishLog(dir, candidate(log.head.gen), hconf)
+    assert(winA && !winB, "the second claim of one seq must LOSE, not overwrite")
+    // the loser's retry path: rebuild from the FRESH log → next seq wins
+    val fresh = KeyedSource.readCommitLog(dir, hconf).get
+    assert(fresh.head.seq == log.head.seq + 1)
+    val retry = KeyedSource.CommitLog(3,
+      (fresh.snapshots :+ KeyedSource.Snapshot(fresh.head.seq + 1,
+        fresh.head.gen, Set.empty)).takeRight(3))
+    assert(KeyedSource.publishLog(dir, retry, hconf),
+      "a rebuilt candidate on the fresh log must succeed")
+    // no commit was lost: the window holds every seq in order
+    assert(KeyedSource.readCommitLog(dir, hconf).get.snapshots.map(_.seq) ==
+      Seq(1L, 2L, 3L))
+  }
+
+  test("deterministic write-vs-write race: the loser retries AFTER the winner; both snapshots survive") {
+    val dir = graft.io.TempDirs.scratch("graft_cas_ww_") + "/t"
+    KeyedSource.stageKeyed(spark, df(16L, "base"), dir, "kb", retain = 3)
+    // the racing commit fires in the exact window between the loser's
+    // log read and its CAS claim — the window last-rename-wins lost
+    KeyedSource.raceHook.set(() =>
+      KeyedSource.stageKeyed(spark, df(24L, "winner"), dir, "kb", retain = 3))
+    KeyedSource.stageKeyed(spark, df(32L, "loser"), dir, "kb", retain = 3)
+    val log = KeyedSource.readCommitLog(dir, hconf).get
+    assert(log.snapshots.map(_.seq) == Seq(1L, 2L, 3L),
+      s"both racing commits must survive in seq order, got ${log.snapshots.map(_.seq)}")
+    // seq 2 is the winner's corpus, seq 3 (head) the loser's — the
+    // loser serialized AFTER the winner instead of silently superseding
+    assert(readKeyed(dir, asOf = Some(2L)).count() == 24L)
+    assert(readKeyed(dir).count() == 32L)
+  }
+
+  test("write-vs-DELETE race: the delete recomputes against the winner's generation") {
+    val dir = graft.io.TempDirs.scratch("graft_cas_wd_") + "/t"
+    KeyedSource.stageKeyed(spark, df(16L, "base"), dir, "kb", retain = 3)
+    val table = new graft.sources.KeyedTable(
+      org.apache.spark.sql.types.StructType.fromDDL(ddl), dir, "kb", retain = 3)
+    // an overwrite lands between the delete's read and its claim: the
+    // delete must tombstone kb=1 OF THE NEW GENERATION, not publish a
+    // snapshot naming the superseded one
+    KeyedSource.raceHook.set(() =>
+      KeyedSource.stageKeyed(spark, df(32L, "winner"), dir, "kb", retain = 3))
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("kb", 1L)))
+    val log = KeyedSource.readCommitLog(dir, hconf).get
+    assert(log.snapshots.map(_.seq) == Seq(1L, 2L, 3L))
+    assert(log.head.gen == log.snapshots(1).gen,
+      "the delete snapshot must name the WINNER's generation")
+    assert(log.head.tombstones == Set("1"))
+    assert(readKeyed(dir).count() ==
+      df(32L).filter(col("kb") =!= 1L).count())
+    assert(readKeyed(dir, asOf = Some(2L)).count() == 32L,
+      "the winner's pre-delete snapshot stays addressable")
+  }
+
+  test("concurrent end-to-end two-writer race: no lost commit under real interleaving") {
+    val dir = graft.io.TempDirs.scratch("graft_cas_conc_") + "/t"
+    KeyedSource.stageKeyed(spark, df(16L, "base"), dir, "kb", retain = 3)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(24L -> "a", 40L -> "b").map { case (n, tag) =>
+      new Thread(() =>
+        try KeyedSource.stageKeyed(spark, df(n, tag), dir, "kb", retain = 3)
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"racing commits must both succeed: ${errs.peek()}")
+    val log = KeyedSource.readCommitLog(dir, hconf).get
+    assert(log.snapshots.map(_.seq) == Seq(1L, 2L, 3L),
+      s"no commit may be lost, got seqs ${log.snapshots.map(_.seq)}")
+    // the two committed corpora are exactly the two written ones, in
+    // SOME serial order — and the head is one of them
+    val counts = Set(readKeyed(dir, asOf = Some(2L)).count(),
+      readKeyed(dir, asOf = Some(3L)).count())
+    assert(counts == Set(24L, 40L), s"got $counts")
+  }
+
+  test("publish hygiene: stale tmp files from crashed publishes are swept; bad numeric options remediate") {
+    val dir = graft.io.TempDirs.scratch("graft_cas_tmp_") + "/t"
+    KeyedSource.stageKeyed(spark, df(16L), dir, "kb")
+    // a crashed publish leaves an orphan tmp the old protocol never
+    // removed (r15 ADVICE)
+    val stale = new java.io.File(dir, s"${KeyedSource.CommitFile}.tmp-deadbeef")
+    java.nio.file.Files.writeString(stale.toPath, "orphan")
+    KeyedSource.stageKeyed(spark, df(24L), dir, "kb")
+    assert(!stale.exists(), "the next commit must sweep stale commit tmp files")
+    // malformed numeric options name the option and the expected form
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-keyed").option("path", dir)
+        .option("schema", ddl).option("key", "kb")
+        .option("asOf", "v1").load().collect()
+    }
+    assert(e.getMessage.contains("'asOf'") && e.getMessage.contains("v1"),
+      e.getMessage)
+    val r = intercept[IllegalArgumentException] {
+      df(8L).write.format("graft-keyed").option("schema", ddl)
+        .option("key", "kb").option("retain", "two").mode("overwrite").save(dir)
+    }
+    assert(r.getMessage.contains("'retain'"), r.getMessage)
+  }
+}

@@ -202,8 +202,7 @@ class KeyedSnapshotSpec extends SparkSpec {
       java.nio.file.Files.move(f.toPath, java.nio.file.Path.of(dir, f.getName))
     }
     java.nio.file.Files.delete(gen.toPath)
-    java.nio.file.Files.delete(java.nio.file.Path.of(dir, KeyedSource.CommitFile))
-    new java.io.File(dir, s".${KeyedSource.CommitFile}.crc").delete()
+    KeyedSource.dropCommitLog(dir, spark.sessionState.newHadoopConf())
     val t = registerTable("flat", dir)
     assert(spark.sql(s"SELECT * FROM $t").count() == 16L)
     val e = intercept[Exception] { spark.sql(s"DELETE FROM $t WHERE kb = 1") }
@@ -225,7 +224,8 @@ class KeyedSnapshotSpec extends SparkSpec {
          |  concat('s', CAST(id % 3 AS STRING)) AS source,
          |  (id * 7) % 101 AS n_chars FROM range(48)""".stripMargin)
     assert(spark.sql(s"SELECT * FROM $t").count() == 48L)
-    assert(new java.io.File(dir, KeyedSource.CommitFile).exists())
+    val hconf = spark.sessionState.newHadoopConf()
+    assert(KeyedSource.readCommitLog(dir, hconf).isDefined)
     // bare appends refuse at plan time (overwrite-by-generation)
     val e = intercept[Exception] {
       spark.sql(s"INSERT INTO $t SELECT 1L, 99L, 'x', 7L")
@@ -236,7 +236,7 @@ class KeyedSnapshotSpec extends SparkSpec {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql(s"SELECT * FROM $t").collect()
     }
-    assert(new java.io.File(dir, KeyedSource.CommitFile).exists(),
+    assert(KeyedSource.readCommitLog(dir, hconf).isDefined,
       "DROP must leave the layout bytes untouched")
     assert(readKeyed(dir).count() == 48L, "the path-based read still works")
   }

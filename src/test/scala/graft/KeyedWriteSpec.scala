@@ -78,8 +78,20 @@ class KeyedWriteSpec extends SparkSpec {
     val orphans = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("_gen-"))
     assert(orphans.length == 2, "crashed staging must still be on disk pre-heal")
-    // … and the NEXT successful commit publishes new data and clears it
-    KeyedSource.stageKeyed(spark, df(52L, "new"), dir, "kb")
+    // … and a LATER successful commit publishes new data and clears it.
+    // "Later" means past the staleness grace (a RECENT unreferenced
+    // staging dir is an in-flight concurrent writer's and must survive
+    // a commit — commits CAS-serialize, staging is concurrent): first
+    // prove the grace protects it, then age it out and heal.
+    KeyedSource.stageKeyed(spark, df(44L, "mid"), dir, "kb")
+    assert(new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("_gen-")) == 2,
+      "a commit inside the staleness grace must leave recent foreign staging alone")
+    val grace = KeyedSource.stagingGraceMs
+    KeyedSource.stagingGraceMs = 0L
+    try {
+      KeyedSource.stageKeyed(spark, df(52L, "new"), dir, "kb")
+    } finally KeyedSource.stagingGraceMs = grace
     assert(readKeyed(dir).count() == 52L)
     val gens = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("_gen-"))
@@ -109,8 +121,7 @@ class KeyedWriteSpec extends SparkSpec {
         java.nio.file.Path.of(dir, f.getName))
     }
     java.nio.file.Files.delete(gen.toPath)
-    java.nio.file.Files.delete(java.nio.file.Path.of(dir, KeyedSource.CommitFile))
-    new java.io.File(dir, s".${KeyedSource.CommitFile}.crc").delete()
+    KeyedSource.dropCommitLog(dir, spark.sessionState.newHadoopConf())
     // flat layout reads fine (pointer absent ⇒ root is the layout)
     assert(KeyedSource.committedRoot(spark, dir) == dir)
     assert(readKeyed(dir).count() == 24L)
