@@ -163,7 +163,8 @@ final class KeyedTable(declared: StructType, path: String, key: String,
     sortBy: Seq[String] = Nil, retain: Int = 1, asOf: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   require(path != null, "graft-keyed requires option 'path' (the staged key directory)")
   require(declared.fieldNames.contains(key),
     s"key column '$key' must be part of the declared schema ${declared.simpleString}")
@@ -200,6 +201,20 @@ final class KeyedTable(declared: StructType, path: String, key: String,
       s"graft-keyed cannot write through a snapshot pin (asOf=${asOf.get}): " +
         "historical snapshots are immutable; write to the table head")
     new KeyedWriteBuilder(declared, path, key, sortBy, retain, info)
+  }
+
+  /** Row-grain MERGE INTO / UPDATE / DELETE — group-based copy-on-write
+    * over affected key directories ([[KeyedRowLevelBuilder]]; the
+    * row-grain fallback behind the metadata tombstone delete: Spark's
+    * OptimizeMetadataOnlyDeleteFromTable still routes key-grain DELETEs
+    * through [[deleteWhere]], zero data movement). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (asOf.isDefined) throw new UnsupportedOperationException(
+      s"graft-keyed cannot rewrite rows through a snapshot pin (asOf=${asOf.get}): " +
+        "historical snapshots are immutable; run the DML against the table head")
+    new KeyedRowLevelBuilder(declared, path, key, sortBy, retain, info)
   }
 
   // ── Metadata-grain DELETE (snapshot-log tombstones) ────────────────
@@ -336,7 +351,8 @@ final class KeyedTable(declared: StructType, path: String, key: String,
 final class KeyedScanBuilder(full: StructType, path: String, key: String,
     conf: org.apache.spark.util.SerializableConfiguration,
     vectorize: Boolean = true, reportStats: Boolean = true,
-    asOf: Option[Long] = None)
+    asOf: Option[Long] = None,
+    cowHost: Option[KeyedCowOperation] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -349,8 +365,9 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
   // tearing the plan (readers of the next query resolve the new head).
   // `asOf` pins a retained historical snapshot instead of the head
   // (time travel); an expired seq fails loudly here, at plan time.
-  private val (root, tombstones) =
-    KeyedSource.resolveSnapshot(path, conf.value, asOf)
+  private[sources] val view = KeyedSource.resolveView(path, conf.value, asOf)
+  private def root = view.root
+  private def tombstones = view.tombstones
   private var required: StructType = full
   // None = no key predicate pushed (all directories); Some(s) = only
   // directories whose key value ∈ s are planned. Distinct from
@@ -401,9 +418,11 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    // a copy-on-write scan must hand Spark the groups' FULL rows
+    if (cowHost.isDefined) return false
     if (sawUnconsumed || statsPlan.isDefined || orders.isEmpty) return false
-    if (KeyedStats.read(root, conf, full, key).isEmpty) return false
-    val marker = KeyedSource.readOrderMarker(root, conf, full, key)
+    if (KeyedStats.readView(view, conf, full, key).isEmpty) return false
+    val marker = KeyedSource.readOrderMarkerView(view, conf, full, key)
     if (marker.isEmpty) return false
     val names = orders.toSeq.map { o =>
       o.expression() match {
@@ -495,10 +514,10 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
     * write contract). */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (sawUnconsumed) return false
+    if (cowHost.isDefined || sawUnconsumed) return false
     KeyedStatsScan.translate(agg, full, key) match {
       case Some((groupByKey, stats, schema)) =>
-        KeyedStats.read(root, conf, full, key) match {
+        KeyedStats.readView(view, conf, full, key) match {
           case Some(sc) =>
             statsPlan = Some((groupByKey, stats, schema, sc.entries))
             true
@@ -526,8 +545,13 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
       new KeyedStatsScan(schema, root, key, keyField.dataType,
         groupByKey, stats, surviving)
     case None =>
-      new KeyedScan(full, required, root, key, conf, keyValues, vectorize,
-        reportStats, topN, tombstones)
+      val scan = new KeyedScan(full, required, view, key, conf, keyValues,
+        vectorize, reportStats, topN)
+      // a copy-on-write operation's commit replaces exactly the groups
+      // this scan ends up planning — hand it the instance (last build
+      // wins; Spark builds one scan per operation)
+      cowHost.foreach(_.configuredScan = scan)
+      scan
   }
 }
 
@@ -553,11 +577,11 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
   * Pruning here is an OPTIMIZATION, never correctness: a partition
   * the filter fails to prune only feeds rows the join itself drops,
   * so unrecognized runtime filters are ignored rather than refused. */
-final class KeyedScan(full: StructType, required: StructType, path: String,
+class KeyedScan(full: StructType, required: StructType,
+    private[sources] val view: KeyedSource.SnapshotView,
     key: String, conf: org.apache.spark.util.SerializableConfiguration,
     keyValues: Option[Set[Any]] = None, vectorize: Boolean = true,
-    reportStats: Boolean = true, topN: Int = -1,
-    tombstones: Set[String] = Set.empty)
+    reportStats: Boolean = true, topN: Int = -1)
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -578,8 +602,10 @@ final class KeyedScan(full: StructType, required: StructType, path: String,
     * exact: the key is CONSTANT within a partition, so the stored
     * (key, sortBy…) order and the reported (sortBy…) order coincide
     * per partition. */
+  private def tombstones = view.tombstones
+
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    KeyedSource.readOrderMarker(path, conf, full, key).fold(
+    KeyedSource.readOrderMarkerView(view, conf, full, key).fold(
       Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]) { sortBy =>
       val surviving = required.fieldNames.toSet
       val lead = if (surviving.contains(key)) Seq(key) else Seq.empty
@@ -633,12 +659,12 @@ final class KeyedScan(full: StructType, required: StructType, path: String,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
     if (!reportStats)
       return (java.util.OptionalLong.empty(), java.util.OptionalLong.empty(), empty)
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
-    val size = partitions.map(p => fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(
-        p.asInstanceOf[KeyedPartition].pageDir)).getLength).sum
+    val fs = new org.apache.hadoop.fs.Path(view.root).getFileSystem(conf.value)
+    val size = partitions.flatMap(p =>
+      p.asInstanceOf[KeyedPartition].dirs.map(d => fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(d)).getLength)).sum
     val keyField = full(full.fieldIndex(key))
-    val sidecar = KeyedStats.read(path, conf, full, key)
+    val sidecar = KeyedStats.readView(view, conf, full, key)
     val surviving = sidecar.map { sc =>
       val visible = sc.entries.filterNot(e => tombstones.contains(e.rawKey))
       pruned.fold(visible) { set =>
@@ -691,11 +717,12 @@ final class KeyedScan(full: StructType, required: StructType, path: String,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftKeyed path=$path key=$key pruned=${required.fieldNames.mkString(",")}" +
+    s"GraftKeyed path=${view.root} key=$key pruned=${required.fieldNames.mkString(",")}" +
       keyValues.fold("")(s =>
         s" keys=[${s.toSeq.map(_.toString).sorted.mkString(",")}]") +
       (if (topN >= 0) s" topN=$topN" else "") +
       (if (tombstones.nonEmpty) s" tombstones=${tombstones.size}" else "") +
+      (if (view.edits.nonEmpty) s" edits=${view.edits.size}" else "") +
       (if (vectorize) "" else " rowdecode")
 
   // runtime key set (EXECUTION-time DPP), intersected with the static
@@ -753,37 +780,33 @@ final class KeyedScan(full: StructType, required: StructType, path: String,
   private def partitions: Array[InputPartition] = {
     val keyField = full(full.fieldIndex(key))
     val pruned = effectiveKeys
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf.value)
-    fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("k="))
-      // snapshot tombstones prune first (metadata-grain deletes are
-      // invisible at this snapshot, whatever filters the query pushed)
-      .filterNot(s => tombstones.contains(s.getPath.getName.stripPrefix("k=")))
-      // key pruning happens HERE, on the raw directory name (the same
-      // string the stager wrote), BEFORE the UTF8String conversion —
-      // the directory listing is the predicate index, for static
-      // pushed keys and runtime keys alike
-      .filter { s =>
+    // the snapshot view IS the listing: base-generation `k=` dirs with
+    // tombstones pruned (metadata-grain deletes are invisible at this
+    // snapshot, whatever filters the query pushed) and row-level edits
+    // overriding/extending per key (files referenced from their own
+    // generations — copy-on-write never copied the unchanged ones).
+    // Key pruning happens on the raw directory name (the same string
+    // the stager wrote), BEFORE the UTF8String conversion — the
+    // listing is the predicate index, for static and runtime keys alike
+    view.liveKeyDirs(conf.value)
+      .filter { case (raw, _) =>
         pruned.forall { set =>
-          val raw = s.getPath.getName.stripPrefix("k=")
           keyField.dataType match {
             case LongType => set.contains(raw.toLong)
             case _ => set.contains(raw)
           }
         }
       }
-      .map { s =>
-        val raw = s.getPath.getName.stripPrefix("k=")
+      .map { case (raw, dirs) =>
         val v: Any = keyField.dataType match {
           case LongType => raw.toLong
           case StringType => UTF8String.fromString(raw)
           case other => throw new IllegalArgumentException(
             s"graft-keyed supports BIGINT and STRING keys, got $other")
         }
-        KeyedPartition(s.getPath.toString, v)
+        KeyedPartition(dirs, v)
       }
-      .sortBy(_.pageDir)
+      .sortBy(_.dirs.head)
       .toArray[InputPartition]
   }
 
@@ -798,7 +821,7 @@ final class KeyedScan(full: StructType, required: StructType, path: String,
     * present at push time; an entry missing for a LISTED directory is
     * corruption of connector-owned metadata and fails loudly. */
   private def topNPartitions(base: Array[InputPartition]): Array[InputPartition] = {
-    val counts = KeyedStats.read(path, conf, full, key)
+    val counts = KeyedStats.readView(view, conf, full, key)
       .fold(Map.empty[String, Long])(_.entries.map(e => e.rawKey -> e.count).toMap)
     val keyField = full(full.fieldIndex(key))
     val sorted = base.map(_.asInstanceOf[KeyedPartition]).sortBy { kp =>
@@ -817,7 +840,7 @@ final class KeyedScan(full: StructType, required: StructType, path: String,
           case _ => kp.keyValue.toString
         }
         val n = counts.getOrElse(raw, throw new IllegalStateException(
-          s"graft-keyed stats sidecar at $path has no entry for key=$raw " +
+          s"graft-keyed stats sidecar at ${view.root} has no entry for key=$raw " +
             "but the directory exists — layout/metadata desync, refusing the TopN plan"))
         out += kp.copy(limit = math.min(remaining, Int.MaxValue.toLong).toInt)
         remaining -= n
@@ -829,6 +852,19 @@ final class KeyedScan(full: StructType, required: StructType, path: String,
   override def planInputPartitions(): Array[InputPartition] =
     if (topN >= 0) topNPartitions(partitions) else partitions
 
+  /** The raw key dirnames of the FINAL planned partitions (static
+    * pushdown ∩ runtime group filter) — for a copy-on-write commit,
+    * exactly the affected-group set whose files the new snapshot
+    * replaces. Read at commit time, strictly after execution, so the
+    * runtime filter state is final. */
+  private[sources] def plannedRawKeys: Set[String] =
+    partitions.map { p =>
+      p.asInstanceOf[KeyedPartition].keyValue match {
+        case l: java.lang.Long => l.toString
+        case other => other.toString
+      }
+    }.toSet
+
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
       Array(Expressions.identity(key)), planInputPartitions().length)
@@ -837,15 +873,38 @@ final class KeyedScan(full: StructType, required: StructType, path: String,
     new KeyedReaderFactory(full, required, conf, vectorize)
 }
 
-/** Serializable key-directory partition; `partitionKey` is the stored
-  * key VALUE — what Spark aligns the two join sides by. `limit` caps
-  * the reader's decode (pushed TopN budget; -1 = unlimited). */
-final case class KeyedPartition(pageDir: String, keyValue: Any,
+/** Serializable key partition; `partitionKey` is the stored key VALUE —
+  * what Spark aligns the two join sides by. `dirs` is the ordered list
+  * of directories serving the key (one for plain layouts; several when
+  * row-level edits APPENDED a generation — read concatenated in list
+  * order). `limit` caps the reader's decode (pushed TopN budget; -1 =
+  * unlimited; only ever set on single-dir partitions — the TopN
+  * license requires the single-file order claim). */
+final case class KeyedPartition(dirs: Seq[String], keyValue: Any,
     limit: Int = -1)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](keyValue))
+}
+
+/** Sequential concatenation of per-directory readers — a multi-gen key
+  * is one partition (the SPJ alignment is by KEY), its files decoded
+  * back to back. Readers open LAZILY so at most one holds buffers. */
+final class ConcatReader[T](makers: Seq[() => PartitionReader[T]])
+    extends PartitionReader[T] {
+  private var i = 0
+  private var cur: PartitionReader[T] = if (makers.nonEmpty) makers.head() else null
+  override def next(): Boolean = {
+    while (cur != null) {
+      if (cur.next()) return true
+      cur.close(); i += 1
+      cur = if (i < makers.length) makers(i)() else null
+    }
+    false
+  }
+  override def get(): T = cur.get()
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
 final class KeyedReaderFactory(full: StructType, required: StructType,
@@ -859,13 +918,24 @@ final class KeyedReaderFactory(full: StructType, required: StructType,
   // mid-payload exactly like the pages connector's pushed LIMIT
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val kp = partition.asInstanceOf[KeyedPartition]
-    new PageReader(kp.pageDir, full, required, conf, kp.limit)
+    if (kp.dirs.length == 1) new PageReader(kp.dirs.head, full, required, conf, kp.limit)
+    else {
+      require(kp.limit < 0, "TopN budgets never plan multi-directory partitions")
+      new ConcatReader(kp.dirs.map(d =>
+        () => new PageReader(d, full, required, conf, -1)))
+    }
   }
   override def supportColumnarReads(partition: InputPartition): Boolean = vectorize
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val kp = partition.asInstanceOf[KeyedPartition]
-    new PageColumnarReader(kp.pageDir, full, required, conf, kp.limit)
+    if (kp.dirs.length == 1)
+      new PageColumnarReader(kp.dirs.head, full, required, conf, kp.limit)
+    else {
+      require(kp.limit < 0, "TopN budgets never plan multi-directory partitions")
+      new ConcatReader(kp.dirs.map(d =>
+        () => new PageColumnarReader(d, full, required, conf, -1)))
+    }
   }
 }
 
@@ -1020,15 +1090,53 @@ object KeyedSource {
       case None => path
     }
 
-  /** Resolve one snapshot for a scan: `(generation root, tombstones)`.
-    * `asOf = None` reads the head; `asOf = Some(seq)` reads a RETAINED
-    * snapshot and fails loudly when the seq expired out of the
-    * retention window (or never existed) — a silently-substituted
-    * newer snapshot would break exactly the reproducibility time
-    * travel exists for. */
-  private[graft] def resolveSnapshot(path: String,
+  /** One RESOLVED snapshot, bound once per scan build or row-level
+    * commit: the layout path, the snapshot's seq (0 = legacy flat
+    * layout — conflict detection for copy-on-write commits compares
+    * it against the fresh head), the base generation (None = legacy
+    * flat), tombstones, and the per-key generation edits. Every read
+    * surface (partition listing, merged sidecar, order marker,
+    * statistics, TopN budgets) answers from ONE view, so a racing
+    * commit swaps the log without tearing a plan. */
+  final case class SnapshotView(layoutPath: String, seq: Long,
+      gen: Option[String], tombstones: Set[String],
+      edits: Map[String, Seq[String]]) {
+    /** Base-generation root (the layout path itself for legacy flat). */
+    def root: String = gen.fold(layoutPath)(g =>
+      new org.apache.hadoop.fs.Path(layoutPath, g).toString)
+    def genRoot(g: String): String =
+      new org.apache.hadoop.fs.Path(layoutPath, g).toString
+
+    /** Live keys and the directories serving each, base-generation
+      * `k=` dirs first (tombstones pruned, edited keys overridden by
+      * their generation list — multi-entry lists are row-level APPENDS
+      * and read in list order). */
+    def liveKeyDirs(hconf: org.apache.hadoop.conf.Configuration)
+        : Seq[(String, Seq[String])] = {
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(hconf)
+      val base: Seq[String] =
+        if (fs.exists(rootPath)) fs.listStatus(rootPath).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("k="))
+          .map(_.getPath.getName.stripPrefix("k="))
+        else Seq.empty
+      base.filterNot(tombstones.contains).filterNot(edits.contains)
+        .map(k => k -> Seq(new org.apache.hadoop.fs.Path(root, s"k=$k").toString)) ++
+        edits.toSeq.map { case (k, gs) =>
+          k -> gs.map(g =>
+            new org.apache.hadoop.fs.Path(genRoot(g), s"k=$k").toString)
+        }
+    }
+  }
+
+  /** Resolve one snapshot for a scan. `asOf = None` reads the head;
+    * `asOf = Some(seq)` reads a RETAINED snapshot and fails loudly
+    * when the seq expired out of the retention window (or never
+    * existed) — a silently-substituted newer snapshot would break
+    * exactly the reproducibility time travel exists for. */
+  private[graft] def resolveView(path: String,
       hconf: org.apache.hadoop.conf.Configuration,
-      asOf: Option[Long]): (String, Set[String]) =
+      asOf: Option[Long]): SnapshotView =
     readCommitLog(path, hconf) match {
       case Some(log) =>
         val snap = asOf.fold(log.head) { seq =>
@@ -1039,14 +1147,15 @@ object KeyedSource {
                 s"retain=${log.retain}) — expired or never committed; " +
                 "stage with a larger 'retain' to keep history"))
         }
-        (new org.apache.hadoop.fs.Path(path, snap.gen).toString, snap.tombstones)
+        SnapshotView(path, snap.seq, Some(snap.gen), snap.tombstones, snap.edits)
       case None =>
-        asOf.fold((path, Set.empty[String])) { seq =>
+        asOf.foreach { seq =>
           throw new IllegalArgumentException(
             s"graft-keyed asOf=$seq requires a generation-committed layout " +
               s"but $path has no snapshot log (legacy flat stage); " +
               "restage through the connector writer first")
         }
+        SnapshotView(path, 0L, None, Set.empty, Map.empty)
     }
 
   /** Spec-facing twin of [[effectiveRoot]] (the specs that doctor
@@ -1396,6 +1505,28 @@ object KeyedSource {
     def tag(c: String) = c + ":" + schema(c).dataType.sql
     OrderVersion + PageSource.US + tag(key) + PageSource.US +
       sortBy.map(tag).mkString(",")
+  }
+
+  /** View-aware ordering license: the stored-order claim holds only
+    * when every live key is served by exactly ONE directory (a
+    * row-level APPEND concatenates two sorted files — their union is
+    * not sorted) and every generation serving live keys carries an
+    * IDENTICAL valid marker (a copy-on-write rewrite staged without
+    * the layout's sortBy must poison the claim). Edit-free snapshots
+    * and legacy flat layouts reduce to the single base-root read. */
+  private[graft] def readOrderMarkerView(view: SnapshotView,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      declared: StructType, key: String): Option[Seq[String]] = {
+    if (view.edits.isEmpty) return readOrderMarker(view.root, conf, declared, key)
+    val live = view.liveKeyDirs(conf.value)
+    if (live.exists(_._2.length > 1)) return None
+    val roots: Seq[String] =
+      if (live.isEmpty) Seq(view.root)
+      else live.flatMap(_._2)
+        .map(d => new org.apache.hadoop.fs.Path(d).getParent.toString).distinct
+    val markers = roots.map(r => readOrderMarker(r, conf, declared, key))
+    if (markers.forall(_.isDefined) && markers.distinct.length == 1) markers.head
+    else None
   }
 
   /** Parse the order marker against the declared key AND types; None =

@@ -202,6 +202,74 @@ object KeyedStats {
       Entry(f(0), f(1).toLong, mins, maxs, sums)
     }, table))
   }
+
+  /** Merge one key's per-generation entries (a row-level APPEND leaves
+    * a key served by several generations): counts and sums add, min/max
+    * merge TYPED per column — BIGINT numerically ("10" < "2" as bytes),
+    * STRING in UTF8String byte order (the layout's comparison order;
+    * java.lang.String compareTo is UTF-16 code-unit order, which
+    * diverges above the BMP). */
+  private def mergeEntries(declared: StructType, es: Seq[Entry]): Entry = {
+    require(es.nonEmpty)
+    es.reduce { (a, b) =>
+      val n = declared.length
+      val mins = new Array[String](n)
+      val maxs = new Array[String](n)
+      val sums = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        if (declared(i).dataType == LongType) {
+          mins(i) = math.min(a.mins(i).toLong, b.mins(i).toLong).toString
+          maxs(i) = math.max(a.maxs(i).toLong, b.maxs(i).toLong).toString
+          sums(i) = Math.addExact(a.sums(i), b.sums(i))
+        } else {
+          def lt(x: String, y: String) =
+            UTF8String.fromString(x).compareTo(UTF8String.fromString(y)) < 0
+          mins(i) = if (lt(a.mins(i), b.mins(i))) a.mins(i) else b.mins(i)
+          maxs(i) = if (lt(a.maxs(i), b.maxs(i))) b.maxs(i) else a.maxs(i)
+        }
+        i += 1
+      }
+      Entry(a.rawKey, a.count + b.count, mins, maxs, sums)
+    }
+  }
+
+  /** Snapshot-view sidecar: the metadata twin of
+    * [[KeyedSource.SnapshotView.liveKeyDirs]]. Edit-free views reduce
+    * to the base-generation sidecar read (entries unfiltered —
+    * callers prune tombstones, as ever). With edits, returns LIVE
+    * per-key entries only: base entries for unedited keys, and for
+    * each edited key the TYPED merge of its generations' entries. Any
+    * generation whose sidecar is absent, header-mismatched, or missing
+    * the key's line refuses the whole read (None — metadata answers
+    * fall back to the data scan); the table-level NDV line is claimed
+    * only by edit-free views (per-generation KMV estimates do not
+    * merge without the sketches). */
+  private[graft] def readView(view: KeyedSource.SnapshotView,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      declared: StructType, key: String): Option[Sidecar] = {
+    val base = read(view.root, conf, declared, key)
+    if (view.edits.isEmpty) return base
+    base.flatMap { b =>
+      val perGen = scala.collection.mutable.Map.empty[String, Option[Sidecar]]
+      def sidecarOf(g: String): Option[Sidecar] =
+        perGen.getOrElseUpdate(g, read(view.genRoot(g), conf, declared, key))
+      val baseOnly = b.entries.filterNot(e =>
+        view.tombstones.contains(e.rawKey) || view.edits.contains(e.rawKey))
+      val edited: Option[Seq[Entry]] = view.edits.toSeq.sortBy(_._1)
+        .foldLeft(Option(Seq.empty[Entry])) { case (acc, (k, gens)) =>
+          for {
+            a <- acc
+            parts <- {
+              val es = gens.map(g =>
+                sidecarOf(g).flatMap(_.entries.find(_.rawKey == k)))
+              if (es.forall(_.isDefined)) Some(es.flatten) else None
+            }
+          } yield a :+ mergeEntries(declared, parts)
+        }
+      edited.map(ed => Sidecar(baseOnly ++ ed, None))
+    }
+  }
 }
 
 /** The pushed-aggregate scan: ≤ |key domain| pre-projected metadata
@@ -300,8 +368,12 @@ final class KeyedSnapshotsScan(declared: StructType, path: String, key: String,
       KeyedSource.readCommitLog(path, conf.value) match {
         case None => Array.empty
         case Some(log) => log.snapshots.toArray.map { snap =>
-          val genRoot = new org.apache.hadoop.fs.Path(path, snap.gen).toString
-          val visible = KeyedStats.read(genRoot, conf, declared, key)
+          // each snapshot reads through its OWN view (base generation,
+          // tombstones, row-level edits) — exactly what a reader of
+          // that snapshot would see
+          val view = KeyedSource.SnapshotView(path, snap.seq,
+            Some(snap.gen), snap.tombstones, snap.edits)
+          val visible = KeyedStats.readView(view, conf, declared, key)
             .map(_.entries.filterNot(e => snap.tombstones.contains(e.rawKey)))
           Array[Any](snap.seq,
             visible.fold(null: Any)(v => v.length.toLong),

@@ -174,16 +174,12 @@ class KeyedSnapshotSpec extends SparkSpec {
     assert(um.getMessage.contains("snapshots"), um.getMessage)
   }
 
-  test("unconstrained DELETE empties the table; non-key predicates refuse") {
+  test("unconstrained DELETE empties the table, still metadata-only") {
     val dir = graft.io.TempDirs.scratch("graft_snap_trunc_") + "/t"
     KeyedSource.stageKeyed(spark, df(32L), dir, "kb", retain = 2)
     val t = registerTable("trunc", dir, retain = 2)
-    // a row-grain predicate would need a data rewrite: refuse at analysis
-    val e = intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql(s"DELETE FROM $t WHERE n_chars > 10")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
-    assert(readKeyed(dir).count() == 32L, "a refused delete must change nothing")
+    // (row-grain predicates no longer refuse: since r16 they take the
+    // copy-on-write path — KeyedRowLevelSpec owns those legs)
     // unconstrained delete: every key tombstoned, still metadata-only
     spark.sql(s"DELETE FROM $t")
     assert(readKeyed(dir).count() == 0L)
