@@ -1514,6 +1514,22 @@ object LlmData {
       .filter(col("hamming") <= 5)
   }
 
+  /** Memoized connected components over the simhash near-dup pair
+    * graph — the iterative O(log n) loop is the single most expensive
+    * SHARED derivation in the dedup family (x36 clusters, x76 survivor
+    * ranking, x96 leakage split, x102 funnel all consume the IDENTICAL
+    * graph), so it resolves once per (session × corpus generation) and
+    * persists like the other shared stagings (tokStaged discipline;
+    * r15 verdict #3 named x102's re-derivation the cut). Columns:
+    * (node, component). Bench's per-query clearMemo keeps cold
+    * attribution honest — within a query (and its warm rerun) the loop
+    * runs once. */
+  private[operators] def simhashComponents(s: SparkSession, dir: String): DataFrame =
+    memoized(s, "simhash-components", dir) {
+      Components.connectedComponentsAlternating(
+        simhashPairs(s, dir), "doc_a", "doc_b").persist()
+    }
+
   /** The x27 quality heuristics as ONE definition (Spark frame + the
     * DuckDB expression fragments), shared by the registered score query
     * and x76's survivor selection so the two can never drift. Tokens
@@ -1892,8 +1908,7 @@ object LlmData {
     // Survivor = the cluster's min doc_id. Oracle: DuckDB recursive-
     // CTE transitive closure over the identical pair SQL.
     "x36_neardup_components" -> Q(
-      (s, dir) => Components.connectedComponentsAlternating(
-          simhashPairs(s, dir), "doc_a", "doc_b")
+      (s, dir) => simhashComponents(s, dir)
         .select(col("node").as("doc_id"), col("component"),
           (col("node") === col("component")).as("is_survivor"))
         .orderBy("doc_id"),
@@ -3561,8 +3576,7 @@ object LlmData {
     // shuffle, never corpus-wide.
     "x76_dedup_survivor_quality" -> Q(
       (s, dir) => {
-        val comp = Components.connectedComponentsAlternating(
-          simhashPairs(s, dir), "doc_a", "doc_b")
+        val comp = simhashComponents(s, dir)
         // score ONLY cluster members: at corpus scale the pair graph
         // covers a tiny fraction of documents, so the tokenization
         // cost semi-joins down to the members before it is paid —
@@ -4571,8 +4585,7 @@ object LlmData {
     // actual candidate graph.
     "x96_leakage_split" -> Q(
       (s, dir) => {
-        val comp = Components.connectedComponentsAlternating(
-            simhashPairs(s, dir), "doc_a", "doc_b")
+        val comp = simhashComponents(s, dir)
           .select(col("node").as("doc_id"), col("component"))
         t(s, dir, "documents").select(col("doc_id"))
           .join(comp, Seq("doc_id"), "left")
@@ -4866,23 +4879,32 @@ object LlmData {
     // definitions and all.
     "x102_pipeline_funnel" -> Q(
       (s, dir) => {
-        val wFp = Window.partitionBy(md5(col("text")))
-        val comp = Components.connectedComponentsAlternating(
-            simhashPairs(s, dir), "doc_a", "doc_b")
+        // every heavy input is a SHARED memoized staging (r15 verdict
+        // #3: the funnel used to re-derive all four families' frames):
+        // components from simhashComponents, token arrays from
+        // tokStaged (n_tok and the Gopher gate both read the staged
+        // arrays — no re-tokenize), and the exact-dup keeper window
+        // runs over a NARROW (doc_id, fp) projection so the md5
+        // shuffle carries ~24 bytes/row instead of the text payload
+        val wFp = Window.partitionBy("fp")
+        val f1df = t(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+          .withColumn("f1", col("doc_id") =!= min("doc_id").over(wFp))
+          .select("doc_id", "f1")
+        val comp = simhashComponents(s, dir)
           .select(col("node").as("doc_id"), col("component"))
         val (bench, corpus) = decontamSides(s, dir)
         val contam = corpus.join(broadcast(bench), "s")
           .select("doc_id").distinct().withColumn("hit", lit(true))
-        val flags = t(s, dir, "documents")
-          .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
-          .withColumn("f1", col("doc_id") =!= min("doc_id").over(wFp))
+        val flags = tokStaged(s, dir)
+          .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+            (!Text.gopherGate(col("tk")).getField("keep")).as("f4"))
+          .join(f1df, "doc_id")
           .join(comp, Seq("doc_id"), "left")
           .join(contam, Seq("doc_id"), "left")
-          .withColumn("tk", Text.tokens(col("text")))
           .withColumn("f2",
             col("component").isNotNull && col("component") =!= col("doc_id"))
           .withColumn("f3", coalesce(col("hit"), lit(false)))
-          .withColumn("f4", !Text.gopherGate(col("tk")).getField("keep"))
           .select("doc_id", "n_tok", "f1", "f2", "f3", "f4")
         val m1 = col("f1")
         val m2 = !col("f1") && col("f2")

@@ -43,18 +43,28 @@ class BenchFormatSpec extends AnyFunSuite {
     // leaves.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val worst = names.map(_ -> (999.0, 999.0))
-    val line = Bench.jsonLine(worst, "/root/testdata/sf0.1", None)
+    // worst-case adjudication widths ride the line too (the r15 #3
+    // columns): the real bench always passes the full map
+    val adj = names.map(_ -> (99999L, 999L, 999L, 0.99)).toMap
+    val line = Bench.jsonLine(worst, "/root/testdata/sf0.1", None, adj)
+    assert(line.contains("\"slow_adj\":{"),
+      "the slowest-row adjudication block must ride the driver line")
     assert(!line.contains("\n"), "must be ONE line")
     // 2000-char tail − ~85 chars for sbt's trailing "[success] Total
-    // time ..." line − 35 slack (Bench.LineBudget). jsonLine self-caps
-    // past ~170 names, but TODAY's registry should still fit the full
-    // per-query map — an omission on the real registry means the
-    // format regressed, not just grew.
+    // time ..." line − 35 slack (Bench.LineBudget). The 166-query
+    // registry plus the r15-#3 adjudication block crossed the full-map
+    // capacity line: the self-cap now sheds the FASTEST rows (declared
+    // via queries_omitted; BENCH_DETAIL always carries all) so the
+    // slowest rows' timings AND their adjudication columns stay on the
+    // driver line — the judge-directed priority. Bound the shed so a
+    // format regression (not mere growth) still fails here.
     assert(Bench.LineBudget == 1880)
     assert(line.length <= Bench.LineBudget,
       s"bench line worst-case ${line.length} chars exceeds ${Bench.LineBudget}")
-    assert(!line.contains("queries_omitted"),
-      "today's registry must carry the FULL per-query map on the line")
+    val omitted = "\"queries_omitted\":(\\d+)".r.findFirstMatchIn(line)
+      .fold(0)(_.group(1).toInt)
+    assert(omitted <= 15,
+      s"self-cap shed $omitted rows at today's registry — format regressed")
   }
 
   test("self-cap at a simulated 200-query registry: slowest rows stay, line fits (r14 #5)") {
@@ -150,6 +160,28 @@ class BenchFormatSpec extends AnyFunSuite {
       busyBefore = 0.8, busyDuring = -1.0))
     assert(!Bench.envContended(32, runLoad1Median = 11.6, 14.9, 21.0,
       busyBefore = 0.03, busyDuring = -1.0))
+  }
+
+  test("slow_adj: adjudication columns for the slowest cold rows, shed last under the cap (r15 #3)") {
+    val names = (1 to 200).map(i => f"x$i%03d_simulated_query_name")
+    val sims = names.zipWithIndex.map { case (n, i) => n -> ((i % 37) * 3.3 + 0.1, 0.5) }
+    val adj = names.map(_ -> (123L, 0L, 0L, 0.02)).toMap
+    val line = Bench.jsonLine(sims, "/root/testdata/sf0.1", None, adj)
+    assert(line.length <= Bench.LineBudget)
+    // the block survives the 200-query self-cap (queries shed first)
+    assert(line.contains("\"slow_adj\":{"), line.takeRight(200))
+    assert(line.contains("queries_omitted"))
+    // exactly the slowest rows carry columns, in [hw,ev,re,bd] form
+    val slowest = sims.maxBy(_._2._1)._1.split("_")(0)
+    assert(line.contains("\"" + slowest + "\":[123,0,0,0.02]"), line)
+    assert(line.split("slow_adj")(1).takeWhile(_ != '}').count(_ == '[') ==
+      Bench.AdjSlowest)
+    // no adjudication map → byte-identical to the old format
+    assert(!Bench.jsonLine(sims, "/root/testdata/sf0.1", None).contains("slow_adj"))
+    // a missing busy sample prints -1, never NaN
+    val line2 = Bench.jsonLine(Seq("q01_x" -> (5.0, 1.0)), "/sf", None,
+      Map("q01_x" -> (7L, 0L, 0L, -1.0)))
+    assert(line2.contains("\"q01\":[7,0,0,-1]"), line2)
   }
 
   test("line is valid JSON shape with the driver-contract fields") {
