@@ -131,9 +131,62 @@ final class GraftCatalog extends TableCatalog {
     t
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-keyed catalog tables are immutable specs; DROP and re-CREATE")
+  /** `SUPPORT_COLUMN_DEFAULT_VALUE` is required for `ALTER TABLE …
+    * ADD COLUMN … DEFAULT …` to reach [[alterTable]] — and a default
+    * is MANDATORY for this layout (frames store no NULLs; an added
+    * column must answer something for pre-evolution rows). */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  /** Schema evolution — the ONLY supported alterations: ADD COLUMN
+    * (with a mandatory literal default) and RENAME COLUMN, recorded in
+    * the layout's commit-log lineage ([[KeyedSource.evolveKeyed]] — one
+    * CAS commit; old generations stay readable under the evolved
+    * schema, type changes refuse). Everything else stays immutable. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val s = spec(ident)
+    def bad(msg: String): Nothing = throw new UnsupportedOperationException(
+      s"graft-keyed ALTER TABLE supports only ADD COLUMN (with a literal " +
+        s"DEFAULT) and RENAME COLUMN; $msg")
+    val ops: Seq[KeyedSource.SchemaOp] = changes.map {
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames.length != 1) bad("nested columns do not exist here")
+        val isLong = a.dataType() match {
+          case LongType => true
+          case StringType => false
+          case other => bad(s"got ADD COLUMN of type ${other.sql}")
+        }
+        val dv = Option(a.defaultValue()).map(_.getValue).getOrElse(
+          bad(s"ADD COLUMN '${a.fieldNames()(0)}' needs DEFAULT <literal> " +
+            "(the framed layout stores no NULLs)"))
+        KeyedSource.AddCol(a.fieldNames()(0), isLong,
+          String.valueOf(dv.value()))
+      case r: TableChange.RenameColumn =>
+        if (r.fieldNames.length != 1) bad("nested columns do not exist here")
+        KeyedSource.RenCol(r.fieldNames()(0), r.newName())
+      case other => bad(s"got ${other.getClass.getSimpleName}")
+    }
+    val evolved = KeyedSource.evolveKeyed(
+      org.apache.spark.sql.SparkSession.active, s.path, s.schema, ops)
+    val sortBy = s.sortBy.map { c =>
+      // renames follow the sort spec so the order marker license keeps
+      // resolving (the marker itself records OLD names and refuses —
+      // conservative; a restage re-claims under the new names)
+      ops.foldLeft(c) {
+        case (n, KeyedSource.RenCol(o, nn)) if n == o => nn
+        case (n, _) => n
+      }
+    }
+    val key2 = ops.foldLeft(s.key) {
+      case (n, KeyedSource.RenCol(o, nn)) if n == o => nn
+      case (n, _) => n
+    }
+    val s2 = Spec(evolved, s.path, key2, sortBy, s.retain)
+    tables.put(ident, s2)
+    new KeyedTable(s2.schema, s2.path, s2.key, s2.sortBy, s2.retain)
+  }
 
   /** External-table semantics: forget the mapping, leave the layout
     * bytes (commit log included) untouched. */

@@ -211,7 +211,8 @@ final class KeyedCowBatchWrite(op: KeyedCowOperation, schema: StructType,
       val tombstones = (head.tombstones -- written) ++ fullyDeleted
       val keep = math.max(math.max(log.retain, retain), 1)
       val snap = KeyedSource.Snapshot(head.seq + 1, head.gen, tombstones, edits)
-      Some(KeyedSource.CommitLog(keep, (log.snapshots :+ snap).takeRight(keep)))
+      Some(KeyedSource.CommitLog(keep,
+        (log.snapshots :+ snap).takeRight(keep), log.ops))
     }.get
     val live = published.snapshots
       .flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet

@@ -332,7 +332,7 @@ final class KeyedTable(declared: StructType, path: String, key: String,
         def gensOf(ss: Seq[KeyedSource.Snapshot]) =
           ss.flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet
         dropped = gensOf(log.snapshots) -- gensOf(snapshots)
-        Some(KeyedSource.CommitLog(keep, snapshots))
+        Some(KeyedSource.CommitLog(keep, snapshots, log.ops))
       }
     }
     // targeted expiry: only generations this commit's window-trim
@@ -774,6 +774,35 @@ class KeyedScan(full: StructType, required: StructType,
     case (a, b) => a.orElse(b)
   }
 
+  /** Per-generation evolved-read plan, resolved once per scan (the
+    * required projection is fixed at build). Only consulted when the
+    * snapshot carries schema-evolution ops: an op-free layout keeps the
+    * exact pre-evolution read path, byte for byte. A generation whose
+    * written schema already equals the declared one reads identity
+    * (None); otherwise the lineage maps old names/defaults
+    * ([[KeyedSource.evolvedPlan]] — loud on type drift). A generation
+    * with no readable sidecar cannot recover its written schema under
+    * an evolved declaration and fails loudly rather than decode
+    * positionally against the wrong arity. */
+  private val dirPlanCache = scala.collection.concurrent.TrieMap
+    .empty[String, Option[KeyedSource.DirReadPlan]]
+  private def planFor(dir: String): Option[KeyedSource.DirReadPlan] = {
+    if (view.ops.isEmpty) return None
+    val genRoot = new org.apache.hadoop.fs.Path(dir).getParent.toString
+    dirPlanCache.getOrElseUpdate(genRoot,
+      KeyedStats.writtenSchema(genRoot, conf) match {
+        case Some(w) =>
+          val same = w.fields.map(f => (f.name, f.dataType)).toSeq ==
+            full.fields.map(f => (f.name, f.dataType)).toSeq
+          if (same) None
+          else Some(KeyedSource.evolvedPlan(genRoot, w, required, view.ops))
+        case None => throw new IllegalStateException(
+          s"graft-keyed layout at ${view.layoutPath} has schema-evolution " +
+            s"lineage but the generation at $genRoot has no readable stats " +
+            "sidecar to recover its written schema — cannot map; restage")
+      })
+  }
+
   // a DEF, not a lazy val: BatchScanExec re-plans partitions after
   // runtime filter() mutates the scan — a cached listing would serve
   // the pre-filter set and silently undo the prune
@@ -804,7 +833,7 @@ class KeyedScan(full: StructType, required: StructType,
           case other => throw new IllegalArgumentException(
             s"graft-keyed supports BIGINT and STRING keys, got $other")
         }
-        KeyedPartition(dirs, v)
+        KeyedPartition(dirs, v, plans = dirs.map(planFor))
       }
       .sortBy(_.dirs.head)
       .toArray[InputPartition]
@@ -870,7 +899,13 @@ class KeyedScan(full: StructType, required: StructType,
       Array(Expressions.identity(key)), planInputPartitions().length)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KeyedReaderFactory(full, required, conf, vectorize)
+    // columnar is ALL-OR-NOTHING per scan (BatchScanExec refuses mixed
+    // modes): one evolved generation in the plan drops the whole scan
+    // to the row path — a restage under the evolved schema upgrades it
+    // back (KeyedEvolutionSpec pins the round trip)
+    new KeyedReaderFactory(full, required, conf,
+      vectorize && !partitions.exists(
+        _.asInstanceOf[KeyedPartition].plans.exists(_.isDefined)))
 }
 
 /** Serializable key partition; `partitionKey` is the stored key VALUE —
@@ -881,11 +916,46 @@ class KeyedScan(full: StructType, required: StructType,
   * unlimited; only ever set on single-dir partitions — the TopN
   * license requires the single-file order claim). */
 final case class KeyedPartition(dirs: Seq[String], keyValue: Any,
-    limit: Int = -1)
+    limit: Int = -1,
+    plans: Seq[Option[KeyedSource.DirReadPlan]] = Seq.empty)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](keyValue))
+}
+
+/** Maps an evolved generation's decoded rows to the declared output:
+  * file-resolved columns stream through from the inner decoder (in
+  * plan order), added-by-evolution columns fill from their recorded
+  * defaults. Constants are parsed once at open. */
+final class EvolvedRowReader(inner: PartitionReader[InternalRow],
+    plan: KeyedSource.DirReadPlan) extends PartitionReader[InternalRow] {
+  private val n = plan.fromFile.length
+  private val innerIsLong: Array[Boolean] =
+    KeyedSource.ddlToSchema(plan.innerDdl).fields.map(_.dataType == LongType)
+  private val consts: Array[Any] = Array.tabulate[Any](n)(i =>
+    if (plan.fromFile(i)) null
+    else if (plan.constIsLong(i)) java.lang.Long.valueOf(plan.constVals(i).toLong)
+    else UTF8String.fromString(plan.constVals(i)))
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    if (!inner.next()) return false
+    val src = inner.get()
+    val out = new Array[Any](n)
+    var i = 0
+    var j = 0
+    while (i < n) {
+      if (plan.fromFile(i)) {
+        out(i) = if (innerIsLong(j)) Long.box(src.getLong(j)) else src.getUTF8String(j)
+        j += 1
+      } else out(i) = consts(i)
+      i += 1
+    }
+    current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
 }
 
 /** Sequential concatenation of per-directory readers — a multi-gen key
@@ -916,13 +986,26 @@ final class KeyedReaderFactory(full: StructType, required: StructType,
   // (byte-level batch decode, the default — VectorizedFrame scaladoc);
   // the partition's limit (pushed TopN budget) stops the decode
   // mid-payload exactly like the pages connector's pushed LIMIT
+  private def rowReader(kp: KeyedPartition, j: Int,
+      lim: Int): PartitionReader[InternalRow] =
+    kp.plans.lift(j).flatten match {
+      case None => new PageReader(kp.dirs(j), full, required, conf, lim)
+      case Some(p) =>
+        // evolved generation: decode by the WRITTEN schema (the file's
+        // own arity), project the lineage-resolved columns, fill
+        // added-column defaults — the row path carries evolved reads;
+        // a restage upgrades them back to the columnar default
+        new EvolvedRowReader(new PageReader(kp.dirs(j),
+          KeyedSource.ddlToSchema(p.fileDdl), KeyedSource.ddlToSchema(p.innerDdl),
+          conf, lim), p)
+    }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val kp = partition.asInstanceOf[KeyedPartition]
-    if (kp.dirs.length == 1) new PageReader(kp.dirs.head, full, required, conf, kp.limit)
+    if (kp.dirs.length == 1) rowReader(kp, 0, kp.limit)
     else {
       require(kp.limit < 0, "TopN budgets never plan multi-directory partitions")
-      new ConcatReader(kp.dirs.map(d =>
-        () => new PageReader(d, full, required, conf, -1)))
+      new ConcatReader(kp.dirs.indices.map(j => () => rowReader(kp, j, -1)))
     }
   }
   override def supportColumnarReads(partition: InputPartition): Boolean = vectorize
@@ -1057,10 +1140,29 @@ object KeyedSource {
   final case class Snapshot(seq: Long, gen: String, tombstones: Set[String],
       edits: Map[String, Seq[String]] = Map.empty)
 
+  /** Schema-evolution op, recorded in the commit log's lineage (r16 —
+    * the Iceberg-shape gap a long-lived layout hits: add-column and
+    * rename without restaging 100 TB of frames). Ops are APPEND-ONLY
+    * and name-based: a generation written before a rename stores the
+    * OLD name, one written after stores the new — readers resolve each
+    * declared column against a generation's written schema through the
+    * alias chain, so no per-generation stamping is needed. Added
+    * columns carry a DEFAULT (the framed layout stores no NULLs — an
+    * added column must answer something for pre-evolution rows). Type
+    * CHANGES have no op on purpose: a BIGINT column read as STRING (or
+    * narrowed) refuses loudly at plan time. */
+  sealed trait SchemaOp
+  final case class AddCol(name: String, isLong: Boolean, default: String)
+      extends SchemaOp
+  final case class RenCol(from: String, to: String) extends SchemaOp
+
   /** The retained snapshot window plus the retention width that
     * produced it (delete commits inherit `retain` from here — they
-    * carry no write options of their own). */
-  final case class CommitLog(retain: Int, snapshots: Seq[Snapshot]) {
+    * carry no write options of their own) and the schema-evolution
+    * lineage (append-only; applies to the LAYOUT, not one snapshot —
+    * alias resolution is stamp-free, see [[SchemaOp]]). */
+  final case class CommitLog(retain: Int, snapshots: Seq[Snapshot],
+      ops: Seq[SchemaOp] = Seq.empty) {
     require(snapshots.nonEmpty, "commit log must retain at least one snapshot")
     def head: Snapshot = snapshots.last
   }
@@ -1100,7 +1202,7 @@ object KeyedSource {
     * commit swaps the log without tearing a plan. */
   final case class SnapshotView(layoutPath: String, seq: Long,
       gen: Option[String], tombstones: Set[String],
-      edits: Map[String, Seq[String]]) {
+      edits: Map[String, Seq[String]], ops: Seq[SchemaOp] = Seq.empty) {
     /** Base-generation root (the layout path itself for legacy flat). */
     def root: String = gen.fold(layoutPath)(g =>
       new org.apache.hadoop.fs.Path(layoutPath, g).toString)
@@ -1147,7 +1249,8 @@ object KeyedSource {
                 s"retain=${log.retain}) — expired or never committed; " +
                 "stage with a larger 'retain' to keep history"))
         }
-        SnapshotView(path, snap.seq, Some(snap.gen), snap.tombstones, snap.edits)
+        SnapshotView(path, snap.seq, Some(snap.gen), snap.tombstones,
+          snap.edits, log.ops)
       case None =>
         asOf.foreach { seq =>
           throw new IllegalArgumentException(
@@ -1224,13 +1327,23 @@ object KeyedSource {
           case _ => corrupt()
         }
       }.toMap
+    def parseOps(csv: String): Seq[SchemaOp] =
+      csv.split(",", -1).filter(_.nonEmpty).toSeq.map { op =>
+        op.split(":", -1) match {
+          case Array("add", n, t, d) if n.nonEmpty && (t == "B" || t == "S") =>
+            AddCol(n, t == "B", d)
+          case Array("ren", o, n) if o.nonEmpty && n.nonEmpty => RenCol(o, n)
+          case _ => corrupt()
+        }
+      }
     val lines = text.split("\n", -1).filter(_.nonEmpty)
     if (lines.isEmpty) corrupt()
     lines.head.split(PageSource.US, -1) match {
       case Array(CommitVersionV1, gen) if gen.nonEmpty && lines.length == 1 =>
         CommitLog(1, Seq(Snapshot(1L, gen, Set.empty)))
-      case Array(v, retain) if (v == CommitVersion || v == CommitVersionV2) &&
-          lines.length >= 2 =>
+      case Array(v, retain, rest @ _*) if (v == CommitVersion ||
+          (v == CommitVersionV2 && rest.isEmpty)) &&
+          lines.length >= 2 && rest.length <= 1 =>
         val snaps = lines.tail.toSeq.map { line =>
           line.split(PageSource.US, -1) match {
             case Array(seq, gen, tombCsv) if gen.nonEmpty =>
@@ -1245,14 +1358,21 @@ object KeyedSource {
           }
         }
         if (snaps.map(_.seq) != snaps.map(_.seq).sorted) corrupt()
-        CommitLog(long(retain).toInt, snaps)
+        CommitLog(long(retain).toInt, snaps,
+          rest.headOption.fold(Seq.empty[SchemaOp])(parseOps))
       case _ => corrupt()
     }
   }
 
   private[sources] def renderCommitLog(log: CommitLog): String = {
     val sb = new StringBuilder
-    sb.append(CommitVersion).append(PageSource.US).append(log.retain).append('\n')
+    sb.append(CommitVersion).append(PageSource.US).append(log.retain)
+    if (log.ops.nonEmpty)
+      sb.append(PageSource.US).append(log.ops.map {
+        case AddCol(n, l, d) => s"add:$n:${if (l) "B" else "S"}:$d"
+        case RenCol(o, n) => s"ren:$o:$n"
+      }.mkString(","))
+    sb.append('\n')
     log.snapshots.foreach { s =>
       sb.append(s.seq).append(PageSource.US).append(s.gen)
         .append(PageSource.US).append(s.tombstones.toSeq.sorted.mkString(","))
@@ -1447,6 +1567,160 @@ object KeyedSource {
         }
       case _ => None
     }
+  }
+
+  // ── Schema evolution ───────────────────────────────────────────────
+
+  private val ColName = java.util.regex.Pattern.compile("[A-Za-z0-9_]+")
+
+  /** Append schema-evolution ops to a layout's lineage (one CAS commit:
+    * new snapshot over the SAME generation + the ops recorded in the
+    * log — a schema change is auditable history like any other commit).
+    * `current` is the caller's declared schema BEFORE the ops; returns
+    * the evolved schema to declare from now on. Validation here is
+    * what keeps read-time resolution unambiguous: rename sources must
+    * exist, new names must collide with neither current columns nor
+    * any HISTORICAL alias (a file could otherwise match two declared
+    * columns), defaults must be frame-safe and parse as their type.
+    * Only BIGINT/STRING columns exist in this layout; type CHANGES
+    * have deliberately no op (readers refuse drift loudly). */
+  def evolveKeyed(spark: org.apache.spark.sql.SparkSession, path: String,
+      current: StructType, ops: Seq[SchemaOp]): StructType = {
+    require(ops.nonEmpty, "evolveKeyed needs at least one op")
+    val hconf = spark.sessionState.newHadoopConf()
+    commitLoop(path, hconf, "schema evolution") { prior =>
+      val log = prior.getOrElse(throw new UnsupportedOperationException(
+        s"graft-keyed schema evolution is a snapshot-log commit, but $path " +
+          "has no commit log (legacy flat stage) — restage through the " +
+          "connector writer first"))
+      // validate against the full lineage (existing + new)
+      val evolved = applyOps(current, ops, log.ops)
+      require(evolved != null) // applyOps throws with context on any violation
+      val head = log.head
+      val keep = math.max(log.retain, 1)
+      Some(CommitLog(keep,
+        (log.snapshots :+ Snapshot(head.seq + 1, head.gen, head.tombstones,
+          head.edits)).takeRight(keep),
+        log.ops ++ ops))
+    }
+    applyOps(current, ops, Seq.empty)
+  }
+
+  /** Apply `ops` to `current`, validating each against the schema state
+    * AND the full historical alias set (`priorOps`' old names — a new
+    * column must not reuse a name some generation still stores under,
+    * or read-time resolution would match two declared columns). */
+  private[graft] def applyOps(current: StructType, ops: Seq[SchemaOp],
+      priorOps: Seq[SchemaOp]): StructType = {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"graft-keyed schema evolution refused: $msg")
+    var taken: Set[String] = current.fieldNames.toSet ++ priorOps.flatMap {
+      case AddCol(n, _, _) => Seq(n)
+      case RenCol(o, n) => Seq(o, n)
+    }
+    var schema = current
+    ops.foreach {
+      case AddCol(n, isLong, d) =>
+        if (!ColName.matcher(n).matches()) bad(s"column name '$n' must match [A-Za-z0-9_]+")
+        if (taken.contains(n)) bad(
+          s"column name '$n' is already a current column or a historical alias")
+        if (isLong) {
+          try d.toLong catch { case _: NumberFormatException =>
+            bad(s"BIGINT default '$d' for column '$n' is not an integer") }
+        } else if (d.exists(c => c == 0x1F || c == 0x1E || c == '\n' ||
+            c == '\r' || c == ':' || c == ','))
+          bad(s"STRING default for column '$n' contains a framing/lineage " +
+            "delimiter byte")
+        taken += n
+        schema = schema.add(n,
+          if (isLong) LongType else StringType, nullable = false)
+      case RenCol(o, n) =>
+        if (!schema.fieldNames.contains(o)) bad(s"rename source '$o' is not a column")
+        if (!ColName.matcher(n).matches()) bad(s"column name '$n' must match [A-Za-z0-9_]+")
+        if (taken.contains(n)) bad(
+          s"rename target '$n' is already a current column or a historical alias")
+        taken += n
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == o) f.copy(name = n) else f))
+    }
+    schema
+  }
+
+  /** fromDDL that round-trips the EMPTY schema (a count(*) scan prunes
+    * every column; `StructType.fromDDL("")` raises a parse error). */
+  private[sources] def ddlToSchema(ddl: String): StructType =
+    if (ddl.isEmpty) new StructType() else StructType.fromDDL(ddl)
+
+  /** Read-time lineage: for each CURRENT column name, its historical
+    * aliases (newest-first) and the add-op default (if the column was
+    * introduced by evolution), both tracked through renames. */
+  private[sources] def lineageOf(ops: Seq[SchemaOp])
+      : (Map[String, Seq[String]], Map[String, (Boolean, String)]) = {
+    var aliases = Map.empty[String, Seq[String]]
+    var defaults = Map.empty[String, (Boolean, String)]
+    ops.foreach {
+      case AddCol(n, l, d) => defaults += n -> ((l, d))
+      case RenCol(o, n) =>
+        aliases += n -> (o +: aliases.getOrElse(o, Seq.empty))
+        aliases -= o
+        defaults.get(o).foreach { d => defaults += n -> d; defaults -= o }
+    }
+    (aliases, defaults)
+  }
+
+  /** Per-directory evolved-read plan: how one generation's files map
+    * to the scan's output columns. `innerDdl` is the projection the
+    * frame decoder reads from the FILE (file-side names/types, output
+    * order); `fromFile(i)` says output column i comes from the decoder
+    * (in sequence) vs the parsed constant default. None = identity
+    * (the generation already stores the declared schema). */
+  final case class DirReadPlan(fileDdl: String, innerDdl: String,
+      fromFile: Array[Boolean], constIsLong: Array[Boolean],
+      constVals: Array[String])
+
+  /** Resolve `required` against a generation's written schema through
+    * the lineage. Loud on: a column that neither resolves nor has a
+    * default, and on TYPE DRIFT (a BIGINT-written field read as STRING
+    * would silently reorder and corrupt; narrowing likewise refuses —
+    * the order-marker v2 rule applied to the data path). */
+  private[sources] def evolvedPlan(genRoot: String, written: StructType,
+      required: StructType, ops: Seq[SchemaOp]): DirReadPlan = {
+    import org.apache.spark.sql.types.StructField
+    val (aliases, defaults) = lineageOf(ops)
+    val inner = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    val fromFile = new Array[Boolean](required.length)
+    val constIsLong = new Array[Boolean](required.length)
+    val constVals = new Array[String](required.length)
+    required.fields.zipWithIndex.foreach { case (f, i) =>
+      val candidates = f.name +: aliases.getOrElse(f.name, Seq.empty)
+      candidates.find(written.fieldNames.contains) match {
+        case Some(src) =>
+          val st = written(src).dataType
+          if (st != f.dataType) throw new IllegalArgumentException(
+            s"graft-keyed schema drift at $genRoot: column '${f.name}' " +
+              s"(stored as '$src') was written ${st.sql} but is declared " +
+              s"${f.dataType.sql} — type changes refuse; restage the layout")
+          fromFile(i) = true
+          inner += StructField(src, st, nullable = false)
+        case None => defaults.get(f.name) match {
+          case Some((isLong, d))
+              if isLong == (f.dataType == LongType) =>
+            constIsLong(i) = isLong
+            constVals(i) = d
+          case Some(_) => throw new IllegalArgumentException(
+            s"graft-keyed schema drift at $genRoot: added column " +
+              s"'${f.name}' is declared ${f.dataType.sql} but its add-op " +
+              "recorded the other type — type changes refuse")
+          case None => throw new IllegalArgumentException(
+            s"graft-keyed cannot resolve column '${f.name}' against the " +
+              s"generation at $genRoot (written: ${written.simpleString}; " +
+              "no lineage alias, no add-op default) — declared schema and " +
+              "layout lineage disagree")
+        }
+      }
+    }
+    DirReadPlan(written.toDDL, StructType(inner.toSeq).toDDL,
+      fromFile, constIsLong, constVals)
   }
 
   /** Spec-facing: remove every commit-log artifact (versioned files,

@@ -203,6 +203,25 @@ object KeyedStats {
     }, table))
   }
 
+  /** The WRITTEN schema a generation's sidecar header records —
+    * regardless of whether it matches any declared schema (that match
+    * gates metadata ANSWERS; schema evolution needs the raw historical
+    * truth to map old files under an evolved declared schema). None =
+    * no sidecar / unknown version. */
+  private[graft] def writtenSchema(genRoot: String,
+      conf: org.apache.spark.util.SerializableConfiguration): Option[StructType] = {
+    val p = new org.apache.hadoop.fs.Path(genRoot, SidecarFile)
+    val fs = p.getFileSystem(conf.value)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val head = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().nextOption() finally in.close()
+    head.map(_.split(PageSource.US, -1)).collect {
+      case Array(Version, tag, _) =>
+        try Some(StructType.fromDDL(tag)) catch { case _: Exception => None }
+    }.flatten
+  }
+
   /** Merge one key's per-generation entries (a row-level APPEND leaves
     * a key served by several generations): counts and sums add, min/max
     * merge TYPED per column — BIGINT numerically ("10" < "2" as bytes),

@@ -185,7 +185,8 @@ final class KeyedBatchWrite(schema: StructType, path: String, key: String,
       val keep = math.max(math.max(prior.fold(1)(_.retain), retain), 1)
       Some(KeyedSource.CommitLog(keep,
         (prior.map(_.snapshots).getOrElse(Seq.empty) :+
-          KeyedSource.Snapshot(newSeq, genName, Set.empty)).takeRight(keep)))
+          KeyedSource.Snapshot(newSeq, genName, Set.empty)).takeRight(keep),
+        prior.fold(Seq.empty[KeyedSource.SchemaOp])(_.ops)))
     }.get
     // cleanup AFTER the claim — readers resolve the log first, so
     // everything below is dead weight; a crash here leaves orphans a
