@@ -96,18 +96,37 @@ object VectorizedFrame {
   }
   private val bufPool = new ThreadLocal[Array[Byte]]
 
+  /** A pooled entry is only reusable while its backing arrays are
+    * ALIVE: a downstream consumer may legitimately close the
+    * ColumnarBatch it was handed (Spark's limit/collect machinery does
+    * on some plan shapes — r16, found when a pushed-limit page scan
+    * preceded a streaming drain), which frees the vectors' arrays and
+    * would NPE the next borrower mid-decode. isNullAt(0) touches the
+    * nulls array, so it NPEs exactly when the vector was closed. */
+  private def alive(vs: Array[OnHeapColumnVector]): Boolean =
+    try { vs.foreach(_.isNullAt(0)); true }
+    catch { case _: NullPointerException => false }
+
   private[graft] def borrowVectors(required: StructType)
       : (Array[OnHeapColumnVector], ColumnarBatch) =
-    vecPool.get.remove(required.catalogString).getOrElse {
-      val vs = required.fields.map(f => new OnHeapColumnVector(BatchRows, f.dataType))
-      (vs, new ColumnarBatch(vs.toArray[ColumnVector]))
+    vecPool.get.remove(required.catalogString) match {
+      case Some(entry) if alive(entry._1) => entry
+      case _ =>
+        val vs = required.fields.map(f => new OnHeapColumnVector(BatchRows, f.dataType))
+        (vs, new ColumnarBatch(vs.toArray[ColumnVector]))
     }
 
   private[graft] def returnVectors(required: StructType,
-      entry: (Array[OnHeapColumnVector], ColumnarBatch)): Unit = {
-    entry._1.foreach(_.reset())
-    vecPool.get.update(required.catalogString, entry)
-  }
+      entry: (Array[OnHeapColumnVector], ColumnarBatch)): Unit =
+    try {
+      entry._1.foreach(_.reset())
+      vecPool.get.update(required.catalogString, entry)
+    } catch {
+      // closed downstream before the reader's own close — drop the
+      // entry rather than poison the pool (reset on a closed vector
+      // touches its freed arrays)
+      case _: NullPointerException => ()
+    }
 
   /** Non-default chunk sizes (the growth/boundary specs) bypass the
     * pool — a spec's 16-byte buffer must never be served where 4 MB
@@ -164,8 +183,18 @@ object VectorizedFrame {
 final class PageColumnarReader(pageDir: String, full: StructType,
     required: StructType,
     conf: org.apache.spark.util.SerializableConfiguration, limit: Int = -1,
-    chunkBytes: Int = VectorizedFrame.ChunkBytes)
+    chunkBytes: Int = VectorizedFrame.ChunkBytes,
+    consumed: Seq[(Long, Long)] = Seq((Long.MinValue, Long.MaxValue)))
     extends PartitionReader[ColumnarBatch] {
+  // consumed (exact) doc_id intervals, evaluated per record off the
+  // raw bytes BEFORE any vector write — the columnar half of the
+  // contract that let the scan delete its residual Filter
+  // (PageScanBuilder.pushFilters); a miss skips the record without
+  // decoding a field
+  private val filterRanges: Seq[(Long, Long)] =
+    if (consumed == Seq((Long.MinValue, Long.MaxValue))) null else consumed
+  private val docIdIdx: Int =
+    if (filterRanges == null) -1 else full.fieldIndex("doc_id")
   // decode plan hoisted out of the loop — same parallel-array shape as
   // the row reader's (field index + long/string flag per OUTPUT column)
   private val srcIdx: Array[Int] = required.fields.map(f => full.fieldIndex(f.name))
@@ -249,8 +278,7 @@ final class PageColumnarReader(pageDir: String, full: StructType,
     while (n < VectorizedFrame.BatchRows && !exhausted &&
         (limit < 0 || emitted < limit)) {
       exhausted = !ensureRecord()
-      if (!exhausted) {
-        decodeRecord(n)
+      if (!exhausted && decodeRecord(n)) {
         n += 1
         emitted += 1
       }
@@ -260,13 +288,15 @@ final class PageColumnarReader(pageDir: String, full: StructType,
   }
 
   /** Decode the record at `pos` into batch row `row`; advances `pos`
-    * past the record's LF. Single pass: field boundaries and the
-    * record end found in one byte scan (both delimiters are < 0x80 —
-    * see the object scaladoc for why that is UTF-8-safe). The caller
-    * (ensureRecord) guarantees the record is complete in the window:
-    * an LF before `dataLen`, or the window end IS the file's final
-    * unterminated record. */
-  private def decodeRecord(row: Int): Unit = {
+    * past the record's LF either way. FALSE = a consumed-filter miss
+    * (outside the exact doc_id intervals) — skipped before any vector
+    * write, never counted toward the pushed limit. Single pass: field
+    * boundaries and the record end found in one byte scan (both
+    * delimiters are < 0x80 — see the object scaladoc for why that is
+    * UTF-8-safe). The caller (ensureRecord) guarantees the record is
+    * complete in the window: an LF before `dataLen`, or the window end
+    * IS the file's final unterminated record. */
+  private def decodeRecord(row: Int): Boolean = {
     val recStart = pos
     var fields = 1
     starts(0) = recStart
@@ -289,6 +319,14 @@ final class PageColumnarReader(pageDir: String, full: StructType,
           s"$fields fields, schema declares $nFull " +
           s"(record head: ${new String(buf, recStart,
             math.min(end - recStart, 80), java.nio.charset.StandardCharsets.UTF_8)})")
+    if (filterRanges != null) {
+      val s = starts(docIdIdx)
+      val e = if (docIdIdx == nFull - 1) end else starts(docIdIdx + 1) - 1
+      if (!PageSource.inRanges(VectorizedFrame.parseLong(buf, s, e), filterRanges)) {
+        pos = end + 1
+        return false
+      }
+    }
     var i = 0
     while (i < nOut) {
       val f = srcIdx(i)
@@ -299,6 +337,7 @@ final class PageColumnarReader(pageDir: String, full: StructType,
       i += 1
     }
     pos = end + 1
+    true
   }
 
   override def get(): ColumnarBatch = batch

@@ -115,6 +115,94 @@ class PageSourceSpec extends SparkSpec {
     assert(contra.rdd.getNumPartitions == 0 && contra.count() == 0L)
   }
 
+  test("exact doc_id predicates are FULLY consumed: no residual Filter, LIMIT composes (r16)") {
+    // exact interval predicates delete the Filter node entirely — the
+    // readers evaluate the consumed set per record — so the pushed
+    // LIMIT is no longer structurally blocked and the per-page cap
+    // counts MATCHING rows
+    val q = readPages(staged)
+      .filter(col("doc_id") >= 17L && col("doc_id") <= 24L)
+      .limit(3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter "),
+      s"an exactly-consumed predicate must leave no residual Filter:\n$plan")
+    val scans = q.queryExecution.sparkPlan.collectLeaves()
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    val desc = scans.head.scan.description()
+    assert(desc.contains("keyrange=[17,24]") && desc.contains("limit=3") &&
+      desc.contains("exactfilter"), desc)
+    // q.rdd is the post-limit single-partition RDD; the SCAN's planned
+    // pages carry the pruning evidence
+    assert(scans.head.scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions().length == 2, "page pruning still applies")
+    val got = q.collect().map(_.getLong(0))
+    assert(got.length == 3 && got.forall(id => id >= 17L && id <= 24L),
+      s"the capped decode must emit 3 MATCHING rows, got ${got.toSeq}")
+    // values stay exact without the limit, on both decode paths
+    val all = readPages(staged)
+      .filter(col("doc_id").isin(5L, 100L) || col("doc_id") === 23L)
+    assert(all.orderBy("doc_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(5L, 23L, 100L))
+    val allRow = spark.read.format("graft-pages").option("path", staged)
+      .option("schema", PageSource.DDL).option("vectorize", "false").load()
+      .filter(col("doc_id").isin(5L, 100L) || col("doc_id") === 23L)
+    assert(allRow.orderBy("doc_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(5L, 23L, 100L))
+    // a mixed AND keeps only the non-key arm as residual; the doc_id
+    // arm is consumed and the answer stays exact
+    val mixed = readPages(staged)
+      .filter(col("doc_id") <= 24L && col("lang") =!= "zz")
+    val mplan = mixed.queryExecution.executedPlan.toString
+    assert(mplan.contains("Filter "), "the lang arm must stay residual")
+    assert(!mplan.contains("doc_id#") ||
+      !mplan.split("Filter ")(1).split("\n")(0).contains("doc_id"),
+      s"the doc_id arm must be consumed out of the residual:\n$mplan")
+    assert(mixed.count() == Tables.load(spark, sf0001, "documents")
+      .filter("doc_id <= 24 AND lang <> 'zz'").count())
+  }
+
+  test("streaming leg prunes pages by the pushed interval set per micro-batch (r16)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(PageSource.DDL)
+    val b = new graft.sources.PageScanBuilder(schema, staged, conf)
+    b.pushFilters(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("doc_id", Array(5L, 100L))))
+    val ms = b.build().asInstanceOf[graft.sources.PageScan]
+      .toMicroBatchStream(graft.io.TempDirs.scratch("graft_stream_ck_"))
+      .asInstanceOf[graft.sources.PageMicroBatchStream]
+    val end = ms.latestOffset(ms.initialOffset(), ReadLimit.allAvailable())
+    val parts = ms.planInputPartitions(ms.initialOffset(), end)
+    // pageSize=8: doc 5 → page 0, doc 100 → page 12 — two pages, not
+    // the whole [start, end) interval
+    assert(parts.length == 2,
+      s"the stream must plan only interval-matching pages, got ${parts.length}")
+    // and the unfiltered stream still plans everything
+    val b2 = new graft.sources.PageScanBuilder(schema, staged, conf)
+    val ms2 = b2.build().asInstanceOf[graft.sources.PageScan]
+      .toMicroBatchStream(graft.io.TempDirs.scratch("graft_stream_ck2_"))
+      .asInstanceOf[graft.sources.PageMicroBatchStream]
+    val end2 = ms2.latestOffset(ms2.initialOffset(), ReadLimit.allAvailable())
+    val all = ms2.planInputPartitions(ms2.initialOffset(), end2).length
+    assert(all > 2 && all == new java.io.File(staged).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("page=")))
+    // end-to-end: a filtered streaming drain equals the filtered batch
+    val outDir = graft.io.TempDirs.scratch("graft_stream_flt_")
+    val sq = spark.readStream.format("graft-pages")
+      .option("path", staged).option("schema", PageSource.DDL).load()
+      .filter(col("doc_id").isin(5L, 100L))
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination(60000)
+    val streamed = spark.read.schema(schema).parquet(s"$outDir/data")
+      .orderBy("doc_id").collect()
+    assert(streamed.map(_.getLong(0)).toSeq == Seq(5L, 100L))
+  }
+
   test("declared schema is required — a paged API has no footer to infer from") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("graft-pages").option("path", staged).load()
