@@ -2243,19 +2243,41 @@ object LlmData {
     // ── Sketch: HLL++ approximate distinct counts ─────────────────────
     // The sketch path for cardinality at 100 TB: fixed-size HLL state
     // merges map-side, so the shuffle carries sketches, not values.
-    // No oracle (DuckDB's approx_count_distinct uses a different HLL
-    // construction) — driver records rows-only; SketchSpec bounds the
-    // relative error against exact counts.
+    // ORACLE-CHECKED since r16 (the r15 verdict's #7 — this was the
+    // registry's only rows-only row): DuckDB's HLL construction
+    // differs, so the estimate itself can never hash-match — instead
+    // the row publishes the EXACT distincts (hash-checked) with the
+    // sketch as an ERROR-BOUNDED output: a boolean per sketch column
+    // asserting |est/exact − 1| ≤ 5% (rsd 2% ⇒ ±6% at 3σ; Spark's
+    // HLL++ is deterministic, so the booleans are stable), which the
+    // oracle replays as TRUE. An HLL drift outside the bound now
+    // FAILS the hash compare — the sketch is inside the correctness
+    // gate, not beside it. The exact distincts make this the sketch
+    // ACCURACY AUDIT (the x35 recall-audit shape for cardinality);
+    // the pure-sketch scale path — no distinct shuffle at all — is
+    // what production uses and SketchSpec continues to bound.
     "x33_hll_distinct" -> Q(
       (s, dir) => t(s, dir, "documents")
         .groupBy("lang")
         .agg(
-          approx_count_distinct(col("text"), rsd = 0.02).as("approx_texts"),
-          approx_count_distinct(col("source"), rsd = 0.02).as("approx_sources"),
+          countDistinct(col("text")).as("n_texts"),
+          countDistinct(col("source")).as("n_sources"),
+          approx_count_distinct(col("text"), rsd = 0.02).as("at"),
+          approx_count_distinct(col("source"), rsd = 0.02).as("asrc"),
           count(lit(1)).as("n"))
+        .select(col("lang"), col("n_texts"), col("n_sources"),
+          (abs(col("at") - col("n_texts")) <=
+            col("n_texts").cast("double") * 0.05).as("texts_within_bound"),
+          (abs(col("asrc") - col("n_sources")) <=
+            col("n_sources").cast("double") * 0.05).as("sources_within_bound"),
+          col("n"))
         .orderBy("lang"),
-      None,
-      "HLL++ sketch aggregation: constant state per group, map-side mergeable"),
+      Some("""SELECT lang, count(DISTINCT text) AS n_texts,
+             |  count(DISTINCT source) AS n_sources,
+             |  TRUE AS texts_within_bound, TRUE AS sources_within_bound,
+             |  count(*) AS n
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      "HLL++ sketch accuracy audit: exact distincts hash-checked, the sketch an error-bounded output — drift outside 5% fails the oracle"),
 
     // ── X5: multimodal bundling — text + embedding in one row ─────────
     // Join on doc_id = vec_id, bundle typed struct columns, project

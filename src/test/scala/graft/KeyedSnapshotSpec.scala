@@ -316,6 +316,42 @@ class KeyedSnapshotSpec extends SparkSpec {
     assert(readKeyed(dir).count() == 24L, "new readers resolve the new head")
   }
 
+  test("two-session coherence: committed DELETE/OVERWRITE agree through the layout's own log (r16)") {
+    // GraftCatalog METADATA is session-scoped by design (the durable
+    // truth about a layout is the layout itself: commit log, sidecar,
+    // order marker — a metastore-backed catalog would persist exactly
+    // the Spec quadruple, GraftCatalog scaladoc). Two sessions (or a
+    // restart) operating on the same LOCATION must therefore agree
+    // through the LOG, not through any shared in-memory state: every
+    // scan build resolves the log fresh, and commits CAS-serialize.
+    val dir = graft.io.TempDirs.scratch("graft_snap_2sess_") + "/t"
+    KeyedSource.stageKeyed(spark, df(32L), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 3)
+    val tA = registerTable("sessA", dir, retain = 3)
+    spark.sql(s"DELETE FROM $tA WHERE kb = 1")
+
+    // session B: own SQLConf + catalog instances, shared context —
+    // a fresh CREATE over the same LOCATION (what a restart does)
+    val b = spark.newSession()
+    b.conf.set(s"spark.sql.catalog.gsnapb", classOf[GraftCatalog].getName)
+    b.sql("CREATE TABLE gsnapb.t (kb BIGINT, doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) USING `graft-keyed` LOCATION '$dir' " +
+      "TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='3')")
+    assert(b.sql("SELECT count(*) AS n FROM gsnapb.t").head().getLong(0) == 24L,
+      "session B must see session A's committed DELETE through the log")
+
+    // A overwrites; B's NEXT scan resolves the new head (no restart,
+    // no re-CREATE — snapshot resolution is per scan build)
+    spark.sql(s"INSERT OVERWRITE $tA SELECT id % 4, id, 'w', id * 3 FROM range(40)")
+    assert(b.sql("SELECT count(*) AS n FROM gsnapb.t").head().getLong(0) == 40L,
+      "session B must see session A's overwrite without re-registering")
+
+    // and the other direction: B deletes, A sees it
+    b.sql("DELETE FROM gsnapb.t WHERE kb IN (0, 2)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $tA").head().getLong(0) == 20L,
+      "session A must see session B's tombstone commit")
+  }
+
   test("expiry composes with shared-generation delete commits") {
     val dir = graft.io.TempDirs.scratch("graft_snap_exp_") + "/t"
     KeyedSource.stageKeyed(spark, df(40L, "a"), dir, "kb", retain = 2) // seq 1, genA
