@@ -1430,7 +1430,62 @@ object Relational {
              |SELECT kb, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(doc_id) AS last_doc
              |FROM merged GROUP BY kb ORDER BY kb""".stripMargin),
-      "row-level MERGE upsert via copy-on-write: affected key directories rewritten into a new generation, unaffected ones carried by reference; post-merge audit from the merged sidecar")
+      "row-level MERGE upsert via copy-on-write: affected key directories rewritten into a new generation, unaffected ones carried by reference; post-merge audit from the merged sidecar"),
+
+    // ── Incremental changes between snapshots (q67 — CDC read) ────────
+    // The `changes` metadata table: net row delta between two RETAINED
+    // snapshots, priced by METADATA — snapshots reference immutable
+    // generation files per key, so unchanged keys (identical
+    // references) are skipped without IO, an UPDATE that rewrote 2 of
+    // 16 buckets plans 2 partitions, a tombstone DELETE reads only the
+    // dropped key, and unchanged rows of a rewritten key CANCEL inside
+    // the key's own partition (zero Exchange anywhere). At 100 TB this
+    // is how a downstream consumer (index refresh, training-shard
+    // rebuild, replica sync) prices its refresh at O(what changed)
+    // instead of O(corpus) — and the same planner streams the commit
+    // log as micro-batches (KeyedChangesStream). Lifecycle: stage →
+    // UPDATE (doc_id % 40 = 7 → buckets 7/15 rewritten) → DELETE
+    // bucket 3 (tombstone); the read diffs snapshot 1 against the
+    // head and aggregates per (change_type, bucket).
+    "q67_incremental_changes" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#changes")({
+          val out = graft.io.TempDirs.scratch("graft_chg_") + "/bykb"
+          graft.sources.KeyedSource.stageKeyed(s,
+            t(s, dir, "documents").selectExpr("doc_id % 16 AS kb", "doc_id", "n_chars"),
+            out, "kb", sortBy = Seq("doc_id"), retain = 4)
+          s.conf.set("spark.sql.catalog.graftcat",
+            classOf[graft.sources.GraftCatalog].getName)
+          val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+          val name = s"graftcat.chg_$tag"
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          s.sql(s"CREATE TABLE $name (kb BIGINT, doc_id BIGINT, n_chars BIGINT) " +
+            s"USING `graft-keyed` LOCATION '$out' " +
+            "TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='4')")
+          s.sql(s"UPDATE $name SET n_chars = n_chars + 1000 WHERE doc_id % 40 = 7")
+          s.sql(s"DELETE FROM $name WHERE kb = 3")
+          out
+        })
+        s.read.format("graft-keyed").option("path", path)
+          .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+          .option("key", "kb")
+          .option("metadata", "changes").option("changesFrom", "1")
+          .load()
+          .groupBy(col("_change_type").as("change_type"), col("kb"))
+          .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("sum_chars"))
+          .orderBy("change_type", "kb")
+      },
+      Some("""WITH d AS (SELECT doc_id % 16 AS kb, doc_id, n_chars FROM documents),
+             |chg AS (
+             |  SELECT 'delete' AS change_type, kb, n_chars FROM d WHERE doc_id % 40 = 7
+             |  UNION ALL
+             |  SELECT 'insert', kb, n_chars + 1000 FROM d WHERE doc_id % 40 = 7
+             |  UNION ALL
+             |  SELECT 'delete', kb, n_chars FROM d WHERE kb = 3)
+             |SELECT change_type, kb, count(*) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM chg GROUP BY change_type, kb ORDER BY change_type, kb""".stripMargin),
+      "incremental CDC read between snapshots: per-key diff by file reference — unchanged keys skipped without IO, unchanged rows of rewritten keys cancel in-partition, zero Exchange")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table

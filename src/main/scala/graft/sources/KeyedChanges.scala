@@ -1,0 +1,383 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The `changes` METADATA TABLE (read option `metadata=changes`) —
+  * incremental/CDC reads between two committed snapshots, the Iceberg
+  * incremental-scan / Delta CDF shape the snapshot log makes possible.
+  *
+  * `changesFrom = <seq>` (exclusive; 0 = "since the empty table") and
+  * `changesTo = <seq>` (inclusive; default = head) select a snapshot
+  * interval; the scan returns the NET row-level difference between the
+  * two states as the layout schema plus a `_change_type` column
+  * ('insert' | 'delete' — an update is its delete+insert pair). A
+  * consumer applying deletes-then-inserts to its copy of snapshot
+  * `from` lands exactly at snapshot `to`.
+  *
+  * THE DIFF IS METADATA-PRICED. Snapshots reference immutable
+  * generation directories per key ([[KeyedSource.Snapshot]] `edits`),
+  * so two snapshots' states are compared by FILE REFERENCE, per key,
+  * on the driver:
+  *
+  *  - identical serving-directory lists ⇒ identical content — the key
+  *    is SKIPPED without opening a file. An UPDATE that touched 2 of
+  *    16 buckets plans 2 partitions, not 16.
+  *  - old list a strict PREFIX of new (row-level APPEND commits) ⇒
+  *    only the appended directories are read, all rows 'insert' — the
+  *    base data is never re-read. Incremental ingest costs O(delta).
+  *  - key only in `to` ⇒ its directories read as 'insert'; key only in
+  *    `from` (tombstoned DELETE) ⇒ its directories read as 'delete' —
+  *    each side read once, constant-tagged.
+  *  - otherwise (copy-on-write REWRITE) both versions of that key are
+  *    read and NET-diffed inside the key's single partition: rows
+  *    present in both versions cancel locally, so an upsert that
+  *    changed 50 rows of a million-row bucket emits 100 change rows,
+  *    not two million. The diff is a per-task hash multiset over ONE
+  *    key's old rows — the same single-key-per-task memory bound the
+  *    write path already enforces ([[KeyedDataWriter]]); ZERO shuffle,
+  *    zero Exchange anywhere in the plan.
+  *
+  * Both interval ends resolve against RETAINED snapshots (the
+  * reproducibility rule time travel pins): an expired `from` fails
+  * loudly at plan time with the retain remediation rather than
+  * silently widening the interval — a CDC consumer that fell behind
+  * retention must re-sync, not receive a wrong delta.
+  *
+  * The STREAMING leg ([[KeyedChangesStream]]) drives the same planner
+  * with commit seqs as offsets: `readStream` + `metadata=changes`
+  * delivers each commit's net delta as a micro-batch, exactly-once —
+  * offsets checkpoint as seqs, generations are immutable, and a
+  * restart re-plans the identical interval. This is the line the
+  * row-table's streaming refusal (KeyedTable scaladoc) draws: the
+  * LIVE directories cannot offer stable offsets, the SNAPSHOT LOG can
+  * — Iceberg's streaming reader walks its snapshot log the same way. */
+object KeyedChanges {
+  val ChangeCol = "_change_type"
+  val Insert: UTF8String = UTF8String.fromString("insert")
+  val Delete: UTF8String = UTF8String.fromString("delete")
+
+  def changesSchema(declared: StructType): StructType =
+    declared.add(ChangeCol, StringType, nullable = false)
+
+  /** Snapshot `seq`'s live (rawKey -> serving dirs), through the same
+    * view resolution every read surface uses; seq 0 is the empty
+    * table. Loud when `seq` is neither 0 nor retained. */
+  private def liveMap(path: String, log: KeyedSource.CommitLog,
+      hconf: org.apache.hadoop.conf.Configuration,
+      seq: Long): Map[String, Seq[String]] =
+    if (seq == 0L) Map.empty
+    else {
+      val snap = log.snapshots.find(_.seq == seq).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-keyed changes interval end $seq is not retained at $path " +
+            s"(retained seqs: ${log.snapshots.map(_.seq).mkString(",")}, " +
+            s"retain=${log.retain}) — expired or never committed; a consumer " +
+            "behind retention must re-sync from changesFrom=0, or the layout " +
+            "must be staged with a larger 'retain'"))
+      KeyedSource.SnapshotView(path, snap.seq, Some(snap.gen),
+        snap.tombstones, snap.edits, log.ops).liveKeyDirs(hconf).toMap
+    }
+
+  /** Per-directory evolved-read plan (None = the generation already
+    * stores the declared schema) — [[KeyedScan]]'s resolution, shared
+    * so changes over schema-evolved layouts read through the same
+    * lineage. */
+  private def planFor(dir: String, ops: Seq[KeyedSource.SchemaOp],
+      declared: StructType, layoutPath: String,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      cache: scala.collection.mutable.Map[String, Option[KeyedSource.DirReadPlan]])
+      : Option[KeyedSource.DirReadPlan] = {
+    if (ops.isEmpty) return None
+    val genRoot = new org.apache.hadoop.fs.Path(dir).getParent.toString
+    cache.getOrElseUpdate(genRoot,
+      KeyedStats.writtenSchema(genRoot, conf) match {
+        case Some(w) =>
+          val same = w.fields.map(f => (f.name, f.dataType)).toSeq ==
+            declared.fields.map(f => (f.name, f.dataType)).toSeq
+          if (same) None
+          else Some(KeyedSource.evolvedPlan(genRoot, w, declared, ops))
+        case None => throw new IllegalStateException(
+          s"graft-keyed layout at $layoutPath has schema-evolution lineage " +
+            s"but the generation at $genRoot has no readable stats sidecar " +
+            "to recover its written schema — cannot map; restage")
+      })
+  }
+
+  /** The driver-side diff: one partition per CHANGED key, unchanged
+    * keys (identical file references) skipped without IO. */
+  private[graft] def planDiff(path: String, log: KeyedSource.CommitLog,
+      hconf: org.apache.hadoop.conf.Configuration,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      declared: StructType, from: Long, to: Long): Array[InputPartition] = {
+    if (from == to) return Array.empty
+    // retention resolves FIRST (each end must be a retained snapshot —
+    // the more actionable error when both are wrong), then direction
+    val a = liveMap(path, log, hconf, from)
+    val b = liveMap(path, log, hconf, to)
+    require(from <= to,
+      s"graft-keyed changes interval is (from, to] with from <= to, " +
+        s"got changesFrom=$from > changesTo=$to")
+    val cache = scala.collection.mutable.Map
+      .empty[String, Option[KeyedSource.DirReadPlan]]
+    def plans(dirs: Seq[String]): Seq[Option[KeyedSource.DirReadPlan]] =
+      dirs.map(d => planFor(d, log.ops, declared, path, conf, cache))
+    (a.keySet ++ b.keySet).toSeq.sorted.flatMap { k =>
+      (a.get(k), b.get(k)) match {
+        case (Some(da), Some(db)) if da == db => None // identical references
+        case (Some(da), Some(db)) if da == db.take(da.length) =>
+          // row-level appends: only the delta directories, never the base
+          val delta = db.drop(da.length)
+          Some(KeyedChangesPartition(k, delta, plans(delta), Seq.empty, Seq.empty))
+        case (None, Some(db)) =>
+          Some(KeyedChangesPartition(k, db, plans(db), Seq.empty, Seq.empty))
+        case (Some(da), None) =>
+          Some(KeyedChangesPartition(k, Seq.empty, Seq.empty, da, plans(da)))
+        case (Some(da), Some(db)) => // rewrite: net-diff inside the partition
+          Some(KeyedChangesPartition(k, db, plans(db), da, plans(da)))
+        case (None, None) => None
+      }
+    }.toArray[InputPartition]
+  }
+}
+
+/** Routed by the provider on `metadata=changes` — its relation schema
+  * is the layout's plus `_change_type`, which is why (like the
+  * snapshots table) it is its own [[Table]]. Batch and micro-batch
+  * read; the layout must be generation-committed (the diff is defined
+  * on the commit log). */
+final class KeyedChangesTable(declared: StructType, path: String, key: String,
+    from: Option[Long], to: Option[Long])
+    extends Table with SupportsRead {
+  require(path != null, "graft-keyed requires option 'path' (the staged key directory)")
+  require(declared.fieldNames.contains(key),
+    s"key column '$key' must be part of the declared schema ${declared.simpleString}")
+  override def name(): String = s"graft-keyed-changes:$path"
+  override def schema(): StructType = KeyedChanges.changesSchema(declared)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    () => new KeyedChangesScan(declared, path, key, conf, from, to)
+  }
+}
+
+final class KeyedChangesScan(declared: StructType, path: String, key: String,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    fromOpt: Option[Long], toOpt: Option[Long])
+    extends Scan with Batch {
+
+  private def log: KeyedSource.CommitLog =
+    KeyedSource.readCommitLog(path, conf.value).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft-keyed changes are defined on the snapshot log, but $path " +
+          "has no commit log (legacy flat stage) — restage through the " +
+          "connector writer first"))
+
+  override def readSchema(): StructType = KeyedChanges.changesSchema(declared)
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val l = log
+    s"GraftKeyedChanges path=$path from=${fromOpt.getOrElse(0L)} " +
+      s"to=${toOpt.getOrElse(l.head.seq)} (net row delta, per-key diff by " +
+      "file reference — unchanged keys skipped without IO)"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val l = log
+    KeyedChanges.planDiff(path, l, conf.value, conf, declared,
+      fromOpt.getOrElse(0L), toOpt.getOrElse(l.head.seq))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KeyedChangesReaderFactory(declared, conf)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new KeyedChangesStream(declared, path, conf, fromOpt.getOrElse(0L))
+}
+
+/** One changed key. Exactly one of the two dir lists is empty for the
+  * constant-tagged cases (pure insert / pure delete); both non-empty
+  * means a copy-on-write rewrite, net-diffed in the reader. */
+final case class KeyedChangesPartition(rawKey: String,
+    insertDirs: Seq[String], insertPlans: Seq[Option[KeyedSource.DirReadPlan]],
+    deleteDirs: Seq[String], deletePlans: Seq[Option[KeyedSource.DirReadPlan]])
+    extends InputPartition
+
+final class KeyedChangesReaderFactory(declared: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
+
+  private def mk(dirs: Seq[String], plans: Seq[Option[KeyedSource.DirReadPlan]])
+      : PartitionReader[InternalRow] =
+    new ConcatReader(dirs.indices.map(j => () => plans(j) match {
+      case None => new PageReader(dirs(j), declared, declared, conf, -1)
+      case Some(p) => new EvolvedRowReader(new PageReader(dirs(j),
+        KeyedSource.ddlToSchema(p.fileDdl), KeyedSource.ddlToSchema(p.innerDdl),
+        conf, -1), p)
+    }))
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val cp = partition.asInstanceOf[KeyedChangesPartition]
+    val isLong = declared.fields.map(_.dataType == LongType)
+    if (cp.deleteDirs.isEmpty)
+      new ChangeTagReader(mk(cp.insertDirs, cp.insertPlans), isLong, KeyedChanges.Insert)
+    else if (cp.insertDirs.isEmpty)
+      new ChangeTagReader(mk(cp.deleteDirs, cp.deletePlans), isLong, KeyedChanges.Delete)
+    else
+      new NetDiffReader(() => mk(cp.deleteDirs, cp.deletePlans),
+        () => mk(cp.insertDirs, cp.insertPlans), isLong)
+  }
+}
+
+/** Constant-tagged pass-through: every inner row re-emitted with
+  * `_change_type` appended. Values are OWNED copies (the inner decode
+  * may reuse buffers across next()). */
+final class ChangeTagReader(inner: PartitionReader[InternalRow],
+    isLong: Array[Boolean], tag: UTF8String)
+    extends PartitionReader[InternalRow] {
+  private val n = isLong.length
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    if (!inner.next()) return false
+    val src = inner.get()
+    val out = new Array[Any](n + 1)
+    var i = 0
+    while (i < n) {
+      out(i) = if (isLong(i)) Long.box(src.getLong(i)) else src.getUTF8String(i).clone()
+      i += 1
+    }
+    out(n) = tag
+    current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
+}
+
+/** NET multiset diff of one rewritten key, local to its partition:
+  * drain the old version into a hash multiset (owned values), stream
+  * the new version emitting rows absent from the multiset as 'insert'
+  * (present ones cancel), then drain the remainder as 'delete'. Memory
+  * is one key's OLD rows — the single-key-per-task bound the layout's
+  * write path already lives by; a sorted co-merge (O(1) memory when
+  * both generations carry the same order marker) is the refinement if
+  * that bound ever pinches. */
+final class NetDiffReader(oldSide: () => PartitionReader[InternalRow],
+    newSide: () => PartitionReader[InternalRow], isLong: Array[Boolean])
+    extends PartitionReader[InternalRow] {
+  private val n = isLong.length
+
+  private def vecOf(row: InternalRow): scala.collection.immutable.ArraySeq[Any] = {
+    val a = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      a(i) = if (isLong(i)) Long.box(row.getLong(i)) else row.getUTF8String(i).clone()
+      i += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+  }
+
+  private val old = scala.collection.mutable.HashMap
+    .empty[scala.collection.immutable.ArraySeq[Any], Int]
+  locally {
+    val r = oldSide()
+    try while (r.next()) {
+      val v = vecOf(r.get())
+      old.update(v, old.getOrElse(v, 0) + 1)
+    } finally r.close()
+  }
+
+  private var news: PartitionReader[InternalRow] = newSide()
+  private var leftover: Iterator[scala.collection.immutable.ArraySeq[Any]] = null
+  private var current: InternalRow = _
+
+  private def emit(v: scala.collection.immutable.ArraySeq[Any],
+      tag: UTF8String): Unit = {
+    val out = new Array[Any](n + 1)
+    var i = 0
+    while (i < n) { out(i) = v(i); i += 1 }
+    out(n) = tag
+    current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  override def next(): Boolean = {
+    while (news != null) {
+      if (news.next()) {
+        val v = vecOf(news.get())
+        old.get(v) match {
+          case Some(c) => // unchanged row: cancels against the old version
+            if (c == 1) old.remove(v) else old.update(v, c - 1)
+          case None =>
+            emit(v, KeyedChanges.Insert)
+            return true
+        }
+      } else {
+        news.close(); news = null
+        leftover = old.iterator.flatMap { case (v, c) => Iterator.fill(c)(v) }
+      }
+    }
+    if (leftover != null && leftover.hasNext) {
+      emit(leftover.next(), KeyedChanges.Delete)
+      true
+    } else false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = if (news != null) { news.close(); news = null }
+}
+
+/** Commit-seq offsets over the snapshot log — the streaming leg of the
+  * changes table. Each micro-batch (start, end] is the SAME net diff
+  * the batch scan plans; offsets checkpoint as seqs; generations are
+  * immutable, so replaying an uncommitted batch after restart reads
+  * identical bytes (exactly-once). A start offset that fell out of the
+  * retention window fails loudly at plan time (liveMap's remediation)
+  * — retention IS the maximum consumer lag, the contract Iceberg's
+  * streaming reader has with expire-snapshots. */
+final class KeyedChangesStream(declared: StructType, path: String,
+    conf: org.apache.spark.util.SerializableConfiguration, startSeq: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private case class SeqOffset(seq: Long) extends Offset {
+    override def json(): String = seq.toString
+  }
+
+  private def log: KeyedSource.CommitLog =
+    KeyedSource.readCommitLog(path, conf.value).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft-keyed changes stream at $path found no commit log — " +
+          "restage through the connector writer first"))
+
+  // AvailableNow: pin the head ONCE at prepare; the run drains to it
+  // and stops, commits landing mid-run wait for the next run
+  @volatile private var pinnedHead: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedHead = Some(log.head.seq)
+
+  override def initialOffset(): Offset = SeqOffset(startSeq)
+  override def latestOffset(): Offset =
+    SeqOffset(pinnedHead.getOrElse(log.head.seq))
+  // admission control (SupportsTriggerAvailableNow extends it): no
+  // rate limiting — a commit's delta is the natural batch grain
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    KeyedChanges.planDiff(path, log, conf.value, conf, declared,
+      start.asInstanceOf[SeqOffset].seq, end.asInstanceOf[SeqOffset].seq)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KeyedChangesReaderFactory(declared, conf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -68,9 +68,9 @@ class KeyedSourceProvider extends TableProvider with DataSourceRegister {
   // the path-based provider has no multi-part identifiers)
   private def metadataTable(options: java.util.Map[String, String]): Option[String] =
     Option(options.get("metadata")).map {
-      case ok @ "snapshots" => ok
+      case ok @ ("snapshots" | "changes") => ok
       case other => throw new IllegalArgumentException(
-        s"graft-keyed has no metadata table '$other' (supported: snapshots)")
+        s"graft-keyed has no metadata table '$other' (supported: snapshots, changes)")
     }
 
   private def declaredSchema(options: java.util.Map[String, String]): StructType =
@@ -80,6 +80,8 @@ class KeyedSourceProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     metadataTable(options) match {
+      case Some("changes") =>
+        KeyedChanges.changesSchema(declaredSchema(options))
       case Some(_) =>
         declaredSchema(options) // the LAYOUT schema must still parse (the sidecar reads need it)
         KeyedSnapshotsScan.Schema
@@ -92,6 +94,13 @@ class KeyedSourceProvider extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         "graft-keyed requires option 'key' (the layout's key column)"))
     metadataTable(properties) match {
+      case Some("changes") =>
+        new KeyedChangesTable(declaredSchema(properties),
+          properties.get("path"), key,
+          from = KeyedSource.numericOption(properties.get("changesFrom"),
+            "changesFrom", "a snapshot sequence number like changesFrom=1")(_.toLong),
+          to = KeyedSource.numericOption(properties.get("changesTo"),
+            "changesTo", "a snapshot sequence number like changesTo=3")(_.toLong))
       case Some(_) =>
         new KeyedSnapshotsTable(declaredSchema(properties),
           properties.get("path"), key)
@@ -150,15 +159,18 @@ final class KeyedSnapshotsTable(declared: StructType, path: String, key: String)
   * rescue it — it assumes immutable files, which overwrite-by-key
   * violates by design.
   *
-  * The composition that DOES stream keyed data is already in the
-  * repo: ingest increments through the pages connector (the monotone
-  * ledger) and re-stage the keyed layout from the drained batch —
-  * ledger for deliveries, keyed layout for join geometry; Iceberg
-  * draws the same line (its streaming reader walks the append
-  * SNAPSHOT log, never the live partition directories).
-  * KeyedSourceSpec pins the refusal: `readStream` against this table
-  * fails at analysis with Spark's unsupported-streaming error, not
-  * deep in an executor. */
+  * The compositions that DO stream keyed data: ingest increments
+  * through the pages connector (the monotone ledger) and re-stage the
+  * keyed layout from the drained batch — ledger for deliveries, keyed
+  * layout for join geometry; and, since r16, the SNAPSHOT LOG itself
+  * streams through the `changes` metadata table
+  * ([[KeyedChangesStream]]: commit seqs are the offsets, retained
+  * immutable generations pin each interval's bytes — exactly the line
+  * Iceberg draws, whose streaming reader walks the snapshot log,
+  * never the live partition directories). KeyedSourceSpec pins the
+  * ROW-TABLE refusal: `readStream` against this table fails at
+  * analysis with Spark's unsupported-streaming error, not deep in an
+  * executor. */
 final class KeyedTable(declared: StructType, path: String, key: String,
     sortBy: Seq[String] = Nil, retain: Int = 1, asOf: Option[Long] = None)
     extends Table with SupportsRead

@@ -46,12 +46,24 @@ import org.apache.spark.unsafe.types.UTF8String
   *     (time travel) until they age out of the window. retain=1 is
   *     byte-for-byte the old immediate-delete behavior.
   *
-  * Append mode is REFUSED at plan time: the layout's write contract is
-  * overwrite-by-generation (one file per key); an in-place append
-  * would rewrite live files under readers — the exact torn-read the
-  * generation pointer exists to prevent. Incremental ingest composes
-  * the other way (pages ledger → re-stage), see KeyedTable's
-  * streaming-refusal scaladoc.
+  * APPEND mode (r16 — `INSERT INTO`, `mode("append")`, and Spark's
+  * insert-only-MERGE rewrite, which plans an AppendData): the new rows
+  * stage into their own generation exactly like an overwrite, but the
+  * commit KEEPS the head's base generation and records each written
+  * key as an EDIT APPEND (`priorLive(k) :+ gen` — the same per-key
+  * file-reference mechanism row-level MERGE inserts use), so live
+  * files are never rewritten in place (the torn-read the pre-log
+  * connector refused appends to avoid no longer exists — generations
+  * are immutable and visibility is one atomic log swap). Appended
+  * keys are served by >1 file until a compaction rewrites them
+  * (ordering claims drop meanwhile — readOrderMarkerView); the
+  * changes table prices an append interval at O(delta) because only
+  * the appended directories differ by reference. Pure additions
+  * cannot write-skew, so an append retries the CAS loop against a
+  * fresh head instead of failing like row-level DML (Iceberg's
+  * append-vs-validate line). Appending to a layout with NO commit log
+  * refuses: a legacy flat stage must first be restaged through the
+  * connector writer.
   *
   * COMMITS SERIALIZE UNDER A SINGLE-WRITER CONTRACT (write and delete
   * alike): publish is read-log → append-snapshot → atomic rename, so
@@ -68,11 +80,6 @@ final class KeyedWriteBuilder(declared: StructType, path: String, key: String,
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): Write = {
-    if (!overwrite) throw new UnsupportedOperationException(
-      "graft-keyed is overwrite-only (write-audit-publish replaces the whole " +
-        "layout generation atomically); append would rewrite one-file-per-key " +
-        "directories in place under live readers. For incremental ingest, land " +
-        "increments through the graft-pages ledger and re-stage.")
     val schema = info.schema()
     require(schema.fieldNames.contains(key),
       s"key column '$key' must be part of the written schema ${schema.simpleString}")
@@ -88,13 +95,15 @@ final class KeyedWriteBuilder(declared: StructType, path: String, key: String,
     }
     new KeyedWrite(schema, path, key, sortBy, retain, info.queryId(),
       new org.apache.spark.util.SerializableConfiguration(
-        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()),
+      overwrite)
   }
 }
 
 final class KeyedWrite(schema: StructType, path: String, key: String,
     sortBy: Seq[String], retain: Int, queryId: String,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    overwrite: Boolean = true)
     extends Write with RequiresDistributionAndOrdering {
   override def description(): String =
     s"GraftKeyedWrite path=$path key=$key" +
@@ -109,7 +118,7 @@ final class KeyedWrite(schema: StructType, path: String, key: String,
     (key +: sortBy).map(c =>
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
   override def toBatch: BatchWrite =
-    new KeyedBatchWrite(schema, path, key, sortBy, retain, queryId, conf)
+    new KeyedBatchWrite(schema, path, key, sortBy, retain, queryId, conf, overwrite)
 }
 
 /** One key's audited write stats, accumulated in the task from exactly
@@ -123,7 +132,8 @@ final case class KeyedCommitMessage(keys: Seq[KeyedKeyStats],
 
 final class KeyedBatchWrite(schema: StructType, path: String, key: String,
     sortBy: Seq[String], retain: Int, queryId: String,
-    conf: org.apache.spark.util.SerializableConfiguration) extends BatchWrite {
+    conf: org.apache.spark.util.SerializableConfiguration,
+    overwrite: Boolean = true) extends BatchWrite {
 
   private def genName = s"_gen-$queryId"
 
@@ -164,6 +174,7 @@ final class KeyedBatchWrite(schema: StructType, path: String, key: String,
     if (!fs.exists(gen)) fs.mkdirs(gen)
     if (KeyedSource.failBeforePublish) throw new IllegalStateException(
       "graft-keyed test hook: crash before publish")
+    if (!overwrite) { appendCommit(entries, fs, root, gen); return }
     // PUBLISH: append the new snapshot to the retained window and claim
     // the next seq through the CAS (KeyedSource.publishLog) — a
     // concurrent committer winning the seq makes the loop rebuild
@@ -208,6 +219,55 @@ final class KeyedBatchWrite(schema: StructType, path: String, key: String,
     // (swept now); any other unreferenced `_gen-*` may be a concurrent
     // writer's in-flight staging and is swept only past the staleness
     // grace (expireGenerations scaladoc).
+    val live = published.snapshots
+      .flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet
+    KeyedSource.expireGenerations(path, live, hconf, known = priorGens -- live)
+  }
+
+  /** The APPEND publish (KeyedWriteBuilder scaladoc): the head's base
+    * generation and tombstone-surviving keys carry forward untouched;
+    * every written key gains this generation as an EDIT APPEND after
+    * its prior files (a tombstoned or brand-new key is revived/created
+    * from this generation alone). Pure additions cannot write-skew, so
+    * a racing commit just makes the CAS loop rebuild against the fresh
+    * head — the appended rows land after the winner, never instead of
+    * it. An EMPTY append is a visible no-op: no snapshot burned. */
+  private def appendCommit(entries: Seq[KeyedKeyStats],
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      gen: org.apache.hadoop.fs.Path): Unit = {
+    if (entries.isEmpty) { fs.delete(gen, true); return }
+    val written: Set[String] = entries.map(_.rawKey).toSet
+    val hconf = conf.value
+    var priorGens = Set.empty[String]
+    val published = KeyedSource.commitLoop(path, hconf, "append commit") { prior =>
+      val log = prior.getOrElse {
+        fs.delete(gen, true)
+        throw new UnsupportedOperationException(
+          s"graft-keyed append requires a generation-committed layout, but " +
+            s"$path has no commit log (legacy flat stage or empty path) — " +
+            "write with mode('overwrite') / stageKeyed first")
+      }
+      val head = log.head
+      priorGens = log.snapshots
+        .flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet
+      val baseKeys: Set[String] = {
+        val baseGen = new org.apache.hadoop.fs.Path(root, head.gen)
+        if (fs.exists(baseGen)) fs.listStatus(baseGen).toSeq.collect {
+          case s if s.isDirectory && s.getPath.getName.startsWith("k=") =>
+            s.getPath.getName.stripPrefix("k=")
+        }.toSet else Set.empty
+      }
+      def priorLive(k: String): Seq[String] =
+        head.edits.getOrElse(k,
+          if (baseKeys.contains(k) && !head.tombstones.contains(k)) Seq(head.gen)
+          else Seq.empty)
+      val edits = head.edits ++ written.toSeq.map(k => k -> (priorLive(k) :+ genName))
+      val keep = math.max(math.max(log.retain, retain), 1)
+      val snap = KeyedSource.Snapshot(head.seq + 1, head.gen,
+        head.tombstones -- written, edits)
+      Some(KeyedSource.CommitLog(keep,
+        (log.snapshots :+ snap).takeRight(keep), log.ops))
+    }.get
     val live = published.snapshots
       .flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet
     KeyedSource.expireGenerations(path, live, hconf, known = priorGens -- live)

@@ -222,11 +222,11 @@ class KeyedSnapshotSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM $t").count() == 48L)
     val hconf = spark.sessionState.newHadoopConf()
     assert(KeyedSource.readCommitLog(dir, hconf).isDefined)
-    // bare appends refuse at plan time (overwrite-by-generation)
-    val e = intercept[Exception] {
-      spark.sql(s"INSERT INTO $t SELECT 1L, 99L, 'x', 7L")
-    }
-    assert(e.getMessage.contains("overwrite-only"), e.getMessage)
+    // INSERT INTO appends as a per-key edit commit (r16)
+    spark.sql(s"INSERT INTO $t SELECT 1L, 99L, 'x', 7L")
+    assert(spark.sql(s"SELECT * FROM $t").count() == 49L)
+    assert(spark.sql(s"SELECT n_chars FROM $t WHERE doc_id = 99")
+      .collect().head.getLong(0) == 7L)
     // DROP is external-table semantics: the mapping goes, the bytes stay
     spark.sql(s"DROP TABLE $t")
     intercept[org.apache.spark.sql.AnalysisException] {
@@ -234,7 +234,7 @@ class KeyedSnapshotSpec extends SparkSpec {
     }
     assert(KeyedSource.readCommitLog(dir, hconf).isDefined,
       "DROP must leave the layout bytes untouched")
-    assert(readKeyed(dir).count() == 48L, "the path-based read still works")
+    assert(readKeyed(dir).count() == 49L, "the path-based read still works")
   }
 
   test("a delete that changes nothing visible burns no snapshot; log-framing strings never reach the log") {

@@ -98,16 +98,41 @@ class KeyedWriteSpec extends SparkSpec {
     assert(gens.length == 1, s"healed layout must hold ONE generation, got ${gens.length}")
   }
 
-  test("append mode is refused at plan time (overwrite-by-generation contract)") {
+  test("append commits as per-key edit generations; live files never rewritten in place") {
     val dir = graft.io.TempDirs.scratch("graft_kwrite_append_") + "/t"
     KeyedSource.stageKeyed(spark, df(16L), dir, "kb")
+    val hconf = spark.sessionState.newHadoopConf()
+    val baseGen = KeyedSource.readCommitLog(dir, hconf).get.head.gen
+    val baseFiles = new java.io.File(s"$dir/$baseGen").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("k="))
+      .flatMap(_.listFiles().filter(f => f.isFile && !f.getName.startsWith(".")))
+      .map(f => f.getPath -> f.length).toMap
+    // appended doc_ids offset past the staged ones so the rows are new
+    df(8L).selectExpr("kb", "doc_id + 100 AS doc_id", "source", "n_chars")
+      .write.format("graft-keyed")
+      .option("schema", ddl).option("key", "kb")
+      .mode("append").save(dir)
+    assert(readKeyed(dir).count() == 24L)
+    val log = KeyedSource.readCommitLog(dir, hconf).get
+    assert(log.head.seq == 2L && log.head.gen == baseGen,
+      "append keeps the base generation; new rows ride per-key edits")
+    assert(log.head.edits.keySet == Set("0", "1", "2", "3"))
+    log.head.edits.values.foreach(gs =>
+      assert(gs.length == 2 && gs.head == baseGen,
+        s"edit list must be base-then-append, got $gs"))
+    // the base generation's files are untouched bytes — referenced, not rewritten
+    baseFiles.foreach { case (p, len) =>
+      val f = new java.io.File(p)
+      assert(f.exists() && f.length == len, s"base file $p changed under append")
+    }
+    // appending to a layout with no commit log refuses with remediation
+    val flat = graft.io.TempDirs.scratch("graft_kwrite_appflat_") + "/t"
     val e = intercept[Exception] {
       df(8L).write.format("graft-keyed")
         .option("schema", ddl).option("key", "kb")
-        .mode("append").save(dir)
+        .mode("append").save(flat)
     }
-    assert(e.getMessage.contains("overwrite-only"), e.getMessage)
-    assert(readKeyed(dir).count() == 16L, "a refused append must change nothing")
+    assert(e.getMessage.contains("generation-committed"), e.getMessage)
   }
 
   test("legacy flat layouts stay readable; the first connector commit replaces them") {
