@@ -1485,7 +1485,64 @@ object Relational {
              |SELECT change_type, kb, count(*) AS n_rows,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM chg GROUP BY change_type, kb ORDER BY change_type, kb""".stripMargin),
-      "incremental CDC read between snapshots: per-key diff by file reference — unchanged keys skipped without IO, unchanged rows of rewritten keys cancel in-partition, zero Exchange")
+      "incremental CDC read between snapshots: per-key diff by file reference — unchanged keys skipped without IO, unchanged rows of rewritten keys cancel in-partition, zero Exchange"),
+
+    // ── Append ingest + compaction (q68 — OPTIMIZE lifecycle) ─────────
+    // The maintenance cycle a continuously-ingested 100 TB layout
+    // lives by: INSERT INTO appends land as per-key EDIT generations
+    // (live files never rewritten in place — one CAS metadata swap per
+    // batch, O(delta) bytes), fragmenting keys across files;
+    // KeyedCompact.compact rewrites ONLY the fragmented keys into one
+    // sorted file each (base bytes carried by reference, stored-order
+    // claim resurrected, CDC nets the interval to zero —
+    // KeyedCompactionSpec). The post-compaction audit below answers
+    // from the compacted generation's sidecar: grouped
+    // count/sum/max with zero data files opened, same as q64/q66.
+    "q68_append_compact" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#compact")({
+          val out = graft.io.TempDirs.scratch("graft_opt_") + "/bykb"
+          val docs = t(s, dir, "documents")
+          graft.sources.KeyedSource.stageKeyed(s,
+            docs.selectExpr("doc_id % 16 AS kb", "doc_id", "n_chars"),
+            out, "kb", sortBy = Seq("doc_id"), retain = 2)
+          // two append batches (the incremental-ingest shape): +1M and
+          // +2M shifted twins of every 50th document
+          Seq(1000000L, 2000000L).foreach { off =>
+            docs.selectExpr(s"(doc_id + $off) % 16 AS kb",
+                s"doc_id + $off AS doc_id", "CAST(88 AS BIGINT) AS n_chars")
+              .where("doc_id % 50 = 0")
+              .write.format("graft-keyed")
+              .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+              .option("key", "kb").option("sortBy", "doc_id")
+              .mode("append").save(out)
+          }
+          val compacted = graft.sources.KeyedCompact.compact(s, out,
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "kb BIGINT, doc_id BIGINT, n_chars BIGINT"), "kb")
+          require(compacted > 0, "the append batches must have fragmented keys")
+          out
+        })
+        s.read.format("graft-keyed").option("path", path)
+          .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+          .option("key", "kb").load()
+          .groupBy("kb")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+            max("doc_id").as("last_doc"))
+          .orderBy("kb")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id % 16 AS kb, doc_id, n_chars FROM documents
+             |  UNION ALL
+             |  SELECT (doc_id + 1000000) % 16, doc_id + 1000000, 88
+             |  FROM documents WHERE doc_id % 50 = 0
+             |  UNION ALL
+             |  SELECT (doc_id + 2000000) % 16, doc_id + 2000000, 88
+             |  FROM documents WHERE doc_id % 50 = 0)
+             |SELECT kb, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(doc_id) AS last_doc
+             |FROM m GROUP BY kb ORDER BY kb""".stripMargin),
+      "append-ingest + compaction lifecycle: per-key edit appends (O(delta) commits), fragmented keys rewritten into one sorted file each, audit from the compacted sidecar")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table

@@ -1,0 +1,163 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Compaction (OPTIMIZE) for `graft-keyed` layouts — the maintenance
+  * commit that repairs FRAGMENTATION: append commits and MERGE inserts
+  * serve a key from several generations' files
+  * ([[KeyedSource.Snapshot]] multi-entry edit lists), which costs a
+  * concat per read, drops the stored-order claim
+  * ([[KeyedSource.readOrderMarkerView]] — and with it SMJ-without-Sort
+  * and TopN pushdown), and accretes small files. `compact` rewrites
+  * exactly the fragmented keys into ONE new generation (one sorted
+  * file per key when the layout records an order) and commits a
+  * snapshot in which those keys reference the compacted generation
+  * while every other key — and the base generation's bytes — carry
+  * forward untouched. Iceberg's rewrite_data_files, at this layout's
+  * key grain.
+  *
+  * The commit is SERIALIZABLE like row-level DML: rows were read from
+  * the head snapshot; if any commit lands between that read and the
+  * CAS claim, the rewrite fails loudly (re-run) rather than rebase —
+  * an append to a fragmented key racing the compaction would otherwise
+  * be silently dropped.
+  *
+  * Compaction changes PHYSICAL layout only: time travel to the
+  * pre-compaction snapshot still reads the fragmented form, and the
+  * changes table nets a compaction interval to ZERO rows (same
+  * content, different references — CDC consumers never see maintenance
+  * commits, the Iceberg rewrite-commit contract).
+  *
+  * At 100 TB: fragmentation grows with ingest frequency, not corpus
+  * size — each append touches its keys' edit lists, and compaction
+  * reads/writes only `Σ |fragmented keys' rows|`, planned as one task
+  * per key (the layout's standing write distribution). Unfragmented
+  * keys cost nothing, however many there are. */
+object KeyedCompact {
+
+  /** Rewrite every key the head snapshot serves from >1 file into a
+    * single new generation. Returns the number of keys compacted
+    * (0 = nothing fragmented; no snapshot burned). */
+  def compact(spark: SparkSession, path: String, schema: StructType,
+      key: String): Int = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val conf = new org.apache.spark.util.SerializableConfiguration(hconf)
+    val log = KeyedSource.readCommitLog(path, hconf).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft-keyed compaction is a snapshot-log commit, but $path has no " +
+          "commit log (legacy flat stage) — restage through the connector " +
+          "writer first"))
+    val head = log.head
+    val scanSeq = head.seq
+    val frag: Seq[String] = head.edits.collect {
+      case (k, gens) if gens.length > 1 => k
+    }.toSeq.sorted
+    if (frag.isEmpty) return 0
+
+    // the layout's recorded order (base generation's marker): compacted
+    // files are written back SORTED so the single-dir claim resurrects
+    val sortBy: Seq[String] =
+      KeyedSource.readOrderMarker(path, conf, schema, key).getOrElse(Seq.empty)
+
+    // read ONLY the fragmented keys, pinned to the scanned snapshot
+    // (pushed key IN prunes to their directories)
+    val keyVals: Seq[Any] = schema(key).dataType match {
+      case LongType => frag.map(_.toLong)
+      case _ => frag
+    }
+    val df = spark.read.format("graft-keyed")
+      .option("path", path)
+      .option("schema", schema.toDDL)
+      .option("key", key)
+      .option("asOf", scanSeq.toString)
+      .load()
+      .where(col(key).isin(keyVals: _*))
+
+    val genName = "_gen-compact-" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val genDir = s"$path/$genName"
+    val orderCols = (key +: sortBy).map(col)
+
+    // the standing write distribution: each key wholly in one task,
+    // key-first sorted — the same audited writer the connector's
+    // write paths use, so the compacted generation carries a sidecar
+    // derived from exactly the rows written
+    val msgs: Array[KeyedCommitMessage] = df
+      .repartition(col(key))
+      .sortWithinPartitions(orderCols: _*)
+      .queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val w = new KeyedDataWriter(schema, key, genDir, pid.toLong, conf)
+          var ok = false
+          try {
+            it.foreach(w.write)
+            val m = w.commit().asInstanceOf[KeyedCommitMessage]
+            ok = true
+            Iterator.single(m)
+          } finally if (!ok) w.abort()
+        }
+      }.collect()
+
+    val entries = msgs.toSeq.flatMap(_.keys)
+    val dup = entries.groupBy(_.rawKey).collect { case (k, g) if g.size > 1 => k }
+    if (dup.nonEmpty) throw new IllegalStateException(
+      s"graft-keyed compaction produced ${dup.size} keys in multiple tasks " +
+        s"(${dup.take(3).mkString(",")}…): clustering contract violated, not publishing")
+    require(entries.map(_.rawKey).toSet == frag.toSet,
+      s"compaction must rewrite exactly the fragmented keys " +
+        s"(${frag.mkString(",")}), wrote ${entries.map(_.rawKey).sorted.mkString(",")}")
+
+    val root = new org.apache.hadoop.fs.Path(path)
+    val gen = new org.apache.hadoop.fs.Path(root, genName)
+    val fs = root.getFileSystem(hconf)
+    val table = {
+      val merged = Array.fill(schema.length)(new KmvSketch)
+      msgs.foreach(_.sketches.zipWithIndex.foreach { case (hs, i) =>
+        merged(i).addHashes(hs) })
+      KeyedStats.TableNdv(entries.map(_.count).sum, merged.map(_.estimate))
+    }
+    KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedStats.SidecarFile),
+      KeyedStats.render(schema, key,
+        entries.map(e => KeyedStats.Entry(e.rawKey, e.count, e.mins, e.maxs, e.sums)),
+        Some(table)))
+    if (sortBy.nonEmpty)
+      KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedSource.OrderFile),
+        KeyedSource.renderOrderMarker(schema, key, sortBy))
+
+    var priorGens = Set.empty[String]
+    try {
+      val published = KeyedSource.commitLoop(path, hconf, "compaction commit") { prior =>
+        val l = prior.getOrElse(throw new IllegalStateException(
+          s"graft-keyed compaction at $path found no commit log — the layout " +
+            "was replaced mid-operation; re-run"))
+        val h = l.head
+        // SERIALIZABLE: the rewrite holds rows read from scanSeq; any
+        // commit since (an append to a fragmented key, a DML, an
+        // overwrite) invalidates them — fail loudly, never rebase
+        if (h.seq != scanSeq) throw new IllegalStateException(
+          s"graft-keyed compaction at $path conflicts with a concurrent " +
+            s"commit: rows were read from snapshot $scanSeq but the head is " +
+            s"now ${h.seq}; re-run the compaction against the fresh table")
+        priorGens = l.snapshots
+          .flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet
+        val edits = h.edits ++ frag.map(k => k -> Seq(genName))
+        val keep = math.max(l.retain, 1)
+        val snap = KeyedSource.Snapshot(h.seq + 1, h.gen, h.tombstones, edits)
+        Some(KeyedSource.CommitLog(keep,
+          (l.snapshots :+ snap).takeRight(keep), l.ops))
+      }.get
+      val live = published.snapshots
+        .flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet
+      KeyedSource.expireGenerations(path, live, hconf, known = priorGens -- live)
+    } catch {
+      case t: Throwable =>
+        fs.delete(gen, true) // own staging only; the live layout is untouched
+        throw t
+    }
+    frag.size
+  }
+}
