@@ -84,11 +84,13 @@ object KeyedChanges {
     }
 
   /** Per-directory evolved-read plan (None = the generation already
-    * stores the declared schema) — [[KeyedScan]]'s resolution, shared
+    * stores the declared schema, so the frame decoder's own projection
+    * serves `required` directly) — [[KeyedScan]]'s resolution, shared
     * so changes over schema-evolved layouts read through the same
-    * lineage. */
+    * lineage. The SAME-check compares against the full DECLARED
+    * schema; the plan, when needed, resolves only `required`. */
   private def planFor(dir: String, ops: Seq[KeyedSource.SchemaOp],
-      declared: StructType, layoutPath: String,
+      declared: StructType, required: StructType, layoutPath: String,
       conf: org.apache.spark.util.SerializableConfiguration,
       cache: scala.collection.mutable.Map[String, Option[KeyedSource.DirReadPlan]])
       : Option[KeyedSource.DirReadPlan] = {
@@ -100,7 +102,7 @@ object KeyedChanges {
           val same = w.fields.map(f => (f.name, f.dataType)).toSeq ==
             declared.fields.map(f => (f.name, f.dataType)).toSeq
           if (same) None
-          else Some(KeyedSource.evolvedPlan(genRoot, w, declared, ops))
+          else Some(KeyedSource.evolvedPlan(genRoot, w, required, ops))
         case None => throw new IllegalStateException(
           s"graft-keyed layout at $layoutPath has schema-evolution lineage " +
             s"but the generation at $genRoot has no readable stats sidecar " +
@@ -110,10 +112,21 @@ object KeyedChanges {
 
   /** The driver-side diff: one partition per CHANGED key, unchanged
     * keys (identical file references) skipped without IO. */
+  /** The driver-side diff. `keys` (pushed key-grain filters, raw
+    * dirname strings) restricts the diff to a key subset BEFORE any
+    * IO — a consumer subscribed to one bucket prices its delta at
+    * that bucket alone. `tagSchema` is the pruned data projection for
+    * the constant-tagged partitions (their decode can prune columns);
+    * NET partitions always decode the FULL declared schema — a diff
+    * over pruned rows would cancel rows that differ only in pruned
+    * columns — and project afterwards. */
   private[graft] def planDiff(path: String, log: KeyedSource.CommitLog,
       hconf: org.apache.hadoop.conf.Configuration,
       conf: org.apache.spark.util.SerializableConfiguration,
-      declared: StructType, from: Long, to: Long): Array[InputPartition] = {
+      declared: StructType, from: Long, to: Long,
+      keys: Option[Set[String]] = None,
+      tagSchema: StructType = null): Array[InputPartition] = {
+    val tagRequired = Option(tagSchema).getOrElse(declared)
     if (from == to) return Array.empty
     // retention resolves FIRST (each end must be a retained snapshot —
     // the more actionable error when both are wrong), then direction
@@ -122,26 +135,34 @@ object KeyedChanges {
     require(from <= to,
       s"graft-keyed changes interval is (from, to] with from <= to, " +
         s"got changesFrom=$from > changesTo=$to")
-    val cache = scala.collection.mutable.Map
+    // plans are per (generation, projection): tagged partitions decode
+    // the pruned projection, net partitions the full declared schema
+    val tagCache = scala.collection.mutable.Map
       .empty[String, Option[KeyedSource.DirReadPlan]]
-    def plans(dirs: Seq[String]): Seq[Option[KeyedSource.DirReadPlan]] =
-      dirs.map(d => planFor(d, log.ops, declared, path, conf, cache))
-    (a.keySet ++ b.keySet).toSeq.sorted.flatMap { k =>
-      (a.get(k), b.get(k)) match {
-        case (Some(da), Some(db)) if da == db => None // identical references
-        case (Some(da), Some(db)) if da == db.take(da.length) =>
-          // row-level appends: only the delta directories, never the base
-          val delta = db.drop(da.length)
-          Some(KeyedChangesPartition(k, delta, plans(delta), Seq.empty, Seq.empty))
-        case (None, Some(db)) =>
-          Some(KeyedChangesPartition(k, db, plans(db), Seq.empty, Seq.empty))
-        case (Some(da), None) =>
-          Some(KeyedChangesPartition(k, Seq.empty, Seq.empty, da, plans(da)))
-        case (Some(da), Some(db)) => // rewrite: net-diff inside the partition
-          Some(KeyedChangesPartition(k, db, plans(db), da, plans(da)))
-        case (None, None) => None
-      }
-    }.toArray[InputPartition]
+    val netCache = scala.collection.mutable.Map
+      .empty[String, Option[KeyedSource.DirReadPlan]]
+    def tagPlans(dirs: Seq[String]): Seq[Option[KeyedSource.DirReadPlan]] =
+      dirs.map(d => planFor(d, log.ops, declared, tagRequired, path, conf, tagCache))
+    def netPlans(dirs: Seq[String]): Seq[Option[KeyedSource.DirReadPlan]] =
+      dirs.map(d => planFor(d, log.ops, declared, declared, path, conf, netCache))
+    (a.keySet ++ b.keySet).toSeq.sorted
+      .filter(k => keys.forall(_.contains(k)))
+      .flatMap { k =>
+        (a.get(k), b.get(k)) match {
+          case (Some(da), Some(db)) if da == db => None // identical references
+          case (Some(da), Some(db)) if da == db.take(da.length) =>
+            // row-level appends: only the delta directories, never the base
+            val delta = db.drop(da.length)
+            Some(KeyedChangesPartition(k, delta, tagPlans(delta), Seq.empty, Seq.empty))
+          case (None, Some(db)) =>
+            Some(KeyedChangesPartition(k, db, tagPlans(db), Seq.empty, Seq.empty))
+          case (Some(da), None) =>
+            Some(KeyedChangesPartition(k, Seq.empty, Seq.empty, da, tagPlans(da)))
+          case (Some(da), Some(db)) => // rewrite: net-diff inside the partition
+            Some(KeyedChangesPartition(k, db, netPlans(db), da, netPlans(da)))
+          case (None, None) => None
+        }
+      }.toArray[InputPartition]
   }
 }
 
@@ -165,13 +186,69 @@ final class KeyedChangesTable(declared: StructType, path: String, key: String,
       : ScanBuilder = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
-    () => new KeyedChangesScan(declared, path, key, conf, from, to)
+    new KeyedChangesScanBuilder(declared, path, key, conf, from, to)
   }
 }
 
-final class KeyedChangesScan(declared: StructType, path: String, key: String,
+/** Pushdown for the CDC scan: key-grain filters restrict the diff to a
+  * key subset at the PLANNER (a consumer subscribed to one bucket
+  * prices its delta at that bucket — the same exact directory grain,
+  * same shared consumption algebra as the row scan and DELETE), and
+  * column pruning reaches the constant-tagged partitions' decode.
+  * NET partitions keep decoding the full schema (a diff over pruned
+  * rows would cancel rows differing only in pruned columns) and
+  * project at emit. */
+final class KeyedChangesScanBuilder(declared: StructType, path: String,
+    key: String, conf: org.apache.spark.util.SerializableConfiguration,
+    from: Option[Long], to: Option[Long])
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources.Filter
+
+  private var required: StructType = KeyedChanges.changesSchema(declared)
+  private var keys: Option[Set[String]] = None
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  // raw dirname normalization — the tombstone/DELETE form of the shared
+  // key-grain algebra (the planner prunes keys as strings)
+  private def rawKeyOf(v: Any): Option[String] =
+    declared(key).dataType match {
+      case LongType => v match {
+        case n: Number => Some(n.longValue.toString); case _ => None }
+      case org.apache.spark.sql.types.StringType => v match {
+        case s: String => Some(s)
+        case u: UTF8String => Some(u.toString)
+        case _ => None }
+      case _ => None
+    }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val residual = filters.filter { f =>
+      KeyedSource.keyGrainSet(f, key, rawKeyOf) match {
+        case Some(constraint) =>
+          constraint.foreach(s => keys = Some(keys.fold(s)(_ intersect s)))
+          accepted :+= f
+          false
+        case None => true
+      }
+    }
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    new KeyedChangesScan(declared, required, path, key, conf, from, to, keys)
+}
+
+final class KeyedChangesScan(declared: StructType, required: StructType,
+    path: String, key: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    fromOpt: Option[Long], toOpt: Option[Long])
+    fromOpt: Option[Long], toOpt: Option[Long],
+    keys: Option[Set[String]] = None)
     extends Scan with Batch {
 
   private def log: KeyedSource.CommitLog =
@@ -181,26 +258,34 @@ final class KeyedChangesScan(declared: StructType, path: String, key: String,
           "has no commit log (legacy flat stage) — restage through the " +
           "connector writer first"))
 
-  override def readSchema(): StructType = KeyedChanges.changesSchema(declared)
+  /** `required` minus the change tag: what the tagged decode prunes to. */
+  private def requiredData: StructType = StructType(
+    required.fields.filterNot(_.name == KeyedChanges.ChangeCol))
+
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val l = log
     s"GraftKeyedChanges path=$path from=${fromOpt.getOrElse(0L)} " +
-      s"to=${toOpt.getOrElse(l.head.seq)} (net row delta, per-key diff by " +
-      "file reference — unchanged keys skipped without IO)"
+      s"to=${toOpt.getOrElse(l.head.seq)}" +
+      keys.fold("")(s => s" keys=[${s.toSeq.sorted.mkString(",")}]") +
+      s" pruned=${required.fieldNames.mkString(",")}" +
+      " (net row delta, per-key diff by file reference — unchanged keys" +
+      " skipped without IO)"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val l = log
     KeyedChanges.planDiff(path, l, conf.value, conf, declared,
-      fromOpt.getOrElse(0L), toOpt.getOrElse(l.head.seq))
+      fromOpt.getOrElse(0L), toOpt.getOrElse(l.head.seq), keys, requiredData)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KeyedChangesReaderFactory(declared, conf)
+    new KeyedChangesReaderFactory(declared, required, conf)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KeyedChangesStream(declared, path, conf, fromOpt.getOrElse(0L))
+    new KeyedChangesStream(declared, required, path, conf,
+      fromOpt.getOrElse(0L), keys)
 }
 
 /** One changed key. Exactly one of the two dir lists is empty for the
@@ -212,13 +297,20 @@ final case class KeyedChangesPartition(rawKey: String,
     extends InputPartition
 
 final class KeyedChangesReaderFactory(declared: StructType,
+    required: StructType,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
 
-  private def mk(dirs: Seq[String], plans: Seq[Option[KeyedSource.DirReadPlan]])
+  private def requiredData: StructType = StructType(
+    required.fields.filterNot(_.name == KeyedChanges.ChangeCol))
+  private def hasTag: Boolean =
+    required.fieldNames.contains(KeyedChanges.ChangeCol)
+
+  private def mk(proj: StructType, dirs: Seq[String],
+      plans: Seq[Option[KeyedSource.DirReadPlan]])
       : PartitionReader[InternalRow] =
     new ConcatReader(dirs.indices.map(j => () => plans(j) match {
-      case None => new PageReader(dirs(j), declared, declared, conf, -1)
+      case None => new PageReader(dirs(j), declared, proj, conf, -1)
       case Some(p) => new EvolvedRowReader(new PageReader(dirs(j),
         KeyedSource.ddlToSchema(p.fileDdl), KeyedSource.ddlToSchema(p.innerDdl),
         conf, -1), p)
@@ -226,35 +318,46 @@ final class KeyedChangesReaderFactory(declared: StructType,
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val cp = partition.asInstanceOf[KeyedChangesPartition]
-    val isLong = declared.fields.map(_.dataType == LongType)
-    if (cp.deleteDirs.isEmpty)
-      new ChangeTagReader(mk(cp.insertDirs, cp.insertPlans), isLong, KeyedChanges.Insert)
-    else if (cp.insertDirs.isEmpty)
-      new ChangeTagReader(mk(cp.deleteDirs, cp.deletePlans), isLong, KeyedChanges.Delete)
-    else
-      new NetDiffReader(() => mk(cp.deleteDirs, cp.deletePlans),
-        () => mk(cp.insertDirs, cp.insertPlans), isLong)
+    if (cp.deleteDirs.isEmpty || cp.insertDirs.isEmpty) {
+      // constant-tagged: decode already pruned to the data projection
+      val isLong = requiredData.fields.map(_.dataType == LongType)
+      val (dirs, plans, tag) =
+        if (cp.deleteDirs.isEmpty) (cp.insertDirs, cp.insertPlans, KeyedChanges.Insert)
+        else (cp.deleteDirs, cp.deletePlans, KeyedChanges.Delete)
+      new ChangeTagReader(mk(requiredData, dirs, plans), isLong,
+        if (hasTag) tag else null)
+    } else {
+      // net diff decodes FULL rows (pruned rows would cancel rows that
+      // differ only in pruned columns) and projects at emit
+      val isLong = declared.fields.map(_.dataType == LongType)
+      val outIdx = requiredData.fieldNames.map(declared.fieldIndex)
+      new NetDiffReader(() => mk(declared, cp.deleteDirs, cp.deletePlans),
+        () => mk(declared, cp.insertDirs, cp.insertPlans), isLong,
+        outIdx, hasTag)
+    }
   }
 }
 
 /** Constant-tagged pass-through: every inner row re-emitted with
-  * `_change_type` appended. Values are OWNED copies (the inner decode
-  * may reuse buffers across next()). */
+  * `_change_type` appended (tag null = the tag column was pruned).
+  * Values are OWNED copies (the inner decode may reuse buffers across
+  * next()). */
 final class ChangeTagReader(inner: PartitionReader[InternalRow],
     isLong: Array[Boolean], tag: UTF8String)
     extends PartitionReader[InternalRow] {
   private val n = isLong.length
+  private val width = if (tag == null) n else n + 1
   private var current: InternalRow = _
   override def next(): Boolean = {
     if (!inner.next()) return false
     val src = inner.get()
-    val out = new Array[Any](n + 1)
+    val out = new Array[Any](width)
     var i = 0
     while (i < n) {
       out(i) = if (isLong(i)) Long.box(src.getLong(i)) else src.getUTF8String(i).clone()
       i += 1
     }
-    out(n) = tag
+    if (tag != null) out(n) = tag
     current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
     true
   }
@@ -271,7 +374,8 @@ final class ChangeTagReader(inner: PartitionReader[InternalRow],
   * both generations carry the same order marker) is the refinement if
   * that bound ever pinches. */
 final class NetDiffReader(oldSide: () => PartitionReader[InternalRow],
-    newSide: () => PartitionReader[InternalRow], isLong: Array[Boolean])
+    newSide: () => PartitionReader[InternalRow], isLong: Array[Boolean],
+    outIdx: Array[Int], hasTag: Boolean)
     extends PartitionReader[InternalRow] {
   private val n = isLong.length
 
@@ -301,10 +405,11 @@ final class NetDiffReader(oldSide: () => PartitionReader[InternalRow],
 
   private def emit(v: scala.collection.immutable.ArraySeq[Any],
       tag: UTF8String): Unit = {
-    val out = new Array[Any](n + 1)
+    // project the full diffed row to the scan's required columns
+    val out = new Array[Any](outIdx.length + (if (hasTag) 1 else 0))
     var i = 0
-    while (i < n) { out(i) = v(i); i += 1 }
-    out(n) = tag
+    while (i < outIdx.length) { out(i) = v(outIdx(i)); i += 1 }
+    if (hasTag) out(outIdx.length) = tag
     current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
   }
 
@@ -341,9 +446,13 @@ final class NetDiffReader(oldSide: () => PartitionReader[InternalRow],
   * retention window fails loudly at plan time (liveMap's remediation)
   * — retention IS the maximum consumer lag, the contract Iceberg's
   * streaming reader has with expire-snapshots. */
-final class KeyedChangesStream(declared: StructType, path: String,
-    conf: org.apache.spark.util.SerializableConfiguration, startSeq: Long)
+final class KeyedChangesStream(declared: StructType, required: StructType,
+    path: String, conf: org.apache.spark.util.SerializableConfiguration,
+    startSeq: Long, keys: Option[Set[String]] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def requiredData: StructType = StructType(
+    required.fields.filterNot(_.name == KeyedChanges.ChangeCol))
 
   private case class SeqOffset(seq: Long) extends Offset {
     override def json(): String = seq.toString
@@ -373,10 +482,11 @@ final class KeyedChangesStream(declared: StructType, path: String,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     KeyedChanges.planDiff(path, log, conf.value, conf, declared,
-      start.asInstanceOf[SeqOffset].seq, end.asInstanceOf[SeqOffset].seq)
+      start.asInstanceOf[SeqOffset].seq, end.asInstanceOf[SeqOffset].seq,
+      keys, requiredData)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KeyedChangesReaderFactory(declared, conf)
+    new KeyedChangesReaderFactory(declared, required, conf)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -37,11 +37,20 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * keys cost nothing, however many there are. */
 object KeyedCompact {
 
-  /** Rewrite every key the head snapshot serves from >1 file into a
-    * single new generation. Returns the number of keys compacted
-    * (0 = nothing fragmented; no snapshot burned). */
+  /** Rewrite every key the head snapshot serves from `minInputFiles`
+    * or more files into a single new generation. Returns the number of
+    * keys compacted (0 = nothing eligible; no snapshot burned).
+    * `minInputFiles` is the scheduling dial (Iceberg's
+    * min-input-files): a maintenance job running on a timer raises it
+    * so barely-fragmented keys (one append since last compaction)
+    * are not rewritten for marginal gain — compaction cost is
+    * Σ eligible keys' rows either way, so the dial trades read-side
+    * concat width against write amplification. */
   def compact(spark: SparkSession, path: String, schema: StructType,
-      key: String): Int = {
+      key: String, minInputFiles: Int = 2): Int = {
+    require(minInputFiles >= 2,
+      s"minInputFiles must be >= 2 (a single-file key has nothing to merge), " +
+        s"got $minInputFiles")
     val hconf = spark.sessionState.newHadoopConf()
     val conf = new org.apache.spark.util.SerializableConfiguration(hconf)
     val log = KeyedSource.readCommitLog(path, hconf).getOrElse(
@@ -52,7 +61,7 @@ object KeyedCompact {
     val head = log.head
     val scanSeq = head.seq
     val frag: Seq[String] = head.edits.collect {
-      case (k, gens) if gens.length > 1 => k
+      case (k, gens) if gens.length >= minInputFiles => k
     }.toSeq.sorted
     if (frag.isEmpty) return 0
 

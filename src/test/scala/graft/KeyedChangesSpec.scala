@@ -163,6 +163,35 @@ class KeyedChangesSpec extends SparkSpec {
     }
   }
 
+  test("key filters prune the diff at the planner; column pruning reaches the tagged decode") {
+    val dir = lifecycle
+    // kb=1 was rewritten (UPDATE), kb=2 tombstoned: a consumer
+    // subscribed to kb=2 plans ONE partition
+    val only2 = readChanges(dir, from = 1L, to = Some(3L))
+      .where($"kb" === 2L)
+    assert(only2.rdd.getNumPartitions == 1,
+      "a pushed key filter must restrict the diff before planning")
+    assert(only2.count() == 16)
+    val scanDesc = only2.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("keys=[2]"), scanDesc)
+    // a key filter matching an UNCHANGED key plans zero partitions
+    assert(readChanges(dir, from = 1L, to = Some(3L))
+      .where($"kb" === 0L).count() == 0)
+    // column pruning: the scan's read schema drops unselected columns
+    val pruned = readChanges(dir, from = 2L, to = Some(3L))
+      .select("doc_id", "_change_type")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("pruned=doc_id,_change_type"))
+    assert(pruned.count() == 16)
+    // net-diff partitions project AFTER diffing full rows: selecting a
+    // column the UPDATE did not touch still reports the change pair
+    val netPruned = readChanges(dir, from = 1L, to = Some(2L))
+      .select("doc_id", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(netPruned == Set((5L, "delete"), (5L, "insert"),
+      (21L, "delete"), (21L, "insert")))
+  }
+
   test("streaming leg: commit-seq offsets deliver each delta exactly once across restarts") {
     val scratch = graft.io.TempDirs.scratch("graft_chgstream_")
     val dir = scratch + "/t"
