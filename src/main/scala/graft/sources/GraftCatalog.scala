@@ -71,17 +71,24 @@ final class GraftCatalog extends TableCatalog {
     new KeyedTable(s.schema, s.path, s.key, s.sortBy, s.retain)
   }
 
-  /** `VERSION AS OF <seq>` — the catalog door to snapshot time travel.
-    * Versions are the commit log's monotone sequence numbers
-    * ([[KeyedSource.Snapshot.seq]]); an expired or unknown seq fails
-    * at scan build with the retained window in the message. */
+  /** `VERSION AS OF <seq | 'tag'>` — the catalog door to snapshot time
+    * travel. Numeric versions are the commit log's monotone sequence
+    * numbers ([[KeyedSource.Snapshot.seq]]); non-numeric versions are
+    * NAMED TAGS ([[KeyedSource.tagSnapshot]]) resolved at scan build.
+    * An expired seq / unknown tag fails at plan time with the retained
+    * window / tag list in the message. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val s = spec(ident)
-    val seq = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft-keyed versions are snapshot sequence numbers, got '$version'")
+    val seq = try Some(version.toLong) catch {
+      case _: NumberFormatException => None
     }
-    new KeyedTable(s.schema, s.path, s.key, s.sortBy, s.retain, asOf = Some(seq))
+    seq match {
+      case Some(v) =>
+        new KeyedTable(s.schema, s.path, s.key, s.sortBy, s.retain, asOf = Some(v))
+      case None =>
+        new KeyedTable(s.schema, s.path, s.key, s.sortBy, s.retain,
+          asOfTag = Some(version))
+    }
   }
 
   /** `TIMESTAMP AS OF` has no meaning here: snapshots carry sequence

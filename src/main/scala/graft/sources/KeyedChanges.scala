@@ -111,8 +111,7 @@ object KeyedChanges {
   }
 
   /** The driver-side diff: one partition per CHANGED key, unchanged
-    * keys (identical file references) skipped without IO. */
-  /** The driver-side diff. `keys` (pushed key-grain filters, raw
+    * keys (identical file references) skipped without IO. `keys` (pushed key-grain filters, raw
     * dirname strings) restricts the diff to a key subset BEFORE any
     * IO — a consumer subscribed to one bucket prices its delta at
     * that bucket alone. `tagSchema` is the pruned data projection for
@@ -123,9 +122,15 @@ object KeyedChanges {
   private[graft] def planDiff(path: String, log: KeyedSource.CommitLog,
       hconf: org.apache.hadoop.conf.Configuration,
       conf: org.apache.spark.util.SerializableConfiguration,
-      declared: StructType, from: Long, to: Long,
+      declared: StructType, key: String, from: Long, to: Long,
       keys: Option[Set[String]] = None,
       tagSchema: StructType = null): Array[InputPartition] = {
+    // typed partition-key value (the SPJ alignment handle — a CDC-apply
+    // join against a co-keyed table plans with zero Exchange)
+    def keyValueOf(raw: String): Any = declared(key).dataType match {
+      case LongType => raw.toLong
+      case _ => UTF8String.fromString(raw)
+    }
     val tagRequired = Option(tagSchema).getOrElse(declared)
     if (from == to) return Array.empty
     // retention resolves FIRST (each end must be a retained snapshot —
@@ -153,13 +158,13 @@ object KeyedChanges {
           case (Some(da), Some(db)) if da == db.take(da.length) =>
             // row-level appends: only the delta directories, never the base
             val delta = db.drop(da.length)
-            Some(KeyedChangesPartition(k, delta, tagPlans(delta), Seq.empty, Seq.empty))
+            Some(KeyedChangesPartition(k, keyValueOf(k), delta, tagPlans(delta), Seq.empty, Seq.empty))
           case (None, Some(db)) =>
-            Some(KeyedChangesPartition(k, db, tagPlans(db), Seq.empty, Seq.empty))
+            Some(KeyedChangesPartition(k, keyValueOf(k), db, tagPlans(db), Seq.empty, Seq.empty))
           case (Some(da), None) =>
-            Some(KeyedChangesPartition(k, Seq.empty, Seq.empty, da, tagPlans(da)))
+            Some(KeyedChangesPartition(k, keyValueOf(k), Seq.empty, Seq.empty, da, tagPlans(da)))
           case (Some(da), Some(db)) => // rewrite: net-diff inside the partition
-            Some(KeyedChangesPartition(k, db, netPlans(db), da, netPlans(da)))
+            Some(KeyedChangesPartition(k, keyValueOf(k), db, netPlans(db), da, netPlans(da)))
           case (None, None) => None
         }
       }.toArray[InputPartition]
@@ -249,7 +254,20 @@ final class KeyedChangesScan(declared: StructType, required: StructType,
     conf: org.apache.spark.util.SerializableConfiguration,
     fromOpt: Option[Long], toOpt: Option[Long],
     keys: Option[Set[String]] = None)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** One changed key per partition ([[KeyedChangesPartition.partitionKey]]),
+    * so the CDC output reports the SAME KeyGroupedPartitioning as the
+    * row table: a CDC-apply joining the delta against a co-keyed
+    * layout plans with ZERO Exchange (the SPJ alignment, extended to
+    * the maintenance path). Spark falls back on its own when the key
+    * was pruned from the output. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions.identity(key)),
+      planInputPartitions().length)
 
   private def log: KeyedSource.CommitLog =
     KeyedSource.readCommitLog(path, conf.value).getOrElse(
@@ -276,7 +294,7 @@ final class KeyedChangesScan(declared: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val l = log
-    KeyedChanges.planDiff(path, l, conf.value, conf, declared,
+    KeyedChanges.planDiff(path, l, conf.value, conf, declared, key,
       fromOpt.getOrElse(0L), toOpt.getOrElse(l.head.seq), keys, requiredData)
   }
 
@@ -284,17 +302,22 @@ final class KeyedChangesScan(declared: StructType, required: StructType,
     new KeyedChangesReaderFactory(declared, required, conf)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KeyedChangesStream(declared, required, path, conf,
+    new KeyedChangesStream(declared, required, path, key, conf,
       fromOpt.getOrElse(0L), keys)
 }
 
 /** One changed key. Exactly one of the two dir lists is empty for the
   * constant-tagged cases (pure insert / pure delete); both non-empty
   * means a copy-on-write rewrite, net-diffed in the reader. */
-final case class KeyedChangesPartition(rawKey: String,
+final case class KeyedChangesPartition(rawKey: String, keyValue: Any,
     insertDirs: Seq[String], insertPlans: Seq[Option[KeyedSource.DirReadPlan]],
     deleteDirs: Seq[String], deletePlans: Seq[Option[KeyedSource.DirReadPlan]])
     extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](keyValue))
+}
 
 final class KeyedChangesReaderFactory(declared: StructType,
     required: StructType,
@@ -447,7 +470,8 @@ final class NetDiffReader(oldSide: () => PartitionReader[InternalRow],
   * — retention IS the maximum consumer lag, the contract Iceberg's
   * streaming reader has with expire-snapshots. */
 final class KeyedChangesStream(declared: StructType, required: StructType,
-    path: String, conf: org.apache.spark.util.SerializableConfiguration,
+    path: String, key: String,
+    conf: org.apache.spark.util.SerializableConfiguration,
     startSeq: Long, keys: Option[Set[String]] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
@@ -481,7 +505,7 @@ final class KeyedChangesStream(declared: StructType, required: StructType,
   override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    KeyedChanges.planDiff(path, log, conf.value, conf, declared,
+    KeyedChanges.planDiff(path, log, conf.value, conf, declared, key,
       start.asInstanceOf[SeqOffset].seq, end.asInstanceOf[SeqOffset].seq,
       keys, requiredData)
 

@@ -157,7 +157,8 @@ object KeyedCompact {
         val keep = math.max(l.retain, 1)
         val snap = KeyedSource.Snapshot(h.seq + 1, h.gen, h.tombstones, edits)
         Some(KeyedSource.CommitLog(keep,
-          (l.snapshots :+ snap).takeRight(keep), l.ops))
+          KeyedSource.trimWindow(l.snapshots :+ snap, keep, l.tags),
+          l.ops, l.tags))
       }.get
       val live = published.snapshots
         .flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet

@@ -212,7 +212,8 @@ final class KeyedCowBatchWrite(op: KeyedCowOperation, schema: StructType,
       val keep = math.max(math.max(log.retain, retain), 1)
       val snap = KeyedSource.Snapshot(head.seq + 1, head.gen, tombstones, edits)
       Some(KeyedSource.CommitLog(keep,
-        (log.snapshots :+ snap).takeRight(keep), log.ops))
+        KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags),
+        log.ops, log.tags))
     }.get
     val live = published.snapshots
       .flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet

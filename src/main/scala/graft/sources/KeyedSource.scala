@@ -111,7 +111,8 @@ class KeyedSourceProvider extends TableProvider with DataSourceRegister {
           retain = KeyedSource.numericOption(properties.get("retain"),
             "retain", "a snapshot count like retain=2")(_.toInt).getOrElse(1),
           asOf = KeyedSource.numericOption(properties.get("asOf"),
-            "asOf", "a snapshot sequence number like asOf=3")(_.toLong))
+            "asOf", "a snapshot sequence number like asOf=3")(_.toLong),
+          asOfTag = Option(properties.get("tag")))
     }
   }
 
@@ -172,7 +173,8 @@ final class KeyedSnapshotsTable(declared: StructType, path: String, key: String)
   * analysis with Spark's unsupported-streaming error, not deep in an
   * executor. */
 final class KeyedTable(declared: StructType, path: String, key: String,
-    sortBy: Seq[String] = Nil, retain: Int = 1, asOf: Option[Long] = None)
+    sortBy: Seq[String] = Nil, retain: Int = 1, asOf: Option[Long] = None,
+    asOfTag: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -182,7 +184,12 @@ final class KeyedTable(declared: StructType, path: String, key: String,
     s"key column '$key' must be part of the declared schema ${declared.simpleString}")
   require(retain >= 1, s"graft-keyed retain must be >= 1, got $retain")
   override def name(): String =
-    s"graft-keyed:$path" + asOf.fold("")(s => s"@$s")
+    s"graft-keyed:$path" + asOf.fold("")(s => s"@$s") +
+      asOfTag.fold("")(t => s"@tag:$t")
+  /** Any snapshot pin — numeric or named — refuses writes/DML. */
+  private def pinned: Boolean = asOf.isDefined || asOfTag.isDefined
+  private def pinDesc: String =
+    asOf.map(_.toString).orElse(asOfTag).getOrElse("")
   override def schema(): StructType = declared
   // TRUNCATE alongside BATCH_WRITE: the write contract IS
   // overwrite-by-generation (KeyedWriteBuilder scaladoc) — Spark maps
@@ -191,26 +198,33 @@ final class KeyedTable(declared: StructType, path: String, key: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   // analysis-time Hadoop conf capture — same contract as PageTable
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KeyedScanBuilder(declared, path, key,
-      new org.apache.spark.util.SerializableConfiguration(
-        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()),
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    new KeyedScanBuilder(declared, path, key, conf,
       // columnar byte-level decode (VectorizedFrame) by default —
       // the same flag, default, and escape hatch as graft-pages
       options.getBoolean("vectorize", true),
       // pruning-aware size/row statistics reported to the planner
       // (KeyedScan.estimateStatistics); false = the A/B escape hatch
       options.getBoolean("reportStats", true),
-      // snapshot pin: scan option first (DataFrameReader path), table
-      // pin second (catalog VERSION AS OF — GraftCatalog.loadTable)
+      // snapshot pin: scan options first (DataFrameReader path —
+      // numeric asOf, then named tag), table pin second (catalog
+      // VERSION AS OF, numeric or tag — GraftCatalog.loadTable).
+      // Tags resolve to their pinned seq HERE, at plan time, so an
+      // unknown tag fails with the tag list before any scan exists
       asOf = KeyedSource.numericOption(options.get("asOf"),
         "asOf", "a snapshot sequence number like asOf=3")(_.toLong)
-        .orElse(asOf))
+        .orElse(Option(options.get("tag"))
+          .map(t => KeyedSource.resolveTag(path, conf.value, t)))
+        .orElse(asOf)
+        .orElse(asOfTag.map(t => KeyedSource.resolveTag(path, conf.value, t))))
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    if (asOf.isDefined) throw new UnsupportedOperationException(
-      s"graft-keyed cannot write through a snapshot pin (asOf=${asOf.get}): " +
+    if (pinned) throw new UnsupportedOperationException(
+      s"graft-keyed cannot write through a snapshot pin ($pinDesc): " +
         "historical snapshots are immutable; write to the table head")
     new KeyedWriteBuilder(declared, path, key, sortBy, retain, info)
   }
@@ -223,8 +237,8 @@ final class KeyedTable(declared: StructType, path: String, key: String,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    if (asOf.isDefined) throw new UnsupportedOperationException(
-      s"graft-keyed cannot rewrite rows through a snapshot pin (asOf=${asOf.get}): " +
+    if (pinned) throw new UnsupportedOperationException(
+      s"graft-keyed cannot rewrite rows through a snapshot pin ($pinDesc): " +
         "historical snapshots are immutable; run the DML against the table head")
     new KeyedRowLevelBuilder(declared, path, key, sortBy, retain, info)
   }
@@ -282,11 +296,11 @@ final class KeyedTable(declared: StructType, path: String, key: String,
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    asOf.isEmpty && tombstoneSet(filters).isDefined
+    !pinned && tombstoneSet(filters).isDefined
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    if (asOf.isDefined) throw new UnsupportedOperationException(
-      s"graft-keyed cannot delete through a snapshot pin (asOf=${asOf.get})")
+    if (pinned) throw new UnsupportedOperationException(
+      s"graft-keyed cannot delete through a snapshot pin ($pinDesc)")
     val hconf = org.apache.spark.sql.SparkSession.active
       .sessionState.newHadoopConf()
     // the whole read-compute-publish runs inside the CAS retry loop: a
@@ -340,11 +354,11 @@ final class KeyedTable(declared: StructType, path: String, key: String,
         val keep = math.max(math.max(log.retain, retain), 1)
         val snap = KeyedSource.Snapshot(head.seq + 1, head.gen,
           head.tombstones ++ doomed, head.edits -- doomed)
-        val snapshots = (log.snapshots :+ snap).takeRight(keep)
+        val snapshots = KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags)
         def gensOf(ss: Seq[KeyedSource.Snapshot]) =
           ss.flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet
         dropped = gensOf(log.snapshots) -- gensOf(snapshots)
-        Some(KeyedSource.CommitLog(keep, snapshots, log.ops))
+        Some(KeyedSource.CommitLog(keep, snapshots, log.ops, log.tags))
       }
     }
     // targeted expiry: only generations this commit's window-trim
@@ -1170,13 +1184,29 @@ object KeyedSource {
 
   /** The retained snapshot window plus the retention width that
     * produced it (delete commits inherit `retain` from here — they
-    * carry no write options of their own) and the schema-evolution
+    * carry no write options of their own), the schema-evolution
     * lineage (append-only; applies to the LAYOUT, not one snapshot —
-    * alias resolution is stamp-free, see [[SchemaOp]]). */
+    * alias resolution is stamp-free, see [[SchemaOp]]), and NAMED TAGS
+    * (r16 — tag name → snapshot seq; a tagged snapshot is PROTECTED
+    * from the retention trim until its tag drops, Iceberg's tag
+    * semantics: a training run tags the corpus snapshot it consumed
+    * and that exact state stays reproducible however many commits
+    * land after it). */
   final case class CommitLog(retain: Int, snapshots: Seq[Snapshot],
-      ops: Seq[SchemaOp] = Seq.empty) {
+      ops: Seq[SchemaOp] = Seq.empty, tags: Map[String, Long] = Map.empty) {
     require(snapshots.nonEmpty, "commit log must retain at least one snapshot")
     def head: Snapshot = snapshots.last
+  }
+
+  /** Window trim that honors tag protection: keep the last `keep`
+    * snapshots AND every tagged one, in seq order — the ONE trim for
+    * all six commit paths (write/append/delete/row-level/evolve/
+    * compact), so no path can expire a tagged snapshot. */
+  private[sources] def trimWindow(snapshots: Seq[Snapshot], keep: Int,
+      tags: Map[String, Long]): Seq[Snapshot] = {
+    val protectedSeqs = tags.values.toSet
+    val tail = snapshots.takeRight(math.max(keep, 1)).map(_.seq).toSet
+    snapshots.filter(s => tail.contains(s.seq) || protectedSeqs.contains(s.seq))
   }
 
   /** Crash-window test hook (KeyedWriteSpec): when set, a commit does
@@ -1355,7 +1385,7 @@ object KeyedSource {
         CommitLog(1, Seq(Snapshot(1L, gen, Set.empty)))
       case Array(v, retain, rest @ _*) if (v == CommitVersion ||
           (v == CommitVersionV2 && rest.isEmpty)) &&
-          lines.length >= 2 && rest.length <= 1 =>
+          lines.length >= 2 && rest.length <= 2 =>
         val snaps = lines.tail.toSeq.map { line =>
           line.split(PageSource.US, -1) match {
             case Array(seq, gen, tombCsv) if gen.nonEmpty =>
@@ -1370,8 +1400,14 @@ object KeyedSource {
           }
         }
         if (snaps.map(_.seq) != snaps.map(_.seq).sorted) corrupt()
+        val tags: Map[String, Long] = rest.lift(1)
+          .fold(Map.empty[String, Long])(_.split(",", -1).filter(_.nonEmpty)
+            .map(_.split(":", -1) match {
+              case Array(n, s) if n.nonEmpty => n -> long(s)
+              case _ => corrupt()
+            }).toMap)
         CommitLog(long(retain).toInt, snaps,
-          rest.headOption.fold(Seq.empty[SchemaOp])(parseOps))
+          rest.headOption.fold(Seq.empty[SchemaOp])(parseOps), tags)
       case _ => corrupt()
     }
   }
@@ -1379,11 +1415,14 @@ object KeyedSource {
   private[sources] def renderCommitLog(log: CommitLog): String = {
     val sb = new StringBuilder
     sb.append(CommitVersion).append(PageSource.US).append(log.retain)
-    if (log.ops.nonEmpty)
+    if (log.ops.nonEmpty || log.tags.nonEmpty)
       sb.append(PageSource.US).append(log.ops.map {
         case AddCol(n, l, d) => s"add:$n:${if (l) "B" else "S"}:$d"
         case RenCol(o, n) => s"ren:$o:$n"
       }.mkString(","))
+    if (log.tags.nonEmpty)
+      sb.append(PageSource.US).append(log.tags.toSeq.sortBy(_._1)
+        .map { case (n, s) => s"$n:$s" }.mkString(","))
     sb.append('\n')
     log.snapshots.foreach { s =>
       sb.append(s.seq).append(PageSource.US).append(s.gen)
@@ -1611,11 +1650,97 @@ object KeyedSource {
       val head = log.head
       val keep = math.max(log.retain, 1)
       Some(CommitLog(keep,
-        (log.snapshots :+ Snapshot(head.seq + 1, head.gen, head.tombstones,
-          head.edits)).takeRight(keep),
-        log.ops ++ ops))
+        trimWindow(log.snapshots :+ Snapshot(head.seq + 1, head.gen,
+          head.tombstones, head.edits), keep, log.tags),
+        log.ops ++ ops, log.tags))
     }
     applyOps(current, ops, Seq.empty)
+  }
+
+  // ── Named tags (r16 — Iceberg tag semantics) ───────────────────────
+
+  private val TagName = java.util.regex.Pattern.compile("[A-Za-z0-9_.-]+")
+
+  /** Tag a RETAINED snapshot (default: the head) with a name. A tagged
+    * snapshot is protected from every commit path's retention trim
+    * until [[dropTag]] — the reproducibility pin a training run takes
+    * on the exact corpus state it consumed (`spark.read.option("tag",
+    * "run-2031-q3")` / catalog `VERSION AS OF 'run-2031-q3'`). One CAS
+    * commit (no new snapshot — the log's tag map changes, seqs don't);
+    * duplicate names refuse (drop first — a silently-moved tag would
+    * un-pin someone else's run). */
+  def tagSnapshot(spark: org.apache.spark.sql.SparkSession, path: String,
+      tag: String, seq: Option[Long] = None): Long = {
+    require(TagName.matcher(tag).matches(),
+      s"graft-keyed tag names must match [A-Za-z0-9_.-]+, got '$tag'")
+    val hconf = spark.sessionState.newHadoopConf()
+    var tagged = 0L
+    commitLoop(path, hconf, "tag commit") { prior =>
+      val log = prior.getOrElse(throw new UnsupportedOperationException(
+        s"graft-keyed tags live in the snapshot log, but $path has no " +
+          "commit log (legacy flat stage) — restage through the connector " +
+          "writer first"))
+      val target = seq.getOrElse(log.head.seq)
+      if (!log.snapshots.exists(_.seq == target))
+        throw new IllegalArgumentException(
+          s"graft-keyed cannot tag snapshot $target at $path: not retained " +
+            s"(retained seqs: ${log.snapshots.map(_.seq).mkString(",")})")
+      log.tags.get(tag).foreach(existing =>
+        throw new IllegalArgumentException(
+          s"graft-keyed tag '$tag' already names snapshot $existing at " +
+            s"$path — drop it first (a silently moved tag would un-pin " +
+            "the run that took it)"))
+      tagged = target
+      // the tag rides a HEAD-DUPLICATE snapshot (same generation,
+      // tombstones, edits — zero data, zero visible change, CDC nets
+      // it to nothing): the CAS claims log files by head seq, so a
+      // metadata-only commit must advance it (the evolveKeyed
+      // precedent — a tag is auditable history). No trim here: expiry
+      // stays a write-commit side effect.
+      Some(log.copy(
+        snapshots = log.snapshots :+ Snapshot(log.head.seq + 1,
+          log.head.gen, log.head.tombstones, log.head.edits),
+        tags = log.tags + (tag -> target)))
+    }
+    tagged
+  }
+
+  /** Drop a tag. The previously-protected snapshot stays readable
+    * until the NEXT commit's window trim ages it out (dropping a tag
+    * never deletes data by itself — expiry stays a write-commit
+    * side effect, the q64 discipline). Unknown tags refuse. */
+  def dropTag(spark: org.apache.spark.sql.SparkSession, path: String,
+      tag: String): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    commitLoop(path, hconf, "tag drop") { prior =>
+      val log = prior.getOrElse(throw new UnsupportedOperationException(
+        s"graft-keyed tags live in the snapshot log, but $path has no commit log"))
+      if (!log.tags.contains(tag)) throw new IllegalArgumentException(
+        s"graft-keyed tag '$tag' does not exist at $path " +
+          s"(tags: ${log.tags.keys.toSeq.sorted.mkString(",") match {
+            case "" => "none"; case s => s }})")
+      // head-duplicate seq burn for the CAS claim (tagSnapshot note);
+      // the now-unprotected snapshot stays until the next write
+      // commit's trim — dropping a tag never deletes data itself
+      Some(log.copy(
+        snapshots = log.snapshots :+ Snapshot(log.head.seq + 1,
+          log.head.gen, log.head.tombstones, log.head.edits),
+        tags = log.tags - tag))
+    }
+    ()
+  }
+
+  /** Resolve a tag to its pinned seq for a read; loud with the known
+    * tag list when absent. */
+  private[sources] def resolveTag(path: String,
+      hconf: org.apache.hadoop.conf.Configuration, tag: String): Long = {
+    val log = readCommitLog(path, hconf).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-keyed tag '$tag' cannot resolve: $path has no commit log"))
+    log.tags.getOrElse(tag, throw new IllegalArgumentException(
+      s"graft-keyed tag '$tag' does not exist at $path " +
+        s"(tags: ${log.tags.keys.toSeq.sorted.mkString(",") match {
+          case "" => "none"; case s => s }})"))
   }
 
   /** Apply `ops` to `current`, validating each against the schema state

@@ -195,9 +195,11 @@ final class KeyedBatchWrite(schema: StructType, path: String, key: String,
       val newSeq = prior.map(_.head.seq + 1).getOrElse(1L)
       val keep = math.max(math.max(prior.fold(1)(_.retain), retain), 1)
       Some(KeyedSource.CommitLog(keep,
-        (prior.map(_.snapshots).getOrElse(Seq.empty) :+
-          KeyedSource.Snapshot(newSeq, genName, Set.empty)).takeRight(keep),
-        prior.fold(Seq.empty[KeyedSource.SchemaOp])(_.ops)))
+        KeyedSource.trimWindow(prior.map(_.snapshots).getOrElse(Seq.empty) :+
+          KeyedSource.Snapshot(newSeq, genName, Set.empty), keep,
+          prior.fold(Map.empty[String, Long])(_.tags)),
+        prior.fold(Seq.empty[KeyedSource.SchemaOp])(_.ops),
+        prior.fold(Map.empty[String, Long])(_.tags)))
     }.get
     // cleanup AFTER the claim — readers resolve the log first, so
     // everything below is dead weight; a crash here leaves orphans a
@@ -266,7 +268,8 @@ final class KeyedBatchWrite(schema: StructType, path: String, key: String,
       val snap = KeyedSource.Snapshot(head.seq + 1, head.gen,
         head.tombstones -- written, edits)
       Some(KeyedSource.CommitLog(keep,
-        (log.snapshots :+ snap).takeRight(keep), log.ops))
+        KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags),
+        log.ops, log.tags))
     }.get
     val live = published.snapshots
       .flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet

@@ -145,7 +145,7 @@ class KeyedChangesSpec extends SparkSpec {
     // the appending generation — the base generation is not re-read
     val conf = new org.apache.spark.util.SerializableConfiguration(hconf)
     val parts = KeyedChanges.planDiff(dir, log, hconf, conf,
-      org.apache.spark.sql.types.StructType.fromDDL(ddl), 3L, 4L)
+      org.apache.spark.sql.types.StructType.fromDDL(ddl), "kb", 3L, 4L)
       .map(_.asInstanceOf[KeyedChangesPartition])
     assert(parts.length == 4) // kb 0..3 each gained rows
     // append edit lists legitimately carry the BASE generation name
@@ -190,6 +190,29 @@ class KeyedChangesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(netPruned == Set((5L, "delete"), (5L, "insert"),
       (21L, "delete"), (21L, "insert")))
+  }
+
+  test("CDC-apply SPJ: the changes scan reports key grouping — a co-keyed join plans zero Exchange") {
+    val dir = lifecycle
+    val kB = "spark.sql.sources.v2.bucketing.enabled"
+    val kC = "spark.sql.requireAllClusterKeysForCoPartition"
+    val oB = spark.conf.getOption(kB); val oC = spark.conf.getOption(kC)
+    spark.conf.set(kB, "true"); spark.conf.set(kC, "false")
+    try {
+      // (0,1]: every key changed (full snapshot as inserts) — partition
+      // values match the row table's 4 key directories exactly, so the
+      // apply-join aligns by storage partitioning on both sides
+      val chg = readChanges(dir, from = 0L, to = Some(1L)).hint("merge")
+      val j = chg.join(readKeyed(dir, asOf = Some(1L)).hint("merge"),
+        Seq("kb", "doc_id"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"a CDC-apply join must not shuffle either side:\n${p.take(2000)}")
+      assert(j.count() == 64)
+    } finally {
+      oB.fold(spark.conf.unset(kB))(spark.conf.set(kB, _))
+      oC.fold(spark.conf.unset(kC))(spark.conf.set(kC, _))
+    }
   }
 
   test("streaming leg: commit-seq offsets deliver each delta exactly once across restarts") {
