@@ -1542,7 +1542,52 @@ object Relational {
              |SELECT kb, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(doc_id) AS last_doc
              |FROM m GROUP BY kb ORDER BY kb""".stripMargin),
-      "append-ingest + compaction lifecycle: per-key edit appends (O(delta) commits), fragmented keys rewritten into one sorted file each, audit from the compacted sidecar")
+      "append-ingest + compaction lifecycle: per-key edit appends (O(delta) commits), fragmented keys rewritten into one sorted file each, audit from the compacted sidecar"),
+
+    // ── Merge-on-read DELETE via deletion vectors (q69) ───────────────
+    // dmlMode='mor' (Iceberg v2 position deletes): a row-grain DELETE
+    // commits per-key DELETION VECTORS — O(deleted rows) bytes, ZERO
+    // data files rewritten (KeyedMorSpec pins byte-identity) — where
+    // copy-on-write would rewrite every affected bucket for a 3%% row
+    // kill. Readers skip the ordinals at decode; the sidecar's
+    // metadata answers honestly REFUSE under vectors (the audit below
+    // deliberately runs on the DV-applying data scan), CDC prices the
+    // delete interval at exactly the deleted rows, and a compaction
+    // folds the vectors back into clean files, restoring the metadata
+    // and columnar paths. At 100 TB this is the retraction shape
+    // between q64's key-grain tombstone (zero IO) and q66's
+    // copy-on-write (full-directory rewrite): per-row precision at
+    // per-row cost.
+    "q69_mor_delete" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#mordel")({
+          val out = graft.io.TempDirs.scratch("graft_mor_") + "/bykb"
+          graft.sources.KeyedSource.stageKeyed(s,
+            t(s, dir, "documents").selectExpr("doc_id % 16 AS kb", "doc_id", "n_chars"),
+            out, "kb", sortBy = Seq("doc_id"), retain = 4)
+          s.conf.set("spark.sql.catalog.graftcat",
+            classOf[graft.sources.GraftCatalog].getName)
+          val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+          val name = s"graftcat.mor_$tag"
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          s.sql(s"CREATE TABLE $name (kb BIGINT, doc_id BIGINT, n_chars BIGINT) " +
+            s"USING `graft-keyed` LOCATION '$out' " +
+            "TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='4','dmlMode'='mor')")
+          s.sql(s"DELETE FROM $name WHERE doc_id % 30 = 7")
+          out
+        })
+        s.read.format("graft-keyed").option("path", path)
+          .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+          .option("key", "kb").load()
+          .groupBy("kb")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .orderBy("kb")
+      },
+      Some("""SELECT doc_id % 16 AS kb, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents WHERE doc_id % 30 <> 7
+             |GROUP BY kb ORDER BY kb""".stripMargin),
+      "merge-on-read DELETE: deletion vectors (O(deleted rows), zero data rewritten), readers skip ordinals at decode, metadata answers refuse honestly until compaction folds the vectors in")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table

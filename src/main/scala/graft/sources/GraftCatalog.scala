@@ -45,7 +45,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 final class GraftCatalog extends TableCatalog {
 
   private case class Spec(schema: StructType, path: String, key: String,
-      sortBy: Seq[String], retain: Int)
+      sortBy: Seq[String], retain: Int, dmlMode: String = "cow")
 
   private val tables =
     scala.collection.concurrent.TrieMap.empty[Identifier, Spec]
@@ -68,7 +68,8 @@ final class GraftCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val s = spec(ident)
-    new KeyedTable(s.schema, s.path, s.key, s.sortBy, s.retain)
+    new KeyedTable(s.schema, s.path, s.key, s.sortBy, s.retain,
+      dmlMode = s.dmlMode)
   }
 
   /** `VERSION AS OF <seq | 'tag'>` — the catalog door to snapshot time
@@ -126,13 +127,16 @@ final class GraftCatalog extends TableCatalog {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"graft-keyed 'retain' must be an integer, got '$v'")
     }).getOrElse(1)
+    // DML mode: 'cow' (default) rewrites affected key directories;
+    // 'mor' commits row-grain DELETEs as deletion vectors
+    val dmlMode = prop("dmlMode").getOrElse("cow")
     schema.fields.foreach(f => require(
       f.dataType == LongType || f.dataType == StringType,
       s"graft-keyed supports BIGINT and STRING fields, got ${f.name}: ${f.dataType}"))
-    val s = Spec(schema, path, key, sortBy, retain)
+    val s = Spec(schema, path, key, sortBy, retain, dmlMode)
     // KeyedTable's constructor requires validate key∈schema etc. — a
     // bad CREATE fails HERE, at DDL time
-    val t = new KeyedTable(schema, path, key, sortBy, retain)
+    val t = new KeyedTable(schema, path, key, sortBy, retain, dmlMode = dmlMode)
     if (tables.putIfAbsent(ident, s).isDefined)
       throw new TableAlreadyExistsException(nameParts(ident))
     t
@@ -190,9 +194,10 @@ final class GraftCatalog extends TableCatalog {
       case (n, KeyedSource.RenCol(o, nn)) if n == o => nn
       case (n, _) => n
     }
-    val s2 = Spec(evolved, s.path, key2, sortBy, s.retain)
+    val s2 = Spec(evolved, s.path, key2, sortBy, s.retain, s.dmlMode)
     tables.put(ident, s2)
-    new KeyedTable(s2.schema, s2.path, s2.key, s2.sortBy, s2.retain)
+    new KeyedTable(s2.schema, s2.path, s2.key, s2.sortBy, s2.retain,
+      dmlMode = s2.dmlMode)
   }
 
   /** External-table semantics: forget the mapping, leave the layout

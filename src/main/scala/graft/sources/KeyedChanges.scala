@@ -64,12 +64,13 @@ object KeyedChanges {
   def changesSchema(declared: StructType): StructType =
     declared.add(ChangeCol, StringType, nullable = false)
 
-  /** Snapshot `seq`'s live (rawKey -> serving dirs), through the same
-    * view resolution every read surface uses; seq 0 is the empty
-    * table. Loud when `seq` is neither 0 nor retained. */
+  /** Snapshot `seq`'s live (rawKey -> (serving dirs, ABSOLUTE dv
+    * paths)), through the same view resolution every read surface
+    * uses; seq 0 is the empty table. Loud when `seq` is neither 0 nor
+    * retained. */
   private def liveMap(path: String, log: KeyedSource.CommitLog,
       hconf: org.apache.hadoop.conf.Configuration,
-      seq: Long): Map[String, Seq[String]] =
+      seq: Long): Map[String, (Seq[String], Seq[String])] =
     if (seq == 0L) Map.empty
     else {
       val snap = log.snapshots.find(_.seq == seq).getOrElse(
@@ -79,8 +80,11 @@ object KeyedChanges {
             s"retain=${log.retain}) — expired or never committed; a consumer " +
             "behind retention must re-sync from changesFrom=0, or the layout " +
             "must be staged with a larger 'retain'"))
-      KeyedSource.SnapshotView(path, snap.seq, Some(snap.gen),
-        snap.tombstones, snap.edits, log.ops).liveKeyDirs(hconf).toMap
+      val view = KeyedSource.SnapshotView(path, snap.seq, Some(snap.gen),
+        snap.tombstones, snap.edits, log.ops, snap.dvs)
+      view.liveKeyDirs(hconf).map { case (k, dirs) =>
+        k -> (dirs, view.dvPathsOf(k))
+      }.toMap
     }
 
   /** Per-directory evolved-read plan (None = the generation already
@@ -154,17 +158,33 @@ object KeyedChanges {
       .filter(k => keys.forall(_.contains(k)))
       .flatMap { k =>
         (a.get(k), b.get(k)) match {
-          case (Some(da), Some(db)) if da == db => None // identical references
-          case (Some(da), Some(db)) if da == db.take(da.length) =>
+          case (Some((da, va)), Some((db, vb))) if da == db && va == vb =>
+            None // identical references, identical deletion vectors
+          case (Some((da, va)), Some((db, vb)))
+              if da == db && va == vb.take(va.length) =>
+            // merge-on-read DELETE interval: same files, new dv refs —
+            // emit ONLY the newly-deleted ordinals, as 'delete'
+            Some(KeyedChangesPartition(k, keyValueOf(k),
+              Seq.empty, Seq.empty, db, tagPlans(db),
+              emitDvs = vb.drop(va.length)))
+          case (Some((da, va)), Some((db, vb)))
+              if da == db.take(da.length) && va == vb =>
             // row-level appends: only the delta directories, never the base
             val delta = db.drop(da.length)
-            Some(KeyedChangesPartition(k, keyValueOf(k), delta, tagPlans(delta), Seq.empty, Seq.empty))
-          case (None, Some(db)) =>
-            Some(KeyedChangesPartition(k, keyValueOf(k), db, tagPlans(db), Seq.empty, Seq.empty))
-          case (Some(da), None) =>
-            Some(KeyedChangesPartition(k, keyValueOf(k), Seq.empty, Seq.empty, da, tagPlans(da)))
-          case (Some(da), Some(db)) => // rewrite: net-diff inside the partition
-            Some(KeyedChangesPartition(k, keyValueOf(k), db, netPlans(db), da, netPlans(da)))
+            Some(KeyedChangesPartition(k, keyValueOf(k),
+              delta, tagPlans(delta), Seq.empty, Seq.empty))
+          case (None, Some((db, vb))) =>
+            Some(KeyedChangesPartition(k, keyValueOf(k),
+              db, tagPlans(db), Seq.empty, Seq.empty, insertApplyDvs = vb))
+          case (Some((da, va)), None) =>
+            Some(KeyedChangesPartition(k, keyValueOf(k),
+              Seq.empty, Seq.empty, da, tagPlans(da), deleteApplyDvs = va))
+          case (Some((da, va)), Some((db, vb))) =>
+            // rewrite (or compound append+delete): net-diff both
+            // DV-APPLIED versions inside the partition
+            Some(KeyedChangesPartition(k, keyValueOf(k),
+              db, netPlans(db), da, netPlans(da),
+              insertApplyDvs = vb, deleteApplyDvs = va))
           case (None, None) => None
         }
       }.toArray[InputPartition]
@@ -311,7 +331,10 @@ final class KeyedChangesScan(declared: StructType, required: StructType,
   * means a copy-on-write rewrite, net-diffed in the reader. */
 final case class KeyedChangesPartition(rawKey: String, keyValue: Any,
     insertDirs: Seq[String], insertPlans: Seq[Option[KeyedSource.DirReadPlan]],
-    deleteDirs: Seq[String], deletePlans: Seq[Option[KeyedSource.DirReadPlan]])
+    deleteDirs: Seq[String], deletePlans: Seq[Option[KeyedSource.DirReadPlan]],
+    insertApplyDvs: Seq[String] = Seq.empty,
+    deleteApplyDvs: Seq[String] = Seq.empty,
+    emitDvs: Seq[String] = Seq.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -339,24 +362,45 @@ final class KeyedChangesReaderFactory(declared: StructType,
         conf, -1), p)
     }))
 
+  /** Apply a side's deletion vectors (rows deleted in that STATE must
+    * not appear as that state's content). */
+  private def applied(proj: StructType, dirs: Seq[String],
+      plans: Seq[Option[KeyedSource.DirReadPlan]],
+      dvs: Seq[String]): PartitionReader[InternalRow] = {
+    val base = mk(proj, dirs, plans)
+    if (dvs.isEmpty) base
+    else new PositionedReader(base, KeyedSource.loadDeleted(dvs, conf.value),
+      map = null, isLong = proj.fields.map(_.dataType == LongType))
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val cp = partition.asInstanceOf[KeyedChangesPartition]
-    if (cp.deleteDirs.isEmpty || cp.insertDirs.isEmpty) {
+    val dataIsLong = requiredData.fields.map(_.dataType == LongType)
+    if (cp.emitDvs.nonEmpty) {
+      // merge-on-read DELETE interval: emit ONLY the newly-deleted
+      // ordinals (scanned over the unchanged files), tagged 'delete'
+      new DvEmitReader(mk(requiredData, cp.deleteDirs, cp.deletePlans),
+        KeyedSource.loadDeleted(cp.emitDvs, conf.value), dataIsLong,
+        if (hasTag) KeyedChanges.Delete else null)
+    } else if (cp.deleteDirs.isEmpty || cp.insertDirs.isEmpty) {
       // constant-tagged: decode already pruned to the data projection
-      val isLong = requiredData.fields.map(_.dataType == LongType)
-      val (dirs, plans, tag) =
-        if (cp.deleteDirs.isEmpty) (cp.insertDirs, cp.insertPlans, KeyedChanges.Insert)
-        else (cp.deleteDirs, cp.deletePlans, KeyedChanges.Delete)
-      new ChangeTagReader(mk(requiredData, dirs, plans), isLong,
+      val (dirs, plans, dvs, tag) =
+        if (cp.deleteDirs.isEmpty)
+          (cp.insertDirs, cp.insertPlans, cp.insertApplyDvs, KeyedChanges.Insert)
+        else
+          (cp.deleteDirs, cp.deletePlans, cp.deleteApplyDvs, KeyedChanges.Delete)
+      new ChangeTagReader(applied(requiredData, dirs, plans, dvs), dataIsLong,
         if (hasTag) tag else null)
     } else {
       // net diff decodes FULL rows (pruned rows would cancel rows that
-      // differ only in pruned columns) and projects at emit
+      // differ only in pruned columns) and projects at emit; each side
+      // reads its own DV-applied state
       val isLong = declared.fields.map(_.dataType == LongType)
       val outIdx = requiredData.fieldNames.map(declared.fieldIndex)
-      new NetDiffReader(() => mk(declared, cp.deleteDirs, cp.deletePlans),
-        () => mk(declared, cp.insertDirs, cp.insertPlans), isLong,
-        outIdx, hasTag)
+      new NetDiffReader(
+        () => applied(declared, cp.deleteDirs, cp.deletePlans, cp.deleteApplyDvs),
+        () => applied(declared, cp.insertDirs, cp.insertPlans, cp.insertApplyDvs),
+        isLong, outIdx, hasTag)
     }
   }
 }
@@ -383,6 +427,39 @@ final class ChangeTagReader(inner: PartitionReader[InternalRow],
     if (tag != null) out(n) = tag
     current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
     true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
+}
+
+/** Emit ONLY the rows at the given ordinals (a merge-on-read DELETE
+  * interval's newly-deleted rows), tagged 'delete' — ordinals count
+  * the RAW stream, exactly as the DV writer recorded them. */
+final class DvEmitReader(inner: PartitionReader[InternalRow],
+    bits: java.util.BitSet, isLong: Array[Boolean], tag: UTF8String)
+    extends PartitionReader[InternalRow] {
+  private val n = isLong.length
+  private val width = if (tag == null) n else n + 1
+  private var ord = -1
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    while (inner.next()) {
+      ord += 1
+      if (bits.get(ord)) {
+        val src = inner.get()
+        val out = new Array[Any](width)
+        var i = 0
+        while (i < n) {
+          out(i) = if (isLong(i)) Long.box(src.getLong(i))
+            else src.getUTF8String(i).clone()
+          i += 1
+        }
+        if (tag != null) out(n) = tag
+        current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+        return true
+      }
+    }
+    false
   }
   override def get(): InternalRow = current
   override def close(): Unit = inner.close()

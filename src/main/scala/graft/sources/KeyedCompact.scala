@@ -60,9 +60,13 @@ object KeyedCompact {
           "writer first"))
     val head = log.head
     val scanSeq = head.seq
-    val frag: Seq[String] = head.edits.collect {
+    // eligible: multi-file keys (appends/MERGE inserts) AND any key
+    // carrying deletion vectors (merge-on-read deletes) — compaction is
+    // what folds DVs into clean files and restores the columnar decode
+    // and metadata answers for those keys
+    val frag: Seq[String] = (head.edits.collect {
       case (k, gens) if gens.length >= minInputFiles => k
-    }.toSeq.sorted
+    } ++ head.dvs.keys).toSeq.distinct.sorted
     if (frag.isEmpty) return 0
 
     // the layout's recorded order (base generation's marker): compacted
@@ -152,16 +156,19 @@ object KeyedCompact {
             s"commit: rows were read from snapshot $scanSeq but the head is " +
             s"now ${h.seq}; re-run the compaction against the fresh table")
         priorGens = l.snapshots
-          .flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet
+          .flatMap(_.referencedGens).toSet
         val edits = h.edits ++ frag.map(k => k -> Seq(genName))
         val keep = math.max(l.retain, 1)
-        val snap = KeyedSource.Snapshot(h.seq + 1, h.gen, h.tombstones, edits)
+        // compacted keys fold their deletion vectors in (the rewrite
+        // read the DV-applied view)
+        val snap = KeyedSource.Snapshot(h.seq + 1, h.gen, h.tombstones,
+          edits, h.dvs -- frag)
         Some(KeyedSource.CommitLog(keep,
           KeyedSource.trimWindow(l.snapshots :+ snap, keep, l.tags),
           l.ops, l.tags))
       }.get
       val live = published.snapshots
-        .flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet
+        .flatMap(_.referencedGens).toSet
       KeyedSource.expireGenerations(path, live, hconf, known = priorGens -- live)
     } catch {
       case t: Throwable =>

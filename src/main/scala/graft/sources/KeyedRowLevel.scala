@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
@@ -55,21 +56,43 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[KeyedTable.deleteWhere]]'s zero-data-movement tombstone commit
   * (q64's contract is untouched); copy-on-write is the ROW-grain
   * fallback the r15 connector refused. */
+/** The scan-registration seam shared by both row-level modes: the
+  * operation's commit consumes the scan's resolved snapshot (conflict
+  * detection) and, for copy-on-write, its final planned key set. */
+trait KeyedRowLevelHost {
+  private[sources] def registerScan(s: KeyedScan): Unit
+}
+
 final class KeyedRowLevelBuilder(declared: StructType, path: String,
     key: String, sortBy: Seq[String], retain: Int,
-    info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
+    info: RowLevelOperationInfo, dmlMode: String = "cow")
+    extends RowLevelOperationBuilder {
+  /** Mode routing (table property `dmlMode`): copy-on-write rewrites
+    * affected key directories (the default — reads stay pristine);
+    * merge-on-read handles row-grain DELETE as a deletion-vector
+    * commit (O(deleted rows) written, zero data rewritten — the
+    * Iceberg v2 position-delete trade: cheap deletes now, a read-side
+    * merge until compaction folds them in). UPDATE and MERGE stay
+    * copy-on-write in either mode (their insert legs need real files;
+    * the delete+insert MOR decomposition is the recorded next step). */
   override def build(): RowLevelOperation =
-    new KeyedCowOperation(declared, path, key, sortBy, retain, info.command())
+    if (dmlMode == "mor" && info.command() == Command.DELETE)
+      new KeyedMorDeleteOperation(declared, path, key, retain)
+    else
+      new KeyedCowOperation(declared, path, key, sortBy, retain, info.command())
 }
 
 final class KeyedCowOperation(declared: StructType, path: String, key: String,
-    sortBy: Seq[String], retain: Int, cmd: Command) extends RowLevelOperation {
+    sortBy: Seq[String], retain: Int, cmd: Command)
+    extends RowLevelOperation with KeyedRowLevelHost {
 
   /** The scan instance Spark executes for this operation — its final
     * effective key set (static pushdown ∩ runtime group filter) IS the
     * affected-group set the commit replaces. Registered at scan build;
     * read at commit, which runs strictly after the query executed. */
   @volatile private[sources] var configuredScan: KeyedScan = _
+  override private[sources] def registerScan(s: KeyedScan): Unit =
+    configuredScan = s
 
   override def command(): Command = cmd
   override def description(): String =
@@ -189,7 +212,7 @@ final class KeyedCowBatchWrite(op: KeyedCowOperation, schema: StructType,
           s"commit: rows were derived from snapshot ${scannedView.seq} but the " +
           s"head is now ${head.seq}; re-run the DML against the fresh table")
       priorGens = log.snapshots
-        .flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet
+        .flatMap(_.referencedGens).toSet
       // the base generation's stored keys — needed to carry a key's
       // prior file list when a MERGE inserts into an UNAFFECTED key
       // (the new file APPENDS after the existing ones)
@@ -210,13 +233,17 @@ final class KeyedCowBatchWrite(op: KeyedCowOperation, schema: StructType,
       }
       val tombstones = (head.tombstones -- written) ++ fullyDeleted
       val keep = math.max(math.max(log.retain, retain), 1)
-      val snap = KeyedSource.Snapshot(head.seq + 1, head.gen, tombstones, edits)
+      // rewritten/deleted keys FOLD their deletion vectors in: the scan
+      // read the DV-applied view, so the replacement files already
+      // exclude those rows
+      val snap = KeyedSource.Snapshot(head.seq + 1, head.gen, tombstones,
+        edits, head.dvs -- written -- fullyDeleted)
       Some(KeyedSource.CommitLog(keep,
         KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags),
         log.ops, log.tags))
     }.get
     val live = published.snapshots
-      .flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet
+      .flatMap(_.referencedGens).toSet
     KeyedSource.expireGenerations(path, live, hconf, known = priorGens -- live)
   }
 
@@ -254,4 +281,227 @@ final class KeyedCowWriterFactory(schema: StructType, key: String,
       override def close(): Unit = inner.close()
     }
   }
+}
+
+// ── Merge-on-read DELETE (deletion vectors — r16) ────────────────────
+
+/** Row-grain DELETE as a DELETION-VECTOR commit (`SupportsDelta` —
+  * Spark's delta-based row-level operation; table property
+  * `dmlMode='mor'`): instead of rewriting the affected key
+  * directories, the operation scans the matching rows WITH their
+  * merge-on-read row ID — `(key, _graft_pos)`, the key column plus the
+  * position metadata column ([[KeyedSource.PosCol]]) — and each task
+  * writes the deleted ordinals into small `dv-<count>-<task>` files
+  * under an uncommitted generation. The commit appends those files to
+  * the snapshot's per-key DV refs; readers skip the ordinals at decode
+  * ([[PositionedReader]]).
+  *
+  * The trade is Iceberg v2's position-delete trade, stated honestly:
+  *  - a delete costs O(deleted rows) bytes and one CAS swap, however
+  *    large the key directories are (copy-on-write pays a full
+  *    directory rewrite for one doomed row);
+  *  - reads pay a per-row bitset probe, COLUMNAR decode drops to the
+  *    row path for DV'd keys, and the sidecar's metadata answers
+  *    (pushed aggregates, TopN budgets) REFUSE until a compaction
+  *    folds the deletes into clean files ([[KeyedCompact]] treats DV'd
+  *    keys as eligible and clears their vectors).
+  *
+  * Conflict detection is the serializable scanned-seq check: positions
+  * are ordinals into the SCANNED snapshot's file lists; any commit
+  * landing in between invalidates them and fails the DELETE loudly.
+  * Key-grain DELETEs still route to the zero-IO tombstone path
+  * (canDeleteWhere wins before row-level planning). */
+final class KeyedMorDeleteOperation(declared: StructType, path: String,
+    key: String, retain: Int)
+    extends RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta
+    with KeyedRowLevelHost {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.write.{DeltaWrite, DeltaWriteBuilder}
+
+  @volatile private[sources] var configuredScan: KeyedScan = _
+  override private[sources] def registerScan(s: KeyedScan): Unit =
+    configuredScan = s
+
+  override def command(): Command = Command.DELETE
+  override def description(): String =
+    s"GraftKeyedMorDelete path=$path key=$key"
+
+  // both components are METADATA columns (non-nullable by the framing
+  // guard — the DECLARED key column is nullable by DDL and Spark
+  // refuses nullable row-ID attributes)
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(KeyedSource.KeyCol),
+      Expressions.column(KeyedSource.PosCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    if (KeyedSource.readCommitLog(path, conf.value).isEmpty)
+      throw new UnsupportedOperationException(
+        s"graft-keyed merge-on-read DELETE commits deletion vectors against " +
+          s"the snapshot log, but $path has no commit log (legacy flat " +
+          "stage) — restage through the connector writer first")
+    new KeyedScanBuilder(declared, path, key, conf,
+      options.getBoolean("vectorize", true),
+      reportStats = true, asOf = None, cowHost = Some(this))
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new KeyedMorDeltaWrite(KeyedMorDeleteOperation.this, declared, path,
+          key, retain, info)
+    }
+}
+
+final class KeyedMorDeltaWrite(op: KeyedMorDeleteOperation,
+    declared: StructType, path: String, key: String, retain: Int,
+    info: LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.DeltaWrite {
+  override def description(): String = s"GraftKeyedMorDeltaWrite path=$path"
+  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = {
+    val idSchema = info.rowIdSchema().orElseThrow(() =>
+      new IllegalStateException(
+        "graft-keyed merge-on-read DELETE planned without a row-ID schema"))
+    new KeyedMorBatchWrite(op, declared, path, key, retain, info.queryId(),
+      idSchema,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+  }
+}
+
+/** One task's deletion-vector output: (raw key, relative dv ref,
+  * ordinal count) per key it saw. */
+final case class KeyedDvMessage(dvs: Seq[(String, String, Long)])
+    extends WriterCommitMessage
+
+final class KeyedMorBatchWrite(op: KeyedMorDeleteOperation,
+    declared: StructType, path: String, key: String, retain: Int,
+    queryId: String, idSchema: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private def genName = s"_gen-$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new KeyedDvWriterFactory(declared, key, path, genName, idSchema, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val perKey: Map[String, Seq[(String, Long)]] = messages.toSeq
+      .collect { case m: KeyedDvMessage => m.dvs }.flatten
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(x => (x._2, x._3)) }
+    val hconf = conf.value
+    val root = new org.apache.hadoop.fs.Path(path)
+    val gen = new org.apache.hadoop.fs.Path(root, genName)
+    val fs = root.getFileSystem(hconf)
+    // visible no-op: no row matched — burn no snapshot
+    if (perKey.isEmpty) { fs.delete(gen, true); return }
+    val scan = op.configuredScan
+    require(scan != null,
+      "graft-keyed merge-on-read commit reached without a configured scan")
+    val scannedSeq = scan.view.seq
+    if (KeyedSource.failBeforePublish) throw new IllegalStateException(
+      "graft-keyed test hook: crash before publish")
+    var priorGens = Set.empty[String]
+    val published = KeyedSource.commitLoop(path, hconf, "deletion-vector commit") { prior =>
+      val log = prior.getOrElse(throw new IllegalStateException(
+        s"graft-keyed deletion-vector commit at $path found no commit log — " +
+          "the layout was replaced mid-operation; re-run the DELETE"))
+      val head = log.head
+      // SERIALIZABLE: ordinals index the scanned snapshot's file lists
+      if (head.seq != scannedSeq) throw new IllegalStateException(
+        s"graft-keyed deletion-vector commit at $path conflicts with a " +
+          s"concurrent commit: positions were derived from snapshot " +
+          s"$scannedSeq but the head is now ${head.seq}; re-run the DELETE")
+      priorGens = log.snapshots.flatMap(_.referencedGens).toSet
+      val dvs = head.dvs ++ perKey.map { case (k, refs) =>
+        k -> (head.dvs.getOrElse(k, Seq.empty) ++ refs.map(_._1))
+      }
+      val keep = math.max(math.max(log.retain, retain), 1)
+      val snap = KeyedSource.Snapshot(head.seq + 1, head.gen,
+        head.tombstones, head.edits, dvs)
+      Some(KeyedSource.CommitLog(keep,
+        KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags),
+        log.ops, log.tags))
+    }.get
+    val live = published.snapshots.flatMap(_.referencedGens).toSet
+    KeyedSource.expireGenerations(path, live, hconf, known = priorGens -- live)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    if (KeyedSource.failBeforePublish) return
+    val gen = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(path), genName)
+    val fs = gen.getFileSystem(conf.value)
+    fs.delete(gen, true)
+  }
+}
+
+final class KeyedDvWriterFactory(declared: StructType, key: String,
+    path: String, genName: String, idSchema: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new KeyedDvWriter(declared, key, path, genName, idSchema, taskId, conf)
+}
+
+/** Accumulates deleted ordinals per key; close-time flush writes one
+  * `dv-<count>-<task>` file per key into the uncommitted generation.
+  * Ordinals are Ints by the layout's per-key row bound (the same bound
+  * the decode batch carries); a position beyond it fails loudly. */
+final class KeyedDvWriter(declared: StructType, key: String, path: String,
+    genName: String, idSchema: StructType, taskId: Long,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private val keyIdx = idSchema.fieldIndex(KeyedSource.KeyCol)
+  private val posIdx = idSchema.fieldIndex(KeyedSource.PosCol)
+  private val acc =
+    scala.collection.mutable.LinkedHashMap.empty[String, java.util.BitSet]
+
+  private def rawKeyOf(id: InternalRow): String =
+    id.getUTF8String(keyIdx).toString
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    val pos = id.getLong(posIdx)
+    if (pos > Int.MaxValue) throw new IllegalStateException(
+      s"graft-keyed deletion-vector position $pos exceeds the per-key " +
+        "row bound")
+    acc.getOrElseUpdate(rawKeyOf(id), new java.util.BitSet())
+      .set(pos.toInt)
+  }
+
+  override def insert(row: InternalRow): Unit =
+    throw new UnsupportedOperationException(
+      "graft-keyed merge-on-read handles DELETE only; UPDATE/MERGE run " +
+        "copy-on-write")
+  override def update(metadata: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = insert(row)
+
+  override def commit(): WriterCommitMessage = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
+    val out = acc.toSeq.map { case (raw, bits) =>
+      val count = bits.cardinality().toLong
+      val name = s"dv-$count-$taskId"
+      val rel = s"$genName/k=$raw/$name"
+      val p = new org.apache.hadoop.fs.Path(path, rel)
+      val os = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16)
+      try {
+        var i = bits.nextSetBit(0)
+        while (i >= 0) {
+          os.write(java.lang.Integer.toString(i)
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          os.write('\n')
+          i = bits.nextSetBit(i + 1)
+        }
+      } finally os.close()
+      (raw, rel, count)
+    }
+    KeyedDvMessage(out)
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }

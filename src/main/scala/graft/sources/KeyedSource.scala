@@ -112,7 +112,8 @@ class KeyedSourceProvider extends TableProvider with DataSourceRegister {
             "retain", "a snapshot count like retain=2")(_.toInt).getOrElse(1),
           asOf = KeyedSource.numericOption(properties.get("asOf"),
             "asOf", "a snapshot sequence number like asOf=3")(_.toLong),
-          asOfTag = Option(properties.get("tag")))
+          asOfTag = Option(properties.get("tag")),
+          dmlMode = Option(properties.get("dmlMode")).getOrElse("cow"))
     }
   }
 
@@ -174,11 +175,36 @@ final class KeyedSnapshotsTable(declared: StructType, path: String, key: String)
   * executor. */
 final class KeyedTable(declared: StructType, path: String, key: String,
     sortBy: Seq[String] = Nil, retain: Int = 1, asOf: Option[Long] = None,
-    asOfTag: Option[String] = None)
+    asOfTag: Option[String] = None, dmlMode: String = "cow")
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  require(dmlMode == "cow" || dmlMode == "mor",
+    s"graft-keyed dmlMode must be 'cow' (copy-on-write, default) or 'mor' " +
+      s"(merge-on-read position deletes), got '$dmlMode'")
+
+  /** `_graft_pos` — the deletion-vector position (row ordinal within
+    * the key's concatenated stream). With the key column it is the
+    * merge-on-read row ID ([[KeyedMorDeleteOperation.rowId]]); also
+    * selectable directly for layout forensics. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = Array(
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = KeyedSource.PosCol
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "row ordinal within its key's concatenated stream (deletion-vector position)"
+    },
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = KeyedSource.KeyCol
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "raw key dirname (merge-on-read row-ID component; never null by the framing guard)"
+    })
   require(path != null, "graft-keyed requires option 'path' (the staged key directory)")
   require(declared.fieldNames.contains(key),
     s"key column '$key' must be part of the declared schema ${declared.simpleString}")
@@ -240,7 +266,7 @@ final class KeyedTable(declared: StructType, path: String, key: String,
     if (pinned) throw new UnsupportedOperationException(
       s"graft-keyed cannot rewrite rows through a snapshot pin ($pinDesc): " +
         "historical snapshots are immutable; run the DML against the table head")
-    new KeyedRowLevelBuilder(declared, path, key, sortBy, retain, info)
+    new KeyedRowLevelBuilder(declared, path, key, sortBy, retain, info, dmlMode)
   }
 
   // ── Metadata-grain DELETE (snapshot-log tombstones) ────────────────
@@ -353,10 +379,11 @@ final class KeyedTable(declared: StructType, path: String, key: String,
         // layout widens it here)
         val keep = math.max(math.max(log.retain, retain), 1)
         val snap = KeyedSource.Snapshot(head.seq + 1, head.gen,
-          head.tombstones ++ doomed, head.edits -- doomed)
+          head.tombstones ++ doomed, head.edits -- doomed,
+          head.dvs -- doomed)
         val snapshots = KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags)
         def gensOf(ss: Seq[KeyedSource.Snapshot]) =
-          ss.flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet
+          ss.flatMap(_.referencedGens).toSet
         dropped = gensOf(log.snapshots) -- gensOf(snapshots)
         Some(KeyedSource.CommitLog(keep, snapshots, log.ops, log.tags))
       }
@@ -378,7 +405,7 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
     conf: org.apache.spark.util.SerializableConfiguration,
     vectorize: Boolean = true, reportStats: Boolean = true,
     asOf: Option[Long] = None,
-    cowHost: Option[KeyedCowOperation] = None)
+    cowHost: Option[KeyedRowLevelHost] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -447,6 +474,10 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
     // a copy-on-write scan must hand Spark the groups' FULL rows
     if (cowHost.isDefined) return false
     if (sawUnconsumed || statsPlan.isDefined || orders.isEmpty) return false
+    // deletion vectors invalidate the sidecar's per-key counts, and the
+    // budget arithmetic is what licenses full pushdown — refuse until a
+    // compaction folds them in
+    if (view.dvs.nonEmpty) return false
     if (KeyedStats.readView(view, conf, full, key).isEmpty) return false
     val marker = KeyedSource.readOrderMarkerView(view, conf, full, key)
     if (marker.isEmpty) return false
@@ -541,6 +572,10 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     if (cowHost.isDefined || sawUnconsumed) return false
+    // a deletion vector subtracts rows the sidecar's min/max/sum still
+    // include — no metadata answer is exact until compaction folds the
+    // deletes in; refuse and let the (DV-applying) data scan answer
+    if (view.dvs.nonEmpty) return false
     KeyedStatsScan.translate(agg, full, key) match {
       case Some((groupByKey, stats, schema)) =>
         KeyedStats.readView(view, conf, full, key) match {
@@ -573,10 +608,10 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
     case None =>
       val scan = new KeyedScan(full, required, view, key, conf, keyValues,
         vectorize, reportStats, topN)
-      // a copy-on-write operation's commit replaces exactly the groups
-      // this scan ends up planning — hand it the instance (last build
-      // wins; Spark builds one scan per operation)
-      cowHost.foreach(_.configuredScan = scan)
+      // a row-level operation's commit replaces (cow) or amends (mor)
+      // exactly what this scan resolves — hand it the instance (last
+      // build wins; Spark builds one scan per operation)
+      cowHost.foreach(_.registerScan(scan))
       scan
   }
 }
@@ -629,6 +664,16 @@ class KeyedScan(full: StructType, required: StructType,
     * (key, sortBy…) order and the reported (sortBy…) order coincide
     * per partition. */
   private def tombstones = view.tombstones
+
+  /** The decode projection: `required` minus the metadata columns
+    * (the frame decoder knows only stored columns; position and raw
+    * key are appended by [[PositionedReader]]). */
+  private[sources] def dataRequired: StructType = StructType(
+    required.fields.filterNot(f =>
+      f.name == KeyedSource.PosCol || f.name == KeyedSource.KeyCol))
+  private[sources] def emitMeta: Boolean =
+    required.fieldNames.contains(KeyedSource.PosCol) ||
+      required.fieldNames.contains(KeyedSource.KeyCol)
 
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     KeyedSource.readOrderMarkerView(view, conf, full, key).fold(
@@ -700,7 +745,17 @@ class KeyedScan(full: StructType, required: StructType,
         })
       }
     }
-    val rows = surviving.map(_.map(_.count).sum)
+    // deletion vectors subtract from the sidecar's stored counts (the
+    // dv filename carries its cardinality — no file opened); min/max/
+    // NDV stay estimates until compaction folds the deletes in, which
+    // is also why pushAggregation refuses under dvs
+    val rows = surviving.map { es =>
+      val keys = es.map(_.rawKey).toSet
+      es.map(_.count).sum - view.dvs.collect {
+        case (k, refs) if keys.contains(k) =>
+          refs.map(KeyedSource.dvCountOf).sum
+      }.sum
+    }
     val colStats = empty
     for (sc <- sidecar; t <- sc.table; entries <- surviving) {
       val rowCount = rows.getOrElse(0L)
@@ -749,6 +804,7 @@ class KeyedScan(full: StructType, required: StructType,
       (if (topN >= 0) s" topN=$topN" else "") +
       (if (tombstones.nonEmpty) s" tombstones=${tombstones.size}" else "") +
       (if (view.edits.nonEmpty) s" edits=${view.edits.size}" else "") +
+      (if (view.dvs.nonEmpty) s" dvs=${view.dvs.size}" else "") +
       (if (vectorize) "" else " rowdecode")
 
   // runtime key set (EXECUTION-time DPP), intersected with the static
@@ -821,7 +877,7 @@ class KeyedScan(full: StructType, required: StructType,
           val same = w.fields.map(f => (f.name, f.dataType)).toSeq ==
             full.fields.map(f => (f.name, f.dataType)).toSeq
           if (same) None
-          else Some(KeyedSource.evolvedPlan(genRoot, w, required, view.ops))
+          else Some(KeyedSource.evolvedPlan(genRoot, w, dataRequired, view.ops))
         case None => throw new IllegalStateException(
           s"graft-keyed layout at ${view.layoutPath} has schema-evolution " +
             s"lineage but the generation at $genRoot has no readable stats " +
@@ -859,7 +915,8 @@ class KeyedScan(full: StructType, required: StructType,
           case other => throw new IllegalArgumentException(
             s"graft-keyed supports BIGINT and STRING keys, got $other")
         }
-        KeyedPartition(dirs, v, plans = dirs.map(planFor))
+        KeyedPartition(dirs, v, plans = dirs.map(planFor),
+          dvPaths = view.dvPathsOf(raw))
       }
       .sortBy(_.dirs.head)
       .toArray[InputPartition]
@@ -928,10 +985,15 @@ class KeyedScan(full: StructType, required: StructType,
     // columnar is ALL-OR-NOTHING per scan (BatchScanExec refuses mixed
     // modes): one evolved generation in the plan drops the whole scan
     // to the row path — a restage under the evolved schema upgrades it
-    // back (KeyedEvolutionSpec pins the round trip)
+    // back (KeyedEvolutionSpec pins the round trip). Deletion vectors
+    // and the position metadata column ride the row path too (the
+    // position skip/append is per row; a compaction folds DVs in and
+    // restores the columnar default)
     new KeyedReaderFactory(full, required, conf,
-      vectorize && !partitions.exists(
-        _.asInstanceOf[KeyedPartition].plans.exists(_.isDefined)))
+      vectorize && !emitMeta && !partitions.exists { p =>
+        val kp = p.asInstanceOf[KeyedPartition]
+        kp.plans.exists(_.isDefined) || kp.dvPaths.nonEmpty
+      })
 }
 
 /** Serializable key partition; `partitionKey` is the stored key VALUE —
@@ -943,7 +1005,8 @@ class KeyedScan(full: StructType, required: StructType,
   * license requires the single-file order claim). */
 final case class KeyedPartition(dirs: Seq[String], keyValue: Any,
     limit: Int = -1,
-    plans: Seq[Option[KeyedSource.DirReadPlan]] = Seq.empty)
+    plans: Seq[Option[KeyedSource.DirReadPlan]] = Seq.empty,
+    dvPaths: Seq[String] = Seq.empty)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -1003,10 +1066,71 @@ final class ConcatReader[T](makers: Seq[() => PartitionReader[T]])
   override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
+/** Deletion-vector application + metadata emission over a key's
+  * concatenated row stream: counts the ordinal of EVERY decoded row,
+  * skips ordinals in the deletion bitset, and (for merge-on-read row
+  * IDs / forensics) projects the output through `map` — `>= 0` copies
+  * that decoded column, [[PositionedReader.Pos]] emits the ordinal,
+  * [[PositionedReader.Key]] the raw key dirname. Pass-through when
+  * `map` is null (apply-only) — rows are not copied. */
+final class PositionedReader(inner: PartitionReader[InternalRow],
+    deleted: java.util.BitSet, map: Array[Int], isLong: Array[Boolean],
+    rawKey: UTF8String = null)
+    extends PartitionReader[InternalRow] {
+  private var ord = -1
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    while (inner.next()) {
+      ord += 1
+      if (deleted == null || !deleted.get(ord)) {
+        if (map != null) {
+          val src = inner.get()
+          val out = new Array[Any](map.length)
+          var i = 0
+          while (i < map.length) {
+            out(i) = map(i) match {
+              case PositionedReader.Pos => Long.box(ord.toLong)
+              case PositionedReader.Key => rawKey
+              case j => if (isLong(j)) Long.box(src.getLong(j))
+                else src.getUTF8String(j).clone()
+            }
+            i += 1
+          }
+          current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+        } else current = inner.get()
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
+}
+
+object PositionedReader {
+  val Pos: Int = -1
+  val Key: Int = -2
+}
+
 final class KeyedReaderFactory(full: StructType, required: StructType,
     conf: org.apache.spark.util.SerializableConfiguration,
     vectorize: Boolean = true)
     extends PartitionReaderFactory {
+
+  /** Decode projection (stored columns only) and the output map from
+    * `required` — metadata columns resolve to ordinal/raw-key
+    * emission, everything else to its decoded index. */
+  private val dataRequired: StructType = StructType(
+    required.fields.filterNot(f =>
+      f.name == KeyedSource.PosCol || f.name == KeyedSource.KeyCol))
+  private val emitMeta: Boolean = required.length != dataRequired.length
+  private val outMap: Array[Int] = required.fields.map {
+    case f if f.name == KeyedSource.PosCol => PositionedReader.Pos
+    case f if f.name == KeyedSource.KeyCol => PositionedReader.Key
+    case f => dataRequired.fieldIndex(f.name)
+  }
+  private val dataIsLong: Array[Boolean] =
+    dataRequired.fields.map(_.dataType == LongType)
   // decode IS the page decode — the connectors share the US-framed
   // line format on both paths: PageReader (row) and PageColumnarReader
   // (byte-level batch decode, the default — VectorizedFrame scaladoc);
@@ -1015,7 +1139,7 @@ final class KeyedReaderFactory(full: StructType, required: StructType,
   private def rowReader(kp: KeyedPartition, j: Int,
       lim: Int): PartitionReader[InternalRow] =
     kp.plans.lift(j).flatten match {
-      case None => new PageReader(kp.dirs(j), full, required, conf, lim)
+      case None => new PageReader(kp.dirs(j), full, dataRequired, conf, lim)
       case Some(p) =>
         // evolved generation: decode by the WRITTEN schema (the file's
         // own arity), project the lineage-resolved columns, fill
@@ -1028,22 +1152,32 @@ final class KeyedReaderFactory(full: StructType, required: StructType,
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val kp = partition.asInstanceOf[KeyedPartition]
-    if (kp.dirs.length == 1) rowReader(kp, 0, kp.limit)
-    else {
-      require(kp.limit < 0, "TopN budgets never plan multi-directory partitions")
-      new ConcatReader(kp.dirs.indices.map(j => () => rowReader(kp, j, -1)))
-    }
+    val base =
+      if (kp.dirs.length == 1) rowReader(kp, 0, kp.limit)
+      else {
+        require(kp.limit < 0, "TopN budgets never plan multi-directory partitions")
+        new ConcatReader(kp.dirs.indices.map(j => () => rowReader(kp, j, -1)))
+      }
+    if (kp.dvPaths.isEmpty && !emitMeta) base
+    else new PositionedReader(base,
+      if (kp.dvPaths.nonEmpty) KeyedSource.loadDeleted(kp.dvPaths, conf.value)
+      else null,
+      if (emitMeta) outMap else null, dataIsLong,
+      rawKey = UTF8String.fromString(kp.keyValue match {
+        case u: UTF8String => u.toString
+        case other => other.toString
+      }))
   }
   override def supportColumnarReads(partition: InputPartition): Boolean = vectorize
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val kp = partition.asInstanceOf[KeyedPartition]
     if (kp.dirs.length == 1)
-      new PageColumnarReader(kp.dirs.head, full, required, conf, kp.limit)
+      new PageColumnarReader(kp.dirs.head, full, dataRequired, conf, kp.limit)
     else {
       require(kp.limit < 0, "TopN budgets never plan multi-directory partitions")
       new ConcatReader(kp.dirs.map(d =>
-        () => new PageColumnarReader(d, full, required, conf, -1)))
+        () => new PageColumnarReader(d, full, dataRequired, conf, -1)))
     }
   }
 }
@@ -1148,6 +1282,57 @@ object KeyedSource {
     * first CAS commit over it sweeps it. Absent ⇒ legacy flat layout,
     * read as-is. */
   val CommitFile = "_graft_keyed_commit"
+
+  /** Metadata column: a row's ordinal within its key's concatenated
+    * raw stream — the DELETION-VECTOR position (merge-on-read row ID,
+    * with the key column). Ordinals count every stored row, deleted or
+    * not, so they stay stable under appends (new directories only ever
+    * extend the stream) and under further deletes. */
+  val PosCol = "_graft_pos"
+
+  /** Metadata column: the row's RAW key dirname (the `k=<v>` string).
+    * Non-nullable by the framing guard, which is what lets it serve in
+    * the merge-on-read row ID — the DECLARED key column is nullable by
+    * DDL and Spark refuses nullable row-ID attributes. */
+  val KeyCol = "_graft_key"
+
+  /** DV files are named `dv-<rowCount>-<taskId>` so metadata surfaces
+    * can price a deletion without opening the file. */
+  private[graft] def dvCountOf(ref: String): Long = {
+    val name = ref.substring(ref.lastIndexOf('/') + 1)
+    name.split("-", -1) match {
+      case parts if parts.length >= 3 && parts(0) == "dv" =>
+        try parts(1).toLong catch {
+          case _: NumberFormatException => throw new IllegalStateException(
+            s"graft-keyed deletion-vector ref '$ref' has a malformed count")
+        }
+      case _ => throw new IllegalStateException(
+        s"graft-keyed deletion-vector ref '$ref' is not a dv file")
+    }
+  }
+
+  /** Load deletion-vector files into a position bitset (one ASCII
+    * ordinal per line). Executor-side, per partition — one key's DV
+    * rows, the standing per-key memory bound. */
+  private[sources] def loadDeleted(paths: Seq[String],
+      hconf: org.apache.hadoop.conf.Configuration): java.util.BitSet = {
+    val bits = new java.util.BitSet()
+    paths.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(hconf)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(hp),
+          java.nio.charset.StandardCharsets.US_ASCII))
+      try {
+        var line = in.readLine()
+        while (line != null) {
+          if (line.nonEmpty) bits.set(line.toInt)
+          line = in.readLine()
+        }
+      } finally in.close()
+    }
+    bits
+  }
   private val CommitVersionV1 = "graft-keyed-commit v1"
   private val CommitVersionV2 = "graft-keyed-commit v2"
   private val CommitVersion = "graft-keyed-commit v3"
@@ -1156,15 +1341,29 @@ object KeyedSource {
   /** One committed snapshot: monotone sequence number, the BASE
     * generation directory it reads from, the keys tombstoned out of
     * view (raw `k=<v>` dirnames — the same strings the listing prunes
-    * by), and per-key EDITS — keys whose live content is served by
+    * by), per-key EDITS — keys whose live content is served by
     * OTHER generations' `k=<v>/` directories instead of (or, for
     * multi-entry lists, appended after) the base generation's
     * (row-level copy-on-write commits reference unchanged keys from
     * the base generation and rewritten/inserted keys from their own;
-    * files are referenced, never copied). `edits` and `tombstones`
-    * are disjoint by construction. */
+    * files are referenced, never copied) — and per-key DELETION
+    * VECTORS (r16 merge-on-read: `dvs(k)` lists DV files, as
+    * `<gen>/k=<k>/<file>` relative refs, holding ORDINALS into the
+    * key's concatenated row stream that readers must skip; ordinals
+    * stay valid under appends — new directories only ever append at
+    * the end of the stream — and are FOLDED IN by any rewrite of the
+    * key, which clears its entry). `edits` and `tombstones` are
+    * disjoint by construction; a tombstoned key has no dvs. */
   final case class Snapshot(seq: Long, gen: String, tombstones: Set[String],
-      edits: Map[String, Seq[String]] = Map.empty)
+      edits: Map[String, Seq[String]] = Map.empty,
+      dvs: Map[String, Seq[String]] = Map.empty) {
+    /** Every generation directory this snapshot references (base,
+      * edit-serving, DV-holding) — the ONE liveness definition all
+      * expiry/trim call sites share. */
+    def referencedGens: Seq[String] =
+      gen +: (edits.valuesIterator.flatten.toSeq ++
+        dvs.valuesIterator.flatten.map(_.takeWhile(_ != '/')).toSeq)
+  }
 
   /** Schema-evolution op, recorded in the commit log's lineage (r16 —
     * the Iceberg-shape gap a long-lived layout hits: add-column and
@@ -1244,7 +1443,12 @@ object KeyedSource {
     * commit swaps the log without tearing a plan. */
   final case class SnapshotView(layoutPath: String, seq: Long,
       gen: Option[String], tombstones: Set[String],
-      edits: Map[String, Seq[String]], ops: Seq[SchemaOp] = Seq.empty) {
+      edits: Map[String, Seq[String]], ops: Seq[SchemaOp] = Seq.empty,
+      dvs: Map[String, Seq[String]] = Map.empty) {
+    /** Absolute paths of key `k`'s deletion-vector files (refs are
+      * `<gen>/k=<k>/<file>`, relative to the layout root). */
+    def dvPathsOf(k: String): Seq[String] = dvs.getOrElse(k, Seq.empty)
+      .map(r => new org.apache.hadoop.fs.Path(layoutPath, r).toString)
     /** Base-generation root (the layout path itself for legacy flat). */
     def root: String = gen.fold(layoutPath)(g =>
       new org.apache.hadoop.fs.Path(layoutPath, g).toString)
@@ -1292,7 +1496,7 @@ object KeyedSource {
                 "stage with a larger 'retain' to keep history"))
         }
         SnapshotView(path, snap.seq, Some(snap.gen), snap.tombstones,
-          snap.edits, log.ops)
+          snap.edits, log.ops, snap.dvs)
       case None =>
         asOf.foreach { seq =>
           throw new IllegalArgumentException(
@@ -1396,6 +1600,11 @@ object KeyedSource {
               Snapshot(long(seq), gen,
                 tombCsv.split(",", -1).filter(_.nonEmpty).toSet,
                 parseEdits(editsCsv))
+            case Array(seq, gen, tombCsv, editsCsv, dvCsv) if gen.nonEmpty &&
+                v == CommitVersion =>
+              Snapshot(long(seq), gen,
+                tombCsv.split(",", -1).filter(_.nonEmpty).toSet,
+                parseEdits(editsCsv), parseEdits(dvCsv))
             case _ => corrupt()
           }
         }
@@ -1429,7 +1638,10 @@ object KeyedSource {
         .append(PageSource.US).append(s.tombstones.toSeq.sorted.mkString(","))
         .append(PageSource.US).append(s.edits.toSeq.sortBy(_._1)
           .map { case (k, gs) => s"$k:${gs.mkString("|")}" }.mkString(","))
-        .append('\n')
+      if (s.dvs.nonEmpty)
+        sb.append(PageSource.US).append(s.dvs.toSeq.sortBy(_._1)
+          .map { case (k, fs) => s"$k:${fs.mkString("|")}" }.mkString(","))
+      sb.append('\n')
     }
     sb.toString
   }
@@ -1505,9 +1717,18 @@ object KeyedSource {
       if (fs.exists(legacy)) fs.delete(legacy, false)
       val legacyCrc = new org.apache.hadoop.fs.Path(root, s".$CommitFile.crc")
       if (fs.exists(legacyCrc)) fs.delete(legacyCrc, false)
+      // STALE tmp files only — past the staleness grace. A younger tmp
+      // is a CONCURRENT committer's publish in flight between its
+      // writeFile and its claim; sweeping it would fail that commit
+      // with a context-free NoSuchFileException (found by the
+      // two-writer race spec under load — the r15 "sweep orphan tmps"
+      // fix must not race the committers the r16 CAS now supports).
+      // Crashed-publish orphans are minutes old and still get swept.
+      val tmpCutoff = System.currentTimeMillis() - stagingGraceMs
       fs.listStatus(root).foreach { s =>
         val n = s.getPath.getName
-        if (n.startsWith(s"$CommitFile.tmp-") && n != tmpName)
+        if (n.startsWith(s"$CommitFile.tmp-") && n != tmpName &&
+            s.getModificationTime <= tmpCutoff)
           fs.delete(s.getPath, false)
       }
     }
@@ -1651,7 +1872,7 @@ object KeyedSource {
       val keep = math.max(log.retain, 1)
       Some(CommitLog(keep,
         trimWindow(log.snapshots :+ Snapshot(head.seq + 1, head.gen,
-          head.tombstones, head.edits), keep, log.tags),
+          head.tombstones, head.edits, head.dvs), keep, log.tags),
         log.ops ++ ops, log.tags))
     }
     applyOps(current, ops, Seq.empty)
@@ -1699,7 +1920,7 @@ object KeyedSource {
       // stays a write-commit side effect.
       Some(log.copy(
         snapshots = log.snapshots :+ Snapshot(log.head.seq + 1,
-          log.head.gen, log.head.tombstones, log.head.edits),
+          log.head.gen, log.head.tombstones, log.head.edits, log.head.dvs),
         tags = log.tags + (tag -> target)))
     }
     tagged
@@ -1724,7 +1945,7 @@ object KeyedSource {
       // commit's trim — dropping a tag never deletes data itself
       Some(log.copy(
         snapshots = log.snapshots :+ Snapshot(log.head.seq + 1,
-          log.head.gen, log.head.tombstones, log.head.edits),
+          log.head.gen, log.head.tombstones, log.head.edits, log.head.dvs),
         tags = log.tags - tag))
     }
     ()

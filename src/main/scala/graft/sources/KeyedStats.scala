@@ -391,13 +391,17 @@ final class KeyedSnapshotsScan(declared: StructType, path: String, key: String,
           // tombstones, row-level edits) — exactly what a reader of
           // that snapshot would see
           val view = KeyedSource.SnapshotView(path, snap.seq,
-            Some(snap.gen), snap.tombstones, snap.edits)
+            Some(snap.gen), snap.tombstones, snap.edits, dvs = snap.dvs)
           val visible = KeyedStats.readView(view, conf, declared, key)
             .map(_.entries.filterNot(e => snap.tombstones.contains(e.rawKey)))
+          // deletion vectors subtract from the stored counts (cardinality
+          // rides the dv filename — zero files opened, like the rest)
+          val dvRows = snap.dvs.valuesIterator.flatten
+            .map(KeyedSource.dvCountOf).sum
           Array[Any](snap.seq,
             visible.fold(null: Any)(v => v.length.toLong),
             snap.tombstones.size.toLong,
-            visible.fold(null: Any)(_.map(_.count).sum))
+            visible.fold(null: Any)(_.map(_.count).sum - dvRows))
         }
       }
     Array(KeyedStatsPartition(rows))

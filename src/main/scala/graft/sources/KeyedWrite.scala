@@ -65,15 +65,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * refuses: a legacy flat stage must first be restaged through the
   * connector writer.
   *
-  * COMMITS SERIALIZE UNDER A SINGLE-WRITER CONTRACT (write and delete
-  * alike): publish is read-log → append-snapshot → atomic rename, so
-  * two concurrent committers cannot corrupt the log (the rename is
-  * atomic and each candidate file is self-consistent) but the loser's
-  * snapshot is silently superseded — last rename wins. A production
-  * port would close that window with a conditional rename / CAS
-  * (HDFS createFile(overwrite=false) on a lock, or a metastore
-  * compare-and-swap, Iceberg's commit path); recorded rather than
-  * hidden, like the pre-log immediate-delete was. */
+  * COMMITS SERIALIZE THROUGH THE CAS (r16 — the r15 last-rename-wins
+  * window is closed): publish claims the versioned log file for the
+  * next seq by ATOMIC EXCLUSIVE create ([[KeyedSource.publishLog]]);
+  * a losing committer re-reads the fresh log (the winner's snapshot
+  * included) and rebuilds, so the log never loses a commit. Pure
+  * writes (overwrite, append) rebase safely this way; DML/compaction
+  * add the serializable scanned-seq check on top. */
 final class KeyedWriteBuilder(declared: StructType, path: String, key: String,
     sortBy: Seq[String], retain: Int, info: LogicalWriteInfo) extends WriteBuilder
     with SupportsTruncate {
@@ -191,7 +189,7 @@ final class KeyedBatchWrite(schema: StructType, path: String, key: String,
     val published = KeyedSource.commitLoop(path, hconf, "write commit") { prior =>
       wasLegacyFlat = prior.isEmpty
       priorGens = prior.fold(Set.empty[String])(_.snapshots
-        .flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet)
+        .flatMap(_.referencedGens).toSet)
       val newSeq = prior.map(_.head.seq + 1).getOrElse(1L)
       val keep = math.max(math.max(prior.fold(1)(_.retain), retain), 1)
       Some(KeyedSource.CommitLog(keep,
@@ -222,7 +220,7 @@ final class KeyedBatchWrite(schema: StructType, path: String, key: String,
     // writer's in-flight staging and is swept only past the staleness
     // grace (expireGenerations scaladoc).
     val live = published.snapshots
-      .flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet
+      .flatMap(_.referencedGens).toSet
     KeyedSource.expireGenerations(path, live, hconf, known = priorGens -- live)
   }
 
@@ -251,7 +249,7 @@ final class KeyedBatchWrite(schema: StructType, path: String, key: String,
       }
       val head = log.head
       priorGens = log.snapshots
-        .flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet
+        .flatMap(_.referencedGens).toSet
       val baseKeys: Set[String] = {
         val baseGen = new org.apache.hadoop.fs.Path(root, head.gen)
         if (fs.exists(baseGen)) fs.listStatus(baseGen).toSeq.collect {
@@ -265,14 +263,16 @@ final class KeyedBatchWrite(schema: StructType, path: String, key: String,
           else Seq.empty)
       val edits = head.edits ++ written.toSeq.map(k => k -> (priorLive(k) :+ genName))
       val keep = math.max(math.max(log.retain, retain), 1)
+      // appends only ever ADD directories at the end of a key's stream,
+      // so existing deletion-vector ordinals stay valid and carry as-is
       val snap = KeyedSource.Snapshot(head.seq + 1, head.gen,
-        head.tombstones -- written, edits)
+        head.tombstones -- written, edits, head.dvs)
       Some(KeyedSource.CommitLog(keep,
         KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags),
         log.ops, log.tags))
     }.get
     val live = published.snapshots
-      .flatMap(s => s.gen +: s.edits.valuesIterator.flatten.toSeq).toSet
+      .flatMap(_.referencedGens).toSet
     KeyedSource.expireGenerations(path, live, hconf, known = priorGens -- live)
   }
 

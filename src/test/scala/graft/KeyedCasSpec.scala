@@ -125,8 +125,17 @@ class KeyedCasSpec extends SparkSpec {
     // removed (r15 ADVICE)
     val stale = new java.io.File(dir, s"${KeyedSource.CommitFile}.tmp-deadbeef")
     java.nio.file.Files.writeString(stale.toPath, "orphan")
+    // the sweep is AGE-GUARDED (a young tmp may be a concurrent
+    // committer's in-flight publish) — backdate past the grace
+    stale.setLastModified(System.currentTimeMillis() - 30L * 60L * 1000L)
+    // a FRESH tmp (someone's publish in flight) must survive the sweep
+    val fresh = new java.io.File(dir, s"${KeyedSource.CommitFile}.tmp-cafebabe")
+    java.nio.file.Files.writeString(fresh.toPath, "in-flight")
     KeyedSource.stageKeyed(spark, df(24L), dir, "kb")
     assert(!stale.exists(), "the next commit must sweep stale commit tmp files")
+    assert(fresh.exists(),
+      "a young tmp may be a concurrent publish in flight; the sweep must spare it")
+    fresh.delete()
     // malformed numeric options name the option and the expected form
     val e = intercept[IllegalArgumentException] {
       spark.read.format("graft-keyed").option("path", dir)

@@ -1,0 +1,199 @@
+package graft
+
+import graft.sources.{GraftCatalog, KeyedCompact, KeyedSource}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructType
+
+/** Merge-on-read deletion vectors (r16 — `dmlMode='mor'`, Iceberg v2
+  * position deletes). Pins: (1) a row-grain DELETE writes DV files
+  * only — ZERO data files rewritten (byte-identity), one CAS swap —
+  * and reads exclude exactly the deleted rows; (2) a second delete on
+  * the same key APPENDS dv refs and composes; (3) key-grain DELETE
+  * still takes the tombstone path (no dvs, no rewrite); (4) honest
+  * metadata refusals under dvs: pushed aggregates fall back to the
+  * (DV-applying) data scan, the snapshots metadata table subtracts dv
+  * cardinalities; (5) the `_graft_pos` metadata column is selectable
+  * and deleted ordinals vanish from it; (6) CDC prices a MOR-delete
+  * interval at the DELTA: one partition, only the newly-deleted rows,
+  * tagged 'delete'; (7) compaction folds DVs into clean files —
+  * vectors cleared, metadata answers restored, data identical;
+  * (8) time travel still reads the pre-delete rows; (9) a commit
+  * racing the DV commit fails it loudly. */
+class KeyedMorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ddl = "kb BIGINT, doc_id BIGINT, source STRING, n_chars BIGINT"
+  private val schema = StructType.fromDDL(ddl)
+  private val cat = "gmor"
+  spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+
+  private def df(n: Long) =
+    (0L until n).map(i => (i % 4L, i, s"s${i % 3L}", (i * 7L) % 101L))
+      .toDF("kb", "doc_id", "source", "n_chars")
+
+  private def registerMor(name: String, dir: String, retain: Int = 4): String = {
+    spark.sql(s"DROP TABLE IF EXISTS $cat.$name")
+    spark.sql(
+      s"""CREATE TABLE $cat.$name (kb BIGINT, doc_id BIGINT, source STRING,
+         |n_chars BIGINT) USING `graft-keyed` LOCATION '$dir'
+         |TBLPROPERTIES('key'='kb', 'sortBy'='doc_id', 'retain'='$retain',
+         |'dmlMode'='mor')""".stripMargin)
+    s"$cat.$name"
+  }
+
+  private def readKeyed(dir: String, asOf: Option[Long] = None): DataFrame = {
+    val r = spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", ddl).option("key", "kb")
+    asOf.fold(r)(v => r.option("asOf", v.toString)).load()
+  }
+
+  private def dataFiles(dir: String): Map[String, Long] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_gen-"))
+      .flatMap(_.listFiles().filter(d => d.isDirectory && d.getName.startsWith("k=")))
+      .flatMap(_.listFiles().filter(f =>
+        f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("dv-")))
+      .map(f => f.getPath -> f.length).toMap
+
+  test("row-grain DELETE writes deletion vectors only: zero data files rewritten, reads exclude the rows") {
+    val dir = graft.io.TempDirs.scratch("graft_mor_") + "/t"
+    KeyedSource.stageKeyed(spark, df(64L), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 4)
+    val t = registerMor("del", dir)
+    val before = dataFiles(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+
+    // doc_ids 5 and 21 live in kb=1 — row-grain, no key literal
+    spark.sql(s"DELETE FROM $t WHERE doc_id IN (5, 21)")
+
+    val log = KeyedSource.readCommitLog(dir, hconf).get
+    assert(log.head.seq == 2L)
+    assert(log.head.edits.isEmpty && log.head.tombstones.isEmpty,
+      "a MOR delete must not rewrite or tombstone anything")
+    assert(log.head.dvs.keySet == Set("1"),
+      s"only kb=1 carries deletion vectors, got ${log.head.dvs}")
+    // every dv ref carries its cardinality in the filename: 2 rows
+    assert(log.head.dvs("1").map(KeyedSource.dvCountOf).sum == 2L)
+    // DATA files: byte-identical, nothing added, nothing rewritten
+    assert(dataFiles(dir) == before,
+      "a deletion-vector commit must not touch data files")
+    assert(readKeyed(dir).count() == 62L)
+    assert(readKeyed(dir).where($"doc_id".isin(5L, 21L)).count() == 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect().head.getLong(0) == 62L)
+
+    // a SECOND delete on the same key appends refs and composes
+    spark.sql(s"DELETE FROM $t WHERE doc_id = 9") // kb=1 again
+    val log2 = KeyedSource.readCommitLog(dir, hconf).get
+    assert(log2.head.dvs("1").size > log.head.dvs("1").size)
+    assert(readKeyed(dir).count() == 61L)
+    // time travel: the pre-delete snapshot still reads all 64 rows
+    assert(readKeyed(dir, asOf = Some(1L)).count() == 64L)
+
+    // key-grain DELETE still routes to the zero-IO tombstone path
+    spark.sql(s"DELETE FROM $t WHERE kb = 3")
+    val log3 = KeyedSource.readCommitLog(dir, hconf).get
+    assert(log3.head.tombstones == Set("3") && !log3.head.dvs.contains("3"))
+    assert(readKeyed(dir).count() == 61L - 16L)
+  }
+
+  test("honest metadata under dvs: aggregates fall back to the data scan; snapshots table subtracts") {
+    val dir = graft.io.TempDirs.scratch("graft_mor_meta_") + "/t"
+    KeyedSource.stageKeyed(spark, df(32L), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 4)
+    val t = registerMor("meta", dir)
+    // BEFORE any dv: grouped count answers from the sidecar
+    val agg = () => spark.sql(s"SELECT kb, count(*) AS n FROM $t GROUP BY kb")
+    assert(agg().queryExecution.executedPlan.toString.contains("GraftKeyedStats"))
+    spark.sql(s"DELETE FROM $t WHERE doc_id = 6") // kb=2
+    // AFTER: the metadata answer refuses (it cannot see the deletion);
+    // the data scan answers, correctly
+    val after = agg()
+    assert(!after.queryExecution.executedPlan.toString.contains("GraftKeyedStats"),
+      "pushed aggregates must refuse under deletion vectors")
+    assert(after.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 8L, 1L -> 8L, 2L -> 7L, 3L -> 8L))
+    // the snapshots metadata table prices the deletion from the dv
+    // filename without opening it
+    val snaps = spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", ddl).option("key", "kb")
+      .option("metadata", "snapshots").load()
+      .orderBy("seq").collect()
+    assert(snaps.map(_.getLong(3)).toSeq == Seq(32L, 31L))
+  }
+
+  test("_graft_pos is selectable; deleted ordinals vanish; CDC prices the MOR interval at the delta") {
+    val dir = graft.io.TempDirs.scratch("graft_mor_cdc_") + "/t"
+    KeyedSource.stageKeyed(spark, df(32L), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 6)
+    val t = registerMor("cdc", dir, retain = 6)
+    // position column: ordinals are dense per key before any delete
+    val pos0 = spark.sql(
+      s"SELECT kb, _graft_pos FROM $t WHERE kb = 2 ORDER BY _graft_pos")
+      .collect().map(_.getLong(1)).toSeq
+    assert(pos0 == (0L until 8L), s"dense ordinals expected, got $pos0")
+
+    spark.sql(s"DELETE FROM $t WHERE doc_id IN (6, 14)") // kb=2, ordinals 1,3
+    val pos1 = spark.sql(
+      s"SELECT _graft_pos FROM $t WHERE kb = 2 ORDER BY _graft_pos")
+      .collect().map(_.getLong(0)).toSeq
+    assert(pos1 == Seq(0L, 2L, 4L, 5L, 6L, 7L),
+      s"deleted ordinals must vanish, remaining keep theirs: $pos1")
+
+    // CDC: the (1,2] interval is ONE partition emitting exactly the two
+    // deleted rows, tagged 'delete' — the delta, not the key's content
+    val chg = spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", ddl).option("key", "kb")
+      .option("metadata", "changes")
+      .option("changesFrom", "1").option("changesTo", "2").load()
+    assert(chg.rdd.getNumPartitions == 1)
+    val got = chg.collect()
+      .map(r => (r.getLong(1), r.getString(4))).toSet
+    assert(got == Set((6L, "delete"), (14L, "delete")))
+  }
+
+  test("compaction folds deletion vectors into clean files; metadata answers and columnar return") {
+    val dir = graft.io.TempDirs.scratch("graft_mor_compact_") + "/t"
+    KeyedSource.stageKeyed(spark, df(32L), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 4)
+    val t = registerMor("fold", dir)
+    spark.sql(s"DELETE FROM $t WHERE doc_id IN (6, 14)") // kb=2 dvs
+    val expected = readKeyed(dir).collect().map(_.toSeq).toSet
+    val hconf = spark.sessionState.newHadoopConf()
+
+    val n = KeyedCompact.compact(spark, dir, schema, "kb")
+    assert(n == 1, s"only the DV'd key is eligible, compacted $n")
+    val log = KeyedSource.readCommitLog(dir, hconf).get
+    assert(log.head.dvs.isEmpty, "compaction must clear folded vectors")
+    assert(log.head.edits.keySet == Set("2"))
+    assert(readKeyed(dir).collect().map(_.toSeq).toSet == expected)
+    // metadata answers return once the vectors are folded
+    val agg = spark.sql(s"SELECT kb, count(*) AS n FROM $t GROUP BY kb")
+    assert(agg.queryExecution.executedPlan.toString.contains("GraftKeyedStats"))
+    assert(agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 8L, 1L -> 8L, 2L -> 6L, 3L -> 8L))
+  }
+
+  test("a commit racing the deletion-vector commit fails it loudly") {
+    val dir = graft.io.TempDirs.scratch("graft_mor_race_") + "/t"
+    KeyedSource.stageKeyed(spark, df(32L), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 4)
+    val t = registerMor("race", dir)
+    KeyedSource.raceHook.set(() =>
+      df(4L).selectExpr("kb", "doc_id + 500 AS doc_id", "source", "n_chars")
+        .write.format("graft-keyed").option("schema", ddl).option("key", "kb")
+        .mode("append").save(dir))
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $t WHERE doc_id = 6")
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("conflicts with a concurrent commit") ||
+        Option(e.getCause).exists(_.getMessage
+          .contains("conflicts with a concurrent commit"))),
+      s"got: ${e.getMessage} / ${Option(e.getCause).map(_.getMessage)}")
+    // nothing lost: both the base rows and the racing append are live
+    assert(readKeyed(dir).count() == 36L)
+    // the re-run succeeds against the fresh head
+    spark.sql(s"DELETE FROM $t WHERE doc_id = 6")
+    assert(readKeyed(dir).count() == 35L)
+  }
+}
