@@ -197,7 +197,7 @@ object KeyedChanges {
   * read; the layout must be generation-committed (the diff is defined
   * on the commit log). */
 final class KeyedChangesTable(declared: StructType, path: String, key: String,
-    from: Option[Long], to: Option[Long])
+    from: Option[String], to: Option[String])
     extends Table with SupportsRead {
   require(path != null, "graft-keyed requires option 'path' (the staged key directory)")
   require(declared.fieldNames.contains(key),
@@ -225,7 +225,7 @@ final class KeyedChangesTable(declared: StructType, path: String, key: String,
   * project at emit. */
 final class KeyedChangesScanBuilder(declared: StructType, path: String,
     key: String, conf: org.apache.spark.util.SerializableConfiguration,
-    from: Option[Long], to: Option[Long])
+    from: Option[String], to: Option[String])
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -272,7 +272,7 @@ final class KeyedChangesScanBuilder(declared: StructType, path: String,
 final class KeyedChangesScan(declared: StructType, required: StructType,
     path: String, key: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    fromOpt: Option[Long], toOpt: Option[Long],
+    fromOpt: Option[String], toOpt: Option[String],
     keys: Option[Set[String]] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -300,12 +300,24 @@ final class KeyedChangesScan(declared: StructType, required: StructType,
   private def requiredData: StructType = StructType(
     required.fields.filterNot(_.name == KeyedChanges.ChangeCol))
 
+  /** An interval bound is a snapshot seq OR a tag name (resolved
+    * through the log's tag map — a CDC consumer anchors at the named
+    * state a training run pinned, not a raw number). */
+  private def resolveBound(raw: String): Long =
+    try raw.toLong catch {
+      case _: NumberFormatException =>
+        KeyedSource.resolveTag(path, conf.value, raw)
+    }
+  private def fromSeq: Long = fromOpt.fold(0L)(resolveBound)
+  private def toSeq(l: KeyedSource.CommitLog): Long =
+    toOpt.fold(l.head.seq)(resolveBound)
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val l = log
-    s"GraftKeyedChanges path=$path from=${fromOpt.getOrElse(0L)} " +
-      s"to=${toOpt.getOrElse(l.head.seq)}" +
+    s"GraftKeyedChanges path=$path from=$fromSeq " +
+      s"to=${toSeq(l)}" +
       keys.fold("")(s => s" keys=[${s.toSeq.sorted.mkString(",")}]") +
       s" pruned=${required.fieldNames.mkString(",")}" +
       " (net row delta, per-key diff by file reference — unchanged keys" +
@@ -315,7 +327,7 @@ final class KeyedChangesScan(declared: StructType, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val l = log
     KeyedChanges.planDiff(path, l, conf.value, conf, declared, key,
-      fromOpt.getOrElse(0L), toOpt.getOrElse(l.head.seq), keys, requiredData)
+      fromSeq, toSeq(l), keys, requiredData)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -323,7 +335,7 @@ final class KeyedChangesScan(declared: StructType, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KeyedChangesStream(declared, required, path, key, conf,
-      fromOpt.getOrElse(0L), keys)
+      fromSeq, keys)
 }
 
 /** One changed key. Exactly one of the two dir lists is empty for the

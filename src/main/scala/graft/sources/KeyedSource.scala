@@ -95,12 +95,12 @@ class KeyedSourceProvider extends TableProvider with DataSourceRegister {
         "graft-keyed requires option 'key' (the layout's key column)"))
     metadataTable(properties) match {
       case Some("changes") =>
+        // bounds accept a seq number OR a tag name — resolved at scan
+        // build against the log's tag map (KeyedChangesScan.resolveBound)
         new KeyedChangesTable(declaredSchema(properties),
           properties.get("path"), key,
-          from = KeyedSource.numericOption(properties.get("changesFrom"),
-            "changesFrom", "a snapshot sequence number like changesFrom=1")(_.toLong),
-          to = KeyedSource.numericOption(properties.get("changesTo"),
-            "changesTo", "a snapshot sequence number like changesTo=3")(_.toLong))
+          from = Option(properties.get("changesFrom")),
+          to = Option(properties.get("changesTo")))
       case Some(_) =>
         new KeyedSnapshotsTable(declaredSchema(properties),
           properties.get("path"), key)

@@ -115,5 +115,18 @@ class KeyedTagsSpec extends SparkSpec {
     assert(log.snapshots.map(_.seq).contains(1L))
     assert(readKeyed(dir, tag = Some("base")).count() == 32L)
     assert(readKeyed(dir).count() == 36L)
+    // CDC anchors at the named state: changesFrom='base' ≡ changesFrom=1
+    val chg = spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", ddl).option("key", "kb")
+      .option("metadata", "changes").option("changesFrom", "base").load()
+    assert(chg.count() == 4L)
+    assert(chg.where($"_change_type" =!= "insert").count() == 0L)
+    val unk = intercept[IllegalArgumentException] {
+      spark.read.format("graft-keyed").option("path", dir)
+        .option("schema", ddl).option("key", "kb")
+        .option("metadata", "changes").option("changesFrom", "ghost")
+        .load().count()
+    }
+    assert(unk.getMessage.contains("'ghost'"), unk.getMessage)
   }
 }
