@@ -1587,7 +1587,49 @@ object Relational {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM documents WHERE doc_id % 30 <> 7
              |GROUP BY kb ORDER BY kb""".stripMargin),
-      "merge-on-read DELETE: deletion vectors (O(deleted rows), zero data rewritten), readers skip ordinals at decode, metadata answers refuse honestly until compaction folds the vectors in")
+      "merge-on-read DELETE: deletion vectors (O(deleted rows), zero data rewritten), readers skip ordinals at decode, metadata answers refuse honestly until compaction folds the vectors in"),
+
+    // ── Merge-on-read UPDATE (q70 — dv + append in one commit) ────────
+    // The r17-#1 decomposition, shipped: an UPDATE under dmlMode='mor'
+    // writes the OLD versions as deletion vectors and the NEW versions
+    // as per-key APPEND files — both legs in ONE atomic snapshot, zero
+    // pre-existing files rewritten (KeyedMorSpec pins byte-identity;
+    // a key-moving update lands under its new key). At 100 TB an
+    // upsert touching 0.1% of rows costs O(changed rows) instead of
+    // q66's O(affected directories); the read-side tax (DV probe +
+    // concat) holds until compaction folds both legs into clean files.
+    "q70_mor_update" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#morupd")({
+          val out = graft.io.TempDirs.scratch("graft_morupd_") + "/bykb"
+          graft.sources.KeyedSource.stageKeyed(s,
+            t(s, dir, "documents").selectExpr("doc_id % 16 AS kb", "doc_id", "n_chars"),
+            out, "kb", sortBy = Seq("doc_id"), retain = 4)
+          s.conf.set("spark.sql.catalog.graftcat",
+            classOf[graft.sources.GraftCatalog].getName)
+          val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+          val name = s"graftcat.morupd_$tag"
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          s.sql(s"CREATE TABLE $name (kb BIGINT, doc_id BIGINT, n_chars BIGINT) " +
+            s"USING `graft-keyed` LOCATION '$out' " +
+            "TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='4','dmlMode'='mor')")
+          s.sql(s"UPDATE $name SET n_chars = n_chars + 500 WHERE doc_id % 40 = 3")
+          out
+        })
+        s.read.format("graft-keyed").option("path", path)
+          .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+          .option("key", "kb").load()
+          .groupBy("kb")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+            max("doc_id").as("last_doc"))
+          .orderBy("kb")
+      },
+      Some("""SELECT doc_id % 16 AS kb, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN doc_id % 40 = 3 THEN n_chars + 500
+             |    ELSE n_chars END) AS BIGINT) AS sum_chars,
+             |  max(doc_id) AS last_doc
+             |FROM documents GROUP BY kb ORDER BY kb""".stripMargin),
+      "merge-on-read UPDATE: old versions as deletion vectors + new versions as per-key appends, one atomic commit, zero pre-existing files rewritten")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table

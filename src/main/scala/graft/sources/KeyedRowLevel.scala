@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
@@ -76,8 +77,9 @@ final class KeyedRowLevelBuilder(declared: StructType, path: String,
     * copy-on-write in either mode (their insert legs need real files;
     * the delete+insert MOR decomposition is the recorded next step). */
   override def build(): RowLevelOperation =
-    if (dmlMode == "mor" && info.command() == Command.DELETE)
-      new KeyedMorDeleteOperation(declared, path, key, retain)
+    if (dmlMode == "mor" &&
+        (info.command() == Command.DELETE || info.command() == Command.UPDATE))
+      new KeyedMorOperation(declared, path, key, retain, info.command())
     else
       new KeyedCowOperation(declared, path, key, sortBy, retain, info.command())
 }
@@ -285,7 +287,8 @@ final class KeyedCowWriterFactory(schema: StructType, key: String,
 
 // ── Merge-on-read DELETE (deletion vectors — r16) ────────────────────
 
-/** Row-grain DELETE as a DELETION-VECTOR commit (`SupportsDelta` —
+/** Row-grain DELETE — and, since the second r16 leg, UPDATE — as a
+  * DELETION-VECTOR commit (`SupportsDelta` —
   * Spark's delta-based row-level operation; table property
   * `dmlMode='mor'`): instead of rewriting the affected key
   * directories, the operation scans the matching rows WITH their
@@ -311,8 +314,8 @@ final class KeyedCowWriterFactory(schema: StructType, key: String,
   * landing in between invalidates them and fails the DELETE loudly.
   * Key-grain DELETEs still route to the zero-IO tombstone path
   * (canDeleteWhere wins before row-level planning). */
-final class KeyedMorDeleteOperation(declared: StructType, path: String,
-    key: String, retain: Int)
+final class KeyedMorOperation(declared: StructType, path: String,
+    key: String, retain: Int, cmd: Command)
     extends RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta
     with KeyedRowLevelHost {
@@ -323,9 +326,9 @@ final class KeyedMorDeleteOperation(declared: StructType, path: String,
   override private[sources] def registerScan(s: KeyedScan): Unit =
     configuredScan = s
 
-  override def command(): Command = Command.DELETE
+  override def command(): Command = cmd
   override def description(): String =
-    s"GraftKeyedMorDelete path=$path key=$key"
+    s"GraftKeyedMor path=$path key=$key command=$cmd"
 
   // both components are METADATA columns (non-nullable by the framing
   // guard — the DECLARED key column is nullable by DDL and Spark
@@ -350,12 +353,12 @@ final class KeyedMorDeleteOperation(declared: StructType, path: String,
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new KeyedMorDeltaWrite(KeyedMorDeleteOperation.this, declared, path,
+        new KeyedMorDeltaWrite(KeyedMorOperation.this, declared, path,
           key, retain, info)
     }
 }
 
-final class KeyedMorDeltaWrite(op: KeyedMorDeleteOperation,
+final class KeyedMorDeltaWrite(op: KeyedMorOperation,
     declared: StructType, path: String, key: String, retain: Int,
     info: LogicalWriteInfo)
     extends org.apache.spark.sql.connector.write.DeltaWrite {
@@ -371,12 +374,14 @@ final class KeyedMorDeltaWrite(op: KeyedMorDeleteOperation,
   }
 }
 
-/** One task's deletion-vector output: (raw key, relative dv ref,
-  * ordinal count) per key it saw. */
-final case class KeyedDvMessage(dvs: Seq[(String, String, Long)])
+/** One task's merge-on-read output: deletion vectors as (raw key,
+  * relative dv ref, ordinal count), plus — for UPDATE — the audited
+  * stats of the per-key APPEND files holding the new row versions. */
+final case class KeyedDvMessage(dvs: Seq[(String, String, Long)],
+    inserts: Option[KeyedCommitMessage] = None)
     extends WriterCommitMessage
 
-final class KeyedMorBatchWrite(op: KeyedMorDeleteOperation,
+final class KeyedMorBatchWrite(op: KeyedMorOperation,
     declared: StructType, path: String, key: String, retain: Int,
     queryId: String, idSchema: StructType,
     conf: org.apache.spark.util.SerializableConfiguration)
@@ -389,15 +394,36 @@ final class KeyedMorBatchWrite(op: KeyedMorDeleteOperation,
     new KeyedDvWriterFactory(declared, key, path, genName, idSchema, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val perKey: Map[String, Seq[(String, Long)]] = messages.toSeq
-      .collect { case m: KeyedDvMessage => m.dvs }.flatten
+    val msgs = messages.toSeq.collect { case m: KeyedDvMessage => m }
+    val perKey: Map[String, Seq[(String, Long)]] = msgs.flatMap(_.dvs)
       .groupBy(_._1).map { case (k, xs) => k -> xs.map(x => (x._2, x._3)) }
+    // UPDATE's append files: per-key entries MERGED across tasks (an
+    // update's new versions may land from several tasks — the gen's
+    // sidecar carries one line per key, so counts/min/max/sum fold)
+    val insertMsgs = msgs.flatMap(_.inserts)
+    val insertEntries: Seq[KeyedStats.Entry] = insertMsgs
+      .flatMap(_.keys)
+      .groupBy(_.rawKey).toSeq.map { case (_, ks) =>
+        KeyedStats.mergeEntries(declared, ks.map(e =>
+          KeyedStats.Entry(e.rawKey, e.count, e.mins, e.maxs, e.sums)))
+      }
     val hconf = conf.value
     val root = new org.apache.hadoop.fs.Path(path)
     val gen = new org.apache.hadoop.fs.Path(root, genName)
     val fs = root.getFileSystem(hconf)
     // visible no-op: no row matched — burn no snapshot
-    if (perKey.isEmpty) { fs.delete(gen, true); return }
+    if (perKey.isEmpty && insertEntries.isEmpty) { fs.delete(gen, true); return }
+    if (insertEntries.nonEmpty) {
+      val table = {
+        val merged = Array.fill(declared.length)(new KmvSketch)
+        insertMsgs.foreach(_.sketches.zipWithIndex.foreach { case (hs, i) =>
+          merged(i).addHashes(hs) })
+        KeyedStats.TableNdv(insertEntries.map(_.count).sum, merged.map(_.estimate))
+      }
+      KeyedSource.writeFile(fs,
+        new org.apache.hadoop.fs.Path(gen, KeyedStats.SidecarFile),
+        KeyedStats.render(declared, key, insertEntries, Some(table)))
+    }
     val scan = op.configuredScan
     require(scan != null,
       "graft-keyed merge-on-read commit reached without a configured scan")
@@ -408,20 +434,37 @@ final class KeyedMorBatchWrite(op: KeyedMorDeleteOperation,
     val published = KeyedSource.commitLoop(path, hconf, "deletion-vector commit") { prior =>
       val log = prior.getOrElse(throw new IllegalStateException(
         s"graft-keyed deletion-vector commit at $path found no commit log — " +
-          "the layout was replaced mid-operation; re-run the DELETE"))
+          "the layout was replaced mid-operation; re-run the DML"))
       val head = log.head
       // SERIALIZABLE: ordinals index the scanned snapshot's file lists
       if (head.seq != scannedSeq) throw new IllegalStateException(
         s"graft-keyed deletion-vector commit at $path conflicts with a " +
           s"concurrent commit: positions were derived from snapshot " +
-          s"$scannedSeq but the head is now ${head.seq}; re-run the DELETE")
+          s"$scannedSeq but the head is now ${head.seq}; re-run the DML")
       priorGens = log.snapshots.flatMap(_.referencedGens).toSet
       val dvs = head.dvs ++ perKey.map { case (k, refs) =>
         k -> (head.dvs.getOrElse(k, Seq.empty) ++ refs.map(_._1))
       }
+      // UPDATE's new versions APPEND to their target keys (the same
+      // edit mechanism appends/MERGE-inserts use; a key-moving update
+      // lands under the NEW key, possibly creating it)
+      val baseKeys: Set[String] = {
+        val baseGen = new org.apache.hadoop.fs.Path(root, head.gen)
+        if (fs.exists(baseGen)) fs.listStatus(baseGen).toSeq.collect {
+          case st if st.isDirectory && st.getPath.getName.startsWith("k=") =>
+            st.getPath.getName.stripPrefix("k=")
+        }.toSet else Set.empty
+      }
+      def priorLive(k: String): Seq[String] =
+        head.edits.getOrElse(k,
+          if (baseKeys.contains(k) && !head.tombstones.contains(k)) Seq(head.gen)
+          else Seq.empty)
+      val written = insertEntries.map(_.rawKey).toSet
+      val edits = head.edits ++ written.toSeq.map(k =>
+        k -> (priorLive(k) :+ genName))
       val keep = math.max(math.max(log.retain, retain), 1)
       val snap = KeyedSource.Snapshot(head.seq + 1, head.gen,
-        head.tombstones, head.edits, dvs)
+        head.tombstones -- written, edits, dvs -- (head.tombstones & written))
       Some(KeyedSource.CommitLog(keep,
         KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags),
         log.ops, log.tags))
@@ -458,8 +501,16 @@ final class KeyedDvWriter(declared: StructType, key: String, path: String,
 
   private val keyIdx = idSchema.fieldIndex(KeyedSource.KeyCol)
   private val posIdx = idSchema.fieldIndex(KeyedSource.PosCol)
+  private val dataKeyIdx = declared.fieldIndex(key)
+  private val isLong: Array[Boolean] =
+    declared.fields.map(_.dataType == LongType)
   private val acc =
     scala.collection.mutable.LinkedHashMap.empty[String, java.util.BitSet]
+  // UPDATE's new row versions, buffered per TARGET key (an update that
+  // moves the key buffers under the new one) — memory is this task's
+  // updated rows, the update's own size, not the corpus's
+  private val pending = scala.collection.mutable.LinkedHashMap
+    .empty[String, scala.collection.mutable.ArrayBuffer[Array[Any]]]
 
   private def rawKeyOf(id: InternalRow): String =
     id.getUTF8String(keyIdx).toString
@@ -475,16 +526,51 @@ final class KeyedDvWriter(declared: StructType, key: String, path: String,
 
   override def insert(row: InternalRow): Unit =
     throw new UnsupportedOperationException(
-      "graft-keyed merge-on-read handles DELETE only; UPDATE/MERGE run " +
+      "graft-keyed merge-on-read handles DELETE and UPDATE; MERGE runs " +
         "copy-on-write")
+
+  /** UPDATE = the old version's deletion-vector entry + the new
+    * version buffered as an APPEND to its (possibly different) target
+    * key. Values are OWNED copies — the row's buffers are reused. */
   override def update(metadata: InternalRow, id: InternalRow,
-      row: InternalRow): Unit = insert(row)
+      row: InternalRow): Unit = {
+    delete(metadata, id)
+    val copy = new Array[Any](declared.length)
+    var i = 0
+    while (i < declared.length) {
+      copy(i) = if (row.isNullAt(i)) null
+        else if (isLong(i)) Long.box(row.getLong(i))
+        else row.getUTF8String(i).clone()
+      i += 1
+    }
+    val target =
+      if (copy(dataKeyIdx) == null) "NULL" // the audited writer refuses it
+      else if (isLong(dataKeyIdx)) copy(dataKeyIdx).toString
+      else copy(dataKeyIdx).asInstanceOf[UTF8String].toString
+    pending.getOrElseUpdate(target,
+      scala.collection.mutable.ArrayBuffer.empty) += copy
+  }
 
   override def commit(): WriterCommitMessage = {
+    // flush UPDATE's new versions FIRST, through the same audited
+    // writer every data path uses (framing guard, per-key stats,
+    // sketches) — one append file per (key, task)
+    val inserts: Option[KeyedCommitMessage] =
+      if (pending.isEmpty) None
+      else {
+        val kw = new KeyedDataWriter(declared, key, s"$path/$genName",
+          taskId, conf)
+        pending.valuesIterator.foreach(_.foreach(vals => kw.write(
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals))))
+        Some(kw.commit().asInstanceOf[KeyedCommitMessage])
+      }
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
     val out = acc.toSeq.map { case (raw, bits) =>
       val count = bits.cardinality().toLong
-      val name = s"dv-$count-$taskId"
+      // underscore prefix: invisible to the frame decoders (the Hadoop
+      // convention PageReader already honors), so a DV can live beside
+      // its key's data files — including inside an UPDATE's append gen
+      val name = s"_dv-$count-$taskId"
       val rel = s"$genName/k=$raw/$name"
       val p = new org.apache.hadoop.fs.Path(path, rel)
       val os = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16)
@@ -499,7 +585,7 @@ final class KeyedDvWriter(declared: StructType, key: String, path: String,
       } finally os.close()
       (raw, rel, count)
     }
-    KeyedDvMessage(out)
+    KeyedDvMessage(out, inserts)
   }
 
   override def abort(): Unit = ()

@@ -1296,12 +1296,13 @@ object KeyedSource {
     * DDL and Spark refuses nullable row-ID attributes. */
   val KeyCol = "_graft_key"
 
-  /** DV files are named `dv-<rowCount>-<taskId>` so metadata surfaces
-    * can price a deletion without opening the file. */
+  /** DV files are named `_dv-<rowCount>-<taskId>` (underscore: hidden
+    * from the frame decoders) so metadata surfaces can price a
+    * deletion without opening the file. */
   private[graft] def dvCountOf(ref: String): Long = {
     val name = ref.substring(ref.lastIndexOf('/') + 1)
     name.split("-", -1) match {
-      case parts if parts.length >= 3 && parts(0) == "dv" =>
+      case parts if parts.length >= 3 && parts(0) == "_dv" =>
         try parts(1).toLong catch {
           case _: NumberFormatException => throw new IllegalStateException(
             s"graft-keyed deletion-vector ref '$ref' has a malformed count")

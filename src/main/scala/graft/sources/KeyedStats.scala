@@ -228,7 +228,7 @@ object KeyedStats {
     * STRING in UTF8String byte order (the layout's comparison order;
     * java.lang.String compareTo is UTF-16 code-unit order, which
     * diverges above the BMP). */
-  private def mergeEntries(declared: StructType, es: Seq[Entry]): Entry = {
+  private[sources] def mergeEntries(declared: StructType, es: Seq[Entry]): Entry = {
     require(es.nonEmpty)
     es.reduce { (a, b) =>
       val n = declared.length

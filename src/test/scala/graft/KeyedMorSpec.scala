@@ -52,7 +52,7 @@ class KeyedMorSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("_gen-"))
       .flatMap(_.listFiles().filter(d => d.isDirectory && d.getName.startsWith("k=")))
       .flatMap(_.listFiles().filter(f =>
-        f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("dv-")))
+        f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_")))
       .map(f => f.getPath -> f.length).toMap
 
   test("row-grain DELETE writes deletion vectors only: zero data files rewritten, reads exclude the rows") {
@@ -171,6 +171,52 @@ class KeyedMorSpec extends SparkSpec {
     assert(agg.queryExecution.executedPlan.toString.contains("GraftKeyedStats"))
     assert(agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(0L -> 8L, 1L -> 8L, 2L -> 6L, 3L -> 8L))
+  }
+
+  test("MOR UPDATE: old versions become deletion vectors, new versions append — zero rewrites") {
+    val dir = graft.io.TempDirs.scratch("graft_mor_upd_") + "/t"
+    KeyedSource.stageKeyed(spark, df(64L), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 4)
+    val t = registerMor("upd", dir)
+    val before = dataFiles(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+
+    spark.sql(s"UPDATE $t SET n_chars = 999 WHERE doc_id IN (5, 21)") // kb=1
+
+    val log = KeyedSource.readCommitLog(dir, hconf).get
+    assert(log.head.seq == 2L)
+    // old versions: deletion vectors on kb=1; new versions: an APPEND
+    // edit on kb=1 — base files untouched
+    assert(log.head.dvs.keySet == Set("1"))
+    assert(log.head.dvs("1").map(KeyedSource.dvCountOf).sum == 2L)
+    assert(log.head.edits.keySet == Set("1"))
+    assert(log.head.edits("1").length == 2, "base-then-append expected")
+    before.foreach { case (p, len) =>
+      val f = new java.io.File(p)
+      assert(f.exists() && f.length == len, s"pre-existing file $p changed")
+    }
+    assert(readKeyed(dir).count() == 64L)
+    assert(readKeyed(dir).where($"doc_id".isin(5L, 21L))
+      .collect().map(_.getLong(3)).toSeq.sorted == Seq(999L, 999L))
+    // time travel reads the pre-update values
+    assert(readKeyed(dir, asOf = Some(1L)).where($"doc_id" === 5L)
+      .collect().head.getLong(3) == 35L)
+
+    // a KEY-MOVING update: the row leaves kb=1 (dv) and lands in kb=0
+    // (append under the NEW key)
+    spark.sql(s"UPDATE $t SET kb = 0 WHERE doc_id = 13") // was kb=1
+    val log2 = KeyedSource.readCommitLog(dir, hconf).get
+    assert(log2.head.edits.contains("0"))
+    assert(readKeyed(dir).where($"doc_id" === 13L)
+      .collect().head.getLong(0) == 0L)
+    assert(readKeyed(dir).count() == 64L)
+
+    // compaction folds both: vectors cleared, fragmented keys collapse
+    val expected = readKeyed(dir).collect().map(_.toSeq).toSet
+    assert(graft.sources.KeyedCompact.compact(spark, dir, schema, "kb") == 2)
+    val log3 = KeyedSource.readCommitLog(dir, hconf).get
+    assert(log3.head.dvs.isEmpty)
+    assert(readKeyed(dir).collect().map(_.toSeq).toSet == expected)
   }
 
   test("a commit racing the deletion-vector commit fails it loudly") {
