@@ -1629,7 +1629,68 @@ object Relational {
              |    ELSE n_chars END) AS BIGINT) AS sum_chars,
              |  max(doc_id) AS last_doc
              |FROM documents GROUP BY kb ORDER BY kb""".stripMargin),
-      "merge-on-read UPDATE: old versions as deletion vectors + new versions as per-key appends, one atomic commit, zero pre-existing files rewritten")
+      "merge-on-read UPDATE: old versions as deletion vectors + new versions as per-key appends, one atomic commit, zero pre-existing files rewritten"),
+
+    // ── Merge-on-read MERGE upsert (q71 — the COW/MOR pair complete) ──
+    // q66's upsert semantics under dmlMode='mor': matched rows become
+    // deletion vectors + appended new versions, not-matched rows
+    // append — ONE atomic commit, zero pre-existing files rewritten.
+    // The same MERGE INTO statement now has both physical strategies,
+    // chosen by table property: COW (q66) pays directory rewrites for
+    // pristine reads; MOR (q71) pays O(changed rows) at write and a
+    // DV-probe + concat tax at read until compaction folds it — the
+    // Iceberg copy-on-write/merge-on-read dial, both ends
+    // oracle-checked against the same class of DuckDB twin.
+    "q71_mor_merge" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#mormerge")({
+          val out = graft.io.TempDirs.scratch("graft_mormrg_") + "/bykb"
+          graft.sources.KeyedSource.stageKeyed(s,
+            t(s, dir, "documents").selectExpr("doc_id % 16 AS kb", "doc_id", "n_chars"),
+            out, "kb", sortBy = Seq("doc_id"), retain = 4)
+          s.conf.set("spark.sql.catalog.graftcat",
+            classOf[graft.sources.GraftCatalog].getName)
+          val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+          val name = s"graftcat.mormrg_$tag"
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          s.sql(s"CREATE TABLE $name (kb BIGINT, doc_id BIGINT, n_chars BIGINT) " +
+            s"USING `graft-keyed` LOCATION '$out' " +
+            "TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='4','dmlMode'='mor')")
+          val src = t(s, dir, "documents")
+            .selectExpr("doc_id % 16 AS kb", "doc_id", "n_chars + 2000 AS n_chars")
+            .where("doc_id % 7 = 0")
+            .unionAll(t(s, dir, "documents")
+              .selectExpr("(doc_id + 3000000) % 16 AS kb",
+                "doc_id + 3000000 AS doc_id", "CAST(66 AS BIGINT) AS n_chars")
+              .where("doc_id % 60 = 0"))
+          src.createOrReplaceTempView(s"graft_mormrg_src_$tag")
+          s.sql(
+            s"""MERGE INTO $name AS t USING graft_mormrg_src_$tag AS s
+               |ON t.doc_id = s.doc_id
+               |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+               |WHEN NOT MATCHED THEN INSERT (kb, doc_id, n_chars)
+               |  VALUES (s.kb, s.doc_id, s.n_chars)""".stripMargin)
+          out
+        })
+        s.read.format("graft-keyed").option("path", path)
+          .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+          .option("key", "kb").load()
+          .groupBy("kb")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+            max("doc_id").as("last_doc"))
+          .orderBy("kb")
+      },
+      Some("""WITH merged AS (
+             |  SELECT doc_id % 16 AS kb, doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 2000 ELSE n_chars END AS n_chars
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT (doc_id + 3000000) % 16, doc_id + 3000000, 66
+             |  FROM documents WHERE doc_id % 60 = 0)
+             |SELECT kb, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(doc_id) AS last_doc
+             |FROM merged GROUP BY kb ORDER BY kb""".stripMargin),
+      "merge-on-read MERGE upsert: matched rows as deletion vectors + appended versions, not-matched rows as appends, one atomic commit — the COW/MOR strategy pair complete")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table

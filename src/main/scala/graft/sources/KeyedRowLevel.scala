@@ -77,8 +77,7 @@ final class KeyedRowLevelBuilder(declared: StructType, path: String,
     * copy-on-write in either mode (their insert legs need real files;
     * the delete+insert MOR decomposition is the recorded next step). */
   override def build(): RowLevelOperation =
-    if (dmlMode == "mor" &&
-        (info.command() == Command.DELETE || info.command() == Command.UPDATE))
+    if (dmlMode == "mor")
       new KeyedMorOperation(declared, path, key, retain, info.command())
     else
       new KeyedCowOperation(declared, path, key, sortBy, retain, info.command())
@@ -524,17 +523,10 @@ final class KeyedDvWriter(declared: StructType, key: String, path: String,
       .set(pos.toInt)
   }
 
-  override def insert(row: InternalRow): Unit =
-    throw new UnsupportedOperationException(
-      "graft-keyed merge-on-read handles DELETE and UPDATE; MERGE runs " +
-        "copy-on-write")
-
-  /** UPDATE = the old version's deletion-vector entry + the new
-    * version buffered as an APPEND to its (possibly different) target
-    * key. Values are OWNED copies — the row's buffers are reused. */
-  override def update(metadata: InternalRow, id: InternalRow,
-      row: InternalRow): Unit = {
-    delete(metadata, id)
+  /** MERGE's not-matched rows (and UPDATE's new versions) buffer as
+    * APPENDS to their target key. Values are OWNED copies — the row's
+    * buffers are reused. */
+  override def insert(row: InternalRow): Unit = {
     val copy = new Array[Any](declared.length)
     var i = 0
     while (i < declared.length) {
@@ -549,6 +541,14 @@ final class KeyedDvWriter(declared: StructType, key: String, path: String,
       else copy(dataKeyIdx).asInstanceOf[UTF8String].toString
     pending.getOrElseUpdate(target,
       scala.collection.mutable.ArrayBuffer.empty) += copy
+  }
+
+  /** UPDATE (and MERGE's matched-update) = the old version's
+    * deletion-vector entry + the new version appended. */
+  override def update(metadata: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    delete(metadata, id)
+    insert(row)
   }
 
   override def commit(): WriterCommitMessage = {

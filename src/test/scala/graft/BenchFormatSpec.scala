@@ -63,8 +63,13 @@ class BenchFormatSpec extends AnyFunSuite {
       s"bench line worst-case ${line.length} chars exceeds ${Bench.LineBudget}")
     val omitted = "\"queries_omitted\":(\\d+)".r.findFirstMatchIn(line)
       .fold(0)(_.group(1).toInt)
-    assert(omitted <= 15,
-      s"self-cap shed $omitted rows at today's registry — format regressed")
+    // registry GROWTH legitimately raises the shed (every new query
+    // adds ~14 worst-case chars to the full map); a FORMAT regression
+    // (longer keys, wider numbers) raises it disproportionately — so
+    // the bound rides the registry size instead of a frozen constant
+    // (absolute 15 broke at 171 queries for growth alone, r16)
+    assert(omitted <= names.length / 10,
+      s"self-cap shed $omitted of ${names.length} rows — format regressed")
   }
 
   test("self-cap at a simulated 200-query registry: slowest rows stay, line fits (r14 #5)") {

@@ -219,6 +219,51 @@ class KeyedMorSpec extends SparkSpec {
     assert(readKeyed(dir).collect().map(_.toSeq).toSet == expected)
   }
 
+  test("MOR MERGE: matched rows become dv+append, not-matched rows append — zero rewrites") {
+    val dir = graft.io.TempDirs.scratch("graft_mor_merge_") + "/t"
+    KeyedSource.stageKeyed(spark, df(64L), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 4)
+    val t = registerMor("mrg", dir)
+    val before = dataFiles(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+
+    // matched: doc_id % 8 = 5 (updates, n_chars := 777); not-matched:
+    // +1000-shifted twins of every 16th doc (inserts)
+    df(64L).where($"doc_id" % 8 === 5)
+      .select($"kb", $"doc_id", $"source", org.apache.spark.sql.functions.lit(777L).as("n_chars"))
+      .unionAll(df(64L).where($"doc_id" % 16 === 0)
+        .selectExpr("(doc_id + 1000) % 4 AS kb", "doc_id + 1000 AS doc_id",
+          "source", "CAST(55 AS BIGINT) AS n_chars"))
+      .createOrReplaceTempView("mor_merge_src")
+    spark.sql(
+      s"""MERGE INTO $t AS t USING mor_merge_src AS s ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+         |WHEN NOT MATCHED THEN INSERT (kb, doc_id, source, n_chars)
+         |  VALUES (s.kb, s.doc_id, s.source, s.n_chars)""".stripMargin)
+
+    val log = KeyedSource.readCommitLog(dir, hconf).get
+    // matched rows' old versions are deletion vectors; every new row
+    // (updates + inserts) rides append edits — base files untouched
+    assert(log.head.dvs.nonEmpty)
+    assert(log.head.dvs.valuesIterator.flatten
+      .map(KeyedSource.dvCountOf).sum == 8L) // 64/8 matched
+    assert(log.head.edits.nonEmpty)
+    before.foreach { case (p, len) =>
+      val f = new java.io.File(p)
+      assert(f.exists() && f.length == len, s"pre-existing file $p changed")
+    }
+    assert(readKeyed(dir).count() == 64L + 4L)
+    assert(readKeyed(dir).where($"doc_id" % 8 === 5 && $"doc_id" < 1000)
+      .collect().map(_.getLong(3)).forall(_ == 777L))
+    assert(readKeyed(dir).where($"doc_id" >= 1000)
+      .collect().map(_.getLong(3)).forall(_ == 55L))
+    // compaction folds the whole merge
+    val expected = readKeyed(dir).collect().map(_.toSeq).toSet
+    assert(graft.sources.KeyedCompact.compact(spark, dir, schema, "kb") > 0)
+    assert(KeyedSource.readCommitLog(dir, hconf).get.head.dvs.isEmpty)
+    assert(readKeyed(dir).collect().map(_.toSeq).toSet == expected)
+  }
+
   test("a commit racing the deletion-vector commit fails it loudly") {
     val dir = graft.io.TempDirs.scratch("graft_mor_race_") + "/t"
     KeyedSource.stageKeyed(spark, df(32L), dir, "kb",
