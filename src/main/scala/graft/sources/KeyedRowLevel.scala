@@ -574,13 +574,20 @@ final class KeyedDvWriter(declared: StructType, key: String, path: String,
       val rel = s"$genName/k=$raw/$name"
       val p = new org.apache.hadoop.fs.Path(path, rel)
       val os = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16)
+      // RUN-LENGTH encoding: contiguous ordinal runs (the common shape —
+      // a predicate delete kills row ranges) write one `start-end` line
+      // instead of a line per ordinal; singletons stay bare. The loader
+      // reads both forms ([[KeyedSource.loadDeleted]])
       try {
         var i = bits.nextSetBit(0)
         while (i >= 0) {
-          os.write(java.lang.Integer.toString(i)
-            .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          val end = bits.nextClearBit(i) - 1
+          val tok =
+            if (end > i) s"$i-$end"
+            else java.lang.Integer.toString(i)
+          os.write(tok.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
           os.write('\n')
-          i = bits.nextSetBit(i + 1)
+          i = bits.nextSetBit(end + 1)
         }
       } finally os.close()
       (raw, rel, count)

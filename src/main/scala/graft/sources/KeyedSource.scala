@@ -572,15 +572,27 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     if (cowHost.isDefined || sawUnconsumed) return false
-    // a deletion vector subtracts rows the sidecar's min/max/sum still
-    // include — no metadata answer is exact until compaction folds the
-    // deletes in; refuse and let the (DV-applying) data scan answer
-    if (view.dvs.nonEmpty) return false
     KeyedStatsScan.translate(agg, full, key) match {
       case Some((groupByKey, stats, schema)) =>
+        // Deletion vectors subtract rows the sidecar's min/max/sum
+        // still include — those refuse until compaction folds the
+        // deletes in. COUNTS stay exact: every dv ref carries its
+        // cardinality in the filename, so count answers are the
+        // sidecar counts minus the per-key dv totals, still zero data
+        // files opened (the metadata-counts-survive-deletes rule —
+        // the snapshots table already prices deletions this way)
+        if (view.dvs.nonEmpty &&
+            !stats.forall(_.isInstanceOf[KeyedStats.CountStat])) return false
         KeyedStats.readView(view, conf, full, key) match {
           case Some(sc) =>
-            statsPlan = Some((groupByKey, stats, schema, sc.entries))
+            val entries =
+              if (view.dvs.isEmpty) sc.entries
+              else sc.entries.map { e =>
+                val dv = view.dvs.get(e.rawKey)
+                  .fold(0L)(_.map(KeyedSource.dvCountOf).sum)
+                if (dv == 0L) e else e.copy(count = e.count - dv)
+              }
+            statsPlan = Some((groupByKey, stats, schema, entries))
             true
           case None => false
         }
@@ -1312,8 +1324,10 @@ object KeyedSource {
     }
   }
 
-  /** Load deletion-vector files into a position bitset (one ASCII
-    * ordinal per line). Executor-side, per partition — one key's DV
+  /** Load deletion-vector files into a position bitset. Lines are a
+    * bare ASCII ordinal or a run-length `start-end` range (inclusive —
+    * the writer collapses contiguous runs, the dominant shape of
+    * predicate deletes). Executor-side, per partition — one key's DV
     * rows, the standing per-key memory bound. */
   private[sources] def loadDeleted(paths: Seq[String],
       hconf: org.apache.hadoop.conf.Configuration): java.util.BitSet = {
@@ -1327,7 +1341,12 @@ object KeyedSource {
       try {
         var line = in.readLine()
         while (line != null) {
-          if (line.nonEmpty) bits.set(line.toInt)
+          if (line.nonEmpty) {
+            val dash = line.indexOf('-')
+            if (dash < 0) bits.set(line.toInt)
+            else bits.set(line.substring(0, dash).toInt,
+              line.substring(dash + 1).toInt + 1)
+          }
           line = in.readLine()
         }
       } finally in.close()

@@ -96,22 +96,30 @@ class KeyedMorSpec extends SparkSpec {
     assert(readKeyed(dir).count() == 61L - 16L)
   }
 
-  test("honest metadata under dvs: aggregates fall back to the data scan; snapshots table subtracts") {
+  test("honest metadata under dvs: counts subtract from dv filenames, min/max/sum fall back") {
     val dir = graft.io.TempDirs.scratch("graft_mor_meta_") + "/t"
     KeyedSource.stageKeyed(spark, df(32L), dir, "kb",
       sortBy = Seq("doc_id"), retain = 4)
     val t = registerMor("meta", dir)
-    // BEFORE any dv: grouped count answers from the sidecar
     val agg = () => spark.sql(s"SELECT kb, count(*) AS n FROM $t GROUP BY kb")
     assert(agg().queryExecution.executedPlan.toString.contains("GraftKeyedStats"))
     spark.sql(s"DELETE FROM $t WHERE doc_id = 6") // kb=2
-    // AFTER: the metadata answer refuses (it cannot see the deletion);
-    // the data scan answers, correctly
+    // COUNTS stay metadata-answered: the dv filename carries its
+    // cardinality, so the sidecar count minus the dv total is exact
     val after = agg()
-    assert(!after.queryExecution.executedPlan.toString.contains("GraftKeyedStats"),
-      "pushed aggregates must refuse under deletion vectors")
+    assert(after.queryExecution.executedPlan.toString.contains("GraftKeyedStats"),
+      "count-only aggregates stay metadata-answered under deletion vectors")
     assert(after.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(0L -> 8L, 1L -> 8L, 2L -> 7L, 3L -> 8L))
+    // min/max/sum cannot subtract unknown rows — those refuse to the
+    // DV-applying data scan, and stay correct
+    val sums = spark.sql(s"SELECT kb, sum(n_chars) AS s FROM $t GROUP BY kb")
+    assert(!sums.queryExecution.executedPlan.toString.contains("GraftKeyedStats"),
+      "sum must refuse under deletion vectors")
+    val expect = df(32L).where($"doc_id" =!= 6L)
+      .groupBy("kb").agg(org.apache.spark.sql.functions.sum("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
     // the snapshots metadata table prices the deletion from the dv
     // filename without opening it
     val snaps = spark.read.format("graft-keyed").option("path", dir)
@@ -262,6 +270,29 @@ class KeyedMorSpec extends SparkSpec {
     assert(graft.sources.KeyedCompact.compact(spark, dir, schema, "kb") > 0)
     assert(KeyedSource.readCommitLog(dir, hconf).get.head.dvs.isEmpty)
     assert(readKeyed(dir).collect().map(_.toSeq).toSet == expected)
+  }
+
+  test("DV run-length encoding: contiguous ordinal runs write one range line, reads compose") {
+    val dir = graft.io.TempDirs.scratch("graft_mor_rle_") + "/t"
+    KeyedSource.stageKeyed(spark, df(64L), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 4)
+    val t = registerMor("rle", dir)
+    // kb=1 holds doc_ids 1,5,9,…,61 at ordinals 0..15; killing
+    // doc_id 17..33 deletes the CONTIGUOUS ordinal run 4..8
+    spark.sql(s"DELETE FROM $t WHERE kb = 1 AND doc_id BETWEEN 17 AND 33")
+    val hconf = spark.sessionState.newHadoopConf()
+    val log = KeyedSource.readCommitLog(dir, hconf).get
+    val ref = log.head.dvs("1").head
+    assert(KeyedSource.dvCountOf(ref) == 5L)
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, ref)),
+      java.nio.charset.StandardCharsets.US_ASCII).trim
+    assert(content == "4-8",
+      s"a contiguous run must write ONE range line, got '$content'")
+    assert(readKeyed(dir).count() == 59L)
+    assert(readKeyed(dir).where($"kb" === 1L)
+      .collect().map(_.getLong(1)).toSet ==
+      Set(1L, 5L, 9L, 13L, 37L, 41L, 45L, 49L, 53L, 57L, 61L))
   }
 
   test("a commit racing the deletion-vector commit fails it loudly") {
