@@ -113,7 +113,9 @@ object KeyedCompact {
             Iterator.single(m)
           } finally if (!ok) w.abort()
         }
-      }.collect()
+      }.collect() // bounded: one COMMIT MESSAGE per non-empty task (≤ shuffle
+                  // partitions), each holding per-key stats — the same driver
+                  // payload every DSv2 BatchWrite.commit receives, never rows
 
     val entries = msgs.toSeq.flatMap(_.keys)
     val dup = entries.groupBy(_.rawKey).collect { case (k, g) if g.size > 1 => k }
