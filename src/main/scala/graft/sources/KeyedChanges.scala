@@ -287,9 +287,15 @@ final class KeyedChangesScan(declared: StructType, required: StructType,
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
       Array(org.apache.spark.sql.connector.expressions.Expressions.identity(key)),
-      planInputPartitions().length)
+      planned.length)
 
-  private def log: KeyedSource.CommitLog =
+  /** The commit log PINNED once at first use: outputPartitioning and
+    * planInputPartitions are separate Spark calls, and a commit landing
+    * between them must not make the reported KeyGroupedPartitioning
+    * disagree with the actual partition count (or diff a different
+    * interval) — the same snapshot-pinning discipline as KeyedScan's
+    * SnapshotView. */
+  private lazy val pinnedLog: KeyedSource.CommitLog =
     KeyedSource.readCommitLog(path, conf.value).getOrElse(
       throw new UnsupportedOperationException(
         s"graft-keyed changes are defined on the snapshot log, but $path " +
@@ -308,27 +314,28 @@ final class KeyedChangesScan(declared: StructType, required: StructType,
       case _: NumberFormatException =>
         KeyedSource.resolveTag(path, conf.value, raw)
     }
-  private def fromSeq: Long = fromOpt.fold(0L)(resolveBound)
-  private def toSeq(l: KeyedSource.CommitLog): Long =
-    toOpt.fold(l.head.seq)(resolveBound)
+  private lazy val fromSeq: Long = fromOpt.fold(0L)(resolveBound)
+  private lazy val toSeq: Long = toOpt.fold(pinnedLog.head.seq)(resolveBound)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
-    val l = log
     s"GraftKeyedChanges path=$path from=$fromSeq " +
-      s"to=${toSeq(l)}" +
+      s"to=$toSeq" +
       keys.fold("")(s => s" keys=[${s.toSeq.sorted.mkString(",")}]") +
       s" pruned=${required.fieldNames.mkString(",")}" +
       " (net row delta, per-key diff by file reference — unchanged keys" +
       " skipped without IO)"
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val l = log
-    KeyedChanges.planDiff(path, l, conf.value, conf, declared, key,
-      fromSeq, toSeq(l), keys, requiredData)
-  }
+  /** Planned ONCE against the pinned log and cached — Spark calls both
+    * outputPartitioning and planInputPartitions, and the driver-side
+    * diff work should not double. */
+  private lazy val planned: Array[InputPartition] =
+    KeyedChanges.planDiff(path, pinnedLog, conf.value, conf, declared, key,
+      fromSeq, toSeq, keys, requiredData)
+
+  override def planInputPartitions(): Array[InputPartition] = planned
 
   override def createReaderFactory(): PartitionReaderFactory =
     new KeyedChangesReaderFactory(declared, required, conf)

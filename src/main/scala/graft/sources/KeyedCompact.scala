@@ -122,9 +122,15 @@ object KeyedCompact {
     if (dup.nonEmpty) throw new IllegalStateException(
       s"graft-keyed compaction produced ${dup.size} keys in multiple tasks " +
         s"(${dup.take(3).mkString(",")}…): clustering contract violated, not publishing")
-    require(entries.map(_.rawKey).toSet == frag.toSet,
-      s"compaction must rewrite exactly the fragmented keys " +
-        s"(${frag.mkString(",")}), wrote ${entries.map(_.rawKey).sorted.mkString(",")}")
+    val written = entries.map(_.rawKey).toSet
+    require(written.subsetOf(frag.toSet),
+      s"compaction must rewrite only the fragmented keys " +
+        s"(${frag.mkString(",")}), wrote ${written.toSeq.sorted.mkString(",")}")
+    // an eligible key with ZERO live rows (every row removed by
+    // deletion vectors) writes no file and no sidecar entry — that is
+    // a FULL DELETE, not a failure: the commit tombstones it and drops
+    // its dvs/edits, the same outcome a key-grain DELETE would record
+    val fullyDeleted: Set[String] = frag.toSet -- written
 
     val root = new org.apache.hadoop.fs.Path(path)
     val gen = new org.apache.hadoop.fs.Path(root, genName)
@@ -159,12 +165,13 @@ object KeyedCompact {
             s"now ${h.seq}; re-run the compaction against the fresh table")
         priorGens = l.snapshots
           .flatMap(_.referencedGens).toSet
-        val edits = h.edits ++ frag.map(k => k -> Seq(genName))
+        val edits = (h.edits -- fullyDeleted) ++
+          written.toSeq.sorted.map(k => k -> Seq(genName))
         val keep = math.max(l.retain, 1)
         // compacted keys fold their deletion vectors in (the rewrite
-        // read the DV-applied view)
-        val snap = KeyedSource.Snapshot(h.seq + 1, h.gen, h.tombstones,
-          edits, h.dvs -- frag)
+        // read the DV-applied view); zero-live-row keys tombstone
+        val snap = KeyedSource.Snapshot(h.seq + 1, h.gen,
+          h.tombstones ++ fullyDeleted, edits, h.dvs -- frag)
         Some(KeyedSource.CommitLog(keep,
           KeyedSource.trimWindow(l.snapshots :+ snap, keep, l.tags),
           l.ops, l.tags))

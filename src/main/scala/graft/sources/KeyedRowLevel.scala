@@ -234,11 +234,15 @@ final class KeyedCowBatchWrite(op: KeyedCowOperation, schema: StructType,
       }
       val tombstones = (head.tombstones -- written) ++ fullyDeleted
       val keep = math.max(math.max(log.retain, retain), 1)
-      // rewritten/deleted keys FOLD their deletion vectors in: the scan
-      // read the DV-applied view, so the replacement files already
-      // exclude those rows
+      // Only SCANNED keys fold their deletion vectors in: the scan read
+      // the DV-applied view, so those keys' replacement files already
+      // exclude the deleted rows. A key that was written but NOT
+      // scanned (MERGE insert into an unaffected key) merely APPENDS a
+      // file after the prior ones — its prior files stay referenced and
+      // must keep their DVs, or rows deleted under dmlMode='mor' would
+      // silently resurrect.
       val snap = KeyedSource.Snapshot(head.seq + 1, head.gen, tombstones,
-        edits, head.dvs -- written -- fullyDeleted)
+        edits, head.dvs -- scanned)
       Some(KeyedSource.CommitLog(keep,
         KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags),
         log.ops, log.tags))

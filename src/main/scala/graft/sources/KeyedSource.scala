@@ -1356,6 +1356,14 @@ object KeyedSource {
   private val CommitVersionV1 = "graft-keyed-commit v1"
   private val CommitVersionV2 = "graft-keyed-commit v2"
   private val CommitVersion = "graft-keyed-commit v3"
+  /** v4 = v3 + the optional per-snapshot deletion-vector field and the
+    * optional tags header field. Logs carrying either DECLARE v4 so a
+    * pre-r16 v3-only reader reports a version gap instead of a generic
+    * corruption; logs without them still write v3 (old readers keep
+    * working). The v4 parser is identical to v3's — r16 briefly wrote
+    * those fields under the v3 banner, and such logs must keep
+    * parsing. */
+  private val CommitVersionV4 = "graft-keyed-commit v4"
   private val VersionedName = s"""\\Q$CommitFile\\E\\.v(\\d+)""".r
 
   /** One committed snapshot: monotone sequence number, the BASE
@@ -1578,8 +1586,16 @@ object KeyedSource {
   }
 
   private def parseCommitLog(path: String, text: String): CommitLog = {
-    def corrupt(): Nothing = throw new IllegalStateException(
-      s"graft-keyed commit log corrupted at $path: '${text.take(80)}'")
+    def corrupt(): Nothing = {
+      val hint =
+        if (text.startsWith("graft-keyed-commit") &&
+            !Seq(CommitVersionV1, CommitVersionV2, CommitVersion,
+              CommitVersionV4).exists(text.startsWith))
+          " (unrecognized format version — written by a newer graft build?)"
+        else ""
+      throw new IllegalStateException(
+        s"graft-keyed commit log corrupted at $path$hint: '${text.take(80)}'")
+    }
     def long(s: String): Long =
       // numeric corruption must route through corrupt() (path + head
       // of the file in the message), not leak a bare
@@ -1607,8 +1623,9 @@ object KeyedSource {
     lines.head.split(PageSource.US, -1) match {
       case Array(CommitVersionV1, gen) if gen.nonEmpty && lines.length == 1 =>
         CommitLog(1, Seq(Snapshot(1L, gen, Set.empty)))
-      case Array(v, retain, rest @ _*) if (v == CommitVersion ||
-          (v == CommitVersionV2 && rest.isEmpty)) &&
+      case Array(v, retain, rest @ _*)
+          if (v == CommitVersion || v == CommitVersionV4 ||
+            (v == CommitVersionV2 && rest.isEmpty)) &&
           lines.length >= 2 && rest.length <= 2 =>
         val snaps = lines.tail.toSeq.map { line =>
           line.split(PageSource.US, -1) match {
@@ -1616,12 +1633,12 @@ object KeyedSource {
               Snapshot(long(seq), gen,
                 tombCsv.split(",", -1).filter(_.nonEmpty).toSet)
             case Array(seq, gen, tombCsv, editsCsv) if gen.nonEmpty &&
-                v == CommitVersion =>
+                v != CommitVersionV2 =>
               Snapshot(long(seq), gen,
                 tombCsv.split(",", -1).filter(_.nonEmpty).toSet,
                 parseEdits(editsCsv))
             case Array(seq, gen, tombCsv, editsCsv, dvCsv) if gen.nonEmpty &&
-                v == CommitVersion =>
+                v != CommitVersionV2 =>
               Snapshot(long(seq), gen,
                 tombCsv.split(",", -1).filter(_.nonEmpty).toSet,
                 parseEdits(editsCsv), parseEdits(dvCsv))
@@ -1643,7 +1660,9 @@ object KeyedSource {
 
   private[sources] def renderCommitLog(log: CommitLog): String = {
     val sb = new StringBuilder
-    sb.append(CommitVersion).append(PageSource.US).append(log.retain)
+    val needsV4 = log.tags.nonEmpty || log.snapshots.exists(_.dvs.nonEmpty)
+    sb.append(if (needsV4) CommitVersionV4 else CommitVersion)
+      .append(PageSource.US).append(log.retain)
     if (log.ops.nonEmpty || log.tags.nonEmpty)
       sb.append(PageSource.US).append(log.ops.map {
         case AddCol(n, l, d) => s"add:$n:${if (l) "B" else "S"}:$d"
@@ -1914,6 +1933,13 @@ object KeyedSource {
       tag: String, seq: Option[Long] = None): Long = {
     require(TagName.matcher(tag).matches(),
       s"graft-keyed tag names must match [A-Za-z0-9_.-]+, got '$tag'")
+    // bound resolution tries Long FIRST (VERSION AS OF, asOf,
+    // changesFrom/changesTo), so an all-digit tag could be created yet
+    // never referenced — it would silently resolve as a snapshot seq
+    require(!tag.forall(_.isDigit),
+      s"graft-keyed tag names need at least one non-digit, got '$tag' — " +
+        "purely numeric names are indistinguishable from snapshot seqs " +
+        "in VERSION AS OF / asOf / changes bounds")
     val hconf = spark.sessionState.newHadoopConf()
     var tagged = 0L
     commitLoop(path, hconf, "tag commit") { prior =>

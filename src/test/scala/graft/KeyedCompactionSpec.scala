@@ -126,6 +126,42 @@ class KeyedCompactionSpec extends SparkSpec {
     assert(KeyedSource.readCommitLog(dir, hconf).get.head.seq == 1L)
   }
 
+  test("a key with every live row DV-deleted compacts to a tombstone, not a permanent failure") {
+    val dir = graft.io.TempDirs.scratch("graft_compact_empty_") + "/t"
+    KeyedSource.stageKeyed(spark, df(32L), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 6)
+    val cat = "gcmpe"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(
+      s"""CREATE TABLE $cat.t (kb BIGINT, doc_id BIGINT, source STRING,
+         |n_chars BIGINT) USING `graft-keyed` LOCATION '$dir'
+         |TBLPROPERTIES('key'='kb', 'sortBy'='doc_id', 'retain'='6',
+         |'dmlMode'='mor')""".stripMargin)
+    // delete EVERY row of kb=2 row-by-row (no key literal, so the
+    // MOR path writes deletion vectors instead of a tombstone)
+    spark.sql(s"DELETE FROM $cat.t WHERE doc_id % 4 = 2")
+    val hconf = spark.sessionState.newHadoopConf()
+    assert(KeyedSource.readCommitLog(dir, hconf).get.head.dvs.keySet == Set("2"))
+    assert(readKeyed(dir).count() == 24L)
+
+    val expected = rows(readKeyed(dir))
+    // compaction must not throw: the zero-live-row key tombstones
+    assert(KeyedCompact.compact(spark, dir, schema, "kb") == 1)
+    val log = KeyedSource.readCommitLog(dir, hconf).get
+    assert(log.head.dvs.isEmpty, "compaction folds the deletion vectors")
+    assert(log.head.tombstones == Set("2"),
+      "a fully-deleted key becomes a tombstone")
+    assert(!log.head.edits.contains("2"))
+    assert(rows(readKeyed(dir)) == expected)
+    // idempotent: nothing eligible remains
+    assert(KeyedCompact.compact(spark, dir, schema, "kb") == 0)
+    // new data landing in the tombstoned key reads back
+    append(dir, Seq((2L, 9000L, "sX", 1L)).toDF("kb", "doc_id", "source", "n_chars"))
+    assert(readKeyed(dir).where($"kb" === 2L).count() == 1L)
+  }
+
   test("a racing commit fails the compaction loudly (serializable, never rebase)") {
     val dir = graft.io.TempDirs.scratch("graft_compact_race_") + "/t"
     KeyedSource.stageKeyed(spark, df(16L), dir, "kb",

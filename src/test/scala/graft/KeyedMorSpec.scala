@@ -68,6 +68,15 @@ class KeyedMorSpec extends SparkSpec {
 
     val log = KeyedSource.readCommitLog(dir, hconf).get
     assert(log.head.seq == 2L)
+    // a log carrying deletion vectors DECLARES format v4 (a pre-r16
+    // v3-only reader sees a version gap, not a generic corruption);
+    // a log without dvs/tags still writes v3
+    val headLog = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith(KeyedSource.CommitFile))
+      .maxBy(f => f.getName.stripPrefix(KeyedSource.CommitFile)
+        .stripPrefix(".v").toLongOption.getOrElse(0L))
+    assert(new String(java.nio.file.Files.readAllBytes(headLog.toPath))
+      .startsWith("graft-keyed-commit v4"))
     assert(log.head.edits.isEmpty && log.head.tombstones.isEmpty,
       "a MOR delete must not rewrite or tombstone anything")
     assert(log.head.dvs.keySet == Set("1"),
@@ -293,6 +302,41 @@ class KeyedMorSpec extends SparkSpec {
     assert(readKeyed(dir).where($"kb" === 1L)
       .collect().map(_.getLong(1)).toSet ==
       Set(1L, 5L, 9L, 13L, 37L, 41L, 45L, 49L, 53L, 57L, 61L))
+  }
+
+  test("COW MERGE inserting into an unaffected key carries that key's deletion vectors forward") {
+    val dir = graft.io.TempDirs.scratch("graft_mor_dvcarry_") + "/t"
+    KeyedSource.stageKeyed(spark, df(64L), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 4)
+    val t = registerMor("dvcarry", dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    spark.sql(s"DELETE FROM $t WHERE doc_id IN (5, 21)") // kb=1 → DVs on key 1
+    assert(KeyedSource.readCommitLog(dir, hconf).get.head.dvs.keySet == Set("1"))
+
+    // the same location registered copy-on-write: its MERGE takes the
+    // COW commit path against a log that already carries DVs
+    spark.sql(s"DROP TABLE IF EXISTS $cat.dvcarrycow")
+    spark.sql(
+      s"""CREATE TABLE $cat.dvcarrycow (kb BIGINT, doc_id BIGINT, source STRING,
+         |n_chars BIGINT) USING `graft-keyed` LOCATION '$dir'
+         |TBLPROPERTIES('key'='kb', 'sortBy'='doc_id', 'retain'='4')""".stripMargin)
+    // insert-only MERGE into kb=1 (1001 % 4 = 1): no existing row
+    // matches, so key 1 is WRITTEN (appended) but never SCANNED
+    Seq((1L, 1001L, "s0", 7L)).toDF("kb", "doc_id", "source", "n_chars")
+      .createOrReplaceTempView("cow_dv_src")
+    spark.sql(
+      s"""MERGE INTO $cat.dvcarrycow AS t USING cow_dv_src AS s
+         |ON t.doc_id = s.doc_id
+         |WHEN NOT MATCHED THEN INSERT (kb, doc_id, source, n_chars)
+         |  VALUES (s.kb, s.doc_id, s.source, s.n_chars)""".stripMargin)
+
+    val log = KeyedSource.readCommitLog(dir, hconf).get
+    assert(log.head.dvs.contains("1"),
+      "an append-only key must carry its deletion vectors forward")
+    assert(readKeyed(dir).count() == 63L) // 64 - 2 deleted + 1 inserted
+    assert(readKeyed(dir).where($"doc_id".isin(5L, 21L)).count() == 0L,
+      "rows deleted under dmlMode='mor' must not resurrect after a COW append")
+    assert(readKeyed(dir).where($"doc_id" === 1001L).count() == 1L)
   }
 
   test("a commit racing the deletion-vector commit fails it loudly") {

@@ -65,6 +65,12 @@ class KeyedTagsSpec extends SparkSpec {
       KeyedSource.tagSnapshot(spark, dir, "pin")
     }
     assert(dup.getMessage.contains("already names snapshot 1"), dup.getMessage)
+    // all-digit names refuse: numeric-first bound resolution would
+    // silently read them as a snapshot seq, never as the tag
+    val num = intercept[IllegalArgumentException] {
+      KeyedSource.tagSnapshot(spark, dir, "2024")
+    }
+    assert(num.getMessage.contains("non-digit"), num.getMessage)
     val unret = intercept[IllegalArgumentException] {
       KeyedSource.tagSnapshot(spark, dir, "ghost", seq = Some(99L))
     }
