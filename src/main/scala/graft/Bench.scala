@@ -159,7 +159,7 @@ object Bench {
 
   def jsonLine(results: Seq[(String, (Double, Double))], sfDir: String,
                filter: Option[Set[String]],
-               adjudication: Map[String, (Long, Long, Long, Double)] = Map.empty): String = {
+               adjudication: Map[String, (Long, Long, Long, Double, Double)] = Map.empty): String = {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalWarm = results.map(_._2._2).filter(_ >= 0).sum
     // a filtered run must be self-describing: a leftover SPARK_GRAFT_ONLY
@@ -169,15 +169,20 @@ object Bench {
     val shortKey: Map[String, String] =
       results.map(_._1).zip(lineKeys(results.map(_._1))).toMap
     def adjTag(n: Int): String = {
+      def frac(v: Double): String =
+        if (v < 0) "-1"
+        else String.format(java.util.Locale.ROOT, "%.2f", v)
+          .replaceAll("0+$", "").replaceAll("\\.$", "")
       val rows = results.filter(r => r._2._1 >= 0 && adjudication.contains(r._1))
         .sortBy(-_._2._1).take(n)
       if (rows.isEmpty) "" else rows.map { case (name, _) =>
-        val (hw, ev, re, bd) = adjudication(name)
-        val bdS =
-          if (bd < 0) "-1"
-          else String.format(java.util.Locale.ROOT, "%.2f", bd)
-            .replaceAll("0+$", "").replaceAll("\\.$", "")
-        "\"" + shortKey(name) + s"""\":[$hw,$ev,$re,$bdS]"""
+        // [storage_hw_mb, evicted_blocks, block_readds, busy_during,
+        //  iowait_during] — the 5th column is the r16 verdict-#1 hole:
+        // a cold number priced by DISK WAIT (OS page-cache misses on a
+        // fresh box) read zero on every prior column, so the artifact
+        // could not adjudicate its own 12× cold-vs-canonical gap
+        val (hw, ev, re, bd, iw) = adjudication(name)
+        "\"" + shortKey(name) + s"""\":[$hw,$ev,$re,${frac(bd)},${frac(iw)}]"""
       }.mkString(""","slow_adj":{""", ",", "}")
     }
     def assemble(rs: Seq[(String, (Double, Double))], adjN: Int): String = {
@@ -439,34 +444,41 @@ object Bench {
     // work done on our behalf outside our process (kworker flushes,
     // the forked sbt parent's wait loop) leaks into "other" — the
     // calibration headroom in busyDuringThreshold covers it.
-    def otherBusyOver(t0: (Long, Long, Long), s0: Long): Double =
+    def otherBusyOver(t0: (Long, Long, Long), s0: Long): (Double, Double) =
       try {
         val (t1, i1, w1) = statTicks()
         val dt = t1 - t0._1
-        if (dt <= 0) -1.0
+        if (dt <= 0) (-1.0, -1.0)
         else {
           // iowait excluded from "other busy" here (counted as idle):
           // inside the timed window it is overwhelmingly our own I/O,
           // invisible to utime/stime self-subtraction (see statTicks)
           val busyOther = (dt - (i1 - t0._2) - (w1 - t0._3)) - (selfTicks() - s0)
-          math.max(0.0, busyOther.toDouble / dt)
+          // ...but reported SEPARATELY (r16 verdict #1): a cold sample
+          // priced by disk wait — OS page-cache misses on a fresh box,
+          // exactly the state the canonical/driver 12× gap lived in —
+          // reads ~0 on busy/evictions/re-adds, so iowait share over
+          // the same window is the column that adjudicates it
+          (math.max(0.0, busyOther.toDouble / dt),
+            math.max(0.0, (w1 - t0._3).toDouble / dt))
         }
-      } catch { case NonFatal(_) => -1.0 }
+      } catch { case NonFatal(_) => (-1.0, -1.0) }
     // Per-run timing: wall seconds, GC-ms delta, and the during-window
     // other-process busy share (busy_during — the r13 verdict-#3
     // blind-spot instrument). -1 wall marks a FAILED query: a thrown
     // query must not masquerade as a fast one in BENCH_*.json.
-    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long, Double) = {
+    def timedBody(body: => Unit): (Double, Long, Double, Double) = {
       val st = try statTicks() catch { case NonFatal(_) => (-1L, -1L, -1L) }
       val ss = try selfTicks() catch { case NonFatal(_) => -1L }
       val t0 = System.nanoTime()
       val g0 = gcMs()
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        body
         val sec = (System.nanoTime() - t0) / 1e9
-        val bd = if (st._1 < 0 || ss < 0) -1.0 else otherBusyOver(st, ss)
-        (sec, gcMs() - g0, bd)
-      } catch { case NonFatal(_) => (-1.0, gcMs() - g0, -1.0) }
+        val (bd, iw) =
+          if (st._1 < 0 || ss < 0) (-1.0, -1.0) else otherBusyOver(st, ss)
+        (sec, gcMs() - g0, bd, iw)
+      } catch { case NonFatal(_) => (-1.0, gcMs() - g0, -1.0, -1.0) }
     }
     // Storage-lifecycle probe (r14 verdict #1): per-query high-water /
     // eviction / block-re-add columns so a hot family reading can be
@@ -477,7 +489,28 @@ object Bench {
     spark.sparkContext.addSparkListener(probe)
     def drainBus(): Unit =
       org.apache.spark.graft.Internals.drainListenerBus(spark.sparkContext)
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // DETERMINISTIC registry order (r16 verdict #1a): the loop used to
+    // iterate Map order, so which family member drew the first slot —
+    // and with it any residual first-toucher cost — varied with hash
+    // layout as queries were added round over round. Name order is
+    // stable and diff-able against BENCH_DETAIL across rounds.
+    // The `staging` pseudo-row runs FIRST and materializes every
+    // SHARED staged family (token staging, shingle/decontam sides,
+    // trained quantizers) once, so their one-time box cost (page
+    // cache, parquet footers, JIT of the staging shapes) lands on a
+    // visible row instead of on whichever family member ran first;
+    // the per-query clearMemo attribution discipline is unchanged
+    // (each query's cold still pays its own staging REBUILD — now
+    // compute-priced for every member, not IO-priced for the first).
+    val runnable: Seq[(String, () => Unit)] = {
+      val staging = "staging" ->
+        (() => operators.LlmData.warmSharedStaging(spark, sfDir))
+      val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+        .map { case (n, fn) => n -> (() =>
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()) }
+      (staging +: qs).filter { case (n, _) => only.forall(_.contains(n)) }
+    }
+    val runOf: Map[String, () => Unit] = runnable.toMap
     // Storage snapshot (memory-cached MB, disk-spilled MB, and RDDs
     // with DROPPED partitions) taken right after each warm run: a warm
     // number that reads like a recompute (warm ≈ cold on a memoized
@@ -509,7 +542,7 @@ object Bench {
       System.gc()
       Thread.sleep(300)
     }
-    val detailed = selected.map { case (name, fn) =>
+    val detailed = runnable.map { case (name, body) =>
       drain()
       drainBus()
       val sb = probe.begin()
@@ -517,8 +550,8 @@ object Bench {
       // busy window doubles as extra settle time after the drain; it
       // runs OUTSIDE the timed window like the drain itself
       val bb = cpuBusy()
-      val cold = timed(fn)
-      val warm = timed(fn)
+      val cold = timedBody(body())
+      val warm = timedBody(body())
       val la = load1()
       val snap = storageSnap()
       // read the storage window BEFORE clearMemo: the release hook's
@@ -556,7 +589,7 @@ object Bench {
     val retried = detailed.toSeq.filter(_._2._1._1 >= 0)
       .sortBy(-_._2._1._1).take(5).map { case (name, _) =>
         val rl = load1()
-        val r = timed(SparkEntry.queries(name))
+        val r = timedBody(runOf(name)())
         operators.LlmData.clearMemo(spark)
         name -> (r, rl)
       }.toMap
@@ -578,8 +611,8 @@ object Bench {
     quiesce()
     val warmRetried = warmOutliers.map { name =>
       val rl = load1()
-      timed(SparkEntry.queries(name)) // priming pass: rebuild memo/caches
-      val r = timed(SparkEntry.queries(name))
+      timedBody(runOf(name)()) // priming pass: rebuild memo/caches
+      val r = timedBody(runOf(name)())
       val snap = storageSnap()
       operators.LlmData.clearMemo(spark)
       name -> (r, rl, snap)
@@ -610,17 +643,17 @@ object Bench {
     }
     val envRow = s"""  "_env": {"cores": $cpus, "run_load1_median": $runLoadMedian, "floor_threshold": $floorThresh, "run_contended": $runContended, "run_busy_median": $runBusyMedian, "busy_threshold": $busyThreshold, "busy_during_threshold": $busyDuringThreshold}"""
     val detail = (envRow +: detailed.toSeq
-      .map { case (k, ((c, gc, bdc), (w, gw, bdw), lc, la, (sm, sd, sev), bb, (shw, sevb, srd))) =>
+      .map { case (k, ((c, gc, bdc, iwc), (w, gw, bdw, iww), lc, la, (sm, sd, sev), bb, (shw, sevb, srd))) =>
         // a row is contended if EITHER sample window saw a live
         // contender — the cold and warm runs are adjudicated as one
         // row, so the worse window decides
         val contended = envContended(cores, runLoadMedian, lc, la, bb,
           math.max(bdc, bdw))
-        val extra = retried.get(k).fold("") { case ((r, rgc, rbd), rl) =>
-          s""", "retry": $r, "retry_gc_ms": $rgc, "retry_load1": $rl, "retry_busy_during": $rbd""" }
-        val wextra = warmRetried.get(k).fold("") { case ((r, rgc, rbd), rl, (wm, wd, wev)) =>
-          s""", "warm_retry": $r, "warm_retry_gc_ms": $rgc, "warm_retry_load1": $rl, "warm_retry_busy_during": $rbd, "warm_retry_cache_mb": $wm, "warm_retry_evicted": $wev""" }
-        s"""  "$k": {"cold": $c, "warm": $w, "gc_cold_ms": $gc, "gc_warm_ms": $gw, "load1": $lc, "load1_after": $la, "busy_before": $bb, "busy_during_cold": $bdc, "busy_during_warm": $bdw, "cache_mb": $sm, "cache_disk_mb": $sd, "evicted_rdds": $sev, "storage_hw_mb": $shw, "evicted_blocks": $sevb, "block_readds": $srd, "env_contended": $contended$extra$wextra}""" })
+        val extra = retried.get(k).fold("") { case ((r, rgc, rbd, riw), rl) =>
+          s""", "retry": $r, "retry_gc_ms": $rgc, "retry_load1": $rl, "retry_busy_during": $rbd, "retry_iowait": $riw""" }
+        val wextra = warmRetried.get(k).fold("") { case ((r, rgc, rbd, riw), rl, (wm, wd, wev)) =>
+          s""", "warm_retry": $r, "warm_retry_gc_ms": $rgc, "warm_retry_load1": $rl, "warm_retry_busy_during": $rbd, "warm_retry_iowait": $riw, "warm_retry_cache_mb": $wm, "warm_retry_evicted": $wev""" }
+        s"""  "$k": {"cold": $c, "warm": $w, "gc_cold_ms": $gc, "gc_warm_ms": $gw, "load1": $lc, "load1_after": $la, "busy_before": $bb, "busy_during_cold": $bdc, "busy_during_warm": $bdw, "iowait_cold": $iwc, "iowait_warm": $iww, "cache_mb": $sm, "cache_disk_mb": $sd, "evicted_rdds": $sev, "storage_hw_mb": $shw, "evicted_blocks": $sevb, "block_readds": $srd, "env_contended": $contended$extra$wextra}""" })
       .mkString("{\n", ",\n", "\n}\n")
     try {
       val dir = java.nio.file.Paths.get("target", "bench")
@@ -642,8 +675,8 @@ object Bench {
     // own storage window, plus the worse of the two during-window
     // contention shares
     val adjudication = detailed.map {
-      case (k, ((_, _, bdc), (_, _, bdw), _, _, _, _, (shw, sevb, srd))) =>
-        k -> (shw, sevb, srd, math.max(bdc, bdw))
+      case (k, ((_, _, bdc, iwc), (_, _, bdw, iww), _, _, _, _, (shw, sevb, srd))) =>
+        k -> (shw, sevb, srd, math.max(bdc, bdw), math.max(iwc, iww))
     }.toMap
     println(jsonLine(results.toSeq, sfDir, only, adjudication))
     spark.stop()

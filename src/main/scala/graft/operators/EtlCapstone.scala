@@ -72,6 +72,20 @@ object EtlCapstone {
     LlmData.tableOnce(stageMemo, s, dir)(
       graft.io.TempDirs.scratch("graft-capstone"))
 
+  /** The loaded warehouse generation per (session, corpus generation)
+    * — the r16 verdict-#6 split of q46's LIFECYCLE cost from its QUERY
+    * cost: the first invocation stages raw JSON, normalizes, and loads
+    * the star schema (the number that prices the lifecycle); every
+    * repeat invocation against the same corpus stamp is a pure
+    * warehouse read-back (the number that prices the query). An
+    * in-session testdata regeneration re-stages via the stamp, same as
+    * every other tableOnce artifact. Like [[stageMemo]], this holds a
+    * PATH, not a persisted frame, so clearMemo leaves it alone — a
+    * bench cold retry therefore reads back too, correctly adjudicating
+    * the cold number as one-time lifecycle, not plan cost. */
+  private lazy val whMemo = new LlmData.SessionRegistry[
+    scala.collection.concurrent.TrieMap[String, (String, String)]]
+
   /** One lock per staging root: the shared-root reuse (disk
     * boundedness) makes concurrent q46 invocations on the same
     * (session, corpus) a write-write race on the landing dir — the
@@ -163,7 +177,7 @@ object EtlCapstone {
       // stages 1-5 serialized per staging root (see stageLocks): two
       // concurrent invocations must not interleave Overwrite writes
       // into the shared landing dir
-      val warehouse = stageLock(base).synchronized {
+      val warehouse = LlmData.tableOnce(whMemo, s, dir) { stageLock(base).synchronized {
         val gen = nextGen(base)
         // reclaim generations a lazy consumer can no longer be holding
         // (anything older than the previous invocation's)
@@ -195,7 +209,7 @@ object EtlCapstone {
           Sinks.writeStarSchema(star, wh, to_timestamp(lit(LoadedAt)))
         } finally raw.unpersist(blocking = false)
         wh
-      }
+      } }
       // 6. read back the LOADED tables (not the in-flight frames):
       // the oracle-checked rows prove the sink round-trip, not just
       // the transform. Pinned to this invocation's generation — a later

@@ -1106,6 +1106,35 @@ object LlmData {
     out
   }
 
+  /** Bench's explicit "staging" warmup (r16 verdict #1): build and
+    * materialize every SHARED staged family once — the token staging
+    * ([[tokStaged]]), the shingle/decontam sides + bloom
+    * ([[decontamSides]], [[decontamBloomFor]]), the minhash signature
+    * table ([[minhashHashed]]), and the trained quantizers (IVF
+    * centroids at both the fixed and corpus-derived K, the PQ
+    * codebook). Bench charges this call to a VISIBLE `staging` row and
+    * clears the memo right after, so the per-query attribution
+    * discipline (each query's cold sample pays its own staging
+    * rebuild) is unchanged — what this absorbs is the BOX's one-time
+    * cost (page cache, parquet footers, codegen/JIT of the staging
+    * shapes), which previously landed on whichever family member
+    * happened to run first in registry order and made that query's
+    * cold number order-dependent (the r16 x118 22 s vs 1.9 s
+    * canonical gap). */
+  def warmSharedStaging(s: SparkSession, dir: String): Unit = {
+    def mat(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    mat(tokStaged(s, dir))
+    val (bench, corpus) = decontamSides(s, dir)
+    mat(bench); mat(corpus)
+    decontamBloomFor(s, dir)
+    mat(minhashHashed(s, dir))
+    trainedCentroids(s, dir)
+    trainedCentroids(s, dir, corpusK(s, dir))
+    Curation.trainPqCodebook(s, dir)
+    ()
+  }
+
   /** Unpersist and drop every DataFrame memoized for session `s`.
     * Bench calls this between queries so one query's persisted
     * signature table can't pressure the next query's measurement; any
