@@ -1690,7 +1690,54 @@ object Relational {
              |SELECT kb, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(doc_id) AS last_doc
              |FROM merged GROUP BY kb ORDER BY kb""".stripMargin),
-      "merge-on-read MERGE upsert: matched rows as deletion vectors + appended versions, not-matched rows as appends, one atomic commit — the COW/MOR strategy pair complete")
+      "merge-on-read MERGE upsert: matched rows as deletion vectors + appended versions, not-matched rows as appends, one atomic commit — the COW/MOR strategy pair complete"),
+
+    // ── Streaming ingest into the transactional keyed table (q72) ────
+    // The reference's Snowpipe leg END TO END: auto-ingest lands in
+    // the WAREHOUSE table, not loose files (`README.md:43-44`). An
+    // AvailableNow streaming query appends its epochs into a
+    // graft-keyed layout through the epoch-committed StreamingWrite —
+    // one CAS snapshot per epoch, per-query epoch markers for
+    // exactly-once on replay (KeyedStreamWriteSpec pins the restart
+    // window) — and the read-back aggregate is oracle-checked against
+    // the same relational slice, proving streamed table ≡ batch truth.
+    // At 100 TB: per-epoch cost is O(epoch delta) edit-appends;
+    // compaction folds the accumulated files on its own schedule.
+    "q72_stream_keyed_ingest" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#streamkeyed")({
+          val base = graft.io.TempDirs.scratch("graft_skw_")
+          val src = s"$base/src"; val out = s"$base/t"; val ckpt = s"$base/ckpt"
+          t(s, dir, "orders").selectExpr(
+            "o_orderkey % 8 AS kb", "o_orderkey AS id", "o_orderstatus AS st",
+            "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents")
+            .write.mode("overwrite").parquet(src)
+          val q = s.readStream
+            .schema("kb BIGINT, id BIGINT, st STRING, cents BIGINT")
+            .parquet(src)
+            .writeStream.format("graft-keyed")
+            .option("path", out)
+            .option("schema", "kb BIGINT, id BIGINT, st STRING, cents BIGINT")
+            .option("key", "kb").option("sortBy", "id").option("retain", "2")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          out
+        })
+        s.read.format("graft-keyed").option("path", path)
+          .option("schema", "kb BIGINT, id BIGINT, st STRING, cents BIGINT")
+          .option("key", "kb").load()
+          .groupBy("kb")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+            max("id").as("last_id"))
+          .orderBy("kb")
+      },
+      Some("""SELECT o_orderkey % 8 AS kb, count(*) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |  max(o_orderkey) AS last_id
+             |FROM orders GROUP BY 1 ORDER BY kb""".stripMargin),
+      "streaming ingest into the transactional keyed table (the Snowpipe twin): AvailableNow epochs append through the CAS commit with exactly-once epoch markers; read-back aggregate equals the relational batch truth")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table

@@ -174,7 +174,7 @@ object KeyedCompact {
           h.tombstones ++ fullyDeleted, edits, h.dvs -- frag)
         Some(KeyedSource.CommitLog(keep,
           KeyedSource.trimWindow(l.snapshots :+ snap, keep, l.tags),
-          l.ops, l.tags))
+          l.ops, l.tags, l.streams))
       }.get
       val live = published.snapshots
         .flatMap(_.referencedGens).toSet

@@ -245,7 +245,7 @@ final class KeyedCowBatchWrite(op: KeyedCowOperation, schema: StructType,
         edits, head.dvs -- scanned)
       Some(KeyedSource.CommitLog(keep,
         KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags),
-        log.ops, log.tags))
+        log.ops, log.tags, log.streams))
     }.get
     val live = published.snapshots
       .flatMap(_.referencedGens).toSet
@@ -470,7 +470,7 @@ final class KeyedMorBatchWrite(op: KeyedMorOperation,
         head.tombstones -- written, edits, dvs -- (head.tombstones & written))
       Some(KeyedSource.CommitLog(keep,
         KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags),
-        log.ops, log.tags))
+        log.ops, log.tags, log.streams))
     }.get
     val live = published.snapshots.flatMap(_.referencedGens).toSet
     KeyedSource.expireGenerations(path, live, hconf, known = priorGens -- live)

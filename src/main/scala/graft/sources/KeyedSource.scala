@@ -222,7 +222,11 @@ final class KeyedTable(declared: StructType, path: String, key: String,
   // mode("overwrite") to it; bare appends are refused at plan time
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      // r17: epoch-committed streaming ingest through the same CAS
+      // publish as batch writes (KeyedStreamingWrite — the reference's
+      // Snowpipe auto-ingest landing in the TRANSACTIONAL table)
+      TableCapability.STREAMING_WRITE)
   // analysis-time Hadoop conf capture — same contract as PageTable
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -385,7 +389,8 @@ final class KeyedTable(declared: StructType, path: String, key: String,
         def gensOf(ss: Seq[KeyedSource.Snapshot]) =
           ss.flatMap(_.referencedGens).toSet
         dropped = gensOf(log.snapshots) -- gensOf(snapshots)
-        Some(KeyedSource.CommitLog(keep, snapshots, log.ops, log.tags))
+        Some(KeyedSource.CommitLog(keep, snapshots, log.ops, log.tags,
+          log.streams))
       }
     }
     // targeted expiry: only generations this commit's window-trim
@@ -1420,7 +1425,8 @@ object KeyedSource {
     * and that exact state stays reproducible however many commits
     * land after it). */
   final case class CommitLog(retain: Int, snapshots: Seq[Snapshot],
-      ops: Seq[SchemaOp] = Seq.empty, tags: Map[String, Long] = Map.empty) {
+      ops: Seq[SchemaOp] = Seq.empty, tags: Map[String, Long] = Map.empty,
+      streams: Map[String, Long] = Map.empty) {
     require(snapshots.nonEmpty, "commit log must retain at least one snapshot")
     def head: Snapshot = snapshots.last
   }
@@ -1626,7 +1632,7 @@ object KeyedSource {
       case Array(v, retain, rest @ _*)
           if (v == CommitVersion || v == CommitVersionV4 ||
             (v == CommitVersionV2 && rest.isEmpty)) &&
-          lines.length >= 2 && rest.length <= 2 =>
+          lines.length >= 2 && rest.length <= 3 =>
         val snaps = lines.tail.toSeq.map { line =>
           line.split(PageSource.US, -1) match {
             case Array(seq, gen, tombCsv) if gen.nonEmpty =>
@@ -1646,30 +1652,38 @@ object KeyedSource {
           }
         }
         if (snaps.map(_.seq) != snaps.map(_.seq).sorted) corrupt()
-        val tags: Map[String, Long] = rest.lift(1)
+        def nameLongMap(raw: Option[String]): Map[String, Long] = raw
           .fold(Map.empty[String, Long])(_.split(",", -1).filter(_.nonEmpty)
             .map(_.split(":", -1) match {
               case Array(n, s) if n.nonEmpty => n -> long(s)
               case _ => corrupt()
             }).toMap)
         CommitLog(long(retain).toInt, snaps,
-          rest.headOption.fold(Seq.empty[SchemaOp])(parseOps), tags)
+          rest.headOption.fold(Seq.empty[SchemaOp])(parseOps),
+          nameLongMap(rest.lift(1)),
+          // header field 3 (v4): per-streaming-query max committed
+          // epoch — the exactly-once dedup marker for replayed epochs
+          nameLongMap(rest.lift(2)))
       case _ => corrupt()
     }
   }
 
   private[sources] def renderCommitLog(log: CommitLog): String = {
     val sb = new StringBuilder
-    val needsV4 = log.tags.nonEmpty || log.snapshots.exists(_.dvs.nonEmpty)
+    val needsV4 = log.tags.nonEmpty || log.streams.nonEmpty ||
+      log.snapshots.exists(_.dvs.nonEmpty)
     sb.append(if (needsV4) CommitVersionV4 else CommitVersion)
       .append(PageSource.US).append(log.retain)
-    if (log.ops.nonEmpty || log.tags.nonEmpty)
+    if (log.ops.nonEmpty || log.tags.nonEmpty || log.streams.nonEmpty)
       sb.append(PageSource.US).append(log.ops.map {
         case AddCol(n, l, d) => s"add:$n:${if (l) "B" else "S"}:$d"
         case RenCol(o, n) => s"ren:$o:$n"
       }.mkString(","))
-    if (log.tags.nonEmpty)
+    if (log.tags.nonEmpty || log.streams.nonEmpty)
       sb.append(PageSource.US).append(log.tags.toSeq.sortBy(_._1)
+        .map { case (n, s) => s"$n:$s" }.mkString(","))
+    if (log.streams.nonEmpty)
+      sb.append(PageSource.US).append(log.streams.toSeq.sortBy(_._1)
         .map { case (n, s) => s"$n:$s" }.mkString(","))
     sb.append('\n')
     log.snapshots.foreach { s =>
@@ -1912,7 +1926,7 @@ object KeyedSource {
       Some(CommitLog(keep,
         trimWindow(log.snapshots :+ Snapshot(head.seq + 1, head.gen,
           head.tombstones, head.edits, head.dvs), keep, log.tags),
-        log.ops ++ ops, log.tags))
+        log.ops ++ ops, log.tags, log.streams))
     }
     applyOps(current, ops, Seq.empty)
   }

@@ -117,6 +117,12 @@ final class KeyedWrite(schema: StructType, path: String, key: String,
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
   override def toBatch: BatchWrite =
     new KeyedBatchWrite(schema, path, key, sortBy, retain, queryId, conf, overwrite)
+  // streaming ingest (r17): same clustered distribution, epoch-committed
+  // through the same CAS publish — see KeyedStreamingWrite
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new KeyedStreamingWrite(schema, path, key, sortBy, retain, queryId,
+      conf, overwrite)
 }
 
 /** One key's audited write stats, accumulated in the task from exactly
@@ -140,36 +146,12 @@ final class KeyedBatchWrite(schema: StructType, path: String, key: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.toSeq.collect { case m: KeyedCommitMessage => m }
-    val entries = msgs.flatMap(_.keys)
-    // the clustered distribution guarantees one task per key; two
-    // tasks reporting the same key means the one-file contract broke —
-    // refuse to publish a layout the read side would misread
-    val dup = entries.groupBy(_.rawKey).collect { case (k, g) if g.size > 1 => k }
-    if (dup.nonEmpty) throw new IllegalStateException(
-      s"graft-keyed write produced ${dup.size} keys in multiple tasks " +
-        s"(${dup.take(3).mkString(",")}…): clustering contract violated, not publishing")
-    val table = {
-      val merged = Array.fill(schema.length)(new KmvSketch)
-      msgs.foreach(_.sketches.zipWithIndex.foreach { case (hs, i) =>
-        merged(i).addHashes(hs) })
-      KeyedStats.TableNdv(entries.map(_.count).sum, merged.map(_.estimate))
-    }
     val hconf = conf.value
     val root = new org.apache.hadoop.fs.Path(path)
     val gen = new org.apache.hadoop.fs.Path(root, genName)
     val fs = root.getFileSystem(hconf)
-    // AUDIT artifacts land INSIDE the uncommitted generation
-    val sidecarEntries = entries.map(e =>
-      KeyedStats.Entry(e.rawKey, e.count, e.mins, e.maxs, e.sums))
-    KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedStats.SidecarFile),
-      KeyedStats.render(schema, key, sidecarEntries, Some(table)))
-    if (sortBy.nonEmpty)
-      KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedSource.OrderFile),
-        KeyedSource.renderOrderMarker(schema, key, sortBy))
-    // ensure the generation directory exists even for an EMPTY write
-    // (zero tasks produced zero files): the pointer must never name a
-    // missing directory
-    if (!fs.exists(gen)) fs.mkdirs(gen)
+    val entries = KeyedWriteAudit.auditAndWrite(schema, key, sortBy, msgs,
+      fs, gen, what = "write")
     if (KeyedSource.failBeforePublish) throw new IllegalStateException(
       "graft-keyed test hook: crash before publish")
     if (!overwrite) { appendCommit(entries, fs, root, gen); return }
@@ -197,7 +179,8 @@ final class KeyedBatchWrite(schema: StructType, path: String, key: String,
           KeyedSource.Snapshot(newSeq, genName, Set.empty), keep,
           prior.fold(Map.empty[String, Long])(_.tags)),
         prior.fold(Seq.empty[KeyedSource.SchemaOp])(_.ops),
-        prior.fold(Map.empty[String, Long])(_.tags)))
+        prior.fold(Map.empty[String, Long])(_.tags),
+        prior.fold(Map.empty[String, Long])(_.streams)))
     }.get
     // cleanup AFTER the claim — readers resolve the log first, so
     // everything below is dead weight; a crash here leaves orphans a
@@ -269,7 +252,7 @@ final class KeyedBatchWrite(schema: StructType, path: String, key: String,
         head.tombstones -- written, edits, head.dvs)
       Some(KeyedSource.CommitLog(keep,
         KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags),
-        log.ops, log.tags))
+        log.ops, log.tags, log.streams))
     }.get
     val live = published.snapshots
       .flatMap(_.referencedGens).toSet
@@ -462,4 +445,193 @@ object KmvSketch {
     x = (x ^ (x >>> 27)) * -7723592293110705685L
     x ^ (x >>> 31)
   }
+}
+
+
+/** The generation AUDIT step shared by the batch overwrite/append
+  * commit and the streaming epoch commit: enforce the one-task-per-key
+  * clustering contract, then write the writer-derived stats sidecar
+  * (per-key count/min/max/sum + table NDVs) and the order marker
+  * INSIDE the uncommitted generation — stats derive from exactly the
+  * rows written, never a read-back pass. */
+private[sources] object KeyedWriteAudit {
+  def auditAndWrite(schema: StructType, key: String, sortBy: Seq[String],
+      msgs: Seq[KeyedCommitMessage], fs: org.apache.hadoop.fs.FileSystem,
+      gen: org.apache.hadoop.fs.Path, what: String): Seq[KeyedKeyStats] = {
+    val entries = msgs.flatMap(_.keys)
+    // the clustered distribution guarantees one task per key; two
+    // tasks reporting the same key means the one-file contract broke —
+    // refuse to publish a layout the read side would misread
+    val dup = entries.groupBy(_.rawKey).collect { case (k, g) if g.size > 1 => k }
+    if (dup.nonEmpty) throw new IllegalStateException(
+      s"graft-keyed $what produced ${dup.size} keys in multiple tasks " +
+        s"(${dup.take(3).mkString(",")}…): clustering contract violated, not publishing")
+    val table = {
+      val merged = Array.fill(schema.length)(new KmvSketch)
+      msgs.foreach(_.sketches.zipWithIndex.foreach { case (hs, i) =>
+        merged(i).addHashes(hs) })
+      KeyedStats.TableNdv(entries.map(_.count).sum, merged.map(_.estimate))
+    }
+    val sidecarEntries = entries.map(e =>
+      KeyedStats.Entry(e.rawKey, e.count, e.mins, e.maxs, e.sums))
+    KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedStats.SidecarFile),
+      KeyedStats.render(schema, key, sidecarEntries, Some(table)))
+    if (sortBy.nonEmpty)
+      KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedSource.OrderFile),
+        KeyedSource.renderOrderMarker(schema, key, sortBy))
+    // ensure the generation directory exists even for an EMPTY write
+    // (zero tasks produced zero files): the pointer must never name a
+    // missing directory
+    if (!fs.exists(gen)) fs.mkdirs(gen)
+    entries
+  }
+}
+
+/** Streaming ingest into `graft-keyed` (r16 verdict #2 — the
+  * reference's Snowpipe auto-ingest, `/root/reference/README.md:43-44`,
+  * landing in the TRANSACTIONAL table instead of loose parquet dirs):
+  * each micro-batch epoch stages into its own uncommitted generation
+  * `_gen-<queryId>-e<epochId>` through the SAME audited writer as batch
+  * writes, and the epoch commit publishes ONE snapshot through the SAME
+  * CAS loop — append semantics by default (per-key edit appends, the
+  * Snowpipe shape), overwrite-per-epoch under Complete mode.
+  *
+  * EXACTLY-ONCE: the commit log's header carries a per-streaming-query
+  * max-committed-epoch marker (`CommitLog.streams`, keyed by the
+  * checkpoint-stable query id). Spark replays the last unconfirmed
+  * epoch after a restart; a replayed epoch whose marker is already at
+  * or past its id deletes its own staging and commits NOTHING — the
+  * snapshot either carries the epoch's rows and its marker (one atomic
+  * swap) or neither, so sink-side duplication is structurally
+  * impossible. The marker map is bounded by the number of distinct
+  * streaming queries ever writing to the table.
+  *
+  * At 100 TB: per-epoch cost is O(epoch delta) — appended keys gain one
+  * file reference each, unaffected keys carry by reference; CDC prices
+  * each epoch interval at its delta, and compaction folds the
+  * accumulated small files on its own schedule (the standing
+  * fragmentation lifecycle, now fed by a stream). */
+final class KeyedStreamingWrite(schema: StructType, path: String, key: String,
+    sortBy: Seq[String], retain: Int, queryId: String,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    overwrite: Boolean)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  /** Per-RUN nonce in the staging generation name: a restarted query
+    * REPLAYS its last unconfirmed epoch with the same (queryId,
+    * epochId), and without the nonce the replay would stage into the
+    * very directory the original commit published — its writers would
+    * pollute live data and the dedup's staging cleanup would delete a
+    * committed generation. The nonce makes every run's staging
+    * disjoint; the abandoned copy is deleted by the dedup (or swept as
+    * a stale orphan if the process dies first). */
+  private val runNonce =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  private def genNameOf(epochId: Long) = s"_gen-$queryId-$runNonce-e$epochId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new KeyedStreamingWriterFactory(schema, key,
+      s"$path/_gen-$queryId-$runNonce", conf)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.toSeq.collect { case m: KeyedCommitMessage => m }
+    val hconf = conf.value
+    val root = new org.apache.hadoop.fs.Path(path)
+    val gname = genNameOf(epochId)
+    val gen = new org.apache.hadoop.fs.Path(root, gname)
+    val fs = root.getFileSystem(hconf)
+    val entries = KeyedWriteAudit.auditAndWrite(schema, key, sortBy, msgs,
+      fs, gen, what = "streaming write")
+    // an EMPTY append epoch is a visible no-op: no snapshot burned, no
+    // marker advanced (its replay is another no-op). An empty COMPLETE
+    // epoch is a real truncate and commits like any other.
+    if (entries.isEmpty && !overwrite) { fs.delete(gen, true); return }
+    if (KeyedSource.failBeforePublish) throw new IllegalStateException(
+      "graft-keyed test hook: crash before publish")
+    var replayed = false
+    var priorGens = Set.empty[String]
+    val written: Set[String] = entries.map(_.rawKey).toSet
+    val published = KeyedSource.commitLoop(path, hconf,
+      "streaming epoch commit") { prior =>
+      prior match {
+        case Some(log) if log.streams.getOrElse(queryId, -1L) >= epochId =>
+          // replayed epoch (restart after the sink committed but before
+          // the checkpoint confirmed): already in the table — drop the
+          // re-staged copy, commit nothing
+          replayed = true
+          None
+        case None =>
+          // first epoch bootstraps the snapshot log (same refusal as
+          // append for a legacy flat stage: restage first)
+          if (fs.exists(root) && fs.listStatus(root).exists(st =>
+              st.isDirectory && st.getPath.getName.startsWith("k=")))
+            throw new UnsupportedOperationException(
+              s"graft-keyed streaming write requires a generation-committed " +
+                s"layout, but $path is a legacy flat stage — restage through " +
+                "the connector writer first")
+          priorGens = Set.empty
+          Some(KeyedSource.CommitLog(math.max(retain, 1),
+            Seq(KeyedSource.Snapshot(1L, gname, Set.empty)),
+            streams = Map(queryId -> epochId)))
+        case Some(log) =>
+          val head = log.head
+          priorGens = log.snapshots.flatMap(_.referencedGens).toSet
+          val keep = math.max(math.max(log.retain, retain), 1)
+          val snap =
+            if (overwrite) KeyedSource.Snapshot(head.seq + 1, gname, Set.empty)
+            else {
+              // append publish — identical shape to the batch
+              // appendCommit: written keys gain this generation as an
+              // edit APPEND after their prior files; DVs carry as-is
+              val baseKeys: Set[String] = {
+                val baseGen = new org.apache.hadoop.fs.Path(root, head.gen)
+                if (fs.exists(baseGen)) fs.listStatus(baseGen).toSeq.collect {
+                  case st if st.isDirectory && st.getPath.getName.startsWith("k=") =>
+                    st.getPath.getName.stripPrefix("k=")
+                }.toSet else Set.empty
+              }
+              def priorLive(k: String): Seq[String] =
+                head.edits.getOrElse(k,
+                  if (baseKeys.contains(k) && !head.tombstones.contains(k))
+                    Seq(head.gen)
+                  else Seq.empty)
+              KeyedSource.Snapshot(head.seq + 1, head.gen,
+                head.tombstones -- written,
+                head.edits ++ written.toSeq.map(k => k -> (priorLive(k) :+ gname)),
+                head.dvs)
+            }
+          Some(KeyedSource.CommitLog(keep,
+            KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags),
+            log.ops, log.tags, log.streams + (queryId -> epochId)))
+      }
+    }
+    if (replayed) { fs.delete(gen, true); return }
+    published.foreach { pub =>
+      val live = pub.snapshots.flatMap(_.referencedGens).toSet
+      KeyedSource.expireGenerations(path, live, hconf, known = priorGens -- live)
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    if (KeyedSource.failBeforePublish) return // modeled process death
+    val gen = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), genNameOf(epochId))
+    gen.getFileSystem(conf.value).delete(gen, true)
+  }
+}
+
+/** Routes each epoch's writers into that epoch's own staging
+  * generation (`genPrefix` already carries the query id + run nonce);
+  * the writer itself is the audited batch writer. */
+final class KeyedStreamingWriterFactory(schema: StructType, key: String,
+    genPrefix: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new KeyedDataWriter(schema, key, s"$genPrefix-e$epochId", taskId, conf)
 }

@@ -1,0 +1,141 @@
+package graft
+
+import graft.sources.KeyedSource
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming write INTO `graft-keyed` (r17 — the reference's Snowpipe
+  * auto-ingest landing in the TRANSACTIONAL table,
+  * `/root/reference/README.md:43-44`). Pins:
+  * (1) a streaming append bootstraps the snapshot log on an empty
+  *     path and commits ONE snapshot per epoch through the CAS, with
+  *     the per-query epoch marker (`CommitLog.streams`) advancing;
+  * (2) EXACTLY-ONCE across the replay window: killing the checkpoint
+  *     confirm after the sink committed makes Spark re-run the epoch
+  *     on restart — the replayed commit is a visible no-op (same
+  *     rows, same head seq, own staging cleaned);
+  * (3) epochs into a batch-staged table are EDIT APPENDS — base bytes
+  *     untouched, batch and stream commits interleave through one log;
+  * (4) each epoch is a CDC interval: the changes table prices it at
+  *     exactly the appended rows, tagged insert. */
+class KeyedStreamWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ddl = "kb BIGINT, doc_id BIGINT, source STRING, n_chars BIGINT"
+
+  private def tmp(name: String): String = graft.io.TempDirs.scratch(s"graft-$name")
+  private def hconf = spark.sessionState.newHadoopConf()
+
+  private def readKeyed(dir: String, asOf: Option[Long] = None): DataFrame = {
+    val r = spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", ddl).option("key", "kb")
+    asOf.fold(r)(v => r.option("asOf", v.toString)).load()
+  }
+
+  private def startStream(mem: MemoryStream[(Long, Long, String, Long)],
+      dir: String, ckpt: String) =
+    mem.toDF().toDF("kb", "doc_id", "source", "n_chars")
+      .writeStream.format("graft-keyed")
+      .option("path", dir).option("schema", ddl)
+      .option("key", "kb").option("sortBy", "doc_id").option("retain", "8")
+      .option("checkpointLocation", ckpt)
+      .start()
+
+  test("epoch-committed streaming append: bootstrap, per-epoch snapshots, exactly-once replay") {
+    val base = tmp("kstream"); val dir = s"$base/t"; val ckpt = s"$base/ckpt"
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long)]
+
+    val q = startStream(mem, dir, ckpt)
+    mem.addData((0L, 1L, "a", 10L), (1L, 2L, "b", 20L))
+    q.processAllAvailable()
+    val log1 = KeyedSource.readCommitLog(dir, hconf).get
+    assert(log1.head.seq == 1L, "first epoch bootstraps the snapshot log")
+    assert(log1.streams.size == 1 && log1.streams.values.head == 0L,
+      s"epoch marker must record epoch 0, got ${log1.streams}")
+    assert(readKeyed(dir).count() == 2L)
+
+    mem.addData((0L, 3L, "c", 30L))
+    q.processAllAvailable()
+    val log2 = KeyedSource.readCommitLog(dir, hconf).get
+    assert(log2.head.seq == 2L, "one snapshot per epoch")
+    assert(log2.streams.values.head == 1L)
+    assert(readKeyed(dir).count() == 3L)
+    q.stop()
+
+    // REPLAY WINDOW: the sink committed epoch 1, but the checkpoint
+    // confirm is lost (crash between sink commit and commit-log write)
+    // — on restart Spark re-runs epoch 1 against the sink
+    val commits = new java.io.File(s"$ckpt/commits")
+    val last = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(last.delete(), s"test setup: could not delete ${last.getPath}")
+    // the local FS keeps a CRC shadow; a stale one fails the restart's
+    // own commit rename
+    new java.io.File(commits, s".${last.getName}.crc").delete()
+
+    val q2 = startStream(mem, dir, ckpt)
+    q2.processAllAvailable() // replays epoch 1
+    val log3 = KeyedSource.readCommitLog(dir, hconf).get
+    assert(readKeyed(dir).count() == 3L,
+      "a replayed epoch must commit exactly once — rows doubled")
+    assert(log3.head.seq == 2L, "a replayed epoch must not burn a snapshot")
+    // no orphaned staging from the dropped replay copy
+    assert(!new java.io.File(dir).listFiles().map(_.getName)
+      .exists(n => n.startsWith("_gen-") && n.endsWith("-e1") &&
+        !log3.snapshots.flatMap(_.referencedGens).contains(n)))
+
+    // the stream continues past the replay
+    mem.addData((2L, 4L, "d", 40L))
+    q2.processAllAvailable()
+    assert(readKeyed(dir).count() == 4L)
+    assert(KeyedSource.readCommitLog(dir, hconf).get.streams.values.head == 2L)
+    q2.stop()
+
+    assert(readKeyed(dir).collect().map(_.getLong(1)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("streaming epochs into a batch-staged table: edit appends, base bytes untouched, CDC prices each epoch") {
+    val base = tmp("kstream2"); val dir = s"$base/t"; val ckpt = s"$base/ckpt"
+    val df = (0L until 16L).map(i => (i % 4L, i, s"s${i % 3L}", i * 7L))
+      .toDF("kb", "doc_id", "source", "n_chars")
+    KeyedSource.stageKeyed(spark, df, dir, "kb", sortBy = Seq("doc_id"), retain = 8)
+    val baseFiles = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_gen-"))
+      .flatMap(_.listFiles().filter(_.isDirectory))
+      .flatMap(_.listFiles().filter(f => f.isFile && !f.getName.startsWith(".")))
+      .map(f => f.getPath -> f.length).toMap
+
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val q = startStream(mem, dir, ckpt)
+    mem.addData((1L, 100L, "sX", 1L), (2L, 101L, "sY", 2L))
+    q.processAllAvailable()
+    val preSeq = KeyedSource.readCommitLog(dir, hconf).get.head.seq
+    mem.addData((1L, 102L, "sZ", 3L))
+    q.processAllAvailable()
+    q.stop()
+
+    val log = KeyedSource.readCommitLog(dir, hconf).get
+    assert(log.head.seq == 3L) // stage + 2 epochs
+    // appends, not rewrites: every pre-existing byte untouched
+    baseFiles.foreach { case (p, len) =>
+      val f = new java.io.File(p)
+      assert(f.exists() && f.length == len, s"base file $p changed")
+    }
+    assert(log.head.edits.keySet == Set("1", "2"))
+    assert(readKeyed(dir).count() == 19L)
+
+    // CDC: the second epoch's interval is exactly its one appended row
+    val delta = spark.read.format("graft-keyed")
+      .option("path", dir).option("schema", ddl).option("key", "kb")
+      .option("metadata", "changes")
+      .option("changesFrom", preSeq.toString)
+      .option("changesTo", log.head.seq.toString)
+      .load()
+    val rows = delta.collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("_change_type") == "insert")
+    assert(rows.head.getAs[Long]("doc_id") == 102L)
+  }
+}
