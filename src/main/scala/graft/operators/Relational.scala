@@ -1737,7 +1737,56 @@ object Relational {
              |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
              |  max(o_orderkey) AS last_id
              |FROM orders GROUP BY 1 ORDER BY kb""".stripMargin),
-      "streaming ingest into the transactional keyed table (the Snowpipe twin): AvailableNow epochs append through the CAS commit with exactly-once epoch markers; read-back aggregate equals the relational batch truth")
+      "streaming ingest into the transactional keyed table (the Snowpipe twin): AvailableNow epochs append through the CAS commit with exactly-once epoch markers; read-back aggregate equals the relational batch truth"),
+
+    // ── Branch-then-promote backfill (q73) ────────────────────────────
+    // Write-audit-publish at the TABLE layer (the reference's staged
+    // promotion, `README.md:44`, as a ref lifecycle): fork a branch,
+    // land the backfill on it (invisible to every main reader), audit
+    // by reading the branch, then fast-forward main to the branch
+    // state in ONE metadata commit — no data movement at promote, no
+    // partial state ever visible. At 100 TB this is how a risky
+    // multi-job backfill stays isolated: consumers read main
+    // throughout and switch atomically. KeyedBranchSpec pins the
+    // isolation/refusal/retention edges; this row oracle-checks the
+    // promoted state against the batch truth.
+    "q73_branch_promote" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#branch")({
+          val out = graft.io.TempDirs.scratch("graft_br_") + "/bykb"
+          graft.sources.KeyedSource.stageKeyed(s,
+            t(s, dir, "documents").selectExpr("doc_id % 16 AS kb", "doc_id", "n_chars"),
+            out, "kb", sortBy = Seq("doc_id"), retain = 4)
+          graft.sources.KeyedSource.createBranch(s, out, "backfill")
+          t(s, dir, "documents")
+            .selectExpr("(doc_id + 2000000) % 16 AS kb",
+              "doc_id + 2000000 AS doc_id", "n_chars")
+            .where("doc_id % 25 = 0")
+            .write.format("graft-keyed")
+            .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+            .option("key", "kb").option("sortBy", "doc_id")
+            .option("branch", "backfill")
+            .mode("append").save(out)
+          graft.sources.KeyedSource.fastForward(s, out, "backfill")
+          out
+        })
+        s.read.format("graft-keyed").option("path", path)
+          .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+          .option("key", "kb").load()
+          .groupBy("kb")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+            max("doc_id").as("last_doc"))
+          .orderBy("kb")
+      },
+      Some("""WITH promoted AS (
+             |  SELECT doc_id % 16 AS kb, doc_id, n_chars FROM documents
+             |  UNION ALL
+             |  SELECT (doc_id + 2000000) % 16, doc_id + 2000000, n_chars
+             |  FROM documents WHERE doc_id % 25 = 0)
+             |SELECT kb, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(doc_id) AS last_doc
+             |FROM promoted GROUP BY kb ORDER BY kb""".stripMargin),
+      "branch-then-promote backfill: appends land on a named branch invisible to main, audited on the branch ref, then fast-forwarded into main as one metadata commit — the staged-promotion lifecycle at the table layer")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table

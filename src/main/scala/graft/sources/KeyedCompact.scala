@@ -170,11 +170,12 @@ object KeyedCompact {
         val keep = math.max(l.retain, 1)
         // compacted keys fold their deletion vectors in (the rewrite
         // read the DV-applied view); zero-live-row keys tombstone
-        val snap = KeyedSource.Snapshot(h.seq + 1, h.gen,
+        val snap = KeyedSource.Snapshot(l.nextSeq, h.gen,
           h.tombstones ++ fullyDeleted, edits, h.dvs -- frag)
         Some(KeyedSource.CommitLog(keep,
-          KeyedSource.trimWindow(l.snapshots :+ snap, keep, l.tags),
-          l.ops, l.tags, l.streams))
+          KeyedSource.trimWindow(l.snapshots :+ snap, keep, l.tags,
+            l.branches),
+          l.ops, l.tags, l.streams, l.branches))
       }.get
       val live = published.snapshots
         .flatMap(_.referencedGens).toSet

@@ -241,11 +241,12 @@ final class KeyedCowBatchWrite(op: KeyedCowOperation, schema: StructType,
       // file after the prior ones — its prior files stay referenced and
       // must keep their DVs, or rows deleted under dmlMode='mor' would
       // silently resurrect.
-      val snap = KeyedSource.Snapshot(head.seq + 1, head.gen, tombstones,
+      val snap = KeyedSource.Snapshot(log.nextSeq, head.gen, tombstones,
         edits, head.dvs -- scanned)
       Some(KeyedSource.CommitLog(keep,
-        KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags),
-        log.ops, log.tags, log.streams))
+        KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags,
+          log.branches),
+        log.ops, log.tags, log.streams, log.branches))
     }.get
     val live = published.snapshots
       .flatMap(_.referencedGens).toSet
@@ -466,11 +467,12 @@ final class KeyedMorBatchWrite(op: KeyedMorOperation,
       val edits = head.edits ++ written.toSeq.map(k =>
         k -> (priorLive(k) :+ genName))
       val keep = math.max(math.max(log.retain, retain), 1)
-      val snap = KeyedSource.Snapshot(head.seq + 1, head.gen,
+      val snap = KeyedSource.Snapshot(log.nextSeq, head.gen,
         head.tombstones -- written, edits, dvs -- (head.tombstones & written))
       Some(KeyedSource.CommitLog(keep,
-        KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags),
-        log.ops, log.tags, log.streams))
+        KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags,
+          log.branches),
+        log.ops, log.tags, log.streams, log.branches))
     }.get
     val live = published.snapshots.flatMap(_.referencedGens).toSet
     KeyedSource.expireGenerations(path, live, hconf, known = priorGens -- live)

@@ -247,6 +247,11 @@ final class KeyedTable(declared: StructType, path: String, key: String,
         "asOf", "a snapshot sequence number like asOf=3")(_.toLong)
         .orElse(Option(options.get("tag"))
           .map(t => KeyedSource.resolveTag(path, conf.value, t)))
+        // branch read: resolve the branch head ONCE at plan time; the
+        // scan then pins that seq like any snapshot read (a commit on
+        // the branch mid-query cannot tear the plan)
+        .orElse(Option(options.get("branch"))
+          .map(b => KeyedSource.resolveBranch(path, conf.value, b)))
         .orElse(asOf)
         .orElse(asOfTag.map(t => KeyedSource.resolveTag(path, conf.value, t))))
   }
@@ -382,15 +387,16 @@ final class KeyedTable(declared: StructType, path: String, key: String,
         // catalog table registered with retain=2 over a retain=1
         // layout widens it here)
         val keep = math.max(math.max(log.retain, retain), 1)
-        val snap = KeyedSource.Snapshot(head.seq + 1, head.gen,
+        val snap = KeyedSource.Snapshot(log.nextSeq, head.gen,
           head.tombstones ++ doomed, head.edits -- doomed,
           head.dvs -- doomed)
-        val snapshots = KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags)
+        val snapshots = KeyedSource.trimWindow(log.snapshots :+ snap, keep,
+          log.tags, log.branches)
         def gensOf(ss: Seq[KeyedSource.Snapshot]) =
           ss.flatMap(_.referencedGens).toSet
         dropped = gensOf(log.snapshots) -- gensOf(snapshots)
         Some(KeyedSource.CommitLog(keep, snapshots, log.ops, log.tags,
-          log.streams))
+          log.streams, log.branches))
       }
     }
     // targeted expiry: only generations this commit's window-trim
@@ -1389,7 +1395,8 @@ object KeyedSource {
     * disjoint by construction; a tombstoned key has no dvs. */
   final case class Snapshot(seq: Long, gen: String, tombstones: Set[String],
       edits: Map[String, Seq[String]] = Map.empty,
-      dvs: Map[String, Seq[String]] = Map.empty) {
+      dvs: Map[String, Seq[String]] = Map.empty,
+      branch: Option[String] = None) {
     /** Every generation directory this snapshot references (base,
       * edit-serving, DV-holding) — the ONE liveness definition all
       * expiry/trim call sites share. */
@@ -1426,20 +1433,43 @@ object KeyedSource {
     * land after it). */
   final case class CommitLog(retain: Int, snapshots: Seq[Snapshot],
       ops: Seq[SchemaOp] = Seq.empty, tags: Map[String, Long] = Map.empty,
-      streams: Map[String, Long] = Map.empty) {
-    require(snapshots.nonEmpty, "commit log must retain at least one snapshot")
-    def head: Snapshot = snapshots.last
+      streams: Map[String, Long] = Map.empty,
+      branches: Map[String, Long] = Map.empty) {
+    require(snapshots.exists(_.branch.isEmpty),
+      "commit log must retain at least one main snapshot")
+    /** MAIN head: the latest snapshot not belonging to a branch —
+      * every read/write surface that doesn't name a branch resolves
+      * here, so branch commits are invisible to main by construction. */
+    def head: Snapshot = snapshots.reverse.find(_.branch.isEmpty).get
+    /** Seqs are GLOBAL commit ids (the CAS claims by them), so the
+      * next one follows the latest snapshot of ANY ref. */
+    def nextSeq: Long = snapshots.last.seq + 1
+    /** A branch's current state: its latest own snapshot, or the fork
+      * snapshot when it has no commits yet. */
+    def branchHead(name: String): Snapshot = {
+      val fork = branches.getOrElse(name, throw new IllegalArgumentException(
+        s"graft-keyed branch '$name' does not exist" +
+          (if (branches.isEmpty) "" else s" (branches: ${branches.keys.toSeq.sorted.mkString(",")})")))
+      snapshots.reverse.find(_.branch.contains(name)).getOrElse(
+        snapshots.find(_.seq == fork).getOrElse(throw new IllegalStateException(
+          s"graft-keyed branch '$name' fork snapshot $fork is not retained — log invariant broken")))
+    }
   }
 
-  /** Window trim that honors tag protection: keep the last `keep`
-    * snapshots AND every tagged one, in seq order — the ONE trim for
-    * all six commit paths (write/append/delete/row-level/evolve/
-    * compact), so no path can expire a tagged snapshot. */
+  /** Window trim that honors tag AND branch protection: keep the last
+    * `keep` MAIN snapshots, every tagged one, every live branch's fork
+    * and own snapshots — the ONE trim for all commit paths, so no path
+    * can expire a protected snapshot. A dropped branch's snapshots
+    * lose protection and age out at the next commit's trim (the
+    * dropTag discipline). */
   private[sources] def trimWindow(snapshots: Seq[Snapshot], keep: Int,
-      tags: Map[String, Long]): Seq[Snapshot] = {
-    val protectedSeqs = tags.values.toSet
-    val tail = snapshots.takeRight(math.max(keep, 1)).map(_.seq).toSet
-    snapshots.filter(s => tail.contains(s.seq) || protectedSeqs.contains(s.seq))
+      tags: Map[String, Long],
+      branches: Map[String, Long] = Map.empty): Seq[Snapshot] = {
+    val protectedSeqs = tags.values.toSet ++ branches.values
+    val tail = snapshots.filter(_.branch.isEmpty)
+      .takeRight(math.max(keep, 1)).map(_.seq).toSet
+    snapshots.filter(s => tail.contains(s.seq) || protectedSeqs.contains(s.seq) ||
+      s.branch.exists(branches.contains))
   }
 
   /** Crash-window test hook (KeyedWriteSpec): when set, a commit does
@@ -1632,7 +1662,7 @@ object KeyedSource {
       case Array(v, retain, rest @ _*)
           if (v == CommitVersion || v == CommitVersionV4 ||
             (v == CommitVersionV2 && rest.isEmpty)) &&
-          lines.length >= 2 && rest.length <= 3 =>
+          lines.length >= 2 && rest.length <= 4 =>
         val snaps = lines.tail.toSeq.map { line =>
           line.split(PageSource.US, -1) match {
             case Array(seq, gen, tombCsv) if gen.nonEmpty =>
@@ -1648,6 +1678,14 @@ object KeyedSource {
               Snapshot(long(seq), gen,
                 tombCsv.split(",", -1).filter(_.nonEmpty).toSet,
                 parseEdits(editsCsv), parseEdits(dvCsv))
+            case Array(seq, gen, tombCsv, editsCsv, dvCsv, br) if gen.nonEmpty &&
+                v != CommitVersionV2 =>
+              // 6-field form (v4): a BRANCH commit's snapshot — field 6
+              // names the branch; field 5 may be an empty placeholder
+              Snapshot(long(seq), gen,
+                tombCsv.split(",", -1).filter(_.nonEmpty).toSet,
+                parseEdits(editsCsv), parseEdits(dvCsv),
+                branch = Some(br).filter(_.nonEmpty))
             case _ => corrupt()
           }
         }
@@ -1663,7 +1701,9 @@ object KeyedSource {
           nameLongMap(rest.lift(1)),
           // header field 3 (v4): per-streaming-query max committed
           // epoch — the exactly-once dedup marker for replayed epochs
-          nameLongMap(rest.lift(2)))
+          nameLongMap(rest.lift(2)),
+          // header field 4 (v4): live branches, name -> fork seq
+          nameLongMap(rest.lift(3)))
       case _ => corrupt()
     }
   }
@@ -1671,19 +1711,24 @@ object KeyedSource {
   private[sources] def renderCommitLog(log: CommitLog): String = {
     val sb = new StringBuilder
     val needsV4 = log.tags.nonEmpty || log.streams.nonEmpty ||
-      log.snapshots.exists(_.dvs.nonEmpty)
+      log.branches.nonEmpty || log.snapshots.exists(s =>
+        s.dvs.nonEmpty || s.branch.isDefined)
     sb.append(if (needsV4) CommitVersionV4 else CommitVersion)
       .append(PageSource.US).append(log.retain)
-    if (log.ops.nonEmpty || log.tags.nonEmpty || log.streams.nonEmpty)
+    val hdr3 = log.streams.nonEmpty || log.branches.nonEmpty
+    if (log.ops.nonEmpty || log.tags.nonEmpty || hdr3)
       sb.append(PageSource.US).append(log.ops.map {
         case AddCol(n, l, d) => s"add:$n:${if (l) "B" else "S"}:$d"
         case RenCol(o, n) => s"ren:$o:$n"
       }.mkString(","))
-    if (log.tags.nonEmpty || log.streams.nonEmpty)
+    if (log.tags.nonEmpty || hdr3)
       sb.append(PageSource.US).append(log.tags.toSeq.sortBy(_._1)
         .map { case (n, s) => s"$n:$s" }.mkString(","))
-    if (log.streams.nonEmpty)
+    if (hdr3)
       sb.append(PageSource.US).append(log.streams.toSeq.sortBy(_._1)
+        .map { case (n, s) => s"$n:$s" }.mkString(","))
+    if (log.branches.nonEmpty)
+      sb.append(PageSource.US).append(log.branches.toSeq.sortBy(_._1)
         .map { case (n, s) => s"$n:$s" }.mkString(","))
     sb.append('\n')
     log.snapshots.foreach { s =>
@@ -1691,9 +1736,10 @@ object KeyedSource {
         .append(PageSource.US).append(s.tombstones.toSeq.sorted.mkString(","))
         .append(PageSource.US).append(s.edits.toSeq.sortBy(_._1)
           .map { case (k, gs) => s"$k:${gs.mkString("|")}" }.mkString(","))
-      if (s.dvs.nonEmpty)
+      if (s.dvs.nonEmpty || s.branch.isDefined)
         sb.append(PageSource.US).append(s.dvs.toSeq.sortBy(_._1)
           .map { case (k, fs) => s"$k:${fs.mkString("|")}" }.mkString(","))
+      s.branch.foreach(b => sb.append(PageSource.US).append(b))
       sb.append('\n')
     }
     sb.toString
@@ -1746,7 +1792,8 @@ object KeyedSource {
     val nonce = java.util.UUID.randomUUID().toString
     val tmpName = s"$CommitFile.tmp-$nonce"
     val tmp = new org.apache.hadoop.fs.Path(root, tmpName)
-    val dst = new org.apache.hadoop.fs.Path(root, s"$CommitFile.v${log.head.seq}")
+    val dst = new org.apache.hadoop.fs.Path(root,
+      s"$CommitFile.v${log.snapshots.last.seq}")
     writeFile(fs, tmp, renderCommitLog(log))
     val won = claimExclusive(fs, tmp, dst)
     // own tmp (and its checksum twin) goes either way — the claim
@@ -1761,7 +1808,7 @@ object KeyedSource {
       // resolve the max seq, so leftovers are dead weight, never a
       // torn log; a racing reader that listed an older file re-lists
       // on FileNotFound (readCommitLog).
-      versionedLogs(fs, root).filter(_._1 < log.head.seq).foreach { case (_, n) =>
+      versionedLogs(fs, root).filter(_._1 < log.snapshots.last.seq).foreach { case (_, n) =>
         fs.delete(new org.apache.hadoop.fs.Path(root, n), false)
         val c = new org.apache.hadoop.fs.Path(root, s".$n.crc")
         if (fs.exists(c)) fs.delete(c, false)
@@ -1924,9 +1971,10 @@ object KeyedSource {
       val head = log.head
       val keep = math.max(log.retain, 1)
       Some(CommitLog(keep,
-        trimWindow(log.snapshots :+ Snapshot(head.seq + 1, head.gen,
-          head.tombstones, head.edits, head.dvs), keep, log.tags),
-        log.ops ++ ops, log.tags, log.streams))
+        trimWindow(log.snapshots :+ Snapshot(log.nextSeq, head.gen,
+          head.tombstones, head.edits, head.dvs), keep, log.tags,
+          log.branches),
+        log.ops ++ ops, log.tags, log.streams, log.branches))
     }
     applyOps(current, ops, Seq.empty)
   }
@@ -1979,7 +2027,7 @@ object KeyedSource {
       // precedent — a tag is auditable history). No trim here: expiry
       // stays a write-commit side effect.
       Some(log.copy(
-        snapshots = log.snapshots :+ Snapshot(log.head.seq + 1,
+        snapshots = log.snapshots :+ Snapshot(log.nextSeq,
           log.head.gen, log.head.tombstones, log.head.edits, log.head.dvs),
         tags = log.tags + (tag -> target)))
     }
@@ -2004,7 +2052,7 @@ object KeyedSource {
       // the now-unprotected snapshot stays until the next write
       // commit's trim — dropping a tag never deletes data itself
       Some(log.copy(
-        snapshots = log.snapshots :+ Snapshot(log.head.seq + 1,
+        snapshots = log.snapshots :+ Snapshot(log.nextSeq,
           log.head.gen, log.head.tombstones, log.head.edits, log.head.dvs),
         tags = log.tags - tag))
     }
@@ -2022,6 +2070,133 @@ object KeyedSource {
       s"graft-keyed tag '$tag' does not exist at $path " +
         s"(tags: ${log.tags.keys.toSeq.sorted.mkString(",") match {
           case "" => "none"; case s => s }})"))
+  }
+
+  // ── Branch refs (r17 — write-audit-publish at the table layer) ─────
+  //
+  // A BRANCH is a named divergent lineage on the same snapshot log:
+  // branch commits are snapshots tagged with the branch name, invisible
+  // to main (CommitLog.head skips them) and to every main reader, while
+  // main keeps committing underneath. The lifecycle is the reference's
+  // staged promotion (`raw_data/to_processed/` -> `already_processed/`,
+  // /root/reference/README.md:44) at the TABLE layer: fork a branch,
+  // land risky writes on it (write option `branch=<name>`), audit by
+  // reading the branch (read option `branch=<name>`), then PROMOTE with
+  // a fast-forward — one metadata commit that makes main's head the
+  // branch's state — or drop it, and main never saw a byte. Branch
+  // snapshots and the fork point are trim-PROTECTED while the branch
+  // lives (the tag discipline); promote/drop release them.
+
+  /** Create branch `name` forked at `seq` (default: the current main
+    * head). Returns the fork seq. Same naming rules as tags (and the
+    * same numeric-ambiguity refusal); a name may not collide with a
+    * live branch. */
+  def createBranch(spark: org.apache.spark.sql.SparkSession, path: String,
+      name: String, seq: Option[Long] = None): Long = {
+    require(TagName.matcher(name).matches(),
+      s"graft-keyed branch names must match [A-Za-z0-9_.-]+, got '$name'")
+    require(!name.forall(_.isDigit),
+      s"graft-keyed branch names need at least one non-digit, got '$name'")
+    val hconf = spark.sessionState.newHadoopConf()
+    var fork = 0L
+    commitLoop(path, hconf, "branch create") { prior =>
+      val log = prior.getOrElse(throw new UnsupportedOperationException(
+        s"graft-keyed branches live in the snapshot log, but $path has no " +
+          "commit log (legacy flat stage) — restage through the connector " +
+          "writer first"))
+      val target = seq.getOrElse(log.head.seq)
+      if (!log.snapshots.exists(s => s.seq == target && s.branch.isEmpty))
+        throw new IllegalArgumentException(
+          s"graft-keyed cannot branch from snapshot $target at $path: not a " +
+            s"retained main snapshot (retained: ${log.snapshots
+              .filter(_.branch.isEmpty).map(_.seq).mkString(",")})")
+      log.branches.get(name).foreach(existing =>
+        throw new IllegalArgumentException(
+          s"graft-keyed branch '$name' already exists at $path " +
+            s"(forked at $existing) — drop or promote it first"))
+      fork = target
+      // head-duplicate seq burn for the CAS claim (tagSnapshot note)
+      Some(log.copy(
+        snapshots = log.snapshots :+ Snapshot(log.nextSeq,
+          log.head.gen, log.head.tombstones, log.head.edits, log.head.dvs),
+        branches = log.branches + (name -> target)))
+    }
+    fork
+  }
+
+  /** Drop branch `name` without promoting: its snapshots lose trim
+    * protection and age out at the next commit — main never sees its
+    * writes. */
+  def dropBranch(spark: org.apache.spark.sql.SparkSession, path: String,
+      name: String): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    commitLoop(path, hconf, "branch drop") { prior =>
+      val log = prior.getOrElse(throw new UnsupportedOperationException(
+        s"graft-keyed branches live in the snapshot log, but $path has no commit log"))
+      if (!log.branches.contains(name)) throw new IllegalArgumentException(
+        s"graft-keyed branch '$name' does not exist at $path " +
+          s"(branches: ${log.branches.keys.toSeq.sorted.mkString(",") match {
+            case "" => "none"; case s => s }})")
+      Some(log.copy(
+        snapshots = log.snapshots :+ Snapshot(log.nextSeq,
+          log.head.gen, log.head.tombstones, log.head.edits, log.head.dvs),
+        branches = log.branches - name))
+    }
+    ()
+  }
+
+  /** PROMOTE branch `name`: fast-forward main's head to the branch's
+    * state in one metadata commit, then release the branch. Refuses —
+    * loudly, with both states — when main's head no longer matches the
+    * fork state (a DATA commit landed on main since the fork; a
+    * fast-forward would silently discard it — resolve by re-branching
+    * from the fresh head and replaying). Metadata-only main commits
+    * (tags, other branches' bookkeeping) don't block: the check
+    * compares CONTENT, not seq. Returns the new main head seq. */
+  def fastForward(spark: org.apache.spark.sql.SparkSession, path: String,
+      name: String): Long = {
+    val hconf = spark.sessionState.newHadoopConf()
+    var promoted = 0L
+    commitLoop(path, hconf, "branch promote") { prior =>
+      val log = prior.getOrElse(throw new UnsupportedOperationException(
+        s"graft-keyed branches live in the snapshot log, but $path has no commit log"))
+      val fork = log.branches.getOrElse(name, throw new IllegalArgumentException(
+        s"graft-keyed branch '$name' does not exist at $path " +
+          s"(branches: ${log.branches.keys.toSeq.sorted.mkString(",") match {
+            case "" => "none"; case s => s }})"))
+      val forkSnap = log.snapshots.find(_.seq == fork).getOrElse(
+        throw new IllegalStateException(
+          s"graft-keyed branch '$name' fork snapshot $fork not retained — log invariant broken"))
+      val head = log.head
+      val same = head.gen == forkSnap.gen && head.tombstones == forkSnap.tombstones &&
+        head.edits == forkSnap.edits && head.dvs == forkSnap.dvs
+      if (!same) throw new IllegalStateException(
+        s"graft-keyed cannot fast-forward branch '$name' at $path: main " +
+          s"advanced past the fork (fork seq $fork, head seq ${head.seq} " +
+          "with different content) — a fast-forward would discard main's " +
+          "commits; re-branch from the fresh head and replay")
+      val bh = log.branchHead(name)
+      promoted = log.nextSeq
+      // ONE main snapshot adopting the branch head's exact state; the
+      // branch is consumed (write-audit-publish: promote IS the publish)
+      Some(log.copy(
+        snapshots = KeyedSource.trimWindow(
+          log.snapshots :+ Snapshot(promoted, bh.gen, bh.tombstones,
+            bh.edits, bh.dvs),
+          math.max(log.retain, 1), log.tags, log.branches - name),
+        branches = log.branches - name))
+    }
+    promoted
+  }
+
+  /** Resolve a branch to its current head seq for a read; loud with
+    * the known branch list when absent. */
+  private[sources] def resolveBranch(path: String,
+      hconf: org.apache.hadoop.conf.Configuration, name: String): Long = {
+    val log = readCommitLog(path, hconf).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-keyed branch '$name' cannot resolve: $path has no commit log"))
+    log.branchHead(name).seq
   }
 
   /** Apply `ops` to `current`, validating each against the schema state

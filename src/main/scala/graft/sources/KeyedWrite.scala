@@ -91,17 +91,26 @@ final class KeyedWriteBuilder(declared: StructType, path: String, key: String,
       case other => throw new IllegalArgumentException(
         s"graft-keyed supports BIGINT and STRING keys, got $other")
     }
+    // write option `branch=<name>`: land this append on a named branch
+    // (invisible to main until fastForward promotes it — the
+    // write-audit-publish lifecycle at the table layer)
+    val branch = Option(info.options.get("branch")).filter(_.nonEmpty)
+    if (branch.isDefined && overwrite)
+      throw new UnsupportedOperationException(
+        s"graft-keyed branch writes are APPEND-only (branch '${branch.get}'): " +
+          "an overwrite would replace the whole table through a side ref; " +
+          "use mode('append'), or overwrite main directly")
     new KeyedWrite(schema, path, key, sortBy, retain, info.queryId(),
       new org.apache.spark.util.SerializableConfiguration(
         org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()),
-      overwrite)
+      overwrite, branch)
   }
 }
 
 final class KeyedWrite(schema: StructType, path: String, key: String,
     sortBy: Seq[String], retain: Int, queryId: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    overwrite: Boolean = true)
+    overwrite: Boolean = true, branch: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
   override def description(): String =
     s"GraftKeyedWrite path=$path key=$key" +
@@ -116,7 +125,8 @@ final class KeyedWrite(schema: StructType, path: String, key: String,
     (key +: sortBy).map(c =>
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
   override def toBatch: BatchWrite =
-    new KeyedBatchWrite(schema, path, key, sortBy, retain, queryId, conf, overwrite)
+    new KeyedBatchWrite(schema, path, key, sortBy, retain, queryId, conf,
+      overwrite, branch)
   // streaming ingest (r17): same clustered distribution, epoch-committed
   // through the same CAS publish — see KeyedStreamingWrite
   override def toStreaming
@@ -137,7 +147,7 @@ final case class KeyedCommitMessage(keys: Seq[KeyedKeyStats],
 final class KeyedBatchWrite(schema: StructType, path: String, key: String,
     sortBy: Seq[String], retain: Int, queryId: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    overwrite: Boolean = true) extends BatchWrite {
+    overwrite: Boolean = true, branch: Option[String] = None) extends BatchWrite {
 
   private def genName = s"_gen-$queryId"
 
@@ -172,15 +182,17 @@ final class KeyedBatchWrite(schema: StructType, path: String, key: String,
       wasLegacyFlat = prior.isEmpty
       priorGens = prior.fold(Set.empty[String])(_.snapshots
         .flatMap(_.referencedGens).toSet)
-      val newSeq = prior.map(_.head.seq + 1).getOrElse(1L)
+      val newSeq = prior.map(_.nextSeq).getOrElse(1L)
       val keep = math.max(math.max(prior.fold(1)(_.retain), retain), 1)
       Some(KeyedSource.CommitLog(keep,
         KeyedSource.trimWindow(prior.map(_.snapshots).getOrElse(Seq.empty) :+
           KeyedSource.Snapshot(newSeq, genName, Set.empty), keep,
-          prior.fold(Map.empty[String, Long])(_.tags)),
+          prior.fold(Map.empty[String, Long])(_.tags),
+          prior.fold(Map.empty[String, Long])(_.branches)),
         prior.fold(Seq.empty[KeyedSource.SchemaOp])(_.ops),
         prior.fold(Map.empty[String, Long])(_.tags),
-        prior.fold(Map.empty[String, Long])(_.streams)))
+        prior.fold(Map.empty[String, Long])(_.streams),
+        prior.fold(Map.empty[String, Long])(_.branches)))
     }.get
     // cleanup AFTER the claim — readers resolve the log first, so
     // everything below is dead weight; a crash here leaves orphans a
@@ -230,7 +242,10 @@ final class KeyedBatchWrite(schema: StructType, path: String, key: String,
             s"$path has no commit log (legacy flat stage or empty path) — " +
             "write with mode('overwrite') / stageKeyed first")
       }
-      val head = log.head
+      // the append's BASE ref: main's head, or the named branch's head
+      // (branch appends diverge invisibly — main readers skip branch
+      // snapshots by construction)
+      val head = branch.fold(log.head)(log.branchHead)
       priorGens = log.snapshots
         .flatMap(_.referencedGens).toSet
       val baseKeys: Set[String] = {
@@ -248,11 +263,12 @@ final class KeyedBatchWrite(schema: StructType, path: String, key: String,
       val keep = math.max(math.max(log.retain, retain), 1)
       // appends only ever ADD directories at the end of a key's stream,
       // so existing deletion-vector ordinals stay valid and carry as-is
-      val snap = KeyedSource.Snapshot(head.seq + 1, head.gen,
-        head.tombstones -- written, edits, head.dvs)
+      val snap = KeyedSource.Snapshot(log.nextSeq, head.gen,
+        head.tombstones -- written, edits, head.dvs, branch = branch)
       Some(KeyedSource.CommitLog(keep,
-        KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags),
-        log.ops, log.tags, log.streams))
+        KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags,
+          log.branches),
+        log.ops, log.tags, log.streams, log.branches))
     }.get
     val live = published.snapshots
       .flatMap(_.referencedGens).toSet
@@ -581,7 +597,7 @@ final class KeyedStreamingWrite(schema: StructType, path: String, key: String,
           priorGens = log.snapshots.flatMap(_.referencedGens).toSet
           val keep = math.max(math.max(log.retain, retain), 1)
           val snap =
-            if (overwrite) KeyedSource.Snapshot(head.seq + 1, gname, Set.empty)
+            if (overwrite) KeyedSource.Snapshot(log.nextSeq, gname, Set.empty)
             else {
               // append publish — identical shape to the batch
               // appendCommit: written keys gain this generation as an
@@ -598,14 +614,16 @@ final class KeyedStreamingWrite(schema: StructType, path: String, key: String,
                   if (baseKeys.contains(k) && !head.tombstones.contains(k))
                     Seq(head.gen)
                   else Seq.empty)
-              KeyedSource.Snapshot(head.seq + 1, head.gen,
+              KeyedSource.Snapshot(log.nextSeq, head.gen,
                 head.tombstones -- written,
                 head.edits ++ written.toSeq.map(k => k -> (priorLive(k) :+ gname)),
                 head.dvs)
             }
           Some(KeyedSource.CommitLog(keep,
-            KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags),
-            log.ops, log.tags, log.streams + (queryId -> epochId)))
+            KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags,
+              log.branches),
+            log.ops, log.tags, log.streams + (queryId -> epochId),
+            log.branches))
       }
     }
     if (replayed) { fs.delete(gen, true); return }

@@ -65,16 +65,17 @@ class BenchFormatSpec extends AnyFunSuite {
       s"bench line worst-case ${line.length} chars exceeds ${Bench.LineBudget}")
     val omitted = "\"queries_omitted\":(\\d+)".r.findFirstMatchIn(line)
       .fold(0)(_.group(1).toInt)
-    // registry GROWTH legitimately raises the shed (every new query
-    // adds ~14 worst-case chars to the full map); a FORMAT regression
-    // (longer keys, wider numbers) raises it disproportionately — so
-    // the bound rides the registry size instead of a frozen constant
-    // (absolute 15 broke at 171 queries for growth alone, r16).
-    // names/8, not /10: the r16 iowait adjudication column is a
-    // DELIBERATE ~5-char-per-slow-row widening (2 extra worst-case
-    // sheds), priced in here rather than absorbed silently
-    assert(omitted <= names.length / 8,
-      s"self-cap shed $omitted of ${names.length} rows — format regressed")
+    // registry GROWTH legitimately raises the shed roughly one-for-one
+    // past the line's ~150-row worst-case capacity (every new query
+    // adds ~11-14 worst-case chars to the full map); a FORMAT
+    // regression (longer keys, wider numbers) raises it
+    // disproportionately. So the bound is the OVERFLOW past capacity,
+    // not a fraction of the registry — fractional bounds (/10 at r16,
+    // /8 at r17) broke on growth alone every few added queries while
+    // staying blind to a many-rows-wide regression at small registries
+    assert(omitted <= math.max(0, names.length - 150),
+      s"self-cap shed $omitted of ${names.length} rows — format regressed " +
+        s"(worst-case capacity ~150 rows)")
   }
 
   test("self-cap at a simulated 200-query registry: slowest rows stay, line fits (r14 #5)") {

@@ -1,0 +1,161 @@
+package graft
+
+import graft.sources.KeyedSource
+import org.apache.spark.sql.DataFrame
+
+/** Branch refs on the keyed snapshot log (r17 — write-audit-publish at
+  * the table layer, the reference's staged promotion
+  * `to_processed` → `already_processed` as a ref lifecycle). Pins:
+  * (1) ISOLATION — appends on a branch are invisible to main, to main
+  *     time travel, and to tags, while branch reads see them;
+  * (2) PROMOTE — fastForward makes main's head the branch state in one
+  *     metadata commit (no data movement), and consumes the branch;
+  * (3) fast-forward REFUSES when main took a data commit past the
+  *     fork (never silently discards main's writes), but tolerates
+  *     metadata-only head burns (tags);
+  * (4) RETENTION — branch snapshots and the fork survive main-side
+  *     trims while the branch lives; a dropped branch's snapshots age
+  *     out at the next commit;
+  * (5) name hygiene — numeric/duplicate branch names refuse. */
+class KeyedBranchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ddl = "kb BIGINT, doc_id BIGINT, source STRING, n_chars BIGINT"
+  private def hconf = spark.sessionState.newHadoopConf()
+
+  private def df(n: Long, off: Long = 0L) =
+    (0L until n).map(i => ((i + off) % 4L, i + off, s"s${i % 3L}", (i * 7L) % 101L))
+      .toDF("kb", "doc_id", "source", "n_chars")
+
+  private def readKeyed(dir: String, asOf: Option[Long] = None,
+      branch: Option[String] = None): DataFrame = {
+    var r = spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", ddl).option("key", "kb")
+    asOf.foreach(v => r = r.option("asOf", v.toString))
+    branch.foreach(b => r = r.option("branch", b))
+    r.load()
+  }
+
+  private def appendTo(dir: String, d: DataFrame, branch: Option[String] = None): Unit = {
+    var w = d.write.format("graft-keyed").option("schema", ddl)
+      .option("key", "kb").option("sortBy", "doc_id")
+    branch.foreach(b => w = w.option("branch", b))
+    w.mode("append").save(dir)
+  }
+
+  test("branch appends are invisible to main until fastForward promotes them") {
+    val dir = graft.io.TempDirs.scratch("graft_branch_") + "/t"
+    KeyedSource.stageKeyed(spark, df(16L), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 4)
+    val fork = KeyedSource.createBranch(spark, dir, "backfill")
+    assert(fork == 1L)
+
+    appendTo(dir, df(4L, off = 100L), branch = Some("backfill"))
+    appendTo(dir, df(2L, off = 200L), branch = Some("backfill"))
+
+    // ISOLATION: main sees none of it, on any main read surface
+    assert(readKeyed(dir).count() == 16L, "main must not see branch writes")
+    assert(spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", ddl).option("key", "kb").load()
+      .where($"doc_id" >= 100L).count() == 0L)
+    // the branch sees its own lineage
+    assert(readKeyed(dir, branch = Some("backfill")).count() == 22L)
+    // time travel within the branch lineage: each branch commit is a
+    // retained snapshot
+    val log = KeyedSource.readCommitLog(dir, hconf).get
+    val branchSeqs = log.snapshots.filter(_.branch.contains("backfill")).map(_.seq)
+    assert(branchSeqs.length == 2)
+    assert(readKeyed(dir, asOf = Some(branchSeqs.head)).count() == 20L)
+
+    // PROMOTE: one metadata commit; main adopts the branch state; the
+    // branch is consumed
+    val promoted = KeyedSource.fastForward(spark, dir, "backfill")
+    assert(readKeyed(dir).count() == 22L)
+    assert(readKeyed(dir).where($"doc_id" >= 100L).count() == 6L)
+    val after = KeyedSource.readCommitLog(dir, hconf).get
+    assert(after.head.seq == promoted)
+    assert(after.branches.isEmpty, "promote consumes the branch")
+    intercept[IllegalArgumentException] {
+      readKeyed(dir, branch = Some("backfill")).collect()
+    }
+    // pre-promotion main time travel still reads the pre-branch state
+    assert(readKeyed(dir, asOf = Some(1L)).count() == 16L)
+  }
+
+  test("fastForward refuses after a main data commit, tolerates metadata-only burns") {
+    val dir = graft.io.TempDirs.scratch("graft_branch_ff_") + "/t"
+    KeyedSource.stageKeyed(spark, df(8L), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 4)
+    KeyedSource.createBranch(spark, dir, "risky")
+    appendTo(dir, df(2L, off = 500L), branch = Some("risky"))
+
+    // a metadata-only head burn (tag) must NOT block the fast-forward
+    KeyedSource.tagSnapshot(spark, dir, "pin")
+    // ...but a DATA commit on main must
+    appendTo(dir, df(1L, off = 900L))
+    val e = intercept[IllegalStateException] {
+      KeyedSource.fastForward(spark, dir, "risky")
+    }
+    assert(e.getMessage.contains("main advanced past the fork"), e.getMessage)
+    // main's commit survived; the branch is still intact for re-work
+    assert(readKeyed(dir).count() == 9L)
+    assert(readKeyed(dir, branch = Some("risky")).count() == 10L)
+
+    // drop instead: main never sees the branch rows; snapshots age out
+    // at the next commit's trim
+    KeyedSource.dropBranch(spark, dir, "risky")
+    assert(readKeyed(dir).count() == 9L)
+    appendTo(dir, df(1L, off = 901L)) // trim sweeps the dropped branch
+    val log = KeyedSource.readCommitLog(dir, hconf).get
+    assert(!log.snapshots.exists(_.branch.isDefined),
+      "a dropped branch's snapshots must age out at the next trim")
+    assert(readKeyed(dir).count() == 10L)
+  }
+
+  test("retention: branch snapshots and fork survive main-side trims while the branch lives") {
+    val dir = graft.io.TempDirs.scratch("graft_branch_ret_") + "/t"
+    KeyedSource.stageKeyed(spark, df(8L), dir, "kb", retain = 1)
+    KeyedSource.createBranch(spark, dir, "slow")
+    appendTo(dir, df(2L, off = 300L), branch = Some("slow"))
+    // main churns: retain=1 trims main history aggressively
+    KeyedSource.stageKeyed(spark, df(6L, off = 50L), dir, "kb", retain = 1)
+    KeyedSource.stageKeyed(spark, df(4L, off = 60L), dir, "kb", retain = 1)
+    val log = KeyedSource.readCommitLog(dir, hconf).get
+    assert(log.snapshots.exists(_.seq == 1L), "the fork point must survive")
+    assert(log.snapshots.exists(_.branch.contains("slow")),
+      "branch snapshots must survive main trims")
+    // the branch still reads its full pre-churn lineage
+    assert(readKeyed(dir, branch = Some("slow")).count() == 10L)
+    // main reads the latest overwrite only
+    assert(readKeyed(dir).count() == 4L)
+    // promote now refuses (main rewrote itself past the fork)
+    intercept[IllegalStateException] {
+      KeyedSource.fastForward(spark, dir, "slow")
+    }
+  }
+
+  test("branch name hygiene: numeric, duplicate, unknown, and overwrite-through-branch refuse") {
+    val dir = graft.io.TempDirs.scratch("graft_branch_nm_") + "/t"
+    KeyedSource.stageKeyed(spark, df(4L), dir, "kb", retain = 2)
+    intercept[IllegalArgumentException] {
+      KeyedSource.createBranch(spark, dir, "2024")
+    }
+    KeyedSource.createBranch(spark, dir, "b1")
+    intercept[IllegalArgumentException] {
+      KeyedSource.createBranch(spark, dir, "b1")
+    }
+    intercept[IllegalArgumentException] {
+      KeyedSource.dropBranch(spark, dir, "nope")
+    }
+    intercept[IllegalArgumentException] {
+      readKeyed(dir, branch = Some("nope")).collect()
+    }
+    val e = intercept[Exception] {
+      df(2L).write.format("graft-keyed").option("schema", ddl)
+        .option("key", "kb").option("branch", "b1")
+        .mode("overwrite").save(dir)
+    }
+    assert((e.getMessage + Option(e.getCause).fold("")(_.getMessage))
+      .contains("APPEND-only"), e.getMessage)
+  }
+}
