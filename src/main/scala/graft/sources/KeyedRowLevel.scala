@@ -307,11 +307,16 @@ final class KeyedCowWriterFactory(schema: StructType, key: String,
   *  - a delete costs O(deleted rows) bytes and one CAS swap, however
   *    large the key directories are (copy-on-write pays a full
   *    directory rewrite for one doomed row);
-  *  - reads pay a per-row bitset probe, COLUMNAR decode drops to the
-  *    row path for DV'd keys, and the sidecar's metadata answers
-  *    (pushed aggregates, TopN budgets) REFUSE until a compaction
-  *    folds the deletes into clean files ([[KeyedCompact]] treats DV'd
-  *    keys as eligible and clears their vectors).
+  *  - reads pay a per-row bitset probe and COLUMNAR decode drops to
+  *    the row path for DV'd keys until a compaction folds the deletes
+  *    into clean files ([[KeyedCompact]] treats DV'd keys as eligible
+  *    and clears their vectors). Metadata AGGREGATE answers survive
+  *    (r17): the commit recomputes the affected keys' exact
+  *    count/min/max/sum into a stats PATCH — one bounded read-only
+  *    job over the affected keys, raising the commit's READ cost from
+  *    O(deleted rows) to O(affected keys' rows) while keeping every
+  *    later stats question a metadata lookup. TopN budgets still
+  *    refuse under dvs (ordinal budgets need per-directory counts).
   *
   * Conflict detection is the serializable scanned-seq check: positions
   * are ordinals into the SCANNED snapshot's file lists; any commit
@@ -432,6 +437,95 @@ final class KeyedMorBatchWrite(op: KeyedMorOperation,
     require(scan != null,
       "graft-keyed merge-on-read commit reached without a configured scan")
     val scannedSeq = scan.view.seq
+    // ── STATS PATCH (r17): recompute the affected keys' post-delete
+    // stats so min/max/sum stay metadata-answered under live deletion
+    // vectors (they don't decompose under row deletion — count does,
+    // via the dv filenames). One bounded read-only job over EXACTLY
+    // the affected keys' DV-applied rows, anti-joined against this
+    // commit's own deleted ordinal ranges (tiny, broadcast); the
+    // result — one stats line per affected key — lands as a patch
+    // file inside this generation, atomic with the commit. Honest
+    // cost statement: this raises the DV commit from O(deleted rows)
+    // to O(affected keys' rows) READ (writes stay O(deleted)); the
+    // alternative was every later stats question paying a data scan
+    // until compaction.
+    if (perKey.nonEmpty) {
+      val s = org.apache.spark.sql.SparkSession.active
+      import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min, sum}
+      val ranges: Seq[(String, Long, Long)] = perKey.toSeq.flatMap {
+        case (k, refs) => refs.flatMap { case (ref, _) =>
+          val in = fs.open(new org.apache.hadoop.fs.Path(root, ref))
+          val lines = try scala.io.Source.fromInputStream(in, "US-ASCII")
+            .getLines().filter(_.nonEmpty).toVector finally in.close()
+          lines.map { line =>
+            val dash = line.indexOf('-')
+            if (dash < 0) (k, line.toLong, line.toLong)
+            else (k, line.substring(0, dash).toLong, line.substring(dash + 1).toLong)
+          }
+        }
+      }
+      val keyVals: Seq[Any] = declared(key).dataType match {
+        case LongType => perKey.keys.toSeq.map(_.toLong)
+        case _ => perKey.keys.toSeq
+      }
+      import s.implicits._
+      val rng = ranges.toDF("_dv_k", "_dv_s", "_dv_e")
+      val survivors = s.read.format("graft-keyed")
+        .option("path", path).option("schema", declared.toDDL)
+        .option("key", key).option("asOf", scannedSeq.toString)
+        .load()
+        .where(col(key).isin(keyVals: _*))
+        .select(col("*"), col(KeyedSource.KeyCol), col(KeyedSource.PosCol))
+        .join(broadcast(rng),
+          col(KeyedSource.KeyCol) === col("_dv_k") &&
+            col(KeyedSource.PosCol).between(col("_dv_s"), col("_dv_e")),
+          "left_anti")
+      val aggExprs = count(lit(1)).as("_n") +:
+        declared.fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
+          Seq(min(col(f.name)).as(s"_mn$i"), max(col(f.name)).as(s"_mx$i")) ++
+            (if (f.dataType == LongType) Seq(sum(col(f.name)).as(s"_sm$i")) else Nil)
+        }
+      // bounded collect: ONE row per affected key (the same driver
+      // payload class as the dv refs themselves)
+      val agg = survivors.groupBy(col(KeyedSource.KeyCol).as("_pk"))
+        .agg(aggExprs.head, aggExprs.tail: _*).collect()
+        .map { r =>
+          val n = declared.length
+          val mins = new Array[String](n); val maxs = new Array[String](n)
+          val sums = new Array[Long](n)
+          declared.fields.zipWithIndex.foreach { case (f, i) =>
+            if (f.dataType == LongType) {
+              mins(i) = r.getAs[Long](s"_mn$i").toString
+              maxs(i) = r.getAs[Long](s"_mx$i").toString
+              sums(i) = r.getAs[Long](s"_sm$i")
+            } else {
+              mins(i) = r.getAs[String](s"_mn$i")
+              maxs(i) = r.getAs[String](s"_mx$i")
+            }
+          }
+          r.getAs[String]("_pk") ->
+            KeyedStats.Entry(r.getAs[String]("_pk"), r.getAs[Long]("_n"),
+              mins, maxs, sums)
+        }.toMap
+      val scanView = scan.view
+      val patchEntries: Seq[(KeyedStats.Entry, Int)] = perKey.keys.toSeq.sorted
+        .map { k =>
+          // covered = the key's serving-dir count at the scanned
+          // snapshot; the UPDATE path's own appended generation (and
+          // any later append) adds its sidecar entry ON TOP
+          val covered = scanView.edits.get(k).map(_.length).getOrElse(1)
+          val n = declared.length
+          agg.get(k) match {
+            case Some(e) => (e, covered)
+            case None => // every row of k deleted: explicit zero entry
+              (KeyedStats.Entry(k, 0L, Array.fill(n)(""), Array.fill(n)(""),
+                Array.fill(n)(0L)), covered)
+          }
+        }
+      KeyedSource.writeFile(fs,
+        new org.apache.hadoop.fs.Path(gen, KeyedStats.PatchFile),
+        KeyedStats.renderPatch(declared, key, patchEntries))
+    }
     if (KeyedSource.failBeforePublish) throw new IllegalStateException(
       "graft-keyed test hook: crash before publish")
     var priorGens = Set.empty[String]

@@ -585,25 +585,19 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
     if (cowHost.isDefined || sawUnconsumed) return false
     KeyedStatsScan.translate(agg, full, key) match {
       case Some((groupByKey, stats, schema)) =>
-        // Deletion vectors subtract rows the sidecar's min/max/sum
-        // still include — those refuse until compaction folds the
-        // deletes in. COUNTS stay exact: every dv ref carries its
-        // cardinality in the filename, so count answers are the
-        // sidecar counts minus the per-key dv totals, still zero data
-        // files opened (the metadata-counts-survive-deletes rule —
-        // the snapshots table already prices deletions this way)
-        if (view.dvs.nonEmpty &&
-            !stats.forall(_.isInstanceOf[KeyedStats.CountStat])) return false
+        // Deletion vectors: readView already serves DV-corrected
+        // entries — patched keys carry EXACT post-delete min/max/sum
+        // (the DV commit's stats patch, r17) and fully-deleted keys
+        // drop. Only a key a pre-r17 dv commit touched last has no
+        // patch: its count stays exact (dv filenames carry their
+        // cardinality) but min/max/sum still include deleted rows, so
+        // non-count aggregates refuse exactly for those views.
         KeyedStats.readView(view, conf, full, key) match {
           case Some(sc) =>
-            val entries =
-              if (view.dvs.isEmpty) sc.entries
-              else sc.entries.map { e =>
-                val dv = view.dvs.get(e.rawKey)
-                  .fold(0L)(_.map(KeyedSource.dvCountOf).sum)
-                if (dv == 0L) e else e.copy(count = e.count - dv)
-              }
-            statsPlan = Some((groupByKey, stats, schema, entries))
+            if (sc.unresolvedDvKeys.nonEmpty &&
+                !stats.forall(_.isInstanceOf[KeyedStats.CountStat]))
+              return false
+            statsPlan = Some((groupByKey, stats, schema, sc.entries))
             true
           case None => false
         }
@@ -768,17 +762,10 @@ class KeyedScan(full: StructType, required: StructType,
         })
       }
     }
-    // deletion vectors subtract from the sidecar's stored counts (the
-    // dv filename carries its cardinality — no file opened); min/max/
-    // NDV stay estimates until compaction folds the deletes in, which
-    // is also why pushAggregation refuses under dvs
-    val rows = surviving.map { es =>
-      val keys = es.map(_.rawKey).toSet
-      es.map(_.count).sum - view.dvs.collect {
-        case (k, refs) if keys.contains(k) =>
-          refs.map(KeyedSource.dvCountOf).sum
-      }.sum
-    }
+    // readView already DV-corrects entry counts (patch or filename
+    // cardinality), so the estimate is a plain sum; min/max/NDV stay
+    // estimates for unpatched keys only
+    val rows = surviving.map(_.map(_.count).sum)
     val colStats = empty
     for (sc <- sidecar; t <- sc.table; entries <- surviving) {
       val rowCount = rows.getOrElse(0L)

@@ -57,6 +57,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object KeyedStats {
   val SidecarFile = "_graft_keyed_stats"
+  /** Post-deletion stats override (r17): written INSIDE a deletion-
+    * vector commit's generation, one entry per affected key holding
+    * the key's EXACT count/min/max/sum over the surviving rows (min/
+    * max don't decompose under row deletion — the DV commit
+    * recomputes them with a bounded scan of exactly the affected
+    * keys, so every later stats question answers from metadata
+    * again). Each entry records how many of the key's serving
+    * directories it COVERS: generations appended after the patch add
+    * their own sidecar entries on top, and a later DV commit writes a
+    * newer patch. A dv ref whose generation carries no patch entry
+    * (pre-r17 commits) falls back to the count-only correction. */
+  val PatchFile = "_graft_keyed_stats_patch"
+  val PatchVersion = "graft-keyed-stats-patch v1"
   // v2 (r15): stats derive in the WRITERS (write-audit-publish — from
   // exactly the rows committed, no read-back pass) and the sidecar
   // gains one TABLE line: total row count + per-column KMV distinct
@@ -77,8 +90,12 @@ object KeyedStats {
   /** Parsed sidecar: per-key entries plus the table line (absent only
     * in a zero-entry layout's degenerate case — the writer always
     * emits it, but the reader treats it as optional so the per-key
-    * surfaces never depend on it). */
-  final case class Sidecar(entries: Seq[Entry], table: Option[TableNdv])
+    * surfaces never depend on it). `unresolvedDvKeys` (view reads
+    * only): keys whose entries carry EXACT counts but whose min/max/
+    * sum still include DV-deleted rows — no patch was available, so
+    * non-count aggregates must refuse for views containing them. */
+  final case class Sidecar(entries: Seq[Entry], table: Option[TableNdv],
+      unresolvedDvKeys: Set[String] = Set.empty)
 
   /** The stat one pushed aggregate expression reads from an entry.
     * `sentinel` is the zero-survivor value (bare aggregates only). */
@@ -150,6 +167,66 @@ object KeyedStats {
       sb.append('\n')
     }
     sb.toString
+  }
+
+  /** Render the deletion-vector stats patch ([[PatchFile]]): header
+    * pins version + schema + key like the sidecar; one line per
+    * affected key = key, covered-dir count, then the entry fields in
+    * sidecar order. A fully-deleted key writes count=0 with empty
+    * min/max placeholders (never read — zero-count entries drop). */
+  private[sources] def renderPatch(schema: StructType, key: String,
+      entries: Seq[(Entry, Int)]): String = {
+    val sb = new StringBuilder
+    sb.append(PatchVersion).append(PageSource.US).append(schemaTag(schema))
+      .append(PageSource.US).append(key).append('\n')
+    entries.sortBy(_._1.rawKey).foreach { case (e, covered) =>
+      sb.append(e.rawKey).append(PageSource.US).append(covered)
+        .append(PageSource.US).append(e.count)
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        sb.append(PageSource.US).append(e.mins(i))
+          .append(PageSource.US).append(e.maxs(i))
+        if (f.dataType == LongType) sb.append(PageSource.US).append(e.sums(i))
+      }
+      sb.append('\n')
+    }
+    sb.toString
+  }
+
+  /** Parse a generation's stats patch. None ⇒ no patch (pre-r17 DV
+    * commit) or header mismatch — callers fall back to the count-only
+    * correction for that key. */
+  private[graft] def readPatch(genRoot: String,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      declared: StructType, key: String): Option[Map[String, (Entry, Int)]] = {
+    val p = new org.apache.hadoop.fs.Path(genRoot, PatchFile)
+    val fs = p.getFileSystem(conf.value)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = text.split("\n", -1).filter(_.nonEmpty)
+    if (lines.isEmpty) return None
+    val header = lines.head.split(PageSource.US, -1)
+    if (header.length != 3 || header(0) != PatchVersion ||
+        header(1) != schemaTag(declared) || header(2) != key) return None
+    val arity = lineArity(declared) + 1 // + covered field
+    val n = declared.length
+    Some(lines.tail.map { line =>
+      val f = line.split(PageSource.US, -1)
+      if (f.length != arity) throw new IllegalStateException(
+        s"graft-keyed stats patch corrupted at $genRoot: line has ${f.length} " +
+          s"fields, schema implies $arity (head: ${line.take(80)})")
+      val mins = new Array[String](n)
+      val maxs = new Array[String](n)
+      val sums = new Array[Long](n)
+      var i = 0
+      var pos = 3
+      while (i < n) {
+        mins(i) = f(pos); maxs(i) = f(pos + 1); pos += 2
+        if (declared(i).dataType == LongType) { sums(i) = f(pos).toLong; pos += 1 }
+        i += 1
+      }
+      f(0) -> (Entry(f(0), f(2).toLong, mins, maxs, sums), f(1).toInt)
+    }.toMap)
   }
 
   /** Parse the sidecar against the DECLARED schema + key. None ⇒ no
@@ -268,26 +345,78 @@ object KeyedStats {
       conf: org.apache.spark.util.SerializableConfiguration,
       declared: StructType, key: String): Option[Sidecar] = {
     val base = read(view.root, conf, declared, key)
-    if (view.edits.isEmpty) return base
-    base.flatMap { b =>
-      val perGen = scala.collection.mutable.Map.empty[String, Option[Sidecar]]
-      def sidecarOf(g: String): Option[Sidecar] =
-        perGen.getOrElseUpdate(g, read(view.genRoot(g), conf, declared, key))
-      val baseOnly = b.entries.filterNot(e =>
-        view.tombstones.contains(e.rawKey) || view.edits.contains(e.rawKey))
-      val edited: Option[Seq[Entry]] = view.edits.toSeq.sortBy(_._1)
-        .foldLeft(Option(Seq.empty[Entry])) { case (acc, (k, gens)) =>
-          for {
-            a <- acc
-            parts <- {
-              val es = gens.map(g =>
-                sidecarOf(g).flatMap(_.entries.find(_.rawKey == k)))
-              if (es.forall(_.isDefined)) Some(es.flatten) else None
-            }
-          } yield a :+ mergeEntries(declared, parts)
-        }
-      edited.map(ed => Sidecar(baseOnly ++ ed, None))
+    val perGen = scala.collection.mutable.Map.empty[String, Option[Sidecar]]
+    def sidecarOf(g: String): Option[Sidecar] =
+      perGen.getOrElseUpdate(g, read(view.genRoot(g), conf, declared, key))
+    val merged: Option[Sidecar] =
+      if (view.edits.isEmpty) base
+      else base.flatMap { b =>
+        val baseOnly = b.entries.filterNot(e =>
+          view.tombstones.contains(e.rawKey) || view.edits.contains(e.rawKey))
+        val edited: Option[Seq[Entry]] = view.edits.toSeq.sortBy(_._1)
+          .foldLeft(Option(Seq.empty[Entry])) { case (acc, (k, gens)) =>
+            for {
+              a <- acc
+              parts <- {
+                val es = gens.map(g =>
+                  sidecarOf(g).flatMap(_.entries.find(_.rawKey == k)))
+                if (es.forall(_.isDefined)) Some(es.flatten) else None
+              }
+            } yield a :+ mergeEntries(declared, parts)
+          }
+        edited.map(ed => Sidecar(baseOnly ++ ed, None))
+      }
+    if (view.dvs.isEmpty) merged
+    else merged.map(sc => applyDvs(view, conf, declared, key, sc, sidecarOf))
+  }
+
+  /** Deletion-vector correction of a view's entries (r17). Entries of
+    * DV-free keys pass through. A DV'd key resolves through its LAST
+    * dv ref's generation PATCH (exact post-delete stats) merged with
+    * the sidecar entries of any generations appended after the patch;
+    * with no patch (pre-r17 dv commit) the entry keeps its exact
+    * count (sidecar count minus the dv filenames' cardinalities) but
+    * its min/max/sum still include deleted rows — the key lands in
+    * `unresolvedDvKeys` and non-count aggregates refuse. A key whose
+    * every row is deleted DROPS from the entries: the group is gone,
+    * exactly what the data scan would answer. */
+  private def applyDvs(view: KeyedSource.SnapshotView,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      declared: StructType, key: String, sc: Sidecar,
+      sidecarOf: String => Option[Sidecar]): Sidecar = {
+    val patches = scala.collection.mutable.Map
+      .empty[String, Option[Map[String, (Entry, Int)]]]
+    def patchOf(g: String): Option[Map[String, (Entry, Int)]] =
+      patches.getOrElseUpdate(g, readPatch(view.genRoot(g), conf, declared, key))
+    var unresolved = Set.empty[String]
+    val entries = sc.entries.flatMap { e =>
+      view.dvs.get(e.rawKey) match {
+        case None => Some(e)
+        case Some(refs) =>
+          val dirList: Seq[String] =
+            view.edits.getOrElse(e.rawKey, view.gen.toSeq)
+          val lastGen = refs.last.takeWhile(_ != '/')
+          def countFallback: Option[Entry] = {
+            val dv = refs.map(KeyedSource.dvCountOf).sum
+            val c = e.count - dv
+            if (c <= 0L) None
+            else { unresolved += e.rawKey; Some(e.copy(count = c)) }
+          }
+          patchOf(lastGen).flatMap(_.get(e.rawKey)) match {
+            case Some((pe, covered)) if covered <= dirList.length =>
+              val later = dirList.drop(covered).map(g =>
+                sidecarOf(g).flatMap(_.entries.find(_.rawKey == e.rawKey)))
+              if (later.forall(_.isDefined)) {
+                // a zero-count patch entry holds placeholder min/max —
+                // merge only the real parts
+                val parts = (if (pe.count > 0) Seq(pe) else Nil) ++ later.flatten
+                if (parts.isEmpty) None else Some(mergeEntries(declared, parts))
+              } else countFallback
+            case _ => countFallback
+          }
+      }
     }
+    Sidecar(entries, sc.table, unresolved)
   }
 }
 
@@ -392,16 +521,16 @@ final class KeyedSnapshotsScan(declared: StructType, path: String, key: String,
           // that snapshot would see
           val view = KeyedSource.SnapshotView(path, snap.seq,
             Some(snap.gen), snap.tombstones, snap.edits, dvs = snap.dvs)
+          // readView serves DV-corrected entries (patched keys exact,
+          // unpatched keys count-corrected from the dv filenames'
+          // cardinality, fully-deleted keys dropped — a key with zero
+          // live rows is not a live key)
           val visible = KeyedStats.readView(view, conf, declared, key)
             .map(_.entries.filterNot(e => snap.tombstones.contains(e.rawKey)))
-          // deletion vectors subtract from the stored counts (cardinality
-          // rides the dv filename — zero files opened, like the rest)
-          val dvRows = snap.dvs.valuesIterator.flatten
-            .map(KeyedSource.dvCountOf).sum
           Array[Any](snap.seq,
             visible.fold(null: Any)(v => v.length.toLong),
             snap.tombstones.size.toLong,
-            visible.fold(null: Any)(_.map(_.count).sum - dvRows))
+            visible.fold(null: Any)(_.map(_.count).sum))
         }
       }
     Array(KeyedStatsPartition(rows))

@@ -9,10 +9,11 @@ import org.apache.spark.sql.types.StructType
   * only — ZERO data files rewritten (byte-identity), one CAS swap —
   * and reads exclude exactly the deleted rows; (2) a second delete on
   * the same key APPENDS dv refs and composes; (3) key-grain DELETE
-  * still takes the tombstone path (no dvs, no rewrite); (4) honest
-  * metadata refusals under dvs: pushed aggregates fall back to the
-  * (DV-applying) data scan, the snapshots metadata table subtracts dv
-  * cardinalities; (5) the `_graft_pos` metadata column is selectable
+  * still takes the tombstone path (no dvs, no rewrite); (4) metadata
+  * answers SURVIVE dvs (r17): the DV commit's stats patch keeps
+  * count/min/max/sum metadata-answered and exact; without a patch
+  * (pre-r17 commits) counts stay answered and the rest falls back to
+  * the DV-applying data scan; (5) the `_graft_pos` metadata column is selectable
   * and deleted ordinals vanish from it; (6) CDC prices a MOR-delete
   * interval at the DELTA: one partition, only the newly-deleted rows,
   * tagged 'delete'; (7) compaction folds DVs into clean files —
@@ -105,7 +106,7 @@ class KeyedMorSpec extends SparkSpec {
     assert(readKeyed(dir).count() == 61L - 16L)
   }
 
-  test("honest metadata under dvs: counts subtract from dv filenames, min/max/sum fall back") {
+  test("metadata answers survive dvs: the stats patch keeps min/max/sum exact; no patch = counts only") {
     val dir = graft.io.TempDirs.scratch("graft_mor_meta_") + "/t"
     KeyedSource.stageKeyed(spark, df(32L), dir, "kb",
       sortBy = Seq("doc_id"), retain = 4)
@@ -113,29 +114,52 @@ class KeyedMorSpec extends SparkSpec {
     val agg = () => spark.sql(s"SELECT kb, count(*) AS n FROM $t GROUP BY kb")
     assert(agg().queryExecution.executedPlan.toString.contains("GraftKeyedStats"))
     spark.sql(s"DELETE FROM $t WHERE doc_id = 6") // kb=2
-    // COUNTS stay metadata-answered: the dv filename carries its
-    // cardinality, so the sidecar count minus the dv total is exact
+    // COUNTS stay metadata-answered (dv filenames carry cardinality)
     val after = agg()
     assert(after.queryExecution.executedPlan.toString.contains("GraftKeyedStats"),
       "count-only aggregates stay metadata-answered under deletion vectors")
     assert(after.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(0L -> 8L, 1L -> 8L, 2L -> 7L, 3L -> 8L))
-    // min/max/sum cannot subtract unknown rows — those refuse to the
-    // DV-applying data scan, and stay correct
-    val sums = spark.sql(s"SELECT kb, sum(n_chars) AS s FROM $t GROUP BY kb")
-    assert(!sums.queryExecution.executedPlan.toString.contains("GraftKeyedStats"),
-      "sum must refuse under deletion vectors")
-    val expect = df(32L).where($"doc_id" =!= 6L)
-      .groupBy("kb").agg(org.apache.spark.sql.functions.sum("n_chars"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(sums.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
-    // the snapshots metadata table prices the deletion from the dv
-    // filename without opening it
+    // min/max/sum stay metadata-answered TOO (r17): the DV commit's
+    // stats patch recomputed the affected key's exact post-delete
+    // stats — zero data files opened at query time, values exact
+    val q = () => spark.sql(
+      s"SELECT kb, sum(n_chars) AS s, min(doc_id) AS mn, max(doc_id) AS mx " +
+        s"FROM $t GROUP BY kb")
+    val stats = q()
+    assert(stats.queryExecution.executedPlan.toString.contains("GraftKeyedStats"),
+      "min/max/sum stay metadata-answered under a patched deletion vector")
+    val expect = df(32L).where($"doc_id" =!= 6L).groupBy("kb")
+      .agg(org.apache.spark.sql.functions.sum("n_chars"),
+        org.apache.spark.sql.functions.min("doc_id"),
+        org.apache.spark.sql.functions.max("doc_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(stats.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap == expect)
+    // the snapshots metadata table prices the deletion the same way
     val snaps = spark.read.format("graft-keyed").option("path", dir)
       .option("schema", ddl).option("key", "kb")
       .option("metadata", "snapshots").load()
       .orderBy("seq").collect()
     assert(snaps.map(_.getLong(3)).toSeq == Seq(32L, 31L))
+
+    // WITHOUT the patch (a pre-r17 dv commit, modeled by deleting the
+    // patch file): counts stay answered, min/max/sum fall back to the
+    // DV-applying data scan — honestly, with identical values
+    val hconf = spark.sessionState.newHadoopConf()
+    val log = KeyedSource.readCommitLog(dir, hconf).get
+    val dvGen = log.head.dvs("2").head.takeWhile(_ != '/')
+    val patch = new java.io.File(s"$dir/$dvGen", "_graft_keyed_stats_patch")
+    assert(patch.exists(), "the DV commit must write a stats patch")
+    assert(patch.delete())
+    new java.io.File(s"$dir/$dvGen", "._graft_keyed_stats_patch.crc").delete()
+    assert(agg().queryExecution.executedPlan.toString.contains("GraftKeyedStats"),
+      "counts stay metadata-answered without a patch")
+    val fallback = q()
+    assert(!fallback.queryExecution.executedPlan.toString.contains("GraftKeyedStats"),
+      "min/max/sum must refuse without a patch")
+    assert(fallback.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap == expect)
   }
 
   test("_graft_pos is selectable; deleted ordinals vanish; CDC prices the MOR interval at the delta") {
