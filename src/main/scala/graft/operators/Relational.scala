@@ -1786,7 +1786,42 @@ object Relational {
              |SELECT kb, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(doc_id) AS last_doc
              |FROM promoted GROUP BY kb ORDER BY kb""".stripMargin),
-      "branch-then-promote backfill: appends land on a named branch invisible to main, audited on the branch ref, then fast-forwarded into main as one metadata commit — the staged-promotion lifecycle at the table layer")
+      "branch-then-promote backfill: appends land on a named branch invisible to main, audited on the branch ref, then fast-forwarded into main as one metadata commit — the staged-promotion lifecycle at the table layer"),
+
+    // ── Bucket-count evolution (q74) ──────────────────────────────────
+    // A layout staged at 16 buckets outgrows its fan-out; rebucket
+    // splits every bucket to the doc_id % 32 grain in ONE pass (each
+    // old directory read once into exactly two new ones), committed as
+    // one serializable snapshot with pre-evolution time travel intact.
+    // The same operator's hot-bucket-split form (skew repair: rewrite
+    // one key, carry the rest by byte-identical reference) is pinned in
+    // KeyedRebucketSpec; this row oracle-checks the evolved table at
+    // the new grain.
+    "q74_rebucket_evolution" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#rebucket")({
+          val out = graft.io.TempDirs.scratch("graft_rbk_") + "/bykb"
+          graft.sources.KeyedSource.stageKeyed(s,
+            t(s, dir, "documents").selectExpr("doc_id % 16 AS kb", "doc_id", "n_chars"),
+            out, "kb", sortBy = Seq("doc_id"), retain = 4)
+          graft.sources.KeyedCompact.rebucket(s, out,
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "kb BIGINT, doc_id BIGINT, n_chars BIGINT"),
+            "kb", col("doc_id") % 32)
+          out
+        })
+        s.read.format("graft-keyed").option("path", path)
+          .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+          .option("key", "kb").load()
+          .groupBy("kb")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+            max("doc_id").as("last_doc"))
+          .orderBy("kb")
+      },
+      Some("""SELECT doc_id % 32 AS kb, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(doc_id) AS last_doc
+             |FROM documents GROUP BY 1 ORDER BY kb""".stripMargin),
+      "bucket-count evolution: 16 -> 32 fan-out split committed as one serializable snapshot, old grain retained for time travel; aggregate read-back at the new grain equals batch truth")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table

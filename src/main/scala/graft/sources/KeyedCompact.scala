@@ -187,4 +187,168 @@ object KeyedCompact {
     }
     frag.size
   }
+
+  /** BUCKET-COUNT / KEY-DERIVATION EVOLUTION by reference (r17): commit
+    * a new key assignment — `newKey` is the evolved derivation over the
+    * row (e.g. `col("doc_id") % 32` over a layout staged at
+    * `doc_id % 16`, or a CASE splitting one hot bucket) — rewriting
+    * ONLY the keys whose rows change assignment and carrying every
+    * other key by reference. The physics, stated honestly:
+    *
+    *  - splitting a single hot bucket (skew repair, the common 100 TB
+    *    case) rewrites exactly that bucket's rows — one directory read,
+    *    two written, everything else untouched bytes;
+    *  - DOUBLING the fan-out (`% 16` → `% 32`) changes every bucket's
+    *    assignment for half its rows, so every bucket is read once and
+    *    split into exactly two new directories — a one-pass
+    *    reorganization, which is the floor for a stored key COLUMN
+    *    (the dirname and the row value must agree);
+    *  - HALVING could merge directories by reference alone, but the
+    *    stored key values would then disagree with their directory —
+    *    so it too rewrites the changed rows, same one-pass bound.
+    *
+    * The commit is SERIALIZABLE like compaction (scanned-seq check,
+    * fail loudly on a race), atomic (one CAS swap), and
+    * history-preserving: time travel to the pre-evolution snapshot
+    * still reads the old grain, tags keep protecting theirs. Rows
+    * landing in a key that ALREADY has live content append after its
+    * files (the standing edit mechanism); a changed key whose every
+    * row moved away tombstones. Changed keys fold their deletion
+    * vectors (the scan read the DV-applied view); unaffected keys
+    * keep theirs.
+    *
+    * A DETECTION scan finds the changed keys first — projection-pruned
+    * to the key column and `newKey`'s inputs, far cheaper than the
+    * rewrite — so "which buckets move" is measured, never guessed.
+    * Returns the number of source keys rewritten (0 = assignment
+    * unchanged; no snapshot burned). */
+  def rebucket(spark: SparkSession, path: String, schema: StructType,
+      key: String, newKey: org.apache.spark.sql.Column): Int = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val conf = new org.apache.spark.util.SerializableConfiguration(hconf)
+    val log = KeyedSource.readCommitLog(path, hconf).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft-keyed re-bucketing is a snapshot-log commit, but $path has " +
+          "no commit log (legacy flat stage) — restage through the connector " +
+          "writer first"))
+    val head = log.head
+    val scanSeq = head.seq
+    val keyType = schema(key).dataType
+    val evolved = newKey.cast(keyType)
+    def readHead = spark.read.format("graft-keyed")
+      .option("path", path)
+      .option("schema", schema.toDDL)
+      .option("key", key)
+      .option("asOf", scanSeq.toString)
+      .load()
+    // detection: which SOURCE keys hold any row whose assignment moves
+    // (bounded collect: distinct key values, the key-domain class)
+    val changed: Seq[String] = readHead
+      .where(evolved =!= col(key))
+      .select(col(key)).distinct().collect()
+      .map(_.get(0).toString).toSeq.sorted
+    if (changed.isEmpty) return 0
+    val changedVals: Seq[Any] = keyType match {
+      case LongType => changed.map(_.toLong)
+      case _ => changed
+    }
+    val sortBy: Seq[String] =
+      KeyedSource.readOrderMarker(path, conf, schema, key).getOrElse(Seq.empty)
+    val genName = "_gen-rebucket-" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val genDir = s"$path/$genName"
+    // rewrite the changed keys' rows under their NEW assignment, one
+    // sorted file per new key — the standing write distribution
+    val rekeyed = readHead
+      .where(col(key).isin(changedVals: _*))
+      .withColumn(key, evolved)
+    val orderCols = (key +: sortBy).map(col)
+    val msgs: Array[KeyedCommitMessage] = rekeyed
+      .repartition(col(key))
+      .sortWithinPartitions(orderCols: _*)
+      .queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val w = new KeyedDataWriter(schema, key, genDir, pid.toLong, conf)
+          var ok = false
+          try {
+            it.foreach(w.write)
+            val m = w.commit().asInstanceOf[KeyedCommitMessage]
+            ok = true
+            Iterator.single(m)
+          } finally if (!ok) w.abort()
+        }
+      }.collect() // one commit message per non-empty task, stats only
+    val entries = msgs.toSeq.flatMap(_.keys)
+    val dup = entries.groupBy(_.rawKey).collect { case (k, g) if g.size > 1 => k }
+    if (dup.nonEmpty) throw new IllegalStateException(
+      s"graft-keyed re-bucketing produced ${dup.size} keys in multiple tasks " +
+        s"(${dup.take(3).mkString(",")}…): clustering contract violated, not publishing")
+    val written: Set[String] = entries.map(_.rawKey).toSet
+    val root = new org.apache.hadoop.fs.Path(path)
+    val gen = new org.apache.hadoop.fs.Path(root, genName)
+    val fs = root.getFileSystem(hconf)
+    val table = {
+      val merged = Array.fill(schema.length)(new KmvSketch)
+      msgs.foreach(_.sketches.zipWithIndex.foreach { case (hs, i) =>
+        merged(i).addHashes(hs) })
+      KeyedStats.TableNdv(entries.map(_.count).sum, merged.map(_.estimate))
+    }
+    KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedStats.SidecarFile),
+      KeyedStats.render(schema, key,
+        entries.map(e => KeyedStats.Entry(e.rawKey, e.count, e.mins, e.maxs, e.sums)),
+        Some(table)))
+    if (sortBy.nonEmpty)
+      KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedSource.OrderFile),
+        KeyedSource.renderOrderMarker(schema, key, sortBy))
+    var priorGens = Set.empty[String]
+    try {
+      val published = KeyedSource.commitLoop(path, hconf, "re-bucket commit") { prior =>
+        val l = prior.getOrElse(throw new IllegalStateException(
+          s"graft-keyed re-bucketing at $path found no commit log — the " +
+            "layout was replaced mid-operation; re-run"))
+        val h = l.head
+        if (h.seq != scanSeq) throw new IllegalStateException(
+          s"graft-keyed re-bucketing at $path conflicts with a concurrent " +
+            s"commit: rows were read from snapshot $scanSeq but the head is " +
+            s"now ${h.seq}; re-run against the fresh table")
+        priorGens = l.snapshots.flatMap(_.referencedGens).toSet
+        val baseKeys: Set[String] = {
+          val baseGen = new org.apache.hadoop.fs.Path(root, h.gen)
+          if (fs.exists(baseGen)) fs.listStatus(baseGen).toSeq.collect {
+            case st if st.isDirectory && st.getPath.getName.startsWith("k=") =>
+              st.getPath.getName.stripPrefix("k=")
+          }.toSet else Set.empty
+        }
+        def priorLive(k: String): Seq[String] =
+          h.edits.getOrElse(k,
+            if (baseKeys.contains(k) && !h.tombstones.contains(k)) Seq(h.gen)
+            else Seq.empty)
+        val changedSet = changed.toSet
+        // a changed key whose every row moved away is a tombstone; a
+        // written key either REPLACES its changed source directory or
+        // APPENDS after an untouched existing key's files
+        val fullyMoved = changedSet -- written
+        val edits = (h.edits -- fullyMoved) ++ written.toSeq.sorted.map { k =>
+          k -> (if (changedSet.contains(k)) Seq(genName)
+                else priorLive(k) :+ genName)
+        }
+        val tombstones = (h.tombstones -- written) ++ fullyMoved
+        val keep = math.max(l.retain, 1)
+        val snap = KeyedSource.Snapshot(l.nextSeq, h.gen, tombstones,
+          edits, h.dvs -- changedSet)
+        Some(KeyedSource.CommitLog(keep,
+          KeyedSource.trimWindow(l.snapshots :+ snap, keep, l.tags, l.branches),
+          l.ops, l.tags, l.streams, l.branches))
+      }.get
+      val live = published.snapshots.flatMap(_.referencedGens).toSet
+      KeyedSource.expireGenerations(path, live, hconf, known = priorGens -- live)
+    } catch {
+      case t: Throwable =>
+        fs.delete(gen, true)
+        throw t
+    }
+    changed.size
+  }
 }
