@@ -1821,7 +1821,81 @@ object Relational {
       Some("""SELECT doc_id % 32 AS kb, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(doc_id) AS last_doc
              |FROM documents GROUP BY 1 ORDER BY kb""".stripMargin),
-      "bucket-count evolution: 16 -> 32 fan-out split committed as one serializable snapshot, old grain retained for time travel; aggregate read-back at the new grain equals batch truth")
+      "bucket-count evolution: 16 -> 32 fan-out split committed as one serializable snapshot, old grain retained for time travel; aggregate read-back at the new grain equals batch truth"),
+
+    // ── CDC-driven incremental view maintenance (q75) ─────────────────
+    // The changes table made USEFUL: a downstream rollup is maintained
+    // by applying one CDC interval's net delta (updates as
+    // delete+insert pairs, O(changed keys) planned) to the previously
+    // materialized result — never recomputing over the corpus. The
+    // oracle IS the full recompute over the same final state, so the
+    // row proves incremental ≡ recompute across a mixed UPDATE +
+    // row-DELETE + append commit sequence. At 100 TB this is the
+    // index-refresh/training-shard-rebuild pattern priced at O(what
+    // changed); the per-micro-batch streaming form rides the same
+    // operator (IvmSpec's foreachBatch leg).
+    "q75_ivm_rollup" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#ivm")({
+          val out = graft.io.TempDirs.scratch("graft_ivm_")
+          val tbl = s"$out/t"
+          graft.sources.KeyedSource.stageKeyed(s,
+            t(s, dir, "documents").selectExpr("doc_id % 16 AS kb", "doc_id", "n_chars"),
+            tbl, "kb", sortBy = Seq("doc_id"), retain = 8)
+          def readT(asOf: Option[Long]) = {
+            val r = s.read.format("graft-keyed").option("path", tbl)
+              .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+              .option("key", "kb")
+            asOf.fold(r)(v => r.option("asOf", v.toString)).load()
+          }
+          // R0: the rollup bootstrapped at snapshot 1, materialized
+          Ivm.rollup(readT(Some(1L)), Seq("kb"), Seq("n_chars"))
+            .write.mode("overwrite").parquet(s"$out/rollup_v1")
+          // the table moves on underneath: UPDATE + row DELETE + append
+          s.conf.set("spark.sql.catalog.graftcat",
+            classOf[graft.sources.GraftCatalog].getName)
+          val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+          val name = s"graftcat.ivm_$tag"
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          s.sql(s"CREATE TABLE $name (kb BIGINT, doc_id BIGINT, n_chars BIGINT) " +
+            s"USING `graft-keyed` LOCATION '$tbl' " +
+            "TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='8')")
+          s.sql(s"UPDATE $name SET n_chars = n_chars + 500 WHERE doc_id % 9 = 1")
+          s.sql(s"DELETE FROM $name WHERE doc_id % 11 = 3")
+          t(s, dir, "documents")
+            .selectExpr("(doc_id + 4000000) % 16 AS kb",
+              "doc_id + 4000000 AS doc_id", "CAST(88 AS BIGINT) AS n_chars")
+            .where("doc_id % 40 = 0")
+            .write.format("graft-keyed")
+            .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+            .option("key", "kb").option("sortBy", "doc_id")
+            .mode("append").save(tbl)
+          // ONE CDC read over (1, head] maintains the rollup
+          val changes = s.read.format("graft-keyed").option("path", tbl)
+            .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+            .option("key", "kb").option("metadata", "changes")
+            .option("changesFrom", "1").load()
+          Ivm.maintainRollup(s.read.parquet(s"$out/rollup_v1"), changes,
+            Seq("kb"), Seq("n_chars"))
+            .write.mode("overwrite").parquet(s"$out/rollup_v2")
+          s"$out/rollup_v2"
+        })
+        s.read.parquet(path)
+          .select(col("kb"), col("n_rows"), col("sum_n_chars"))
+          .orderBy("kb")
+      },
+      Some("""WITH updated AS (
+             |  SELECT doc_id % 16 AS kb, doc_id,
+             |    CASE WHEN doc_id % 9 = 1 THEN n_chars + 500 ELSE n_chars END AS n_chars
+             |  FROM documents),
+             |cur AS (
+             |  SELECT * FROM updated WHERE doc_id % 11 <> 3
+             |  UNION ALL
+             |  SELECT (doc_id + 4000000) % 16, doc_id + 4000000, 88
+             |  FROM documents WHERE doc_id % 40 = 0)
+             |SELECT kb, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+             |FROM cur GROUP BY kb ORDER BY kb""".stripMargin),
+      "CDC-driven incremental view maintenance: a materialized rollup updated by one changes-interval delta across UPDATE + row-DELETE + append equals the full recompute (the oracle)")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table
