@@ -132,7 +132,7 @@ final class KeyedWrite(schema: StructType, path: String, key: String,
   override def toStreaming
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new KeyedStreamingWrite(schema, path, key, sortBy, retain, queryId,
-      conf, overwrite)
+      conf, overwrite, branch)
 }
 
 /** One key's audited write stats, accumulated in the task from exactly
@@ -530,7 +530,7 @@ private[sources] object KeyedWriteAudit {
 final class KeyedStreamingWrite(schema: StructType, path: String, key: String,
     sortBy: Seq[String], retain: Int, queryId: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    overwrite: Boolean)
+    overwrite: Boolean, branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   /** Per-RUN nonce in the staging generation name: a restarted query
@@ -580,6 +580,10 @@ final class KeyedStreamingWrite(schema: StructType, path: String, key: String,
           replayed = true
           None
         case None =>
+          branch.foreach(b => throw new UnsupportedOperationException(
+            s"graft-keyed streaming write cannot target branch '$b' at " +
+              s"$path: the layout has no commit log yet — stage it and " +
+              "create the branch first"))
           // first epoch bootstraps the snapshot log (same refusal as
           // append for a legacy flat stage: restage first)
           if (fs.exists(root) && fs.listStatus(root).exists(st =>
@@ -593,7 +597,10 @@ final class KeyedStreamingWrite(schema: StructType, path: String, key: String,
             Seq(KeyedSource.Snapshot(1L, gname, Set.empty)),
             streams = Map(queryId -> epochId)))
         case Some(log) =>
-          val head = log.head
+          // streaming into a BRANCH: each epoch appends to the branch
+          // head, invisible to main until a fastForward promotes it —
+          // the audit-a-stream-then-publish workflow
+          val head = branch.fold(log.head)(log.branchHead)
           priorGens = log.snapshots.flatMap(_.referencedGens).toSet
           val keep = math.max(math.max(log.retain, retain), 1)
           val snap =
@@ -617,7 +624,7 @@ final class KeyedStreamingWrite(schema: StructType, path: String, key: String,
               KeyedSource.Snapshot(log.nextSeq, head.gen,
                 head.tombstones -- written,
                 head.edits ++ written.toSeq.map(k => k -> (priorLive(k) :+ gname)),
-                head.dvs)
+                head.dvs, branch = branch)
             }
           Some(KeyedSource.CommitLog(keep,
             KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags,

@@ -96,6 +96,40 @@ class KeyedStreamWriteSpec extends SparkSpec {
       Seq(1L, 2L, 3L, 4L))
   }
 
+  test("streaming into a BRANCH: epochs invisible to main until fastForward publishes the stream") {
+    val base = tmp("kstream3"); val dir = s"$base/t"; val ckpt = s"$base/ckpt"
+    KeyedSource.stageKeyed(spark,
+      (0L until 8L).map(i => (i % 4L, i, s"s$i", i)).toDF(
+        "kb", "doc_id", "source", "n_chars"),
+      dir, "kb", sortBy = Seq("doc_id"), retain = 8)
+    KeyedSource.createBranch(spark, dir, "ingest")
+
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val q = mem.toDF().toDF("kb", "doc_id", "source", "n_chars")
+      .writeStream.format("graft-keyed")
+      .option("path", dir).option("schema", ddl)
+      .option("key", "kb").option("sortBy", "doc_id").option("retain", "8")
+      .option("branch", "ingest")
+      .option("checkpointLocation", ckpt)
+      .start()
+    mem.addData((0L, 100L, "a", 1L), (1L, 101L, "b", 2L))
+    q.processAllAvailable()
+    mem.addData((2L, 102L, "c", 3L))
+    q.processAllAvailable()
+    q.stop()
+
+    // main never saw a byte of the stream; the branch has it all
+    assert(readKeyed(dir).count() == 8L)
+    assert(spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", ddl).option("key", "kb").option("branch", "ingest")
+      .load().count() == 11L)
+    // publish: one metadata commit makes the streamed state main's
+    KeyedSource.fastForward(spark, dir, "ingest")
+    assert(readKeyed(dir).count() == 11L)
+    assert(readKeyed(dir).where($"doc_id" >= 100L).count() == 3L)
+  }
+
   test("streaming epochs into a batch-staged table: edit appends, base bytes untouched, CDC prices each epoch") {
     val base = tmp("kstream2"); val dir = s"$base/t"; val ckpt = s"$base/ckpt"
     val df = (0L until 16L).map(i => (i % 4L, i, s"s${i % 3L}", i * 7L))
