@@ -485,11 +485,14 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
     // a copy-on-write scan must hand Spark the groups' FULL rows
     if (cowHost.isDefined) return false
     if (sawUnconsumed || statsPlan.isDefined || orders.isEmpty) return false
-    // deletion vectors invalidate the sidecar's per-key counts, and the
-    // budget arithmetic is what licenses full pushdown — refuse until a
-    // compaction folds them in
-    if (view.dvs.nonEmpty) return false
-    if (KeyedStats.readView(view, conf, full, key).isEmpty) return false
+    // the budget arithmetic licenses full pushdown, so per-key counts
+    // must be EXACT: the DV-corrected view qualifies when every DV'd
+    // key resolved through a stats patch (readView); a pre-r17 dv
+    // commit leaves stale counts and refuses until compaction
+    KeyedStats.readView(view, conf, full, key) match {
+      case None => return false
+      case Some(sc) => if (sc.unresolvedDvKeys.nonEmpty) return false
+    }
     val marker = KeyedSource.readOrderMarkerView(view, conf, full, key)
     if (marker.isEmpty) return false
     val names = orders.toSeq.map { o =>
@@ -961,11 +964,18 @@ class KeyedScan(full: StructType, required: StructType,
           case LongType => kp.keyValue.asInstanceOf[java.lang.Long].toString
           case _ => kp.keyValue.toString
         }
-        val n = counts.getOrElse(raw, throw new IllegalStateException(
-          s"graft-keyed stats sidecar at ${view.root} has no entry for key=$raw " +
-            "but the directory exists — layout/metadata desync, refusing the TopN plan"))
-        out += kp.copy(limit = math.min(remaining, Int.MaxValue.toLong).toInt)
-        remaining -= n
+        counts.get(raw) match {
+          case None if view.dvs.contains(raw) =>
+            // every live row DV-deleted: the directory contributes
+            // nothing — skip it, budget unchanged
+            ()
+          case None => throw new IllegalStateException(
+            s"graft-keyed stats sidecar at ${view.root} has no entry for key=$raw " +
+              "but the directory exists — layout/metadata desync, refusing the TopN plan")
+          case Some(n) =>
+            out += kp.copy(limit = math.min(remaining, Int.MaxValue.toLong).toInt)
+            remaining -= n
+        }
       }
     }
     out.toArray
@@ -1085,11 +1095,16 @@ final class ConcatReader[T](makers: Seq[() => PartitionReader[T]])
   * `map` is null (apply-only) — rows are not copied. */
 final class PositionedReader(inner: PartitionReader[InternalRow],
     deleted: java.util.BitSet, map: Array[Int], isLong: Array[Boolean],
-    rawKey: UTF8String = null)
+    rawKey: UTF8String = null, limit: Int = -1)
     extends PartitionReader[InternalRow] {
   private var ord = -1
+  private var emitted = 0
   private var current: InternalRow = _
   override def next(): Boolean = {
+    // a TopN budget on a DV'd key counts LIVE rows (the budget math
+    // subtracts DV-corrected counts), so the limit applies here —
+    // after the ordinal skip — not in the raw decode
+    if (limit >= 0 && emitted >= limit) return false
     while (inner.next()) {
       ord += 1
       if (deleted == null || !deleted.get(ord)) {
@@ -1108,6 +1123,7 @@ final class PositionedReader(inner: PartitionReader[InternalRow],
           }
           current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
         } else current = inner.get()
+        emitted += 1
         return true
       }
     }
@@ -1162,8 +1178,12 @@ final class KeyedReaderFactory(full: StructType, required: StructType,
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val kp = partition.asInstanceOf[KeyedPartition]
+    // a DV'd key's TopN budget counts LIVE rows: the raw decode runs
+    // unbudgeted (bounded by the one directory) and PositionedReader
+    // stops at the live-row limit after the ordinal skip
+    val rawLim = if (kp.dvPaths.nonEmpty) -1 else kp.limit
     val base =
-      if (kp.dirs.length == 1) rowReader(kp, 0, kp.limit)
+      if (kp.dirs.length == 1) rowReader(kp, 0, rawLim)
       else {
         require(kp.limit < 0, "TopN budgets never plan multi-directory partitions")
         new ConcatReader(kp.dirs.indices.map(j => () => rowReader(kp, j, -1)))
@@ -1176,7 +1196,8 @@ final class KeyedReaderFactory(full: StructType, required: StructType,
       rawKey = UTF8String.fromString(kp.keyValue match {
         case u: UTF8String => u.toString
         case other => other.toString
-      }))
+      }),
+      limit = if (kp.dvPaths.nonEmpty) kp.limit else -1)
   }
   override def supportColumnarReads(partition: InputPartition): Boolean = vectorize
   override def createColumnarReader(partition: InputPartition)

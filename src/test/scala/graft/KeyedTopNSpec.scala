@@ -99,6 +99,55 @@ class KeyedTopNSpec extends SparkSpec {
     assert(hasTopNOperator(unordered) && !scanDesc(unordered).contains("topN"))
   }
 
+  test("TopN survives patched deletion vectors: live-row budgets, fully-deleted keys skipped") {
+    val d = graft.io.TempDirs.scratch("graft_topn_dv_") + "/t"
+    KeyedSource.stageKeyed(spark,
+      (0L until 240L).map(i => (i % 6L, i, (i * 13L) % 97L))
+        .toDF("kb", "doc_id", "n_chars"),
+      d, "kb", sortBy = Seq("doc_id"))
+    val cat = "gtopn"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(
+      s"""CREATE TABLE $cat.t (kb BIGINT, doc_id BIGINT, n_chars BIGINT)
+         |USING `graft-keyed` LOCATION '$d'
+         |TBLPROPERTIES('key'='kb','sortBy'='doc_id','dmlMode'='mor',
+         |'retain'='4')""".stripMargin)
+    // kb=0 loses EVERY row (the budget must skip its directory);
+    // kb=1 loses half (its budget must count LIVE rows)
+    spark.sql(s"DELETE FROM $cat.t WHERE kb = 0 AND doc_id >= 0")
+    spark.sql(s"DELETE FROM $cat.t WHERE kb = 1 AND doc_id % 12 = 1")
+    val hconf = spark.sessionState.newHadoopConf()
+    assert(KeyedSource.readCommitLog(d, hconf).get.head.dvs.keySet ==
+      Set("0", "1"))
+
+    val q = readKeyed(d).orderBy("kb", "doc_id").limit(25)
+    assert(!hasTopNOperator(q),
+      s"TopN must stay pushed under patched dvs, got\n${q.queryExecution.executedPlan}")
+    assert(scanDesc(q).contains("topN=25"), scanDesc(q))
+    // kb=0 contributes nothing (skipped), kb=1's 20 live rows + 5 of
+    // kb=2 fill the budget: exactly TWO directories planned
+    assert(q.rdd.getNumPartitions == 2,
+      "the live-row budget must skip the fully-deleted key and stop after two directories")
+    val expect = (0L until 240L).map(i => (i % 6L, i, (i * 13L) % 97L))
+      .filterNot { case (kb, id, _) => kb == 0L || (kb == 1L && id % 12L == 1L) }
+      .sortBy(t => (t._1, t._2)).take(25)
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == expect)
+
+    // with the patch gone (a pre-r17 dv commit), the budget math loses
+    // its exact counts and the pushdown refuses — values unchanged
+    val dvGen = KeyedSource.readCommitLog(d, hconf).get.head.dvs("1")
+      .head.takeWhile(_ != '/')
+    assert(new java.io.File(s"$d/$dvGen", "_graft_keyed_stats_patch").delete())
+    new java.io.File(s"$d/$dvGen", "._graft_keyed_stats_patch.crc").delete()
+    val q2 = readKeyed(d).orderBy("kb", "doc_id").limit(25)
+    assert(hasTopNOperator(q2), "TopN must refuse without the stats patch")
+    assert(q2.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == expect)
+  }
+
   test("pushed key filters compose with TopN: pruned directories first, then the budget") {
     val q = readKeyed().filter(col("kb").isin(2L, 5L))
       .orderBy("kb", "doc_id").limit(45)
