@@ -1012,7 +1012,11 @@ class KeyedScan(full: StructType, required: StructType,
     new KeyedReaderFactory(full, required, conf,
       vectorize && !emitMeta && !partitions.exists { p =>
         val kp = p.asInstanceOf[KeyedPartition]
-        kp.plans.exists(_.isDefined) || kp.dvPaths.nonEmpty
+        // evolved generations stay on the row path; DV'd keys decode
+        // COLUMNAR (PositionedColumnarReader — zero-copy passthrough
+        // for unaffected batches, live-row TopN budgets applied after
+        // the ordinal skip)
+        kp.plans.exists(_.isDefined)
       })
 }
 
@@ -1138,6 +1142,98 @@ object PositionedReader {
   val Key: Int = -2
 }
 
+/** Columnar deletion-vector application (r17): batches whose ordinal
+  * window contains no deleted row pass through UNTOUCHED (zero copy —
+  * the common case, deletions cluster in few batches); an affected
+  * batch is re-exposed through [[RemappedVector]]s that map row ids
+  * through the survivors array — object-allocation only, the decoded
+  * column buffers are never copied. This keeps DV'd keys on the
+  * columnar decode path (previously ONE DV'd key dropped the whole
+  * scan to the row path, since Spark plans an operator columnar only
+  * when every partition is). */
+final class PositionedColumnarReader(
+    inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch],
+    deleted: java.util.BitSet, limit: Int = -1)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  private var offset = 0L
+  private var emitted = 0
+  private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
+  override def next(): Boolean = {
+    // a TopN budget counts LIVE rows (the planner subtracted
+    // DV-corrected counts) — enforced here, after the ordinal skip
+    if (limit >= 0 && emitted >= limit) return false
+    while (inner.next()) {
+      val batch = inner.get()
+      val n = batch.numRows()
+      val start = offset
+      offset += n
+      def room: Int = if (limit < 0) Int.MaxValue else limit - emitted
+      val first = deleted.nextSetBit(start.toInt)
+      if (first < 0 || first >= start + n) {
+        if (n > 0) {
+          current =
+            if (n <= room) batch
+            else new org.apache.spark.sql.vectorized.ColumnarBatch(
+              Array.tabulate(batch.numCols())(batch.column), room)
+          emitted += current.numRows()
+          return true
+        }
+      } else {
+        // affected batch: survivors index, vectors remapped in place
+        val map = new Array[Int](n)
+        var kept = 0
+        var i = 0
+        while (i < n && kept < room) {
+          if (!deleted.get((start + i).toInt)) { map(kept) = i; kept += 1 }
+          i += 1
+        }
+        if (kept > 0) {
+          val cols = Array.tabulate(batch.numCols())(j =>
+            new RemappedVector(batch.column(j), map): org.apache.spark.sql.vectorized.ColumnVector)
+          current = new org.apache.spark.sql.vectorized.ColumnarBatch(cols, kept)
+          emitted += kept
+          return true
+        }
+      }
+    }
+    false
+  }
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = current
+  override def close(): Unit = inner.close()
+}
+
+/** A ColumnVector view remapping row ids through a survivors array —
+  * the layout stores only non-null BIGINT/STRING, so only those
+  * accessors are live. The underlying vector's memory is owned by the
+  * wrapped batch; close is a no-op here. */
+final class RemappedVector(base: org.apache.spark.sql.vectorized.ColumnVector,
+    map: Array[Int])
+    extends org.apache.spark.sql.vectorized.ColumnVector(base.dataType()) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = false
+  override def numNulls(): Int = 0
+  override def isNullAt(rowId: Int): Boolean = false
+  override def getBoolean(rowId: Int): Boolean = base.getBoolean(map(rowId))
+  override def getByte(rowId: Int): Byte = base.getByte(map(rowId))
+  override def getShort(rowId: Int): Short = base.getShort(map(rowId))
+  override def getInt(rowId: Int): Int = base.getInt(map(rowId))
+  override def getLong(rowId: Int): Long = base.getLong(map(rowId))
+  override def getFloat(rowId: Int): Float = base.getFloat(map(rowId))
+  override def getDouble(rowId: Int): Double = base.getDouble(map(rowId))
+  override def getUTF8String(rowId: Int): UTF8String =
+    base.getUTF8String(map(rowId))
+  override def getBinary(rowId: Int): Array[Byte] = base.getBinary(map(rowId))
+  override def getArray(rowId: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    throw new UnsupportedOperationException("graft-keyed stores no arrays")
+  override def getMap(rowId: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    throw new UnsupportedOperationException("graft-keyed stores no maps")
+  override def getDecimal(rowId: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal =
+    throw new UnsupportedOperationException("graft-keyed stores no decimals")
+  override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+    throw new UnsupportedOperationException("graft-keyed stores no nested types")
+}
+
 final class KeyedReaderFactory(full: StructType, required: StructType,
     conf: org.apache.spark.util.SerializableConfiguration,
     vectorize: Boolean = true)
@@ -1203,13 +1299,21 @@ final class KeyedReaderFactory(full: StructType, required: StructType,
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val kp = partition.asInstanceOf[KeyedPartition]
-    if (kp.dirs.length == 1)
-      new PageColumnarReader(kp.dirs.head, full, dataRequired, conf, kp.limit)
-    else {
-      require(kp.limit < 0, "TopN budgets never plan multi-directory partitions")
-      new ConcatReader(kp.dirs.map(d =>
-        () => new PageColumnarReader(d, full, dataRequired, conf, -1)))
-    }
+    // a DV'd key's budget counts LIVE rows: decode raw unbudgeted
+    // (bounded by the one directory), limit after the ordinal skip
+    val rawLim = if (kp.dvPaths.nonEmpty) -1 else kp.limit
+    val base =
+      if (kp.dirs.length == 1)
+        new PageColumnarReader(kp.dirs.head, full, dataRequired, conf, rawLim)
+      else {
+        require(kp.limit < 0, "TopN budgets never plan multi-directory partitions")
+        new ConcatReader(kp.dirs.map(d =>
+          () => new PageColumnarReader(d, full, dataRequired, conf, -1)))
+      }
+    if (kp.dvPaths.isEmpty) base
+    else new PositionedColumnarReader(base,
+      KeyedSource.loadDeleted(kp.dvPaths, conf.value),
+      limit = kp.limit)
   }
 }
 

@@ -96,6 +96,32 @@ class KeyedStreamWriteSpec extends SparkSpec {
       Seq(1L, 2L, 3L, 4L))
   }
 
+  test("two independent streaming queries share one table: per-query epoch markers, no cross-dedup") {
+    val base = tmp("kstream4"); val dir = s"$base/t"
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val memA = MemoryStream[(Long, Long, String, Long)]
+    val memB = MemoryStream[(Long, Long, String, Long)]
+    val qA = startStream(memA, dir, s"$base/ckptA")
+    memA.addData((0L, 1L, "a", 1L))
+    qA.processAllAvailable()
+    val qB = startStream(memB, dir, s"$base/ckptB")
+    memB.addData((1L, 2L, "b", 2L))
+    qB.processAllAvailable()
+    // B's epoch 0 committed AFTER A's epoch 0 — the markers are
+    // per-query, so B must not be deduplicated against A's epoch id
+    assert(readKeyed(dir).count() == 2L)
+    val log = KeyedSource.readCommitLog(dir, hconf).get
+    assert(log.streams.size == 2, s"one marker per query, got ${log.streams}")
+    assert(log.streams.values.forall(_ == 0L))
+    // interleave two more epochs
+    memA.addData((2L, 3L, "c", 3L)); qA.processAllAvailable()
+    memB.addData((3L, 4L, "d", 4L)); qB.processAllAvailable()
+    qA.stop(); qB.stop()
+    assert(readKeyed(dir).count() == 4L)
+    assert(KeyedSource.readCommitLog(dir, hconf).get
+      .streams.values.forall(_ == 1L))
+  }
+
   test("streaming into a BRANCH: epochs invisible to main until fastForward publishes the stream") {
     val base = tmp("kstream3"); val dir = s"$base/t"; val ckpt = s"$base/ckpt"
     KeyedSource.stageKeyed(spark,
