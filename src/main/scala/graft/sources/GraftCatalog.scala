@@ -30,30 +30,43 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    tombstone delete ([[KeyedTable.deleteWhere]]) — Spark routes it
   *    here because DSv2 DELETE exists only for catalog tables.
   *
-  * Table METADATA lives in a per-catalog-instance map (one instance
-  * per session's CatalogManager): registrations are session-scoped,
-  * deliberately — the durable truth about a layout is the layout
-  * itself (commit log, sidecar, order marker, all under its path); a
-  * metastore-backed implementation would persist exactly the `Spec`
-  * quadruple and nothing else. Schema/key validation happens at
-  * registration ([[KeyedTable]]'s own requires), so a bad CREATE fails
-  * at DDL time, not first read.
+  * Table METADATA (r17) lives in a JVM-SHARED registry keyed by
+  * CATALOG NAME: every session instantiating the same catalog name —
+  * including the sessions Structured Streaming CLONES for each
+  * foreachBatch — resolves the same tables (a per-instance map made a
+  * streamed `MERGE INTO cat.t` fail with TABLE_NOT_FOUND inside the
+  * cloned session). With the optional catalog option
+  * `spark.sql.catalog.<name>.warehouse=<dir>`, registrations also
+  * PERSIST to `<dir>/_graft_catalog` (one atomic tmp+rename per DDL,
+  * last-writer-wins — metastore-lite, deliberately not a CAS: the
+  * durable truth about a layout stays the layout itself; this file
+  * persists only the Spec so a NEW JVM recovers its table names).
+  * Schema/key validation happens at registration ([[KeyedTable]]'s
+  * own requires), so a bad CREATE fails at DDL time, not first read.
   *
-  * Register per session:
-  * `spark.conf.set("spark.sql.catalog.<name>", classOf[GraftCatalog].getName)`.
+  * Register:
+  * `spark.conf.set("spark.sql.catalog.<name>", classOf[GraftCatalog].getName)`
+  * (+ optionally `spark.sql.catalog.<name>.warehouse`).
   */
 final class GraftCatalog extends TableCatalog {
+  import GraftCatalog.Spec
 
-  private case class Spec(schema: StructType, path: String, key: String,
-      sortBy: Seq[String], retain: Int, dmlMode: String = "cow")
-
-  private val tables =
-    scala.collection.concurrent.TrieMap.empty[Identifier, Spec]
+  private var tables: scala.collection.concurrent.TrieMap[Identifier, Spec] = _
 
   private var catalogName: String = _
+  private var warehouse: Option[String] = None
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    warehouse = Option(options.get("warehouse")).filter(_.nonEmpty)
+    tables = GraftCatalog.registryFor(name)
+    // recover persisted registrations (new JVM / first instance)
+    warehouse.foreach(w => GraftCatalog.loadStore(w)
+      .foreach { case (id, spec) => tables.putIfAbsent(id, spec) })
+  }
+
+  private def persist(): Unit =
+    warehouse.foreach(w => GraftCatalog.writeStore(w, tables.snapshot().toMap))
 
   override def name(): String = catalogName
 
@@ -139,6 +152,7 @@ final class GraftCatalog extends TableCatalog {
     val t = new KeyedTable(schema, path, key, sortBy, retain, dmlMode = dmlMode)
     if (tables.putIfAbsent(ident, s).isDefined)
       throw new TableAlreadyExistsException(nameParts(ident))
+    persist()
     t
   }
 
@@ -196,16 +210,107 @@ final class GraftCatalog extends TableCatalog {
     }
     val s2 = Spec(evolved, s.path, key2, sortBy, s.retain, s.dmlMode)
     tables.put(ident, s2)
+    persist()
     new KeyedTable(s2.schema, s2.path, s2.key, s2.sortBy, s2.retain,
       dmlMode = s2.dmlMode)
   }
 
   /** External-table semantics: forget the mapping, leave the layout
     * bytes (commit log included) untouched. */
-  override def dropTable(ident: Identifier): Boolean =
-    tables.remove(ident).isDefined
+  override def dropTable(ident: Identifier): Boolean = {
+    val dropped = tables.remove(ident).isDefined
+    if (dropped) persist()
+    dropped
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "graft-keyed catalog tables cannot be renamed; DROP and re-CREATE")
+}
+
+object GraftCatalog {
+  private[sources] case class Spec(schema: StructType, path: String,
+      key: String, sortBy: Seq[String], retain: Int, dmlMode: String = "cow")
+
+  /** JVM-shared per-catalog-name registries (class scaladoc). */
+  private val registries = new java.util.concurrent.ConcurrentHashMap[
+    String, scala.collection.concurrent.TrieMap[Identifier, Spec]]
+
+  private[sources] def registryFor(name: String)
+      : scala.collection.concurrent.TrieMap[Identifier, Spec] =
+    registries.computeIfAbsent(name,
+      _ => scala.collection.concurrent.TrieMap.empty[Identifier, Spec])
+
+  private val StoreFile = "_graft_catalog"
+  private val StoreVersion = "graft-catalog v1"
+  private val US = PageSource.US
+
+  /** Persist the catalog's Spec map under the warehouse dir — one
+    * US-framed line per table, atomic tmp+rename (last-writer-wins;
+    * see the class scaladoc for why this is deliberately not a CAS). */
+  private[sources] def writeStore(warehouse: String,
+      specs: Map[Identifier, Spec]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(warehouse)
+    val fs = root.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val sb = new StringBuilder
+    sb.append(StoreVersion).append('\n')
+    specs.toSeq.sortBy(t => (t._1.namespace.mkString("\u0000"), t._1.name))
+      .foreach { case (id, sp) =>
+        sb.append(id.namespace.length)
+        id.namespace.foreach(n => sb.append(US).append(n))
+        sb.append(US).append(id.name)
+          .append(US).append(sp.schema.toDDL)
+          .append(US).append(sp.path)
+          .append(US).append(sp.key)
+          .append(US).append(sp.sortBy.mkString(","))
+          .append(US).append(sp.retain)
+          .append(US).append(sp.dmlMode)
+          .append('\n')
+      }
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"$StoreFile.tmp-${java.util.UUID.randomUUID()}")
+    KeyedSource.writeFile(fs, tmp, sb.toString)
+    val dst = new org.apache.hadoop.fs.Path(root, StoreFile)
+    // delete-then-rename: the local FS refuses an overwriting rename
+    // (returns false silently). The non-atomic window is fine for a
+    // last-writer-wins store — a reader either sees the old file, the
+    // new file, or retries on absence via loadStore's empty fallback
+    if (fs.exists(dst)) fs.delete(dst, false)
+    val dstCrc = new org.apache.hadoop.fs.Path(root, s".$StoreFile.crc")
+    if (fs.exists(dstCrc)) fs.delete(dstCrc, false)
+    if (!fs.rename(tmp, dst)) throw new java.io.IOException(
+      s"graft catalog store publish failed: rename $tmp -> $dst")
+    val crc = new org.apache.hadoop.fs.Path(root, s".${tmp.getName}.crc")
+    if (fs.exists(crc)) fs.delete(crc, false)
+  }
+
+  /** Load persisted Specs; empty when no store exists. A present but
+    * unparseable store fails loudly — corruption of a file this
+    * catalog owns. */
+  private[sources] def loadStore(warehouse: String): Seq[(Identifier, Spec)] = {
+    val p = new org.apache.hadoop.fs.Path(warehouse, StoreFile)
+    val fs = p.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    def corrupt(): Nothing = throw new IllegalStateException(
+      s"graft catalog store corrupted at $p: '${text.take(80)}'")
+    val lines = text.split("\n", -1).filter(_.nonEmpty)
+    if (lines.isEmpty || lines.head != StoreVersion) corrupt()
+    lines.tail.toSeq.map { line =>
+      val f = line.split(US, -1)
+      val nsLen = try f(0).toInt catch { case _: NumberFormatException => corrupt() }
+      if (f.length != nsLen + 8) corrupt()
+      val ns = f.slice(1, 1 + nsLen)
+      val id = Identifier.of(ns, f(nsLen + 1))
+      id -> Spec(StructType.fromDDL(f(nsLen + 2)), f(nsLen + 3), f(nsLen + 4),
+        f(nsLen + 5).split(",").toSeq.filter(_.nonEmpty),
+        try f(nsLen + 6).toInt catch { case _: NumberFormatException => corrupt() },
+        f(nsLen + 7))
+    }
+  }
 }

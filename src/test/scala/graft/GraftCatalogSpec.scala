@@ -1,0 +1,65 @@
+package graft
+
+import graft.sources.{GraftCatalog, KeyedSource}
+
+/** Catalog registration lifetime (r17 — the metastore-lite closure of
+  * the "session-scoped registry" note). Pins:
+  * (1) registrations are JVM-shared per catalog NAME: the sessions
+  *     Structured Streaming clones for foreachBatch resolve the same
+  *     tables (the streamed `MERGE INTO cat.t` path — exercised
+  *     end-to-end by KeyedStreamWriteSpec's upsert loop — used to fail
+  *     TABLE_NOT_FOUND in the clone);
+  * (2) with the `warehouse` catalog option, DDL persists the Spec map
+  *     to `_graft_catalog` — a fresh catalog (modeling a new JVM)
+  *     pointed at the same warehouse recovers its tables;
+  * (3) DROP persists too, and the layout bytes stay untouched
+  *     (external-table semantics). */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clone-visible registry and warehouse-backed recovery") {
+    val base = graft.io.TempDirs.scratch("graft_cat_")
+    val dir = s"$base/t"; val wh = s"$base/warehouse"
+    KeyedSource.stageKeyed(spark,
+      (0L until 8L).map(i => (i % 4L, i, i * 3L)).toDF("kb", "doc_id", "n_chars"),
+      dir, "kb", sortBy = Seq("doc_id"), retain = 2)
+
+    spark.conf.set("spark.sql.catalog.gcat1", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat1.warehouse", wh)
+    spark.sql("DROP TABLE IF EXISTS gcat1.docs")
+    spark.sql(
+      s"""CREATE TABLE gcat1.docs (kb BIGINT, doc_id BIGINT, n_chars BIGINT)
+         |USING `graft-keyed` LOCATION '$dir'
+         |TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='2')""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM gcat1.docs").head().getLong(0) == 8L)
+
+    // a SECOND session instantiating the same catalog NAME gets a
+    // fresh GraftCatalog instance — it must resolve the table through
+    // the JVM-shared registry (the foreachBatch clone shape; the
+    // streamed MERGE leg is end-to-end in KeyedStreamWriteSpec)
+    val second = spark.newSession()
+    second.conf.set("spark.sql.catalog.gcat1", classOf[GraftCatalog].getName)
+    second.conf.set("spark.sql.catalog.gcat1.warehouse", wh)
+    assert(second.sql("SELECT count(*) FROM gcat1.docs").head().getLong(0) == 8L)
+
+    // a FRESH catalog name over the same warehouse (modeling a new JVM
+    // whose in-memory registry is empty) recovers the registration
+    assert(new java.io.File(wh, "_graft_catalog").exists(),
+      "DDL must persist the spec store under the warehouse")
+    spark.conf.set("spark.sql.catalog.gcat2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat2.warehouse", wh)
+    assert(spark.sql("SELECT count(*) FROM gcat2.docs").head().getLong(0) == 8L)
+    assert(spark.sql("SELECT sum(n_chars) FROM gcat2.docs").head().getLong(0) ==
+      (0L until 8L).map(_ * 3L).sum)
+
+    // DROP persists (the store no longer lists the table) and leaves
+    // the layout bytes untouched
+    spark.sql("DROP TABLE gcat1.docs")
+    val store = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(wh, "_graft_catalog")))
+    assert(!store.contains("docs"), s"dropped table still in store: $store")
+    assert(KeyedSource.readCommitLog(dir,
+      spark.sessionState.newHadoopConf()).isDefined,
+      "DROP must leave the layout bytes")
+  }
+}

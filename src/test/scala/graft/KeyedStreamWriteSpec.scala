@@ -1,8 +1,10 @@
 package graft
 
 import graft.sources.KeyedSource
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.lit
 
 /** Streaming write INTO `graft-keyed` (r17 — the reference's Snowpipe
   * auto-ingest landing in the TRANSACTIONAL table,
@@ -94,6 +96,74 @@ class KeyedStreamWriteSpec extends SparkSpec {
 
     assert(readKeyed(dir).collect().map(_.getLong(1)).sorted.toSeq ==
       Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("streaming MOR upsert loop: per-batch MERGE converges; a replayed batch is content-idempotent") {
+    import graft.streaming.EventStream
+    val base = tmp("kupsert"); val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val tbl = s"$base/t"; val ddl3 = "kb BIGINT, doc_id BIGINT, n_chars BIGINT"
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+    KeyedSource.stageKeyed(spark,
+      docs.selectExpr("doc_id % 16 AS kb", "doc_id", "n_chars"),
+      tbl, "kb", sortBy = Seq("doc_id"), retain = 8)
+    spark.sql(s"DROP TABLE IF EXISTS gkup.t")
+    spark.conf.set("spark.sql.catalog.gkup",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.sql(
+      s"""CREATE TABLE gkup.t (kb BIGINT, doc_id BIGINT, n_chars BIGINT)
+         |USING `graft-keyed` LOCATION '$tbl'
+         |TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='8',
+         |'dmlMode'='mor')""".stripMargin)
+    def readTable = spark.read.format("graft-keyed").option("path", tbl)
+      .option("schema", ddl3).option("key", "kb").load()
+    def asMap = readTable.collect()
+      .map(r => r.getLong(1) -> (r.getLong(0), r.getLong(2))).toMap
+
+    // batch A: updated versions of every 7th doc + brand-new docs
+    docs.where($"doc_id" % 7 === 0)
+      .withColumn("n_chars", $"n_chars" + 1000L)
+      .unionByName(docs.where($"doc_id" % 50 === 0)
+        .withColumn("doc_id", $"doc_id" + 7000000L)
+        .withColumn("n_chars", lit(44L)))
+      .write.mode("overwrite").parquet(s"$src/a")
+    // the file source watches src/a (new files land as new batches)
+    EventStream.keyedUpsertIngest(spark, s"$src/a", ckpt, "gkup.t")
+      .awaitTermination()
+    val expectA = docs.selectExpr("doc_id % 16 AS kb", "doc_id",
+      "CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars")
+      .unionByName(docs.where($"doc_id" % 50 === 0)
+        .selectExpr("(doc_id + 7000000) % 16 AS kb",
+          "doc_id + 7000000 AS doc_id", "CAST(44 AS BIGINT) AS n_chars"))
+      .collect().map(r => r.getLong(1) -> (r.getLong(0), r.getLong(2))).toMap
+    assert(asMap == expectA)
+
+    // batch B: a second wave touching some of batch A's inserts
+    docs.where($"doc_id" % 50 === 0)
+      .withColumn("doc_id", $"doc_id" + 7000000L)
+      .withColumn("n_chars", lit(99L))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/stage_b")
+    val part = Files.list(Paths.get(s"$base/stage_b"))
+    val f = try part.toArray.map(_.toString).find(_.endsWith(".parquet")).get
+    finally part.close()
+    Files.copy(Paths.get(f), Paths.get(s"$src/a/wave_b.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    EventStream.keyedUpsertIngest(spark, s"$src/a", ckpt, "gkup.t")
+      .awaitTermination()
+    val expectB = expectA.map { case (id, (kb, n)) =>
+      id -> (kb, if (id >= 7000000L) 99L else n) }
+    assert(asMap == expectB)
+
+    // REPLAY: lose the checkpoint confirm of the last batch — the
+    // re-run MERGEs the same wave again; content must not change
+    // (idempotent upsert), only a snapshot is burned
+    val commits = new java.io.File(s"$ckpt/commits")
+    val last = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(last.delete())
+    new java.io.File(commits, s".${last.getName}.crc").delete()
+    EventStream.keyedUpsertIngest(spark, s"$src/a", ckpt, "gkup.t")
+      .awaitTermination()
+    assert(asMap == expectB, "a replayed upsert batch must be content-idempotent")
   }
 
   test("two independent streaming queries share one table: per-query epoch markers, no cross-dedup") {
