@@ -82,7 +82,7 @@ final class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = {
     val s = spec(ident)
     new KeyedTable(s.schema, s.path, s.key, s.sortBy, s.retain,
-      dmlMode = s.dmlMode)
+      dmlMode = s.dmlMode, branch = s.branch)
   }
 
   /** `VERSION AS OF <seq | 'tag'>` — the catalog door to snapshot time
@@ -143,13 +143,18 @@ final class GraftCatalog extends TableCatalog {
     // DML mode: 'cow' (default) rewrites affected key directories;
     // 'mor' commits row-grain DELETEs as deletion vectors
     val dmlMode = prop("dmlMode").getOrElse("cow")
+    // branch-pinned table (r17): every read, append, and row-level DML
+    // targets the named branch — the write-audit-publish workspace as
+    // a TABLE (fastForward publishes, dropBranch discards)
+    val branch = prop("branch").filter(_.nonEmpty)
     schema.fields.foreach(f => require(
       f.dataType == LongType || f.dataType == StringType,
       s"graft-keyed supports BIGINT and STRING fields, got ${f.name}: ${f.dataType}"))
-    val s = Spec(schema, path, key, sortBy, retain, dmlMode)
+    val s = Spec(schema, path, key, sortBy, retain, dmlMode, branch)
     // KeyedTable's constructor requires validate key∈schema etc. — a
     // bad CREATE fails HERE, at DDL time
-    val t = new KeyedTable(schema, path, key, sortBy, retain, dmlMode = dmlMode)
+    val t = new KeyedTable(schema, path, key, sortBy, retain,
+      dmlMode = dmlMode, branch = branch)
     if (tables.putIfAbsent(ident, s).isDefined)
       throw new TableAlreadyExistsException(nameParts(ident))
     persist()
@@ -208,7 +213,7 @@ final class GraftCatalog extends TableCatalog {
       case (n, KeyedSource.RenCol(o, nn)) if n == o => nn
       case (n, _) => n
     }
-    val s2 = Spec(evolved, s.path, key2, sortBy, s.retain, s.dmlMode)
+    val s2 = Spec(evolved, s.path, key2, sortBy, s.retain, s.dmlMode, s.branch)
     tables.put(ident, s2)
     persist()
     new KeyedTable(s2.schema, s2.path, s2.key, s2.sortBy, s2.retain,
@@ -230,7 +235,8 @@ final class GraftCatalog extends TableCatalog {
 
 object GraftCatalog {
   private[sources] case class Spec(schema: StructType, path: String,
-      key: String, sortBy: Seq[String], retain: Int, dmlMode: String = "cow")
+      key: String, sortBy: Seq[String], retain: Int, dmlMode: String = "cow",
+      branch: Option[String] = None)
 
   /** JVM-shared per-catalog-name registries (class scaladoc). */
   private val registries = new java.util.concurrent.ConcurrentHashMap[
@@ -267,6 +273,7 @@ object GraftCatalog {
           .append(US).append(sp.sortBy.mkString(","))
           .append(US).append(sp.retain)
           .append(US).append(sp.dmlMode)
+          .append(US).append(sp.branch.getOrElse(""))
           .append('\n')
       }
     val tmp = new org.apache.hadoop.fs.Path(root,
@@ -304,13 +311,13 @@ object GraftCatalog {
     lines.tail.toSeq.map { line =>
       val f = line.split(US, -1)
       val nsLen = try f(0).toInt catch { case _: NumberFormatException => corrupt() }
-      if (f.length != nsLen + 8) corrupt()
+      if (f.length != nsLen + 9) corrupt()
       val ns = f.slice(1, 1 + nsLen)
       val id = Identifier.of(ns, f(nsLen + 1))
       id -> Spec(StructType.fromDDL(f(nsLen + 2)), f(nsLen + 3), f(nsLen + 4),
         f(nsLen + 5).split(",").toSeq.filter(_.nonEmpty),
         try f(nsLen + 6).toInt catch { case _: NumberFormatException => corrupt() },
-        f(nsLen + 7))
+        f(nsLen + 7), Option(f(nsLen + 8)).filter(_.nonEmpty))
     }
   }
 }

@@ -66,7 +66,8 @@ trait KeyedRowLevelHost {
 
 final class KeyedRowLevelBuilder(declared: StructType, path: String,
     key: String, sortBy: Seq[String], retain: Int,
-    info: RowLevelOperationInfo, dmlMode: String = "cow")
+    info: RowLevelOperationInfo, dmlMode: String = "cow",
+    branch: Option[String] = None)
     extends RowLevelOperationBuilder {
   /** Mode routing (table property `dmlMode`): copy-on-write rewrites
     * affected key directories (the default — reads stay pristine);
@@ -78,13 +79,15 @@ final class KeyedRowLevelBuilder(declared: StructType, path: String,
     * the delete+insert MOR decomposition is the recorded next step). */
   override def build(): RowLevelOperation =
     if (dmlMode == "mor")
-      new KeyedMorOperation(declared, path, key, retain, info.command())
+      new KeyedMorOperation(declared, path, key, retain, info.command(), branch)
     else
-      new KeyedCowOperation(declared, path, key, sortBy, retain, info.command())
+      new KeyedCowOperation(declared, path, key, sortBy, retain,
+        info.command(), branch)
 }
 
 final class KeyedCowOperation(declared: StructType, path: String, key: String,
-    sortBy: Seq[String], retain: Int, cmd: Command)
+    sortBy: Seq[String], retain: Int, cmd: Command,
+    branch: Option[String] = None)
     extends RowLevelOperation with KeyedRowLevelHost {
 
   /** The scan instance Spark executes for this operation — its final
@@ -109,7 +112,11 @@ final class KeyedCowOperation(declared: StructType, path: String, key: String,
           "the connector writer first")
     new KeyedScanBuilder(declared, path, key, conf,
       options.getBoolean("vectorize", true),
-      reportStats = true, asOf = None, cowHost = Some(this))
+      // a branch DML scans the BRANCH head (resolved at plan time);
+      // the commit then checks the branch head did not move
+      reportStats = true,
+      asOf = branch.map(b => KeyedSource.resolveBranch(path, conf.value, b)),
+      cowHost = Some(this))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -120,7 +127,7 @@ final class KeyedCowOperation(declared: StructType, path: String, key: String,
           s"graft-keyed $cmd must write the full layout schema " +
             s"${declared.simpleString}, got ${schema.simpleString}")
         new KeyedCowWrite(KeyedCowOperation.this, schema, path, key, sortBy,
-          retain, info.queryId())
+          retain, info.queryId(), branch)
       }
     }
 }
@@ -130,7 +137,7 @@ final class KeyedCowOperation(declared: StructType, path: String, key: String,
   * key lands wholly in one task as one file), same audited writer. */
 final class KeyedCowWrite(op: KeyedCowOperation, schema: StructType,
     path: String, key: String, sortBy: Seq[String], retain: Int,
-    queryId: String)
+    queryId: String, branch: Option[String] = None)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -146,12 +153,14 @@ final class KeyedCowWrite(op: KeyedCowOperation, schema: StructType,
   override def toBatch: BatchWrite =
     new KeyedCowBatchWrite(op, schema, path, key, sortBy, retain, queryId,
       new org.apache.spark.util.SerializableConfiguration(
-        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()),
+      branch)
 }
 
 final class KeyedCowBatchWrite(op: KeyedCowOperation, schema: StructType,
     path: String, key: String, sortBy: Seq[String], retain: Int,
-    queryId: String, conf: org.apache.spark.util.SerializableConfiguration)
+    queryId: String, conf: org.apache.spark.util.SerializableConfiguration,
+    branch: Option[String] = None)
     extends BatchWrite {
 
   private def genName = s"_gen-$queryId"
@@ -204,14 +213,17 @@ final class KeyedCowBatchWrite(op: KeyedCowOperation, schema: StructType,
       val log = prior.getOrElse(throw new IllegalStateException(
         s"graft-keyed row-level commit at $path found no commit log — " +
           "the layout was replaced mid-operation; re-run the DML"))
-      val head = log.head
+      // a branch DML reads and rewrites ITS ref's head; main is
+      // untouched until a fastForward publishes the branch
+      val head = branch.fold(log.head)(log.branchHead)
       // SERIALIZABLE conflict check: the replacement rows were derived
-      // from the scanned snapshot; any commit that moved the head since
+      // from the scanned snapshot; any commit that moved the ref since
       // invalidates them (write skew) — fail loudly, never rebase
       if (head.seq != scannedView.seq) throw new IllegalStateException(
         s"graft-keyed row-level commit at $path conflicts with a concurrent " +
           s"commit: rows were derived from snapshot ${scannedView.seq} but the " +
-          s"head is now ${head.seq}; re-run the DML against the fresh table")
+          s"${branch.fold("head")(b => s"branch '$b' head")} is now " +
+          s"${head.seq}; re-run the DML against the fresh table")
       priorGens = log.snapshots
         .flatMap(_.referencedGens).toSet
       // the base generation's stored keys — needed to carry a key's
@@ -242,7 +254,7 @@ final class KeyedCowBatchWrite(op: KeyedCowOperation, schema: StructType,
       // must keep their DVs, or rows deleted under dmlMode='mor' would
       // silently resurrect.
       val snap = KeyedSource.Snapshot(log.nextSeq, head.gen, tombstones,
-        edits, head.dvs -- scanned)
+        edits, head.dvs -- scanned, branch = branch)
       Some(KeyedSource.CommitLog(keep,
         KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags,
           log.branches),
@@ -324,7 +336,7 @@ final class KeyedCowWriterFactory(schema: StructType, key: String,
   * Key-grain DELETEs still route to the zero-IO tombstone path
   * (canDeleteWhere wins before row-level planning). */
 final class KeyedMorOperation(declared: StructType, path: String,
-    key: String, retain: Int, cmd: Command)
+    key: String, retain: Int, cmd: Command, branch: Option[String] = None)
     extends RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta
     with KeyedRowLevelHost {
@@ -356,20 +368,22 @@ final class KeyedMorOperation(declared: StructType, path: String,
           "stage) — restage through the connector writer first")
     new KeyedScanBuilder(declared, path, key, conf,
       options.getBoolean("vectorize", true),
-      reportStats = true, asOf = None, cowHost = Some(this))
+      reportStats = true,
+      asOf = branch.map(b => KeyedSource.resolveBranch(path, conf.value, b)),
+      cowHost = Some(this))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
         new KeyedMorDeltaWrite(KeyedMorOperation.this, declared, path,
-          key, retain, info)
+          key, retain, info, branch)
     }
 }
 
 final class KeyedMorDeltaWrite(op: KeyedMorOperation,
     declared: StructType, path: String, key: String, retain: Int,
-    info: LogicalWriteInfo)
+    info: LogicalWriteInfo, branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.DeltaWrite {
   override def description(): String = s"GraftKeyedMorDeltaWrite path=$path"
   override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = {
@@ -379,7 +393,8 @@ final class KeyedMorDeltaWrite(op: KeyedMorOperation,
     new KeyedMorBatchWrite(op, declared, path, key, retain, info.queryId(),
       idSchema,
       new org.apache.spark.util.SerializableConfiguration(
-        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()),
+      branch)
   }
 }
 
@@ -393,7 +408,8 @@ final case class KeyedDvMessage(dvs: Seq[(String, String, Long)],
 final class KeyedMorBatchWrite(op: KeyedMorOperation,
     declared: StructType, path: String, key: String, retain: Int,
     queryId: String, idSchema: StructType,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
 
   private def genName = s"_gen-$queryId"
@@ -533,12 +549,13 @@ final class KeyedMorBatchWrite(op: KeyedMorOperation,
       val log = prior.getOrElse(throw new IllegalStateException(
         s"graft-keyed deletion-vector commit at $path found no commit log — " +
           "the layout was replaced mid-operation; re-run the DML"))
-      val head = log.head
+      val head = branch.fold(log.head)(log.branchHead)
       // SERIALIZABLE: ordinals index the scanned snapshot's file lists
       if (head.seq != scannedSeq) throw new IllegalStateException(
         s"graft-keyed deletion-vector commit at $path conflicts with a " +
           s"concurrent commit: positions were derived from snapshot " +
-          s"$scannedSeq but the head is now ${head.seq}; re-run the DML")
+          s"$scannedSeq but the ${branch.fold("head")(b => s"branch '$b' head")} " +
+          s"is now ${head.seq}; re-run the DML")
       priorGens = log.snapshots.flatMap(_.referencedGens).toSet
       val dvs = head.dvs ++ perKey.map { case (k, refs) =>
         k -> (head.dvs.getOrElse(k, Seq.empty) ++ refs.map(_._1))
@@ -562,7 +579,8 @@ final class KeyedMorBatchWrite(op: KeyedMorOperation,
         k -> (priorLive(k) :+ genName))
       val keep = math.max(math.max(log.retain, retain), 1)
       val snap = KeyedSource.Snapshot(log.nextSeq, head.gen,
-        head.tombstones -- written, edits, dvs -- (head.tombstones & written))
+        head.tombstones -- written, edits, dvs -- (head.tombstones & written),
+        branch = branch)
       Some(KeyedSource.CommitLog(keep,
         KeyedSource.trimWindow(log.snapshots :+ snap, keep, log.tags,
           log.branches),

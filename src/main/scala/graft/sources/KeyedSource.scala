@@ -175,7 +175,8 @@ final class KeyedSnapshotsTable(declared: StructType, path: String, key: String)
   * executor. */
 final class KeyedTable(declared: StructType, path: String, key: String,
     sortBy: Seq[String] = Nil, retain: Int = 1, asOf: Option[Long] = None,
-    asOfTag: Option[String] = None, dmlMode: String = "cow")
+    asOfTag: Option[String] = None, dmlMode: String = "cow",
+    branch: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -209,9 +210,12 @@ final class KeyedTable(declared: StructType, path: String, key: String,
   require(declared.fieldNames.contains(key),
     s"key column '$key' must be part of the declared schema ${declared.simpleString}")
   require(retain >= 1, s"graft-keyed retain must be >= 1, got $retain")
+  require(branch.isEmpty || (asOf.isEmpty && asOfTag.isEmpty),
+    "graft-keyed table cannot pin a branch AND a snapshot at once")
   override def name(): String =
     s"graft-keyed:$path" + asOf.fold("")(s => s"@$s") +
-      asOfTag.fold("")(t => s"@tag:$t")
+      asOfTag.fold("")(t => s"@tag:$t") +
+      branch.fold("")(b => s"@branch:$b")
   /** Any snapshot pin — numeric or named — refuses writes/DML. */
   private def pinned: Boolean = asOf.isDefined || asOfTag.isDefined
   private def pinDesc: String =
@@ -253,7 +257,10 @@ final class KeyedTable(declared: StructType, path: String, key: String,
         .orElse(Option(options.get("branch"))
           .map(b => KeyedSource.resolveBranch(path, conf.value, b)))
         .orElse(asOf)
-        .orElse(asOfTag.map(t => KeyedSource.resolveTag(path, conf.value, t))))
+        .orElse(asOfTag.map(t => KeyedSource.resolveTag(path, conf.value, t)))
+        // a BRANCH-pinned table reads its branch head (resolved fresh
+        // per plan — branch heads move, unlike snapshot pins)
+        .orElse(branch.map(b => KeyedSource.resolveBranch(path, conf.value, b))))
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -261,7 +268,7 @@ final class KeyedTable(declared: StructType, path: String, key: String,
     if (pinned) throw new UnsupportedOperationException(
       s"graft-keyed cannot write through a snapshot pin ($pinDesc): " +
         "historical snapshots are immutable; write to the table head")
-    new KeyedWriteBuilder(declared, path, key, sortBy, retain, info)
+    new KeyedWriteBuilder(declared, path, key, sortBy, retain, info, branch)
   }
 
   /** Row-grain MERGE INTO / UPDATE / DELETE — group-based copy-on-write
@@ -275,7 +282,8 @@ final class KeyedTable(declared: StructType, path: String, key: String,
     if (pinned) throw new UnsupportedOperationException(
       s"graft-keyed cannot rewrite rows through a snapshot pin ($pinDesc): " +
         "historical snapshots are immutable; run the DML against the table head")
-    new KeyedRowLevelBuilder(declared, path, key, sortBy, retain, info, dmlMode)
+    new KeyedRowLevelBuilder(declared, path, key, sortBy, retain, info,
+      dmlMode, branch)
   }
 
   // ── Metadata-grain DELETE (snapshot-log tombstones) ────────────────
@@ -351,7 +359,9 @@ final class KeyedTable(declared: StructType, path: String, key: String,
           s"graft-keyed DELETE is metadata-grain (snapshot-log tombstones) and " +
             s"requires a generation-committed layout, but $path has no commit " +
             "log (legacy flat stage) — restage through the connector writer first"))
-      val head = log.head
+      // a branch-pinned table tombstones against ITS head — main
+      // never sees the deletion until a fastForward publishes it
+      val head = branch.fold(log.head)(log.branchHead)
       // every key the head snapshot actually STORES (base generation
       // directories minus tombstones, plus row-level edit keys): the
       // tombstone universe. Asked-for values outside it match no stored
@@ -389,7 +399,7 @@ final class KeyedTable(declared: StructType, path: String, key: String,
         val keep = math.max(math.max(log.retain, retain), 1)
         val snap = KeyedSource.Snapshot(log.nextSeq, head.gen,
           head.tombstones ++ doomed, head.edits -- doomed,
-          head.dvs -- doomed)
+          head.dvs -- doomed, branch = branch)
         val snapshots = KeyedSource.trimWindow(log.snapshots :+ snap, keep,
           log.tags, log.branches)
         def gensOf(ss: Seq[KeyedSource.Snapshot]) =

@@ -73,7 +73,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * writes (overwrite, append) rebase safely this way; DML/compaction
   * add the serializable scanned-seq check on top. */
 final class KeyedWriteBuilder(declared: StructType, path: String, key: String,
-    sortBy: Seq[String], retain: Int, info: LogicalWriteInfo) extends WriteBuilder
+    sortBy: Seq[String], retain: Int, info: LogicalWriteInfo,
+    tableBranch: Option[String] = None) extends WriteBuilder
     with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -95,6 +96,7 @@ final class KeyedWriteBuilder(declared: StructType, path: String, key: String,
     // (invisible to main until fastForward promotes it — the
     // write-audit-publish lifecycle at the table layer)
     val branch = Option(info.options.get("branch")).filter(_.nonEmpty)
+      .orElse(tableBranch)
     if (branch.isDefined && overwrite)
       throw new UnsupportedOperationException(
         s"graft-keyed branch writes are APPEND-only (branch '${branch.get}'): " +

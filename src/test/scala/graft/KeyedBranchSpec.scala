@@ -134,6 +134,59 @@ class KeyedBranchSpec extends SparkSpec {
     }
   }
 
+  test("DML through a branch-pinned table: UPDATE/DELETE land on the branch, main untouched until promote") {
+    val dir = graft.io.TempDirs.scratch("graft_branch_dml_") + "/t"
+    KeyedSource.stageKeyed(spark, df(32L), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 8)
+    KeyedSource.createBranch(spark, dir, "fix")
+    spark.conf.set("spark.sql.catalog.gbrd",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS gbrd.fix")
+    spark.sql(
+      s"""CREATE TABLE gbrd.fix (kb BIGINT, doc_id BIGINT, source STRING,
+         |n_chars BIGINT) USING `graft-keyed` LOCATION '$dir'
+         |TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='8',
+         |'dmlMode'='mor','branch'='fix')""".stripMargin)
+
+    // the branch-pinned table READS the branch and its DML lands there:
+    // an UPDATE (MOR dv + append) and a row-grain DELETE
+    spark.sql("UPDATE gbrd.fix SET n_chars = 1 WHERE doc_id % 8 = 2")
+    spark.sql("DELETE FROM gbrd.fix WHERE doc_id = 13")
+    // plus a key-grain tombstone DELETE
+    spark.sql("DELETE FROM gbrd.fix WHERE kb = 3")
+
+    // main: byte-for-byte unaffected on every read surface
+    val mainRows = readKeyed(dir).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(mainRows.size == 32 && mainRows(13L) == (13L * 7L) % 101L &&
+      mainRows(2L) == (2L * 7L) % 101L)
+    // the branch (via the pinned table AND the read option) shows all
+    // three commits
+    val branchRows = spark.sql("SELECT doc_id, n_chars FROM gbrd.fix")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(branchRows.size == 32 - 1 - 8) // minus doc 13, minus kb=3
+    assert(!branchRows.contains(13L) && !branchRows.contains(3L))
+    assert(branchRows(2L) == 1L && branchRows(10L) == 1L)
+    assert(readKeyed(dir, branch = Some("fix")).count() == 23L)
+
+    // a conflicting branch commit between scan and DML fails loudly
+    // (the serializable check now compares the BRANCH head)
+    KeyedSource.raceHook.set(() =>
+      appendTo(dir, df(2L, off = 800L), branch = Some("fix")))
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM gbrd.fix WHERE doc_id = 21")
+    }
+    assert((e.getMessage + Option(e.getCause).fold("")(_.getMessage))
+      .contains("branch 'fix'"), e.getMessage)
+
+    // promote: main adopts the audited state in one metadata commit
+    KeyedSource.fastForward(spark, dir, "fix")
+    val after = readKeyed(dir).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(after.size == 25) // 23 + the racing append's 2 rows
+    assert(after(2L) == 1L && !after.contains(13L) && !after.contains(3L))
+  }
+
   test("branch name hygiene: numeric, duplicate, unknown, and overwrite-through-branch refuse") {
     val dir = graft.io.TempDirs.scratch("graft_branch_nm_") + "/t"
     KeyedSource.stageKeyed(spark, df(4L), dir, "kb", retain = 2)
