@@ -166,6 +166,32 @@ class KeyedStreamWriteSpec extends SparkSpec {
     assert(asMap == expectB, "a replayed upsert batch must be content-idempotent")
   }
 
+  test("streaming write enforces the clustered distribution: scattered source partitions, one file per key") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val base = tmp("kstream-dist")
+    val q = mem.toDF().toDF("kb", "doc_id", "source", "n_chars")
+      .repartition(8) // scatter same-key rows across source partitions
+      .writeStream.format("graft-keyed")
+      .option("path", s"$base/t").option("schema", ddl)
+      .option("key", "kb").option("sortBy", "doc_id").option("retain", "2")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    mem.addData((0L until 64L).map(i => (i % 2L, i, "s", i)): _*)
+    q.processAllAvailable()
+    q.stop()
+    // Spark applied RequiresDistributionAndOrdering to the micro-batch
+    // (otherwise the audited writer fails the one-task-per-key
+    // contract loudly): all rows landed, ONE file per key, sorted
+    assert(readKeyed(s"$base/t").count() == 64L)
+    val gen = KeyedSource.committedRoot(spark, s"$base/t")
+    val files = new java.io.File(new java.net.URI(
+      if (gen.startsWith("file:")) gen else "file://" + gen).getPath)
+      .listFiles().filter(_.getName.startsWith("k="))
+      .map(d => d.getName -> d.listFiles().count(f =>
+        f.isFile && !f.getName.startsWith("."))).toMap
+    assert(files == Map("k=0" -> 1, "k=1" -> 1), files.toString)
+  }
+
   test("two independent streaming queries share one table: per-query epoch markers, no cross-dedup") {
     val base = tmp("kstream4"); val dir = s"$base/t"
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
