@@ -473,10 +473,15 @@ final class KeyedMorBatchWrite(op: KeyedMorOperation,
           val in = fs.open(new org.apache.hadoop.fs.Path(root, ref))
           val lines = try scala.io.Source.fromInputStream(in, "US-ASCII")
             .getLines().filter(_.nonEmpty).toVector finally in.close()
-          lines.map { line =>
-            val dash = line.indexOf('-')
-            if (dash < 0) (k, line.toLong, line.toLong)
-            else (k, line.substring(0, dash).toLong, line.substring(dash + 1).toLong)
+          lines.flatMap { line =>
+            if (line.charAt(0) == 'B')
+              KeyedSource.bitmapRuns(line).map { case (a, b) => (k, a, b) }
+            else {
+              val dash = line.indexOf('-')
+              if (dash < 0) Seq((k, line.toLong, line.toLong))
+              else Seq((k, line.substring(0, dash).toLong,
+                line.substring(dash + 1).toLong))
+            }
           }
         }
       }
@@ -692,20 +697,34 @@ final class KeyedDvWriter(declared: StructType, key: String, path: String,
       val rel = s"$genName/k=$raw/$name"
       val p = new org.apache.hadoop.fs.Path(path, rel)
       val os = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16)
-      // RUN-LENGTH encoding: contiguous ordinal runs (the common shape —
-      // a predicate delete kills row ranges) write one `start-end` line
-      // instead of a line per ordinal; singletons stay bare. The loader
-      // reads both forms ([[KeyedSource.loadDeleted]])
+      // CONTAINER CHOICE (r17): contiguous runs (the predicate-delete
+      // shape) write RUN-LENGTH `start-end` lines, singletons bare; a
+      // DENSE SCATTERED vector (many short runs — every-other-row
+      // deletes) would degrade to a line per run, so past the density
+      // threshold the whole vector writes as ONE base64 bitmap line
+      // (`B<base64 of BitSet bytes>` — ~1 bit per ordinal vs ~8 bytes
+      // per run). The loaders read all three forms
+      // ([[KeyedSource.loadDeleted]], [[KeyedSource.dvRangesOf]]).
       try {
+        var runs = 0
         var i = bits.nextSetBit(0)
-        while (i >= 0) {
-          val end = bits.nextClearBit(i) - 1
-          val tok =
-            if (end > i) s"$i-$end"
-            else java.lang.Integer.toString(i)
-          os.write(tok.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        while (i >= 0) { runs += 1; i = bits.nextSetBit(bits.nextClearBit(i)) }
+        val maxOrd = bits.length() // one past the highest set bit
+        if (runs > 64 && runs.toLong > (maxOrd.toLong >> 5)) {
+          os.write('B')
+          os.write(java.util.Base64.getEncoder.encode(bits.toByteArray))
           os.write('\n')
-          i = bits.nextSetBit(end + 1)
+        } else {
+          i = bits.nextSetBit(0)
+          while (i >= 0) {
+            val end = bits.nextClearBit(i) - 1
+            val tok =
+              if (end > i) s"$i-$end"
+              else java.lang.Integer.toString(i)
+            os.write(tok.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            os.write('\n')
+            i = bits.nextSetBit(end + 1)
+          }
         }
       } finally os.close()
       (raw, rel, count)

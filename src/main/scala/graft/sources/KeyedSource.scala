@@ -1475,16 +1475,38 @@ object KeyedSource {
         var line = in.readLine()
         while (line != null) {
           if (line.nonEmpty) {
-            val dash = line.indexOf('-')
-            if (dash < 0) bits.set(line.toInt)
-            else bits.set(line.substring(0, dash).toInt,
-              line.substring(dash + 1).toInt + 1)
+            if (line.charAt(0) == 'B')
+              // dense-container form: one base64 bitmap line (writer's
+              // density threshold — see KeyedDvWriter)
+              bits.or(java.util.BitSet.valueOf(
+                java.util.Base64.getDecoder.decode(line.substring(1))))
+            else {
+              val dash = line.indexOf('-')
+              if (dash < 0) bits.set(line.toInt)
+              else bits.set(line.substring(0, dash).toInt,
+                line.substring(dash + 1).toInt + 1)
+            }
           }
           line = in.readLine()
         }
       } finally in.close()
     }
     bits
+  }
+
+  /** A bitmap dv line's set ordinals as inclusive runs — the range
+    * form the stats-patch anti-join consumes. */
+  private[sources] def bitmapRuns(line: String): Seq[(Long, Long)] = {
+    val bits = java.util.BitSet.valueOf(
+      java.util.Base64.getDecoder.decode(line.substring(1)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var i = bits.nextSetBit(0)
+    while (i >= 0) {
+      val end = bits.nextClearBit(i) - 1
+      out += ((i.toLong, end.toLong))
+      i = bits.nextSetBit(end + 1)
+    }
+    out.toSeq
   }
   private val CommitVersionV1 = "graft-keyed-commit v1"
   private val CommitVersionV2 = "graft-keyed-commit v2"

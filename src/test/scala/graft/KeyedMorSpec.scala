@@ -335,6 +335,47 @@ class KeyedMorSpec extends SparkSpec {
       Set(1L, 5L, 9L, 13L, 37L, 41L, 45L, 49L, 53L, 57L, 61L))
   }
 
+  test("dense scattered deletes write ONE bitmap container line; reads, stats, and compaction compose") {
+    val dir = graft.io.TempDirs.scratch("graft_mor_bitmap_") + "/t"
+    // one key, 4000 rows — every other row deleted = 1000 runs in kb=1,
+    // far past the density threshold (runs > 64 and > maxOrd/32)
+    val big = (0L until 16000L).map(i => (i % 4L, i, s"s${i % 3L}", i % 101L))
+      .toDF("kb", "doc_id", "source", "n_chars")
+    KeyedSource.stageKeyed(spark, big, dir, "kb",
+      sortBy = Seq("doc_id"), retain = 4)
+    val t = registerMor("bmp", dir)
+    // kb=1 holds doc_id ≡ 1 (mod 4); delete those with doc_id % 8 == 1
+    // (every other ordinal in that key's stream)
+    spark.sql(s"DELETE FROM $t WHERE kb = 1 AND doc_id % 8 = 1")
+    val hconf = spark.sessionState.newHadoopConf()
+    val log = KeyedSource.readCommitLog(dir, hconf).get
+    val ref = log.head.dvs("1").head
+    assert(KeyedSource.dvCountOf(ref) == 2000L)
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, ref)),
+      java.nio.charset.StandardCharsets.US_ASCII).trim
+    assert(content.startsWith("B") && !content.contains("\n"),
+      s"a dense scattered vector must write ONE bitmap line, got " +
+        s"${content.take(60)}… (${content.count(_ == '\n') + 1} lines)")
+    // reads exclude exactly the deleted rows
+    assert(readKeyed(dir).where($"kb" === 1L).count() == 2000L)
+    assert(readKeyed(dir).where($"kb" === 1L && $"doc_id" % 8 === 1).count() == 0L)
+    // the stats patch consumed its own bitmap: metadata sums exact
+    val sums = spark.sql(s"SELECT kb, count(*) AS n, sum(n_chars) AS s FROM $t GROUP BY kb")
+    assert(sums.queryExecution.executedPlan.toString.contains("GraftKeyedStats"))
+    val expect = big.where(!($"kb" === 1L && $"doc_id" % 8 === 1))
+      .groupBy("kb").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum("n_chars"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sums.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      == expect)
+    // compaction folds the bitmap like any vector
+    assert(KeyedCompact.compact(spark, dir, schema, "kb") == 1)
+    assert(KeyedSource.readCommitLog(dir, hconf).get.head.dvs.isEmpty)
+    assert(readKeyed(dir).count() == 14000L)
+  }
+
   test("COW MERGE inserting into an unaffected key carries that key's deletion vectors forward") {
     val dir = graft.io.TempDirs.scratch("graft_mor_dvcarry_") + "/t"
     KeyedSource.stageKeyed(spark, df(64L), dir, "kb",
