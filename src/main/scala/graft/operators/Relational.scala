@@ -1358,14 +1358,16 @@ object Relational {
       Some("""SELECT CAST(1 AS BIGINT) AS seq,
              |  CAST(count(DISTINCT doc_id % 16) AS BIGINT) AS live_keys,
              |  CAST(0 AS BIGINT) AS tombstoned_keys,
-             |  count(*) AS live_rows
+             |  count(*) AS live_rows,
+             |  CAST(NULL AS VARCHAR) AS branch
              |FROM documents
              |UNION ALL
              |SELECT CAST(2 AS BIGINT),
              |  CAST(count(DISTINCT CASE WHEN doc_id % 16 NOT IN (3, 5, 11)
              |    THEN doc_id % 16 END) AS BIGINT),
              |  CAST(3 AS BIGINT),
-             |  count(CASE WHEN doc_id % 16 NOT IN (3, 5, 11) THEN 1 END)
+             |  count(CASE WHEN doc_id % 16 NOT IN (3, 5, 11) THEN 1 END),
+             |  CAST(NULL AS VARCHAR)
              |FROM documents
              |ORDER BY seq""".stripMargin),
       "snapshots metadata table: retention and purge state queryable from SQL — per retained snapshot, the visible keys/rows and tombstone count, zero data files opened"),

@@ -216,8 +216,11 @@ final class GraftCatalog extends TableCatalog {
     val s2 = Spec(evolved, s.path, key2, sortBy, s.retain, s.dmlMode, s.branch)
     tables.put(ident, s2)
     persist()
+    // the returned handle keeps the branch pin (r18 ADVICE): a
+    // branch-pinned table that evolves must keep targeting its branch,
+    // matching loadTable/createTable
     new KeyedTable(s2.schema, s2.path, s2.key, s2.sortBy, s2.retain,
-      dmlMode = s2.dmlMode)
+      dmlMode = s2.dmlMode, branch = s2.branch)
   }
 
   /** External-table semantics: forget the mapping, leave the layout
@@ -282,8 +285,11 @@ object GraftCatalog {
     val dst = new org.apache.hadoop.fs.Path(root, StoreFile)
     // delete-then-rename: the local FS refuses an overwriting rename
     // (returns false silently). The non-atomic window is fine for a
-    // last-writer-wins store — a reader either sees the old file, the
-    // new file, or retries on absence via loadStore's empty fallback
+    // last-writer-wins store — a reader lands on the old file, the new
+    // file, or the brief absence window, which loadStore closes by
+    // RETRYING before treating the store as empty (r18 ADVICE: a
+    // catalog initializing mid-publish must not silently recover zero
+    // tables)
     if (fs.exists(dst)) fs.delete(dst, false)
     val dstCrc = new org.apache.hadoop.fs.Path(root, s".$StoreFile.crc")
     if (fs.exists(dstCrc)) fs.delete(dstCrc, false)
@@ -293,13 +299,18 @@ object GraftCatalog {
     if (fs.exists(crc)) fs.delete(crc, false)
   }
 
-  /** Load persisted Specs; empty when no store exists. A present but
-    * unparseable store fails loudly — corruption of a file this
-    * catalog owns. */
+  /** Load persisted Specs; empty when no store exists. Absence is
+    * RETRIED twice (writeStore's delete-then-rename opens a brief
+    * no-file window during a concurrent publish; without the retry a
+    * catalog initializing inside it would silently recover zero tables
+    * from a populated warehouse). A present but unparseable store
+    * fails loudly — corruption of a file this catalog owns. */
   private[sources] def loadStore(warehouse: String): Seq[(Identifier, Spec)] = {
     val p = new org.apache.hadoop.fs.Path(warehouse, StoreFile)
     val fs = p.getFileSystem(
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    var attempts = 0
+    while (!fs.exists(p) && attempts < 2) { Thread.sleep(25L); attempts += 1 }
     if (!fs.exists(p)) return Seq.empty
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString

@@ -241,6 +241,15 @@ object KeyedCompact {
       .option("key", key)
       .option("asOf", scanSeq.toString)
       .load()
+    // a NULL evolved key (e.g. a partial CASE) would slip through the
+    // `=!=` detection filter below and silently keep its old assignment
+    // — and the framed layout cannot store a NULL key anyway. Refuse
+    // loudly with the count (r18 ADVICE).
+    val nullAssigned = readHead.where(evolved.isNull).count()
+    if (nullAssigned > 0) throw new IllegalArgumentException(
+      s"graft-keyed rebucket: the new key expression evaluates to NULL for " +
+        s"$nullAssigned row(s) — every row must receive a non-null " +
+        "assignment (a partial CASE needs an ELSE)")
     // detection: which SOURCE keys hold any row whose assignment moves
     // (bounded collect: distinct key values, the key-domain class)
     val changed: Seq[String] = readHead

@@ -327,8 +327,15 @@ final class KeyedCowWriterFactory(schema: StructType, key: String,
   *    count/min/max/sum into a stats PATCH — one bounded read-only
   *    job over the affected keys, raising the commit's READ cost from
   *    O(deleted rows) to O(affected keys' rows) while keeping every
-  *    later stats question a metadata lookup. TopN budgets still
-  *    refuse under dvs (ordinal budgets need per-directory counts).
+  *    later stats question a metadata lookup. TopN budgets SURVIVE
+  *    patched deletion vectors for the same reason (the pushdown's
+  *    exact-count license reads the patched entries through
+  *    [[KeyedStats.readView]]); only a pre-patch dv commit — stale
+  *    counts, `unresolvedDvKeys` — refuses until compaction. The DV
+  *    container forms live in their readers: bare-ordinal/range lines
+  *    in [[KeyedSource.loadDeleted]], the dense base64 bitmap in
+  *    [[KeyedSource.bitmapRuns]], and the stats-patch range parse in
+  *    [[KeyedStats.readPatch]].
   *
   * Conflict detection is the serializable scanned-seq check: positions
   * are ordinals into the SCANNED snapshot's file lists; any commit

@@ -454,6 +454,12 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
   // residual predicate); CONSUMED key filters compose instead, unlike
   // the page connector's lossy grain where any filter refuses
   private var sawUnconsumed = false
+  // residual (refused) filters, kept for NON-KEY DATA SKIPPING (r18):
+  // Spark re-evaluates them post-scan, but the stats sidecar's per-key
+  // min/max can additionally PROVE whole directories empty under them
+  // (KeyedStats.canMatch) — pruning without consuming, the Iceberg
+  // file-skipping shape at directory grain
+  private var residualFilters: Array[Filter] = Array.empty
   // set by pushAggregation when the sidecar answers the whole plan
   private var statsPlan: Option[(Boolean, Array[KeyedStats.Stat],
     StructType, Seq[KeyedStats.Entry])] = None
@@ -561,7 +567,12 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
     * difference between a point read and a full-table scan.
     * Everything else — range predicates, non-key columns, literals of
     * the wrong type — is REFUSED (returned untouched for Spark to
-    * evaluate post-scan) and planning stays at all directories. */
+    * evaluate post-scan), BUT refused range/equality shapes still
+    * drive NON-KEY DATA SKIPPING at build: directories whose sidecar
+    * min/max interval proves the residual unsatisfiable are not
+    * planned at all ([[KeyedStats.skippableKeys]] — honor-but-recheck;
+    * Spark's post-scan Filter stays, so skipping is an optimization
+    * with a proof obligation, never a correctness lever). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = filters.filter { f =>
       subtreeKeys(f) match {
@@ -574,6 +585,7 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
       }
     }
     if (residual.nonEmpty) sawUnconsumed = true
+    residualFilters ++= residual
     residual
   }
   override def pushedFilters(): Array[Filter] = accepted

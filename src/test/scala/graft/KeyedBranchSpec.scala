@@ -187,6 +187,44 @@ class KeyedBranchSpec extends SparkSpec {
     assert(after(2L) == 1L && !after.contains(13L) && !after.contains(3L))
   }
 
+  test("snapshots metadata table labels branch states; ALTER on a branch-pinned table keeps the pin") {
+    val dir = graft.io.TempDirs.scratch("graft_branch_meta_") + "/t"
+    KeyedSource.stageKeyed(spark, df(16L), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 4)
+    KeyedSource.createBranch(spark, dir, "wip")
+    appendTo(dir, df(4L, off = 100L), branch = Some("wip"))
+
+    // the `branch` column separates unpublished branch states from main
+    // lineage — an auditor of main history filters `branch IS NULL`
+    val meta = spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", ddl).option("key", "kb")
+      .option("metadata", "snapshots").load().orderBy("seq")
+      .collect().map(r => (r.getLong(0), Option(r.getString(4))))
+    // seq 2 is createBranch's main head-dup burn (branch = NULL); seq 3
+    // the branch append, now visibly labeled
+    assert(meta.toSeq == Seq((1L, None), (2L, None), (3L, Some("wip"))),
+      meta.toSeq)
+
+    // ALTER TABLE through the catalog returns a handle that still
+    // targets the branch (the pre-r18 handle silently dropped the pin)
+    spark.conf.set("spark.sql.catalog.gbrm",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS gbrm.wip")
+    spark.sql(
+      s"""CREATE TABLE gbrm.wip (kb BIGINT, doc_id BIGINT, source STRING,
+         |n_chars BIGINT) USING `graft-keyed` LOCATION '$dir'
+         |TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='4','branch'='wip')""".stripMargin)
+    val cat = spark.sessionState.catalogManager.catalog("gbrm")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val altered = cat.alterTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "wip"),
+      org.apache.spark.sql.connector.catalog.TableChange.renameColumn(
+        Array("source"), "src"))
+    assert(altered.name().contains("@branch:wip"), altered.name())
+    // and the post-ALTER catalog read still serves the branch lineage
+    assert(spark.sql("SELECT count(*) FROM gbrm.wip").head().getLong(0) == 20L)
+  }
+
   test("branch name hygiene: numeric, duplicate, unknown, and overwrite-through-branch refuse") {
     val dir = graft.io.TempDirs.scratch("graft_branch_nm_") + "/t"
     KeyedSource.stageKeyed(spark, df(4L), dir, "kb", retain = 2)

@@ -144,4 +144,22 @@ class KeyedRebucketSpec extends SparkSpec {
       col("doc_id") % 32) == 16)
     assert(readKeyed(dir).collect().forall(r => r.getLong(0) == r.getLong(1) % 32L))
   }
+
+  test("a partial-CASE derivation (NULL assignment) refuses loudly, layout untouched") {
+    val dir = graft.io.TempDirs.scratch("graft_rebkt_null_") + "/t"
+    KeyedSource.stageKeyed(spark, df16(32L), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 2)
+    // a CASE with no ELSE assigns NULL everywhere kb != 3 — without the
+    // guard those rows would silently keep their old bucket instead of
+    // moving or failing
+    val e = intercept[IllegalArgumentException] {
+      KeyedCompact.rebucket(spark, dir, schema, "kb",
+        expr("CASE WHEN kb = 3 THEN CAST(16 AS BIGINT) END"))
+    }
+    assert(e.getMessage.contains("NULL") && e.getMessage.contains("ELSE"),
+      e.getMessage)
+    // refused before any commit: no snapshot burned, old grain intact
+    assert(KeyedSource.readCommitLog(dir, hconf).get.head.seq == 1L)
+    assert(readKeyed(dir).count() == 32L)
+  }
 }
