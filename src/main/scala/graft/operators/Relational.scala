@@ -1897,7 +1897,156 @@ object Relational {
              |  FROM documents WHERE doc_id % 40 = 0)
              |SELECT kb, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
              |FROM cur GROUP BY kb ORDER BY kb""".stripMargin),
-      "CDC-driven incremental view maintenance: a materialized rollup updated by one changes-interval delta across UPDATE + row-DELETE + append equals the full recompute (the oracle)")
+      "CDC-driven incremental view maintenance: a materialized rollup updated by one changes-interval delta across UPDATE + row-DELETE + append equals the full recompute (the oracle)"),
+
+    // ── Non-key data skipping (q76 — Iceberg/Delta file skipping) ─────
+    // The reference's recency scan (README.md:225 — `extracted_at >=
+    // DATEADD(day, -7, …)` over an append-clustered table) at the
+    // storage layer: documents staged keyed by a RANGE bucket
+    // (doc_id*16 DIV (max+1) — the time-partition shape, where arrival
+    // order clusters the timestamp), then filtered by a NON-KEY range
+    // predicate. The predicate cannot be consumed at key grain — it
+    // stays a residual Filter in the plan — but the stats sidecar's
+    // per-key min/max(doc_id) PROVES 14 of the 16 directories empty
+    // under it, so the scan plans ~2 partitions (`skipped=14` in the
+    // scan description; KeyedSkippingSpec pins the count and the
+    // DV/evolution/time-travel composition). At 100 TB this is the
+    // single biggest scan cost the connector's own metadata can
+    // eliminate: a 7-day slice of a year-long table reads ~2% of the
+    // directories instead of 100% and still re-checks every emitted
+    // row (honor-but-recheck — skipping needs a proof, never trust).
+    // The max(doc_id) probe itself is metadata-answered (pushed
+    // aggregate, zero data files), so the whole query opens only the
+    // surviving directories' frames.
+    "q76_nonkey_skipping" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#skip")({
+          val out = graft.io.TempDirs.scratch("graft_skip_") + "/bydoc"
+          val docs = t(s, dir, "documents")
+          val md = docs.agg(max("doc_id")).head().getLong(0)
+          graft.sources.KeyedSource.stageKeyed(s,
+            docs.selectExpr(s"doc_id * 16 DIV ${md + 1L} AS kb",
+              "doc_id", "n_chars"),
+            out, "kb", sortBy = Seq("doc_id"))
+          out
+        })
+        def read = s.read.format("graft-keyed").option("path", path)
+          .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+          .option("key", "kb").load()
+        // metadata-answered max (sidecar, zero data files) → the
+        // recency cutoff, same shape as DATEADD(day,-7,current)
+        val md = read.agg(max("doc_id")).head().getLong(0)
+        val lo = md - md / 8L
+        read.where(col("doc_id") >= lo)
+          .agg(count(lit(1)).as("n_recent"),
+            sum("n_chars").cast("long").as("sum_chars"),
+            min("doc_id").as("first_doc"),
+            max("doc_id").as("last_doc"))
+      },
+      Some("""WITH m AS (SELECT max(doc_id) AS md FROM documents)
+             |SELECT count(*) AS n_recent,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM documents, m
+             |WHERE doc_id >= md - md // 8""".stripMargin),
+      "non-key min/max data skipping: a residual range predicate prunes 14/16 directories through the stats sidecar while Spark still re-checks rows — the reference's 7-day recency scan priced by metadata"),
+
+    // ── Type-widening schema evolution (q77 — Iceberg INT→BIGINT) ─────
+    // The long-lived-table gap: a counter-class column staged INT
+    // outgrows its type. Restaging 100 TB to change one column's width
+    // is the wrong answer; the widening op (KeyedSource.WidenCol /
+    // `ALTER COLUMN … TYPE BIGINT`) is ONE metadata commit — in this
+    // text-framed layout the stored bytes are the same ASCII digits
+    // under both types, so pre-widening generations decode PROMOTED
+    // with zero rewrite, their sidecar stats stay trusted (min/max/sum
+    // digits re-type), and the order-marker claim survives. The query
+    // mixes a pre-widening INT generation with a post-widening BIGINT
+    // append and aggregates across both; the final rollup here answers
+    // from the SIDECAR (pushed aggregate, zero data files) — metadata
+    // trust carried across a type change, which is the part Iceberg
+    // calls out as hard. KeyedEvolutionSpec pins decode/time-travel/
+    // refusal legs.
+    "q77_type_widening" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#widen")({
+          val out = graft.io.TempDirs.scratch("graft_widen_") + "/t"
+          val docs = t(s, dir, "documents")
+          graft.sources.KeyedSource.stageKeyed(s,
+            docs.selectExpr("doc_id % 16 AS kb", "doc_id",
+              "CAST(n_chars AS INT) AS pop"),
+            out, "kb", sortBy = Seq("doc_id"), retain = 4)
+          graft.sources.KeyedSource.evolveKeyed(s, out,
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "kb BIGINT, doc_id BIGINT, pop INT"),
+            Seq(graft.sources.KeyedSource.WidenCol("pop")))
+          docs.where("doc_id % 10 = 0")
+            .selectExpr("(doc_id + 9000000) % 16 AS kb",
+              "doc_id + 9000000 AS doc_id", "n_chars + 7 AS pop")
+            .write.format("graft-keyed")
+            .option("schema", "kb BIGINT, doc_id BIGINT, pop BIGINT")
+            .option("key", "kb").option("sortBy", "doc_id")
+            .mode("append").save(out)
+          out
+        })
+        s.read.format("graft-keyed").option("path", path)
+          .option("schema", "kb BIGINT, doc_id BIGINT, pop BIGINT")
+          .option("key", "kb").load()
+          .groupBy("kb")
+          .agg(count(lit(1)).as("n"),
+            sum("pop").cast("long").as("sum_pop"),
+            max("pop").as("max_pop"))
+          .orderBy("kb")
+      },
+      Some("""WITH cur AS (
+             |  SELECT doc_id % 16 AS kb, CAST(n_chars AS BIGINT) AS pop
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT (doc_id + 9000000) % 16, n_chars + 7
+             |  FROM documents WHERE doc_id % 10 = 0)
+             |SELECT kb, count(*) AS n, CAST(sum(pop) AS BIGINT) AS sum_pop,
+             |  max(pop) AS max_pop
+             |FROM cur GROUP BY kb ORDER BY kb""".stripMargin),
+      "INT→BIGINT widening as one metadata commit: pre-widening generations decode promoted with zero rewrite and their sidecar stats stay metadata-answer-worthy across the type change"),
+
+    // ── Compressed generations (q78 — codec=deflate) ──────────────────
+    // At 100 TB the BYTES are the dominant scan cost; until r18 the
+    // keyed layout's framed text paid several× Parquet's footprint.
+    // `codec=deflate` compresses each key file at write (RFC 1951,
+    // JDK-only), recorded PER FILE in the `.dfl` suffix so readers
+    // inflate by extension and mixed generations compose — an
+    // uncompressed append over a compressed base, a COW rewrite either
+    // way (derivative commits inherit by extension probe). Real-corpus
+    // measurement in BASELINE.md r18; this query proves the full read
+    // stack — columnar decode, pushed aggregates, key pruning — over a
+    // compressed layout with oracle-exact values. KeyedCodecSpec pins
+    // byte shrink, both decode paths, DV/skipping composition, and
+    // codec inheritance.
+    "q78_codec_roundtrip" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#codec")({
+          val out = graft.io.TempDirs.scratch("graft_codec_") + "/t"
+          graft.sources.KeyedSource.stageKeyed(s,
+            t(s, dir, "documents")
+              .selectExpr("doc_id % 16 AS kb", "doc_id", "text", "n_chars"),
+            out, "kb", sortBy = Seq("doc_id"), codec = "deflate")
+          out
+        })
+        s.read.format("graft-keyed").option("path", path)
+          .option("schema", "kb BIGINT, doc_id BIGINT, text STRING, n_chars BIGINT")
+          .option("key", "kb").load()
+          .where(col("kb").isin(2L, 7L, 11L))
+          .groupBy("kb")
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("text"))).cast("long").as("sum_len"),
+            max("doc_id").as("last_doc"))
+          .orderBy("kb")
+      },
+      Some("""SELECT doc_id % 16 AS kb, count(*) AS n,
+             |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+             |  max(doc_id) AS last_doc
+             |FROM documents WHERE doc_id % 16 IN (2, 7, 11)
+             |GROUP BY kb ORDER BY kb""".stripMargin),
+      "deflate-compressed generations: the full read stack (columnar inflate, key pruning, aggregation) over .dfl frames with oracle-exact values — the 100 TB byte-cost lever measured in BASELINE.md")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table

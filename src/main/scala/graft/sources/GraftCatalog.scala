@@ -148,8 +148,9 @@ final class GraftCatalog extends TableCatalog {
     // a TABLE (fastForward publishes, dropBranch discards)
     val branch = prop("branch").filter(_.nonEmpty)
     schema.fields.foreach(f => require(
-      f.dataType == LongType || f.dataType == StringType,
-      s"graft-keyed supports BIGINT and STRING fields, got ${f.name}: ${f.dataType}"))
+      f.dataType == LongType || f.dataType == StringType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType,
+      s"graft-keyed supports BIGINT, STRING, and INT fields, got ${f.name}: ${f.dataType}"))
     val s = Spec(schema, path, key, sortBy, retain, dmlMode, branch)
     // KeyedTable's constructor requires validate key∈schema etc. — a
     // bad CREATE fails HERE, at DDL time
@@ -171,15 +172,18 @@ final class GraftCatalog extends TableCatalog {
       .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** Schema evolution — the ONLY supported alterations: ADD COLUMN
-    * (with a mandatory literal default) and RENAME COLUMN, recorded in
-    * the layout's commit-log lineage ([[KeyedSource.evolveKeyed]] — one
-    * CAS commit; old generations stay readable under the evolved
-    * schema, type changes refuse). Everything else stays immutable. */
+    * (with a mandatory literal default), RENAME COLUMN, and ALTER
+    * COLUMN … TYPE BIGINT over an INT column (the one safe widening,
+    * [[KeyedSource.WidenCol]]) — each recorded in the layout's
+    * commit-log lineage ([[KeyedSource.evolveKeyed]] — one CAS commit;
+    * old generations stay readable under the evolved schema, all
+    * other type changes refuse). Everything else stays immutable. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val s = spec(ident)
     def bad(msg: String): Nothing = throw new UnsupportedOperationException(
       s"graft-keyed ALTER TABLE supports only ADD COLUMN (with a literal " +
-        s"DEFAULT) and RENAME COLUMN; $msg")
+        s"DEFAULT), RENAME COLUMN, and ALTER COLUMN TYPE BIGINT (INT " +
+        s"widening); $msg")
     val ops: Seq[KeyedSource.SchemaOp] = changes.map {
       case a: TableChange.AddColumn =>
         if (a.fieldNames.length != 1) bad("nested columns do not exist here")
@@ -196,6 +200,12 @@ final class GraftCatalog extends TableCatalog {
       case r: TableChange.RenameColumn =>
         if (r.fieldNames.length != 1) bad("nested columns do not exist here")
         KeyedSource.RenCol(r.fieldNames()(0), r.newName())
+      case u: TableChange.UpdateColumnType =>
+        if (u.fieldNames.length != 1) bad("nested columns do not exist here")
+        if (u.newDataType() != LongType)
+          bad(s"got ALTER COLUMN TYPE ${u.newDataType().sql} — only the " +
+            "INT->BIGINT widening is representable without restaging")
+        KeyedSource.WidenCol(u.fieldNames()(0))
       case other => bad(s"got ${other.getClass.getSimpleName}")
     }
     val evolved = KeyedSource.evolveKeyed(

@@ -389,7 +389,11 @@ final class KeyedChangesReaderFactory(declared: StructType,
     val base = mk(proj, dirs, plans)
     if (dvs.isEmpty) base
     else new PositionedReader(base, KeyedSource.loadDeleted(dvs, conf.value),
-      map = null, isLong = proj.fields.map(_.dataType == LongType))
+      map = null, kind = proj.fields.map(_.dataType match {
+        case org.apache.spark.sql.types.LongType => 0
+        case org.apache.spark.sql.types.IntegerType => 2
+        case _ => 1
+      }))
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

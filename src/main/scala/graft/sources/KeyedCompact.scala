@@ -91,6 +91,8 @@ object KeyedCompact {
     val genName = "_gen-compact-" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val genDir = s"$path/$genName"
+    // the rewrite inherits the layout's codec (per-file extension probe)
+    val codec = KeyedSource.codecOfHead(path, hconf)
     val orderCols = (key +: sortBy).map(col)
 
     // the standing write distribution: each key wholly in one task,
@@ -104,7 +106,7 @@ object KeyedCompact {
       .mapPartitionsWithIndex { (pid, it) =>
         if (it.isEmpty) Iterator.empty
         else {
-          val w = new KeyedDataWriter(schema, key, genDir, pid.toLong, conf)
+          val w = new KeyedDataWriter(schema, key, genDir, pid.toLong, conf, codec)
           var ok = false
           try {
             it.foreach(w.write)
@@ -266,6 +268,8 @@ object KeyedCompact {
     val genName = "_gen-rebucket-" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val genDir = s"$path/$genName"
+    // the rewrite inherits the layout's codec (per-file extension probe)
+    val codec = KeyedSource.codecOfHead(path, hconf)
     // rewrite the changed keys' rows under their NEW assignment, one
     // sorted file per new key — the standing write distribution
     val rekeyed = readHead
@@ -279,7 +283,7 @@ object KeyedCompact {
       .mapPartitionsWithIndex { (pid, it) =>
         if (it.isEmpty) Iterator.empty
         else {
-          val w = new KeyedDataWriter(schema, key, genDir, pid.toLong, conf)
+          val w = new KeyedDataWriter(schema, key, genDir, pid.toLong, conf, codec)
           var ok = false
           try {
             it.foreach(w.write)

@@ -166,7 +166,9 @@ final class KeyedCowBatchWrite(op: KeyedCowOperation, schema: StructType,
   private def genName = s"_gen-$queryId"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new KeyedCowWriterFactory(schema, key, s"$path/$genName", conf)
+    // rewrites INHERIT the layout's codec (per-file extension probe)
+    new KeyedCowWriterFactory(schema, key, s"$path/$genName", conf,
+      KeyedSource.codecOfHead(path, conf.value))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.toSeq.collect { case m: KeyedCommitMessage => m }
@@ -283,11 +285,12 @@ final class KeyedCowBatchWrite(op: KeyedCowOperation, schema: StructType,
   * `_file`). Arity-checked per row: a future Spark that projects
   * upstream passes through untouched. */
 final class KeyedCowWriterFactory(schema: StructType, key: String,
-    genDir: String, conf: org.apache.spark.util.SerializableConfiguration)
+    genDir: String, conf: org.apache.spark.util.SerializableConfiguration,
+    codec: String = "none")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
-    val inner = new KeyedDataWriter(schema, key, genDir, taskId, conf)
+    val inner = new KeyedDataWriter(schema, key, genDir, taskId, conf, codec)
     new org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
       private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
         schema, (1 to schema.length).toIndexedSeq)
@@ -423,7 +426,8 @@ final class KeyedMorBatchWrite(op: KeyedMorOperation,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
-    new KeyedDvWriterFactory(declared, key, path, genName, idSchema, conf)
+    new KeyedDvWriterFactory(declared, key, path, genName, idSchema, conf,
+      KeyedSource.codecOfHead(path, conf.value))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.toSeq.collect { case m: KeyedDvMessage => m }
@@ -612,11 +616,12 @@ final class KeyedMorBatchWrite(op: KeyedMorOperation,
 
 final class KeyedDvWriterFactory(declared: StructType, key: String,
     path: String, genName: String, idSchema: StructType,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    codec: String = "none")
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
-    new KeyedDvWriter(declared, key, path, genName, idSchema, taskId, conf)
+    new KeyedDvWriter(declared, key, path, genName, idSchema, taskId, conf, codec)
 }
 
 /** Accumulates deleted ordinals per key; close-time flush writes one
@@ -625,7 +630,8 @@ final class KeyedDvWriterFactory(declared: StructType, key: String,
   * the decode batch carries); a position beyond it fails loudly. */
 final class KeyedDvWriter(declared: StructType, key: String, path: String,
     genName: String, idSchema: StructType, taskId: Long,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    codec: String = "none")
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   private val keyIdx = idSchema.fieldIndex(KeyedSource.KeyCol)
@@ -689,7 +695,7 @@ final class KeyedDvWriter(declared: StructType, key: String, path: String,
       if (pending.isEmpty) None
       else {
         val kw = new KeyedDataWriter(declared, key, s"$path/$genName",
-          taskId, conf)
+          taskId, conf, codec)
         pending.valuesIterator.foreach(_.foreach(vals => kw.write(
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals))))
         Some(kw.commit().asInstanceOf[KeyedCommitMessage])

@@ -648,8 +648,19 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
       new KeyedStatsScan(schema, root, key, keyField.dataType,
         groupByKey, stats, surviving)
     case None =>
+      // NON-KEY DATA SKIPPING (r18): residual predicates prune
+      // directories whose sidecar interval PROVES them empty — only
+      // under a trusted sidecar (readView's header match; None = no
+      // skipping, plan everything), with unresolved-DV keys refused
+      // inside skippableKeys. Composes with everything downstream:
+      // tombstones/edits are already folded into the view's entries,
+      // and key-grain + runtime pruning intersect in the scan.
+      val skipKeys: Set[String] =
+        if (residualFilters.isEmpty) Set.empty
+        else KeyedStats.readView(view, conf, full, key).fold(Set.empty[String])(
+          sc => KeyedStats.skippableKeys(sc, residualFilters.toSeq, full))
       val scan = new KeyedScan(full, required, view, key, conf, keyValues,
-        vectorize, reportStats, topN)
+        vectorize, reportStats, topN, skipKeys)
       // a row-level operation's commit replaces (cow) or amends (mor)
       // exactly what this scan resolves — hand it the instance (last
       // build wins; Spark builds one scan per operation)
@@ -684,7 +695,8 @@ class KeyedScan(full: StructType, required: StructType,
     private[sources] val view: KeyedSource.SnapshotView,
     key: String, conf: org.apache.spark.util.SerializableConfiguration,
     keyValues: Option[Set[Any]] = None, vectorize: Boolean = true,
-    reportStats: Boolean = true, topN: Int = -1)
+    reportStats: Boolean = true, topN: Int = -1,
+    skipKeys: Set[String] = Set.empty)
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -780,6 +792,10 @@ class KeyedScan(full: StructType, required: StructType,
     val sidecar = KeyedStats.readView(view, conf, full, key)
     val surviving = sidecar.map { sc =>
       val visible = sc.entries.filterNot(e => tombstones.contains(e.rawKey))
+        // skipped directories are not planned, so their rows must not
+        // inflate the estimate either (skipping shrinks joins under
+        // the broadcast threshold exactly like key pruning does)
+        .filterNot(e => skipKeys.contains(e.rawKey))
       pruned.fold(visible) { set =>
         visible.filter(e => keyField.dataType match {
           case LongType => set.contains(e.rawKey.toLong)
@@ -799,10 +815,13 @@ class KeyedScan(full: StructType, required: StructType,
           if (f.name == key) entries.length.toLong // exact under pruning
           else math.min(t.ndvs(i), math.max(rowCount, 1L))
         val (mn, mx): (java.util.Optional[Object], java.util.Optional[Object]) =
-          if (f.dataType == LongType && entries.nonEmpty)
-            (java.util.Optional.of(Long.box(entries.map(_.mins(i).toLong).min)),
-              java.util.Optional.of(Long.box(entries.map(_.maxs(i).toLong).max)))
-          else (java.util.Optional.empty(), java.util.Optional.empty())
+          if (KeyedStats.numeric(f.dataType) && entries.nonEmpty) {
+            val lo = entries.map(_.mins(i).toLong).min
+            val hi = entries.map(_.maxs(i).toLong).max
+            def box(v: Long): Object =
+              if (f.dataType == LongType) Long.box(v) else Int.box(v.toInt)
+            (java.util.Optional.of(box(lo)), java.util.Optional.of(box(hi)))
+          } else (java.util.Optional.empty(), java.util.Optional.empty())
         colStats.put(Expressions.column(f.name),
           new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
             override def distinctCount(): java.util.OptionalLong =
@@ -836,6 +855,7 @@ class KeyedScan(full: StructType, required: StructType,
     s"GraftKeyed path=${view.root} key=$key pruned=${required.fieldNames.mkString(",")}" +
       keyValues.fold("")(s =>
         s" keys=[${s.toSeq.map(_.toString).sorted.mkString(",")}]") +
+      (if (skipKeys.nonEmpty) s" skipped=${skipKeys.size}" else "") +
       (if (topN >= 0) s" topN=$topN" else "") +
       (if (tombstones.nonEmpty) s" tombstones=${tombstones.size}" else "") +
       (if (view.edits.nonEmpty) s" edits=${view.edits.size}" else "") +
@@ -935,6 +955,10 @@ class KeyedScan(full: StructType, required: StructType,
     // the stager wrote), BEFORE the UTF8String conversion — the
     // listing is the predicate index, for static and runtime keys alike
     view.liveKeyDirs(conf.value)
+      // non-key skipping (r18): drop directories the sidecar PROVED
+      // empty under the residual predicates — by raw dirname, the same
+      // grain as key pruning; keys without a proof always plan
+      .filterNot { case (raw, _) => skipKeys.contains(raw) }
       .filter { case (raw, _) =>
         pruned.forall { set =>
           keyField.dataType match {
@@ -1032,7 +1056,13 @@ class KeyedScan(full: StructType, required: StructType,
     // position skip/append is per row; a compaction folds DVs in and
     // restores the columnar default)
     new KeyedReaderFactory(full, required, conf,
-      vectorize && !emitMeta && !partitions.exists { p =>
+      vectorize && !emitMeta &&
+        // INT columns (the transitional widening source type) ride the
+        // row path — the columnar decoder types buffers BIGINT/STRING
+        // only; widening the column (or restaging) restores columnar
+        required.fields.forall(f =>
+          f.dataType == LongType || f.dataType == StringType) &&
+        !partitions.exists { p =>
         val kp = p.asInstanceOf[KeyedPartition]
         // evolved generations stay on the row path; DV'd keys decode
         // COLUMNAR (PositionedColumnarReader — zero-copy passthrough
@@ -1066,8 +1096,14 @@ final case class KeyedPartition(dirs: Seq[String], keyValue: Any,
 final class EvolvedRowReader(inner: PartitionReader[InternalRow],
     plan: KeyedSource.DirReadPlan) extends PartitionReader[InternalRow] {
   private val n = plan.fromFile.length
-  private val innerIsLong: Array[Boolean] =
-    KeyedSource.ddlToSchema(plan.innerDdl).fields.map(_.dataType == LongType)
+  // 0 = BIGINT (includes widened INT→BIGINT — the inner projection
+  // already decodes promoted), 1 = STRING, 2 = INT
+  private val innerKind: Array[Int] =
+    KeyedSource.ddlToSchema(plan.innerDdl).fields.map(_.dataType match {
+      case LongType => 0
+      case org.apache.spark.sql.types.IntegerType => 2
+      case _ => 1
+    })
   private val consts: Array[Any] = Array.tabulate[Any](n)(i =>
     if (plan.fromFile(i)) null
     else if (plan.constIsLong(i)) java.lang.Long.valueOf(plan.constVals(i).toLong)
@@ -1081,7 +1117,11 @@ final class EvolvedRowReader(inner: PartitionReader[InternalRow],
     var j = 0
     while (i < n) {
       if (plan.fromFile(i)) {
-        out(i) = if (innerIsLong(j)) Long.box(src.getLong(j)) else src.getUTF8String(j)
+        out(i) = innerKind(j) match {
+          case 0 => Long.box(src.getLong(j))
+          case 2 => Int.box(src.getInt(j))
+          case _ => src.getUTF8String(j)
+        }
         j += 1
       } else out(i) = consts(i)
       i += 1
@@ -1120,7 +1160,7 @@ final class ConcatReader[T](makers: Seq[() => PartitionReader[T]])
   * [[PositionedReader.Key]] the raw key dirname. Pass-through when
   * `map` is null (apply-only) — rows are not copied. */
 final class PositionedReader(inner: PartitionReader[InternalRow],
-    deleted: java.util.BitSet, map: Array[Int], isLong: Array[Boolean],
+    deleted: java.util.BitSet, map: Array[Int], kind: Array[Int],
     rawKey: UTF8String = null, limit: Int = -1)
     extends PartitionReader[InternalRow] {
   private var ord = -1
@@ -1142,8 +1182,11 @@ final class PositionedReader(inner: PartitionReader[InternalRow],
             out(i) = map(i) match {
               case PositionedReader.Pos => Long.box(ord.toLong)
               case PositionedReader.Key => rawKey
-              case j => if (isLong(j)) Long.box(src.getLong(j))
-                else src.getUTF8String(j).clone()
+              case j => kind(j) match {
+                case 0 => Long.box(src.getLong(j))
+                case 2 => Int.box(src.getInt(j))
+                case _ => src.getUTF8String(j).clone()
+              }
             }
             i += 1
           }
@@ -1273,8 +1316,13 @@ final class KeyedReaderFactory(full: StructType, required: StructType,
     case f if f.name == KeyedSource.KeyCol => PositionedReader.Key
     case f => dataRequired.fieldIndex(f.name)
   }
-  private val dataIsLong: Array[Boolean] =
-    dataRequired.fields.map(_.dataType == LongType)
+  // 0 = BIGINT, 1 = STRING, 2 = INT (the widening source type)
+  private val dataKind: Array[Int] =
+    dataRequired.fields.map(_.dataType match {
+      case LongType => 0
+      case org.apache.spark.sql.types.IntegerType => 2
+      case _ => 1
+    })
   // decode IS the page decode — the connectors share the US-framed
   // line format on both paths: PageReader (row) and PageColumnarReader
   // (byte-level batch decode, the default — VectorizedFrame scaladoc);
@@ -1310,7 +1358,7 @@ final class KeyedReaderFactory(full: StructType, required: StructType,
     else new PositionedReader(base,
       if (kp.dvPaths.nonEmpty) KeyedSource.loadDeleted(kp.dvPaths, conf.value)
       else null,
-      if (emitMeta) outMap else null, dataIsLong,
+      if (emitMeta) outMap else null, dataKind,
       rawKey = UTF8String.fromString(kp.keyValue match {
         case u: UTF8String => u.toString
         case other => other.toString
@@ -1377,7 +1425,8 @@ object KeyedSource {
     * last N snapshots readable via `asOf`/`VERSION AS OF` until they
     * expire out of the window. */
   def stageKeyed(spark: SparkSession, df: DataFrame, out: String,
-      key: String, sortBy: Seq[String] = Nil, retain: Int = 1): String = {
+      key: String, sortBy: Seq[String] = Nil, retain: Int = 1,
+      codec: String = "none"): String = {
     val cols = df.schema.fieldNames.toSeq
     require(cols.contains(key), s"key '$key' not in ${cols.mkString(",")}")
     require(sortBy.forall(c => cols.contains(c) && c != key),
@@ -1388,6 +1437,7 @@ object KeyedSource {
       .option("key", key)
       .option("sortBy", sortBy.mkString(","))
       .option("retain", retain.toString)
+      .option("codec", codec)
       .mode("overwrite")
       .save(out)
     out
@@ -1570,12 +1620,23 @@ object KeyedSource {
     * alias chain, so no per-generation stamping is needed. Added
     * columns carry a DEFAULT (the framed layout stores no NULLs — an
     * added column must answer something for pre-evolution rows). Type
-    * CHANGES have no op on purpose: a BIGINT column read as STRING (or
-    * narrowed) refuses loudly at plan time. */
+    * CHANGES have no op except the one SAFE WIDENING (r18): INT →
+    * BIGINT via [[WidenCol]] — pure metadata in this layout, since
+    * frames store ASCII digits under both types and every INT value's
+    * digit string parses as the same BIGINT; numeric order, sidecar
+    * min/max/sum digits, and the order-marker claim all carry over
+    * unchanged. Everything else (narrowing, BIGINT↔STRING) refuses
+    * loudly at plan time. Float→double has no analog here on purpose:
+    * the layout stores no floating point (the repo-wide exactness
+    * discipline — doubles are derived at query time from exact
+    * integer sums). */
   sealed trait SchemaOp
   final case class AddCol(name: String, isLong: Boolean, default: String)
       extends SchemaOp
   final case class RenCol(from: String, to: String) extends SchemaOp
+  /** INT → BIGINT promotion of column `name` (by its CURRENT name at
+    * op time; later renames track it like any lineage name). */
+  final case class WidenCol(name: String) extends SchemaOp
 
   /** The retained snapshot window plus the retention width that
     * produced it (delete commits inherit `retain` from here — they
@@ -1807,6 +1868,7 @@ object KeyedSource {
           case Array("add", n, t, d) if n.nonEmpty && (t == "B" || t == "S") =>
             AddCol(n, t == "B", d)
           case Array("ren", o, n) if o.nonEmpty && n.nonEmpty => RenCol(o, n)
+          case Array("widen", n) if n.nonEmpty => WidenCol(n)
           case _ => corrupt()
         }
       }
@@ -1868,7 +1930,10 @@ object KeyedSource {
     val sb = new StringBuilder
     val needsV4 = log.tags.nonEmpty || log.streams.nonEmpty ||
       log.branches.nonEmpty || log.snapshots.exists(s =>
-        s.dvs.nonEmpty || s.branch.isDefined)
+        s.dvs.nonEmpty || s.branch.isDefined) ||
+      // widen ops are an r18 addition — declare v4 so a pre-r16 v3-only
+      // reader reports a version gap, not generic corruption
+      log.ops.exists(_.isInstanceOf[WidenCol])
     sb.append(if (needsV4) CommitVersionV4 else CommitVersion)
       .append(PageSource.US).append(log.retain)
     val hdr3 = log.streams.nonEmpty || log.branches.nonEmpty
@@ -1876,6 +1941,7 @@ object KeyedSource {
       sb.append(PageSource.US).append(log.ops.map {
         case AddCol(n, l, d) => s"add:$n:${if (l) "B" else "S"}:$d"
         case RenCol(o, n) => s"ren:$o:$n"
+        case WidenCol(n) => s"widen:$n"
       }.mkString(","))
     if (log.tags.nonEmpty || hdr3)
       sb.append(PageSource.US).append(log.tags.toSeq.sortBy(_._1)
@@ -2017,6 +2083,28 @@ object KeyedSource {
       s"graft-keyed $what at $path lost the commit race $maxAttempts times " +
         "(another committer keeps claiming the next snapshot seq); giving up " +
         "rather than spin — retry the operation")
+  }
+
+  /** The codec the layout's CURRENT data files carry, by extension
+    * probe of one committed file ("deflate" | "none") — how derivative
+    * writers (copy-on-write rewrites, MOR update appends, compaction,
+    * rebucket) INHERIT compression: the codec is recorded per file in
+    * the name, so a rewrite that kept the layout's own choice needs
+    * one driver-side listStatus, no marker. A layout with no committed
+    * data (or a foreign one) probes "none". */
+  private[sources] def codecOfHead(path: String,
+      hconf: org.apache.hadoop.conf.Configuration): String = {
+    val root = new org.apache.hadoop.fs.Path(effectiveRoot(path, hconf))
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) return "none"
+    val kd = fs.listStatus(root).find(st =>
+      st.isDirectory && st.getPath.getName.startsWith("k="))
+    kd.flatMap(d => fs.listStatus(d.getPath).find(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")))
+      .map(f =>
+        if (f.getPath.getName.endsWith(PageSource.DeflateSuffix)) "deflate"
+        else "none")
+      .getOrElse("none")
   }
 
   /** Stale-staging grace: an unreferenced `_gen-*` directory younger
@@ -2301,14 +2389,38 @@ object KeyedSource {
     ()
   }
 
-  /** PROMOTE branch `name`: fast-forward main's head to the branch's
-    * state in one metadata commit, then release the branch. Refuses —
-    * loudly, with both states — when main's head no longer matches the
-    * fork state (a DATA commit landed on main since the fork; a
-    * fast-forward would silently discard it — resolve by re-branching
-    * from the fresh head and replaying). Metadata-only main commits
-    * (tags, other branches' bookkeeping) don't block: the check
-    * compares CONTENT, not seq. Returns the new main head seq. */
+  /** The keys whose serving state (edit list, tombstone, deletion
+    * vectors) differs between two snapshots over the SAME base
+    * generation — the key-grain touched set conflict detection and
+    * rebase both price. */
+  private[sources] def touchedKeys(a: Snapshot, b: Snapshot): Set[String] = {
+    val ks = a.edits.keySet ++ b.edits.keySet ++ a.tombstones ++ b.tombstones ++
+      a.dvs.keySet ++ b.dvs.keySet
+    ks.filter(k => a.edits.get(k) != b.edits.get(k) ||
+      a.tombstones.contains(k) != b.tombstones.contains(k) ||
+      a.dvs.get(k) != b.dvs.get(k))
+  }
+
+  /** PROMOTE branch `name` in one metadata commit, then release the
+    * branch. Three outcomes (Returns the new main head seq):
+    *
+    *  - FAST-FORWARD: main's head content still equals the fork state
+    *    (metadata-only burns — tags, other branches — don't block);
+    *    main simply adopts the branch head's exact state.
+    *  - REBASE (r18): main took data commits past the fork, but the
+    *    key sets the two lineages touched are DISJOINT (both
+    *    computable from the snapshots — the same key-grain sets the
+    *    DML conflict check prices). The branch's per-key state
+    *    (edits / tombstones / deletion vectors) REPLAYS onto main's
+    *    current head as ONE commit: files are referenced, never
+    *    copied, and every main-side key keeps main's state. Refused
+    *    when main OVERWROTE the table (new base generation — there is
+    *    no per-key merge across a full replacement).
+    *  - REFUSE, loudly with both touched-key sets, when the lineages
+    *    overlap on any key — replaying either side would silently
+    *    discard the other's rows on that key (the write-skew the DML
+    *    paths refuse at the same grain); resolve by re-branching from
+    *    the fresh head and replaying the conflicting work. */
   def fastForward(spark: org.apache.spark.sql.SparkSession, path: String,
       name: String): Long = {
     val hconf = spark.sessionState.newHadoopConf()
@@ -2324,21 +2436,47 @@ object KeyedSource {
         throw new IllegalStateException(
           s"graft-keyed branch '$name' fork snapshot $fork not retained — log invariant broken"))
       val head = log.head
+      val bh = log.branchHead(name)
       val same = head.gen == forkSnap.gen && head.tombstones == forkSnap.tombstones &&
         head.edits == forkSnap.edits && head.dvs == forkSnap.dvs
-      if (!same) throw new IllegalStateException(
-        s"graft-keyed cannot fast-forward branch '$name' at $path: main " +
-          s"advanced past the fork (fork seq $fork, head seq ${head.seq} " +
-          "with different content) — a fast-forward would discard main's " +
-          "commits; re-branch from the fresh head and replay")
-      val bh = log.branchHead(name)
-      promoted = log.nextSeq
-      // ONE main snapshot adopting the branch head's exact state; the
-      // branch is consumed (write-audit-publish: promote IS the publish)
+      val adopted: Snapshot =
+        if (same)
+          // ONE main snapshot adopting the branch head's exact state
+          Snapshot(log.nextSeq, bh.gen, bh.tombstones, bh.edits, bh.dvs)
+        else {
+          // rebase path: per-key replay over main's head
+          if (head.gen != forkSnap.gen || bh.gen != forkSnap.gen)
+            throw new IllegalStateException(
+              s"graft-keyed cannot promote branch '$name' at $path: the base " +
+                s"generation changed since the fork (fork ${forkSnap.gen}, " +
+                s"main head ${head.gen}, branch head ${bh.gen}) — a full " +
+                "overwrite has no per-key merge; re-branch from the fresh " +
+                "head and replay")
+          val branchTouched = touchedKeys(forkSnap, bh)
+          val mainTouched = touchedKeys(forkSnap, head)
+          val overlap = branchTouched intersect mainTouched
+          if (overlap.nonEmpty) throw new IllegalStateException(
+            s"graft-keyed cannot promote branch '$name' at $path: both " +
+              s"lineages touched key(s) ${overlap.toSeq.sorted.mkString(",")} " +
+              s"since fork seq $fork (branch touched: " +
+              s"${branchTouched.toSeq.sorted.mkString(",")}; main touched: " +
+              s"${mainTouched.toSeq.sorted.mkString(",")}) — replaying would " +
+              "discard one side's rows on the conflicting key; re-branch " +
+              "from the fresh head and replay the conflicting work")
+          Snapshot(log.nextSeq, head.gen,
+            (head.tombstones -- branchTouched) ++
+              (bh.tombstones intersect branchTouched),
+            (head.edits -- branchTouched) ++
+              bh.edits.view.filterKeys(branchTouched).toMap,
+            (head.dvs -- branchTouched) ++
+              bh.dvs.view.filterKeys(branchTouched).toMap)
+        }
+      promoted = adopted.seq
+      // the branch is consumed (write-audit-publish: promote IS the
+      // publish — fast-forward and rebase alike are metadata-only)
       Some(log.copy(
         snapshots = KeyedSource.trimWindow(
-          log.snapshots :+ Snapshot(promoted, bh.gen, bh.tombstones,
-            bh.edits, bh.dvs),
+          log.snapshots :+ adopted,
           math.max(log.retain, 1), log.tags, log.branches - name),
         branches = log.branches - name))
     }
@@ -2366,6 +2504,7 @@ object KeyedSource {
     var taken: Set[String] = current.fieldNames.toSet ++ priorOps.flatMap {
       case AddCol(n, _, _) => Seq(n)
       case RenCol(o, n) => Seq(o, n)
+      case WidenCol(_) => Seq.empty // no new name
     }
     var schema = current
     ops.foreach {
@@ -2391,6 +2530,13 @@ object KeyedSource {
         taken += n
         schema = StructType(schema.fields.map(f =>
           if (f.name == o) f.copy(name = n) else f))
+      case WidenCol(n) =>
+        if (!schema.fieldNames.contains(n)) bad(s"widen source '$n' is not a column")
+        if (schema(n).dataType != org.apache.spark.sql.types.IntegerType) bad(
+          s"only INT columns widen to BIGINT; '$n' is ${schema(n).dataType.sql} " +
+            "(narrowing and cross-kind changes refuse — restage instead)")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == n) f.copy(dataType = LongType) else f))
     }
     schema
   }
@@ -2401,21 +2547,32 @@ object KeyedSource {
     if (ddl.isEmpty) new StructType() else StructType.fromDDL(ddl)
 
   /** Read-time lineage: for each CURRENT column name, its historical
-    * aliases (newest-first) and the add-op default (if the column was
-    * introduced by evolution), both tracked through renames. */
+    * aliases (newest-first), the add-op default (if the column was
+    * introduced by evolution), and whether an INT→BIGINT widening is
+    * recorded — all tracked through renames. */
   private[sources] def lineageOf(ops: Seq[SchemaOp])
-      : (Map[String, Seq[String]], Map[String, (Boolean, String)]) = {
+      : (Map[String, Seq[String]], Map[String, (Boolean, String)], Set[String]) = {
     var aliases = Map.empty[String, Seq[String]]
     var defaults = Map.empty[String, (Boolean, String)]
+    var widened = Set.empty[String]
     ops.foreach {
       case AddCol(n, l, d) => defaults += n -> ((l, d))
+      case WidenCol(n) => widened += n
       case RenCol(o, n) =>
         aliases += n -> (o +: aliases.getOrElse(o, Seq.empty))
         aliases -= o
         defaults.get(o).foreach { d => defaults += n -> d; defaults -= o }
+        if (widened.contains(o)) { widened -= o; widened += n }
     }
-    (aliases, defaults)
+    (aliases, defaults, widened)
   }
+
+  /** The CURRENT names carrying a recorded INT→BIGINT widening — the
+    * set every trust check (sidecar header, order marker) consults to
+    * accept a generation's stored INT where the declaration now says
+    * BIGINT. */
+  private[graft] def widenedColumns(ops: Seq[SchemaOp]): Set[String] =
+    lineageOf(ops)._3
 
   /** Per-directory evolved-read plan: how one generation's files map
     * to the scan's output columns. `innerDdl` is the projection the
@@ -2435,7 +2592,7 @@ object KeyedSource {
   private[sources] def evolvedPlan(genRoot: String, written: StructType,
       required: StructType, ops: Seq[SchemaOp]): DirReadPlan = {
     import org.apache.spark.sql.types.StructField
-    val (aliases, defaults) = lineageOf(ops)
+    val (aliases, defaults, widened) = lineageOf(ops)
     val inner = scala.collection.mutable.ArrayBuffer.empty[StructField]
     val fromFile = new Array[Boolean](required.length)
     val constIsLong = new Array[Boolean](required.length)
@@ -2445,12 +2602,18 @@ object KeyedSource {
       candidates.find(written.fieldNames.contains) match {
         case Some(src) =>
           val st = written(src).dataType
-          if (st != f.dataType) throw new IllegalArgumentException(
+          // the one SAFE promotion: an INT-written column under a
+          // recorded widening decodes DIRECTLY as BIGINT — the frames
+          // hold the same ASCII digits, only the parse target changes,
+          // so the "promotion" is the inner projection's declared type
+          val widens = st == org.apache.spark.sql.types.IntegerType &&
+            f.dataType == LongType && widened.contains(f.name)
+          if (st != f.dataType && !widens) throw new IllegalArgumentException(
             s"graft-keyed schema drift at $genRoot: column '${f.name}' " +
               s"(stored as '$src') was written ${st.sql} but is declared " +
               s"${f.dataType.sql} — type changes refuse; restage the layout")
           fromFile(i) = true
-          inner += StructField(src, st, nullable = false)
+          inner += StructField(src, f.dataType, nullable = false)
         case None => defaults.get(f.name) match {
           case Some((isLong, d))
               if isLong == (f.dataType == LongType) =>
@@ -2540,14 +2703,16 @@ object KeyedSource {
   private[graft] def readOrderMarkerView(view: SnapshotView,
       conf: org.apache.spark.util.SerializableConfiguration,
       declared: StructType, key: String): Option[Seq[String]] = {
-    if (view.edits.isEmpty) return readOrderMarker(view.root, conf, declared, key)
+    val widened = widenedColumns(view.ops)
+    if (view.edits.isEmpty)
+      return readOrderMarker(view.root, conf, declared, key, widened)
     val live = view.liveKeyDirs(conf.value)
     if (live.exists(_._2.length > 1)) return None
     val roots: Seq[String] =
       if (live.isEmpty) Seq(view.root)
       else live.flatMap(_._2)
         .map(d => new org.apache.hadoop.fs.Path(d).getParent.toString).distinct
-    val markers = roots.map(r => readOrderMarker(r, conf, declared, key))
+    val markers = roots.map(r => readOrderMarker(r, conf, declared, key, widened))
     if (markers.forall(_.isDefined) && markers.distinct.length == 1) markers.head
     else None
   }
@@ -2555,10 +2720,14 @@ object KeyedSource {
   /** Parse the order marker against the declared key AND types; None =
     * no marker, wrong version, or any name/type the declared schema
     * cannot back — the scan then claims nothing (the stats-sidecar
-    * trust rule, applied to ordering). */
+    * trust rule, applied to ordering). A recorded INT→BIGINT widening
+    * (`widened`) keeps a pre-widening marker's claim: numeric order is
+    * identical under both types, unlike the BIGINT/STRING drift the
+    * v2 type check exists to refuse. */
   private[graft] def readOrderMarker(path: String,
       conf: org.apache.spark.util.SerializableConfiguration,
-      declared: StructType, key: String): Option[Seq[String]] = {
+      declared: StructType, key: String,
+      widened: Set[String] = Set.empty): Option[Seq[String]] = {
     val root = effectiveRoot(path, conf.value)
     val p = new org.apache.hadoop.fs.Path(root, OrderFile)
     val fs = p.getFileSystem(conf.value)
@@ -2567,7 +2736,9 @@ object KeyedSource {
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     def matches(tagged: String): Option[String] = tagged.split(":", 2) match {
       case Array(name, tpe) if declared.fieldNames.contains(name) &&
-          declared(name).dataType.sql == tpe => Some(name)
+          (declared(name).dataType.sql == tpe ||
+            (tpe == "INT" && declared(name).dataType == LongType &&
+              widened.contains(name))) => Some(name)
       case _ => None
     }
     text.split(PageSource.US, -1) match {

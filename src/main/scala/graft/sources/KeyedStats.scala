@@ -126,16 +126,23 @@ object KeyedStats {
     def sentinel: Any = null
   }
 
+  /** BIGINT and INT share the numeric legs everywhere (min/max/sum
+    * digits, merge order, sidecar arity) — only the boxed type at the
+    * pushdown boundary differs. */
+  private[sources] def numeric(dt: DataType): Boolean =
+    dt == LongType || dt == org.apache.spark.sql.types.IntegerType
+
   private def typed(raw: String, dt: DataType): Any = dt match {
     case LongType => raw.toLong
+    case org.apache.spark.sql.types.IntegerType => raw.toInt
     case StringType => UTF8String.fromString(raw)
     case other => throw new IllegalArgumentException(s"unsupported stat type $other")
   }
 
-  /** Fields per entry line: key + count + (3 per BIGINT col, 2 per
+  /** Fields per entry line: key + count + (3 per numeric col, 2 per
     * STRING col). */
   private def lineArity(schema: StructType): Int =
-    2 + schema.fields.map(f => if (f.dataType == LongType) 3 else 2).sum
+    2 + schema.fields.map(f => if (numeric(f.dataType)) 3 else 2).sum
 
   /** Schema identity for the header: name + type, nullability ignored
     * (fromDDL-declared schemas are all-nullable while staged lineage
@@ -143,6 +150,26 @@ object KeyedStats {
     * the framing guard saw to that). */
   private def schemaTag(schema: StructType): String =
     schema.fields.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+
+  /** Header-tag trust under widening (r18): exact match, or differing
+    * ONLY by a recorded INT→BIGINT promotion at the named columns —
+    * the stored digits and line arity are identical under both types,
+    * so a pre-widening generation's entries parse under the declared
+    * schema unchanged and stay metadata-answer-worthy. Any other
+    * divergence (names — i.e. pre-rename generations — kinds, arity)
+    * refuses as ever. */
+  private def tagCompatible(stored: String, declared: StructType,
+      widened: Set[String]): Boolean = {
+    if (stored == schemaTag(declared)) return true
+    if (widened.isEmpty) return false
+    val parts = stored.split(", ", -1)
+    parts.length == declared.length && parts.zip(declared.fields).forall {
+      case (p, f) =>
+        p == s"${f.name} ${f.dataType.sql}" ||
+          (f.dataType == LongType && widened.contains(f.name) &&
+            p == s"${f.name} INT")
+    }
+  }
 
   /** Render the sidecar: header line pins version + schema + key, then
     * the table line (total count + per-column NDV), then one line per
@@ -162,7 +189,7 @@ object KeyedStats {
       schema.fields.zipWithIndex.foreach { case (f, i) =>
         sb.append(PageSource.US).append(e.mins(i))
           .append(PageSource.US).append(e.maxs(i))
-        if (f.dataType == LongType) sb.append(PageSource.US).append(e.sums(i))
+        if (numeric(f.dataType)) sb.append(PageSource.US).append(e.sums(i))
       }
       sb.append('\n')
     }
@@ -185,7 +212,7 @@ object KeyedStats {
       schema.fields.zipWithIndex.foreach { case (f, i) =>
         sb.append(PageSource.US).append(e.mins(i))
           .append(PageSource.US).append(e.maxs(i))
-        if (f.dataType == LongType) sb.append(PageSource.US).append(e.sums(i))
+        if (numeric(f.dataType)) sb.append(PageSource.US).append(e.sums(i))
       }
       sb.append('\n')
     }
@@ -197,7 +224,8 @@ object KeyedStats {
     * correction for that key. */
   private[graft] def readPatch(genRoot: String,
       conf: org.apache.spark.util.SerializableConfiguration,
-      declared: StructType, key: String): Option[Map[String, (Entry, Int)]] = {
+      declared: StructType, key: String,
+      widened: Set[String] = Set.empty): Option[Map[String, (Entry, Int)]] = {
     val p = new org.apache.hadoop.fs.Path(genRoot, PatchFile)
     val fs = p.getFileSystem(conf.value)
     if (!fs.exists(p)) return None
@@ -207,7 +235,8 @@ object KeyedStats {
     if (lines.isEmpty) return None
     val header = lines.head.split(PageSource.US, -1)
     if (header.length != 3 || header(0) != PatchVersion ||
-        header(1) != schemaTag(declared) || header(2) != key) return None
+        !tagCompatible(header(1), declared, widened) || header(2) != key)
+      return None
     val arity = lineArity(declared) + 1 // + covered field
     val n = declared.length
     Some(lines.tail.map { line =>
@@ -222,7 +251,7 @@ object KeyedStats {
       var pos = 3
       while (i < n) {
         mins(i) = f(pos); maxs(i) = f(pos + 1); pos += 2
-        if (declared(i).dataType == LongType) { sums(i) = f(pos).toLong; pos += 1 }
+        if (numeric(declared(i).dataType)) { sums(i) = f(pos).toLong; pos += 1 }
         i += 1
       }
       f(0) -> (Entry(f(0), f(2).toLong, mins, maxs, sums), f(1).toInt)
@@ -237,7 +266,8 @@ object KeyedStats {
     * layout. */
   private[graft] def read(path: String,
       conf: org.apache.spark.util.SerializableConfiguration,
-      declared: StructType, key: String): Option[Sidecar] = {
+      declared: StructType, key: String,
+      widened: Set[String] = Set.empty): Option[Sidecar] = {
     // resolve the committed generation (idempotent when handed a
     // generation dir or a legacy flat layout directly)
     val root = KeyedSource.effectiveRoot(path, conf.value)
@@ -250,7 +280,8 @@ object KeyedStats {
     if (lines.isEmpty) return None
     val header = lines.head.split("", -1)
     if (header.length != 3 || header(0) != Version ||
-        header(1) != schemaTag(declared) || header(2) != key) return None
+        !tagCompatible(header(1), declared, widened) || header(2) != key)
+      return None
     val arity = lineArity(declared)
     val n = declared.length
     // the table line is structurally distinct from every entry line
@@ -273,7 +304,7 @@ object KeyedStats {
       var pos = 2
       while (i < n) {
         mins(i) = f(pos); maxs(i) = f(pos + 1); pos += 2
-        if (declared(i).dataType == LongType) { sums(i) = f(pos).toLong; pos += 1 }
+        if (numeric(declared(i).dataType)) { sums(i) = f(pos).toLong; pos += 1 }
         i += 1
       }
       Entry(f(0), f(1).toLong, mins, maxs, sums)
@@ -314,7 +345,7 @@ object KeyedStats {
       val sums = new Array[Long](n)
       var i = 0
       while (i < n) {
-        if (declared(i).dataType == LongType) {
+        if (numeric(declared(i).dataType)) {
           mins(i) = math.min(a.mins(i).toLong, b.mins(i).toLong).toString
           maxs(i) = math.max(a.maxs(i).toLong, b.maxs(i).toLong).toString
           sums(i) = Math.addExact(a.sums(i), b.sums(i))
@@ -362,7 +393,7 @@ object KeyedStats {
       if (!schema.fieldNames.contains(attr) || v == null) return None
       val i = schema.fieldIndex(attr)
       schema(i).dataType match {
-        case LongType => v match {
+        case dt if numeric(dt) => v match {
           case n: Number =>
             val x = n.longValue
             Some((e.mins(i).toLong.compareTo(x), e.maxs(i).toLong.compareTo(x)))
@@ -425,7 +456,7 @@ object KeyedStats {
       if (!schema.fieldNames.contains(attr) || v == null) return None
       val i = schema.fieldIndex(attr)
       schema(i).dataType match {
-        case LongType => v match {
+        case dt if numeric(dt) => v match {
           case n: Number =>
             val x = n.longValue
             Some((e.mins(i).toLong.compareTo(x), e.maxs(i).toLong.compareTo(x)))
@@ -491,10 +522,14 @@ object KeyedStats {
   private[graft] def readView(view: KeyedSource.SnapshotView,
       conf: org.apache.spark.util.SerializableConfiguration,
       declared: StructType, key: String): Option[Sidecar] = {
-    val base = read(view.root, conf, declared, key)
+    // recorded INT->BIGINT widenings relax the per-generation header
+    // check: a pre-widening generation's sidecar stays trusted (same
+    // digits, same arity) instead of refusing as foreign
+    val widened = KeyedSource.widenedColumns(view.ops)
+    val base = read(view.root, conf, declared, key, widened)
     val perGen = scala.collection.mutable.Map.empty[String, Option[Sidecar]]
     def sidecarOf(g: String): Option[Sidecar] =
-      perGen.getOrElseUpdate(g, read(view.genRoot(g), conf, declared, key))
+      perGen.getOrElseUpdate(g, read(view.genRoot(g), conf, declared, key, widened))
     val merged: Option[Sidecar] =
       if (view.edits.isEmpty) base
       else base.flatMap { b =>
@@ -533,8 +568,9 @@ object KeyedStats {
       sidecarOf: String => Option[Sidecar]): Sidecar = {
     val patches = scala.collection.mutable.Map
       .empty[String, Option[Map[String, (Entry, Int)]]]
+    val widened = KeyedSource.widenedColumns(view.ops)
     def patchOf(g: String): Option[Map[String, (Entry, Int)]] =
-      patches.getOrElseUpdate(g, readPatch(view.genRoot(g), conf, declared, key))
+      patches.getOrElseUpdate(g, readPatch(view.genRoot(g), conf, declared, key, widened))
     var unresolved = Set.empty[String]
     val entries = sc.entries.flatMap { e =>
       view.dvs.get(e.rawKey) match {
@@ -725,7 +761,7 @@ object KeyedStatsScan {
       case m: Max => colOf(m.column).map(i =>
         KeyedStats.MaxStat(i, full(i).name, full(i).dataType))
       case s: Sum if !s.isDistinct => colOf(s.column).collect {
-        case i if full(i).dataType == LongType => KeyedStats.SumStat(i, full(i).name)
+        case i if KeyedStats.numeric(full(i).dataType) => KeyedStats.SumStat(i, full(i).name)
       }
       case _ => None
     }

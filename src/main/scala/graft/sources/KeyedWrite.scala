@@ -84,9 +84,13 @@ final class KeyedWriteBuilder(declared: StructType, path: String, key: String,
       s"key column '$key' must be part of the written schema ${schema.simpleString}")
     require(sortBy.forall(c => schema.fieldNames.contains(c) && c != key),
       s"sortBy must name non-key layout columns, got ${sortBy.mkString(",")}")
+    // INT joins the storable set in r18 as the WIDENING source type
+    // (KeyedSource.WidenCol promotes it to BIGINT as pure metadata —
+    // the text frames hold the same digit bytes either way)
     schema.fields.foreach(f => require(
-      f.dataType == LongType || f.dataType == StringType,
-      s"graft-keyed supports BIGINT and STRING fields, got ${f.name}: ${f.dataType}"))
+      f.dataType == LongType || f.dataType == StringType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType,
+      s"graft-keyed supports BIGINT, STRING, and INT fields, got ${f.name}: ${f.dataType}"))
     schema(key).dataType match {
       case LongType | StringType => ()
       case other => throw new IllegalArgumentException(
@@ -102,17 +106,25 @@ final class KeyedWriteBuilder(declared: StructType, path: String, key: String,
         s"graft-keyed branch writes are APPEND-only (branch '${branch.get}'): " +
           "an overwrite would replace the whole table through a side ref; " +
           "use mode('append'), or overwrite main directly")
+    // write option `codec` (r18): 'deflate' writes each key file
+    // DEFLATE-compressed under the `.dfl` suffix — per-FILE dispatch,
+    // so readers inflate by extension and mixed generations compose
+    val codec = Option(info.options.get("codec")).filter(_.nonEmpty)
+      .getOrElse("none")
+    require(codec == "none" || codec == "deflate",
+      s"graft-keyed codec must be 'none' or 'deflate', got '$codec'")
     new KeyedWrite(schema, path, key, sortBy, retain, info.queryId(),
       new org.apache.spark.util.SerializableConfiguration(
         org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()),
-      overwrite, branch)
+      overwrite, branch, codec)
   }
 }
 
 final class KeyedWrite(schema: StructType, path: String, key: String,
     sortBy: Seq[String], retain: Int, queryId: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    overwrite: Boolean = true, branch: Option[String] = None)
+    overwrite: Boolean = true, branch: Option[String] = None,
+    codec: String = "none")
     extends Write with RequiresDistributionAndOrdering {
   override def description(): String =
     s"GraftKeyedWrite path=$path key=$key" +
@@ -128,13 +140,13 @@ final class KeyedWrite(schema: StructType, path: String, key: String,
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
   override def toBatch: BatchWrite =
     new KeyedBatchWrite(schema, path, key, sortBy, retain, queryId, conf,
-      overwrite, branch)
+      overwrite, branch, codec)
   // streaming ingest (r17): same clustered distribution, epoch-committed
   // through the same CAS publish — see KeyedStreamingWrite
   override def toStreaming
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new KeyedStreamingWrite(schema, path, key, sortBy, retain, queryId,
-      conf, overwrite, branch)
+      conf, overwrite, branch, codec)
 }
 
 /** One key's audited write stats, accumulated in the task from exactly
@@ -149,12 +161,13 @@ final case class KeyedCommitMessage(keys: Seq[KeyedKeyStats],
 final class KeyedBatchWrite(schema: StructType, path: String, key: String,
     sortBy: Seq[String], retain: Int, queryId: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    overwrite: Boolean = true, branch: Option[String] = None) extends BatchWrite {
+    overwrite: Boolean = true, branch: Option[String] = None,
+    codec: String = "none") extends BatchWrite {
 
   private def genName = s"_gen-$queryId"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new KeyedWriterFactory(schema, key, s"$path/$genName", conf)
+    new KeyedWriterFactory(schema, key, s"$path/$genName", conf, codec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.toSeq.collect { case m: KeyedCommitMessage => m }
@@ -289,10 +302,11 @@ final class KeyedBatchWrite(schema: StructType, path: String, key: String,
 }
 
 final class KeyedWriterFactory(schema: StructType, key: String, genDir: String,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    codec: String = "none")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KeyedDataWriter(schema, key, genDir, taskId, conf)
+    new KeyedDataWriter(schema, key, genDir, taskId, conf, codec)
 }
 
 /** Per-task writer: frames rows into the current key's single file,
@@ -301,11 +315,19 @@ final class KeyedWriterFactory(schema: StructType, key: String, genDir: String,
   * ordering is key-first) — a key seen twice means the sort contract
   * broke and the task fails loudly. */
 final class KeyedDataWriter(schema: StructType, key: String, genDir: String,
-    taskId: Long, conf: org.apache.spark.util.SerializableConfiguration)
+    taskId: Long, conf: org.apache.spark.util.SerializableConfiguration,
+    codec: String = "none")
     extends DataWriter[InternalRow] {
+  require(codec == "none" || codec == "deflate",
+    s"graft-keyed codec must be 'none' or 'deflate', got '$codec'")
+  private val deflate = codec == "deflate"
 
   private val keyIdx = schema.fieldIndex(key)
   private val isLong: Array[Boolean] = schema.fields.map(_.dataType == LongType)
+  // INT columns take the numeric leg (min/max/sum accumulate as Long,
+  // frames are the same ASCII digits) — only the row accessor differs
+  private val isInt: Array[Boolean] = schema.fields.map(
+    _.dataType == org.apache.spark.sql.types.IntegerType)
   private val n = schema.length
   private val dirnameOk = java.util.regex.Pattern.compile("[A-Za-z0-9_.-]+")
   private val fs = new org.apache.hadoop.fs.Path(genDir).getFileSystem(conf.value)
@@ -334,7 +356,7 @@ final class KeyedDataWriter(schema: StructType, key: String, genDir: String,
     val maxs = new Array[String](n)
     var i = 0
     while (i < n) {
-      if (isLong(i)) { mins(i) = minL(i).toString; maxs(i) = maxL(i).toString }
+      if (isLong(i) || isInt(i)) { mins(i) = minL(i).toString; maxs(i) = maxL(i).toString }
       else { mins(i) = minS(i).toString; maxs(i) = maxS(i).toString }
       i += 1
     }
@@ -354,8 +376,17 @@ final class KeyedDataWriter(schema: StructType, key: String, genDir: String,
     java.util.Arrays.fill(sums, 0L)
     java.util.Arrays.fill(minS.asInstanceOf[Array[AnyRef]], null)
     java.util.Arrays.fill(maxS.asInstanceOf[Array[AnyRef]], null)
-    out = new java.io.BufferedOutputStream(fs.create(
-      new org.apache.hadoop.fs.Path(genDir, s"k=$raw/part-$taskId.txt"), true),
+    // the suffix IS the codec record (per-file, like the DV naming):
+    // readers inflate by extension, so mixed generations compose
+    val name = if (deflate) s"part-$taskId${PageSource.DeflateSuffix}"
+      else s"part-$taskId.txt"
+    val raw0 = fs.create(
+      new org.apache.hadoop.fs.Path(genDir, s"k=$raw/$name"), true)
+    out = new java.io.BufferedOutputStream(
+      if (deflate) new java.util.zip.DeflaterOutputStream(raw0,
+        new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION),
+        1 << 16)
+      else raw0,
       1 << 16)
   }
 
@@ -375,8 +406,8 @@ final class KeyedDataWriter(schema: StructType, key: String, genDir: String,
     var i = 0
     while (i < n) {
       if (row.isNullAt(i)) violation(raw, s"NULL field '${schema(i).name}'")
-      if (isLong(i)) {
-        val v = row.getLong(i)
+      if (isLong(i) || isInt(i)) {
+        val v = if (isInt(i)) row.getInt(i).toLong else row.getLong(i)
         if (v < minL(i)) minL(i) = v
         if (v > maxL(i)) maxL(i) = v
         // ANSI semantics at stage time, like the old stager's Spark sum
@@ -532,7 +563,8 @@ private[sources] object KeyedWriteAudit {
 final class KeyedStreamingWrite(schema: StructType, path: String, key: String,
     sortBy: Seq[String], retain: Int, queryId: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    overwrite: Boolean, branch: Option[String] = None)
+    overwrite: Boolean, branch: Option[String] = None,
+    codec: String = "none")
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   /** Per-RUN nonce in the staging generation name: a restarted query
@@ -551,7 +583,7 @@ final class KeyedStreamingWrite(schema: StructType, path: String, key: String,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new KeyedStreamingWriterFactory(schema, key,
-      s"$path/_gen-$queryId-$runNonce", conf)
+      s"$path/_gen-$queryId-$runNonce", conf, codec)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -656,9 +688,10 @@ final class KeyedStreamingWrite(schema: StructType, path: String, key: String,
   * the writer itself is the audited batch writer. */
 final class KeyedStreamingWriterFactory(schema: StructType, key: String,
     genPrefix: String,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    codec: String = "none")
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new KeyedDataWriter(schema, key, s"$genPrefix-e$epochId", taskId, conf)
+    new KeyedDataWriter(schema, key, s"$genPrefix-e$epochId", taskId, conf, codec)
 }

@@ -568,6 +568,29 @@ final case class PagePartition(pageDir: String) extends InputPartition
   */
 object PageSource {
   val US = "\u001F"
+
+  /** Compressed-frame suffix (r18): a data file named `*.dfl` holds the
+    * identical US/LF-framed payload DEFLATE-compressed (RFC 1951,
+    * `java.util.zip` — write option `codec=deflate` on the keyed
+    * writer). The suffix IS the codec record, per FILE: both decode
+    * paths inflate by extension, so a layout can mix compressed and
+    * uncompressed generations (an uncompressed base + a compressed
+    * append, a COW rewrite either way) with no marker lookup and no
+    * read-path flag. At 100 TB the bytes are the dominant scan cost;
+    * framed text deflates several-fold (BASELINE.md r18 measurement),
+    * re-paid at read as cheap sequential inflate CPU.
+    */
+  val DeflateSuffix = ".dfl"
+
+  /** Wrap a data stream for decode: inflate `.dfl` files, pass
+    * everything else through. The inflater buffer matches the write
+    * side's 64 KiB deflate buffer. */
+  private[sources] def maybeInflate(name: String,
+      in: java.io.InputStream): java.io.InputStream =
+    if (name.endsWith(DeflateSuffix))
+      new java.util.zip.InflaterInputStream(in,
+        new java.util.zip.Inflater(), 1 << 16)
+    else in
   val DDL = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
   /** Page-size metadata at the staged root — the part of a paged API's
     * contract (its page size) the connector needs to map page id →
@@ -832,11 +855,15 @@ final class PageReader(pageDir: String, full: StructType, required: StructType,
   // Seq traffic — the loop allocates exactly the output row's backing
   // array and its UTF8Strings, nothing else
   private val srcIdx: Array[Int] = required.fields.map(f => full.fieldIndex(f.name))
-  private val isLong: Array[Boolean] = required.fields.map(_.dataType match {
-    case LongType => true
-    case StringType => false
+  // 0 = BIGINT, 1 = STRING, 2 = INT (r18 — the keyed layout's widening
+  // source type; frames store ASCII digits either way, only the parse
+  // target differs)
+  private val kind: Array[Int] = required.fields.map(_.dataType match {
+    case LongType => 0
+    case StringType => 1
+    case org.apache.spark.sql.types.IntegerType => 2
     case other => throw new IllegalArgumentException(
-      s"graft-pages supports BIGINT and STRING fields, got $other")
+      s"graft-pages supports BIGINT, STRING, and INT fields, got $other")
   })
   private val nOut = srcIdx.length
   private val nFull = full.length
@@ -856,7 +883,8 @@ final class PageReader(pageDir: String, full: StructType, required: StructType,
   private def nextLine(): Option[String] = {
     while (!lines.hasNext && files.hasNext) {
       if (open != null) open.close()
-      open = fs.open(files.next().getPath)
+      val f = files.next().getPath
+      open = PageSource.maybeInflate(f.getName, fs.open(f))
       lines = scala.io.Source.fromInputStream(open, "UTF-8").getLines()
     }
     if (lines.hasNext) Some(lines.next()) else None
@@ -897,7 +925,11 @@ final class PageReader(pageDir: String, full: StructType, required: StructType,
       var i = 0
       while (i < nOut) {
         val v = parts(srcIdx(i))
-        out(i) = if (isLong(i)) v.toLong else UTF8String.fromString(v)
+        out(i) = kind(i) match {
+          case 0 => v.toLong
+          case 1 => UTF8String.fromString(v)
+          case _ => v.toInt
+        }
         i += 1
       }
       current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)

@@ -263,7 +263,8 @@ final class PageColumnarReader(pageDir: String, full: StructType,
       } else {
         if (dataLen > pos) return true // final record of the previous file
         if (!files.hasNext) return false
-        in = fs.open(files.next().getPath)
+        val f = files.next().getPath
+        in = PageSource.maybeInflate(f.getName, fs.open(f))
         pos = 0; dataLen = 0
       }
     }

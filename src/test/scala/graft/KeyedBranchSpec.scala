@@ -91,12 +91,14 @@ class KeyedBranchSpec extends SparkSpec {
 
     // a metadata-only head burn (tag) must NOT block the fast-forward
     KeyedSource.tagSnapshot(spark, dir, "pin")
-    // ...but a DATA commit on main must
+    // ...but a DATA commit on main touching a key the branch also
+    // touched must (branch wrote kb 0,1 via offsets 500,501; main's
+    // row 900 lands on kb 0 — overlap, the write-skew grain)
     appendTo(dir, df(1L, off = 900L))
     val e = intercept[IllegalStateException] {
       KeyedSource.fastForward(spark, dir, "risky")
     }
-    assert(e.getMessage.contains("main advanced past the fork"), e.getMessage)
+    assert(e.getMessage.contains("both lineages touched key(s) 0"), e.getMessage)
     // main's commit survived; the branch is still intact for re-work
     assert(readKeyed(dir).count() == 9L)
     assert(readKeyed(dir, branch = Some("risky")).count() == 10L)
@@ -185,6 +187,48 @@ class KeyedBranchSpec extends SparkSpec {
       .map(r => r.getLong(1) -> r.getLong(3)).toMap
     assert(after.size == 25) // 23 + the racing append's 2 rows
     assert(after(2L) == 1L && !after.contains(13L) && !after.contains(3L))
+  }
+
+  test("disjoint-key rebase: promote replays branch edits onto an advanced main head; CDC nets the replay") {
+    val dir = graft.io.TempDirs.scratch("graft_branch_rb_") + "/t"
+    KeyedSource.stageKeyed(spark, df(8L), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 8) // kb 0..3
+    KeyedSource.createBranch(spark, dir, "backfill")
+    // the branch lands rows on NEW key 5; main advances on NEW key 6
+    Seq((5L, 100L, "s0", 11L), (5L, 101L, "s1", 12L))
+      .toDF("kb", "doc_id", "source", "n_chars")
+      .write.format("graft-keyed").option("schema", ddl)
+      .option("key", "kb").option("sortBy", "doc_id")
+      .option("branch", "backfill").mode("append").save(dir)
+    Seq((6L, 200L, "s2", 13L)).toDF("kb", "doc_id", "source", "n_chars")
+      .write.format("graft-keyed").option("schema", ddl)
+      .option("key", "kb").option("sortBy", "doc_id")
+      .mode("append").save(dir)
+    val preMain = KeyedSource.readCommitLog(dir, hconf).get.head.seq
+
+    // DISJOINT touched sets → promote REBASES: one metadata commit,
+    // both lineages' rows live, files referenced never copied
+    val promoted = KeyedSource.fastForward(spark, dir, "backfill")
+    val rows = readKeyed(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.size == 11 &&
+      rows.contains((5L, 100L)) && rows.contains((5L, 101L)) &&
+      rows.contains((6L, 200L)), rows)
+    val after = KeyedSource.readCommitLog(dir, hconf).get
+    assert(after.head.seq == promoted && after.branches.isEmpty)
+
+    // CDC prices the promote at the branch DELTA: the interval from
+    // main's pre-promote head shows exactly the replayed kb=5 inserts
+    val changes = spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", ddl).option("key", "kb")
+      .option("metadata", "changes")
+      .option("changesFrom", preMain.toString).load()
+    val delta = changes.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
+    assert(delta == Set((5L, 100L, "insert"), (5L, 101L, "insert")), delta)
+
+    // … and time travel to the pre-promote main still excludes them
+    assert(readKeyed(dir, asOf = Some(preMain)).count() == 9L)
   }
 
   test("snapshots metadata table labels branch states; ALTER on a branch-pinned table keeps the pin") {

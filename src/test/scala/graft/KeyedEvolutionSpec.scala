@@ -156,4 +156,111 @@ class KeyedEvolutionSpec extends SparkSpec {
       "a restage under the evolved schema re-enables the metadata fast path")
     assert(agg2.head.getLong(0) == 16L)
   }
+
+  test("INT→BIGINT widening: old generations promote at decode; sidecar, ordering, skipping, and time travel survive") {
+    val dir = graft.io.TempDirs.scratch("graft_evo_widen_") + "/t"
+    // range-keyed with an INT column, SORTED BY IT — the marker records
+    // pop:INT and per-key pop intervals are disjoint (skipping bait)
+    val dfi = (0L until 32L).map(i => (i / 8L, i, i.toInt))
+      .toDF("kb", "doc_id", "pop")
+    KeyedSource.stageKeyed(spark, dfi, dir, "kb",
+      sortBy = Seq("pop"), retain = 4)
+    val intDdl = "kb BIGINT, doc_id BIGINT, pop INT"
+    val longDdl = "kb BIGINT, doc_id BIGINT, pop BIGINT"
+    assert(read(dir, intDdl).where("pop >= 10").count() == 22L)
+
+    // widen: ONE metadata commit, zero bytes rewritten
+    val evolved = KeyedSource.evolveKeyed(spark, dir,
+      StructType.fromDDL(intDdl), Seq(KeyedSource.WidenCol("pop")))
+    assert(evolved("pop").dataType == org.apache.spark.sql.types.LongType)
+
+    // the old generation decodes PROMOTED under the new declaration
+    val head = read(dir, longDdl).orderBy("doc_id").collect()
+    assert(head.map(_.getLong(2)).toSeq == (0L until 32L))
+    // … and a post-widening append mixes generations (old INT + new
+    // BIGINT files read together)
+    (32L until 36L).map(i => (i / 8L, i, i))
+      .toDF("kb", "doc_id", "pop")
+      .write.format("graft-keyed").option("schema", longDdl)
+      .option("key", "kb").option("sortBy", "pop")
+      .mode("append").save(dir)
+    assert(read(dir, longDdl).agg(sum("pop")).head.getLong(0) ==
+      (0L until 36L).sum)
+
+    // sidecar min/max RE-TYPE through the widening: the pushed
+    // aggregate answers from metadata across both generations
+    val agg = read(dir, longDdl).groupBy("kb").agg(max("pop").as("mx"))
+    assert(agg.queryExecution.executedPlan.toString.contains("GraftKeyedStats"),
+      agg.queryExecution.executedPlan.toString)
+    assert(agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 7L, 1L -> 15L, 2L -> 23L, 3L -> 31L, 4L -> 35L))
+
+    // non-key skipping reads the widened sidecar: pop >= 24 proves
+    // three of the pre-widening directories empty
+    val skip = read(dir, longDdl).where($"pop" >= 24L)
+    val scan = skip.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.scan
+    assert(scan.description().contains("skipped=3"), scan.description())
+    assert(skip.count() == 12L)
+
+    // the order-marker claim (pop:INT) survives under the recorded
+    // widening — numeric order is identical
+    val ordered = read(dir, longDdl).where($"kb" === 1L)
+    val oscan = ordered.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportOrdering]
+    assert(oscan.outputOrdering().nonEmpty,
+      "a widened sort column must keep the stored-order claim")
+
+    // TIME TRAVEL UNDER THE OLD TYPE: the pre-widening snapshot still
+    // reads with the INT declaration (and with the BIGINT one)
+    assert(read(dir, intDdl, asOf = Some(1L)).orderBy("doc_id").collect()
+      .map(_.getInt(2)).toSeq == (0 until 32))
+    assert(read(dir, longDdl, asOf = Some(1L)).count() == 32L)
+
+    // refusals stay refusals: widen of STRING/BIGINT, and narrowing
+    val ws = intercept[IllegalArgumentException] {
+      KeyedSource.evolveKeyed(spark, dir, evolved,
+        Seq(KeyedSource.WidenCol("pop")))
+    }
+    assert(ws.getMessage.contains("only INT columns widen"), ws.getMessage)
+    val nar = intercept[Exception] {
+      read(dir, intDdl).collect() // head now mixes a BIGINT generation
+    }
+    assert(nar.getMessage.contains("type changes refuse"), nar.getMessage)
+  }
+
+  test("the SQL widening door: ALTER COLUMN TYPE BIGINT; other retypes refuse") {
+    val dir = graft.io.TempDirs.scratch("graft_evo_wsql_") + "/t"
+    KeyedSource.stageKeyed(spark,
+      (0L until 16L).map(i => (i % 4L, i, i.toInt)).toDF("kb", "doc_id", "pop"),
+      dir, "kb", sortBy = Seq("doc_id"), retain = 2)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.wd")
+    spark.sql(s"CREATE TABLE $cat.wd (kb BIGINT, doc_id BIGINT, pop INT) " +
+      s"USING `graft-keyed` LOCATION '$dir' " +
+      "TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='2')")
+    spark.sql(s"ALTER TABLE $cat.wd ALTER COLUMN pop TYPE BIGINT")
+    val got = spark.sql(s"SELECT sum(pop) AS s, max(pop) AS m FROM $cat.wd").head()
+    assert((got.getLong(0), got.getLong(1)) == ((0L until 16L).sum, 15L))
+    // narrowing refuses at DDL time — Spark's own analyzer blocks
+    // non-up-casts before the catalog sees them (NOT_SUPPORTED_CHANGE_
+    // COLUMN); the catalog's own WidenCol guard stays the second fence
+    // for programmatic callers
+    val nr = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.wd ALTER COLUMN doc_id TYPE INT")
+    }
+    assert(nr.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), nr.getMessage)
+    // the programmatic fence: a cross-kind retype through the catalog
+    // API refuses with the widening remediation
+    val cat2 = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val cr = intercept[UnsupportedOperationException] {
+      cat2.alterTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "wd"),
+        org.apache.spark.sql.connector.catalog.TableChange.updateColumnType(
+          Array("kb"), org.apache.spark.sql.types.StringType))
+    }
+    assert(cr.getMessage.contains("INT->BIGINT widening"), cr.getMessage)
+  }
 }

@@ -1,0 +1,212 @@
+package graft
+
+import graft.sources.{GraftCatalog, KeyedSource}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Non-key data skipping from the stats sidecar (r18 — the Iceberg/
+  * Delta file-skipping shape at key-directory grain). A residual
+  * range/equality predicate stays in the plan as a post-scan Filter
+  * (honor-but-recheck), but directories whose sidecar min/max interval
+  * PROVES the predicate empty are not planned at all. Pins:
+  * (1) a selective non-key range over a range-keyed layout plans a
+  *     fraction of the 16 directories with values identical to the
+  *     unpruned twin; the scan description carries `skipped=`;
+  * (2) the predicate algebra: equality, In, Or, Not, string equality /
+  *     prefix, IsNull (no-null layout ⇒ zero partitions) — all proof-
+  *     based, never trust (an unprovable shape plans everything);
+  * (3) composition with consumed KEY pruning (intersection) and with
+  *     tombstone deletes;
+  * (4) composition with DELETION VECTORS: a patched DV commit shrinks
+  *     the interval (skipping sees post-delete min/max); with the
+  *     patch removed the key refuses skipping but values stay right;
+  * (5) composition with SCHEMA EVOLUTION (old-generation sidecar no
+  *     longer matches the declared schema ⇒ skipping disabled, values
+  *     correct) and TIME TRAVEL (asOf reads its snapshot's sidecar);
+  * (6) reported statistics shrink with the skip (the planner prices
+  *     the surviving directories only);
+  * (7) a layout with no sidecar (foreign/doctored) skips nothing. */
+class KeyedSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ddl = "kb BIGINT, doc_id BIGINT, source STRING, n_chars BIGINT"
+  private val schema = StructType.fromDDL(ddl)
+  private def hconf = spark.sessionState.newHadoopConf()
+
+  /** 256 rows across 16 range-keyed dirs: kb = doc_id DIV 16, so each
+    * directory holds a disjoint doc_id interval [16k, 16k+15] and a
+    * single source string `src<k>` — the clustered shape skipping
+    * exists for. */
+  private def rangeDf(n: Long = 256L) =
+    (0L until n).map(i => (i / 16L, i, s"src${i / 16L}", (i * 7L) % 101L))
+      .toDF("kb", "doc_id", "source", "n_chars")
+
+  private def readKeyed(dir: String, asOf: Option[Long] = None): DataFrame = {
+    val r = spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", ddl).option("key", "kb")
+    asOf.fold(r)(v => r.option("asOf", v.toString)).load()
+  }
+
+  private def scanOf(df: DataFrame) =
+    df.queryExecution.executedPlan.collectLeaves()
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+      .head.scan
+
+  private def planned(df: DataFrame): Int =
+    scanOf(df).toBatch.planInputPartitions().length
+
+  test("selective non-key range plans a fraction of the directories, values identical to the unpruned twin") {
+    val dir = graft.io.TempDirs.scratch("graft_skip_range_") + "/t"
+    KeyedSource.stageKeyed(spark, rangeDf(), dir, "kb", sortBy = Seq("doc_id"))
+
+    val q = readKeyed(dir).where($"doc_id" >= 224L) // last 2 of 16 dirs
+    assert(planned(q) == 2, scanOf(q).description())
+    assert(scanOf(q).description().contains("skipped=14"), scanOf(q).description())
+    // honor-but-recheck: the residual Filter stays in the plan
+    assert(q.queryExecution.executedPlan.toString.contains("Filter"))
+    assert(q.collect().map(_.getLong(1)).sorted.toSeq == (224L until 256L))
+
+    // a BETWEEN interior slice (two conjuncts) intersects proofs
+    val mid = readKeyed(dir).where($"doc_id" >= 40L && $"doc_id" <= 55L)
+    assert(planned(mid) == 2, scanOf(mid).description())
+    assert(mid.count() == 16L)
+
+    // an unprovable predicate shape (arithmetic) skips nothing
+    val noProof = readKeyed(dir).where(($"doc_id" % 16L) === 3L)
+    assert(planned(noProof) == 16, scanOf(noProof).description())
+    assert(noProof.count() == 16L)
+  }
+
+  test("predicate algebra: equality, In, Or, Not, string forms, IsNull") {
+    val dir = graft.io.TempDirs.scratch("graft_skip_alg_") + "/t"
+    KeyedSource.stageKeyed(spark, rangeDf(), dir, "kb", sortBy = Seq("doc_id"))
+
+    val eq = readKeyed(dir).where($"doc_id" === 100L)
+    assert(planned(eq) == 1, scanOf(eq).description())
+    assert(eq.collect().map(_.getLong(1)).toSeq == Seq(100L))
+
+    val in = readKeyed(dir).where($"doc_id".isin(3L, 100L, 250L))
+    assert(planned(in) == 3, scanOf(in).description())
+    assert(in.count() == 3L)
+
+    val or = readKeyed(dir).where($"doc_id" < 10L || $"doc_id" > 250L)
+    assert(planned(or) == 2, scanOf(or).description())
+    assert(or.count() == 15L)
+
+    // Not(doc_id <= 239): only the last dir can hold a violating row
+    val not = readKeyed(dir).where(!($"doc_id" <= 239L))
+    assert(planned(not) == 1, scanOf(not).description())
+    assert(not.count() == 16L)
+
+    // string equality and prefix ride UTF8 byte order
+    val se = readKeyed(dir).where($"source" === "src7")
+    assert(planned(se) == 1, scanOf(se).description())
+    assert(se.count() == 16L)
+    val sp = readKeyed(dir).where($"source".startsWith("src1"))
+    // src1, src10..src15 — 7 directories share the prefix
+    assert(planned(sp) == 7, scanOf(sp).description())
+    assert(sp.count() == 112L)
+
+    // the no-null layout makes IsNull provably empty EVERYWHERE
+    val isNull = readKeyed(dir).where($"n_chars".isNull)
+    assert(planned(isNull) == 0, scanOf(isNull).description())
+    assert(isNull.count() == 0L)
+    val isNotNull = readKeyed(dir).where($"n_chars".isNotNull)
+    assert(planned(isNotNull) == 16)
+  }
+
+  test("composes with consumed key pruning, tombstones, and reported statistics") {
+    val dir = graft.io.TempDirs.scratch("graft_skip_comp_") + "/t"
+    KeyedSource.stageKeyed(spark, rangeDf(), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 2)
+
+    // key pruning (consumed) ∩ skipping (residual): kb ∈ {2,3,14} but
+    // only kb=14 survives the doc_id proof
+    val both = readKeyed(dir)
+      .where($"kb".isin(2L, 3L, 14L) && $"doc_id" >= 224L)
+    assert(planned(both) == 1, scanOf(both).description())
+    assert(both.count() == 16L)
+
+    // tombstone the last directory: the range query loses it
+    new graft.sources.KeyedTable(schema, dir, "kb")
+      .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("kb", 15L)))
+    val after = readKeyed(dir).where($"doc_id" >= 224L)
+    assert(planned(after) == 1, scanOf(after).description())
+    assert(after.collect().map(_.getLong(1)).sorted.toSeq == (224L until 240L))
+
+    // the planner prices only the surviving directory
+    val stats = scanOf(after)
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.numRows().getAsLong == 16L, stats.numRows())
+
+    // time travel: the pre-tombstone snapshot skips against ITS sidecar
+    val tt = readKeyed(dir, asOf = Some(1L)).where($"doc_id" >= 224L)
+    assert(planned(tt) == 2, scanOf(tt).description())
+    assert(tt.count() == 32L)
+  }
+
+  test("deletion vectors: a patched DV commit shrinks the skip interval; no patch refuses skipping, values stay right") {
+    val dir = graft.io.TempDirs.scratch("graft_skip_dv_") + "/t"
+    KeyedSource.stageKeyed(spark, rangeDf(64L), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 4) // 4 dirs of 16
+    spark.conf.set("spark.sql.catalog.gskip", classOf[GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS gskip.dv")
+    spark.sql(
+      s"""CREATE TABLE gskip.dv (kb BIGINT, doc_id BIGINT, source STRING,
+         |n_chars BIGINT) USING `graft-keyed` LOCATION '$dir'
+         |TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='4','dmlMode'='mor')""".stripMargin)
+    // delete kb=1's upper half: its live interval shrinks to [16, 23]
+    spark.sql("DELETE FROM gskip.dv WHERE doc_id >= 24 AND doc_id <= 31")
+
+    // the deleted range is now PROVABLY empty in every directory —
+    // zero partitions planned, zero rows, via the stats patch
+    val q = readKeyed(dir).where($"doc_id" >= 24L && $"doc_id" <= 31L)
+    assert(planned(q) == 0, scanOf(q).description())
+    assert(q.count() == 0L)
+    // the surviving half still plans its directory
+    val half = readKeyed(dir).where($"doc_id" >= 16L && $"doc_id" <= 23L)
+    assert(planned(half) == 1)
+    assert(half.count() == 8L)
+
+    // strip the patch (models a pre-r17 DV commit): kb=1's interval is
+    // untrusted, so it refuses to skip — planned, then DV-filtered to
+    // the same zero rows
+    val log = KeyedSource.readCommitLog(dir, hconf).get
+    val dvGen = log.head.dvs("1").head.takeWhile(_ != '/')
+    val patch = new java.io.File(s"$dir/$dvGen", "_graft_keyed_stats_patch")
+    assert(patch.exists() && patch.delete())
+    new java.io.File(s"$dir/$dvGen", "._graft_keyed_stats_patch.crc").delete()
+    val unpatched = readKeyed(dir).where($"doc_id" >= 24L && $"doc_id" <= 31L)
+    assert(planned(unpatched) == 1, scanOf(unpatched).description())
+    assert(unpatched.count() == 0L)
+  }
+
+  test("schema evolution disables skipping honestly; a missing sidecar skips nothing") {
+    val dir = graft.io.TempDirs.scratch("graft_skip_evo_") + "/t"
+    KeyedSource.stageKeyed(spark, rangeDf(), dir, "kb", sortBy = Seq("doc_id"))
+    KeyedSource.evolveKeyed(spark, dir, schema,
+      Seq(KeyedSource.AddCol("lang", isLong = false, "en")))
+    val evolvedDdl = ddl + ", lang STRING"
+    val q = spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", evolvedDdl).option("key", "kb").load()
+      .where($"doc_id" >= 224L)
+    // the base generation's sidecar records the OLD schema — readView
+    // refuses, skipping disables, every directory plans, values right
+    assert(planned(q) == 16, scanOf(q).description())
+    assert(q.count() == 32L)
+    assert(q.collect().forall(_.getString(4) == "en"))
+
+    // a doctored layout (sidecar removed) also skips nothing
+    val dir2 = graft.io.TempDirs.scratch("graft_skip_nosc_") + "/t"
+    KeyedSource.stageKeyed(spark, rangeDf(64L), dir2, "kb")
+    val root = KeyedSource.committedRoot(spark, dir2)
+    assert(new java.io.File(root, "_graft_keyed_stats").delete())
+    new java.io.File(root, "._graft_keyed_stats.crc").delete()
+    val q2 = readKeyed(dir2).where($"doc_id" >= 48L)
+    assert(planned(q2) == 4, scanOf(q2).description())
+    assert(q2.count() == 16L)
+  }
+}

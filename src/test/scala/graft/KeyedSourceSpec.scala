@@ -191,10 +191,14 @@ class KeyedSourceSpec extends SparkSpec {
     assert(!scanOf(nonKey).description().contains("keys="))
     assert(hasPostScanFilter(nonKey),
       "the refused predicate must survive as a post-scan Filter")
-    // range on the KEY: refused too (only equality/IN are exact
-    // directory lookups in this builder), evaluated post-scan
+    // range on the KEY: refused by the exact directory grain (only
+    // equality/IN are consumed) and evaluated post-scan — but since
+    // r18 the residual still SKIPS directories whose sidecar interval
+    // proves it empty (the key column's per-directory min=max=k makes
+    // a key range maximally skippable: 2 of 16 planned)
     val range = readKeyed(s"$base/docs", DocsDDL).filter(col("kb") > 13)
-    assert(plannedParts(range) == 16)
+    assert(plannedParts(range) == 2, scanOf(range).description())
+    assert(scanOf(range).description().contains("skipped=14"))
     assert(hasPostScanFilter(range))
     assert(range.count() == Tables.load(spark, sf0001, "documents")
       .filter(expr("doc_id % 16 > 13")).count())
