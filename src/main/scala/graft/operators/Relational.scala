@@ -2046,7 +2046,231 @@ object Relational {
              |  max(doc_id) AS last_doc
              |FROM documents WHERE doc_id % 16 IN (2, 7, 11)
              |GROUP BY kb ORDER BY kb""".stripMargin),
-      "deflate-compressed generations: the full read stack (columnar inflate, key pruning, aggregation) over .dfl frames with oracle-exact values — the 100 TB byte-cost lever measured in BASELINE.md")
+      "deflate-compressed generations: the full read stack (columnar inflate, key pruning, aggregation) over .dfl frames with oracle-exact values — the 100 TB byte-cost lever measured in BASELINE.md"),
+
+    // ── IVM with extremes (q79 — the DV-patch discipline at view grain)
+    // q75 maintained count/sum; min/max are not decomposable under
+    // deletes (the new extreme lives only in the surviving rows).
+    // Ivm.maintainRollupFull repairs exactly like the DV stats patch:
+    // detect the groups whose interval deletes touched a maintained
+    // extreme (delta-sized join against the previous view), then
+    // re-aggregate ONLY those groups from the interval-end state — a
+    // pushed key-IN prune when the group is the layout key, bounded by
+    // affected groups, never the corpus. The lifecycle here runs
+    // UPDATE (new maxima via the insert half) → extreme-witness DELETE
+    // (forces the repair) → append (new minima + rows) → COMPACT (CDC
+    // nets to zero — maintenance commits are invisible to the view),
+    // then ONE maintain call over the whole interval equals the full
+    // recompute (the oracle).
+    "q79_ivm_minmax" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#ivmmm")({
+          val out = graft.io.TempDirs.scratch("graft_ivmmm_")
+          val tbl = s"$out/t"
+          val schema = org.apache.spark.sql.types.StructType.fromDDL(
+            "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+          graft.sources.KeyedSource.stageKeyed(s,
+            t(s, dir, "documents").selectExpr("doc_id % 16 AS kb", "doc_id", "n_chars"),
+            tbl, "kb", sortBy = Seq("doc_id"), retain = 8)
+          def readT(asOf: Option[Long]) = {
+            val r = s.read.format("graft-keyed").option("path", tbl)
+              .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+              .option("key", "kb")
+            asOf.fold(r)(v => r.option("asOf", v.toString)).load()
+          }
+          Ivm.rollupFull(readT(Some(1L)), Seq("kb"), Seq("n_chars"), Seq("n_chars"))
+            .write.mode("overwrite").parquet(s"$out/v1")
+          s.conf.set("spark.sql.catalog.graftcat",
+            classOf[graft.sources.GraftCatalog].getName)
+          val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+          val name = s"graftcat.ivmmm_$tag"
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          s.sql(s"CREATE TABLE $name (kb BIGINT, doc_id BIGINT, n_chars BIGINT) " +
+            s"USING `graft-keyed` LOCATION '$tbl' " +
+            "TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='8','dmlMode'='mor')")
+          s.sql(s"UPDATE $name SET n_chars = n_chars + 5000 WHERE doc_id % 9 = 1")
+          s.sql(s"DELETE FROM $name WHERE n_chars >= 5000")
+          t(s, dir, "documents")
+            .selectExpr("(doc_id + 4000000) % 16 AS kb",
+              "doc_id + 4000000 AS doc_id", "CAST(3 AS BIGINT) AS n_chars")
+            .where("doc_id % 40 = 0")
+            .write.format("graft-keyed")
+            .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+            .option("key", "kb").option("sortBy", "doc_id")
+            .mode("append").save(tbl)
+          graft.sources.KeyedCompact.compact(s, tbl, schema, "kb")
+          val head = graft.sources.KeyedSource
+            .readCommitLog(tbl, s.sessionState.newHadoopConf()).get.head.seq
+          val changes = s.read.format("graft-keyed").option("path", tbl)
+            .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+            .option("key", "kb").option("metadata", "changes")
+            .option("changesFrom", "1").option("changesTo", head.toString).load()
+          Ivm.maintainRollupFull(s.read.parquet(s"$out/v1"), changes,
+            readT(Some(head)), Seq("kb"), Seq("n_chars"), Seq("n_chars"))
+            .write.mode("overwrite").parquet(s"$out/v2")
+          s"$out/v2"
+        })
+        s.read.parquet(path)
+          .select(col("kb"), col("n_rows"), col("sum_n_chars"),
+            col("min_n_chars"), col("max_n_chars"))
+          .orderBy("kb")
+      },
+      Some("""WITH updated AS (
+             |  SELECT doc_id % 16 AS kb, doc_id,
+             |    CASE WHEN doc_id % 9 = 1 THEN n_chars + 5000 ELSE n_chars END AS n_chars
+             |  FROM documents),
+             |cur AS (
+             |  SELECT kb, n_chars FROM updated WHERE n_chars < 5000
+             |  UNION ALL
+             |  SELECT (doc_id + 4000000) % 16, 3
+             |  FROM documents WHERE doc_id % 40 = 0)
+             |SELECT kb, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+             |  min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
+             |FROM cur GROUP BY kb ORDER BY kb""".stripMargin),
+      "IVM with extremes: min/max maintained across UPDATE + extreme-witness DELETE + append + compact by re-aggregating only the affected groups (the DV stats-patch discipline at view grain) — equals the full recompute"),
+
+    // ── IVM over a join (q80 — delta-join, the q01 star shape) ────────
+    // V = rollup(fact ⋈ dim) maintained by the signed delta-join
+    // Δ(A⋈B) = ΔA⋈B_old ∪ A_new⋈ΔB (Ivm.joinDelta — the cross term
+    // lands exactly once), with CHANGES ON BOTH SIDES: the fact takes
+    // an update + delete + an append on a dim-less key (dropped by the
+    // inner join on both paths), the dim relabels one key (COW
+    // delete+insert pair). The delta feeds the same maintainRollup
+    // every single-table view uses — delta composition. Per-refresh
+    // cost: O(fact delta ⋈ dim) + O(fact ⋈ dim delta), both sides
+    // pruned to changed keys by the changes scan; never a corpus join.
+    "q80_ivm_join" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#ivmjoin")({
+          val out = graft.io.TempDirs.scratch("graft_ivmj_")
+          val fTbl = s"$out/fact"
+          val dTbl = s"$out/dim"
+          val fddl = "kb BIGINT, doc_id BIGINT, n_chars BIGINT"
+          val dddl = "kb BIGINT, label STRING"
+          graft.sources.KeyedSource.stageKeyed(s,
+            t(s, dir, "documents").selectExpr("doc_id % 16 AS kb", "doc_id", "n_chars"),
+            fTbl, "kb", sortBy = Seq("doc_id"), retain = 8)
+          graft.sources.KeyedSource.stageKeyed(s,
+            s.range(16).selectExpr("id AS kb",
+              "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS label"),
+            dTbl, "kb", retain = 8)
+          def readT(tbl: String, ddl: String, asOf: Option[Long]) = {
+            val r = s.read.format("graft-keyed").option("path", tbl)
+              .option("schema", ddl).option("key", "kb")
+            asOf.fold(r)(v => r.option("asOf", v.toString)).load()
+          }
+          def headOf(tbl: String): Long = graft.sources.KeyedSource
+            .readCommitLog(tbl, s.sessionState.newHadoopConf()).get.head.seq
+          def changesOf(tbl: String, ddl: String, from: Long, to: Long) =
+            s.read.format("graft-keyed").option("path", tbl)
+              .option("schema", ddl).option("key", "kb")
+              .option("metadata", "changes")
+              .option("changesFrom", from.toString)
+              .option("changesTo", to.toString).load()
+          Ivm.rollup(readT(fTbl, fddl, Some(1L)).join(readT(dTbl, dddl, Some(1L)), "kb"),
+            Seq("label"), Seq("n_chars"))
+            .write.mode("overwrite").parquet(s"$out/v1")
+          s.conf.set("spark.sql.catalog.graftcat",
+            classOf[graft.sources.GraftCatalog].getName)
+          val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+          s.sql(s"DROP TABLE IF EXISTS graftcat.ivmjf_$tag")
+          s.sql(s"CREATE TABLE graftcat.ivmjf_$tag (kb BIGINT, doc_id BIGINT, " +
+            s"n_chars BIGINT) USING `graft-keyed` LOCATION '$fTbl' " +
+            "TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='8','dmlMode'='mor')")
+          s.sql(s"DROP TABLE IF EXISTS graftcat.ivmjd_$tag")
+          s.sql(s"CREATE TABLE graftcat.ivmjd_$tag (kb BIGINT, label STRING) " +
+            s"USING `graft-keyed` LOCATION '$dTbl' " +
+            "TBLPROPERTIES('key'='kb','retain'='8')")
+          s.sql(s"UPDATE graftcat.ivmjf_$tag SET n_chars = 900 WHERE doc_id % 11 = 4")
+          s.sql(s"DELETE FROM graftcat.ivmjf_$tag WHERE doc_id % 13 = 6")
+          t(s, dir, "documents")
+            .selectExpr("CAST(99 AS BIGINT) AS kb",
+              "doc_id + 7000000 AS doc_id", "n_chars")
+            .where("doc_id % 50 = 0")
+            .write.format("graft-keyed").option("schema", fddl)
+            .option("key", "kb").option("sortBy", "doc_id")
+            .mode("append").save(fTbl)
+          s.sql(s"UPDATE graftcat.ivmjd_$tag SET label = 'z' WHERE kb = 5")
+          val (f1, d1) = (headOf(fTbl), headOf(dTbl))
+          val delta = Ivm.joinDelta(
+            changesOf(fTbl, fddl, 1L, f1), readT(dTbl, dddl, Some(1L)),
+            readT(fTbl, fddl, Some(f1)), changesOf(dTbl, dddl, 1L, d1),
+            Seq("kb"))
+          Ivm.maintainRollup(s.read.parquet(s"$out/v1"), delta,
+            Seq("label"), Seq("n_chars"))
+            .write.mode("overwrite").parquet(s"$out/v2")
+          s"$out/v2"
+        })
+        s.read.parquet(path)
+          .select(col("label"), col("n_rows"), col("sum_n_chars"))
+          .orderBy("label")
+      },
+      Some("""WITH cur AS (
+             |  SELECT doc_id % 16 AS kb,
+             |    CASE WHEN doc_id % 11 = 4 THEN 900 ELSE n_chars END AS n_chars
+             |  FROM documents WHERE doc_id % 13 <> 6),
+             |dim AS (
+             |  SELECT kb, CASE WHEN kb = 5 THEN 'z'
+             |    WHEN kb % 3 = 0 THEN 'a' WHEN kb % 3 = 1 THEN 'b'
+             |    ELSE 'c' END AS label
+             |  FROM (SELECT UNNEST(range(16)) AS kb))
+             |SELECT label, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+             |FROM cur JOIN dim USING (kb)
+             |GROUP BY label ORDER BY label""".stripMargin),
+      "IVM over a join: the signed delta-join ΔA⋈B_old ∪ A_new⋈ΔB maintains rollup(fact⋈dim) across changes on BOTH sides and equals the full recompute — per-refresh cost rides the deltas, never the corpus"),
+
+    // ── Branch rebase promote (q81 — disjoint-key replay) ─────────────
+    // q73 proved fast-forward; this is the r17 verdict's #4: main took
+    // a DATA commit past the fork, so a fast-forward would discard it —
+    // but the two lineages touched DISJOINT key sets (both computable
+    // from the snapshots at key grain, the same sets the DML conflict
+    // check prices), so promote REPLAYS the branch's per-key state onto
+    // main's current head as ONE metadata commit: files referenced,
+    // never copied; every main-side key keeps main's state; overlap
+    // refuses loudly (KeyedBranchSpec). The audited-backfill workflow
+    // survives a busy main instead of restarting.
+    "q81_branch_rebase" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#rebase")({
+          val out = graft.io.TempDirs.scratch("graft_rebase_") + "/t"
+          val ddl = "kb BIGINT, doc_id BIGINT, n_chars BIGINT"
+          graft.sources.KeyedSource.stageKeyed(s,
+            t(s, dir, "documents").selectExpr("doc_id % 16 AS kb", "doc_id", "n_chars"),
+            out, "kb", sortBy = Seq("doc_id"), retain = 8)
+          graft.sources.KeyedSource.createBranch(s, out, "backfill")
+          // branch lands keys 16/17; main advances on key 18 — disjoint
+          t(s, dir, "documents").where("doc_id % 25 = 0")
+            .selectExpr("16 + doc_id % 2 AS kb",
+              "doc_id + 5000000 AS doc_id", "n_chars")
+            .write.format("graft-keyed").option("schema", ddl)
+            .option("key", "kb").option("sortBy", "doc_id")
+            .option("branch", "backfill").mode("append").save(out)
+          t(s, dir, "documents").where("doc_id % 30 = 0")
+            .selectExpr("CAST(18 AS BIGINT) AS kb",
+              "doc_id + 6000000 AS doc_id", "n_chars")
+            .write.format("graft-keyed").option("schema", ddl)
+            .option("key", "kb").option("sortBy", "doc_id")
+            .mode("append").save(out)
+          graft.sources.KeyedSource.fastForward(s, out, "backfill")
+          out
+        })
+        s.read.format("graft-keyed").option("path", path)
+          .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+          .option("key", "kb").load()
+          .where(col("kb") >= 16L)
+          .groupBy("kb")
+          .agg(count(lit(1)).as("n"),
+            sum("n_chars").cast("long").as("sum_chars"))
+          .orderBy("kb")
+      },
+      Some("""WITH ext AS (
+             |  SELECT 16 + doc_id % 2 AS kb, n_chars
+             |  FROM documents WHERE doc_id % 25 = 0
+             |  UNION ALL
+             |  SELECT 18, n_chars FROM documents WHERE doc_id % 30 = 0)
+             |SELECT kb, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM ext GROUP BY kb ORDER BY kb""".stripMargin),
+      "branch promote with rebase: main advanced past the fork, but disjoint touched-key sets let the promote replay branch edits onto the new head in one metadata commit — both lineages' rows live, zero data movement")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table
