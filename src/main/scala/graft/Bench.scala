@@ -159,7 +159,7 @@ object Bench {
 
   def jsonLine(results: Seq[(String, (Double, Double))], sfDir: String,
                filter: Option[Set[String]],
-               adjudication: Map[String, (Long, Long, Long, Double, Double)] = Map.empty): String = {
+               adjudication: Map[String, (Long, Long, Long, Double, Double, Double)] = Map.empty): String = {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalWarm = results.map(_._2._2).filter(_ >= 0).sum
     // a filtered run must be self-describing: a leftover SPARK_GRAFT_ONLY
@@ -177,12 +177,13 @@ object Bench {
         .sortBy(-_._2._1).take(n)
       if (rows.isEmpty) "" else rows.map { case (name, _) =>
         // [storage_hw_mb, evicted_blocks, block_readds, busy_during,
-        //  iowait_during] — the 5th column is the r16 verdict-#1 hole:
-        // a cold number priced by DISK WAIT (OS page-cache misses on a
-        // fresh box) read zero on every prior column, so the artifact
-        // could not adjudicate its own 12× cold-vs-canonical gap
-        val (hw, ev, re, bd, iw) = adjudication(name)
-        "\"" + shortKey(name) + s"""\":[$hw,$ev,$re,${frac(bd)},${frac(iw)}]"""
+        //  iowait_during, self_bg] — the 5th column is the r16
+        // verdict-#1 hole (a cold number priced by DISK WAIT read zero
+        // on every prior column); the 6th closes the r17 #5 hole: the
+        // suite's OWN non-query threads (cleaner/listener backlogs)
+        // are invisible to busy_during's whole-process self-subtraction
+        val (hw, ev, re, bd, iw, sb) = adjudication(name)
+        "\"" + shortKey(name) + s"""\":[$hw,$ev,$re,${frac(bd)},${frac(iw)},${frac(sb)}]"""
       }.mkString(""","slow_adj":{""", ",", "}")
     }
     def assemble(rs: Seq[(String, (Double, Double))], adjN: Int): String = {
@@ -463,22 +464,73 @@ object Bench {
             math.max(0.0, (w1 - t0._3).toDouble / dt))
         }
       } catch { case NonFatal(_) => (-1.0, -1.0) }
-    // Per-run timing: wall seconds, GC-ms delta, and the during-window
-    // other-process busy share (busy_during — the r13 verdict-#3
-    // blind-spot instrument). -1 wall marks a FAILED query: a thrown
-    // query must not masquerade as a fast one in BENCH_*.json.
-    def timedBody(body: => Unit): (Double, Long, Double, Double) = {
+    // OWN-PROCESS background CPU over a timed window (r17 verdict #5 —
+    // the last attribution hole: busy_during self-subtracts the WHOLE
+    // process, so our own non-query threads — ContextCleaner and
+    // listener-bus backlogs, finalizers, memo release hooks — read as
+    // zero everywhere except load1). Thread-level attribution via
+    // ThreadMXBean: QUERY work in local mode is the runner thread plus
+    // the executor task workers and the scheduler/result loops;
+    // every OTHER in-process thread's CPU over the window is
+    // BACKGROUND, reported as a share of total capacity like
+    // busy_during. GC is not a Java thread (native) — it stays on its
+    // own gc_ms column; the three columns together partition own-cost.
+    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+    try if (tmx.isThreadCpuTimeSupported && !tmx.isThreadCpuTimeEnabled)
+      tmx.setThreadCpuTimeEnabled(true)
+    catch { case NonFatal(_) => () }
+    def threadCpu(): Map[Long, Long] =
+      try {
+        if (!tmx.isThreadCpuTimeSupported) Map.empty
+        else tmx.getAllThreadIds.map(id => id -> tmx.getThreadCpuTime(id))
+          .filter(_._2 >= 0).toMap
+      } catch { case NonFatal(_) => Map.empty }
+    val benchCores = cpus.toInt
+    def selfBgOver(before: Map[Long, Long], wallNanos: Long): Double =
+      try {
+        if (before.isEmpty || wallNanos <= 0) return -1.0
+        val ids = tmx.getAllThreadIds
+        val infos = tmx.getThreadInfo(ids)
+        val runner = Thread.currentThread().getId
+        var bg = 0L
+        var i = 0
+        while (i < ids.length) {
+          val info = infos(i)
+          if (info != null) {
+            val name = info.getThreadName
+            val isQuery = ids(i) == runner ||
+              name.startsWith("Executor task launch worker") ||
+              name.startsWith("dag-scheduler-event-loop") ||
+              name.startsWith("task-result-getter")
+            if (!isQuery) {
+              val c = tmx.getThreadCpuTime(ids(i))
+              if (c > 0) bg += math.max(0L, c - before.getOrElse(ids(i), 0L))
+            }
+          }
+          i += 1
+        }
+        bg.toDouble / (wallNanos.toDouble * benchCores)
+      } catch { case NonFatal(_) => -1.0 }
+    // Per-run timing: wall seconds, GC-ms delta, the during-window
+    // other-PROCESS busy share (busy_during — the r13 verdict-#3
+    // blind-spot instrument), its iowait share, and the own-process
+    // BACKGROUND share (self_bg — r17 verdict #5). -1 wall marks a
+    // FAILED query: a thrown query must not masquerade as a fast one
+    // in BENCH_*.json.
+    def timedBody(body: => Unit): (Double, Long, Double, Double, Double) = {
       val st = try statTicks() catch { case NonFatal(_) => (-1L, -1L, -1L) }
       val ss = try selfTicks() catch { case NonFatal(_) => -1L }
+      val tc = threadCpu()
       val t0 = System.nanoTime()
       val g0 = gcMs()
       try {
         body
-        val sec = (System.nanoTime() - t0) / 1e9
+        val wall = System.nanoTime() - t0
+        val sec = wall / 1e9
         val (bd, iw) =
           if (st._1 < 0 || ss < 0) (-1.0, -1.0) else otherBusyOver(st, ss)
-        (sec, gcMs() - g0, bd, iw)
-      } catch { case NonFatal(_) => (-1.0, gcMs() - g0, -1.0, -1.0) }
+        (sec, gcMs() - g0, bd, iw, selfBgOver(tc, wall))
+      } catch { case NonFatal(_) => (-1.0, gcMs() - g0, -1.0, -1.0, -1.0) }
     }
     // Storage-lifecycle probe (r14 verdict #1): per-query high-water /
     // eviction / block-re-add columns so a hot family reading can be
@@ -643,17 +695,17 @@ object Bench {
     }
     val envRow = s"""  "_env": {"cores": $cpus, "run_load1_median": $runLoadMedian, "floor_threshold": $floorThresh, "run_contended": $runContended, "run_busy_median": $runBusyMedian, "busy_threshold": $busyThreshold, "busy_during_threshold": $busyDuringThreshold}"""
     val detail = (envRow +: detailed.toSeq
-      .map { case (k, ((c, gc, bdc, iwc), (w, gw, bdw, iww), lc, la, (sm, sd, sev), bb, (shw, sevb, srd))) =>
+      .map { case (k, ((c, gc, bdc, iwc, sbc), (w, gw, bdw, iww, sbw), lc, la, (sm, sd, sev), bb, (shw, sevb, srd))) =>
         // a row is contended if EITHER sample window saw a live
         // contender — the cold and warm runs are adjudicated as one
         // row, so the worse window decides
         val contended = envContended(cores, runLoadMedian, lc, la, bb,
           math.max(bdc, bdw))
-        val extra = retried.get(k).fold("") { case ((r, rgc, rbd, riw), rl) =>
-          s""", "retry": $r, "retry_gc_ms": $rgc, "retry_load1": $rl, "retry_busy_during": $rbd, "retry_iowait": $riw""" }
-        val wextra = warmRetried.get(k).fold("") { case ((r, rgc, rbd, riw), rl, (wm, wd, wev)) =>
-          s""", "warm_retry": $r, "warm_retry_gc_ms": $rgc, "warm_retry_load1": $rl, "warm_retry_busy_during": $rbd, "warm_retry_iowait": $riw, "warm_retry_cache_mb": $wm, "warm_retry_evicted": $wev""" }
-        s"""  "$k": {"cold": $c, "warm": $w, "gc_cold_ms": $gc, "gc_warm_ms": $gw, "load1": $lc, "load1_after": $la, "busy_before": $bb, "busy_during_cold": $bdc, "busy_during_warm": $bdw, "iowait_cold": $iwc, "iowait_warm": $iww, "cache_mb": $sm, "cache_disk_mb": $sd, "evicted_rdds": $sev, "storage_hw_mb": $shw, "evicted_blocks": $sevb, "block_readds": $srd, "env_contended": $contended$extra$wextra}""" })
+        val extra = retried.get(k).fold("") { case ((r, rgc, rbd, riw, rsb), rl) =>
+          s""", "retry": $r, "retry_gc_ms": $rgc, "retry_load1": $rl, "retry_busy_during": $rbd, "retry_iowait": $riw, "retry_self_bg": $rsb""" }
+        val wextra = warmRetried.get(k).fold("") { case ((r, rgc, rbd, riw, rsb), rl, (wm, wd, wev)) =>
+          s""", "warm_retry": $r, "warm_retry_gc_ms": $rgc, "warm_retry_load1": $rl, "warm_retry_busy_during": $rbd, "warm_retry_iowait": $riw, "warm_retry_self_bg": $rsb, "warm_retry_cache_mb": $wm, "warm_retry_evicted": $wev""" }
+        s"""  "$k": {"cold": $c, "warm": $w, "gc_cold_ms": $gc, "gc_warm_ms": $gw, "load1": $lc, "load1_after": $la, "busy_before": $bb, "busy_during_cold": $bdc, "busy_during_warm": $bdw, "iowait_cold": $iwc, "iowait_warm": $iww, "self_bg_cold": $sbc, "self_bg_warm": $sbw, "cache_mb": $sm, "cache_disk_mb": $sd, "evicted_rdds": $sev, "storage_hw_mb": $shw, "evicted_blocks": $sevb, "block_readds": $srd, "env_contended": $contended$extra$wextra}""" })
       .mkString("{\n", ",\n", "\n}\n")
     try {
       val dir = java.nio.file.Paths.get("target", "bench")
@@ -675,8 +727,9 @@ object Bench {
     // own storage window, plus the worse of the two during-window
     // contention shares
     val adjudication = detailed.map {
-      case (k, ((_, _, bdc, iwc), (_, _, bdw, iww), _, _, _, _, (shw, sevb, srd))) =>
-        k -> (shw, sevb, srd, math.max(bdc, bdw), math.max(iwc, iww))
+      case (k, ((_, _, bdc, iwc, sbc), (_, _, bdw, iww, sbw), _, _, _, _, (shw, sevb, srd))) =>
+        k -> (shw, sevb, srd, math.max(bdc, bdw), math.max(iwc, iww),
+          math.max(sbc, sbw))
     }.toMap
     println(jsonLine(results.toSeq, sfDir, only, adjudication))
     spark.stop()

@@ -47,7 +47,7 @@ class BenchFormatSpec extends AnyFunSuite {
     // worst-case adjudication widths ride the line too (the r15 #3
     // columns + the r16 iowait column): the real bench always passes
     // the full map
-    val adj = names.map(_ -> (99999L, 999L, 999L, 0.99, 0.99)).toMap
+    val adj = names.map(_ -> (99999L, 999L, 999L, 0.99, 0.99, 0.99)).toMap
     val line = Bench.jsonLine(worst, "/root/testdata/sf0.1", None, adj)
     assert(line.contains("\"slow_adj\":{"),
       "the slowest-row adjudication block must ride the driver line")
@@ -73,9 +73,12 @@ class BenchFormatSpec extends AnyFunSuite {
     // not a fraction of the registry — fractional bounds (/10 at r16,
     // /8 at r17) broke on growth alone every few added queries while
     // staying blind to a many-rows-wide regression at small registries
-    assert(omitted <= math.max(0, names.length - 150),
+    // capacity dropped 150 → 149 at r18: the slow_adj rows carry a 6th
+    // (self_bg) column, ~5 worst-case chars × AdjSlowest rows — a
+    // deliberate format change, not drift
+    assert(omitted <= math.max(0, names.length - 149),
       s"self-cap shed $omitted of ${names.length} rows — format regressed " +
-        s"(worst-case capacity ~150 rows)")
+        s"(worst-case capacity ~149 rows)")
   }
 
   test("self-cap at a simulated 200-query registry: slowest rows stay, line fits (r14 #5)") {
@@ -176,23 +179,24 @@ class BenchFormatSpec extends AnyFunSuite {
   test("slow_adj: adjudication columns for the slowest cold rows, shed last under the cap (r15 #3)") {
     val names = (1 to 200).map(i => f"x$i%03d_simulated_query_name")
     val sims = names.zipWithIndex.map { case (n, i) => n -> ((i % 37) * 3.3 + 0.1, 0.5) }
-    val adj = names.map(_ -> (123L, 0L, 0L, 0.02, 0.4)).toMap
+    val adj = names.map(_ -> (123L, 0L, 0L, 0.02, 0.4, 0.07)).toMap
     val line = Bench.jsonLine(sims, "/root/testdata/sf0.1", None, adj)
     assert(line.length <= Bench.LineBudget)
     // the block survives the 200-query self-cap (queries shed first)
     assert(line.contains("\"slow_adj\":{"), line.takeRight(200))
     assert(line.contains("queries_omitted"))
-    // exactly the slowest rows carry columns, in [hw,ev,re,bd,iw] form
+    // exactly the slowest rows carry columns, in [hw,ev,re,bd,iw,sb]
+    // form (6th column = own-process background share, r17 #5)
     val slowest = sims.maxBy(_._2._1)._1.split("_")(0)
-    assert(line.contains("\"" + slowest + "\":[123,0,0,0.02,0.4]"), line)
+    assert(line.contains("\"" + slowest + "\":[123,0,0,0.02,0.4,0.07]"), line)
     assert(line.split("slow_adj")(1).takeWhile(_ != '}').count(_ == '[') ==
       Bench.AdjSlowest)
     // no adjudication map → byte-identical to the old format
     assert(!Bench.jsonLine(sims, "/root/testdata/sf0.1", None).contains("slow_adj"))
     // a missing busy sample prints -1, never NaN
     val line2 = Bench.jsonLine(Seq("q01_x" -> (5.0, 1.0)), "/sf", None,
-      Map("q01_x" -> (7L, 0L, 0L, -1.0, -1.0)))
-    assert(line2.contains("\"q01\":[7,0,0,-1,-1]"), line2)
+      Map("q01_x" -> (7L, 0L, 0L, -1.0, -1.0, -1.0)))
+    assert(line2.contains("\"q01\":[7,0,0,-1,-1,-1]"), line2)
   }
 
   test("line is valid JSON shape with the driver-contract fields") {
