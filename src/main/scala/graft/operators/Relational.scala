@@ -2270,7 +2270,55 @@ object Relational {
              |  SELECT 18, n_chars FROM documents WHERE doc_id % 30 = 0)
              |SELECT kb, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM ext GROUP BY kb ORDER BY kb""".stripMargin),
-      "branch promote with rebase: main advanced past the fork, but disjoint touched-key sets let the promote replay branch edits onto the new head in one metadata commit — both lineages' rows live, zero data movement")
+      "branch promote with rebase: main advanced past the fork, but disjoint touched-key sets let the promote replay branch edits onto the new head in one metadata commit — both lineages' rows live, zero data movement"),
+
+    // ── Z-order as a WRITE option (q82 — q48's audit made real) ───────
+    // q48 proved the pruning math on synthetic per-file stats; this
+    // stages the ACTUAL connector layout: stageZOrdered buckets
+    // lineitem's (l_partkey, l_suppkey) by the Morton interleave of
+    // their 8-bit quantized forms into 64 key directories — square-ish
+    // blocks of the 2-D plane, so the stats sidecar is tight on BOTH
+    // dimensions and the r18 non-key skipping prunes the 2-D middle-
+    // eighth predicate to ~4 of 64 directories where a linear sort
+    // keeps 8 with ~2× the rows (KeyedSkippingSpec pins 4 vs 8 on a
+    // uniform grid). The query runs that predicate against the live
+    // layout; the oracle replays the quantization arithmetic over
+    // lineitem. At 100 TB this is multi-dimensional file skipping on
+    // the connector's own metadata — the Delta/Iceberg ZORDER BY
+    // lever, composed from two already-shipped parts (Morton key
+    // derivation + sidecar skipping) rather than a new operator.
+    "q82_zorder_connector" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#zorder")({
+          val out = graft.io.TempDirs.scratch("graft_zord_") + "/t"
+          graft.sources.KeyedSource.stageZOrdered(s,
+            t(s, dir, "lineitem").select(
+              col("l_orderkey").as("okey"), col("l_partkey").as("pk"),
+              col("l_suppkey").as("sk")),
+            out, "pk", "sk")
+          out
+        })
+        s.read.format("graft-keyed").option("path", path)
+          .option("schema",
+            "okey BIGINT, pk BIGINT, sk BIGINT, zq_pk BIGINT, zq_sk BIGINT, zb BIGINT")
+          .option("key", "zb").load()
+          .where(col("zq_pk").between(112L, 143L) &&
+            col("zq_sk").between(112L, 143L))
+          .agg(count(lit(1)).as("n"),
+            sum(col("zq_pk") + col("zq_sk")).cast("long").as("qsum"),
+            sum("okey").cast("long").as("osum"))
+      },
+      Some("""WITH st AS (SELECT min(l_partkey) AS pk0, max(l_partkey) AS pk1,
+             |              min(l_suppkey) AS sk0, max(l_suppkey) AS sk1 FROM lineitem),
+             |q AS (SELECT l_orderkey AS okey,
+             |        ((l_partkey - pk0) * 256) // (pk1 - pk0 + 1) AS q1,
+             |        ((l_suppkey - sk0) * 256) // (sk1 - sk0 + 1) AS q2
+             |      FROM lineitem CROSS JOIN st)
+             |SELECT count(*) AS n,
+             |  CAST(sum(q1 + q2) AS BIGINT) AS qsum,
+             |  CAST(sum(okey) AS BIGINT) AS osum
+             |FROM q WHERE q1 BETWEEN 112 AND 143 AND q2 BETWEEN 112 AND 143""".stripMargin),
+      "Z-order write option: Morton-bucketed layout whose sidecar prunes BOTH predicate dimensions through non-key skipping — q48's synthetic audit running against real connector files")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table

@@ -1443,6 +1443,52 @@ object KeyedSource {
     out
   }
 
+  /** Z-ORDERED stage (r18 stretch — Delta/Iceberg `ZORDER BY` as a
+    * write option on this layout): rows land in `blocks` key
+    * directories by the MORTON interleave of two dimensions, each
+    * quantized to 8 bits against its measured corpus range (one
+    * scalar min/max aggregate, broadcast; the q48 audit's exact
+    * arithmetic — Morton 1966, codegen'd shift/mask terms, no UDF).
+    * Directories are then square-ish blocks of the 2-D plane, so the
+    * sidecar's per-directory min/max is TIGHT ON BOTH dimensions and
+    * the r18 non-key skipping prunes 2-D predicates that a linear
+    * sort can only prune on its leading column — q48 proved the math
+    * on synthetic file stats; this writes the REAL layout and lets
+    * the connector's own metadata do the pruning (KeyedSkippingSpec
+    * pins z-order 4/64 vs linear 8/64 planned directories on the
+    * same predicate). The block id is an ordinary BIGINT key column
+    * (`zb`), so every keyed surface — pushed key filters, SPJ,
+    * stats, DML, compaction, rebucket (re-deriving `zb` IS a
+    * rebucket) — composes unchanged. Quantized dims are STORED
+    * (`zq_<dim>`): the skipping bounds and any replayed oracle use
+    * the same recorded values rather than re-deriving floats. */
+  def stageZOrdered(spark: SparkSession, df: DataFrame, out: String,
+      dimA: String, dimB: String, blocks: Int = 64, retain: Int = 1,
+      codec: String = "none"): String = {
+    import org.apache.spark.sql.functions._
+    require(df.schema.fieldNames.contains(dimA) &&
+      df.schema.fieldNames.contains(dimB),
+      s"z-order dims must be columns, got $dimA/$dimB in ${df.schema.simpleString}")
+    require(blocks > 0 && 65536 % blocks == 0,
+      s"blocks must divide 2^16, got $blocks")
+    val st = df.agg(min(col(dimA)).as("a0"), max(col(dimA)).as("a1"),
+      min(col(dimB)).as("b0"), max(col(dimB)).as("b1"))
+    val qd = df.crossJoin(broadcast(st))
+      .withColumn(s"zq_$dimA", expr(
+        s"CAST((($dimA - a0) * 256) div (a1 - a0 + 1) AS BIGINT)"))
+      .withColumn(s"zq_$dimB", expr(
+        s"CAST((($dimB - b0) * 256) div (b1 - b0 + 1) AS BIGINT)"))
+    val zv = (0 until 8).map { i =>
+      shiftright(col(s"zq_$dimA"), i).bitwiseAND(1) * lit(1L << (2 * i)) +
+        shiftright(col(s"zq_$dimB"), i).bitwiseAND(1) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+    val staged = qd
+      .withColumn("zb", (zv / lit(65536L / blocks)).cast("long"))
+      .drop("a0", "a1", "b0", "b1")
+    stageKeyed(spark, staged, out, "zb", sortBy = Seq(dimA), retain = retain,
+      codec = codec)
+  }
+
   // ── Committed-snapshot log (the publish half of WAP) ───────────────
   //
   // r15.2: the single committed-generation pointer grew into a SNAPSHOT

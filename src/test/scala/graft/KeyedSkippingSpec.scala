@@ -184,6 +184,46 @@ class KeyedSkippingSpec extends SparkSpec {
     assert(unpatched.count() == 0L)
   }
 
+  test("z-ordered layout: 2-D predicates prune through the sidecar where a linear sort prunes one axis") {
+    val base = graft.io.TempDirs.scratch("graft_skip_z_")
+    // uniform even-coordinate grid over [0,256)²: every 32×32 Morton
+    // block holds 16×16 rows, so pruning counts are exact
+    val grid = (0 until 16384).map { i =>
+      val a = (i / 128) * 2L
+      val b = (i % 128) * 2L
+      (i.toLong, a, b)
+    }.toDF("id", "da", "db")
+
+    // z-order write option: zb = Morton block of (da, db)
+    KeyedSource.stageZOrdered(spark, grid, s"$base/z", "da", "db")
+    val zDdl = "id BIGINT, da BIGINT, db BIGINT, zq_da BIGINT, zq_db BIGINT, zb BIGINT"
+    def readZ = spark.read.format("graft-keyed").option("path", s"$base/z")
+      .option("schema", zDdl).option("key", "zb").load()
+    // linear twin: keyed by the leading dimension alone
+    KeyedSource.stageKeyed(spark,
+      grid.selectExpr("id", "da", "db", "da div 4 AS kb"), s"$base/lin", "kb")
+    def readLin = spark.read.format("graft-keyed").option("path", s"$base/lin")
+      .option("schema", "id BIGINT, da BIGINT, db BIGINT, kb BIGINT")
+      .option("key", "kb").load()
+
+    // the q48 predicate shape: the middle eighth of BOTH axes
+    val pred = ($"da" >= 112L && $"da" <= 143L &&
+      $"db" >= 112L && $"db" <= 143L)
+    val zq = readZ.where(pred)
+    val lq = readLin.where(pred)
+    // z-order: both range predicates bite — 4 of 64 blocks survive;
+    // linear: only the leading axis prunes — 8 of 64 (each spans db)
+    assert(planned(zq) == 4, scanOf(zq).description())
+    assert(scanOf(zq).description().contains("skipped=60"))
+    assert(planned(lq) == 8, scanOf(lq).description())
+    // identical values either way: 16×16 matching grid points
+    assert(zq.count() == 256L && lq.count() == 256L)
+    assert(zq.agg(org.apache.spark.sql.functions.sum($"da" + $"db"))
+      .head().getLong(0) ==
+      lq.agg(org.apache.spark.sql.functions.sum($"da" + $"db"))
+        .head().getLong(0))
+  }
+
   test("schema evolution disables skipping honestly; a missing sidecar skips nothing") {
     val dir = graft.io.TempDirs.scratch("graft_skip_evo_") + "/t"
     KeyedSource.stageKeyed(spark, rangeDf(), dir, "kb", sortBy = Seq("doc_id"))
