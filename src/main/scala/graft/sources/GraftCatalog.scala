@@ -319,8 +319,19 @@ object GraftCatalog {
     val p = new org.apache.hadoop.fs.Path(warehouse, StoreFile)
     val fs = p.getFileSystem(
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    // retry absence ONLY inside the actual publish window — writeStore
+    // stages a `.tmp-` file before the delete+rename, so a missing
+    // store with no tmp sibling is simply a never-written warehouse
+    // (the common first-use case must not pay the sleep)
+    def midPublish: Boolean = try {
+      val dir = new org.apache.hadoop.fs.Path(warehouse)
+      fs.exists(dir) && fs.listStatus(dir).exists(
+        _.getPath.getName.startsWith(s"$StoreFile.tmp-"))
+    } catch { case _: java.io.IOException => false }
     var attempts = 0
-    while (!fs.exists(p) && attempts < 2) { Thread.sleep(25L); attempts += 1 }
+    while (!fs.exists(p) && attempts < 2 && midPublish) {
+      Thread.sleep(25L); attempts += 1
+    }
     if (!fs.exists(p)) return Seq.empty
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString

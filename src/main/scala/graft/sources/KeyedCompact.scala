@@ -243,21 +243,26 @@ object KeyedCompact {
       .option("key", key)
       .option("asOf", scanSeq.toString)
       .load()
-    // a NULL evolved key (e.g. a partial CASE) would slip through the
-    // `=!=` detection filter below and silently keep its old assignment
-    // — and the framed layout cannot store a NULL key anyway. Refuse
-    // loudly with the count (r18 ADVICE).
-    val nullAssigned = readHead.where(evolved.isNull).count()
+    // ONE detection pass (r18 review: the NULL guard and the moved-key
+    // scan each read the table; fold them into a single projection-
+    // pruned aggregation): count NULL assignments — a partial CASE
+    // would silently keep its rows' old buckets, and the framed layout
+    // cannot store a NULL key anyway — and collect the distinct moved
+    // source keys (bounded: the key-domain class).
+    import org.apache.spark.sql.functions.{collect_set, sum, when, lit}
+    val det = readHead
+      .select(col(key).as("_k"), evolved.as("_ev"))
+      .where(col("_ev").isNull || col("_ev") =!= col("_k"))
+      .agg(sum(when(col("_ev").isNull, lit(1L)).otherwise(lit(0L))).as("_nulls"),
+        collect_set(when(col("_ev").isNotNull, col("_k"))).as("_moved"))
+      .head()
+    val nullAssigned = if (det.isNullAt(0)) 0L else det.getLong(0)
     if (nullAssigned > 0) throw new IllegalArgumentException(
       s"graft-keyed rebucket: the new key expression evaluates to NULL for " +
         s"$nullAssigned row(s) — every row must receive a non-null " +
         "assignment (a partial CASE needs an ELSE)")
-    // detection: which SOURCE keys hold any row whose assignment moves
-    // (bounded collect: distinct key values, the key-domain class)
-    val changed: Seq[String] = readHead
-      .where(evolved =!= col(key))
-      .select(col(key)).distinct().collect()
-      .map(_.get(0).toString).toSeq.sorted
+    val changed: Seq[String] =
+      det.getSeq[Any](1).map(String.valueOf).sorted
     if (changed.isEmpty) return 0
     val changedVals: Seq[Any] = keyType match {
       case LongType => changed.map(_.toLong)

@@ -515,7 +515,9 @@ final class KeyedMorBatchWrite(op: KeyedMorOperation,
       val aggExprs = count(lit(1)).as("_n") +:
         declared.fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
           Seq(min(col(f.name)).as(s"_mn$i"), max(col(f.name)).as(s"_mx$i")) ++
-            (if (f.dataType == LongType) Seq(sum(col(f.name)).as(s"_sm$i")) else Nil)
+            // INT rides the numeric leg like the sidecar writers (r18)
+            (if (KeyedStats.numeric(f.dataType))
+              Seq(sum(col(f.name)).cast("long").as(s"_sm$i")) else Nil)
         }
       // bounded collect: ONE row per affected key (the same driver
       // payload class as the dv refs themselves)
@@ -526,9 +528,11 @@ final class KeyedMorBatchWrite(op: KeyedMorOperation,
           val mins = new Array[String](n); val maxs = new Array[String](n)
           val sums = new Array[Long](n)
           declared.fields.zipWithIndex.foreach { case (f, i) =>
-            if (f.dataType == LongType) {
-              mins(i) = r.getAs[Long](s"_mn$i").toString
-              maxs(i) = r.getAs[Long](s"_mx$i").toString
+            if (KeyedStats.numeric(f.dataType)) {
+              // min/max come back typed per column (Long or Integer);
+              // the sidecar stores digit strings either way
+              mins(i) = String.valueOf(r.getAs[Number](s"_mn$i").longValue)
+              maxs(i) = String.valueOf(r.getAs[Number](s"_mx$i").longValue)
               sums(i) = r.getAs[Long](s"_sm$i")
             } else {
               mins(i) = r.getAs[String](s"_mn$i")
@@ -637,8 +641,14 @@ final class KeyedDvWriter(declared: StructType, key: String, path: String,
   private val keyIdx = idSchema.fieldIndex(KeyedSource.KeyCol)
   private val posIdx = idSchema.fieldIndex(KeyedSource.PosCol)
   private val dataKeyIdx = declared.fieldIndex(key)
-  private val isLong: Array[Boolean] =
-    declared.fields.map(_.dataType == LongType)
+  // 0 = BIGINT, 1 = STRING, 2 = INT (the r18 widening source type —
+  // missing here, an INT column's buffered copy read getUTF8String on
+  // an int slot: the round's review catch)
+  private val kind: Array[Int] = declared.fields.map(_.dataType match {
+    case LongType => 0
+    case org.apache.spark.sql.types.IntegerType => 2
+    case _ => 1
+  })
   private val acc =
     scala.collection.mutable.LinkedHashMap.empty[String, java.util.BitSet]
   // UPDATE's new row versions, buffered per TARGET key (an update that
@@ -667,14 +677,18 @@ final class KeyedDvWriter(declared: StructType, key: String, path: String,
     var i = 0
     while (i < declared.length) {
       copy(i) = if (row.isNullAt(i)) null
-        else if (isLong(i)) Long.box(row.getLong(i))
-        else row.getUTF8String(i).clone()
+        else kind(i) match {
+          case 0 => Long.box(row.getLong(i))
+          case 2 => Int.box(row.getInt(i))
+          case _ => row.getUTF8String(i).clone()
+        }
       i += 1
     }
     val target =
       if (copy(dataKeyIdx) == null) "NULL" // the audited writer refuses it
-      else if (isLong(dataKeyIdx)) copy(dataKeyIdx).toString
-      else copy(dataKeyIdx).asInstanceOf[UTF8String].toString
+      else if (kind(dataKeyIdx) == 1)
+        copy(dataKeyIdx).asInstanceOf[UTF8String].toString
+      else copy(dataKeyIdx).toString
     pending.getOrElseUpdate(target,
       scala.collection.mutable.ArrayBuffer.empty) += copy
   }

@@ -442,6 +442,13 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
   private[sources] val view = KeyedSource.resolveView(path, conf.value, asOf)
   private def root = view.root
   private def tombstones = view.tombstones
+  // ONE driver-side sidecar read per scan build, shared by the TopN
+  // license, the aggregate pushdown, and the skipping proof (r18
+  // review: three pushdown surfaces each re-opened and re-parsed the
+  // sidecar — per generation under edits — on every filtered query);
+  // the built scan inherits it too, so a whole plan costs one read
+  private lazy val viewSidecar: Option[KeyedStats.Sidecar] =
+    KeyedStats.readView(view, conf, full, key)
   private var required: StructType = full
   // None = no key predicate pushed (all directories); Some(s) = only
   // directories whose key value ∈ s are planned. Distinct from
@@ -505,7 +512,7 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
     // must be EXACT: the DV-corrected view qualifies when every DV'd
     // key resolved through a stats patch (readView); a pre-r17 dv
     // commit leaves stale counts and refuses until compaction
-    KeyedStats.readView(view, conf, full, key) match {
+    viewSidecar match {
       case None => return false
       case Some(sc) => if (sc.unresolvedDvKeys.nonEmpty) return false
     }
@@ -617,7 +624,7 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
         // patch: its count stays exact (dv filenames carry their
         // cardinality) but min/max/sum still include deleted rows, so
         // non-count aggregates refuse exactly for those views.
-        KeyedStats.readView(view, conf, full, key) match {
+        viewSidecar match {
           case Some(sc) =>
             if (sc.unresolvedDvKeys.nonEmpty &&
                 !stats.forall(_.isInstanceOf[KeyedStats.CountStat]))
@@ -657,10 +664,10 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
       // and key-grain + runtime pruning intersect in the scan.
       val skipKeys: Set[String] =
         if (residualFilters.isEmpty) Set.empty
-        else KeyedStats.readView(view, conf, full, key).fold(Set.empty[String])(
+        else viewSidecar.fold(Set.empty[String])(
           sc => KeyedStats.skippableKeys(sc, residualFilters.toSeq, full))
       val scan = new KeyedScan(full, required, view, key, conf, keyValues,
-        vectorize, reportStats, topN, skipKeys)
+        vectorize, reportStats, topN, skipKeys, () => viewSidecar)
       // a row-level operation's commit replaces (cow) or amends (mor)
       // exactly what this scan resolves — hand it the instance (last
       // build wins; Spark builds one scan per operation)
@@ -696,7 +703,8 @@ class KeyedScan(full: StructType, required: StructType,
     key: String, conf: org.apache.spark.util.SerializableConfiguration,
     keyValues: Option[Set[Any]] = None, vectorize: Boolean = true,
     reportStats: Boolean = true, topN: Int = -1,
-    skipKeys: Set[String] = Set.empty)
+    skipKeys: Set[String] = Set.empty,
+    sidecarOf: () => Option[KeyedStats.Sidecar] = null)
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -718,6 +726,13 @@ class KeyedScan(full: StructType, required: StructType,
     * (key, sortBy…) order and the reported (sortBy…) order coincide
     * per partition. */
   private def tombstones = view.tombstones
+
+  /** The builder's sidecar read, inherited (direct construction in
+    * specs reads its own, once) — every stats/TopN surface of this
+    * scan answers from it. */
+  private lazy val viewSidecar: Option[KeyedStats.Sidecar] =
+    if (sidecarOf == null) KeyedStats.readView(view, conf, full, key)
+    else sidecarOf()
 
   /** The decode projection: `required` minus the metadata columns
     * (the frame decoder knows only stored columns; position and raw
@@ -789,7 +804,7 @@ class KeyedScan(full: StructType, required: StructType,
       p.asInstanceOf[KeyedPartition].dirs.map(d => fs.getContentSummary(
         new org.apache.hadoop.fs.Path(d)).getLength)).sum
     val keyField = full(full.fieldIndex(key))
-    val sidecar = KeyedStats.readView(view, conf, full, key)
+    val sidecar = viewSidecar
     val surviving = sidecar.map { sc =>
       val visible = sc.entries.filterNot(e => tombstones.contains(e.rawKey))
         // skipped directories are not planned, so their rows must not
@@ -992,7 +1007,7 @@ class KeyedScan(full: StructType, required: StructType,
     * present at push time; an entry missing for a LISTED directory is
     * corruption of connector-owned metadata and fails loudly. */
   private def topNPartitions(base: Array[InputPartition]): Array[InputPartition] = {
-    val counts = KeyedStats.readView(view, conf, full, key)
+    val counts = viewSidecar
       .fold(Map.empty[String, Long])(_.entries.map(e => e.rawKey -> e.count).toMap)
     val keyField = full(full.fieldIndex(key))
     val sorted = base.map(_.asInstanceOf[KeyedPartition]).sortBy { kp =>

@@ -374,6 +374,34 @@ object KeyedStats {
   // sidecar interval PROVES empty. At 100 TB this is the single
   // biggest scan cost the connector's own metadata can eliminate.
 
+  /** (cmp(min, v), cmp(max, v)) for one entry under the column's
+    * stored order — numeric for BIGINT/INT, UTF8String byte order for
+    * STRING; None = not a comparison this evaluator prices. The ONE
+    * comparison both [[canMatch]] and [[allMatch]] read (a future
+    * type joining the layout lands here once, for both duals). */
+  private def statBounds(e: Entry, schema: StructType,
+      attr: String, v: Any): Option[(Int, Int)] = {
+    if (!schema.fieldNames.contains(attr) || v == null) return None
+    val i = schema.fieldIndex(attr)
+    schema(i).dataType match {
+      case dt if numeric(dt) => v match {
+        case n: Number =>
+          val x = n.longValue
+          Some((e.mins(i).toLong.compareTo(x), e.maxs(i).toLong.compareTo(x)))
+        case _ => None
+      }
+      case StringType =>
+        val x = v match {
+          case s: String => UTF8String.fromString(s)
+          case u: UTF8String => u
+          case _ => return None
+        }
+        Some((UTF8String.fromString(e.mins(i)).compareTo(x),
+          UTF8String.fromString(e.maxs(i)).compareTo(x)))
+      case _ => None
+    }
+  }
+
   /** Three-valued evaluation, "exists" side: may any stored row of
     * this entry satisfy `f`? `false` is a PROOF of emptiness (the
     * planner skips the directory); `true` means "cannot prove" — plan
@@ -389,27 +417,8 @@ object KeyedStats {
     import org.apache.spark.sql.sources._
     // (cmp(min, v), cmp(max, v)) under the column's stored order;
     // None = not a single-column comparison this evaluator prices
-    def bounds(attr: String, v: Any): Option[(Int, Int)] = {
-      if (!schema.fieldNames.contains(attr) || v == null) return None
-      val i = schema.fieldIndex(attr)
-      schema(i).dataType match {
-        case dt if numeric(dt) => v match {
-          case n: Number =>
-            val x = n.longValue
-            Some((e.mins(i).toLong.compareTo(x), e.maxs(i).toLong.compareTo(x)))
-          case _ => None
-        }
-        case StringType =>
-          val x = v match {
-            case s: String => UTF8String.fromString(s)
-            case u: UTF8String => u
-            case _ => return None
-          }
-          Some((UTF8String.fromString(e.mins(i)).compareTo(x),
-            UTF8String.fromString(e.maxs(i)).compareTo(x)))
-        case _ => None
-      }
-    }
+    def bounds(attr: String, v: Any): Option[(Int, Int)] =
+      statBounds(e, schema, attr, v)
     f match {
       case EqualTo(a, v) => bounds(a, v).forall { case (lo, hi) => lo <= 0 && hi >= 0 }
       case EqualNullSafe(a, v) =>
@@ -452,27 +461,8 @@ object KeyedStats {
   private[graft] def allMatch(f: org.apache.spark.sql.sources.Filter,
       e: Entry, schema: StructType): Boolean = {
     import org.apache.spark.sql.sources._
-    def bounds(attr: String, v: Any): Option[(Int, Int)] = {
-      if (!schema.fieldNames.contains(attr) || v == null) return None
-      val i = schema.fieldIndex(attr)
-      schema(i).dataType match {
-        case dt if numeric(dt) => v match {
-          case n: Number =>
-            val x = n.longValue
-            Some((e.mins(i).toLong.compareTo(x), e.maxs(i).toLong.compareTo(x)))
-          case _ => None
-        }
-        case StringType =>
-          val x = v match {
-            case s: String => UTF8String.fromString(s)
-            case u: UTF8String => u
-            case _ => return None
-          }
-          Some((UTF8String.fromString(e.mins(i)).compareTo(x),
-            UTF8String.fromString(e.maxs(i)).compareTo(x)))
-        case _ => None
-      }
-    }
+    def bounds(attr: String, v: Any): Option[(Int, Int)] =
+      statBounds(e, schema, attr, v)
     f match {
       case EqualTo(a, v) => bounds(a, v).exists { case (lo, hi) => lo == 0 && hi == 0 }
       case EqualNullSafe(a, v) =>

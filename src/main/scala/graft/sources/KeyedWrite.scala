@@ -383,10 +383,16 @@ final class KeyedDataWriter(schema: StructType, key: String, genDir: String,
     val raw0 = fs.create(
       new org.apache.hadoop.fs.Path(genDir, s"k=$raw/$name"), true)
     out = new java.io.BufferedOutputStream(
-      if (deflate) new java.util.zip.DeflaterOutputStream(raw0,
-        new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION),
-        1 << 16)
-      else raw0,
+      if (deflate) {
+        // explicit Deflater for the 64 KiB buffer — the JDK stream
+        // only end()s a DEFAULT deflater on close; release the native
+        // state per key file (one writer flushes many keys)
+        val defl = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        new java.util.zip.DeflaterOutputStream(raw0, defl, 1 << 16) {
+          override def close(): Unit = try super.close() finally defl.end()
+        }
+      } else raw0,
       1 << 16)
   }
 

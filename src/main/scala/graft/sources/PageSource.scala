@@ -587,10 +587,16 @@ object PageSource {
     * side's 64 KiB deflate buffer. */
   private[sources] def maybeInflate(name: String,
       in: java.io.InputStream): java.io.InputStream =
-    if (name.endsWith(DeflateSuffix))
-      new java.util.zip.InflaterInputStream(in,
-        new java.util.zip.Inflater(), 1 << 16)
-    else in
+    if (name.endsWith(DeflateSuffix)) {
+      // explicit Inflater for the 64 KiB buffer — the JDK stream only
+      // end()s a DEFAULT inflater on close, so release the native
+      // zlib window ourselves (a scan over thousands of .dfl files
+      // would otherwise hold it until GC)
+      val inf = new java.util.zip.Inflater()
+      new java.util.zip.InflaterInputStream(in, inf, 1 << 16) {
+        override def close(): Unit = try super.close() finally inf.end()
+      }
+    } else in
   val DDL = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
   /** Page-size metadata at the staged root — the part of a paged API's
     * contract (its page size) the connector needs to map page id →

@@ -434,4 +434,50 @@ class KeyedMorSpec extends SparkSpec {
     spark.sql(s"DELETE FROM $t WHERE doc_id = 6")
     assert(readKeyed(dir).count() == 35L)
   }
+
+  test("INT columns ride MOR DML: UPDATE/MERGE buffering, row DELETE, and the stats patch stay exact") {
+    // regression (r18 review): INT joined the storable set but the MOR
+    // delta writer's row buffering and the DV commit's stats-patch job
+    // still assumed BIGINT-or-STRING — an INT column crashed (or
+    // corrupted) UPDATE and failed DELETE's patch aggregation
+    val dir = graft.io.TempDirs.scratch("graft_mor_int_") + "/t"
+    val iddl = "kb BIGINT, doc_id BIGINT, pop INT"
+    val idf = (0L until 32L).map(i => (i % 4L, i, (i * 3 % 50).toInt))
+      .toDF("kb", "doc_id", "pop")
+    KeyedSource.stageKeyed(spark, idf, dir, "kb",
+      sortBy = Seq("doc_id"), retain = 4)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.inty")
+    spark.sql(s"CREATE TABLE $cat.inty (kb BIGINT, doc_id BIGINT, pop INT) " +
+      s"USING `graft-keyed` LOCATION '$dir' " +
+      "TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='4','dmlMode'='mor')")
+
+    // MOR UPDATE: the delta writer buffers INT values (dv + append)
+    spark.sql(s"UPDATE $cat.inty SET pop = 777 WHERE doc_id % 8 = 2")
+    // MOR row DELETE: the stats-patch job aggregates the INT column
+    spark.sql(s"DELETE FROM $cat.inty WHERE doc_id IN (5, 13)")
+
+    def read = spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", iddl).option("key", "kb").load()
+    val rows = read.collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(rows.size == 30 && rows(2L) == 777 && rows(10L) == 777 &&
+      !rows.contains(5L) && !rows.contains(13L), rows)
+
+    // metadata answers survive: min/max/sum of the INT column answer
+    // from the patched sidecar with zero data files
+    val agg = read.groupBy("kb").agg(
+      org.apache.spark.sql.functions.max("pop"),
+      org.apache.spark.sql.functions.sum("pop"))
+    assert(agg.queryExecution.executedPlan.toString.contains("GraftKeyedStats"),
+      agg.queryExecution.executedPlan.toString)
+    val expect = idf
+      .withColumn("pop", org.apache.spark.sql.functions.expr(
+        "CASE WHEN doc_id % 8 = 2 THEN 777 ELSE pop END"))
+      .where("doc_id NOT IN (5, 13)")
+      .groupBy("kb").agg(
+        org.apache.spark.sql.functions.max("pop"),
+        org.apache.spark.sql.functions.sum("pop"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(agg.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+      == expect)
+  }
 }
