@@ -229,6 +229,56 @@ class IvmSpec extends SparkSpec {
     assert(viewMap(view).contains("prime"), "the relabeled group must appear")
   }
 
+  test("delta-join composes with extremes: rollupFull(fact JOIN dim) maintained incl. min/max") {
+    val base = graft.io.TempDirs.scratch("graft_ivm_jmm_")
+    val fDir = s"$base/fact"
+    val dDir = s"$base/dim"
+    KeyedSource.stageKeyed(spark, df(64L), fDir, "kb",
+      sortBy = Seq("doc_id"), retain = 16)
+    KeyedSource.stageKeyed(spark,
+      (0L until 4L).map(k => (k, if (k < 2) "lo" else "hi")).toDF("kb", "label"),
+      dDir, "kb", retain = 16)
+    val dimDdl = "kb BIGINT, label STRING"
+    spark.sql(s"DROP TABLE IF EXISTS $cat.jmf")
+    spark.sql(s"CREATE TABLE $cat.jmf (kb BIGINT, doc_id BIGINT, n_chars BIGINT) " +
+      s"USING `graft-keyed` LOCATION '$fDir' " +
+      "TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='16','dmlMode'='mor')")
+
+    def readF(asOf: Option[Long] = None): DataFrame = {
+      val r = spark.read.format("graft-keyed").option("path", fDir)
+        .option("schema", ddl).option("key", "kb")
+      asOf.fold(r)(v => r.option("asOf", v.toString)).load()
+    }
+    def readD: DataFrame = spark.read.format("graft-keyed").option("path", dDir)
+      .option("schema", dimDdl).option("key", "kb").load()
+    val group = Seq("label")
+    def joined(f: DataFrame) = f.join(readD, "kb")
+    def fullMap(d: DataFrame): Map[String, (Long, Long, Long, Long)] =
+      d.collect().map(r => r.getAs[String]("label") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_n_chars"),
+          r.getAs[Long]("min_n_chars"), r.getAs[Long]("max_n_chars"))).toMap
+
+    var view = Ivm.rollupFull(joined(readF()), group, Seq("n_chars"),
+      Seq("n_chars")).localCheckpoint()
+    val f0 = headSeq(fDir)
+
+    // push new maxima up, then DELETE exactly those extreme witnesses —
+    // the repair leg must re-aggregate through the JOINED current state
+    spark.sql(s"UPDATE $cat.jmf SET n_chars = n_chars + 900 WHERE doc_id % 16 = 3")
+    spark.sql(s"DELETE FROM $cat.jmf WHERE n_chars >= 900")
+    val f1 = headSeq(fDir)
+
+    val delta = Ivm.joinDelta(changes(fDir, f0, f1), readD,
+      readF(asOf = Some(f1)), readD.limit(0).withColumn("_change_type",
+        org.apache.spark.sql.functions.lit("insert")), Seq("kb"))
+    view = Ivm.maintainRollupFull(view, delta, joined(readF(asOf = Some(f1))),
+      group, Seq("n_chars"), Seq("n_chars"))
+    val expect = Ivm.rollupFull(joined(readF()), group, Seq("n_chars"),
+      Seq("n_chars"))
+    assert(fullMap(view) == fullMap(expect),
+      s"${fullMap(view)} != ${fullMap(expect)}")
+  }
+
   test("streaming leg: per-micro-batch maintenance converges to the recompute across restarts") {
     val scratch = graft.io.TempDirs.scratch("graft_ivm_stream_")
     val dir = s"$scratch/t"; val ckpt = s"$scratch/ckpt"
