@@ -72,7 +72,9 @@ object KeyedCompact {
     // the layout's recorded order (base generation's marker): compacted
     // files are written back SORTED so the single-dir claim resurrects
     val sortBy: Seq[String] =
-      KeyedSource.readOrderMarker(path, conf, schema, key).getOrElse(Seq.empty)
+      KeyedSource.readOrderMarker(path, conf, schema, key,
+        KeyedSource.widenedColumns(log.ops),
+        KeyedSource.lineageOf(log.ops)._1).getOrElse(Seq.empty)
 
     // read ONLY the fragmented keys, pinned to the scanned snapshot
     // (pushed key IN prunes to their directories)
@@ -269,7 +271,9 @@ object KeyedCompact {
       case _ => changed
     }
     val sortBy: Seq[String] =
-      KeyedSource.readOrderMarker(path, conf, schema, key).getOrElse(Seq.empty)
+      KeyedSource.readOrderMarker(path, conf, schema, key,
+        KeyedSource.widenedColumns(log.ops),
+        KeyedSource.lineageOf(log.ops)._1).getOrElse(Seq.empty)
     val genName = "_gen-rebucket-" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val genDir = s"$path/$genName"

@@ -2765,15 +2765,17 @@ object KeyedSource {
       conf: org.apache.spark.util.SerializableConfiguration,
       declared: StructType, key: String): Option[Seq[String]] = {
     val widened = widenedColumns(view.ops)
+    val aliases = lineageOf(view.ops)._1
     if (view.edits.isEmpty)
-      return readOrderMarker(view.root, conf, declared, key, widened)
+      return readOrderMarker(view.root, conf, declared, key, widened, aliases)
     val live = view.liveKeyDirs(conf.value)
     if (live.exists(_._2.length > 1)) return None
     val roots: Seq[String] =
       if (live.isEmpty) Seq(view.root)
       else live.flatMap(_._2)
         .map(d => new org.apache.hadoop.fs.Path(d).getParent.toString).distinct
-    val markers = roots.map(r => readOrderMarker(r, conf, declared, key, widened))
+    val markers = roots.map(r =>
+      readOrderMarker(r, conf, declared, key, widened, aliases))
     if (markers.forall(_.isDefined) && markers.distinct.length == 1) markers.head
     else None
   }
@@ -2788,18 +2790,27 @@ object KeyedSource {
   private[graft] def readOrderMarker(path: String,
       conf: org.apache.spark.util.SerializableConfiguration,
       declared: StructType, key: String,
-      widened: Set[String] = Set.empty): Option[Seq[String]] = {
+      widened: Set[String] = Set.empty,
+      aliases: Map[String, Seq[String]] = Map.empty): Option[Seq[String]] = {
     val root = effectiveRoot(path, conf.value)
     val p = new org.apache.hadoop.fs.Path(root, OrderFile)
     val fs = p.getFileSystem(conf.value)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    // a stored name resolves to the DECLARED column whose alias chain
+    // carries it (r18: ordering claims survive renames — same rows,
+    // same bytes, new name), type-equal or INT under a recorded
+    // widening (numeric order identical); the claim is returned under
+    // the DECLARED name, which is what the scan output resolves
     def matches(tagged: String): Option[String] = tagged.split(":", 2) match {
-      case Array(name, tpe) if declared.fieldNames.contains(name) &&
-          (declared(name).dataType.sql == tpe ||
-            (tpe == "INT" && declared(name).dataType == LongType &&
-              widened.contains(name))) => Some(name)
+      case Array(name, tpe) =>
+        declared.fields.find(f =>
+          (f.name +: aliases.getOrElse(f.name, Seq.empty)).contains(name))
+          .filter(f => f.dataType.sql == tpe ||
+            (tpe == "INT" && f.dataType == LongType &&
+              widened.contains(f.name)))
+          .map(_.name)
       case _ => None
     }
     text.split(PageSource.US, -1) match {

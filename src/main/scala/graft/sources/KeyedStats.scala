@@ -258,8 +258,16 @@ object KeyedStats {
     }.toMap)
   }
 
-  /** Parse the sidecar against the DECLARED schema + key. None ⇒ no
-    * sidecar, or one whose header doesn't match — the caller refuses
+  /** Parse the sidecar against the DECLARED schema + key. A header
+    * that matches directly (including recorded widenings) parses in
+    * place; one that differs but RESOLVES through the layout's
+    * schema-evolution lineage (`ops` — renames remap, added columns
+    * synthesize min=max=default and sum=default·count, since every
+    * pre-evolution row answers the constant) parses ADAPTED, so
+    * metadata answers and skipping survive add/rename evolution
+    * instead of refusing until a restage (r18 — the Iceberg
+    * stats-through-evolution parity). None ⇒ no sidecar, or a header
+    * the lineage cannot resolve (foreign layout) — the caller refuses
     * the pushdown and the ordinary data scan answers instead. A
     * PRESENT matching sidecar with a malformed body fails loudly:
     * that is corruption of a file this connector owns, not a foreign
@@ -267,7 +275,8 @@ object KeyedStats {
   private[graft] def read(path: String,
       conf: org.apache.spark.util.SerializableConfiguration,
       declared: StructType, key: String,
-      widened: Set[String] = Set.empty): Option[Sidecar] = {
+      widened: Set[String] = Set.empty,
+      ops: Seq[KeyedSource.SchemaOp] = Seq.empty): Option[Sidecar] = {
     // resolve the committed generation (idempotent when handed a
     // generation dir or a legacy flat layout directly)
     val root = KeyedSource.effectiveRoot(path, conf.value)
@@ -279,9 +288,10 @@ object KeyedStats {
     val lines = text.split("\n", -1).filter(_.nonEmpty)
     if (lines.isEmpty) return None
     val header = lines.head.split("", -1)
-    if (header.length != 3 || header(0) != Version ||
-        !tagCompatible(header(1), declared, widened) || header(2) != key)
-      return None
+    if (header.length != 3 || header(0) != Version) return None
+    if (!tagCompatible(header(1), declared, widened) || header(2) != key)
+      return if (ops.isEmpty) None
+        else adaptedParse(root, lines, header, declared, key, ops)
     val arity = lineArity(declared)
     val n = declared.length
     // the table line is structurally distinct from every entry line
@@ -309,6 +319,101 @@ object KeyedStats {
       }
       Entry(f(0), f(1).toLong, mins, maxs, sums)
     }, table))
+  }
+
+  /** Lineage-ADAPTED sidecar parse: the generation's header records
+    * its WRITTEN schema; each declared column resolves to a written
+    * column through the alias chain (type-equal, or INT under a
+    * recorded widening) or to its add-op DEFAULT — in which case the
+    * stats are synthesized exactly (every pre-evolution row answers
+    * the constant: min=max=default, sum=default·count). The stored
+    * KEY name must be the declared key or one of its aliases. Any
+    * unresolvable column refuses (None — foreign layout, not
+    * lineage). Entry lines parse at the WRITTEN arity and remap to
+    * declared order; the table NDV line remaps too (a synthesized
+    * constant column has NDV 1). */
+  private def adaptedParse(root: String, lines: Array[String],
+      header: Array[String], declared: StructType, key: String,
+      ops: Seq[KeyedSource.SchemaOp]): Option[Sidecar] = {
+    val (aliases, defaults, widened) = KeyedSource.lineageOf(ops)
+    val written = try StructType.fromDDL(header(1)) catch {
+      case _: Exception => return None
+    }
+    val keyCands = key +: aliases.getOrElse(key, Seq.empty)
+    if (!keyCands.contains(header(2))) return None
+    val n = declared.length
+    // declared column i -> Left(written index) | Right((isLong, default))
+    val map = new Array[Either[Int, (Boolean, String)]](n)
+    var i = 0
+    while (i < n) {
+      val f = declared(i)
+      val cands = f.name +: aliases.getOrElse(f.name, Seq.empty)
+      cands.find(written.fieldNames.contains) match {
+        case Some(src) =>
+          val st = written(src).dataType
+          val ok = st == f.dataType ||
+            (st == org.apache.spark.sql.types.IntegerType &&
+              f.dataType == LongType && widened.contains(f.name))
+          if (!ok) return None
+          map(i) = Left(written.fieldIndex(src))
+        case None => defaults.get(f.name) match {
+          case Some((isLong, d)) if isLong == (f.dataType == LongType) =>
+            map(i) = Right((isLong, d))
+          case _ => return None
+        }
+      }
+      i += 1
+    }
+    // per-written-field offsets within an entry line
+    val wn = written.length
+    val wArity = lineArity(written)
+    val minOff = new Array[Int](wn)
+    val sumOff = new Array[Int](wn)
+    var pos = 2
+    var j = 0
+    while (j < wn) {
+      minOff(j) = pos; pos += 2
+      if (numeric(written(j).dataType)) { sumOff(j) = pos; pos += 1 }
+      else sumOff(j) = -1
+      j += 1
+    }
+    val (tableRaw, entryLines) = lines.tail.toSeq match {
+      case first +: rest
+          if first.split(PageSource.US, -1).length == 1 + wn =>
+        (Some(first.split(PageSource.US, -1)), rest)
+      case all => (None, all)
+    }
+    val entries = entryLines.map { line =>
+      val f = line.split(PageSource.US, -1)
+      if (f.length != wArity) throw new IllegalStateException(
+        s"graft-keyed stats sidecar corrupted at $root: line has ${f.length} " +
+          s"fields, written schema implies $wArity (head: ${line.take(80)})")
+      val count = f(1).toLong
+      val mins = new Array[String](n)
+      val maxs = new Array[String](n)
+      val sums = new Array[Long](n)
+      var k = 0
+      while (k < n) {
+        map(k) match {
+          case Left(w) =>
+            mins(k) = f(minOff(w)); maxs(k) = f(minOff(w) + 1)
+            if (numeric(declared(k).dataType)) sums(k) = f(sumOff(w)).toLong
+          case Right((isLong, d)) =>
+            mins(k) = d; maxs(k) = d
+            if (isLong) sums(k) = Math.multiplyExact(d.toLong, count)
+        }
+        k += 1
+      }
+      Entry(f(0), count, mins, maxs, sums)
+    }
+    val table = tableRaw.map { t =>
+      val ndvs = Array.tabulate(n)(k => map(k) match {
+        case Left(w) => t(1 + w).toLong
+        case Right(_) => 1L // a synthesized constant column
+      })
+      TableNdv(t(0).toLong, ndvs)
+    }
+    Some(Sidecar(entries, table))
   }
 
   /** The WRITTEN schema a generation's sidecar header records —
@@ -516,10 +621,11 @@ object KeyedStats {
     // check: a pre-widening generation's sidecar stays trusted (same
     // digits, same arity) instead of refusing as foreign
     val widened = KeyedSource.widenedColumns(view.ops)
-    val base = read(view.root, conf, declared, key, widened)
+    val base = read(view.root, conf, declared, key, widened, view.ops)
     val perGen = scala.collection.mutable.Map.empty[String, Option[Sidecar]]
     def sidecarOf(g: String): Option[Sidecar] =
-      perGen.getOrElseUpdate(g, read(view.genRoot(g), conf, declared, key, widened))
+      perGen.getOrElseUpdate(g,
+        read(view.genRoot(g), conf, declared, key, widened, view.ops))
     val merged: Option[Sidecar] =
       if (view.edits.isEmpty) base
       else base.flatMap { b =>

@@ -144,17 +144,45 @@ class KeyedEvolutionSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE $cat.sq ADD COLUMN naked BIGINT")
     }
     assert(nd.getMessage.contains("DEFAULT"), nd.getMessage)
-    // metadata fast paths refuse on evolved generations (tag mismatch)
-    // and come back after a restage under the evolved schema
-    val agg = spark.sql(s"SELECT count(*) AS n FROM $cat.sq")
-    assert(!agg.queryExecution.executedPlan.toString.contains("GraftKeyedStats"),
-      "sidecar answers must refuse for pre-evolution generations")
-    assert(agg.head.getLong(0) == 16L)
+    // metadata fast paths SURVIVE evolution (r18): the pre-evolution
+    // generation's sidecar parses ADAPTED through the lineage —
+    // renamed columns remap, the added column synthesizes its
+    // constant — so the pushed aggregate answers with zero data files
+    // and exact values, no restage needed
+    val agg = spark.sql(s"SELECT count(*) AS n, sum(chars) AS sc, " +
+      s"min(grade) AS mg FROM $cat.sq")
+    assert(agg.queryExecution.executedPlan.toString.contains("GraftKeyedStats"),
+      agg.queryExecution.executedPlan.toString)
+    val row = agg.head
+    assert((row.getLong(0), row.getLong(1), row.getString(2)) ==
+      ((16L, df(16L).agg(sum("n_chars")).head.getLong(0), "u")))
+    // … and a restage under the evolved schema keeps them, directly
     spark.sql(s"INSERT OVERWRITE $cat.sq SELECT kb, doc_id, chars, grade FROM $cat.sq")
     val agg2 = spark.sql(s"SELECT count(*) AS n FROM $cat.sq")
-    assert(agg2.queryExecution.executedPlan.toString.contains("GraftKeyedStats"),
-      "a restage under the evolved schema re-enables the metadata fast path")
+    assert(agg2.queryExecution.executedPlan.toString.contains("GraftKeyedStats"))
     assert(agg2.head.getLong(0) == 16L)
+  }
+
+  test("ordering claim survives a SORT-column rename through the lineage-resolved marker") {
+    val dir = graft.io.TempDirs.scratch("graft_evo_ord_") + "/t"
+    KeyedSource.stageKeyed(spark, df(32L), dir, "kb",
+      sortBy = Seq("n_chars"), retain = 2)
+    KeyedSource.evolveKeyed(spark, dir,
+      StructType.fromDDL("kb BIGINT, doc_id BIGINT, n_chars BIGINT"),
+      Seq(KeyedSource.RenCol("n_chars", "chars")))
+    val q = read(dir, "kb BIGINT, doc_id BIGINT, chars BIGINT")
+      .where(col("kb") === 1L)
+    val scan = q.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportOrdering]
+    // the marker records the OLD name (n_chars:BIGINT); the lineage
+    // resolves it to the declared 'chars', so the stored-order claim
+    // survives the rename — same rows, same bytes, new name
+    val claimed = scan.outputOrdering().map(_.expression().toString)
+    assert(claimed.exists(_.contains("chars")), claimed.toSeq)
+    assert(q.orderBy("chars").collect().map(_.getLong(2)).toSeq ==
+      df(32L).where(col("kb") === 1L).orderBy("n_chars")
+        .collect().map(_.getLong(2)).toSeq)
   }
 
   test("INT→BIGINT widening: old generations promote at decode; sidecar, ordering, skipping, and time travel survive") {

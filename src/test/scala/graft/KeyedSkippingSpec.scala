@@ -224,20 +224,30 @@ class KeyedSkippingSpec extends SparkSpec {
         .head().getLong(0))
   }
 
-  test("schema evolution disables skipping honestly; a missing sidecar skips nothing") {
+  test("schema evolution keeps skipping through the adapted sidecar; a missing sidecar skips nothing") {
     val dir = graft.io.TempDirs.scratch("graft_skip_evo_") + "/t"
     KeyedSource.stageKeyed(spark, rangeDf(), dir, "kb", sortBy = Seq("doc_id"))
     KeyedSource.evolveKeyed(spark, dir, schema,
-      Seq(KeyedSource.AddCol("lang", isLong = false, "en")))
-    val evolvedDdl = ddl + ", lang STRING"
+      Seq(KeyedSource.AddCol("lang", isLong = false, "en"),
+        KeyedSource.RenCol("n_chars", "chars")))
+    val evolvedDdl = "kb BIGINT, doc_id BIGINT, source STRING, chars BIGINT, lang STRING"
     val q = spark.read.format("graft-keyed").option("path", dir)
       .option("schema", evolvedDdl).option("key", "kb").load()
       .where($"doc_id" >= 224L)
-    // the base generation's sidecar records the OLD schema — readView
-    // refuses, skipping disables, every directory plans, values right
-    assert(planned(q) == 16, scanOf(q).description())
+    // the base generation's sidecar records the OLD schema — the
+    // lineage ADAPTS it (rename remaps, the added column synthesizes
+    // its constant), so skipping still proves 14 directories empty
+    assert(planned(q) == 2, scanOf(q).description())
+    assert(scanOf(q).description().contains("skipped=14"))
     assert(q.count() == 32L)
     assert(q.collect().forall(_.getString(4) == "en"))
+    // even the ADDED column's synthesized interval skips: a predicate
+    // off the constant proves every directory empty
+    val offConst = spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", evolvedDdl).option("key", "kb").load()
+      .where($"lang" === "fr")
+    assert(planned(offConst) == 0, scanOf(offConst).description())
+    assert(offConst.count() == 0L)
 
     // a doctored layout (sidecar removed) also skips nothing
     val dir2 = graft.io.TempDirs.scratch("graft_skip_nosc_") + "/t"
