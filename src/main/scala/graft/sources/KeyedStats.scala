@@ -219,13 +219,17 @@ object KeyedStats {
     sb.toString
   }
 
-  /** Parse a generation's stats patch. None ⇒ no patch (pre-r17 DV
-    * commit) or header mismatch — callers fall back to the count-only
-    * correction for that key. */
+  /** Parse a generation's stats patch — directly when the header
+    * matches, ADAPTED through the evolution lineage otherwise (same
+    * resolution as the sidecar read: a DV'd key whose layout evolved
+    * AFTER the delete keeps its exact patched stats instead of
+    * falling to the count-only correction). None ⇒ no patch (pre-r17
+    * DV commit) or a header the lineage cannot resolve. */
   private[graft] def readPatch(genRoot: String,
       conf: org.apache.spark.util.SerializableConfiguration,
       declared: StructType, key: String,
-      widened: Set[String] = Set.empty): Option[Map[String, (Entry, Int)]] = {
+      widened: Set[String] = Set.empty,
+      ops: Seq[KeyedSource.SchemaOp] = Seq.empty): Option[Map[String, (Entry, Int)]] = {
     val p = new org.apache.hadoop.fs.Path(genRoot, PatchFile)
     val fs = p.getFileSystem(conf.value)
     if (!fs.exists(p)) return None
@@ -234,9 +238,27 @@ object KeyedStats {
     val lines = text.split("\n", -1).filter(_.nonEmpty)
     if (lines.isEmpty) return None
     val header = lines.head.split(PageSource.US, -1)
-    if (header.length != 3 || header(0) != PatchVersion ||
-        !tagCompatible(header(1), declared, widened) || header(2) != key)
-      return None
+    if (header.length != 3 || header(0) != PatchVersion) return None
+    if (!tagCompatible(header(1), declared, widened) || header(2) != key) {
+      if (ops.isEmpty) return None
+      val written = try StructType.fromDDL(header(1)) catch {
+        case _: Exception => return None
+      }
+      val map = lineageMap(declared, written, key, header(2), ops)
+        .getOrElse(return None)
+      val (minOff, sumOff) = writtenOffsets(written, base = 3)
+      val wArity = lineArity(written) + 1
+      return Some(lines.tail.map { line =>
+        val f = line.split(PageSource.US, -1)
+        if (f.length != wArity) throw new IllegalStateException(
+          s"graft-keyed stats patch corrupted at $genRoot: line has " +
+            s"${f.length} fields, written schema implies $wArity " +
+            s"(head: ${line.take(80)})")
+        val e = remapEntry(declared, map, minOff, sumOff,
+          f, rawKey = f(0), count = f(2).toLong)
+        f(0) -> (e, f(1).toInt)
+      }.toMap)
+    }
     val arity = lineArity(declared) + 1 // + covered field
     val n = declared.length
     Some(lines.tail.map { line =>
@@ -256,6 +278,87 @@ object KeyedStats {
       }
       f(0) -> (Entry(f(0), f(2).toLong, mins, maxs, sums), f(1).toInt)
     }.toMap)
+  }
+
+  /** Declared-column resolution against a generation's WRITTEN schema
+    * through the lineage: Left(written index) for mapped columns
+    * (type-equal or INT under a recorded widening), Right((isLong,
+    * default)) for added-by-evolution columns. None = some column
+    * has no lineage answer (foreign layout), or the stored key name
+    * is not the declared key or one of its aliases. */
+  private def lineageMap(declared: StructType, written: StructType,
+      key: String, storedKey: String, ops: Seq[KeyedSource.SchemaOp])
+      : Option[Array[Either[Int, (Boolean, String)]]] = {
+    val (aliases, defaults, widened) = KeyedSource.lineageOf(ops)
+    val keyCands = key +: aliases.getOrElse(key, Seq.empty)
+    if (!keyCands.contains(storedKey)) return None
+    val n = declared.length
+    val map = new Array[Either[Int, (Boolean, String)]](n)
+    var i = 0
+    while (i < n) {
+      val f = declared(i)
+      val cands = f.name +: aliases.getOrElse(f.name, Seq.empty)
+      cands.find(written.fieldNames.contains) match {
+        case Some(src) =>
+          val st = written(src).dataType
+          val ok = st == f.dataType ||
+            (st == org.apache.spark.sql.types.IntegerType &&
+              f.dataType == LongType && widened.contains(f.name))
+          if (!ok) return None
+          map(i) = Left(written.fieldIndex(src))
+        case None => defaults.get(f.name) match {
+          case Some((isLong, d)) if isLong == (f.dataType == LongType) =>
+            map(i) = Right((isLong, d))
+          case _ => return None
+        }
+      }
+      i += 1
+    }
+    Some(map)
+  }
+
+  /** Per-written-field (min, sum) offsets within a stats line whose
+    * stat fields start at `base`. sumOff = -1 for STRING columns. */
+  private def writtenOffsets(written: StructType, base: Int)
+      : (Array[Int], Array[Int]) = {
+    val wn = written.length
+    val minOff = new Array[Int](wn)
+    val sumOff = new Array[Int](wn)
+    var pos = base
+    var j = 0
+    while (j < wn) {
+      minOff(j) = pos; pos += 2
+      if (numeric(written(j).dataType)) { sumOff(j) = pos; pos += 1 }
+      else sumOff(j) = -1
+      j += 1
+    }
+    (minOff, sumOff)
+  }
+
+  /** Build one declared-order Entry from a written-order stats line
+    * through a [[lineageMap]]: mapped columns read stored min/max/sum,
+    * added columns synthesize their constant (sum = default·count). */
+  private def remapEntry(declared: StructType,
+      map: Array[Either[Int, (Boolean, String)]],
+      minOff: Array[Int], sumOff: Array[Int],
+      f: Array[String], rawKey: String, count: Long): Entry = {
+    val n = declared.length
+    val mins = new Array[String](n)
+    val maxs = new Array[String](n)
+    val sums = new Array[Long](n)
+    var k = 0
+    while (k < n) {
+      map(k) match {
+        case Left(w) =>
+          mins(k) = f(minOff(w)); maxs(k) = f(minOff(w) + 1)
+          if (numeric(declared(k).dataType)) sums(k) = f(sumOff(w)).toLong
+        case Right((isLong, d)) =>
+          mins(k) = d; maxs(k) = d
+          if (isLong) sums(k) = Math.multiplyExact(d.toLong, count)
+      }
+      k += 1
+    }
+    Entry(rawKey, count, mins, maxs, sums)
   }
 
   /** Parse the sidecar against the DECLARED schema + key. A header
@@ -335,48 +438,14 @@ object KeyedStats {
   private def adaptedParse(root: String, lines: Array[String],
       header: Array[String], declared: StructType, key: String,
       ops: Seq[KeyedSource.SchemaOp]): Option[Sidecar] = {
-    val (aliases, defaults, widened) = KeyedSource.lineageOf(ops)
     val written = try StructType.fromDDL(header(1)) catch {
       case _: Exception => return None
     }
-    val keyCands = key +: aliases.getOrElse(key, Seq.empty)
-    if (!keyCands.contains(header(2))) return None
-    val n = declared.length
-    // declared column i -> Left(written index) | Right((isLong, default))
-    val map = new Array[Either[Int, (Boolean, String)]](n)
-    var i = 0
-    while (i < n) {
-      val f = declared(i)
-      val cands = f.name +: aliases.getOrElse(f.name, Seq.empty)
-      cands.find(written.fieldNames.contains) match {
-        case Some(src) =>
-          val st = written(src).dataType
-          val ok = st == f.dataType ||
-            (st == org.apache.spark.sql.types.IntegerType &&
-              f.dataType == LongType && widened.contains(f.name))
-          if (!ok) return None
-          map(i) = Left(written.fieldIndex(src))
-        case None => defaults.get(f.name) match {
-          case Some((isLong, d)) if isLong == (f.dataType == LongType) =>
-            map(i) = Right((isLong, d))
-          case _ => return None
-        }
-      }
-      i += 1
-    }
-    // per-written-field offsets within an entry line
+    val map = lineageMap(declared, written, key, header(2), ops)
+      .getOrElse(return None)
+    val (minOff, sumOff) = writtenOffsets(written, base = 2)
     val wn = written.length
     val wArity = lineArity(written)
-    val minOff = new Array[Int](wn)
-    val sumOff = new Array[Int](wn)
-    var pos = 2
-    var j = 0
-    while (j < wn) {
-      minOff(j) = pos; pos += 2
-      if (numeric(written(j).dataType)) { sumOff(j) = pos; pos += 1 }
-      else sumOff(j) = -1
-      j += 1
-    }
     val (tableRaw, entryLines) = lines.tail.toSeq match {
       case first +: rest
           if first.split(PageSource.US, -1).length == 1 + wn =>
@@ -388,26 +457,11 @@ object KeyedStats {
       if (f.length != wArity) throw new IllegalStateException(
         s"graft-keyed stats sidecar corrupted at $root: line has ${f.length} " +
           s"fields, written schema implies $wArity (head: ${line.take(80)})")
-      val count = f(1).toLong
-      val mins = new Array[String](n)
-      val maxs = new Array[String](n)
-      val sums = new Array[Long](n)
-      var k = 0
-      while (k < n) {
-        map(k) match {
-          case Left(w) =>
-            mins(k) = f(minOff(w)); maxs(k) = f(minOff(w) + 1)
-            if (numeric(declared(k).dataType)) sums(k) = f(sumOff(w)).toLong
-          case Right((isLong, d)) =>
-            mins(k) = d; maxs(k) = d
-            if (isLong) sums(k) = Math.multiplyExact(d.toLong, count)
-        }
-        k += 1
-      }
-      Entry(f(0), count, mins, maxs, sums)
+      remapEntry(declared, map, minOff, sumOff, f,
+        rawKey = f(0), count = f(1).toLong)
     }
     val table = tableRaw.map { t =>
-      val ndvs = Array.tabulate(n)(k => map(k) match {
+      val ndvs = Array.tabulate(declared.length)(k => map(k) match {
         case Left(w) => t(1 + w).toLong
         case Right(_) => 1L // a synthesized constant column
       })
@@ -666,7 +720,8 @@ object KeyedStats {
       .empty[String, Option[Map[String, (Entry, Int)]]]
     val widened = KeyedSource.widenedColumns(view.ops)
     def patchOf(g: String): Option[Map[String, (Entry, Int)]] =
-      patches.getOrElseUpdate(g, readPatch(view.genRoot(g), conf, declared, key, widened))
+      patches.getOrElseUpdate(g,
+        readPatch(view.genRoot(g), conf, declared, key, widened, view.ops))
     var unresolved = Set.empty[String]
     val entries = sc.entries.flatMap { e =>
       view.dvs.get(e.rawKey) match {

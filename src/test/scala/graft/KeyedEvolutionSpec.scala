@@ -163,6 +163,39 @@ class KeyedEvolutionSpec extends SparkSpec {
     assert(agg2.head.getLong(0) == 16L)
   }
 
+  test("a DV stats patch written BEFORE an evolution still answers exactly through the adapted parse") {
+    val dir = graft.io.TempDirs.scratch("graft_evo_dvp_") + "/t"
+    KeyedSource.stageKeyed(spark, df(32L), dir, "kb",
+      sortBy = Seq("doc_id"), retain = 4)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.dvp")
+    spark.sql(s"CREATE TABLE $cat.dvp (kb BIGINT, doc_id BIGINT, n_chars BIGINT) " +
+      s"USING `graft-keyed` LOCATION '$dir' " +
+      "TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='4','dmlMode'='mor')")
+    // the DV commit writes its patch under the PRE-evolution schema
+    spark.sql(s"DELETE FROM $cat.dvp WHERE doc_id IN (5, 9, 21)")
+    // … then the layout evolves: rename + added constant
+    KeyedSource.evolveKeyed(spark, dir,
+      StructType.fromDDL("kb BIGINT, doc_id BIGINT, n_chars BIGINT"),
+      Seq(KeyedSource.RenCol("n_chars", "chars"),
+        KeyedSource.AddCol("lang", isLong = false, "en")))
+    val ddl = "kb BIGINT, doc_id BIGINT, chars BIGINT, lang STRING"
+    val q = read(dir, ddl).groupBy("kb").agg(
+      count(lit(1)).as("n"), min("chars").as("mn"),
+      max("chars").as("mx"), max("lang").as("ml"))
+    // the patch resolves through the lineage: min/max/count stay
+    // metadata-answered and EXACT post-delete, the added column
+    // answers its constant — zero data files opened
+    assert(q.queryExecution.executedPlan.toString.contains("GraftKeyedStats"),
+      q.queryExecution.executedPlan.toString)
+    val expect = df(32L).where("doc_id NOT IN (5, 9, 21)")
+      .groupBy("kb").agg(count(lit(1)), min("n_chars"), max("n_chars"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(q.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap ==
+      expect.map { case (k, (n, mn, mx)) => k -> (n, mn, mx, "en") })
+  }
+
   test("ordering claim survives a SORT-column rename through the lineage-resolved marker") {
     val dir = graft.io.TempDirs.scratch("graft_evo_ord_") + "/t"
     KeyedSource.stageKeyed(spark, df(32L), dir, "kb",
