@@ -259,4 +259,87 @@ class KeyedSkippingSpec extends SparkSpec {
     assert(planned(q2) == 4, scanOf(q2).description())
     assert(q2.count() == 16L)
   }
+
+  test("proof soundness under randomized filters (property): !canMatch ⇒ no row matches; allMatch ⇒ every row matches") {
+    // the skipping evaluators are PROOF engines: an unsound `false`
+    // from canMatch silently drops live rows, an unsound `true` from
+    // allMatch flips Not() the wrong way. Fuzz them against a
+    // reference row evaluator over a SMALL value domain (collisions
+    // guaranteed) — seeded, so failures replay.
+    import org.apache.spark.sql.sources._
+    val sch = StructType.fromDDL("a BIGINT, s STRING")
+    val rnd = new scala.util.Random(181818L)
+    val strDomain = Vector("", "a", "ab", "abc", "b", "ba", "bb", "c")
+    def randLong(): Long = rnd.nextInt(8).toLong
+    def randStr(): String = strDomain(rnd.nextInt(strDomain.length))
+    def leaf(): Filter = rnd.nextInt(10) match {
+      case 0 => EqualTo(if (rnd.nextBoolean()) "a" else "s",
+        if (rnd.nextBoolean()) randLong() else randStr())
+      case 1 => GreaterThan("a", randLong())
+      case 2 => GreaterThanOrEqual("a", randLong())
+      case 3 => LessThan("a", randLong())
+      case 4 => LessThanOrEqual("a", randLong())
+      case 5 => In("a", Array.fill(rnd.nextInt(3) + 1)(randLong(): Any))
+      case 6 => IsNull(if (rnd.nextBoolean()) "a" else "s")
+      case 7 => IsNotNull(if (rnd.nextBoolean()) "a" else "s")
+      case 8 => StringStartsWith("s", randStr())
+      case _ => EqualNullSafe("s", randStr())
+    }
+    def tree(depth: Int): Filter =
+      if (depth == 0) leaf()
+      else rnd.nextInt(4) match {
+        case 0 => And(tree(depth - 1), tree(depth - 1))
+        case 1 => Or(tree(depth - 1), tree(depth - 1))
+        case 2 => Not(tree(depth - 1))
+        case _ => leaf()
+      }
+    // reference row evaluator (rows are never null by the layout)
+    def evalRow(f: Filter, a: Long, str: String): Boolean = {
+      def v(attr: String): Any = if (attr == "a") a else str
+      def cmp(attr: String, lit: Any): Option[Int] = (v(attr), lit) match {
+        case (x: Long, l: Number) => Some(x.compareTo(l.longValue))
+        case (x: String, l: String) =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(l)))
+        case _ => None
+      }
+      f match {
+        case EqualTo(at, l) => cmp(at, l).contains(0)
+        case EqualNullSafe(at, l) => l != null && cmp(at, l).contains(0)
+        case GreaterThan(at, l) => cmp(at, l).exists(_ > 0)
+        case GreaterThanOrEqual(at, l) => cmp(at, l).exists(_ >= 0)
+        case LessThan(at, l) => cmp(at, l).exists(_ < 0)
+        case LessThanOrEqual(at, l) => cmp(at, l).exists(_ <= 0)
+        case In(at, vs) => vs != null && vs.exists(l =>
+          l != null && cmp(at, l).contains(0))
+        case IsNull(_) => false
+        case IsNotNull(_) => true
+        case And(l, r) => evalRow(l, a, str) && evalRow(r, a, str)
+        case Or(l, r) => evalRow(l, a, str) || evalRow(r, a, str)
+        case Not(p) => !evalRow(p, a, str)
+        case StringStartsWith(at, p) => p != null && str.startsWith(p)
+        case _ => true
+      }
+    }
+    var trials = 0
+    while (trials < 2000) {
+      val rows = Seq.fill(rnd.nextInt(7) + 1)((randLong(), randStr()))
+      val as = rows.map(_._1)
+      val ss = rows.map(_._2)
+      def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+      val entry = graft.sources.KeyedStats.Entry("k", rows.length,
+        Array(as.min.toString, ss.minBy(u)),
+        Array(as.max.toString, ss.maxBy(u)),
+        Array(as.sum, 0L))
+      val f = tree(rnd.nextInt(3) + 1)
+      val can = graft.sources.KeyedStats.canMatch(f, entry, sch)
+      val all = graft.sources.KeyedStats.allMatch(f, entry, sch)
+      val truths = rows.map { case (a, str) => evalRow(f, a, str) }
+      if (!can) assert(!truths.exists(identity),
+        s"UNSOUND canMatch=false but a row matches: f=$f rows=$rows")
+      if (all) assert(truths.forall(identity),
+        s"UNSOUND allMatch=true but a row fails: f=$f rows=$rows")
+      trials += 1
+    }
+  }
 }
