@@ -486,10 +486,24 @@ object Bench {
           .filter(_._2 >= 0).toMap
       } catch { case NonFatal(_) => Map.empty }
     val benchCores = cpus.toInt
+    // KNOWN DRIFT RISKS (r18 ADVICE — metric-only, the flag's
+    // calibration headroom covers them): (a) threads that EXIT
+    // mid-window drop their CPU entirely and a recycled OS thread id
+    // born mid-window inherits a dead thread's baseline (before-map
+    // lookup), under- or over-counting that one thread's share — ids
+    // absent from the before-map deliberately baseline at 0 (they ARE
+    // new work); (b) the query/background split is a thread-NAME
+    // prefix heuristic, so a future Spark rename of its executor/
+    // scheduler pools would misclassify — the three prefixes below
+    // are pinned against Spark 4.1's local-mode thread names.
     def selfBgOver(before: Map[Long, Long], wallNanos: Long): Double =
       try {
         if (before.isEmpty || wallNanos <= 0) return -1.0
         val ids = tmx.getAllThreadIds
+        // CPU snapshot FIRST, classification after: getThreadInfo on a
+        // few hundred threads takes real time, and sampling CPU late
+        // would charge that walk's own background work to the window
+        val cpuNow = ids.map(id => id -> tmx.getThreadCpuTime(id)).toMap
         val infos = tmx.getThreadInfo(ids)
         val runner = Thread.currentThread().getId
         var bg = 0L
@@ -503,7 +517,7 @@ object Bench {
               name.startsWith("dag-scheduler-event-loop") ||
               name.startsWith("task-result-getter")
             if (!isQuery) {
-              val c = tmx.getThreadCpuTime(ids(i))
+              val c = cpuNow.getOrElse(ids(i), -1L)
               if (c > 0) bg += math.max(0L, c - before.getOrElse(ids(i), 0L))
             }
           }
@@ -633,6 +647,26 @@ object Bench {
       Thread.sleep(2000)
     }
     quiesce()
+    // Memo-aware retry phase (r18 verdict #5): the retry column could
+    // not clear memoized queries — by suite end the box state the main
+    // loop's `staging` pseudo-row established (page-cached corpus
+    // files, parquet footers) has decayed, so a retry's family-staging
+    // rebuild is IO-priced where the main loop's cold was
+    // compute-priced, and the retry reads high on a clean box. Two
+    // fixes together: (a) re-run the shared-staging warmup once before
+    // the retry phase (then clear the memo — the retry still pays its
+    // own rebuild COMPUTE, the attribution discipline), restoring the
+    // box state every main-loop cold sample measured under; (b) mark
+    // each retry row whose run (re)built memo state (`retry_memo_cold`)
+    // so the artifact reader compares it against COLD, not warm — a
+    // memo-cold retry matching the cold sample adjudicates "real cost"
+    // exactly like before, but can no longer be misread as a
+    // reproduced warm-path residual.
+    try {
+      operators.LlmData.warmSharedStaging(spark, sfDir)
+      operators.LlmData.clearMemo(spark)
+    } catch { case NonFatal(_) => () }
+    quiesce()
     // Third sample: re-time the worst COLD outliers once more at suite
     // end (memo cleared, so the run is cold-shaped minus one-time JIT /
     // page-cache effects). A single contended scheduler slot can no
@@ -642,8 +676,10 @@ object Bench {
       .sortBy(-_._2._1._1).take(5).map { case (name, _) =>
         val rl = load1()
         val r = timedBody(runOf(name)())
+        val memoCold = try operators.LlmData.memoPopulated(spark)
+          catch { case NonFatal(_) => false }
         operators.LlmData.clearMemo(spark)
-        name -> (r, rl)
+        name -> (r, rl, memoCold)
       }.toMap
     // Fourth sample, WARM-shaped (r10 verdict #1: the retry instrument
     // covered cold outliers only, so a warm outlier — x85's 14.6 s, the
@@ -701,8 +737,8 @@ object Bench {
         // row, so the worse window decides
         val contended = envContended(cores, runLoadMedian, lc, la, bb,
           math.max(bdc, bdw))
-        val extra = retried.get(k).fold("") { case ((r, rgc, rbd, riw, rsb), rl) =>
-          s""", "retry": $r, "retry_gc_ms": $rgc, "retry_load1": $rl, "retry_busy_during": $rbd, "retry_iowait": $riw, "retry_self_bg": $rsb""" }
+        val extra = retried.get(k).fold("") { case ((r, rgc, rbd, riw, rsb), rl, rmc) =>
+          s""", "retry": $r, "retry_gc_ms": $rgc, "retry_load1": $rl, "retry_busy_during": $rbd, "retry_iowait": $riw, "retry_self_bg": $rsb, "retry_memo_cold": $rmc""" }
         val wextra = warmRetried.get(k).fold("") { case ((r, rgc, rbd, riw, rsb), rl, (wm, wd, wev)) =>
           s""", "warm_retry": $r, "warm_retry_gc_ms": $rgc, "warm_retry_load1": $rl, "warm_retry_busy_during": $rbd, "warm_retry_iowait": $riw, "warm_retry_self_bg": $rsb, "warm_retry_cache_mb": $wm, "warm_retry_evicted": $wev""" }
         s"""  "$k": {"cold": $c, "warm": $w, "gc_cold_ms": $gc, "gc_warm_ms": $gw, "load1": $lc, "load1_after": $la, "busy_before": $bb, "busy_during_cold": $bdc, "busy_during_warm": $bdw, "iowait_cold": $iwc, "iowait_warm": $iww, "self_bg_cold": $sbc, "self_bg_warm": $sbw, "cache_mb": $sm, "cache_disk_mb": $sd, "evicted_rdds": $sev, "storage_hw_mb": $shw, "evicted_blocks": $sevb, "block_readds": $srd, "env_contended": $contended$extra$wextra}""" })

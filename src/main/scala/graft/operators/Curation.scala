@@ -158,6 +158,9 @@ object Curation {
     pqIndexMemo.remove(s)
   }
 
+  private[operators] def pqMemoPopulated(s: SparkSession): Boolean =
+    pqMemo.has(s) || pqIndexMemo.has(s)
+
   /** Per-subspace Lloyd's training (the x34 playbook applied to PQ):
     * seed each subspace's 8 centers from the first-8 embeddings'
     * subvectors, then 2 rounds of {kernel argmin assignment → per-dim

@@ -936,6 +936,9 @@ object LlmData {
       reg.get(s)
     }
     def remove(s: SparkSession): Option[V] = reg.synchronized(Option(reg.remove(s)))
+    /** Whether this registry holds an entry for `s` — the bench's
+      * memo-dependence probe ([[LlmData.memoPopulated]]). */
+    def has(s: SparkSession): Boolean = reg.synchronized(reg.containsKey(s))
   }
 
   /** Signature tables are persisted and re-read by several join sides;
@@ -1134,6 +1137,22 @@ object LlmData {
     Curation.trainPqCodebook(s, dir)
     ()
   }
+
+  /** Whether ANY memo registry holds state for `s` — sampled by Bench
+    * right after a retry run (memo cleared going in, so a positive
+    * probe means the retry REBUILT family staging inside its timed
+    * window). The r18 verdict's attribution hole: a retry of a
+    * memoized query re-pays staging the steady-state pass amortizes,
+    * so its number is cold-shaped, not warm-shaped — the
+    * `retry_memo_cold` column lets the artifact reader compare it
+    * against the right baseline instead of misreading it as a
+    * reproduced residual. Covers exactly the registries
+    * [[clearMemo]] releases. */
+  def memoPopulated(s: SparkSession): Boolean =
+    memo.has(s) || centsMemo.has(s) || corpusKMemo.has(s) ||
+      centroidSumsMemo.has(s) || bpePicksMemo.has(s) || bloomMemo.has(s) ||
+      ivfIndexMemo.has(s) || dedupIdxMemo.has(s) || incIvfMemo.has(s) ||
+      Curation.pqMemoPopulated(s) || Relational.bucketMemoPopulated(s)
 
   /** Unpersist and drop every DataFrame memoized for session `s`.
     * Bench calls this between queries so one query's persisted

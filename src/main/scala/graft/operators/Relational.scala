@@ -2473,6 +2473,9 @@ object Relational {
   private[operators] def clearBucketMemo(s: SparkSession): Unit =
     bucketMemo.remove(s)
 
+  private[operators] def bucketMemoPopulated(s: SparkSession): Boolean =
+    bucketMemo.has(s)
+
   /** q25 — pure range (interval) join, the scale-safe way.
     *
     * Problem shape: probe rows (lineitem shipdates) against OVERLAPPING

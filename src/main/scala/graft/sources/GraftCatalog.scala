@@ -328,11 +328,28 @@ object GraftCatalog {
       fs.exists(dir) && fs.listStatus(dir).exists(
         _.getPath.getName.startsWith(s"$StoreFile.tmp-"))
     } catch { case _: java.io.IOException => false }
+    // exponential backoff (r18 ADVICE: two fixed 25 ms retries
+    // narrowed but did not close the delete-then-rename window — a
+    // publisher stalling >50 ms could still hand a reader zero tables
+    // from a populated warehouse). Five attempts spanning ~775 ms
+    // cover any realistic rename stall; a tmp sibling STILL present
+    // with no store after that is a wedged or crashed publisher, and
+    // silently recovering zero tables would be the exact corruption
+    // this retry exists to prevent — fail loudly instead.
     var attempts = 0
-    while (!fs.exists(p) && attempts < 2 && midPublish) {
-      Thread.sleep(25L); attempts += 1
+    var sawMidPublish = false
+    while (!fs.exists(p) && attempts < 5 && { sawMidPublish = midPublish; sawMidPublish }) {
+      Thread.sleep(25L << attempts); attempts += 1
     }
-    if (!fs.exists(p)) return Seq.empty
+    if (!fs.exists(p)) {
+      if (sawMidPublish && midPublish) throw new IllegalStateException(
+        s"graft catalog store at $warehouse: no $StoreFile but a " +
+          s"$StoreFile.tmp- sibling persisted through ${attempts} retries — " +
+          "a publisher crashed mid-rename or is wedged; refusing to " +
+          "silently recover zero tables (remove the stale tmp file or " +
+          "re-run the publishing DDL)")
+      return Seq.empty
+    }
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()

@@ -1486,13 +1486,32 @@ object KeyedSource {
       s"z-order dims must be columns, got $dimA/$dimB in ${df.schema.simpleString}")
     require(blocks > 0 && 65536 % blocks == 0,
       s"blocks must divide 2^16, got $blocks")
-    val st = df.agg(min(col(dimA)).as("a0"), max(col(dimA)).as("a1"),
-      min(col(dimB)).as("b0"), max(col(dimB)).as("b1"))
-    val qd = df.crossJoin(broadcast(st))
+    // quantization in 64-bit end to end (r18 ADVICE): with an INT dim
+    // the (v - lo) * 256 product could wrap 32-bit BEFORE any cast
+    // (range > ~8.4M) and scramble the z-buckets — results stayed
+    // right only via honor-but-recheck, but clustering and pruning
+    // broke. The corpus range is ONE scalar aggregate collected here
+    // (the same job the old broadcast paid); the quantization then
+    // runs over BIGINT literals, and a range the 64-bit product
+    // itself cannot hold refuses loudly (no real 2-D domain
+    // approaches Long.Max/256).
+    val (a0v, a1v, b0v, b1v) = {
+      val r = df.agg(min(col(dimA).cast("long")).as("a0"),
+        max(col(dimA).cast("long")).as("a1"),
+        min(col(dimB).cast("long")).as("b0"),
+        max(col(dimB).cast("long")).as("b1")).head()
+      require(!r.isNullAt(0) && !r.isNullAt(2),
+        "z-order stage needs a non-empty input with non-null dims")
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    require(a1v - a0v < Long.MaxValue / 256 && b1v - b0v < Long.MaxValue / 256,
+      s"z-order dim range too wide for 8-bit quantization arithmetic: " +
+        s"[$a0v,$a1v] / [$b0v,$b1v]")
+    val qd = df
       .withColumn(s"zq_$dimA", expr(
-        s"CAST((($dimA - a0) * 256) div (a1 - a0 + 1) AS BIGINT)"))
+        s"(CAST($dimA AS BIGINT) - ${a0v}L) * 256 div ${a1v - a0v + 1}L"))
       .withColumn(s"zq_$dimB", expr(
-        s"CAST((($dimB - b0) * 256) div (b1 - b0 + 1) AS BIGINT)"))
+        s"(CAST($dimB AS BIGINT) - ${b0v}L) * 256 div ${b1v - b0v + 1}L"))
     val zv = (0 until 8).map { i =>
       shiftright(col(s"zq_$dimA"), i).bitwiseAND(1) * lit(1L << (2 * i)) +
         shiftright(col(s"zq_$dimB"), i).bitwiseAND(1) * lit(1L << (2 * i + 1))

@@ -543,9 +543,15 @@ object KeyedStats {
     if (!schema.fieldNames.contains(attr) || v == null) return None
     val i = schema.fieldIndex(attr)
     schema(i).dataType match {
+      // INTEGRAL boxed types only (r18 ADVICE): longValue on a
+      // fractional Number TRUNCATES — LessThan(col, 5.5) against
+      // min=5 would read cmp(min, 5)=0 and wrongly prove emptiness.
+      // Unreachable today (Spark cast-wraps such pushdowns), but the
+      // proof engine must not depend on that.
       case dt if numeric(dt) => v match {
-        case n: Number =>
-          val x = n.longValue
+        case n @ (_: java.lang.Long | _: java.lang.Integer |
+            _: java.lang.Short | _: java.lang.Byte) =>
+          val x = n.asInstanceOf[Number].longValue
           Some((e.mins(i).toLong.compareTo(x), e.maxs(i).toLong.compareTo(x)))
         case _ => None
       }
