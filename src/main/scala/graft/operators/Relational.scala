@@ -2318,7 +2318,193 @@ object Relational {
              |  CAST(sum(q1 + q2) AS BIGINT) AS qsum,
              |  CAST(sum(okey) AS BIGINT) AS osum
              |FROM q WHERE q1 BETWEEN 112 AND 143 AND q2 BETWEEN 112 AND 143""".stripMargin),
-      "Z-order write option: Morton-bucketed layout whose sidecar prunes BOTH predicate dimensions through non-key skipping — q48's synthetic audit running against real connector files")
+      "Z-order write option: Morton-bucketed layout whose sidecar prunes BOTH predicate dimensions through non-key skipping — q48's synthetic audit running against real connector files"),
+
+    // ── Keyed DOUBLE lifecycle (q83 — FP joins the storable set) ──────
+    // r18's top gap: the transactional layer refused floating point
+    // outright, so the one type every real warehouse schema carries
+    // (the reference's own latency metric is fractional —
+    // /root/reference/README.md:222-225) had no DML, CDC, IVM, or
+    // skipping. r19 stores DOUBLE/FLOAT as SORTABLE-BITS digits
+    // (KeyedStats.sortableDouble — bit-exact IEEE, numeric order =
+    // Spark's double order), which is what makes this oracle-able:
+    // the score column is derived with EXACT binary arithmetic
+    // (integer-valued doubles scaled by powers of two), staged keyed,
+    // driven through a MOR UPDATE (new versions append; extremes
+    // move) and a row-grain DELETE on the DOUBLE predicate (deletion
+    // vectors + the exact stats patch, now with FP min/max), and the
+    // final per-key count/min/max rollup answers FROM THE SIDECAR
+    // (pushed aggregate over DV-patched, generation-merged fp
+    // entries, zero data files). SUM of a double is deliberately NOT
+    // in the query: the metadata layer refuses it (FP addition is
+    // not associative), the honest line this layout draws.
+    // KeyedDoubleSpec pins roundtrip/normalization/ordering/skipping;
+    // KeyedEvolutionSpec the FLOAT→DOUBLE widening leg.
+    "q83_keyed_double" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#dbl")({
+          val out = graft.io.TempDirs.scratch("graft_dbl_") + "/t"
+          graft.sources.KeyedSource.stageKeyed(s,
+            t(s, dir, "documents").selectExpr("doc_id % 16 AS kb", "doc_id",
+              "(CAST(n_chars AS DOUBLE) - 512) / 16 AS score"),
+            out, "kb", sortBy = Seq("doc_id"), retain = 8)
+          s.conf.set("spark.sql.catalog.graftcat",
+            classOf[graft.sources.GraftCatalog].getName)
+          val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+          val name = s"graftcat.dbl_$tag"
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          s.sql(s"CREATE TABLE $name (kb BIGINT, doc_id BIGINT, score DOUBLE) " +
+            s"USING `graft-keyed` LOCATION '$out' " +
+            "TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='8','dmlMode'='mor')")
+          // +64 is exact for every stored magnitude; the update's new
+          // versions APPEND (per-key generation merge on the fp leg)
+          s.sql(s"UPDATE $name SET score = score + 64 WHERE doc_id % 9 = 1")
+          // row-grain MOR delete on the DOUBLE predicate: deletion
+          // vectors + the exact post-delete stats patch (fp min/max)
+          s.sql(s"DELETE FROM $name WHERE score >= 50.0")
+          out
+        })
+        s.read.format("graft-keyed").option("path", path)
+          .option("schema", "kb BIGINT, doc_id BIGINT, score DOUBLE")
+          .option("key", "kb").load()
+          .groupBy("kb")
+          .agg(count(lit(1)).as("n"),
+            min("score").as("min_score"),
+            max("score").as("max_score"))
+          .orderBy("kb")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id % 16 AS kb, doc_id,
+             |    (CAST(n_chars AS DOUBLE) - 512) / 16 AS score
+             |  FROM documents),
+             |upd AS (
+             |  SELECT kb, doc_id,
+             |    CASE WHEN doc_id % 9 = 1 THEN score + 64 ELSE score END AS score
+             |  FROM base),
+             |cur AS (SELECT * FROM upd WHERE NOT (score >= 50.0))
+             |SELECT kb, count(*) AS n, min(score) AS min_score,
+             |  max(score) AS max_score
+             |FROM cur GROUP BY kb ORDER BY kb""".stripMargin),
+      "DOUBLE in the transactional layer: bit-exact sortable-bits storage driven through MOR UPDATE + row-grain DELETE, per-key min/max answered from DV-patched fp sidecar entries with zero data files"),
+
+    // ── File-grain skipping (q84 — Iceberg's manifest grain) ──────────
+    // r18's q76 pruned whole KEY directories; a long-lived table's
+    // keys accumulate one generation file per append, and at 100 TB a
+    // single hot key's directory is itself TB-scale — Iceberg prunes
+    // individual FILES through manifest stats. r19 re-proves the
+    // residual conjuncts against each serving generation's OWN
+    // per-(key, generation) sidecar entry (stats the writers already
+    // derive — no new metadata) and drops generation files proven
+    // empty, composing with DVs (refuse — ordinal stability) and
+    // evolution (adapted parse). The lifecycle: base stage + two
+    // appends give every key three files with disjoint doc_id
+    // intervals (the time-partitioned append shape); the recency
+    // filter then plans ONE file per key (`skippedFiles=16` in the
+    // scan description, KeyedSkippingSpec pins it) while Spark still
+    // re-checks rows — honor-but-recheck, the proof obligation grain
+    // shrunk from directory to file.
+    "q84_filegrain_skip" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#fskip")({
+          val out = graft.io.TempDirs.scratch("graft_fskip_") + "/t"
+          val docs = t(s, dir, "documents")
+          graft.sources.KeyedSource.stageKeyed(s,
+            docs.selectExpr("doc_id % 8 AS kb", "doc_id", "n_chars"),
+            out, "kb", retain = 4)
+          Seq(1000000L, 2000000L).foreach { off =>
+            docs.where(s"doc_id % ${if (off == 1000000L) 3 else 5} = 0")
+              .selectExpr(s"(doc_id + $off) % 8 AS kb",
+                s"doc_id + $off AS doc_id",
+                s"n_chars + ${off / 1000000L} AS n_chars")
+              .write.format("graft-keyed")
+              .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+              .option("key", "kb").mode("append").save(out)
+          }
+          out
+        })
+        s.read.format("graft-keyed").option("path", path)
+          .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+          .option("key", "kb").load()
+          .where(col("doc_id") >= 2000000L)
+          .groupBy("kb")
+          .agg(count(lit(1)).as("n"),
+            sum("n_chars").cast("long").as("sum_chars"),
+            min("doc_id").as("first_doc"),
+            max("doc_id").as("last_doc"))
+          .orderBy("kb")
+      },
+      Some("""WITH cur AS (
+             |  SELECT doc_id % 8 AS kb, doc_id, n_chars FROM documents
+             |  UNION ALL
+             |  SELECT (doc_id + 1000000) % 8, doc_id + 1000000, n_chars + 1
+             |  FROM documents WHERE doc_id % 3 = 0
+             |  UNION ALL
+             |  SELECT (doc_id + 2000000) % 8, doc_id + 2000000, n_chars + 2
+             |  FROM documents WHERE doc_id % 5 = 0)
+             |SELECT kb, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM cur WHERE doc_id >= 2000000
+             |GROUP BY kb ORDER BY kb""".stripMargin),
+      "file-grain data skipping: a recency filter over a thrice-appended layout plans ONE generation file per kept key through per-(key, generation) sidecar proofs — Iceberg's manifest grain without new metadata"),
+
+    // ── Planner statistics under DML (q85 — mergeable NDV, r19) ───────
+    // r18's gap #3: `readView` dropped table NDV the moment a layout
+    // took DML ("per-generation KMV estimates do not merge without
+    // the sketches") — so the CBO/broadcast surfaces lost their
+    // column statistics on any table that is actually edited, which
+    // at 100 TB is every table. The fix is the repo's own x55: the
+    // writers now PERSIST the mergeable KMV sketch bytes per
+    // generation (`_graft_keyed_ndv` — every commit path: write,
+    // COW, MOR insert, compaction, rebucket) and an edited view
+    // unions them (k-smallest truncation, exact below K).
+    // KeyedStatsSpec pins the union semantics and refusal; this row
+    // drives the q59 shape THROUGH an UPDATE: the hint-free join
+    // still broadcasts the point-pruned keyed read because the
+    // edited view keeps reporting rows + column statistics, and the
+    // values are oracle-exact.
+    "q85_ndv_after_update" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#ndvupd")({
+          val out = graft.io.TempDirs.scratch("graft_ndvu_") + "/t"
+          graft.sources.KeyedSource.stageKeyed(s,
+            t(s, dir, "documents")
+              .selectExpr("doc_id % 16 AS kb", "doc_id", "n_chars"),
+            out, "kb", sortBy = Seq("doc_id"), retain = 4)
+          s.conf.set("spark.sql.catalog.graftcat",
+            classOf[graft.sources.GraftCatalog].getName)
+          val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+          val name = s"graftcat.ndvu_$tag"
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          s.sql(s"CREATE TABLE $name (kb BIGINT, doc_id BIGINT, n_chars BIGINT) " +
+            s"USING `graft-keyed` LOCATION '$out' " +
+            "TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='4')")
+          s.sql(s"UPDATE $name SET n_chars = n_chars + 1000 WHERE doc_id % 7 = 1")
+          out
+        })
+        val focus = s.read.format("graft-keyed").option("path", path)
+          .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+          .option("key", "kb").load()
+          .filter(col("kb") === 3L)
+          .select("doc_id", "n_chars")
+        // NO broadcast hint: the EDITED view's reported statistics
+        // (rows from DV-corrected entries, NDVs from merged sketches)
+        // make the pruned read the build side, post-UPDATE
+        t(s, dir, "documents").select(col("doc_id"), col("lang"))
+          .join(focus, "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH cur AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 1 THEN n_chars + 1000 ELSE n_chars END
+             |      AS n_chars
+             |  FROM documents WHERE doc_id % 16 = 3)
+             |SELECT d.lang, count(*) AS n_docs,
+             |  CAST(sum(cur.n_chars) AS BIGINT) AS sum_chars
+             |FROM documents d JOIN cur ON d.doc_id = cur.doc_id
+             |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+      "mergeable KMV sketches keep planner statistics alive under DML: the q59 hint-free broadcast decision and column NDVs survive an UPDATE, values oracle-exact")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table

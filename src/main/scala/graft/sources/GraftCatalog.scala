@@ -149,8 +149,11 @@ final class GraftCatalog extends TableCatalog {
     val branch = prop("branch").filter(_.nonEmpty)
     schema.fields.foreach(f => require(
       f.dataType == LongType || f.dataType == StringType ||
-        f.dataType == org.apache.spark.sql.types.IntegerType,
-      s"graft-keyed supports BIGINT, STRING, and INT fields, got ${f.name}: ${f.dataType}"))
+        f.dataType == org.apache.spark.sql.types.IntegerType ||
+        f.dataType == org.apache.spark.sql.types.DoubleType ||
+        f.dataType == org.apache.spark.sql.types.FloatType,
+      s"graft-keyed supports BIGINT, STRING, INT, DOUBLE, and FLOAT " +
+        s"fields, got ${f.name}: ${f.dataType}"))
     val s = Spec(schema, path, key, sortBy, retain, dmlMode, branch)
     // KeyedTable's constructor requires validate key∈schema etc. — a
     // bad CREATE fails HERE, at DDL time
@@ -202,9 +205,24 @@ final class GraftCatalog extends TableCatalog {
         KeyedSource.RenCol(r.fieldNames()(0), r.newName())
       case u: TableChange.UpdateColumnType =>
         if (u.fieldNames.length != 1) bad("nested columns do not exist here")
-        if (u.newDataType() != LongType)
-          bad(s"got ALTER COLUMN TYPE ${u.newDataType().sql} — only the " +
-            "INT->BIGINT widening is representable without restaging")
+        // the recorded op carries only the column (the widening KIND
+        // derives from the stored source type), so the REQUESTED
+        // target must match what the source widens to — an
+        // `ALTER COLUMN f TYPE BIGINT` over a FLOAT column must not
+        // silently become float->double
+        val src = s.schema.fields.find(_.name == u.fieldNames()(0))
+          .map(_.dataType)
+        val okPair = (src, u.newDataType()) match {
+          case (Some(org.apache.spark.sql.types.IntegerType), LongType) => true
+          case (Some(org.apache.spark.sql.types.FloatType),
+            org.apache.spark.sql.types.DoubleType) => true
+          case _ => false
+        }
+        if (!okPair)
+          bad(s"got ALTER COLUMN ${u.fieldNames()(0)} TYPE " +
+            s"${u.newDataType().sql} over ${src.fold("?")(_.sql)} — only " +
+            "the INT->BIGINT and FLOAT->DOUBLE widenings are " +
+            "representable without restaging")
         KeyedSource.WidenCol(u.fieldNames()(0))
       case other => bad(s"got ${other.getClass.getSimpleName}")
     }

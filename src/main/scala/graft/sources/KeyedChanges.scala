@@ -389,21 +389,19 @@ final class KeyedChangesReaderFactory(declared: StructType,
     val base = mk(proj, dirs, plans)
     if (dvs.isEmpty) base
     else new PositionedReader(base, KeyedSource.loadDeleted(dvs, conf.value),
-      map = null, kind = proj.fields.map(_.dataType match {
-        case org.apache.spark.sql.types.LongType => 0
-        case org.apache.spark.sql.types.IntegerType => 2
-        case _ => 1
-      }))
+      map = null, kind = proj.fields.map(f => KeyedSource.kindOf(f.dataType)))
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val cp = partition.asInstanceOf[KeyedChangesPartition]
-    val dataIsLong = requiredData.fields.map(_.dataType == LongType)
+    // one kind code per column (KeyedSource.kindOf — the shared
+    // mapping; the old 2-way isLong arrays misread any third type)
+    val dataKind = requiredData.fields.map(f => KeyedSource.kindOf(f.dataType))
     if (cp.emitDvs.nonEmpty) {
       // merge-on-read DELETE interval: emit ONLY the newly-deleted
       // ordinals (scanned over the unchanged files), tagged 'delete'
       new DvEmitReader(mk(requiredData, cp.deleteDirs, cp.deletePlans),
-        KeyedSource.loadDeleted(cp.emitDvs, conf.value), dataIsLong,
+        KeyedSource.loadDeleted(cp.emitDvs, conf.value), dataKind,
         if (hasTag) KeyedChanges.Delete else null)
     } else if (cp.deleteDirs.isEmpty || cp.insertDirs.isEmpty) {
       // constant-tagged: decode already pruned to the data projection
@@ -412,18 +410,18 @@ final class KeyedChangesReaderFactory(declared: StructType,
           (cp.insertDirs, cp.insertPlans, cp.insertApplyDvs, KeyedChanges.Insert)
         else
           (cp.deleteDirs, cp.deletePlans, cp.deleteApplyDvs, KeyedChanges.Delete)
-      new ChangeTagReader(applied(requiredData, dirs, plans, dvs), dataIsLong,
+      new ChangeTagReader(applied(requiredData, dirs, plans, dvs), dataKind,
         if (hasTag) tag else null)
     } else {
       // net diff decodes FULL rows (pruned rows would cancel rows that
       // differ only in pruned columns) and projects at emit; each side
       // reads its own DV-applied state
-      val isLong = declared.fields.map(_.dataType == LongType)
+      val declKind = declared.fields.map(f => KeyedSource.kindOf(f.dataType))
       val outIdx = requiredData.fieldNames.map(declared.fieldIndex)
       new NetDiffReader(
         () => applied(declared, cp.deleteDirs, cp.deletePlans, cp.deleteApplyDvs),
         () => applied(declared, cp.insertDirs, cp.insertPlans, cp.insertApplyDvs),
-        isLong, outIdx, hasTag)
+        declKind, outIdx, hasTag)
     }
   }
 }
@@ -433,9 +431,9 @@ final class KeyedChangesReaderFactory(declared: StructType,
   * Values are OWNED copies (the inner decode may reuse buffers across
   * next()). */
 final class ChangeTagReader(inner: PartitionReader[InternalRow],
-    isLong: Array[Boolean], tag: UTF8String)
+    kind: Array[Int], tag: UTF8String)
     extends PartitionReader[InternalRow] {
-  private val n = isLong.length
+  private val n = kind.length
   private val width = if (tag == null) n else n + 1
   private var current: InternalRow = _
   override def next(): Boolean = {
@@ -444,7 +442,7 @@ final class ChangeTagReader(inner: PartitionReader[InternalRow],
     val out = new Array[Any](width)
     var i = 0
     while (i < n) {
-      out(i) = if (isLong(i)) Long.box(src.getLong(i)) else src.getUTF8String(i).clone()
+      out(i) = KeyedSource.boxOf(src, i, kind(i))
       i += 1
     }
     if (tag != null) out(n) = tag
@@ -459,9 +457,9 @@ final class ChangeTagReader(inner: PartitionReader[InternalRow],
   * interval's newly-deleted rows), tagged 'delete' — ordinals count
   * the RAW stream, exactly as the DV writer recorded them. */
 final class DvEmitReader(inner: PartitionReader[InternalRow],
-    bits: java.util.BitSet, isLong: Array[Boolean], tag: UTF8String)
+    bits: java.util.BitSet, kind: Array[Int], tag: UTF8String)
     extends PartitionReader[InternalRow] {
-  private val n = isLong.length
+  private val n = kind.length
   private val width = if (tag == null) n else n + 1
   private var ord = -1
   private var current: InternalRow = _
@@ -473,8 +471,7 @@ final class DvEmitReader(inner: PartitionReader[InternalRow],
         val out = new Array[Any](width)
         var i = 0
         while (i < n) {
-          out(i) = if (isLong(i)) Long.box(src.getLong(i))
-            else src.getUTF8String(i).clone()
+          out(i) = KeyedSource.boxOf(src, i, kind(i))
           i += 1
         }
         if (tag != null) out(n) = tag
@@ -497,16 +494,19 @@ final class DvEmitReader(inner: PartitionReader[InternalRow],
   * both generations carry the same order marker) is the refinement if
   * that bound ever pinches. */
 final class NetDiffReader(oldSide: () => PartitionReader[InternalRow],
-    newSide: () => PartitionReader[InternalRow], isLong: Array[Boolean],
+    newSide: () => PartitionReader[InternalRow], kind: Array[Int],
     outIdx: Array[Int], hasTag: Boolean)
     extends PartitionReader[InternalRow] {
-  private val n = isLong.length
+  private val n = kind.length
 
+  // boxed DOUBLE multiset keys are sound: the writer normalizes NaN
+  // and -0.0 (KeyedStats.sortableDouble), so decoded values have one
+  // representative per equivalence class and Double.equals matches
   private def vecOf(row: InternalRow): scala.collection.immutable.ArraySeq[Any] = {
     val a = new Array[Any](n)
     var i = 0
     while (i < n) {
-      a(i) = if (isLong(i)) Long.box(row.getLong(i)) else row.getUTF8String(i).clone()
+      a(i) = KeyedSource.boxOf(row, i, kind(i))
       i += 1
     }
     scala.collection.immutable.ArraySeq.unsafeWrapArray(a)

@@ -139,16 +139,19 @@ object KeyedCompact {
     val root = new org.apache.hadoop.fs.Path(path)
     val gen = new org.apache.hadoop.fs.Path(root, genName)
     val fs = root.getFileSystem(hconf)
-    val table = {
-      val merged = Array.fill(schema.length)(new KmvSketch)
-      msgs.foreach(_.sketches.zipWithIndex.foreach { case (hs, i) =>
-        merged(i).addHashes(hs) })
-      KeyedStats.TableNdv(entries.map(_.count).sum, merged.map(_.estimate))
-    }
+    val mergedSk = Array.fill(schema.length)(new KmvSketch)
+    msgs.foreach(_.sketches.zipWithIndex.foreach { case (hs, i) =>
+      mergedSk(i).addHashes(hs) })
+    val table = KeyedStats.TableNdv(entries.map(_.count).sum,
+      mergedSk.map(_.estimate))
     KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedStats.SidecarFile),
       KeyedStats.render(schema, key,
         entries.map(e => KeyedStats.Entry(e.rawKey, e.count, e.mins, e.maxs, e.sums)),
         Some(table)))
+    // KMV sketch bytes (r19) — a compaction's rewritten keys keep the
+    // merged-NDV read alive across exactly the mix it creates
+    KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedStats.NdvFile),
+      KeyedStats.renderNdv(schema, key, mergedSk.map(_.hashes)))
     if (sortBy.nonEmpty)
       KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedSource.OrderFile),
         KeyedSource.renderOrderMarker(schema, key, sortBy))
@@ -311,16 +314,17 @@ object KeyedCompact {
     val root = new org.apache.hadoop.fs.Path(path)
     val gen = new org.apache.hadoop.fs.Path(root, genName)
     val fs = root.getFileSystem(hconf)
-    val table = {
-      val merged = Array.fill(schema.length)(new KmvSketch)
-      msgs.foreach(_.sketches.zipWithIndex.foreach { case (hs, i) =>
-        merged(i).addHashes(hs) })
-      KeyedStats.TableNdv(entries.map(_.count).sum, merged.map(_.estimate))
-    }
+    val mergedSk = Array.fill(schema.length)(new KmvSketch)
+    msgs.foreach(_.sketches.zipWithIndex.foreach { case (hs, i) =>
+      mergedSk(i).addHashes(hs) })
+    val table = KeyedStats.TableNdv(entries.map(_.count).sum,
+      mergedSk.map(_.estimate))
     KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedStats.SidecarFile),
       KeyedStats.render(schema, key,
         entries.map(e => KeyedStats.Entry(e.rawKey, e.count, e.mins, e.maxs, e.sums)),
         Some(table)))
+    KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedStats.NdvFile),
+      KeyedStats.renderNdv(schema, key, mergedSk.map(_.hashes)))
     if (sortBy.nonEmpty)
       KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedSource.OrderFile),
         KeyedSource.renderOrderMarker(schema, key, sortBy))

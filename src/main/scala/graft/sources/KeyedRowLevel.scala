@@ -204,6 +204,15 @@ final class KeyedCowBatchWrite(op: KeyedCowOperation, schema: StructType,
     }
     KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedStats.SidecarFile),
       KeyedStats.render(schema, key, sidecarEntries, Some(table)))
+    // KMV sketch bytes per column (r19) — what lets table NDV merge
+    // across exactly the generation mix this commit creates
+    KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedStats.NdvFile),
+      KeyedStats.renderNdv(schema, key, {
+        val m = Array.fill(schema.length)(new KmvSketch)
+        msgs.foreach(_.sketches.zipWithIndex.foreach { case (hs, i) =>
+          m(i).addHashes(hs) })
+        m.map(_.hashes)
+      }))
     if (sortBy.nonEmpty)
       KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedSource.OrderFile),
         KeyedSource.renderOrderMarker(schema, key, sortBy))
@@ -459,6 +468,14 @@ final class KeyedMorBatchWrite(op: KeyedMorOperation,
       KeyedSource.writeFile(fs,
         new org.apache.hadoop.fs.Path(gen, KeyedStats.SidecarFile),
         KeyedStats.render(declared, key, insertEntries, Some(table)))
+      KeyedSource.writeFile(fs,
+        new org.apache.hadoop.fs.Path(gen, KeyedStats.NdvFile),
+        KeyedStats.renderNdv(declared, key, {
+          val m = Array.fill(declared.length)(new KmvSketch)
+          insertMsgs.foreach(_.sketches.zipWithIndex.foreach { case (hs, i) =>
+            m(i).addHashes(hs) })
+          m.map(_.hashes)
+        }))
     }
     val scan = op.configuredScan
     require(scan != null,
@@ -534,6 +551,18 @@ final class KeyedMorBatchWrite(op: KeyedMorOperation,
               mins(i) = String.valueOf(r.getAs[Number](s"_mn$i").longValue)
               maxs(i) = String.valueOf(r.getAs[Number](s"_mx$i").longValue)
               sums(i) = r.getAs[Long](s"_sm$i")
+            } else if (KeyedStats.fp(f.dataType)) {
+              // Spark's min/max over doubles shares the stored order
+              // (NaN greatest), so transforming the extremes back to
+              // sortable digits is exact
+              def dig(v: Any): String = v match {
+                case d: java.lang.Double => KeyedStats.sortableDouble(d).toString
+                case fl: java.lang.Float => KeyedStats.sortableFloat(fl).toString
+                case other => throw new IllegalStateException(
+                  s"unexpected fp aggregate value $other")
+              }
+              mins(i) = dig(r.getAs[Any](s"_mn$i"))
+              maxs(i) = dig(r.getAs[Any](s"_mx$i"))
             } else {
               mins(i) = r.getAs[String](s"_mn$i")
               maxs(i) = r.getAs[String](s"_mx$i")
@@ -641,14 +670,10 @@ final class KeyedDvWriter(declared: StructType, key: String, path: String,
   private val keyIdx = idSchema.fieldIndex(KeyedSource.KeyCol)
   private val posIdx = idSchema.fieldIndex(KeyedSource.PosCol)
   private val dataKeyIdx = declared.fieldIndex(key)
-  // 0 = BIGINT, 1 = STRING, 2 = INT (the r18 widening source type —
-  // missing here, an INT column's buffered copy read getUTF8String on
-  // an int slot: the round's review catch)
-  private val kind: Array[Int] = declared.fields.map(_.dataType match {
-    case LongType => 0
-    case org.apache.spark.sql.types.IntegerType => 2
-    case _ => 1
-  })
+  // shared kind codes (KeyedSource.kindOf — the r18 review's INT+MOR
+  // lesson generalized: one mapping, every storable type)
+  private val kind: Array[Int] = declared.fields.map(f =>
+    KeyedSource.kindOf(f.dataType))
   private val acc =
     scala.collection.mutable.LinkedHashMap.empty[String, java.util.BitSet]
   // UPDATE's new row versions, buffered per TARGET key (an update that
@@ -677,11 +702,7 @@ final class KeyedDvWriter(declared: StructType, key: String, path: String,
     var i = 0
     while (i < declared.length) {
       copy(i) = if (row.isNullAt(i)) null
-        else kind(i) match {
-          case 0 => Long.box(row.getLong(i))
-          case 2 => Int.box(row.getInt(i))
-          case _ => row.getUTF8String(i).clone()
-        }
+        else KeyedSource.boxOf(row, i, kind(i))
       i += 1
     }
     val target =

@@ -666,8 +666,19 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
         if (residualFilters.isEmpty) Set.empty
         else viewSidecar.fold(Set.empty[String])(
           sc => KeyedStats.skippableKeys(sc, residualFilters.toSeq, full))
+      // FILE-grain skipping (r19): inside KEPT multi-generation keys,
+      // drop individual generation dirs whose per-(key, generation)
+      // entry proves the residuals empty. Never for a row-level
+      // operation's scan (group-based COW must hand the rewrite the
+      // groups' FULL rows — the condition only selects groups, the
+      // survivors must all be read) — the same reason pushTopN
+      // refuses cowHost.
+      val fileSkip: Map[String, Set[String]] =
+        if (residualFilters.isEmpty || cowHost.isDefined) Map.empty
+        else KeyedStats.skippableFiles(view, conf, full, key,
+          residualFilters.toSeq, skipKeys)
       val scan = new KeyedScan(full, required, view, key, conf, keyValues,
-        vectorize, reportStats, topN, skipKeys, () => viewSidecar)
+        vectorize, reportStats, topN, skipKeys, () => viewSidecar, fileSkip)
       // a row-level operation's commit replaces (cow) or amends (mor)
       // exactly what this scan resolves — hand it the instance (last
       // build wins; Spark builds one scan per operation)
@@ -704,7 +715,8 @@ class KeyedScan(full: StructType, required: StructType,
     keyValues: Option[Set[Any]] = None, vectorize: Boolean = true,
     reportStats: Boolean = true, topN: Int = -1,
     skipKeys: Set[String] = Set.empty,
-    sidecarOf: () => Option[KeyedStats.Sidecar] = null)
+    sidecarOf: () => Option[KeyedStats.Sidecar] = null,
+    fileSkip: Map[String, Set[String]] = Map.empty)
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -830,11 +842,18 @@ class KeyedScan(full: StructType, required: StructType,
           if (f.name == key) entries.length.toLong // exact under pruning
           else math.min(t.ndvs(i), math.max(rowCount, 1L))
         val (mn, mx): (java.util.Optional[Object], java.util.Optional[Object]) =
-          if (KeyedStats.numeric(f.dataType) && entries.nonEmpty) {
+          if ((KeyedStats.numeric(f.dataType) || KeyedStats.fp(f.dataType)) &&
+              entries.nonEmpty) {
             val lo = entries.map(_.mins(i).toLong).min
             val hi = entries.map(_.maxs(i).toLong).max
-            def box(v: Long): Object =
-              if (f.dataType == LongType) Long.box(v) else Int.box(v.toInt)
+            def box(v: Long): Object = f.dataType match {
+              case LongType => Long.box(v)
+              case org.apache.spark.sql.types.DoubleType =>
+                Double.box(KeyedStats.unsortableDouble(v))
+              case org.apache.spark.sql.types.FloatType =>
+                Float.box(KeyedStats.unsortableFloat(v.toInt))
+              case _ => Int.box(v.toInt)
+            }
             (java.util.Optional.of(box(lo)), java.util.Optional.of(box(hi)))
           } else (java.util.Optional.empty(), java.util.Optional.empty())
         colStats.put(Expressions.column(f.name),
@@ -871,6 +890,8 @@ class KeyedScan(full: StructType, required: StructType,
       keyValues.fold("")(s =>
         s" keys=[${s.toSeq.map(_.toString).sorted.mkString(",")}]") +
       (if (skipKeys.nonEmpty) s" skipped=${skipKeys.size}" else "") +
+      (if (fileSkip.nonEmpty && !emitMeta)
+        s" skippedFiles=${fileSkip.valuesIterator.map(_.size).sum}" else "") +
       (if (topN >= 0) s" topN=$topN" else "") +
       (if (tombstones.nonEmpty) s" tombstones=${tombstones.size}" else "") +
       (if (view.edits.nonEmpty) s" edits=${view.edits.size}" else "") +
@@ -981,6 +1002,19 @@ class KeyedScan(full: StructType, required: StructType,
             case _ => set.contains(raw)
           }
         }
+      }
+      // FILE-grain skipping (r19): drop generation dirs of KEPT keys
+      // whose per-generation entry proved the residuals empty —
+      // except when the scan emits metadata columns (`_graft_pos`
+      // ordinals count the FULL concatenated stream; a dropped middle
+      // file would shift them). A key whose every dir is proven empty
+      // drops entirely — the same answer key-grain skipping gives.
+      .flatMap { case (raw, dirs0) =>
+        val dirs =
+          if (emitMeta) dirs0
+          else fileSkip.get(raw).fold(dirs0)(drop => dirs0.filterNot(d =>
+            drop.contains(new org.apache.hadoop.fs.Path(d).getParent.getName)))
+        if (dirs.isEmpty) None else Some((raw, dirs))
       }
       .map { case (raw, dirs) =>
         val v: Any = keyField.dataType match {
@@ -1112,17 +1146,21 @@ final class EvolvedRowReader(inner: PartitionReader[InternalRow],
     plan: KeyedSource.DirReadPlan) extends PartitionReader[InternalRow] {
   private val n = plan.fromFile.length
   // 0 = BIGINT (includes widened INT→BIGINT — the inner projection
-  // already decodes promoted), 1 = STRING, 2 = INT
+  // already decodes promoted, same digits), 1 = STRING, 2 = INT,
+  // 3 = DOUBLE, 4 = FLOAT. A FLOAT→DOUBLE widening can NOT ride the
+  // same-digits trick (sortable-int vs sortable-long domains differ),
+  // so the inner projection decodes the stored FLOAT and
+  // `fpPromote` marks the output columns promoted HERE — exact, every
+  // float is exactly a double.
   private val innerKind: Array[Int] =
-    KeyedSource.ddlToSchema(plan.innerDdl).fields.map(_.dataType match {
-      case LongType => 0
-      case org.apache.spark.sql.types.IntegerType => 2
-      case _ => 1
-    })
+    KeyedSource.ddlToSchema(plan.innerDdl).fields.map(f =>
+      KeyedSource.kindOf(f.dataType))
   private val consts: Array[Any] = Array.tabulate[Any](n)(i =>
     if (plan.fromFile(i)) null
     else if (plan.constIsLong(i)) java.lang.Long.valueOf(plan.constVals(i).toLong)
     else UTF8String.fromString(plan.constVals(i)))
+  private val promote: Array[Boolean] =
+    if (plan.fpPromote == null) new Array[Boolean](n) else plan.fpPromote
   private var current: InternalRow = _
   override def next(): Boolean = {
     if (!inner.next()) return false
@@ -1135,6 +1173,10 @@ final class EvolvedRowReader(inner: PartitionReader[InternalRow],
         out(i) = innerKind(j) match {
           case 0 => Long.box(src.getLong(j))
           case 2 => Int.box(src.getInt(j))
+          case 3 => Double.box(src.getDouble(j))
+          case 4 =>
+            if (promote(i)) Double.box(src.getFloat(j).toDouble)
+            else Float.box(src.getFloat(j))
           case _ => src.getUTF8String(j)
         }
         j += 1
@@ -1200,6 +1242,8 @@ final class PositionedReader(inner: PartitionReader[InternalRow],
               case j => kind(j) match {
                 case 0 => Long.box(src.getLong(j))
                 case 2 => Int.box(src.getInt(j))
+                case 3 => Double.box(src.getDouble(j))
+                case 4 => Float.box(src.getFloat(j))
                 case _ => src.getUTF8String(j).clone()
               }
             }
@@ -1331,13 +1375,10 @@ final class KeyedReaderFactory(full: StructType, required: StructType,
     case f if f.name == KeyedSource.KeyCol => PositionedReader.Key
     case f => dataRequired.fieldIndex(f.name)
   }
-  // 0 = BIGINT, 1 = STRING, 2 = INT (the widening source type)
-  private val dataKind: Array[Int] =
-    dataRequired.fields.map(_.dataType match {
-      case LongType => 0
-      case org.apache.spark.sql.types.IntegerType => 2
-      case _ => 1
-    })
+  // 0 = BIGINT, 1 = STRING, 2 = INT (the widening source type),
+  // 3 = DOUBLE, 4 = FLOAT (r19 sortable-bits columns)
+  private val dataKind: Array[Int] = dataRequired.fields.map(f =>
+    KeyedSource.kindOf(f.dataType))
   // decode IS the page decode — the connectors share the US-framed
   // line format on both paths: PageReader (row) and PageColumnarReader
   // (byte-level batch decode, the default — VectorizedFrame scaladoc);
@@ -2612,11 +2653,20 @@ object KeyedSource {
           if (f.name == o) f.copy(name = n) else f))
       case WidenCol(n) =>
         if (!schema.fieldNames.contains(n)) bad(s"widen source '$n' is not a column")
-        if (schema(n).dataType != org.apache.spark.sql.types.IntegerType) bad(
-          s"only INT columns widen to BIGINT; '$n' is ${schema(n).dataType.sql} " +
-            "(narrowing and cross-kind changes refuse — restage instead)")
+        val target = schema(n).dataType match {
+          case org.apache.spark.sql.types.IntegerType => LongType
+          // r19: FLOAT→DOUBLE joins INT→BIGINT as the second safe
+          // widening (exact per value, monotone — old generations
+          // decode promoted, their sidecar digits CONVERT)
+          case org.apache.spark.sql.types.FloatType =>
+            org.apache.spark.sql.types.DoubleType
+          case other => bad(
+            s"only INT→BIGINT and FLOAT→DOUBLE widenings are " +
+              s"representable without restaging; '$n' is ${other.sql} " +
+              "(narrowing and cross-kind changes refuse — restage instead)")
+        }
         schema = StructType(schema.fields.map(f =>
-          if (f.name == n) f.copy(dataType = LongType) else f))
+          if (f.name == n) f.copy(dataType = target) else f))
     }
     schema
   }
@@ -2662,7 +2712,11 @@ object KeyedSource {
     * (the generation already stores the declared schema). */
   final case class DirReadPlan(fileDdl: String, innerDdl: String,
       fromFile: Array[Boolean], constIsLong: Array[Boolean],
-      constVals: Array[String])
+      constVals: Array[String],
+      // output columns whose file column decodes FLOAT under a
+      // recorded FLOAT→DOUBLE widening — promoted in EvolvedRowReader
+      // (null for plans built before r19: no promotion)
+      fpPromote: Array[Boolean] = null)
 
   /** Resolve `required` against a generation's written schema through
     * the lineage. Loud on: a column that neither resolves nor has a
@@ -2677,23 +2731,34 @@ object KeyedSource {
     val fromFile = new Array[Boolean](required.length)
     val constIsLong = new Array[Boolean](required.length)
     val constVals = new Array[String](required.length)
+    val fpPromote = new Array[Boolean](required.length)
     required.fields.zipWithIndex.foreach { case (f, i) =>
       val candidates = f.name +: aliases.getOrElse(f.name, Seq.empty)
       candidates.find(written.fieldNames.contains) match {
         case Some(src) =>
           val st = written(src).dataType
-          // the one SAFE promotion: an INT-written column under a
+          // the SAFE promotions: an INT-written column under a
           // recorded widening decodes DIRECTLY as BIGINT — the frames
           // hold the same ASCII digits, only the parse target changes,
-          // so the "promotion" is the inner projection's declared type
+          // so the "promotion" is the inner projection's declared
+          // type; a FLOAT-written column under a recorded widening
+          // decodes as FLOAT (its sortable-int digits) and PROMOTES
+          // per value in EvolvedRowReader (the digit domains differ)
           val widens = st == org.apache.spark.sql.types.IntegerType &&
             f.dataType == LongType && widened.contains(f.name)
-          if (st != f.dataType && !widens) throw new IllegalArgumentException(
-            s"graft-keyed schema drift at $genRoot: column '${f.name}' " +
-              s"(stored as '$src') was written ${st.sql} but is declared " +
-              s"${f.dataType.sql} — type changes refuse; restage the layout")
+          val fpWidens = st == org.apache.spark.sql.types.FloatType &&
+            f.dataType == org.apache.spark.sql.types.DoubleType &&
+            widened.contains(f.name)
+          if (st != f.dataType && !widens && !fpWidens)
+            throw new IllegalArgumentException(
+              s"graft-keyed schema drift at $genRoot: column '${f.name}' " +
+                s"(stored as '$src') was written ${st.sql} but is declared " +
+                s"${f.dataType.sql} — type changes refuse; restage the layout")
           fromFile(i) = true
-          inner += StructField(src, f.dataType, nullable = false)
+          fpPromote(i) = fpWidens
+          inner += StructField(src,
+            if (fpWidens) org.apache.spark.sql.types.FloatType else f.dataType,
+            nullable = false)
         case None => defaults.get(f.name) match {
           case Some((isLong, d))
               if isLong == (f.dataType == LongType) =>
@@ -2712,8 +2777,35 @@ object KeyedSource {
       }
     }
     DirReadPlan(written.toDDL, StructType(inner.toSeq).toDDL,
-      fromFile, constIsLong, constVals)
+      fromFile, constIsLong, constVals, fpPromote)
   }
+
+  /** Boxing/wire kind codes shared by every row-path reader: 0=BIGINT,
+    * 1=STRING, 2=INT, 3=DOUBLE, 4=FLOAT. ONE mapping so a type joining
+    * the layout lands once for every reader (the r18 review's INT+MOR
+    * lesson: per-reader 2-way isLong arrays silently misread a third
+    * type). */
+  private[sources] def kindOf(dt: org.apache.spark.sql.types.DataType): Int =
+    dt match {
+      case LongType => 0
+      case StringType => 1
+      case org.apache.spark.sql.types.IntegerType => 2
+      case org.apache.spark.sql.types.DoubleType => 3
+      case org.apache.spark.sql.types.FloatType => 4
+      case other => throw new IllegalArgumentException(
+        s"graft-keyed stores no $other columns")
+    }
+
+  /** Owned boxed copy of row slot `i` under `kind` — the shared
+    * row-copy leg of the changes/DV readers. */
+  private[sources] def boxOf(row: InternalRow, i: Int, kind: Int): Any =
+    kind match {
+      case 0 => Long.box(row.getLong(i))
+      case 2 => Int.box(row.getInt(i))
+      case 3 => Double.box(row.getDouble(i))
+      case 4 => Float.box(row.getFloat(i))
+      case _ => row.getUTF8String(i).clone()
+    }
 
   /** Spec-facing: remove every commit-log artifact (versioned files,
     * the legacy single file, checksum twins) so a layout can be
@@ -2828,6 +2920,12 @@ object KeyedSource {
           (f.name +: aliases.getOrElse(f.name, Seq.empty)).contains(name))
           .filter(f => f.dataType.sql == tpe ||
             (tpe == "INT" && f.dataType == LongType &&
+              widened.contains(f.name)) ||
+            // FLOAT→DOUBLE widening keeps ordering claims too: the
+            // promotion is monotone, so the stored order IS the
+            // declared-type order (r19)
+            (tpe == "FLOAT" &&
+              f.dataType == org.apache.spark.sql.types.DoubleType &&
               widened.contains(f.name)))
           .map(_.name)
       case _ => None

@@ -76,6 +76,13 @@ object KeyedStats {
   // estimates, the number CBO's join-cardinality estimation reads off
   // a connector scan (KeyedScan.estimateStatistics columnStats)
   val Version = "graft-keyed-stats v2"
+  /** Per-generation KMV sketch BYTES (r19): the k smallest 63-bit
+    * hashes per column, so table NDV merges across the generations an
+    * edited view reads (KMV union = union the sets, keep the k
+    * smallest — exactly [[graft.sources.KmvSketch.addHashes]]). One
+    * ~K×cols×20-byte file per commit. */
+  val NdvFile = "_graft_keyed_ndv"
+  val NdvVersion = "graft-keyed-ndv v1"
 
   /** One sidecar line ≙ one key directory's stats. `mins`/`maxs` hold
     * the RAW framed strings per declared column (typed on demand);
@@ -132,9 +139,54 @@ object KeyedStats {
   private[sources] def numeric(dt: DataType): Boolean =
     dt == LongType || dt == org.apache.spark.sql.types.IntegerType
 
+  /** DOUBLE/FLOAT — storable since r19 as the decimal digits of their
+    * ORDER-PRESERVING IEEE-754 bit transform ([[sortableDouble]]):
+    * bit-exact storage (the repo's exactness discipline extended to
+    * floating point — the bits, not a decimal rendering), and the
+    * stored digits compare NUMERICALLY in exactly Spark's double
+    * order (NaN greatest, -0.0 normalized to +0.0 at write — the
+    * same normalization Spark's NormalizeFloatingNumbers applies to
+    * keys). So min/max merge, ordering claims, and the skipping
+    * proof duals all ride the numeric-comparison leg unchanged; only
+    * SUM refuses (FP addition is not associative — a metadata answer
+    * could not reproduce the scan's value bit-for-bit). */
+  private[sources] def fp(dt: DataType): Boolean =
+    dt == org.apache.spark.sql.types.DoubleType ||
+      dt == org.apache.spark.sql.types.FloatType
+
+  /** Order-preserving bijection DOUBLE → BIGINT: positive-sign bit
+    * patterns map to themselves, negative-sign ones flip their
+    * magnitude bits, so SIGNED long order equals Spark's double order
+    * (…, -Inf, …, -0.0=+0.0, …, +Inf, NaN). `doubleToLongBits` (not
+    * Raw) canonicalizes every NaN; the `== 0.0` guard folds -0.0 —
+    * both normalizations match Spark SQL comparison semantics, and
+    * every other value round-trips bit-exactly. The public total-order
+    * trick (Lucene NumericUtils / HBase OrderedBytes family). */
+  private[graft] def sortableDouble(d: Double): Long = {
+    val bits = java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
+    if (bits >= 0) bits else bits ^ 0x7fffffffffffffffL
+  }
+  private[graft] def unsortableDouble(s: Long): Double =
+    java.lang.Double.longBitsToDouble(if (s >= 0) s else s ^ 0x7fffffffffffffffL)
+  private[graft] def sortableFloat(f: Float): Int = {
+    val bits = java.lang.Float.floatToIntBits(if (f == 0.0f) 0.0f else f)
+    if (bits >= 0) bits else bits ^ 0x7fffffff
+  }
+  private[graft] def unsortableFloat(s: Int): Float =
+    java.lang.Float.intBitsToFloat(if (s >= 0) s else s ^ 0x7fffffff)
+
+  /** Stored FLOAT digits re-rendered as DOUBLE digits (the float →
+    * double widening's sidecar conversion): every float is exactly
+    * representable as a double and promotion is monotone, so a
+    * converted min/max is THE min/max under the declared type. */
+  private[sources] def floatDigitsAsDouble(raw: String): String =
+    sortableDouble(unsortableFloat(raw.toInt).toDouble).toString
+
   private def typed(raw: String, dt: DataType): Any = dt match {
     case LongType => raw.toLong
     case org.apache.spark.sql.types.IntegerType => raw.toInt
+    case org.apache.spark.sql.types.DoubleType => unsortableDouble(raw.toLong)
+    case org.apache.spark.sql.types.FloatType => unsortableFloat(raw.toInt)
     case StringType => UTF8String.fromString(raw)
     case other => throw new IllegalArgumentException(s"unsupported stat type $other")
   }
@@ -281,19 +333,22 @@ object KeyedStats {
   }
 
   /** Declared-column resolution against a generation's WRITTEN schema
-    * through the lineage: Left(written index) for mapped columns
-    * (type-equal or INT under a recorded widening), Right((isLong,
-    * default)) for added-by-evolution columns. None = some column
-    * has no lineage answer (foreign layout), or the stored key name
-    * is not the declared key or one of its aliases. */
+    * through the lineage: Left((written index, fpWiden)) for mapped
+    * columns — type-equal, INT under a recorded widening (same
+    * digits), or FLOAT under a recorded widening read as DOUBLE
+    * (fpWiden = true: the stored sortable-int digits CONVERT through
+    * [[floatDigitsAsDouble]], monotone so min/max stay exact) —
+    * Right((isLong, default)) for added-by-evolution columns. None =
+    * some column has no lineage answer (foreign layout), or the
+    * stored key name is not the declared key or one of its aliases. */
   private def lineageMap(declared: StructType, written: StructType,
       key: String, storedKey: String, ops: Seq[KeyedSource.SchemaOp])
-      : Option[Array[Either[Int, (Boolean, String)]]] = {
+      : Option[Array[Either[(Int, Boolean), (Boolean, String)]]] = {
     val (aliases, defaults, widened) = KeyedSource.lineageOf(ops)
     val keyCands = key +: aliases.getOrElse(key, Seq.empty)
     if (!keyCands.contains(storedKey)) return None
     val n = declared.length
-    val map = new Array[Either[Int, (Boolean, String)]](n)
+    val map = new Array[Either[(Int, Boolean), (Boolean, String)]](n)
     var i = 0
     while (i < n) {
       val f = declared(i)
@@ -301,11 +356,15 @@ object KeyedStats {
       cands.find(written.fieldNames.contains) match {
         case Some(src) =>
           val st = written(src).dataType
+          val fpWiden = st == org.apache.spark.sql.types.FloatType &&
+            f.dataType == org.apache.spark.sql.types.DoubleType &&
+            widened.contains(f.name)
           val ok = st == f.dataType ||
             (st == org.apache.spark.sql.types.IntegerType &&
-              f.dataType == LongType && widened.contains(f.name))
+              f.dataType == LongType && widened.contains(f.name)) ||
+            fpWiden
           if (!ok) return None
-          map(i) = Left(written.fieldIndex(src))
+          map(i) = Left((written.fieldIndex(src), fpWiden))
         case None => defaults.get(f.name) match {
           case Some((isLong, d)) if isLong == (f.dataType == LongType) =>
             map(i) = Right((isLong, d))
@@ -339,7 +398,7 @@ object KeyedStats {
     * through a [[lineageMap]]: mapped columns read stored min/max/sum,
     * added columns synthesize their constant (sum = default·count). */
   private def remapEntry(declared: StructType,
-      map: Array[Either[Int, (Boolean, String)]],
+      map: Array[Either[(Int, Boolean), (Boolean, String)]],
       minOff: Array[Int], sumOff: Array[Int],
       f: Array[String], rawKey: String, count: Long): Entry = {
     val n = declared.length
@@ -349,8 +408,15 @@ object KeyedStats {
     var k = 0
     while (k < n) {
       map(k) match {
-        case Left(w) =>
-          mins(k) = f(minOff(w)); maxs(k) = f(minOff(w) + 1)
+        case Left((w, fpWiden)) =>
+          if (fpWiden) {
+            // FLOAT-written digits under a DOUBLE declaration: convert
+            // through the value domain (monotone — min stays min)
+            mins(k) = floatDigitsAsDouble(f(minOff(w)))
+            maxs(k) = floatDigitsAsDouble(f(minOff(w) + 1))
+          } else {
+            mins(k) = f(minOff(w)); maxs(k) = f(minOff(w) + 1)
+          }
           if (numeric(declared(k).dataType)) sums(k) = f(sumOff(w)).toLong
         case Right((isLong, d)) =>
           mins(k) = d; maxs(k) = d
@@ -462,7 +528,7 @@ object KeyedStats {
     }
     val table = tableRaw.map { t =>
       val ndvs = Array.tabulate(declared.length)(k => map(k) match {
-        case Left(w) => t(1 + w).toLong
+        case Left((w, _)) => t(1 + w).toLong // NDV survives conversion
         case Right(_) => 1L // a synthesized constant column
       })
       TableNdv(t(0).toLong, ndvs)
@@ -508,6 +574,11 @@ object KeyedStats {
           mins(i) = math.min(a.mins(i).toLong, b.mins(i).toLong).toString
           maxs(i) = math.max(a.maxs(i).toLong, b.maxs(i).toLong).toString
           sums(i) = Math.addExact(a.sums(i), b.sums(i))
+        } else if (fp(declared(i).dataType)) {
+          // sortable-bits digits: signed numeric order IS double/float
+          // order, so the merge is the BIGINT leg minus the sum
+          mins(i) = math.min(a.mins(i).toLong, b.mins(i).toLong).toString
+          maxs(i) = math.max(a.maxs(i).toLong, b.maxs(i).toLong).toString
         } else {
           def lt(x: String, y: String) =
             UTF8String.fromString(x).compareTo(UTF8String.fromString(y)) < 0
@@ -555,6 +626,24 @@ object KeyedStats {
           Some((e.mins(i).toLong.compareTo(x), e.maxs(i).toLong.compareTo(x)))
         case _ => None
       }
+      // DOUBLE/FLOAT: the stored digits ARE the sortable-bits domain,
+      // so the predicate value transforms once and the comparison is
+      // the same signed-long compare — including NaN-greatest and
+      // -0.0 = +0.0, exactly Spark's evaluation order for the
+      // re-checked residual (the duals stay duals)
+      case org.apache.spark.sql.types.DoubleType =>
+        val x = v match {
+          case d: java.lang.Double => sortableDouble(d)
+          case f: java.lang.Float => sortableDouble(f.toDouble)
+          case _ => return None
+        }
+        Some((e.mins(i).toLong.compareTo(x), e.maxs(i).toLong.compareTo(x)))
+      case org.apache.spark.sql.types.FloatType =>
+        val x = v match {
+          case f: java.lang.Float => sortableFloat(f).toLong
+          case _ => return None
+        }
+        Some((e.mins(i).toLong.compareTo(x), e.maxs(i).toLong.compareTo(x)))
       case StringType =>
         val x = v match {
           case s: String => UTF8String.fromString(s)
@@ -663,6 +752,127 @@ object KeyedStats {
         residuals.exists(f => !canMatch(f, e, schema))
     }.map(_.rawKey).toSet
 
+  /** Render the per-generation NDV sketch file: header pins version +
+    * schema + key (the sidecar trust discipline), then one line per
+    * column with its US-joined sorted hash values. */
+  private[sources] def renderNdv(schema: StructType, key: String,
+      hashes: Array[Array[Long]]): String = {
+    val sb = new StringBuilder
+    sb.append(NdvVersion).append(PageSource.US).append(schemaTag(schema))
+      .append(PageSource.US).append(key).append('\n')
+    hashes.foreach { hs =>
+      sb.append(hs.mkString(PageSource.US)).append('\n')
+    }
+    sb.toString
+  }
+
+  /** Parse one generation's NDV sketch file against the declared
+    * schema + key. The header must match directly or differ only by
+    * recorded widenings whose hash domain is unchanged (INT→BIGINT:
+    * values were hashed as longs either way). Renames/adds and the
+    * FLOAT→DOUBLE widening refuse (None): their hash domains or
+    * column maps diverge, and an NDV silently merged across diverging
+    * domains would double-count — the conservative refusal drops the
+    * view to the no-NDV behavior, never a wrong number. */
+  private def readNdv(genRoot: String,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      declared: StructType, key: String,
+      widened: Set[String]): Option[Array[Array[Long]]] = {
+    val p = new org.apache.hadoop.fs.Path(genRoot, NdvFile)
+    val fs = p.getFileSystem(conf.value)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    // split KEEPING empty lines: a zero-hash column renders empty and
+    // must hold its position
+    val lines = text.split("\n", -1).dropRight(1)
+    if (lines.isEmpty) return None
+    val header = lines.head.split(PageSource.US, -1)
+    if (header.length != 3 || header(0) != NdvVersion) return None
+    // the INT-widen relaxation only: same digits, same hash domain.
+    // An fp widening must refuse here even though tagCompatible would
+    // accept it for min/max — hashes of float bits ≠ hashes of the
+    // promoted doubles' bits.
+    val fpWidened = declared.fields.exists(f =>
+      f.dataType == org.apache.spark.sql.types.DoubleType &&
+        widened.contains(f.name))
+    if (fpWidened || !tagCompatible(header(1), declared, widened) ||
+        header(2) != key) return None
+    if (lines.length != 1 + declared.length) throw new IllegalStateException(
+      s"graft-keyed ndv file corrupted at $genRoot: ${lines.length - 1} " +
+        s"column lines, schema implies ${declared.length}")
+    Some(lines.tail.map(l =>
+      if (l.isEmpty) Array.empty[Long]
+      else l.split(PageSource.US, -1).map(_.toLong)))
+  }
+
+  /** Merged table NDV for an EDITED view (r19): union each column's
+    * per-generation KMV sketches across the base generation and every
+    * generation serving an edit, truncate to the k smallest, estimate.
+    * None when any serving generation lacks a trustworthy sketch file
+    * (pre-r19 layout, foreign mutation, refused evolution) — the
+    * pre-r19 behavior, honestly. ESTIMATE SEMANTICS: the union covers
+    * every value the serving generations' FILES hold, including rows
+    * a copy-on-write edit replaced within the base generation and
+    * DV-deleted rows (sketches cannot subtract) — an upper-bound NDV,
+    * capped by live row count at the consumer
+    * (KeyedScan.computeStats), which is exactly how Iceberg's
+    * merged-manifest NDVs behave between compactions. */
+  private def mergedNdvTable(view: KeyedSource.SnapshotView,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      declared: StructType, key: String, widened: Set[String],
+      liveCount: Long): Option[TableNdv] = {
+    val gens: Seq[String] = (view.root +:
+      view.edits.valuesIterator.flatten.toSeq.map(view.genRoot)).distinct
+    val sketches = Array.fill(declared.length)(new KmvSketch)
+    val all = gens.forall { g =>
+      readNdv(g, conf, declared, key, widened) match {
+        case Some(cols) =>
+          var i = 0
+          while (i < cols.length) { sketches(i).addHashes(cols(i)); i += 1 }
+          true
+        case None => false
+      }
+    }
+    if (all) Some(TableNdv(liveCount, sketches.map(_.estimate))) else None
+  }
+
+  /** FILE-grain skipping inside kept keys (r19 — Iceberg prunes at
+    * file grain through its manifests; until now a matched key read
+    * EVERY generation file serving it, and at 100 TB one hot key's
+    * directory is itself TB-scale). For each row-level-edited key the
+    * residual conjuncts are re-proved against each serving
+    * generation's OWN per-(key, generation) sidecar entry — stats the
+    * writers already derive, no new metadata — and a generation whose
+    * entry PROVES the conjuncts empty drops from the key's dir list.
+    * Conservative refusals: DV'd keys (deletion-vector ordinals index
+    * the key's CONCATENATED stream — dropping a middle file would
+    * shift every later ordinal), keys already skipped whole, and any
+    * generation whose sidecar misses the key's line (no proof ⇒ plan
+    * it). Composes with evolution exactly like the view read: each
+    * generation's sidecar parses adapted through the lineage. Returns
+    * raw key → the generation names to drop. */
+  private[graft] def skippableFiles(view: KeyedSource.SnapshotView,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      declared: StructType, key: String,
+      residuals: Seq[org.apache.spark.sql.sources.Filter],
+      skipKeys: Set[String]): Map[String, Set[String]] = {
+    if (residuals.isEmpty || view.edits.isEmpty) return Map.empty
+    val widened = KeyedSource.widenedColumns(view.ops)
+    val perGen = scala.collection.mutable.Map.empty[String, Option[Sidecar]]
+    def sidecarOf(g: String): Option[Sidecar] =
+      perGen.getOrElseUpdate(g,
+        read(view.genRoot(g), conf, declared, key, widened, view.ops))
+    view.edits.iterator.collect {
+      case (raw, gens) if !view.dvs.contains(raw) && !skipKeys.contains(raw) =>
+        val dropped = gens.filter { g =>
+          sidecarOf(g).flatMap(_.entries.find(_.rawKey == raw))
+            .exists(e => residuals.exists(f => !canMatch(f, e, declared)))
+        }.toSet
+        raw -> dropped
+    }.filter(_._2.nonEmpty).toMap
+  }
+
   /** Snapshot-view sidecar: the metadata twin of
     * [[KeyedSource.SnapshotView.liveKeyDirs]]. Edit-free views reduce
     * to the base-generation sidecar read (entries unfiltered —
@@ -671,9 +881,12 @@ object KeyedStats {
     * each edited key the TYPED merge of its generations' entries. Any
     * generation whose sidecar is absent, header-mismatched, or missing
     * the key's line refuses the whole read (None — metadata answers
-    * fall back to the data scan); the table-level NDV line is claimed
-    * only by edit-free views (per-generation KMV estimates do not
-    * merge without the sketches). */
+    * fall back to the data scan). The table-level NDV line: edit-free
+    * views claim the base generation's directly; edited views MERGE
+    * the per-generation KMV sketch files (r19 — [[mergedNdvTable]];
+    * the sketches travel now, so "estimates do not merge" stopped
+    * being true) and refuse only when a serving generation lacks a
+    * trustworthy sketch. */
   private[graft] def readView(view: KeyedSource.SnapshotView,
       conf: org.apache.spark.util.SerializableConfiguration,
       declared: StructType, key: String): Option[Sidecar] = {
@@ -702,7 +915,11 @@ object KeyedStats {
               }
             } yield a :+ mergeEntries(declared, parts)
           }
-        edited.map(ed => Sidecar(baseOnly ++ ed, None))
+        edited.map { ed =>
+          val entries = baseOnly ++ ed
+          Sidecar(entries, mergedNdvTable(view, conf, declared, key,
+            widened, entries.map(_.count).sum))
+        }
       }
     if (view.dvs.isEmpty) merged
     else merged.map(sc => applyDvs(view, conf, declared, key, sc, sidecarOf))

@@ -86,11 +86,19 @@ final class KeyedWriteBuilder(declared: StructType, path: String, key: String,
       s"sortBy must name non-key layout columns, got ${sortBy.mkString(",")}")
     // INT joins the storable set in r18 as the WIDENING source type
     // (KeyedSource.WidenCol promotes it to BIGINT as pure metadata —
-    // the text frames hold the same digit bytes either way)
+    // the text frames hold the same digit bytes either way).
+    // DOUBLE/FLOAT join in r19 as sortable-bits digits (bit-exact
+    // IEEE storage whose numeric order IS Spark's double order —
+    // KeyedStats.sortableDouble), so DML/CDC/IVM/skipping cover the
+    // one type every real warehouse schema carries; SUM stays out of
+    // the metadata-answer set (FP addition is not associative).
     schema.fields.foreach(f => require(
       f.dataType == LongType || f.dataType == StringType ||
-        f.dataType == org.apache.spark.sql.types.IntegerType,
-      s"graft-keyed supports BIGINT, STRING, and INT fields, got ${f.name}: ${f.dataType}"))
+        f.dataType == org.apache.spark.sql.types.IntegerType ||
+        f.dataType == org.apache.spark.sql.types.DoubleType ||
+        f.dataType == org.apache.spark.sql.types.FloatType,
+      s"graft-keyed supports BIGINT, STRING, INT, DOUBLE, and FLOAT " +
+        s"fields, got ${f.name}: ${f.dataType}"))
     schema(key).dataType match {
       case LongType | StringType => ()
       case other => throw new IllegalArgumentException(
@@ -328,6 +336,16 @@ final class KeyedDataWriter(schema: StructType, key: String, genDir: String,
   // frames are the same ASCII digits) — only the row accessor differs
   private val isInt: Array[Boolean] = schema.fields.map(
     _.dataType == org.apache.spark.sql.types.IntegerType)
+  // DOUBLE/FLOAT frames store SORTABLE BITS digits (r19 —
+  // KeyedStats.sortableDouble/Float: bit-exact, numeric order = Spark
+  // double order), so min/max accumulate in the same Long slots as
+  // the integer leg; SUMS are never accumulated for them (the sidecar
+  // line carries 2 fields like STRING — FP addition isn't associative
+  // and a metadata sum could not match the scan bit-for-bit)
+  private val isFpD: Array[Boolean] = schema.fields.map(
+    _.dataType == org.apache.spark.sql.types.DoubleType)
+  private val isFpF: Array[Boolean] = schema.fields.map(
+    _.dataType == org.apache.spark.sql.types.FloatType)
   private val n = schema.length
   private val dirnameOk = java.util.regex.Pattern.compile("[A-Za-z0-9_.-]+")
   private val fs = new org.apache.hadoop.fs.Path(genDir).getFileSystem(conf.value)
@@ -356,8 +374,9 @@ final class KeyedDataWriter(schema: StructType, key: String, genDir: String,
     val maxs = new Array[String](n)
     var i = 0
     while (i < n) {
-      if (isLong(i) || isInt(i)) { mins(i) = minL(i).toString; maxs(i) = maxL(i).toString }
-      else { mins(i) = minS(i).toString; maxs(i) = maxS(i).toString }
+      if (isLong(i) || isInt(i) || isFpD(i) || isFpF(i)) {
+        mins(i) = minL(i).toString; maxs(i) = maxL(i).toString
+      } else { mins(i) = minS(i).toString; maxs(i) = maxS(i).toString }
       i += 1
     }
     done += KeyedKeyStats(currentRaw, count, mins, maxs, sums.clone())
@@ -418,6 +437,17 @@ final class KeyedDataWriter(schema: StructType, key: String, genDir: String,
         if (v > maxL(i)) maxL(i) = v
         // ANSI semantics at stage time, like the old stager's Spark sum
         sums(i) = Math.addExact(sums(i), v)
+        sketches(i).addLong(v)
+        out.write(java.lang.Long.toString(v)
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      } else if (isFpD(i) || isFpF(i)) {
+        // sortable-bits digits: accumulation, sketch hashing, and the
+        // frame bytes all live in the transformed Long domain (numeric
+        // order there IS the value order, NaN/-0.0 pre-normalized)
+        val v = if (isFpD(i)) KeyedStats.sortableDouble(row.getDouble(i))
+          else KeyedStats.sortableFloat(row.getFloat(i)).toLong
+        if (v < minL(i)) minL(i) = v
+        if (v > maxL(i)) maxL(i) = v
         sketches(i).addLong(v)
         out.write(java.lang.Long.toString(v)
           .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
@@ -521,16 +551,24 @@ private[sources] object KeyedWriteAudit {
     if (dup.nonEmpty) throw new IllegalStateException(
       s"graft-keyed $what produced ${dup.size} keys in multiple tasks " +
         s"(${dup.take(3).mkString(",")}…): clustering contract violated, not publishing")
-    val table = {
-      val merged = Array.fill(schema.length)(new KmvSketch)
-      msgs.foreach(_.sketches.zipWithIndex.foreach { case (hs, i) =>
-        merged(i).addHashes(hs) })
-      KeyedStats.TableNdv(entries.map(_.count).sum, merged.map(_.estimate))
-    }
+    val merged = Array.fill(schema.length)(new KmvSketch)
+    msgs.foreach(_.sketches.zipWithIndex.foreach { case (hs, i) =>
+      merged(i).addHashes(hs) })
+    val table = KeyedStats.TableNdv(entries.map(_.count).sum,
+      merged.map(_.estimate))
     val sidecarEntries = entries.map(e =>
       KeyedStats.Entry(e.rawKey, e.count, e.mins, e.maxs, e.sums))
     KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedStats.SidecarFile),
       KeyedStats.render(schema, key, sidecarEntries, Some(table)))
+    // r19: persist the KMV sketch BYTES per column alongside the
+    // estimates — KMV merges by construction (union the hash sets,
+    // keep the K smallest), so a view whose keys are served by
+    // several generations can still answer table NDV by merging the
+    // per-generation sketches (readView used to drop NDV on ANY
+    // edited view: "estimates do not merge without the sketches" —
+    // now they travel). ~K×8 bytes per column, one file per commit.
+    KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedStats.NdvFile),
+      KeyedStats.renderNdv(schema, key, merged.map(_.hashes)))
     if (sortBy.nonEmpty)
       KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedSource.OrderFile),
         KeyedSource.renderOrderMarker(schema, key, sortBy))

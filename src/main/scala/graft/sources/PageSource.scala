@@ -783,8 +783,13 @@ final class PageReaderFactory(full: StructType, required: StructType,
       conf, limit, consumed)
   // columnar decode is the default scan bottom (VectorizedFrame
   // scaladoc has the full why); BatchScanExec requires the answer to
-  // be uniform across partitions, which a constant trivially is
-  override def supportColumnarReads(partition: InputPartition): Boolean = vectorize
+  // be uniform across partitions, which a constant trivially is.
+  // The columnar decoder types its buffers BIGINT/STRING only — INT
+  // (the widening source type) and the r19 sortable-bits FP columns
+  // ride the row path, the same degradation the keyed factory applies
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    vectorize && required.fields.forall(f =>
+      f.dataType == LongType || f.dataType == StringType)
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new PageColumnarReader(partition.asInstanceOf[PagePartition].pageDir,
@@ -863,13 +868,18 @@ final class PageReader(pageDir: String, full: StructType, required: StructType,
   private val srcIdx: Array[Int] = required.fields.map(f => full.fieldIndex(f.name))
   // 0 = BIGINT, 1 = STRING, 2 = INT (r18 — the keyed layout's widening
   // source type; frames store ASCII digits either way, only the parse
-  // target differs)
+  // target differs), 3 = DOUBLE, 4 = FLOAT (r19 — frames store the
+  // value's SORTABLE BITS as digits, KeyedStats.sortableDouble; the
+  // decode inverts the order-preserving transform, bit-exact)
   private val kind: Array[Int] = required.fields.map(_.dataType match {
     case LongType => 0
     case StringType => 1
     case org.apache.spark.sql.types.IntegerType => 2
+    case org.apache.spark.sql.types.DoubleType => 3
+    case org.apache.spark.sql.types.FloatType => 4
     case other => throw new IllegalArgumentException(
-      s"graft-pages supports BIGINT, STRING, and INT fields, got $other")
+      s"graft frame layouts support BIGINT, STRING, INT, DOUBLE, and " +
+        s"FLOAT fields, got $other")
   })
   private val nOut = srcIdx.length
   private val nFull = full.length
@@ -934,7 +944,9 @@ final class PageReader(pageDir: String, full: StructType, required: StructType,
         out(i) = kind(i) match {
           case 0 => v.toLong
           case 1 => UTF8String.fromString(v)
-          case _ => v.toInt
+          case 2 => v.toInt
+          case 3 => KeyedStats.unsortableDouble(v.toLong)
+          case _ => KeyedStats.unsortableFloat(v.toInt)
         }
         i += 1
       }

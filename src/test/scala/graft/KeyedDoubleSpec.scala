@@ -1,0 +1,218 @@
+package graft
+
+import graft.sources.{KeyedSource, KeyedStats}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+import org.apache.spark.sql.types.StructType
+
+/** DOUBLE/FLOAT in the keyed transactional layer (r19 — the r18
+  * verdict's top gap: the layout refused the one type every real
+  * warehouse schema carries). Storage is the decimal digits of the
+  * ORDER-PRESERVING IEEE-754 bit transform
+  * ([[KeyedStats.sortableDouble]]): bit-exact for every value, with
+  * write-time normalization of -0.0 → +0.0 and NaN → canonical NaN
+  * (the same normalization Spark applies to float keys), so the
+  * stored numeric order IS Spark's double order and min/max merge,
+  * ordering claims, and the skipping duals all ride the existing
+  * numeric legs. SUM stays OUT of the metadata-answer set: FP
+  * addition is not associative, so a sidecar sum could not reproduce
+  * the scan bit-for-bit — the pushdown refuses and the data scan
+  * answers. Pins:
+  *  (1) transform laws: bijective round-trip and order agreement with
+  *      Spark/java total order across the value spectrum;
+  *  (2) layout round-trip bit-exactness (negatives, fractions,
+  *      subnormals, ±Inf) + the documented normalizations;
+  *  (3) metadata-answered min/max/count over DOUBLE (zero data
+  *      files) and the SUM refusal;
+  *  (4) non-key skipping on a DOUBLE range predicate (fractional
+  *      bounds included — the r18 ADVICE truncation hazard class);
+  *  (5) CDC over a DOUBLE layout (the kind-code readers);
+  *  (6) ordering claim on a DOUBLE sortBy. */
+class KeyedDoubleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ddl = "kb BIGINT, doc_id BIGINT, score DOUBLE"
+  private def readKeyed(dir: String): DataFrame =
+    spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", ddl).option("key", "kb").load()
+
+  private def scanOf(df: DataFrame) =
+    df.queryExecution.sparkPlan.collectLeaves()
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+      .head.scan
+
+  test("sortable transform: bijective and order-preserving across the double spectrum") {
+    val samples: Seq[Double] = Seq(
+      Double.NegativeInfinity, -1.7976931348623157e308, -12345.678, -1.0,
+      -java.lang.Double.MIN_VALUE, 0.0, java.lang.Double.MIN_VALUE,
+      4.9e-324, 1e-200, 0.5, 1.0, 1.5, 2.5625, 1e17, 9.007199254740993e15,
+      1.7976931348623157e308, Double.PositiveInfinity) ++
+      (1 to 500).map(i => math.sin(i.toDouble) * math.pow(10.0, i % 60 - 30))
+    // round-trip is bit-exact
+    samples.foreach { d =>
+      val back = KeyedStats.unsortableDouble(KeyedStats.sortableDouble(d))
+      assert(java.lang.Double.doubleToLongBits(back) ==
+        java.lang.Double.doubleToLongBits(d), s"roundtrip of $d")
+    }
+    // signed-long order == java.lang.Double.compare order
+    val sorted = samples.sorted(Ordering.fromLessThan[Double](
+      (a, b) => java.lang.Double.compare(a, b) < 0))
+    sorted.sliding(2).foreach { case Seq(a, b) =>
+      assert(KeyedStats.sortableDouble(a) <= KeyedStats.sortableDouble(b),
+        s"order of ($a, $b)")
+    case _ => ()
+    }
+    // normalizations: -0.0 folds to +0.0, every NaN to the canonical one
+    assert(KeyedStats.sortableDouble(-0.0) == KeyedStats.sortableDouble(0.0))
+    assert(KeyedStats.sortableDouble(
+      java.lang.Double.longBitsToDouble(0xfff0000000000001L)) ==
+      KeyedStats.sortableDouble(Double.NaN))
+    // NaN sorts above +Inf — Spark's comparison order
+    assert(KeyedStats.sortableDouble(Double.NaN) >
+      KeyedStats.sortableDouble(Double.PositiveInfinity))
+    // float twin: same laws on a quick sweep
+    val fs = Seq(Float.NegativeInfinity, -1.5f, 0.0f,
+      java.lang.Float.MIN_VALUE, 0.1f, 3.4e38f, Float.PositiveInfinity)
+    fs.foreach { f =>
+      val back = KeyedStats.unsortableFloat(KeyedStats.sortableFloat(f))
+      assert(java.lang.Float.floatToIntBits(back) ==
+        java.lang.Float.floatToIntBits(f), s"float roundtrip of $f")
+    }
+    // -0.0f folds to +0.0f like the double leg
+    assert(KeyedStats.sortableFloat(-0.0f) == KeyedStats.sortableFloat(0.0f))
+    assert(KeyedStats.sortableFloat(Float.NaN) >
+      KeyedStats.sortableFloat(Float.PositiveInfinity))
+  }
+
+  test("layout round-trip is bit-exact; -0.0 and NaN normalize as documented") {
+    val dir = io.TempDirs.scratch("graft_dbl_rt_") + "/t"
+    val vals = Seq(-1.0e300, -2.5625, -4.9e-324, 0.0, -0.0, 4.9e-324,
+      0.1, 1.0 / 3.0, 12345.6789, 1.0e300,
+      Double.PositiveInfinity, Double.NegativeInfinity, Double.NaN)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong % 4, i.toLong, v) }
+      .toDF("kb", "doc_id", "score")
+    KeyedSource.stageKeyed(spark, df, dir, "kb")
+    val back = readKeyed(dir).orderBy("doc_id").select("score")
+      .as[Double].collect()
+    vals.zip(back).foreach { case (in, out) =>
+      val expected =
+        if (in == 0.0) 0.0 // -0.0 normalizes (Spark's own key normalization)
+        else in
+      assert(java.lang.Double.doubleToLongBits(out) ==
+        java.lang.Double.doubleToLongBits(expected),
+        s"stored $in read back $out")
+    }
+  }
+
+  test("min/max/count over DOUBLE answer from the sidecar; SUM refuses to the data scan") {
+    val dir = io.TempDirs.scratch("graft_dbl_agg_") + "/t"
+    val df = (0L until 128L).map(i => (i % 8, i, (i.toDouble - 60.0) / 4.0))
+      .toDF("kb", "doc_id", "score")
+    KeyedSource.stageKeyed(spark, df, dir, "kb")
+    val agg = readKeyed(dir).groupBy("kb")
+      .agg(count(lit(1)).as("n"), min("score").as("mn"), max("score").as("mx"))
+    val desc = scanOf(agg).description()
+    assert(desc.contains("sidecar only, zero data files"), desc)
+    val rows = agg.orderBy("kb").collect()
+    assert(rows.length == 8)
+    // oracle: recompute over the input
+    val expect = df.groupBy("kb")
+      .agg(count(lit(1)).as("n"), min("score").as("mn"), max("score").as("mx"))
+      .orderBy("kb").collect()
+    assert(rows.toSeq.map(_.toSeq) == expect.toSeq.map(_.toSeq))
+    // SUM of a double refuses the metadata path (not associative) but
+    // still computes through the ordinary scan
+    val sq = readKeyed(dir).agg(sum("score").as("s"))
+    assert(!scanOf(sq).description().contains("sidecar only"),
+      scanOf(sq).description())
+    val got = sq.head().getDouble(0)
+    val exp = df.agg(sum("score")).head().getDouble(0)
+    assert(got == exp)
+  }
+
+  test("non-key skipping proves DOUBLE ranges, fractional bounds included") {
+    val dir = io.TempDirs.scratch("graft_dbl_skip_") + "/t"
+    // range-keyed: kb = i DIV 16, score strictly increasing with i →
+    // per-directory score intervals are disjoint
+    val df = (0L until 256L).map(i => (i / 16L, i, i.toDouble / 8.0 - 10.0))
+      .toDF("kb", "doc_id", "score")
+    KeyedSource.stageKeyed(spark, df, dir, "kb")
+    val q = readKeyed(dir).where(col("score") >= lit(15.3))
+    val desc = scanOf(q).description()
+    assert(desc.contains("skipped="), desc)
+    val partitions = scanOf(q).toBatch.planInputPartitions().length
+    assert(partitions <= 4, s"planned $partitions of 16")
+    val expect = df.where(col("score") >= lit(15.3)).orderBy("doc_id")
+      .collect().toSeq.map(_.toSeq)
+    assert(q.orderBy("doc_id").collect().toSeq.map(_.toSeq) == expect)
+    // the dual direction: a strict < with a fractional bound below
+    // every stored value plans ZERO partitions (proof, not trust)
+    val none = readKeyed(dir).where(col("score") < lit(-10.5))
+    assert(scanOf(none).toBatch.planInputPartitions().isEmpty)
+    assert(none.count() == 0L)
+  }
+
+  test("changes table over a DOUBLE layout: update interval nets exact fp rows") {
+    val dir = io.TempDirs.scratch("graft_dbl_cdc_") + "/t"
+    val df = (0L until 64L).map(i => (i % 4, i, i.toDouble / 4.0))
+      .toDF("kb", "doc_id", "score")
+    KeyedSource.stageKeyed(spark, df, dir, "kb", retain = 4)
+    // rewrite one key's content (COW row-level via overwrite of the
+    // same layout: stage v2 with key 2's scores shifted)
+    val df2 = (0L until 64L).map { i =>
+      (i % 4, i, if (i % 4 == 2) i.toDouble / 4.0 + 0.5 else i.toDouble / 4.0)
+    }.toDF("kb", "doc_id", "score")
+    KeyedSource.stageKeyed(spark, df2, dir, "kb", retain = 4)
+    val changes = spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", ddl).option("key", "kb")
+      .option("metadata", "changes")
+      .option("changesFrom", "1").option("changesTo", "2").load()
+    val ins = changes.where(col("_change_type") === "insert")
+      .select("doc_id", "score").orderBy("doc_id").as[(Long, Double)].collect()
+    val del = changes.where(col("_change_type") === "delete")
+      .select("doc_id", "score").orderBy("doc_id").as[(Long, Double)].collect()
+    val expectIns = (0L until 64L).filter(_ % 4 == 2)
+      .map(i => (i, i.toDouble / 4.0 + 0.5))
+    val expectDel = (0L until 64L).filter(_ % 4 == 2)
+      .map(i => (i, i.toDouble / 4.0))
+    assert(ins.toSeq == expectIns)
+    assert(del.toSeq == expectDel)
+  }
+
+  test("a DOUBLE sortBy column carries the stored-order claim") {
+    val dir = io.TempDirs.scratch("graft_dbl_ord_") + "/t"
+    val df = (0L until 64L).map(i => (i % 4, i, (63 - i).toDouble / 2.0))
+      .toDF("kb", "doc_id", "score")
+    KeyedSource.stageKeyed(spark, df, dir, "kb", sortBy = Seq("score"))
+    val scan = scanOf(readKeyed(dir))
+    val ordering = scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportOrdering]
+      .outputOrdering()
+    assert(ordering.map(_.expression().describe()).toSeq == Seq("kb", "score"),
+      ordering.mkString(","))
+    // ...and the claim is TRUE: per partition, scores ascend
+    val rows = readKeyed(dir).where(col("kb") === 1L).select("score")
+      .as[Double].collect()
+    assert(rows.sameElements(rows.sorted))
+  }
+
+  test("FLOAT columns round-trip and aggregate exactly") {
+    val ddlF = "kb BIGINT, doc_id BIGINT, w FLOAT"
+    val dir = io.TempDirs.scratch("graft_flt_rt_") + "/t"
+    val vals = Seq(-3.5f, -0.25f, 0.0f, 0.125f, 1.0f / 3.0f, 65504.0f)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong % 2, i.toLong, v) }
+      .toDF("kb", "doc_id", "w")
+    KeyedSource.stageKeyed(spark, df, dir, "kb")
+    val read = spark.read.format("graft-keyed").option("path", dir)
+      .option("schema", ddlF).option("key", "kb").load()
+    val back = read.orderBy("doc_id").select("w").as[Float].collect()
+    vals.zip(back).foreach { case (in, out) =>
+      assert(java.lang.Float.floatToIntBits(in) ==
+        java.lang.Float.floatToIntBits(out), s"stored $in read back $out")
+    }
+    val agg = read.agg(min("w"), max("w"))
+    assert(scanOf(agg).description().contains("sidecar only"), "float min/max pushes")
+    val r = agg.head()
+    assert(r.getFloat(0) == -3.5f && r.getFloat(1) == 65504.0f)
+  }
+}

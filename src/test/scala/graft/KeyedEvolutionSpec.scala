@@ -285,10 +285,89 @@ class KeyedEvolutionSpec extends SparkSpec {
       KeyedSource.evolveKeyed(spark, dir, evolved,
         Seq(KeyedSource.WidenCol("pop")))
     }
-    assert(ws.getMessage.contains("only INT columns widen"), ws.getMessage)
+    assert(ws.getMessage.contains("widenings are representable"), ws.getMessage)
     val nar = intercept[Exception] {
       read(dir, intDdl).collect() // head now mixes a BIGINT generation
     }
+    assert(nar.getMessage.contains("type changes refuse"), nar.getMessage)
+  }
+
+  test("FLOAT→DOUBLE widening: old generations promote per value; sidecar digits convert; ordering and skipping survive") {
+    val dir = graft.io.TempDirs.scratch("graft_evo_fwiden_") + "/t"
+    // range-keyed FLOAT column, sorted by it: per-key w intervals are
+    // disjoint (skipping bait) and the marker records w:FLOAT
+    val dff = (0 until 32).map(i => (i / 8L, i.toLong, i.toFloat / 4.0f))
+      .toDF("kb", "doc_id", "w")
+    KeyedSource.stageKeyed(spark, dff, dir, "kb",
+      sortBy = Seq("w"), retain = 4)
+    val fDdl = "kb BIGINT, doc_id BIGINT, w FLOAT"
+    val dDdl = "kb BIGINT, doc_id BIGINT, w DOUBLE"
+    assert(read(dir, fDdl).where($"w" >= 2.0f).count() == 24L)
+
+    // widen: ONE metadata commit — unlike INT→BIGINT the stored
+    // digits do NOT re-type (sortable-int vs sortable-long domains),
+    // so this leg proves the per-value decode promotion and the
+    // sidecar digit CONVERSION paths
+    val evolved = KeyedSource.evolveKeyed(spark, dir,
+      StructType.fromDDL(fDdl), Seq(KeyedSource.WidenCol("w")))
+    assert(evolved("w").dataType == org.apache.spark.sql.types.DoubleType)
+
+    // the old generation decodes PROMOTED, exactly (every float is a
+    // double)
+    val head = read(dir, dDdl).orderBy("doc_id").collect()
+    assert(head.map(_.getDouble(2)).toSeq ==
+      (0 until 32).map(i => (i.toFloat / 4.0f).toDouble))
+
+    // a post-widening DOUBLE append mixes generations (key 4 is new —
+    // single-dir keys keep the ordering claim testable below)
+    (32 until 36).map(i => (i / 8L, i.toLong, i.toDouble / 4.0))
+      .toDF("kb", "doc_id", "w")
+      .write.format("graft-keyed").option("schema", dDdl)
+      .option("key", "kb").option("sortBy", "w")
+      .mode("append").save(dir)
+
+    // pushed min/max across MIXED generations: the pre-widening
+    // sidecar parses ADAPTED with float→double digit conversion, the
+    // post-widening one directly — both metadata-answered
+    val agg = read(dir, dDdl).groupBy("kb").agg(max("w").as("mx"))
+    assert(agg.queryExecution.executedPlan.toString.contains("GraftKeyedStats"),
+      agg.queryExecution.executedPlan.toString)
+    assert(agg.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map(0L -> 1.75, 1L -> 3.75, 2L -> 5.75, 3L -> 7.75, 4L -> 8.75))
+
+    // skipping through the CONVERTED sidecar: w >= 6.0 proves the
+    // first three pre-widening directories empty
+    val skip = read(dir, dDdl).where($"w" >= 6.0)
+    val scan = skip.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.scan
+    assert(scan.description().contains("skipped=3"), scan.description())
+    assert(skip.count() == 12L)
+
+    // the order-marker claim (w:FLOAT) survives under the recorded
+    // widening — the promotion is monotone
+    val ordered = read(dir, dDdl).where($"kb" === 1L)
+    val oscan = ordered.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportOrdering]
+    assert(oscan.outputOrdering().nonEmpty,
+      "a widened FLOAT sort column must keep the stored-order claim")
+
+    // TIME TRAVEL UNDER THE OLD TYPE: the pre-widening snapshot still
+    // reads with the FLOAT declaration (and with the DOUBLE one)
+    assert(read(dir, fDdl, asOf = Some(1L)).orderBy("doc_id").collect()
+      .map(_.getFloat(2)).toSeq == (0 until 32).map(_.toFloat / 4.0f))
+    assert(read(dir, dDdl, asOf = Some(1L)).count() == 32L)
+
+    // a second widen of the now-DOUBLE column refuses
+    val ws = intercept[IllegalArgumentException] {
+      KeyedSource.evolveKeyed(spark, dir, evolved,
+        Seq(KeyedSource.WidenCol("w")))
+    }
+    assert(ws.getMessage.contains("widenings are representable"), ws.getMessage)
+    // reading the mixed layout under the OLD float declaration refuses
+    // (a double generation cannot narrow)
+    val nar = intercept[Exception] { read(dir, fDdl).collect() }
     assert(nar.getMessage.contains("type changes refuse"), nar.getMessage)
   }
 
@@ -322,6 +401,6 @@ class KeyedEvolutionSpec extends SparkSpec {
         org.apache.spark.sql.connector.catalog.TableChange.updateColumnType(
           Array("kb"), org.apache.spark.sql.types.StringType))
     }
-    assert(cr.getMessage.contains("INT->BIGINT widening"), cr.getMessage)
+    assert(cr.getMessage.contains("INT->BIGINT and FLOAT->DOUBLE"), cr.getMessage)
   }
 }

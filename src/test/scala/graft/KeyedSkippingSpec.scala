@@ -260,6 +260,71 @@ class KeyedSkippingSpec extends SparkSpec {
     assert(q2.count() == 16L)
   }
 
+  test("file-grain skipping: a kept key plans a strict subset of its generation files, values identical to the unpruned twin") {
+    val dir = graft.io.TempDirs.scratch("graft_skip_file_") + "/t"
+    // base generation: doc_id 0..63 across 4 keys (kb = doc_id % 4);
+    // two APPENDS shift doc_id by 100/200 — every key ends up served
+    // by 3 generation files with DISJOINT per-generation doc_id
+    // intervals (the time-partitioned append shape)
+    def batch(off: Long) = (0L until 64L).map(i =>
+      (i % 4L, i + off, s"src${(i + off) / 16L}", (i * 7L) % 101L))
+      .toDF("kb", "doc_id", "source", "n_chars")
+    KeyedSource.stageKeyed(spark, batch(0L), dir, "kb", retain = 4)
+    Seq(100L, 200L).foreach(off =>
+      batch(off).write.format("graft-keyed").option("schema", ddl)
+        .option("key", "kb").mode("append").save(dir))
+
+    // recency filter: only the LAST append can match — each kept key
+    // plans 1 of its 3 files; the description says so
+    val q = readKeyed(dir).where($"doc_id" >= 200L)
+    val parts = scanOf(q).toBatch.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.KeyedPartition])
+    assert(parts.length == 4, s"all 4 keys kept, got ${parts.length}")
+    assert(parts.forall(_.dirs.length == 1),
+      parts.map(_.dirs.length).mkString(","))
+    assert(scanOf(q).description().contains("skippedFiles=8"),
+      scanOf(q).description())
+    // values identical to the logical recompute over all three batches
+    val expect = Seq(0L, 100L, 200L).map(batch).reduce(_ unionByName _)
+      .where($"doc_id" >= 200L).orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    assert(q.orderBy("doc_id").collect().toSeq.map(_.toSeq) == expect)
+
+    // a middle slice keeps only the middle file per key
+    val mid = readKeyed(dir).where($"doc_id" >= 100L && $"doc_id" <= 163L)
+    assert(scanOf(mid).toBatch.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.KeyedPartition])
+      .forall(_.dirs.length == 1))
+    assert(mid.count() == 64L)
+
+    // `_graft_pos` disables file pruning: ordinals index the FULL
+    // concatenated stream, so the metadata scan plans every file
+    val posQ = readKeyed(dir).where($"doc_id" >= 200L)
+      .select($"doc_id", org.apache.spark.sql.functions.col("_graft_pos"))
+    val posParts = scanOf(posQ).toBatch.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.KeyedPartition])
+    assert(posParts.forall(_.dirs.length == 3),
+      posParts.map(_.dirs.length).mkString(","))
+
+    // a DV'd key refuses file pruning (ordinal stability) but its
+    // values stay right; the other keys keep pruning
+    spark.conf.set("spark.sql.catalog.gskipf", classOf[GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS gskipf.fg")
+    spark.sql(
+      s"""CREATE TABLE gskipf.fg (kb BIGINT, doc_id BIGINT, source STRING,
+         |n_chars BIGINT) USING `graft-keyed` LOCATION '$dir'
+         |TBLPROPERTIES('key'='kb','retain'='4','dmlMode'='mor')""".stripMargin)
+    spark.sql("DELETE FROM gskipf.fg WHERE doc_id = 201")
+    val afterDv = readKeyed(dir).where($"doc_id" >= 200L)
+    val dvParts = scanOf(afterDv).toBatch.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.KeyedPartition])
+    // key 1 (holds doc 201) carries a DV → all 3 files planned there;
+    // the other three keys still plan 1
+    assert(dvParts.count(_.dirs.length == 3) == 1 &&
+      dvParts.count(_.dirs.length == 1) == 3,
+      dvParts.map(_.dirs.length).mkString(","))
+    assert(afterDv.count() == 63L)
+  }
+
   test("proof soundness under randomized filters (property): !canMatch ⇒ no row matches; allMatch ⇒ every row matches") {
     // the skipping evaluators are PROOF engines: an unsound `false`
     // from canMatch silently drops live rows, an unsound `true` from

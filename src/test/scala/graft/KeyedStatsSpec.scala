@@ -214,6 +214,70 @@ class KeyedStatsSpec extends SparkSpec {
 
   /** Copy of a staged layout minus its sidecar — the fallback twin.
     * The sidecar lives in the COMMITTED generation (r15 WAP write). */
+  test("table NDV survives DML: per-generation KMV sketches merge on edited views (r19)") {
+    val dir = graft.io.TempDirs.scratch("graft_kndv_") + "/t"
+    val df = (0L until 96L).map(i =>
+        (i % 8L, i, s"src_${i % 5L}", (i * 7L) % 101L))
+      .toDF("kb", "doc_id", "source", "n_chars")
+    KeyedSource.stageKeyed(spark, df, dir, "kb", retain = 4)
+    spark.conf.set("spark.sql.catalog.gndv",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS gndv.t")
+    spark.sql(
+      s"""CREATE TABLE gndv.t (kb BIGINT, doc_id BIGINT, source STRING,
+         |n_chars BIGINT) USING `graft-keyed` LOCATION '$dir'
+         |TBLPROPERTIES('key'='kb','retain'='4')""".stripMargin)
+    // copy-on-write UPDATE: rewritten keys are served from a NEW
+    // generation — the exact state readView used to drop NDV on
+    spark.sql("UPDATE gndv.t SET n_chars = n_chars + 1000 WHERE doc_id % 7 = 1")
+
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    val view = KeyedSource.resolveView(dir, spark.sessionState.newHadoopConf(), None)
+    assert(view.edits.nonEmpty, "the UPDATE must have produced edits")
+    val sc = KeyedStats.readView(view, conf, schema, "kb").get
+    val t = sc.table.getOrElse(fail("edited view must still carry table NDV"))
+    assert(t.count == 96L)
+    // sketch-union semantics: kb/doc_id/source distincts unchanged by
+    // the update (exact below K); n_chars gains the rewritten values —
+    // an upper bound of the live distinct count, never below it
+    assert(t.ndvs(0) == 8L, s"kb NDV: ${t.ndvs(0)}")
+    assert(t.ndvs(1) == 96L, s"doc_id NDV: ${t.ndvs(1)}")
+    assert(t.ndvs(2) == 5L, s"source NDV: ${t.ndvs(2)}")
+    // the union covers the serving generations' FILES: live values
+    // plus the base copies of rewritten rows (sketches cannot
+    // subtract) — exact below K, an upper bound of live NDV
+    val liveNdv = readKeyed(dir).select("n_chars").distinct().count()
+    val unionNdv = df.select("n_chars")
+      .union(df.where("doc_id % 7 = 1").selectExpr("n_chars + 1000"))
+      .distinct().count()
+    assert(t.ndvs(3) == unionNdv && t.ndvs(3) >= liveNdv,
+      s"n_chars NDV ${t.ndvs(3)} vs union $unionNdv / live $liveNdv")
+
+    // the q59-shape consumer: the edited view still reports COLUMN
+    // statistics to the planner (distinctCount present), so CBO-side
+    // cardinality estimation keeps its inputs after an UPDATE
+    val scan = readKeyed(dir).queryExecution.sparkPlan.collectLeaves()
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+      .head.scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+    val stats = scan.estimateStatistics()
+    assert(stats.numRows().getAsLong == 96L)
+    assert(!stats.columnStats().isEmpty,
+      "edited view must keep reporting column statistics")
+
+    // pre-r19 layouts degrade gracefully: strip one serving
+    // generation's sketch file ⇒ NDV refuses (None), nothing breaks
+    val editGen = view.edits.valuesIterator.flatten.toSeq.head
+    val f = new java.io.File(view.genRoot(editGen), KeyedStats.NdvFile)
+    assert(f.exists() && f.delete())
+    new java.io.File(view.genRoot(editGen), s".${KeyedStats.NdvFile}.crc").delete()
+    val sc2 = KeyedStats.readView(view, conf, schema, "kb").get
+    assert(sc2.table.isEmpty, "a missing sketch must refuse NDV, not guess")
+    assert(sc2.entries.map(_.count).sum == 96L)
+  }
+
   private def stripSidecar(dir: String): String = {
     val root = KeyedSource.committedRoot(spark, dir)
     val f = new java.io.File(root, KeyedStats.SidecarFile)
