@@ -2504,7 +2504,87 @@ object Relational {
              |  CAST(sum(cur.n_chars) AS BIGINT) AS sum_chars
              |FROM documents d JOIN cur ON d.doc_id = cur.doc_id
              |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
-      "mergeable KMV sketches keep planner statistics alive under DML: the q59 hint-free broadcast decision and column NDVs survive an UPDATE, values oracle-exact")
+      "mergeable KMV sketches keep planner statistics alive under DML: the q59 hint-free broadcast decision and column NDVs survive an UPDATE, values oracle-exact"),
+
+    // ── Catalog materialized view (q86 — IVM as a catalog feature) ────
+    // q75/q79/q80 proved the delta algebra; r18's verdict called the
+    // gap: "IVM is a library, not a catalog feature — nothing
+    // registers a materialized view and refreshes it on commit." r19
+    // registers the view IN GraftCatalog (GraftMv.MvSpec: group/sum/
+    // extreme spec + last-applied source seq, persisted with the
+    // warehouse store) and `refreshMaterializedView` derives the
+    // changes interval ITSELF — the consumer never touches a seq or
+    // an apply call, the Snowflake/Materialize UX. The lifecycle here
+    // is q79's full mix (MOR UPDATE → extreme-witness DELETE → append
+    // → compaction that CDC nets to zero) driven through SQL against
+    // the source, then ONE refresh; the view — itself a keyed layout
+    // keyed by the group, readable as an ordinary catalog table —
+    // must equal the oracle's recompute of the final state. Refresh
+    // cost at 100 TB: O(interval delta) + bounded extreme repair +
+    // a group-domain-sized view rewrite, never a corpus scan
+    // (GraftCatalogSpec pins persistence + no-op refresh).
+    "q86_catalog_mv" -> Q(
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        LlmData.tableOnce(bucketMemo, s, dir + "#mv")({
+          val out = graft.io.TempDirs.scratch("graft_mv_")
+          val tbl = s"$out/src"
+          graft.sources.KeyedSource.stageKeyed(s,
+            t(s, dir, "documents")
+              .selectExpr("doc_id % 16 AS kb", "doc_id", "n_chars"),
+            tbl, "kb", sortBy = Seq("doc_id"), retain = 8)
+          s.conf.set("spark.sql.catalog.graftcat",
+            classOf[graft.sources.GraftCatalog].getName)
+          val srcName = s"mvsrc_$tag"
+          s.sql(s"DROP TABLE IF EXISTS graftcat.$srcName")
+          s.sql(s"DROP TABLE IF EXISTS graftcat.mv_$tag")
+          s.sql(s"CREATE TABLE graftcat.$srcName (kb BIGINT, doc_id BIGINT, " +
+            s"n_chars BIGINT) USING `graft-keyed` LOCATION '$tbl' " +
+            "TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='8','dmlMode'='mor')")
+          val cat = s.sessionState.catalogManager.catalog("graftcat")
+            .asInstanceOf[graft.sources.GraftCatalog]
+          import org.apache.spark.sql.connector.catalog.Identifier
+          cat.createMaterializedView(
+            Identifier.of(Array.empty, s"mv_$tag"),
+            Identifier.of(Array.empty, srcName),
+            group = "kb", sums = Seq("n_chars"), minMax = Seq("n_chars"),
+            viewPath = s"$out/view")
+          // the mixed interval: new maxima, extreme-witness deletes,
+          // new minima via append, and a maintenance commit CDC nets
+          // to zero — all AFTER the view's bootstrap snapshot
+          s.sql(s"UPDATE graftcat.$srcName SET n_chars = n_chars + 5000 " +
+            "WHERE doc_id % 9 = 1")
+          s.sql(s"DELETE FROM graftcat.$srcName WHERE n_chars >= 5000")
+          t(s, dir, "documents")
+            .selectExpr("(doc_id + 4000000) % 16 AS kb",
+              "doc_id + 4000000 AS doc_id", "CAST(3 AS BIGINT) AS n_chars")
+            .where("doc_id % 40 = 0")
+            .write.format("graft-keyed")
+            .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+            .option("key", "kb").option("sortBy", "doc_id")
+            .mode("append").save(tbl)
+          graft.sources.KeyedCompact.compact(s, tbl,
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "kb BIGINT, doc_id BIGINT, n_chars BIGINT"), "kb")
+          // ONE call; the catalog derives (lastApplied, head] itself
+          cat.refreshMaterializedView(Identifier.of(Array.empty, s"mv_$tag"))
+          out
+        })
+        s.table(s"graftcat.mv_$tag").orderBy("kb")
+      },
+      Some("""WITH survived AS (
+             |  SELECT doc_id % 16 AS kb, doc_id, n_chars FROM documents
+             |  WHERE doc_id % 9 <> 1),
+             |cur AS (
+             |  SELECT * FROM survived
+             |  UNION ALL
+             |  SELECT (doc_id + 4000000) % 16, doc_id + 4000000, 3
+             |  FROM documents WHERE doc_id % 40 = 0)
+             |SELECT kb, count(*) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+             |  min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
+             |FROM cur GROUP BY kb ORDER BY kb""".stripMargin),
+      "materialized view as a catalog object: registered spec + last-applied seq, one REFRESH derives the changes interval and delta-maintains count/sum/extremes across UPDATE+DELETE+append+compaction — equals the recompute")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table

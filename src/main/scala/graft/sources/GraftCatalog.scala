@@ -56,17 +56,25 @@ final class GraftCatalog extends TableCatalog {
   private var catalogName: String = _
   private var warehouse: Option[String] = None
 
+  private var mvs: scala.collection.concurrent.TrieMap[Identifier, GraftMv.MvSpec] = _
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     warehouse = Option(options.get("warehouse")).filter(_.nonEmpty)
     tables = GraftCatalog.registryFor(name)
+    mvs = GraftMv.registryFor(name)
     // recover persisted registrations (new JVM / first instance)
     warehouse.foreach(w => GraftCatalog.loadStore(w)
       .foreach { case (id, spec) => tables.putIfAbsent(id, spec) })
+    warehouse.foreach(w => GraftMv.loadStore(w)
+      .foreach { case (id, spec) => mvs.putIfAbsent(id, spec) })
   }
 
   private def persist(): Unit =
     warehouse.foreach(w => GraftCatalog.writeStore(w, tables.snapshot().toMap))
+
+  private def persistMvs(): Unit =
+    warehouse.foreach(w => GraftMv.writeStore(w, mvs.snapshot().toMap))
 
   override def name(): String = catalogName
 
@@ -252,12 +260,94 @@ final class GraftCatalog extends TableCatalog {
   }
 
   /** External-table semantics: forget the mapping, leave the layout
-    * bytes (commit log included) untouched. */
+    * bytes (commit log included) untouched. Dropping a materialized
+    * view forgets its maintenance spec too. */
   override def dropTable(ident: Identifier): Boolean = {
     val dropped = tables.remove(ident).isDefined
+    if (mvs.remove(ident).isDefined) persistMvs()
     if (dropped) persist()
     dropped
   }
+
+  // ── Materialized views (r19 — GraftMv scaladoc) ────────────────────
+
+  /** Register a maintained rollup view over a SOURCE table of this
+    * catalog: bootstrap `rollupFull(source head)` into a keyed layout
+    * at `viewPath` (keyed by the group column), register it as an
+    * ordinary catalog table under `ident`, and record the maintenance
+    * spec + the bootstrapped snapshot seq. From here on
+    * [[refreshMaterializedView]] is the ONLY call a consumer makes —
+    * it derives the changes interval itself. */
+  def createMaterializedView(ident: Identifier, source: Identifier,
+      group: String, sums: Seq[String], minMax: Seq[String],
+      viewPath: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val src = spec(source)
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"graft-keyed materialized view refused: $msg")
+    val srcSchema = src.schema
+    (group +: (sums ++ minMax)).foreach(c =>
+      if (!srcSchema.fieldNames.contains(c)) bad(s"'$c' is not a source column"))
+    if (srcSchema(group).dataType != LongType &&
+        srcSchema(group).dataType != StringType)
+      bad(s"the group column keys the view layout and must be BIGINT or " +
+        s"STRING, got ${srcSchema(group).dataType.sql}")
+    sums.foreach(c => if (!KeyedStats.numeric(srcSchema(c).dataType)) bad(
+      s"sum column '$c' must be BIGINT/INT — a floating-point running " +
+        "sum would drift from the recompute (use min/max for FP columns)"))
+    if (tables.contains(ident)) throw new TableAlreadyExistsException(
+      nameParts(ident))
+    val head = KeyedSource.readCommitLog(src.path,
+      spark.sessionState.newHadoopConf()).getOrElse(bad(
+        s"source ${source.name} has no commit log — stage it through the " +
+          "connector writer first")).head.seq
+    var m = GraftMv.MvSpec(src.path, srcSchema.toDDL, src.key, group,
+      sums, minMax, viewPath, head)
+    // bootstrap pinned AT the recorded seq — a commit racing the
+    // create lands in the first refresh's interval, never in a gap
+    val boot = graft.operators.Ivm.rollupFull(
+      GraftMv.sourceAt(spark, m, Some(head)), Seq(group), sums, minMax)
+    KeyedSource.stageKeyed(spark, boot, viewPath, group)
+    mvs.put(ident, m)
+    tables.put(ident, Spec(
+      org.apache.spark.sql.types.StructType.fromDDL(GraftMv.viewDdl(m)),
+      viewPath, group, Seq.empty, 1))
+    persistMvs(); persist()
+  }
+
+  /** Refresh a registered view: read EXACTLY the source changes
+    * interval (lastApplied, head], apply the delta rule with bounded
+    * extreme repair ([[graft.operators.Ivm.maintainRollupFull]]),
+    * restage the view, advance the marker. Returns the source seq the
+    * view now reflects. A refresh with nothing to apply is a no-op
+    * (no view rewrite, no marker burn). An interval that fell out of
+    * the source's retention window fails loudly at the changes scan —
+    * retention IS the maximum refresh lag. */
+  def refreshMaterializedView(ident: Identifier): Long = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val m = mvs.getOrElse(ident, throw new NoSuchTableException(nameParts(ident)))
+    val head = KeyedSource.readCommitLog(m.sourcePath,
+      spark.sessionState.newHadoopConf()).getOrElse(
+        throw new IllegalStateException(
+          s"graft-keyed materialized view ${ident.name}: source layout at " +
+            s"${m.sourcePath} lost its commit log")).head.seq
+    if (head == m.lastApplied) return head
+    val ddl = GraftMv.viewDdl(m)
+    val next = graft.operators.Ivm.maintainRollupFull(
+      GraftMv.viewRead(spark, m, ddl),
+      GraftMv.changesBetween(spark, m, m.lastApplied, head),
+      GraftMv.sourceAt(spark, m, Some(head)),
+      Seq(m.group), m.sums, m.minMax)
+    KeyedSource.stageKeyed(spark, next, m.viewPath, m.group)
+    mvs.put(ident, m.copy(lastApplied = head))
+    persistMvs()
+    head
+  }
+
+  /** The registered views (name → last-applied source seq) — the
+    * audit surface a maintenance scheduler reads. */
+  def listMaterializedViews(): Map[Identifier, Long] =
+    mvs.snapshot().toMap.map { case (id, m) => id -> m.lastApplied }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(

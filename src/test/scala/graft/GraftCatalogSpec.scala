@@ -62,4 +62,79 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sessionState.newHadoopConf()).isDefined,
       "DROP must leave the layout bytes")
   }
+
+  test("materialized views: catalog-registered spec, derived refresh interval, warehouse persistence (r19)") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val base = graft.io.TempDirs.scratch("graft_catmv_")
+    val dir = s"$base/src"; val wh = s"$base/warehouse"
+    KeyedSource.stageKeyed(spark,
+      (0L until 64L).map(i => (i % 4L, i, (i * 3L) % 17L))
+        .toDF("kb", "doc_id", "n_chars"),
+      dir, "kb", retain = 4)
+    spark.conf.set("spark.sql.catalog.gmv", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmv.warehouse", wh)
+    spark.sql("DROP TABLE IF EXISTS gmv.src")
+    spark.sql("DROP TABLE IF EXISTS gmv.v")
+    spark.sql(
+      s"""CREATE TABLE gmv.src (kb BIGINT, doc_id BIGINT, n_chars BIGINT)
+         |USING `graft-keyed` LOCATION '$dir'
+         |TBLPROPERTIES('key'='kb','retain'='4')""".stripMargin)
+    val cat = spark.sessionState.catalogManager.catalog("gmv")
+      .asInstanceOf[GraftCatalog]
+    cat.createMaterializedView(Identifier.of(Array.empty, "v"),
+      Identifier.of(Array.empty, "src"),
+      group = "kb", sums = Seq("n_chars"), minMax = Seq("n_chars"),
+      viewPath = s"$base/view")
+
+    // bootstrap equals the recompute, readable as an ordinary table
+    def recompute() = spark.sql(
+      """SELECT kb, count(*) AS n_rows, sum(n_chars) AS sum_n_chars,
+        |  min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
+        |FROM gmv.src GROUP BY kb ORDER BY kb""".stripMargin)
+      .collect().toSeq.map(_.toSeq)
+    def view() = spark.sql("SELECT * FROM gmv.v ORDER BY kb")
+      .collect().toSeq.map(_.toSeq)
+    assert(view() == recompute())
+
+    // a no-op refresh advances nothing and rewrites nothing
+    val seq0 = KeyedSource.readCommitLog(s"$base/view",
+      spark.sessionState.newHadoopConf()).get.head.seq
+    cat.refreshMaterializedView(Identifier.of(Array.empty, "v"))
+    assert(KeyedSource.readCommitLog(s"$base/view",
+      spark.sessionState.newHadoopConf()).get.head.seq == seq0,
+      "a refresh with nothing to apply must not rewrite the view")
+
+    // mixed DML, ONE refresh — no interval or apply wiring anywhere
+    spark.sql("UPDATE gmv.src SET n_chars = n_chars + 100 WHERE doc_id % 5 = 0")
+    spark.sql("DELETE FROM gmv.src WHERE n_chars >= 100")
+    val applied = cat.refreshMaterializedView(Identifier.of(Array.empty, "v"))
+    assert(view() == recompute())
+    assert(cat.listMaterializedViews()(Identifier.of(Array.empty, "v")) == applied)
+
+    // persistence: a fresh catalog name over the same warehouse (a new
+    // JVM's empty registry) recovers the MV spec AND can refresh it
+    assert(new java.io.File(wh, "_graft_catalog_mv").exists())
+    spark.conf.set("spark.sql.catalog.gmv2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmv2.warehouse", wh)
+    spark.sql("UPDATE gmv2.src SET n_chars = n_chars + 1 WHERE doc_id = 1")
+    val cat2 = spark.sessionState.catalogManager.catalog("gmv2")
+      .asInstanceOf[GraftCatalog]
+    cat2.refreshMaterializedView(Identifier.of(Array.empty, "v"))
+    assert(spark.sql("SELECT * FROM gmv2.v ORDER BY kb").collect().toSeq.map(_.toSeq)
+      == recompute())
+
+    // DROP forgets spec + maintenance state, leaves the view bytes
+    spark.sql("DROP TABLE gmv.v")
+    assert(cat.listMaterializedViews().isEmpty)
+    assert(KeyedSource.readCommitLog(s"$base/view",
+      spark.sessionState.newHadoopConf()).isDefined)
+
+    // refusals: FP sums and a non-keyable group refuse at create
+    val fp = intercept[IllegalArgumentException] {
+      cat.createMaterializedView(Identifier.of(Array.empty, "v2"),
+        Identifier.of(Array.empty, "src"), "kb",
+        sums = Seq("missing"), minMax = Seq.empty, viewPath = s"$base/v2")
+    }
+    assert(fp.getMessage.contains("not a source column"), fp.getMessage)
+  }
 }
