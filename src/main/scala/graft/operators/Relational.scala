@@ -2584,7 +2584,55 @@ object Relational {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
              |  min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
              |FROM cur GROUP BY kb ORDER BY kb""".stripMargin),
-      "materialized view as a catalog object: registered spec + last-applied seq, one REFRESH derives the changes interval and delta-maintains count/sum/extremes across UPDATE+DELETE+append+compaction — equals the recompute")
+      "materialized view as a catalog object: registered spec + last-applied seq, one REFRESH derives the changes interval and delta-maintains count/sum/extremes across UPDATE+DELETE+append+compaction — equals the recompute"),
+
+    // ── Hilbert-curve clustering (q87 — r18 stretch) ──────────────────
+    // Morton's bit interleave (q82) has diagonal seams: consecutive
+    // block indexes can jump across the plane, so a block of 1024
+    // consecutive cells is sometimes two disconnected squares and a
+    // 2-D band predicate keeps extra blocks. `curve=hilbert` clusters
+    // by the Hilbert d-index instead — every step adjacent, every
+    // block one connected tile — via a driver-built 256×256 lookup
+    // shipped as a broadcast join (constant-size at any corpus scale,
+    // no UDF; the state machine's data-dependent rotations don't
+    // close into Morton's shift/mask terms). Same key surface, same
+    // sidecar skipping; KeyedSkippingSpec pins hilbert ≤ morton
+    // planned directories on the band predicate. The oracle is
+    // q82's: the predicate lives on the stored quantized dims, so
+    // results are bucketing-independent — exactly what makes a
+    // clustering choice safe to change per table.
+    "q87_hilbert_zorder" -> Q(
+      (s, dir) => {
+        val path = LlmData.tableOnce(bucketMemo, s, dir + "#hilbert")({
+          val out = graft.io.TempDirs.scratch("graft_hilb_") + "/t"
+          graft.sources.KeyedSource.stageZOrdered(s,
+            t(s, dir, "lineitem").select(
+              col("l_orderkey").as("okey"), col("l_partkey").as("pk"),
+              col("l_suppkey").as("sk")),
+            out, "pk", "sk", curve = "hilbert")
+          out
+        })
+        s.read.format("graft-keyed").option("path", path)
+          .option("schema",
+            "okey BIGINT, pk BIGINT, sk BIGINT, zq_pk BIGINT, zq_sk BIGINT, zb BIGINT")
+          .option("key", "zb").load()
+          .where(col("zq_pk").between(112L, 143L) &&
+            col("zq_sk").between(112L, 143L))
+          .agg(count(lit(1)).as("n"),
+            sum(col("zq_pk") + col("zq_sk")).cast("long").as("qsum"),
+            sum("okey").cast("long").as("osum"))
+      },
+      Some("""WITH st AS (SELECT min(l_partkey) AS pk0, max(l_partkey) AS pk1,
+             |              min(l_suppkey) AS sk0, max(l_suppkey) AS sk1 FROM lineitem),
+             |q AS (SELECT l_orderkey AS okey,
+             |        ((l_partkey - pk0) * 256) // (pk1 - pk0 + 1) AS q1,
+             |        ((l_suppkey - sk0) * 256) // (sk1 - sk0 + 1) AS q2
+             |      FROM lineitem CROSS JOIN st)
+             |SELECT count(*) AS n,
+             |  CAST(sum(q1 + q2) AS BIGINT) AS qsum,
+             |  CAST(sum(okey) AS BIGINT) AS osum
+             |FROM q WHERE q1 BETWEEN 112 AND 143 AND q2 BETWEEN 112 AND 143""".stripMargin),
+      "Hilbert-curve clustering: the locality-preserving alternative to Morton blocks, pruning the same 2-D band through the same sidecar with never-more directories — bucketing-independent values, oracle-exact")
   )
 
   /** q49/q51 shared physical layout: events as a catalog table

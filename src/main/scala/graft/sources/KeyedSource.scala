@@ -1520,13 +1520,15 @@ object KeyedSource {
     * the same recorded values rather than re-deriving floats. */
   def stageZOrdered(spark: SparkSession, df: DataFrame, out: String,
       dimA: String, dimB: String, blocks: Int = 64, retain: Int = 1,
-      codec: String = "none"): String = {
+      codec: String = "none", curve: String = "morton"): String = {
     import org.apache.spark.sql.functions._
     require(df.schema.fieldNames.contains(dimA) &&
       df.schema.fieldNames.contains(dimB),
       s"z-order dims must be columns, got $dimA/$dimB in ${df.schema.simpleString}")
     require(blocks > 0 && 65536 % blocks == 0,
       s"blocks must divide 2^16, got $blocks")
+    require(curve == "morton" || curve == "hilbert",
+      s"curve must be 'morton' or 'hilbert', got '$curve'")
     // quantization in 64-bit end to end (r18 ADVICE): with an INT dim
     // the (v - lo) * 256 product could wrap 32-bit BEFORE any cast
     // (range > ~8.4M) and scramble the z-buckets — results stayed
@@ -1553,15 +1555,59 @@ object KeyedSource {
         s"(CAST($dimA AS BIGINT) - ${a0v}L) * 256 div ${a1v - a0v + 1}L"))
       .withColumn(s"zq_$dimB", expr(
         s"(CAST($dimB AS BIGINT) - ${b0v}L) * 256 div ${b1v - b0v + 1}L"))
-    val zv = (0 until 8).map { i =>
-      shiftright(col(s"zq_$dimA"), i).bitwiseAND(1) * lit(1L << (2 * i)) +
-        shiftright(col(s"zq_$dimB"), i).bitwiseAND(1) * lit(1L << (2 * i + 1))
-    }.reduce(_ + _)
-    val staged = qd
-      .withColumn("zb", (zv / lit(65536L / blocks)).cast("long"))
-      .drop("a0", "a1", "b0", "b1")
+    val staged = curve match {
+      case "morton" =>
+        val zv = (0 until 8).map { i =>
+          shiftright(col(s"zq_$dimA"), i).bitwiseAND(1) * lit(1L << (2 * i)) +
+            shiftright(col(s"zq_$dimB"), i).bitwiseAND(1) * lit(1L << (2 * i + 1))
+        }.reduce(_ + _)
+        qd.withColumn("zb", (zv / lit(65536L / blocks)).cast("long"))
+      case _ =>
+        // HILBERT (r19 stretch): Morton's bit interleave has diagonal
+        // seams — consecutive d-indexes can jump across the plane, so
+        // a block of 1024 consecutive indexes is sometimes two
+        // disconnected squares and a 2-D band predicate keeps extra
+        // blocks. The Hilbert curve is fully locality-preserving
+        // (every step is an adjacent cell), but its data-dependent
+        // rotations (the xy2d state machine, Wikipedia's
+        // public-domain form) don't close into Morton's shift/mask
+        // terms — so the 256×256 mapping is built ONCE on the driver
+        // and ships as a broadcast 65536-row lookup join:
+        // constant-size at any corpus scale, no UDF.
+        import spark.implicits._
+        val lut = (for (a <- 0 until 256; b <- 0 until 256)
+          yield (a.toLong, b.toLong, hilbertD(256, a, b).toLong)).toSeq
+          .toDF(s"zq_$dimA", s"zq_$dimB", "_hd")
+        // the USING join puts its keys first — restore the Morton
+        // path's column order (input columns, then zb) so both curves
+        // write byte-compatible layouts under one declared schema
+        qd.join(broadcast(lut), Seq(s"zq_$dimA", s"zq_$dimB"))
+          .withColumn("zb", (col("_hd") / lit(65536L / blocks)).cast("long"))
+          .select(qd.columns.map(col).toSeq :+ col("zb"): _*)
+    }
     stageKeyed(spark, staged, out, "zb", sortBy = Seq(dimA), retain = retain,
       codec = codec)
+  }
+
+  /** xy2d for an n×n Hilbert curve (n a power of two) — the standard
+    * iterative rotate-and-accumulate walk from the curve's recursive
+    * definition (Hilbert 1891; public-domain pseudocode form). */
+  private[graft] def hilbertD(n: Int, x0: Int, y0: Int): Int = {
+    var x = x0; var y = y0
+    var d = 0
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s * s * ((3 * rx) ^ ry)
+      // rotate the quadrant so the sub-curve's frame aligns
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
   }
 
   // ── Committed-snapshot log (the publish half of WAP) ───────────────

@@ -222,6 +222,29 @@ class KeyedSkippingSpec extends SparkSpec {
       .head().getLong(0) ==
       lq.agg(org.apache.spark.sql.functions.sum($"da" + $"db"))
         .head().getLong(0))
+
+    // HILBERT twin (r19 stretch): fully locality-preserving blocks —
+    // on the 2-D band it must plan NO MORE directories than Morton
+    // (whose diagonal seams can split a block across the plane), with
+    // identical values
+    KeyedSource.stageZOrdered(spark, grid, s"$base/h", "da", "db",
+      curve = "hilbert")
+    def readH = spark.read.format("graft-keyed").option("path", s"$base/h")
+      .option("schema", zDdl).option("key", "zb").load()
+    val hq = readH.where(pred)
+    assert(planned(hq) <= planned(zq),
+      s"hilbert ${planned(hq)} vs morton ${planned(zq)}: " +
+        scanOf(hq).description())
+    assert(hq.count() == 256L)
+    assert(hq.agg(org.apache.spark.sql.functions.sum($"da" + $"db"))
+      .head().getLong(0) ==
+      zq.agg(org.apache.spark.sql.functions.sum($"da" + $"db"))
+        .head().getLong(0))
+    // every 1024-index Hilbert block is one CONNECTED region, so the
+    // 64 directories partition the plane into contiguous tiles — the
+    // whole-grid scan still answers everything (sanity: bucketing is
+    // layout, never semantics)
+    assert(readH.count() == 16384L)
   }
 
   test("schema evolution keeps skipping through the adapted sidecar; a missing sidecar skips nothing") {
