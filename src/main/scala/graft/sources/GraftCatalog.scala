@@ -417,12 +417,16 @@ object GraftCatalog {
     if (fs.exists(crc)) fs.delete(crc, false)
   }
 
-  /** Load persisted Specs; empty when no store exists. Absence is
-    * RETRIED twice (writeStore's delete-then-rename opens a brief
-    * no-file window during a concurrent publish; without the retry a
-    * catalog initializing inside it would silently recover zero tables
-    * from a populated warehouse). A present but unparseable store
-    * fails loudly — corruption of a file this catalog owns. */
+  /** Load persisted Specs; empty when no store exists. Absence inside
+    * a concurrent publish window (a `.tmp-` sibling visible) retries
+    * with exponential backoff — five attempts spanning ~775 ms — and
+    * a tmp sibling that OUTLIVES the retries fails loudly (r18 ADVICE:
+    * silently recovering zero tables from a populated warehouse is the
+    * exact corruption the retry exists to prevent; a wedged or crashed
+    * publisher needs an operator, not an empty catalog). A missing
+    * store with no tmp sibling is simply a never-written warehouse and
+    * returns immediately. A present but unparseable store fails
+    * loudly — corruption of a file this catalog owns. */
   private[sources] def loadStore(warehouse: String): Seq[(Identifier, Spec)] = {
     val p = new org.apache.hadoop.fs.Path(warehouse, StoreFile)
     val fs = p.getFileSystem(

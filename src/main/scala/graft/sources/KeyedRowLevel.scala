@@ -196,23 +196,20 @@ final class KeyedCowBatchWrite(op: KeyedCowOperation, schema: StructType,
     // from here, unaffected keys from their own generations
     val sidecarEntries = entries.map(e =>
       KeyedStats.Entry(e.rawKey, e.count, e.mins, e.maxs, e.sums))
-    val table = {
-      val merged = Array.fill(schema.length)(new KmvSketch)
-      msgs.foreach(_.sketches.zipWithIndex.foreach { case (hs, i) =>
-        merged(i).addHashes(hs) })
-      KeyedStats.TableNdv(entries.map(_.count).sum, merged.map(_.estimate))
-    }
+    // ONE sketch merge serves both the estimate line and the persisted
+    // hash file (round-19 review: the first cut folded every task's
+    // arrays twice)
+    val mergedSk = Array.fill(schema.length)(new KmvSketch)
+    msgs.foreach(_.sketches.zipWithIndex.foreach { case (hs, i) =>
+      mergedSk(i).addHashes(hs) })
+    val table = KeyedStats.TableNdv(entries.map(_.count).sum,
+      mergedSk.map(_.estimate))
     KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedStats.SidecarFile),
       KeyedStats.render(schema, key, sidecarEntries, Some(table)))
     // KMV sketch bytes per column (r19) — what lets table NDV merge
     // across exactly the generation mix this commit creates
     KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedStats.NdvFile),
-      KeyedStats.renderNdv(schema, key, {
-        val m = Array.fill(schema.length)(new KmvSketch)
-        msgs.foreach(_.sketches.zipWithIndex.foreach { case (hs, i) =>
-          m(i).addHashes(hs) })
-        m.map(_.hashes)
-      }))
+      KeyedStats.renderNdv(schema, key, mergedSk.map(_.hashes)))
     if (sortBy.nonEmpty)
       KeyedSource.writeFile(fs, new org.apache.hadoop.fs.Path(gen, KeyedSource.OrderFile),
         KeyedSource.renderOrderMarker(schema, key, sortBy))
@@ -459,23 +456,17 @@ final class KeyedMorBatchWrite(op: KeyedMorOperation,
     // visible no-op: no row matched — burn no snapshot
     if (perKey.isEmpty && insertEntries.isEmpty) { fs.delete(gen, true); return }
     if (insertEntries.nonEmpty) {
-      val table = {
-        val merged = Array.fill(declared.length)(new KmvSketch)
-        insertMsgs.foreach(_.sketches.zipWithIndex.foreach { case (hs, i) =>
-          merged(i).addHashes(hs) })
-        KeyedStats.TableNdv(insertEntries.map(_.count).sum, merged.map(_.estimate))
-      }
+      val mergedSk = Array.fill(declared.length)(new KmvSketch)
+      insertMsgs.foreach(_.sketches.zipWithIndex.foreach { case (hs, i) =>
+        mergedSk(i).addHashes(hs) })
+      val table = KeyedStats.TableNdv(insertEntries.map(_.count).sum,
+        mergedSk.map(_.estimate))
       KeyedSource.writeFile(fs,
         new org.apache.hadoop.fs.Path(gen, KeyedStats.SidecarFile),
         KeyedStats.render(declared, key, insertEntries, Some(table)))
       KeyedSource.writeFile(fs,
         new org.apache.hadoop.fs.Path(gen, KeyedStats.NdvFile),
-        KeyedStats.renderNdv(declared, key, {
-          val m = Array.fill(declared.length)(new KmvSketch)
-          insertMsgs.foreach(_.sketches.zipWithIndex.foreach { case (hs, i) =>
-            m(i).addHashes(hs) })
-          m.map(_.hashes)
-        }))
+        KeyedStats.renderNdv(declared, key, mergedSk.map(_.hashes)))
     }
     val scan = op.configuredScan
     require(scan != null,

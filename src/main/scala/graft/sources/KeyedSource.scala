@@ -446,9 +446,14 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
   // license, the aggregate pushdown, and the skipping proof (r18
   // review: three pushdown surfaces each re-opened and re-parsed the
   // sidecar — per generation under edits — on every filtered query);
-  // the built scan inherits it too, so a whole plan costs one read
+  // the built scan inherits it too, so a whole plan costs one read.
+  // `genSidecarMemo` extends the same discipline to the PER-GENERATION
+  // parses: file-grain skipping re-proves against the same sidecars
+  // readView walked (r19 review), so the two share one memo.
+  private val genSidecarMemo =
+    scala.collection.mutable.Map.empty[String, Option[KeyedStats.Sidecar]]
   private lazy val viewSidecar: Option[KeyedStats.Sidecar] =
-    KeyedStats.readView(view, conf, full, key)
+    KeyedStats.readView(view, conf, full, key, genSidecarMemo)
   private var required: StructType = full
   // None = no key predicate pushed (all directories); Some(s) = only
   // directories whose key value ∈ s are planned. Distinct from
@@ -676,7 +681,7 @@ final class KeyedScanBuilder(full: StructType, path: String, key: String,
       val fileSkip: Map[String, Set[String]] =
         if (residualFilters.isEmpty || cowHost.isDefined) Map.empty
         else KeyedStats.skippableFiles(view, conf, full, key,
-          residualFilters.toSeq, skipKeys)
+          residualFilters.toSeq, skipKeys, genSidecarMemo)
       val scan = new KeyedScan(full, required, view, key, conf, keyValues,
         vectorize, reportStats, topN, skipKeys, () => viewSidecar, fileSkip)
       // a row-level operation's commit replaces (cow) or amends (mor)
@@ -1529,6 +1534,17 @@ object KeyedSource {
       s"blocks must divide 2^16, got $blocks")
     require(curve == "morton" || curve == "hilbert",
       s"curve must be 'morton' or 'hilbert', got '$curve'")
+    // INTEGRAL dims only (round-19 review): the r19 FP storable set
+    // made a DOUBLE dim REACH this path, where the BIGINT cast would
+    // silently truncate — a [0,1) score dim would collapse every row
+    // into one z-bucket with no error. Quantizing FP dims in their
+    // native domain is a possible future leg; until then refuse loudly.
+    Seq(dimA, dimB).foreach { d =>
+      val dt = df.schema(d).dataType
+      require(dt == LongType || dt == org.apache.spark.sql.types.IntegerType,
+        s"z-order dims must be integral (BIGINT/INT); '$d' is ${dt.sql} — " +
+          "pre-quantize a floating-point dim to an integer column first")
+    }
     // quantization in 64-bit end to end (r18 ADVICE): with an INT dim
     // the (v - lo) * 256 product could wrap 32-bit BEFORE any cast
     // (range > ~8.4M) and scramble the z-buckets — results stayed
@@ -1547,7 +1563,13 @@ object KeyedSource {
         "z-order stage needs a non-empty input with non-null dims")
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
-    require(a1v - a0v < Long.MaxValue / 256 && b1v - b0v < Long.MaxValue / 256,
+    // overflow-safe width check (round-19 review: `a1v - a0v` itself
+    // wraps for a hash-derived dim spanning most of the long range,
+    // letting the exact input class the guard refuses sail through —
+    // with a zero divisor and, under curve=hilbert, silent row LOSS
+    // at the lookup join)
+    require((BigInt(a1v) - BigInt(a0v)) < Long.MaxValue / 256 &&
+      (BigInt(b1v) - BigInt(b0v)) < Long.MaxValue / 256,
       s"z-order dim range too wide for 8-bit quantization arithmetic: " +
         s"[$a0v,$a1v] / [$b0v,$b1v]")
     val qd = df
@@ -2806,8 +2828,13 @@ object KeyedSource {
             if (fpWidens) org.apache.spark.sql.types.FloatType else f.dataType,
             nullable = false)
         case None => defaults.get(f.name) match {
+          // the declared type must be EXACTLY the add-op's kind
+          // (round-19 review: `isLong == (dt == LongType)` let a
+          // DOUBLE-declared column bind a STRING default — a
+          // UTF8String constant in an fp slot, a decode-time CCE)
           case Some((isLong, d))
-              if isLong == (f.dataType == LongType) =>
+              if (if (isLong) f.dataType == LongType
+                  else f.dataType == StringType) =>
             constIsLong(i) = isLong
             constVals(i) = d
           case Some(_) => throw new IllegalArgumentException(

@@ -366,7 +366,13 @@ object KeyedStats {
           if (!ok) return None
           map(i) = Left((written.fieldIndex(src), fpWiden))
         case None => defaults.get(f.name) match {
-          case Some((isLong, d)) if isLong == (f.dataType == LongType) =>
+          // EXACT kind match (round-19 review — the evolvedPlan twin):
+          // a DOUBLE-declared column must never bind an add-op default
+          // of either recorded kind (typed() would misparse the digits
+          // as sortable bits — a silently wrong metadata answer)
+          case Some((isLong, d))
+              if (if (isLong) f.dataType == LongType
+                  else f.dataType == StringType) =>
             map(i) = Right((isLong, d))
           case _ => return None
         }
@@ -856,10 +862,17 @@ object KeyedStats {
       conf: org.apache.spark.util.SerializableConfiguration,
       declared: StructType, key: String,
       residuals: Seq[org.apache.spark.sql.sources.Filter],
-      skipKeys: Set[String]): Map[String, Set[String]] = {
+      skipKeys: Set[String],
+      genMemo: scala.collection.mutable.Map[String, Option[Sidecar]] = null)
+      : Map[String, Set[String]] = {
     if (residuals.isEmpty || view.edits.isEmpty) return Map.empty
     val widened = KeyedSource.widenedColumns(view.ops)
-    val perGen = scala.collection.mutable.Map.empty[String, Option[Sidecar]]
+    // per-generation parses shared with the builder's readView when a
+    // memo is handed in (round-19 review: both walked the same
+    // sidecars — doubled driver metadata reads per filtered plan on
+    // exactly the DML-heavy tables this feature targets)
+    val perGen = if (genMemo != null) genMemo
+      else scala.collection.mutable.Map.empty[String, Option[Sidecar]]
     def sidecarOf(g: String): Option[Sidecar] =
       perGen.getOrElseUpdate(g,
         read(view.genRoot(g), conf, declared, key, widened, view.ops))
@@ -889,13 +902,16 @@ object KeyedStats {
     * trustworthy sketch. */
   private[graft] def readView(view: KeyedSource.SnapshotView,
       conf: org.apache.spark.util.SerializableConfiguration,
-      declared: StructType, key: String): Option[Sidecar] = {
+      declared: StructType, key: String,
+      genMemo: scala.collection.mutable.Map[String, Option[Sidecar]] = null)
+      : Option[Sidecar] = {
     // recorded INT->BIGINT widenings relax the per-generation header
     // check: a pre-widening generation's sidecar stays trusted (same
     // digits, same arity) instead of refusing as foreign
     val widened = KeyedSource.widenedColumns(view.ops)
     val base = read(view.root, conf, declared, key, widened, view.ops)
-    val perGen = scala.collection.mutable.Map.empty[String, Option[Sidecar]]
+    val perGen = if (genMemo != null) genMemo
+      else scala.collection.mutable.Map.empty[String, Option[Sidecar]]
     def sidecarOf(g: String): Option[Sidecar] =
       perGen.getOrElseUpdate(g,
         read(view.genRoot(g), conf, declared, key, widened, view.ops))

@@ -196,6 +196,41 @@ class KeyedDoubleSpec extends SparkSpec {
     assert(rows.sameElements(rows.sorted))
   }
 
+  test("round-19 review fences: FP z-order dims refuse; a DOUBLE declaration never binds an add-op default") {
+    // a [0,1)-ranged DOUBLE dim would silently quantize to one bucket
+    // through the BIGINT cast — refuse loudly instead
+    val fp = (0L until 16L).map(i => (i, i.toDouble / 16.0, i * 2L))
+      .toDF("id", "score", "v")
+    val e = intercept[IllegalArgumentException] {
+      KeyedSource.stageZOrdered(spark, fp,
+        io.TempDirs.scratch("graft_zfp_") + "/t", "score", "v")
+    }
+    assert(e.getMessage.contains("must be integral"), e.getMessage)
+
+    // an evolved layout's add-op default is recorded BIGINT-or-STRING;
+    // a reader declaring the added column DOUBLE must refuse (the old
+    // `isLong == (dt == LongType)` let it bind the STRING default —
+    // a UTF8String constant in an fp slot)
+    val dir2 = io.TempDirs.scratch("graft_dbl_evofence_") + "/t"
+    KeyedSource.stageKeyed(spark,
+      (0L until 8L).map(i => (i % 2, i)).toDF("kb", "doc_id"),
+      dir2, "kb", retain = 2)
+    KeyedSource.evolveKeyed(spark, dir2,
+      StructType.fromDDL("kb BIGINT, doc_id BIGINT"),
+      Seq(KeyedSource.AddCol("tagv", isLong = false, "x")))
+    val bad = intercept[Exception] {
+      spark.read.format("graft-keyed").option("path", dir2)
+        .option("schema", "kb BIGINT, doc_id BIGINT, tagv DOUBLE")
+        .option("key", "kb").load().collect()
+    }
+    assert(bad.getMessage.contains("declared") ||
+      bad.getMessage.contains("cannot resolve"), bad.getMessage)
+    // the honest declarations still read
+    assert(spark.read.format("graft-keyed").option("path", dir2)
+      .option("schema", "kb BIGINT, doc_id BIGINT, tagv STRING")
+      .option("key", "kb").load().count() == 8L)
+  }
+
   test("FLOAT columns round-trip and aggregate exactly") {
     val ddlF = "kb BIGINT, doc_id BIGINT, w FLOAT"
     val dir = io.TempDirs.scratch("graft_flt_rt_") + "/t"
