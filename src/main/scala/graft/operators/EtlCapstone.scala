@@ -113,35 +113,61 @@ object EtlCapstone {
     map(lit("spotify"), concat(lit(s"https://open.example/$kind/"), id))
 
   /** One envelope per customer over their orders — the extraction
-    * Lambda's document, from the warehouse instead of the Web API. */
+    * Lambda's document, from the warehouse instead of the Web API.
+    *
+    * r19 optimization (guide §2.3, "shuffle keys and metadata instead
+    * of payloads"): collect_list used to aggregate the FULLY-BUILT
+    * track struct — three external_urls maps, two artist structs whose
+    * customer/nation fields are CONSTANT per group, upper(clerk), the
+    * concatenated URL strings — so the groupBy shuffled (and, past
+    * ObjectHashAggregate's 128-group fallback, sort-spilled) ~6× the
+    * bytes the decision needs. Now the aggregate collects a SLIM tuple
+    * of the six order scalars the track derives from, and ONE
+    * transform() per envelope builds the identical nested struct
+    * post-aggregation from the tuple plus the group keys. Same JSON
+    * fields, same values — collect_list order was already
+    * plan-dependent and immaterial (normalize re-explodes and dedups
+    * by total column order). OptProbe: envelope+JSON leg 5.0 s → 2.6 s
+    * cold. */
   private def envelopes(s: SparkSession, dir: String): DataFrame = {
-    val track = struct(
+    val slim = struct(
       col("o_orderdate").cast("string").as("added_at"),
+      col("o_orderkey").as("okey"),
+      col("o_orderpriority").as("oprio"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("duration_ms"),
+      col("o_orderstatus").as("ostatus"),
+      col("clerk").as("clerk"))
+    def trackOf(tr: Column): Column = {
+      val okey = tr.getField("okey")
+      val clerk = tr.getField("clerk")
       struct(
-        concat(lit("o"), col("o_orderkey")).as("id"),
-        col("o_orderpriority").as("name"),
-        round(col("o_totalprice") * 100, 0).cast("long").as("duration_ms"),
-        pmod(col("o_orderkey"), lit(100)).cast("long").as("popularity"),
-        lit(false).as("explicit"),
-        urlOf("track", concat(lit("o"), col("o_orderkey"))).as("external_urls"),
-        // the testdata orders table carries no clerk column; a derived
-        // 100-ary key plays the album role (many tracks -> one album)
+        tr.getField("added_at").as("added_at"),
         struct(
-          col("clerk").as("id"),
-          upper(col("clerk")).as("name"),
-          col("o_orderdate").cast("string").as("release_date"),
-          pmod(col("o_orderkey"), lit(7)).cast("long").as("total_tracks"),
-          col("o_orderstatus").as("album_type"),
-          col("o_orderpriority").as("label"),
-          urlOf("album", col("clerk")).as("external_urls")).as("album"),
-        array(
-          struct(concat(lit("c"), col("c_custkey")).as("id"),
-            col("c_name").as("name"),
-            urlOf("artist", concat(lit("c"), col("c_custkey"))).as("external_urls")),
-          struct(concat(lit("n"), col("n_nationkey")).as("id"),
-            col("n_name").as("name"),
-            urlOf("artist", concat(lit("n"), col("n_nationkey"))).as("external_urls"))
-        ).as("artists")).as("track"))
+          concat(lit("o"), okey).as("id"),
+          tr.getField("oprio").as("name"),
+          tr.getField("duration_ms").as("duration_ms"),
+          pmod(okey, lit(100)).cast("long").as("popularity"),
+          lit(false).as("explicit"),
+          urlOf("track", concat(lit("o"), okey)).as("external_urls"),
+          // the testdata orders table carries no clerk column; a derived
+          // 100-ary key plays the album role (many tracks -> one album)
+          struct(
+            clerk.as("id"),
+            upper(clerk).as("name"),
+            tr.getField("added_at").as("release_date"),
+            pmod(okey, lit(7)).cast("long").as("total_tracks"),
+            tr.getField("ostatus").as("album_type"),
+            tr.getField("oprio").as("label"),
+            urlOf("album", clerk).as("external_urls")).as("album"),
+          array(
+            struct(concat(lit("c"), col("c_custkey")).as("id"),
+              col("c_name").as("name"),
+              urlOf("artist", concat(lit("c"), col("c_custkey"))).as("external_urls")),
+            struct(concat(lit("n"), col("n_nationkey")).as("id"),
+              col("n_name").as("name"),
+              urlOf("artist", concat(lit("n"), col("n_nationkey"))).as("external_urls"))
+          ).as("artists")).as("track"))
+    }
     t(s, dir, "orders")
       // the reference extracts on a DAILY schedule — each run covers a
       // recent slice, never the full history (P4's recency predicate);
@@ -153,7 +179,7 @@ object EtlCapstone {
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("n_nationkey"))
-      .agg(collect_list(track).as("tracks"), count(lit(1)).as("n_tracks"))
+      .agg(collect_list(slim).as("tracks0"), count(lit(1)).as("n_tracks"))
       .select(
         concat(lit("c"), col("c_custkey")).as("playlist_id"),
         lit(ExtractedAt).as("extracted_at"),
@@ -167,7 +193,7 @@ object EtlCapstone {
           lit(true).as("public"),
           struct(lit(null).cast("string").as("href"),
             col("n_tracks").as("total")).as("followers")).as("playlist_info"),
-        col("tracks"))
+        transform(col("tracks0"), trackOf _).as("tracks"))
   }
 
   private def q46 = Q(

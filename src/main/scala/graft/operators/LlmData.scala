@@ -1544,7 +1544,7 @@ object LlmData {
     * both sides of the chunk self-join: memoize+persist so the 60-bit
     * vote kernel runs once per document, spread across cores by the
     * repartition inside shingled(). */
-  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val f = memoized(s, "x23-simhash", dir) {
       shingled(s, dir).select(col("doc_id"),
         Text.simhashNative(Text.md5LongsNative(col("sh"), 0L), 60).as("fp"))

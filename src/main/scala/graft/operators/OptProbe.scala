@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Optimization-round leg profiler (r19): times the shared staging
+  * builders and the multi-commit lifecycle legs INSIDE the slow
+  * registry queries, so optimization effort lands on the measured leg
+  * instead of the query's total (guide §1: measure first; the bench's
+  * per-query cold number cannot say which of a lifecycle's ~10 actions
+  * is the expensive one).
+  *
+  * Lives in `graft.operators` to reach the private[operators] staging
+  * builders the cold samples rebuild. Output: one `leg<TAB>seconds`
+  * line per leg on stdout. Not part of the driver contract.
+  */
+object OptProbe {
+  private def timed[A](name: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    r
+  }
+  private def mat(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val what = sys.env.getOrElse("SPARK_GRAFT_PROBE", "staging")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.warehouse.dir", graft.io.TempDirs.scratch("graft-warehouse"))
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    // same warmup as Bench: absorb one-time scan/codegen costs so leg
+    // times are plan-proportional
+    graft.sources.Tables.schemas.keys.foreach { name =>
+      try mat(graft.sources.Tables.load(s, dir, name))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+    what match {
+      case "staging" =>
+        timed("tokStaged")(mat(LlmData.tokStaged(s, dir)))
+        timed("minhashHashed")(mat(LlmData.minhashHashed(s, dir)))
+        timed("decontam-bench+corpus") {
+          val (b, c) = LlmData.decontamSides(s, dir); mat(b); mat(c)
+        }
+        timed("decontamBloom")(LlmData.decontamBloomFor(s, dir))
+        timed("trainedCentroids-16")(LlmData.trainedCentroids(s, dir))
+        timed("trainedCentroids-corpusK")(
+          LlmData.trainedCentroids(s, dir, LlmData.corpusK(s, dir)))
+        timed("trainPqCodebook")(Curation.trainPqCodebook(s, dir))
+        timed("lmScored")(mat(Shaping.lmScored(s, dir)))
+        timed("minhashCandPairs")(
+          mat(LlmData.minhashCandPairs(LlmData.minhashHashed(s, dir))))
+        timed("simhashComponents")(mat(LlmData.simhashComponents(s, dir)))
+        LlmData.clearMemo(s)
+        timed("tokStaged-2nd")(mat(LlmData.tokStaged(s, dir)))
+        timed("minhashHashed-2nd")(mat(LlmData.minhashHashed(s, dir)))
+        timed("lmScored-2nd")(mat(Shaping.lmScored(s, dir)))
+      case "q79" =>
+        // the q79 lifecycle body, leg by leg (same ops, scratch path)
+        val out = graft.io.TempDirs.scratch("graft_probe79_")
+        val tbl = s"$out/t"
+        val ddl = "kb BIGINT, doc_id BIGINT, n_chars BIGINT"
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        def readT(asOf: Option[Long]) = {
+          val r = s.read.format("graft-keyed").option("path", tbl)
+            .option("schema", ddl).option("key", "kb")
+          asOf.fold(r)(v => r.option("asOf", v.toString)).load()
+        }
+        timed("stageKeyed") {
+          graft.sources.KeyedSource.stageKeyed(s,
+            graft.sources.Tables.load(s, dir, "documents")
+              .selectExpr("doc_id % 16 AS kb", "doc_id", "n_chars"),
+            tbl, "kb", sortBy = Seq("doc_id"), retain = 8)
+        }
+        timed("rollupFull->v1") {
+          Ivm.rollupFull(readT(Some(1L)), Seq("kb"), Seq("n_chars"), Seq("n_chars"))
+            .write.mode("overwrite").parquet(s"$out/v1")
+        }
+        s.conf.set("spark.sql.catalog.graftcat",
+          classOf[graft.sources.GraftCatalog].getName)
+        timed("create-table") {
+          s.sql(s"DROP TABLE IF EXISTS graftcat.probe79")
+          s.sql(s"CREATE TABLE graftcat.probe79 ($ddl) " +
+            s"USING `graft-keyed` LOCATION '$tbl' " +
+            "TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='8','dmlMode'='mor')")
+        }
+        timed("UPDATE")(
+          s.sql("UPDATE graftcat.probe79 SET n_chars = n_chars + 5000 WHERE doc_id % 9 = 1"))
+        timed("DELETE")(
+          s.sql("DELETE FROM graftcat.probe79 WHERE n_chars >= 5000"))
+        timed("append") {
+          graft.sources.Tables.load(s, dir, "documents")
+            .selectExpr("(doc_id + 4000000) % 16 AS kb",
+              "doc_id + 4000000 AS doc_id", "CAST(3 AS BIGINT) AS n_chars")
+            .where("doc_id % 40 = 0")
+            .write.format("graft-keyed").option("schema", ddl)
+            .option("key", "kb").option("sortBy", "doc_id")
+            .mode("append").save(tbl)
+        }
+        timed("compact")(
+          graft.sources.KeyedCompact.compact(s, tbl, schema, "kb"))
+        val head = timed("readCommitLog")(graft.sources.KeyedSource
+          .readCommitLog(tbl, s.sessionState.newHadoopConf()).get.head.seq)
+        timed("changes+maintain->v2") {
+          val changes = s.read.format("graft-keyed").option("path", tbl)
+            .option("schema", ddl).option("key", "kb")
+            .option("metadata", "changes")
+            .option("changesFrom", "1").option("changesTo", head.toString).load()
+          Ivm.maintainRollupFull(s.read.parquet(s"$out/v1"), changes,
+            readT(Some(head)), Seq("kb"), Seq("n_chars"), Seq("n_chars"))
+            .write.mode("overwrite").parquet(s"$out/v2")
+        }
+        timed("readback")(mat(s.read.parquet(s"$out/v2")))
+      case "q46" =>
+        val q = graft.SparkEntry.queries("q46_etl_capstone")
+        timed("q46-cold")(mat(q(s, dir)))
+        timed("q46-warm")(mat(q(s, dir)))
+      case "q46legs" =>
+        // replicate the lifecycle stage-by-stage on a scratch root —
+        // same modules, same literals, so leg times attribute q46-cold
+        import org.apache.spark.sql.functions.{col, lit, to_timestamp, concat,
+          lpad, pmod, upper, array, struct, count, collect_list, round, map}
+        val base = graft.io.TempDirs.scratch("graft-probe46")
+        val landing = graft.io.Stages.rawPath(base, graft.io.Stages.ToProcessed)
+        if (sys.env.get("SPARK_GRAFT_PROBE_WARM46").contains("1"))
+          timed("mini-envelope-warmup") {
+            val mini = s.range(100).selectExpr("id", "id % 7 AS g")
+              .groupBy("g")
+              .agg(collect_list(struct(
+                concat(lit("x"), col("id").cast("string")).as("id"),
+                map(lit("k"), concat(lit("u/"), col("id").cast("string"))).as("m"),
+                array(struct(lit("a").as("p"), map(lit("q"), lit("r")).as("u")),
+                  struct(lit("b").as("p"), map(lit("q"), lit("r")).as("u"))).as("arts"),
+                struct(lit("n").as("nm"), pmod(col("id"), lit(7)).cast("long").as("tt"))
+                  .as("alb")).as("tr")).as("tracks"))
+            mini.write.mode("overwrite").json(s"$base/warm-json")
+          }
+        def urlOf(kind: String, id: org.apache.spark.sql.Column) =
+          map(lit("spotify"), concat(lit(s"https://open.example/$kind/"), id))
+        val env = timed("envelopes-plan") {
+          val track = struct(
+            col("o_orderdate").cast("string").as("added_at"),
+            struct(
+              concat(lit("o"), col("o_orderkey")).as("id"),
+              col("o_orderpriority").as("name"),
+              round(col("o_totalprice") * 100, 0).cast("long").as("duration_ms"),
+              pmod(col("o_orderkey"), lit(100)).cast("long").as("popularity"),
+              lit(false).as("explicit"),
+              urlOf("track", concat(lit("o"), col("o_orderkey"))).as("external_urls"),
+              struct(
+                col("clerk").as("id"),
+                upper(col("clerk")).as("name"),
+                col("o_orderdate").cast("string").as("release_date"),
+                pmod(col("o_orderkey"), lit(7)).cast("long").as("total_tracks"),
+                col("o_orderstatus").as("album_type"),
+                col("o_orderpriority").as("label"),
+                urlOf("album", col("clerk")).as("external_urls")).as("album"),
+              array(
+                struct(concat(lit("c"), col("c_custkey")).as("id"),
+                  col("c_name").as("name"),
+                  urlOf("artist", concat(lit("c"), col("c_custkey"))).as("external_urls")),
+                struct(concat(lit("n"), col("n_nationkey")).as("id"),
+                  col("n_name").as("name"),
+                  urlOf("artist", concat(lit("n"), col("n_nationkey"))).as("external_urls"))
+              ).as("artists")).as("track"))
+          graft.sources.Tables.load(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+            .withColumn("clerk",
+              concat(lit("clerk"), lpad(pmod(col("o_orderkey"), lit(100)).cast("string"), 3, "0")))
+            .join(graft.sources.Tables.load(s, dir, "customer"),
+              col("o_custkey") === col("c_custkey"))
+            .join(graft.sources.Tables.load(s, dir, "nation"),
+              col("c_nationkey") === col("n_nationkey"))
+            .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("n_nationkey"))
+            .agg(collect_list(track).as("tracks"), count(lit(1)).as("n_tracks"))
+            .select(
+              concat(lit("c"), col("c_custkey")).as("playlist_id"),
+              lit("2024-01-01 00:00:00").as("extracted_at"),
+              lit("2024-01-01 00:00:00").as("extraction_timestamp"),
+              col("n_tracks").as("total_tracks"),
+              struct(
+                concat(lit("Orders of "), col("c_name")).as("name"),
+                col("n_name").as("description"),
+                struct(concat(lit("c"), col("c_custkey")).as("id"),
+                  col("c_name").as("display_name")).as("owner"),
+                lit(true).as("public"),
+                struct(lit(null).cast("string").as("href"),
+                  col("n_tracks").as("total")).as("followers")).as("playlist_info"),
+              col("tracks"))
+        }
+        timed("env-noop")(mat(env))
+        timed("env-noop-2nd")(mat(env))
+        timed("json-write")(env.write.mode("overwrite").json(landing))
+        timed("json-write-2nd")(env.write.mode("overwrite").json(landing))
+        val raw = timed("readRaw+persist") {
+          val r = graft.etl.Normalize.readRaw(s, landing).persist()
+          r.count(); r
+        }
+        val star = graft.etl.Normalize.normalize(raw,
+          to_timestamp(lit("2024-01-02 00:00:00")))
+        timed("writeStarSchema")(graft.io.Sinks.writeStarSchema(star,
+          s"$base/warehouse/g1", to_timestamp(lit("2024-01-03 00:00:00"))))
+        raw.unpersist(blocking = false)
+        timed("readback")(mat(s.read.parquet(s"$base/warehouse/g1/song_data")))
+      case "x36legs" =>
+        timed("tokStaged")(mat(LlmData.tokStaged(s, dir)))
+        timed("simhashPairs")(mat(LlmData.simhashPairs(s, dir)))
+        timed("cc-alternating")(mat(Components.connectedComponentsAlternating(
+          LlmData.simhashPairs(s, dir), "doc_a", "doc_b")))
+      case other =>
+        // any registered query, cold then warm, memo cleared before cold
+        val q = graft.SparkEntry.queries(other)
+        LlmData.clearMemo(s)
+        timed(s"$other-cold")(mat(q(s, dir)))
+        timed(s"$other-warm")(mat(q(s, dir)))
+    }
+    s.stop()
+  }
+}

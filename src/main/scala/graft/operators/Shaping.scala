@@ -135,8 +135,21 @@ object Shaping {
       // two corpus passes reuse the cached arrays instead of paying
       // tokenize twice more
       val toks = LlmData.tokStaged(s, dir)
-      val cb = bigramsFromTokens(toks.filter(col("lang") === "en"))
-        .groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+      // cb is MEMOIZED+PERSISTED on its own (r19 optimization): it
+      // feeds THREE plan branches — broadcast(cb) directly, cp (a
+      // groupBy over it), and vv (a distinct over it) — and without
+      // the cache each branch re-ran the full en-slice bigram
+      // explode+aggregate, so one lmScored rebuild paid the bigram
+      // pass three times (OptProbe: 1.81 s rebuild → 1.0 s with the
+      // cache; plan diff: three `Generate explode` subtrees over
+      // documents → one, two of the three feeding from
+      // InMemoryRelation). Registered in the family memo so clearMemo
+      // releases it with the other staged artifacts.
+      val cb = LlmData.memoized(s, "x110-cb", dir) {
+        bigramsFromTokens(toks.filter(col("lang") === "en"))
+          .groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+          .persist()
+      }
       val cp = cb.groupBy("prev").agg(sum("cb").as("cp"))
       val vv = cb.select("cur").distinct().agg(count(lit(1)).as("v"))
       bigramsFromTokens(toks)
@@ -144,13 +157,20 @@ object Shaping {
         .join(broadcast(cp), Seq("prev"), "left")
         .na.fill(0L, Seq("cb", "cp"))
         .crossJoin(broadcast(vv))
-        .withColumn("p_micro", expr(
-          "CAST((CAST(cb + 1 AS DECIMAL(38,0)) * 1000000) div " +
-            "(CAST(cp AS DECIMAL(38,0)) + v) AS BIGINT)"))
+        // BIGINT end to end (r19 optimization — was DECIMAL(38,0)):
+        // the per-bigram smoothed likelihood runs once per corpus
+        // bigram, and 128-bit decimal multiply/divide there is pure
+        // overhead. Exactness bound: (cb+1)·10^6 needs the most
+        // frequent en-slice bigram under ~9.2·10^12 occurrences
+        // (Long.Max/10^6) — two orders past any web-scale count for a
+        // SINGLE bigram pair — and the per-doc sum is ≤ 10^6 × doc
+        // bigram count, safe for any document under ~9·10^12 tokens.
+        // The DuckDB twin keeps HUGEINT; values are identical inside
+        // the bound, which the driver's hash-compare checks.
+        .withColumn("p_micro", expr("((cb + 1) * 1000000) div (cp + v)"))
         .groupBy("doc_id", "lang")
         .agg(count(lit(1)).as("n_bigrams"),
-          expr("CAST(CAST(sum(p_micro) AS DECIMAL(38,0)) div count(1) AS BIGINT)")
-            .as("lm_micro"))
+          expr("CAST(sum(p_micro) div count(1) AS BIGINT)").as("lm_micro"))
         .persist()
     }
 

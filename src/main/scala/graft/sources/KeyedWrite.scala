@@ -354,6 +354,30 @@ final class KeyedDataWriter(schema: StructType, key: String, genDir: String,
   private var currentRaw: String = null
   private val seen = scala.collection.mutable.HashSet.empty[String]
 
+  // Zero-allocation ASCII digits (r19 optimization): the frame encoder
+  // used to run `Long.toString(v).getBytes(US_ASCII)` per numeric
+  // field per row — one String + one byte[] allocation each. Digits
+  // render right-aligned into this per-writer scratch instead (single
+  // task thread; Long.MinValue, which cannot be negated, is the one
+  // special case).
+  private val numBuf = new Array[Byte](20)
+  private val minLongBytes =
+    Long.MinValue.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def writeLongAscii(v0: Long): Unit = {
+    if (v0 == Long.MinValue) { out.write(minLongBytes); return }
+    var v = v0
+    if (v < 0) { out.write('-'); v = -v }
+    var i = numBuf.length
+    while ({
+      i -= 1
+      numBuf(i) = ('0' + (v % 10)).toByte
+      v /= 10
+      v != 0
+    }) ()
+    out.write(numBuf, i, numBuf.length - i)
+  }
+
   // per-key audit accumulation (Entry shapes) + table-level sketches
   private var count = 0L
   private val minL = new Array[Long](n)
@@ -438,8 +462,7 @@ final class KeyedDataWriter(schema: StructType, key: String, genDir: String,
         // ANSI semantics at stage time, like the old stager's Spark sum
         sums(i) = Math.addExact(sums(i), v)
         sketches(i).addLong(v)
-        out.write(java.lang.Long.toString(v)
-          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        writeLongAscii(v)
       } else if (isFpD(i) || isFpF(i)) {
         // sortable-bits digits: accumulation, sketch hashing, and the
         // frame bytes all live in the transformed Long domain (numeric
@@ -449,8 +472,7 @@ final class KeyedDataWriter(schema: StructType, key: String, genDir: String,
         if (v < minL(i)) minL(i) = v
         if (v > maxL(i)) maxL(i) = v
         sketches(i).addLong(v)
-        out.write(java.lang.Long.toString(v)
-          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        writeLongAscii(v)
       } else {
         val u = row.getUTF8String(i)
         val bytes = u.getBytes
@@ -462,10 +484,13 @@ final class KeyedDataWriter(schema: StructType, key: String, genDir: String,
           b += 1
         }
         // UTF8String.clone(): the row's backing buffer is reused by the
-        // iterator — a held reference must own its bytes
-        val owned = u.clone()
-        if (minS(i) == null || owned.compareTo(minS(i)) < 0) minS(i) = owned
-        if (maxS(i) == null || owned.compareTo(maxS(i)) > 0) maxS(i) = owned
+        // iterator — a HELD reference must own its bytes. Clone only
+        // when the value actually becomes the new extreme (r19
+        // optimization — the old form cloned every row; sorted-run
+        // data makes a new extreme rare, so this drops one allocation
+        // per string field per row in the common case).
+        if (minS(i) == null || u.compareTo(minS(i)) < 0) minS(i) = u.clone()
+        if (maxS(i) == null || u.compareTo(maxS(i)) > 0) maxS(i) = u.clone()
         sketches(i).addBytes(bytes)
         out.write(bytes)
       }
@@ -494,10 +519,22 @@ final class KeyedDataWriter(schema: StructType, key: String, genDir: String,
 final class KmvSketch {
   import KmvSketch.K
   private val set = new java.util.TreeSet[java.lang.Long]()
+  // Fast-reject bound (r19 optimization): once the sketch holds K
+  // hashes, any hash >= the Kth-smallest cannot enter the bottom-K —
+  // skip the boxed TreeSet insert+evict (one primitive compare instead
+  // of two O(log K) tree walks per value; after the first K rows the
+  // common case is a reject). A duplicate of a RETAINED hash also
+  // rejects (h >= bound means h is either present at the boundary —
+  // add would no-op — or above it); a duplicate below the bound hits
+  // the TreeSet's own dedup. Output is bit-identical to the unguarded
+  // form.
+  private var bound = Long.MaxValue
 
   private def add(h63: Long): Unit = {
+    if (set.size >= K && h63 >= bound) return
     set.add(h63)
     if (set.size > K) set.remove(set.last)
+    if (set.size >= K) bound = set.last
   }
   def addLong(v: Long): Unit = add(KmvSketch.mix(v) >>> 1)
   def addBytes(b: Array[Byte]): Unit = {
