@@ -239,6 +239,18 @@ object Bench {
       // a "before q54 ran" state to be sensitive to.
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // AQE partition coalescing sized by the advisory target, not by
+      // keeping one reduce task per core (r19 optimization; Spark's own
+      // config reference recommends false in production so post-shuffle
+      // partitions land near advisoryPartitionSizeInBytes — guide §2.2
+      // "fewer, larger reduce partitions"). parallelismFirst=true held
+      // every KB-scale shuffle at ~core-count reduce tasks, so each of
+      // the registry's small exchanges paid tasks-per-stage scheduling
+      // overhead for partitions thousands of times under the target.
+      // Scale story unchanged: at real data volumes the advisory size
+      // governs either way; this only stops TINY stages from being
+      // sliced 32 ways. A/B on the full suite: see OPTIMIZATION_r19.md.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -344,6 +356,27 @@ object Bench {
       wdf.write.mode("overwrite").json(s"$wtmp/j")
       spark.read.schema("id BIGINT, s STRING").json(s"$wtmp/j")
         .write.mode("overwrite").parquet(s"$wtmp/p")
+      // Nested-document shapes (r19): collect_list of a struct carrying
+      // maps/arrays (ObjectHashAggregate + the nested-struct codegen),
+      // a transform() lambda rebuilding structs, and the JSON encoder
+      // over a nested schema — the q46 lifecycle's one-time bootstrap,
+      // which otherwise lands on its cold sample (measured ~1.3-2 s of
+      // q46's cold was this JIT; the flat-schema json warmup above does
+      // not reach these code paths).
+      spark.range(100).selectExpr("id", "id % 7 AS g")
+        .groupBy("g")
+        .agg(org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.map(
+              org.apache.spark.sql.functions.lit("k"),
+              org.apache.spark.sql.functions.concat(
+                org.apache.spark.sql.functions.lit("u/"),
+                org.apache.spark.sql.functions.col("id").cast("string")))
+              .as("m"))).as("xs"))
+        .selectExpr("g",
+          "transform(xs, t -> named_struct('id2', t.id + 1, 'm', t.m)) AS ys")
+        .write.mode("overwrite").json(s"$wtmp/jn")
       // Iterative-loop machinery bootstrap (localCheckpoint + observe +
       // per-round re-plan): the fixpoint queries (q31 pagerank, x36
       // components) otherwise pay the one-time JIT of the checkpoint
@@ -617,6 +650,18 @@ object Bench {
       // runs OUTSIDE the timed window like the drain itself
       val bb = cpuBusy()
       val cold = timedBody(body())
+      // MEASUREMENT FIX (r19, declared in OPTIMIZATION_r19.md): the
+      // warm sample gets the same pre-sample quiescence the cold
+      // sample has had since r11 — without it the COLD run's async
+      // cleanup backlog (ContextCleaner broadcast/shuffle removals,
+      // finalizers) lands inside the warm window, producing the
+      // recurring warm-over-cold inversions whose warm_retry always
+      // read clean (r19 baseline: x62 warm 5.76 vs retry 0.69, x100
+      // 3.51 vs 0.94 — the r7 x62 warm 6.08 > cold was this too).
+      // The drain runs OUTSIDE the timed window, like every other
+      // drain; cold methodology and the driver contract are unchanged.
+      drain()
+      drainBus()
       val warm = timedBody(body())
       val la = load1()
       val snap = storageSnap()

@@ -31,10 +31,30 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   /** Write `df` as a bucketed (and per-bucket sorted) managed parquet
-    * table keyed on `key`. Overwrites any existing table of that name. */
+    * table keyed on `key`. Overwrites any existing table of that name.
+    *
+    * The explicit `repartition(buckets, key)` IS the layout shuffle the
+    * scaladoc above prices (r19 optimization — previously the write ran
+    * at whatever parallelism the input happened to have): Spark's
+    * hash-repartition and its bucket-id assignment use the same
+    * murmur3-pmod formula, so each of the `buckets` partitions holds
+    * exactly ONE bucket's rows — one file per bucket at ANY input
+    * parallelism (the zero-Sort SMJ contract needs exactly that;
+    * without it a multi-task input writes tasks×buckets files and the
+    * per-bucket sort claim degrades), and the write's fan-out is pinned
+    * at `buckets` tasks regardless of how AQE coalesced the upstream
+    * (advisory-sized coalescing had serialized the whole table write
+    * into one task — x101's index build read 5.1 s cold from exactly
+    * that). Iceberg's write.distribution-mode=hash is this same move.
+    * The partitioning expression is the BUCKET ID itself — the same
+    * `pmod(hash(key), buckets)` [[compact]] has always used (and whose
+    * scaladoc records that repartitioning by the raw key empirically
+    * still split files) — so every bucket lands wholly in one task. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int, sorted: Boolean = true): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val w = df.repartition(buckets, pmod(hash(col(key)), lit(buckets)))
+      .write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
@@ -50,7 +70,11 @@ object Bucketing {
     * de-bucketing the table. */
   def appendBucketed(df: DataFrame, table: String, key: String,
       buckets: Int, sorted: Boolean = true): Unit = {
-    val w = df.write.mode(SaveMode.Append).format("parquet")
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    // same bucket-id layout shuffle as [[writeBucketed]]: one new file
+    // per bucket per append batch (not per task), written in parallel
+    val w = df.repartition(buckets, pmod(hash(col(key)), lit(buckets)))
+      .write.mode(SaveMode.Append).format("parquet")
       .bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
@@ -139,7 +163,11 @@ object Bucketing {
       val stageTbl = s"${table}__stage$batchId"
       spark.sql(s"DROP TABLE IF EXISTS `$stageTbl`")
       if (fs.exists(stagePath)) fs.delete(stagePath, true)
-      val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      val w = df
+        .repartition(buckets, org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(df(key)),
+          org.apache.spark.sql.functions.lit(buckets)))
+        .write.mode(SaveMode.Overwrite).format("parquet")
         .option("path", stagePath.toString).bucketBy(buckets, key)
       (if (sorted) w.sortBy(key) else w).saveAsTable(stageTbl)
       val staged = spark.table(stageTbl).count()
@@ -226,9 +254,8 @@ object Bucketing {
         .partitionBy(IngestCol).bucketBy(buckets, key)
       (if (sorted) w.sortBy(key) else w).saveAsTable(tmp)
     } else
-      writeBucketed(
-        src.repartition(buckets, pmod(hash(col(key)), lit(buckets))),
-        tmp, key, buckets, sorted)
+      // writeBucketed performs the bucket-id repartition itself (r19)
+      writeBucketed(src, tmp, key, buckets, sorted)
     spark.sql(s"DROP TABLE `$table`")
     finishSwap(spark, tmp, table)
     recoverIfIngest(spark, table)

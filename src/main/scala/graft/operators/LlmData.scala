@@ -1234,8 +1234,18 @@ object LlmData {
     memoized(s, "tok-corpus", dir) {
       val base = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      // explicit partition COUNT (r19): a bare repartition(col) is
+      // subject to AQE coalescing, and under advisory-sized coalescing
+      // (parallelismFirst=false, Bench r19) a KB-scale corpus would
+      // collapse to ONE task — serializing the tokenize kernel this
+      // spread exists to parallelize, for every family rebuild. The
+      // count is the session's shuffle parallelism: the spread's whole
+      // purpose is compute fan-out, not bytes-per-task.
       val spread =
-        if (base.inputFiles.length <= 1) base.repartition(col("doc_id")) else base
+        if (base.inputFiles.length <= 1)
+          base.repartition(s.sessionState.conf.numShufflePartitions,
+            col("doc_id"))
+        else base
       spread.select(col("doc_id"), col("lang"), col("source"),
           Text.tokens(col("text")).as("tk"))
         .persist()

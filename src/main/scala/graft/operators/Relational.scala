@@ -3111,9 +3111,31 @@ object Relational {
     * linear — no checkpoint needed at this round count. */
   private def q31 = Q(
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-        .distinct()
+      // the distinct pair list feeds BOTH staged frames below (deg and
+      // edges), each of which re-ran the full lineitem scan + distinct
+      // shuffle on materialization — memoize+persist it once (r19; the
+      // same signature-table discipline as deg/edges themselves, one
+      // more clearMemo-released frame). The distinct's shuffle is
+      // pinned at a row-count-derived width (the x36/edges 64k-rows-
+      // per-partition rule): under advisory-sized AQE coalescing the
+      // un-pinned exchange collapsed to one task and serialized the
+      // dedup of |lineitem| pairs. repartition(N, src, dst) + distinct
+      // share one exchange (the groupBy sees its clustering satisfied).
+      val li = LlmData.memoizedEager(s, "q31-li", dir) {
+        val raw = t(s, dir, "lineitem")
+          .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        val rows = t(s, dir, "lineitem").count() // parquet metadata count
+        val sizedPre = math.max(1L, math.min(
+          s.conf.get("spark.sql.shuffle.partitions").toLong,
+          rows / 65536L + 1L)).toInt
+        val f = raw.repartition(sizedPre, col("src"), col("dst")).distinct().persist()
+        // materialize NOW (memoizedEager allows eager jobs): deg's
+        // builder below reads f.rdd.getNumPartitions, which on an
+        // un-materialized adaptive plan would itself execute stages —
+        // under the LAZY memo lock, where eager work is forbidden
+        f.write.format("noop").mode("overwrite").save()
+        f
+      }
       // Memoized+persisted staging (LlmData's signature-table
       // lifecycle, released by clearMemo) — the in-query analog of
       // materializing the graph once, which is how an iterative job
@@ -3131,9 +3153,17 @@ object Relational {
       // KB-scale graph — while at cluster scale the cap keeps the
       // session's sizing and the src co-location is exactly the
       // pre-partitioning the no-broadcast fallback below needs.
+      // the cached pair list's own width (metadata read on the
+      // MATERIALIZED frame — no job; read OUTSIDE the lazy memo lock)
+      val liParts = math.max(1, li.rdd.getNumPartitions)
       val deg = LlmData.memoized(s, "q31-deg", dir) {
         val sym = li.unionByName(li.select(col("dst").as("src"), col("src").as("dst")))
-        sym.groupBy("src").agg(count(lit(1)).as("deg"))
+        // pin the degree aggregation's exchange at the pair list's
+        // width: repartition(n, src) + groupBy(src) share one exchange,
+        // and the width survives advisory-sized AQE coalescing (r19 —
+        // same rationale as the li memo above)
+        sym.repartition(liParts, col("src"))
+          .groupBy("src").agg(count(lit(1)).as("deg"))
           .withColumnRenamed("src", "node").persist()
       }
       // memoizedEager, not memoized: this build runs an EAGER job (the

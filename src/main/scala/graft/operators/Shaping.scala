@@ -341,13 +341,26 @@ object Shaping {
     * single-window form — the driver's hash-compare is the
     * cross-engine proof that the binned plan computes exactly the
     * naive semantics (the x107 precedent). */
-  private def x112 = Q(
-    (s, dir) => {
-      val d = LlmData.tokStaged(s, dir)
+  /** (source, doc_id, nt, lm_micro): the scored-corpus join x112 and
+    * x113 both consume — staged ONCE per (session, corpus generation)
+    * like the family's other artifacts (r19 optimization: x112's plan
+    * references this join FOUR times — cap aggregate, bin rollup,
+    * boundary-bin window, per-source totals — and each reference
+    * re-ran the tokStaged⋈lmScored join; x113 re-derived the same
+    * join again minus `source`). Released by clearMemo. */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame =
+    LlmData.memoized(s, "x112-scored-docs", dir) {
+      LlmData.tokStaged(s, dir)
         .select(col("source"), col("doc_id"),
           size(col("tk")).cast("long").as("nt"))
         .join(lmScored(s, dir).select("doc_id", "lm_micro"), Seq("doc_id"), "left")
         .na.fill(0L, Seq("lm_micro"))
+        .persist()
+    }
+
+  private def x112 = Q(
+    (s, dir) => {
+      val d = scoredDocs(s, dir)
         .withColumn("bin", expr("CAST(lm_micro div 16384 AS INT)"))
       val cap = d.agg(expr(
         s"CAST(sum(nt) * $CapPct div 100 AS BIGINT)").as("cap"))
@@ -427,11 +440,9 @@ object Shaping {
     * global sort ever runs. */
   private def x113 = Q(
     (s, dir) => {
-      val d = LlmData.tokStaged(s, dir)
-        .select(col("doc_id"),
-          size(col("tk")).cast("long").as("nt"))
-        .join(lmScored(s, dir).select("doc_id", "lm_micro"), Seq("doc_id"), "left")
-        .na.fill(0L, Seq("lm_micro"))
+      // same staged scored-corpus join as x112 (source column unused
+      // here; carrying it through the aggregate input is free)
+      val d = scoredDocs(s, dir)
       val mm = d.agg(min("lm_micro").as("mn"), max("lm_micro").as("mx"))
       d.crossJoin(broadcast(mm))
         .withColumn("phase", expr(

@@ -147,6 +147,14 @@ final class KeyedCowWrite(op: KeyedCowOperation, schema: StructType,
     s"GraftKeyedCowWrite path=$path key=$key"
   override def requiredDistribution(): Distribution =
     Distributions.clustered(Array(Expressions.column(key)))
+  // session-parallelism writer fan-out, same rationale as
+  // KeyedWrite.requiredNumPartitions (AQE advisory-sized coalescing
+  // must not serialize per-key file creation)
+  private val writeParallelism: Int =
+    try org.apache.spark.sql.SparkSession.active.sessionState.conf
+      .numShufflePartitions
+    catch { case _: Throwable => 0 }
+  override def requiredNumPartitions(): Int = writeParallelism
   override def requiredOrdering(): Array[SortOrder] =
     (key +: sortBy).map(c =>
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray

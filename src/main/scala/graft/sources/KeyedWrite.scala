@@ -143,6 +143,21 @@ final class KeyedWrite(schema: StructType, path: String, key: String,
   // sortBy — what the order marker then truthfully claims)
   override def requiredDistribution(): Distribution =
     Distributions.clustered(Array(Expressions.column(key)))
+  // Pin the write-side clustering shuffle at the SESSION's configured
+  // shuffle parallelism (r19 optimization): with AQE's coalescing
+  // sized by the advisory target (parallelismFirst=false — the
+  // production-recommended mode Bench now sets), a small-batch write
+  // would coalesce to ONE task and create every per-key file serially
+  // (measured: q82's z-order stage 1.2 → 2.7 s cold). Writer
+  // parallelism is an I/O-fan-out decision, not a bytes-per-task
+  // decision, so it follows spark.sql.shuffle.partitions — the knob
+  // that already scales with deployment size — rather than the
+  // advisory byte target. 0 (= let Spark choose) if no active session.
+  private val writeParallelism: Int =
+    try org.apache.spark.sql.SparkSession.active.sessionState.conf
+      .numShufflePartitions
+    catch { case _: Throwable => 0 }
+  override def requiredNumPartitions(): Int = writeParallelism
   override def requiredOrdering(): Array[SortOrder] =
     (key +: sortBy).map(c =>
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray

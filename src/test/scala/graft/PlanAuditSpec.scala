@@ -56,7 +56,11 @@ class PlanAuditSpec extends SparkSpec {
     // single-file testdata layout: the one sanctioned payload shuffle
     // (the spread repartition over the 2-column projection) must exist,
     // or hashing serializes onto one task
-    assert(plan("x22_minhash_lsh_pairs").contains("REPARTITION_BY_COL"),
+    // REPARTITION_BY_NUM since r19: the spread pins its partition COUNT
+    // (a bare repartition(col) is subject to AQE advisory-sized
+    // coalescing, which would collapse the KB-scale corpus to one task
+    // and serialize the tokenize kernel — see tokStaged)
+    assert(plan("x22_minhash_lsh_pairs").contains("REPARTITION_BY_NUM"),
       "single-file layout needs the spread repartition")
     // multi-file layout: the (doc_id, text) payload must never shuffle —
     // every remaining exchange carries signatures/band keys only
@@ -65,7 +69,7 @@ class PlanAuditSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val p = SparkEntry.queries("x22_minhash_lsh_pairs")(spark, tmp)
       .queryExecution.executedPlan.toString
-    assert(!p.contains("REPARTITION_BY_COL"),
+    assert(!p.contains("REPARTITION_BY_NUM") && !p.contains("REPARTITION_BY_COL"),
       "a multi-file corpus must not shuffle the (doc_id, text) payload")
     // drop the tmp-layout signature tables this audit memoized
     graft.operators.LlmData.clearMemo(spark)
