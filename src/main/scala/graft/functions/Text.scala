@@ -290,6 +290,13 @@ object Text {
   def md5LongsNative(sh: Column, mod: Long): Column =
     call_function("graft_md5_longs", sh, lit(mod))
 
+  /** Native twin of the positional-gram fingerprint projection
+    * `transform(sequence(1, size(tk)-n+1), i -> md5(concat_ws(' ', slice(tk, i, n))))`
+    * — byte-equal md5-hex strings, one generated loop per row
+    * (plans.GramMd5Hex; callers must filter size(tk) >= n first). */
+  def gramMd5Native(toks: Column, n: Int): Column =
+    call_function("graft_gram_md5", toks, lit(n))
+
   /** Native twin of minhashFromHashes. */
   def minhashNative(hs: Column, numHashes: Int): Column =
     call_function("graft_minhash", hs, lit(numHashes))

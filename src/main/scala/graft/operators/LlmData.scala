@@ -2964,9 +2964,12 @@ object LlmData {
         // BOTH the cross-doc dup set and the per-doc count — persist
         // it once (the in-query analog of a materialized gram table)
         val g = memoized(s, "x49-grams", dir) {
+          // native sliding-gram kernel (r19 — Text.gramMd5Native): same
+          // md5-hex values as the HOF transform/sequence/slice chain
+          // (ScrubKernelSpec pins byte equality) without its per-
+          // position slice-copy + interpreted lambda dispatch
           d.select(col("doc_id"),
-            explode(transform(sequence(lit(1), size(col("tk")) - 9),
-              i => md5(concat_ws(" ", slice(col("tk"), i, lit(10)))))).as("fp"))
+            explode(Text.gramMd5Native(col("tk"), 10)).as("fp"))
             .persist()
         }
         val dup = g.groupBy("fp")

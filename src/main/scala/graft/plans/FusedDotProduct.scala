@@ -184,6 +184,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         requireArity("graft_md5_longs", children, 2)
         Md5Longs(children.head, litLong("graft_md5_longs", children(1)))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_gram_md5"),
+      new ExpressionInfo(classOf[GramMd5Hex].getName, "graft_gram_md5"),
+      (children: Seq[Expression]) => {
+        requireArity("graft_gram_md5", children, 2)
+        GramMd5Hex(children.head, litLong("graft_gram_md5", children(1)).toInt)
+      }))
     // graft_pq_assign(emb, cbFlat, codes, subDim) / graft_pq_dists(...):
     // the trained codebook is a query-time constant (index metadata),
     // so it arrives as an array<double> literal the builder unwraps

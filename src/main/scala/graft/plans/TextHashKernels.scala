@@ -303,11 +303,85 @@ object ShingleArray {
   }
 }
 
+/** md5-hex fingerprints of every sliding n-token window, natively: one
+  * loop per row producing exactly
+  * `transform(sequence(1, size(tk)-n+1), i -> md5(concat_ws(' ', slice(tk, i, n))))`
+  * for inputs with size(tk) >= n (byte-equal hex strings — Spark's md5()
+  * is lowercase hex over the UTF-8 bytes, and so is this; pinned by
+  * ScrubKernelSpec). The HOF form allocated a positions array, one
+  * slice-copy array and one interpreted lambda dispatch PER POSITION per
+  * row — the dominant staging cost of the x49 positional-gram audit
+  * (r19 optimization). Fewer than n tokens yields an EMPTY array;
+  * callers filter size(tk) >= n first (the HOF's sequence(1, len-n+1)
+  * DESCENDS for len < n — a shape no caller may feed either form). */
+case class GramMd5Hex(child: Expression, n: Int) extends UnaryExpression {
+
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got $t")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_gram_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    GramMd5Hex.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cls = GramMd5Hex.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $cls.compute($arr, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GramMd5Hex =
+    copy(child = newChild)
+}
+
+object GramMd5Hex {
+  private val SPACE = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  private val HEX = "0123456789abcdef".getBytes
+
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](len - n + 1)
+    val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    val d = Md5Longs.digestFor()
+    val hex = new Array[Byte](32)
+    var i = 0
+    while (i <= len - n) {
+      var j = 0
+      while (j < n) { window(j) = toks.getUTF8String(i + j); j += 1 }
+      d.reset()
+      val dig = d.digest(
+        org.apache.spark.unsafe.types.UTF8String.concatWs(SPACE, window: _*)
+          .getBytes)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HEX((dig(b) >> 4) & 0xf)
+        hex(2 * b + 1) = HEX(dig(b) & 0xf)
+        b += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromBytes(
+        java.util.Arrays.copyOf(hex, 32))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object Md5Longs {
   private val md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+
+  /** Thread-local digest shared with [[GramMd5Hex]]. */
+  private[plans] def digestFor(): java.security.MessageDigest = md5.get()
 
   /** First 15 hex chars of md5 as a long — i.e. the top 60 bits of the
     * digest, which is exactly `CAST('0x' || substr(md5(s),1,15) AS

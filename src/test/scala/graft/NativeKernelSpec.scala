@@ -45,6 +45,26 @@ class NativeKernelSpec extends SparkSpec {
     assert(mismatch == 0)
   }
 
+  test("graft_gram_md5 == HOF sequence/slice/md5 sliding grams (byte-equal hex)") {
+    // the x49 staging swap (r19): native kernel vs the exact HOF chain
+    // it replaced, over the real corpus filtered to size >= n (the one
+    // shape both forms are specified for — sequence(1, len-9) descends
+    // below it and no caller feeds that)
+    val docs = Tables.load(spark, sf0001, "documents")
+      .withColumn("tk", Text.tokens(col("text")))
+      .filter(size(col("tk")) >= 10)
+    val mismatch = docs.select(
+      Text.gramMd5Native(col("tk"), 10).as("native"),
+      transform(sequence(lit(1), size(col("tk")) - 9),
+        i => md5(concat_ws(" ", slice(col("tk"), i, lit(10))))).as("hof"))
+      .filter(!(col("native") <=> col("hof"))).count()
+    assert(mismatch == 0)
+    // under-n edge: empty array, not null (callers filter anyway)
+    val short = Seq((1L, "a b")).toDF("id", "text")
+      .select(Text.gramMd5Native(Text.tokens(col("text")), 10).as("g")).head()
+    assert(!short.isNullAt(0) && short.getSeq[String](0).isEmpty)
+  }
+
   test("graft_minhash == minhashFromHashes over the same base hashes") {
     val hs = sh.withColumn("hs", Text.md5LongsNative(col("sh"), Text.MinhashMod))
     val mismatch = hs.select(
