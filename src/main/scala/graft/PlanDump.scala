@@ -37,15 +37,27 @@ object PlanDump {
       .config("spark.sql.warehouse.dir", io.TempDirs.scratch("graft-warehouse"))
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // keep dumped plans in lockstep with Bench's AQE coalescing mode
+      // (r19 ADVICE: the dump omitted this conf after Bench gained it)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(outDir)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Executed-plan mode (r19 verdict #8: dumps taken pre-materialization
+    // repeat memoized lineage per reference, so Exchange counts overstate
+    // and the evidence doesn't stand on its own). SPARK_GRAFT_PLAN_EXEC=1
+    // runs each query's plan to completion FIRST (via the same
+    // QueryExecution, so AQE finalizes in place: isFinalPlan=true,
+    // AQEShuffleRead nodes visible) and dumps the as-executed plan —
+    // memoized stagings then print as materialized InMemoryRelations.
+    val exec = sys.env.get("SPARK_GRAFT_PLAN_EXEC").contains("1")
     qs.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
+        if (exec) df.queryExecution.toRdd.foreachPartition(_ => ())
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         java.nio.file.Files.write(outDir.resolve(s"${name}_$suffix.txt"),

@@ -33,23 +33,31 @@ object Bucketing {
   /** Write `df` as a bucketed (and per-bucket sorted) managed parquet
     * table keyed on `key`. Overwrites any existing table of that name.
     *
-    * The explicit `repartition(buckets, key)` IS the layout shuffle the
-    * scaladoc above prices (r19 optimization — previously the write ran
-    * at whatever parallelism the input happened to have): Spark's
-    * hash-repartition and its bucket-id assignment use the same
-    * murmur3-pmod formula, so each of the `buckets` partitions holds
-    * exactly ONE bucket's rows — one file per bucket at ANY input
-    * parallelism (the zero-Sort SMJ contract needs exactly that;
-    * without it a multi-task input writes tasks×buckets files and the
-    * per-bucket sort claim degrades), and the write's fan-out is pinned
-    * at `buckets` tasks regardless of how AQE coalesced the upstream
-    * (advisory-sized coalescing had serialized the whole table write
-    * into one task — x101's index build read 5.1 s cold from exactly
-    * that). Iceberg's write.distribution-mode=hash is this same move.
-    * The partitioning expression is the BUCKET ID itself — the same
+    * The explicit `repartition(buckets, bucketId)` IS the layout
+    * shuffle the scaladoc above prices (r19 optimization — previously
+    * the write ran at whatever parallelism the input happened to
+    * have). The partitioning expression is the BUCKET ID — the same
     * `pmod(hash(key), buckets)` [[compact]] has always used (and whose
     * scaladoc records that repartitioning by the raw key empirically
-    * still split files) — so every bucket lands wholly in one task. */
+    * still split files) — so every bucket lands WHOLLY in one task:
+    * one file per bucket at ANY input parallelism (the zero-Sort SMJ
+    * contract needs exactly that; without it a multi-task input writes
+    * tasks×buckets files and the per-bucket sort claim degrades), and
+    * the write's fan-out stays near `buckets` tasks regardless of how
+    * AQE coalesced the upstream (advisory-sized coalescing had
+    * serialized the whole table write into one task — x101's index
+    * build read 5.1 s cold from exactly that). Iceberg's
+    * write.distribution-mode=hash is this same move.
+    *
+    * Fan-out precision (r19 ADVICE): the repartition hashes the bucket
+    * id AGAIN (partition = pmod(murmur3(bucketId), buckets)), so
+    * bucket ids collide — ≈1/e of the partitions come up empty and
+    * some tasks write 2-3 buckets' files; effective parallelism is
+    * ~63% of `buckets`, not exactly `buckets`. One-file-per-bucket and
+    * the zero-Sort SMJ contract are unaffected (a bucket never splits
+    * across tasks). Accepted: exact id→partition placement needs an
+    * RDD-level custom partitioner, which would drop this write out of
+    * the DataFrame writer for a ≤1.6× tail-parallelism win. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int, sorted: Boolean = true): Unit = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}

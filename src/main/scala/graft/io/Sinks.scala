@@ -64,14 +64,22 @@ object Sinks {
           override def call(): Unit = write(df, name)
         })
       }
+      // failures settle all three before throwing; an INTERRUPT of the
+      // waiting thread instead cancels the remaining jobs and
+      // re-asserts the flag (r19 ADVICE: it used to escape the loop
+      // immediately, leaving the other write jobs running detached)
       val errs = futs.flatMap(f =>
         try { f.get(); None }
         catch {
           case e: java.util.concurrent.ExecutionException =>
             Some(Option(e.getCause).getOrElse(e))
+          case e: InterruptedException =>
+            futs.foreach(_.cancel(true))
+            Thread.currentThread().interrupt()
+            Some(e)
         })
       errs.foreach(e => throw e)
-    } finally pool.shutdown()
+    } finally pool.shutdownNow()
   }
 
   /** JSON document sink (S5). `coalesce(1)` mirrors the reference's

@@ -59,6 +59,20 @@ object Components {
     (cp, added)
   }
 
+  /** Precise variant for a checkpoint whose materialization may ALSO
+    * trigger lazily persisted upstream caches (memoized signature
+    * tables): the released set is exactly the checkpoint's own RDD —
+    * read off the resulting LogicalRDD plan, not a global before/after
+    * snapshot — so releasing it can never evict an upstream memo that
+    * happened to register inside the same window. */
+  private def checkpointPrecise(df: DataFrame): (DataFrame, Set[Int]) = {
+    val cp = df.localCheckpoint()
+    val ids = cp.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+    (cp, ids)
+  }
+
   /** Unique Observation names: reusing a name while a prior observation
     * with it is still registered on the session is an error, and the
     * loops run under Bench twice per query (cold + warm). */
@@ -225,26 +239,39 @@ object Components {
   def connectedComponentsAlternating(edges: DataFrame, a: String, b: String,
       maxIter: Int = 30): DataFrame = {
     val s = edges.sparkSession
-    // eager checkpoint (not persist): the node list is consumed by the
-    // final join AFTER the loop, possibly long after — a lazy persist
-    // would recompute the whole upstream pair-generation pipeline at
-    // result materialization. This call also runs FIRST and consumes
-    // `edges` completely, so any lazily persisted upstream input (e.g.
-    // a memoized signature table) registers inside THIS delta — which
-    // is therefore deliberately DISCARDED, never released: releasing
-    // it would unpersist the memoized upstream table out from under
-    // its registry while still advertised as cached (recomputing the
-    // whole signature pipeline on next use). The nodes table itself
-    // (2 small columns) is the bounded residue that buys that safety,
-    // alongside the result's own checkpoint.
-    val (nodes, _) = checkpointTracked(
-      edges.select(col(a).cast("long").as("node"))
-        .unionByName(edges.select(col(b).cast("long").as("node")))
-        .distinct())
 
     def canon(df: DataFrame): DataFrame = df
       .filter(col("hi") =!= col("lo"))
       .distinct()
+
+    // ONE pass over the upstream edge pipeline (r20 — the r19 form
+    // consumed `edges` twice before the loop even started: a full
+    // pair-generation pass for the node list and another for the
+    // round-0 edge checkpoint; at x36's cadence that was ~1 s of the
+    // staging's cost and at cluster scale it is two corpus-wide
+    // self-joins where one suffices). `base` is the hi/lo
+    // canonicalization WITHOUT the self-loop filter, checkpointed
+    // eagerly; nodes and the round-0 edges both derive from it with
+    // cheap single-table jobs. checkpointPrecise, not Tracked: this
+    // first action materializes any lazily persisted upstream memo
+    // (signature tables), and the release below must not evict those —
+    // the precise id set contains only base's own checkpoint RDD.
+    val (base, baseIds) = checkpointPrecise(
+      edges.select(
+        greatest(col(a).cast("long"), col(b).cast("long")).as("hi"),
+        least(col(a).cast("long"), col(b).cast("long")).as("lo")))
+
+    // eager checkpoint (not persist): the node list is consumed by the
+    // final join AFTER the loop, possibly long after — a lazy persist
+    // would recompute its input at result materialization. Self-loop
+    // rows survive in `base`, so self-loop-only nodes keep their
+    // output row (the [[connectedComponents]] contract). The nodes
+    // table itself (1 small column) plus the result's own checkpoint
+    // are the bounded residue.
+    val (nodes, _) = checkpointTracked(
+      base.select(col("hi").as("node"))
+        .unionByName(base.select(col("lo").as("node")))
+        .distinct())
 
     // edge-multiset signature over both coprime moduli (see SigMod
     // note: single-modulus terms are perfectly correlated under a
@@ -263,10 +290,10 @@ object Components {
           pmod(col("lo"), lit(SigMod2)) * 69069L,
         lit(SigMod2))), lit(0L)))
 
-    val (e0, sig0) = observed(canon(edges.select(
-      greatest(col(a).cast("long"), col(b).cast("long")).as("hi"),
-      least(col(a).cast("long"), col(b).cast("long")).as("lo"))), edgeMetrics)
+    val (e0, sig0) = observed(canon(base), edgeMetrics)
     var (e, eIds) = checkpointTracked(e0)
+    // base is superseded once the round-0 edges are checkpointed
+    release(s, baseIds)
 
     var prev = sig0()
     var i = 0

@@ -103,27 +103,48 @@ object Ivm {
   def maintainRollupFull(prev: DataFrame, changes: DataFrame,
       current: DataFrame, group: Seq[String], sums: Seq[String],
       minMax: Seq[String]): DataFrame = {
-    val additive = maintainRollup(prev, changes, group, sums)
-    if (minMax.isEmpty) return additive
+    if (minMax.isEmpty) return maintainRollup(prev, changes, group, sums)
 
-    // monotone half: per-group extremes of the interval's INSERTS
-    val insAggs = minMax.flatMap(c => Seq(
-      min(col(c)).as(s"_ins_min_$c"), max(col(c)).as(s"_ins_max_$c")))
-    val ins = changes.where(col("_change_type") === "insert")
-      .groupBy(group.map(col): _*).agg(insAggs.head, insAggs.tail: _*)
+    // ONE aggregate over the changes interval computes every per-group
+    // signal at once (r20 — the r19 plan ran three separate
+    // scans/aggregates over `changes` and re-joined `prev` three
+    // times): the additive delta, the monotone insert extremes, AND
+    // the delete-side extremes the repair detection needs. Conditional
+    // aggregation (min/max over `when(...)`) replaces the
+    // insert/delete pre-filters; nulls skip, so a group with no
+    // inserts (or no deletes) resolves exactly like the old join-miss.
+    val isIns = col("_change_type") === "insert"
+    val isDel = col("_change_type") === "delete"
+    val sign = when(isIns, lit(1L)).otherwise(lit(-1L))
+    val deltaAggs = (sum(sign).as("_d_n") +:
+      sums.map(c => sum(col(c) * sign).as(s"_d_$c"))) ++
+      minMax.flatMap(c => Seq(
+        min(when(isIns, col(c))).as(s"_ins_min_$c"),
+        max(when(isIns, col(c))).as(s"_ins_max_$c"),
+        min(when(isDel, col(c))).as(s"_del_min_$c"),
+        max(when(isDel, col(c))).as(s"_del_max_$c")))
+    val delta = changes.groupBy(group.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+
+    // full outer: a delta may create a brand-new group (all-insert) or
+    // drain an existing one to zero (all-delete)
+    val joined = prev.join(delta, group, "full_outer")
 
     // repair detection: a delete row whose value EQUALS the group's
-    // maintained extreme may have been its last witness — delta-sized
-    // join against the previous view, never the corpus
+    // maintained extreme may have been its last witness. Per-group
+    // form of the old per-row predicate: ∃ delete row v == min_c
+    // ⟺ min(delete values) ≤ min_c (every live value is ≥ the
+    // maintained min, so ≤ only holds at equality; the inequality form
+    // additionally repairs — exactly, via re-aggregation — any group
+    // whose inputs ever violated that invariant). Delta-sized, never
+    // the corpus.
     val touchesExtreme = minMax.map(c =>
-      col(c) === col(s"min_$c") || col(c) === col(s"max_$c"))
+      col(s"_del_min_$c") <= col(s"min_$c") ||
+        col(s"_del_max_$c") >= col(s"max_$c"))
       .reduce(_ || _)
-    val affected = changes.where(col("_change_type") === "delete")
-      .join(prev.select((group.map(col) ++
-        minMax.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c")))): _*),
-        group)
-      .where(touchesExtreme)
-      .select(group.map(col): _*).distinct()
+    val affected = joined
+      .where(col("n_rows").isNotNull && touchesExtreme)
+      .select(group.map(col): _*)
 
     // bounded repair: re-aggregate ONLY the affected groups from the
     // interval-end state (left-semi keeps the probe on the big side;
@@ -134,10 +155,11 @@ object Ivm {
       .join(broadcast(affected), group, "left_semi")
       .groupBy(group.map(col): _*).agg(reAggs.head, reAggs.tail: _*)
 
-    val prevMm = prev.select((group.map(col) ++
-      minMax.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c")))): _*)
-    val outCols = (group.map(col) :+ col("n_rows")) ++
-      sums.map(c => col(s"sum_$c")) ++
+    val outCols = group.map(col) ++
+      ((coalesce(col("n_rows"), lit(0L)) + coalesce(col("_d_n"), lit(0L)))
+        .as("n_rows") +:
+        sums.map(c => (coalesce(col(s"sum_$c"), lit(0L)) +
+          coalesce(col(s"_d_$c"), lit(0L))).as(s"sum_$c"))) ++
       minMax.flatMap(c => Seq(
         // a repaired group answers from its re-aggregation (which
         // already saw the interval's inserts — `current` is the
@@ -150,11 +172,10 @@ object Ivm {
         when(col(s"_re_max_$c").isNotNull, col(s"_re_max_$c"))
           .otherwise(greatest(col(s"max_$c"), col(s"_ins_max_$c")))
           .as(s"max_$c")))
-    additive
-      .join(prevMm, group, "left_outer")
-      .join(ins, group, "left_outer")
+    joined
       .join(repaired, group, "left_outer")
       .select(outCols: _*)
+      .where(col("n_rows") > 0)
   }
 
   /** Signed delta of a two-table equi-join — the incremental form of

@@ -86,7 +86,10 @@ object Multimodal {
       decoder: Array[Byte] => Seq[Float]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("doc_id", "media_type", "content").as[MediaRow]
-      .repartition(col("doc_id"))
+      // explicit count (r19 ADVICE): decode is compute fan-out; a bare
+      // repartition(col) coalesces to one task under advisory-sized
+      // AQE coalescing, serializing the decoder this spread feeds
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
       .mapPartitions { rows =>
         // per-partition init happens here (codec handles, buffers)
         rows.map(r => MediaFeatures(r.doc_id, r.media_type, decoder(r.content)))

@@ -36,6 +36,10 @@ object OptProbe {
       .config("spark.sql.warehouse.dir", graft.io.TempDirs.scratch("graft-warehouse"))
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // keep the probe's AQE coalescing in lockstep with Bench (r19
+      // ADVICE: probe timings must reflect the bench's actual
+      // post-shuffle partition sizing or leg attribution drifts)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -213,6 +217,95 @@ object OptProbe {
           s"$base/warehouse/g1", to_timestamp(lit("2024-01-03 00:00:00"))))
         raw.unpersist(blocking = false)
         timed("readback")(mat(s.read.parquet(s"$base/warehouse/g1/song_data")))
+      case "q86legs" =>
+        // q86's catalog-MV lifecycle leg by leg (inline mirror of
+        // Relational "q86_catalog_mv"; instrument only): which of the
+        // serial commits carries the 6.3 s cold.
+        val out86 = graft.io.TempDirs.scratch("graft_probe86_")
+        val tbl86 = s"$out86/src"
+        timed("stageKeyed") {
+          graft.sources.KeyedSource.stageKeyed(s,
+            graft.sources.Tables.load(s, dir, "documents")
+              .selectExpr("doc_id % 16 AS kb", "doc_id", "n_chars"),
+            tbl86, "kb", sortBy = Seq("doc_id"), retain = 8)
+        }
+        s.conf.set("spark.sql.catalog.graftcat",
+          classOf[graft.sources.GraftCatalog].getName)
+        timed("create-table") {
+          s.sql("DROP TABLE IF EXISTS graftcat.probe86")
+          s.sql("DROP TABLE IF EXISTS graftcat.probe86_mv")
+          s.sql(s"CREATE TABLE graftcat.probe86 (kb BIGINT, doc_id BIGINT, " +
+            s"n_chars BIGINT) USING `graft-keyed` LOCATION '$tbl86' " +
+            "TBLPROPERTIES('key'='kb','sortBy'='doc_id','retain'='8','dmlMode'='mor')")
+        }
+        val cat86 = s.sessionState.catalogManager.catalog("graftcat")
+          .asInstanceOf[graft.sources.GraftCatalog]
+        import org.apache.spark.sql.connector.catalog.Identifier
+        timed("createMV-bootstrap") {
+          cat86.createMaterializedView(
+            Identifier.of(Array.empty, "probe86_mv"),
+            Identifier.of(Array.empty, "probe86"),
+            group = "kb", sums = Seq("n_chars"), minMax = Seq("n_chars"),
+            viewPath = s"$out86/view")
+        }
+        timed("UPDATE")(
+          s.sql("UPDATE graftcat.probe86 SET n_chars = n_chars + 5000 WHERE doc_id % 9 = 1"))
+        timed("DELETE")(
+          s.sql("DELETE FROM graftcat.probe86 WHERE n_chars >= 5000"))
+        timed("append") {
+          graft.sources.Tables.load(s, dir, "documents")
+            .selectExpr("(doc_id + 4000000) % 16 AS kb",
+              "doc_id + 4000000 AS doc_id", "CAST(3 AS BIGINT) AS n_chars")
+            .where("doc_id % 40 = 0")
+            .write.format("graft-keyed")
+            .option("schema", "kb BIGINT, doc_id BIGINT, n_chars BIGINT")
+            .option("key", "kb").option("sortBy", "doc_id")
+            .mode("append").save(tbl86)
+        }
+        timed("compact")(
+          graft.sources.KeyedCompact.compact(s, tbl86,
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "kb BIGINT, doc_id BIGINT, n_chars BIGINT"), "kb"))
+        timed("refreshMV")(
+          cat86.refreshMaterializedView(Identifier.of(Array.empty, "probe86_mv")))
+        timed("read-view")(mat(s.table("graftcat.probe86_mv").orderBy("kb")))
+        // the full registered query, cold, for the in-context total
+        LlmData.clearMemo(s)
+        val q86 = graft.SparkEntry.queries("q86_catalog_mv")
+        timed("q86-cold")(mat(q86(s, dir)))
+      case "x49legs" =>
+        // x49's stages leg by leg (inline mirror of the registered query
+        // — tracks LlmData "x49_substring_spans"; instrument only).
+        // Adjudicates the r19 32-core regression: which leg pays for
+        // core-count fan-out on a KB corpus.
+        import org.apache.spark.sql.functions.{col, size, explode, countDistinct, count, lit, coalesce}
+        val d0 = timed("tokStaged")(
+          { val d = LlmData.tokStaged(s, dir); mat(d); d })
+        val d = d0.filter(size(col("tk")) >= 10)
+        val g = timed("grams-build+persist") {
+          val g = d.select(col("doc_id"),
+            explode(graft.functions.Text.gramMd5Native(col("tk"), 10)).as("fp"))
+            .persist()
+          mat(g); g
+        }
+        val dup = timed("dup-agg") {
+          val dup = g.groupBy("fp")
+            .agg(countDistinct(col("doc_id")).as("nd"))
+            .filter(col("nd") >= 2 && col("nd") <= LlmData.HotGramDfCap).select("fp")
+          mat(dup); dup
+        }
+        timed("perDoc+final") {
+          val perDoc = g.join(dup, Seq("fp"))
+            .groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams"))
+          mat(d.select(col("doc_id"), (size(col("tk")) - 9).cast("long").as("n_grams"))
+            .join(perDoc, Seq("doc_id"), "left")
+            .withColumn("n_dup_grams", coalesce(col("n_dup_grams"), lit(0L)))
+            .orderBy("doc_id"))
+        }
+        LlmData.clearMemo(s)
+        val q49 = graft.SparkEntry.queries("x49_substring_spans")
+        timed("x49-cold")(mat(q49(s, dir)))
+        timed("x49-warm")(mat(q49(s, dir)))
       case "x36legs" =>
         timed("tokStaged")(mat(LlmData.tokStaged(s, dir)))
         timed("simhashPairs")(mat(LlmData.simhashPairs(s, dir)))

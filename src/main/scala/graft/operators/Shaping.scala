@@ -64,6 +64,29 @@ object Shaping {
     * once on a sample); a literal here so the oracle replays it. */
   private val LmKeepMicro = 33000L
 
+  /** Largest single-bigram count the BIGINT micro-likelihood tolerates:
+    * (cb+1)·10^6 must stay under Long.MaxValue (see the p_micro comment
+    * in [[lmScored]]). Package-visible so the overflow-fence spec can
+    * build a synthetic over-bound count. */
+  private[operators] val LmCbOverflowBound = Long.MaxValue / 1000000L - 1L
+
+  /** LOUD overflow fence on the persisted bigram counts (r19 verdict
+    * #9): the scoring expression's (cb+1)·10^6 wraps silently under
+    * non-ANSI BIGINT past cb ≈ 9.2·10^12. The bound is ~two orders
+    * above any real single-pair count, but a violation must THROW, not
+    * produce a wrong-but-plausible score. Checked ONCE per DISTINCT
+    * pair at the persisted cb build (not per corpus bigram in the hot
+    * scoring path); values inside the bound pass through unchanged, so
+    * results are untouched. */
+  private[operators] def fencedCb(cb: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(cb <= lit(LmCbOverflowBound), cb)
+      .otherwise(raise_error(concat(
+        lit("x110 bigram count exceeds the BIGINT smoothing bound ("),
+        cb.cast("string"),
+        lit(s" > $LmCbOverflowBound): the (cb+1)*1e6 micro-likelihood " +
+          "would wrap; rescale the micro unit"))).cast("long"))
+
   /** Shared DuckDB fragment: the bigram staging CTEs. */
   private val duckBigrams =
     """toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
@@ -148,6 +171,7 @@ object Shaping {
       val cb = LlmData.memoized(s, "x110-cb", dir) {
         bigramsFromTokens(toks.filter(col("lang") === "en"))
           .groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+          .withColumn("cb", fencedCb(col("cb")))
           .persist()
       }
       val cp = cb.groupBy("prev").agg(sum("cb").as("cp"))

@@ -101,8 +101,12 @@ object KeyedCompact {
     // key-first sorted — the same audited writer the connector's
     // write paths use, so the compacted generation carries a sidecar
     // derived from exactly the rows written
+    // explicit fan-out (r19 ADVICE): a bare repartition(col) is
+    // coalescible to ONE task under advisory-sized AQE coalescing
+    // (parallelismFirst=false), serializing per-key file creation —
+    // the same pin KeyedWrite.requiredNumPartitions carries
     val msgs: Array[KeyedCommitMessage] = df
-      .repartition(col(key))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(key))
       .sortWithinPartitions(orderCols: _*)
       .queryExecution.toRdd
       .mapPartitionsWithIndex { (pid, it) =>
@@ -288,8 +292,9 @@ object KeyedCompact {
       .where(col(key).isin(changedVals: _*))
       .withColumn(key, evolved)
     val orderCols = (key +: sortBy).map(col)
+    // explicit fan-out: same coalescing-proof pin as compact() above
     val msgs: Array[KeyedCommitMessage] = rekeyed
-      .repartition(col(key))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(key))
       .sortWithinPartitions(orderCols: _*)
       .queryExecution.toRdd
       .mapPartitionsWithIndex { (pid, it) =>

@@ -444,6 +444,13 @@ final class KeyedMorBatchWrite(op: KeyedMorOperation,
       KeyedSource.codecOfHead(path, conf.value))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val tDbg = sys.env.contains("SPARK_GRAFT_TIMING")
+    var t0 = System.nanoTime()
+    def lap(name: String): Unit = if (tDbg) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[mor-commit] $name%-18s ${(t1 - t0) / 1e9}%8.3f s")
+      t0 = t1
+    }
     val msgs = messages.toSeq.collect { case m: KeyedDvMessage => m }
     val perKey: Map[String, Seq[(String, Long)]] = msgs.flatMap(_.dvs)
       .groupBy(_._1).map { case (k, xs) => k -> xs.map(x => (x._2, x._3)) }
@@ -492,6 +499,7 @@ final class KeyedMorBatchWrite(op: KeyedMorOperation,
     // to O(affected keys' rows) READ (writes stay O(deleted)); the
     // alternative was every later stats question paying a data scan
     // until compaction.
+    lap("pre-patch")
     if (perKey.nonEmpty) {
       val s = org.apache.spark.sql.SparkSession.active
       import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min, sum}
@@ -512,6 +520,7 @@ final class KeyedMorBatchWrite(op: KeyedMorOperation,
           }
         }
       }
+      lap("dv-range-parse")
       val keyVals: Seq[Any] = declared(key).dataType match {
         case LongType => perKey.keys.toSeq.map(_.toLong)
         case _ => perKey.keys.toSeq
@@ -535,10 +544,20 @@ final class KeyedMorBatchWrite(op: KeyedMorOperation,
             (if (KeyedStats.numeric(f.dataType))
               Seq(sum(col(f.name)).cast("long").as(s"_sm$i")) else Nil)
         }
+      lap("patch-plan-build")
       // bounded collect: ONE row per affected key (the same driver
-      // payload class as the dv refs themselves)
-      val agg = survivors.groupBy(col(KeyedSource.KeyCol).as("_pk"))
-        .agg(aggExprs.head, aggExprs.tail: _*).collect()
+      // payload class as the dv refs themselves). Grouped by the DATA
+      // key column, not the KeyCol metadata string (r20): the scan
+      // reports key-grouped partitioning on the data column, so this
+      // aggregate plans WITHOUT an Exchange — one stage, no AQE
+      // materialization break; the raw-key string is re-rendered on
+      // the driver exactly the way the writers render it (toString).
+      val aggDf = survivors.groupBy(col(key).as("_pk"))
+        .agg(aggExprs.head, aggExprs.tail: _*)
+      if (tDbg) { aggDf.queryExecution.executedPlan; lap("patch-optimize") }
+      val aggRows = aggDf.collect()
+      lap("patch-job")
+      val agg = aggRows
         .map { r =>
           val n = declared.length
           val mins = new Array[String](n); val maxs = new Array[String](n)
@@ -567,9 +586,11 @@ final class KeyedMorBatchWrite(op: KeyedMorOperation,
               maxs(i) = r.getAs[String](s"_mx$i")
             }
           }
-          r.getAs[String]("_pk") ->
-            KeyedStats.Entry(r.getAs[String]("_pk"), r.getAs[Long]("_n"),
-              mins, maxs, sums)
+          // raw-key rendering: the writers store LongType keys as
+          // their decimal string (KeyedDvWriter.insert), so toString
+          // of the typed group value reproduces the sidecar's raw key
+          val pk = String.valueOf(r.getAs[Any]("_pk"))
+          pk -> KeyedStats.Entry(pk, r.getAs[Long]("_n"), mins, maxs, sums)
         }.toMap
       val scanView = scan.view
       val patchEntries: Seq[(KeyedStats.Entry, Int)] = perKey.keys.toSeq.sorted
@@ -590,6 +611,7 @@ final class KeyedMorBatchWrite(op: KeyedMorOperation,
         new org.apache.hadoop.fs.Path(gen, KeyedStats.PatchFile),
         KeyedStats.renderPatch(declared, key, patchEntries))
     }
+    lap("stats-patch")
     if (KeyedSource.failBeforePublish) throw new IllegalStateException(
       "graft-keyed test hook: crash before publish")
     var priorGens = Set.empty[String]
@@ -636,6 +658,7 @@ final class KeyedMorBatchWrite(op: KeyedMorOperation,
     }.get
     val live = published.snapshots.flatMap(_.referencedGens).toSet
     KeyedSource.expireGenerations(path, live, hconf, known = priorGens -- live)
+    lap("publish+expire")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

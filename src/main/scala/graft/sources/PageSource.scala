@@ -762,8 +762,11 @@ object PageSource {
       // 9-21 s at sf1's 500 pages); partitioned by page, the page
       // space itself is the write parallelism and each page gets
       // exactly one file — which is also the read contract (one GET ≙
-      // one page payload, not a shard list)
-      .repartition(col("page"))
+      // one page payload, not a shard list). Explicit COUNT (r19
+      // ADVICE): a bare repartition(col) is coalescible back to one
+      // task under advisory-sized AQE coalescing, re-creating exactly
+      // the serialization this spread exists to prevent.
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("page"))
       .write.mode("overwrite").partitionBy("page").text(out)
     val meta = new org.apache.hadoop.fs.Path(out, MetaFile)
     val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
