@@ -297,6 +297,14 @@ object Text {
   def gramMd5Native(toks: Column, n: Int): Column =
     call_function("graft_gram_md5", toks, lit(n))
 
+  /** Native twin of the positional-gram projection
+    * `transform(sequence(1, size(tk)-n+1), i -> concat_ws(' ', <n terms>))`
+    * — ALL sliding n-token windows in position order, no dedup
+    * (plans.GramArray; callers must filter size(tk) >= n first).
+    * posexplode over it yields the same (off, gram) rows as the HOF. */
+  def gramsNative(toks: Column, n: Int): Column =
+    call_function("graft_grams", toks, lit(n))
+
   /** Native twin of minhashFromHashes. */
   def minhashNative(hs: Column, numHashes: Int): Column =
     call_function("graft_minhash", hs, lit(numHashes))

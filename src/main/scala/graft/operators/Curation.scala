@@ -732,7 +732,7 @@ object Curation {
     * codebook). */
   private def x75 = Q(
     (s, dir) => {
-      val exact = LlmData.annExactTopK(s, dir, 5).select(col("vec_id"))
+      val exact = LlmData.exactTop5Ids(s, dir)
       LlmData.recallRow(exact, adcRerankTopK(s, dir, 5),
           "pq_rerank_full_retrain", 5)
         .unionByName(LlmData.recallRow(exact, adcRerankIncTopK(s, dir, 5),

@@ -51,9 +51,12 @@ object LlmData {
   private def bigramCounts(docs: DataFrame): DataFrame =
     docs
       .filter(size(col("tk")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
-        i => concat_ws(" ", element_at(col("tk"), i),
-          element_at(col("tk"), i + 1)))).as("pair"))
+      // native sliding-gram kernel (r20 — Text.gramsNative, the r19
+      // x49 lesson applied to the bigram leftovers): same "a b" pair
+      // strings as the transform/sequence/element_at HOF chain
+      // (ScrubKernelSpec pins equality) without its interpreted
+      // per-position lambda dispatch
+      .select(explode(Text.gramsNative(col("tk"), 2)).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
 
   /** DuckDB twin of [[bigramCounts]] (doc_id carried for consumers that
@@ -616,6 +619,17 @@ object LlmData {
       graft.io.Bucketing.appendBucketed(
         ivfAppendBatch(s, dir), tbl, "cid", 16, sorted = false)
       tbl
+    }
+
+  /** The exact top-5 id set every recall audit joins against —
+    * memoized+persisted (r20): x35 references it once per method arm
+    * (5×), x74 twice, and the ADC rerank audit twice more, and without
+    * the cache every reference re-ran the full brute-force cosine scan
+    * + top-k (9 recomputes of the one leg all arms share). 5 rows;
+    * released by clearMemo with the other staged artifacts. */
+  private[operators] def exactTop5Ids(s: SparkSession, dir: String): DataFrame =
+    memoized(s, "ann-exact5", dir) {
+      annExactTopK(s, dir, 5).select(col("vec_id")).persist()
     }
 
   /** One recall@k row for `approx` against the exact top-k id set —
@@ -2141,7 +2155,7 @@ object LlmData {
     // exactly this query.
     "x35_ann_recall" -> Q(
       (s, dir) => {
-        val exact = annExactTopK(s, dir, 5).select(col("vec_id"))
+        val exact = exactTop5Ids(s, dir)
         def recallOf(approx: DataFrame, method: String): DataFrame =
           recallRow(exact, approx, method, 5)
         recallOf(annLshTopK(s, dir, 5), "sign_lsh")
@@ -3611,7 +3625,7 @@ object LlmData {
     // trainings (the prefixed chain trains on the historical slice).
     "x74_ann_ivf_append" -> Q(
       (s, dir) => {
-        val exact = annExactTopK(s, dir, 5).select(col("vec_id"))
+        val exact = exactTop5Ids(s, dir)
         recallRow(exact, annIvfTopK(s, dir, 5), "ivf_full_retrain", 5)
           .unionByName(
             recallRow(exact, annIvfIncTopK(s, dir, 5), "ivf_incremental", 5))
@@ -5740,11 +5754,12 @@ object LlmData {
     * shared by x91 (benchmark membership decides badness) and x92
     * (first-occurrence attribution decides). */
   private def positionalGrams(docs: DataFrame, w: Int): DataFrame =
+    // native sliding-gram kernel (r20 — Text.gramsNative): identical
+    // (off, g) rows to the transform/sequence HOF it replaces
+    // (posexplode indexes the kernel's position-ordered output), minus
+    // the interpreted lambda + w element_at walks per window
     docs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(1), size(col("tk")) - (w - 1)),
-        i => concat_ws(" ", (0 until w).map(d =>
-          element_at(col("tk"), i + d)): _*)))
-        .as(Seq("off", "g")))
+      posexplode(Text.gramsNative(col("tk"), w)).as(Seq("off", "g")))
 
   /** Window-scrub core shared by x91/x92: expand each bad start's
     * `w`-token window to covered positions, drop covered tokens,

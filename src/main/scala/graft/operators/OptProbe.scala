@@ -131,78 +131,13 @@ object OptProbe {
         timed("q46-cold")(mat(q(s, dir)))
         timed("q46-warm")(mat(q(s, dir)))
       case "q46legs" =>
-        // replicate the lifecycle stage-by-stage on a scratch root —
-        // same modules, same literals, so leg times attribute q46-cold
-        import org.apache.spark.sql.functions.{col, lit, to_timestamp, concat,
-          lpad, pmod, upper, array, struct, count, collect_list, round, map}
+        // the lifecycle stage-by-stage on a scratch root, using the
+        // SHIPPED envelope builder (r19 ADVICE: the probe's inlined
+        // pre-slim copy went stale after the EtlCapstone rewrite)
+        import org.apache.spark.sql.functions.{lit, to_timestamp}
         val base = graft.io.TempDirs.scratch("graft-probe46")
         val landing = graft.io.Stages.rawPath(base, graft.io.Stages.ToProcessed)
-        if (sys.env.get("SPARK_GRAFT_PROBE_WARM46").contains("1"))
-          timed("mini-envelope-warmup") {
-            val mini = s.range(100).selectExpr("id", "id % 7 AS g")
-              .groupBy("g")
-              .agg(collect_list(struct(
-                concat(lit("x"), col("id").cast("string")).as("id"),
-                map(lit("k"), concat(lit("u/"), col("id").cast("string"))).as("m"),
-                array(struct(lit("a").as("p"), map(lit("q"), lit("r")).as("u")),
-                  struct(lit("b").as("p"), map(lit("q"), lit("r")).as("u"))).as("arts"),
-                struct(lit("n").as("nm"), pmod(col("id"), lit(7)).cast("long").as("tt"))
-                  .as("alb")).as("tr")).as("tracks"))
-            mini.write.mode("overwrite").json(s"$base/warm-json")
-          }
-        def urlOf(kind: String, id: org.apache.spark.sql.Column) =
-          map(lit("spotify"), concat(lit(s"https://open.example/$kind/"), id))
-        val env = timed("envelopes-plan") {
-          val track = struct(
-            col("o_orderdate").cast("string").as("added_at"),
-            struct(
-              concat(lit("o"), col("o_orderkey")).as("id"),
-              col("o_orderpriority").as("name"),
-              round(col("o_totalprice") * 100, 0).cast("long").as("duration_ms"),
-              pmod(col("o_orderkey"), lit(100)).cast("long").as("popularity"),
-              lit(false).as("explicit"),
-              urlOf("track", concat(lit("o"), col("o_orderkey"))).as("external_urls"),
-              struct(
-                col("clerk").as("id"),
-                upper(col("clerk")).as("name"),
-                col("o_orderdate").cast("string").as("release_date"),
-                pmod(col("o_orderkey"), lit(7)).cast("long").as("total_tracks"),
-                col("o_orderstatus").as("album_type"),
-                col("o_orderpriority").as("label"),
-                urlOf("album", col("clerk")).as("external_urls")).as("album"),
-              array(
-                struct(concat(lit("c"), col("c_custkey")).as("id"),
-                  col("c_name").as("name"),
-                  urlOf("artist", concat(lit("c"), col("c_custkey"))).as("external_urls")),
-                struct(concat(lit("n"), col("n_nationkey")).as("id"),
-                  col("n_name").as("name"),
-                  urlOf("artist", concat(lit("n"), col("n_nationkey"))).as("external_urls"))
-              ).as("artists")).as("track"))
-          graft.sources.Tables.load(s, dir, "orders")
-            .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
-            .withColumn("clerk",
-              concat(lit("clerk"), lpad(pmod(col("o_orderkey"), lit(100)).cast("string"), 3, "0")))
-            .join(graft.sources.Tables.load(s, dir, "customer"),
-              col("o_custkey") === col("c_custkey"))
-            .join(graft.sources.Tables.load(s, dir, "nation"),
-              col("c_nationkey") === col("n_nationkey"))
-            .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("n_nationkey"))
-            .agg(collect_list(track).as("tracks"), count(lit(1)).as("n_tracks"))
-            .select(
-              concat(lit("c"), col("c_custkey")).as("playlist_id"),
-              lit("2024-01-01 00:00:00").as("extracted_at"),
-              lit("2024-01-01 00:00:00").as("extraction_timestamp"),
-              col("n_tracks").as("total_tracks"),
-              struct(
-                concat(lit("Orders of "), col("c_name")).as("name"),
-                col("n_name").as("description"),
-                struct(concat(lit("c"), col("c_custkey")).as("id"),
-                  col("c_name").as("display_name")).as("owner"),
-                lit(true).as("public"),
-                struct(lit(null).cast("string").as("href"),
-                  col("n_tracks").as("total")).as("followers")).as("playlist_info"),
-              col("tracks"))
-        }
+        val env = timed("envelopes-plan")(EtlCapstone.envelopes(s, dir))
         timed("env-noop")(mat(env))
         timed("env-noop-2nd")(mat(env))
         timed("json-write")(env.write.mode("overwrite").json(landing))

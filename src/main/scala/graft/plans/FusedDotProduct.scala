@@ -191,6 +191,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         requireArity("graft_gram_md5", children, 2)
         GramMd5Hex(children.head, litLong("graft_gram_md5", children(1)).toInt)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_grams"),
+      new ExpressionInfo(classOf[GramArray].getName, "graft_grams"),
+      (children: Seq[Expression]) => {
+        requireArity("graft_grams", children, 2)
+        GramArray(children.head, litLong("graft_grams", children(1)).toInt)
+      }))
     // graft_pq_assign(emb, cbFlat, codes, subDim) / graft_pq_dists(...):
     // the trained codebook is a query-time constant (index metadata),
     // so it arrives as an array<double> literal the builder unwraps

@@ -374,6 +374,65 @@ object GramMd5Hex {
   }
 }
 
+/** ALL sliding n-token windows joined by a single space, in position
+  * order (no dedup — [[ShingleArray]]'s LinkedHashSet twin without the
+  * distinct): exactly
+  * `transform(sequence(1, size(tk)-n+1), i -> concat_ws(' ', <n element_at terms>))`
+  * for inputs with size(tk) >= n, whose interpreted per-position lambda
+  * dispatch + n element_at tree walks per window are the staging cost
+  * of the positional-gram family (x50/x57/x61 bigram counts, x91/x92
+  * scrub starts — the r19 x49 kernel lesson applied to the two named
+  * leftovers). Element i of the output is the window starting at
+  * 0-based token i, so `posexplode` yields the same (off, gram) rows
+  * as the HOF form. Fewer than n tokens yields an EMPTY array; callers
+  * filter size(tk) >= n first (the HOF's sequence DESCENDS below n —
+  * a shape no caller may feed either form). */
+case class GramArray(child: Expression, n: Int) extends UnaryExpression {
+
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got $t")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_grams"
+
+  override def nullSafeEval(input: Any): Any =
+    GramArray.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cls = GramArray.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $cls.compute($arr, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GramArray =
+    copy(child = newChild)
+}
+
+object GramArray {
+  private val SPACE = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](len - n + 1)
+    val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i <= len - n) {
+      var j = 0
+      while (j < n) { window(j) = toks.getUTF8String(i + j); j += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(SPACE, window: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object Md5Longs {
   private val md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

@@ -72,6 +72,33 @@ class ScrubKernelSpec extends SparkSpec {
     assert(win == got)
   }
 
+  test("graft_grams == the positional transform/sequence HOF (w=2, 3, 10)") {
+    // the r20 gram kernel behind bigramCounts (w=2) and
+    // positionalGrams (x91 w=10, x92/x95 w=3): posexplode over the
+    // kernel's array must yield byte-identical (off, gram) rows to the
+    // HOF chain it replaced
+    val docs = toks(sf0001)
+    for (w <- Seq(2, 3, 10)) {
+      val filtered = docs.filter(size(col("tk")) >= w)
+      val hof = filtered.select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("tk")) - (w - 1)),
+          i => concat_ws(" ", (0 until w).map(d =>
+            element_at(col("tk"), i + d)): _*)))
+          .as(Seq("off", "g")))
+      val native = filtered.select(col("doc_id"),
+        posexplode(Text.gramsNative(col("tk"), w)).as(Seq("off", "g")))
+      val a = native.orderBy("doc_id", "off").collect()
+      val b = hof.orderBy("doc_id", "off").collect()
+      assert(a.length == b.length && a.nonEmpty, s"w=$w row counts differ or vacuous")
+      assert(a.sameElements(b), s"w=$w gram rows differ")
+    }
+    // short input: fewer than w tokens yields an empty array, not a
+    // descending-sequence artifact
+    import spark.implicits._
+    val short = Seq((1L, Seq("a"))).toDF("doc_id", "tk")
+    assert(short.select(explode(Text.gramsNative(col("tk"), 2))).count() == 0)
+  }
+
   test("whole-stage codegen carries the kernel (no fallback in the hot path)") {
     val plan = kernelDupStarts(toks(sf0001), 3)
       .queryExecution.executedPlan.toString
