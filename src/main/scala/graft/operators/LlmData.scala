@@ -1252,14 +1252,31 @@ object LlmData {
       // subject to AQE coalescing, and under advisory-sized coalescing
       // (parallelismFirst=false, Bench r19) a KB-scale corpus would
       // collapse to ONE task — serializing the tokenize kernel this
-      // spread exists to parallelize, for every family rebuild. The
-      // count is the session's shuffle parallelism: the spread's whole
-      // purpose is compute fan-out, not bytes-per-task.
+      // spread exists to parallelize, for every family rebuild.
+      // SIZED BY THE INPUT, capped at the session knob (r20, the r19
+      // verdict's #2): the r19 form pinned the count at
+      // numShufflePartitions outright, so a KB corpus cached as 32
+      // near-empty partitions and every downstream stage of every
+      // family consumer paid tasks-per-stage scheduling on ~150-doc
+      // slivers (measured: the sub-2 s dedup rows ran 1.5-2× slower at
+      // local[32] than local[8] purely from this). One partition per
+      // ~1 MB of corpus file keeps the tokenize fan-out proportional
+      // to the data — a 32 MB single-file corpus still spreads the
+      // full session width, a 600 KB one stays a single healthy task —
+      // and this code path only fires for SINGLE-FILE corpora (a
+      // multi-file corpus is already split-parallel), so the session
+      // cap is the correct ceiling at any real volume.
       val spread =
-        if (base.inputFiles.length <= 1)
-          base.repartition(s.sessionState.conf.numShufflePartitions,
-            col("doc_id"))
-        else base
+        if (base.inputFiles.length <= 1) {
+          val bytes = base.inputFiles.headOption.map { f =>
+            try new java.io.File(new java.net.URI(f)).length()
+            catch { case _: Exception => 0L }
+          }.getOrElse(0L)
+          val sized = math.max(1L, math.min(
+            s.sessionState.conf.numShufflePartitions.toLong,
+            bytes / (1L << 20) + 1L)).toInt
+          base.repartition(sized, col("doc_id"))
+        } else base
       spread.select(col("doc_id"), col("lang"), col("source"),
           Text.tokens(col("text")).as("tk"))
         .persist()
